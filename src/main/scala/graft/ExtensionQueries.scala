@@ -1,0 +1,290 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Enrich, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Sources
+
+/** Harness queries for the training-data-pipeline extension operators
+  * (dedup, similarity search, text analysis, multimodal) over the
+  * `documents` / `embeddings` testdata tables.
+  *
+  * Oracle notes: DuckDB computes list/float math differently enough that
+  * every similarity value is widened to double and rounded to 6 dp on both
+  * sides before any threshold or ranking; ranks tie-break on ids. Integer
+  * widths differ (`len()`/`length()` are BIGINT in DuckDB, `size()` is int
+  * in Spark), so oracle counts are cast to INTEGER where Spark emits int.
+  */
+object DedupQueries {
+
+  /** Shared DuckDB shingle CTE: distinct word 5-shingles per document,
+    * mirroring [[graft.functions.Text.wordShingles]]. */
+  private val shingleCte =
+    """WITH w AS (
+         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+           CASE WHEN len(ws) >= 5
+             THEN list_distinct([array_to_string(ws[i:i+4], ' ')
+                                 for i in range(1, len(ws) - 3)])
+             ELSE [array_to_string(ws, ' ')] END AS s
+         FROM w)"""
+
+  private val jaccardPairsSql =
+    s"""$shingleCte
+       SELECT doc_a, doc_b, jaccard FROM (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+             AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+       WHERE jaccard >= 0.8"""
+
+  def all: Seq[Q] = Seq(
+
+    Q("dedup_exact",
+      (s, dir) => Dedup.exact(
+        Sources.table(s, dir, "documents"), "doc_id", "text"),
+      Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        COUNT(*) AS n_copies FROM documents GROUP BY md5(text)""")),
+
+    // exact inverted-index n-gram Jaccard — shares the brute-force oracle
+    Q("dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        k = 5, threshold = 0.8),
+      Some(jaccardPairsSql)),
+
+    // MinHash+LSH with exact verification — same answer as brute force
+    // (false-negative probability ~1e-13 at these parameters), same oracle
+    Q("dedup_minhash",
+      (s, dir) => Dedup.minhashLshPairs(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        k = 5, bands = 32, rowsPerBand = 4, threshold = 0.8),
+      Some(jaccardPairsSql)),
+
+    // SimHash banding — signature algebra not expressible in ANSI SQL;
+    // covered by ScalaTest (rows-only check here)
+    Q("dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        k = 3, maxHamming = 8),
+      None),
+
+    Q("dedup_embedding",
+      (s, dir) => Dedup.embeddingNearDup(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45),
+      Some("""WITH e AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+        dots AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.v * b.v) AS dot
+          FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, cos FROM (
+          SELECT ia AS id_a, ib AS id_b,
+                 round(dot / (na.nrm * nb.nrm), 6) AS cos
+          FROM dots
+          JOIN norms na ON ia = na.vec_id
+          JOIN norms nb ON ib = nb.vec_id) p
+        WHERE cos >= 0.45"""))
+  )
+}
+
+object SimilarityQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // exact brute-force cosine top-10 for queries vec_id < 5
+    Q("simsearch_topk",
+      (s, dir) => {
+        val emb = Sources.table(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+          "embedding", k = 10)
+          .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+        q AS (SELECT * FROM e WHERE vec_id < 5),
+        dots AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS cid, sum(q.v * c.v) AS dot
+          FROM q JOIN e c ON q.i = c.i AND c.vec_id <> q.vec_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT q_id, cid AS vec_id, round(dot / (nq.nrm * nc.nrm), 6) AS cos
+          FROM dots
+          JOIN norms nq ON q_id = nq.vec_id
+          JOIN norms nc ON cid = nc.vec_id)
+        SELECT q_id, vec_id, cos, rank FROM (
+          SELECT q_id, vec_id, cos,
+            CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER)
+              AS rank
+          FROM scored) r
+        WHERE rank <= 10""")),
+
+    // IVF (bucketed) search — scale path; exactness depends on the probe
+    // budget, so correctness is covered by the recall ScalaTest, not SQL
+    Q("simsearch_ivf",
+      (s, dir) => {
+        val emb = Sources.table(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+          "embedding", k = 10, centroidStep = 50, nprobe = 4)
+          .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+      },
+      None),
+
+    // random-hyperplane LSH candidate generation (linear-cost ANN feed)
+    Q("simsearch_lsh",
+      (s, dir) => Similarity.lshCandidates(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, nBits = 16, bandBits = 4),
+      None),
+
+    // per-vector L2 norm — the scan-side building block, oracle-checked
+    Q("embedding_norms",
+      (s, dir) => Sources.table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(graft.functions.Vectors.l2Norm(col("embedding")), 6)
+            .as("l2")),
+      Some("""WITH e AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings)
+        SELECT vec_id, round(sqrt(sum(v * v)), 6) AS l2
+        FROM e GROUP BY vec_id"""))
+  )
+}
+
+object TextQueries {
+
+  def all: Seq[Q] = Seq(
+
+    Q("text_langid",
+      (s, dir) => TextAnalysis.langId(
+        Sources.table(s, dir, "documents"), "doc_id", "text"),
+      Some {
+        val score = TextAnalysis.langMarkers.map { case (l, ws) =>
+          val inList = ws.map(w => s"'$w'").mkString(", ")
+          s"""CAST(len(list_filter(list_filter(string_split(lower(text), ' '),
+             x -> x <> ''), w -> w IN ($inList))) AS INTEGER) AS s_$l"""
+        }.mkString(",\n")
+        s"""WITH s AS (SELECT doc_id, $score FROM documents)
+           SELECT doc_id, s_en, s_de, s_fr, s_es,
+             CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                  ELSE 'es' END AS predicted
+           FROM s"""
+      }),
+
+    Q("text_quality",
+      (s, dir) => TextAnalysis.quality(
+        Sources.table(s, dir, "documents"), "doc_id", "text"),
+      Some {
+        val stop = TextAnalysis.langMarkers("en")
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH t AS (
+            SELECT doc_id, length(text) AS n_chars,
+              list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents)
+          SELECT doc_id, CAST(n_chars AS INTEGER) AS n_chars,
+            CAST(len(toks) AS INTEGER) AS n_tokens,
+            round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+              / len(toks), 4) AS avg_token_len,
+            round(len(list_filter(toks, w -> w IN ($stop)))::DOUBLE
+              / len(toks), 4) AS stopword_ratio,
+            CAST(len(list_filter(toks,
+              w -> regexp_matches(w, '^[0-9]+$$'))) AS INTEGER)
+              AS n_numeric_tokens
+          FROM t"""
+      }),
+
+    Q("text_tokens",
+      (s, dir) => TextAnalysis.tokenCounts(
+        Sources.table(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH t AS (
+          SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+            regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')
+              AS res
+          FROM documents)
+        SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_ws_tokens,
+          CAST(len(res) AS INTEGER) AS n_re_tokens,
+          CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens
+        FROM t""")),
+
+    // fp64 (xxhash64) has no DuckDB twin — oracle checks the md5 branch via
+    // a dedicated query; fingerprints (with fp64) is rows-only
+    Q("text_fingerprint",
+      (s, dir) => TextAnalysis.fingerprints(
+        Sources.table(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "fp_md5"),
+      Some("""SELECT doc_id,
+        md5(array_to_string(list_filter(string_split(text, ' '),
+          x -> x <> ''), ' ')) AS fp_md5
+        FROM documents""")),
+
+    // X1 enrichment through mapPartitions with the offline fetcher —
+    // deterministic, so fully oracle-checkable despite being a lambda
+    Q("enrich_articles",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(lit("https://"), col("source"),
+              lit(".example.com/articles/"), col("doc_id")).as("url"))
+        Enrich.enrich(docs, "doc_id", "url", new Enrich.StubFetcher).toDF()
+      },
+      Some("""SELECT doc_id AS globaleventid,
+        'Doc ' || doc_id AS title,
+        source || '.example.com' AS site,
+        source || '.example.com article . . . ' AS summary,
+        'article; ' || source || 'examplecom' AS keywords,
+        'article; ' || source || 'examplecom' AS meta
+        FROM documents"""))
+  )
+}
+
+object MultimodalQueries {
+
+  def all: Seq[Q] = Seq(
+
+    Q("multimodal_meta",
+      (s, dir) => Multimodal.binaryMeta(
+        Multimodal.withBinaryPayload(
+          Sources.table(s, dir, "documents"), "text"),
+        "doc_id", "payload"),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        hex(substr(text, 1, 8)) AS header_hex,
+        md5(text) AS checksum FROM documents""")),
+
+    Q("multimodal_decode",
+      (s, dir) => Multimodal.decodeMeta(
+        Multimodal.withBinaryPayload(
+          Sources.table(s, dir, "documents"), "text"),
+        "doc_id", "payload", new Multimodal.StubDecoder).toDF(),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        'fake/img' AS format,
+        CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+        md5(text) AS checksum_hex FROM documents""")),
+
+    Q("multimodal_frames",
+      (s, dir) => Multimodal.sampleFrames(
+        Multimodal.withBinaryPayload(
+          Sources.table(s, dir, "documents"), "text"),
+        "doc_id", "payload", frameSize = 32, stride = 16),
+      Some("""SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
+        encode(substr(text, CAST(i * 16 + 1 AS INTEGER), 32)) AS frame FROM (
+        SELECT doc_id, text,
+          unnest(range(0,
+            greatest(0, (octet_length(encode(text)) - 32) // 16) + 1)) AS i
+        FROM documents) t"""))
+  )
+}

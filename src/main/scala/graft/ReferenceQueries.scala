@@ -1,0 +1,255 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Cleaning
+import graft.operators.{EventOps, Keywords}
+import graft.sources.Sources
+
+/** Harness queries for every reference-derived operator in SURVEY.md §2,
+  * expressed over the driver's TPC-H-ish testdata tables (TESTDATA.md).
+  * Each entry cites the reference behavior it re-expresses.
+  */
+object ReferenceQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  /** Ignore list analogue of the_words.py:11 (`["state"]`). */
+  private val ignoreKw = Seq("a", "the")
+
+  def all: Seq[Q] = Seq(
+
+    // ---- flagship aggregation (A2/A3/A4 composed; TPC-H Q1 shape) ----
+    Q("q1_agg",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_base_price"),
+          // decimal arithmetic end-to-end: 2-dp double→decimal casts are
+          // unambiguous, decimal ×/+ are exact ⇒ engine-identical sums
+          // (casting the double *product* to decimal is NOT portable —
+          // engines disagree on digits below the double's precision)
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1.0).cast("decimal(3,2)") -
+              col("l_discount").cast("decimal(3,2)")))
+            .cast("double").as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        SUM(l_quantity) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+        ROUND(AVG(l_quantity), 4) AS avg_qty,
+        COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    // ---- P1 project (extractor.py:263) ----
+    Q("project",
+      (s, dir) => t(s, dir, "documents").select("doc_id", "source"),
+      Some("SELECT doc_id, source FROM documents")),
+
+    // ---- P2 rename-lowercase (extractor.py:272,284) ----
+    Q("rename_lowercase",
+      (s, dir) => {
+        val upper = t(s, dir, "nation")
+          .toDF(Seq("N_NATIONKEY", "N_NAME", "N_REGIONKEY"): _*)
+        EventOps.lowercaseColumns(upper)
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation")),
+
+    // ---- P3 projection with casts (v2_table.py:74-80) ----
+    Q("project_cast",
+      (s, dir) => t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity").cast("int").as("qty_int"),
+        col("l_orderkey").cast("string").as("okey_str"),
+        col("l_shipdate").cast("date").as("ship_date")),
+      Some("""SELECT l_orderkey, l_linenumber,
+        CAST(l_quantity AS INTEGER) AS qty_int,
+        CAST(l_orderkey AS VARCHAR) AS okey_str,
+        CAST(l_shipdate AS DATE) AS ship_date FROM lineitem""")),
+
+    // ---- P4 null-guard filter (v2_table.py:83) ----
+    Q("filter_nonempty",
+      (s, dir) => Sources.events(s, dir)
+        .filter(col("value").isNotNull && col("event_type").isNotNull &&
+          col("event_type") =!= "")
+        .select("event_id", "user_id", "event_type", "value"),
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+          AND event_type <> ''""")),
+
+    // ---- P5 not-in ignore filter (the_words.py:30) ----
+    Q("filter_notin",
+      (s, dir) => t(s, dir, "documents")
+        .filter(!col("lang").isin("zh", "de"))
+        .select("doc_id", "lang", "source"),
+      Some("""SELECT doc_id, lang, source FROM documents
+        WHERE lang NOT IN ('zh', 'de')""")),
+
+    // ---- A1 dedup, deterministic-survivor form (extractor.py:256) ----
+    Q("dedup_first",
+      (s, dir) => EventOps.dedupFirst(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        key = "source", orderCol = "doc_id"),
+      Some("""SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents) t WHERE rn = 1""")),
+
+    // ---- A2 term frequency (the_words.py:29) ----
+    Q("agg_count_group",
+      (s, dir) => Keywords.termFrequency(
+        t(s, dir, "documents"), col("text"), " ", ignoreKw),
+      Some("""SELECT w AS kw, COUNT(*) AS cnt FROM (
+        SELECT trim(unnest(string_split(text, ' '))) AS w FROM documents) t
+        WHERE w <> '' AND w NOT IN ('a', 'the') GROUP BY w""")),
+
+    // ---- A3 frequency extrema (the_words.py:17,20) ----
+    Q("agg_minmax",
+      (s, dir) => Keywords.freqMinMax(Keywords.termFrequency(
+        t(s, dir, "documents"), col("text"), " ", ignoreKw)),
+      Some("""SELECT MIN(cnt) AS min_cnt, MAX(cnt) AS max_cnt FROM (
+        SELECT w AS kw, COUNT(*) AS cnt FROM (
+          SELECT trim(unnest(string_split(text, ' '))) AS w FROM documents) t
+        WHERE w <> '' AND w NOT IN ('a', 'the') GROUP BY w) f""")),
+
+    // ---- A4 row count (extractor.py:258) ----
+    Q("count_rows",
+      (s, dir) => t(s, dir, "lineitem").agg(count(lit(1)).as("n")),
+      Some("SELECT COUNT(*) AS n FROM lineitem")),
+
+    // ---- J1 enrichment join (extractor.py:266) ----
+    Q("join_enrichment",
+      (s, dir) => t(s, dir, "orders").join(
+        t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"), "inner")
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment"),
+      Some("""SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey""")),
+
+    // ---- J2 broadcast dimension join (lookups/, SURVEY §1.4) ----
+    Q("join_dim",
+      (s, dir) => EventOps.joinDim(
+        t(s, dir, "nation"), t(s, dir, "region"),
+        col("n_regionkey"), col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name"),
+      Some("""SELECT n_nationkey, n_name, r_name
+        FROM nation LEFT JOIN region ON n_regionkey = r_regionkey""")),
+
+    // ---- U1 schema-align union (extractor.py:269) ----
+    Q("union_align",
+      (s, dir) => EventOps.unionAlign(
+        t(s, dir, "documents").select("doc_id", "source"),
+        Seq("title" -> "string", "site" -> "string", "summary" -> "string",
+          "keywords" -> "string", "meta" -> "string")),
+      Some("""SELECT doc_id, source,
+        CAST(NULL AS VARCHAR) AS title, CAST(NULL AS VARCHAR) AS site,
+        CAST(NULL AS VARCHAR) AS summary, CAST(NULL AS VARCHAR) AS keywords,
+        CAST(NULL AS VARCHAR) AS meta FROM documents""")),
+
+    // ---- F1 clean_text (extractor.py:69-71) ----
+    Q("clean_text",
+      (s, dir) => Sources.events(s, dir)
+        .select(col("event_id"),
+          Cleaning.cleanText(col("props")).as("cleaned")),
+      Some("""SELECT event_id,
+        regexp_replace(props, '[^a-zA-Z0-9 \n]', '', 'g') AS cleaned
+        FROM events""")),
+
+    // ---- F2 strip_quotes (extractor.py:96,98) ----
+    Q("strip_quotes",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          Cleaning.stripQuotes(
+            concat(lit("'quoted' "), col("source"))).as("unquoted")),
+      Some("SELECT doc_id, 'quoted ' || source AS unquoted FROM documents")),
+
+    // ---- F3 strip_html (extractor.py:99) ----
+    Q("strip_html",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          Cleaning.stripHtml(
+            concat(lit("<p class='x'>"), col("source"), lit("</p>")))
+            .as("stripped")),
+      Some("SELECT doc_id, source AS stripped FROM documents")),
+
+    // ---- F4 truncate + ellipsis (extractor.py:98,193) ----
+    Q("truncate_ellipsis",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          Cleaning.truncateEllipsis(col("text"), 100).as("summary")),
+      Some("""SELECT doc_id, substr(text, 1, 100) || ' . . . ' AS summary
+        FROM documents""")),
+
+    // ---- F5 url_host (extractor.py:97,192) ----
+    Q("url_host",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          Cleaning.urlHost(concat(lit("https://"), col("source"),
+            lit(".example.com/articles/"), col("doc_id"))).as("host")),
+      Some("""SELECT doc_id, source || '.example.com' AS host
+        FROM documents""")),
+
+    // ---- F6 + O1 sorted "; "-join (extractor.py:100-112) ----
+    Q("join_semicolon",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          Cleaning.joinSemicolon(Cleaning.tokens(col("text")))
+            .as("kw_sorted")),
+      Some("""SELECT doc_id,
+        array_to_string(list_sort(string_split(text, ' ')), '; ') AS kw_sorted
+        FROM documents""")),
+
+    // ---- F7 + X3 split/trim/explode (extractor.py:403-406) ----
+    Q("split_trim",
+      (s, dir) => Keywords.explodeTokens(
+        t(s, dir, "documents"), "doc_id", "text", " "),
+      Some("""SELECT doc_id, trim(w) AS kw FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE trim(w) <> ''""")),
+
+    // ---- JSON extraction (free built-in surfaced; SURVEY §2.8 note) ----
+    Q("extract_props",
+      (s, dir) => Sources.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k")),
+      Some("""SELECT event_id,
+        CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS k FROM events""")),
+
+    // ---- streaming-shaped tumbling-window agg (SURVEY §2.10) ----
+    Q("window_agg",
+      (s, dir) => Sources.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("v")),
+      Some("""SELECT date_trunc('hour', ts) AS ws, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2""")),
+
+    // ---- global order-by + limit (free op; SURVEY §2.6 note) ----
+    Q("topk_orders",
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
+
+    // ---- rollup aggregation (free op; SURVEY §2.5 note) ----
+    Q("rollup_agg",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        SUM(l_quantity) AS sum_qty FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+  )
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central registry tying every operator to (a) a harness query over the
+  * driver's parquet testdata and (b) — where ANSI-SQL-expressible — an
+  * equivalent DuckDB oracle query for the differential correctness gate.
+  *
+  * Numeric-parity rules used throughout the oracles (why results hash-match
+  * across two engines):
+  *  - double sums are computed by casting the per-row value to a fixed-scale
+  *    DECIMAL first (per-row doubles are IEEE-identical in both engines, the
+  *    decimal cast rounds identically, decimal addition is exact and
+  *    order-independent), then casting the exact sum back to double;
+  *  - averages only over values whose sum is exact in double (integers);
+  *  - rankings never rely on float ties — tie-break on a unique key.
+  */
+case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+  def all: Seq[Q] =
+    ReferenceQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+      TextQueries.all ++ MultimodalQueries.all
+}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+object SparkEntry {
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame =
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Registry.all.map(q => q.name -> q.fn).toMap
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omit for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

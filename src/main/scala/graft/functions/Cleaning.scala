@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar text-cleaning functions F1–F7 from the reference's article
+  * enrichment and keyword paths (SURVEY.md §2.8). Pure `Column → Column`
+  * so they stay inside whole-stage codegen — no UDFs, no serialization
+  * boundary, fully pushdown/prune-transparent to Catalyst.
+  */
+object Cleaning {
+
+  /** F1 — strip all non-alphanumeric chars except space/newline
+    * (reference: extractor/extractor.py:69-71, inline dups :102,108-110). */
+  def cleanText(c: Column): Column =
+    regexp_replace(c, "[^a-zA-Z0-9 \n]", "")
+
+  /** F2 — strip single quotes (reference: extractor/extractor.py:96,98). */
+  def stripQuotes(c: Column): Column =
+    regexp_replace(c, "'", "")
+
+  /** F3 — drop HTML tags (reference: extractor/extractor.py:99). */
+  def stripHtml(c: Column): Column =
+    regexp_replace(c, "<.*?>", "")
+
+  /** F4 — truncate to `n` chars and append a literal " . . . "
+    * (reference: extractor/extractor.py:98,193). */
+  def truncateEllipsis(c: Column, n: Int = 500): Column =
+    concat(substring(c, 1, n), lit(" . . . "))
+
+  /** F5 — host part of a URL (reference: extractor/extractor.py:97,192
+    * `urlparse(url).netloc`). `parse_url` is a codegen'd built-in. */
+  def urlHost(c: Column): Column =
+    parse_url(c, lit("HOST"))
+
+  /** F6 + O1 — sort an array of strings and join with "; "
+    * (reference: extractor/extractor.py:100-112 `"; ".join(sorted(...))`).
+    * Per-row work: no shuffle, scales embarrassingly. */
+  def joinSemicolon(c: Column): Column =
+    concat_ws("; ", array_sort(c))
+
+  /** F7 — split a delimited string and trim each token
+    * (reference: extractor/extractor.py:403-406). Returns an array column;
+    * callers `explode` it (X3) when they need rows. */
+  def splitTrim(c: Column, sep: String = ";"): Column =
+    filter(transform(split(c, sep), t => trim(t)), t => t =!= "")
+
+  /** Whitespace tokenizer used by the keyword/text-analysis paths. */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+}

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Tokenization, shingling and hashing primitives for the dedup /
+  * text-analysis operators. All pure `Column → Column` (codegen'd built-ins:
+  * `split`, `slice`, `sequence`, `transform`, `xxhash64`) — the per-document
+  * work is embarrassingly parallel and shuffles nothing by itself.
+  */
+object Text {
+
+  /** Distinct word k-shingles of a whitespace-tokenized text.
+    * A document shorter than k words contributes its whole text as the
+    * single shingle, so no document silently disappears from dedup. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = Cleaning.tokens(text)
+    val n = size(toks)
+    when(n >= k,
+      array_distinct(transform(sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Character n-grams (for n-gram Jaccard / fingerprinting of languages
+    * without whitespace segmentation). */
+  def charShingles(text: Column, n: Int): Column = {
+    val len = length(text)
+    when(len >= n,
+      array_distinct(transform(sequence(lit(1), len - (n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array(text))
+  }
+
+  /** MinHash signature: k independent hash functions, each the min over the
+    * shingle set of `xxhash64(seed_i, shingle)`. Returns array<long> of
+    * length k. Per-row only — the LSH banding join happens in
+    * [[graft.operators.Dedup]]. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, s => xxhash64(i, s))))
+
+  /** LSH band keys: split a k-signature into `bands` bands and hash each
+    * band slice; two docs collide on a band iff the r rows of that band all
+    * match. Returns array<struct<band:int, key:bigint>> ready to explode. */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.cast("int").as("band"),
+        xxhash64(b, slice(sig, b * lit(rows) + lit(1), lit(rows))).as("key")))
+
+  /** Stable 64-bit content fingerprint of the token sequence (order-
+    * sensitive rolling-hash analogue, built on xxhash64 of the joined
+    * normalized tokens). */
+  def fingerprint64(text: Column): Column =
+    xxhash64(concat_ws(" ", Cleaning.tokens(text)))
+
+  /** MD5 hex fingerprint of normalized text — engine-portable (DuckDB and
+    * Spark agree bit-for-bit), used as the oracle-checkable fingerprint. */
+  def fingerprintMd5(text: Column): Column =
+    md5(concat_ws(" ", Cleaning.tokens(text)))
+}

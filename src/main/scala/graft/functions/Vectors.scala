@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `ArrayType(FloatType)` columns, built from
+  * Catalyst higher-order functions (`zip_with`, `aggregate`, `transform`) —
+  * codegen-eligible, no UDF serialization, and column-prunable, unlike a
+  * Scala UDF taking `Seq[Float]`.
+  *
+  * All arithmetic is widened to double before accumulation so results are
+  * reproducible across engines and across partitionings (float accumulation
+  * order would otherwise leak into the value).
+  *
+  * Scale: these are per-row expressions — they parallelize with the scan and
+  * add no shuffle. The expensive part of similarity search is pair
+  * enumeration, handled in [[graft.operators.Similarity]].
+  */
+object Vectors {
+
+  private def dbl(c: Column): Column = c.cast("double")
+
+  /** Σ aᵢ·bᵢ */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => dbl(x) * dbl(y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** ‖a‖₂ */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => dbl(x) * dbl(x)),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** cos(a, b) = a·b / (‖a‖‖b‖); null-safe on zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom =!= 0.0, dot(a, b) / denom)
+  }
+
+  /** Squared euclidean distance (monotone with L2 — cheaper for ranking). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = dbl(x) - dbl(y); d * d
+    }), lit(0.0), (acc, v) => acc + v)
+}

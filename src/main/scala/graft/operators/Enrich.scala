@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** X1 — per-URL article enrichment (reference:
+  * extractor/extractor.py:79-121): fetch the source article, extract
+  * title / site / summary / keywords / meta.
+  *
+  * Spark-first shape: `mapPartitions` over a typed Dataset, with the
+  * fetcher instantiated once per partition — the analogue of the
+  * reference's one-subprocess-per-batch `multiprocessing.Pool`
+  * (extractor/extractor.py:230-245), amortizing client setup without
+  * per-row UDF overhead. The lambda is opaque to Catalyst, so the input is
+  * projected to (id, url) *before* this operator and deduplicated upstream
+  * (the reference's own cheap-op-first ordering, extractor.py:256,263).
+  *
+  * Per-row failures produce a row of nulls and the pipeline continues
+  * (E1 semantics, extractor/extractor.py:118-119).
+  *
+  * Scale: enrichment is network-bound; parallelism = partitions × executor
+  * cores. `repartition(n)` upstream to set the concurrent-connection
+  * budget; no shuffle otherwise.
+  */
+object Enrich {
+
+  /** Enrichment output row (reference: extractor/schema.py:151). */
+  case class Article(globaleventid: Long, title: String, site: String,
+      summary: String, keywords: String, meta: String)
+
+  /** Pluggable article source. Implementations must be serializable;
+    * `open()` runs once per partition (client/pool init). */
+  trait ArticleFetcher extends Serializable {
+    def open(): Unit = ()
+    /** Raw page content for a URL; None/throw ⇒ null-row (E1). */
+    def fetch(url: String): Option[String]
+    def close(): Unit = ()
+  }
+
+  /** Offline-deterministic fetcher: synthesizes a page from the URL alone.
+    * Stands in for the network in tests and the differential oracle —
+    * same plumbing, pure content. */
+  class StubFetcher extends ArticleFetcher {
+    override def fetch(url: String): Option[String] = {
+      val uri = new java.net.URI(url)
+      val lastSeg = uri.getPath.split('/').lastOption.getOrElse("")
+      Some(s"<html><title>Doc $lastSeg</title>" +
+        s"<body>${uri.getHost} article</body></html>")
+    }
+  }
+
+  private val TitleRe = "(?s).*<title>(.*?)</title>.*".r
+  private val BodyRe = "(?s).*<body>(.*?)</body>.*".r
+
+  /** The reference's newspaper3k-ish extraction, re-expressed: title from
+    * the page, site = URL host, summary = body truncated + " . . . "
+    * (extractor.py:98), keywords = sorted "; "-joined cleaned body tokens
+    * (extractor.py:100-112). */
+  private[operators] def parseArticle(id: Long, url: String, page: String)
+      : Article = {
+    val title = page match { case TitleRe(t) => t.trim; case _ => null }
+    val body = page match { case BodyRe(b) => b.trim; case _ => "" }
+    val site = new java.net.URI(url).getHost
+    val clean = (s: String) => s.replaceAll("[^a-zA-Z0-9 \n]", "")
+    val summary = body.take(500) + " . . . "
+    val kws = body.split("\\s+").filter(_.nonEmpty).map(clean)
+      .filter(_.nonEmpty).distinct.sorted
+    Article(id, title, site, summary, kws.mkString("; "), kws.mkString("; "))
+  }
+
+  /** Enrich (id, url) rows. Input df must expose `idCol` (long) and
+    * `urlCol` (string); output is the 6-column article frame keyed
+    * `globaleventid`, ready for [[EventOps.joinEnrichment]]. */
+  def enrich(df: DataFrame, idCol: String, urlCol: String,
+      fetcher: ArticleFetcher): Dataset[Article] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in: Dataset[(Long, String)] =
+      df.select(col(idCol).cast("long"), col(urlCol)).as[(Long, String)]
+    in.mapPartitions { rows =>
+      fetcher.open()
+      val out = rows.map { case (id, url) =>
+        try {
+          fetcher.fetch(url) match {
+            case Some(page) => parseArticle(id, url, page)
+            case None => Article(id, null, null, null, null, null)
+          }
+        } catch {
+          // E1: any per-row failure → null row, keep going
+          case scala.util.control.NonFatal(_) =>
+            Article(id, null, null, null, null, null)
+        }
+      }
+      new Iterator[Article] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) fetcher.close(); h }
+        def next(): Article = out.next()
+      }
+    }
+  }
+}

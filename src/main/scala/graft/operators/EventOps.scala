@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators over the event/fact tables (SURVEY.md §2.3–2.7).
+  * Everything here is declarative DataFrame API — Catalyst gets full
+  * visibility for pushdown, pruning and join selection.
+  */
+object EventOps {
+
+  /** P2 — lowercase all column names
+    * (reference: extractor/extractor.py:272,284). Metadata-only: no data
+    * movement, zero cost at any scale. */
+  def lowercaseColumns(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toLowerCase): _*)
+
+  /** A1 — keep one row per key. `deterministic=false` maps to Spark's
+    * `dropDuplicates` (arbitrary survivor, single hash-aggregate — the fast
+    * path, matching the reference's underspecified "first in file order",
+    * extractor/extractor.py:256). `deterministic=true` keeps the row with
+    * the smallest `orderCol` via a window — reproducible, needed for the
+    * differential oracle.
+    *
+    * Scale: both forms are one shuffle on the dedup key. For URL-skewed
+    * keys at 100 TB, AQE skew handling applies to the window form; the
+    * aggregate form already does map-side partial aggregation. */
+  def dedupFirst(df: DataFrame, key: String, orderCol: String,
+      deterministic: Boolean = true): DataFrame =
+    if (!deterministic) df.dropDuplicates(key)
+    else {
+      val w = Window.partitionBy(col(key)).orderBy(col(orderCol))
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+    }
+
+  /** U1 — align a frame to a wider schema by appending missing columns as
+    * typed nulls (reference: extractor/extractor.py:269, the
+    * enrichment-disabled branch). */
+  def unionAlign(df: DataFrame, cols: Seq[(String, String)]): DataFrame =
+    cols.foldLeft(df) { case (d, (name, tpe)) =>
+      if (d.columns.contains(name)) d
+      else d.withColumn(name, lit(null).cast(tpe))
+    }
+
+  /** J1 — events ⋈ enrichment on the event id
+    * (reference: extractor/extractor.py:266). Left join is the robust form
+    * (SURVEY.md §8.3): enrichment rows are 1:1 by construction, so "left"
+    * preserves every event even if an enrichment row is missing.
+    *
+    * Scale: equi-join on a high-cardinality key → sort-merge/shuffle-hash;
+    * Catalyst/AQE picks, and auto-broadcasts if one side is small. */
+  def joinEnrichment(events: DataFrame, articles: DataFrame,
+      key: String = "globaleventid"): DataFrame =
+    events.join(articles, Seq(key), "left")
+
+  /** J2 — fact-code → label dimension join
+    * (intended by reference's lookups/, SURVEY.md §1.4). Explicit
+    * `broadcast` hint: dimension tables are bounded (≤ a few hundred rows),
+    * so the join is map-side at any fact-table scale — no shuffle of the
+    * 100 TB side. */
+  def joinDim(fact: DataFrame, dim: DataFrame, factKey: Column,
+      dimKey: Column): DataFrame =
+    fact.join(broadcast(dim), factKey === dimKey, "left")
+}

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Cleaning
+
+/** The reference's analytics read path (`the_words.py:23-46`, SURVEY.md
+  * §3.3): keywords column → split/flatten → trim → ignore-filter →
+  * term frequency.
+  *
+  * Plan shape: scan → generate(explode) → project → filter → partial hash
+  * agg → shuffle on term → final hash agg. The partial aggregation bounds
+  * the shuffle at vocabulary size × partitions, not corpus size — the
+  * property that makes this work at 100 TB.
+  */
+object Keywords {
+
+  /** F7 + X3 — one row per trimmed token of a delimited string column. */
+  def explodeTokens(df: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame =
+    df.select(col(idCol),
+      explode(Cleaning.splitTrim(col(textCol), sep)).as("kw"))
+
+  /** A2 + P5 — term frequency with an ignore list
+    * (reference: the_words.py:28-30; ignore list `["state"]` at :11). */
+  def termFrequency(df: DataFrame, textCol: Column, sep: String,
+      ignore: Seq[String]): DataFrame = {
+    val toks = df.select(explode(Cleaning.splitTrim(textCol, sep)).as("kw"))
+    val kept = if (ignore.isEmpty) toks
+      else toks.filter(!col("kw").isin(ignore: _*))
+    kept.groupBy("kw").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** A3 — frequency extrema used for the word-cloud color scale
+    * (reference: the_words.py:17,20). */
+  def freqMinMax(freq: DataFrame): DataFrame =
+    freq.agg(min("cnt").as("min_cnt"), max("cnt").as("max_cnt"))
+}

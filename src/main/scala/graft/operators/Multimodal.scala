@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` columns with
+  * typed metadata, plus decode / feature-extract / frame-sample plumbing.
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * container): [[StubDecoder]] derives deterministic fake dimensions from
+  * the bytes. Everything around it is real Spark plumbing — binary column
+  * schema, per-partition decoder init inside `mapPartitions` (the Scala
+  * analogue of `mapInPandas` batch decoding: one decoder per partition,
+  * iterator-to-iterator, no per-row setup), typed output rows.
+  *
+  * Scale: media blobs make rows wide — partition count must track *bytes*,
+  * not rows (`spark.sql.files.maxPartitionBytes`), and decode output should
+  * be column-pruned before any shuffle. Metadata-only queries
+  * ([[binaryMeta]]) never deserialize the blob beyond the scanned column.
+  */
+object Multimodal {
+
+  /** Decoded-media metadata row. */
+  case class MediaMeta(doc_id: Long, n_bytes: Int, format: String,
+      width: Int, height: Int, checksum_hex: String)
+
+  /** Codec interface; `open()` once per partition. */
+  trait MediaDecoder extends Serializable {
+    def open(): Unit = ()
+    /** (format, width, height) for a blob. Real impl would call an image
+      * library; absent here, so implementations are stubs. */
+    def decode(bytes: Array[Byte]): (String, Int, Int)
+  }
+
+  /** Deterministic fake decoder: pretends every blob is an image whose
+    * dimensions are a pure function of its length. */
+  class StubDecoder extends MediaDecoder {
+    override def decode(bytes: Array[Byte]): (String, Int, Int) =
+      ("fake/img", bytes.length % 640, (bytes.length * 7) % 480)
+  }
+
+  /** Attach a binary payload column derived from a string column — the
+    * harness's stand-in for real media bytes (testdata has no blobs). */
+  def withBinaryPayload(df: DataFrame, srcCol: String,
+      out: String = "payload"): DataFrame =
+    df.withColumn(out, col(srcCol).cast("binary"))
+
+  /** Pure-SQL metadata over a binary column (no decode): byte length and
+    * a header peek. Codegen'd, prunable — the query a catalog scan runs. */
+  def binaryMeta(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol),
+      octet_length(col(binCol)).as("n_bytes"),
+      hex(substring(col(binCol), 1, 8)).as("header_hex"),
+      md5(col(binCol)).as("checksum"))
+
+  /** Decode metadata via mapPartitions + per-partition decoder. */
+  def decodeMeta(df: DataFrame, idCol: String, binCol: String,
+      decoder: MediaDecoder): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in = df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+    in.mapPartitions { rows =>
+      decoder.open()
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.map { case (id, bytes) =>
+        val (fmt, w, h) = decoder.decode(bytes)
+        digest.reset()
+        val sum = digest.digest(bytes).map("%02x".format(_)).mkString
+        MediaMeta(id, bytes.length, fmt, w, h, sum)
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size slice of the blob — the
+    * shape of video frame extraction (binary in, array of binary out),
+    * exploded to one row per frame. Pure built-ins. */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+      frameSize: Int, stride: Int): DataFrame = {
+    val n = octet_length(col(binCol))
+    // Column./ is double division — use floor-div then cast back for the
+    // integral sequence bound
+    val lastFrame = greatest(lit(0),
+      floor((n - frameSize) / lit(stride)).cast("int"))
+    val frames = transform(
+      sequence(lit(0), lastFrame),
+      i => col(binCol).substr(i * stride + 1, lit(frameSize)))
+    df.select(col(idCol), posexplode(frames).as(Seq("frame_no", "frame")))
+  }
+}

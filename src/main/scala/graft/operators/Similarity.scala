@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Three tiers:
+  *  - [[bruteForceTopK]] — exact: broadcast the (small) query set against
+  *    the full corpus; the corpus side streams, one window per query for
+  *    top-k. The correctness baseline.
+  *  - [[ivfTopK]] — IVF: partition the corpus by nearest centroid
+  *    (k-means-style coarse quantizer; here a deterministic centroid
+  *    sample), probe only `nprobe` cells per query. Search cost drops by
+  *    ~nCells/nprobe; this is the 100 TB path: the corpus is *bucketed by
+  *    centroid id on disk*, so a query touches only its probed buckets
+  *    (partition pruning on the scan).
+  *  - [[lshCandidates]] — random-hyperplane signatures for cosine: an
+  *    equi-join on band keys generates candidates linearly; verify with
+  *    exact cosine.
+  *
+  * Ranking determinism: cosine is rounded to 6 dp before ordering and ties
+  * break on vec_id, so results are stable across partitionings and engines.
+  */
+object Similarity {
+
+  private def ranked(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Exact cosine top-k of `corpus` for each row of `queries`
+    * (both keyed `vec_id`, vectors in `vecCol`). Excludes self-matches. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col(vecCol).as("qe"))
+    val c = corpus.select(col("vec_id"), col(vecCol).as("e"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(Vectors.cosine(col("qe"), col("e")), 6).as("cos"))
+    ranked(scored, k)
+  }
+
+  /** Assign every vector to its nearest centroid (squared-L2, deterministic
+    * tie-break on centroid id). Output: vec_id, cell, plus carried cols. */
+  def assignCells(vectors: DataFrame, centroids: DataFrame, vecCol: String)
+      : DataFrame = {
+    val cent = centroids.select(col("vec_id").as("cent_id"),
+      col(vecCol).as("ce"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cent_id").asc)
+    vectors.select(col("vec_id"), col(vecCol).as("e"))
+      .join(broadcast(cent))
+      .withColumn("d2", round(Vectors.sqDist(col("e"), col("ce")), 9))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("cent_id").as("cell"))
+  }
+
+  /** IVF search: probe the `nprobe` nearest cells per query, exact top-k
+    * within the probed cells. Deterministic coarse quantizer: centroids are
+    * the vectors whose id ≡ 0 (mod centroidStep) — a fixed sample standing
+    * in for k-means (same data layout and query path; training is
+    * orthogonal to the engine work). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      k: Int, centroidStep: Int = 50, nprobe: Int = 2): DataFrame = {
+    val centroids = corpus.filter(col("vec_id") % centroidStep === 0)
+    val assigned = assignCells(corpus, centroids, vecCol)
+
+    // per-query probe list: nprobe nearest centroids
+    val cent = centroids.select(col("vec_id").as("cent_id"),
+      col(vecCol).as("ce"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2").asc, col("cent_id").asc)
+    val probes = queries.select(col("vec_id").as("q_id"), col(vecCol).as("qe"))
+      .join(broadcast(cent))
+      .withColumn("d2", round(Vectors.sqDist(col("qe"), col("ce")), 9))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("qe"), col("cent_id").as("cell"))
+
+    // search only vectors in probed cells (equi-join on cell — at scale,
+    // with the corpus bucketed by cell, this is a pruned scan, not a join)
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(Vectors.cosine(col("qe"), col("e")), 6).as("cos"))
+    ranked(scored, k)
+  }
+
+  /** Random-hyperplane LSH candidates for cosine similarity: `nBits`-bit
+    * sign signature, banded; pairs colliding on ≥1 band are candidates.
+    * Hyperplanes are pseudo-random but fixed by `seed`, generated on the
+    * driver and shipped as literals — identical on every executor. */
+  def lshCandidates(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nBits: Int = 16, bandBits: Int = 4, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+    val bitCols = planes.map { p =>
+      val dot = aggregate(
+        zip_with(col(vecCol), typedLit(p), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, 1L).otherwise(0L)
+    }
+    val sig = bitCols.zipWithIndex
+      .map { case (b, i) => b * (1L << i) }
+      .reduce(_ + _)
+    val nBands = nBits / bandBits
+    val sigs = df.select(col(idCol).as("vec_id"), sig.as("sig"))
+    val bands = sigs.select(col("vec_id"),
+      explode(array((0 until nBands).map { i =>
+        struct(lit(i).as("band"),
+          shiftrightunsigned(col("sig"), i * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
+      }: _*)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"), col("b.key").as("key"))
+    bands.as("x").join(bands.as("y"), Seq("band", "key"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+  }
+}

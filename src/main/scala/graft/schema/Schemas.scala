@@ -1,0 +1,92 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+
+/** Typed schemas for the GDELT feeds.
+  *
+  * The reference declares these as ordered header lists with pandas dtype
+  * inference plus two forced-string overrides (reference:
+  * extractor/schema.py:1-63 for v2, :67-126 for v1, :128-147 for mentions,
+  * :151 for article enrichment; overrides at :65,149). We instead declare a
+  * full `StructType` so casts happen at scan time (columnar, pushdown-
+  * friendly) and empty strings in numeric columns become nulls — the intent
+  * documented by the dead CTAS casts in extractor/v2_table.py:74-83.
+  *
+  * CAMEO codes (`EventCode`, `EventBaseCode`, `EventRootCode`) must stay
+  * strings: `010` loses its leading zero as an int
+  * (reference: extractor/schema.py:65).
+  *
+  * Scale note: explicit schemas avoid `inferSchema` (a second full scan of
+  * the input — prohibitive at 100 TB) and give the parquet/CSV reader a
+  * stable column order for vectorized decoding.
+  */
+object Schemas {
+
+  private def s(n: String) = StructField(n, StringType, nullable = true)
+  private def i(n: String) = StructField(n, IntegerType, nullable = true)
+  private def l(n: String) = StructField(n, LongType, nullable = true)
+  private def d(n: String) = StructField(n, DoubleType, nullable = true)
+
+  /** One actor block: 10 string code/name columns
+    * (reference: extractor/schema.py:8-27). */
+  private def actor(p: String): Seq[StructField] = Seq(
+    s(s"${p}Code"), s(s"${p}Name"), s(s"${p}CountryCode"),
+    s(s"${p}KnownGroupCode"), s(s"${p}EthnicCode"),
+    s(s"${p}Religion1Code"), s(s"${p}Religion2Code"),
+    s(s"${p}Type1Code"), s(s"${p}Type2Code"), s(s"${p}Type3Code"))
+
+  /** One geo block; v2 carries ADM2, v1 does not
+    * (reference: extractor/schema.py:34-41 vs :97-103). */
+  private def geo(p: String, adm2: Boolean): Seq[StructField] = {
+    val head = Seq(i(s"${p}Type"), s(s"${p}FullName"), s(s"${p}CountryCode"),
+      s(s"${p}ADM1Code"))
+    val mid = if (adm2) Seq(s(s"${p}ADM2Code")) else Nil
+    head ++ mid ++ Seq(d(s"${p}Lat"), d(s"${p}Long"), s(s"${p}FeatureID"))
+  }
+
+  private def eventCore: Seq[StructField] = Seq(
+    i("IsRootEvent"), s("EventCode"), s("EventBaseCode"), s("EventRootCode"),
+    i("QuadClass"), d("GoldsteinScale"), i("NumMentions"), i("NumSources"),
+    i("NumArticles"), d("AvgTone"))
+
+  private def head: Seq[StructField] = Seq(
+    l("GLOBALEVENTID"), i("SQLDATE"), i("MonthYear"), i("Year"),
+    d("FractionDate"))
+
+  /** GDELT 2.0 export: 61 columns (reference: extractor/schema.py:1-63). */
+  val v2Export: StructType = StructType(
+    head ++ actor("Actor1") ++ actor("Actor2") ++ eventCore ++
+      geo("Actor1Geo_", adm2 = true) ++ geo("Actor2Geo_", adm2 = true) ++
+      geo("ActionGeo_", adm2 = true) ++ Seq(l("DATEADDED"), s("SOURCEURL")))
+
+  /** GDELT 1.0 events: 58 columns = v2 minus the three ADM2 codes
+    * (reference: extractor/schema.py:67-126). */
+  val v1Events: StructType = StructType(
+    head ++ actor("Actor1") ++ actor("Actor2") ++ eventCore ++
+      geo("Actor1Geo_", adm2 = false) ++ geo("Actor2Geo_", adm2 = false) ++
+      geo("ActionGeo_", adm2 = false) ++ Seq(l("DATEADDED"), s("SOURCEURL")))
+
+  /** GDELT 2.0 mentions: 16 columns (reference: extractor/schema.py:128-147). */
+  val v2Mentions: StructType = StructType(Seq(
+    l("GLOBALEVENTID"), l("EventTimeDate"), l("MentionTimeDate"),
+    i("MentionType"), s("MentionSourceName"), s("MentionIdentifier"),
+    i("SentenceID"), i("Actor1CharOffset"), i("Actor2CharOffset"),
+    i("ActionCharOffset"), i("InRawText"), i("Confidence"),
+    i("MentionDocLen"), d("MentionDocTone"), s("MentionDocTranslationInfo"),
+    s("Extras")))
+
+  /** Article-enrichment output: 6 columns
+    * (reference: extractor/schema.py:151). */
+  val article: StructType = StructType(Seq(
+    l("GLOBALEVENTID"), s("TITLE"), s("SITE"), s("SUMMARY"), s("KEYWORDS"),
+    s("META")))
+
+  /** CODE→LABEL lookup/dimension tables
+    * (reference: extractor/lookups/<i>.txt, schema.py:153-174). */
+  val lookup: StructType = StructType(Seq(s("CODE"), s("LABEL")))
+
+  require(v2Export.size == 61, s"v2Export has ${v2Export.size} cols, want 61")
+  require(v1Events.size == 58, s"v1Events has ${v1Events.size} cols, want 58")
+  require(v2Mentions.size == 16)
+  require(article.size == 6)
+}

@@ -1,0 +1,69 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink operators K1–K3 (SURVEY.md §2.2).
+  *
+  * The reference fully replaces its Postgres tables each run
+  * (`if_exists="replace"`, extractor/extractor.py:420,426,430,447,453);
+  * the Spark equivalent is `SaveMode.Overwrite`.
+  *
+  * Scale: `overwriteParquet` writes one file per partition in parallel;
+  * `jdbcReplace` exposes `numPartitions`/`batchsize` so a 1000-executor
+  * cluster doesn't funnel through one connection, and uses
+  * `truncate=true` so Overwrite does not drop-and-recreate (preserving
+  * grants/indexes, and avoiding DDL storms on the DB).
+  */
+object Sinks {
+
+  /** K1 (harness form) — full-replace parquet table. */
+  def overwriteParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** K1 — full-replace JDBC table (reference: extractor/extractor.py:420).
+    * Not exercised by the offline harness (no DB in the container) but the
+    * production path of the pipeline. */
+  def jdbcReplace(df: DataFrame, url: String, table: String,
+      props: java.util.Properties, numPartitions: Int = 8,
+      batchSize: Int = 10000): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("truncate", "true")
+      .option("numPartitions", numPartitions.toString)
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, props)
+
+  /** K2 (engine-side form) — materialize a geometry point from lat/long as
+    * a struct column, the Spark-native carrier for the PostGIS `POINT`
+    * the reference adds sink-side (extractor/extractor.py:168-179).
+    * Rows with null coordinates get a null point (the reference's
+    * `!= ''` guard, extractor/v2_table.py:83). */
+  def withGeoPoint(df: DataFrame, latCol: String, lonCol: String,
+      out: String = "geom"): DataFrame =
+    df.withColumn(out,
+      when(col(latCol).isNotNull && col(lonCol).isNotNull,
+        struct(col(lonCol).as("x"), col(latCol).as("y"))))
+
+  /** K2 (sink-side form) — the two raw PostGIS statements the reference
+    * issues after load (extractor/extractor.py:168-179). Driver-side JDBC,
+    * same two-step design as the reference. */
+  def applyGeometrySql(conn: java.sql.Connection, table: String,
+      latCol: String, lonCol: String): Unit = {
+    val st = conn.createStatement()
+    try {
+      st.execute(
+        s"select addgeometrycolumn('$table', 'geom', 4326, 'POINT', 2)")
+      st.execute(
+        s"update $table set geom = st_setsrid(st_point($lonCol, $latCol), 4326)")
+    } finally st.close()
+  }
+
+  /** K3 — one-row audit table with the run epoch
+    * (reference: extractor/extractor.py:429-430,452-453). */
+  def writeAudit(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    Seq(System.currentTimeMillis() / 1000.0).toDF("runtime")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+}

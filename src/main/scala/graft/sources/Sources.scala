@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.schema.Schemas
+
+/** Scan operators S1–S3, S9 (SURVEY.md §2.1) plus the parquet adapters the
+  * test harness uses.
+  *
+  * All readers take an explicit `StructType` — never `inferSchema`, which
+  * costs a second full pass over the input (unacceptable at 100 TB) and can
+  * mis-type CAMEO codes (reference forces `EventCode`/`EventRootCode` to
+  * string, extractor/schema.py:65).
+  *
+  * The GDELT feeds are headerless tab-separated files
+  * (reference: extractor/extractor.py:359,375,386).
+  */
+object Sources {
+
+  private def tsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("sep", "\t")
+      .option("header", "false")
+      // typed schema turns '' in numeric cols into null at parse time —
+      // the null-semantics decision recorded in SURVEY.md §7.5
+      .option("nullValue", "")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** S1 — GDELT 2.0 export (61 cols, extractor/extractor.py:359). */
+  def v2Export(spark: SparkSession, path: String): DataFrame =
+    tsv(spark, path, Schemas.v2Export)
+
+  /** S2 — GDELT 1.0 events (58 cols, extractor/extractor.py:386). */
+  def v1Events(spark: SparkSession, path: String): DataFrame =
+    tsv(spark, path, Schemas.v1Events)
+
+  /** S3 — GDELT 2.0 mentions (16 cols, extractor/extractor.py:375). */
+  def v2Mentions(spark: SparkSession, path: String): DataFrame =
+    tsv(spark, path, Schemas.v2Mentions)
+
+  /** S9 — CODE→LABEL dimension table (extractor/lookups/<i>.txt). Tiny by
+    * construction; callers wrap in `broadcast(...)` for map-side joins. */
+  def lookup(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(Schemas.lookup)
+      .option("sep", "\t")
+      .option("header", "false")
+      .csv(path)
+
+  /** Harness adapter: one parquet table out of a scale-factor directory
+    * (TESTDATA.md layout). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table carries nanosecond parquet timestamps, which Spark
+    * only reads as raw longs (`spark.sql.legacy.parquet.nanosAsLong`, set
+    * in Verify/Bench). Normalize `ts` to TIMESTAMP_NTZ (microsecond) here
+    * so downstream operators see a real timestamp. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          timestamp_micros((col("ts") / 1000).cast("long"))
+            .cast("timestamp_ntz"))
+      case _ => raw
+    }
+  }
+}

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run graft.Verify first
+(writes <outdir>/<query>/ parquet + oracle_sql.json), then this script runs
+each oracle SQL in DuckDB over the same sf tables and diffs (columns sorted
+by name, rows sorted by all columns, exact value equality).
+
+Usage: python3 tools/check.py [sfdir] [outdir]
+"""
+import duckdb, json, os, sys
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+results = {}
+for name in sorted(d for d in os.listdir(outdir)
+                   if os.path.isdir(os.path.join(outdir, d))):
+    try:
+        got = con.execute(
+            f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
+    except Exception as e:
+        results[name] = f"READ-FAIL {e}"
+        continue
+    if name not in oracle:
+        results[name] = f"NO-ORACLE rows={len(got)}"
+        continue
+    try:
+        want = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        results[name] = f"ORACLE-FAIL {type(e).__name__} {e}"
+        continue
+
+    def norm(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].map(
+                    lambda v: v.hex() if isinstance(v, (bytes, bytearray))
+                    else str(v))
+            else:
+                df[c] = df[c].map(str)
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+    if sorted(got.columns) != sorted(want.columns):
+        results[name] = (f"SCHEMA got={sorted(got.columns)} "
+                         f"want={sorted(want.columns)}")
+        continue
+    g, w = norm(got), norm(want)
+    if len(g) != len(w):
+        results[name] = f"ROWS got={len(g)} want={len(w)}"
+        continue
+    neq = (g != w).any(axis=1)
+    if neq.any():
+        i = neq.idxmax()
+        results[name] = (f"VALUES {int(neq.sum())}/{len(g)} differ; "
+                         f"first: got={g.iloc[i].to_dict()} "
+                         f"want={w.iloc[i].to_dict()}")
+    else:
+        results[name] = f"OK rows={len(g)}"
+
+bad = {k: v for k, v in results.items()
+       if not (v.startswith("OK") or v.startswith("NO-ORACLE"))}
+for k, v in results.items():
+    print(("PASS " if k not in bad else "FAIL ") + k + ": " + v[:400])
+print(f"\n{len(results) - len(bad)}/{len(results)} ok; "
+      f"{sum(1 for v in results.values() if v.startswith('NO-ORACLE'))} "
+      f"rows-only")
+sys.exit(1 if bad else 0)
