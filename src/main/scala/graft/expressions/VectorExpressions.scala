@@ -1,0 +1,150 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Codegen'd cosine similarity over two `array<float>` columns.
+  *
+  * Why a custom Catalyst `Expression` (SURVEY.md §7.4): the higher-order-
+  * function formulation (`aggregate(zip_with(...))`,
+  * [[graft.functions.Vectors.cosine]]) is evaluated interpreted — lambda
+  * functions are excluded from whole-stage codegen — and allocates two
+  * intermediate arrays per row. For all-pairs similarity joins that
+  * dominates runtime. This expression generates a single fused primitive
+  * loop (dot + both norms in one pass), no allocation, and participates in
+  * whole-stage codegen.
+  *
+  * Math note: accumulation in double, index order, exactly like the HOF
+  * form — results are bit-identical to it and reproducible across engines
+  * after 6-dp rounding.
+  *
+  * Returns null if either input is null or either norm is zero.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  @inline private def compute(a: ArrayData, b: ArrayData): Any = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |double $denom = Math.sqrt($na) * Math.sqrt($nb);
+         |if ($denom == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / $denom;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+/** Codegen'd squared L2 distance over two `array<float>` columns — same
+  * rationale as [[CosineSimilarity]]; used by IVF cell assignment where it
+  * is evaluated |corpus| × |centroids| times. */
+case class SquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "squared_distance"
+
+  override def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[ArrayData]; val b = bv.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d; i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+/** Column factories for the custom expressions. */
+object VectorExpressions {
+  private def toCol(e: Expression): Column =
+    org.apache.spark.sql.graft.Bridge.column(e)
+
+  def cosineSim(a: Column, b: Column): Column =
+    toCol(CosineSimilarity(expr(a), expr(b)))
+
+  def squaredDist(a: Column, b: Column): Column =
+    toCol(SquaredDistance(expr(a), expr(b)))
+
+  private def expr(c: Column): Expression =
+    org.apache.spark.sql.graft.Bridge.expression(c)
+}

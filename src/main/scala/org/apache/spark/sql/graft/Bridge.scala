@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made the direct constructors
+  * `private[sql]`, so extension libraries shipping custom Catalyst
+  * expressions expose them via a shim in the `org.apache.spark.sql`
+  * namespace (the standard pattern for Spark-native libraries). */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
