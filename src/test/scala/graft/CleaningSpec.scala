@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{Cleaning, Text}
+
+/** Golden input/output pairs for F1–F7, lifted from the reference's
+  * semantics (extractor/extractor.py:69-112). */
+class CleaningSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): String =
+    Seq("x").toDF("x").select(c.as("r")).head.getString(0)
+
+  test("F1 clean_text strips non-alphanumerics, keeps space/newline") {
+    assert(one(Cleaning.cleanText(lit("a.b,c!"))) == "abc")
+    assert(one(Cleaning.cleanText(lit("He said: 'hi there'\nok"))) ==
+      "He said hi there\nok")
+  }
+
+  test("F2 strip_quotes removes single quotes only") {
+    assert(one(Cleaning.stripQuotes(lit("O'Brien's \"x\""))) ==
+      "OBriens \"x\"")
+  }
+
+  test("F3 strip_html drops tags non-greedily") {
+    assert(one(Cleaning.stripHtml(lit("<p>a</p><b>b</b>"))) == "ab")
+    assert(one(Cleaning.stripHtml(lit("a < b and c > d"))) == "a  d")
+  }
+
+  test("F4 truncate_ellipsis: 500 chars + literal suffix") {
+    val in = "x" * 600
+    val out = one(Cleaning.truncateEllipsis(lit(in)))
+    assert(out == "x" * 500 + " . . . ")
+    assert(one(Cleaning.truncateEllipsis(lit("short"))) == "short . . . ")
+  }
+
+  test("F5 url_host extracts netloc") {
+    assert(one(Cleaning.urlHost(
+      lit("https://www.example.com/a/b?q=1"))) == "www.example.com")
+  }
+
+  test("F6 join_semicolon sorts then joins") {
+    val r = Seq(Tuple1(Seq("c", "a", "b"))).toDF("a")
+      .select(Cleaning.joinSemicolon(col("a")).as("r")).head.getString(0)
+    assert(r == "a; b; c")
+  }
+
+  test("F7 split_trim splits, trims, drops empties") {
+    val r = Seq("a; b ;; c ").toDF("x")
+      .select(Cleaning.splitTrim(col("x")).as("r"))
+      .head.getSeq[String](0)
+    assert(r == Seq("a", "b", "c"))
+  }
+
+  test("word shingles: k-grams, distinct, short-doc fallback") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(Text.wordShingles(col("t"), 3).as("r")).head.getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(Text.wordShingles(col("t"), 3).as("r")).head.getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("char shingles") {
+    val sh = Seq("abcd").toDF("t")
+      .select(Text.charShingles(col("t"), 3).as("r")).head.getSeq[String](0)
+    assert(sh == Seq("abc", "bcd"))
+  }
+
+  test("fingerprints are stable and whitespace-normalized") {
+    val df = Seq(("a  b c", "a b c")).toDF("x", "y")
+    val r = df.select(
+      Text.fingerprintMd5(col("x")).as("fx"),
+      Text.fingerprintMd5(col("y")).as("fy"),
+      Text.fingerprint64(col("x")).as("hx"),
+      Text.fingerprint64(col("y")).as("hy")).head
+    assert(r.getString(0) == r.getString(1))
+    assert(r.getLong(2) == r.getLong(3))
+  }
+}

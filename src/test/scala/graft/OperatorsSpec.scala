@@ -1,0 +1,189 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, EventOps, Keywords, Similarity, TextAnalysis}
+
+class EventOpsSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "u1", 10), (2L, "u2", 20), (3L, "u1", 30), (4L, "u3", 40))
+    .toDF("id", "url", "v")
+
+  test("A1 dedup deterministic keeps smallest order col per key") {
+    val d = EventOps.dedupFirst(docs, "url", "id")
+    assert(d.count() == 3)
+    assert(d.filter($"url" === "u1").select("id").head.getLong(0) == 1L)
+  }
+
+  test("A1 dedup is idempotent") {
+    val once = EventOps.dedupFirst(docs, "url", "id")
+    val twice = EventOps.dedupFirst(once, "url", "id")
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("U1 union_align appends typed null columns, keeps existing") {
+    val aligned = EventOps.unionAlign(docs,
+      Seq("title" -> "string", "v" -> "int", "score" -> "double"))
+    assert(aligned.columns.toSeq ==
+      Seq("id", "url", "v", "title", "score"))
+    assert(aligned.filter($"title".isNull).count() == 4)
+  }
+
+  test("J1 left enrichment join preserves every event (E1 contract)") {
+    val arts = Seq((1L, "t1"), (2L, "t2")).toDF("id", "title")
+    val j = EventOps.joinEnrichment(docs, arts, "id")
+    assert(j.count() == 4)
+    assert(j.filter($"title".isNull).count() == 2)
+  }
+
+  test("J2 dim join is planned as a broadcast join") {
+    val dim = Seq(("u1", "SITE A"), ("u2", "SITE B")).toDF("code", "label")
+    val j = EventOps.joinDim(docs, dim, col("url"), col("code"))
+    assert(j.count() == 4)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("P2 lowercase columns") {
+    assert(EventOps.lowercaseColumns(
+      Seq((1, 2)).toDF("AbC", "XYZ")).columns.toSeq == Seq("abc", "xyz"))
+  }
+
+  test("keyword term frequency with ignore list") {
+    val df = Seq("a; b; c", "b ; c", "c").toDF("kw")
+    val freq = Keywords.termFrequency(df, col("kw"), ";", Seq("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freq == Map("b" -> 2, "c" -> 3))
+  }
+}
+
+class DedupSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  // two near-identical docs (one word changed), one exact dup, one unrelated
+  private val a = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+  private val b = "the quick brown fox jumps over the lazy cat and runs far away tonight"
+  private val c = "completely different words describing some other document entirely here now"
+  private lazy val docs =
+    Seq((1L, a), (2L, a), (3L, b), (4L, c)).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, survivor is min id") {
+    val d = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(d.length == 3)
+    val dupGroup = d.find(_._3 == 2L).get
+    assert(dupGroup._2 == 1L)
+  }
+
+  test("ngram jaccard finds exact and near dups, not unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))   // identical
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated
+    val j12 = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .filter($"doc_a" === 1 && $"doc_b" === 2).head.getDouble(2)
+    assert(j12 == 1.0)
+  }
+
+  test("minhash+LSH output equals exact ngram output on testdata") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(real, "doc_id", "text", 5, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLshPairs(real, "doc_id", "text", 5, 32, 4, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, others far") {
+    val sp = Dedup.simhashPairs(docs, "doc_id", "text", k = 3,
+      maxHamming = 12)
+    val m = sp.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(m((1L, 2L)) == 0)
+    assert(m.get((1L, 4L)).isEmpty && m.get((2L, 4L)).isEmpty)
+  }
+
+  test("embedding near-dup finds the planted close pairs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.45)
+      .collect()
+    assert(pairs.forall(_.getDouble(2) >= 0.45))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite with SparkTester {
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+
+  test("brute-force top-k: k rows per query, ranked, self excluded") {
+    val r = Similarity.bruteForceTopK(emb, queries, "embedding", 10)
+    val rows = r.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(x => x.getLong(x.fieldIndex("vec_id")) !=
+      x.getLong(x.fieldIndex("q_id"))))
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.values.forall(_.map(
+      _.getInt(3)).sorted.toSeq == (1 to 10)))
+  }
+
+  test("IVF search recall@10 vs brute force is reasonable") {
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "embedding", 10,
+      centroidStep = 50, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
+  test("LSH candidates: near-identical vectors always collide") {
+    import spark.implicits._
+    val v = Seq.tabulate(64)(i => math.sin(i).toFloat)
+    val close = v.updated(0, v(0) + 1e-6f)
+    val far = Seq.tabulate(64)(i => math.cos(i * 3).toFloat)
+    val df = Seq((1L, v), (2L, close), (3L, far))
+      .toDF("vec_id", "embedding")
+    val cand = Similarity.lshCandidates(df, "vec_id", "embedding", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  test("langid scores marker stopwords; deterministic tie-break") {
+    val df = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "der hund und die katze nicht"),
+      (3L, "le chat et la maison des"),
+      (4L, "xyzzy qwerty")).toDF("doc_id", "text")
+    val r = TextAnalysis.langId(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getString(5)).toMap
+    assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "fr" && r(4L) == "und")
+  }
+
+  test("quality metrics on a known string") {
+    val df = Seq((1L, "the cat sat 42 ok")).toDF("doc_id", "text")
+    val r = TextAnalysis.quality(df, "doc_id", "text").head
+    assert(r.getInt(r.fieldIndex("n_tokens")) == 5)
+    assert(r.getInt(r.fieldIndex("n_numeric_tokens")) == 1)
+    assert(r.getDouble(r.fieldIndex("stopword_ratio")) == 0.2)
+    assert(r.getDouble(r.fieldIndex("avg_token_len")) == 2.6)
+  }
+
+  test("token counts: ws vs regex tokens") {
+    val df = Seq((1L, "ab12cd  ef")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(df, "doc_id", "text").head
+    assert(r.getInt(1) == 2)  // ws tokens: ab12cd, ef
+    assert(r.getInt(2) == 4)  // re tokens: ab, 12, cd, ef
+    assert(r.getInt(3) == 2)
+  }
+}

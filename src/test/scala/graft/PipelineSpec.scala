@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Enrich, Multimodal}
+
+class EnrichSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  private lazy val in = Seq(
+    (10L, "https://news.example.com/articles/10"),
+    (11L, "https://blog.example.org/articles/11")).toDF("id", "url")
+
+  test("stub enrichment extracts title/site/summary/keywords") {
+    val out = Enrich.enrich(in, "id", "url", new Enrich.StubFetcher)
+      .collect().map(a => a.globaleventid -> a).toMap
+    assert(out(10L).title == "Doc 10")
+    assert(out(10L).site == "news.example.com")
+    assert(out(10L).summary == "news.example.com article . . . ")
+    assert(out(10L).keywords == "article; newsexamplecom")
+  }
+
+  test("E1: per-row failure yields null row, pipeline continues") {
+    val failing = new Enrich.ArticleFetcher {
+      override def fetch(url: String): Option[String] =
+        if (url.contains("blog")) throw new RuntimeException("boom")
+        else new Enrich.StubFetcher().fetch(url)
+    }
+    val out = Enrich.enrich(in, "id", "url", failing).collect()
+    assert(out.length == 2) // no row dropped
+    val bad = out.find(_.globaleventid == 11L).get
+    assert(bad.title == null && bad.site == null && bad.keywords == null)
+    assert(out.find(_.globaleventid == 10L).get.title == "Doc 10")
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  private lazy val df = Multimodal.withBinaryPayload(
+    Seq((1L, "hello world, this is a binary payload stand-in"),
+      (2L, "tiny")).toDF("doc_id", "txt"), "txt")
+
+  test("binaryMeta: byte length, header peek, checksum") {
+    val r = Multimodal.binaryMeta(df, "doc_id", "payload")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(2L).getInt(1) == 4)
+    assert(r(2L).getString(2) == "74696E79") // "tiny" in hex
+    assert(r(1L).getString(3).length == 32)
+  }
+
+  test("decodeMeta stub: deterministic fake dimensions via mapPartitions") {
+    val r = Multimodal.decodeMeta(df, "doc_id", "payload",
+      new Multimodal.StubDecoder).collect().map(m => m.doc_id -> m).toMap
+    assert(r(2L).n_bytes == 4)
+    assert(r(2L).width == 4 % 640 && r(2L).height == (4 * 7) % 480)
+    assert(r(2L).format == "fake/img")
+    assert(r(2L).checksum_hex.length == 32)
+  }
+
+  test("sampleFrames: stride slicing with short-blob fallback") {
+    val frames = Multimodal.sampleFrames(df, "doc_id", "payload", 16, 8)
+      .collect()
+    val byDoc = frames.groupBy(_.getLong(0))
+    // 47 bytes -> frames at offsets 0,8,16,24 -> floor((47-16)/8)+1 = 4
+    assert(byDoc(1L).length == 4)
+    assert(byDoc(2L).length == 1)
+    val f0 = new String(byDoc(1L).find(_.getInt(1) == 1).get
+      .getAs[Array[Byte]](2))
+    assert(f0 == "rld, this is a b")
+  }
+}
+
+class PipelineSpec extends AnyFunSuite with SparkTester {
+
+  test("runV2: dedup, enrich, join, lowercase, geo, audit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe")
+    val exp = GdeltFixtures.write(dir.resolve("export.tsv"),
+      GdeltFixtures.standardV2Lines)
+    val men = GdeltFixtures.write(dir.resolve("mentions.tsv"),
+      Seq(GdeltFixtures.mentionsRow(1, "https://a.example.com/x"),
+        GdeltFixtures.mentionsRow(2, "https://b.example.com/y")))
+    val out = dir.resolve("out").toString
+    Pipeline.runV2(spark, exp, men, out)
+
+    val exports = spark.read.parquet(s"$out/v2_exports")
+    // 5 rows, 1 duplicate URL removed
+    assert(exports.count() == 4)
+    // all columns lowercased (P2)
+    assert(exports.columns.forall(c => c == c.toLowerCase))
+    // enrichment joined: site derived from each row's url host
+    val sites = exports.select("site").collect().map(_.getString(0)).toSet
+    assert(sites.contains("a.example.com") && sites.contains("d.example.com"))
+    // geo struct null iff lat/long empty (P4/K2)
+    assert(exports.filter(col("geom").isNull).count() == 1)
+    assert(exports.filter(col("geom.y") === 38.9).count() >= 1)
+    // mentions table + audit written
+    assert(spark.read.parquet(s"$out/v2_mentions").count() == 2)
+    assert(spark.read.parquet(s"$out/v2_lastrun").count() == 1)
+  }
+
+  test("runV2 with enrichment disabled takes the U1 null-align branch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe2")
+    val exp = GdeltFixtures.write(dir.resolve("export.tsv"),
+      GdeltFixtures.standardV2Lines)
+    val men = GdeltFixtures.write(dir.resolve("mentions.tsv"),
+      Seq(GdeltFixtures.mentionsRow(1, "https://a.example.com/x")))
+    val out = dir.resolve("out").toString
+    Pipeline.runV2(spark, exp, men, out, enrich = false)
+    val exports = spark.read.parquet(s"$out/v2_exports")
+    assert(exports.count() == 4)
+    assert(exports.filter(col("title").isNull).count() == 4)
+    assert(exports.columns.contains("keywords"))
+  }
+
+  test("runV1 writes the single v1 table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe3")
+    val ev = GdeltFixtures.write(dir.resolve("v1.tsv"), Seq(
+      GdeltFixtures.v1Row(1, "https://a.example.com/x"),
+      GdeltFixtures.v1Row(2, "https://a.example.com/x"),
+      GdeltFixtures.v1Row(3, "https://b.example.com/y")))
+    val out = dir.resolve("out").toString
+    Pipeline.runV1(spark, ev, out)
+    assert(spark.read.parquet(s"$out/v1").count() == 2)
+    assert(spark.read.parquet(s"$out/v1_lastrun").count() == 1)
+  }
+
+  test("keyword read path over a written table (the_words.py)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe4")
+    val exp = GdeltFixtures.write(dir.resolve("export.tsv"),
+      GdeltFixtures.standardV2Lines)
+    val men = GdeltFixtures.write(dir.resolve("mentions.tsv"),
+      Seq(GdeltFixtures.mentionsRow(1, "https://a.example.com/x")))
+    val out = dir.resolve("out").toString
+    Pipeline.runV2(spark, exp, men, out)
+    val freq = Pipeline.keywordFrequencies(spark, s"$out/v2_exports")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every doc's stub keywords contain "article"
+    assert(freq("article") == 4)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.schema.Schemas
+import graft.sources.Sources
+
+class SchemasSpec extends AnyFunSuite {
+  test("schema arities match the reference headers") {
+    assert(Schemas.v2Export.size == 61)
+    assert(Schemas.v1Events.size == 58)
+    assert(Schemas.v2Mentions.size == 16)
+    assert(Schemas.article.size == 6)
+  }
+
+  test("v1 = v2 minus the three ADM2 codes") {
+    val diff = Schemas.v2Export.fieldNames.toSet --
+      Schemas.v1Events.fieldNames.toSet
+    assert(diff == Set("Actor1Geo_ADM2Code", "Actor2Geo_ADM2Code",
+      "ActionGeo_ADM2Code"))
+  }
+
+  test("CAMEO code columns are strings (leading zeros survive)") {
+    import org.apache.spark.sql.types.StringType
+    Seq("EventCode", "EventBaseCode", "EventRootCode").foreach { c =>
+      assert(Schemas.v2Export(c).dataType == StringType, c)
+    }
+  }
+}
+
+class SourcesSpec extends AnyFunSuite with SparkTester {
+
+  test("v2 TSV scan: 61 cols, types, empty→null, leading zeros") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-src")
+    val path = GdeltFixtures.write(dir.resolve("export.tsv"),
+      GdeltFixtures.standardV2Lines)
+    val df = Sources.v2Export(spark, path)
+    assert(df.columns.length == 61)
+    assert(df.count() == 5)
+    // typed schema: empty strings in numeric geo cols parse as null (P4)
+    assert(df.filter(col("Actor1Geo_Lat").isNull).count() == 1)
+    // CAMEO leading zeros survive (schema.py:65)
+    val codes = df.select("EventCode").collect().map(_.getString(0)).toSet
+    assert(codes.contains("010") && codes.contains("0231"))
+    // lat is a real double
+    assert(df.schema("Actor1Geo_Lat").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("v1 and mentions scans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-src1")
+    val v1 = GdeltFixtures.write(dir.resolve("v1.tsv"),
+      Seq(GdeltFixtures.v1Row(1, "https://a.example.com/x")))
+    assert(Sources.v1Events(spark, v1).columns.length == 58)
+    val m = GdeltFixtures.write(dir.resolve("m.tsv"),
+      Seq(GdeltFixtures.mentionsRow(1, "https://a.example.com/x"),
+        GdeltFixtures.mentionsRow(1, "https://b.example.com/y")))
+    val mdf = Sources.v2Mentions(spark, m)
+    assert(mdf.columns.length == 16 && mdf.count() == 2)
+  }
+
+  test("lookup dimension table reads CODE/LABEL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lkp")
+    val p = GdeltFixtures.write(dir.resolve("cameo.tsv"),
+      Seq("01\tMAKE PUBLIC STATEMENT", "02\tAPPEAL"))
+    val df = Sources.lookup(spark, p)
+    assert(df.count() == 2)
+    assert(df.columns.toSeq == Seq("CODE", "LABEL"))
+  }
+
+  test("events table normalizes nanos ts to TIMESTAMP_NTZ") {
+    val df = Sources.events(spark, "/root/testdata/sf0.001")
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(df.count() == 1000)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+class StreamingSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  private def mkEvents(dir: java.nio.file.Path, offset: Int,
+      n: Int): Unit = {
+    val rows = (0 until n).map { i =>
+      (offset + i.toLong,
+        new java.sql.Timestamp(1704067200000L + (offset + i) * 60000L),
+        (i % 3).toLong, if (i % 2 == 0) "click" else "view", i * 1.5)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+  }
+
+  test("streaming windowed counts match the batch computation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    mkEvents(in, 0, 120)
+
+    val batch = spark.read.parquet(in.toString)
+    val expected = EventStream.windowedCounts(batch)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+
+    val stream = spark.readStream.schema(batch.schema)
+      .parquet(in.toString)
+    val q = EventStream.windowedCounts(stream).writeStream
+      .format("memory").queryName("win_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("foreachBatch replace: sink holds only the latest micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream2")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    mkEvents(in, 0, 10)
+
+    val schema = spark.read.parquet(in.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(in.toString)
+    val q = EventStream.foreachBatchReplace(stream, out, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 10)
+      mkEvents(in, 100, 7)
+      q.processAllAvailable()
+      // reference semantics: full replace per batch (extractor.py:420)
+      assert(spark.read.parquet(out).count() == 7)
+    } finally q.stop()
+  }
+
+  test("sessionization groups events by gap") {
+    val evs = Seq(
+      EventStream.EventRow(1, ts(0), 1, "click", 1.0),
+      EventStream.EventRow(2, ts(5), 1, "view", 1.0),
+      EventStream.EventRow(3, ts(90), 1, "click", 1.0), // new session
+      EventStream.EventRow(4, ts(2), 2, "view", 1.0)
+    ).toDS()
+    val sessions = EventStream.sessionize(evs, gapMs = 30 * 60 * 1000L)
+      .collect().sortBy(s => (s.user_id, s.start_ms))
+    assert(sessions.length == 3)
+    assert(sessions(0).n_events == 2)  // user 1, events at 0 and 5 min
+    assert(sessions(1).n_events == 1)  // user 1, event at 90 min
+    assert(sessions(2).user_id == 2)
+  }
+
+  private def ts(minutes: Int) =
+    new java.sql.Timestamp(1704067200000L + minutes * 60000L)
+}
+
+/** Smoke: every registered query runs at sf0.001 and the flagship returns
+  * rows (the driver's t1 gate). */
+class RegistrySpec extends AnyFunSuite with SparkTester {
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs at sf0.001") {
+    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
+      try { fn(spark, "/root/testdata/sf0.001").count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("oracle keys are a subset of query keys") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}

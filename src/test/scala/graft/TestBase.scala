@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.schema.Schemas
+
+/** One shared local session for the whole test run. */
+trait SparkTester {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  def sf(name: String) = s"/root/testdata/sf0.001"
+}
+
+/** GDELT-shaped TSV fixtures (FIXTURES.md): duplicate SOURCEURLs, empty
+  * lat/long, leading-zero CAMEO codes, quotes/HTML in text fields. */
+object GdeltFixtures {
+
+  private def row(cols: Array[String], id: Long, url: String,
+      overrides: Map[String, String]): String = {
+    val base = Map(
+      "GLOBALEVENTID" -> id.toString, "SQLDATE" -> "20240115",
+      "MonthYear" -> "202401", "Year" -> "2024",
+      "FractionDate" -> "2024.0411", "Actor1Name" -> "GOVERNMENT",
+      "EventCode" -> "010", "EventBaseCode" -> "010",
+      "EventRootCode" -> "01", "IsRootEvent" -> "1", "QuadClass" -> "1",
+      "GoldsteinScale" -> "-2.5", "NumMentions" -> "3", "NumSources" -> "1",
+      "NumArticles" -> "3", "AvgTone" -> "-1.2",
+      "Actor1Geo_Type" -> "1", "Actor1Geo_Lat" -> "38.9",
+      "Actor1Geo_Long" -> "-77.0", "DATEADDED" -> "20240115123000",
+      "SOURCEURL" -> url)
+    cols.map(c => overrides.getOrElse(c, base.getOrElse(c, "")))
+      .mkString("\t")
+  }
+
+  def v2Row(id: Long, url: String,
+      overrides: Map[String, String] = Map.empty): String =
+    row(Schemas.v2Export.fieldNames, id, url, overrides)
+
+  def v1Row(id: Long, url: String,
+      overrides: Map[String, String] = Map.empty): String =
+    row(Schemas.v1Events.fieldNames, id, url, overrides)
+
+  def mentionsRow(id: Long, ident: String): String =
+    Schemas.v2Mentions.fieldNames.map {
+      case "GLOBALEVENTID" => id.toString
+      case "MentionIdentifier" => ident
+      case "MentionType" => "1"
+      case "Confidence" => "70"
+      case _ => ""
+    }.mkString("\t")
+
+  /** Standard fixture: 5 events over 4 distinct URLs (one dup), one row
+    * with empty lat/long, one with quote/HTML-laden actor name. */
+  def standardV2Lines: Seq[String] = Seq(
+    v2Row(1, "https://a.example.com/x"),
+    v2Row(2, "https://b.example.com/y"),
+    v2Row(3, "https://a.example.com/x"), // duplicate SOURCEURL
+    v2Row(4, "https://c.example.com/z",
+      Map("Actor1Geo_Lat" -> "", "Actor1Geo_Long" -> "")), // empty geo
+    v2Row(5, "https://d.example.com/w",
+      Map("Actor1Name" -> "O'BRIEN <b>MP</b>", "EventCode" -> "0231")))
+
+  def write(path: java.nio.file.Path, lines: Seq[String]): String = {
+    java.nio.file.Files.write(path,
+      lines.mkString("\n").getBytes("UTF-8"))
+    path.toString
+  }
+}
