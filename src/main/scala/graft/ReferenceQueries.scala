@@ -250,6 +250,104 @@ object ReferenceQueries {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty")),
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         SUM(l_quantity) AS sum_qty FROM lineitem
-        GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // ---- S1 GDELT scan: headerless 61-col TSV with the typed schema ----
+    Q("scan_csv",
+      (s, _) => Sources.v2Export(s, "/root/repo/fixtures/v2_sample.tsv"),
+      Some(scanCsvOracle)),
+
+    // ---- left-semi / left-anti joins (free ops; SURVEY §2.4 note) ----
+    Q("join_semi",
+      (s, dir) => t(s, dir, "customer").join(
+        t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer WHERE EXISTS
+        (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    Q("join_anti",
+      (s, dir) => t(s, dir, "customer").join(
+        t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS
+        (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    // ---- running-window aggregation (free op; SURVEY §2.6 note) ----
+    Q("window_running",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "lineitem")
+          .filter(col("l_suppkey") <= 10)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            sum(col("l_quantity")).over(w).as("running_qty"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+        SUM(l_quantity) OVER (PARTITION BY l_suppkey
+          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        FROM lineitem WHERE l_suppkey <= 10""")),
+
+    // ---- exact distinct aggregation (SURVEY §2.5 "free" row) ----
+    Q("agg_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps")),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(DISTINCT l_suppkey) AS n_supps
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- set operations (SURVEY §2.7 "free" row) ----
+    Q("set_intersect",
+      (s, dir) => t(s, dir, "orders").select(col("o_custkey").as("k"))
+        .intersect(t(s, dir, "customer").select(col("c_custkey")
+          .cast("long").as("k"))),
+      Some("""SELECT o_custkey AS k FROM orders
+        INTERSECT SELECT CAST(c_custkey AS BIGINT) AS k FROM customer""")),
+
+    Q("set_except",
+      (s, dir) => t(s, dir, "customer").select(col("c_custkey")
+          .cast("long").as("k"))
+        .except(t(s, dir, "orders").select(col("o_custkey").as("k"))),
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+        EXCEPT SELECT o_custkey AS k FROM orders""")),
+
+    // ---- date derivation (typed-schema improvement; SURVEY §2.8 note) ----
+    Q("date_parts",
+      (s, dir) => t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_format(col("o_orderdate"), "yyyyMMdd").as("yyyymmdd")),
+      Some("""SELECT o_orderkey,
+        CAST(year(o_orderdate) AS INTEGER) AS y,
+        CAST(month(o_orderdate) AS INTEGER) AS m,
+        CAST(day(o_orderdate) AS INTEGER) AS d,
+        strftime(o_orderdate, '%Y%m%d') AS yyyymmdd FROM orders"""))
   )
+
+  /** DuckDB oracle for the S1 scan: read the same fixture with the same
+    * typed schema (generated from [[graft.schema.Schemas.v2Export]] so the
+    * two can never drift). */
+  private def scanCsvOracle: String = {
+    import org.apache.spark.sql.types._
+    val duck = graft.schema.Schemas.v2Export.fields.map { f =>
+      val t = f.dataType match {
+        case StringType => "VARCHAR"
+        case IntegerType => "INTEGER"
+        case LongType => "BIGINT"
+        case DoubleType => "DOUBLE"
+        case other => sys.error(s"unmapped $other")
+      }
+      s"'${f.name}': '$t'"
+    }.mkString(", ")
+    s"""SELECT * FROM read_csv('/root/repo/fixtures/v2_sample.tsv',
+       delim='\t', header=false, nullstr='', columns={$duck})"""
+  }
 }
