@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection utility: prints the formatted physical plan of selected
+  * registry queries (all, if no names given). Used to keep the plans
+  * honest: filters pushed to the scan, columns pruned, dims broadcast,
+  * aggregates partial, codegen spans wide.
+  *
+  * Usage: runMain graft.tools.Explain <sfDir> [query ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n════════ $n ════════")
+      graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

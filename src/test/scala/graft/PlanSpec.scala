@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the scale-critical plan properties (pushdown,
+  * pruning, broadcast, partial aggregation, fused top-k) must not regress.
+  * These are the properties that make the same code viable at 100 TB.
+  */
+class PlanSpec extends AnyFunSuite with SparkTester {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("filter_notin: predicate pushed to the parquet scan") {
+    val p = plan("filter_notin")
+    assert(p.contains("PushedFilters: [Not(In(lang"), p)
+  }
+
+  test("project/q1: column pruning reaches the scan") {
+    assert(plan("project").contains(
+      "ReadSchema: struct<doc_id:bigint,source:string>"))
+    val q1 = plan("q1_agg")
+    assert(q1.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_returnflag:string," +
+      "l_linestatus:string>"))
+  }
+
+  test("q1/agg_count_group: map-side partial aggregation before shuffle") {
+    assert(plan("q1_agg").contains("partial_sum"))
+    assert(plan("agg_count_group").contains("partial_count"))
+  }
+
+  test("join_dim: dimension side is broadcast, not shuffled") {
+    val p = plan("join_dim")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("topk_orders: global sort+limit fuses to TakeOrderedAndProject") {
+    val p = plan("topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("simsearch_topk: query side broadcast; corpus side streams") {
+    val p = plan("simsearch_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("scan_csv: typed schema reaches the CSV scan (no inference pass)") {
+    val p = plan("scan_csv")
+    assert(p.contains("ReadSchema: struct<GLOBALEVENTID:bigint"), p)
+  }
+}
