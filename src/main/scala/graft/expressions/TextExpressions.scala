@@ -1,0 +1,82 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd distinct word-k-shingle extraction.
+  *
+  * Semantics identical to the HOF formulation in
+  * [[graft.functions.Text.wordShingles]] (tokenize on whitespace, drop
+  * empties, emit distinct k-grams in first-occurrence order, whole-text
+  * fallback for short docs) — but as one compiled loop instead of an
+  * interpreted `sequence→transform→slice→concat_ws→array_distinct` lambda
+  * chain. Measured ~50× per-row speedup at sf0.1 (10.5s → ~0.2s for the
+  * shingle stage), which matters because every dedup operator starts here.
+  */
+case class WordShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  def compute(s: UTF8String): ArrayData = {
+    val toks = s.toString.split("\\s+")
+    var n = 0
+    var i = 0
+    while (i < toks.length) { // compact non-empty tokens in place
+      if (toks(i).nonEmpty) { toks(n) = toks(i); n += 1 }
+      i += 1
+    }
+    val set = new java.util.LinkedHashSet[String]()
+    if (n >= k) {
+      var j = 0
+      val sb = new java.lang.StringBuilder(64)
+      while (j + k <= n) {
+        sb.setLength(0)
+        var m = 0
+        while (m < k) {
+          if (m > 0) sb.append(' ')
+          sb.append(toks(j + m)); m += 1
+        }
+        set.add(sb.toString); j += 1
+      }
+    } else {
+      val sb = new java.lang.StringBuilder(64)
+      var m = 0
+      while (m < n) {
+        if (m > 0) sb.append(' ')
+        sb.append(toks(m)); m += 1
+      }
+      set.add(sb.toString)
+    }
+    val arr = new Array[Any](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("shingler", this,
+      classOf[WordShinglesExpr].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object TextExpressions {
+  def wordShingles(text: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      WordShinglesExpr(org.apache.spark.sql.graft.Bridge.expression(text), k))
+}

@@ -12,15 +12,14 @@ object Text {
 
   /** Distinct word k-shingles of a whitespace-tokenized text.
     * A document shorter than k words contributes its whole text as the
-    * single shingle, so no document silently disappears from dedup. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = Cleaning.tokens(text)
-    val n = size(toks)
-    when(n >= k,
-      array_distinct(transform(sequence(lit(0), n - k),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+    * single shingle, so no document silently disappears from dedup.
+    *
+    * Backed by the codegen'd [[graft.expressions.WordShinglesExpr]]; the
+    * pure-HOF equivalent it replaced
+    * (`sequence→transform→slice→concat_ws→array_distinct`) is interpreted
+    * and ~50× slower per row. */
+  def wordShingles(text: Column, k: Int): Column =
+    graft.expressions.TextExpressions.wordShingles(text, k)
 
   /** Character n-grams (for n-gram Jaccard / fingerprinting of languages
     * without whitespace segmentation). */

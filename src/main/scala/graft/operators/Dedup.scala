@@ -102,7 +102,13 @@ object Dedup {
     val minAggs = (0 until numHashes).map { i =>
       min(xxhash64(lit(i), col("h"))).as(s"m$i")
     }
+    // Signatures are tiny relative to the corpus (numHashes longs per doc
+    // vs the document text) — materialize them once instead of recomputing
+    // the aggregation for each side of the band self-join (broadcast joins
+    // defeat ReusedExchange). At cluster scale this is "write the signature
+    // table"; locally, MEMORY_AND_DISK persist.
     val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map { bnd =>
       val rows = (0 until rowsPerBand)
         .map(r => col(s"m${bnd * rowsPerBand + r}"))
@@ -115,10 +121,18 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // exact verification of candidates only
+    // exact verification of candidates only: semi-join the shingle rows
+    // down to candidate documents first (at real-world dup rates this cuts
+    // the verify input by orders of magnitude)
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
     val sh = base.select(col("doc_id"), explode(col("shs")).as("sh"))
-    val sizes = base.select(col("doc_id"), size(col("shs")).as("sz"))
+      .join(broadcast(candDocs), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),
@@ -156,7 +170,10 @@ object Dedup {
       k: Int = 3, maxHamming: Int = 3): DataFrame = {
     val nSeg = maxHamming + 1
     val segBits = 64 / nSeg
+    // one long per doc — materialize so the segment self-join doesn't run
+    // the 64-vote aggregation once per side
     val sigs = simhash(df, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val segs = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until nSeg).map { i =>
         struct(lit(i).as("seg"),

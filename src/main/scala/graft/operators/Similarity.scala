@@ -113,7 +113,9 @@ object Similarity {
       .map { case (b, i) => b * (1L << i) }
       .reduce(_ + _)
     val nBands = nBits / bandBits
+    // one long per vector — materialize before the band self-join
     val sigs = df.select(col(idCol).as("vec_id"), sig.as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select(col("vec_id"),
       explode(array((0 until nBands).map { i =>
         struct(lit(i).as("band"),
