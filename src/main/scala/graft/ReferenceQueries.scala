@@ -252,6 +252,24 @@ object ReferenceQueries {
         SUM(l_quantity) AS sum_qty FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
 
+    // ---- A2 under skew: two-phase salted aggregation. Same result as
+    // agg_count_group (and the same oracle) — the salt only reshapes the
+    // shuffle: phase 1 groups on (key, salt) so one hot key spreads over
+    // nSalts reducers, phase 2 combines the partial counts. ----
+    Q("agg_count_group_salted",
+      (s, dir) => {
+        val toks = Keywords.explodeTokens(
+          t(s, dir, "documents"), "doc_id", "text", " ")
+          .filter(!col("kw").isin(ignoreKw: _*))
+        toks
+          .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(16)))
+          .groupBy("kw", "salt").agg(count(lit(1)).as("c"))
+          .groupBy("kw").agg(sum(col("c")).as("cnt"))
+      },
+      Some("""SELECT w AS kw, COUNT(*) AS cnt FROM (
+        SELECT trim(unnest(string_split(text, ' '))) AS w FROM documents) t
+        WHERE w <> '' AND w NOT IN ('a', 'the') GROUP BY w""")),
+
     // ---- S1 GDELT scan: headerless 61-col TSV with the typed schema ----
     Q("scan_csv",
       (s, _) => Sources.v2Export(s, "/root/repo/fixtures/v2_sample.tsv"),

@@ -92,6 +92,45 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** Codegen'd dot product over two `array<float>` columns (double
+  * accumulation, index order). Pairwise similarity with precomputed norms
+  * does 1/3 the flops of recomputing both norms per pair. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[ArrayData]; val b = bv.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
 /** Codegen'd squared L2 distance over two `array<float>` columns — same
   * rationale as [[CosineSimilarity]]; used by IVF cell assignment where it
   * is evaluated |corpus| × |centroids| times. */
@@ -141,6 +180,9 @@ object VectorExpressions {
 
   def cosineSim(a: Column, b: Column): Column =
     toCol(CosineSimilarity(expr(a), expr(b)))
+
+  def dot(a: Column, b: Column): Column =
+    toCol(DotProduct(expr(a), expr(b)))
 
   def squaredDist(a: Column, b: Column): Column =
     toCol(SquaredDistance(expr(a), expr(b)))

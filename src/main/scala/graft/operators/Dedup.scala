@@ -200,11 +200,17 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     import graft.expressions.VectorExpressions
+    // precompute ‖v‖ once per vector (materialized): each of the O(n²)
+    // pairs then costs one dot product instead of dot + two norms. The
+    // norm expression is sqrt(dot(e,e)) — identical accumulation order to
+    // the fused cosine, so results are bit-equal to it.
     val v = df.select(col(idCol).as("vec_id"), col(vecCol).as("e"))
+      .withColumn("nrm", sqrt(VectorExpressions.dot(col("e"), col("e"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(VectorExpressions.cosineSim(col("a.e"), col("b.e")), 6)
-          .as("cos"))
+        round(VectorExpressions.dot(col("a.e"), col("b.e")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }
