@@ -233,7 +233,7 @@ object TextQueries {
 
     // X1 enrichment through mapPartitions with the offline fetcher —
     // deterministic, so fully oracle-checkable despite being a lambda
-    Q("enrich_articles",
+    Q("udf_enrich_article",
       (s, dir) => {
         val docs = Sources.table(s, dir, "documents")
           .select(col("doc_id"),

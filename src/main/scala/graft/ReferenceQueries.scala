@@ -205,6 +205,36 @@ object ReferenceQueries {
         array_to_string(list_sort(string_split(text, ' ')), '; ') AS kw_sorted
         FROM documents""")),
 
+    // ---- O1 sort_array_asc (extractor.py:100-103): per-row lexicographic
+    // sort, emitted positionally so the order itself is oracle-checked ----
+    Q("sort_array_asc",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(array_sort(Cleaning.tokens(col("text"))))
+            .as(Seq("pos", "kw"))),
+      Some("""SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        sorted[CAST(i AS INTEGER)] AS kw FROM (
+        SELECT doc_id, sorted, unnest(range(1, len(sorted) + 1)) AS i FROM (
+          SELECT doc_id,
+            list_sort(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS sorted
+          FROM documents) a) b""")),
+
+    // ---- K1 sink_jdbc_replace (extractor.py:420): full-replace write,
+    // exercised as an overwrite round-trip (parquet stands in for the JDBC
+    // table in the offline harness; same SaveMode.Overwrite path) ----
+    Q("sink_jdbc_replace",
+      (s, dir) => {
+        val target = s"/tmp/graft_sink/replace_roundtrip"
+        // write a decoy first: Overwrite must fully replace it
+        graft.sinks.Sinks.overwriteParquet(
+          t(s, dir, "documents").select("doc_id", "source").limit(3), target)
+        graft.sinks.Sinks.overwriteParquet(
+          t(s, dir, "documents").select("doc_id", "source"), target)
+        s.read.parquet(target)
+      },
+      Some("SELECT doc_id, source FROM documents")),
+
     // ---- F7 + X3 split/trim/explode (extractor.py:403-406) ----
     Q("split_trim",
       (s, dir) => Keywords.explodeTokens(
