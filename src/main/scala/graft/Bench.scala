@@ -10,6 +10,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the 128-min minhash signature aggregate has >100 fields; keep it
+      // inside whole-stage codegen
+      .config("spark.sql.codegen.maxFields", "256")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/parquet reader so the first measured query

@@ -365,6 +365,25 @@ object ReferenceQueries {
       Some("""SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
         EXCEPT SELECT o_custkey AS k FROM orders""")),
 
+    // ---- spark.sql surface: same engine through the SQL front-end ----
+    Q("sql_interface",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("li_v")
+        t(s, dir, "part").createOrReplaceTempView("part_v")
+        s.sql("""SELECT p_brand, COUNT(*) AS n,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue
+          FROM li_v JOIN part_v ON l_partkey = p_partkey
+          WHERE p_size <= 25
+          GROUP BY p_brand""")
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 25
+        GROUP BY p_brand""")),
+
     // ---- date derivation (typed-schema improvement; SURVEY §2.8 note) ----
     Q("date_parts",
       (s, dir) => t(s, dir, "orders").select(

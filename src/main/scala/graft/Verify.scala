@@ -15,6 +15,9 @@ object Verify {
       // testdata events.parquet has TIMESTAMP(NANOS) — read as long,
       // normalized to TIMESTAMP_NTZ in Sources.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the 128-min minhash signature aggregate has >100 fields; keep it
+      // inside whole-stage codegen
+      .config("spark.sql.codegen.maxFields", "256")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
