@@ -305,6 +305,28 @@ object ReferenceQueries {
       (s, _) => Sources.v2Export(s, "/root/repo/fixtures/v2_sample.tsv"),
       Some(scanCsvOracle)),
 
+    // ---- K2 geometry point (engine-side form, extractor.py:168-179):
+    // struct(lat,long) materialized only where both coordinates exist,
+    // flattened here so the null-guard semantics are oracle-checked ----
+    Q("geo_point",
+      (s, _) => {
+        val df = graft.sinks.Sinks.withGeoPoint(
+          Sources.v2Export(s, "/root/repo/fixtures/v2_sample.tsv"),
+          "Actor1Geo_Lat", "Actor1Geo_Long")
+        df.select(col("GLOBALEVENTID"),
+          col("geom.x").as("x"), col("geom.y").as("y"),
+          col("geom").isNotNull.as("has_geom"))
+      },
+      Some("""SELECT GLOBALEVENTID,
+        CASE WHEN lat IS NOT NULL AND lon IS NOT NULL THEN lon END AS x,
+        CASE WHEN lat IS NOT NULL AND lon IS NOT NULL THEN lat END AS y,
+        (lat IS NOT NULL AND lon IS NOT NULL) AS has_geom FROM (
+        SELECT column00 AS GLOBALEVENTID, column40 AS lat, column41 AS lon
+        FROM read_csv('/root/repo/fixtures/v2_sample.tsv', delim='\t',
+          header=false, nullstr='',
+          types={'column00': 'BIGINT', 'column40': 'DOUBLE',
+                 'column41': 'DOUBLE'})) t""")),
+
     // ---- left-semi / left-anti joins (free ops; SURVEY §2.4 note) ----
     Q("join_semi",
       (s, dir) => t(s, dir, "customer").join(
