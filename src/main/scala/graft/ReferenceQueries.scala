@@ -264,6 +264,43 @@ object ReferenceQueries {
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
         FROM events GROUP BY 1, 2""")),
 
+    // ---- sliding event-time windows (SURVEY §2.10): each event lands in
+    // windowLen/slide overlapping windows ----
+    Q("window_sliding",
+      (s, dir) => Sources.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n")),
+      Some("""SELECT ws, event_type, COUNT(*) AS n FROM (
+        SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+                 - k * INTERVAL '15 minutes' AS ws,
+               event_type
+        FROM events, (SELECT unnest(range(0, 4)) AS k) grid) t
+        GROUP BY ws, event_type""")),
+
+    // ---- session windows (SURVEY §2.10): native session_window vs a
+    // gaps-and-islands oracle ----
+    Q("window_session",
+      (s, dir) => Sources.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").as("session_start"),
+          col("user_id"), col("n")),
+      Some("""WITH t AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+            CASE WHEN CAST(ts AS TIMESTAMP)
+                   - lag(CAST(ts AS TIMESTAMP), 1, TIMESTAMP '1970-01-01')
+                     OVER (PARTITION BY user_id ORDER BY ts)
+                 > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+          FROM events),
+        isl AS (
+          SELECT user_id, ts,
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM t)
+        SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n
+        FROM isl GROUP BY user_id, sess_id""")),
+
     // ---- global order-by + limit (free op; SURVEY §2.6 note) ----
     Q("topk_orders",
       (s, dir) => t(s, dir, "orders")

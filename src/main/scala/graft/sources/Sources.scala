@@ -63,9 +63,10 @@ object Sources {
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // integral division: `/` on Columns is double division, whose
+        // rounding differs from the truncating ns→µs cast other engines do
         raw.withColumn("ts",
-          timestamp_micros((col("ts") / 1000).cast("long"))
-            .cast("timestamp_ntz"))
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
       case _ => raw
     }
   }
