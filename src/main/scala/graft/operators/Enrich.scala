@@ -70,13 +70,21 @@ object Enrich {
 
   /** Enrich (id, url) rows. Input df must expose `idCol` (long) and
     * `urlCol` (string); output is the 6-column article frame keyed
-    * `globaleventid`, ready for [[EventOps.joinEnrichment]]. */
+    * `globaleventid`, ready for [[EventOps.joinEnrichment]].
+    *
+    * @param parallelism when set, repartitions the input first — this is
+    *        the concurrent-fetch budget (tasks × per-task serial fetches),
+    *        the knob the reference hard-codes as `cpu_count()-1`
+    *        (extractor.py:240). Leave None to inherit upstream partitioning.
+    */
   def enrich(df: DataFrame, idCol: String, urlCol: String,
-      fetcher: ArticleFetcher): Dataset[Article] = {
+      fetcher: ArticleFetcher, parallelism: Option[Int] = None)
+      : Dataset[Article] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val in: Dataset[(Long, String)] =
-      df.select(col(idCol).cast("long"), col(urlCol)).as[(Long, String)]
+    val projected = df.select(col(idCol).cast("long"), col(urlCol))
+    val shaped = parallelism.fold(projected)(projected.repartition)
+    val in: Dataset[(Long, String)] = shaped.as[(Long, String)]
     in.mapPartitions { rows =>
       fetcher.open()
       val out = rows.map { case (id, url) =>

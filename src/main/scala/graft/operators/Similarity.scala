@@ -101,12 +101,13 @@ object Similarity {
   def lshCandidates(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       nBits: Int = 16, bandBits: Int = 4, seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+    // planes as float literals so the codegen'd DotProduct applies (the
+    // zip_with/aggregate HOF form is interpreted); sign flips from the
+    // float cast are measure-zero and LSH is candidate-generation anyway
+    val planes: Seq[Seq[Float]] =
+      Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
     val bitCols = planes.map { p =>
-      val dot = aggregate(
-        zip_with(col(vecCol), typedLit(p), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = VectorExpressions.dot(col(vecCol), typedLit(p))
       when(dot >= 0, 1L).otherwise(0L)
     }
     val sig = bitCols.zipWithIndex

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.expressions.WordShinglesExpr
+
+/** Property-based checks for the pure (non-Spark-runtime) kernels. */
+object KernelProperties extends Properties("graft.kernels") {
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text: Gen[String] = for {
+    words <- Gen.listOf(word)
+    seps <- Gen.listOfN(words.length,
+      Gen.oneOf(" ", "  ", "\t", " \n "))
+  } yield words.zip(seps).map { case (w, s) => w + s }.mkString
+
+  /** Reference implementation of distinct word k-shingles. */
+  private def naiveShingles(s: String, k: Int): Seq[String] = {
+    val toks = s.split("\\s+").filter(_.nonEmpty).toSeq
+    if (toks.length >= k) toks.sliding(k).map(_.mkString(" ")).toSeq.distinct
+    else Seq(toks.mkString(" "))
+  }
+
+  property("WordShinglesExpr == naive sliding-window implementation") =
+    Prop.forAll(text, Gen.choose(1, 6)) { (s, k) =>
+      val expr = WordShinglesExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal(s), k)
+      val got = expr.compute(UTF8String.fromString(s))
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      got == naiveShingles(s, k)
+    }
+
+  property("shingle set is non-empty and k-bounded") =
+    Prop.forAll(text, Gen.choose(1, 6)) { (s, k) =>
+      val got = WordShinglesExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal(s), k)
+        .compute(UTF8String.fromString(s))
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString)
+      got.nonEmpty && got.forall(_.split(" ", -1).length <= k.max(1) ||
+        got.length == 1)
+    }
+
+  private val urlGen = for {
+    host <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    id <- Gen.choose(0L, Long.MaxValue)
+  } yield (id, s"https://$host.example.com/articles/$id")
+
+  property("parseArticle is total and keyword list is sorted/distinct") =
+    Prop.forAll(urlGen) { case (id, url) =>
+      val page = new Enrich.StubFetcher().fetch(url).get
+      val a = Enrich.parseArticle(id, url, page)
+      val kws = a.keywords.split("; ").toSeq
+      a.globaleventid == id && a.site.endsWith(".example.com") &&
+        kws == kws.distinct.sorted &&
+        a.summary.endsWith(" . . . ")
+    }
+}

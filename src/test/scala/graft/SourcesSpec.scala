@@ -59,6 +59,24 @@ class SourcesSpec extends AnyFunSuite with SparkTester {
     assert(mdf.columns.length == 16 && mdf.count() == 2)
   }
 
+  test("PERMISSIVE scan absorbs malformed rows instead of failing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bad")
+    // a well-formed row, a short row, and a row with garbage numerics
+    val lines = Seq(
+      GdeltFixtures.v2Row(1, "https://a.example.com/x"),
+      "only\tthree\tcols",
+      GdeltFixtures.v2Row(3, "https://b.example.com/y",
+        Map("GoldsteinScale" -> "not-a-number")))
+    val p = GdeltFixtures.write(dir.resolve("bad.tsv"), lines)
+    val df = Sources.v2Export(spark, p)
+    assert(df.count() == 3) // nothing dropped, nothing thrown
+    // the garbage numeric parses to null, the rest of its row survives
+    val r3 = df.filter(col("GLOBALEVENTID") === 3).head()
+    assert(r3.isNullAt(r3.fieldIndex("GoldsteinScale")))
+    assert(r3.getString(r3.fieldIndex("SOURCEURL")) ==
+      "https://b.example.com/y")
+  }
+
   test("lookup dimension table reads CODE/LABEL") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lkp")
     val p = GdeltFixtures.write(dir.resolve("cameo.tsv"),
