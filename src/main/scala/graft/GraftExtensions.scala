@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.{CosineSimilarity, DotProduct, SquaredDistance, WordShinglesExpr}
+
+/** Session extension registering the engine's custom Catalyst expressions
+  * as SQL functions, so the SQL front-end is as capable as the Scala API:
+  *
+  * {{{
+  * val spark = SparkSession.builder()
+  *   .withExtensions(new GraftExtensions).getOrCreate()
+  * spark.sql("SELECT cosine_similarity(a.e, b.e) FROM ...")
+  * }}}
+  *
+  * Also usable on an existing session via [[GraftExtensions.register]]
+  * (temp-function registry), which is what Verify/Bench do.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  private val definitions
+      : Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("cosine_similarity",
+      info("cosine_similarity",
+        "cosine_similarity(a, b) - cosine of two float vectors"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    ("dot_product",
+      info("dot_product", "dot_product(a, b) - dot of two float vectors"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("squared_distance",
+      info("squared_distance",
+        "squared_distance(a, b) - squared L2 distance of two float vectors"),
+      (es: Seq[Expression]) => SquaredDistance(es(0), es(1))),
+    ("word_shingles",
+      info("word_shingles",
+        "word_shingles(text, k) - distinct word k-shingles"),
+      (es: Seq[Expression]) => es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(k, _) =>
+          WordShinglesExpr(es(0), k.toString.toInt)
+        case other =>
+          throw new IllegalArgumentException(
+            s"word_shingles k must be a literal, got $other")
+      }))
+
+  /** Register on an already-built session (temp functions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    definitions.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+}

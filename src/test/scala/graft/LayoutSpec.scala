@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+import graft.sinks.Layout
+
+class LayoutSpec extends AnyFunSuite with SparkTester {
+
+  test("partitioned write prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    Layout.writePartitioned(docs, dir.toString, "lang")
+    // hive-style layout on disk
+    assert(new java.io.File(dir.toString).listFiles()
+      .exists(_.getName == "lang=en"))
+    val q = spark.read.parquet(dir.toString).filter(col("lang") === "en")
+    val plan = q.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    val full = docs.filter(col("lang") === "en").count()
+    assert(q.count() == full)
+  }
+
+  test("bucketed tables join without an exchange") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val customer = spark.read
+      .parquet("/root/testdata/sf0.001/customer.parquet")
+      .withColumn("c_custkey", col("c_custkey").cast("long"))
+    Layout.writeBucketed(orders, "orders_b", 4, "o_custkey")
+    Layout.writeBucketed(customer, "customer_b", 4, "c_custkey")
+
+    val j = Layout.readTable(spark, "orders_b").join(
+      Layout.readTable(spark, "customer_b"),
+      col("o_custkey") === col("c_custkey"))
+    // disable auto-broadcast so the join strategy is driven by layout
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = j.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(j.count() ==
+        orders.join(customer, col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("custom expressions are SQL-callable after registration") {
+    GraftExtensions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb_v")
+    val r = spark.sql("""SELECT vec_id,
+        round(cosine_similarity(embedding, embedding), 6) AS self_cos,
+        dot_product(embedding, embedding) AS sq_norm,
+        squared_distance(embedding, embedding) AS self_dist,
+        size(word_shingles('a b c d', 3)) AS n_sh
+      FROM emb_v LIMIT 5""").collect()
+    assert(r.length == 5)
+    assert(r.forall(_.getDouble(1) == 1.0))
+    assert(r.forall(_.getDouble(3) == 0.0))
+    assert(r.forall(_.getInt(4) == 2))
+  }
+}

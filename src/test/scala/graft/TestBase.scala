@@ -12,6 +12,8 @@ trait SparkTester {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()
 
   def sf(name: String) = s"/root/testdata/sf0.001"
