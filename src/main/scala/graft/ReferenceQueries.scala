@@ -399,6 +399,16 @@ object ReferenceQueries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         FROM lineitem WHERE l_suppkey <= 10""")),
 
+    // ---- HLL sketch aggregation (SURVEY §2.5 "free" row). Approximate ⇒
+    // no cross-engine oracle; bounded-error vs exact is asserted in
+    // OperatorsSpec ----
+    Q("agg_approx_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02)
+          .as("approx_parts")),
+      None),
+
     // ---- exact distinct aggregation (SURVEY §2.5 "free" row) ----
     Q("agg_distinct",
       (s, dir) => t(s, dir, "lineitem")

@@ -51,6 +51,15 @@ class EventOpsSpec extends AnyFunSuite with SparkTester {
       Seq((1, 2)).toDF("AbC", "XYZ")).columns.toSeq == Seq("abc", "xyz"))
   }
 
+  test("approx_count_distinct within 5% of exact") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val exact = li.select(countDistinct($"l_partkey")).head.getLong(0)
+    val approx = li.select(approx_count_distinct($"l_partkey", 0.02))
+      .head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("keyword term frequency with ignore list") {
     val df = Seq("a; b; c", "b ; c", "c").toDF("kw")
     val freq = Keywords.termFrequency(df, col("kw"), ";", Seq("a"))
