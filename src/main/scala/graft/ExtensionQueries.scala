@@ -71,6 +71,27 @@ object DedupQueries {
         k = 3, maxHamming = 8),
       None),
 
+    // near-dup clusters: connected components over the verified pair list;
+    // oracle = recursive min-label reachability in SQL
+    Q("dedup_clusters",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 5, bands = 32, rowsPerBand = 4, threshold = 0.8)
+        Dedup.connectedComponents(docs, "doc_id", pairs)
+      },
+      Some(s"""WITH RECURSIVE
+        pairs AS ($jaccardPairsSql),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node AS doc_id, MIN(lab) AS cluster_id
+        FROM reach GROUP BY node""")),
+
     Q("dedup_embedding",
       (s, dir) => Dedup.embeddingNearDup(
         Sources.table(s, dir, "embeddings"), "vec_id", "embedding",

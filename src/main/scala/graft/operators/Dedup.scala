@@ -191,6 +191,57 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair list: every document gets
+    * `cluster_id` = the smallest doc_id reachable through pair edges
+    * (documents in no pair are their own singleton cluster). This is the
+    * step that turns pairwise similarity into "keep one doc per cluster".
+    *
+    * Implementation: iterative min-label propagation to a fixpoint —
+    * each round joins current labels across the (symmetrized) edge list
+    * and keeps the minimum seen. Rounds needed = graph diameter
+    * (near-dup clusters are small, so 2–4 in practice); each round is one
+    * shuffle. At extreme scale swap in the large-star/small-star
+    * contraction, which converges in O(log n) rounds independent of
+    * diameter — same join shape.
+    */
+  def connectedComponents(df: DataFrame, idCol: String, pairs: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(MEMORY_AND_DISK)
+
+    // propagate only over nodes that touch an edge — at realistic dup
+    // rates that's a small fraction of the corpus, so every round is a
+    // join over the dup subgraph, not the full table; singletons are
+    // attached by one left join at the end
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").cast("long").as("cluster_id"))
+      .persist(MEMORY_AND_DISK)
+    var changed = 1L
+    while (changed > 0) {
+      val viaEdges = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("cluster_id"))
+      val next = labels.select(col("node"), col("cluster_id"))
+        .union(viaEdges)
+        .groupBy("node")
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .persist(MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
+          Seq("node"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    df.select(col(idCol).as("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id").cast("long"))
+          .as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup pairs (exact all-pairs form).
     *
     * Correct-by-construction baseline; quadratic, so only for bounded

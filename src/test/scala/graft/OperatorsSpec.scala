@@ -117,6 +117,18 @@ class DedupSpec extends AnyFunSuite with SparkTester {
     assert(m.get((1L, 4L)).isEmpty && m.get((2L, 4L)).isEmpty)
   }
 
+  test("connected components: chains merge, singletons stay") {
+    val docs2 = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"), (5L, "x"))
+      .toDF("doc_id", "text")
+    // chain 3-2, 2-1 plus isolated pair 4-5... no: 4 alone, 5 alone
+    val pairs = Seq((2L, 3L, 1.0), (1L, 2L, 1.0))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val cc = Dedup.connectedComponents(docs2, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)
+    assert(cc(4L) == 4L && cc(5L) == 5L)
+  }
+
   test("embedding near-dup finds the planted close pairs") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.45)
