@@ -207,8 +207,13 @@ object Dedup {
   def connectedComponents(df: DataFrame, idCol: String, pairs: DataFrame)
       : DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // truncate the (possibly expensive) pair-derivation lineage: each
+    // propagation round re-plans its inputs, and cached subframes alone
+    // don't stop Spark re-running upstream exchanges of the LSH pipeline
+    val edgelist = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = edgelist
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edgelist.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(MEMORY_AND_DISK)
 
     // propagate only over nodes that touch an edge — at realistic dup
@@ -218,18 +223,22 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").cast("long").as("cluster_id"))
       .persist(MEMORY_AND_DISK)
-    var changed = 1L
-    while (changed > 0) {
-      val viaEdges = edges.join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("cluster_id"))
-      val next = labels.select(col("node"), col("cluster_id"))
-        .union(viaEdges)
+    // labels shrink monotonically (next = min(old, neighbors)), so the
+    // label sum strictly decreases until the fixpoint — one aggregate per
+    // round instead of a change-detection join
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
+    while (!converged) {
+      val next = labels
+        .union(edges.join(labels, edges("src") === labels("node"))
+          .select(col("dst").as("node"), col("cluster_id")))
         .groupBy("node")
         .agg(min(col("cluster_id")).as("cluster_id"))
         .persist(MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
-          Seq("node"))
-        .filter(col("cluster_id") =!= col("old")).count()
+      val s = next.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist()
       labels = next
     }
