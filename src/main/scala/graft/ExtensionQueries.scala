@@ -92,6 +92,25 @@ object DedupQueries {
         SELECT node AS doc_id, MIN(lab) AS cluster_id
         FROM reach GROUP BY node""")),
 
+    // LSH-accelerated embedding near-dup: the linear-cost scale path;
+    // precision 1 (exact-verified), recall < 1 ⇒ rows-only here, with the
+    // subset+recall bound asserted against the exact form in DedupSpec
+    Q("dedup_embedding_lsh",
+      (s, dir) => Dedup.embeddingNearDupLsh(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, dim = 64),
+      None),
+
+    // winnowing fingerprints (Schleimer et al. SIGMOD'03): rolling-hash
+    // k-gram minima — rows-only (polynomial char hashing has no concise
+    // SQL twin); invariants covered by ScalaCheck properties
+    Q("text_winnow",
+      (s, dir) => Sources.table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.expressions.Winnowing.winnow(col("text"), 8, 4))
+            .as("fp")),
+      None),
+
     Q("dedup_embedding",
       (s, dir) => Dedup.embeddingNearDup(
         Sources.table(s, dir, "embeddings"), "vec_id", "embedding",

@@ -1,0 +1,111 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03).
+  *
+  * Pipeline per document, all in one compiled pass:
+  *  1. polynomial rolling hash over character k-grams (base 31, 64-bit
+  *     wrapping — the classic Rabin-Karp rolling update, O(1) per shift);
+  *  2. sliding window of size w over the k-gram hashes, keeping each
+  *     window's minimum (rightmost on ties, per the paper);
+  *  3. distinct selected hashes = the fingerprint set.
+  *
+  * Guarantee: any shared substring of length ≥ w + k − 1 between two
+  * documents yields at least one shared fingerprint, while only
+  * ~2/(w+1) of positions are selected — the standard near-copy detector
+  * for code/text plagiarism and corpus dedup at scale.
+  *
+  * Fingerprint sets compare with the same inverted-index Jaccard machinery
+  * as shingle sets ([[graft.operators.Dedup.ngramJaccardPairs]]) but at a
+  * w-fold smaller index.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k >= 2 && w >= 1, s"need k>=2, w>=1; got k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  def compute(s: UTF8String): ArrayData = {
+    val text = s.toString
+    val n = text.length
+    if (n < k) return new GenericArrayData(Array[Any](0L))
+    val m = n - k + 1 // number of k-grams
+    val hashes = new Array[Long](m)
+    // initial window
+    var h = 0L
+    var pow = 1L // 31^(k-1)
+    var i = 0
+    while (i < k) {
+      h = h * 31L + text.charAt(i)
+      if (i < k - 1) pow *= 31L
+      i += 1
+    }
+    hashes(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - text.charAt(i - 1) * pow) * 31L + text.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    val selected = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m <= w) {
+      // document shorter than one window: keep its global minimum
+      var best = 0
+      var j = 1
+      while (j < m) { if (hashes(j) <= hashes(best)) best = j; j += 1 }
+      selected.add(hashes(best))
+    } else {
+      var start = 0
+      var best = -1
+      while (start + w <= m) {
+        if (best < start) {
+          best = start
+          var j = start + 1
+          while (j < start + w) {
+            if (hashes(j) <= hashes(best)) best = j
+            j += 1
+          }
+        } else {
+          val incoming = start + w - 1
+          if (hashes(incoming) <= hashes(best)) best = incoming
+        }
+        selected.add(hashes(best))
+        start += 1
+      }
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("winnower", this,
+      classOf[WinnowFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object Winnowing {
+  def winnow(text: Column, k: Int = 8, w: Int = 4): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      WinnowFingerprints(
+        org.apache.spark.sql.graft.Bridge.expression(text), k, w))
+}

@@ -251,6 +251,31 @@ object Dedup {
           .as("cluster_id"))
   }
 
+  /** Embedding-cosine near-dup pairs, LSH-accelerated: random-hyperplane
+    * candidates ([[Similarity.lshCandidates]], linear cost) verified with
+    * exact cosine. Precision 1 by construction; recall is the band-collision
+    * probability (raise nBits/lower bandBits to trade cost for recall).
+    * This is the 100 TB path; [[embeddingNearDup]] is the quadratic exact
+    * baseline it is tested against. */
+  def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, nBits: Int = 16, bandBits: Int = 4)
+      : DataFrame = {
+    import graft.expressions.VectorExpressions
+    val cand = Similarity.lshCandidates(df, idCol, vecCol, dim, nBits,
+      bandBits)
+    val v = df.select(col(idCol).as("vec_id"), col(vecCol).as("e"))
+      .withColumn("nrm", sqrt(VectorExpressions.dot(col("e"), col("e"))))
+    cand
+      .join(v.select(col("vec_id").as("id_a"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(v.select(col("vec_id").as("id_b"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorExpressions.dot(col("ea"), col("eb")) /
+          (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding-cosine near-dup pairs (exact all-pairs form).
     *
     * Correct-by-construction baseline; quadratic, so only for bounded

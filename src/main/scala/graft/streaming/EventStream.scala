@@ -46,6 +46,16 @@ object EventStream {
       }
       .start()
 
+  /** Streaming exact dedup (the A1 operator under continuous ingestion):
+    * drops key-duplicates arriving within the watermark horizon, so state
+    * size is bounded by keys-per-watermark-window rather than all history —
+    * the streaming form of [[graft.operators.Dedup.exact]]. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long)

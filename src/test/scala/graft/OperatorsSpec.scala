@@ -135,6 +135,35 @@ class DedupSpec extends AnyFunSuite with SparkTester {
       .collect()
     assert(pairs.forall(_.getDouble(2) >= 0.45))
   }
+
+  test("LSH embedding near-dup: subset of exact, reasonable recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val t = 0.4
+    val exact = Dedup.embeddingNearDup(emb, "vec_id", "embedding", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding", t, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "verified candidates must be exact pairs")
+    if (exact.nonEmpty) {
+      val recall = (lsh & exact).size.toDouble / exact.size
+      assert(recall >= 0.3, s"recall $recall over ${exact.size} pairs")
+    }
+  }
+
+  test("winnowing fingerprints detect shared substrings") {
+    import graft.expressions.Winnowing
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    val df = Seq(
+      (1L, s"AAAA $shared BBBB"),
+      (2L, s"CCCC $shared DDDD"),
+      (3L, "completely unrelated content with different words entirely"))
+      .toDF("doc_id", "text")
+    val fps = df.select($"doc_id",
+      Winnowing.winnow($"text", 8, 4).as("fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared substring => shared fp")
+    assert((fps(1L) & fps(3L)).size.toDouble / fps(1L).size < 0.2)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite with SparkTester {

@@ -42,6 +42,34 @@ object KernelProperties extends Properties("graft.kernels") {
         got.length == 1)
     }
 
+  /** Naive winnowing reference: hash all k-grams, take min per window
+    * (rightmost tie-break), distinct. */
+  private def naiveWinnow(s: String, k: Int, w: Int): Seq[Long] = {
+    if (s.length < k) return Seq(0L)
+    val hs = s.sliding(k).map { g =>
+      g.foldLeft(0L)((h, c) => h * 31L + c)
+    }.toIndexedSeq
+    val sel =
+      if (hs.length <= w) Seq(hs.zipWithIndex.minBy { case (h, i) => (h, -i) }._1)
+      else hs.sliding(w).map(win =>
+        win.zipWithIndex.minBy { case (h, i) => (h, -i) }._1).toSeq
+    sel.distinct
+  }
+
+  private val plainText =
+    Gen.listOf(Gen.oneOf(Gen.alphaLowerChar, Gen.const(' ')))
+      .map(_.mkString)
+
+  property("WinnowFingerprints == naive reference") =
+    Prop.forAll(plainText, Gen.choose(2, 6), Gen.choose(1, 5)) {
+      (s, k, w) =>
+        val got = graft.expressions.WinnowFingerprints(
+          org.apache.spark.sql.catalyst.expressions.Literal(s), k, w)
+          .compute(UTF8String.fromString(s))
+          .toLongArray().toSeq
+        got == naiveWinnow(s, k, w)
+    }
+
   private val urlGen = for {
     host <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
     id <- Gen.choose(0L, Long.MaxValue)

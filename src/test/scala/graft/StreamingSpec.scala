@@ -61,6 +61,33 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    // two files, overlapping user_id+event_type keys
+    Seq((1L, ts(0), 1L, "click", 1.0), (2L, ts(1), 1L, "click", 1.0),
+      (3L, ts(2), 2L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    val schema = spark.read.parquet(in.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(in.toString)
+    val q = EventStream.dedupStream(stream, Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Seq((4L, ts(3), 1L, "click", 9.0), (5L, ts(4), 3L, "buy", 2.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in.toString)
+      q.processAllAvailable()
+      val keys = spark.table("dedup_out")
+        .select("user_id", "event_type").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(keys.length == keys.distinct.length)
+      assert(keys.toSet == Set((1L, "click"), (2L, "view"), (3L, "buy")))
+    } finally q.stop()
+  }
+
   test("sessionization groups events by gap") {
     val evs = Seq(
       EventStream.EventRow(1, ts(0), 1, "click", 1.0),
