@@ -46,6 +46,69 @@ object ReferenceQueries {
         COUNT(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
 
+    // ---- q3-shape: 3-way join + filter + group + deterministic top-k ----
+    Q("q3_shipping",
+      (s, dir) => {
+        val cutoff = lit(java.sql.Date.valueOf("1997-06-01"))
+        t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .join(t(s, dir, "orders"),
+            col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") < cutoff)
+          .join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") > cutoff)
+          .groupBy("l_orderkey", "o_orderdate")
+          .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1.0).cast("decimal(3,2)") -
+              col("l_discount").cast("decimal(3,2)"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+          AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE '1997-06-01'
+          AND l_shipdate > DATE '1997-06-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""")),
+
+    // ---- q5-shape: 5-way star join + regional filter + group ----
+    Q("q5_region_revenue",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0).cast("decimal(3,2)") -
+            col("l_discount").cast("decimal(3,2)"))))
+          .cast("double").as("revenue")),
+      Some("""SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+          AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name""")),
+
     // ---- P1 project (extractor.py:263) ----
     Q("project",
       (s, dir) => t(s, dir, "documents").select("doc_id", "source"),
