@@ -72,6 +72,50 @@ object Multimodal {
     }
   }
 
+  /** Feature-extraction output row: fixed-dim embedding per blob. */
+  case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  /** Feature extraction: blob → fixed-dim float vector via mapPartitions
+    * (decoder init once per partition; iterator-to-iterator). The STUB
+    * "model" is a byte-value histogram — deterministic, shape-correct
+    * (`array<float>` ready for [[Similarity]] / [[Dedup.embeddingNearDup]]);
+    * a real implementation would run an ONNX/image model here. */
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String,
+      dim: Int = 16): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val hist = new Array[Float](dim)
+          var i = 0
+          while (i < bytes.length) {
+            hist((bytes(i) & 0xff) % dim) += 1f; i += 1
+          }
+          // L1-normalize so features are length-invariant
+          val n = math.max(1, bytes.length).toFloat
+          var j = 0
+          while (j < dim) { hist(j) /= n; j += 1 }
+          MediaFeatures(id, hist)
+        }
+      }
+  }
+
+  /** "Resize": reduce the blob to a target byte budget (the binary-
+    * plumbing shape of image resize: bytes in, smaller bytes + updated
+    * metadata out). The stub downsample is a prefix truncation — a real
+    * implementation would re-encode via a codec; the column mechanics
+    * (binary slicing, metadata recompute) are the engine-side part. */
+  def resize(df: DataFrame, idCol: String, binCol: String,
+      targetBytes: Int): DataFrame = {
+    val n = octet_length(col(binCol))
+    val resized = when(n <= targetBytes, col(binCol))
+      .otherwise(col(binCol).substr(lit(1), lit(targetBytes)))
+    df.select(col(idCol), resized.as("resized"),
+      octet_length(resized).as("n_bytes_out"), n.as("n_bytes_in"))
+  }
+
   /** Frame sampling: every `stride`-th fixed-size slice of the blob — the
     * shape of video frame extraction (binary in, array of binary out),
     * exploded to one row per frame. Pure built-ins. */

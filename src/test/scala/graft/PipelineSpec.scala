@@ -58,6 +58,27 @@ class MultimodalSpec extends AnyFunSuite with SparkTester {
     assert(r(2L).checksum_hex.length == 32)
   }
 
+  test("extractFeatures: normalized histogram features via mapPartitions") {
+    val r = Multimodal.extractFeatures(df, "doc_id", "payload", dim = 8)
+      .collect().map(m => m.doc_id -> m.features).toMap
+    assert(r(1L).length == 8)
+    // L1 norm ≈ 1 (length-invariant features)
+    assert(math.abs(r(1L).sum - 1.0f) < 1e-4)
+    assert(math.abs(r(2L).sum - 1.0f) < 1e-4)
+    // deterministic
+    val again = Multimodal.extractFeatures(df, "doc_id", "payload", 8)
+      .collect().map(m => m.doc_id -> m.features.toSeq).toMap
+    assert(again(1L) == r(1L).toSeq)
+  }
+
+  test("resize: byte-budget downsample with metadata") {
+    val r = Multimodal.resize(df, "doc_id", "payload", 16)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getInt(2) == 16)            // capped to budget
+    assert(r(2L).getInt(2) == 4)             // short blob untouched
+    assert(new String(r(2L).getAs[Array[Byte]](1)) == "tiny")
+  }
+
   test("sampleFrames: stride slicing with short-blob fallback") {
     val frames = Multimodal.sampleFrames(df, "doc_id", "payload", 16, 8)
       .collect()
