@@ -101,15 +101,36 @@ object DedupQueries {
         threshold = 0.45, dim = 64),
       None),
 
-    // winnowing fingerprints (Schleimer et al. SIGMOD'03): rolling-hash
-    // k-gram minima — rows-only (polynomial char hashing has no concise
-    // SQL twin); invariants covered by ScalaCheck properties
+    // winnowing fingerprints (Schleimer et al. SIGMOD'03). Oracle-checked:
+    // the rolling k-gram hash has a closed form (Σ charcode·31^j, no
+    // overflow for k=8), and because only fingerprint VALUES are emitted,
+    // window-minimum tie-breaking cancels out — so plain SQL window minima
+    // reproduce the compiled rolling implementation exactly
     Q("text_winnow",
       (s, dir) => Sources.table(s, dir, "documents")
         .select(col("doc_id"),
           explode(graft.expressions.Winnowing.winnow(col("text"), 8, 4))
             .as("fp")),
-      None),
+      Some {
+        val k = 8; val w = 4
+        val terms = (0 until k).map { j =>
+          val p = (0 until (k - 1 - j)).foldLeft(1L)((a, _) => a * 31L)
+          s"CAST(unicode(substr(text, CAST(i + $j AS INT), 1)) AS BIGINT) * $p"
+        }.mkString(" + ")
+        s"""WITH pos AS (
+            SELECT doc_id, text,
+              unnest(range(1, length(text) - $k + 2)) AS i
+            FROM documents),
+          g AS (SELECT doc_id, i, $terms AS h FROM pos),
+          wins AS (
+            SELECT doc_id, i,
+              min(h) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wm,
+              count(*) OVER (PARTITION BY doc_id) AS m
+            FROM g)
+          SELECT DISTINCT doc_id, wm AS fp FROM wins
+          WHERE i <= greatest(1, m - ${w - 1})"""
+      }),
 
     Q("dedup_embedding",
       (s, dir) => Dedup.embeddingNearDup(
@@ -169,8 +190,9 @@ object SimilarityQueries {
           FROM scored) r
         WHERE rank <= 10""")),
 
-    // IVF (bucketed) search — scale path; exactness depends on the probe
-    // budget, so correctness is covered by the recall ScalaTest, not SQL
+    // IVF (bucketed) search — the scale path. Fully deterministic (rounded
+    // distances + id tie-breaks), so the whole pipeline — assignment,
+    // probing, in-cell ranking — is mirrored in SQL and hash-checked
     Q("simsearch_ivf",
       (s, dir) => {
         val emb = Sources.table(s, dir, "embeddings")
@@ -178,7 +200,47 @@ object SimilarityQueries {
           "embedding", k = 10, centroidStep = 50, nprobe = 4)
           .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
       },
-      None),
+      Some("""WITH e AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        cent AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        d2a AS (
+          SELECT a.vec_id, c.vec_id AS cent_id,
+                 round(sum((a.v - c.v) * (a.v - c.v)), 9) AS d2
+          FROM e a JOIN cent c ON a.i = c.i GROUP BY 1, 2),
+        assign AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+            FROM d2a) t WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS q_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+            FROM d2a WHERE vec_id < 5) t WHERE rn <= 4),
+        cand AS (
+          SELECT p.q_id, a.vec_id
+          FROM probes p JOIN assign a ON p.cell = a.cell
+          WHERE a.vec_id <> p.q_id),
+        dots AS (
+          SELECT c.q_id, c.vec_id, sum(q.v * x.v) AS dot
+          FROM cand c
+          JOIN e q ON q.vec_id = c.q_id
+          JOIN e x ON x.vec_id = c.vec_id AND x.i = q.i
+          GROUP BY 1, 2),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+        scored AS (
+          SELECT q_id, dots.vec_id AS vec_id,
+                 round(dot / (nq.nrm * nx.nrm), 6) AS cos
+          FROM dots
+          JOIN norms nq ON q_id = nq.vec_id
+          JOIN norms nx ON dots.vec_id = nx.vec_id)
+        SELECT q_id, vec_id, cos, rank FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER)
+            AS rank
+          FROM scored) r WHERE rank <= 10""")),
 
     // random-hyperplane LSH candidate generation (linear-cost ANN feed)
     Q("simsearch_lsh",
