@@ -364,6 +364,50 @@ object ReferenceQueries {
         SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n
         FROM isl GROUP BY user_id, sess_id""")),
 
+    // ---- range (non-equi) join (SURVEY §2.4 "absent in reference, free
+    // in Spark"): events against generated day intervals ----
+    Q("join_range",
+      (s, dir) => {
+        val days = s.range(0, 31).select(
+          col("id").as("day_no"),
+          (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+            .cast("timestamp_ntz") + make_dt_interval(col("id")))
+            .as("day_start"))
+          .withColumn("day_end",
+            col("day_start") + make_dt_interval(lit(1)))
+        Sources.events(s, dir).join(broadcast(days),
+          col("ts") >= col("day_start") && col("ts") < col("day_end"))
+          .groupBy("day_no")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+      },
+      Some("""SELECT CAST(floor(date_diff('second',
+          TIMESTAMP '2024-01-01 00:00:00', CAST(ts AS TIMESTAMP))
+          / 86400.0) AS BIGINT) AS day_no,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts < TIMESTAMP '2024-02-01 00:00:00'
+        GROUP BY 1""")),
+
+    // ---- pivot (free op): per-user event-type count matrix ----
+    Q("pivot_events",
+      (s, dir) => Sources.events(s, dir)
+        .filter(col("user_id") < 20)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L),
+      Some("""SELECT user_id,
+        COUNT(*) FILTER (event_type = 'click') AS click,
+        COUNT(*) FILTER (event_type = 'view') AS view,
+        COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        COUNT(*) FILTER (event_type = 'signup') AS signup,
+        COUNT(*) FILTER (event_type = 'error') AS error
+        FROM events WHERE user_id < 20 GROUP BY user_id""")),
+
     // ---- global order-by + limit (free op; SURVEY §2.6 note) ----
     Q("topk_orders",
       (s, dir) => t(s, dir, "orders")
