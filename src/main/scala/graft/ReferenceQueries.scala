@@ -391,6 +391,36 @@ object ReferenceQueries {
           AND ts < TIMESTAMP '2024-02-01 00:00:00'
         GROUP BY 1""")),
 
+    // ---- as-of join (point-in-time): every event paired with the user's
+    // latest signup at-or-before it. Composed as union + carry-forward
+    // window (one shuffle); oracle is DuckDB's native ASOF LEFT JOIN ----
+    Q("join_asof",
+      (s, dir) => {
+        val ev = Sources.events(s, dir)
+        val left = ev.select("event_id", "user_id", "ts")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select("user_id", "ts", "event_id", "value")
+        graft.operators.Temporal.asofJoin(left, signups,
+          key = "user_id", leftTs = "ts", rightTs = "ts",
+          payload = Seq("value"), rightOrder = "event_id")
+          .select(col("event_id"), col("user_id"),
+            col("__carried.__matched_ts").as("signup_ts"),
+            col("__carried.value").as("signup_value"))
+      },
+      Some("""WITH ev AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                 event_type
+          FROM events),
+        s AS (
+          SELECT user_id, ts, value FROM (
+            SELECT user_id, ts, value, row_number() OVER (
+              PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM ev WHERE event_type = 'signup') t WHERE rn = 1)
+        SELECT e.event_id, e.user_id,
+               s.ts AS signup_ts, s.value AS signup_value
+        FROM ev e ASOF LEFT JOIN s
+          ON e.user_id = s.user_id AND e.ts >= s.ts""")),
+
     // ---- pivot (free op): per-user event-type count matrix ----
     Q("pivot_events",
       (s, dir) => Sources.events(s, dir)

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators Spark lacks natively.
+  *
+  * [[asofJoin]] — for every left row, attach the latest right row whose
+  * timestamp is ≤ the left timestamp, per key (the "as-of"/"point-in-time"
+  * join of kdb/pandas/Flink).
+  *
+  * Spark-first composition (preference order (a) of SURVEY.md §7.4 — no
+  * custom physical plan needed): tag and union both sides, one window sort per
+  * key carrying the last right-side payload forward
+  * (`last(_, ignoreNulls)` over unbounded-preceding), keep left rows.
+  *
+  * Cost: ONE shuffle of left+right on the key (the window), vs the naive
+  * range-join formulation (left ⋈ right on key AND rts ≤ ts, then argmax
+  * per left row) which is quadratic per key. At 100 TB: partition both
+  * sides by key, and the window sort is the only wide stage; skewed keys
+  * fall under AQE's skew-split because the window runs per key-partition.
+  *
+  * Tie semantics: a right row at exactly ts matches (≤); among equal right
+  * timestamps the highest `rightOrder` value wins (deterministic).
+  */
+object Temporal {
+
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String],
+      rightOrder: String): DataFrame = {
+    // deduplicate right side to one row per (key, ts): keep max rightOrder
+    val wDedup = Window.partitionBy(col(key), col(rightTs))
+      .orderBy(col(rightOrder).desc)
+    val r = right
+      .withColumn("__rn", row_number().over(wDedup))
+      .filter(col("__rn") === 1)
+      .select(col(key), col(rightTs).as("__ts"),
+        struct(col(rightTs).as("__matched_ts") +:
+          payload.map(c => col(c)): _*).as("__payload"))
+      .withColumn("__is_right", lit(1))
+
+    val l = left.withColumn("__ts", col(leftTs))
+      .withColumn("__payload",
+        lit(null).cast(r.schema("__payload").dataType))
+      .withColumn("__is_right", lit(0))
+
+    // right rows sort BEFORE left rows at equal __ts so equality matches
+    val wCarry = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.select((left.columns.map(col) ++
+        Seq(col("__ts"), col("__payload"), col("__is_right"))): _*)
+      .unionByName(r.select((left.columns.map(c =>
+        if (c == key) col(c) else lit(null).cast(left.schema(c).dataType)
+          .as(c)) ++ Seq(col("__ts"), col("__payload"),
+          col("__is_right"))): _*))
+      .withColumn("__carried",
+        last(col("__payload"), ignoreNulls = true).over(wCarry))
+      .filter(col("__is_right") === 0)
+      .drop("__ts", "__payload", "__is_right")
+  }
+}

@@ -166,6 +166,29 @@ class DedupSpec extends AnyFunSuite with SparkTester {
   }
 }
 
+class TemporalSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  private def ts(m: Int) = new java.sql.Timestamp(1704067200000L + m * 60000L)
+
+  test("asof join: latest at-or-before match per key, null before first") {
+    val left = Seq((1L, 1L, ts(5)), (2L, 1L, ts(15)), (3L, 1L, ts(2)),
+      (4L, 2L, ts(10))).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, 1L, ts(5), 1.0), (101L, 1L, ts(10), 2.0))
+      .toDF("event_id", "user_id", "ts", "value")
+      .select("user_id", "ts", "event_id", "value")
+    val r = graft.operators.Temporal.asofJoin(left, right,
+      "user_id", "ts", "ts", Seq("value"), "event_id")
+      .select($"event_id", $"__carried.value".as("v"))
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) null else x.getDouble(1))).toMap
+    assert(r(1L) == 1.0)  // exact-ts match counts (>=)
+    assert(r(2L) == 2.0)  // latest prior
+    assert(r(3L) == null) // before first right row
+    assert(r(4L) == null) // other key, no right rows
+  }
+}
+
 class SimilaritySpec extends AnyFunSuite with SparkTester {
 
   private lazy val emb =
