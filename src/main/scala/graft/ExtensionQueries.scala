@@ -286,6 +286,31 @@ object TextQueries {
            FROM s"""
       }),
 
+    // char-trigram language heuristic (n-gram form of language ID)
+    Q("text_langid_ngram",
+      (s, dir) => TextAnalysis.langIdNgram(
+        Sources.table(s, dir, "documents"), "doc_id", "text"),
+      Some {
+        val score = Seq("en", "de", "fr", "es").map { l =>
+          val inList = TextAnalysis.trigramProfiles(l)
+            .map(t => s"'$t'").mkString(", ")
+          s"""CAST(len(list_intersect(tris, [$inList])) AS INTEGER) AS t_$l"""
+        }.mkString(",\n")
+        s"""WITH tri AS (
+            SELECT doc_id, list_distinct(
+              [substr(lower(text), CAST(i AS INT), 3)
+               for i in range(1, length(text) - 1)]) AS tris
+            FROM documents),
+          s AS (SELECT doc_id, $score FROM tri)
+          SELECT doc_id, t_en, t_de, t_fr, t_es,
+            CASE WHEN greatest(t_en, t_de, t_fr, t_es) = 0 THEN 'und'
+                 WHEN t_en = greatest(t_en, t_de, t_fr, t_es) THEN 'en'
+                 WHEN t_de = greatest(t_en, t_de, t_fr, t_es) THEN 'de'
+                 WHEN t_fr = greatest(t_en, t_de, t_fr, t_es) THEN 'fr'
+                 ELSE 'es' END AS predicted
+          FROM s"""
+      }),
+
     Q("text_quality",
       (s, dir) => TextAnalysis.quality(
         Sources.table(s, dir, "documents"), "doc_id", "text"),

@@ -40,6 +40,35 @@ object TextAnalysis {
         .otherwise("es"))
   }
 
+  /** Characteristic character trigrams per language (tiny literal
+    * profiles — the n-gram form of the language heuristic). */
+  val trigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "ing", "and", "ion", "ent"),
+    "de" -> Seq("der", "sch", "ein", "ich", "und"),
+    "fr" -> Seq("les", "ent", "que", "des", "ais"),
+    "es" -> Seq("los", "que", "ado", "del", "cia"))
+
+  /** Language ID via character-trigram profile hits: score = number of
+    * profile trigrams present in the document's distinct trigram set.
+    * Same deterministic argmax/tie rules as [[langId]]. */
+  def langIdNgram(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tris = array_distinct(Text.charShingles(lower(col(textCol)), 3))
+    def score(lang: String): Column =
+      size(array_intersect(tris,
+        array(trigramProfiles(lang).map(lit): _*)))
+    val scored = df.select(col(idCol),
+      score("en").as("t_en"), score("de").as("t_de"),
+      score("fr").as("t_fr"), score("es").as("t_es"))
+    val best = greatest(col("t_en"), col("t_de"), col("t_fr"), col("t_es"))
+    scored.withColumn("predicted",
+      when(best === 0, lit("und"))
+        .when(col("t_en") === best, "en")
+        .when(col("t_de") === best, "de")
+        .when(col("t_fr") === best, "fr")
+        .otherwise("es"))
+  }
+
   /** Quality metrics: token count, mean token length, stopword ratio,
     * digit count, and a composite score — the length/punct/stopword-ratio
     * family used to filter training corpora. */
