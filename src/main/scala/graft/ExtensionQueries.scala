@@ -72,12 +72,15 @@ object DedupQueries {
       None),
 
     // near-dup clusters: connected components over the verified pair list;
-    // oracle = recursive min-label reachability in SQL
+    // oracle = recursive min-label reachability in SQL. The pair source is
+    // pluggable (any of the dedup_* pair operators produce the same
+    // thresholded exact pairs); the inverted-index form is used here, the
+    // LSH form is exercised by dedup_minhash
     Q("dedup_clusters",
       (s, dir) => {
         val docs = Sources.table(s, dir, "documents")
-        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-          k = 5, bands = 32, rowsPerBand = 4, threshold = 0.8)
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          k = 5, threshold = 0.8)
         Dedup.connectedComponents(docs, "doc_id", pairs)
       },
       Some(s"""WITH RECURSIVE
