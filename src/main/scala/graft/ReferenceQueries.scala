@@ -447,6 +447,38 @@ object ReferenceQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
 
+    // ---- custom typed Aggregator UDAF (SURVEY §7.4): bounded top-k with
+    // map-side partial aggregation, vs the window row_number oracle ----
+    Q("topk_aggregator",
+      (s, dir) => {
+        import s.implicits._
+        import graft.expressions.TopKAggregator
+        val agg = new TopKAggregator.TopK(3)
+        val in = t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_extendedprice").as("score"),
+            col("l_orderkey").as("id1"),
+            col("l_linenumber").as("id2"))
+        in.as[(String, Double, Long, Int)]
+          .groupByKey(_._1)
+          .mapValues(r => TopKAggregator.Scored(r._2, r._3, r._4))
+          .agg(agg.toColumn)
+          .flatMap { case (flag, top) =>
+            top.zipWithIndex.map { case (x, i) =>
+              (flag, i + 1, x.score, x.id1, x.id2)
+            }
+          }
+          .toDF("l_returnflag", "rank", "l_extendedprice", "l_orderkey",
+            "l_linenumber")
+      },
+      Some("""SELECT l_returnflag, CAST(rn AS INTEGER) AS rank,
+        l_extendedprice, l_orderkey, l_linenumber FROM (
+        SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+          row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                     l_linenumber ASC) AS rn
+        FROM lineitem) t WHERE rn <= 3""")),
+
     // ---- rollup aggregation (free op; SURVEY §2.5 note) ----
     Q("rollup_agg",
       (s, dir) => t(s, dir, "lineitem")

@@ -1,0 +1,46 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded top-k as a typed `Aggregator` UDAF (the §7.4 "one plausible
+  * UDAF" slot).
+  *
+  * Why an aggregator instead of window `row_number <= k`: the window form
+  * shuffles EVERY row to its group's partition and sorts it; this
+  * aggregator keeps a k-bounded buffer, so map-side partial aggregation
+  * reduces each partition to ≤ k rows per group before the shuffle —
+  * at 100 TB that's the difference between shuffling the fact table and
+  * shuffling (groups × k) rows.
+  *
+  * Ordering is total (score desc, then both id fields asc), so results are
+  * deterministic and oracle-comparable against the window formulation.
+  */
+object TopKAggregator {
+
+  case class Scored(score: Double, id1: Long, id2: Int)
+
+  private val ord: Ordering[Scored] = Ordering.by((s: Scored) =>
+    (-s.score, s.id1, s.id2.toLong))
+
+  class TopK(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
+    override def zero: List[Scored] = Nil
+
+    private def trim(xs: List[Scored]): List[Scored] =
+      xs.sorted(ord).take(k)
+
+    override def reduce(buf: List[Scored], a: Scored): List[Scored] =
+      trim(a :: buf)
+
+    override def merge(b1: List[Scored], b2: List[Scored]): List[Scored] =
+      trim(b1 ::: b2)
+
+    override def finish(reduction: List[Scored]): Seq[Scored] =
+      reduction.sorted(ord)
+
+    override def bufferEncoder: Encoder[List[Scored]] =
+      Encoders.kryo[List[Scored]]
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      Encoders.kryo[Seq[Scored]]
+  }
+}
