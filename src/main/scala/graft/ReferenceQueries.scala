@@ -568,6 +568,35 @@ object ReferenceQueries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         FROM lineitem WHERE l_suppkey <= 10""")),
 
+    // ---- exact quantiles (free op): linear-interpolated percentiles ----
+    Q("agg_quantiles",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("qty_p50")),
+      Some("""SELECT l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- moment statistics (free op): corr / stddev ----
+    Q("agg_stats",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("corr_qty_price"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(avg(col("l_quantity")), 4).as("mean_qty")),
+      Some("""SELECT l_returnflag,
+        round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        round(stddev_samp(l_quantity), 4) AS sd_qty,
+        round(avg(l_quantity), 4) AS mean_qty
+        FROM lineitem GROUP BY l_returnflag""")),
+
     // ---- HLL sketch aggregation (SURVEY §2.5 "free" row). Approximate ⇒
     // no cross-engine oracle; bounded-error vs exact is asserted in
     // OperatorsSpec ----
