@@ -56,6 +56,31 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream interval join (attribution shape): each purchase joined
+    * to clicks by the same user within the preceding `horizon`. Watermarks
+    * on BOTH sides bound the join state — Spark drops buffered rows older
+    * than watermark+interval, so state size tracks the horizon, not the
+    * stream history. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour", watermark: String = "2 hours")
+      : DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+      p("user_id") === c("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"),
+      "inner")
+      .select(col("purchase_id"), col("click_id"), p("user_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, lastSeen: Long, nEvents: Long)

@@ -88,6 +88,34 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches the batch interval join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj")
+    val cDir = dir.resolve("clicks"); val pDir = dir.resolve("purch")
+    Seq((1L, ts(0), 1L, "click", 0.0), (2L, ts(30), 1L, "click", 0.0),
+      (3L, ts(10), 2L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(cDir.toString)
+    // purchase at min 45: clicks at 0 and 30 are within 1h for user 1;
+    // purchase at min 200 for user 2: click at 10 is outside 1h
+    Seq((10L, ts(45), 1L, "purchase", 9.99), (11L, ts(200), 2L, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(pDir.toString)
+
+    val cSchema = spark.read.parquet(cDir.toString).schema
+    val clicks = spark.readStream.schema(cSchema).parquet(cDir.toString)
+    val purchases = spark.readStream.schema(cSchema).parquet(pDir.toString)
+    val q = EventStream.attributionJoin(clicks, purchases)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((10L, 1L), (10L, 2L)))
+    } finally q.stop()
+  }
+
   test("sessionization groups events by gap") {
     val evs = Seq(
       EventStream.EventRow(1, ts(0), 1, "click", 1.0),
