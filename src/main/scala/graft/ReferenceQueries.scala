@@ -533,6 +533,16 @@ object ReferenceQueries {
           types={'column00': 'BIGINT', 'column40': 'DOUBLE',
                  'column41': 'DOUBLE'})) t""")),
 
+    // ---- S2/S3: v1 (58-col) and mentions (16-col) scans ----
+    Q("scan_csv_v1",
+      (s, _) => Sources.v1Events(s, "/root/repo/fixtures/v1_sample.tsv"),
+      Some(scanCsvV1Oracle)),
+
+    Q("scan_csv_mentions",
+      (s, _) => Sources.v2Mentions(s,
+        "/root/repo/fixtures/mentions_sample.tsv"),
+      Some(scanCsvMentionsOracle)),
+
     // ---- left-semi / left-anti joins (free ops; SURVEY §2.4 note) ----
     Q("join_semi",
       (s, dir) => t(s, dir, "customer").join(
@@ -666,12 +676,13 @@ object ReferenceQueries {
         strftime(o_orderdate, '%Y%m%d') AS yyyymmdd FROM orders"""))
   )
 
-  /** DuckDB oracle for the S1 scan: read the same fixture with the same
-    * typed schema (generated from [[graft.schema.Schemas.v2Export]] so the
-    * two can never drift). */
-  private def scanCsvOracle: String = {
+  /** DuckDB oracle for a GDELT scan: read the same fixture with the same
+    * typed schema (generated from the `StructType` so the two can never
+    * drift). */
+  private def readCsvOracle(schema: org.apache.spark.sql.types.StructType,
+      path: String): String = {
     import org.apache.spark.sql.types._
-    val duck = graft.schema.Schemas.v2Export.fields.map { f =>
+    val duck = schema.fields.map { f =>
       val t = f.dataType match {
         case StringType => "VARCHAR"
         case IntegerType => "INTEGER"
@@ -681,7 +692,19 @@ object ReferenceQueries {
       }
       s"'${f.name}': '$t'"
     }.mkString(", ")
-    s"""SELECT * FROM read_csv('/root/repo/fixtures/v2_sample.tsv',
+    s"""SELECT * FROM read_csv('$path',
        delim='\t', header=false, nullstr='', columns={$duck})"""
   }
+
+  private def scanCsvOracle: String =
+    readCsvOracle(graft.schema.Schemas.v2Export,
+      "/root/repo/fixtures/v2_sample.tsv")
+
+  private[graft] def scanCsvV1Oracle: String =
+    readCsvOracle(graft.schema.Schemas.v1Events,
+      "/root/repo/fixtures/v1_sample.tsv")
+
+  private[graft] def scanCsvMentionsOracle: String =
+    readCsvOracle(graft.schema.Schemas.v2Mentions,
+      "/root/repo/fixtures/mentions_sample.tsv")
 }
