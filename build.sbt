@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// the bench/verify contract wants the result JSON as the LAST stdout line,
+// unprefixed: suppress sbt's "[success] Total time: ..." epilogue and pass
+// the forked JVM's stdout through verbatim (the default logger prefixes
+// every line with "[info] ", which broke the driver's JSON parse in r1)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+run / connectInput := true
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -3,7 +3,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // BASELINE.md pins the operative bench config at local[4] with 4
+    // shuffle partitions — round-over-round comparisons only mean something
+    // at a fixed config, so this is NOT taken from the driver environment
+    // (r1 drifted to 32 cpus that way). GRAFT_BENCH_CPUS exists only for
+    // local experiments.
+    val cpus = sys.env.getOrElse("GRAFT_BENCH_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,15 +24,25 @@ object Bench {
     // doesn't absorb session init
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"BENCH FAIL $name: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qs,"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
+    // stop Spark BEFORE printing so no shutdown logging can land after the
+    // result line — the driver parses the last stdout line
     spark.stop()
+    println(line)
   }
 }

@@ -63,13 +63,40 @@ object DedupQueries {
         k = 5, bands = 32, rowsPerBand = 4, threshold = 0.8),
       Some(jaccardPairsSql)),
 
-    // SimHash banding — signature algebra not expressible in ANSI SQL;
-    // covered by ScalaTest (rows-only check here)
+    // SimHash pairs, fully oracle-checked: the per-shingle hash is
+    // md5-derived (same bytes in both engines), and segment banding has
+    // recall 1 for hamming <= maxHamming (pigeonhole), so the banded
+    // Spark result must equal DuckDB's brute-force all-pairs hamming scan
     Q("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(
         Sources.table(s, dir, "documents"), "doc_id", "text",
         k = 3, maxHamming = 8),
-      None),
+      Some("""WITH w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(ws) >= 3
+              THEN list_distinct([array_to_string(ws[i:i+2], ' ')
+                                  for i in range(1, len(ws) - 1)])
+              ELSE [array_to_string(ws, ' ')] END AS s
+          FROM w),
+        shx AS (
+          SELECT doc_id, ('0x' || substr(md5(unnest(s)), 1, 16))::UBIGINT AS h
+          FROM sh),
+        votes AS (
+          SELECT doc_id, j, sum(((h >> j) & 1)::INTEGER * 2 - 1) AS v
+          FROM shx, (SELECT unnest(range(0, 64)) AS j)
+          GROUP BY doc_id, j),
+        sig AS (
+          SELECT doc_id,
+            sum(CASE WHEN v > 0 THEN 1::UBIGINT << j::INTEGER
+                ELSE 0::UBIGINT END) AS simhash
+          FROM votes GROUP BY doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""")),
 
     // near-dup clusters: connected components over the verified pair list;
     // oracle = recursive min-label reachability in SQL. The pair source is
@@ -405,13 +432,17 @@ object MultimodalQueries {
         CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
         md5(text) AS checksum_hex FROM documents""")),
 
+    // frames emitted as hex strings (not raw binary) so the driver's
+    // pandas hash-compare can sort/factorize them — raw bytes crash it
     Q("multimodal_frames",
       (s, dir) => Multimodal.sampleFrames(
         Multimodal.withBinaryPayload(
           Sources.table(s, dir, "documents"), "text"),
-        "doc_id", "payload", frameSize = 32, stride = 16),
+        "doc_id", "payload", frameSize = 32, stride = 16)
+        .select(col("doc_id"), col("frame_no"),
+          hex(col("frame")).as("frame_hex")),
       Some("""SELECT doc_id, CAST(i AS INTEGER) AS frame_no,
-        encode(substr(text, CAST(i * 16 + 1 AS INTEGER), 32)) AS frame FROM (
+        hex(substr(text, CAST(i * 16 + 1 AS INTEGER), 32)) AS frame_hex FROM (
         SELECT doc_id, text,
           unnest(range(0,
             greatest(0, (octet_length(encode(text)) - 32) // 16) + 1)) AS i

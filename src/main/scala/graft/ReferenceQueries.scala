@@ -543,6 +543,55 @@ object ReferenceQueries {
         "/root/repo/fixtures/mentions_sample.tsv"),
       Some(scanCsvMentionsOracle)),
 
+    // ---- S9: lookup dimension scan over the committed reference-format
+    // fixture (CODE\tLABEL header; leading-zero codes must stay strings,
+    // extractor/schema.py:65) ----
+    Q("scan_lookup",
+      (s, _) => Sources.lookup(s, "/root/repo/fixtures/lookups/cameo.txt"),
+      Some("""SELECT * FROM read_csv(
+        '/root/repo/fixtures/lookups/cameo.txt', delim='\t', header=true,
+        columns={'CODE': 'VARCHAR', 'LABEL': 'VARCHAR'})""")),
+
+    // ---- J2 over a real code table: event code -> CAMEO label via the
+    // broadcast lookup dim (the join lookups/ was checked in for) ----
+    Q("join_lookup",
+      (s, _) => EventOps.joinDim(
+          Sources.v2Export(s, "/root/repo/fixtures/v2_sample.tsv")
+            .select(col("GLOBALEVENTID"), col("EventCode")),
+          Sources.lookup(s, "/root/repo/fixtures/lookups/cameo.txt"),
+          col("EventCode"), col("CODE"))
+        .select(col("GLOBALEVENTID"), col("EventCode"), col("LABEL")),
+      Some("""SELECT e.GLOBALEVENTID, e.EventCode, l.LABEL
+        FROM (SELECT column00 AS GLOBALEVENTID, column26 AS EventCode
+              FROM read_csv('/root/repo/fixtures/v2_sample.tsv', delim='\t',
+                header=false, nullstr='',
+                types={'column00': 'BIGINT', 'column26': 'VARCHAR'})) e
+        LEFT JOIN read_csv('/root/repo/fixtures/lookups/cameo.txt',
+          delim='\t', header=true,
+          columns={'CODE': 'VARCHAR', 'LABEL': 'VARCHAR'}) l
+        ON e.EventCode = l.CODE""")),
+
+    // ---- J2 (CAMEO-root dict form, extractor/schema.py:153-174): root
+    // code "01".."20" -> category via the broadcast 20-row dict ----
+    Q("cameo_root_join",
+      (s, _) => EventOps.withCameoRootLabel(
+        Sources.v2Export(s, "/root/repo/fixtures/v2_sample.tsv")
+          .select(col("GLOBALEVENTID"), col("EventRootCode")),
+        "EventRootCode"),
+      Some {
+        val dict = EventOps.cameoRoot
+          .map { case (c, l) => s"('$c','$l')" }.mkString(", ")
+        s"""WITH dict(code, root_label) AS (VALUES $dict),
+          ev AS (SELECT column00 AS GLOBALEVENTID,
+                        column28 AS EventRootCode
+                 FROM read_csv('/root/repo/fixtures/v2_sample.tsv',
+                   delim='\t', header=false, nullstr='',
+                   types={'column00': 'BIGINT', 'column28': 'VARCHAR'}))
+          SELECT ev.GLOBALEVENTID, ev.EventRootCode, dict.root_label
+          FROM ev LEFT JOIN dict
+          ON regexp_replace(ev.EventRootCode, '^0', '') = dict.code"""
+      }),
+
     // ---- left-semi / left-anti joins (free ops; SURVEY §2.4 note) ----
     Q("join_semi",
       (s, dir) => t(s, dir, "customer").join(

@@ -8,6 +8,12 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   runMain graft.RunPipeline v2 <export.tsv> <mentions.tsv> <outDir>
   *   runMain graft.RunPipeline v1 <events.tsv> <outDir>
+  *   runMain graft.RunPipeline v2-acquire <lastupdate.txt> <zipDir> <outDir>
+  *
+  * `v2-acquire` runs the S4/S6 acquisition front door
+  * ([[graft.sources.Acquire]]) against already-downloaded bytes: parse the
+  * pointer file, extract + rename the referenced export/mentions drops
+  * from `zipDir`, then run the same v2 pipeline over the extracted TSVs.
   */
 object RunPipeline {
   def main(args: Array[String]): Unit = {
@@ -26,10 +32,17 @@ object RunPipeline {
         Pipeline.runV2(spark, export, mentions, out)
       case "v1" :: events :: out :: Nil =>
         Pipeline.runV1(spark, events, out)
+      case "v2-acquire" :: pointer :: zipDir :: out :: Nil =>
+        val temp = java.nio.file.Files.createTempDirectory("graft-acquire")
+        val (exportTsv, mentionsTsv) = graft.sources.Acquire.collectV2(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(pointer)),
+          java.nio.file.Paths.get(zipDir), temp)
+        Pipeline.runV2(spark, exportTsv.toString, mentionsTsv.toString, out)
       case _ =>
         System.err.println(
           "usage: RunPipeline v2 <export.tsv> <mentions.tsv> <outDir> | " +
-            "v1 <events.tsv> <outDir>")
+            "v1 <events.tsv> <outDir> | " +
+            "v2-acquire <lastupdate.txt> <zipDir> <outDir>")
         sys.exit(2)
     }
     // runtime print, the reference's only instrumentation (extractor.py:434)

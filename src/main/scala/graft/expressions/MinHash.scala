@@ -1,0 +1,93 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+
+/** Codegen'd MinHash signature: `array<string>` shingles in, `array<long>`
+  * of `numHashes` per-permutation minima out — the whole signature in one
+  * compiled pass per document.
+  *
+  * Why an expression and not an aggregation: the exploded formulation
+  * (shingle rows → `numHashes` separate `min(xxhash64(lit(i), h))`
+  * aggregates) pays for an explode, a very wide HashAggregate and a full
+  * shuffle of the shingle rows just to compute a per-document value. Here
+  * the signature is a scalar function of the document's shingle set, so it
+  * runs inside the scan's whole-stage-codegen span, shuffles nothing, and
+  * the signature table is `docs × numHashes` longs by construction.
+  * (This was the r1 bench's single slowest stage: 20s of the dedup_minhash
+  * query at sf0.1.)
+  *
+  * Hash family — bit-identical to the aggregate formulation it replaces:
+  * each shingle string is hashed once with Spark's `xxhash64` (seed 42),
+  * then re-keyed per permutation `i` as `xxhash64(i: int, h: long)`, i.e.
+  * `XXH64.hashLong(h, XXH64.hashInt(i, 42))`. Permutation seeds are
+  * precomputed once per expression instance.
+  */
+case class MinHashSignatureExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  require(numHashes >= 1, s"need numHashes>=1; got $numHashes")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+
+  // seeds(i) = xxhash64's state after hashing the int literal i with the
+  // default seed 42 — matching xxhash64(lit(i), h) child order exactly
+  @transient private lazy val seeds: Array[Long] = {
+    val a = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) { a(i) = XXH64.hashInt(i, 42L); i += 1 }
+    a
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var e = 0
+    while (e < m) {
+      val s = arr.getUTF8String(e)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, 42L)
+      var i = 0
+      while (i < numHashes) {
+        val v = XXH64.hashLong(h, seeds(i))
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      e += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("minhasher", this,
+      classOf[MinHashSignatureExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object MinHash {
+  def signature(shingles: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      MinHashSignatureExpr(
+        org.apache.spark.sql.graft.Bridge.expression(shingles), numHashes))
+}

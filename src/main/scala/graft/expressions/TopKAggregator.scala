@@ -20,26 +20,47 @@ object TopKAggregator {
 
   case class Scored(score: Double, id1: Long, id2: Int)
 
+  /** Buffer wrapper so the intermediate state serializes with the product
+    * (Tungsten) encoder rather than Kryo — the buffer crosses the shuffle
+    * once per map-side partial, so its encoding is on the hot path.
+    * Invariant: `items` is sorted by [[ord]] (best first) and ≤ k long. */
+  case class TopKBuf(items: Seq[Scored])
+
   private val ord: Ordering[Scored] = Ordering.by((s: Scored) =>
     (-s.score, s.id1, s.id2.toLong))
 
-  class TopK(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
-    override def zero: List[Scored] = Nil
+  class TopK(k: Int) extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
+    override def zero: TopKBuf = TopKBuf(Vector.empty)
 
-    private def trim(xs: List[Scored]): List[Scored] =
-      xs.sorted(ord).take(k)
+    /** O(k) bounded insert into the sorted buffer — the common case (row
+      * worse than the current k-th) is a single comparison, no re-sort and
+      * no allocation. */
+    override def reduce(buf: TopKBuf, a: Scored): TopKBuf = {
+      val xs = buf.items
+      if (xs.size >= k && ord.lteq(xs.last, a)) buf
+      else {
+        val i = xs.indexWhere(x => ord.gt(x, a))
+        val at = if (i < 0) xs.size else i
+        TopKBuf(((xs.take(at) :+ a) ++ xs.drop(at)).take(k))
+      }
+    }
 
-    override def reduce(buf: List[Scored], a: Scored): List[Scored] =
-      trim(a :: buf)
+    /** Merge of two sorted ≤k buffers: linear zip, stops at k. */
+    override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
+      val out = Vector.newBuilder[Scored]
+      var i = 0; var j = 0; var n = 0
+      val x = b1.items; val y = b2.items
+      while (n < k && (i < x.size || j < y.size)) {
+        val takeX = j >= y.size || (i < x.size && ord.lteq(x(i), y(j)))
+        if (takeX) { out += x(i); i += 1 } else { out += y(j); j += 1 }
+        n += 1
+      }
+      TopKBuf(out.result())
+    }
 
-    override def merge(b1: List[Scored], b2: List[Scored]): List[Scored] =
-      trim(b1 ::: b2)
+    override def finish(reduction: TopKBuf): Seq[Scored] = reduction.items
 
-    override def finish(reduction: List[Scored]): Seq[Scored] =
-      reduction.sorted(ord)
-
-    override def bufferEncoder: Encoder[List[Scored]] =
-      Encoders.kryo[List[Scored]]
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
     override def outputEncoder: Encoder[Seq[Scored]] =
       Encoders.kryo[Seq[Scored]]
   }

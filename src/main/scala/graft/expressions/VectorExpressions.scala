@@ -23,13 +23,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Returns null if either input is null or either norm is zero.
   */
-case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
-
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
-  override def prettyName: String = "cosine_similarity"
-
+/** Input validation shared by the float-vector expressions: all of them
+  * read elements with `getFloat`, which silently returns garbage on any
+  * other element width — so anything but `array<float>` must be rejected
+  * at analysis time, not produce wrong numbers at run time. */
+trait FloatArrayInputs { self: BinaryExpression =>
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -41,6 +39,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"$prettyName requires two array<float> arguments, " +
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with FloatArrayInputs {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_similarity"
 
   @inline private def compute(a: ArrayData, b: ArrayData): Any = {
     val n = math.min(a.numElements(), b.numElements())
@@ -96,7 +102,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * accumulation, index order). Pairwise similarity with precomputed norms
   * does 1/3 the flops of recomputing both norms per pair. */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with FloatArrayInputs {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
@@ -135,7 +141,7 @@ case class DotProduct(left: Expression, right: Expression)
   * rationale as [[CosineSimilarity]]; used by IVF cell assignment where it
   * is evaluated |corpus| × |centroids| times. */
 case class SquaredDistance(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with FloatArrayInputs {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "squared_distance"

@@ -37,7 +37,11 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   def compute(s: UTF8String): ArrayData = {
     val text = s.toString
     val n = text.length
-    if (n < k) return new GenericArrayData(Array[Any](0L))
+    // texts shorter than one k-gram have no fingerprints (an empty array —
+    // NOT a shared sentinel value, which would spuriously match all short
+    // docs against each other; explode() then drops the doc, matching the
+    // oracle SQL which emits no rows for it)
+    if (n < k) return new GenericArrayData(Array.empty[Any])
     val m = n - k + 1 // number of k-grams
     val hashes = new Array[Long](m)
     // initial window

@@ -46,12 +46,32 @@ object Dedup {
     *
     * Shuffle profile: one shuffle on shingle (pair generation), one on
     * (doc_a, doc_b) (intersection count), two broadcast-or-shuffle joins for
-    * set sizes. Skew guard at 100 TB: ultra-frequent shingles (stop-shingle
-    * phrases) should be dropped by a document-frequency cap before the
-    * self-join; with k≥5 over natural text the frequency tail is flat. */
+    * set sizes.
+    *
+    * Skew guard at 100 TB: a shingle appearing in d documents fans out to
+    * d²/2 join rows, so one ubiquitous boilerplate phrase ("all rights
+    * reserved …") turns the self-join quadratic in corpus size.
+    * `maxDocFreq` drops shingles whose document frequency exceeds the cap
+    * from BOTH the index and the per-doc set sizes — i.e. Jaccard over the
+    * capped shingle universe (the standard stop-shingle semantics; boiler-
+    * plate shared by half the corpus carries no dedup signal anyway). With
+    * `maxDocFreq = None` (the oracle-checked configuration) results are the
+    * exact brute-force answer; with a cap, fan-out per shingle is bounded
+    * by cap²/2 regardless of corpus pathology. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, threshold: Double = 0.8): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, k)
+      k: Int = 5, threshold: Double = 0.8,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val all = shingleRows(df, idCol, textCol, k)
+    val sh = maxDocFreq match {
+      case Some(cap) =>
+        // document frequency per shingle: one map-side-combined aggregate
+        // on the same key the self-join shuffles on; hot shingles are then
+        // anti-joined away (the hot list is tiny — broadcast)
+        val hot = all.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+        all.join(broadcast(hot), Seq("sh"), "left_anti")
+      case None => all
+    }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -89,29 +109,26 @@ object Dedup {
     val base = df.select(col(idCol).as("doc_id"),
       Text.wordShingles(col(textCol), k).as("shs"))
 
-    // Signature via explode + numHashes min-aggregates: each (variable-
-    // length) shingle string is xxhash64'ed ONCE, then re-keyed per
-    // permutation by hashing the fixed-width long with the permutation
-    // index (seeded xxhash64 — overflow-free under ANSI mode, unlike
-    // affine a·h+b). The mins are computed by a codegen'd hash-aggregate
-    // with map-side partial min — ~30× faster than the per-row
-    // nested-lambda formulation (HOFs are interpreted, and would re-hash
-    // every shingle string numHashes times).
-    val hashed = base.select(col("doc_id"), explode(col("shs")).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    val minAggs = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("h"))).as(s"m$i")
-    }
+    // Signature via one codegen'd expression pass per document
+    // ([[graft.expressions.MinHashSignatureExpr]]): same hash family as the
+    // former explode + numHashes-wide min-aggregate formulation (each
+    // shingle xxhash64'ed once, re-keyed per permutation with seeded
+    // xxhash64 — overflow-free under ANSI mode, unlike affine a·h+b), but
+    // with NO explode, NO shuffle and no 128-field HashAggregate: the
+    // signature is computed inside the scan's codegen span. This stage was
+    // the r1 bench outlier (20s of dedup_minhash at sf0.1).
+    //
     // Signatures are tiny relative to the corpus (numHashes longs per doc
     // vs the document text) — materialize them once instead of recomputing
-    // the aggregation for each side of the band self-join (broadcast joins
-    // defeat ReusedExchange). At cluster scale this is "write the signature
+    // for each side of the band self-join (broadcast joins defeat
+    // ReusedExchange). At cluster scale this is "write the signature
     // table"; locally, MEMORY_AND_DISK persist.
-    val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val sig = base.select(col("doc_id"),
+        graft.expressions.MinHash.signature(col("shs"), numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map { bnd =>
       val rows = (0 until rowsPerBand)
-        .map(r => col(s"m${bnd * rowsPerBand + r}"))
+        .map(r => col("sig").getItem(bnd * rowsPerBand + r))
       struct(lit(bnd).as("band"), xxhash64(rows: _*).as("key"))
     }
     val bandRows = sig.select(col("doc_id"),
@@ -145,11 +162,22 @@ object Dedup {
     *
     * Computed by exploding shingles and summing the 64 per-bit ±1 votes in
     * one hash-aggregate (map-side combine keeps the shuffle at
-    * 64 longs × docs). */
+    * 64 longs × docs).
+    *
+    * The per-shingle 64-bit hash is the first 8 bytes of md5 — chosen over
+    * xxhash64 so the signature algebra is reproducible in ANSI SQL engines
+    * (DuckDB: `('0x' || substr(md5(s),1,16))::UBIGINT`), making the whole
+    * operator differential-testable; md5's bit dispersion is ideal for the
+    * per-bit votes. Assembled from two 32-bit halves because a 16-hex-char
+    * value can exceed Long.MaxValue (shiftleft wraps bitwise, no ANSI
+    * overflow). */
   def simhash(df: DataFrame, idCol: String, textCol: String, k: Int = 3)
       : DataFrame = {
+    val hex = md5(col("sh"))
+    val h64 = shiftleft(conv(substring(hex, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
     val sh = shingleRows(df, idCol, textCol, k)
-      .withColumn("h", xxhash64(col("sh")))
+      .withColumn("h", h64)
     val votes = (0 until 64).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j")
     }
@@ -237,7 +265,10 @@ object Dedup {
         .persist(MEMORY_AND_DISK)
       val s = next.agg(sum(col("cluster_id").cast("decimal(38,0)")))
         .head.getDecimal(0)
-      converged = prevSum != null && s.compareTo(prevSum) == 0
+      // sum over an empty labels frame is NULL (no pairs at the threshold):
+      // that IS the fixpoint — treating it as "not yet converged" would
+      // loop the driver forever
+      converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
       labels.unpersist()
       labels = next
@@ -278,12 +309,26 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs (exact all-pairs form).
     *
-    * Correct-by-construction baseline; quadratic, so only for bounded
-    * partitions — the scale path is [[Similarity.lshCandidates]] + this as
-    * the verifier on candidates. Cosine is computed in double and rounded
-    * before thresholding so the cut is reproducible. */
+    * Correct-by-construction baseline; still Θ(n²) pair evaluations (that
+    * is what "exact all-pairs" means), so it is the *verifier*, not the
+    * production path — the scale path is [[Similarity.lshCandidates]] +
+    * exact verification on candidates only.
+    *
+    * Memory shape: instead of one BroadcastNestedLoopJoin that broadcasts
+    * the whole vector table (driver + every executor hold all n vectors —
+    * the first thing to OOM as n grows), pairs are enumerated block-wise:
+    * each vector hashes to one of `nBlocks` blocks, the a-side is
+    * replicated to the (blk, blk′≥blk) block pairs it participates in, and
+    * a shuffle equi-join on the b-side block id brings exactly two blocks
+    * together per task. Peak per-task memory = 2 blocks ≈ 2·n/nBlocks
+    * vectors, tunable independent of n; replication cost is the a-side
+    * ×(nBlocks+1)/2 on average. Output is identical (ids reordered to the
+    * id_a < id_b convention; cosine is symmetric).
+    *
+    * Cosine is computed in double and rounded before thresholding so the
+    * cut is reproducible. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, nBlocks: Int = 8): DataFrame = {
     import graft.expressions.VectorExpressions
     // precompute ‖v‖ once per vector (materialized): each of the O(n²)
     // pairs then costs one dot product instead of dot + two norms. The
@@ -291,9 +336,21 @@ object Dedup {
     // the fused cosine, so results are bit-equal to it.
     val v = df.select(col(idCol).as("vec_id"), col(vecCol).as("e"))
       .withColumn("nrm", sqrt(VectorExpressions.dot(col("e"), col("e"))))
+      .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(nBlocks))
+        .cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+    // a-side row in block i meets b-side block j for every j ≥ i: each
+    // unordered cross-block pair materializes exactly once (orientation
+    // fixed by block order), same-block pairs are cut by vec_id order
+    val a = v.withColumn("blk_b", explode(sequence(col("blk"),
+      lit(nBlocks - 1))))
+    val joined = a.as("a").join(v.as("b"), col("a.blk_b") === col("b.blk"))
+      .filter(col("a.blk") < col("b.blk") ||
+        col("a.vec_id") < col("b.vec_id"))
+    joined
+      .select(
+        least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"),
         round(VectorExpressions.dot(col("a.e"), col("b.e")) /
           (col("a.nrm") * col("b.nrm")), 6).as("cos"))
       .filter(col("cos") >= threshold)

@@ -87,7 +87,13 @@ object Enrich {
     val in: Dataset[(Long, String)] = shaped.as[(Long, String)]
     in.mapPartitions { rows =>
       fetcher.open()
-      val out = rows.map { case (id, url) =>
+      // close exactly once per partition, however the task ends — full
+      // drain, early termination (limit/take), or task failure. Tying
+      // close() to iterator exhaustion would leak the client on partial
+      // consumers and double-close on repeated hasNext.
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => fetcher.close()))
+      rows.map { case (id, url) =>
         try {
           fetcher.fetch(url) match {
             case Some(page) => parseArticle(id, url, page)
@@ -98,10 +104,6 @@ object Enrich {
           case scala.util.control.NonFatal(_) =>
             Article(id, null, null, null, null, null)
         }
-      }
-      new Iterator[Article] {
-        def hasNext: Boolean = { val h = out.hasNext; if (!h) fetcher.close(); h }
-        def next(): Article = out.next()
       }
     }
   }

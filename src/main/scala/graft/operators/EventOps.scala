@@ -64,4 +64,32 @@ object EventOps {
   def joinDim(fact: DataFrame, dim: DataFrame, factKey: Column,
       dimKey: Column): DataFrame =
     fact.join(broadcast(dim), factKey === dimKey, "left")
+
+  /** The CAMEO root-code → category dict
+    * (reference: extractor/schema.py:153-174). Keys are unpadded root
+    * numbers ("1".."20"), while event root codes are zero-padded 2-char
+    * strings ("01".."20") — the join key strips the single leading zero. */
+  val cameoRoot: Seq[(String, String)] = Seq(
+    "1" -> "Public Comment", "2" -> "Appeal", "3" -> "Cooperate",
+    "4" -> "Consult", "5" -> "Diplomatic", "6" -> "Material",
+    "7" -> "Aid", "8" -> "Yield", "9" -> "Investigate",
+    "10" -> "Demand", "11" -> "Disapprove", "12" -> "Reject",
+    "13" -> "Threaten", "14" -> "Protest", "15" -> "Force Posture",
+    "16" -> "Reduce Relations", "17" -> "Coerce", "18" -> "Assault",
+    "19" -> "Fight", "20" -> "Mass Violence")
+
+  /** J2 (CAMEO-root form) — attach the root-category label to each event
+    * by its `EventRootCode`. The 20-row dict is broadcast; the fact side
+    * never shuffles. */
+  def withCameoRootLabel(fact: DataFrame, rootCodeCol: String,
+      out: String = "root_label"): DataFrame = {
+    val spark = fact.sparkSession
+    import spark.implicits._
+    val dim = cameoRoot.toDF("__root_code", "__root_label")
+    fact.join(broadcast(dim),
+        regexp_replace(col(rootCodeCol), "^0", "") === col("__root_code"),
+        "left")
+      .withColumnRenamed("__root_label", out)
+      .drop("__root_code")
+  }
 }

@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.zip.ZipInputStream
+
+/** Acquisition sources S4/S5/S6 (SURVEY.md §2.1) — the reference's front
+  * door, re-expressed as PURE, offline-testable functions plus one small
+  * zip-extraction step. Network I/O is deliberately not here: in
+  * production these parse the bytes an HTTP client (or a distributed
+  * fetch stage) already produced; in this offline harness they parse
+  * canned fixtures. Everything below is driver-side by design — the
+  * pointer file is 3 lines and a zip is one 15-minute drop; the cluster
+  * work starts at [[Sources.v2Export]] over the extracted TSVs.
+  *
+  * Reference behavior (and deviations, per SURVEY §8):
+  *  - S4 pointer file: `extractor/extractor.py:288-312` — last
+  *    whitespace token of each non-empty line is a URL, its label is the
+  *    third-from-last dot segment, and exactly 3 labels must result.
+  *  - S5 v1 listing: `extractor/extractor.py:314-321` anchors on link #4
+  *    of an HTML index — fragile (SURVEY §8.3); we key on the GDELT v1
+  *    filename pattern instead and take the lexicographically latest,
+  *    which for `YYYYMMDD.export.CSV.zip` names is the newest date.
+  *  - S6 zip extract + rename: `extractor/extractor.py:203-228`. The
+  *    reference's `str.strip(suffix)` calls are CHARACTER-SET strips, not
+  *    suffix removal (bug, SURVEY §8.1 #1) — they only work by luck on
+  *    timestamp-named files. [[stripSuffix]]/[[memberTxtName]] implement
+  *    real suffix semantics.
+  */
+object Acquire {
+
+  /** Failed 3-key validation or malformed inputs. */
+  final class AcquireException(msg: String) extends RuntimeException(msg)
+
+  /** S4 — parse a GDELT v2 `lastupdate.txt` pointer file:
+    * `<size> <md5> <url>` per line; label = third-from-last dot segment
+    * of the URL (`export`, `mentions`, `gkg`). Exactly 3 keys or error
+    * (reference validation, extractor.py:309-311). */
+  def parsePointerFile(text: String): Map[String, String] = {
+    val rows = text.split("\n").filter(_.nonEmpty)
+    val data = rows.flatMap { row =>
+      val url = row.split(" ").last
+      val segs = url.split('.')
+      if (segs.length >= 3) Some(segs(segs.length - 3) -> url) else None
+    }.toMap
+    if (data.size != 3)
+      throw new AcquireException(
+        s"Expecting 3 Keys for GDELT 2.0. Received: ${data.keys.toSeq.sorted}")
+    data
+  }
+
+  private val V1CsvRe = """(\d{8}(?:\.\d+)?\.export\.CSV\.zip)""".r
+  private val HrefRe = """href="([^"]+)"""".r
+
+  /** S5 — latest v1 events zip from an HTML directory listing. The
+    * reference hardcodes anchor #4; we match the v1 filename pattern in
+    * the hrefs and take the lexicographically greatest (= newest date for
+    * zero-padded YYYYMMDD names) — robust to listing layout changes. */
+  def parseV1Listing(html: String, baseUrl: String): String = {
+    val candidates = HrefRe.findAllMatchIn(html).map(_.group(1))
+      .flatMap(href => V1CsvRe.findFirstIn(href)).toSeq
+    if (candidates.isEmpty)
+      throw new AcquireException("no vN.export.CSV.zip links in listing")
+    s"${baseUrl.stripSuffix("/")}/${candidates.max}"
+  }
+
+  /** Real suffix strip (the operation extractor.py:222,226 *intended* with
+    * `str.strip`): remove `suffix` if present, else return unchanged. */
+  def stripSuffix(name: String, suffix: String): String =
+    if (name.endsWith(suffix)) name.dropRight(suffix.length) else name
+
+  /** S6 rename step: zip name → extracted TSV name.
+    * `20240115123000.export.CSV.zip` + label `export` →
+    * `20240115123000_export.txt` (reference intent, extractor.py:222-224,
+    * with correct suffix semantics). */
+  def memberTxtName(zipName: String, csvName: String): String = {
+    val stem = stripSuffix(zipName, s".$csvName.CSV.zip")
+    s"${stem}_$csvName.txt"
+  }
+
+  /** Unzip `zipPath` into `destDir` (zip-slip-guarded), returning the
+    * extracted file paths. Streams entry bytes — never buffers a whole
+    * member in memory (drops can be large; the reference also streams,
+    * extractor.py:212). */
+  def extractZip(zipPath: Path, destDir: Path): Seq[Path] = {
+    val out = Seq.newBuilder[Path]
+    val zin = new ZipInputStream(Files.newInputStream(zipPath))
+    try {
+      val destReal = destDir.toRealPath()
+      var entry = zin.getNextEntry
+      while (entry != null) {
+        if (!entry.isDirectory) {
+          val target = destDir.resolve(entry.getName).normalize()
+          if (!target.startsWith(destReal))
+            throw new AcquireException(
+              s"zip entry escapes destination: ${entry.getName}")
+          Files.createDirectories(target.getParent)
+          Files.copy(zin, target, StandardCopyOption.REPLACE_EXISTING)
+          out += target
+        }
+        zin.closeEntry()
+        entry = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.result()
+  }
+
+  /** S6 — extract one GDELT drop: unzip `zipPath` into `tempDir`, rename
+    * the member (zip name minus `.zip`, per GDELT packaging) to
+    * `<stem>_<csvName>.txt`, and return that path (extractor.py:203-228,
+    * with the two §8.1 bugs fixed). */
+  def extractCsv(csvName: String, zipPath: Path, tempDir: Path): Path = {
+    val zipName = zipPath.getFileName.toString
+    extractZip(zipPath, tempDir)
+    val member = tempDir.resolve(stripSuffix(zipName, ".zip"))
+    if (!Files.exists(member))
+      throw new AcquireException(
+        s"zip $zipName did not contain expected member ${member.getFileName}")
+    val txtPath = tempDir.resolve(memberTxtName(zipName, csvName))
+    Files.move(member, txtPath, StandardCopyOption.REPLACE_EXISTING)
+    txtPath
+  }
+
+  /** v2 acquisition against already-downloaded bytes: parse the pointer
+    * file, locate each referenced zip in `zipDir` by its URL basename,
+    * and extract/rename export + mentions (gkg is validated but unused by
+    * the pipeline, mirroring the reference's run_v2). Returns
+    * (exportTsv, mentionsTsv). */
+  def collectV2(pointerText: String, zipDir: Path, tempDir: Path)
+      : (Path, Path) = {
+    val urls = parsePointerFile(pointerText)
+    def local(label: String): Path = {
+      val url = urls.getOrElse(label,
+        throw new AcquireException(s"pointer file lacks '$label' url"))
+      val p = zipDir.resolve(url.split('/').last)
+      if (!Files.exists(p))
+        throw new AcquireException(s"missing local drop for $label: $p")
+      p
+    }
+    (extractCsv("export", local("export"), tempDir),
+      extractCsv("mentions", local("mentions"), tempDir))
+  }
+}

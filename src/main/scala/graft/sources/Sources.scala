@@ -40,13 +40,14 @@ object Sources {
   def v2Mentions(spark: SparkSession, path: String): DataFrame =
     tsv(spark, path, Schemas.v2Mentions)
 
-  /** S9 — CODE→LABEL dimension table (extractor/lookups/<i>.txt). Tiny by
-    * construction; callers wrap in `broadcast(...)` for map-side joins. */
+  /** S9 — CODE→LABEL dimension table (extractor/lookups/<i>.txt, which
+    * carry a `CODE\tLABEL` header line). Tiny by construction; callers
+    * wrap in `broadcast(...)` for map-side joins. */
   def lookup(spark: SparkSession, path: String): DataFrame =
     spark.read
       .schema(Schemas.lookup)
       .option("sep", "\t")
-      .option("header", "false")
+      .option("header", "true")
       .csv(path)
 
   /** Harness adapter: one parquet table out of a scale-factor directory

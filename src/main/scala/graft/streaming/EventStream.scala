@@ -88,40 +88,67 @@ object EventStream {
       n_events: Long)
 
   /** Gap-based sessionization with explicit keyed state: a session closes
-    * when `gapMs` passes without an event from that user (processing-time
-    * timeout for the streaming case; on batch input all groups flush at
-    * end). */
+    * when `gapMs` passes without an event from that user.
+    *
+    * Streaming input: the open session LIVES IN STATE across micro-batches
+    * (a session spanning batches stays one session); it is emitted either
+    * when a later event closes it by event-time gap, or when a
+    * processing-time timeout of `gapMs` fires with no new events. Batch
+    * input: timeouts never fire and state does not survive the single
+    * invocation, so the open session flushes at end-of-group — same output
+    * as the streaming query after its final timeout. */
   def sessionize(events: Dataset[EventRow], gapMs: Long = 30 * 60 * 1000L)
       : Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val streaming = events.isStreaming
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, rows: Iterator[EventRow],
             state: GroupState[SessionState]) =>
-          // batch-mode semantics: fold this user's events in time order,
-          // emitting a session each time the gap is exceeded
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val out = scala.collection.mutable.ListBuffer.empty[Session]
-          var cur: Option[SessionState] = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.lastSeen <= gapMs =>
-                cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1))
-              case Some(s) =>
-                out += Session(userId, s.start, s.lastSeen, s.nEvents)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
-            }
-          }
-          cur.foreach { s =>
-            out += Session(userId, s.start, s.lastSeen, s.nEvents)
+          if (streaming && state.hasTimedOut) {
+            // gap elapsed in processing time with no new events: the open
+            // session is over
+            val s = state.get
             state.remove()
+            Iterator.single(Session(userId, s.start, s.lastSeen, s.nEvents))
+          } else {
+            // fold this user's new events in time order onto the open
+            // session (if any), emitting a session each time the gap is
+            // exceeded
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ListBuffer.empty[Session]
+            var cur: Option[SessionState] = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  out += Session(userId, s.start, s.lastSeen, s.nEvents)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            if (streaming) {
+              // keep the open session across micro-batches; re-arm the gap
+              cur.foreach { s =>
+                state.update(s)
+                state.setTimeoutDuration(gapMs)
+              }
+            } else {
+              cur.foreach { s =>
+                out += Session(userId, s.start, s.lastSeen, s.nEvents)
+              }
+              if (state.exists) state.remove()
+            }
+            out.iterator
           }
-          out.iterator
       }
   }
 }

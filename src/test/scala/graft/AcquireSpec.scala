@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import graft.sources.Acquire
+
+class AcquireSpec extends AnyFunSuite with SparkTester {
+
+  private val pointer3 =
+    """137405 f28c8cf6cd79f34a9ed2c6e47e1249bd http://data.gdeltproject.org/gdeltv2/20240115123000.export.CSV.zip
+      |159408 a1246a4fcb8b5f0f04b2c5f25c9a8e11 http://data.gdeltproject.org/gdeltv2/20240115123000.mentions.CSV.zip
+      |841181 9c7f4dd1c3ce04b6e0fd729c0c7f40ab http://data.gdeltproject.org/gdeltv2/20240115123000.gkg.csv.zip
+      |""".stripMargin
+
+  test("S4: pointer file parses to the 3-key url map") {
+    val urls = Acquire.parsePointerFile(pointer3)
+    assert(urls.keySet == Set("export", "mentions", "gkg"))
+    assert(urls("export").endsWith("20240115123000.export.CSV.zip"))
+    assert(urls("mentions").endsWith(".mentions.CSV.zip"))
+  }
+
+  test("S4: missing key fails the 3-key validation (E2 path)") {
+    val twoLines = pointer3.split("\n").take(2).mkString("\n")
+    val e = intercept[Acquire.AcquireException] {
+      Acquire.parsePointerFile(twoLines)
+    }
+    assert(e.getMessage.contains("Expecting 3 Keys"))
+    // 3 lines but a duplicated label is also not 3 distinct keys
+    intercept[Acquire.AcquireException] {
+      Acquire.parsePointerFile(
+        pointer3.split("\n").take(2).mkString("\n") + "\n" +
+          pointer3.split("\n").head)
+    }
+  }
+
+  test("S5: v1 listing picks the latest export zip by filename pattern") {
+    // anchor position varies (the reference hardcodes link #4 — fragile);
+    // the parse must key on the filename pattern and pick the newest
+    val html =
+      """<html><body><a href="../">up</a><a href="index.html">idx</a>
+        |<a href="20240114.export.CSV.zip">jan 14</a>
+        |<a href="20240115.export.CSV.zip">jan 15</a>
+        |<a href="md5sums">sums</a></body></html>""".stripMargin
+    val url = Acquire.parseV1Listing(html,
+      "http://data.gdeltproject.org/events/")
+    assert(url ==
+      "http://data.gdeltproject.org/events/20240115.export.CSV.zip")
+    intercept[Acquire.AcquireException] {
+      Acquire.parseV1Listing("<html><a href=\"x.txt\">x</a></html>", "b")
+    }
+  }
+
+  test("S6: suffix strip is a real suffix removal, not a char-set strip") {
+    // the reference's zip_name.strip(f"{csv_name}.CSV.zip") removes a
+    // CHARACTER SET from both ends (SURVEY §8.1 #1): on this stem —
+    // made of characters from the set — Python would shred it. Real
+    // suffix semantics must keep the stem intact.
+    assert(Acquire.stripSuffix("export20.export.CSV.zip",
+      ".export.CSV.zip") == "export20")
+    assert(Acquire.memberTxtName("export20.export.CSV.zip", "export") ==
+      "export20_export.txt")
+    // normal timestamp-named drop
+    assert(Acquire.memberTxtName("20240115123000.export.CSV.zip",
+      "export") == "20240115123000_export.txt")
+    // absent suffix: unchanged
+    assert(Acquire.stripSuffix("abc", ".zip") == "abc")
+  }
+
+  private def writeZip(path: Path, entries: (String, String)*): Path = {
+    val z = new ZipOutputStream(Files.newOutputStream(path))
+    try entries.foreach { case (name, content) =>
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    } finally z.close()
+    path
+  }
+
+  test("S6: extractCsv unzips and renames with the timestamp-name scheme") {
+    val dir = Files.createTempDirectory("graft-acq")
+    val tsv = GdeltFixtures.standardV2Lines.mkString("\n")
+    val zip = writeZip(dir.resolve("20240115123000.export.CSV.zip"),
+      "20240115123000.export.CSV" -> tsv)
+    val out = Acquire.extractCsv("export", zip, dir)
+    assert(out.getFileName.toString == "20240115123000_export.txt")
+    assert(Files.readString(out) == tsv)
+  }
+
+  test("S6: zip without the expected member is an error, not silence") {
+    val dir = Files.createTempDirectory("graft-acq2")
+    val zip = writeZip(dir.resolve("20240115123000.export.CSV.zip"),
+      "unexpected.bin" -> "xx")
+    intercept[Acquire.AcquireException] {
+      Acquire.extractCsv("export", zip, dir)
+    }
+  }
+
+  test("S6: zip-slip entries are rejected") {
+    val dir = Files.createTempDirectory("graft-acq3")
+    val zip = writeZip(dir.resolve("evil.zip"), "../escape.txt" -> "boo")
+    intercept[Acquire.AcquireException] {
+      Acquire.extractZip(zip, dir)
+    }
+  }
+
+  test("acquisition front door feeds the full v2 pipeline end-to-end") {
+    val dir = Files.createTempDirectory("graft-acq-e2e")
+    val zipDir = dir.resolve("zips"); Files.createDirectory(zipDir)
+    val temp = dir.resolve("tmp"); Files.createDirectory(temp)
+    writeZip(zipDir.resolve("20240115123000.export.CSV.zip"),
+      "20240115123000.export.CSV" ->
+        GdeltFixtures.standardV2Lines.mkString("\n"))
+    writeZip(zipDir.resolve("20240115123000.mentions.CSV.zip"),
+      "20240115123000.mentions.CSV" ->
+        Seq(GdeltFixtures.mentionsRow(1, "https://a.example.com/x"),
+          GdeltFixtures.mentionsRow(2, "https://b.example.com/y"))
+          .mkString("\n"))
+    // gkg drop present for the 3-key validation; unused by run_v2
+    writeZip(zipDir.resolve("20240115123000.gkg.csv.zip"),
+      "20240115123000.gkg.csv" -> "")
+    val (exportTsv, mentionsTsv) =
+      Acquire.collectV2(pointer3, zipDir, temp)
+    val out = dir.resolve("out").toString
+    Pipeline.runV2(spark, exportTsv.toString, mentionsTsv.toString, out)
+    assert(spark.read.parquet(s"$out/v2_exports").count() == 4)
+    assert(spark.read.parquet(s"$out/v2_mentions").count() == 2)
+  }
+
+  test("collectV2 with a missing local drop is a clear error") {
+    val dir = Files.createTempDirectory("graft-acq-miss")
+    val e = intercept[Acquire.AcquireException] {
+      Acquire.collectV2(pointer3, dir, dir)
+    }
+    assert(e.getMessage.contains("missing local drop"))
+  }
+}

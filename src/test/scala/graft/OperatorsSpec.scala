@@ -164,6 +164,78 @@ class DedupSpec extends AnyFunSuite with SparkTester {
     assert((fps(1L) & fps(2L)).nonEmpty, "shared substring => shared fp")
     assert((fps(1L) & fps(3L)).size.toDouble / fps(1L).size < 0.2)
   }
+
+  test("winnowing: texts shorter than k yield NO fingerprints") {
+    import graft.expressions.Winnowing
+    // a shared sentinel would spuriously match all short docs against
+    // each other (and diverge from the oracle SQL, which emits no rows)
+    val fps = Seq((1L, "tiny"), (2L, "wee"), (3L, "exactly8"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Winnowing.winnow($"text", 8, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(1L).isEmpty && fps(2L).isEmpty)
+    assert(fps(3L).size == 1) // length == k: exactly one k-gram
+  }
+
+  test("connected components terminates on an empty pair list") {
+    // regression: sum over the empty labels frame is NULL every round —
+    // must be treated as the fixpoint, not looped on forever
+    val docs2 = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long, Double)]
+      .toDF("doc_a", "doc_b", "jaccard")
+    val cc = Dedup.connectedComponents(docs2, "doc_id", noPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("maxDocFreq cap drops boilerplate shingles, bounding fan-out") {
+    val boiler = "all rights reserved contact us for licensing terms today"
+    val corpus = (1 to 6).map(i =>
+      (i.toLong, s"$boiler unique$i words$i more$i stuff$i end$i"))
+      .toDF("doc_id", "text")
+    // uncapped: the shared boilerplate makes every doc pair similar
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      k = 3, threshold = 0.3)
+    assert(uncapped.count() == 15, "all 15 pairs above threshold uncapped")
+    // capped at df<=2: boilerplate shingles (df=6) leave the index, the
+    // per-doc unique tails share nothing => no pairs at all
+    val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      k = 3, threshold = 0.3, maxDocFreq = Some(2L))
+    assert(capped.count() == 0)
+    // a cap nothing exceeds is a no-op: identical to the exact answer
+    val noop = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      k = 3, threshold = 0.3, maxDocFreq = Some(100L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = uncapped
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(noop == exact)
+  }
+
+  test("blocked exact embedding pairs equal the single-join answer") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairsAt(nBlocks: Int) =
+      Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.45, nBlocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    // block count must not change the answer, only the memory shape
+    assert(pairsAt(1) == pairsAt(8))
+    assert(pairsAt(8) == pairsAt(3))
+  }
+
+  test("vector expressions reject non-float arrays at analysis time") {
+    import graft.expressions.VectorExpressions
+    // getFloat on an array<double> would silently read wrong slots —
+    // must be an analysis error, not wrong numbers
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    for (f <- Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column](
+      VectorExpressions.dot, VectorExpressions.squaredDist,
+      VectorExpressions.cosineSim)) {
+      intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(f($"a", $"b")).collect()
+      }
+    }
+  }
 }
 
 class TemporalSpec extends AnyFunSuite with SparkTester {

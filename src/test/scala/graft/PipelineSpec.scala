@@ -32,6 +32,35 @@ class EnrichSpec extends AnyFunSuite with SparkTester {
     assert(bad.title == null && bad.site == null && bad.keywords == null)
     assert(out.find(_.globaleventid == 10L).get.title == "Doc 10")
   }
+
+  test("fetcher closes exactly once per task, even under early limit") {
+    EnrichSpec.opens.set(0); EnrichSpec.closes.set(0)
+    val many = (1 to 64).map(i => (i.toLong, s"https://h.example.com/a/$i"))
+      .toDF("id", "url").repartition(4)
+    // partial consumption: limit(1) terminates tasks before the iterator
+    // drains — the completion listener must still close each opened fetcher
+    Enrich.enrich(many, "id", "url", new EnrichSpec.CountingFetcher)
+      .limit(1).collect()
+    assert(EnrichSpec.opens.get() >= 1)
+    assert(EnrichSpec.closes.get() == EnrichSpec.opens.get(),
+      s"opens=${EnrichSpec.opens.get()} closes=${EnrichSpec.closes.get()}")
+    // full drain: still exactly one close per open
+    EnrichSpec.opens.set(0); EnrichSpec.closes.set(0)
+    Enrich.enrich(many, "id", "url", new EnrichSpec.CountingFetcher).collect()
+    assert(EnrichSpec.opens.get() >= 1)
+    assert(EnrichSpec.closes.get() == EnrichSpec.opens.get())
+  }
+}
+
+object EnrichSpec {
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+  class CountingFetcher extends Enrich.ArticleFetcher {
+    override def open(): Unit = { opens.incrementAndGet(); () }
+    override def fetch(url: String): Option[String] =
+      new Enrich.StubFetcher().fetch(url)
+    override def close(): Unit = { closes.incrementAndGet(); () }
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with SparkTester {

@@ -45,7 +45,8 @@ object KernelProperties extends Properties("graft.kernels") {
   /** Naive winnowing reference: hash all k-grams, take min per window
     * (rightmost tie-break), distinct. */
   private def naiveWinnow(s: String, k: Int, w: Int): Seq[Long] = {
-    if (s.length < k) return Seq(0L)
+    // texts shorter than k have no k-grams and hence no fingerprints
+    if (s.length < k) return Seq.empty
     val hs = s.sliding(k).map { g =>
       g.foldLeft(0L)((h, c) => h * 31L + c)
     }.toIndexedSeq

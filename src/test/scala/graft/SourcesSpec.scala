@@ -77,13 +77,24 @@ class SourcesSpec extends AnyFunSuite with SparkTester {
       "https://b.example.com/y")
   }
 
-  test("lookup dimension table reads CODE/LABEL") {
+  test("lookup dimension table reads CODE/LABEL (header format)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lkp")
     val p = GdeltFixtures.write(dir.resolve("cameo.tsv"),
-      Seq("01\tMAKE PUBLIC STATEMENT", "02\tAPPEAL"))
+      Seq("CODE\tLABEL", "01\tMAKE PUBLIC STATEMENT", "02\tAPPEAL"))
     val df = Sources.lookup(spark, p)
     assert(df.count() == 2)
     assert(df.columns.toSeq == Seq("CODE", "LABEL"))
+  }
+
+  test("committed lookup fixtures parse and keep leading-zero codes") {
+    val df = Sources.lookup(spark, "/root/repo/fixtures/lookups/cameo.txt")
+    val m = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("01") == "MAKE PUBLIC STATEMENT") // string, not int-mangled
+    assert(m.contains("0231"))
+    for (f <- Seq("country", "ethnic", "groups", "religion", "types")) {
+      val d = Sources.lookup(spark, s"/root/repo/fixtures/lookups/$f.txt")
+      assert(d.count() > 0 && d.columns.toSeq == Seq("CODE", "LABEL"))
+    }
   }
 
   test("events table normalizes nanos ts to TIMESTAMP_NTZ") {

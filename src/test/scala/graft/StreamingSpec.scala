@@ -131,6 +131,55 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     assert(sessions(2).user_id == 2)
   }
 
+  test("streaming sessionization: sessions span micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[EventStream.EventRow]
+    // NOTE: with ProcessingTimeTimeout the engine keeps scheduling batches
+    // to service future timeouts (shouldRunAnotherBatch is always true),
+    // so processAllAvailable()/AvailableNow never return — poll the
+    // query's committed input-row count instead.
+    val q = EventStream.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+      .outputMode("append").start()
+    // recentProgress is a bounded window the empty timeout-service batches
+    // churn through — accumulate per-batchId counts across polls instead
+    // of summing one snapshot
+    val seen = scala.collection.mutable.Map.empty[Long, Long]
+    def awaitInputRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      def committed: Long = {
+        q.recentProgress.foreach(p => seen(p.batchId) = p.numInputRows)
+        seen.values.sum
+      }
+      while (committed < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(committed >= n, s"timed out waiting for $n input rows")
+    }
+    try {
+      mem.addData(
+        EventStream.EventRow(1, ts(0), 1, "click", 1.0),
+        EventStream.EventRow(2, ts(10), 1, "view", 1.0))
+      awaitInputRows(2)
+      // the open session is HELD IN STATE, not emitted as a partial
+      assert(spark.table("sess_stream").count() == 0)
+      mem.addData(EventStream.EventRow(3, ts(15), 1, "click", 1.0))
+      awaitInputRows(3)
+      assert(spark.table("sess_stream").count() == 0)
+      // an event past the gap closes the spanning session
+      mem.addData(EventStream.EventRow(4, ts(120), 1, "click", 1.0))
+      awaitInputRows(4)
+      val done = spark.table("sess_stream").collect()
+      assert(done.length == 1)
+      val s = done.head
+      assert(s.getLong(s.fieldIndex("n_events")) == 3,
+        "session split across micro-batches instead of spanning them")
+      assert(s.getLong(s.fieldIndex("start_ms")) == ts(0).getTime)
+      assert(s.getLong(s.fieldIndex("end_ms")) == ts(15).getTime)
+    } finally q.stop()
+  }
+
   private def ts(minutes: Int) =
     new java.sql.Timestamp(1704067200000L + minutes * 60000L)
 }
