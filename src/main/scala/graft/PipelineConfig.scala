@@ -1,0 +1,71 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** S8/E4 — pipeline configuration (reference: extractor/extractor.py:38-56
+  * and `config.json`): a flat JSON object with the five connection keys,
+  * plus the enrichment toggle the reference hardcodes
+  * (`self.articles = True`, extractor.py:36 — SURVEY §8.3 says make it a
+  * real flag).
+  *
+  * Invalid input (unparseable JSON, missing/null key, non-numeric port) is
+  * a [[PipelineConfig.ConfigException]]; [[RunPipeline]] maps it to the
+  * reference's failure mode — message to stderr, exit 1
+  * (extractor.py:54-56). */
+case class PipelineConfig(dbName: String, dbUser: String, dbPass: String,
+    dbHost: String, dbPort: Int, enrich: Boolean = true) {
+
+  /** JDBC endpoint for the K1/S7 paths (Postgres in the reference). */
+  def jdbcUrl: String = s"jdbc:postgresql://$dbHost:$dbPort/$dbName"
+
+  def jdbcProps: java.util.Properties = {
+    val p = new java.util.Properties()
+    p.setProperty("user", dbUser)
+    p.setProperty("password", dbPass)
+    p
+  }
+}
+
+object PipelineConfig {
+
+  final class ConfigException(msg: String) extends RuntimeException(msg)
+
+  def fromFile(path: String): PipelineConfig =
+    parse(
+      try java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      catch {
+        case e: java.io.IOException =>
+          throw new ConfigException(s"cannot read config: ${e.getMessage}")
+      })
+
+  def parse(json: String): PipelineConfig = {
+    val node =
+      try new ObjectMapper().readTree(json)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new ConfigException(s"not valid JSON: ${e.getMessage}")
+      }
+    if (node == null || !node.isObject)
+      throw new ConfigException("config must be a JSON object")
+    def req(k: String): String = {
+      val v = node.get(k)
+      if (v == null || v.isNull)
+        throw new ConfigException(s"missing config key '$k'")
+      v.asText
+    }
+    // validate in declared key order so the first missing key is the one
+    // reported
+    val name = req("db_name"); val user = req("db_user")
+    val pass = req("db_pass"); val host = req("db_host")
+    val port =
+      try req("db_port").toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new ConfigException("db_port must be an integer")
+      }
+    PipelineConfig(
+      dbName = name, dbUser = user, dbPass = pass, dbHost = host,
+      dbPort = port,
+      enrich = Option(node.get("articles")).forall(_.asBoolean(true)))
+  }
+}

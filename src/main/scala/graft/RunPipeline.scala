@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * reference's `v2.py` / `v1.py` launchers).
   *
   * Usage:
-  *   runMain graft.RunPipeline v2 <export.tsv> <mentions.tsv> <outDir>
+  *   runMain graft.RunPipeline v2 [--config cfg.json] <export.tsv> <mentions.tsv> <outDir>
   *   runMain graft.RunPipeline v1 <events.tsv> <outDir>
   *   runMain graft.RunPipeline v2-acquire <lastupdate.txt> <zipDir> <outDir>
   *
@@ -28,6 +28,18 @@ object RunPipeline {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     args.toList match {
+      // S8/E4: config-driven run; a bad config is the reference's failure
+      // mode — message + exit 1 (extractor.py:54-56)
+      case "v2" :: "--config" :: cfgPath :: export :: mentions :: out :: Nil =>
+        val cfg =
+          try PipelineConfig.fromFile(cfgPath)
+          catch {
+            case e: PipelineConfig.ConfigException =>
+              System.err.println(
+                s"""Configuration Input "$cfgPath" is Not Valid: ${e.getMessage}""")
+              sys.exit(1)
+          }
+        Pipeline.runV2(spark, export, mentions, out, enrich = cfg.enrich)
       case "v2" :: export :: mentions :: out :: Nil =>
         Pipeline.runV2(spark, export, mentions, out)
       case "v1" :: events :: out :: Nil =>

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConfigSpec extends AnyFunSuite {
+
+  private val good =
+    """{"db_name": "gdelt", "db_user": "u", "db_pass": "p",
+       "db_host": "db.internal", "db_port": 5432}"""
+
+  test("S8: valid config parses with enrichment defaulted on") {
+    val c = PipelineConfig.parse(good)
+    assert(c.dbName == "gdelt" && c.dbHost == "db.internal" &&
+      c.dbPort == 5432)
+    assert(c.enrich) // reference hardcodes articles=True; our default
+    assert(c.jdbcUrl == "jdbc:postgresql://db.internal:5432/gdelt")
+    assert(c.jdbcProps.getProperty("user") == "u")
+  }
+
+  test("S8: articles flag is a real config knob") {
+    val c = PipelineConfig.parse(good.dropRight(1) + ""","articles": false}""")
+    assert(!c.enrich)
+  }
+
+  test("E4: malformed JSON fails with a clear error") {
+    val e = intercept[PipelineConfig.ConfigException] {
+      PipelineConfig.parse("{not json")
+    }
+    assert(e.getMessage.contains("not valid JSON"))
+  }
+
+  test("E4: missing key / non-object / bad port each fail") {
+    val e1 = intercept[PipelineConfig.ConfigException] {
+      PipelineConfig.parse("""{"db_name": "x"}""")
+    }
+    assert(e1.getMessage.contains("db_user"))
+    intercept[PipelineConfig.ConfigException] {
+      PipelineConfig.parse("[1, 2]")
+    }
+    intercept[PipelineConfig.ConfigException] {
+      PipelineConfig.parse(good.replace("5432", "\"not-a-port\""))
+    }
+  }
+
+  test("E4: unreadable config file path fails, not crashes") {
+    val e = intercept[PipelineConfig.ConfigException] {
+      PipelineConfig.fromFile("/nonexistent/config.json")
+    }
+    assert(e.getMessage.contains("cannot read config"))
+  }
+
+  test("port accepted as JSON string too (reference config.json style)") {
+    val c = PipelineConfig.parse(good.replace("5432", "\"5432\""))
+    assert(c.dbPort == 5432)
+  }
+}

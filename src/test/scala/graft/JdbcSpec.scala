@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sinks.Sinks
+
+/** K1/S7 against a real JDBC database: embedded Derby (on the classpath
+  * because Spark ships it for the Hive metastore). Exercises the
+  * production write path — Overwrite semantics, batched inserts,
+  * numPartitions fan-in — and the read-back path the_words.py uses,
+  * which compile-only coverage (r1) could not. */
+class JdbcSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private def props = {
+    val p = new java.util.Properties()
+    p.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    p
+  }
+
+  test("K1 jdbcReplace: write, read back, and full-replace on rewrite") {
+    val df1 = Seq((1L, "alpha; beta"), (2L, "gamma"))
+      .toDF("globaleventid", "keywords")
+    Sinks.jdbcReplace(df1, url, "v2_exports", props, numPartitions = 2,
+      batchSize = 100)
+    val back1 = spark.read.jdbc(url, "v2_exports", props)
+    assert(back1.count() == 2)
+    assert(back1.columns.map(_.toLowerCase).toSet ==
+      Set("globaleventid", "keywords"))
+
+    // reference semantics: each run fully replaces the table
+    // (if_exists="replace", extractor.py:420)
+    val df2 = Seq((7L, "delta")).toDF("globaleventid", "keywords")
+    Sinks.jdbcReplace(df2, url, "v2_exports", props)
+    val back2 = spark.read.jdbc(url, "v2_exports", props)
+    assert(back2.count() == 1)
+    assert(back2.select("keywords").head.getString(0) == "delta")
+  }
+
+  test("S7 scan_jdbc: keyword column read back through a pushdown query") {
+    val df = Seq((1L, "a; b"), (2L, null.asInstanceOf[String]), (3L, "c"))
+      .toDF("globaleventid", "keywords")
+    Sinks.jdbcReplace(df, url, "v2_words", props)
+    // the_words.py read shape: select keywords from <table>, nulls dropped
+    // engine-side (P6)
+    val kws = spark.read
+      // Spark's JDBC writer quotes identifiers, so the column is
+      // case-sensitive in Derby — quote it in the pushdown query too
+      .option("query", "select \"keywords\" from v2_words")
+      .format("jdbc").option("url", url)
+      .option("driver", props.getProperty("driver"))
+      .load()
+      .filter(col("keywords").isNotNull)
+    assert(kws.columns.map(_.toLowerCase).toSeq == Seq("keywords"))
+    assert(kws.count() == 2)
+  }
+
+  test("K2 applyGeometrySql issues the PostGIS two-step in order") {
+    // PostGIS functions don't exist in Derby; assert the statement
+    // sequence itself via a recording proxy Connection
+    val executed = scala.collection.mutable.ListBuffer.empty[String]
+    val stmtHandler = new java.lang.reflect.InvocationHandler {
+      def invoke(p: Any, m: java.lang.reflect.Method, a: Array[AnyRef]) = {
+        m.getName match {
+          case "execute" => executed += a(0).toString; java.lang.Boolean.TRUE
+          case "close" => null
+          case _ => null
+        }
+      }
+    }
+    val stmt = java.lang.reflect.Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.Statement]),
+      stmtHandler).asInstanceOf[java.sql.Statement]
+    val connHandler = new java.lang.reflect.InvocationHandler {
+      def invoke(p: Any, m: java.lang.reflect.Method, a: Array[AnyRef]) =
+        m.getName match {
+          case "createStatement" => stmt
+          case _ => null
+        }
+    }
+    val conn = java.lang.reflect.Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.Connection]),
+      connHandler).asInstanceOf[java.sql.Connection]
+
+    Sinks.applyGeometrySql(conn, "v2_exports", "actor1geo_lat",
+      "actor1geo_long")
+    assert(executed.size == 2)
+    assert(executed(0).contains("addgeometrycolumn('v2_exports'"))
+    assert(executed(1).startsWith("update v2_exports set geom ="))
+    assert(executed(1).contains("st_point(actor1geo_long, actor1geo_lat)"))
+  }
+}
