@@ -1,0 +1,81 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Codegen'd 64-bit SimHash: `array<string>` shingles in, signature out —
+  * votes for all 64 bits accumulated in one compiled pass per document.
+  *
+  * Replaces the exploded formulation (shingle rows → 64 vote-sum
+  * aggregates → bit assembly), which paid an explode, a 64-field
+  * HashAggregate and a shuffle of every shingle row for what is a scalar
+  * function of the document's shingle set. Like
+  * [[MinHashSignatureExpr]], the signature now computes inside the scan's
+  * whole-stage-codegen span and shuffles nothing.
+  *
+  * Hash family — bit-identical to the column formulation it replaces
+  * (and to the DuckDB oracle): per shingle, the 64-bit value is the first
+  * 8 bytes of md5 (big-endian), i.e. SQL
+  * `('0x' || substr(md5(s),1,16))::UBIGINT`; bit j of the signature is set
+  * iff the sum of ±1 votes from bit j of each shingle hash is positive.
+  */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+
+  def compute(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    // one digest instance per evaluated document (MessageDigest is not
+    // thread-safe; the expression object is shared across tasks)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = arr.numElements()
+    var e = 0
+    while (e < m) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(e).getBytes)
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      e += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("simhasher", this,
+      classOf[SimHashExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object SimHash {
+  def simhash64(shingles: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      SimHashExpr(org.apache.spark.sql.graft.Bridge.expression(shingles)))
+}

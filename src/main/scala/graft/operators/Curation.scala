@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: PII scrubbing,
+  * deterministic sampling, per-key quotas, and canonical-document
+  * selection. Everything is pure built-ins (codegen'd, no UDFs) and —
+  * deliberately — reproducible: sampling and tie-breaking key off md5
+  * hashes that any ANSI engine can recompute, so every operator here is
+  * differential-testable and reruns produce byte-identical corpora
+  * (lineage requirement for trained-model provenance).
+  */
+object Curation {
+
+  /** PII redaction patterns, applied in order. Order matters: emails are
+    * redacted before phone-like digit runs so an address's digits aren't
+    * half-eaten by the phone rule. RE2-compatible (no backrefs or
+    * lookaround) so SQL engines with RE2 regexes (DuckDB, Trino) replay
+    * them identically. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    // email
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    // ipv4
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",
+    // ssn-shaped
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "<SSN>",
+    // phone-shaped: optional +country, 3-3-4 groups with -/./space/()
+    "\\+?[0-9]{0,2}[ .-]?\\(?[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}\\b"
+      -> "<PHONE>")
+
+  /** Scrub PII from a text column (one regexp_replace per pattern, fused
+    * by codegen into a single projection — no shuffle, scan-speed). */
+  def scrubPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (re, tag)) =>
+      regexp_replace(acc, re, tag)
+    }
+
+  /** Deterministic uniform hash of any column onto [0, buckets):
+    * first 8 hex chars of md5 → int. Engine-portable (DuckDB:
+    * `('0x' || substr(md5(x::VARCHAR), 1, 8))::BIGINT % buckets`) and
+    * stable across runs/partitionings — unlike `rand()`, which makes
+    * corpus builds unreproducible. */
+  def hashBucket(c: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Deterministic stratified sample: keep ~`pct`% of rows per stratum.
+    * Sampling is a FILTER on a hash of the id — no shuffle, fully
+    * parallel, and the same ids survive at any scale or cluster layout.
+    * The stratum column only documents intent (the rate applies within
+    * every stratum because the hash is uniform and independent of it). */
+  def sampleStratified(df: DataFrame, idCol: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be 0..100, got $pct")
+    df.filter(hashBucket(col(idCol), 100) < pct)
+  }
+
+  /** Per-key quota: keep at most `n` rows per key (e.g. cap documents per
+    * domain so one crawler-friendly site can't dominate the corpus).
+    * Selection is deterministic: rows are ranked by hash-of-id (an
+    * unbiased draw), tie-broken by id.
+    *
+    * Scale: one shuffle on the key; rank + filter is the standard top-n
+    * window (TakeOrdered-like per key). For pathological keys (one domain
+    * = half the corpus at 100 TB) pre-aggregate with a count and only
+    * window the over-quota keys. */
+  def quotaPerKey(df: DataFrame, keyCol: String, idCol: String, n: Int)
+      : DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hashBucket(col(idCol), 1 << 30), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
+  /** Canonical-document selection: given near-dup pairs, keep ONE document
+    * per connected near-dup cluster (the smallest id — deterministic) and
+    * drop the rest. This is the step that turns pairwise dedup output into
+    * a cleaned corpus. Returns the surviving rows of `df`.
+    *
+    * Scale: cluster formation touches only documents that appear in a pair
+    * ([[Dedup.connectedComponents]] propagates over the dup subgraph);
+    * survivors join back to the corpus by id — one broadcast-or-shuffle
+    * equi-join. */
+  def dedupSurvivors(df: DataFrame, idCol: String, pairs: DataFrame)
+      : DataFrame = {
+    val clusters = Dedup.connectedComponents(df, idCol, pairs)
+    val keep = clusters.groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    df.join(keep, df(idCol) === keep("doc_id"), "left_semi")
+  }
+}

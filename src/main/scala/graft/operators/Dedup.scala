@@ -72,12 +72,34 @@ object Dedup {
         all.join(broadcast(hot), Seq("sh"), "left_anti")
       case None => all
     }
+    jaccardOverIndex(sh, threshold)
+  }
+
+  /** Inverted-index Jaccard over (doc_id, sh) set rows: pairs sharing ≥1
+    * element, exact set Jaccard, thresholded. */
+  private def jaccardOverIndex(sh: DataFrame, threshold: Double)
+      : DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     jaccardFromCounts(inter, sizes, threshold)
+  }
+
+  /** Near-dup pairs over winnowing FINGERPRINT sets
+    * ([[graft.expressions.WinnowFingerprints]]) — the same inverted-index
+    * Jaccard as [[ngramJaccardPairs]], but the index holds only the
+    * ~2/(w+1) winnow-selected hashes per document instead of every
+    * shingle: a w-fold smaller index and join for near-identical recall on
+    * copy-type duplication (any shared run ≥ w+k−1 chars shares a
+    * fingerprint). The long-document scale path for text near-dup. */
+  def winnowJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val fp = df.select(col(idCol).as("doc_id"),
+      explode(graft.expressions.Winnowing.winnow(col(textCol), k, w))
+        .as("sh"))
+    jaccardOverIndex(fp, threshold)
   }
 
   /** (doc_a, doc_b, inter) + per-doc set sizes → thresholded jaccard. */
@@ -158,35 +180,21 @@ object Dedup {
     jaccardFromCounts(inter, sizes, threshold)
   }
 
-  /** 64-bit SimHash per document over its word k-shingles.
-    *
-    * Computed by exploding shingles and summing the 64 per-bit ±1 votes in
-    * one hash-aggregate (map-side combine keeps the shuffle at
-    * 64 longs × docs).
+  /** 64-bit SimHash per document over its word k-shingles, computed by one
+    * codegen'd pass per document ([[graft.expressions.SimHashExpr]]) — no
+    * explode, no 64-vote aggregate, no shuffle; the signature materializes
+    * in the scan stage.
     *
     * The per-shingle 64-bit hash is the first 8 bytes of md5 — chosen over
     * xxhash64 so the signature algebra is reproducible in ANSI SQL engines
     * (DuckDB: `('0x' || substr(md5(s),1,16))::UBIGINT`), making the whole
     * operator differential-testable; md5's bit dispersion is ideal for the
-    * per-bit votes. Assembled from two 32-bit halves because a 16-hex-char
-    * value can exceed Long.MaxValue (shiftleft wraps bitwise, no ANSI
-    * overflow). */
+    * per-bit votes. */
   def simhash(df: DataFrame, idCol: String, textCol: String, k: Int = 3)
-      : DataFrame = {
-    val hex = md5(col("sh"))
-    val h64 = shiftleft(conv(substring(hex, 1, 8), 16, 10).cast("long"), 32)
-      .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
-    val sh = shingleRows(df, idCol, textCol, k)
-      .withColumn("h", h64)
-    val votes = (0 until 64).map { j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j")
-    }
-    val bits: Seq[org.apache.spark.sql.Column] = (0 until 64).map { j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    sh.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
-  }
+      : DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.expressions.SimHash.simhash64(
+        Text.wordShingles(col(textCol), k)).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming.
     *
