@@ -34,15 +34,24 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal per-query seconds keep the detail line compact; the FINAL
+    // stdout line is a short standalone result (the r2 driver artifact
+    // showed its tail window starting mid-JSON on a ~2.5 KB line, so the
+    // parseable summary must be small and last)
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""queries":$qs,"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"n_failed":${failed.size},""" +
+      s""""cpus":$cpus,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing so no shutdown logging can land after the
-    // result line — the driver parses the last stdout line
+    // result lines — the driver parses the last stdout line
     spark.stop()
-    println(line)
+    println(detail)
+    println(summary)
   }
 }

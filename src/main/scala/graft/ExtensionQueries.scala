@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Enrich, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Enrich, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Sources
 
 /** Harness queries for the training-data-pipeline extension operators
@@ -15,6 +15,34 @@ import graft.sources.Sources
   * in Spark), so oracle counts are cast to INTEGER where Spark emits int.
   */
 object DedupQueries {
+
+  /** DuckDB CTE chain ending in `fp(doc_id, fp)`: the distinct winnowing
+    * fingerprints per document, mirroring
+    * [[graft.expressions.Winnowing.winnow]] — the rolling k-gram hash has
+    * a closed form (Σ charcode·31^j, no overflow for small k), and because
+    * only fingerprint VALUES are emitted, window-minimum tie-breaking
+    * cancels out, so plain SQL window minima reproduce the compiled
+    * rolling implementation exactly. */
+  private[graft] def winnowFpCtes(k: Int, w: Int): String = {
+    val terms = (0 until k).map { j =>
+      val p = (0 until (k - 1 - j)).foldLeft(1L)((a, _) => a * 31L)
+      s"CAST(unicode(substr(text, CAST(i + $j AS INT), 1)) AS BIGINT) * $p"
+    }.mkString(" + ")
+    s"""pos AS (
+        SELECT doc_id, text,
+          unnest(range(1, length(text) - $k + 2)) AS i
+        FROM documents),
+      g AS (SELECT doc_id, i, $terms AS h FROM pos),
+      wins AS (
+        SELECT doc_id, i,
+          min(h) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wm,
+          count(*) OVER (PARTITION BY doc_id) AS m
+        FROM g),
+      fp AS (
+        SELECT DISTINCT doc_id, wm AS fp FROM wins
+        WHERE i <= greatest(1, m - ${w - 1}))"""
+  }
 
   /** Shared DuckDB shingle CTE: distinct word 5-shingles per document,
     * mirroring [[graft.functions.Text.wordShingles]]. */
@@ -30,7 +58,7 @@ object DedupQueries {
              ELSE [array_to_string(ws, ' ')] END AS s
          FROM w)"""
 
-  private val jaccardPairsSql =
+  private[graft] val jaccardPairsSql =
     s"""$shingleCte
        SELECT doc_a, doc_b, jaccard FROM (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -141,26 +169,30 @@ object DedupQueries {
         .select(col("doc_id"),
           explode(graft.expressions.Winnowing.winnow(col("text"), 8, 4))
             .as("fp")),
-      Some {
-        val k = 8; val w = 4
-        val terms = (0 until k).map { j =>
-          val p = (0 until (k - 1 - j)).foldLeft(1L)((a, _) => a * 31L)
-          s"CAST(unicode(substr(text, CAST(i + $j AS INT), 1)) AS BIGINT) * $p"
-        }.mkString(" + ")
-        s"""WITH pos AS (
-            SELECT doc_id, text,
-              unnest(range(1, length(text) - $k + 2)) AS i
-            FROM documents),
-          g AS (SELECT doc_id, i, $terms AS h FROM pos),
-          wins AS (
-            SELECT doc_id, i,
-              min(h) OVER (PARTITION BY doc_id ORDER BY i
-                ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wm,
-              count(*) OVER (PARTITION BY doc_id) AS m
-            FROM g)
-          SELECT DISTINCT doc_id, wm AS fp FROM wins
-          WHERE i <= greatest(1, m - ${w - 1})"""
-      }),
+      Some(s"WITH ${winnowFpCtes(8, 4)} SELECT doc_id, fp FROM fp")),
+
+    // near-dup pairs over the winnow fingerprint SETS — same inverted-index
+    // Jaccard as dedup_ngram_jaccard but over the ~2/(w+1)-selected
+    // fingerprints instead of every shingle (the long-document scale path).
+    // Fully oracle-checked: fingerprints are deterministic (see
+    // winnowFpCtes) and the Jaccard algebra is exact set arithmetic
+    Q("dedup_winnow_pairs",
+      (s, dir) => Dedup.winnowJaccardPairs(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        k = 8, w = 4, threshold = 0.5),
+      Some(s"""WITH ${winnowFpCtes(8, 4)},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM fp GROUP BY doc_id),
+        ints AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT doc_a, doc_b,
+            round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+          FROM ints
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id) p
+        WHERE jaccard >= 0.5""")),
 
     Q("dedup_embedding",
       (s, dir) => Dedup.embeddingNearDup(
@@ -405,6 +437,106 @@ object TextQueries {
         'article; ' || source || 'examplecom' AS keywords,
         'article; ' || source || 'examplecom' AS meta
         FROM documents"""))
+  )
+}
+
+/** Corpus-curation operators ([[graft.operators.Curation]]): PII scrub,
+  * deterministic sampling, per-key quotas, canonical-survivor selection.
+  * Everything keys off md5-derived hashes precisely so these queries can
+  * be replayed bit-identically in DuckDB (`('0x' ||
+  * substr(md5(x),1,8))::BIGINT` mirrors `conv(substring(md5(x),1,8),16,10)`).
+  */
+object CurationQueries {
+
+  /** DuckDB mirror of [[Curation.hashBucket]]. */
+  private def ddbHashBucket(expr: String, buckets: Long): String =
+    s"('0x' || substr(md5($expr), 1, 8))::BIGINT % $buckets"
+
+  def all: Seq[Q] = Seq(
+
+    // PII scrub. The synthetic corpus has no real PII, so each document is
+    // seeded — identically in both engines — with email/ip/ssn/phone
+    // fragments derived from doc_id, plus a card-like 16-digit number that
+    // must survive unredacted (the half-eaten-card regression from ADVICE).
+    // The oracle SQL is GENERATED from Curation.piiPatterns so the two
+    // engines can never drift.
+    Q("curation_pii",
+      (s, dir) => {
+        val seeded = Sources.table(s, dir, "documents").select(col("doc_id"),
+          concat(
+            col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com ip 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".77 ssn 123-45-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" ph 555-123-4567 alt (555) 123-4567 bare 5551234567" +
+              " intl +1 555.123.4567 card 4111-1111-1111-1111 end"))
+            .as("seeded"))
+        seeded.select(col("doc_id"),
+          Curation.scrubPii(col("seeded")).as("clean"))
+      },
+      Some {
+        val seeded = "text || ' contact user' || doc_id || " +
+          "'@mail.example.com ip 10.0.' || (doc_id % 256) || " +
+          "'.77 ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || " +
+          "' ph 555-123-4567 alt (555) 123-4567 bare 5551234567" +
+          " intl +1 555.123.4567 card 4111-1111-1111-1111 end'"
+        // same patterns, same order; Java's $1 backreference is \1 in RE2
+        val scrubbed = Curation.piiPatterns.foldLeft(seeded) {
+          case (acc, (re, rep)) =>
+            s"regexp_replace($acc, '$re', '${rep.replace("$1", "\\1")}', 'g')"
+        }
+        s"SELECT doc_id, $scrubbed AS clean FROM documents"
+      }),
+
+    // deterministic ~37% sample — a pure filter, reproducible at any scale
+    Q("curation_sample",
+      (s, dir) => Curation.sampleDeterministic(
+        Sources.table(s, dir, "documents"), "doc_id", pct = 37)
+        .select("doc_id", "source"),
+      Some(s"""SELECT doc_id, source FROM documents
+        WHERE ${ddbHashBucket("doc_id::VARCHAR", 100L)} < 37""")),
+
+    // per-source quota: at most 10 docs per source, deterministic draw
+    // (sf0.01 has 20 sources x 25 docs, so the cap binds everywhere)
+    Q("curation_quota",
+      (s, dir) => Curation.quotaPerKey(
+        Sources.table(s, dir, "documents"), "source", "doc_id", n = 10)
+        .select("doc_id", "source"),
+      Some(s"""SELECT doc_id, source FROM (
+          SELECT doc_id, source, row_number() OVER (PARTITION BY source
+            ORDER BY ${ddbHashBucket("doc_id::VARCHAR", 1L << 30)}, doc_id)
+            AS rk
+          FROM documents) t
+        WHERE rk <= 10""")),
+
+    // canonical-survivor selection: near-dup pairs → connected components →
+    // keep the min-id document per cluster. Survivors are exactly the docs
+    // whose cluster label equals their own id (labels are min-reachable ids)
+    Q("curation_survivors",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          k = 5, threshold = 0.8)
+        Curation.dedupSurvivors(docs, "doc_id", pairs)
+          .select("doc_id", "source")
+      },
+      Some(s"""WITH RECURSIVE
+        pairs AS (${DedupQueries.jaccardPairsSql}),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+        clusters AS (
+          SELECT node AS doc_id, MIN(lab) AS cluster_id
+          FROM reach GROUP BY node)
+        SELECT d.doc_id, d.source FROM documents d
+        JOIN clusters c ON d.doc_id = c.doc_id
+        WHERE c.doc_id = c.cluster_id"""))
   )
 }
 

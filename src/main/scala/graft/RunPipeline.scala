@@ -45,11 +45,15 @@ object RunPipeline {
       case "v1" :: events :: out :: Nil =>
         Pipeline.runV1(spark, events, out)
       case "v2-acquire" :: pointer :: zipDir :: out :: Nil =>
+        // E3 temp-dir lifecycle: extracted TSVs live only for the run
+        // (reference: finally: shutil.rmtree, extractor.py:432-433)
         val temp = java.nio.file.Files.createTempDirectory("graft-acquire")
-        val (exportTsv, mentionsTsv) = graft.sources.Acquire.collectV2(
-          java.nio.file.Files.readString(java.nio.file.Paths.get(pointer)),
-          java.nio.file.Paths.get(zipDir), temp)
-        Pipeline.runV2(spark, exportTsv.toString, mentionsTsv.toString, out)
+        try {
+          val (exportTsv, mentionsTsv) = graft.sources.Acquire.collectV2(
+            java.nio.file.Files.readString(java.nio.file.Paths.get(pointer)),
+            java.nio.file.Paths.get(zipDir), temp)
+          Pipeline.runV2(spark, exportTsv.toString, mentionsTsv.toString, out)
+        } finally graft.sources.Acquire.deleteRecursively(temp)
       case _ =>
         System.err.println(
           "usage: RunPipeline v2 <export.tsv> <mentions.tsv> <outDir> | " +

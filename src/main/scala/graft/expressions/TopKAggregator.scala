@@ -61,7 +61,9 @@ object TopKAggregator {
     override def finish(reduction: TopKBuf): Seq[Scored] = reduction.items
 
     override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    // expression (Tungsten) encoder: the output is array<struct<...>> in
+    // the plan rather than an opaque Kryo binary blob
     override def outputEncoder: Encoder[Seq[Scored]] =
-      Encoders.kryo[Seq[Scored]]
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
   }
 }

@@ -16,9 +16,11 @@ object Curation {
 
   /** PII redaction patterns, applied in order. Order matters: emails are
     * redacted before phone-like digit runs so an address's digits aren't
-    * half-eaten by the phone rule. RE2-compatible (no backrefs or
-    * lookaround) so SQL engines with RE2 regexes (DuckDB, Trino) replay
-    * them identically. */
+    * half-eaten by the phone rule. RE2-compatible (no lookaround; the one
+    * backreference is in the REPLACEMENT, which RE2 rewrite supports) so
+    * SQL engines with RE2 regexes (DuckDB, Trino) replay them
+    * identically — DuckDB spells the replacement `\1<PHONE>` where Java
+    * spells it `$1<PHONE>`. */
   val piiPatterns: Seq[(String, String)] = Seq(
     // email
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
@@ -26,9 +28,15 @@ object Curation {
     "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",
     // ssn-shaped
     "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "<SSN>",
-    // phone-shaped: optional +country, 3-3-4 groups with -/./space/()
-    "\\+?[0-9]{0,2}[ .-]?\\(?[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}\\b"
-      -> "<PHONE>")
+    // phone-shaped: optional +country, then 3-3-4 digit groups with each
+    // separator in -/./space/() individually optional — covers
+    // 555-123-4567, (555)123-4567, (555) 123-4567, bare 5551234567, and
+    // +1 555.123.4567. The (^|[^0-9]) guard (captured and restored via
+    // $1 — RE2-safe boundary, no lookbehind) plus the trailing \b keep
+    // the match off longer digit runs: card-like 4111-1111-1111-1111 or
+    // a 16-digit run are left whole, never half-redacted.
+    "(^|[^0-9])(\\+?[0-9]{0,2}[ .-]?\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4})\\b"
+      -> "$1<PHONE>")
 
   /** Scrub PII from a text column (one regexp_replace per pattern, fused
     * by codegen into a single projection — no shuffle, scan-speed). */
@@ -46,12 +54,13 @@ object Curation {
     pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
       lit(buckets.toLong))
 
-  /** Deterministic stratified sample: keep ~`pct`% of rows per stratum.
-    * Sampling is a FILTER on a hash of the id — no shuffle, fully
-    * parallel, and the same ids survive at any scale or cluster layout.
-    * The stratum column only documents intent (the rate applies within
-    * every stratum because the hash is uniform and independent of it). */
-  def sampleStratified(df: DataFrame, idCol: String, pct: Int): DataFrame = {
+  /** Deterministic uniform sample: keep ~`pct`% of rows, selected by a
+    * hash of the id. Sampling is a FILTER — no shuffle, fully parallel,
+    * and the same ids survive at any scale, cluster layout, or rerun
+    * (unlike `rand()`-based sampling, which is irreproducible). Because
+    * the hash is uniform and independent of every other column, the rate
+    * also holds within any subgroup of the data. */
+  def sampleDeterministic(df: DataFrame, idCol: String, pct: Int): DataFrame = {
     require(pct >= 0 && pct <= 100, s"pct must be 0..100, got $pct")
     df.filter(hashBucket(col(idCol), 100) < pct)
   }

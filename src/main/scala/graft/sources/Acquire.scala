@@ -36,7 +36,9 @@ object Acquire {
     * of the URL (`export`, `mentions`, `gkg`). Exactly 3 keys or error
     * (reference validation, extractor.py:309-311). */
   def parsePointerFile(text: String): Map[String, String] = {
-    val rows = text.split("\n").filter(_.nonEmpty)
+    // split on \r?\n: a CRLF-downloaded lastupdate.txt must not leave a
+    // trailing \r on each URL (it would break zipDir.resolve(basename))
+    val rows = text.split("\r?\n").filter(_.nonEmpty)
     val data = rows.flatMap { row =>
       val url = row.split(" ").last
       val segs = url.split('.')
@@ -85,11 +87,15 @@ object Acquire {
     val out = Seq.newBuilder[Path]
     val zin = new ZipInputStream(Files.newInputStream(zipPath))
     try {
+      // resolve entries against the CANONICAL destination: resolving
+      // against a relative or symlinked destDir (macOS /tmp -> /private/tmp)
+      // and comparing with toRealPath() would fail closed for every
+      // legitimate entry
       val destReal = destDir.toRealPath()
       var entry = zin.getNextEntry
       while (entry != null) {
         if (!entry.isDirectory) {
-          val target = destDir.resolve(entry.getName).normalize()
+          val target = destReal.resolve(entry.getName).normalize()
           if (!target.startsWith(destReal))
             throw new AcquireException(
               s"zip entry escapes destination: ${entry.getName}")
@@ -118,6 +124,16 @@ object Acquire {
     val txtPath = tempDir.resolve(memberTxtName(zipName, csvName))
     Files.move(member, txtPath, StandardCopyOption.REPLACE_EXISTING)
     txtPath
+  }
+
+  /** Recursive delete of a temp directory (E3 lifecycle; the engine-side
+    * `shutil.rmtree`, extractor.py:432-433). Missing path is a no-op. */
+  def deleteRecursively(dir: Path): Unit = {
+    if (Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
   }
 
   /** v2 acquisition against already-downloaded bytes: parse the pointer

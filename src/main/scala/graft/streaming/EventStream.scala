@@ -127,7 +127,13 @@ object EventStream {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastSeen <= gapMs =>
-                  cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1))
+                  // min/max merge: an out-of-order event from a later
+                  // micro-batch (t < lastSeen, or even t < start) must not
+                  // REGRESS the session bounds — batch semantics sort all
+                  // events first, and the streaming path must converge to
+                  // the same session envelope
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.lastSeen, t), s.nEvents + 1))
                 case Some(s) =>
                   out += Session(userId, s.start, s.lastSeen, s.nEvents)
                   cur = Some(SessionState(t, t, 1))

@@ -20,6 +20,13 @@ class AcquireSpec extends AnyFunSuite with SparkTester {
     assert(urls("mentions").endsWith(".mentions.CSV.zip"))
   }
 
+  test("S4: CRLF pointer file parses identically (no trailing \\r on urls)") {
+    val crlf = pointer3.replace("\n", "\r\n")
+    val urls = Acquire.parsePointerFile(crlf)
+    assert(urls == Acquire.parsePointerFile(pointer3))
+    assert(urls.values.forall(!_.endsWith("\r")))
+  }
+
   test("S4: missing key fails the 3-key validation (E2 path)") {
     val twoLines = pointer3.split("\n").take(2).mkString("\n")
     val e = intercept[Acquire.AcquireException] {
@@ -102,6 +109,30 @@ class AcquireSpec extends AnyFunSuite with SparkTester {
     intercept[Acquire.AcquireException] {
       Acquire.extractZip(zip, dir)
     }
+  }
+
+  test("S6: legit entries extract through a RELATIVE dest dir (the guard " +
+      "resolves from the canonical base, not the raw path)") {
+    val dir = Files.createTempDirectory("graft-acq4")
+    val zip = writeZip(dir.resolve("ok.zip"), "member.txt" -> "hello")
+    // a relative destDir used to fail closed: target was resolved against
+    // the non-canonical path but compared with toRealPath()
+    val rel = java.nio.file.Paths.get("").toAbsolutePath
+      .relativize(dir)
+    val out = Acquire.extractZip(zip, rel)
+    assert(out.size == 1)
+    assert(Files.readString(out.head) == "hello")
+  }
+
+  test("E3: deleteRecursively removes a populated temp tree; missing is " +
+      "a no-op") {
+    val dir = Files.createTempDirectory("graft-acq-rm")
+    Files.createDirectories(dir.resolve("a/b"))
+    Files.writeString(dir.resolve("a/b/f.txt"), "x")
+    Files.writeString(dir.resolve("top.txt"), "y")
+    Acquire.deleteRecursively(dir)
+    assert(!Files.exists(dir))
+    Acquire.deleteRecursively(dir) // second call: no-op, no throw
   }
 
   test("acquisition front door feeds the full v2 pipeline end-to-end") {

@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Dedup}
+
+class CurationSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  private def scrub(s: String): String =
+    Seq(s).toDF("t").select(Curation.scrubPii($"t")).head.getString(0)
+
+  test("scrubPii redacts emails, ips, ssns") {
+    assert(scrub("mail bob.smith+x@corp.example.org now") ==
+      "mail <EMAIL> now")
+    assert(scrub("host 192.168.1.100 up") == "host <IP> up")
+    assert(scrub("ssn 123-45-6789.") == "ssn <SSN>.")
+  }
+
+  test("scrubPii redacts all common phone shapes") {
+    assert(scrub("call 555-123-4567 now").contains("<PHONE> now"))
+    assert(scrub("x (555)123-4567 y").contains("<PHONE> y"))
+    assert(scrub("x (555) 123-4567 y").contains("<PHONE> y"))
+    assert(scrub("bare 5551234567 end").contains("<PHONE> end"))
+    assert(scrub("intl +1 555.123.4567 end").contains("<PHONE> end"))
+    assert(!scrub("call 555-123-4567 now").contains("555"))
+    assert(!scrub("bare 5551234567 end").contains("555"))
+  }
+
+  test("scrubPii leaves long digit runs whole - no half-eaten cards") {
+    assert(scrub("card 4111-1111-1111-1111 end") ==
+      "card 4111-1111-1111-1111 end")
+    assert(scrub("n 1234567890123456 end") == "n 1234567890123456 end")
+  }
+
+  test("scrubPii is a no-op on clean text") {
+    val t = "plain text with words and the number 42 only"
+    assert(scrub(t) == t)
+  }
+
+  test("sampleDeterministic: reproducible, bounded, monotone in pct") {
+    val docs = spark.read.parquet(s"${sf("d")}/documents.parquet")
+    val n = docs.count()
+    val s37a = Curation.sampleDeterministic(docs, "doc_id", 37)
+    val s37b = Curation.sampleDeterministic(docs, "doc_id", 37)
+    val ids = s37a.select("doc_id").as[Long].collect().toSet
+    assert(ids == s37b.select("doc_id").as[Long].collect().toSet)
+    // uniform hash: rate within a loose tolerance of the target
+    assert(math.abs(ids.size.toDouble / n - 0.37) < 0.10)
+    assert(Curation.sampleDeterministic(docs, "doc_id", 0).count() == 0)
+    assert(Curation.sampleDeterministic(docs, "doc_id", 100).count() == n)
+    // the 37% sample is a subset of the 60% sample (nested samples)
+    val s60 = Curation.sampleDeterministic(docs, "doc_id", 60)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(s60))
+  }
+
+  test("quotaPerKey caps rows per key deterministically") {
+    val docs = spark.read.parquet(s"${sf("d")}/documents.parquet")
+    val q = Curation.quotaPerKey(docs, "source", "doc_id", 3)
+    val perKey = q.groupBy("source").count()
+    assert(perKey.filter($"count" > 3).count() == 0)
+    // keys with >=3 docs are capped exactly at 3
+    val bigKeys = docs.groupBy("source").count().filter($"count" >= 3)
+      .select("source").as[String].collect().toSet
+    assert(perKey.filter($"source".isin(bigKeys.toSeq: _*))
+      .filter($"count" =!= 3).count() == 0)
+    // deterministic survivor set
+    val a = q.select("doc_id").as[Long].collect().toSet
+    val b = Curation.quotaPerKey(docs, "source", "doc_id", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // output schema unchanged (helper column dropped)
+    assert(q.columns.toSeq == docs.columns.toSeq)
+  }
+
+  test("dedupSurvivors keeps min-id doc per near-dup cluster") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a dup of one"), (3L, "b"), (4L, "c"), (5L, "chain"))
+      .toDF("doc_id", "text")
+    // pairs: {1,2} and {3,5} via chain 3-4? no: edges 1-2, 3-4, 4-5 chain
+    val pairs = Seq((1L, 2L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val surv = Curation.dedupSurvivors(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv == Set(1L, 3L))
+    // no pairs: everything survives
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Curation.dedupSurvivors(docs, "doc_id", none).count() == 5)
+  }
+
+  test("winnowJaccardPairs finds near-identical docs, skips unrelated") {
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the cat watches from the warm windowsill nearby"
+    val near = base + " extra tail"
+    val other = "completely different content about spark catalyst " +
+      "optimizer rules and tungsten memory management internals"
+    val docs = Seq((1L, base), (2L, near), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowJaccardPairs(docs, "doc_id", "text",
+      k = 8, w = 4, threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowJaccardPairs agrees with ngram pairs on the testdata corpus") {
+    val docs = spark.read.parquet(s"${sf("d")}/documents.parquet")
+    val winnow = Dedup.winnowJaccardPairs(docs, "doc_id", "text",
+      k = 8, w = 4, threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val ngram = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 5, threshold = 0.8)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // winnow fingerprints at a looser threshold must recover the exact
+    // high-similarity pairs (copy-type duplication shares char runs)
+    assert(ngram.subsetOf(winnow), s"missing: ${ngram.diff(winnow)}")
+  }
+}

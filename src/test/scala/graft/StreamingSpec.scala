@@ -180,6 +180,53 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     } finally q.stop()
   }
 
+  test("streaming sessionization: an out-of-order late event must not " +
+      "regress the open session's bounds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[EventStream.EventRow]
+    val q = EventStream.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess_ooo")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+      .outputMode("append").start()
+    val seen = scala.collection.mutable.Map.empty[Long, Long]
+    def awaitInputRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      def committed: Long = {
+        q.recentProgress.foreach(p => seen(p.batchId) = p.numInputRows)
+        seen.values.sum
+      }
+      while (committed < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(committed >= n, s"timed out waiting for $n input rows")
+    }
+    try {
+      mem.addData(
+        EventStream.EventRow(1, ts(5), 2, "click", 1.0),
+        EventStream.EventRow(2, ts(20), 2, "view", 1.0))
+      awaitInputRows(2)
+      // a LATER micro-batch delivers an out-of-order event inside the
+      // session (t < lastSeen): merged, bounds unchanged except count —
+      // lastSeen must NOT regress to ts(10)
+      mem.addData(EventStream.EventRow(3, ts(10), 2, "late", 1.0))
+      awaitInputRows(3)
+      // in-order continuation within gap of the true lastSeen: still one
+      // session (a regressed lastSeen would have split it)
+      mem.addData(EventStream.EventRow(4, ts(45), 2, "click", 1.0))
+      awaitInputRows(4)
+      // past the gap: close and emit
+      mem.addData(EventStream.EventRow(5, ts(200), 2, "click", 1.0))
+      awaitInputRows(5)
+      val done = spark.table("sess_ooo").collect()
+      assert(done.length == 1)
+      val s = done.head
+      assert(s.getLong(s.fieldIndex("n_events")) == 4,
+        "late out-of-order event split the session")
+      assert(s.getLong(s.fieldIndex("start_ms")) == ts(5).getTime)
+      assert(s.getLong(s.fieldIndex("end_ms")) == ts(45).getTime)
+    } finally q.stop()
+  }
+
   private def ts(minutes: Int) =
     new java.sql.Timestamp(1704067200000L + minutes * 60000L)
 }
