@@ -150,14 +150,33 @@ object DedupQueries {
         SELECT node AS doc_id, MIN(lab) AS cluster_id
         FROM reach GROUP BY node""")),
 
-    // LSH-accelerated embedding near-dup: the linear-cost scale path;
-    // precision 1 (exact-verified), recall < 1 ⇒ rows-only here, with the
-    // subset+recall bound asserted against the exact form in DedupSpec
+    // LSH-accelerated embedding near-dup: the linear-cost scale path.
+    // Now fully hash-checked: candidates are reproduced exactly from the
+    // committed plane fixture (SimilarityQueries.lshBandsCtes), then
+    // exact-verified with the same ordered-sum cosine as dedup_embedding.
+    // The subset+recall bound vs the exact form stays asserted in DedupSpec
     Q("dedup_embedding_lsh",
       (s, dir) => Dedup.embeddingNearDupLsh(
         Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.45, dim = 64),
-      None),
+      Some(s"""WITH ${SimilarityQueries.lshBandsCtes},
+        cand AS (${SimilarityQueries.lshCandSql}),
+        norms AS (
+          SELECT vec_id, sqrt(sum(v * v ORDER BY i)) AS nrm
+          FROM e GROUP BY vec_id),
+        vdots AS (
+          SELECT c.id_a, c.id_b, sum(a.v * b.v ORDER BY a.i) AS dot
+          FROM cand c
+          JOIN e a ON a.vec_id = c.id_a
+          JOIN e b ON b.vec_id = c.id_b AND b.i = a.i
+          GROUP BY c.id_a, c.id_b)
+        SELECT id_a, id_b, cos FROM (
+          SELECT d.id_a, d.id_b,
+            round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+          FROM vdots d
+          JOIN norms na ON d.id_a = na.vec_id
+          JOIN norms nb ON d.id_b = nb.vec_id) t
+        WHERE cos >= 0.45""")),
 
     // winnowing fingerprints (Schleimer et al. SIGMOD'03). Oracle-checked:
     // the rolling k-gram hash has a closed form (Σ charcode·31^j, no
@@ -218,6 +237,45 @@ object DedupQueries {
 }
 
 object SimilarityQueries {
+
+  /** DuckDB CTE chain ending in `bands(vec_id, band, key)`: random-
+    * hyperplane sign signatures over the COMMITTED plane fixture
+    * (`fixtures/hyperplanes.csv`, written by [[graft.tools.GenFixtures]]
+    * from the same self-pinned generator [[graft.operators.Similarity
+    * .hyperplanes]] the Spark side ships as literals).
+    *
+    * Bit-exactness: the Spark side accumulates `(double)float * (double)
+    * float` in index order (codegen'd DotProduct); `sum(... ORDER BY i)`
+    * replays the identical sequential double additions, and the fixture
+    * stores each coefficient as a 17-significant-digit decimal (round-trips
+    * the double exactly) — so every signature bit, band key, and candidate
+    * pair is reproduced exactly, making both LSH candidate generators
+    * hash-checkable rather than rows-only. */
+  private[graft] val lshBandsCtes =
+    """e AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      p AS (
+        SELECT bit, i, w FROM read_csv('/root/repo/fixtures/hyperplanes.csv',
+          header=true,
+          columns={'bit': 'INTEGER', 'i': 'INTEGER', 'w': 'DOUBLE'})),
+      dots AS (
+        SELECT e.vec_id, p.bit, sum(e.v * p.w ORDER BY e.i) AS dot
+        FROM e JOIN p ON e.i = p.i
+        GROUP BY e.vec_id, p.bit),
+      sig AS (
+        SELECT vec_id, CAST(sum(CASE WHEN dot >= 0
+            THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS sig
+        FROM dots GROUP BY vec_id),
+      bands AS (
+        SELECT vec_id, band, (sig >> (band * 4)) & 15 AS key
+        FROM sig, (SELECT unnest(range(0, 4)) AS band) b)"""
+
+  private[graft] val lshCandSql =
+    s"""SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id"""
 
   def all: Seq[Q] = Seq(
 
@@ -304,12 +362,13 @@ object SimilarityQueries {
             AS rank
           FROM scored) r WHERE rank <= 10""")),
 
-    // random-hyperplane LSH candidate generation (linear-cost ANN feed)
+    // random-hyperplane LSH candidate generation (linear-cost ANN feed) —
+    // fully hash-checked via the committed plane fixture (see lshBandsCtes)
     Q("simsearch_lsh",
       (s, dir) => Similarity.lshCandidates(
         Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, nBits = 16, bandBits = 4),
-      None),
+      Some(s"WITH $lshBandsCtes $lshCandSql")),
 
     // per-vector L2 norm — the scan-side building block, oracle-checked
     Q("embedding_norms",

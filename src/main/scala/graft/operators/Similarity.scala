@@ -94,18 +94,42 @@ object Similarity {
     ranked(scored, k)
   }
 
+  /** Deterministic gaussian hyperplane matrix for [[lshCandidates]]:
+    * Box-Muller over a splitmix64 stream. Hand-rolled on purpose — the
+    * sequence is pinned by THIS code, not by the JVM's `Random.nextGaussian`
+    * implementation (which changed across JDK releases), so the committed
+    * DuckDB mirror of the planes (`fixtures/hyperplanes.csv`) can never
+    * drift from what executors compute. Row r = plane for signature bit r. */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Seq[Float]] = {
+    var s = seed
+    def next64(): Long = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def unit(): Double = (next64() >>> 11).toDouble / (1L << 53).toDouble
+    Seq.fill(nBits)(Seq.fill(dim) {
+      val u1 = 1.0 - unit() // (0, 1] — log never sees zero
+      val u2 = unit()
+      (math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)).toFloat
+    })
+  }
+
   /** Random-hyperplane LSH candidates for cosine similarity: `nBits`-bit
     * sign signature, banded; pairs colliding on ≥1 band are candidates.
-    * Hyperplanes are pseudo-random but fixed by `seed`, generated on the
-    * driver and shipped as literals — identical on every executor. */
+    * Hyperplanes are pseudo-random but fixed by `seed` ([[hyperplanes]]),
+    * generated on the driver and shipped as literals — identical on every
+    * executor. */
   def lshCandidates(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       nBits: Int = 16, bandBits: Int = 4, seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
     // planes as float literals so the codegen'd DotProduct applies (the
-    // zip_with/aggregate HOF form is interpreted); sign flips from the
-    // float cast are measure-zero and LSH is candidate-generation anyway
-    val planes: Seq[Seq[Float]] =
-      Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    // zip_with/aggregate HOF form is interpreted); the double-accumulated
+    // index-order dot is exactly reproducible in SQL (ordered sum over the
+    // staged plane fixture), which is what lets the candidate generator be
+    // oracle-checked rather than rows-only
+    val planes: Seq[Seq[Float]] = hyperplanes(dim, nBits, seed)
     val bitCols = planes.map { p =>
       val dot = VectorExpressions.dot(col(vecCol), typedLit(p))
       when(dot >= 0, 1L).otherwise(0L)

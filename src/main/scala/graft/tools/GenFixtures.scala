@@ -1,0 +1,34 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+/** Writes the committed DuckDB mirror of [[graft.operators.Similarity
+  * .hyperplanes]] (dim=64, nBits=16, seed=42 — the registry's LSH
+  * configuration) to `fixtures/hyperplanes.csv` as `bit,i,w` rows, with
+  * `i` 1-based (DuckDB `generate_subscripts` convention) and `w` the
+  * 17-significant-digit decimal of the plane coefficient's double value
+  * (float widened to double exactly; 17 digits round-trip the double).
+  *
+  * Run once and commit the output; the oracle SQL for `simsearch_lsh` /
+  * `dedup_embedding_lsh` reads the file by absolute path, like the other
+  * fixtures. Regenerate only if the plane generator or configuration
+  * changes — the generator is self-pinned (splitmix64 + Box-Muller), so
+  * JDK upgrades cannot drift it.
+  */
+object GenFixtures {
+  def main(args: Array[String]): Unit = {
+    val planes = graft.operators.Similarity.hyperplanes(
+      dim = 64, nBits = 16, seed = 42L)
+    val sb = new StringBuilder("bit,i,w\n")
+    planes.zipWithIndex.foreach { case (row, bit) =>
+      row.zipWithIndex.foreach { case (w, i) =>
+        sb.append(bit).append(',').append(i + 1).append(',')
+          .append("%.17e".formatLocal(java.util.Locale.US, w.toDouble))
+          .append('\n')
+      }
+    }
+    val out = Paths.get("fixtures/hyperplanes.csv")
+    Files.writeString(out, sb.toString)
+    println(s"wrote ${planes.size}x${planes.head.size} planes to $out")
+  }
+}
