@@ -68,6 +68,21 @@ object DedupQueries {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
        WHERE jaccard >= 0.8"""
 
+  /** Min-label reachability clusters over the thresholded pair list —
+    * shared by both connected-components implementations. */
+  private val clustersOracleSql =
+    s"""WITH RECURSIVE
+      pairs AS ($jaccardPairsSql),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
+      SELECT node AS doc_id, MIN(lab) AS cluster_id
+      FROM reach GROUP BY node"""
+
   def all: Seq[Q] = Seq(
 
     Q("dedup_exact",
@@ -138,17 +153,18 @@ object DedupQueries {
           k = 5, threshold = 0.8)
         Dedup.connectedComponents(docs, "doc_id", pairs)
       },
-      Some(s"""WITH RECURSIVE
-        pairs AS ($jaccardPairsSql),
-        edges AS (
-          SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        reach(node, lab) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
-        SELECT node AS doc_id, MIN(lab) AS cluster_id
-        FROM reach GROUP BY node""")),
+      Some(clustersOracleSql)),
+
+    // same clusters through the large-star/small-star contraction — the
+    // O(log² n)-round extreme-scale path, held to the identical oracle
+    Q("dedup_clusters_ls",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          k = 5, threshold = 0.8)
+        Dedup.connectedComponentsAlternating(docs, "doc_id", pairs)
+      },
+      Some(clustersOracleSql)),
 
     // LSH-accelerated embedding near-dup: the linear-cost scale path.
     // Now fully hash-checked: candidates are reproduced exactly from the

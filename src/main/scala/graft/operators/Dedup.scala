@@ -236,9 +236,10 @@ object Dedup {
     * each round joins current labels across the (symmetrized) edge list
     * and keeps the minimum seen. Rounds needed = graph diameter
     * (near-dup clusters are small, so 2–4 in practice); each round is one
-    * shuffle. At extreme scale swap in the large-star/small-star
-    * contraction, which converges in O(log n) rounds independent of
-    * diameter — same join shape.
+    * shuffle. At extreme scale swap in
+    * [[connectedComponentsAlternating]] (large-star/small-star), which
+    * converges in O(log² n) rounds independent of diameter — same
+    * signature, same output.
     */
   def connectedComponents(df: DataFrame, idCol: String, pairs: DataFrame)
       : DataFrame = {
@@ -265,12 +266,17 @@ object Dedup {
     var prevSum: java.math.BigDecimal = null
     var converged = false
     while (!converged) {
+      // localCheckpoint, not persist: persist caches partitions but keeps
+      // the logical plan, which grows by one join PER ROUND — on a
+      // long-chain graph (rounds = diameter) the compounded plan OOMs the
+      // driver before the data is ever large. Checkpointing truncates the
+      // lineage so every round re-plans from a flat scan.
       val next = labels
         .union(edges.join(labels, edges("src") === labels("node"))
           .select(col("dst").as("node"), col("cluster_id")))
         .groupBy("node")
         .agg(min(col("cluster_id")).as("cluster_id"))
-        .persist(MEMORY_AND_DISK)
+        .localCheckpoint()
       val s = next.agg(sum(col("cluster_id").cast("decimal(38,0)")))
         .head.getDecimal(0)
       // sum over an empty labels frame is NULL (no pairs at the threshold):
@@ -285,6 +291,89 @@ object Dedup {
     df.select(col(idCol).as("doc_id"))
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"),
         "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id").cast("long"))
+          .as("cluster_id"))
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the extreme-scale twin of
+    * [[connectedComponents]]: same signature, same output, but the round
+    * count is O(log² n) INDEPENDENT of graph diameter, so a pathological
+    * long-chain duplicate graph (diameter = cluster size) costs
+    * logarithmically many shuffles instead of linearly many.
+    *
+    * Per round: large-star hangs every neighbor v > u off u's minimum
+    * neighborhood node; small-star re-points all small neighbors (and u)
+    * of each node at its minimum — both are one aggregate plus one
+    * equi-join on node id. Edges stay oriented (u > v), labels only ever
+    * decrease, and the fixpoint is the star graph (every node → its
+    * component's minimum id), detected by an (edge-count, label-sum)
+    * checksum exactly like the min-label loop. Each round's edge set is
+    * localCheckpoint'ed to cut the compounding lineage (at cluster scale:
+    * a checkpoint dir).
+    */
+  def connectedComponentsAlternating(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var edges = pairs
+      .select(col("doc_a").cast("long").as("a"),
+        col("doc_b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var prev: (Long, java.math.BigDecimal) = null
+    var converged = edges.isEmpty
+    while (!converged) {
+      // large-star: m(u) = min over u's full neighborhood (incl. u);
+      // every strictly-larger neighbor re-hangs onto m(u)
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.filter(col("v") > col("u"))
+        .join(lsMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star over (u > v)-oriented edges: all small neighbors and u
+      // itself re-point at the minimum small neighbor
+      val or = large.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val withMin = or.join(or.groupBy("u").agg(min(col("v")).as("m")), "u")
+        .persist(MEMORY_AND_DISK)
+      val small = withMin
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .union(withMin.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      withMin.unpersist()
+      // converged when the edge set checksum stops moving: parents only
+      // ever decrease, so (count, sum-of-endpoints) is a fixpoint witness
+      val row = small
+        .agg(count(lit(1)),
+          sum((col("u") + col("v")).cast("decimal(38,0)")))
+        .head
+      val cur = (row.getLong(0), row.getDecimal(1))
+      converged = prev != null && cur._1 == prev._1 &&
+        ((cur._2 == null && prev._2 == null) ||
+          (cur._2 != null && cur._2.compareTo(prev._2) == 0))
+      prev = cur
+      edges = small
+    }
+    // fixpoint edges are (node → component-min) stars; roots appear only
+    // on the v side, singletons not at all
+    val labels = edges.select(col("u").as("doc_id"),
+        col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"),
+        col("v").as("cluster_id")).distinct())
+    df.select(col(idCol).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id").cast("long"))
           .as("cluster_id"))

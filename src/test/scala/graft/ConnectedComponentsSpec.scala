@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Cross-checks the two connected-components implementations (iterative
+  * min-label propagation and the large-star/small-star contraction)
+  * against each other, against GraphX, and against hand-computed
+  * fixtures — including the long-chain graph whose diameter is the worst
+  * case for label propagation and the motivating case for the
+  * alternating algorithm. */
+class ConnectedComponentsSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, Long] =
+    df.select($"doc_id".cast("long"), $"cluster_id")
+      .as[(Long, Long)].collect().toMap
+
+  private def run(nodes: Seq[Long], pairs: Seq[(Long, Long)])
+      : (Map[Long, Long], Map[Long, Long]) = {
+    val docs = nodes.toDF("doc_id")
+    val p = pairs.toDF("doc_a", "doc_b")
+    (labelsOf(Dedup.connectedComponents(docs, "doc_id", p)),
+      labelsOf(Dedup.connectedComponentsAlternating(docs, "doc_id", p)))
+  }
+
+  test("long-chain adversarial graph: one cluster, min-id label") {
+    val n = 120L
+    val nodes = (0L until n)
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val (ml, ls) = run(nodes, chain)
+    assert(ls.values.toSet == Set(0L), "chain must collapse to cluster 0")
+    assert(ml == ls)
+  }
+
+  test("mixed components, reversed/duplicated/self edges") {
+    val nodes = (0L to 20L)
+    // component {1,2,3,4}, {5,6}, star {10..15}, singletons elsewhere;
+    // edges deliberately reversed (b < a), duplicated, and one self-loop
+    val pairs = Seq((2L, 1L), (3L, 2L), (4L, 3L), (2L, 4L), (6L, 5L),
+      (6L, 5L), (7L, 7L)) ++ (11L to 15L).map(i => (i, 10L))
+    val (ml, ls) = run(nodes, pairs)
+    assert(ml == ls)
+    assert(ls(4L) == 1L && ls(6L) == 5L && ls(15L) == 10L)
+    assert(ls(0L) == 0L && ls(7L) == 7L && ls(20L) == 20L)
+  }
+
+  test("empty pair list: every node is its own singleton cluster") {
+    val (ml, ls) = run(Seq(3L, 9L, 27L), Seq.empty)
+    assert(ls == Map(3L -> 3L, 9L -> 9L, 27L -> 27L))
+    assert(ml == ls)
+  }
+
+  test("alternating == min-label == GraphX on a pseudo-random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 300
+    val pairs = Seq.fill(260)(
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val nodes = (0L until n.toLong)
+    val (ml, ls) = run(nodes, pairs)
+    assert(ml == ls)
+    // GraphX reference: lowest vertex id per component
+    import org.apache.spark.graphx.{Edge, Graph}
+    val edgeRdd = spark.sparkContext.parallelize(
+      pairs.map { case (a, b) => Edge(a, b, ()) })
+    val gx = Graph.fromEdges(edgeRdd, ())
+      .connectedComponents().vertices.collect().toMap
+    // GraphX only labels vertices that appear in an edge
+    gx.foreach { case (v, lab) =>
+      assert(ls(v) == lab, s"vertex $v: graft=${ls(v)} graphx=$lab")
+    }
+  }
+
+  test("both paths agree on the real near-dup pair pipeline") {
+    val docs = spark.read.parquet(s"${sf("d")}/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 5, threshold = 0.8)
+    val ml = labelsOf(Dedup.connectedComponents(docs, "doc_id", pairs))
+    val ls = labelsOf(
+      Dedup.connectedComponentsAlternating(docs, "doc_id", pairs))
+    assert(ml == ls)
+  }
+}
