@@ -448,6 +448,44 @@ object TextQueries {
           FROM s"""
       }),
 
+    // language ID v3: Cavnar-Trenkle out-of-place rank distance. Oracle is
+    // GENERATED from TextAnalysis.rankedProfiles so the literal CASE
+    // lookup and the SQL can never drift
+    Q("text_langid_rank",
+      (s, dir) => TextAnalysis.langIdRank(
+        Sources.table(s, dir, "documents"), "doc_id", "text"),
+      Some {
+        val topM = 20
+        def caseOf(lang: String): String =
+          "CASE t " + TextAnalysis.rankedProfiles(lang).zipWithIndex
+            .map { case (t, i) => s"WHEN '$t' THEN ${i + 1}" }
+            .mkString(" ") + " END"
+        val dcols = Seq("en", "de", "fr", "es").map { l =>
+          s"CAST(sum(coalesce(abs(r - ${caseOf(l)}), $topM)) AS BIGINT) AS d_$l"
+        }.mkString(",\n")
+        s"""WITH pos AS (
+            SELECT doc_id, lower(text) AS lo,
+              unnest(range(1, length(text) - 1)) AS i
+            FROM documents),
+          tri AS (SELECT doc_id, substr(lo, CAST(i AS INT), 3) AS t
+            FROM pos),
+          cnt AS (SELECT doc_id, t, count(*) AS c FROM tri
+            GROUP BY doc_id, t),
+          top AS (SELECT doc_id, t, r FROM (
+            SELECT doc_id, t, row_number() OVER (
+              PARTITION BY doc_id ORDER BY c DESC, t ASC) AS r
+            FROM cnt) x WHERE r <= $topM),
+          dist AS (SELECT doc_id, $dcols FROM top GROUP BY doc_id)
+          SELECT d.doc_id, dist.d_en, dist.d_de, dist.d_fr, dist.d_es,
+            coalesce(CASE
+              WHEN d_en = d_de AND d_de = d_fr AND d_fr = d_es THEN 'und'
+              WHEN d_en = least(d_en, d_de, d_fr, d_es) THEN 'en'
+              WHEN d_de = least(d_en, d_de, d_fr, d_es) THEN 'de'
+              WHEN d_fr = least(d_en, d_de, d_fr, d_es) THEN 'fr'
+              ELSE 'es' END, 'und') AS predicted
+          FROM documents d LEFT JOIN dist ON d.doc_id = dist.doc_id"""
+      }),
+
     Q("text_quality",
       (s, dir) => TextAnalysis.quality(
         Sources.table(s, dir, "documents"), "doc_id", "text"),

@@ -69,6 +69,77 @@ object TextAnalysis {
         .otherwise("es"))
   }
 
+  /** Rank-ordered characteristic trigram profiles (Cavnar–Trenkle style,
+    * "N-Gram-Based Text Categorization", SDAIR'94): position = typical
+    * frequency rank in the language, spaces included so word boundaries
+    * count. Tiny literal lists — shipped into the plan, never a join. */
+  val rankedProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "he ", " th", "ing", "nd ", "and", " an", "ng ",
+      " of", "of ", "ed ", " to", "to ", "er ", " in", "ion", "tio",
+      "hat", " ha", "his"),
+    "de" -> Seq("er ", "en ", " de", "der", "ie ", "ch ", "sch", "ein",
+      " ei", "ich", "nde", " un", "und", "che", "die", "cht", "ten",
+      "gen", " ge", "ung"),
+    "fr" -> Seq(" de", "de ", "es ", "le ", " le", "ent", "nt ", "et ",
+      " et", "la ", " la", "ion", "re ", " pa", "ais", "ant", "ait",
+      "our", "ou ", "ons"),
+    "es" -> Seq("de ", " de", "os ", " la", "la ", "el ", " el", "que",
+      " qu", "ue ", "en ", " en", "ión", "ado", "es ", " es", "sta",
+      "nte", "as ", "ar "))
+
+  private val rankLangs = Seq("en", "de", "fr", "es")
+
+  /** Language ID v2: Cavnar–Trenkle out-of-place rank distance. The
+    * document's trigrams are ranked by frequency (count desc, trigram asc
+    * — fully deterministic); for each language the distance is
+    * Σ over the document's top-`topM` trigrams of |docRank − profileRank|,
+    * with a miss costing the `topM` penalty. Prediction = least distance
+    * (fixed order on ties); all-distances-equal ⇒ no signal ⇒ "und".
+    *
+    * Unlike the hit-count heuristics this uses rank CORRELATION, so it
+    * separates languages that merely share common trigrams.
+    *
+    * Scale shape: one explode + count aggregate + per-document top-M
+    * window, then a single aggregate whose profile lookups are literal
+    * CASE chains (codegen'd — no profile join, no skew). The window
+    * partitions by document id, so it parallelizes perfectly. */
+  def langIdRank(df: DataFrame, idCol: String, textCol: String,
+      topM: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lo = lower(col(textCol))
+    // raw trigrams WITH multiplicity (charShingles dedups; ranks need
+    // counts); len < 3 → empty → the doc drops out and is re-attached as
+    // "und" at the end
+    val tris = when(length(lo) >= 3,
+      transform(sequence(lit(1), length(lo) - 2), i => lo.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val cnt = df.select(col(idCol), explode(tris).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("c").desc, col("t").asc)
+    val top = cnt.withColumn("r", row_number().over(w))
+      .filter(col("r") <= topM)
+    def profRank(lang: String): Column =
+      rankedProfiles(lang).zipWithIndex.foldLeft(lit(null).cast("int")) {
+        case (acc, (t, i)) => when(col("t") === t, i + 1).otherwise(acc)
+      }
+    val aggCols = rankLangs.map { l =>
+      sum(coalesce(abs(col("r") - profRank(l)), lit(topM))).as(s"d_$l")
+    }
+    val dists = top.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
+    val dcols = rankLangs.map(l => col(s"d_$l"))
+    val bestD = least(dcols: _*)
+    val allEq = dcols.tail.map(_ === dcols.head).reduce(_ && _)
+    val predicted = when(allEq, lit("und"))
+      .when(col("d_en") === bestD, "en")
+      .when(col("d_de") === bestD, "de")
+      .when(col("d_fr") === bestD, "fr")
+      .otherwise("es")
+    df.select(col(idCol))
+      .join(dists.withColumn("predicted", predicted), Seq(idCol), "left")
+      .withColumn("predicted", coalesce(col("predicted"), lit("und")))
+  }
+
   /** Quality metrics: token count, mean token length, stopword ratio,
     * digit count, and a composite score — the length/punct/stopword-ratio
     * family used to filter training corpora. */

@@ -315,6 +315,53 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTester {
     assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "fr" && r(4L) == "und")
   }
 
+  /** Mixed-language fixture with real sentences — including short ones
+    * where stopword/trigram-hit heuristics go wrong. */
+  private lazy val mixedLang = Seq(
+    (1L, "en", "the quick brown fox jumped over the lazy dog in the park"),
+    (2L, "en", "she was reading an interesting book about the history of art"),
+    (3L, "en", "nothing is certain except death and taxes"),
+    (4L, "en", "to be or not to be that is the question"),
+    (5L, "de", "der schnelle braune fuchs springt nicht in den garten"),
+    (6L, "de", "ich habe ein interessantes buch gelesen und es war schoen"),
+    (7L, "de", "die kinder spielen nicht mehr in dem alten garten"),
+    (8L, "de", "einigkeit und recht und freiheit sind schoene worte"),
+    (9L, "fr", "le renard brun rapide saute par dessus le chien paresseux"),
+    (10L, "fr", "elle lisait un livre passionnant sur une plage ensoleillee"),
+    (11L, "fr", "les enfants jouaient dans le jardin pendant les vacances"),
+    (12L, "fr", "je ne parlais pas avec les autres pendant la reunion"),
+    (13L, "es", "el rapido zorro marron salta sobre el perro perezoso"),
+    (14L, "es", "ella estaba leyendo un libro interesante sobre la historia"),
+    (15L, "es", "los ninos jugaban en el jardin durante las vacaciones"),
+    (16L, "es", "no quiero hablar de este asunto durante la cena"))
+    .toDF("doc_id", "lang", "text")
+
+  private def accuracy(pred: org.apache.spark.sql.DataFrame): Double = {
+    val got = pred.select($"doc_id", $"predicted")
+      .as[(Long, String)].collect().toMap
+    val truth = mixedLang.select($"doc_id", $"lang")
+      .as[(Long, String)].collect().toMap
+    truth.count { case (id, l) => got(id) == l }.toDouble / truth.size
+  }
+
+  test("rank-distance langid beats the trigram-hit heuristic on the " +
+      "mixed-language fixture") {
+    val accHit = accuracy(
+      TextAnalysis.langIdNgram(mixedLang, "doc_id", "text"))
+    val accRank = accuracy(
+      TextAnalysis.langIdRank(mixedLang, "doc_id", "text"))
+    assert(accRank >= 0.9, s"rank-distance accuracy only $accRank")
+    assert(accRank > accHit,
+      s"rank-distance ($accRank) must beat trigram hits ($accHit)")
+  }
+
+  test("rank-distance langid: no-signal and short inputs predict und") {
+    val df = Seq((1L, "zzqqxx zzqqxx"), (2L, "ab")).toDF("doc_id", "text")
+    val r = TextAnalysis.langIdRank(df, "doc_id", "text")
+      .select($"doc_id", $"predicted").as[(Long, String)].collect().toMap
+    assert(r(1L) == "und" && r(2L) == "und")
+  }
+
   test("quality metrics on a known string") {
     val df = Seq((1L, "the cat sat 42 ok")).toDF("doc_id", "text")
     val r = TextAnalysis.quality(df, "doc_id", "text").head
