@@ -54,11 +54,21 @@ object RunPipeline {
             java.nio.file.Paths.get(zipDir), temp)
           Pipeline.runV2(spark, exportTsv.toString, mentionsTsv.toString, out)
         } finally graft.sources.Acquire.deleteRecursively(temp)
+      // live acquisition: pointer + drops fetched over HTTP (S4/S6
+      // production form), then the same v2 pipeline
+      case "v2-acquire-http" :: pointerUrl :: out :: Nil =>
+        val temp = java.nio.file.Files.createTempDirectory("graft-acquire")
+        try {
+          val (exportTsv, mentionsTsv) =
+            graft.sources.Acquire.collectV2Http(pointerUrl, temp)
+          Pipeline.runV2(spark, exportTsv.toString, mentionsTsv.toString, out)
+        } finally graft.sources.Acquire.deleteRecursively(temp)
       case _ =>
         System.err.println(
           "usage: RunPipeline v2 <export.tsv> <mentions.tsv> <outDir> | " +
             "v1 <events.tsv> <outDir> | " +
-            "v2-acquire <lastupdate.txt> <zipDir> <outDir>")
+            "v2-acquire <lastupdate.txt> <zipDir> <outDir> | " +
+            "v2-acquire-http <pointerUrl> <outDir>")
         sys.exit(2)
     }
     // runtime print, the reference's only instrumentation (extractor.py:434)

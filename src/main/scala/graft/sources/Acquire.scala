@@ -155,4 +155,37 @@ object Acquire {
     (extractCsv("export", local("export"), tempDir),
       extractCsv("mentions", local("mentions"), tempDir))
   }
+
+  /** S4+S6 live form — completes [[collectV2]] with the network step the
+    * offline form assumes already happened: GET the pointer file, download
+    * the export and mentions drops into `tempDir`, extract/rename both.
+    * gkg is still validated by the 3-key parse but not downloaded (run_v2
+    * never reads it). The HTTP functions are injectable for tests; the
+    * defaults are [[Fetch]].
+    * (Reference flow: fetch_last_v2_urls + extract_csv per label,
+    * extractor.py:288-312,334-348.) */
+  def collectV2Http(pointerUrl: String, tempDir: Path,
+      get: String => String = Fetch.getString(_),
+      download: (String, Path) => Path = Fetch.download(_, _))
+      : (Path, Path) = {
+    val urls = parsePointerFile(get(pointerUrl))
+    def fetchZip(label: String): Path =
+      download(urls(label), tempDir.resolve(urls(label).split('/').last))
+    (extractCsv("export", fetchZip("export"), tempDir),
+      extractCsv("mentions", fetchZip("mentions"), tempDir))
+  }
+
+  /** S5+S6 live form for the v1 feed: GET the directory listing, pick the
+    * latest export zip ([[parseV1Listing]]), download and extract it.
+    * (Reference: fetch_last_v1_url + collect_v1_csv,
+    * extractor.py:314-332 — broken at HEAD, SURVEY §8.1 #2; this is the
+    * documented intent.) */
+  def collectV1Http(listingUrl: String, tempDir: Path,
+      get: String => String = Fetch.getString(_),
+      download: (String, Path) => Path = Fetch.download(_, _)): Path = {
+    val url = parseV1Listing(get(listingUrl),
+      listingUrl.stripSuffix("/index.html"))
+    val zip = download(url, tempDir.resolve(url.split('/').last))
+    extractCsv("export", zip, tempDir)
+  }
 }

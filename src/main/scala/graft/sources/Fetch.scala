@@ -1,0 +1,66 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Path
+import java.time.Duration
+
+/** Live-fetch layer for the acquisition sources (S4/S5/S6 production
+  * form): a thin `java.net.http.HttpClient` BEHIND the pure parsers in
+  * [[Acquire]] — the parsers stay offline-testable, and this layer is
+  * exercised against a local stub HTTP server in AcquireHttpSpec (the
+  * reference's network boundary, extractor.py:288-321,212, minus the
+  * always-on egress this sandbox doesn't have).
+  *
+  * Driver-side by design, like the reference: the pointer file is 3 lines
+  * and one drop is a single zip; distributed fetch only makes sense when
+  * the URL list itself is a table (that shape is [[graft.operators
+  * .Enrich]]'s mapPartitions, not this).
+  */
+object Fetch {
+
+  /** Non-2xx status or transport failure. */
+  final class FetchException(msg: String, cause: Throwable = null)
+      extends RuntimeException(msg, cause)
+
+  private lazy val client: HttpClient = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .connectTimeout(Duration.ofSeconds(20))
+    .build()
+
+  private def request(url: String, timeoutSec: Long): HttpRequest =
+    HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofSeconds(timeoutSec))
+      .GET()
+      .build()
+
+  private def checked[T](url: String, resp: HttpResponse[T]): T = {
+    if (resp.statusCode() < 200 || resp.statusCode() >= 300)
+      throw new FetchException(s"GET $url -> HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+
+  /** GET a small text resource (pointer file, directory listing). */
+  def getString(url: String, timeoutSec: Long = 60): String =
+    try checked(url,
+      client.send(request(url, timeoutSec),
+        HttpResponse.BodyHandlers.ofString()))
+    catch {
+      case e: FetchException => throw e
+      case e: Exception =>
+        throw new FetchException(s"GET $url failed: ${e.getMessage}", e)
+    }
+
+  /** GET a (possibly large) resource straight to `dest` — the body
+    * streams to disk, never buffering a whole drop in memory (reference
+    * streams too: requests.get(stream=True), extractor.py:212). */
+  def download(url: String, dest: Path, timeoutSec: Long = 600): Path =
+    try checked(url,
+      client.send(request(url, timeoutSec),
+        HttpResponse.BodyHandlers.ofFile(dest)))
+    catch {
+      case e: FetchException => throw e
+      case e: Exception =>
+        throw new FetchException(s"GET $url failed: ${e.getMessage}", e)
+    }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Path}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.sources.{Acquire, Fetch}
+
+/** Drives the live-fetch acquisition path (Fetch + Acquire.collectV2Http /
+  * collectV1Http) against a local in-process HTTP stub server — the
+  * network boundary the offline sandbox can't otherwise exercise. */
+class AcquireHttpSpec extends AnyFunSuite with SparkTester
+    with BeforeAndAfterAll {
+
+  private var server: HttpServer = _
+  private val v1Tsv = Seq(
+    GdeltFixtures.v1Row(1, "https://a.example.com/x"),
+    GdeltFixtures.v1Row(2, "https://b.example.com/y")).mkString("\n")
+  private def base: String =
+    s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  private def zipBytes(member: String, content: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    z.putNextEntry(new ZipEntry(member))
+    z.write(content.getBytes("UTF-8"))
+    z.closeEntry(); z.close()
+    bos.toByteArray
+  }
+
+  private def respond(ex: HttpExchange, code: Int,
+      body: Array[Byte]): Unit = {
+    ex.sendResponseHeaders(code, body.length)
+    ex.getResponseBody.write(body)
+    ex.close()
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val exportTsv = GdeltFixtures.standardV2Lines.mkString("\n")
+    val mentionsTsv =
+      Seq(GdeltFixtures.mentionsRow(1, "https://a.example.com/x"),
+        GdeltFixtures.mentionsRow(2, "https://b.example.com/y"))
+        .mkString("\n")
+    server.createContext("/gdeltv2/lastupdate.txt",
+      (ex: HttpExchange) => {
+        // CRLF on purpose: the live pointer file arrives however the CDN
+        // serves it; the parser must cope (ADVICE regression)
+        val body = Seq(
+          s"137405 f28c8cf6 $base/gdeltv2/20240115123000.export.CSV.zip",
+          s"159408 a1246a4f $base/gdeltv2/20240115123000.mentions.CSV.zip",
+          s"841181 9c7f4dd1 $base/gdeltv2/20240115123000.gkg.csv.zip")
+          .mkString("\r\n").getBytes("UTF-8")
+        respond(ex, 200, body)
+      })
+    server.createContext("/gdeltv2/20240115123000.export.CSV.zip",
+      (ex: HttpExchange) => respond(ex, 200,
+        zipBytes("20240115123000.export.CSV", exportTsv)))
+    server.createContext("/gdeltv2/20240115123000.mentions.CSV.zip",
+      (ex: HttpExchange) => respond(ex, 200,
+        zipBytes("20240115123000.mentions.CSV", mentionsTsv)))
+    server.createContext("/events/index.html",
+      (ex: HttpExchange) => respond(ex, 200,
+        s"""<html><a href="../">up</a>
+           |<a href="20240114.export.CSV.zip">14</a>
+           |<a href="20240115.export.CSV.zip">15</a></html>"""
+          .stripMargin.getBytes("UTF-8")))
+    server.createContext("/events/20240115.export.CSV.zip",
+      (ex: HttpExchange) => respond(ex, 200,
+        zipBytes("20240115.export.CSV", v1Tsv)))
+    server.createContext("/missing.txt",
+      (ex: HttpExchange) => respond(ex, 404, "gone".getBytes("UTF-8")))
+    server.start()
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop(0)
+    super.afterAll()
+  }
+
+  test("collectV2Http: pointer GET -> zip downloads -> extracted TSVs") {
+    val temp = Files.createTempDirectory("graft-http")
+    val (export, mentions) =
+      Acquire.collectV2Http(s"$base/gdeltv2/lastupdate.txt", temp)
+    assert(export.getFileName.toString == "20240115123000_export.txt")
+    assert(mentions.getFileName.toString == "20240115123000_mentions.txt")
+    assert(Files.readString(export) ==
+      GdeltFixtures.standardV2Lines.mkString("\n"))
+    // gkg is validated by the 3-key parse but never downloaded
+    assert(!Files.exists(temp.resolve("20240115123000.gkg.csv.zip")))
+    Acquire.deleteRecursively(temp)
+  }
+
+  test("collectV2Http feeds the full v2 pipeline end-to-end over HTTP") {
+    val temp = Files.createTempDirectory("graft-http-e2e")
+    val (export, mentions) =
+      Acquire.collectV2Http(s"$base/gdeltv2/lastupdate.txt", temp)
+    val out = temp.resolve("out").toString
+    Pipeline.runV2(spark, export.toString, mentions.toString, out)
+    assert(spark.read.parquet(s"$out/v2_exports").count() == 4)
+    assert(spark.read.parquet(s"$out/v2_mentions").count() == 2)
+    Acquire.deleteRecursively(temp)
+  }
+
+  test("collectV1Http: listing GET -> latest zip -> extracted TSV") {
+    val temp = Files.createTempDirectory("graft-http-v1")
+    val tsv = Acquire.collectV1Http(s"$base/events/index.html", temp)
+    assert(tsv.getFileName.toString == "20240115_export.txt")
+    assert(Files.readString(tsv) == v1Tsv)
+    Acquire.deleteRecursively(temp)
+  }
+
+  test("non-2xx status is a FetchException, not a silent empty body") {
+    val e = intercept[Fetch.FetchException] {
+      Fetch.getString(s"$base/missing.txt")
+    }
+    assert(e.getMessage.contains("404"))
+    val e2 = intercept[Fetch.FetchException] {
+      Fetch.download(s"$base/missing.txt",
+        Files.createTempDirectory("dl").resolve("x.zip"))
+    }
+    assert(e2.getMessage.contains("404"))
+  }
+
+  test("unreachable host is a FetchException with the cause message") {
+    intercept[Fetch.FetchException] {
+      // port 1 on localhost: connection refused immediately
+      Fetch.getString("http://127.0.0.1:1/x", timeoutSec = 5)
+    }
+  }
+}
