@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Scale datapoint for the dedup suite: synthesizes a `factor`× corpus
+  * from the sf documents table and times dedup_minhash, ngram Jaccard
+  * with and without the maxDocFreq skew cap, and connected components —
+  * validating the skew guards empirically rather than by comment.
+  *
+  * Corpus construction (all DataFrame ops, no driver loops):
+  *  - replica 0 = the original corpus (its near-dup structure intact);
+  *  - replicas 1..factor-1 are salted with a unique 64-token md5 prefix
+  *    per (doc, replica), pushing their Jaccard vs the original to ~0.3 —
+  *    bulk, not duplicates (and mid-similarity LSH candidate pressure);
+  *  - ~10% of ALL docs get one shared boilerplate sentence appended: its
+  *    shingles have document frequency ≈ corpus/10, the classic hot-key
+  *    pathology that makes an uncapped shingle self-join quadratic.
+  *
+  * Prints one JSON line with per-stage seconds; NOTES.md records the
+  * round's numbers.
+  */
+object ScaleBench {
+
+  private val boilerplate =
+    " all rights reserved by the example content factory archive division"
+
+  def buildCorpus(spark: SparkSession, sfDir: String, factor: Int,
+      boilerPct: Int = 10): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val reps = spark.range(0, factor).toDF("rep")
+    val saltTokens = (0 until 64).map { i =>
+      substring(md5(concat_ws("_", col("doc_id"), col("rep"), lit(i))), 1, 12)
+    }
+    base.crossJoin(reps)
+      .select((col("doc_id") * factor + col("rep")).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat(concat_ws(" ", saltTokens: _*), lit(" "),
+            col("text"))).as("text"))
+      .withColumn("text",
+        when(pmod(xxhash64(col("doc_id")), lit(100)) < boilerPct,
+          concat(col("text"), lit(boilerplate))).otherwise(col("text")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("GRAFT_SCALE_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("GRAFT_BENCH_CPUS", "8")
+    val runUncapped = sys.env.getOrElse("GRAFT_SCALE_UNCAPPED", "1") == "1"
+    val boilerPct = sys.env.getOrElse("GRAFT_SCALE_BOILER_PCT", "10").toInt
+    val cap = 1000L
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.maxFields", "256")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val big = buildCorpus(spark, sfDir, factor, boilerPct)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = big.count() // materialize outside the timed sections
+
+    val t = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timed(name: String)(f: => Long): Long = {
+      val t0 = System.nanoTime()
+      val n = f
+      t(name) = (System.nanoTime() - t0) / 1e9
+      n
+    }
+
+    val nMinhash = timed("minhash") {
+      Dedup.minhashLshPairs(big, "doc_id", "text",
+        k = 5, bands = 32, rowsPerBand = 4, threshold = 0.8).count()
+    }
+    val capped = Dedup.ngramJaccardPairs(big, "doc_id", "text",
+      k = 5, threshold = 0.8, maxDocFreq = Some(cap))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCapped = timed("ngram_capped")(capped.count())
+    val nUncapped = if (runUncapped) timed("ngram_uncapped") {
+      Dedup.ngramJaccardPairs(big, "doc_id", "text",
+        k = 5, threshold = 0.8, maxDocFreq = None).count()
+    } else -1L
+    val nClusters = timed("clusters_ls") {
+      Dedup.connectedComponentsAlternating(big, "doc_id", capped)
+        .filter(col("doc_id") =!= col("cluster_id")).count()
+    }
+
+    val times = t.map { case (k, v) =>
+      "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.US, v)
+    }.mkString("{", ",", "}")
+    spark.stop()
+    println(s"""{"metric":"dedup_scale","docs":$nDocs,"factor":$factor,""" +
+      s""""cap":$cap,"boiler_pct":$boilerPct,"cpus":$cpus,""" +
+      s""""times_sec":$times,""" +
+      s""""pairs":{"minhash":$nMinhash,"ngram_capped":$nCapped,""" +
+      s""""ngram_uncapped":$nUncapped},"nondefault_docs":$nClusters}""")
+  }
+}

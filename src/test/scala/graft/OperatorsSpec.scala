@@ -211,6 +211,39 @@ class DedupSpec extends AnyFunSuite with SparkTester {
     assert(noop == exact)
   }
 
+  test("maxDocFreq cap on a boilerplate-heavy CORPUS: genuine near-dup " +
+      "pairs survive, boilerplate manufactures none") {
+    val docs = spark.read.parquet(s"${sf("d")}/documents.parquet")
+      .select($"doc_id", $"text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame, thr: Double,
+        cap: Option[Long]): Map[(Long, Long), Double] =
+      Dedup.ngramJaccardPairs(df, "doc_id", "text", k = 5, threshold = thr,
+        maxDocFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    val clean08 = pairsOf(docs, 0.8, None)
+    assert(clean08.nonEmpty, "fixture must contain near-dup pairs")
+    // every document gets the same boilerplate sentence: its shingles hit
+    // document frequency = |corpus|, the worst-case hot key
+    val boiler = docs.withColumn("text", concat($"text",
+      lit(" all rights reserved by the example content factory division")))
+    // capped Jaccard is over the capped shingle universe: the per-doc
+    // doc/boilerplate JUNCTION shingles (≤ k-1 each side, rare, kept)
+    // dilute a pair's score, and the shortest fixture docs (~14 shingles)
+    // dilute hardest (0.9+ clean pairs land at ~0.61 capped) — so the
+    // brackets carry that margin. The assertions: (a) strongly-similar
+    // pairs survive the cap at 0.5; (b) every capped pair has GENUINE
+    // similarity (clean j ≥ 0.3) — boilerplate-only pairs (clean j ≈ 0)
+    // are never manufactured
+    val capped = pairsOf(boiler, 0.5, Some(10L))
+    val strong = clean08.filter { case (_, j) => j >= 0.9 }.keySet
+    assert(strong.subsetOf(capped.keySet),
+      s"missing strong pairs: ${strong.diff(capped.keySet)}")
+    val clean03 = pairsOf(docs, 0.3, None)
+    assert(capped.keySet.subsetOf(clean03.keySet),
+      "capped run manufactured pairs absent from the clean corpus")
+  }
+
   test("blocked exact embedding pairs equal the single-join answer") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def pairsAt(nBlocks: Int) =
