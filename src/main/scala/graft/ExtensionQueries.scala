@@ -209,17 +209,23 @@ object DedupQueries {
     // near-dup pairs over the winnow fingerprint SETS — same inverted-index
     // Jaccard as dedup_ngram_jaccard but over the ~2/(w+1)-selected
     // fingerprints instead of every shingle (the long-document scale path).
-    // Fully oracle-checked: fingerprints are deterministic (see
-    // winnowFpCtes) and the Jaccard algebra is exact set arithmetic
+    // The stop-fingerprint cap is engaged and MIRRORED in the oracle
+    // (char k-grams are hot: the top fingerprint sits in 77% of sf0.1
+    // docs — 128M uncapped join rows vs 0.5M capped). Fully oracle-
+    // checked: fingerprints are deterministic (see winnowFpCtes) and the
+    // capped Jaccard algebra is exact set arithmetic
     Q("dedup_winnow_pairs",
       (s, dir) => Dedup.winnowJaccardPairs(
         Sources.table(s, dir, "documents"), "doc_id", "text",
-        k = 8, w = 4, threshold = 0.5),
+        k = 8, w = 4, threshold = 0.5, maxDocFreq = Some(200L)),
       Some(s"""WITH ${winnowFpCtes(8, 4)},
-        sizes AS (SELECT doc_id, count(*) AS sz FROM fp GROUP BY doc_id),
+        fpdf AS (SELECT fp AS f, count(*) AS c FROM fp GROUP BY fp),
+        fpk AS (SELECT doc_id, fp FROM fp JOIN fpdf ON fp = f
+          WHERE c <= 200),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM fpk GROUP BY doc_id),
         ints AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-          FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc_a, doc_b, jaccard FROM (
           SELECT doc_a, doc_b,

@@ -61,19 +61,23 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, threshold: Double = 0.8,
       maxDocFreq: Option[Long] = None): DataFrame = {
-    val all = shingleRows(df, idCol, textCol, k)
-    val sh = maxDocFreq match {
-      case Some(cap) =>
-        // document frequency per shingle: one map-side-combined aggregate
-        // on the same key the self-join shuffles on; hot shingles are then
-        // anti-joined away (the hot list is tiny — broadcast)
-        val hot = all.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("sh")
-        all.join(broadcast(hot), Seq("sh"), "left_anti")
-      case None => all
-    }
-    jaccardOverIndex(sh, threshold)
+    jaccardOverIndex(dropHot(shingleRows(df, idCol, textCol, k),
+      maxDocFreq), threshold)
   }
+
+  /** Stop-shingle guard shared by the inverted-index Jaccard operators:
+    * drop index elements whose document frequency exceeds the cap.
+    * Document frequency is one map-side-combined aggregate on the same
+    * key the self-join shuffles on; the hot list is tiny — broadcast
+    * anti-join. */
+  private def dropHot(sh: DataFrame, maxDocFreq: Option[Long]): DataFrame =
+    maxDocFreq match {
+      case Some(cap) =>
+        val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+        sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      case None => sh
+    }
 
   /** Inverted-index Jaccard over (doc_id, sh) set rows: pairs sharing ≥1
     * element, exact set Jaccard, thresholded. */
@@ -93,13 +97,20 @@ object Dedup {
     * ~2/(w+1) winnow-selected hashes per document instead of every
     * shingle: a w-fold smaller index and join for near-identical recall on
     * copy-type duplication (any shared run ≥ w+k−1 chars shares a
-    * fingerprint). The long-document scale path for text near-dup. */
+    * fingerprint). The long-document scale path for text near-dup.
+    *
+    * `maxDocFreq` is the same stop-element guard as [[ngramJaccardPairs]]
+    * and matters MORE here: character k-grams repeat across documents far
+    * more than word shingles (at sf0.1 the hottest fingerprint sits in
+    * 77% of documents — 128M uncapped join rows vs 0.5M at cap 200), and
+    * a fingerprint shared by most of the corpus carries no dedup signal. */
   def winnowJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4, threshold: Double = 0.5): DataFrame = {
+      k: Int = 8, w: Int = 4, threshold: Double = 0.5,
+      maxDocFreq: Option[Long] = None): DataFrame = {
     val fp = df.select(col(idCol).as("doc_id"),
       explode(graft.expressions.Winnowing.winnow(col(textCol), k, w))
         .as("sh"))
-    jaccardOverIndex(fp, threshold)
+    jaccardOverIndex(dropHot(fp, maxDocFreq), threshold)
   }
 
   /** (doc_a, doc_b, inter) + per-doc set sizes → thresholded jaccard. */
