@@ -384,6 +384,87 @@ object SimilarityQueries {
             AS rank
           FROM scored) r WHERE rank <= 10""")),
 
+    // IVF with the Lloyd's-TRAINED coarse quantizer. The oracle unrolls
+    // the training iterations as generated CTEs: assignment = ordered-sum
+    // squared distances rounded at 9 dp with centroid-id tie-breaks;
+    // re-averaged coordinates = exact DECIMAL(28,10) sums -> one double
+    // division -> float cast — the same partitioning-independent algebra
+    // the Spark trainer uses, so the trained centroids (and hence cells,
+    // probes, and ranking) reproduce exactly
+    Q("simsearch_ivf_kmeans",
+      (s, dir) => {
+        val emb = Sources.table(s, dir, "embeddings")
+        Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") < 5),
+          "embedding", k = 10, centroidStep = 50, iters = 2, nprobe = 4)
+          .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+      },
+      Some {
+        val iters = 2
+        val init = """c0 AS (
+            SELECT vec_id AS cent_id, i, v FROM e WHERE vec_id % 50 = 0)"""
+        val rounds = (0 until iters).map { t =>
+          s"""d$t AS (
+            SELECT a.vec_id, c.cent_id,
+              round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9) AS d2
+            FROM e a JOIN c$t c ON a.i = c.i
+            GROUP BY a.vec_id, c.cent_id),
+          a$t AS (
+            SELECT vec_id, cent_id AS cell FROM (
+              SELECT vec_id, cent_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+              FROM d$t) x WHERE rn = 1),
+          c${t + 1} AS (
+            SELECT a.cell AS cent_id, e.i,
+              CAST(CAST(CAST(sum(CAST(e.v AS DECIMAL(28,10))) AS DOUBLE)
+                / count(*) AS FLOAT) AS DOUBLE) AS v
+            FROM a$t a JOIN e ON e.vec_id = a.vec_id
+            GROUP BY a.cell, e.i)"""
+        }.mkString(",\n")
+        s"""WITH e AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings),
+          $init,
+          $rounds,
+          dF AS (
+            SELECT a.vec_id, c.cent_id,
+              round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9) AS d2
+            FROM e a JOIN c$iters c ON a.i = c.i
+            GROUP BY a.vec_id, c.cent_id),
+          assign AS (
+            SELECT vec_id, cent_id AS cell FROM (
+              SELECT vec_id, cent_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+              FROM dF) t WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS q_id, cent_id AS cell FROM (
+              SELECT vec_id, cent_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+              FROM dF WHERE vec_id < 5) t WHERE rn <= 4),
+          cand AS (
+            SELECT p.q_id, a.vec_id
+            FROM probes p JOIN assign a ON p.cell = a.cell
+            WHERE a.vec_id <> p.q_id),
+          dots AS (
+            SELECT c.q_id, c.vec_id, sum(q.v * x.v) AS dot
+            FROM cand c
+            JOIN e q ON q.vec_id = c.q_id
+            JOIN e x ON x.vec_id = c.vec_id AND x.i = q.i
+            GROUP BY 1, 2),
+          norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+          scored AS (
+            SELECT q_id, dots.vec_id AS vec_id,
+                   round(dot / (nq.nrm * nx.nrm), 6) AS cos
+            FROM dots
+            JOIN norms nq ON q_id = nq.vec_id
+            JOIN norms nx ON dots.vec_id = nx.vec_id)
+          SELECT q_id, vec_id, cos, rank FROM (
+            SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER)
+              AS rank
+            FROM scored) r WHERE rank <= 10"""
+      }),
+
     // random-hyperplane LSH candidate generation (linear-cost ANN feed) —
     // fully hash-checked via the committed plane fixture (see lshBandsCtes)
     Q("simsearch_lsh",
@@ -528,6 +609,31 @@ object TextQueries {
           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens
         FROM t""")),
 
+    // per-document top-5 TF-IDF terms; smoothed idf, 6-dp rounding and
+    // term tie-breaks make the ranking deterministic in both engines
+    Q("text_tfidf",
+      (s, dir) => TextAnalysis.tfidfTopTerms(
+        Sources.table(s, dir, "documents"), "doc_id", "text", topN = 5),
+      Some("""WITH t AS (
+          SELECT doc_id,
+            unnest(list_filter(string_split(lower(text), ' '),
+              x -> x <> '')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+            round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (dfreq.dfreq + 1)),
+              6) AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tf, tfidf, rank FROM (
+          SELECT doc_id, term, tf, tfidf, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INTEGER)
+            AS rank
+          FROM scored) r
+        WHERE rank <= 5""")),
+
     // fp64 (xxhash64) has no DuckDB twin — oracle checks the md5 branch via
     // a dedicated query; fingerprints (with fp64) is rows-only
     Q("text_fingerprint",
@@ -616,6 +722,18 @@ object CurationQueries {
         .select("doc_id", "source"),
       Some(s"""SELECT doc_id, source FROM documents
         WHERE ${ddbHashBucket("doc_id::VARCHAR", 100L)} < 37""")),
+
+    // TRUE stratified sample: per-stratum rates (downsample a dominant
+    // source, keep most of a rare one), deterministic id-hash draw
+    Q("curation_sample_stratified",
+      (s, dir) => Curation.sampleStratified(
+        Sources.table(s, dir, "documents"), "doc_id", "source",
+        rates = Map("src1" -> 80, "src3" -> 5), defaultPct = 25)
+        .select("doc_id", "source"),
+      Some(s"""SELECT doc_id, source FROM documents
+        WHERE ${ddbHashBucket("doc_id::VARCHAR", 100L)} <
+          CASE source WHEN 'src1' THEN 80 WHEN 'src3' THEN 5
+            ELSE 25 END""")),
 
     // per-source quota: at most 10 docs per source, deterministic draw
     // (sf0.01 has 20 sources x 25 docs, so the cap binds everywhere)

@@ -65,6 +65,24 @@ object Curation {
     df.filter(hashBucket(col(idCol), 100) < pct)
   }
 
+  /** TRUE stratified sample: a per-stratum keep rate (percent), with
+    * `defaultPct` for strata absent from the map — e.g. downsample the
+    * dominant crawl while keeping all of a rare high-quality source.
+    * Same deterministic id-hash draw as [[sampleDeterministic]]: still a
+    * pure FILTER (the rate lookup is a literal CASE chain, codegen'd), no
+    * shuffle, reproducible at any scale; and because the draw depends
+    * only on the id, the same document keeps/drops regardless of how the
+    * strata map changes. */
+  def sampleStratified(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    (rates.values.toSeq :+ defaultPct).foreach(p =>
+      require(p >= 0 && p <= 100, s"pct must be 0..100, got $p"))
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), 100) < pct)
+  }
+
   /** Per-key quota: keep at most `n` rows per key (e.g. cap documents per
     * domain so one crawler-friendly site can't dominate the corpus).
     * Selection is deterministic: rows are ranked by hash-of-id (an

@@ -63,19 +63,66 @@ object Similarity {
       .select(col("vec_id"), col("e"), col("cent_id").as("cell"))
   }
 
+  /** Deterministic Lloyd's k-means trainer for the IVF coarse quantizer:
+    * centroids start from the fixed id-sample (`vec_id ≡ 0 mod
+    * centroidStep`) and run `iters` assignment/re-average rounds.
+    *
+    * Everything is partitioning-independent, which is what makes the
+    * TRAINED quantizer oracle-checkable: assignment ties break on
+    * centroid id (via [[assignCells]]), and each re-averaged coordinate
+    * sums exact decimals (per-element cast to DECIMAL(28,10)) before one
+    * double division and a float cast — no float-addition order
+    * dependence. A centroid that loses every member drops out (standard
+    * Lloyd's; k can only shrink).
+    *
+    * Scale shape per round: one broadcast of the (tiny) centroid table,
+    * one row-per-element shuffle for the dimension-wise means. Returns
+    * (cent_id, centroid array<float>). */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String,
+      centroidStep: Int, iters: Int): DataFrame = {
+    var cent = corpus.filter(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cent_id"), col(vecCol).as("ce"))
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(
+        corpus.select(col("vec_id"), col(vecCol)),
+        cent.select(col("cent_id").as("vec_id"), col("ce").as(vecCol)),
+        vecCol)
+      cent = assigned
+        .select(col("cell"), posexplode(col("e")).as(Seq("i", "v")))
+        .groupBy(col("cell"), col("i"))
+        .agg((sum(col("v").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).cast("float").as("m"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)")
+          .as("ce"))
+        .select(col("cell").as("cent_id"), col("ce"))
+    }
+    cent
+  }
+
   /** IVF search: probe the `nprobe` nearest cells per query, exact top-k
     * within the probed cells. Deterministic coarse quantizer: centroids are
-    * the vectors whose id ≡ 0 (mod centroidStep) — a fixed sample standing
-    * in for k-means (same data layout and query path; training is
-    * orthogonal to the engine work). */
+    * the vectors whose id ≡ 0 (mod centroidStep) — a fixed sample; see
+    * [[ivfTopKTrained]] for the k-means-trained form (same layout and
+    * query path, better-balanced cells). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-      k: Int, centroidStep: Int = 50, nprobe: Int = 2): DataFrame = {
-    val centroids = corpus.filter(col("vec_id") % centroidStep === 0)
-    val assigned = assignCells(corpus, centroids, vecCol)
+      k: Int, centroidStep: Int = 50, nprobe: Int = 2): DataFrame =
+    ivfWith(corpus, queries, vecCol, k, nprobe,
+      corpus.filter(col("vec_id") % centroidStep === 0)
+        .select(col("vec_id").as("cent_id"), col(vecCol).as("ce")))
 
-    // per-query probe list: nprobe nearest centroids
-    val cent = centroids.select(col("vec_id").as("cent_id"),
-      col(vecCol).as("ce"))
+  /** IVF with a Lloyd's-trained coarse quantizer ([[kmeansCentroids]]). */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      k: Int, centroidStep: Int = 50, iters: Int = 2, nprobe: Int = 2)
+      : DataFrame =
+    ivfWith(corpus, queries, vecCol, k, nprobe,
+      kmeansCentroids(corpus, vecCol, centroidStep, iters)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def ivfWith(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, k: Int, nprobe: Int, cent: DataFrame): DataFrame = {
+    val assigned = assignCells(corpus,
+      cent.select(col("cent_id").as("vec_id"), col("ce").as(vecCol)), vecCol)
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("d2").asc, col("cent_id").asc)
     val probes = queries.select(col("vec_id").as("q_id"), col(vecCol).as("qe"))

@@ -168,6 +168,39 @@ object TextAnalysis {
       size(array_distinct(toks)).as("n_distinct_tokens"))
   }
 
+  /** Per-document top-`topN` TF-IDF terms — the relevance-scoring
+    * primitive for corpus curation (keyword extraction, quality weighting,
+    * query-document matching).
+    *
+    * idf = ln((N+1)/(df+1)) (add-one smoothed, never negative for df ≤ N);
+    * score = tf · idf rounded to 6 dp; rank by (score desc, term asc) —
+    * fully deterministic, so the whole operator is oracle-checkable.
+    *
+    * Scale shape: one shuffle for per-(doc,term) tf (map-side combined),
+    * one for per-term df; the corpus size joins in as a broadcast scalar
+    * and the document-frequency table broadcast-joins when small (term
+    * vocabularies are Zipfian — at 100 TB, pre-aggregate df once and
+    * reuse it across queries rather than recomputing). Top-N per doc is
+    * the rank window, map-side-limited by WindowGroupLimit. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol),
+      explode(Cleaning.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") *
+        log((col("n_docs") + 1).cast("double") / (col("dfreq") + 1)), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"), col("rank"))
+  }
+
   /** Document fingerprints: engine-portable md5 of the normalized token
     * stream plus a 64-bit rolling-hash-style fingerprint (xxhash64). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =

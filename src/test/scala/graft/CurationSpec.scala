@@ -55,6 +55,31 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(ids.subsetOf(s60))
   }
 
+  test("sampleStratified applies per-stratum rates; draw independent of " +
+      "the strata map") {
+    val docs = spark.read.parquet(s"${sf("d")}/documents.parquet")
+    val s = Curation.sampleStratified(docs, "doc_id", "source",
+      rates = Map("src1" -> 100, "src3" -> 0), defaultPct = 30)
+    val bySrc = s.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc("src1") == totals("src1"), "rate 100 keeps everything")
+    assert(!bySrc.contains("src3"), "rate 0 keeps nothing")
+    val defRate = (bySrc - "src1").values.sum.toDouble /
+      (totals - "src1" - "src3").values.sum
+    assert(math.abs(defRate - 0.30) < 0.10, s"default rate off: $defRate")
+    // the draw keys on the id alone: a doc kept at 30% stays kept when
+    // its stratum's rate rises, and the kept set under a uniform map
+    // equals sampleDeterministic at the same pct
+    val uniform = Curation.sampleStratified(docs, "doc_id", "source",
+      rates = Map.empty, defaultPct = 37)
+      .select("doc_id").as[Long].collect().toSet
+    val plain = Curation.sampleDeterministic(docs, "doc_id", 37)
+      .select("doc_id").as[Long].collect().toSet
+    assert(uniform == plain)
+  }
+
   test("quotaPerKey caps rows per key deterministically") {
     val docs = spark.read.parquet(s"${sf("d")}/documents.parquet")
     val q = Curation.quotaPerKey(docs, "source", "doc_id", 3)

@@ -321,6 +321,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("kmeans trainer: SSE non-increasing per Lloyd round; " +
+      "trained IVF recall at least matches the sampled quantizer") {
+    import graft.expressions.VectorExpressions
+    def sse(cent: org.apache.spark.sql.DataFrame): Double =
+      emb.select(col("vec_id"), col("embedding")).join(broadcast(cent))
+        .select(col("vec_id"),
+          VectorExpressions.squaredDist(col("embedding"), col("ce"))
+            .as("d2"))
+        .groupBy("vec_id").agg(min(col("d2")).as("d2"))
+        .agg(sum(col("d2"))).head.getDouble(0)
+    val s0 = sse(Similarity.kmeansCentroids(emb, "embedding", 50, 0))
+    val s1 = sse(Similarity.kmeansCentroids(emb, "embedding", 50, 1))
+    val s2 = sse(Similarity.kmeansCentroids(emb, "embedding", 50, 2))
+    assert(s1 <= s0 + 1e-6, s"SSE rose after round 1: $s0 -> $s1")
+    assert(s2 <= s1 + 1e-6, s"SSE rose after round 2: $s1 -> $s2")
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val plain = recallOf(Similarity.ivfTopK(emb, queries, "embedding", 10,
+      centroidStep = 50, nprobe = 4))
+    val trained = recallOf(Similarity.ivfTopKTrained(emb, queries,
+      "embedding", 10, centroidStep = 50, iters = 2, nprobe = 4))
+    assert(trained >= 0.4, s"trained recall $trained")
+    assert(trained >= plain - 0.1,
+      s"training degraded recall: $plain -> $trained")
+  }
+
   test("LSH candidates: near-identical vectors always collide") {
     import spark.implicits._
     val v = Seq.tabulate(64)(i => math.sin(i).toFloat)
@@ -402,6 +432,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTester {
     assert(r.getInt(r.fieldIndex("n_numeric_tokens")) == 1)
     assert(r.getDouble(r.fieldIndex("stopword_ratio")) == 0.2)
     assert(r.getDouble(r.fieldIndex("avg_token_len")) == 2.6)
+  }
+
+  test("tfidf ranks rare terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "spark spark catalyst common common"),
+      (2L, "pandas common common"),
+      (3L, "duckdb common common")).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", topN = 2)
+      .collect()
+      .map(x => (x.getLong(0), x.getInt(x.fieldIndex("rank"))) ->
+        x.getString(x.fieldIndex("term"))).toMap
+    // "common" appears in every doc -> idf = ln(4/4) = 0 -> ranks last;
+    // doc-specific terms win, tf breaks spark (tf=2) over catalyst (tf=1)
+    assert(r((1L, 1)) == "spark")
+    assert(r((1L, 2)) == "catalyst")
+    assert(r((2L, 1)) == "pandas")
+    assert(r((3L, 1)) == "duckdb")
+    // zero-idf term never outranks a distinctive one
+    assert(r((2L, 2)) == "common")
   }
 
   test("token counts: ws vs regex tokens") {
