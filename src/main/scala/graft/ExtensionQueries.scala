@@ -634,6 +634,40 @@ object TextQueries {
           FROM scored) r
         WHERE rank <= 5""")),
 
+    // per-document top-5 BM25 terms; the scoring expression is mirrored
+    // with identical association order and constants, so the double math
+    // agrees bit-for-bit before the 6-dp rounding
+    Q("text_bm25",
+      (s, dir) => TextAnalysis.bm25TopTerms(
+        Sources.table(s, dir, "documents"), "doc_id", "text", topN = 5),
+      Some("""WITH t AS (
+          SELECT doc_id,
+            unnest(list_filter(string_split(lower(text), ' '),
+              x -> x <> '')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl
+          FROM dl),
+        dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+            round(ln((c.n_docs - dfreq.dfreq + 0.5) / (dfreq.dfreq + 0.5)
+                + 1.0) *
+              (tf.tf * (1.2 + 1.0)) /
+              (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl)), 6)
+              AS bm25
+          FROM tf
+          JOIN dfreq USING (term)
+          JOIN dl USING (doc_id)
+          CROSS JOIN c)
+        SELECT doc_id, term, tf, bm25, rank FROM (
+          SELECT doc_id, term, tf, bm25, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY bm25 DESC, term ASC) AS INTEGER)
+            AS rank
+          FROM scored) r
+        WHERE rank <= 5""")),
+
     // fp64 (xxhash64) has no DuckDB twin — oracle checks the md5 branch via
     // a dedicated query; fingerprints (with fp64) is rows-only
     Q("text_fingerprint",
@@ -739,6 +773,19 @@ object CurationQueries {
     // (sf0.01 has 20 sources x 25 docs, so the cap binds everywhere)
     Q("curation_quota",
       (s, dir) => Curation.quotaPerKey(
+        Sources.table(s, dir, "documents"), "source", "doc_id", n = 10)
+        .select("doc_id", "source"),
+      Some(s"""SELECT doc_id, source FROM (
+          SELECT doc_id, source, row_number() OVER (PARTITION BY source
+            ORDER BY ${ddbHashBucket("doc_id::VARCHAR", 1L << 30)}, doc_id)
+            AS rk
+          FROM documents) t
+        WHERE rk <= 10""")),
+
+    // the skew form of the quota: only over-quota keys enter the window;
+    // same answer, same oracle
+    Q("curation_quota_large",
+      (s, dir) => Curation.quotaPerKeyLarge(
         Sources.table(s, dir, "documents"), "source", "doc_id", n = 10)
         .select("doc_id", "source"),
       Some(s"""SELECT doc_id, source FROM (

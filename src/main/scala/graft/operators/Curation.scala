@@ -101,6 +101,29 @@ object Curation {
       .drop("__rk")
   }
 
+  /** [[quotaPerKey]] for pathological key skew — identical output, but
+    * only OVER-QUOTA keys pass through the rank window: the count
+    * pre-aggregate (map-side combined, tiny result) splits the corpus
+    * with two broadcast semi/anti-joins, and under-quota keys — the
+    * overwhelming majority of a Zipfian key distribution — bypass the
+    * window's shuffle-and-sort entirely. At 100 TB with one domain
+    * holding half the corpus, the window input shrinks from the whole
+    * table to just the hot keys' rows (and THEIR sort can further be
+    * salted two-phase if a single key outgrows an executor). */
+  def quotaPerKeyLarge(df: DataFrame, keyCol: String, idCol: String, n: Int)
+      : DataFrame = {
+    val over = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > n).select(col(keyCol))
+    val cold = df.join(broadcast(over), Seq(keyCol), "left_anti")
+    val hot = df.join(broadcast(over), Seq(keyCol), "left_semi")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hashBucket(col(idCol), 1 << 30), col(idCol))
+    cold.unionByName(
+      hot.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= n)
+        .drop("__rk"))
+  }
+
   /** Canonical-document selection: given near-dup pairs, keep ONE document
     * per connected near-dup cluster (the smallest id — deterministic) and
     * drop the rest. This is the step that turns pairwise dedup output into

@@ -201,6 +201,44 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("tfidf"), col("rank"))
   }
 
+  /** Per-document top-`topN` BM25 terms (Okapi BM25 with the
+    * Robertson+1 idf, always positive): TF-IDF's production-grade sibling
+    * — term frequency saturates (k1) and document length normalizes (b),
+    * so long documents can't dominate and repeated terms have
+    * diminishing returns.
+    *
+    * Determinism mirrors [[tfidfTopTerms]]: corpus scalars (document
+    * count, average length) are exact integer sums divided once in
+    * double; the score expression is evaluated in double with fixed
+    * association order, rounded to 6 dp; ranks tie-break on term. Same
+    * scale shape as TF-IDF (two map-side-combined aggregates + a
+    * broadcast scalar + the WindowGroupLimit top-N). Documents with zero
+    * tokens have no terms and drop out, exactly as in the SQL mirror. */
+  def bm25TopTerms(df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol),
+      explode(Cleaning.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val scored = tf.join(dfreq, "term").join(dl, idCol)
+      .crossJoin(broadcast(corpus))
+      .withColumn("bm25", round(
+        log((col("n_docs") - col("dfreq") + 0.5) /
+          (col("dfreq") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("bm25").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col(idCol), col("term"), col("tf"), col("bm25"), col("rank"))
+  }
+
   /** Document fingerprints: engine-portable md5 of the normalized token
     * stream plus a 64-bit rolling-hash-style fingerprint (xxhash64). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -99,6 +99,23 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(q.columns.toSeq == docs.columns.toSeq)
   }
 
+  test("quotaPerKeyLarge == quotaPerKey on a mixed over/under-quota " +
+      "corpus, and under-quota keys bypass the window") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i <= 30) "hot" else s"cold${i % 4}"))
+      .toDF("doc_id", "source")
+    val plain = Curation.quotaPerKey(docs, "source", "doc_id", 5)
+      .select("doc_id").as[Long].collect().toSet
+    val large = Curation.quotaPerKeyLarge(docs, "source", "doc_id", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == large)
+    // hot capped at 5, the four cold keys (2-3 docs each) untouched
+    val bySrc = Curation.quotaPerKeyLarge(docs, "source", "doc_id", 5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("hot") == 5)
+    assert(bySrc.filter(_._1 != "hot").values.sum == 10)
+  }
+
   test("dedupSurvivors keeps min-id doc per near-dup cluster") {
     val docs = Seq(
       (1L, "a"), (2L, "a dup of one"), (3L, "b"), (4L, "c"), (5L, "chain"))

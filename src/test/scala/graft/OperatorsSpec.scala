@@ -453,6 +453,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTester {
     assert(r((2L, 2)) == "common")
   }
 
+  test("bm25: same tf scores higher in the shorter document; tf saturates") {
+    val docs = Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha beta " + Seq.fill(20)("filler").mkString(" ")),
+      (3L, "gamma delta")).toDF("doc_id", "text")
+    val byDoc = TextAnalysis.bm25TopTerms(docs, "doc_id", "text", topN = 30)
+      .filter($"term" === "alpha")
+      .select($"doc_id", $"bm25").as[(Long, Double)].collect().toMap
+    assert(byDoc(1L) > byDoc(2L),
+      s"length normalization inverted: $byDoc")
+    // saturation: 20x tf of a ubiquitous-in-doc term is worth < 20x score
+    val filler = TextAnalysis.bm25TopTerms(docs, "doc_id", "text", 30)
+      .filter($"term" === "filler")
+      .select($"bm25").as[Double].head()
+    assert(filler < byDoc(2L) * 20)
+  }
+
   test("token counts: ws vs regex tokens") {
     val df = Seq((1L, "ab12cd  ef")).toDF("doc_id", "text")
     val r = TextAnalysis.tokenCounts(df, "doc_id", "text").head
