@@ -54,4 +54,37 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     val p = plan("scan_csv")
     assert(p.contains("ReadSchema: struct<GLOBALEVENTID:bigint"), p)
   }
+
+  test("curation_sample: pure filter — no shuffle, no window, 2-col scan") {
+    val p = plan("curation_sample")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"), p)
+  }
+
+  test("curation_quota/tfidf/langid_rank: top-N is map-side-limited " +
+      "(WindowGroupLimit) before the window shuffle") {
+    assert(plan("curation_quota").contains("WindowGroupLimit"),
+      plan("curation_quota"))
+    assert(plan("text_tfidf").contains("WindowGroupLimit"),
+      plan("text_tfidf"))
+    assert(plan("text_langid_rank").contains("WindowGroupLimit"),
+      plan("text_langid_rank"))
+  }
+
+  test("curation_quota_large: hot-key split joins are broadcast, and the " +
+      "quota window runs after them") {
+    val p = plan("curation_quota_large")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("text_bm25: corpus scalars broadcast; term/doc aggregates are " +
+      "map-side partial") {
+    val p = plan("text_bm25")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -233,6 +233,46 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
 
 /** Smoke: every registered query runs at sf0.001 and the flagship returns
   * rows (the driver's t1 gate). */
+class StreamingCurationSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  test("curation composes with streaming: scrubPii per-row on the " +
+      "stream, per-source quota per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Curation
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-scur")
+    val out = dir.resolve("out").toString
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData((1L, "a", "mail me at bob@corp.example.com now"),
+      (2L, "a", "call 555-123-4567 today"),
+      (3L, "a", "plain text"), (4L, "a", "more text"),
+      (5L, "b", "fine here"))
+    // scrubPii is a stateless projection — it runs INSIDE the streaming
+    // plan; the quota needs a rank window, so it applies per micro-batch
+    // via foreachBatch (the reference's own batch-replace shape)
+    val q = mem.toDS().toDF("doc_id", "source", "text")
+      .withColumn("text", Curation.scrubPii($"text"))
+      .writeStream
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          Curation.quotaPerKey(batch, "source", "doc_id", 2)
+            .write.mode("append").parquet(out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 3, "quota 2 for source a, 1 doc for b")
+    val texts = got.select("text").as[String].collect()
+    assert(!texts.exists(t => t.contains("@") || t.contains("555")))
+    assert(texts.count(t =>
+      t.contains("<EMAIL>") || t.contains("<PHONE>")) >= 1)
+  }
+}
+
 class RegistrySpec extends AnyFunSuite with SparkTester {
   test("entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -248,5 +288,16 @@ class RegistrySpec extends AnyFunSuite with SparkTester {
 
   test("oracle keys are a subset of query keys") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("registry names are unique, and ONLY the known sketch/seed-free " +
+      "query lacks an oracle") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size == names.size,
+      names.groupBy(identity).filter(_._2.size > 1).keys.toSeq.toString)
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // an accidental None on a new query would silently weaken the gate:
+    // every rows-only key must be on this explicit allowlist
+    assert(rowsOnly == Set("agg_approx_distinct"), rowsOnly.toString)
   }
 }
