@@ -71,6 +71,38 @@ object KernelProperties extends Properties("graft.kernels") {
         got == naiveWinnow(s, k, w)
     }
 
+  /** The PII scrub as the pure JVM-regex kernel Spark's regexp_replace
+    * executes (same Java pattern/replacement semantics). */
+  private def scrubJvm(s: String): String =
+    Curation.piiPatterns.foldLeft(s) { case (acc, (re, rep)) =>
+      acc.replaceAll(re, rep)
+    }
+
+  private val piiFrag: Gen[String] = Gen.oneOf(
+    "user.name+tag@corp.example.org", "192.168.0.1", "123-45-6789",
+    "555-123-4567", "(555) 123-4567", "(555)123-4567", "5551234567",
+    "+1 555.123.4567")
+  private val cardFrag = "4111-1111-1111-1111"
+  private val piiText: Gen[String] =
+    Gen.listOf(Gen.oneOf(piiFrag, Gen.const(cardFrag), word))
+      .map(_.mkString(" "))
+
+  property("PII scrub is idempotent") =
+    Prop.forAll(piiText) { s =>
+      val once = scrubJvm(s)
+      scrubJvm(once) == once
+    }
+
+  property("PII scrub leaves no email/ssn/phone shape; cards survive") =
+    Prop.forAll(piiText) { s =>
+      val out = scrubJvm(s)
+      !out.contains("@") &&
+        !out.matches(".*\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b.*") &&
+        !out.matches(".*\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b.*") &&
+        out.count(_ == '@') == 0 &&
+        (!s.contains(cardFrag) || out.contains(cardFrag))
+    }
+
   private val urlGen = for {
     host <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
     id <- Gen.choose(0L, Long.MaxValue)
