@@ -473,6 +473,68 @@ object SimilarityQueries {
         dim = 64, nBits = 16, bandBits = 4),
       Some(s"WITH $lshBandsCtes $lshCandSql")),
 
+    // feature-hashed text embedding (sparse rows, integer values) — the
+    // engine-internal text→vector step, exactly reproducible in SQL
+    Q("text_embed_hash",
+      (s, dir) => TextAnalysis.hashedEmbedding(
+        Sources.table(s, dir, "documents"), "doc_id", "text", dim = 64),
+      Some("""WITH t AS (
+          SELECT doc_id,
+            unnest(list_filter(string_split(lower(text), ' '),
+              x -> x <> '')) AS term
+          FROM documents),
+        b AS (SELECT doc_id,
+            ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS dim,
+            (('0x' || substr(md5(term), 9, 1))::BIGINT % 2) * 2 - 1 AS sgn
+          FROM t)
+        SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS value
+        FROM b GROUP BY doc_id, dim
+        HAVING sum(sgn) <> 0""")),
+
+    // text→vector→ANN composition: cosine top-10 over the hashed
+    // embeddings via the sparse dim-join — dots and norms are exact
+    // integer sums, so the whole pipeline (embed + search + rank)
+    // hash-matches end-to-end
+    Q("simsearch_text_sparse",
+      (s, dir) => {
+        val emb = TextAnalysis.hashedEmbedding(
+          Sources.table(s, dir, "documents"), "doc_id", "text", dim = 64)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Similarity.sparseCosineTopK(emb, emb.filter(col("doc_id") < 5),
+          k = 10)
+      },
+      Some("""WITH t AS (
+          SELECT doc_id,
+            unnest(list_filter(string_split(lower(text), ' '),
+              x -> x <> '')) AS term
+          FROM documents),
+        b AS (SELECT doc_id,
+            ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS dim,
+            (('0x' || substr(md5(term), 9, 1))::BIGINT % 2) * 2 - 1 AS sgn
+          FROM t),
+        e AS (SELECT doc_id, dim, sum(sgn) AS value
+          FROM b GROUP BY doc_id, dim HAVING sum(sgn) <> 0),
+        q AS (SELECT * FROM e WHERE doc_id < 5),
+        norms AS (
+          SELECT doc_id, sqrt((sum(value * value))::DOUBLE) AS nrm
+          FROM e GROUP BY doc_id),
+        dots AS (
+          SELECT q.doc_id AS q_id, e.doc_id AS vec_id,
+            sum(q.value * e.value) AS dot
+          FROM q JOIN e ON q.dim = e.dim AND e.doc_id <> q.doc_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT q_id, vec_id,
+            round(dot::DOUBLE / (nq.nrm * nv.nrm), 6) AS cos
+          FROM dots
+          JOIN norms nq ON q_id = nq.doc_id
+          JOIN norms nv ON vec_id = nv.doc_id)
+        SELECT q_id, vec_id, cos, rank FROM (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER)
+            AS rank
+          FROM scored) r WHERE rank <= 10""")),
+
     // per-vector L2 norm — the scan-side building block, oracle-checked
     Q("embedding_norms",
       (s, dir) => Sources.table(s, dir, "embeddings")

@@ -164,6 +164,39 @@ object Similarity {
     })
   }
 
+  /** Cosine top-k over SPARSE vectors in `(id, dim, value)` row form
+    * (e.g. [[TextAnalysis.hashedEmbedding]] output): dots come from a
+    * dim equi-join — only dimensions both sides share produce work, the
+    * sparse-algebra win over dense scoring. With integer values the dot
+    * and squared norms are exact long sums (no float-order concerns);
+    * cosine is one double division rounded at 6 dp, ties break on id.
+    *
+    * Scale: queries broadcast (small by contract); the corpus side
+    * shuffles once on dim and once on the (query, doc) pair for the dot
+    * aggregation; top-k is the WindowGroupLimit rank window. Pairs with
+    * no shared dimension have dot 0 and never materialize. */
+  def sparseCosineTopK(vecs: DataFrame, queries: DataFrame, k: Int)
+      : DataFrame = {
+    def norms(v: DataFrame): DataFrame =
+      v.groupBy(col("doc_id"))
+        .agg(sqrt(sum(col("value") * col("value")).cast("double"))
+          .as("nrm"))
+    val q = queries.select(col("doc_id").as("q_id"), col("dim"),
+      col("value").as("qv"))
+    val dots = vecs.join(broadcast(q), Seq("dim"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("qv") * col("value")).as("dot"))
+    val scored = dots
+      .join(broadcast(norms(queries).withColumnRenamed("doc_id", "q_id")
+        .withColumnRenamed("nrm", "qn")), Seq("q_id"))
+      .join(norms(vecs), Seq("doc_id"))
+      .select(col("q_id"), col("doc_id").as("vec_id"),
+        round(col("dot").cast("double") / (col("qn") * col("nrm")), 6)
+          .as("cos"))
+    ranked(scored, k)
+  }
+
   /** Random-hyperplane LSH candidates for cosine similarity: `nBits`-bit
     * sign signature, banded; pairs colliding on ≥1 band are candidates.
     * Hyperplanes are pseudo-random but fixed by `seed` ([[hyperplanes]]),

@@ -239,6 +239,35 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("bm25"), col("rank"))
   }
 
+  /** Feature-hashed bag-of-words embedding (the hashing trick, Weinberger
+    * et al. ICML'09) in SPARSE row form: `(doc_id, dim, value)` with one
+    * row per non-zero bucket, where each token hashes to a bucket
+    * (md5-derived, engine-portable) and contributes a ±1 sign (second md5
+    * nibble) — signed counts cancel hash collisions in expectation.
+    *
+    * Integer values end-to-end: the embedding is exactly reproducible in
+    * any engine (no float accumulation anywhere), which is what lets the
+    * downstream ANN over these vectors be oracle-checked exactly. Sparse
+    * rows rather than a dense array: at 100 TB a 64-dim dense array per
+    * doc is fine, but the sparse form generalizes to large dims and feeds
+    * the dim-join similarity ([[Similarity.sparseCosineTopK]]) directly.
+    * One shuffle (token explode → (doc, bucket) count). */
+  def hashedEmbedding(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    val term = explode(Cleaning.tokens(lower(col(textCol)))).as("term")
+    val bucket = pmod(
+      conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"),
+      lit(dim.toLong)).as("dim")
+    val sign = (pmod(
+      conv(substring(md5(col("term")), 9, 1), 16, 10).cast("long"),
+      lit(2L)) * 2 - 1).as("sgn")
+    df.select(col(idCol), term)
+      .select(col(idCol), bucket, sign)
+      .groupBy(col(idCol), col("dim"))
+      .agg(sum(col("sgn")).as("value"))
+      .filter(col("value") =!= 0)
+  }
+
   /** Document fingerprints: engine-portable md5 of the normalized token
     * stream plus a 64-bit rolling-hash-style fingerprint (xxhash64). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -321,6 +321,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("sparse cosine top-k matches hand-computed cosines; disjoint " +
+      "vectors never pair") {
+    import spark.implicits._
+    // doc 2 is parallel to doc 1 (cos 1), doc 3 partially aligned,
+    // doc 4 shares no dimension with doc 1
+    val vecs = Seq(
+      (1L, 0L, 1L), (1L, 1L, 2L),
+      (2L, 0L, 2L), (2L, 1L, 4L),
+      (3L, 1L, 3L), (3L, 2L, 4L),
+      (4L, 5L, 7L))
+      .toDF("doc_id", "dim", "value")
+    val r = Similarity.sparseCosineTopK(vecs,
+      vecs.filter($"doc_id" === 1L), k = 10)
+      .select($"q_id", $"vec_id", $"cos", $"rank")
+      .as[(Long, Long, Double, Int)].collect()
+      .map(x => x._2 -> (x._3, x._4)).toMap
+    assert(r(2L)._1 == 1.0 && r(2L)._2 == 1)
+    // cos(1,3) = (2*3) / (sqrt(5) * 5) = 0.536656...
+    assert(math.abs(r(3L)._1 - 0.536656) < 1e-6)
+    assert(!r.contains(4L), "no shared dims must mean no pair")
+  }
+
+  test("hashed embedding: deterministic, integer-valued, bounded dims") {
+    val docs = spark.read.parquet(s"${sf("d")}/documents.parquet")
+    val a = TextAnalysis.hashedEmbedding(docs, "doc_id", "text", 64)
+    val b = TextAnalysis.hashedEmbedding(docs, "doc_id", "text", 64)
+    assert(a.collect().toSet == b.collect().toSet)
+    assert(a.filter(col("dim") < 0 || col("dim") >= 64).count() == 0)
+    assert(a.filter(col("value") === 0).count() == 0)
+    // a repeated token accumulates, never cancels against itself
+    import spark.implicits._
+    val rep = Seq((1L, "alpha alpha alpha")).toDF("doc_id", "text")
+    val v = TextAnalysis.hashedEmbedding(rep, "doc_id", "text", 64)
+      .select($"value").as[Long].collect()
+    assert(v.toSeq == Seq(3L) || v.toSeq == Seq(-3L))
+  }
+
   test("kmeans trainer: SSE non-increasing per Lloyd round; " +
       "trained IVF recall at least matches the sampled quantizer") {
     import graft.expressions.VectorExpressions
