@@ -109,4 +109,47 @@ object Pipeline {
     Keywords.termFrequency(
       spark.read.parquet(tablePath).filter(col("keywords").isNotNull),
       col("keywords"), ";", ignore)
+
+  /** End-to-end corpus-curation pipeline over a documents table — the
+    * composition the curation operators exist for, as one lazy plan:
+    *
+    * {{{
+    * read ─ scrubPii(text) ─┬─ exact dedup (content hash) keeps min id
+    *                        ├─ near-dup pairs (ngram Jaccard, df-capped)
+    *                        │   └─ connected components ─ min-id survivors
+    *                        ├─ per-source quota (skew-safe form)
+    *                        └─ deterministic pct sample ─ write + audit
+    * }}}
+    *
+    * Order matters and mirrors the 100 TB playbook: exact dedup BEFORE
+    * near-dup (verification cost scales with true-pair count), quota
+    * before sampling (the sample rate then applies to the already-capped
+    * distribution). Every stage is deterministic, so reruns produce
+    * byte-identical corpora (provenance requirement). Returns the final
+    * row count. */
+  def curate(spark: SparkSession, docsPath: String, outDir: String,
+      quotaPerSource: Int = 20, samplePct: Int = 100,
+      jaccardThreshold: Double = 0.8, maxDocFreq: Long = 1000L): Long = {
+    import graft.operators.Curation
+    val raw = spark.read.parquet(docsPath)
+    val scrubbed = raw.withColumn("text", Curation.scrubPii(col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact first: one hash shuffle removes verbatim copies before the
+    // (more expensive) near-dup machinery sees them
+    val exactKeep = Dedup.exact(scrubbed, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val exactDeduped = scrubbed.join(exactKeep, Seq("doc_id"), "left_semi")
+    val pairs = Dedup.ngramJaccardPairs(exactDeduped, "doc_id", "text",
+      k = 5, threshold = jaccardThreshold, maxDocFreq = Some(maxDocFreq))
+    val survivors =
+      Curation.dedupSurvivors(exactDeduped, "doc_id", pairs)
+    val curated = Curation.sampleDeterministic(
+      Curation.quotaPerKeyLarge(survivors, "source", "doc_id",
+        quotaPerSource),
+      "doc_id", samplePct)
+    Sinks.overwriteParquet(curated, s"$outDir/curated")
+    Sinks.writeAudit(spark, s"$outDir/curated_lastrun")
+    scrubbed.unpersist()
+    spark.read.parquet(s"$outDir/curated").count()
+  }
 }

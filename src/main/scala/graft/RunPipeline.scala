@@ -63,12 +63,20 @@ object RunPipeline {
             graft.sources.Acquire.collectV2Http(pointerUrl, temp)
           Pipeline.runV2(spark, exportTsv.toString, mentionsTsv.toString, out)
         } finally graft.sources.Acquire.deleteRecursively(temp)
+      // corpus curation: scrub -> dedup -> quota -> sample -> write
+      case "curate" :: docs :: out :: rest if rest.length <= 2 =>
+        val quota = rest.headOption.map(_.toInt).getOrElse(20)
+        val pct = rest.drop(1).headOption.map(_.toInt).getOrElse(100)
+        val n = Pipeline.curate(spark, docs, out,
+          quotaPerSource = quota, samplePct = pct)
+        println(s"Curated Corpus Rows: $n")
       case _ =>
         System.err.println(
           "usage: RunPipeline v2 <export.tsv> <mentions.tsv> <outDir> | " +
             "v1 <events.tsv> <outDir> | " +
             "v2-acquire <lastupdate.txt> <zipDir> <outDir> | " +
-            "v2-acquire-http <pointerUrl> <outDir>")
+            "v2-acquire-http <pointerUrl> <outDir> | " +
+            "curate <docs.parquet> <outDir> [quotaPerSource] [samplePct]")
         sys.exit(2)
     }
     // runtime print, the reference's only instrumentation (extractor.py:434)

@@ -130,6 +130,29 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(Curation.dedupSurvivors(docs, "doc_id", none).count() == 5)
   }
 
+  test("curate pipeline end-to-end: scrub -> dedup -> quota -> sample, " +
+      "deterministic across reruns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate")
+    val out1 = dir.resolve("o1").toString
+    val out2 = dir.resolve("o2").toString
+    val n1 = Pipeline.curate(spark, s"${sf("d")}/documents.parquet", out1,
+      quotaPerSource = 15, samplePct = 80)
+    val n2 = Pipeline.curate(spark, s"${sf("d")}/documents.parquet", out2,
+      quotaPerSource = 15, samplePct = 80)
+    assert(n1 == n2, "curation must be reproducible")
+    val c1 = spark.read.parquet(s"$out1/curated")
+    val c2 = spark.read.parquet(s"$out2/curated")
+    assert(c1.select("doc_id").as[Long].collect().toSet ==
+      c2.select("doc_id").as[Long].collect().toSet)
+    // quota respected post-dedup
+    assert(c1.groupBy("source").count().filter($"count" > 15).count() == 0)
+    // near-dup survivors: no two curated docs share identical text
+    assert(c1.groupBy("text").count().filter($"count" > 1).count() == 0)
+    assert(n1 > 0 && n1 < 500)
+    // audit table written
+    assert(spark.read.parquet(s"$out1/curated_lastrun").count() == 1)
+  }
+
   test("winnowJaccardPairs finds near-identical docs, skips unrelated") {
     val base = "the quick brown fox jumps over the lazy dog again and " +
       "again while the cat watches from the warm windowsill nearby"
