@@ -173,14 +173,18 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // exact verification of candidates only: semi-join the shingle rows
-    // down to candidate documents first (at real-world dup rates this cuts
-    // the verify input by orders of magnitude)
+    // exact verification of candidates only: semi-join DOWN TO candidate
+    // documents BEFORE computing shingles — the join is placed explicitly
+    // below the shingle projection (Catalyst won't reorder a join under a
+    // projection that computes expressions), so at real-world dup rates
+    // the verify pass tokenizes a few percent of the corpus, not all of it
     val candDocs = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val sh = base.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val sh = df.select(col(idCol).as("doc_id"), col(textCol))
       .join(broadcast(candDocs), Seq("doc_id"))
+      .select(col("doc_id"),
+        explode(Text.wordShingles(col(textCol), k)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
