@@ -24,8 +24,14 @@ object Bench {
     // doesn't absorb session init
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // local bisection aid: GRAFT_BENCH_ONLY=q1,q2 times a subset. The
+    // driver sets neither, so its runs always cover the full registry.
+    val only: Option[Set[String]] =
+      sys.env.get("GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
