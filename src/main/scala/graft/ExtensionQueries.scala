@@ -857,6 +857,48 @@ object CurationQueries {
           FROM documents) t
         WHERE rk <= 10""")),
 
+    // the same survivor selection over the EMBEDDING modality: LSH
+    // candidate pairs (exact-verified cosine) → connected components →
+    // min-id survivor per cluster. Fully hash-checked because the LSH
+    // candidates are reproduced exactly from the committed plane fixture
+    Q("curation_survivors_embedding",
+      (s, dir) => {
+        val emb = Sources.table(s, dir, "embeddings")
+        val pairs = Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding",
+          threshold = 0.45, dim = 64)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        Curation.dedupSurvivors(emb, "vec_id", pairs).select("vec_id")
+      },
+      Some(s"""WITH RECURSIVE ${SimilarityQueries.lshBandsCtes},
+        cand AS (${SimilarityQueries.lshCandSql}),
+        norms AS (
+          SELECT vec_id, sqrt(sum(v * v ORDER BY i)) AS nrm
+          FROM e GROUP BY vec_id),
+        vdots AS (
+          SELECT c.id_a, c.id_b, sum(a.v * b.v ORDER BY a.i) AS dot
+          FROM cand c
+          JOIN e a ON a.vec_id = c.id_a
+          JOIN e b ON b.vec_id = c.id_b AND b.i = a.i
+          GROUP BY c.id_a, c.id_b),
+        pairs AS (
+          SELECT id_a AS doc_a, id_b AS doc_b FROM (
+            SELECT d.id_a, d.id_b,
+              round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+            FROM vdots d
+            JOIN norms na ON d.id_a = na.vec_id
+            JOIN norms nb ON d.id_b = nb.vec_id) t
+          WHERE cos >= 0.45),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, lab) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT g.dst, r.lab FROM reach r JOIN edges g ON g.src = r.node),
+        clusters AS (
+          SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+        SELECT node AS vec_id FROM clusters WHERE node = cluster_id""")),
+
     // canonical-survivor selection: near-dup pairs → connected components →
     // keep the min-id document per cluster. Survivors are exactly the docs
     // whose cluster label equals their own id (labels are min-reachable ids)
