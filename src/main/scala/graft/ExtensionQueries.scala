@@ -44,12 +44,13 @@ object DedupQueries {
         WHERE i <= greatest(1, m - ${w - 1}))"""
   }
 
-  /** Shared DuckDB shingle CTE: distinct word 5-shingles per document,
-    * mirroring [[graft.functions.Text.wordShingles]]. */
-  private val shingleCte =
-    """WITH w AS (
+  /** Shared DuckDB shingle CTE chain ending in `sh(doc_id, s)`: distinct
+    * word 5-shingles per document of relation `rel`, mirroring
+    * [[graft.functions.Text.wordShingles]]. */
+  private[graft] def shingleCtesFor(rel: String): String =
+    s"""w AS (
          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-         FROM documents),
+         FROM $rel),
        sh AS (
          SELECT doc_id,
            CASE WHEN len(ws) >= 5
@@ -58,15 +59,18 @@ object DedupQueries {
              ELSE [array_to_string(ws, ' ')] END AS s
          FROM w)"""
 
-  private[graft] val jaccardPairsSql =
-    s"""$shingleCte
-       SELECT doc_a, doc_b, jaccard FROM (
+  /** All-pairs thresholded Jaccard over the `sh` CTE. */
+  private[graft] def pairsSelectSql(threshold: Double): String =
+    s"""SELECT doc_a, doc_b, jaccard FROM (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(len(list_intersect(a.s, b.s))::DOUBLE /
              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
              AS jaccard
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
-       WHERE jaccard >= 0.8"""
+       WHERE jaccard >= $threshold"""
+
+  private[graft] val jaccardPairsSql =
+    s"WITH ${shingleCtesFor("documents")}\n       ${pairsSelectSql(0.8)}"
 
   /** Min-label reachability clusters over the thresholded pair list —
     * shared by both connected-components implementations. */
@@ -773,6 +777,14 @@ object CurationQueries {
   private def ddbHashBucket(expr: String, buckets: Long): String =
     s"('0x' || substr(md5($expr), 1, 8))::BIGINT % $buckets"
 
+  /** Nested DuckDB regexp_replace chain applying [[Curation.piiPatterns]]
+    * to `expr` — generated from the same pattern list as the Spark side
+    * (Java's `$1` backreference is `\1` in RE2), so they cannot drift. */
+  private def ddbScrub(expr: String): String =
+    Curation.piiPatterns.foldLeft(expr) { case (acc, (re, rep)) =>
+      s"regexp_replace($acc, '$re', '${rep.replace("$1", "\\1")}', 'g')"
+    }
+
   def all: Seq[Q] = Seq(
 
     // PII scrub. The synthetic corpus has no real PII, so each document is
@@ -803,12 +815,7 @@ object CurationQueries {
           "'.77 ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || " +
           "' ph 555-123-4567 alt (555) 123-4567 bare 5551234567" +
           " intl +1 555.123.4567 card 4111-1111-1111-1111 end'"
-        // same patterns, same order; Java's $1 backreference is \1 in RE2
-        val scrubbed = Curation.piiPatterns.foldLeft(seeded) {
-          case (acc, (re, rep)) =>
-            s"regexp_replace($acc, '$re', '${rep.replace("$1", "\\1")}', 'g')"
-        }
-        s"SELECT doc_id, $scrubbed AS clean FROM documents"
+        s"SELECT doc_id, ${ddbScrub(seeded)} AS clean FROM documents"
       }),
 
     // deterministic ~37% sample — a pure filter, reproducible at any scale
@@ -856,6 +863,53 @@ object CurationQueries {
             AS rk
           FROM documents) t
         WHERE rk <= 10""")),
+
+    // the FULL curate pipeline as one differential query: scrub → exact
+    // dedup → near-dup pairs → connected components → min-id survivors →
+    // per-source quota → deterministic sample. The oracle composes the
+    // stage mirrors end-to-end (cap omitted: document frequency ≤ corpus
+    // size = 500 < the 1000 cap, so it cannot bind at this SF) — the
+    // strongest single check in the registry: a drift in ANY stage breaks
+    // the hash
+    Q("pipeline_curate",
+      (s, dir) => Pipeline.curatePlan(
+        Sources.table(s, dir, "documents"),
+        quotaPerSource = 15, samplePct = 80,
+        jaccardThreshold = 0.8, maxDocFreq = 1000L)
+        .select("doc_id", "source"),
+      Some(s"""WITH RECURSIVE
+        scr AS (
+          SELECT doc_id, source, ${ddbScrub("text")} AS text
+          FROM documents),
+        exk AS (
+          SELECT MIN(doc_id) AS doc_id FROM scr GROUP BY md5(text)),
+        exd AS (
+          SELECT s.doc_id, s.source, s.text FROM scr s
+          JOIN exk USING (doc_id)),
+        ${DedupQueries.shingleCtesFor("exd")},
+        pairs AS (${DedupQueries.pairsSelectSql(0.8)}),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, lab) AS (
+          SELECT doc_id, doc_id FROM exd
+          UNION
+          SELECT g.dst, r.lab FROM reach r JOIN edges g ON g.src = r.node),
+        clusters AS (
+          SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+        surv AS (
+          SELECT d.doc_id, d.source FROM exd d
+          JOIN clusters c ON d.doc_id = c.node
+          WHERE c.node = c.cluster_id),
+        q AS (
+          SELECT doc_id, source FROM (
+            SELECT doc_id, source, row_number() OVER (PARTITION BY source
+              ORDER BY ${ddbHashBucket("doc_id::VARCHAR", 1L << 30)},
+                doc_id) AS rk
+            FROM surv) t
+          WHERE rk <= 15)
+        SELECT doc_id, source FROM q
+        WHERE ${ddbHashBucket("doc_id::VARCHAR", 100L)} < 80""")),
 
     // the same survivor selection over the EMBEDDING modality: LSH
     // candidate pairs (exact-verified cosine) → connected components →

@@ -130,10 +130,23 @@ object Pipeline {
   def curate(spark: SparkSession, docsPath: String, outDir: String,
       quotaPerSource: Int = 20, samplePct: Int = 100,
       jaccardThreshold: Double = 0.8, maxDocFreq: Long = 1000L): Long = {
-    import graft.operators.Curation
     val raw = spark.read.parquet(docsPath)
-    val scrubbed = raw.withColumn("text", Curation.scrubPii(col("text")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val curated = curatePlan(raw, quotaPerSource, samplePct,
+      jaccardThreshold, maxDocFreq)
+    Sinks.overwriteParquet(curated, s"$outDir/curated")
+    Sinks.writeAudit(spark, s"$outDir/curated_lastrun")
+    raw.unpersist()
+    spark.read.parquet(s"$outDir/curated").count()
+  }
+
+  /** The curation dataflow as a lazy plan (see [[curate]] for the stage
+    * rationale) — separated so the whole composed pipeline can be
+    * differential-tested against a composed oracle, not just its stages. */
+  def curatePlan(raw: DataFrame, quotaPerSource: Int, samplePct: Int,
+      jaccardThreshold: Double, maxDocFreq: Long): DataFrame = {
+    import graft.operators.Curation
+    val scrubbed = raw.withColumn("text", Curation.scrubPii(col("text")))
     // exact first: one hash shuffle removes verbatim copies before the
     // (more expensive) near-dup machinery sees them
     val exactKeep = Dedup.exact(scrubbed, "doc_id", "text")
@@ -143,13 +156,9 @@ object Pipeline {
       k = 5, threshold = jaccardThreshold, maxDocFreq = Some(maxDocFreq))
     val survivors =
       Curation.dedupSurvivors(exactDeduped, "doc_id", pairs)
-    val curated = Curation.sampleDeterministic(
+    Curation.sampleDeterministic(
       Curation.quotaPerKeyLarge(survivors, "source", "doc_id",
         quotaPerSource),
       "doc_id", samplePct)
-    Sinks.overwriteParquet(curated, s"$outDir/curated")
-    Sinks.writeAudit(spark, s"$outDir/curated_lastrun")
-    scrubbed.unpersist()
-    spark.read.parquet(s"$outDir/curated").count()
   }
 }
