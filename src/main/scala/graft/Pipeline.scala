@@ -151,7 +151,11 @@ object Pipeline {
     // (more expensive) near-dup machinery sees them
     val exactKeep = Dedup.exact(scrubbed, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
+    // the scrub regex chain + exact-dedup semi-join feed both the shingle
+    // index (scanned multiple times by the near-dup self-join) and the
+    // survivor join — persist so the expensive scrub runs once
     val exactDeduped = scrubbed.join(exactKeep, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.ngramJaccardPairs(exactDeduped, "doc_id", "text",
       k = 5, threshold = jaccardThreshold, maxDocFreq = Some(maxDocFreq))
     val survivors =

@@ -70,19 +70,28 @@ object Dedup {
     * Document frequency is one map-side-combined aggregate on the same
     * key the self-join shuffles on; the hot list is tiny — broadcast
     * anti-join. */
-  private def dropHot(sh: DataFrame, maxDocFreq: Option[Long]): DataFrame =
+  private def dropHot(shRaw: DataFrame, maxDocFreq: Option[Long]): DataFrame =
     maxDocFreq match {
       case Some(cap) =>
+        // the pre-cap index feeds both the hot-element count and the
+        // anti-join; persist it so the shingle scan runs once
+        val sh = shRaw.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("sh")
         sh.join(broadcast(hot), Seq("sh"), "left_anti")
-      case None => sh
+      case None => shRaw
     }
 
   /** Inverted-index Jaccard over (doc_id, sh) set rows: pairs sharing ≥1
-    * element, exact set Jaccard, thresholded. */
-  private def jaccardOverIndex(sh: DataFrame, threshold: Double)
+    * element, exact set Jaccard, thresholded. The index is consumed three
+    * times (sizes + both self-join sides), so it is persisted — otherwise
+    * every consumer re-runs the whole upstream (tokenize/shingle, and in
+    * the curate pipeline the PII scrub and exact-dedup join too). */
+  private def jaccardOverIndex(shRaw: DataFrame, threshold: Double)
       : DataFrame = {
+    val sh = shRaw.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

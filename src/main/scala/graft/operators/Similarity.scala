@@ -53,14 +53,18 @@ object Similarity {
       : DataFrame = {
     val cent = centroids.select(col("vec_id").as("cent_id"),
       col(vecCol).as("ce"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc, col("cent_id").asc)
+    // nearest centroid = min over (d2, cent_id) — a map-side-combinable
+    // aggregate, not a sort window: the corpus×centroid fan-out collapses
+    // back to one row per vector BEFORE the shuffle, so only |corpus| rows
+    // move, vs shuffling the full fan-out for row_number(). Ordering by
+    // the (d2, cent_id) struct is byte-identical to the old window sort.
     vectors.select(col("vec_id"), col(vecCol).as("e"))
       .join(broadcast(cent))
       .withColumn("d2", round(VectorExpressions.squaredDist(col("e"), col("ce")), 9))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("cent_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("best"),
+        first(col("e")).as("e"))
+      .select(col("vec_id"), col("e"), col("best.cent_id").as("cell"))
   }
 
   /** Deterministic Lloyd's k-means trainer for the IVF coarse quantizer:
@@ -83,6 +87,11 @@ object Similarity {
     var cent = corpus.filter(col("vec_id") % centroidStep === 0)
       .select(col("vec_id").as("cent_id"), col(vecCol).as("ce"))
     for (_ <- 0 until iters) {
+      // each round's centroid table is broadcast into the assignment join
+      // AND is the base of the next round — persist so round t's full
+      // assignment+mean plan isn't re-evaluated inside round t+1's plan
+      cent = cent.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val assigned = assignCells(
         corpus.select(col("vec_id"), col(vecCol)),
         cent.select(col("cent_id").as("vec_id"), col("ce").as(vecCol)),

@@ -185,9 +185,12 @@ object TextAnalysis {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       topN: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tf fans out to the score join and the document-frequency aggregate;
+    // persist so tokenize+explode+count runs once, not per consumer
     val tf = df.select(col(idCol),
       explode(Cleaning.tokens(lower(col(textCol)))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
     val nDocs = df.select(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term")
@@ -217,9 +220,11 @@ object TextAnalysis {
   def bm25TopTerms(df: DataFrame, idCol: String, textCol: String,
       topN: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tf fans out three ways (score join, dfreq, dl) — persist once
     val tf = df.select(col(idCol),
       explode(Cleaning.tokens(lower(col(textCol)))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
