@@ -661,6 +661,102 @@ object TextQueries {
           FROM t"""
       }),
 
+    // Gopher-style repetition signals (duplicate-line/word fractions, top
+    // n-gram char coverage) — the boilerplate filters an LLM training
+    // pipeline runs before dedup. One codegen'd pass per doc on the Spark
+    // side; the oracle rebuilds the same counts via unnest + group-by.
+    // All fractions are exact-int ratios divided once in double and
+    // rounded to 6 dp in both engines; n-gram ties break on (count DESC,
+    // gram ASC), byte-order-identical for this ASCII corpus.
+    Q("text_repetition",
+      (s, dir) => TextAnalysis.repetitionStats(
+        Sources.table(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH base AS (
+          SELECT doc_id,
+            string_split(text, chr(10)) AS lines,
+            list_filter(string_split(text, ' '), x -> x <> '') AS words
+          FROM documents),
+        lcnt AS (
+          SELECT doc_id, line, count(*) AS c, length(line) AS l
+          FROM (SELECT doc_id, unnest(lines) AS line FROM base)
+          GROUP BY doc_id, line),
+        lagg AS (
+          SELECT doc_id, sum(c) AS n_lines, count(*) AS n_dist,
+            sum(c * l) AS line_chars,
+            sum(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS dup_chars
+          FROM lcnt GROUP BY doc_id),
+        wcnt AS (
+          SELECT doc_id, w, count(*) AS c
+          FROM (SELECT doc_id, unnest(words) AS w FROM base)
+          GROUP BY doc_id, w),
+        wagg AS (
+          SELECT doc_id, sum(c) AS n_words, count(*) AS n_dist,
+            sum(c * length(w)) AS word_chars
+          FROM wcnt GROUP BY doc_id),
+        w1 AS (
+          SELECT doc_id, c * length(w) AS cover, row_number() OVER (
+            PARTITION BY doc_id ORDER BY c DESC, w ASC) AS rn
+          FROM wcnt),
+        bcnt AS (
+          SELECT doc_id, g, count(*) AS c
+          FROM (SELECT doc_id,
+              unnest([words[i] || ' ' || words[i + 1]
+                for i in range(1, len(words))]) AS g
+            FROM base)
+          GROUP BY doc_id, g),
+        bagg AS (
+          SELECT doc_id, sum(c * length(g)) AS tot
+          FROM bcnt GROUP BY doc_id),
+        b1 AS (
+          SELECT doc_id, c * length(g) AS cover, row_number() OVER (
+            PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+          FROM bcnt),
+        tcnt AS (
+          SELECT doc_id, g, count(*) AS c
+          FROM (SELECT doc_id,
+              unnest([words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]
+                for i in range(1, len(words) - 1)]) AS g
+            FROM base)
+          GROUP BY doc_id, g),
+        tagg AS (
+          SELECT doc_id, sum(c * length(g)) AS tot
+          FROM tcnt GROUP BY doc_id),
+        t1 AS (
+          SELECT doc_id, c * length(g) AS cover, row_number() OVER (
+            PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+          FROM tcnt)
+        SELECT b.doc_id,
+          CAST(lagg.n_lines AS INTEGER) AS n_lines,
+          round((lagg.n_lines - lagg.n_dist)::DOUBLE
+            / lagg.n_lines::DOUBLE, 6) AS dup_line_frac,
+          CASE WHEN lagg.line_chars = 0 THEN 0.0
+            ELSE round(lagg.dup_chars::DOUBLE
+              / lagg.line_chars::DOUBLE, 6) END AS dup_line_char_frac,
+          CAST(COALESCE(wagg.n_words, 0) AS INTEGER) AS n_words,
+          CASE WHEN wagg.n_words IS NULL THEN 0.0
+            ELSE round((wagg.n_words - wagg.n_dist)::DOUBLE
+              / wagg.n_words::DOUBLE, 6) END AS dup_word_frac,
+          CASE WHEN wagg.word_chars IS NULL OR wagg.word_chars = 0 THEN 0.0
+            ELSE round(tw.cover::DOUBLE
+              / wagg.word_chars::DOUBLE, 6) END AS top_word_char_frac,
+          CASE WHEN bagg.tot IS NULL OR bagg.tot = 0 THEN 0.0
+            ELSE round(tb.cover::DOUBLE
+              / bagg.tot::DOUBLE, 6) END AS top_bigram_char_frac,
+          CASE WHEN tagg.tot IS NULL OR tagg.tot = 0 THEN 0.0
+            ELSE round(tt.cover::DOUBLE
+              / tagg.tot::DOUBLE, 6) END AS top_trigram_char_frac
+        FROM base b
+        LEFT JOIN lagg USING (doc_id)
+        LEFT JOIN wagg USING (doc_id)
+        LEFT JOIN (SELECT doc_id, cover FROM w1 WHERE rn = 1) tw
+          USING (doc_id)
+        LEFT JOIN bagg USING (doc_id)
+        LEFT JOIN (SELECT doc_id, cover FROM b1 WHERE rn = 1) tb
+          USING (doc_id)
+        LEFT JOIN tagg USING (doc_id)
+        LEFT JOIN (SELECT doc_id, cover FROM t1 WHERE rn = 1) tt
+          USING (doc_id)""")),
+
     Q("text_tokens",
       (s, dir) => TextAnalysis.tokenCounts(
         Sources.table(s, dir, "documents"), "doc_id", "text"),

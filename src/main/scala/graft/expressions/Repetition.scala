@@ -1,0 +1,156 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass Gopher-style repetition statistics for corpus quality
+  * filtering (Rae et al., "Scaling Language Models: Methods, Analysis &
+  * Insights from Training Gopher", arXiv:2112.11446 §A1.1 — the
+  * duplicate-line / duplicate-n-gram family of filters used to drop
+  * machine-generated boilerplate before LLM training).
+  *
+  * Emitted per document, all in ONE compiled pass over the text (no
+  * explode, no shuffle — the stats scale with the scan, which is the only
+  * shape that survives 100 TB):
+  *
+  *  - `n_lines`, `dup_line_frac`, `dup_line_char_frac`: lines are the
+  *    `\n`-split segments (empties kept — an empty line is a line);
+  *    `dup_line_frac` = (n_lines − n_distinct_lines) / n_lines;
+  *    `dup_line_char_frac` = chars in lines whose line occurs more than
+  *    once (ALL occurrences counted) / total line chars.
+  *  - `n_words`, `dup_word_frac`: words are the non-empty single-space
+  *    splits (byte-identical to the tokenizer mirrored in the DuckDB
+  *    oracles — see [[graft.operators.TextAnalysis]]).
+  *  - `top_word_char_frac`, `top_bigram_char_frac`,
+  *    `top_trigram_char_frac`: chars covered by all occurrences of the
+  *    most frequent word / adjacent-word 2-gram / 3-gram, over the total
+  *    chars of all such n-grams. Ties broken by lexicographically
+  *    smallest n-gram so the result is deterministic and SQL-mirrorable.
+  *
+  * Fractions are emitted UNROUNDED; callers apply `round(_, 6)` at the
+  * query layer so Spark and DuckDB round the same double once
+  * (the repo-wide float-parity rule).
+  */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = RepetitionStatsExpr.schema
+  override def prettyName: String = "repetition_stats"
+
+  def compute(s: UTF8String): InternalRow = {
+    val text = s.toString
+
+    // line stats
+    val lines = text.split("\n", -1)
+    val lineCnt = new java.util.HashMap[String, Int]()
+    var lineChars = 0L
+    var i = 0
+    while (i < lines.length) {
+      lineCnt.merge(lines(i), 1, Integer.sum)
+      lineChars += lines(i).length
+      i += 1
+    }
+    var dupLines = 0L
+    var dupLineChars = 0L
+    val lit = lineCnt.entrySet().iterator()
+    while (lit.hasNext) {
+      val e = lit.next()
+      if (e.getValue > 1) {
+        dupLines += e.getValue - 1
+        dupLineChars += e.getValue.toLong * e.getKey.length
+      }
+    }
+    val nLines = lines.length
+
+    // word stats (single-space split, empties dropped)
+    val raw = text.split(" ", -1)
+    var nWords = 0
+    i = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) { raw(nWords) = raw(i); nWords += 1 }
+      i += 1
+    }
+
+    def topNgramFrac(n: Int): Double = {
+      if (nWords < n) return 0.0
+      val cnt = new java.util.HashMap[String, Int]()
+      var total = 0L
+      val sb = new java.lang.StringBuilder(64)
+      var j = 0
+      while (j + n <= nWords) {
+        sb.setLength(0)
+        var m = 0
+        while (m < n) {
+          if (m > 0) sb.append(' ')
+          sb.append(raw(j + m)); m += 1
+        }
+        val g = sb.toString
+        cnt.merge(g, 1, Integer.sum)
+        total += g.length
+        j += 1
+      }
+      var bestCnt = 0
+      var bestKey: String = null
+      val it = cnt.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue > bestCnt ||
+          (e.getValue == bestCnt && e.getKey.compareTo(bestKey) < 0)) {
+          bestCnt = e.getValue
+          bestKey = e.getKey
+        }
+      }
+      if (total == 0L) 0.0
+      else bestCnt.toLong * bestKey.length / total.toDouble
+    }
+
+    val wordCnt = new java.util.HashMap[String, Int]()
+    i = 0
+    while (i < nWords) { wordCnt.merge(raw(i), 1, Integer.sum); i += 1 }
+    val nDistinctWords = wordCnt.size
+
+    new GenericInternalRow(Array[Any](
+      nLines,
+      if (nLines == 0) 0.0
+      else (nLines - lineCnt.size).toDouble / nLines,
+      if (lineChars == 0L) 0.0 else dupLineChars / lineChars.toDouble,
+      nWords,
+      if (nWords == 0) 0.0 else (nWords - nDistinctWords).toDouble / nWords,
+      topNgramFrac(1),
+      topNgramFrac(2),
+      topNgramFrac(3)))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("repstats", this,
+      classOf[RepetitionStatsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object RepetitionStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("dup_line_char_frac", DoubleType, nullable = false),
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("dup_word_frac", DoubleType, nullable = false),
+    StructField("top_word_char_frac", DoubleType, nullable = false),
+    StructField("top_bigram_char_frac", DoubleType, nullable = false),
+    StructField("top_trigram_char_frac", DoubleType, nullable = false)))
+
+  def repetitionStats(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      RepetitionStatsExpr(org.apache.spark.sql.graft.Bridge.expression(text)))
+}

@@ -279,4 +279,24 @@ object TextAnalysis {
     df.select(col(idCol),
       Text.fingerprintMd5(col(textCol)).as("fp_md5"),
       Text.fingerprint64(col(textCol)).as("fp64"))
+
+  /** Gopher-style repetition signals (duplicate lines / words / top
+    * n-gram coverage) — see [[graft.expressions.RepetitionStatsExpr]] for
+    * the definitions. One codegen'd pass per document; fractions rounded
+    * to 6 dp here so both engines round the same double once. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val r = graft.expressions.RepetitionStatsExpr
+      .repetitionStats(col(textCol)).as("r")
+    df.select(col(idCol), r)
+      .select(col(idCol),
+        col("r.n_lines").as("n_lines"),
+        round(col("r.dup_line_frac"), 6).as("dup_line_frac"),
+        round(col("r.dup_line_char_frac"), 6).as("dup_line_char_frac"),
+        col("r.n_words").as("n_words"),
+        round(col("r.dup_word_frac"), 6).as("dup_word_frac"),
+        round(col("r.top_word_char_frac"), 6).as("top_word_char_frac"),
+        round(col("r.top_bigram_char_frac"), 6).as("top_bigram_char_frac"),
+        round(col("r.top_trigram_char_frac"), 6).as("top_trigram_char_frac"))
+  }
 }

@@ -471,6 +471,51 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTester {
     assert(r.getDouble(r.fieldIndex("avg_token_len")) == 2.6)
   }
 
+  test("repetition stats on a multi-line boilerplate doc") {
+    // 4 lines: "ad here" twice (dup), plus 2 distinct lines
+    val text = "ad here\nad here\nunique text\none two"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(df, "doc_id", "text").head
+    assert(r.getInt(r.fieldIndex("n_lines")) == 4)
+    // 4 lines, 3 distinct -> 1/4
+    assert(r.getDouble(r.fieldIndex("dup_line_frac")) == 0.25)
+    // dup line "ad here" (7 chars) x2 occurrences = 14 of 7+7+11+7=32
+    assert(r.getDouble(r.fieldIndex("dup_line_char_frac")) == 0.4375)
+    // words split on ' ' ONLY (the tokenizer the oracles mirror), so the
+    // newline-joined tokens stay whole: [ad, here\nad, here\nunique,
+    // text\none, two] -> 5 words, all distinct
+    assert(r.getInt(r.fieldIndex("n_words")) == 5)
+    assert(r.getDouble(r.fieldIndex("dup_word_frac")) == 0.0)
+  }
+
+  test("repetition stats: word split is single-space, lines keep empties") {
+    // "a b a b a" -> words [a b a b a]: 5 words, 2 distinct
+    // top word 'a' x3 covers 3 of 5 chars; bigrams: "a b","b a","a b",
+    // "b a" -> top "a b" x2 covers 6 of 12; trigrams: "a b a","b a b",
+    // "a b a" -> top x2 covers 10 of 15
+    val df = Seq((1L, "a b a b a"), (2L, ""), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = m(1L)
+    assert(r1.getInt(r1.fieldIndex("n_words")) == 5)
+    assert(r1.getDouble(r1.fieldIndex("dup_word_frac")) == 0.6)
+    assert(r1.getDouble(r1.fieldIndex("top_word_char_frac")) == 0.6)
+    assert(r1.getDouble(r1.fieldIndex("top_bigram_char_frac")) == 0.5)
+    assert(r1.getDouble(r1.fieldIndex("top_trigram_char_frac"))
+      == math.rint(10.0 / 15.0 * 1e6) / 1e6)
+    // empty text: one empty line, zero words, all fractions 0
+    val r2 = m(2L)
+    assert(r2.getInt(r2.fieldIndex("n_lines")) == 1)
+    assert(r2.getInt(r2.fieldIndex("n_words")) == 0)
+    assert(r2.getDouble(r2.fieldIndex("dup_word_frac")) == 0.0)
+    assert(r2.getDouble(r2.fieldIndex("top_word_char_frac")) == 0.0)
+    // single word: no bigrams/trigrams -> 0; top word covers everything
+    val r3 = m(3L)
+    assert(r3.getDouble(r3.fieldIndex("top_word_char_frac")) == 1.0)
+    assert(r3.getDouble(r3.fieldIndex("top_bigram_char_frac")) == 0.0)
+  }
+
   test("tfidf ranks rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "spark spark catalyst common common"),
