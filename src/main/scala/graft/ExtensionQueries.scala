@@ -47,17 +47,18 @@ object DedupQueries {
   /** Shared DuckDB shingle CTE chain ending in `sh(doc_id, s)`: distinct
     * word 5-shingles per document of relation `rel`, mirroring
     * [[graft.functions.Text.wordShingles]]. */
-  private[graft] def shingleCtesFor(rel: String): String =
-    s"""w AS (
+  private[graft] def shingleCtesFor(rel: String, wName: String = "w",
+      shName: String = "sh"): String =
+    s"""$wName AS (
          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
          FROM $rel),
-       sh AS (
+       $shName AS (
          SELECT doc_id,
            CASE WHEN len(ws) >= 5
              THEN list_distinct([array_to_string(ws[i:i+4], ' ')
                                  for i in range(1, len(ws) - 3)])
              ELSE [array_to_string(ws, ' ')] END AS s
-         FROM w)"""
+         FROM $wName)"""
 
   /** All-pairs thresholded Jaccard over the `sh` CTE. */
   private[graft] def pairsSelectSql(threshold: Double): String =
@@ -882,6 +883,32 @@ object CurationQueries {
     }
 
   def all: Seq[Q] = Seq(
+
+    // benchmark decontamination: every 20th document plays the role of
+    // the eval suite; the rest of the corpus is flagged when it shares a
+    // word 5-gram with any of them (GPT-3 appendix-C rule). The oracle
+    // rebuilds both shingle sets with the shared CTE chain.
+    Q("decontam_ngram",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        Curation.decontaminate(
+          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 20 === 0), "text", k = 5)
+      },
+      Some(s"""WITH corp AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+        bench AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        ${DedupQueries.shingleCtesFor("corp", "wc", "sc")},
+        ${DedupQueries.shingleCtesFor("bench", "wb", "sb")},
+        bsh AS (SELECT DISTINCT unnest(s) AS g FROM sb),
+        csh AS (SELECT doc_id, unnest(s) AS g FROM sc),
+        hits AS (
+          SELECT doc_id, count(*) AS n_hits
+          FROM csh JOIN bsh USING (g) GROUP BY doc_id)
+        SELECT c.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+          COALESCE(h.n_hits, 0) > 0 AS contaminated
+        FROM corp c LEFT JOIN hits h USING (doc_id)""")),
 
     // PII scrub. The synthetic corpus has no real PII, so each document is
     // seeded — identically in both engines — with email/ip/ssn/phone

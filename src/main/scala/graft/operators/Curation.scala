@@ -141,4 +141,40 @@ object Curation {
       .select("doc_id")
     df.join(keep, df(idCol) === keep("doc_id"), "left_semi")
   }
+
+  /** Benchmark decontamination: flag training documents that share a
+    * word k-gram with any document of an evaluation/benchmark set — the
+    * n-gram-collision rule of Brown et al. (GPT-3, arXiv:2005.14165
+    * Appendix C) and the FineWeb/Dolma curation pipelines, which drop or
+    * audit training text overlapping an eval suite so benchmark numbers
+    * measure generalization, not memorization.
+    *
+    * Returns one row per corpus document: `(doc_id, n_hits,
+    * contaminated)`, where `n_hits` counts the DISTINCT shared k-grams
+    * (per-doc shingles are distinct by construction and the benchmark
+    * set is globally distinct, so the equi-join multiplicity is 1).
+    *
+    * Scale shape: the corpus side is linear — one codegen'd shingle pass
+    * ([[graft.expressions.WordShinglesExpr]]), one explode, one
+    * broadcast equi-join against the (small-by-nature) benchmark k-gram
+    * set, one map-side-combinable count per doc. No self-join, no
+    * corpus×corpus anything; a 100 TB corpus streams through. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, k: Int = 5)
+      : DataFrame = {
+    import graft.expressions.TextExpressions
+    val docSh = corpus.select(col(idCol).as("doc_id"),
+      explode(TextExpressions.wordShingles(col(textCol), k)).as("sh"))
+    val benchSh = benchmark.select(
+        explode(TextExpressions.wordShingles(col(benchTextCol), k))
+          .as("sh"))
+      .distinct()
+    val hits = docSh.join(broadcast(benchSh), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
 }

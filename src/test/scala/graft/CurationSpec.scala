@@ -130,6 +130,40 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(Curation.dedupSurvivors(docs, "doc_id", none).count() == 5)
   }
 
+  test("decontaminate flags docs sharing a 5-gram with the benchmark") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains "quick brown fox jumps over" -> 1+ shared 5-grams
+      (1L, "he said the quick brown fox jumps over everything"),
+      // shares words but no 5 consecutive ones
+      (2L, "fox and dog are quick and lazy and brown"),
+      // short doc (<5 words) falls back to whole text, no match
+      (3L, "quick brown fox")).toDF("doc_id", "text")
+    val r = Curation.decontaminate(corpus, "doc_id", "text", bench, "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2)))
+      .toList.sortBy(_._1)
+    // doc 1 shares exactly: "the quick brown fox jumps",
+    // "quick brown fox jumps over" -> 2 distinct shared 5-grams
+    assert(r == List((1L, 2L, true), (2L, 0L, false), (3L, 0L, false)))
+  }
+
+  test("decontaminate counts distinct shared grams once per doc") {
+    // doc repeats the contaminated region twice; shingles are DISTINCT
+    // per doc, so n_hits must still be 1
+    val bench = Seq((1L, "one two three four five")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "one two three four five and one two three four five"))
+      .toDF("doc_id", "text")
+    val r = Curation.decontaminate(corpus, "doc_id", "text", bench, "text")
+      .head
+    assert(r.getLong(1) >= 1L && r.getBoolean(2))
+    // exactly the grams contained in the benchmark text count: benchmark
+    // has exactly 1 shingle ("one two three four five")
+    assert(r.getLong(1) == 1L)
+  }
+
   test("curate pipeline end-to-end: scrub -> dedup -> quota -> sample, " +
       "deterministic across reruns") {
     val dir = java.nio.file.Files.createTempDirectory("graft-curate")
