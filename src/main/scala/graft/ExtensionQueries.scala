@@ -910,6 +910,46 @@ object CurationQueries {
           COALESCE(h.n_hits, 0) > 0 AS contaminated
         FROM corp c LEFT JOIN hits h USING (doc_id)""")),
 
+    // deterministic global shuffle: position in the md5-permuted corpus.
+    // The Spark side computes it as a bucketed two-phase prefix sum (no
+    // single-partition sort); the oracle states the same permutation as
+    // one global window — identical arithmetic, different execution
+    Q("curation_shuffle",
+      (s, dir) => Curation.shuffleDeterministic(
+          Sources.table(s, dir, "documents"), "doc_id", salt = "r4")
+        .select(col("doc_id"), col("pos")),
+      Some("""SELECT doc_id, row_number() OVER (
+            ORDER BY md5('r4' || doc_id::VARCHAR)) AS pos
+          FROM documents""")),
+
+    // fixed-size context packing over the shuffled token stream: one row
+    // per (doc, 64-token window) overlap. Same bucketed prefix-sum on the
+    // Spark side; the oracle chops a global running token count
+    Q("pack_contexts",
+      (s, dir) => Curation.packContexts(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        ctxSize = 64, salt = "r4"),
+      Some("""WITH t AS (
+          SELECT doc_id,
+            len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+              AS t,
+            md5('r4' || doc_id::VARCHAR) AS key
+          FROM documents),
+        c AS (
+          SELECT doc_id, t, sum(t) OVER (ORDER BY key
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+          FROM t),
+        b AS (
+          SELECT doc_id, t, e::BIGINT AS e, (e - t)::BIGINT AS s
+          FROM c WHERE t > 0),
+        g AS (
+          SELECT doc_id, s, e,
+            unnest(range(s // 64, (e - 1) // 64 + 1)) AS bin_id
+          FROM b)
+        SELECT doc_id, bin_id,
+          least(e, (bin_id + 1) * 64) - greatest(s, bin_id * 64) AS n_tok
+        FROM g""")),
+
     // PII scrub. The synthetic corpus has no real PII, so each document is
     // seeded — identically in both engines — with email/ip/ssn/phone
     // fragments derived from doc_id, plus a card-like 16-digit number that

@@ -142,6 +142,84 @@ object Curation {
     df.join(keep, df(idCol) === keep("doc_id"), "left_semi")
   }
 
+  /** Deterministic global shuffle: every row gets its 1-based position in
+    * the corpus ordered by `md5(salt || id)` — the reproducible
+    * pseudo-random permutation a training pipeline applies before
+    * sequence packing, so data order is decoupled from ingest order yet
+    * identical on every rerun (and recomputable by any engine with md5 —
+    * the provenance requirement).
+    *
+    * Scale shape: a naive `row_number() OVER (ORDER BY key)` collapses to
+    * ONE partition. Instead the hash key's leading hex byte(s) bucket the
+    * rows — the bucket is the key's own prefix, so bucket order == key
+    * order — giving (a) a within-bucket window that parallelizes over
+    * buckets and (b) a bucket-count table (≤16^`bucketChars` rows) whose
+    * running offsets are broadcast back. Position = bucket offset +
+    * within-bucket rank: an exact distributed prefix-sum in two
+    * DataFrame passes, no single-partition sort anywhere. At larger
+    * scale raise `bucketChars` (2 → 256 buckets, 4 → 65 536). */
+  def shuffleDeterministic(df: DataFrame, idCol: String,
+      salt: String, bucketChars: Int = 2): DataFrame = {
+    val keyed = withShuffleKey(df, idCol, salt, bucketChars)
+    val wIn = Window.partitionBy(col("_bucket")).orderBy(col("_key"))
+    val within = keyed.withColumn("_wpos", row_number().over(wIn))
+    within.join(broadcast(bucketOffsets(keyed, count(lit(1)))), "_bucket")
+      .withColumn("pos", col("_off") + col("_wpos"))
+      .drop("_key", "_bucket", "_wpos", "_off")
+  }
+
+  /** Fixed-size context packing: concatenate the (shuffled) corpus token
+    * stream and chop it every `ctxSize` tokens — the sequence-packing
+    * step that turns documents into equal-length training rows. Emits
+    * one row per (document, context window) overlap: `(doc_id, bin_id,
+    * n_tok)` with `bin_id` 0-based and `n_tok` the tokens this document
+    * contributes to that window (documents straddle windows, as in GPT
+    * packing). Token counts are whitespace tokens
+    * ([[graft.functions.Cleaning.tokens]]), order is the deterministic
+    * [[shuffleDeterministic]] permutation, and the whole operator is two
+    * distributed passes: the bucketed prefix-sum of token counts, then a
+    * per-row explode of the spanned window range — no global sort, no
+    * driver state. */
+  def packContexts(df: DataFrame, idCol: String, textCol: String,
+      ctxSize: Int, salt: String, bucketChars: Int = 2): DataFrame = {
+    require(ctxSize > 0, "ctxSize must be positive")
+    val toks = size(graft.functions.Cleaning.tokens(col(textCol)))
+      .cast("long")
+    val keyed = withShuffleKey(df, idCol, salt, bucketChars)
+      .withColumn("_t", toks)
+    val wIn = Window.partitionBy(col("_bucket")).orderBy(col("_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = keyed.withColumn("_wsum", sum(col("_t")).over(wIn))
+    within.join(broadcast(bucketOffsets(keyed, sum(col("_t")))), "_bucket")
+      .withColumn("_end", col("_off") + col("_wsum"))
+      .withColumn("_start", col("_end") - col("_t"))
+      .filter(col("_t") > 0)
+      .withColumn("bin_id", explode(sequence(
+        expr(s"_start DIV $ctxSize"), expr(s"(_end - 1) DIV $ctxSize"))))
+      .withColumn("n_tok",
+        least(col("_end"), (col("bin_id") + 1) * ctxSize) -
+          greatest(col("_start"), col("bin_id") * ctxSize))
+      .select(col(idCol).as("doc_id"), col("bin_id"), col("n_tok"))
+  }
+
+  /** `md5(salt || id)` order key + its leading-hex-byte bucket. */
+  private def withShuffleKey(df: DataFrame, idCol: String, salt: String,
+      bucketChars: Int): DataFrame =
+    df.withColumn("_key", md5(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("_bucket",
+        conv(substring(col("_key"), 1, bucketChars), 16, 10).cast("int"))
+
+  /** Per-bucket running offsets (exclusive prefix) of `agg` — a tiny
+    * table (one row per bucket) whose single-partition window is over
+    * ≤16^bucketChars rows, then broadcast back to the data. */
+  private def bucketOffsets(keyed: DataFrame, agg: Column): DataFrame = {
+    val wOff = Window.orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed.groupBy(col("_bucket")).agg(agg.as("_cnt"))
+      .withColumn("_off", coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
+      .select(col("_bucket"), col("_off"))
+  }
+
   /** Benchmark decontamination: flag training documents that share a
     * word k-gram with any document of an evaluation/benchmark set — the
     * n-gram-collision rule of Brown et al. (GPT-3, arXiv:2005.14165

@@ -130,6 +130,57 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(Curation.dedupSurvivors(docs, "doc_id", none).count() == 5)
   }
 
+  test("shuffleDeterministic: a true permutation, equal to the naive " +
+      "global sort, reproducible") {
+    val df = (1L to 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val r = Curation.shuffleDeterministic(df, "doc_id", salt = "s1")
+      .select("doc_id", "pos")
+    val got = r.as[(Long, Long)].collect().toMap
+    // positions are exactly 1..300 (permutation, no gaps/dupes)
+    assert(got.values.toSeq.sorted == (1L to 300L))
+    // equals the naive one-partition global row_number
+    val naive = df
+      .withColumn("k", md5(concat(lit("s1"), $"doc_id".cast("string"))))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"k")))
+      .select("doc_id", "pos").as[(Long, Int)].collect()
+      .map { case (d, p) => d -> p.toLong }.toMap
+    assert(got == naive)
+    // different salt -> different permutation
+    val other = Curation.shuffleDeterministic(df, "doc_id", salt = "s2")
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(other != got)
+    // more buckets, same result
+    val wide = Curation.shuffleDeterministic(df, "doc_id", "s1",
+      bucketChars = 3).select("doc_id", "pos")
+      .as[(Long, Long)].collect().toMap
+    assert(wide == got)
+  }
+
+  test("packContexts: windows are exactly ctxSize and token-conserving") {
+    val df = Seq(
+      (1L, "a b c"), (2L, "d e f g h"), (3L, ""), (4L, "i j"),
+      (5L, (1 to 9).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ctx = 4
+    val r = Curation.packContexts(df, "doc_id", "text", ctx, salt = "t")
+      .as[(Long, Long, Long)].collect()
+    // total packed tokens == total corpus tokens (3+5+0+2+9 = 19)
+    assert(r.map(_._3).sum == 19L)
+    // every full window holds exactly ctx tokens; only the last is ragged
+    val byBin = r.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val lastBin = byBin.keys.max
+    assert(byBin.filter(_._1 != lastBin).values.forall(_ == ctx))
+    assert(byBin(lastBin) == 19L - ctx * lastBin)
+    // empty doc contributes nothing
+    assert(!r.exists(_._1 == 3L))
+    // per-doc token totals survive the chop
+    val byDoc = r.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byDoc == Map(1L -> 3L, 2L -> 5L, 4L -> 2L, 5L -> 9L))
+    // a 9-token doc spans at least 3 windows of 4
+    assert(r.count(_._1 == 5L) >= 3)
+  }
+
   test("decontaminate flags docs sharing a 5-gram with the benchmark") {
     val bench = Seq(
       (100L, "the quick brown fox jumps over the lazy dog"))
