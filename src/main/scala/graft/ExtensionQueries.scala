@@ -662,6 +662,27 @@ object TextQueries {
           FROM t"""
       }),
 
+    // average unigram log-prob under the corpus's own LM — the KenLM-style
+    // fluency proxy. Per-token ln rounded once to 6 dp, summed exactly as
+    // DECIMAL(18,6) (order-independent), one double divide, one round
+    Q("text_unigram_logprob",
+      (s, dir) => TextAnalysis.unigramLogProb(
+        Sources.table(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH tok AS (
+          SELECT doc_id,
+            unnest(list_filter(string_split(lower(text), ' '),
+              x -> x <> '')) AS w
+          FROM documents),
+        lex AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+        tot AS (SELECT count(*) AS t FROM tok),
+        lp AS (
+          SELECT doc_id,
+            round(ln(cnt::DOUBLE / t::DOUBLE), 6)::DECIMAL(18,6) AS lp
+          FROM tok JOIN lex USING (w) CROSS JOIN tot)
+        SELECT doc_id, count(*) AS n_tokens,
+          round(sum(lp)::DOUBLE / count(*), 6) AS logprob_avg
+        FROM lp GROUP BY doc_id""")),
+
     // Gopher-style repetition signals (duplicate-line/word fractions, top
     // n-gram char coverage) — the boilerplate filters an LLM training
     // pipeline runs before dedup. One codegen'd pass per doc on the Spark

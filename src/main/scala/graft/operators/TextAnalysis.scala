@@ -280,6 +280,37 @@ object TextAnalysis {
       Text.fingerprintMd5(col(textCol)).as("fp_md5"),
       Text.fingerprint64(col(textCol)).as("fp64"))
 
+  /** Per-document average unigram log-probability under the corpus's own
+    * unigram language model — the cheap LM-quality proxy (a KenLM stand-in)
+    * curation pipelines use to rank fluent text above gibberish: rare-word
+    * soup scores low, common-word prose scores high.
+    *
+    * Two corpus aggregates (lexicon counts + total token count), one join
+    * of the token stream against the lexicon (vocabulary ≪ corpus, so AQE
+    * broadcasts it at any realistic scale), one per-doc aggregate. Float
+    * parity follows the repo's decimal-sum rule: each token's
+    * `ln(cnt/total)` is rounded once to 6 dp (ln parity across engines is
+    * already load-bearing for tfidf/bm25), summed EXACTLY as
+    * DECIMAL(18,6) — so the aggregation order can't perturb the result —
+    * then divided by the token count in double and rounded once more. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(Cleaning.tokens(lower(col(textCol)))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lex = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = lex.agg(sum(col("cnt")).as("t"))
+    tok.join(lex, "w")
+      .crossJoin(broadcast(total))
+      .withColumn("lp",
+        round(log(col("cnt").cast("double") / col("t").cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+          .as("logprob_avg"))
+  }
+
   /** Gopher-style repetition signals (duplicate lines / words / top
     * n-gram coverage) — see [[graft.expressions.RepetitionStatsExpr]] for
     * the definitions. One codegen'd pass per document; fractions rounded

@@ -516,6 +516,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTester {
     assert(r3.getDouble(r3.fieldIndex("top_bigram_char_frac")) == 0.0)
   }
 
+  test("unigram logprob: hand-computed on a 2-doc corpus") {
+    // corpus tokens: a a a b | b -> total 5, cnt(a)=3, cnt(b)=2
+    // lp(a) = round(ln(0.6), 6) = -0.510826
+    // lp(b) = round(ln(0.4), 6) = -0.916291
+    val df = Seq((1L, "a a a b"), (2L, "b")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
+      .toMap
+    // doc1: (3*-0.510826 + -0.916291)/4 = -0.612192 (round 6)
+    assert(r(1L) == ((4L, -0.612192)))
+    assert(r(2L) == ((1L, -0.916291)))
+    // common-word prose outranks rare-word soup
+    assert(r(1L)._2 > r(2L)._2)
+  }
+
   test("tfidf ranks rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "spark spark catalyst common common"),
