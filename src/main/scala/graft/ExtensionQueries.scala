@@ -931,6 +931,53 @@ object CurationQueries {
           COALESCE(h.n_hits, 0) > 0 AS contaminated
         FROM corp c LEFT JOIN hits h USING (doc_id)""")),
 
+    // CCNet-style line-level boilerplate removal: the corpus (which has
+    // no newlines) is seeded — identically in both engines — with a
+    // header line shared by every document, a footer line shared per
+    // source, and a per-doc unique line; lines occurring in >= 10
+    // distinct documents are dropped and each document is rebuilt from
+    // its surviving lines in order
+    Q("dedup_lines",
+      (s, dir) => {
+        val seeded = Sources.table(s, dir, "documents").select(
+          col("doc_id"),
+          concat(lit("header: terms of service apply\n"), col("text"),
+            lit("\nfooter "), col("source"),
+            lit("\nunique "), col("doc_id").cast("string")).as("txt"))
+        Curation.dedupLines(seeded, "doc_id", "txt", minDocs = 10)
+      },
+      Some("""WITH seeded AS (
+          SELECT doc_id,
+            'header: terms of service apply' || chr(10) || text || chr(10)
+              || 'footer ' || source || chr(10) || 'unique ' || doc_id
+              AS txt
+          FROM documents),
+        lines AS (
+          SELECT doc_id,
+            unnest(string_split(txt, chr(10))) AS line,
+            generate_subscripts(string_split(txt, chr(10)), 1) AS pos
+          FROM seeded),
+        hot AS (
+          SELECT line FROM (
+            SELECT line, count(DISTINCT doc_id) AS c
+            FROM lines GROUP BY line) t
+          WHERE c >= 10),
+        kept AS (
+          SELECT doc_id, pos, line FROM lines
+          WHERE line NOT IN (SELECT line FROM hot)),
+        agg AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+            count(*) AS n_kept
+          FROM kept GROUP BY doc_id),
+        tot AS (
+          SELECT doc_id, count(*) AS n_total FROM lines GROUP BY doc_id)
+        SELECT s.doc_id, coalesce(a.clean, '') AS clean,
+          coalesce(a.n_kept, 0) AS n_kept,
+          coalesce(t.n_total, 0) - coalesce(a.n_kept, 0) AS n_dropped
+        FROM seeded s
+        LEFT JOIN agg a USING (doc_id)
+        LEFT JOIN tot t USING (doc_id)""")),
+
     // deterministic global shuffle: position in the md5-permuted corpus.
     // The Spark side computes it as a bucketed two-phase prefix sum (no
     // single-partition sort); the oracle states the same permutation as

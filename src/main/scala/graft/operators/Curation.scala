@@ -255,4 +255,55 @@ object Curation {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** CCNet-style line-level dedup (Wenzek et al., arXiv:1911.00359 §3.1):
+    * drop every line that occurs in at least `minDocs` DISTINCT documents
+    * — headers, footers, cookie banners, navigation chrome — and rebuild
+    * each document from its surviving lines in original order. This is
+    * the boilerplate-removal pass a crawl-curation pipeline runs BEFORE
+    * document-level dedup, because shared chrome otherwise inflates
+    * every document-pair similarity.
+    *
+    * Returns one row per input document: `(doc_id, clean, n_kept,
+    * n_dropped)` — `clean` may be the empty string when every line was
+    * boilerplate (the caller usually drops those docs next).
+    *
+    * Scale shape: lines are exploded once with their position; the
+    * duplicate-line table is a count-distinct on the 16-byte md5 of the
+    * line (shuffle carries hashes, not line text), and by Zipf's law the
+    * `>= minDocs` survivors are a tiny fraction of distinct lines — they
+    * broadcast back as an anti-join, so the corpus itself never
+    * re-shuffles for the membership test. Reassembly is one shuffle on
+    * doc_id with an ordered in-group sort — the only full-corpus
+    * shuffle in the operator. The per-doc line array is bounded by
+    * document size (fits any executor); a pathological single document
+    * would already have failed ingest. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val ids = df.select(col(idCol).as("doc_id"))
+    val lines = df.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .withColumn("_h", md5(col("line")))
+    val hot = lines.select(col("_h"), col("doc_id")).distinct()
+      .groupBy(col("_h")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minDocs)
+      .select(col("_h"))
+    val kept = lines.join(broadcast(hot), Seq("_h"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        e => e.getField("line")), sep).as("clean"),
+      count(lit(1)).as("n_kept"))
+    val totals = lines.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("_n_total"))
+    ids.join(rebuilt, Seq("doc_id"), "left")
+      .join(totals, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean"), lit("")).as("clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("_n_total"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

@@ -181,6 +181,42 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(r.count(_._1 == 5L) >= 3)
   }
 
+  test("dedupLines drops cross-document boilerplate, keeps order, " +
+      "handles all-boilerplate docs") {
+    val boiler = "subscribe to our newsletter"
+    val docs = (
+      (0 until 5).map(i => (i.toLong, s"$boiler\nbody text $i\nmore $i")) :+
+        (5L, boiler) :+ // all-boilerplate doc
+        (6L, s"solo doc\n$boiler\ntail")
+      ).toDF("doc_id", "txt")
+    val out = Curation.dedupLines(docs, "doc_id", "txt", minDocs = 5)
+      .orderBy("doc_id")
+      .collect()
+    assert(out.length == 7)
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // boilerplate (7 docs >= 5) dropped everywhere, order preserved
+    assert(byId(0L) == (("body text 0\nmore 0", 2L, 1L)))
+    assert(byId(6L) == (("solo doc\ntail", 2L, 1L)))
+    // all-boilerplate doc survives as a row with empty text
+    assert(byId(5L) == (("", 0L, 1L)))
+    // below-threshold repeated lines are kept ("more i" lines unique)
+    assert(byId(3L)._1.contains("more 3"))
+  }
+
+  test("dedupLines threshold is exact: a line in minDocs-1 docs is kept") {
+    val docs = (0 until 4).map(i => (i.toLong, s"shared\nown $i"))
+      .toDF("doc_id", "txt")
+    val kept = Curation.dedupLines(docs, "doc_id", "txt", minDocs = 5)
+    assert(kept.filter($"clean".contains("shared")).count() == 4)
+    val dropped = Curation.dedupLines(docs, "doc_id", "txt", minDocs = 4)
+    assert(dropped.filter($"clean".contains("shared")).count() == 0)
+    // duplicate lines WITHIN one doc count once toward the doc threshold
+    val selfDup = Seq((0L, "x\nx\nx"), (1L, "x\ny")).toDF("doc_id", "txt")
+    val out = Curation.dedupLines(selfDup, "doc_id", "txt", minDocs = 3)
+    assert(out.filter($"clean".contains("x")).count() == 2)
+  }
+
   test("decontaminate flags docs sharing a 5-gram with the benchmark") {
     val bench = Seq(
       (100L, "the quick brown fox jumps over the lazy dog"))
