@@ -683,6 +683,37 @@ object TextQueries {
           round(sum(lp)::DOUBLE / count(*), 6) AS logprob_avg
         FROM lp GROUP BY doc_id""")),
 
+    // fastText-style hashed linear quality classifier: tokens hash onto
+    // 512 buckets, logit = bias + mean(bucket weights), score = logistic.
+    // Weights are pinned integer micro-units (committed fixture, written
+    // by GenFixtures from the same self-pinned generator the Spark side
+    // ships) so per-doc sums are exact long arithmetic in both engines;
+    // the only float ops are one divide, one exp, one 6-dp round
+    Q("text_quality_model",
+      (s, dir) => TextAnalysis.qualityModelScore(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        TextAnalysis.qualityWeights(dim = 512, seed = 7L), bias = -0.1),
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS tok
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(tok), 1, 8))::BIGINT % 512 AS j
+          FROM toks),
+        w AS (
+          SELECT j, w FROM read_csv(
+            '/root/repo/fixtures/quality_weights.csv', header=true,
+            columns={'j': 'BIGINT', 'w': 'BIGINT'})),
+        s AS (
+          SELECT doc_id, sum(w.w)::BIGINT AS sw, count(*)::BIGINT AS n
+          FROM f JOIN w USING (j) GROUP BY doc_id)
+        SELECT d.doc_id,
+          round(1.0 / (1.0 + exp(-(-0.1 + coalesce(sw, 0)::DOUBLE /
+            (coalesce(n, 1)::DOUBLE * 1000000.0)))), 6) AS score
+        FROM documents d LEFT JOIN s USING (doc_id)""")),
+
     // Gopher-style repetition signals (duplicate-line/word fractions, top
     // n-gram char coverage) — the boilerplate filters an LLM training
     // pipeline runs before dedup. One codegen'd pass per doc on the Spark

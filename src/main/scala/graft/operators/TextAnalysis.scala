@@ -311,6 +311,64 @@ object TextAnalysis {
           .as("logprob_avg"))
   }
 
+  /** Weight vector for [[qualityModelScore]]: `dim` integer micro-unit
+    * weights (w/1e6 ∈ [-1, 1)) from the repo's self-pinned splitmix64
+    * generator — the same JDK-proof pinning as
+    * [[Similarity.hyperplanes]]. INTEGER weights on purpose: per-doc
+    * feature sums are exact long arithmetic in any engine, so the score
+    * is reproducible without float-order rules. In production the vector
+    * would come from a trained model (fastText / VW export); the
+    * generator stands in because this container is offline — the scoring
+    * plumbing is what's real. */
+  def qualityWeights(dim: Int, seed: Long): Seq[Long] = {
+    var s = seed
+    def next64(): Long = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def unit(): Double = (next64() >>> 11).toDouble / (1L << 53).toDouble
+    Seq.fill(dim)(math.floor(unit() * 2e6).toLong - 1000000L)
+  }
+
+  /** fastText-style hashed linear quality classifier: tokens hash onto
+    * `weights.size` buckets ([[Curation.hashBucket]] — md5, engine-
+    * portable), the document's logit is `bias + mean(bucket weights)`,
+    * and the score is the logistic of that — the model-based quality
+    * filter (GPT-3 §2.2, CCNet) that ranks documents for keep/drop
+    * decisions.
+    *
+    * Exactness: weights are integer micro-units, so the per-doc sum is
+    * exact long arithmetic (map-side combinable, order-free); the only
+    * float ops are one division, one exp, one final 6-dp round — the
+    * proven cross-engine recipe. Scale shape: token explode → broadcast
+    * join against the (tiny) weight table → one shuffle on doc_id for
+    * the sum. Documents with no tokens score `sigmoid(bias)`. */
+  def qualityModelScore(df: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Long], bias: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = weights.size
+    val wDf = weights.zipWithIndex
+      .map { case (w, j) => (j.toLong, w) }.toDF("__j", "__w")
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(Cleaning.tokens(col(textCol))).as("__tok"))
+    val sums = toks
+      .withColumn("__j", Curation.hashBucket(col("__tok"), dim))
+      .join(broadcast(wDf), Seq("__j"))
+      .groupBy("doc_id")
+      .agg(sum(col("__w")).as("__sw"), count(lit(1)).as("__n"))
+    val logit = lit(bias) +
+      coalesce(col("__sw"), lit(0L)).cast("double") /
+        (coalesce(col("__n"), lit(1L)).cast("double") * 1e6)
+    df.select(col(idCol).as("doc_id"))
+      .join(sums, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-logit)), 6).as("score"))
+  }
+
   /** Gopher-style repetition signals (duplicate lines / words / top
     * n-gram coverage) — see [[graft.expressions.RepetitionStatsExpr]] for
     * the definitions. One codegen'd pass per document; fractions rounded

@@ -30,5 +30,17 @@ object GenFixtures {
     val out = Paths.get("fixtures/hyperplanes.csv")
     Files.writeString(out, sb.toString)
     println(s"wrote ${planes.size}x${planes.head.size} planes to $out")
+
+    // quality-classifier weights (dim=512, seed=7 — the registry's
+    // text_quality_model configuration): integer micro-units, so the
+    // CSV is exact by construction (no decimal formatting concerns)
+    val weights = graft.operators.TextAnalysis.qualityWeights(512, 7L)
+    val wsb = new StringBuilder("j,w\n")
+    weights.zipWithIndex.foreach { case (w, j) =>
+      wsb.append(j).append(',').append(w).append('\n')
+    }
+    val wout = Paths.get("fixtures/quality_weights.csv")
+    Files.writeString(wout, wsb.toString)
+    println(s"wrote ${weights.size} weights to $wout")
   }
 }

@@ -531,6 +531,52 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTester {
     assert(r(1L)._2 > r(2L)._2)
   }
 
+  test("quality model score: hand-computed, empty doc hits sigmoid(bias)") {
+    // tiny model: every token hashes onto 4 buckets; weights in
+    // micro-units. Expected score recomputed here from first principles
+    // with the operator's own formula.
+    val weights = Seq(250000L, -500000L, 1000000L, 0L)
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) % 4).toInt
+    }
+    val text = "alpha beta gamma alpha"
+    val toks = text.split(" ").toSeq
+    val sw = toks.map(t => weights(bucket(t))).sum
+    val logit = -0.1 + sw.toDouble / (toks.size.toDouble * 1e6)
+    val expected = BigDecimal(1.0 / (1.0 + math.exp(-logit)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityModelScore(df, "doc_id", "text",
+        weights, bias = -0.1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == expected)
+    // tokenless doc: logit = bias
+    val sigmoidBias = BigDecimal(1.0 / (1.0 + math.exp(0.1)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(2L) == sigmoidBias)
+  }
+
+  test("quality model: scores bounded, deterministic, weight-sensitive") {
+    val docs = spark.read.parquet(s"${sf("d")}/documents.parquet").limit(50)
+    val w = TextAnalysis.qualityWeights(512, 7L)
+    assert(w.size == 512 && w.forall(x => x >= -1000000L && x < 1000000L))
+    val a = TextAnalysis.qualityModelScore(docs, "doc_id", "text", w, -0.1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.values.forall(s => s > 0.0 && s < 1.0))
+    val b = TextAnalysis.qualityModelScore(docs, "doc_id", "text", w, -0.1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+    // an all-positive model must score every doc above the all-negative
+    val hi = TextAnalysis.qualityModelScore(docs, "doc_id", "text",
+      Seq.fill(8)(900000L), 0.0).collect().map(_.getDouble(1))
+    val lo = TextAnalysis.qualityModelScore(docs, "doc_id", "text",
+      Seq.fill(8)(-900000L), 0.0).collect().map(_.getDouble(1))
+    assert(hi.forall(_ > 0.5) && lo.forall(_ < 0.5))
+  }
+
   test("tfidf ranks rare terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "spark spark catalyst common common"),
