@@ -962,6 +962,26 @@ object CurationQueries {
           COALESCE(h.n_hits, 0) > 0 AS contaminated
         FROM corp c LEFT JOIN hits h USING (doc_id)""")),
 
+    // temperature mixing over the (naturally skewed) lang column: kept
+    // counts ~ n_d^0.5, smallest domain intact, deterministic id-hash
+    // draw. Both engines compute the identical per-domain threshold
+    // round(pow(n_min/n_d, 0.5) * 1e6)
+    Q("curation_sample_temperature",
+      (s, dir) => Curation.sampleTemperature(
+        Sources.table(s, dir, "documents"), "doc_id", "lang", alpha = 0.5)
+        .select("doc_id", "lang"),
+      Some(s"""WITH c AS (
+          SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        m AS (SELECT min(n) AS nmin FROM c),
+        r AS (
+          SELECT lang,
+            round(pow(nmin::DOUBLE / n::DOUBLE, 0.5) * 1000000.0, 0)::BIGINT
+              AS thr
+          FROM c CROSS JOIN m)
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN r USING (lang)
+        WHERE ${ddbHashBucket("d.doc_id::VARCHAR", 1000000L)} < thr""")),
+
     // CCNet-style line-level boilerplate removal: the corpus (which has
     // no newlines) is seeded — identically in both engines — with a
     // header line shared by every document, a footer line shared per

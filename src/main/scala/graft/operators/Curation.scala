@@ -256,6 +256,36 @@ object Curation {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Temperature-based domain mixing (the multinomial-smoothing rule of
+    * multilingual/multi-corpus training — Conneau & Lample,
+    * arXiv:1901.07291 §3.1; GPT-3's weighted sampling): downsample each
+    * domain so kept counts are proportional to `n_d^alpha` instead of
+    * `n_d`, flattening the head of the domain distribution while keeping
+    * the smallest domain intact. `alpha = 1` keeps everything; `alpha =
+    * 0` equalizes expected counts across domains.
+    *
+    * Keep rate per domain: `r_d = (n_min / n_d)^(1 - alpha)` — the
+    * smallest domain keeps 100%, larger domains keep proportionally less
+    * — applied as the repo's deterministic id-hash draw, so the same
+    * documents survive on every rerun and the sample nests as alpha
+    * rises. Returns the surviving rows.
+    *
+    * Scale shape: one map-side-combinable count per domain (a tiny
+    * table), rates broadcast back, then the draw is a pure filter — the
+    * corpus streams through twice with no wide shuffle anywhere. */
+  def sampleTemperature(df: DataFrame, idCol: String, domainCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be 0..1, got $alpha")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__nmin"))
+    val rates = counts.crossJoin(broadcast(nMin)).select(col(domainCol),
+      round(pow(col("__nmin").cast("double") / col("__n").cast("double"),
+        1.0 - alpha) * 1e6, 0).cast("long").as("__thr"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(hashBucket(col(idCol), 1000000) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** CCNet-style line-level dedup (Wenzek et al., arXiv:1911.00359 §3.1):
     * drop every line that occurs in at least `minDocs` DISTINCT documents
     * — headers, footers, cookie banners, navigation chrome — and rebuild

@@ -181,6 +181,36 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(r.count(_._1 == 5L) >= 3)
   }
 
+  test("sampleTemperature flattens the domain head; nested in alpha; " +
+      "smallest domain intact") {
+    val docs = spark.read.parquet(s"${sf("d")}/documents.parquet")
+    val byLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = byLang.minBy(_._2)._1
+    // alpha = 1 keeps everything
+    assert(Curation.sampleTemperature(docs, "doc_id", "lang", 1.0)
+      .count() == docs.count())
+    val s05 = Curation.sampleTemperature(docs, "doc_id", "lang", 0.5)
+    val kept = s05.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest domain kept whole
+    assert(kept(minLang) == byLang(minLang))
+    // head flattened: en's keep rate well below the smallest domain's
+    assert(kept("en").toDouble / byLang("en") < 0.7)
+    // kept counts within a loose band of the n^0.5 target
+    byLang.foreach { case (l, n) =>
+      val target = math.sqrt(byLang(minLang).toDouble * n)
+      assert(math.abs(kept(l) - target) <= 0.35 * target,
+        s"$l kept=${kept(l)} target=$target")
+    }
+    // nesting: alpha=0.2 survivors are a subset of alpha=0.8 survivors
+    val ids2 = Curation.sampleTemperature(docs, "doc_id", "lang", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val ids8 = Curation.sampleTemperature(docs, "doc_id", "lang", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids2.subsetOf(ids8))
+  }
+
   test("dedupLines drops cross-document boilerplate, keeps order, " +
       "handles all-boilerplate docs") {
     val boiler = "subscribe to our newsletter"
