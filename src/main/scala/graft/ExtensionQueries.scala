@@ -470,6 +470,107 @@ object SimilarityQueries {
             FROM scored) r WHERE rank <= 10"""
       }),
 
+    // IVF with farthest-point-seeded (deterministic k-means++-style)
+    // Lloyd's training. The oracle unrolls BOTH loops: each greedy
+    // selection round is a min-distance aggregate + ORDER BY ... LIMIT 1
+    // argmax (ties on vec_id, distances rounded at 9 dp — identical to
+    // the Spark TakeOrdered), then the Lloyd's rounds reuse the exact
+    // algebra of simsearch_ivf_kmeans
+    Q("simsearch_ivf_kmeanspp",
+      (s, dir) => {
+        val emb = Sources.table(s, dir, "embeddings")
+        Similarity.ivfTopKFarthest(emb, emb.filter(col("vec_id") < 5),
+          "embedding", k = 10, nCentroids = 6, iters = 1, nprobe = 4)
+          .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+      },
+      Some {
+        val nCent = 6
+        val iters = 1
+        val seed = """s1 AS (
+            SELECT vec_id AS cent_id, i, v FROM e
+            WHERE vec_id = (SELECT min(vec_id) FROM e))"""
+        val picks = (1 until nCent).map { t =>
+          s"""fd$t AS (
+            SELECT a.vec_id,
+              round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9) AS d2
+            FROM e a JOIN s$t c ON a.i = c.i
+            GROUP BY a.vec_id, c.cent_id),
+          fm$t AS (
+            SELECT vec_id, min(d2) AS mind2 FROM fd$t GROUP BY vec_id),
+          fn$t AS (
+            SELECT vec_id FROM fm$t ORDER BY mind2 DESC, vec_id ASC
+            LIMIT 1),
+          s${t + 1} AS (
+            SELECT * FROM s$t
+            UNION ALL
+            SELECT vec_id AS cent_id, i, v FROM e
+            WHERE vec_id IN (SELECT vec_id FROM fn$t))"""
+        }.mkString(",\n")
+        val rounds = (0 until iters).map { t =>
+          s"""d$t AS (
+            SELECT a.vec_id, c.cent_id,
+              round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9) AS d2
+            FROM e a JOIN c$t c ON a.i = c.i
+            GROUP BY a.vec_id, c.cent_id),
+          a$t AS (
+            SELECT vec_id, cent_id AS cell FROM (
+              SELECT vec_id, cent_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+              FROM d$t) x WHERE rn = 1),
+          c${t + 1} AS (
+            SELECT a.cell AS cent_id, e.i,
+              CAST(CAST(CAST(sum(CAST(e.v AS DECIMAL(28,10))) AS DOUBLE)
+                / count(*) AS FLOAT) AS DOUBLE) AS v
+            FROM a$t a JOIN e ON e.vec_id = a.vec_id
+            GROUP BY a.cell, e.i)"""
+        }.mkString(",\n")
+        s"""WITH e AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings),
+          $seed,
+          $picks,
+          c0 AS (SELECT * FROM s$nCent),
+          $rounds,
+          dF AS (
+            SELECT a.vec_id, c.cent_id,
+              round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9) AS d2
+            FROM e a JOIN c$iters c ON a.i = c.i
+            GROUP BY a.vec_id, c.cent_id),
+          assign AS (
+            SELECT vec_id, cent_id AS cell FROM (
+              SELECT vec_id, cent_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+              FROM dF) t WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS q_id, cent_id AS cell FROM (
+              SELECT vec_id, cent_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+              FROM dF WHERE vec_id < 5) t WHERE rn <= 4),
+          cand AS (
+            SELECT p.q_id, a.vec_id
+            FROM probes p JOIN assign a ON p.cell = a.cell
+            WHERE a.vec_id <> p.q_id),
+          dots AS (
+            SELECT c.q_id, c.vec_id, sum(q.v * x.v) AS dot
+            FROM cand c
+            JOIN e q ON q.vec_id = c.q_id
+            JOIN e x ON x.vec_id = c.vec_id AND x.i = q.i
+            GROUP BY 1, 2),
+          norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+          scored AS (
+            SELECT q_id, dots.vec_id AS vec_id,
+                   round(dot / (nq.nrm * nx.nrm), 6) AS cos
+            FROM dots
+            JOIN norms nq ON q_id = nq.vec_id
+            JOIN norms nx ON dots.vec_id = nx.vec_id)
+          SELECT q_id, vec_id, cos, rank FROM (
+            SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER)
+              AS rank
+            FROM scored) r WHERE rank <= 10"""
+      }),
+
     // random-hyperplane LSH candidate generation (linear-cost ANN feed) —
     // fully hash-checked via the committed plane fixture (see lshBandsCtes)
     Q("simsearch_lsh",

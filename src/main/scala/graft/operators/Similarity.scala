@@ -83,9 +83,51 @@ object Similarity {
     * one row-per-element shuffle for the dimension-wise means. Returns
     * (cent_id, centroid array<float>). */
   def kmeansCentroids(corpus: DataFrame, vecCol: String,
-      centroidStep: Int, iters: Int): DataFrame = {
-    var cent = corpus.filter(col("vec_id") % centroidStep === 0)
-      .select(col("vec_id").as("cent_id"), col(vecCol).as("ce"))
+      centroidStep: Int, iters: Int): DataFrame =
+    kmeansFrom(corpus, vecCol,
+      corpus.filter(col("vec_id") % centroidStep === 0)
+        .select(col("vec_id").as("cent_id"), col(vecCol).as("ce")),
+      iters)
+
+  /** Deterministic farthest-point ("k-center" / greedy k-means++) seeding:
+    * start from the min-id vector, then `k - 1` times add the vector
+    * farthest (max min-squared-distance, rounded at 9 dp, ties on vec_id)
+    * from the centroids chosen so far. The classic k-means++ D²-SAMPLING
+    * is replaced by the deterministic argmax — same spread-the-seeds
+    * effect, no RNG, so the trained quantizer stays oracle-checkable.
+    *
+    * Scale shape: k rounds, each one broadcast of the (tiny) chosen set +
+    * one map-side-combinable min-aggregate + a TakeOrdered(1) — no
+    * all-pairs work, no full sort. For k beyond the tens, swap in a
+    * k-means‖-style oversampled variant (sample-by-threshold per pass);
+    * the greedy form is the right oracle-able baseline. */
+  def farthestPointInit(corpus: DataFrame, vecCol: String, k: Int)
+      : DataFrame = {
+    val base = corpus.select(col("vec_id"), col(vecCol).as("e"))
+    var cent = base.orderBy(col("vec_id").asc).limit(1)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    for (_ <- 1 until k) {
+      cent = cent.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = base
+        .join(broadcast(cent))
+        .withColumn("d2",
+          round(VectorExpressions.squaredDist(col("e"), col("ce")), 9))
+        .groupBy(col("vec_id"))
+        .agg(min(col("d2")).as("mind2"), first(col("e")).as("e"))
+        .orderBy(col("mind2").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+      cent = cent.union(next)
+    }
+    cent
+  }
+
+  /** Lloyd's rounds from an explicit initial centroid table
+    * (cent_id, ce) — see [[kmeansCentroids]] for the determinism and
+    * per-round scale story. */
+  def kmeansFrom(corpus: DataFrame, vecCol: String, init: DataFrame,
+      iters: Int): DataFrame = {
+    var cent = init
     for (_ <- 0 until iters) {
       // each round's centroid table is broadcast into the assignment join
       // AND is the base of the next round — persist so round t's full
@@ -126,6 +168,17 @@ object Similarity {
       : DataFrame =
     ivfWith(corpus, queries, vecCol, k, nprobe,
       kmeansCentroids(corpus, vecCol, centroidStep, iters)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** IVF with farthest-point-seeded ([[farthestPointInit]]) Lloyd's
+    * training — the k-means++-style quantizer: better-spread seeds than
+    * the id sample, so cells balance in fewer Lloyd's rounds. */
+  def ivfTopKFarthest(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, k: Int, nCentroids: Int, iters: Int = 1,
+      nprobe: Int = 2): DataFrame =
+    ivfWith(corpus, queries, vecCol, k, nprobe,
+      kmeansFrom(corpus, vecCol,
+        farthestPointInit(corpus, vecCol, nCentroids), iters)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def ivfWith(corpus: DataFrame, queries: DataFrame,

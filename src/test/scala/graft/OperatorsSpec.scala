@@ -388,6 +388,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
       s"training degraded recall: $plain -> $trained")
   }
 
+  test("farthest-point init: min-id seed, k distinct spread centroids; " +
+      "greedy pick is the true argmax each round") {
+    import graft.expressions.VectorExpressions
+    val k = 4
+    val init = Similarity.farthestPointInit(emb, "embedding", k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(init.length == k)
+    assert(init.map(_._1).distinct.length == k, "duplicate centroid ids")
+    val minId = emb.agg(min(col("vec_id"))).head.getLong(0)
+    assert(init.head._1 == minId, "seed must be the min-id vector")
+    // replay the greedy rule on the driver: pick t must maximize the
+    // min squared distance (9 dp) to picks 0..t-1, ties on vec_id
+    val all = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = all.toMap
+    for (t <- 1 until k) {
+      val chosen = init.take(t).map(x => byId(x._1))
+      val best = all.map { case (id, v) =>
+        (id, chosen.map(c => d2(v, c)).min)
+      }.maxBy { case (id, m) => (m, -id) }
+      assert(init(t)._1 == best._1,
+        s"pick $t: got ${init(t)._1}, argmax is ${best._1}")
+    }
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfTopKFarthest(emb, queries, "embedding", 10,
+      nCentroids = 6, iters = 1, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact & got).size.toDouble / exact.size >= 0.4)
+  }
+
   test("LSH candidates: near-identical vectors always collide") {
     import spark.implicits._
     val v = Seq.tabulate(64)(i => math.sin(i).toFloat)
