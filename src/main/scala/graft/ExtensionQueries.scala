@@ -1130,6 +1130,86 @@ object CurationQueries {
         LEFT JOIN agg a USING (doc_id)
         LEFT JOIN tot t USING (doc_id)""")),
 
+    // C4-style heuristic cleaning: the corpus (no newlines of its own) is
+    // seeded — identically in both engines — with a punctuation-less nav
+    // header (always dropped), deterministic lorem/javascript/brace
+    // injections on disjoint id residues, and a per-doc terminal-punct
+    // tail line; the oracle replays the line filter and every doc-level
+    // flag verbatim
+    Q("curation_c4",
+      (s, dir) => {
+        val seeded = Sources.table(s, dir, "documents").select(
+          col("doc_id"),
+          concat(lit("nav home about contact\n"), col("text"),
+            when(col("doc_id") % 97 === 0, lit(" lorem ipsum"))
+              .otherwise(lit("")),
+            lit("\n"),
+            when(col("doc_id") % 13 === 0,
+              lit("please enable javascript to continue here.\n"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 89 === 0,
+              lit("function body { return }\n")).otherwise(lit("")),
+            lit("unique tail line for document "),
+            col("doc_id").cast("string"), lit(" ends here.")).as("txt"))
+        Curation.c4Filters(seeded, "doc_id", "txt")
+      },
+      Some {
+        val bad = Curation.defaultBadwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH seeded AS (
+            SELECT doc_id,
+              'nav home about contact' || chr(10) || text ||
+              CASE WHEN doc_id % 97 = 0 THEN ' lorem ipsum' ELSE '' END
+              || chr(10) ||
+              CASE WHEN doc_id % 13 = 0
+                THEN 'please enable javascript to continue here.' || chr(10)
+                ELSE '' END ||
+              CASE WHEN doc_id % 89 = 0
+                THEN 'function body { return }' || chr(10) ELSE '' END ||
+              'unique tail line for document ' || doc_id::VARCHAR
+              || ' ends here.' AS txt
+            FROM documents),
+          lines AS (
+            SELECT doc_id,
+              unnest(string_split(txt, chr(10))) AS line,
+              generate_subscripts(string_split(txt, chr(10)), 1) AS pos
+            FROM seeded),
+          kept AS (
+            SELECT doc_id, pos, line FROM lines
+            WHERE regexp_matches(line, '[.!?"]$$')
+              AND len(list_filter(string_split(line, ' '),
+                x -> x <> '')) >= 5
+              AND NOT contains(lower(line), 'javascript')),
+          agg AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+              count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+          tot AS (
+            SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+          flags AS (
+            SELECT doc_id,
+              contains(lower(txt), 'lorem ipsum') AS has_lorem,
+              contains(txt, '{') AS has_brace,
+              len(list_filter(
+                regexp_split_to_array(lower(txt), '[^a-z0-9]+'),
+                w -> w IN ($bad))) > 0 AS has_badword
+            FROM seeded)
+          SELECT s.doc_id,
+            CAST(coalesce(t.n_lines, 0) AS INTEGER) AS n_lines,
+            CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
+            CAST(len(regexp_extract_all(coalesce(a.clean, ''), '[.!?]'))
+              AS INTEGER) AS n_sentences,
+            f.has_lorem, f.has_brace, f.has_badword,
+            (NOT f.has_lorem AND NOT f.has_brace AND NOT f.has_badword
+              AND len(regexp_extract_all(coalesce(a.clean, ''), '[.!?]'))
+                >= 3
+              AND coalesce(a.n_kept, 0) > 0) AS keep,
+            coalesce(a.clean, '') AS clean
+          FROM seeded s
+          JOIN flags f USING (doc_id)
+          LEFT JOIN agg a USING (doc_id)
+          LEFT JOIN tot t USING (doc_id)"""
+      }),
+
     // deterministic global shuffle: position in the md5-permuted corpus.
     // The Spark side computes it as a bucketed two-phase prefix sum (no
     // single-partition sort); the oracle states the same permutation as

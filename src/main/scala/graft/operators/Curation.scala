@@ -286,6 +286,58 @@ object Curation {
       .drop("__thr")
   }
 
+  /** Badword list for [[c4Filters]] — a deliberately tiny spam-marker
+    * stand-in for the public LDNOOBW list (not shipped in this repo);
+    * callers pass their full list in production. */
+  val defaultBadwords: Seq[String] = Seq("casino", "viagra", "porn", "xxx")
+
+  /** C4-style heuristic cleaning (Raffel et al., arXiv:1910.10683 §2.2,
+    * the rules behind the C4 corpus): a line survives iff it ends in
+    * terminal punctuation (`.!?"`), carries at least `minWordsPerLine`
+    * whitespace words, and doesn't mention javascript; the document
+    * verdict (`keep`) then requires at least `minSentences` sentence-
+    * ending marks in the surviving text and bans "lorem ipsum"
+    * placeholders, curly braces (code leakage), and the badword list.
+    * Emits the per-rule flags alongside the verdict so a curation
+    * pipeline can audit WHY a document fell, not just that it fell.
+    *
+    * Scale shape: pure per-row projection — no shuffle, no join, no
+    * state; runs at scan speed. The line lambda is the one interpreted
+    * HOF (lines × words per row); hoist it into a codegen Expression if
+    * it ever profiles hot at the full corpus.
+    *
+    * Reference scope note: the reference engine has no corpus-cleaning
+    * stage at all (its filters stop at column null/empty checks,
+    * extractor.py:60-76); this is part of the training-data extension
+    * suite. */
+  def c4Filters(df: DataFrame, idCol: String, textCol: String,
+      minWordsPerLine: Int = 5, minSentences: Int = 3,
+      badwords: Seq[String] = defaultBadwords): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keptArr = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, " "), w => w =!= "")) >= minWordsPerLine &&
+        !contains(lower(l), lit("javascript")))
+    val cleanCol = array_join(keptArr, "\n")
+    val hasLorem = contains(lower(col(textCol)), lit("lorem ipsum"))
+    val hasBrace = contains(col(textCol), lit("{"))
+    val hasBad = exists(split(lower(col(textCol)), "[^a-z0-9]+"),
+      w => w.isInCollection(badwords))
+    df.select(col(idCol), col(textCol),
+        size(lines).as("n_lines"), size(keptArr).as("n_kept"),
+        size(regexp_extract_all(cleanCol, lit("[.!?]"), lit(0)))
+          .as("n_sentences"),
+        hasLorem.as("has_lorem"), hasBrace.as("has_brace"),
+        hasBad.as("has_badword"), cleanCol.as("clean"))
+      .select(col(idCol), col("n_lines"), col("n_kept"),
+        col("n_sentences"), col("has_lorem"), col("has_brace"),
+        col("has_badword"),
+        (!col("has_lorem") && !col("has_brace") && !col("has_badword") &&
+          col("n_sentences") >= minSentences && col("n_kept") > 0)
+          .as("keep"),
+        col("clean"))
+  }
+
   /** CCNet-style line-level dedup (Wenzek et al., arXiv:1911.00359 §3.1):
     * drop every line that occurs in at least `minDocs` DISTINCT documents
     * — headers, footers, cookie banners, navigation chrome — and rebuild

@@ -211,6 +211,45 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(ids2.subsetOf(ids8))
   }
 
+  test("c4Filters: line rules and every doc flag, hand-computed") {
+    import spark.implicits._
+    val docs = Seq(
+      // 3 good sentences on one line + a good tail line -> kept
+      (1L, "alpha beta gamma delta one. epsilon zeta eta theta two. " +
+        "iota kappa lambda mu three.\nclosing words of this fine doc."),
+      // nav-like line (no terminal punct) + short line -> nothing kept
+      (2L, "home about contact\nshort line."),
+      // javascript line dropped even with punct and length
+      (3L, "please enable javascript to continue reading this page.\n" +
+        "alpha beta gamma delta one. epsilon zeta eta theta two. " +
+        "iota kappa lambda mu three."),
+      // lorem ipsum / brace / badword each poison the doc verdict
+      (4L, "alpha beta gamma delta one. two more words lorem ipsum " +
+        "here three. and a third sentence right here."),
+      (5L, "alpha beta { gamma } delta one. second sentence is right " +
+        "here. and a third one lands here."),
+      (6L, "alpha beta casino gamma delta one. second sentence is " +
+        "here. and a third one lands here.")).toDF("doc_id", "text")
+    val r = Curation.c4Filters(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("keep"))
+    assert(r(1L).getAs[Int]("n_kept") == 2)
+    assert(r(1L).getAs[Int]("n_sentences") == 4)
+    assert(!r(2L).getAs[Boolean]("keep"))
+    assert(r(2L).getAs[Int]("n_kept") == 0)
+    assert(r(3L).getAs[Int]("n_kept") == 1,
+      "javascript line must fall, content line must survive")
+    assert(r(3L).getAs[Boolean]("keep"))
+    assert(!r(4L).getAs[Boolean]("keep") &&
+      r(4L).getAs[Boolean]("has_lorem"))
+    assert(!r(5L).getAs[Boolean]("keep") &&
+      r(5L).getAs[Boolean]("has_brace"))
+    assert(!r(6L).getAs[Boolean]("keep") &&
+      r(6L).getAs[Boolean]("has_badword"))
+    assert(!r(4L).getAs[Boolean]("has_brace") &&
+      !r(4L).getAs[Boolean]("has_badword"))
+  }
+
   test("dedupLines drops cross-document boilerplate, keeps order, " +
       "handles all-boilerplate docs") {
     val boiler = "subscribe to our newsletter"
