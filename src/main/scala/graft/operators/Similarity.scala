@@ -104,20 +104,33 @@ object Similarity {
   def farthestPointInit(corpus: DataFrame, vecCol: String, k: Int)
       : DataFrame = {
     val base = corpus.select(col("vec_id"), col(vecCol).as("e"))
-    var cent = base.orderBy(col("vec_id").asc).limit(1)
+    val seed = base.orderBy(col("vec_id").asc).limit(1)
       .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-    for (_ <- 1 until k) {
-      cent = cent.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val next = base
-        .join(broadcast(cent))
-        .withColumn("d2",
-          round(VectorExpressions.squaredDist(col("e"), col("ce")), 9))
-        .groupBy(col("vec_id"))
-        .agg(min(col("d2")).as("mind2"), first(col("e")).as("e"))
-        .orderBy(col("mind2").desc, col("vec_id").asc).limit(1)
-        .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-      cent = cent.union(next)
+    var cent = seed
+    // running min-distance table — each round joins ONLY the newest
+    // centroid (broadcast 1 row) and folds it into the min, the standard
+    // incremental farthest-point: k single-pass rounds instead of k
+    // passes over a growing chosen set. localCheckpoint per round cuts
+    // the plan chain AND materializes the distances (persist would keep
+    // the growing logical plan — see NOTES.md on iterative loops).
+    // least() over per-pair rounded d2 == min over the full chosen set,
+    // so the oracle's set-min SQL reproduces it exactly.
+    var md = base.join(broadcast(seed.select(col("ce"))))
+      .select(col("vec_id"), col("e"),
+        round(VectorExpressions.squaredDist(col("e"), col("ce")), 9)
+          .as("mind2"))
+      .localCheckpoint()
+    for (t <- 1 until k) {
+      val next = md.orderBy(col("mind2").desc, col("vec_id").asc).limit(1)
+      cent = cent.union(
+        next.select(col("vec_id").as("cent_id"), col("e").as("ce")))
+      if (t < k - 1)
+        md = md.join(broadcast(next.select(col("e").as("ce"))))
+          .select(col("vec_id"), col("e"),
+            least(col("mind2"),
+              round(VectorExpressions.squaredDist(col("e"), col("ce")), 9))
+              .as("mind2"))
+          .localCheckpoint()
     }
     cent
   }
