@@ -286,6 +286,67 @@ object Curation {
       .drop("__thr")
   }
 
+  /** DSIR-style importance weights (Xie et al., arXiv:2302.03169
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score each document by the log-likelihood ratio of its hashed
+    * n-gram bag under a TARGET feature distribution (the rows matching
+    * `targetFilter` — e.g. a trusted high-quality slice) vs the RAW
+    * corpus distribution. Features are word unigrams + bigrams hashed
+    * onto `dim` buckets (md5 — engine-portable, same family as
+    * [[TextAnalysis.hashedEmbedding]]); both distributions are add-one
+    * smoothed over the full bucket domain. Selection = rank by
+    * `logweight` downstream (deterministic top-k stands in for the
+    * paper's Gumbel resampling — no RNG, so the operator stays
+    * oracle-checkable).
+    *
+    * Float parity: each bucket's log-ratio is `round(ln, 6)` per term,
+    * differenced and held as DECIMAL(18,6); the per-doc sum multiplies
+    * by the integer bucket count and adds EXACTLY in decimal, so
+    * aggregation order cannot perturb the result; one final double cast
+    * + 6 dp round.
+    *
+    * Scale shape: one explode over tokens (the bigram array is built
+    * per-row, no self-join), one (doc, bucket) count with map-side
+    * combine, two tiny bucket-domain aggregates (≤ dim rows — broadcast
+    * back), one per-doc aggregate. The target slice is detected with a
+    * per-row predicate, not a join. */
+  def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
+      targetFilter: Column, dim: Int = 256): DataFrame = {
+    val toks = graft.functions.Cleaning.tokens(lower(col(textCol)))
+    val bigrams = when(size(toks) >= 2,
+      transform(arrays_zip(slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1)),
+        s => concat(s.getField("0"), lit(" "), s.getField("1"))))
+      .otherwise(array().cast("array<string>"))
+    val feats = df.select(col(idCol), targetFilter.as("is_tgt"),
+        explode(concat(toks, bigrams)).as("f"))
+      .select(col(idCol), col("is_tgt"),
+        pmod(conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long"),
+          lit(dim.toLong)).as("j"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = feats.groupBy(col("j")).agg(count(lit(1)).as("rc"))
+    val tgt = feats.filter(col("is_tgt"))
+      .groupBy(col("j")).agg(count(lit(1)).as("tc"))
+    val rawTot = feats.agg(count(lit(1)).as("rt"))
+    val tgtTot = feats.filter(col("is_tgt")).agg(count(lit(1)).as("tt"))
+    // log-ratio per OCCURRING bucket (absent buckets contribute 0 to any
+    // doc sum); tiny table (≤ dim rows) — broadcast back onto doc counts
+    val lr = raw.join(tgt, Seq("j"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("j"),
+        (round(log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+            (col("tt") + dim).cast("double")), 6).cast("decimal(18,6)") -
+          round(log((col("rc") + 1).cast("double") /
+            (col("rt") + dim).cast("double")), 6).cast("decimal(18,6)"))
+          .as("lr"))
+    feats.groupBy(col(idCol), col("j")).agg(count(lit(1)).as("c"))
+      .join(broadcast(lr), Seq("j"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_feats"),
+        round(sum(col("lr") * col("c").cast("decimal(10,0)"))
+          .cast("double"), 6).as("logweight"))
+  }
+
   /** Badword list for [[c4Filters]] — a deliberately tiny spam-marker
     * stand-in for the public LDNOOBW list (not shipped in this repo);
     * callers pass their full list in production. */

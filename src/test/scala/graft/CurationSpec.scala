@@ -211,6 +211,33 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(ids2.subsetOf(ids8))
   }
 
+  test("dsirLogWeights ranks target-like docs above off-target docs; " +
+      "feature count = unigrams + bigrams") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", true),   // target slice
+      (2L, "alpha beta gamma beta alpha", true),   // target slice
+      (3L, "alpha beta gamma alpha gamma", false), // target-like raw doc
+      (4L, "omega psi chi phi upsilon", false),    // off-target vocab
+      (5L, "single", false))
+      .toDF("doc_id", "text", "is_en")
+    val r = Curation.dsirLogWeights(docs, "doc_id", "text",
+      col("is_en"), dim = 64)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // 5 tokens -> 5 unigrams + 4 bigrams
+    assert(r(1L).getAs[Long]("n_feats") == 9)
+    assert(r(5L).getAs[Long]("n_feats") == 1)
+    // docs built from target vocabulary must outscore the disjoint-vocab
+    // doc, whose buckets never occur in the target (smoothed to floor)
+    assert(r(3L).getAs[Double]("logweight") >
+      r(4L).getAs[Double]("logweight"),
+      s"target-like ${r(3L)} must beat off-target ${r(4L)}")
+    // (no absolute-sign assertion: add-one smoothing over the bucket
+    // domain shifts tiny-corpus ratios — only the ranking is invariant)
+    assert(r(1L).getAs[Double]("logweight") >
+      r(4L).getAs[Double]("logweight"))
+  }
+
   test("c4Filters: line rules and every doc flag, hand-computed") {
     import spark.implicits._
     val docs = Seq(
