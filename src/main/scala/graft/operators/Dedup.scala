@@ -265,13 +265,51 @@ object Dedup {
     * converges in O(log² n) rounds independent of diameter — same
     * signature, same output.
     */
-  def connectedComponents(df: DataFrame, idCol: String, pairs: DataFrame)
-      : DataFrame = {
+  def connectedComponents(df: DataFrame, idCol: String, pairs: DataFrame,
+      driverMaxEdges: Long = 2000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // truncate the (possibly expensive) pair-derivation lineage: each
     // propagation round re-plans its inputs, and cached subframes alone
     // don't stop Spark re-running upstream exchanges of the LSH pipeline
-    val edgelist = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edgelist = pairs.select(col("doc_a").cast("long"),
+      col("doc_b").cast("long")).localCheckpoint()
+    // small-graph fast path (the adaptive choice GraphFrames' CC makes
+    // too): near-dup edge lists are typically a sliver of the corpus —
+    // when the materialized edge count fits the driver comfortably,
+    // union-find locally in O(E α) and broadcast the labels back,
+    // instead of paying diameter-many distributed rounds of fixed job
+    // latency. Same answer by construction (component-min labels); the
+    // iterative path below remains the default the moment the edge list
+    // outgrows the gate.
+    if (edgelist.count() <= driverMaxEdges) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nx = parent(c); parent(c) = r; c = nx
+        }
+        r
+      }
+      val nodes = scala.collection.mutable.LongMap.empty[Unit]
+      edgelist.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        nodes(a) = (); nodes(b) = ()
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val spark = df.sparkSession
+      import spark.implicits._
+      val labels = nodes.keys.toSeq.map(n => (n, find(n)))
+        .toDF("doc_id", "cluster_id")
+      return df.select(col(idCol).cast("long").as("doc_id"))
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    }
     val edges = edgelist
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edgelist.select(col("doc_b").as("src"), col("doc_a").as("dst")))

@@ -22,8 +22,15 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTester {
       : (Map[Long, Long], Map[Long, Long]) = {
     val docs = nodes.toDF("doc_id")
     val p = pairs.toDF("doc_a", "doc_b")
-    (labelsOf(Dedup.connectedComponents(docs, "doc_id", p)),
-      labelsOf(Dedup.connectedComponentsAlternating(docs, "doc_id", p)))
+    // driverMaxEdges = 0 forces the distributed min-label loop; the
+    // default gate takes the driver union-find fast path on graphs this
+    // size — both must give identical labels
+    val fast = labelsOf(Dedup.connectedComponents(docs, "doc_id", p))
+    val dist = labelsOf(
+      Dedup.connectedComponents(docs, "doc_id", p, driverMaxEdges = 0L))
+    assert(fast == dist,
+      "driver union-find fast path diverged from the min-label loop")
+    (fast, labelsOf(Dedup.connectedComponentsAlternating(docs, "doc_id", p)))
   }
 
   test("long-chain adversarial graph: one cluster, min-id label") {
