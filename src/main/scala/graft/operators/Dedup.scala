@@ -33,11 +33,18 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Shingle rows (doc_id, sh) — the inverted-index feed. Distinct per doc
-    * by construction ([[Text.wordShingles]]). */
+    * by construction ([[Text.wordShingles]]); the index key is the 64-bit
+    * hash of the shingle, not the string — every downstream shuffle
+    * (document frequency, both self-join sides, the intersection
+    * aggregate) then carries fixed 8-byte keys instead of k-word phrases,
+    * the same keys-not-payload rule as [[exact]]. Set cardinalities are
+    * preserved modulo 64-bit collisions (~d²/2⁶⁵ per doc pair — far below
+    * the 6-dp rounding of the Jaccard itself). */
   private def shingleRows(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
-      explode(Text.wordShingles(col(textCol), k)).as("sh"))
+        explode(Text.wordShingles(col(textCol), k)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
 
   /** Exact n-gram (word k-shingle) Jaccard similarity for all pairs sharing
     * at least one shingle, thresholded. Pairs below the threshold share no
