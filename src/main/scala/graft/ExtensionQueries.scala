@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Curation, Dedup, Enrich, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Sources
@@ -1035,6 +1036,45 @@ object CurationQueries {
       s"regexp_replace($acc, '$re', '${rep.replace("$1", "\\1")}', 'g')"
     }
 
+  /** Shared seeded corpus for the C4-family queries: the raw documents
+    * carry no newlines and no sentence punctuation, so line structure and
+    * every C4 rule outcome are injected deterministically (and
+    * IDENTICALLY in both engines): a punctuation-less nav header, lorem/
+    * javascript/brace poison on disjoint id residues, a terminal '.' on
+    * even ids (making the content line's survival — and the >= 3-sentence
+    // verdict — vary), and a two-sentence tail line. */
+  private[graft] def seededC4Docs(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      concat(lit("nav home about contact\n"), col("text"),
+        when(col("doc_id") % 97 === 0, lit(" lorem ipsum"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, lit(".")).otherwise(lit("")),
+        lit("\n"),
+        when(col("doc_id") % 13 === 0,
+          lit("please enable javascript to continue here.\n"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 89 === 0,
+          lit("function body { return }\n")).otherwise(lit("")),
+        lit("unique tail line for document "), col("doc_id").cast("string"),
+        lit(". it ends here.")).as("txt"))
+
+  /** DuckDB twin of [[seededC4Docs]] (CTE named `seeded`, column `txt`). */
+  private[graft] val seededC4Sql: String =
+    """seeded AS (
+        SELECT doc_id, lang,
+          'nav home about contact' || chr(10) || text ||
+          CASE WHEN doc_id % 97 = 0 THEN ' lorem ipsum' ELSE '' END ||
+          CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END || chr(10) ||
+          CASE WHEN doc_id % 13 = 0
+            THEN 'please enable javascript to continue here.' || chr(10)
+            ELSE '' END ||
+          CASE WHEN doc_id % 89 = 0
+            THEN 'function body { return }' || chr(10) ELSE '' END ||
+          'unique tail line for document ' || doc_id::VARCHAR
+          || '. it ends here.' AS txt
+        FROM documents)"""
+
   def all: Seq[Q] = Seq(
 
     // benchmark decontamination: every 20th document plays the role of
@@ -1130,44 +1170,19 @@ object CurationQueries {
         LEFT JOIN agg a USING (doc_id)
         LEFT JOIN tot t USING (doc_id)""")),
 
-    // C4-style heuristic cleaning: the corpus (no newlines of its own) is
-    // seeded — identically in both engines — with a punctuation-less nav
-    // header (always dropped), deterministic lorem/javascript/brace
-    // injections on disjoint id residues, and a per-doc terminal-punct
+    // C4-style heuristic cleaning: the corpus (no newlines or sentence
+    // punctuation of its own) is seeded — identically in both engines —
+    // with a punctuation-less nav header (always dropped), deterministic
+    // lorem/javascript/brace injections on disjoint id residues, a
+    // terminal '.' on even ids (so the content line's survival — and with
+    // it the >= 3-sentence verdict — varies), and a two-sentence per-doc
     // tail line; the oracle replays the line filter and every doc-level
     // flag verbatim
     Q("curation_c4",
-      (s, dir) => {
-        val seeded = Sources.table(s, dir, "documents").select(
-          col("doc_id"),
-          concat(lit("nav home about contact\n"), col("text"),
-            when(col("doc_id") % 97 === 0, lit(" lorem ipsum"))
-              .otherwise(lit("")),
-            lit("\n"),
-            when(col("doc_id") % 13 === 0,
-              lit("please enable javascript to continue here.\n"))
-              .otherwise(lit("")),
-            when(col("doc_id") % 89 === 0,
-              lit("function body { return }\n")).otherwise(lit("")),
-            lit("unique tail line for document "),
-            col("doc_id").cast("string"), lit(" ends here.")).as("txt"))
-        Curation.c4Filters(seeded, "doc_id", "txt")
-      },
+      (s, dir) => Curation.c4Filters(seededC4Docs(s, dir), "doc_id", "txt"),
       Some {
         val bad = Curation.defaultBadwords.map(w => s"'$w'").mkString(", ")
-        s"""WITH seeded AS (
-            SELECT doc_id,
-              'nav home about contact' || chr(10) || text ||
-              CASE WHEN doc_id % 97 = 0 THEN ' lorem ipsum' ELSE '' END
-              || chr(10) ||
-              CASE WHEN doc_id % 13 = 0
-                THEN 'please enable javascript to continue here.' || chr(10)
-                ELSE '' END ||
-              CASE WHEN doc_id % 89 = 0
-                THEN 'function body { return }' || chr(10) ELSE '' END ||
-              'unique tail line for document ' || doc_id::VARCHAR
-              || ' ends here.' AS txt
-            FROM documents),
+        s"""WITH $seededC4Sql,
           lines AS (
             SELECT doc_id,
               unnest(string_split(txt, chr(10))) AS line,
@@ -1411,6 +1426,82 @@ object CurationQueries {
           WHERE rk <= 15)
         SELECT doc_id, source FROM q
         WHERE ${ddbHashBucket("doc_id::VARCHAR", 100L)} < 80""")),
+
+    // the TEXT-QUALITY pipeline end-to-end: C4 cleaning -> DSIR
+    // importance weighting over the survivors -> deterministic top-N.
+    // The oracle composes the c4 and dsir mirrors; one drifted stage
+    // breaks the hash (same philosophy as pipeline_curate, which covers
+    // the dedup side)
+    Q("pipeline_curate_text",
+      (s, dir) => Pipeline.curateTextPlan(
+        seededC4Docs(s, dir).withColumnRenamed("txt", "text"),
+        targetLang = "en", topN = 200),
+      Some {
+        val bad = Curation.defaultBadwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH $seededC4Sql,
+          docs AS (SELECT doc_id, lang, txt AS text FROM seeded),
+          lines AS (
+            SELECT doc_id,
+              unnest(string_split(text, chr(10))) AS line,
+              generate_subscripts(string_split(text, chr(10)), 1) AS pos
+            FROM docs),
+          c4kept AS (
+            SELECT doc_id, pos, line FROM lines
+            WHERE regexp_matches(line, '[.!?"]$$')
+              AND len(list_filter(string_split(line, ' '),
+                x -> x <> '')) >= 5
+              AND NOT contains(lower(line), 'javascript')),
+          agg AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+              count(*) AS n_kept
+            FROM c4kept GROUP BY doc_id),
+          verdict AS (
+            SELECT d.doc_id, d.lang, a.clean
+            FROM docs d JOIN agg a USING (doc_id)
+            WHERE NOT contains(lower(d.text), 'lorem ipsum')
+              AND NOT contains(d.text, '{')
+              AND len(list_filter(
+                regexp_split_to_array(lower(d.text), '[^a-z0-9]+'),
+                w -> w IN ($bad))) = 0
+              AND len(regexp_extract_all(a.clean, '[.!?]')) >= 3
+              AND a.n_kept > 0),
+          t AS (
+            SELECT doc_id, lang = 'en' AS is_tgt,
+              list_filter(regexp_split_to_array(lower(clean), '\\s+'),
+                x -> x <> '') AS toks
+            FROM verdict),
+          g AS (
+            SELECT doc_id, is_tgt, unnest(toks) AS f FROM t
+            UNION ALL
+            SELECT doc_id, is_tgt,
+              unnest([toks[i] || ' ' || toks[i + 1]
+                for i in range(1, len(toks))]) AS f
+            FROM t),
+          b AS (SELECT doc_id, is_tgt,
+              ('0x' || substr(md5(f), 1, 8))::BIGINT % 256 AS j FROM g),
+          rawc AS (SELECT j, count(*) AS rc FROM b GROUP BY j),
+          tgtc AS (SELECT j, count(*) AS tc FROM b WHERE is_tgt GROUP BY j),
+          rt AS (SELECT count(*) AS rt FROM b),
+          tt AS (SELECT count(*) AS tt FROM b WHERE is_tgt),
+          lr AS (
+            SELECT rawc.j,
+              round(ln((coalesce(tc, 0) + 1)::DOUBLE / (tt + 256)), 6)
+                ::DECIMAL(18,6)
+              - round(ln((rc + 1)::DOUBLE / (rt + 256)), 6)::DECIMAL(18,6)
+                AS lr
+            FROM rawc LEFT JOIN tgtc USING (j)
+            CROSS JOIN rt CROSS JOIN tt),
+          cnt AS (
+            SELECT doc_id, j, count(*) AS c FROM b GROUP BY doc_id, j),
+          w AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+              round(sum(lr * c::DECIMAL(10,0))::DOUBLE, 6) AS logweight
+            FROM cnt JOIN lr USING (j)
+            GROUP BY doc_id)
+          SELECT doc_id, n_feats, logweight FROM w
+          ORDER BY logweight DESC, doc_id ASC
+          LIMIT 200"""
+      }),
 
     // the same survivor selection over the EMBEDDING modality: LSH
     // candidate pairs (exact-verified cosine) → connected components →

@@ -140,6 +140,30 @@ object Pipeline {
     spark.read.parquet(s"$outDir/curated").count()
   }
 
+  /** The TEXT-QUALITY curation dataflow: C4 heuristic cleaning →
+    * DSIR importance weighting over the surviving text (target = the
+    * `targetLang` slice) → deterministic top-`topN` selection. The
+    * quality twin of [[curatePlan]] (which is the dedup pipeline): this
+    * one decides WHAT is worth keeping, that one removes redundancy —
+    * a production corpus build runs both.
+    *
+    * Scale shape: c4 is a pure projection; dsir adds one token explode,
+    * one (doc,bucket) count and two broadcast-sized bucket aggregates;
+    * selection is a TakeOrdered, not a global sort. No stage shuffles
+    * the documents themselves. */
+  def curateTextPlan(raw: DataFrame, targetLang: String, topN: Int)
+      : DataFrame = {
+    import graft.operators.Curation
+    val flags = Curation.c4Filters(raw, "doc_id", "text")
+    val kept = raw.select(col("doc_id"), col("lang"))
+      .join(flags.filter(col("keep")).select(col("doc_id"), col("clean")),
+        Seq("doc_id"))
+    Curation.dsirLogWeights(kept, "doc_id", "clean",
+        targetFilter = col("lang") === targetLang)
+      .orderBy(col("logweight").desc, col("doc_id").asc)
+      .limit(topN)
+  }
+
   /** The curation dataflow as a lazy plan (see [[curate]] for the stage
     * rationale) — separated so the whole composed pipeline can be
     * differential-tested against a composed oracle, not just its stages. */

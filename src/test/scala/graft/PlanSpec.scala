@@ -87,4 +87,18 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), p)
   }
+
+  test("curation_c4: pure per-row projection — no shuffle, no join") {
+    val p = plan("curation_c4")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("curation_dsir: bucket log-ratio table joins back as broadcast; " +
+      "feature counts partially aggregate map-side") {
+    val p = plan("curation_dsir")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
 }
