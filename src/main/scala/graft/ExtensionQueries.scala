@@ -572,6 +572,21 @@ object SimilarityQueries {
             FROM scored) r WHERE rank <= 10"""
       }),
 
+    // per-label mean embedding (class prototypes) in flat row form —
+    // exact decimal coordinate sums, one double divide, 6 dp round
+    Q("embedding_label_centroids",
+      (s, dir) => Similarity.labelCentroids(
+        Sources.table(s, dir, "embeddings"), "label", "embedding"),
+      Some("""WITH e AS (
+          SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+        SELECT label, CAST(i - 1 AS INTEGER) AS i,
+          CAST(count(*) AS BIGINT) AS n_members,
+          round(CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE)
+            / count(*), 6) AS m
+        FROM e GROUP BY label, i""")),
+
     // random-hyperplane LSH candidate generation (linear-cost ANN feed) —
     // fully hash-checked via the committed plane fixture (see lshBandsCtes)
     Q("simsearch_lsh",
@@ -815,6 +830,25 @@ object TextQueries {
           round(1.0 / (1.0 + exp(-(-0.1 + coalesce(sw, 0)::DOUBLE /
             (coalesce(n, 1)::DOUBLE * 1000000.0)))), 6) AS score
         FROM documents d LEFT JOIN s USING (doc_id)""")),
+
+    // character-level Shannon entropy (nats) — the compressibility/
+    // gibberish band-pass signal; exact-decimal term sums, no joins
+    Q("text_entropy",
+      (s, dir) => TextAnalysis.charEntropy(
+        Sources.table(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH c AS (
+          SELECT doc_id, length(text) AS dl,
+            unnest([substr(text, i, 1)
+              for i in range(1, length(text) + 1)]) AS ch
+          FROM documents),
+        k AS (
+          SELECT doc_id, ch, max(dl) AS dl, count(*) AS c
+          FROM c GROUP BY doc_id, ch)
+        SELECT doc_id, CAST(max(dl) AS BIGINT) AS n_chars,
+          round(-CAST(sum(round(ln(c::DOUBLE / dl::DOUBLE), 6)
+              ::DECIMAL(18,6) * c::DECIMAL(10,0)) AS DOUBLE)
+            / max(dl), 6) AS entropy
+        FROM k GROUP BY doc_id""")),
 
     // Gopher-style repetition signals (duplicate-line/word fractions, top
     // n-gram char coverage) — the boilerplate filters an LLM training

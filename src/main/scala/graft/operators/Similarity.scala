@@ -216,6 +216,22 @@ object Similarity {
     ranked(scored, k)
   }
 
+  /** Per-label mean embedding — class prototypes in flat (label, i, m)
+    * row form: nearest-prototype classification, per-class drift
+    * monitoring, and the seed for class-conditional IVF all start here.
+    * Same partitioning-independent averaging as the k-means trainer
+    * (exact DECIMAL coordinate sums, one double divide, 6 dp round), so
+    * the operator is oracle-checkable. One row-per-element shuffle with
+    * map-side combine; output is |labels|·dim rows — tiny. */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String)
+      : DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("v").cast("decimal(28,10)")).cast("double") /
+          count(lit(1)), 6).as("m"))
+
   /** Deterministic gaussian hyperplane matrix for [[lshCandidates]]:
     * Box-Muller over a splitmix64 stream. Hand-rolled on purpose — the
     * sequence is pinned by THIS code, not by the JVM's `Random.nextGaussian`

@@ -373,6 +373,36 @@ object TextAnalysis {
     * n-gram coverage) — see [[graft.expressions.RepetitionStatsExpr]] for
     * the definitions. One codegen'd pass per document; fractions rounded
     * to 6 dp here so both engines round the same double once. */
+  /** Per-document character-level Shannon entropy (nats) — the cheap
+    * compressibility/gibberish signal: repeated-character runs and
+    * keyboard mash score low, diverse prose scores high; curation
+    * pipelines band-pass on it (too low = degenerate, too high = random
+    * bytes).
+    *
+    * Float parity (the repo's decimal-sum rule): each character's
+    * `ln(count/len)` is rounded once at 6 dp, multiplied by its EXACT
+    * integer count and summed as DECIMAL — order-independent — then one
+    * double divide and a final 6 dp round.
+    *
+    * Scale shape: one explode to characters (bounded by document length),
+    * one (doc, char) count with map-side combine, one per-doc aggregate;
+    * no joins — the document length rides along from the scan. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val ch = df.select(col(idCol), length(col(textCol)).as("dl"),
+      explode(transform(sequence(lit(1), length(col(textCol))),
+        i => col(textCol).substr(i, lit(1)))).as("ch"))
+    ch.groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).as("c"), max(col("dl")).as("dl"))
+      .withColumn("term",
+        round(log(col("c").cast("double") / col("dl").cast("double")), 6)
+          .cast("decimal(18,6)") * col("c").cast("decimal(10,0)"))
+      .groupBy(col(idCol))
+      .agg(max(col("dl")).cast("long").as("n_chars"),
+        round((-sum(col("term"))).cast("double") / max(col("dl")), 6)
+          .as("entropy"))
+  }
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val r = graft.expressions.RepetitionStatsExpr

@@ -425,6 +425,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
     assert((exact & got).size.toDouble / exact.size >= 0.4)
   }
 
+  test("labelCentroids: hand-computed means, one row per (label, dim)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), 0),
+      (2L, Seq(3.0f, 6.0f), 0),
+      (3L, Seq(10.0f, 20.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelCentroids(df, "label", "embedding")
+      .collect().map(x => (x.getInt(0), x.getInt(1)) -> x).toMap
+    assert(r.size == 4)
+    assert(r((0, 0)).getAs[Double]("m") == 2.0)
+    assert(r((0, 1)).getAs[Double]("m") == 4.0)
+    assert(r((1, 0)).getAs[Double]("m") == 10.0)
+    assert(r((0, 0)).getAs[Long]("n_members") == 2L)
+    assert(r((1, 1)).getAs[Long]("n_members") == 1L)
+  }
+
   test("LSH candidates: near-identical vectors always collide") {
     import spark.implicits._
     val v = Seq.tabulate(64)(i => math.sin(i).toFloat)
@@ -497,6 +514,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTester {
     val r = TextAnalysis.langIdRank(df, "doc_id", "text")
       .select($"doc_id", $"predicted").as[(Long, String)].collect().toMap
     assert(r(1L) == "und" && r(2L) == "und")
+  }
+
+  test("charEntropy: zero for a constant run, ln 2 for a fair coin, " +
+      "higher for more diversity") {
+    import spark.implicits._
+    val df = Seq((1L, "aaaaaaaa"), (2L, "abababab"), (3L, "abcdefgh"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Double]("entropy") == 0.0)
+    // 2 symbols, p=1/2 each: H = ln 2 = 0.693147 at 6 dp
+    assert(r(2L).getAs[Double]("entropy") == 0.693147)
+    // 8 symbols, p=1/8: H = ln 8 = 2.079442 at 6 dp (3 * 0.693147 with
+    // per-term rounding: round(ln(1/8),6) = -2.079442)
+    assert(r(3L).getAs[Double]("entropy") == 2.079442)
+    assert(r(3L).getAs[Long]("n_chars") == 8L)
   }
 
   test("quality metrics on a known string") {
