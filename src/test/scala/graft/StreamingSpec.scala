@@ -271,6 +271,41 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTester {
     assert(texts.count(t =>
       t.contains("<EMAIL>") || t.contains("<PHONE>")) >= 1)
   }
+
+  test("c4 filtering runs INSIDE a streaming plan (stateless projection) " +
+      "and matches the batch verdicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Curation
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sc4")
+    val rows = Seq(
+      (1L, "alpha beta gamma delta one. epsilon zeta eta theta two. " +
+        "iota kappa lambda mu three."),
+      (2L, "home about contact"),
+      (3L, "some lorem ipsum page with sentences. one more here. " +
+        "and a third right here."))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    val out = dir.resolve("out").toString
+    val q = Curation.c4Filters(mem.toDS().toDF("doc_id", "text"),
+        "doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .format("parquet").option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "keep", "n_kept", "has_lorem")
+      .as[(Long, Boolean, Int, Boolean)].collect().toSet
+    val batch = Curation.c4Filters(rows.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("doc_id", "keep", "n_kept", "has_lorem")
+      .as[(Long, Boolean, Int, Boolean)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.exists { case (id, keep, _, _) => id == 1L && keep })
+    assert(batch.exists { case (id, _, _, lorem) => id == 3L && lorem })
+  }
 }
 
 class RegistrySpec extends AnyFunSuite with SparkTester {
