@@ -34,5 +34,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench deliberately accumulates per-query caches
+  // (round-over-round comparability), and at 104 registry queries an 8g
+  // unified region starts evicting mid-suite — measured ~5s of re-derive
+  // on the sf0.1 bench; the host has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
