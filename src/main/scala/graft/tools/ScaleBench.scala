@@ -88,6 +88,24 @@ object ScaleBench {
       Dedup.connectedComponentsAlternating(big, "doc_id", capped)
         .filter(col("doc_id") =!= col("cluster_id")).count()
     }
+    // the text-quality pipeline (C4 -> DSIR -> top-N) on the same corpus:
+    // c4 is scan-speed and dsir is one explode + bounded-domain aggs, so
+    // this stage should scale linearly with corpus size — this datapoint
+    // is the evidence. The synthetic text carries no punctuation, so half
+    // the docs get a three-sentence tail (they pass C4 and feed DSIR) and
+    // a quarter get the target lang — both stages do full-corpus work
+    val nCurate = timed("curate_text") {
+      graft.Pipeline.curateTextPlan(
+        big.withColumn("lang",
+            when(pmod(xxhash64(col("doc_id")), lit(4)) === 0, lit("en"))
+              .otherwise(lit("xx")))
+          .withColumn("text",
+            when(pmod(xxhash64(col("doc_id"), lit(7L)), lit(2)) === 0,
+              concat(col("text"),
+                lit(". second sentence here. third one too.")))
+              .otherwise(col("text"))),
+        targetLang = "en", topN = 1000).count()
+    }
 
     val times = t.map { case (k, v) =>
       "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.US, v)
@@ -97,6 +115,7 @@ object ScaleBench {
       s""""cap":$cap,"boiler_pct":$boilerPct,"cpus":$cpus,""" +
       s""""times_sec":$times,""" +
       s""""pairs":{"minhash":$nMinhash,"ngram_capped":$nCapped,""" +
-      s""""ngram_uncapped":$nUncapped},"nondefault_docs":$nClusters}""")
+      s""""ngram_uncapped":$nUncapped},"nondefault_docs":$nClusters,""" +
+      s""""curate_kept":$nCurate}""")
   }
 }
