@@ -23,6 +23,32 @@ class LayoutSpec extends AnyFunSuite with SparkTester {
     assert(q.count() == full)
   }
 
+  test("IVF at rest: corpus partitioned by cell prunes the scan to " +
+      "probed cells — the 100 TB search path") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf")
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cent = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val assigned = Similarity.assignCells(emb,
+      cent.select(col("cent_id").as("vec_id"), col("ce").as("embedding")),
+      "embedding")
+    Layout.writePartitioned(assigned, dir.toString, "cell")
+    val probed = assigned.select("cell").distinct()
+      .orderBy("cell").limit(2)
+      .collect().map(_.getLong(0))
+    val q = spark.read.parquet(dir.toString)
+      .filter(col("cell").isin(probed: _*))
+    val plan = q.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // the cell predicate must become a PartitionFilter (directory
+    // pruning), NOT a data filter evaluated per row after a full scan
+    assert(plan.contains("PartitionFilters: [cell"), plan)
+    val expected = assigned.filter(col("cell").isin(probed: _*)).count()
+    assert(q.count() == expected && expected > 0)
+  }
+
   test("bucketed tables join without an exchange") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val customer = spark.read
