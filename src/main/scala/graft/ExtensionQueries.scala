@@ -572,6 +572,83 @@ object SimilarityQueries {
             FROM scored) r WHERE rank <= 10"""
       }),
 
+    // product quantization with ADC search + exact re-rank: per-subspace
+    // k-means (one grouped plan keyed by sub), per-doc codes, asymmetric
+    // distance = exact decimal sum of m per-sub rounded distances, top
+    // 100 ADC candidates re-ranked with the exact squared distance. The
+    // oracle runs the identical chain with sub = (i-1) div 16
+    Q("simsearch_pq",
+      (s, dir) => {
+        val emb = Sources.table(s, dir, "embeddings")
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5),
+          "embedding", k = 10, dim = 64, m = 4, centroidStep = 50,
+          iters = 1, shortlist = 100)
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        es AS (
+          SELECT vec_id, CAST(floor((i - 1) / 16) AS INTEGER) AS sub, i, v
+          FROM e),
+        c0 AS (
+          SELECT sub, vec_id AS cent_id, i, v FROM es
+          WHERE vec_id % 50 = 0),
+        d0 AS (
+          SELECT a.vec_id, c.sub, c.cent_id,
+            round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9) AS d2
+          FROM es a JOIN c0 c ON a.sub = c.sub AND a.i = c.i
+          GROUP BY a.vec_id, c.sub, c.cent_id),
+        a0 AS (
+          SELECT vec_id, sub, cent_id AS cell FROM (
+            SELECT vec_id, sub, cent_id, row_number() OVER (
+              PARTITION BY vec_id, sub ORDER BY d2, cent_id) AS rn
+            FROM d0) t WHERE rn = 1),
+        c1 AS (
+          SELECT a.sub, a.cell AS cent_id, es.i,
+            CAST(CAST(CAST(sum(CAST(es.v AS DECIMAL(28,10))) AS DOUBLE)
+              / count(*) AS FLOAT) AS DOUBLE) AS v
+          FROM a0 a JOIN es ON es.vec_id = a.vec_id AND es.sub = a.sub
+          GROUP BY a.sub, a.cell, es.i),
+        dF AS (
+          SELECT a.vec_id, c.sub, c.cent_id,
+            round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9) AS d2
+          FROM es a JOIN c1 c ON a.sub = c.sub AND a.i = c.i
+          GROUP BY a.vec_id, c.sub, c.cent_id),
+        codes AS (
+          SELECT vec_id, sub, cent_id AS code FROM (
+            SELECT vec_id, sub, cent_id, row_number() OVER (
+              PARTITION BY vec_id, sub ORDER BY d2, cent_id) AS rn
+            FROM dF) t WHERE rn = 1),
+        qd AS (
+          SELECT vec_id AS q_id, sub, cent_id,
+            d2::DECIMAL(18,9) AS qd2
+          FROM dF WHERE vec_id < 5),
+        adc AS (
+          SELECT qd.q_id, codes.vec_id,
+            CAST(sum(qd.qd2) AS DOUBLE) AS adc_d2
+          FROM codes JOIN qd
+            ON codes.sub = qd.sub AND codes.code = qd.cent_id
+          WHERE codes.vec_id <> qd.q_id
+          GROUP BY qd.q_id, codes.vec_id),
+        short AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (
+              PARTITION BY q_id ORDER BY adc_d2 ASC, vec_id ASC) AS rn
+            FROM adc) t WHERE rn <= 100),
+        rer AS (
+          SELECT s.q_id, s.vec_id,
+            round(sum((a.v - b.v) * (a.v - b.v) ORDER BY a.i), 9) AS d2
+          FROM short s
+          JOIN e a ON a.vec_id = s.q_id
+          JOIN e b ON b.vec_id = s.vec_id AND b.i = a.i
+          GROUP BY s.q_id, s.vec_id)
+        SELECT q_id, vec_id, d2, rank FROM (
+          SELECT q_id, vec_id, d2, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY d2 ASC, vec_id ASC) AS INTEGER)
+            AS rank
+          FROM rer) r WHERE rank <= 10""")),
+
     // per-label mean embedding (class prototypes) in flat row form —
     // exact decimal coordinate sums, one double divide, 6 dp round
     Q("embedding_label_centroids",

@@ -216,6 +216,111 @@ object Similarity {
     ranked(scored, k)
   }
 
+  /** Per-subspace nearest-code assignment for [[pqCodebook]]/[[pqTopK]]:
+    * (vec_id, sub, code). The codebook (m·k rows) broadcasts; distances
+    * run on array slices through the codegen'd ordered-accumulation
+    * [[VectorExpressions.squaredDist]] (9 dp round, code-id tie-break) so
+    * assignments are partitioning-independent and SQL-reproducible. */
+  private def pqAssign(corpus: DataFrame, vecCol: String, cb: DataFrame,
+      subWidth: Int): DataFrame =
+    corpus.select(col("vec_id"), col(vecCol).as("e"))
+      .join(broadcast(cb))
+      .select(col("vec_id"), col("sub"), col("cent_id"),
+        round(VectorExpressions.squaredDist(
+          slice(col("e"), col("sub") * subWidth + 1, lit(subWidth)),
+          col("ce")), 9).as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.cent_id").as("code"))
+
+  /** Product-quantization codebook (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): split `dim` into `m`
+    * subspaces and k-means EACH subspace — all m trainings run in ONE
+    * grouped plan keyed by `sub` (no per-subspace jobs). Init is the
+    * id-sample; re-averaged coordinates use the exact-decimal mean of
+    * [[kmeansCentroids]], so the trained codebook — and everything
+    * downstream of it — is oracle-checkable. Returns (sub, cent_id,
+    * ce: array<float> of length dim/m). */
+  def pqCodebook(corpus: DataFrame, vecCol: String, dim: Int, m: Int,
+      centroidStep: Int, iters: Int): DataFrame = {
+    val sw = dim / m
+    require(m * sw == dim, s"dim $dim must split into $m subspaces")
+    var cb = corpus.filter(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cent_id"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("sub"),
+            slice(col(vecCol), s * sw + 1, sw).as("ce"))): _*)).as("x"))
+      .select(col("x.sub").as("sub"), col("cent_id"), col("x.ce").as("ce"))
+    for (_ <- 0 until iters) {
+      cb = cb.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cells = pqAssign(corpus, vecCol, cb, sw)
+      cb = cells
+        .join(corpus.select(col("vec_id"),
+            posexplode(col(vecCol)).as(Seq("i", "v")))
+          .select(col("vec_id"), (col("i") / sw).cast("int").as("sub"),
+            col("i"), col("v")),
+          Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("code"), col("i"))
+        .agg((sum(col("v").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).cast("float").as("v"))
+        .groupBy(col("sub"), col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, v))), " +
+          "x -> x.v)").as("ce"))
+        .select(col("sub"), col("code").as("cent_id"), col("ce"))
+    }
+    cb
+  }
+
+  /** PQ search with asymmetric distance (ADC) + exact re-rank: per
+    * query, one tiny query→centroid distance table per subspace replaces
+    * query→vector math for the WHOLE corpus — search touches each
+    * document's m small codes, never its raw vector — then the top
+    * `shortlist` ADC candidates are re-ranked with the exact squared
+    * distance (the standard two-stage production design; same
+    * shortlist-then-verify philosophy as the LSH dedup operators). THE
+    * memory-compression scale path: at 100 TB the corpus at rest is
+    * (vec_id, m code bytes) + an m·k-row codebook; raw vectors are read
+    * only for shortlist·|queries| rows. Per-sub ADC distances are
+    * 9-dp-rounded then summed EXACTLY as decimals (m terms — no
+    * float-order dependence); both rankings tie-break on id. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      k: Int, dim: Int, m: Int = 4, centroidStep: Int = 50,
+      iters: Int = 1, shortlist: Int = 100): DataFrame = {
+    val sw = dim / m
+    val cb = pqCodebook(corpus, vecCol, dim, m, centroidStep, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = pqAssign(corpus, vecCol, cb, sw)
+    val q = queries.select(col("vec_id").as("q_id"), col(vecCol).as("qe"))
+    val qd = q.join(broadcast(cb))
+      .select(col("q_id"), col("sub"), col("cent_id"),
+        round(VectorExpressions.squaredDist(
+          slice(col("qe"), col("sub") * sw + 1, lit(sw)), col("ce")), 9)
+          .cast("decimal(18,9)").as("qd2"))
+    val scored = codes.join(broadcast(qd),
+        codes("sub") === qd("sub") && codes("code") === qd("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qd2")).cast("double").as("adc_d2"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_d2").asc, col("vec_id").asc)
+    val short = scored.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val rer = short
+      .join(corpus.select(col("vec_id"), col(vecCol).as("e")),
+        Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorExpressions.squaredDist(col("qe"), col("e")), 9)
+          .as("d2"))
+    val wEx = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    rer.withColumn("rank", row_number().over(wEx))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("d2"), col("rank"))
+  }
+
   /** Per-label mean embedding — class prototypes in flat (label, i, m)
     * row form: nearest-prototype classification, per-class drift
     * monitoring, and the seed for class-conditional IVF all start here.

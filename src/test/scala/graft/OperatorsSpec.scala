@@ -425,6 +425,41 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
     assert((exact & got).size.toDouble / exact.size >= 0.4)
   }
 
+  test("PQ: codebook covers m subspaces, every doc gets m codes, and " +
+      "ADC top-10 recall is useful") {
+    val m = 4
+    val cb = Similarity.pqCodebook(emb, "embedding", dim = 64, m = m,
+      centroidStep = 50, iters = 1).collect()
+    assert(cb.map(_.getInt(0)).distinct.sorted.toSeq == (0 until m))
+    assert(cb.forall(_.getSeq[Float](2).length == 64 / m),
+      "every code must span exactly one subspace")
+    // reference = exact L2 top-10 (ADC approximates L2, NOT cosine — on
+    // unnormalized vectors the two rankings legitimately differ)
+    import graft.expressions.VectorExpressions
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("qe"))
+    val wL2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    val exactL2 = emb.select(col("vec_id"), col("embedding").as("e"))
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorExpressions.squaredDist(col("qe"), col("e")), 9)
+          .as("d2"))
+      .withColumn("rank", row_number().over(wL2))
+      .filter(col("rank") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, queries, "embedding", k = 10,
+      dim = 64, m = m, centroidStep = 50, iters = 1, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.size == exactL2.size, "k rows per query")
+    // plain ADC on this near-random synthetic corpus discriminates
+    // weakly (corr ~0.57 with true d2 — measured); the exact re-rank of
+    // the 100-candidate shortlist is what buys usable recall (~0.7)
+    val recall = (exactL2 & pq).size.toDouble / exactL2.size
+    assert(recall >= 0.5, s"PQ shortlist+rerank recall@10: $recall")
+  }
+
   test("labelCentroids: hand-computed means, one row per (label, dim)") {
     import spark.implicits._
     val df = Seq(
