@@ -54,15 +54,12 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
       lineChars += lines(i).length
       i += 1
     }
-    var dupLines = 0L
     var dupLineChars = 0L
     val lit = lineCnt.entrySet().iterator()
     while (lit.hasNext) {
       val e = lit.next()
-      if (e.getValue > 1) {
-        dupLines += e.getValue - 1
+      if (e.getValue > 1)
         dupLineChars += e.getValue.toLong * e.getKey.length
-      }
     }
     val nLines = lines.length
 

@@ -1,0 +1,29 @@
+package graft.functions
+
+/** The repo's self-pinned deterministic uniform stream: splitmix64
+  * (Steele et al., "Fast Splittable Pseudorandom Number Generators",
+  * OOPSLA'14 constants) producing 53-bit unit doubles.
+  *
+  * Hand-rolled on purpose and shared by every pinned generator
+  * ([[graft.operators.Similarity.hyperplanes]],
+  * [[graft.operators.TextAnalysis.qualityWeights]]): the sequence is
+  * defined by THIS code, not by any JVM library whose implementation may
+  * change across releases, so the committed DuckDB-side fixtures
+  * (`fixtures/hyperplanes.csv`, `fixtures/quality_weights.csv`) can
+  * never drift from what executors compute. Do not alter the constants
+  * or the bit plumbing — they are load-bearing for the oracle gate. */
+object Pinned {
+
+  /** Infinite iterator of U[0, 1) doubles seeded by `seed`. */
+  def units(seed: Long): Iterator[Double] = new Iterator[Double] {
+    private var s = seed
+    override def hasNext: Boolean = true
+    override def next(): Double = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble
+    }
+  }
+}

@@ -204,10 +204,15 @@ object Curation {
 
   /** `md5(salt || id)` order key + its leading-hex-byte bucket. */
   private def withShuffleKey(df: DataFrame, idCol: String, salt: String,
-      bucketChars: Int): DataFrame =
+      bucketChars: Int): DataFrame = {
+    // 8 hex chars overflow Int — the cast would null out half the keys
+    // and the bucket joins would silently drop those rows
+    require(bucketChars >= 1 && bucketChars <= 7,
+      s"bucketChars must be in [1, 7], got $bucketChars")
     df.withColumn("_key", md5(concat(lit(salt), col(idCol).cast("string"))))
       .withColumn("_bucket",
         conv(substring(col("_key"), 1, bucketChars), 16, 10).cast("int"))
+  }
 
   /** Per-bucket running offsets (exclusive prefix) of `agg` — a tiny
     * table (one row per bucket) whose single-partition window is over
@@ -321,8 +326,7 @@ object Curation {
     val feats = df.select(col(idCol), targetFilter.as("is_tgt"),
         explode(concat(toks, bigrams)).as("f"))
       .select(col(idCol), col("is_tgt"),
-        pmod(conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long"),
-          lit(dim.toLong)).as("j"))
+        hashBucket(col("f"), dim).as("j"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val raw = feats.groupBy(col("j")).agg(count(lit(1)).as("rc"))
     val tgt = feats.filter(col("is_tgt"))
@@ -425,10 +429,14 @@ object Curation {
       minDocs: Int, sep: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val ids = df.select(col(idCol).as("doc_id"))
+    // the line explosion feeds three consumers (hot counts, the kept
+    // anti-join, per-doc totals) — persist so the split+md5 scan of
+    // every document runs once
     val lines = df.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "line")))
       .withColumn("_h", md5(col("line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = lines.select(col("_h"), col("doc_id")).distinct()
       .groupBy(col("_h")).agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= minDocs)

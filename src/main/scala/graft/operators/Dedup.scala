@@ -301,21 +301,28 @@ object Dedup {
       }
       val nodes = scala.collection.mutable.LongMap.empty[Unit]
       edgelist.collect().foreach { row =>
-        val a = row.getLong(0); val b = row.getLong(1)
-        nodes(a) = (); nodes(b) = ()
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) {
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        // a malformed pair with a null endpoint carries no connectivity —
+        // skip it (the distributed path's joins drop such rows too)
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val a = row.getLong(0); val b = row.getLong(1)
+          nodes(a) = (); nodes(b) = ()
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
         }
       }
       val spark = df.sparkSession
       import spark.implicits._
       val labels = nodes.keys.toSeq.map(n => (n, find(n)))
         .toDF("doc_id", "cluster_id")
-      return df.select(col(idCol).cast("long").as("doc_id"))
+      // keep the caller's id column type (the distributed path below
+      // does) — output schema must not depend on which path ran
+      return df.select(col(idCol).as("doc_id"))
         .join(broadcast(labels), Seq("doc_id"), "left")
         .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+          coalesce(col("cluster_id"), col("doc_id").cast("long"))
+            .as("cluster_id"))
     }
     val edges = edgelist
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))

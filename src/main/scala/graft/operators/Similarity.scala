@@ -338,24 +338,17 @@ object Similarity {
           count(lit(1)), 6).as("m"))
 
   /** Deterministic gaussian hyperplane matrix for [[lshCandidates]]:
-    * Box-Muller over a splitmix64 stream. Hand-rolled on purpose — the
-    * sequence is pinned by THIS code, not by the JVM's `Random.nextGaussian`
-    * implementation (which changed across JDK releases), so the committed
-    * DuckDB mirror of the planes (`fixtures/hyperplanes.csv`) can never
-    * drift from what executors compute. Row r = plane for signature bit r. */
+    * Box-Muller over the repo's self-pinned uniform stream
+    * ([[graft.functions.Pinned.units]] — not the JVM's
+    * `Random.nextGaussian`, whose implementation changed across JDK
+    * releases), so the committed DuckDB mirror of the planes
+    * (`fixtures/hyperplanes.csv`) can never drift from what executors
+    * compute. Row r = plane for signature bit r. */
   def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Seq[Float]] = {
-    var s = seed
-    def next64(): Long = {
-      s += 0x9e3779b97f4a7c15L
-      var z = s
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    def unit(): Double = (next64() >>> 11).toDouble / (1L << 53).toDouble
+    val u = graft.functions.Pinned.units(seed)
     Seq.fill(nBits)(Seq.fill(dim) {
-      val u1 = 1.0 - unit() // (0, 1] — log never sees zero
-      val u2 = unit()
+      val u1 = 1.0 - u.next() // (0, 1] — log never sees zero
+      val u2 = u.next()
       (math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)).toFloat
     })
   }

@@ -321,16 +321,8 @@ object TextAnalysis {
     * generator stands in because this container is offline — the scoring
     * plumbing is what's real. */
   def qualityWeights(dim: Int, seed: Long): Seq[Long] = {
-    var s = seed
-    def next64(): Long = {
-      s += 0x9e3779b97f4a7c15L
-      var z = s
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    def unit(): Double = (next64() >>> 11).toDouble / (1L << 53).toDouble
-    Seq.fill(dim)(math.floor(unit() * 2e6).toLong - 1000000L)
+    val u = graft.functions.Pinned.units(seed)
+    Seq.fill(dim)(math.floor(u.next() * 2e6).toLong - 1000000L)
   }
 
   /** fastText-style hashed linear quality classifier: tokens hash onto
