@@ -211,6 +211,26 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(ids2.subsetOf(ids8))
   }
 
+  test("c4 invariants over the whole seeded corpus: verdict is exactly " +
+      "the conjunction of its gates; counts are consistent") {
+    val r = Curation.c4Filters(
+      CurationQueries.seededC4Docs(spark, sf("d")), "doc_id", "txt")
+      .collect()
+    assert(r.length == 500)
+    r.foreach { x =>
+      val keep = x.getAs[Boolean]("keep")
+      val gates = !x.getAs[Boolean]("has_lorem") &&
+        !x.getAs[Boolean]("has_brace") &&
+        !x.getAs[Boolean]("has_badword") &&
+        x.getAs[Int]("n_sentences") >= 3 && x.getAs[Int]("n_kept") > 0
+      assert(keep == gates, s"verdict != gates for $x")
+      assert(x.getAs[Int]("n_kept") <= x.getAs[Int]("n_lines"))
+      assert((x.getAs[String]("clean").isEmpty &&
+        x.getAs[Int]("n_kept") == 0) ||
+        (x.getAs[String]("clean").nonEmpty && x.getAs[Int]("n_kept") > 0))
+    }
+  }
+
   test("dsirLogWeights ranks target-like docs above off-target docs; " +
       "feature count = unigrams + bigrams") {
     import spark.implicits._

@@ -551,6 +551,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTester {
     assert(r(1L) == "und" && r(2L) == "und")
   }
 
+  test("charEntropy invariants over the corpus: 0 <= H <= ln(n_chars), " +
+      "n_chars == document length") {
+    val docs = spark.read.parquet(s"${sf("d")}/documents.parquet")
+    val r = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), length(col("text")).as("len")),
+        Seq("doc_id"))
+      .collect()
+    assert(r.length == docs.count())
+    r.foreach { x =>
+      val h = x.getAs[Double]("entropy")
+      val n = x.getAs[Long]("n_chars")
+      assert(n == x.getAs[Int]("len").toLong)
+      // per-term 6-dp rounding can push the sum a hair past the bound
+      assert(h >= -1e-6 && h <= math.log(n.toDouble) + 1e-4,
+        s"entropy $h out of [0, ln($n)]")
+    }
+  }
+
   test("charEntropy: zero for a constant run, ln 2 for a fair coin, " +
       "higher for more diversity") {
     import spark.implicits._
