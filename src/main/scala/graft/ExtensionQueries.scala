@@ -260,8 +260,84 @@ object DedupQueries {
           FROM dots
           JOIN norms na ON ia = na.vec_id
           JOIN norms nb ON ib = nb.vec_id) p
-        WHERE cos >= 0.45"""))
+        WHERE cos >= 0.45""")),
+
+    // exact-substring dedup (Lee et al. 2021): every token inside a
+    // >=k-token substring that occurs more than once in the corpus is
+    // removed. Window-hash collision + interval merge is exact for this
+    // semantics (see Dedup.exactSubstringSpans scaladoc); the oracle
+    // recomputes windows as strings while Spark shuffles xxhash64 keys —
+    // identical answers absent a 64-bit collision. k is interpolated into
+    // the SQL from the same constant so the two sides cannot drift
+    Q("dedup_exact_substring",
+      (s, dir) => Dedup.exactSubstringSpans(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        k = exactSubstringK),
+      Some(exactSubstringSql(exactSubstringK)))
   )
+
+  private[graft] val exactSubstringK = 8
+
+  /** DuckDB mirror of [[Dedup.exactSubstringSpans]]: positional windows
+    * via list comprehension + generate_subscripts, duplicate windows by
+    * global string count, gaps-and-islands interval merge, and span
+    * removal as a positional anti-join (DuckDB 1.0's list lambdas have no
+    * index parameter, so the token-level filter is a join there while
+    * Spark uses a per-row `filter(ws, (t, i) -> ...)` lambda). */
+  private[graft] def exactSubstringSql(k: Int): String =
+    s"""WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+          AS ws
+        FROM documents),
+      wins0 AS (
+        SELECT doc_id, ws,
+          CASE WHEN len(ws) >= $k
+            THEN [array_to_string(ws[i:i+${k - 1}], ' ')
+                  for i in range(1, len(ws) - $k + 2)]
+            ELSE [] END AS gs
+        FROM w),
+      win AS (
+        SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) - 1
+          AS pos
+        FROM wins0),
+      dup AS (SELECT g FROM win GROUP BY g HAVING count(*) >= 2),
+      dw AS (SELECT win.doc_id, win.pos FROM win JOIN dup USING (g)),
+      isl AS (
+        SELECT doc_id, pos,
+          CASE WHEN pos > COALESCE(max(pos + $k) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+            THEN 1 ELSE 0 END AS brk
+        FROM dw),
+      isl2 AS (
+        SELECT doc_id, pos,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl),
+      spans AS (
+        SELECT doc_id, island, min(pos) AS s, max(pos) + $k AS e
+        FROM isl2 GROUP BY doc_id, island),
+      tok AS (
+        SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) - 1
+          AS i
+        FROM w),
+      kept AS (
+        SELECT t.doc_id, t.tok, t.i FROM tok t
+        LEFT JOIN spans sp
+          ON t.doc_id = sp.doc_id AND t.i >= sp.s AND t.i < sp.e
+        WHERE sp.doc_id IS NULL),
+      sp_agg AS (
+        SELECT doc_id, count(*)::INTEGER AS n_spans,
+          sum(e - s)::INTEGER AS dup_tokens
+        FROM spans GROUP BY doc_id),
+      ct AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+        FROM kept GROUP BY doc_id)
+      SELECT w.doc_id,
+        COALESCE(a.n_spans, 0) AS n_spans,
+        COALESCE(a.dup_tokens, 0) AS dup_tokens,
+        len(ws)::INTEGER AS total_tokens,
+        COALESCE(ct.clean_text, '') AS clean_text
+      FROM w LEFT JOIN sp_agg a USING (doc_id) LEFT JOIN ct USING (doc_id)"""
 }
 
 object SimilarityQueries {

@@ -75,8 +75,66 @@ case class WordShinglesExpr(child: Expression, k: Int)
       : Expression = copy(child = newChild)
 }
 
+/** Codegen'd POSITIONAL word-k-window extraction: every k-token window of
+  * the document in order, duplicates included, so `posexplode` yields the
+  * 0-based token offset of each window. This is the feed for
+  * exact-substring dedup ([[graft.operators.Dedup.exactSubstringSpans]]),
+  * where — unlike [[WordShinglesExpr]] — repeated occurrences and their
+  * positions are the whole point. Documents shorter than k tokens have no
+  * k-window and return an empty array (they can never carry a duplicated
+  * >=k-token substring).
+  */
+case class WordWindowsExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_windows"
+
+  def compute(s: UTF8String): ArrayData = {
+    val toks = s.toString.split("\\s+")
+    var n = 0
+    var i = 0
+    while (i < toks.length) { // compact non-empty tokens in place
+      if (toks(i).nonEmpty) { toks(n) = toks(i); n += 1 }
+      i += 1
+    }
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val arr = new Array[Any](n - k + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j + k <= n) {
+      sb.setLength(0)
+      var m = 0
+      while (m < k) {
+        if (m > 0) sb.append(' ')
+        sb.append(toks(j + m)); m += 1
+      }
+      arr(j) = UTF8String.fromString(sb.toString); j += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("windower", this,
+      classOf[WordWindowsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, k: Int): Column =
     org.apache.spark.sql.graft.Bridge.column(
       WordShinglesExpr(org.apache.spark.sql.graft.Bridge.expression(text), k))
+
+  def wordWindows(text: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      WordWindowsExpr(org.apache.spark.sql.graft.Bridge.expression(text), k))
 }

@@ -528,4 +528,77 @@ object Dedup {
           (col("a.nrm") * col("b.nrm")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 §3.1):
+    * mark every token that lies inside a >=k-token substring occurring
+    * more than once in the corpus (within OR across documents), and emit
+    * the document with those spans removed.
+    *
+    * The paper builds a monolithic suffix array; the Spark-native
+    * equivalent for a fixed minimum match length k is window-hash
+    * collision + interval merge, and it is EXACT, not approximate: a
+    * substring of length m >= k is duplicated iff all of its k-token
+    * windows are duplicated, so the union of duplicated k-windows equals
+    * the union of duplicated >=k-token substrings — precisely the token
+    * set the reference algorithm removes. (Winnowing, by contrast, samples
+    * fingerprints and only approximates this set.)
+    *
+    * Scale shape: one codegen'd window pass
+    * ([[graft.expressions.WordWindowsExpr]]), then every shuffle carries
+    * 8-byte xxhash64 keys, never window strings (the same keys-not-payload
+    * rule as [[exact]]; a hash collision would need ~2^32 windows to be
+    * likely and merely over-marks one window). Duplicate detection is one
+    * map-side-combinable count per key — no self-join, no per-key
+    * quadratic fan-out, so boilerplate-heavy corpora cost the same as
+    * clean ones (contrast [[ngramJaccardPairs]], which pays df² per hot
+    * shingle and needs its maxDocFreq cap). The interval merge is a
+    * per-document sort of only the *duplicated* window offsets — sparse
+    * in practice — and span removal is a per-row lambda over the token
+    * array. A 100 TB corpus streams through in three narrow shuffles
+    * (window count, doc_id regroup, spans join).
+    *
+    * Output per document: `n_spans` merged duplicated spans, `dup_tokens`
+    * tokens covered, `total_tokens`, and `clean_text` (tokens outside all
+    * spans, single-space joined — whitespace is canonicalized exactly as
+    * the tokenizer saw it). */
+  def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.expressions.TextExpressions
+    val toks = df.select(col(idCol).as("doc_id"),
+      filter(split(col(textCol), "\\s+"), t => t =!= "").as("ws"))
+    val win = df.select(col(idCol).as("doc_id"),
+        posexplode(TextExpressions.wordWindows(col(textCol), k)))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // windows whose hash occurs >= 2 times anywhere in the corpus
+    val dup = win.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val dw = win.join(dup, Seq("h"), "leftsemi").select("doc_id", "pos")
+    // merge overlapping/adjacent duplicated windows [pos, pos+k) into
+    // maximal spans: classic gaps-and-islands over the per-doc offsets
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(k))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dw
+      .withColumn("brk",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(k)).as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    val dupTok = aggregate(col("spans"), lit(0),
+      (acc, sp) => acc + (sp("e") - sp("s")))
+    val cleanToks = filter(col("ws"),
+      (t, i) => !exists(col("spans"), sp => i >= sp("s") && i < sp("e")))
+    toks.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(size(col("spans")), lit(0)).as("n_spans"),
+        coalesce(dupTok, lit(0)).as("dup_tokens"),
+        size(col("ws")).as("total_tokens"),
+        when(col("spans").isNull, array_join(col("ws"), " "))
+          .otherwise(array_join(cleanToks, " ")).as("clean_text"))
+  }
 }

@@ -269,6 +269,49 @@ class DedupSpec extends AnyFunSuite with SparkTester {
       }
     }
   }
+
+  test("exact-substring spans: cross-doc shared phrase removed, " +
+      "unique and short docs untouched") {
+    val shared = "alpha beta gamma delta epsilon zeta"  // 6 tokens
+    val d = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"five six seven $shared eight"),
+      (3L, "totally unrelated words in this doc"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringSpans(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    // the 6 shared tokens form ONE merged span in each carrier (4 dup
+    // 3-windows merge), surrounding unique tokens survive
+    assert(out(1L) == ((1, 6, 10, "one two three four")))
+    assert(out(2L) == ((1, 6, 10, "five six seven eight")))
+    assert(out(3L) == ((0, 0, 6, "totally unrelated words in this doc")))
+    assert(out(4L) == ((0, 0, 2, "tiny doc")))  // < k tokens: no windows
+  }
+
+  test("exact-substring spans: WITHIN-doc repetition is duplication too, " +
+      "and whitespace is canonicalized") {
+    val d = Seq(
+      (1L, "x  y\tz tail   x y z head")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringSpans(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    // "x y z" occurs twice within the single doc: both occurrences are
+    // spans; runs of whitespace collapse to single spaces in clean_text
+    assert(out(1L) == ((2, 6, 8, "tail head")))
+  }
+
+  test("exact-substring spans: overlapping dup windows merge into one " +
+      "maximal span (paper semantics: union of duplicated >=k substrings)") {
+    // docs share a 5-token run; with k=3 that is three overlapping dup
+    // windows -> exactly one span of 5 tokens, not three spans of 3
+    val run = "p q r s t"
+    val d = Seq((1L, s"a $run b"), (2L, s"c $run d"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstringSpans(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L) == ((1, 5)) && out(2L) == ((1, 5)))
+  }
 }
 
 class TemporalSpec extends AnyFunSuite with SparkTester {
