@@ -262,6 +262,37 @@ object DedupQueries {
           JOIN norms nb ON ib = nb.vec_id) p
         WHERE cos >= 0.45""")),
 
+    // SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    // within each cluster drop every vector with a lower-id neighbour at
+    // cosine >= tau. The oracle replays the TRAINED quantizer via the
+    // shared kmeansAssignCtes unroll (identical algebra to
+    // simsearch_ivf_kmeans), then mirrors the within-cell pairwise cosine
+    // + min-id survivor rule — cluster assignment, every pair decision,
+    // and the keep flag are all hash-checked
+    Q("dedup_semantic",
+      (s, dir) => Dedup.semanticDedup(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
+        centroidStep = 50, iters = 2, tau = 0.4),
+      Some(s"""WITH ${SimilarityQueries.kmeansAssignCtes(2)},
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+        pr AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM assign x JOIN assign y
+            ON x.cell = y.cell AND x.vec_id < y.vec_id),
+        dots AS (
+          SELECT p.id_a, p.id_b, sum(a.v * b.v) AS dot
+          FROM pr p
+          JOIN e a ON a.vec_id = p.id_a
+          JOIN e b ON b.vec_id = p.id_b AND b.i = a.i
+          GROUP BY 1, 2),
+        dups AS (
+          SELECT DISTINCT id_b AS vec_id FROM dots
+          JOIN norms na ON id_a = na.vec_id
+          JOIN norms nb ON id_b = nb.vec_id
+          WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4)
+        SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+        FROM assign a LEFT JOIN dups d ON a.vec_id = d.vec_id""")),
+
     // exact-substring dedup (Lee et al. 2021): every token inside a
     // >=k-token substring that occurs more than once in the corpus is
     // removed. Window-hash collision + interval merge is exact for this
@@ -381,6 +412,55 @@ object SimilarityQueries {
       FROM bands x JOIN bands y
         ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id"""
 
+  /** CTE chain `e → c0 → (d/a/c)×iters → dF → assign` unrolling the
+    * deterministic Lloyd's trainer ([[graft.operators.Similarity
+    * .kmeansCentroids]], centroidStep = 50) so DuckDB reproduces the
+    * TRAINED quantizer exactly: assignment = ordered-sum squared distances
+    * rounded at 9 dp with centroid-id tie-breaks; re-averaged coordinates
+    * = exact DECIMAL(28,10) sums → one double division → float cast.
+    * Shared by `simsearch_ivf_kmeans` and `dedup_semantic` (same trainer,
+    * two consumers) so the mirrored algebra cannot drift between them.
+    * Exposes `e(vec_id, i, v)`, `dF(vec_id, cent_id, d2)` and
+    * `assign(vec_id, cell)` to the caller's tail CTEs. */
+  private[graft] def kmeansAssignCtes(iters: Int): String = {
+    val init = """c0 AS (
+        SELECT vec_id AS cent_id, i, v FROM e WHERE vec_id % 50 = 0)"""
+    val rounds = (0 until iters).map { t =>
+      s"""d$t AS (
+        SELECT a.vec_id, c.cent_id,
+          round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9) AS d2
+        FROM e a JOIN c$t c ON a.i = c.i
+        GROUP BY a.vec_id, c.cent_id),
+      a$t AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT vec_id, cent_id, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+          FROM d$t) x WHERE rn = 1),
+      c${t + 1} AS (
+        SELECT a.cell AS cent_id, e.i,
+          CAST(CAST(CAST(sum(CAST(e.v AS DECIMAL(28,10))) AS DOUBLE)
+            / count(*) AS FLOAT) AS DOUBLE) AS v
+        FROM a$t a JOIN e ON e.vec_id = a.vec_id
+        GROUP BY a.cell, e.i)"""
+    }.mkString(",\n")
+    s"""e AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      $init,
+      $rounds,
+      dF AS (
+        SELECT a.vec_id, c.cent_id,
+          round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9) AS d2
+        FROM e a JOIN c$iters c ON a.i = c.i
+        GROUP BY a.vec_id, c.cent_id),
+      assign AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT vec_id, cent_id, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+          FROM dF) t WHERE rn = 1)"""
+  }
+
   def all: Seq[Q] = Seq(
 
     // exact brute-force cosine top-10 for queries vec_id < 5
@@ -482,42 +562,7 @@ object SimilarityQueries {
       },
       Some {
         val iters = 2
-        val init = """c0 AS (
-            SELECT vec_id AS cent_id, i, v FROM e WHERE vec_id % 50 = 0)"""
-        val rounds = (0 until iters).map { t =>
-          s"""d$t AS (
-            SELECT a.vec_id, c.cent_id,
-              round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9) AS d2
-            FROM e a JOIN c$t c ON a.i = c.i
-            GROUP BY a.vec_id, c.cent_id),
-          a$t AS (
-            SELECT vec_id, cent_id AS cell FROM (
-              SELECT vec_id, cent_id, row_number() OVER (
-                PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
-              FROM d$t) x WHERE rn = 1),
-          c${t + 1} AS (
-            SELECT a.cell AS cent_id, e.i,
-              CAST(CAST(CAST(sum(CAST(e.v AS DECIMAL(28,10))) AS DOUBLE)
-                / count(*) AS FLOAT) AS DOUBLE) AS v
-            FROM a$t a JOIN e ON e.vec_id = a.vec_id
-            GROUP BY a.cell, e.i)"""
-        }.mkString(",\n")
-        s"""WITH e AS (
-            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-                   generate_subscripts(embedding, 1) AS i
-            FROM embeddings),
-          $init,
-          $rounds,
-          dF AS (
-            SELECT a.vec_id, c.cent_id,
-              round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9) AS d2
-            FROM e a JOIN c$iters c ON a.i = c.i
-            GROUP BY a.vec_id, c.cent_id),
-          assign AS (
-            SELECT vec_id, cent_id AS cell FROM (
-              SELECT vec_id, cent_id, row_number() OVER (
-                PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
-              FROM dF) t WHERE rn = 1),
+        s"""WITH ${SimilarityQueries.kmeansAssignCtes(iters)},
           probes AS (
             SELECT vec_id AS q_id, cent_id AS cell FROM (
               SELECT vec_id, cent_id, row_number() OVER (

@@ -601,4 +601,55 @@ object Dedup {
         when(col("spans").isNull, array_join(col("ws"), " "))
           .otherwise(array_join(cleanToks, " ")).as("clean_text"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): cluster the embedding space with
+    * k-means, then within each cluster drop every vector that has a
+    * lower-id neighbour with cosine >= `tau`. Unlike the token-level
+    * near-dup family ([[minhashLshPairs]] etc.) this removes *semantic*
+    * duplicates — paraphrases and re-renderings that share no n-grams.
+    *
+    * Determinism (what makes it oracle-checkable): the coarse quantizer is
+    * the deterministic Lloyd's trainer ([[Similarity.kmeansCentroids]] —
+    * exact-decimal re-averaging, id-tie-broken assignment), cosines are
+    * double-accumulated in index order and rounded at 6 dp before the
+    * threshold, and the survivor rule ("keep the minimum id of each
+    * near-dup neighbourhood's pairs") depends only on ids — no RNG
+    * anywhere, so reruns and re-partitionings keep the same documents.
+    *
+    * Scale shape — the reason SemDeDup works at 100 TB where all-pairs
+    * cosine cannot: with k chosen ∝ n, cluster sizes stay ~constant, so
+    * the within-cluster pairwise stage is (n/k)²·k ≈ O(n) total work,
+    * embarrassingly parallel across clusters (one shuffle on `cell`).
+    * A pathologically hot cell is bounded by re-running with larger k or
+    * sub-clustering that cell; the cluster sizes are one cheap count-by
+    * away from observable. Output: (id, cell, keep). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroidStep: Int = 50, iters: Int = 2, tau: Double = 0.4)
+      : DataFrame = {
+    import graft.expressions.VectorExpressions
+    val base = df.select(col(idCol).as("vec_id"), col(vecCol))
+    val cent = Similarity.kmeansCentroids(base, vecCol, centroidStep, iters)
+    val assigned = Similarity.assignCells(base,
+        cent.select(col("cent_id").as("vec_id"), col("ce").as(vecCol)),
+        vecCol)
+      .withColumn("nrm", sqrt(VectorExpressions.dot(col("e"), col("e"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // within-cell pairs, oriented id_a < id_b; a vector is a duplicate iff
+    // some LOWER-id cell-mate is within tau — so the earliest member of
+    // every dense neighbourhood survives
+    val dups = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"),
+        round(VectorExpressions.dot(col("a.e"), col("b.e")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+      .select("vec_id").distinct()
+    assigned
+      .join(dups.withColumn("__dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id").as(idCol), col("cell"),
+        col("__dup").isNull.as("keep"))
+  }
 }

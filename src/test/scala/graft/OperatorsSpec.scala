@@ -150,6 +150,41 @@ class DedupSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("semantic dedup: exactly the min-id survivors of within-cell " +
+      "tau-neighbourhoods") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tau = 0.4
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      centroidStep = 50, iters = 1, tau = tau)
+    val cells = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(cells.size == emb.count(), "every vector classified exactly once")
+    assert(cells.values.exists(!_._2), "fixture should force some drops")
+    // the min-id member of a cell has no lower-id cellmate, so it survives
+    cells.groupBy(_._2._1).foreach { case (cell, members) =>
+      assert(members(members.keys.min)._2, s"min id of cell $cell dropped")
+    }
+    // re-derive every keep flag from exact cosines (test-scale brute force,
+    // same 6-dp HALF_UP rounding as the operator)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    cells.foreach { case (id, (cell, keep)) =>
+      val hasCloseElder = cells.exists { case (o, (c2, _)) =>
+        c2 == cell && o < id && cos(vecs(o), vecs(id)) >= tau
+      }
+      assert(keep == !hasCloseElder, s"keep flag wrong for vec $id")
+    }
+  }
+
   test("winnowing fingerprints detect shared substrings") {
     import graft.expressions.Winnowing
     val shared = "the quick brown fox jumps over the lazy dog tonight"
