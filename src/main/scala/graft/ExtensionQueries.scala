@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Curation, Dedup, Enrich, Multimodal, Similarity, TextAnalysis}
+import graft.functions.Cleaning
 import graft.sources.Sources
 
 /** Harness queries for the training-data-pipeline extension operators
@@ -1460,6 +1461,116 @@ object CurationQueries {
     // DSIR importance weights: hashed unigram+bigram bag log-likelihood
     // ratio, target slice = lang='en'. Exact-decimal per-doc sums (the
     // unigram-logprob parity rule), so the ranking is hash-checked
+    // deterministic 80/10/10 split assignment — salt 'v1', md5 draw
+    // mirrored exactly, so split membership itself is hash-checked
+    Q("curation_split",
+      (s, dir) => Curation.assignSplit(
+          Sources.table(s, dir, "documents"), "doc_id",
+          trainPct = 80, valPct = 10, salt = "v1")
+        .select(col("doc_id"), col("split")),
+      Some("""SELECT doc_id,
+          CASE WHEN h < 80 THEN 'train'
+               WHEN h < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+            ('0x' || substr(md5(doc_id::VARCHAR || 'v1'), 1, 8))::BIGINT
+              % 100 AS h
+          FROM documents) t""")),
+
+    // URL canonicalization for crawl dedup: lowercase scheme/host, strip
+    // default ports / fragments / tracking params. The input synthesizes
+    // per-row raw-URL variants (case-folded host, :443 / :8080 ports,
+    // utm/gclid vs ref params) and the oracle REPLAYS the whole
+    // normalization algorithm step by step in SQL — not just the expected
+    // output — so every rule is hash-checked
+    Q("url_canonical",
+      (s, dir) => {
+        val d = Sources.table(s, dir, "documents")
+        val rawUrl = concat(
+          lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM"),
+          when(col("doc_id") % 3 === 0, lit(":443"))
+            .when(col("doc_id") % 5 === 0, lit(":8080"))
+            .otherwise(lit("")),
+          lit("/Articles/"), col("doc_id"), lit("?id="), col("doc_id"),
+          when(col("doc_id") % 2 === 0, lit("&utm_source=feed&gclid=x"))
+            .otherwise(lit("&ref=home")),
+          lit("&page=2#frag"))
+        d.select(col("doc_id"),
+          Cleaning.canonicalizeUrl(rawUrl).as("url_canon"))
+      },
+      Some("""WITH raw AS (
+          SELECT doc_id,
+            'HTTPS://WWW.' || upper(source) || '.Example.COM' ||
+            CASE WHEN doc_id % 3 = 0 THEN ':443'
+                 WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+            '/Articles/' || doc_id || '?id=' || doc_id ||
+            CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed&gclid=x'
+                 ELSE '&ref=home' END ||
+            '&page=2#frag' AS url
+          FROM documents),
+        s1 AS (
+          SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+        parts AS (
+          SELECT doc_id,
+            lower(regexp_extract(u,
+              '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(u,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport,
+            regexp_extract(u,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS path,
+            regexp_extract(u, '\?(.*)$', 1) AS q
+          FROM s1),
+        canon AS (
+          SELECT doc_id, scheme,
+            CASE WHEN scheme = 'http'
+                   THEN regexp_replace(hostport, ':80$', '')
+                 WHEN scheme = 'https'
+                   THEN regexp_replace(hostport, ':443$', '')
+                 ELSE hostport END AS host,
+            path,
+            array_to_string(list_filter(string_split(q, '&'),
+              p -> NOT regexp_matches(p,
+                '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=')
+                AND p <> ''), '&') AS q2
+          FROM parts)
+        SELECT doc_id, scheme || '://' || host || path ||
+          CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS url_canon
+        FROM canon""")),
+
+    // CCNet perplexity buckets: per-language head/middle/tail terciles by
+    // corpus-unigram log-prob. The oracle replays the text_unigram_logprob
+    // algebra (6-dp ln terms, exact DECIMAL sums) then the same
+    // total-order ntile — every bucket boundary is hash-checked
+    Q("curation_ccnet_buckets",
+      (s, dir) => Curation.perplexityBuckets(
+        Sources.table(s, dir, "documents"), "doc_id", "text", "lang"),
+      Some("""WITH tok AS (
+          SELECT doc_id,
+            unnest(list_filter(string_split(lower(text), ' '),
+              x -> x <> '')) AS w
+          FROM documents),
+        lex AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+        tot AS (SELECT count(*) AS t FROM tok),
+        lp AS (
+          SELECT doc_id,
+            round(ln(cnt::DOUBLE / t::DOUBLE), 6)::DECIMAL(18,6) AS lp
+          FROM tok JOIN lex USING (w) CROSS JOIN tot),
+        avg AS (
+          SELECT doc_id, round(sum(lp)::DOUBLE / count(*), 6)
+            AS logprob_avg
+          FROM lp GROUP BY doc_id),
+        b AS (
+          SELECT d.doc_id, d.lang, a.logprob_avg,
+            CAST(ntile(3) OVER (PARTITION BY d.lang
+              ORDER BY a.logprob_avg DESC, d.doc_id) AS INTEGER)
+              AS bucket_i
+          FROM documents d JOIN avg a USING (doc_id))
+        SELECT doc_id, lang, logprob_avg, bucket_i,
+          CASE WHEN bucket_i = 1 THEN 'head'
+               WHEN bucket_i = 3 THEN 'tail'
+               ELSE 'middle' END AS bucket
+        FROM b""")),
+
     Q("curation_dsir",
       (s, dir) => Curation.dsirLogWeights(
         Sources.table(s, dir, "documents"), "doc_id", "text",

@@ -48,4 +48,40 @@ object Cleaning {
   /** Whitespace tokenizer used by the keyword/text-analysis paths. */
   def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= "")
+
+  /** Canonicalize a URL for crawl dedup — the normalization a web-scale
+    * training pipeline applies before URL-level exact dedup, so that the
+    * dozens of raw spellings of one page (tracking params, fragments,
+    * case-folded hosts, explicit default ports) collapse to a single key:
+    *
+    *  1. scheme and host lowercased (path/query case is significant and
+    *     preserved);
+    *  2. explicit default port dropped (`:80` for http, `:443` for
+    *     https; any other port is real routing information and kept);
+    *  3. fragment dropped (never sent to the server);
+    *  4. tracking parameters removed (`utm_*`, `fbclid`, `gclid`,
+    *     `ref`), other parameters kept in original order (reordering
+    *     can change semantics for duplicate keys);
+    *  5. the `?` dropped if no parameters survive.
+    *
+    * Pure codegen'd string ops (regexp + higher-order filter) — no UDF,
+    * no shuffle; RE2-safe patterns so ANSI engines replay it. */
+  def canonicalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val scheme =
+      lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort =
+      lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val path = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)", 1)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val kept = filter(split(query, "&"), p =>
+      !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=") && p =!= "")
+    val q2 = array_join(kept, "&")
+    concat(scheme, lit("://"), host, path,
+      when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
+  }
 }

@@ -291,6 +291,59 @@ object Curation {
       .drop("__thr")
   }
 
+  /** Deterministic train/val/test split assignment: each row's split is
+    * a pure function of `hash(id || salt)`, so (a) reruns and
+    * re-partitionings deal identically, (b) membership is stable as the
+    * corpus grows — a document never migrates between splits when new
+    * data arrives (critical: a train→test migration silently leaks), and
+    * (c) changing `salt` re-deals the whole corpus on purpose. A pure
+    * projection — no shuffle, no RNG, scales embarrassingly. */
+  def assignSplit(df: DataFrame, idCol: String, trainPct: Int, valPct: Int,
+      salt: String = ""): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need trainPct > 0, valPct >= 0, trainPct + valPct < 100; " +
+        s"got $trainPct/$valPct")
+    val h = hashBucket(concat(col(idCol).cast("string"), lit(salt)), 100)
+    df.withColumn("split",
+      when(h < trainPct, "train")
+        .when(h < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * arXiv:1911.00359 §4.3): rank documents by LM fluency WITHIN each
+    * language and split into head/middle/tail terciles — CCNet trains a
+    * 5-gram KenLM per language; this engine's stand-in fluency score is
+    * the corpus-unigram log-prob ([[TextAnalysis.unigramLogProb]], the
+    * same proxy `text_unigram_logprob` ships). Downstream pipelines keep
+    * `head` (and often `middle`) per language, which filters
+    * low-fluency/boilerplate text without a cross-language bias — the
+    * reason CCNet buckets per-language rather than globally.
+    *
+    * Deterministic: ntile over (logprob DESC, id ASC) is a total order.
+    * Scale shape: the LM scoring is the unigram join (lexicon broadcast);
+    * the bucketing is one window shuffle partitioned by language. A
+    * dominant language (half the web is English) makes that window
+    * skewed — at 100 TB swap the exact ntile for approximate per-language
+    * logprob cutoffs (`percentile_approx` over a sample, broadcast back
+    * as a CASE filter), which turns the window into a pure map-side
+    * filter; the ntile form is the exact, oracle-checkable baseline. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val lp = TextAnalysis.unigramLogProb(df, idCol, textCol)
+    df.select(col(idCol), col(langCol))
+      .join(lp.select(col(idCol), col("logprob_avg")), Seq(idCol))
+      .withColumn("bucket_i", ntile(nBuckets).over(
+        Window.partitionBy(col(langCol))
+          .orderBy(col("logprob_avg").desc, col(idCol).asc)))
+      .withColumn("bucket",
+        when(col("bucket_i") === 1, "head")
+          .when(col("bucket_i") === nBuckets, "tail")
+          .otherwise("middle"))
+  }
+
   /** DSIR-style importance weights (Xie et al., arXiv:2302.03169
     * "Data Selection for Language Models via Importance Resampling"):
     * score each document by the log-likelihood ratio of its hashed

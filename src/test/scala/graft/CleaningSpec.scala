@@ -46,6 +46,27 @@ class CleaningSpec extends AnyFunSuite with SparkTester {
     assert(r == "a; b; c")
   }
 
+  test("canonicalizeUrl: host/scheme folded, default port and fragment " +
+      "and tracking params dropped, the rest preserved") {
+    def canon(u: String): String = one(Cleaning.canonicalizeUrl(lit(u)))
+    // the full gauntlet in one URL
+    assert(canon("HTTPS://WWW.Example.COM:443/A/b?id=7&utm_source=x&page=2#s")
+      == "https://www.example.com/A/b?id=7&page=2")
+    // http default port; ref/fbclid/gclid are tracking keys
+    assert(canon("HTTP://host.com:80/p?ref=home&fbclid=1&gclid=2&a=b")
+      == "http://host.com/p?a=b")
+    // non-default port is real routing info — kept
+    assert(canon("https://h.com:8080/x") == "https://h.com:8080/x")
+    // '?' dropped when nothing survives; no-query URL untouched
+    assert(canon("https://h.com/x?utm_campaign=c") == "https://h.com/x")
+    assert(canon("https://h.com/x") == "https://h.com/x")
+    // path case preserved; param order preserved (not sorted)
+    assert(canon("https://h.com/CaseSensitive?b=2&a=1")
+      == "https://h.com/CaseSensitive?b=2&a=1")
+    // utm in a VALUE is not a tracking KEY — kept
+    assert(canon("https://h.com/x?q=utm_source") == "https://h.com/x?q=utm_source")
+  }
+
   test("F7 split_trim splits, trims, drops empties") {
     val r = Seq("a; b ;; c ").toDF("x")
       .select(Cleaning.splitTrim(col("x")).as("r"))

@@ -55,6 +55,48 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(ids.subsetOf(s60))
   }
 
+  test("assignSplit: partition of the corpus, stable under growth, " +
+      "re-dealt by salt") {
+    val docs = spark.read.parquet(s"${sf("d")}/documents.parquet")
+    val n = docs.count()
+    val split = Curation.assignSplit(docs, "doc_id", 80, 10, "v1")
+      .select($"doc_id".as[Long], $"split".as[String]).collect().toMap
+    assert(split.size == n, "every row assigned exactly once")
+    val frac = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(frac("train").toDouble / n - 0.80) < 0.08)
+    assert(math.abs(frac("val").toDouble / n - 0.10) < 0.06)
+    assert(math.abs(frac("test").toDouble / n - 0.10) < 0.06)
+    // growth stability: assignment over HALF the corpus agrees row-for-row
+    // with the full-corpus deal — no train/test migration as data arrives
+    val half = Curation.assignSplit(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", 80, 10, "v1")
+      .select($"doc_id".as[Long], $"split".as[String]).collect()
+    assert(half.forall { case (id, s) => split(id) == s })
+    // a different salt re-deals (some rows must move)
+    val v2 = Curation.assignSplit(docs, "doc_id", 80, 10, "v2")
+      .select($"doc_id".as[Long], $"split".as[String]).collect().toMap
+    assert(v2.exists { case (id, s) => split(id) != s })
+  }
+
+  test("perplexityBuckets: per-language terciles ordered by fluency") {
+    val docs = spark.read.parquet(s"${sf("d")}/documents.parquet")
+    val out = Curation.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .select($"lang".as[String], $"logprob_avg".as[Double],
+        $"bucket_i".as[Int], $"bucket".as[String]).collect()
+    assert(out.length == docs.count())
+    // within every language: bucket sizes differ by at most 1 (ntile) and
+    // every head logprob >= every middle >= every tail
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_._3).view.mapValues(_.size).toMap
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang sizes $sizes")
+      def lps(b: String) = rows.filter(_._4 == b).map(_._2)
+      if (lps("head").nonEmpty && lps("middle").nonEmpty)
+        assert(lps("head").min >= lps("middle").max, s"$lang head<middle")
+      if (lps("middle").nonEmpty && lps("tail").nonEmpty)
+        assert(lps("middle").min >= lps("tail").max, s"$lang middle<tail")
+    }
+  }
+
   test("sampleStratified applies per-stratum rates; draw independent of " +
       "the strata map") {
     val docs = spark.read.parquet(s"${sf("d")}/documents.parquet")
