@@ -722,7 +722,43 @@ object ReferenceQueries {
         CAST(year(o_orderdate) AS INTEGER) AS y,
         CAST(month(o_orderdate) AS INTEGER) AS m,
         CAST(day(o_orderdate) AS INTEGER) AS d,
-        strftime(o_orderdate, '%Y%m%d') AS yyyymmdd FROM orders"""))
+        strftime(o_orderdate, '%Y%m%d') AS yyyymmdd FROM orders""")),
+
+    // ---- Z-order curve key over (custkey, order-day) — the clustering
+    // key behind Layout.writeZordered's two-dimensional file pruning
+    // (LayoutSpec proves the pruning on disk). Spark Column and oracle
+    // SQL are generated from the SAME term list (Zorder.terms), so the
+    // interleave cannot drift between engines ----
+    Q("layout_zorder",
+      (s, dir) => {
+        import graft.sinks.Zorder
+        val o = t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey").as("ck"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+            .cast("long").as("days"))
+        val mm = o.agg(min("ck").as("cklo"), max("ck").as("ckhi"),
+          min("days").as("dylo"), max("days").as("dyhi"))
+        o.crossJoin(broadcast(mm)).select(col("o_orderkey"),
+          Zorder.zvalue(
+            Zorder.rangeBucket(col("ck"), col("cklo"), col("ckhi"), 8),
+            Zorder.rangeBucket(col("days"), col("dylo"), col("dyhi"), 8),
+            bits = 8).as("zval"))
+      },
+      Some {
+        import graft.sinks.Zorder
+        s"""WITH o AS (SELECT o_orderkey, o_custkey AS ck,
+            datediff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT
+              AS days
+          FROM orders),
+        mm AS (SELECT min(ck) AS cklo, max(ck) AS ckhi,
+            min(days) AS dylo, max(days) AS dyhi FROM o),
+        b AS (SELECT o_orderkey,
+            ${Zorder.rangeBucketSql("ck", "cklo", "ckhi", 8)} AS bx,
+            ${Zorder.rangeBucketSql("days", "dylo", "dyhi", 8)} AS by
+          FROM o CROSS JOIN mm)
+        SELECT o_orderkey,
+          (${Zorder.zvalueSql("bx", "by", 8)}) AS zval FROM b"""
+      })
   )
 
   /** DuckDB oracle for a GDELT scan: read the same fixture with the same

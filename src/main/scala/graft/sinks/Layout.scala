@@ -1,6 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical data layout: partitioned and bucketed tables.
   *
@@ -32,4 +33,89 @@ object Layout {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Cluster a table by the Z-order (Morton) curve over two columns and
+    * write it so that file-level min/max statistics prune on BOTH
+    * dimensions — the third leg of the layout story (partitionBy prunes
+    * one low-cardinality dim, bucketBy co-locates a join key, Z-order
+    * covers range predicates over two correlated scan dims, e.g.
+    * (customer, order-date) box queries).
+    *
+    * `repartitionByRange` on the z-value splits the curve into `nFiles`
+    * contiguous segments (one output file each — range partitioning, so
+    * file k's z-range is disjoint from file k+1's), and sorting within
+    * partitions keeps row groups tight. Because consecutive z-values are
+    * near in both x and y, each file covers a small rectangle of the
+    * (x, y) plane and a box predicate overlaps few files — reading a
+    * 100 TB table for a box query then costs the overlapped rectangles,
+    * not a full scan. The range exchange samples the z column, so the
+    * write costs one pass + one shuffle. */
+  def writeZordered(df: DataFrame, path: String, xCol: Column, yCol: Column,
+      bits: Int, nFiles: Int): Unit = {
+    val tagged = df.withColumn("__x", xCol.cast("long"))
+      .withColumn("__y", yCol.cast("long"))
+    // per-dim [lo, hi] from one map-side-combinable aggregate, broadcast
+    // back — no driver-side collect in the plan
+    val mm = tagged.agg(min("__x").as("__xlo"), max("__x").as("__xhi"),
+      min("__y").as("__ylo"), max("__y").as("__yhi"))
+    tagged.crossJoin(broadcast(mm))
+      .withColumn("__z", Zorder.zvalue(
+        Zorder.rangeBucket(col("__x"), col("__xlo"), col("__xhi"), bits),
+        Zorder.rangeBucket(col("__y"), col("__ylo"), col("__yhi"), bits),
+        bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__x", "__y", "__xlo", "__xhi", "__ylo", "__yhi", "__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+}
+
+/** 2-D Z-order (Morton) interleave: bit `b` of `x` lands at output bit
+  * `2b`, bit `b` of `y` at `2b+1`. Both the Spark Column and the oracle
+  * SQL are generated from the same term list, so the two engines cannot
+  * drift. Inputs must be non-negative and fit in `bits` bits (callers
+  * normalize with [[rangeBucket]] first — interleaving RAW values wastes
+  * the curve whenever the two dims span different bit ranges, e.g. an
+  * 11-bit key against a dim whose high bits are constant; Delta's
+  * OPTIMIZE ZORDER normalizes to per-column range ids for the same
+  * reason); the expressions are pure integer built-ins — codegen'd,
+  * shuffle-free. */
+object Zorder {
+
+  /** (takeFromY, sourceBit, destBit) for every interleaved bit. */
+  private def terms(bits: Int): Seq[(Boolean, Int, Int)] = {
+    require(bits >= 1 && bits <= 31, s"bits must be 1..31, got $bits")
+    (0 until bits).flatMap(b => Seq((false, b, 2 * b), (true, b, 2 * b + 1)))
+  }
+
+  def zvalue(x: Column, y: Column, bits: Int): Column =
+    terms(bits).map { case (fromY, s, d) =>
+      shiftleft(shiftright(if (fromY) y else x, s).bitwiseAND(lit(1L)), d)
+    }.reduce(_.bitwiseOR(_))
+
+  /** The identical interleave as an ANSI SQL expression over column
+    * names `x` and `y` (DuckDB/Trino bitwise operators). */
+  def zvalueSql(x: String, y: String, bits: Int): String =
+    terms(bits).map { case (fromY, s, d) =>
+      s"(((${if (fromY) y else x} >> $s) & 1) << $d)"
+    }.mkString(" | ")
+
+  /** Equal-width rank of `x` ∈ [lo, hi] onto 2^bits buckets (0-based,
+    * hi clamped into the top bucket). floor over double arithmetic —
+    * exact while (hi−lo+1)·2^bits < 2^53, i.e. any ≤36-bit dimension at
+    * the default 16 bucket bits; both engines compute the identical
+    * doubles, so the rank is engine-portable. Equal-width is the right
+    * baseline for key-like dims; for heavily skewed dims swap in
+    * equal-frequency ranks from a quantile sketch (Delta's sampled
+    * range ids) — the interleave above is unchanged. */
+  def rangeBucket(x: Column, lo: Column, hi: Column, bits: Int): Column =
+    least(lit((1L << bits) - 1),
+      floor((x - lo).cast("double") * lit((1L << bits).toDouble) /
+        (hi - lo + lit(1)).cast("double")).cast("long"))
+
+  /** The identical rank as ANSI SQL. */
+  def rangeBucketSql(x: String, lo: String, hi: String, bits: Int)
+      : String =
+    s"least(${(1L << bits) - 1}, CAST(floor(($x - $lo)::DOUBLE * " +
+      s"${1L << bits}.0 / ($hi - $lo + 1)::DOUBLE) AS BIGINT))"
 }

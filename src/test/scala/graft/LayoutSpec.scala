@@ -77,6 +77,84 @@ class LayoutSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("z-order layout: box queries prune files on BOTH dimensions; " +
+      "single-column sort cannot") {
+    import graft.sinks.Zorder
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+          .cast("long").as("days"))
+    // reference interleave check: Column expression == driver-side bits
+    val zdf = orders.limit(64)
+      .select(col("o_custkey"), col("days"),
+        Zorder.zvalue(col("o_custkey"), col("days"), 16).as("z"))
+      .collect()
+    def refZ(x: Long, y: Long): Long =
+      (0 until 16).map(b => (((x >> b) & 1L) << (2 * b)) |
+        (((y >> b) & 1L) << (2 * b + 1))).reduce(_ | _)
+    zdf.foreach(r =>
+      assert(r.getLong(2) == refZ(r.getLong(0), r.getLong(1))))
+    // rank normalization: 0-based, clamped, full bucket range used
+    val rb = orders.agg(min("o_custkey").as("lo"), max("o_custkey").as("hi"))
+      .crossJoin(orders.select("o_custkey"))
+      .select(Zorder.rangeBucket(col("o_custkey"), col("lo"), col("hi"), 8)
+        .as("b")).agg(min("b"), max("b")).head
+    assert(rb.getLong(0) == 0L && rb.getLong(1) == 255L)
+
+    val nFiles = 16
+    def fileStats(dir: String): Array[(Long, Long, Long, Long)] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val s = spark.read.parquet(f.toString)
+            .agg(min("o_custkey"), max("o_custkey"),
+              min("days"), max("days")).head
+          (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
+        }
+    val zDir = java.nio.file.Files
+      .createTempDirectory("graft-zorder").toString
+    Layout.writeZordered(orders, zDir, col("o_custkey"), col("days"),
+      bits = 16, nFiles = nFiles)
+    val linDir = java.nio.file.Files
+      .createTempDirectory("graft-linear").toString
+    orders.repartitionByRange(nFiles, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(linDir)
+
+    // box = middle 1/4 of each dimension
+    val (ck, dy) = (orders.agg(min("o_custkey"), max("o_custkey"),
+      min("days"), max("days")).head match {
+      case r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))
+    })
+    def mid(lo: Long, hi: Long) =
+      (lo + (hi - lo) * 3 / 8, lo + (hi - lo) * 5 / 8)
+    val (ckLo, ckHi) = mid(ck._1, ck._2)
+    val (dyLo, dyHi) = mid(dy._1, dy._2)
+    def overlaps(st: Array[(Long, Long, Long, Long)],
+        useCk: Boolean, useDays: Boolean): Int =
+      st.count { case (cl, ch, dl, dh) =>
+        (!useCk || (ckLo <= ch && cl <= ckHi)) &&
+          (!useDays || (dyLo <= dh && dl <= dyHi))
+      }
+    val zStats = fileStats(zDir)
+    val linStats = fileStats(linDir)
+    assert(zStats.length == nFiles && linStats.length == nFiles)
+    val zCk = overlaps(zStats, useCk = true, useDays = false)
+    val zDy = overlaps(zStats, useCk = false, useDays = true)
+    val linCk = overlaps(linStats, useCk = true, useDays = false)
+    val linDy = overlaps(linStats, useCk = false, useDays = true)
+    val msg = s"files read: z(ck=$zCk, days=$zDy) lin(ck=$linCk, days=$linDy)"
+    // the single-column sort is blind on its NON-sort dim: a days-range
+    // predicate reads (essentially) every file
+    assert(linDy >= nFiles - 1, msg)
+    // z-order prunes BOTH dims: each single-dim range reads a strict
+    // subset, and the two queries together read fewer files than the
+    // linear layout's
+    assert(zCk < nFiles && zDy < nFiles, msg)
+    assert(zCk + zDy < linCk + linDy, msg)
+    // and the clustered copy is complete
+    assert(spark.read.parquet(zDir).count() == orders.count())
+  }
+
   test("custom expressions are SQL-callable after registration") {
     GraftExtensions.register(spark)
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
