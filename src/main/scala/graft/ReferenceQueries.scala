@@ -601,6 +601,47 @@ object ReferenceQueries {
       Some("""SELECT c_custkey, c_name FROM customer WHERE EXISTS
         (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
 
+    // bloom-filter join pruning: every probe row's k-probe decision AND
+    // the exact membership are both emitted, so the oracle hash-checks
+    // the bloom itself — including which rows are false positives (m is
+    // deliberately small here so some exist; no false negative is
+    // possible and the test asserts none). In production the caller
+    // filters on bloom_hit ahead of the join shuffle
+    Q("join_bloom_prune",
+      (s, dir) => {
+        import graft.operators.BloomJoin
+        val bld = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        val bm = BloomJoin.buildBitmap(bld, "c_custkey", mBits = 4096)
+        BloomJoin.withBloomHit(t(s, dir, "orders"), "o_custkey", bm,
+            mBits = 4096)
+          .join(bld.select(col("c_custkey").as("o_custkey"),
+            lit(1).as("__m")), Seq("o_custkey"), "left")
+          .select(col("o_orderkey"), col("bloom_hit"),
+            col("__m").isNotNull.as("actual"))
+      },
+      Some("""WITH bld AS (
+          SELECT DISTINCT c_custkey FROM customer
+          WHERE c_mktsegment = 'BUILDING'),
+        pos AS (
+          SELECT DISTINCT ('0x' || substr(md5(c_custkey::VARCHAR
+            || '#' || i), 1, 8))::BIGINT % 4096 AS p
+          FROM bld CROSS JOIN (SELECT unnest(range(0, 3)) AS i) ii),
+        pp AS (
+          SELECT o_orderkey, o_custkey,
+            ('0x' || substr(md5(o_custkey::VARCHAR || '#0'), 1, 8))::BIGINT
+              % 4096 AS p0,
+            ('0x' || substr(md5(o_custkey::VARCHAR || '#1'), 1, 8))::BIGINT
+              % 4096 AS p1,
+            ('0x' || substr(md5(o_custkey::VARCHAR || '#2'), 1, 8))::BIGINT
+              % 4096 AS p2
+          FROM orders)
+        SELECT o_orderkey,
+          p0 IN (SELECT p FROM pos) AND p1 IN (SELECT p FROM pos)
+            AND p2 IN (SELECT p FROM pos) AS bloom_hit,
+          o_custkey IN (SELECT c_custkey FROM bld) AS actual
+        FROM pp""")),
+
     Q("join_anti",
       (s, dir) => t(s, dir, "customer").join(
         t(s, dir, "orders"),

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter join pruning: build a compact bit-array from the (small,
+  * usually pre-filtered) build side's join keys and apply it to the probe
+  * side as a scan-stage predicate, so rows that cannot match never enter
+  * the join's shuffle.
+  *
+  * Why this matters at 100 TB: a selective dim-side filter ("customers in
+  * one segment") normally does nothing for the fact-side scan — every
+  * fact row is shuffled to the join and discarded there. The bloom filter
+  * turns that into a broadcast of `mBits/8` BYTES (8 KiB for the default
+  * 64 Ki bits — independent of build-side row count) plus a pure per-row
+  * probe evaluated inside the probe scan's codegen span; only the ~hit
+  * fraction of the fact table pays the shuffle. This is what Spark's AQE
+  * `runtimeFilter`/bloom rewrite does internally — here it is an explicit,
+  * composable operator with engine-portable hashing, so the SAME filter
+  * decisions replay in any ANSI engine (the md5 probe family of
+  * [[Curation.hashBucket]]) and the false-positive behaviour itself is
+  * differential-testable.
+  *
+  * Guarantees: no false negatives ever (every true match passes);
+  * false-positive rate ≈ (1 − e^(−k·n/m))^k — at the defaults (k = 3,
+  * m = 65536) a 3 000-key build side sits under 0.1%. False positives
+  * cost only wasted shuffle rows, never wrong answers: the exact join
+  * downstream removes them. */
+object BloomJoin {
+
+  /** The k probe positions for a key: md5(key || "#i") mod mBits —
+    * independent-enough draws, engine-portable. */
+  private def positions(key: Column, mBits: Int, k: Int): Seq[Column] =
+    (0 until k).map(i =>
+      Curation.hashBucket(concat(key.cast("string"), lit(s"#$i")), mBits))
+
+  /** Aggregate the build side into a one-row bitmap: a map from 64-bit
+    * word index to OR-ed word. Sparse map (absent word = 0) so the
+    * broadcast is min(set bits, mBits/64) entries. */
+  def buildBitmap(build: DataFrame, keyCol: String, mBits: Int = 65536,
+      k: Int = 3): DataFrame = {
+    require((mBits & (mBits - 1)) == 0, s"mBits must be a power of 2")
+    build.select(explode(array(positions(col(keyCol), mBits, k): _*))
+        .as("p"))
+      .distinct()
+      .select(expr("CAST(p DIV 64 AS INT) AS w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) AS b"))
+      .groupBy("w").agg(expr("bit_or(b) AS word"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("word"))))
+        .as("__bm"))
+  }
+
+  /** Tag every probe row with `bloom_hit`: true iff all k probe bits are
+    * set. The bitmap is one broadcast row; the test is codegen'd integer
+    * ops in the probe scan — callers follow with
+    * `.filter(col("bloom_hit"))` ahead of the real join. */
+  def withBloomHit(probe: DataFrame, keyCol: String, bitmap: DataFrame,
+      mBits: Int = 65536, k: Int = 3): DataFrame = {
+    val tagged = positions(col(keyCol), mBits, k).zipWithIndex
+      .foldLeft(probe.crossJoin(broadcast(bitmap))) {
+        case (df, (p, i)) => df.withColumn(s"__p$i", p)
+      }
+    val hit = (0 until k).map(i =>
+      expr(s"(shiftright(coalesce(element_at(__bm, " +
+        s"CAST(__p$i DIV 64 AS INT)), CAST(0 AS BIGINT)), " +
+        s"CAST(__p$i % 64 AS INT)) & 1) = 1"))
+      .reduce(_ && _)
+    tagged.withColumn("bloom_hit", hit)
+      .drop("__bm" +: (0 until k).map(i => s"__p$i"): _*)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+import graft.operators.BloomJoin
+
+class BloomJoinSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  private lazy val cust = spark.read
+    .parquet("/root/testdata/sf0.001/customer.parquet")
+  private lazy val orders = spark.read
+    .parquet("/root/testdata/sf0.001/orders.parquet")
+
+  test("bloom prune: zero false negatives; false positives appear at " +
+      "small m and vanish at large m") {
+    val bld = cust.filter($"c_mktsegment" === "BUILDING")
+    val truth = bld.select($"c_custkey").as[Long].collect().toSet
+
+    def classify(mBits: Int): (Long, Long) = {
+      val bm = BloomJoin.buildBitmap(bld, "c_custkey", mBits)
+      val out = BloomJoin.withBloomHit(orders, "o_custkey", bm, mBits)
+        .select($"o_custkey".as[Long], $"bloom_hit".as[Boolean]).collect()
+      val fn = out.count { case (k, hit) => truth(k) && !hit }
+      val fp = out.count { case (k, hit) => !truth(k) && hit }
+      assert(fn == 0, s"false negatives at m=$mBits")
+      (fp, out.count(r => truth(r._1)))
+    }
+    // tiny filter: heavily loaded -> false positives must exist (64 bits
+    // for ~hundreds of set positions); honest-size filter: fp-free here
+    val (fpTiny, matches) = classify(64)
+    assert(matches > 0, "fixture needs real matches")
+    assert(fpTiny > 0, "64-bit filter should show false positives")
+    val (fpBig, _) = classify(1 << 20)
+    assert(fpBig == 0, s"1Mi-bit filter produced $fpBig false positives")
+  }
+
+  test("bloom probe is a pre-shuffle filter: no exchange below it, one " +
+      "small broadcast") {
+    val bld = cust.filter($"c_mktsegment" === "BUILDING")
+    val bm = BloomJoin.buildBitmap(bld, "c_custkey", 65536)
+    val pruned = BloomJoin.withBloomHit(orders, "o_custkey", bm, 65536)
+      .filter($"bloom_hit")
+    val plan = pruned.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // the probe side's scan→filter path must contain no shuffle exchange:
+    // the only exchange in the whole plan is the bitmap broadcast
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    // and the filtered row count equals the bloom's own decisions
+    val kept = pruned.count()
+    val truth = bld.select($"c_custkey").as[Long].collect().toSet
+    val minimum = orders.select($"o_custkey".as[Long]).collect()
+      .count(truth)
+    assert(kept >= minimum, "a bloom filter can never under-keep")
+  }
+}
