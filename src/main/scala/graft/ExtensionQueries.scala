@@ -1606,6 +1606,49 @@ object CurationQueries {
         FROM cnt JOIN lr USING (j)
         GROUP BY doc_id""")),
 
+    // the STREAMING-shaped DSIR scorer: pre-trained ratio map broadcast
+    // into a stateless per-row fold (no explode, no groupBy). Same oracle
+    // math as curation_dsir — the differential here also proves the two
+    // PLANS (fused batch vs map+fold) agree to the last digit
+    Q("curation_dsir_stream",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        val ratios = Curation.dsirRatioMap(docs, "doc_id", "text",
+          targetFilter = col("lang") === "en", dim = 256)
+        Curation.dsirScoreStateless(docs, "doc_id", "text", ratios,
+          dim = 256)
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, lang = 'en' AS is_tgt,
+            list_filter(string_split(lower(text), ' '), x -> x <> '')
+              AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, is_tgt, unnest(toks) AS f FROM t
+          UNION ALL
+          SELECT doc_id, is_tgt,
+            unnest([toks[i] || ' ' || toks[i + 1]
+              for i in range(1, len(toks))]) AS f
+          FROM t),
+        b AS (SELECT doc_id, is_tgt,
+            ('0x' || substr(md5(f), 1, 8))::BIGINT % 256 AS j FROM g),
+        raw AS (SELECT j, count(*) AS rc FROM b GROUP BY j),
+        tgt AS (SELECT j, count(*) AS tc FROM b WHERE is_tgt GROUP BY j),
+        rt AS (SELECT count(*) AS rt FROM b),
+        tt AS (SELECT count(*) AS tt FROM b WHERE is_tgt),
+        lr AS (
+          SELECT raw.j,
+            round(ln((coalesce(tc, 0) + 1)::DOUBLE / (tt + 256)), 6)
+              ::DECIMAL(18,6)
+            - round(ln((rc + 1)::DOUBLE / (rt + 256)), 6)::DECIMAL(18,6)
+              AS lr
+          FROM raw LEFT JOIN tgt USING (j) CROSS JOIN rt CROSS JOIN tt),
+        cnt AS (SELECT doc_id, j, count(*) AS c FROM b GROUP BY doc_id, j)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+          round(sum(lr * c::DECIMAL(10,0))::DOUBLE, 6) AS logweight
+        FROM cnt JOIN lr USING (j)
+        GROUP BY doc_id""")),
+
     // deterministic global shuffle: position in the md5-permuted corpus.
     // The Spark side computes it as a bucketed two-phase prefix sum (no
     // single-partition sort); the oracle states the same permutation as

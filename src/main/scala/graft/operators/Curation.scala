@@ -368,18 +368,24 @@ object Curation {
     * combine, two tiny bucket-domain aggregates (≤ dim rows — broadcast
     * back), one per-doc aggregate. The target slice is detected with a
     * per-row predicate, not a join. */
-  def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
-      targetFilter: Column, dim: Int = 256): DataFrame = {
+  /** Hashed (unigram + bigram) feature buckets of one row's text, as an
+    * array column — the shared feature definition for every DSIR form
+    * below (one definition, so batch trainer, batch scorer, and
+    * streaming scorer cannot drift). */
+  private def dsirFeatureArray(textCol: String, dim: Int): Column = {
     val toks = graft.functions.Cleaning.tokens(lower(col(textCol)))
     val bigrams = when(size(toks) >= 2,
       transform(arrays_zip(slice(toks, lit(1), size(toks) - 1),
           slice(toks, lit(2), size(toks) - 1)),
         s => concat(s.getField("0"), lit(" "), s.getField("1"))))
       .otherwise(array().cast("array<string>"))
+    transform(concat(toks, bigrams), f => hashBucket(f, dim))
+  }
+
+  def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
+      targetFilter: Column, dim: Int = 256): DataFrame = {
     val feats = df.select(col(idCol), targetFilter.as("is_tgt"),
-        explode(concat(toks, bigrams)).as("f"))
-      .select(col(idCol), col("is_tgt"),
-        hashBucket(col("f"), dim).as("j"))
+        explode(dsirFeatureArray(textCol, dim)).as("j"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val raw = feats.groupBy(col("j")).agg(count(lit(1)).as("rc"))
     val tgt = feats.filter(col("is_tgt"))
@@ -401,6 +407,57 @@ object Curation {
       .groupBy(col(idCol))
       .agg(sum(col("c")).as("n_feats"),
         round(sum(col("lr") * col("c").cast("decimal(10,0)"))
+          .cast("double"), 6).as("logweight"))
+  }
+
+  /** The bucket log-ratio table of [[dsirLogWeights]] as a standalone
+    * one-row broadcastable map — train once on a static reference corpus,
+    * hand to [[dsirScoreStateless]] (possibly inside a streaming plan).
+    * Same algebra as the fused form: `(j → round(ln tgt,6) −
+    * round(ln raw,6))` held as DECIMAL(18,6). */
+  def dsirRatioMap(df: DataFrame, idCol: String, textCol: String,
+      targetFilter: Column, dim: Int = 256): DataFrame = {
+    val feats = df.select(col(idCol), targetFilter.as("is_tgt"),
+      explode(dsirFeatureArray(textCol, dim)).as("j"))
+    val raw = feats.groupBy(col("j")).agg(count(lit(1)).as("rc"))
+    val tgt = feats.filter(col("is_tgt"))
+      .groupBy(col("j")).agg(count(lit(1)).as("tc"))
+    val rawTot = feats.agg(count(lit(1)).as("rt"))
+    val tgtTot = feats.filter(col("is_tgt")).agg(count(lit(1)).as("tt"))
+    raw.join(tgt, Seq("j"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("j"),
+        (round(log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+            (col("tt") + dim).cast("double")), 6).cast("decimal(18,6)") -
+          round(log((col("rc") + 1).cast("double") /
+            (col("rt") + dim).cast("double")), 6).cast("decimal(18,6)"))
+          .as("lr"))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("lr"))))
+        .as("__lr"))
+  }
+
+  /** Score documents against a PRE-TRAINED ratio map ([[dsirRatioMap]])
+    * with zero per-document state: the map rides one broadcast row and
+    * the per-doc sum folds over the feature array in a single projection
+    * — no explode, no groupBy — so this form runs INSIDE a Structured
+    * Streaming plan (stream-static broadcast join + stateless map),
+    * scoring an endless document stream against a slowly-refreshed
+    * target distribution. Decimal accumulation is exact and
+    * order-independent, so results are identical to the batch
+    * [[dsirLogWeights]] on the same corpus (the spec asserts equality).
+    * The fold is an interpreted HOF per row×feature — fine beside the
+    * md5 hashing cost; hoist to a codegen Expression if it profiles hot. */
+  def dsirScoreStateless(df: DataFrame, idCol: String, textCol: String,
+      ratioMap: DataFrame, dim: Int = 256): DataFrame = {
+    val zero = lit("0").cast("decimal(18,6)")
+    df.crossJoin(broadcast(ratioMap))
+      .select(col(idCol),
+        dsirFeatureArray(textCol, dim).as("__fs"), col("__lr"))
+      .select(col(idCol),
+        size(col("__fs")).cast("long").as("n_feats"),
+        round(aggregate(col("__fs"), zero, (acc, j) =>
+            (acc + coalesce(element_at(col("__lr"), j), zero))
+              .cast("decimal(18,6)"))
           .cast("double"), 6).as("logweight"))
   }
 

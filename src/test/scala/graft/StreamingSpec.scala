@@ -306,6 +306,44 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTester {
     assert(batch.exists { case (id, keep, _, _) => id == 1L && keep })
     assert(batch.exists { case (id, _, _, lorem) => id == 3L && lorem })
   }
+
+  test("streaming DSIR: pre-trained ratio map broadcast into a stateless " +
+      "streaming scorer, equal to the fused batch weights") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Curation
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang").limit(60).cache()
+    // train once, in batch, on the reference corpus
+    val ratios = Curation.dsirRatioMap(docs, "doc_id", "text",
+      targetFilter = $"lang" === "en", dim = 64).cache()
+    assert(ratios.count() == 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdsir")
+    val out = dir.resolve("out").toString
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.select($"doc_id".as[Long], $"text".as[String])
+      .collect().toSeq: _*)
+    // the scorer is a stateless projection over a stream-static broadcast
+    // join — it runs INSIDE the streaming plan, no foreachBatch needed
+    val q = Curation.dsirScoreStateless(
+        mem.toDS().toDF("doc_id", "text"), "doc_id", "text", ratios,
+        dim = 64)
+      .writeStream
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .format("parquet").option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(out)
+      .select($"doc_id".as[Long], $"n_feats".as[Long],
+        $"logweight".as[Double]).collect().toSet
+    val batch = Curation.dsirLogWeights(docs, "doc_id", "text",
+        targetFilter = $"lang" === "en", dim = 64)
+      .select($"doc_id".as[Long], $"n_feats".as[Long],
+        $"logweight".as[Double]).collect().toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
 }
 
 class RegistrySpec extends AnyFunSuite with SparkTester {
