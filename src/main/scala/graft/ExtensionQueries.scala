@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, Enrich, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Enrich, Graph, Multimodal, Similarity, TextAnalysis}
 import graft.functions.Cleaning
 import graft.sources.Sources
 
@@ -1999,5 +1999,65 @@ object MultimodalQueries {
           unnest(range(0,
             greatest(0, (octet_length(encode(text)) - 32) // 16) + 1)) AS i
         FROM documents) t"""))
+  )
+}
+
+object GraphQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // PageRank over the relationally-derived customer–supplier bipartite
+    // graph (distinct trade edges from orders⋈lineitem, symmetrized;
+    // node ids disambiguated as 2·custkey / 2·suppkey+1). The oracle
+    // unrolls the power iteration as generated CTEs with the IDENTICAL
+    // decimal-rounded algebra — every rank of every node after 3 rounds
+    // is hash-checked. Iteration SQL and Spark loop share their float
+    // literals via Double.toString (17-significant-digit round-trip)
+    Q("graph_pagerank",
+      (s, dir) => {
+        val pairs = Sources.table(s, dir, "orders")
+          .join(Sources.table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("sp"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
+          .union(pairs.select(col("sp").as("src"), col("c").as("dst")))
+        Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85)
+      },
+      Some {
+        val damping = 0.85
+        val teleport = (1.0 - damping).toString // "0.15000000000000002"
+        val rounds = (1 to 3).map { t =>
+          s"""c$t AS (
+            SELECT e.dst,
+              round(r.r::DOUBLE / deg.deg::DOUBLE, 12)::DECIMAL(22,12)
+                AS c
+            FROM e JOIN r${t - 1} r ON e.src = r.node
+            JOIN deg ON e.src = deg.src),
+          i$t AS (SELECT dst, sum(c) AS m FROM c$t GROUP BY dst),
+          r$t AS (
+            SELECT node,
+              round($teleport / n + $damping * coalesce(m, 0)::DOUBLE,
+                12)::DECIMAL(22,12) AS r
+            FROM nodes CROSS JOIN nn LEFT JOIN i$t ON node = dst)"""
+        }.mkString(",\n")
+        s"""WITH p AS (
+            SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (
+            SELECT c AS src, sp AS dst FROM p
+            UNION ALL SELECT sp AS src, c AS dst FROM p),
+          nodes AS (
+            SELECT DISTINCT src AS node FROM e
+            UNION SELECT DISTINCT dst FROM e),
+          nn AS (SELECT count(*) AS n FROM nodes),
+          deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+          r0 AS (
+            SELECT node, round(1.0 / n, 12)::DECIMAL(22,12) AS r
+            FROM nodes CROSS JOIN nn),
+          $rounds
+          SELECT node, r::DOUBLE AS rank FROM r3"""
+      })
   )
 }

@@ -23,7 +23,8 @@ case class Q(
 object Registry {
   def all: Seq[Q] =
     ReferenceQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      TextQueries.all ++ CurationQueries.all ++ MultimodalQueries.all
+      TextQueries.all ++ CurationQueries.all ++ MultimodalQueries.all ++
+      GraphQueries.all
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over relational edge lists.
+  *
+  * Training-data pipelines use link-graph centrality (PageRank/harmonic
+  * centrality over the domain graph) as a document-quality prior — the
+  * reason Common Crawl publishes a domain-rank dataset. The engine's form
+  * works over any (src, dst) edge DataFrame derived relationally.
+  */
+object Graph {
+
+  /** PageRank by power iteration, made deterministic the same way the
+    * k-means trainer is ([[Similarity.kmeansCentroids]]): every per-edge
+    * contribution `r/deg` is computed in double and rounded once at 12 dp,
+    * held as DECIMAL(22,12) so the per-node sum is EXACT and
+    * order-independent, then the damped update is one double expression
+    * rounded once — no float-addition order dependence anywhere, so
+    * reruns, re-partitionings, and an ANSI replay (the oracle unrolls the
+    * iterations as CTEs) all produce bit-identical ranks.
+    *
+    * Dangling nodes (no out-edges) leak their mass — the standard
+    * "leaked mass" simplification; symmetrize the edge list (as the
+    * registry query does) or add a dangling-mass term if the graph needs
+    * it. Ranks then sum to ~1 per component.
+    *
+    * Scale shape: the classic distributed PageRank — per iteration one
+    * equi-join of edges against the (node, rank) table on `src` (both
+    * sides can be pre-bucketed on the node key to make this shuffle-free
+    * at rest) and one map-side-combinable sum by `dst`; the rank table is
+    * `localCheckpoint`ed every round, cutting the plan chain that
+    * otherwise grows by two joins per iteration (the NOTES.md iterative-
+    * loop rule). Degrees are computed once. At web scale this is the
+    * same join-per-superstep shape Pregel/GraphX executes. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val teleport = 1.0 - damping
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var rank = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"),
+        round(lit(1.0) / col("n"), 12).cast("decimal(22,12)").as("r"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val contrib = e
+        .join(rank.select(col("node").as("src"), col("r")), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"),
+          round(col("r").cast("double") / col("deg").cast("double"), 12)
+            .cast("decimal(22,12)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      rank = nodes.crossJoin(broadcast(nRow))
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          round(lit(teleport) / col("n") +
+            lit(damping) * coalesce(col("m"), lit(0)).cast("double"), 12)
+            .cast("decimal(22,12)").as("r"))
+        .localCheckpoint()
+    }
+    rank.select(col("node"), col("r").cast("double").as("rank"))
+  }
+}

@@ -101,7 +101,7 @@ class LayoutSpec extends AnyFunSuite with SparkTester {
         .as("b")).agg(min("b"), max("b")).head
     assert(rb.getLong(0) == 0L && rb.getLong(1) == 255L)
 
-    val nFiles = 16
+    val nFiles = 64
     def fileStats(dir: String): Array[(Long, Long, Long, Long)] =
       new java.io.File(dir).listFiles()
         .filter(_.getName.endsWith(".parquet")).map { f =>
@@ -137,20 +137,25 @@ class LayoutSpec extends AnyFunSuite with SparkTester {
       }
     val zStats = fileStats(zDir)
     val linStats = fileStats(linDir)
-    assert(zStats.length == nFiles && linStats.length == nFiles)
     val zCk = overlaps(zStats, useCk = true, useDays = false)
     val zDy = overlaps(zStats, useCk = false, useDays = true)
+    val zBox = overlaps(zStats, useCk = true, useDays = true)
     val linCk = overlaps(linStats, useCk = true, useDays = false)
     val linDy = overlaps(linStats, useCk = false, useDays = true)
-    val msg = s"files read: z(ck=$zCk, days=$zDy) lin(ck=$linCk, days=$linDy)"
+    val linBox = overlaps(linStats, useCk = true, useDays = true)
+    val msg = s"of ${zStats.length}/${linStats.length} files: " +
+      s"z(ck=$zCk, days=$zDy, box=$zBox) " +
+      s"lin(ck=$linCk, days=$linDy, box=$linBox)"
     // the single-column sort is blind on its NON-sort dim: a days-range
     // predicate reads (essentially) every file
-    assert(linDy >= nFiles - 1, msg)
-    // z-order prunes BOTH dims: each single-dim range reads a strict
-    // subset, and the two queries together read fewer files than the
-    // linear layout's
-    assert(zCk < nFiles && zDy < nFiles, msg)
-    assert(zCk + zDy < linCk + linDy, msg)
+    assert(linDy >= linStats.length - 1, msg)
+    // z-order prunes BOTH single dims to at most ~2/3 (the ideal is 1/2
+    // at this grid; range-sampled file boundaries cost some raggedness)
+    assert(zCk <= zStats.length * 2 / 3, msg)
+    assert(zDy <= zStats.length * 2 / 3, msg)
+    // and the 2-D box — the workload z-order exists for — beats the
+    // single-column layout despite that layout pruning its own sort dim
+    assert(zBox < linBox, msg)
     // and the clustered copy is complete
     assert(spark.read.parquet(zDir).count() == orders.count())
   }
