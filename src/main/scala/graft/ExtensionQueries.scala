@@ -2008,11 +2008,12 @@ object GraphQueries {
 
     // PageRank over the relationally-derived customer–supplier bipartite
     // graph (distinct trade edges from orders⋈lineitem, symmetrized;
-    // node ids disambiguated as 2·custkey / 2·suppkey+1). The oracle
-    // unrolls the power iteration as generated CTEs with the IDENTICAL
-    // decimal-rounded algebra — every rank of every node after 3 rounds
-    // is hash-checked. Iteration SQL and Spark loop share their float
-    // literals via Double.toString (17-significant-digit round-trip)
+    // node ids disambiguated as 2·custkey / 2·suppkey+1). Ranks are
+    // INTEGER femto-units of mass — floor division and 64-bit sums are
+    // exact and order-independent in any engine, so the oracle's
+    // unrolled CTEs replay all 3 rounds digit-for-digit (double rounding
+    // at this precision is NOT engine-portable; integers are — see
+    // Graph.pageRank scaladoc)
     Q("graph_pagerank",
       (s, dir) => {
         val pairs = Sources.table(s, dir, "orders")
@@ -2023,23 +2024,19 @@ object GraphQueries {
           .distinct()
         val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
           .union(pairs.select(col("sp").as("src"), col("c").as("dst")))
-        Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85)
+        Graph.pageRank(edges, "src", "dst", iters = 3, dampingPct = 85)
       },
       Some {
-        val damping = 0.85
-        val teleport = (1.0 - damping).toString // "0.15000000000000002"
+        val scale = Graph.MassScale
+        val tele = scale / 100 * 15
         val rounds = (1 to 3).map { t =>
           s"""c$t AS (
-            SELECT e.dst,
-              round(r.r::DOUBLE / deg.deg::DOUBLE, 12)::DECIMAL(22,12)
-                AS c
+            SELECT e.dst, r.r // deg.deg AS c
             FROM e JOIN r${t - 1} r ON e.src = r.node
             JOIN deg ON e.src = deg.src),
-          i$t AS (SELECT dst, sum(c) AS m FROM c$t GROUP BY dst),
+          i$t AS (SELECT dst, sum(c)::BIGINT AS m FROM c$t GROUP BY dst),
           r$t AS (
-            SELECT node,
-              round($teleport / n + $damping * coalesce(m, 0)::DOUBLE,
-                12)::DECIMAL(22,12) AS r
+            SELECT node, $tele // n + (coalesce(m, 0) * 85) // 100 AS r
             FROM nodes CROSS JOIN nn LEFT JOIN i$t ON node = dst)"""
         }.mkString(",\n")
         s"""WITH p AS (
@@ -2054,10 +2051,9 @@ object GraphQueries {
           nn AS (SELECT count(*) AS n FROM nodes),
           deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
           r0 AS (
-            SELECT node, round(1.0 / n, 12)::DECIMAL(22,12) AS r
-            FROM nodes CROSS JOIN nn),
+            SELECT node, $scale // n AS r FROM nodes CROSS JOIN nn),
           $rounds
-          SELECT node, r::DOUBLE AS rank FROM r3"""
+          SELECT node, r AS rank_f15 FROM r3"""
       })
   )
 }

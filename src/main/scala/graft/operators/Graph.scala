@@ -12,61 +12,78 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** PageRank by power iteration, made deterministic the same way the
-    * k-means trainer is ([[Similarity.kmeansCentroids]]): every per-edge
-    * contribution `r/deg` is computed in double and rounded once at 12 dp,
-    * held as DECIMAL(22,12) so the per-node sum is EXACT and
-    * order-independent, then the damped update is one double expression
-    * rounded once — no float-addition order dependence anywhere, so
-    * reruns, re-partitionings, and an ANSI replay (the oracle unrolls the
-    * iterations as CTEs) all produce bit-identical ranks.
+  /** Total probability mass, in integer femto-units (10^15). */
+  val MassScale: Long = 1000000000000000L
+
+  /** PageRank by power iteration over INTEGER mass units: ranks are
+    * BIGINT femto-units of probability (10^15 total), every division is
+    * floor division (`DIV` / DuckDB `//` — identical on non-negatives),
+    * and the damping multiply stays in 64-bit range (mass ≤ 10^15, so
+    * `m · 85 < 2^63`). Zero floating point in the iteration — which is
+    * the point: at 12-dp double rounding, Spark (exact BigDecimal
+    * HALF_UP) and other engines (scaled-double rounding) disagree on
+    * ~10^-5 of values, and one flipped digit cascades through the next
+    * round. Integer algebra is exact, order-independent, and replayed
+    * digit-for-digit by the oracle's unrolled CTEs.
     *
-    * Dangling nodes (no out-edges) leak their mass — the standard
-    * "leaked mass" simplification; symmetrize the edge list (as the
-    * registry query does) or add a dangling-mass term if the graph needs
-    * it. Ranks then sum to ~1 per component.
+    * Floor division leaks at most 1 unit (10^-15 of total mass) per
+    * division — deterministic, identical in both engines, and ~10 orders
+    * below anything a ranking consumer can observe. Dangling nodes (no
+    * out-edges) leak their whole mass — the standard simplification;
+    * symmetrize the edge list (as the registry query does) or add a
+    * dangling-mass term if the graph needs it.
     *
     * Scale shape: the classic distributed PageRank — per iteration one
     * equi-join of edges against the (node, rank) table on `src` (both
     * sides can be pre-bucketed on the node key to make this shuffle-free
-    * at rest) and one map-side-combinable sum by `dst`; the rank table is
+    * at rest) and one map-side-combinable sum by `dst`; the rank table
+    * carries (n, deg) so nothing else is re-joined per round, and it is
     * `localCheckpoint`ed every round, cutting the plan chain that
     * otherwise grows by two joins per iteration (the NOTES.md iterative-
-    * loop rule). Degrees are computed once. At web scale this is the
-    * same join-per-superstep shape Pregel/GraphX executes. */
+    * loop rule). At web scale this is the same join-per-superstep shape
+    * Pregel/GraphX executes.
+    *
+    * `dampingPct` is the damping factor in integer percent (85 = the
+    * classic 0.85). Output: (node, rank_f15 BIGINT). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, damping: Double = 0.85): DataFrame = {
+      iters: Int, dampingPct: Int = 85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val teleport = 1.0 - damping
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be 0..100, got $dampingPct")
+    val teleportMass = MassScale / 100 * (100 - dampingPct)
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nRow = nodes.agg(count(lit(1)).as("n"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // the rank table carries (n, deg) alongside r, so each iteration is
+    // exactly TWO shuffled ops — e ⋈ rank on src, and the contribution
+    // sum by dst (the rank ⋈ contrib join reuses the checkpointed rank's
+    // partitioning) — instead of re-joining degree and node count every
+    // round. Dangling nodes get deg 0 (never divided by: they emit no
+    // edge rows).
     var rank = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"),
-        round(lit(1.0) / col("n"), 12).cast("decimal(22,12)").as("r"))
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), col("n"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        expr(s"${MassScale}L DIV n").as("r"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
       val contrib = e
-        .join(rank.select(col("node").as("src"), col("r")), Seq("src"))
-        .join(deg, Seq("src"))
-        .select(col("dst"),
-          round(col("r").cast("double") / col("deg").cast("double"), 12)
-            .cast("decimal(22,12)").as("c"))
+        .join(rank.select(col("node").as("src"), col("deg"), col("r")),
+          Seq("src"))
+        .select(col("dst"), expr("r DIV deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      rank = nodes.crossJoin(broadcast(nRow))
+      rank = rank
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          round(lit(teleport) / col("n") +
-            lit(damping) * coalesce(col("m"), lit(0)).cast("double"), 12)
-            .cast("decimal(22,12)").as("r"))
+        .select(col("node"), col("n"), col("deg"),
+          expr(s"${teleportMass}L DIV n + " +
+            s"(coalesce(m, 0L) * $dampingPct) DIV 100").as("r"))
         .localCheckpoint()
     }
-    rank.select(col("node"), col("r").cast("double").as("rank"))
+    rank.select(col("node"), col("r").as("rank_f15"))
   }
 }

@@ -358,30 +358,35 @@ class GraphSpec extends AnyFunSuite with SparkTester {
     // star: hub 0 <-> leaves 1..4 (symmetric, no dangling)
     val pairs = (1L to 4L).map(l => (0L, l))
     val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
-    val r = Graph.pageRank(edges, "src", "dst", iters = 5)
-      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val iters = 5
+    val r = Graph.pageRank(edges, "src", "dst", iters = iters)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r.size == 5)
     assert((1L to 4L).forall(l => r(0L) > r(l)), s"hub must dominate: $r")
     assert((2L to 4L).forall(l => r(l) == r(1L)), "leaves symmetric")
-    assert(math.abs(r.values.sum - 1.0) < 1e-6, s"mass conserved: $r")
-    val r2 = Graph.pageRank(edges, "src", "dst", iters = 5)
-      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // mass conserved up to the deterministic floor-division leak:
+    // <= 1 unit per division; bounded loosely by (edges + 2·nodes)/round
+    val leakBound = iters * (2 * 8 + 2 * 5)
+    val total = r.values.sum
+    assert(total <= Graph.MassScale && total >= Graph.MassScale - leakBound,
+      s"mass $total vs ${Graph.MassScale}")
+    val r2 = Graph.pageRank(edges, "src", "dst", iters = iters)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r2 == r, "deterministic across runs")
   }
 
   test("pageRank single iteration matches the hand-computed update") {
-    // path graph 1 <-> 2 <-> 3; degrees: 1:1, 2:2, 3:1; r0 = 1/3 each.
-    // r1(1) = 0.15/3 + 0.85*(r0(2)/2) = 0.05 + 0.85*(1/6)
-    // r1(2) = 0.05 + 0.85*(r0(1)/1 + r0(3)/1) = 0.05 + 0.85*(2/3)
+    // path graph 1 <-> 2 <-> 3; degrees: 1:1, 2:2, 3:1; r0 = S/3 each;
+    // exact 64-bit floor arithmetic mirrored here in Scala Longs
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
       .toDF("src", "dst")
     val r = Graph.pageRank(edges, "src", "dst", iters = 1)
-      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
-    def rnd(x: Double) = BigDecimal(x)
-      .setScale(12, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-    val third = rnd(1.0 / 3)
-    assert(r(1L) == rnd(0.15 / 3 + 0.85 * rnd(third / 2)))
-    assert(r(2L) == rnd(0.15 / 3 + 0.85 * (rnd(third) + rnd(third))))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val s = Graph.MassScale
+    val tele = s / 100 * 15
+    val r0 = s / 3
+    assert(r(1L) == tele / 3 + (r0 / 2) * 85 / 100)
+    assert(r(2L) == tele / 3 + ((r0 / 1 + r0 / 1) * 85) / 100)
     assert(r(3L) == r(1L))
   }
 }
