@@ -1606,6 +1606,25 @@ object CurationQueries {
         FROM cnt JOIN lr USING (j)
         GROUP BY doc_id""")),
 
+    // sliding-window token chunking (window 32, stride 24 -> 8-token
+    // overlap); every chunk boundary, id, and tail length hash-checked
+    Q("text_chunks",
+      (s, dir) => Curation.chunkTokens(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        window = 32, stride = 24),
+      Some("""WITH t AS (
+          SELECT doc_id,
+            list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, toks,
+            unnest(range(0, greatest(len(toks), 1), 24)) AS st
+          FROM t)
+        SELECT doc_id, CAST(st // 24 AS INTEGER) AS chunk_id,
+          CAST(len(toks[st + 1 : st + 32]) AS INTEGER) AS n_tokens,
+          array_to_string(toks[st + 1 : st + 32], ' ') AS chunk
+        FROM s""")),
+
     // the STREAMING-shaped DSIR scorer: pre-trained ratio map broadcast
     // into a stateless per-row fold (no explode, no groupBy). Same oracle
     // math as curation_dsir — the differential here also proves the two

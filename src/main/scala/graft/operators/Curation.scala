@@ -202,6 +202,34 @@ object Curation {
       .select(col(idCol).as("doc_id"), col("bin_id"), col("n_tok"))
   }
 
+  /** Overlapping fixed-size token chunks — the sliding-window split a
+    * training/RAG pipeline applies to documents longer than the model
+    * context (the `return_overflowing_tokens` + `stride` convention):
+    * chunk i covers tokens [i·stride, i·stride + window); every token
+    * position starts ≤ one chunk per stride, trailing partial chunks are
+    * kept (their `n_tokens` says how short they are), consecutive chunks
+    * overlap by `window − stride` tokens so no span is ever split across
+    * a boundary without context. Contrast [[packContexts]], which packs
+    * multiple SHORT documents into fixed bins; chunking cuts LONG
+    * documents down. Pure per-row explode — no shuffle, no state, scales
+    * embarrassingly. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be 1..window, got $stride")
+    df.select(col(idCol),
+        graft.functions.Cleaning.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), greatest(size(col("__t")) - 1, lit(0)),
+          lit(stride)),
+        st => slice(col("__t"), st + 1, lit(window))))
+        .as(Seq("chunk_id", "__c")))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__c")).as("n_tokens"),
+        array_join(col("__c"), " ").as("chunk"))
+  }
+
   /** `md5(salt || id)` order key + its leading-hex-byte bucket. */
   private def withShuffleKey(df: DataFrame, idCol: String, salt: String,
       bucketChars: Int): DataFrame = {

@@ -223,6 +223,35 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(r.count(_._1 == 5L) >= 3)
   }
 
+  test("chunkTokens: stride coverage, overlap equality, tail kept") {
+    val text = (1 to 50).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = Curation.chunkTokens(df, "doc_id", "text",
+        window = 16, stride = 12)
+      .select($"doc_id".as[Long], $"chunk_id".as[Int],
+        $"n_tokens".as[Int], $"chunk".as[String]).collect()
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts at 0,12,24,36,48 -> 5 chunks; the last two are tails
+    // (36+16 > 50 tokens)
+    assert(d1.map(_._2).toSeq == (0 until 5))
+    assert(d1.map(_._3).toSeq == Seq(16, 16, 16, 14, 2))
+    // consecutive full chunks overlap by window - stride = 4 tokens
+    d1.sliding(2).foreach {
+      case Array(a, b) =>
+        val at = a._4.split(" ")
+        val bt = b._4.split(" ")
+        assert(at.drop(12).toSeq == bt.take(at.length - 12).toSeq,
+          s"overlap mismatch between ${a._2} and ${b._2}")
+      case _ =>
+    }
+    // every token appears at chunk-relative stride positions exactly once
+    val covered = d1.flatMap(c => c._4.split(" ").take(12))
+    assert(covered.toSeq == (1 to 50).map(i => s"w$i"))
+    // short doc: one partial chunk; empty doc: one empty chunk row
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 2, "a b")))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0, 0, "")))
+  }
+
   test("sampleTemperature flattens the domain head; nested in alpha; " +
       "smallest domain intact") {
     val docs = spark.read.parquet(s"${sf("d")}/documents.parquet")
