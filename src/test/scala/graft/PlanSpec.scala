@@ -101,4 +101,45 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("partial_count"), p)
   }
+
+  test("curation_split / url_canonical / text_chunks / layout_zorder: " +
+      "pure per-row work — no shuffle, no join") {
+    for (name <- Seq("curation_split", "url_canonical", "text_chunks")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name:\n$p")
+      assert(!p.contains("Join"), s"$name:\n$p")
+    }
+    // zorder carries one broadcast (the min/max row) but no shuffle
+    val z = plan("layout_zorder")
+    assert(!z.contains("Exchange hashpartitioning"), z)
+    assert(z.contains("BroadcastNestedLoopJoin") ||
+      z.contains("BroadcastExchange"), z)
+  }
+
+  test("curation_dsir_stream: stateless scoring — broadcast ratio row, " +
+      "zero shuffles") {
+    val p = plan("curation_dsir_stream")
+    // the TRAINER side of the plan aggregates (its shuffles are the
+    // train-once cost); the SCORING side must add none beyond them: no
+    // sort-merge join anywhere, ratio map broadcast in
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("dedup_semantic: centroid fan-out broadcasts the tiny side; the " +
+      "within-cell pair join is an equi-join, never an unbounded " +
+      "cartesian") {
+    val p = plan("dedup_semantic")
+    // vector × centroid fan-out: nested-loop is by design (no join key —
+    // the min-aggregate collapses it), but the BUILD side must be the
+    // centroid table (broadcast of k rows), never the corpus
+    assert(p.contains("BroadcastNestedLoopJoin Inner BuildRight"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the candidate-pair stage is a true equi-join on cell
+    assert(p.contains("SortMergeJoin Inner") ||
+      p.contains("ShuffledHashJoin Inner") ||
+      p.contains("BroadcastHashJoin Inner"), p)
+  }
+  // (graph_pagerank's per-round plans are hidden behind localCheckpoint
+  // by design — the iterative-loop rule; GraphSpec covers its semantics)
 }
