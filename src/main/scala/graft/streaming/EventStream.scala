@@ -56,6 +56,29 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming near-exact document dedup: drop documents whose 64-bit
+    * SimHash signature (codegen'd one-pass
+    * [[graft.expressions.SimHashExpr]]) was already seen within the
+    * watermark horizon. Signature equality = Hamming distance 0 — the
+    * "near-exact" regime (reformatted / trivially perturbed copies whose
+    * shingle vote never flips a bit), a strictly stronger guard than
+    * URL- or md5-exact dedup on a live ingest feed.
+    *
+    * Scope, stated honestly: FULL near-dup detection (Hamming ≤ k, or
+    * banded Jaccard) needs a candidate self-join, which on a stream means
+    * stream-stream join state growing with history — that stays a batch
+    * op ([[graft.operators.Dedup.simhashPairs]]) over the landed data.
+    * This operator is the streaming front guard: per-row signature in the
+    * scan stage, one keyed state store bounded by the watermark window,
+    * appended results. */
+  def nearExactDedupStream(docs: DataFrame, textCol: String, k: Int = 3,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("simhash", graft.expressions.SimHash.simhash64(
+        graft.functions.Text.wordShingles(col(textCol), k)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** Stream-stream interval join (attribution shape): each purchase joined
     * to clicks by the same user within the preceding `horizon`. Watermarks
     * on BOTH sides bound the join state — Spark drops buffered rows older

@@ -88,6 +88,42 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     } finally q.stop()
   }
 
+  test("streaming near-exact dedup: identical-signature docs dropped " +
+      "across micro-batches, distinct docs kept") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sndedup")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val original = "the quick brown fox jumps over the lazy dog " +
+      "and keeps on running through the quiet field tonight"
+    val unrelated = "completely different content about databases and " +
+      "distributed query execution engines at scale"
+    Seq((1L, ts(0), original), (2L, ts(1), unrelated))
+      .toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    val schema = spark.read.parquet(in.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(in.toString)
+    val q = EventStream.nearExactDedupStream(stream, "text")
+      .writeStream.format("memory").queryName("ndedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: an exact copy (same signature -> dropped) and a fresh doc
+      Seq((3L, ts(2), original),
+        (4L, ts(3), "yet another entirely new document body here"))
+        .toDF("doc_id", "ts", "text")
+        .coalesce(1).write.mode("append").parquet(in.toString)
+      q.processAllAvailable()
+      val ids = spark.table("ndedup_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L), s"got $ids")
+      // sanity: the copy really had the identical signature in batch
+      val sig = graft.operators.Dedup.simhash(
+        Seq((1L, original), (3L, original)).toDF("doc_id", "text"),
+        "doc_id", "text")
+        .select("simhash").distinct().count()
+      assert(sig == 1)
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join matches the batch interval join") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ssj")
     val cDir = dir.resolve("clicks"); val pDir = dir.resolve("purch")
