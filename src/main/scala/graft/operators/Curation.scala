@@ -372,6 +372,35 @@ object Curation {
           .otherwise("middle"))
   }
 
+  /** The 100 TB form of [[perplexityBuckets]]: instead of a total-order
+    * ntile window per language (a full sort of the dominant language's
+    * partition), compute per-language tercile CUTOFFS with the
+    * `percentile_approx` sketch (one map-side-combinable aggregate over
+    * `|languages|` groups), broadcast the tiny cutoff table back, and
+    * bucket each row with a pure filter — the window shuffle disappears
+    * and the scan-side work is per-row. Buckets near the cutoff can
+    * differ from the exact terciles by the sketch's rank error
+    * (`accuracy` trades memory for tightness); the spec measures the
+    * agreement against the exact form. */
+  def perplexityBucketsApprox(df: DataFrame, idCol: String,
+      textCol: String, langCol: String, accuracy: Int = 10000)
+      : DataFrame = {
+    val lp = TextAnalysis.unigramLogProb(df, idCol, textCol)
+    val scored = df.select(col(idCol), col(langCol))
+      .join(lp.select(col(idCol), col("logprob_avg")), Seq(idCol))
+    val cuts = scored.groupBy(col(langCol))
+      .agg(percentile_approx(col("logprob_avg"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("__c"))
+      .select(col(langCol), element_at(col("__c"), 1).as("__c_tail"),
+        element_at(col("__c"), 2).as("__c_head"))
+    scored.join(broadcast(cuts), Seq(langCol))
+      .withColumn("bucket",
+        when(col("logprob_avg") >= col("__c_head"), "head")
+          .when(col("logprob_avg") >= col("__c_tail"), "middle")
+          .otherwise("tail"))
+      .drop("__c_tail", "__c_head")
+  }
+
   /** DSIR-style importance weights (Xie et al., arXiv:2302.03169
     * "Data Selection for Language Models via Importance Resampling"):
     * score each document by the log-likelihood ratio of its hashed

@@ -51,21 +51,35 @@ object Layout {
     * not a full scan. The range exchange samples the z column, so the
     * write costs one pass + one shuffle. */
   def writeZordered(df: DataFrame, path: String, xCol: Column, yCol: Column,
+      bits: Int, nFiles: Int): Unit =
+    writeZorderedN(df, path, Seq(xCol, yCol), bits, nFiles)
+
+  /** N-dimensional form (n·bits must fit a signed long — e.g. 3 dims at
+    * 16 bits, 4 at 12). Each added dimension halves the per-dim pruning
+    * resolution at a fixed file count, so keep N to the 2–4 range a real
+    * workload's predicates actually use. */
+  def writeZorderedN(df: DataFrame, path: String, dims: Seq[Column],
       bits: Int, nFiles: Int): Unit = {
-    val tagged = df.withColumn("__x", xCol.cast("long"))
-      .withColumn("__y", yCol.cast("long"))
+    val names = dims.indices.map(i => s"__d$i")
+    val tagged = dims.zip(names).foldLeft(df) {
+      case (d, (c, n)) => d.withColumn(n, c.cast("long"))
+    }
     // per-dim [lo, hi] from one map-side-combinable aggregate, broadcast
     // back — no driver-side collect in the plan
-    val mm = tagged.agg(min("__x").as("__xlo"), max("__x").as("__xhi"),
-      min("__y").as("__ylo"), max("__y").as("__yhi"))
+    val aggs = names.zipWithIndex.flatMap { case (n, i) =>
+      Seq(min(n).as(s"__lo$i"), max(n).as(s"__hi$i"))
+    }
+    val mm = tagged.agg(aggs.head, aggs.tail: _*)
+    val ranks = names.zipWithIndex.map { case (n, i) =>
+      Zorder.rangeBucket(col(n), col(s"__lo$i"), col(s"__hi$i"), bits)
+    }
+    val scratch = names ++ names.indices.flatMap(i =>
+      Seq(s"__lo$i", s"__hi$i")) :+ "__z"
     tagged.crossJoin(broadcast(mm))
-      .withColumn("__z", Zorder.zvalue(
-        Zorder.rangeBucket(col("__x"), col("__xlo"), col("__xhi"), bits),
-        Zorder.rangeBucket(col("__y"), col("__ylo"), col("__yhi"), bits),
-        bits))
+      .withColumn("__z", Zorder.zvalueN(ranks, bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__x", "__y", "__xlo", "__xhi", "__ylo", "__yhi", "__z")
+      .drop(scratch: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 }
@@ -82,22 +96,33 @@ object Layout {
   * shuffle-free. */
 object Zorder {
 
-  /** (takeFromY, sourceBit, destBit) for every interleaved bit. */
-  private def terms(bits: Int): Seq[(Boolean, Int, Int)] = {
-    require(bits >= 1 && bits <= 31, s"bits must be 1..31, got $bits")
-    (0 until bits).flatMap(b => Seq((false, b, 2 * b), (true, b, 2 * b + 1)))
+  /** (dimIndex, sourceBit, destBit) for every interleaved bit: bit `b`
+    * of dimension `i` lands at output bit `b·n + i` (round-robin). */
+  private def terms(n: Int, bits: Int): Seq[(Int, Int, Int)] = {
+    require(n >= 2, s"need >= 2 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"n*bits must fit a signed long: $n x $bits")
+    (0 until bits).flatMap(b => (0 until n).map(i => (i, b, b * n + i)))
   }
 
   def zvalue(x: Column, y: Column, bits: Int): Column =
-    terms(bits).map { case (fromY, s, d) =>
-      shiftleft(shiftright(if (fromY) y else x, s).bitwiseAND(lit(1L)), d)
+    zvalueN(Seq(x, y), bits)
+
+  /** N-dimensional Morton interleave (round-robin bit order, so every
+    * dimension prunes equally often at every file-boundary depth). */
+  def zvalueN(dims: Seq[Column], bits: Int): Column =
+    terms(dims.length, bits).map { case (i, s, d) =>
+      shiftleft(shiftright(dims(i), s).bitwiseAND(lit(1L)), d)
     }.reduce(_.bitwiseOR(_))
 
   /** The identical interleave as an ANSI SQL expression over column
     * names `x` and `y` (DuckDB/Trino bitwise operators). */
   def zvalueSql(x: String, y: String, bits: Int): String =
-    terms(bits).map { case (fromY, s, d) =>
-      s"(((${if (fromY) y else x} >> $s) & 1) << $d)"
+    zvalueNSql(Seq(x, y), bits)
+
+  def zvalueNSql(dims: Seq[String], bits: Int): String =
+    terms(dims.length, bits).map { case (i, s, d) =>
+      s"(((${dims(i)} >> $s) & 1) << $d)"
     }.mkString(" | ")
 
   /** Equal-width rank of `x` ∈ [lo, hi] onto 2^bits buckets (0-based,

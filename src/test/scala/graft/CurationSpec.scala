@@ -223,6 +223,27 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(r.count(_._1 == 5L) >= 3)
   }
 
+  test("perplexityBucketsApprox: no window shuffle; high agreement with " +
+      "the exact terciles") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val docs = spark.read.parquet(s"${sf("d")}/documents.parquet")
+    val approx = Curation.perplexityBucketsApprox(
+      docs, "doc_id", "text", "lang")
+    // scale property: the approx form has no Window operator at all
+    val plan = approx.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Window"), plan)
+    val exact = Curation.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .select($"doc_id".as[Long], $"bucket".as[String]).collect().toMap
+    val got = approx
+      .select($"doc_id".as[Long], $"bucket".as[String]).collect().toMap
+    assert(got.keySet == exact.keySet)
+    val agree = got.count { case (id, b) => exact(id) == b }
+    // at default accuracy the sketch is exact on this corpus size except
+    // possibly ties AT a cutoff; demand near-total agreement
+    assert(agree.toDouble / got.size >= 0.95, s"$agree/${got.size}")
+  }
+
   test("chunkTokens: stride coverage, overlap equality, tail kept") {
     val text = (1 to 50).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, text), (2L, "a b"), (3L, "")).toDF("doc_id", "text")

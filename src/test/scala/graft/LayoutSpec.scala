@@ -160,6 +160,31 @@ class LayoutSpec extends AnyFunSuite with SparkTester {
     assert(spark.read.parquet(zDir).count() == orders.count())
   }
 
+  test("zvalueN: 3-dim interleave matches the bit-level reference; " +
+      "3-dim write round-trips") {
+    import graft.sinks.Zorder
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderkey") % 97).as("d2"),
+        (col("o_custkey") % 13).as("d3"))
+    val got = df.limit(50)
+      .select(col("o_custkey"), col("d2"), col("d3"),
+        Zorder.zvalueN(Seq(col("o_custkey"), col("d2"), col("d3")), 8)
+          .as("z")).collect()
+    def ref(v: Seq[Long]): Long =
+      (0 until 8).flatMap(b => v.indices.map(i =>
+        ((v(i) >> b) & 1L) << (b * 3 + i))).reduce(_ | _)
+    got.foreach(r => assert(r.getLong(3) ==
+      ref(Seq(r.getLong(0), r.getLong(1), r.getLong(2)))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-z3").toString
+    Layout.writeZorderedN(df, dir,
+      Seq(col("o_custkey"), col("d2"), col("d3")), bits = 8, nFiles = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == df.count())
+    assert(back.columns.toSet ==
+      Set("o_orderkey", "o_custkey", "d2", "d3"))
+  }
+
   test("custom expressions are SQL-callable after registration") {
     GraftExtensions.register(spark)
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
