@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Cleaning
-import graft.operators.{EventOps, Keywords}
+import graft.operators.{EventOps, Keywords, Sketches}
 import graft.sources.Sources
 
 /** Harness queries for every reference-derived operator in SURVEY.md §2,
@@ -707,6 +707,22 @@ object ReferenceQueries {
           .as("approx_parts")),
       None),
 
+    // ---- engine-portable HLL (operators/Sketches): unlike the built-in
+    // HLL++ above (engine-internal register hashing → rows-only), this
+    // sketch's ESTIMATE is hash-checked — md5 buckets, bin()-length
+    // ranks, exact integer register sums, constants interpolated from
+    // the one Scala definition. Two queries exercise both branches:
+    // 150 distinct user_ids → linear-counting correction; 15k distinct
+    // order keys → raw harmonic estimate ----
+    Q("agg_hll_md5",
+      (s, dir) => Sketches.hllDistinct(
+        t(s, dir, "events"), "user_id", p = 8),
+      Some(hllOracle("events", "user_id"))),
+    Q("agg_hll_md5_raw",
+      (s, dir) => Sketches.hllDistinct(
+        t(s, dir, "lineitem"), "l_orderkey", p = 8),
+      Some(hllOracle("lineitem", "l_orderkey"))),
+
     // ---- exact distinct aggregation (SURVEY §2.5 "free" row) ----
     Q("agg_distinct",
       (s, dir) => t(s, dir, "lineitem")
@@ -801,6 +817,35 @@ object ReferenceQueries {
           (${Zorder.zvalueSql("bx", "by", 8)}) AS zval FROM b"""
       })
   )
+
+  /** DuckDB mirror of [[graft.operators.Sketches.hllDistinct]] at p = 8:
+    * identical md5 bucketing, bin()-length ranks, exact integer register
+    * sum, and the SAME interpolated constants — the estimate reproduces
+    * to the last rounded digit. */
+  private def hllOracle(table: String, column: String): String = {
+    val c = graft.operators.Sketches.hllAlphaM2Pow53(8).toString
+    s"""WITH b AS (
+        SELECT ('0x' || substr(hx, 1, 2))::BIGINT AS j,
+               ('0x' || substr(hx, 3, 13))::BIGINT AS w
+        FROM (SELECT md5($column::VARCHAR) AS hx FROM $table) h),
+      r AS (
+        SELECT j, CASE WHEN w = 0 THEN 53
+                       ELSE 53 - length(bin(w)) END AS rk
+        FROM b),
+      regs AS (SELECT j, max(rk) AS mj FROM r GROUP BY j),
+      allr AS (
+        SELECT coalesce(mj, 0) AS mj
+        FROM (SELECT unnest(range(0, 256)) AS j) g
+        LEFT JOIN regs USING (j)),
+      f AS (
+        SELECT sum(1::BIGINT << CAST(53 - mj AS INT))::BIGINT AS num,
+               sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END)::BIGINT AS v0
+        FROM allr)
+      SELECT CASE WHEN v0 > 0 AND $c / num::DOUBLE <= 640.0
+        THEN round(256.0 * ln(256.0 / v0::DOUBLE), 6)
+        ELSE round($c / num::DOUBLE, 6) END AS n_est
+      FROM f"""
+  }
 
   /** DuckDB oracle for a GDELT scan: read the same fixture with the same
     * typed schema (generated from the `StructType` so the two can never

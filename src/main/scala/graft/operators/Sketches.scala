@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Engine-portable sketches.
+  *
+  * Spark's own `approx_count_distinct` (HyperLogLog++) is correct and
+  * fast but its register hashing is engine-internal — no other system can
+  * reproduce the estimate, so the registry's `agg_approx_distinct` row
+  * can only be rows-checked. This HLL is built from first principles
+  * (Flajolet et al. 2007) on engine-portable pieces: md5 bucketing, a
+  * `bin()`-length rank, exact 64-bit integer register sums, and constants
+  * interpolated from one Scala definition into both engines — so the
+  * ESTIMATE itself is differential-testable to the last digit.
+  */
+object Sketches {
+
+  /** Spark-side and oracle-side constants for [[hllDistinct]]. One
+    * definition; the SQL mirror interpolates these, so the engines cannot
+    * drift. */
+  def hllAlphaM2Pow53(p: Int): Double = {
+    val m = 1 << p
+    // alpha_m for m >= 128 (Flajolet et al. §4), times m^2, times 2^53
+    // (the fixed-point scale of the register sum) — one double constant
+    0.7213 / (1 + 1.079 / m) * m * m * 9007199254740992.0
+  }
+
+  /** HyperLogLog distinct-count estimate with 2^p registers.
+    *
+    * Determinism/portability: bucket = first `p/4` hex chars of
+    * `md5(value)`; rank = leading zeros of the next 52-bit field + 1,
+    * computed as `53 − length(bin(w))` (both engines' `bin` drops
+    * leading zeros; `w = 0` ⇒ rank 53). The harmonic sum `Σ 2^−M_j` is
+    * held EXACTLY as the integer `Σ 2^(53−M_j)` (max 2^61 for 256
+    * registers — fits a signed long), so the only float ops are the one
+    * final division (+ `ln` in the linear-counting branch), rounded once
+    * at 6 dp. Includes the small-range linear-counting correction;
+    * the large-range (2^32) correction is omitted — irrelevant below
+    * ~10^8 distinct and equally absent from the oracle.
+    *
+    * Scale shape: one narrow shuffle of (bucket, rank) pairs with
+    * map-side `max` combine — 2^p running values per partition regardless
+    * of input size; the register table is 2^p rows. The final fold is one
+    * tiny aggregate. Output: one row `(n_est)`.
+    *
+    * Standard error ≈ 1.04/√m (6.5% at p = 8). */
+  def hllDistinct(df: DataFrame, valueCol: String, p: Int = 8)
+      : DataFrame = {
+    require(p >= 4 && p <= 12 && p % 4 == 0,
+      s"p must be 4, 8, or 12 (hex-aligned), got $p")
+    val m = 1 << p
+    val hexChars = p / 4
+    val h = md5(col(valueCol).cast("string"))
+    val bucket = conv(substring(h, 1, hexChars), 16, 10).cast("long")
+    val w = conv(substring(h, hexChars + 1, 13), 16, 10).cast("long")
+    val rank = when(w === 0, lit(53L))
+      .otherwise(lit(53L) - length(bin(w)).cast("long"))
+    val regs = df.select(bucket.as("j"), rank.as("r"))
+      .groupBy(col("j")).agg(max(col("r")).as("mj"))
+    // empty registers participate with M_j = 0 (term 2^53)
+    val all = df.sparkSession.range(m).select(col("id").as("j"))
+      .join(regs, Seq("j"), "left")
+      .select(coalesce(col("mj"), lit(0L)).as("mj"))
+    val folded = all.agg(
+      sum(expr("shiftleft(1L, CAST(53 - mj AS INT))")).as("num"),
+      sum(when(col("mj") === 0L, 1L).otherwise(0L)).as("v0"))
+    val c = hllAlphaM2Pow53(p)
+    folded.select(
+      when(col("v0") > 0 &&
+          lit(c) / col("num").cast("double") <= lit(2.5 * m),
+        round(lit(m.toDouble) *
+          log(lit(m.toDouble) / col("v0").cast("double")), 6))
+        .otherwise(round(lit(c) / col("num").cast("double"), 6))
+        .as("n_est"))
+  }
+}

@@ -349,6 +349,29 @@ class DedupSpec extends AnyFunSuite with SparkTester {
   }
 }
 
+class SketchesSpec extends AnyFunSuite with SparkTester {
+  import graft.operators.Sketches
+
+  test("portable HLL estimates within the expected error band on both " +
+      "branches, and is insensitive to duplication") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    def est(df: org.apache.spark.sql.DataFrame, c: String): Double =
+      Sketches.hllDistinct(df, c).head.getDouble(0)
+    // raw-branch check: order keys (thousands distinct); 1.04/sqrt(256)
+    // ≈ 6.5% standard error — allow 4 sigma
+    val exactOrders = li.select("l_orderkey").distinct().count()
+    val e1 = est(li, "l_orderkey")
+    assert(math.abs(e1 - exactOrders) / exactOrders < 0.26,
+      s"est $e1 vs exact $exactOrders")
+    // duplication-insensitive: doubling every row changes nothing
+    assert(est(li.union(li), "l_orderkey") == e1)
+    // linear-counting branch: few distinct values, estimate close
+    val exactFlags = li.select("l_returnflag").distinct().count()
+    val e2 = est(li, "l_returnflag")
+    assert(math.abs(e2 - exactFlags) <= 1.0, s"est $e2 vs $exactFlags")
+  }
+}
+
 class GraphSpec extends AnyFunSuite with SparkTester {
   import spark.implicits._
   import graft.operators.Graph
