@@ -1606,6 +1606,22 @@ object CurationQueries {
         FROM cnt JOIN lr USING (j)
         GROUP BY doc_id""")),
 
+    // Efraimidis-Spirakis weighted sample: top-150 documents by
+    // ln(u)/weight priority, weight = n_chars. Priorities, membership,
+    // and order ties all hash-checked
+    Q("curation_sample_weighted",
+      (s, dir) => Curation.sampleWeighted(
+          Sources.table(s, dir, "documents"), "doc_id", "n_chars", k = 150)
+        .select(col("doc_id"), col("n_chars"), col("wkey")),
+      Some("""SELECT doc_id, n_chars, wkey FROM (
+          SELECT doc_id, n_chars,
+            round(round(ln(
+              ((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                % 1073741824) + 1)::DOUBLE / 1073741824.0), 6)
+              / n_chars::DOUBLE, 6) AS wkey
+          FROM documents WHERE n_chars > 0) t
+        ORDER BY wkey DESC, doc_id ASC LIMIT 150""")),
+
     // sliding-window token chunking (window 32, stride 24 -> 8-token
     // overlap); every chunk boundary, id, and tail length hash-checked
     Q("text_chunks",

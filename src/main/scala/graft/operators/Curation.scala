@@ -65,6 +65,33 @@ object Curation {
     df.filter(hashBucket(col(idCol), 100) < pct)
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, "Weighted random sampling with a reservoir"): each
+    * row draws u ∈ (0, 1] from the md5 hash of its id (30-bit
+    * resolution), its priority is u^(1/w) — equivalently ln(u)/w, used
+    * here because ln parity at 6 dp is already load-bearing engine-wide —
+    * and the sample is the global top-k by priority. Heavier rows hold
+    * priorities nearer 0 and win proportionally more often; rows with
+    * non-positive weight are excluded (their exponential race is
+    * undefined). Deterministic: reruns, re-partitionings, and the SQL
+    * replay select the identical k rows (priority ties break on id).
+    *
+    * Scale shape: the draw is a pure projection; global top-k by
+    * priority is TakeOrdered (per-partition heaps, k rows to the
+    * driver-side merge) — no full sort, no shuffle of the corpus. */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val res = 1 << 30
+    val u = (hashBucket(col(idCol), res) + 1).cast("double") /
+      lit(res.toDouble)
+    df.filter(col(weightCol) > 0)
+      .withColumn("wkey",
+        round(round(log(u), 6) / col(weightCol).cast("double"), 6))
+      .orderBy(col("wkey").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** TRUE stratified sample: a per-stratum keep rate (percent), with
     * `defaultPct` for strata absent from the map — e.g. downsample the
     * dominant crawl while keeping all of a rare high-quality source.

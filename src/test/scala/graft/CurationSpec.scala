@@ -223,6 +223,42 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(r.count(_._1 == 5L) >= 3)
   }
 
+  test("sampleWeighted: exact priority replay, heavier rows " +
+      "overrepresented, deterministic, non-positive weights excluded") {
+    val n = 2000
+    // half the rows carry 10x the weight
+    val df = (1L to n).map(i => (i, if (i % 2 == 0) 100.0 else 10.0))
+      .toDF("id", "w")
+    val k = 400
+    val got = Curation.sampleWeighted(df, "id", "w", k)
+      .select($"id".as[Long], $"wkey".as[Double]).collect()
+    assert(got.length == k)
+    // replay the priority in Scala (same md5 draw + rounding) and check
+    // the selection is exactly the global top-k
+    def prio(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      val u = ((java.lang.Long.parseLong(hex, 16) % (1L << 30)) + 1)
+        .toDouble / (1L << 30).toDouble
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      r6(r6(math.log(u)) / w)
+    }
+    val expect = (1L to n)
+      .map(i => (i, prio(i, if (i % 2 == 0) 100.0 else 10.0)))
+      .sortBy { case (id, p) => (-p, id) }.take(k).toMap
+    assert(got.toMap == expect)
+    // heavy rows (10x weight) must dominate the sample
+    val heavy = got.count(_._1 % 2 == 0)
+    assert(heavy > k * 6 / 10, s"heavy rows in sample: $heavy/$k")
+    // zero/negative weights never sampled
+    val withBad = df.union(Seq((9001L, 0.0), (9002L, -5.0)).toDF("id", "w"))
+    val ids2 = Curation.sampleWeighted(withBad, "id", "w", n + 10)
+      .select($"id".as[Long]).collect().toSet
+    assert(!ids2.contains(9001L) && !ids2.contains(9002L))
+  }
+
   test("perplexityBucketsApprox: no window shuffle; high agreement with " +
       "the exact terciles") {
     import org.apache.spark.sql.execution.ExplainMode
