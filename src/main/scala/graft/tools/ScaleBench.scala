@@ -107,6 +107,52 @@ object ScaleBench {
         targetLang = "en", topN = 1000).count()
     }
 
+    // semantic dedup at factor× embeddings: replicas are the base vector
+    // plus a tiny deterministic per-(vec, rep, dim) perturbation —
+    // near-exact semantic copies, so SemDeDup should drop ~(factor-1)/
+    // factor of the corpus; with centroidStep fixed, k grows ∝ n and
+    // cells stay constant-size (the paper's linear-cost argument — this
+    // datapoint is the evidence)
+    val runExt = sys.env.getOrElse("GRAFT_SCALE_EXT", "1") == "1"
+    val (nSemDropped, nPrNodes) = if (runExt) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val reps = spark.range(0, factor).toDF("rep")
+      val bigEmb = emb.crossJoin(reps)
+        .select((col("vec_id") * factor + col("rep")).as("vec_id"),
+          when(col("rep") === 0, col("embedding")).otherwise(
+            transform(col("embedding"), (v, i) =>
+              (v + pmod(xxhash64(col("vec_id"), col("rep"), i), lit(100))
+                .cast("float") / lit(1e6f)).cast("float")))
+            .as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bigEmb.count()
+      val dropped = timed("semantic") {
+        Dedup.semanticDedup(bigEmb, "vec_id", "embedding",
+          centroidStep = 50, iters = 1, tau = 0.95)
+          .filter(!col("keep")).count()
+      }
+      // PageRank on factor× disjoint copies of the trade graph (same
+      // structure per copy, factor× the rows through every per-round
+      // join/aggregate)
+      val pairs = spark.read.parquet(s"$sfDir/orders.parquet")
+        .join(spark.read.parquet(s"$sfDir/lineitem.parquet"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("sp"))
+        .distinct()
+      val bigEdges = pairs.crossJoin(reps)
+        .select((col("c") + col("rep") * 100000000L).as("src"),
+          (col("sp") + col("rep") * 100000000L).as("dst"))
+      val sym = bigEdges.union(
+        bigEdges.select(col("dst").as("src"), col("src").as("dst")))
+      val prNodes = timed("pagerank") {
+        graft.operators.Graph.pageRank(sym, "src", "dst", iters = 3)
+          .count()
+      }
+      (dropped, prNodes)
+    } else (-1L, -1L)
+
     val times = t.map { case (k, v) =>
       "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.US, v)
     }.mkString("{", ",", "}")
@@ -116,6 +162,7 @@ object ScaleBench {
       s""""times_sec":$times,""" +
       s""""pairs":{"minhash":$nMinhash,"ngram_capped":$nCapped,""" +
       s""""ngram_uncapped":$nUncapped},"nondefault_docs":$nClusters,""" +
-      s""""curate_kept":$nCurate}""")
+      s""""curate_kept":$nCurate,"semantic_dropped":$nSemDropped,""" +
+      s""""pagerank_nodes":$nPrNodes}""")
   }
 }
