@@ -77,18 +77,23 @@ object DedupQueries {
 
   /** Min-label reachability clusters over the thresholded pair list —
     * shared by both connected-components implementations. */
-  private val clustersOracleSql =
-    s"""WITH RECURSIVE
-      pairs AS ($jaccardPairsSql),
+  private val clustersCtes =
+    s"""pairs AS ($jaccardPairsSql),
       edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION ALL SELECT doc_b, doc_a FROM pairs),
       reach(node, lab) AS (
         SELECT doc_id, doc_id FROM documents
         UNION
-        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
-      SELECT node AS doc_id, MIN(lab) AS cluster_id
-      FROM reach GROUP BY node"""
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+      cc AS (
+        SELECT node AS doc_id, MIN(lab) AS cluster_id
+        FROM reach GROUP BY node)"""
+
+  private val clustersOracleSql =
+    s"""WITH RECURSIVE
+      $clustersCtes
+      SELECT doc_id, cluster_id FROM cc"""
 
   def all: Seq[Q] = Seq(
 
@@ -172,6 +177,25 @@ object DedupQueries {
         Dedup.connectedComponentsAlternating(docs, "doc_id", pairs)
       },
       Some(clustersOracleSql)),
+
+    // cluster-size histogram over the near-dup components — the audit a
+    // curation run reports ("how much mass sits in how-big duplicate
+    // families"). Two tiny aggregates on the CC output; the oracle rides
+    // the same recursive-reachability CTEs as dedup_clusters
+    Q("dedup_cluster_stats",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          k = 5, threshold = 0.8)
+        Dedup.connectedComponents(docs, "doc_id", pairs)
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      },
+      Some(s"""WITH RECURSIVE
+        $clustersCtes,
+        szs AS (
+          SELECT cluster_id, count(*) AS sz FROM cc GROUP BY cluster_id)
+        SELECT sz, count(*) AS n_clusters FROM szs GROUP BY sz""")),
 
     // LSH-accelerated embedding near-dup: the linear-cost scale path.
     // Now fully hash-checked: candidates are reproduced exactly from the
@@ -463,6 +487,27 @@ object SimilarityQueries {
   }
 
   def all: Seq[Q] = Seq(
+
+    // per-dimension z-score standardization — every element's scaled
+    // value hash-checked (exact-decimal moments, one double divide)
+    Q("embedding_standardize",
+      (s, dir) => Similarity.standardize(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding"),
+      Some("""WITH e AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings),
+        st AS (
+          SELECT i,
+            CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+              AS mu,
+            CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+              AS m2
+          FROM e GROUP BY i)
+        SELECT e.vec_id, CAST(e.i AS INTEGER) AS i,
+          CASE WHEN m2 - mu * mu <= 0 THEN 0.0
+               ELSE round((v - mu) / sqrt(m2 - mu * mu), 6) END AS z
+        FROM e JOIN st USING (i)""")),
 
     // exact brute-force cosine top-10 for queries vec_id < 5
     Q("simsearch_topk",

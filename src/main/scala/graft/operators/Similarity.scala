@@ -47,6 +47,37 @@ object Similarity {
     ranked(scored, k)
   }
 
+  /** Per-dimension z-score standardization of an embedding column — the
+    * feature-scaling pass run before distance-based ops (ANN, k-means,
+    * SemDeDup) when dimensions carry heterogeneous scales, so no single
+    * dimension dominates the metric. Output is exploded `(vec_id, i, z)`
+    * (1-based dimension index).
+    *
+    * Numeric discipline (oracle-checkable): per-dim mean and second
+    * moment are exact DECIMAL(28,12) sums — order-independent — divided
+    * once in double; `z = round((v − μ)/σ, 6)`; a zero-variance
+    * dimension standardizes to 0 rather than dividing by zero.
+    *
+    * Scale shape: one explode + one per-dimension aggregate (map-side
+    * combined, `dim` rows out) broadcast back onto the elements — the
+    * corpus streams twice, nothing wide beyond the tiny stats table. */
+  def standardize(df: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val el = df.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("p", "v")))
+      .select(col("vec_id"), (col("p") + 1).as("i"), col("v"))
+    val stats = el.groupBy(col("i")).agg(
+      (sum(col("v").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("mu"),
+      (sum((col("v").cast("double") * col("v").cast("double"))
+        .cast("decimal(28,12)")).cast("double") / count(lit(1))).as("m2"))
+    el.join(broadcast(stats), Seq("i"))
+      .select(col("vec_id"), col("i"),
+        when(col("m2") - col("mu") * col("mu") <= 0, lit(0.0))
+          .otherwise(round((col("v").cast("double") - col("mu")) /
+            sqrt(col("m2") - col("mu") * col("mu")), 6)).as("z"))
+  }
+
   /** Assign every vector to its nearest centroid (squared-L2, deterministic
     * tie-break on centroid id). Output: vec_id, cell, plus carried cols. */
   def assignCells(vectors: DataFrame, centroids: DataFrame, vecCol: String)

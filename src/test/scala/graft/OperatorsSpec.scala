@@ -150,6 +150,34 @@ class DedupSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("standardize: every dimension re-centers to mean 0 and scales " +
+      "to unit variance") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val z = Similarity.standardize(emb, "vec_id", "embedding")
+    val stats = z.groupBy("i")
+      .agg(avg("z").as("mu"), stddev_pop($"z").as("sd"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(stats.length == 64)
+    stats.foreach { case (mu, sd) =>
+      assert(math.abs(mu) < 1e-4 && math.abs(sd - 1.0) < 1e-4, (mu, sd))
+    }
+    // element count conserved
+    assert(z.count() == emb.count() * 64)
+  }
+
+  test("cluster stats histogram is consistent with the cluster table") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.8)
+    val cc = Dedup.connectedComponents(docs, "doc_id", pairs)
+    val hist = cc.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // total mass adds back to the corpus; some multi-doc family exists
+    assert(hist.map { case (sz, n) => sz * n }.sum == docs.count())
+    assert(hist.keys.exists(_ > 1), "fixture has planted near-dups")
+  }
+
   test("semantic dedup: exactly the min-id survivors of within-cell " +
       "tau-neighbourhoods") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
