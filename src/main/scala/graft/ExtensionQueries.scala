@@ -1044,6 +1044,62 @@ object TextQueries {
           round(sum(lp)::DOUBLE / count(*), 6) AS logprob_avg
         FROM lp GROUP BY doc_id""")),
 
+    // real BPE token counting: ranked merges applied one-at-a-time
+    // (lowest rank, leftmost occurrence) to a fixpoint. The oracle
+    // replays the EXACT algorithm as a recursive CTE over marker-
+    // delimited symbol strings — each recursion step is one first-
+    // occurrence replacement of the lowest-rank applicable merge, and
+    // the VALUES merge table is generated from the same Scala Seq the
+    // codegen expression compiles in
+    Q("text_tokens_bpe",
+      (s, dir) => TextAnalysis.bpeTokenCounts(
+        Sources.table(s, dir, "documents"), "doc_id", "text"),
+      Some {
+        val values = TextAnalysis.bpeMerges.zipWithIndex.map {
+          case ((a, b), r) =>
+            s"($r, chr(1)||'$a'||chr(1)||'$b'||chr(1), " +
+              s"chr(1)||'$a$b'||chr(1))"
+        }.mkString(",\n            ")
+        s"""WITH RECURSIVE
+          m(rank, pat, rep) AS (VALUES
+            $values),
+          w AS (
+            SELECT doc_id, generate_subscripts(ws, 1) AS wi,
+                   unnest(ws) AS word
+            FROM (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '')
+                  AS ws
+              FROM documents) t),
+          base AS (
+            SELECT doc_id, wi,
+              chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g')
+                AS s
+            FROM w),
+          rec AS (
+            SELECT doc_id, wi, s FROM base
+            UNION ALL
+            SELECT doc_id, wi,
+              regexp_replace(s,
+                (SELECT min_by(pat, rank) FROM m
+                 WHERE position(pat IN s) > 0),
+                (SELECT min_by(rep, rank) FROM m
+                 WHERE position(pat IN s) > 0)) AS s
+            FROM rec
+            WHERE EXISTS (SELECT 1 FROM m WHERE position(pat IN s) > 0)),
+          fix AS (
+            SELECT doc_id, wi, s FROM rec
+            WHERE NOT EXISTS
+              (SELECT 1 FROM m WHERE position(pat IN s) > 0)),
+          agg AS (
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS n_words,
+              CAST(sum(length(s) - length(replace(s, chr(1), '')) - 1)
+                AS INTEGER) AS n_bpe
+            FROM fix GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+            coalesce(n_bpe, 0) AS n_bpe
+          FROM documents d LEFT JOIN agg USING (doc_id)"""
+      }),
+
     // fastText-style hashed linear quality classifier: tokens hash onto
     // 512 buckets, logit = bias + mean(bucket weights), score = logistic.
     // Weights are pinned integer micro-units (committed fixture, written

@@ -1,0 +1,85 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding token count of one word under a fixed, ranked
+  * merge table (Sennrich et al. 2016, arXiv:1508.07909 — the tokenizer
+  * family behind GPT-2/RoBERTa vocabularies).
+  *
+  * Exact algorithm, one compiled pass per word: start from characters;
+  * repeatedly find the LOWEST-RANK merge whose pair is present and fuse
+  * its LEFTMOST occurrence; stop at the fixpoint. Merging one occurrence
+  * per step (rather than all at once) is deliberate: it is exactly
+  * replayable in ANSI SQL as a recursive CTE whose step is a single
+  * first-occurrence string replacement over a marker-delimited symbol
+  * string — so the token counts are hash-checked against DuckDB rather
+  * than taken on faith. (For self-overlapping pairs the two conventions
+  * can differ; the priority-queue form here is the well-defined one.)
+  *
+  * The merge table is a constructor argument — production would load a
+  * trained vocabulary's merges; the registry query pins a small table of
+  * common English fusions, shared verbatim with the oracle generator so
+  * the two sides cannot drift. */
+case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  require(merges.nonEmpty, "need at least one merge rule")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bpe_token_count"
+
+  def compute(s: UTF8String): Int =
+    BpeCountExpr.tokenCount(s.toString, merges)
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("bpe", this, classOf[BpeCountExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object BpeCountExpr {
+
+  def tokenCount(word: String, merges: Seq[(String, String)]): Int = {
+    if (word.isEmpty) return 0
+    val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) { syms += word.charAt(i).toString; i += 1 }
+    var done = false
+    while (!done) {
+      var rank = -1
+      var pos = -1
+      var r = 0
+      while (r < merges.length && rank < 0) {
+        val (a, b) = merges(r)
+        var j = 0
+        while (j < syms.length - 1 && rank < 0) {
+          if (syms(j) == a && syms(j + 1) == b) { rank = r; pos = j }
+          j += 1
+        }
+        r += 1
+      }
+      if (rank < 0) done = true
+      else {
+        syms(pos) = syms(pos) + syms(pos + 1)
+        syms.remove(pos + 1)
+      }
+    }
+    syms.length
+  }
+
+  def bpeTokenCount(word: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      BpeCountExpr(
+        org.apache.spark.sql.graft.Bridge.expression(word), merges))
+}

@@ -311,6 +311,39 @@ object TextAnalysis {
           .as("logprob_avg"))
   }
 
+  /** Ranked BPE merge table for [[bpeTokenCounts]] — a small pinned set
+    * of common English fusions standing in for a trained vocabulary's
+    * merges file (offline container). Note rules 2 and 13 consume MERGED
+    * symbols ("th"+"e", "in"+"g") — the defining recursive property of
+    * BPE that a flat regex tokenizer cannot express. The oracle VALUES
+    * list is generated from this exact Seq. */
+  val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "r" -> "e", "o" -> "n", "e" -> "n", "a" -> "t", "o" -> "r",
+    "s" -> "t", "e" -> "s", "in" -> "g", "a" -> "r", "o" -> "u",
+    "l" -> "e")
+
+  /** Per-document BPE token counts under [[bpeMerges]]: whitespace words
+    * are lowercased and BPE-encoded independently
+    * ([[graft.expressions.BpeCountExpr]] — the exact priority-queue
+    * algorithm in one compiled pass per word), then summed. Output:
+    * `(id, n_words, n_bpe)` — the real sequence length a
+    * tokenizer-budgeted pipeline packs against, vs the whitespace count
+    * `text_tokens` reports.
+    *
+    * Scale shape: pure per-row projection (no shuffle, no state); cost
+    * is O(word length × merges) per word in compiled code. */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import graft.expressions.BpeCountExpr
+    val toks = graft.functions.Cleaning.tokens(lower(col(textCol)))
+    df.select(col(idCol),
+      size(toks).as("n_words"),
+      aggregate(transform(toks,
+          w => BpeCountExpr.bpeTokenCount(w, bpeMerges)),
+        lit(0), (acc, c) => acc + c).as("n_bpe"))
+  }
+
   /** Weight vector for [[qualityModelScore]]: `dim` integer micro-unit
     * weights (w/1e6 ∈ [-1, 1)) from the repo's self-pinned splitmix64
     * generator — the same JDK-proof pinning as

@@ -661,6 +661,45 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
   }
 }
 
+class BpeSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+  import graft.expressions.BpeCountExpr
+  import graft.operators.TextAnalysis
+
+  test("BPE merges are recursive and rank-prioritized; counts drop " +
+      "below character counts") {
+    def n(w: String) = BpeCountExpr.tokenCount(w, TextAnalysis.bpeMerges)
+    // recursion: t+h -> th, then th+e -> the (one symbol)
+    assert(n("the") == 1)
+    // i+n -> in, then in+g -> ing
+    assert(n("ing") == 1)
+    assert(n("thing") == 2)      // th + ing
+    // rank priority: in "ther", rank-0 t+h fires before e+r;
+    // then th+e (rank 1) beats e+r -> [the, r]
+    assert(n("ther") == 2)
+    // no applicable merge: stays at characters
+    assert(n("xyz") == 3)
+    assert(n("") == 0 && n("q") == 1)
+    // corpus-level: BPE count is never above character count and never
+    // below word count
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text")
+      .join(docs.select($"doc_id", length($"text").as("nc")), "doc_id")
+      .select($"n_words".as[Int], $"n_bpe".as[Int], $"nc".as[Int])
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nw, nb, nc) =>
+      assert(nb <= nc && nb >= nw)
+    }
+    // and the merges actually bite on natural text: symbols per doc are
+    // well below characters corpus-wide
+    val (nbSum, ncSum) =
+      (rows.map(_._2.toLong).sum, rows.map(_._3.toLong).sum)
+    assert(nbSum.toDouble / ncSum < 0.85, s"$nbSum/$ncSum")
+  }
+}
+
 class TextAnalysisSpec extends AnyFunSuite with SparkTester {
   import spark.implicits._
 
