@@ -509,6 +509,44 @@ object SimilarityQueries {
                ELSE round((v - mu) / sqrt(m2 - mu * mu), 6) END AS z
         FROM e JOIN st USING (i)""")),
 
+    // hard-negative mining: per query, the 10 nearest vectors with a
+    // DIFFERENT label (contrastive-training sampling); membership,
+    // scores, labels, and ranks all hash-checked
+    Q("simsearch_hard_negatives",
+      (s, dir) => {
+        val emb = Sources.table(s, dir, "embeddings")
+        Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+          emb.filter(col("vec_id") < 5), k = 10)
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+        lab AS (SELECT DISTINCT vec_id, label FROM e),
+        q AS (SELECT * FROM e WHERE vec_id < 5),
+        dots AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS cid, sum(q.v * c.v) AS dot
+          FROM q JOIN e c ON q.i = c.i AND c.vec_id <> q.vec_id
+            AND c.label <> q.label
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT q_id, lq.label AS q_label, cid AS vec_id,
+            lc.label AS label,
+            round(dot / (nq.nrm * nc.nrm), 6) AS cos
+          FROM dots
+          JOIN norms nq ON q_id = nq.vec_id
+          JOIN norms nc ON cid = nc.vec_id
+          JOIN lab lq ON q_id = lq.vec_id
+          JOIN lab lc ON cid = lc.vec_id)
+        SELECT q_id, q_label, vec_id, label, cos, rank FROM (
+          SELECT q_id, q_label, vec_id, label, cos,
+            CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER)
+              AS rank
+          FROM scored) r
+        WHERE rank <= 10""")),
+
     // exact brute-force cosine top-10 for queries vec_id < 5
     Q("simsearch_topk",
       (s, dir) => {
@@ -1099,6 +1137,38 @@ object TextQueries {
             coalesce(n_bpe, 0) AS n_bpe
           FROM documents d LEFT JOIN agg USING (doc_id)"""
       }),
+
+    // add-one bigram LM fluency (word-salad detector — common words in
+    // uncommon order score low where the unigram proxy cannot tell)
+    Q("text_bigram_logprob",
+      (s, dir) => TextAnalysis.bigramLogProb(
+        Sources.table(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH t AS (
+          SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), x -> x <> '')
+              AS toks
+          FROM documents),
+        uni AS (SELECT unnest(toks) AS w FROM t),
+        vv AS (SELECT count(DISTINCT w) AS V FROM uni),
+        bg AS (
+          SELECT doc_id,
+            string_split(b, chr(2))[1] AS w1,
+            string_split(b, chr(2))[2] AS w2
+          FROM (SELECT doc_id,
+              unnest([toks[i] || chr(2) || toks[i + 1]
+                for i in range(1, len(toks))]) AS b
+            FROM t) x),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        lp AS (
+          SELECT doc_id,
+            round(ln((c12 + 1)::DOUBLE / (c1 + V)::DOUBLE), 6)
+              ::DECIMAL(18,6) AS lp
+          FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+          CROSS JOIN vv)
+        SELECT doc_id, count(*) AS n_bigrams,
+          round(sum(lp)::DOUBLE / count(*), 6) AS logprob_avg
+        FROM lp GROUP BY doc_id""")),
 
     // fastText-style hashed linear quality classifier: tokens hash onto
     // 512 buckets, logit = bias + mean(bucket weights), score = logistic.

@@ -78,6 +78,32 @@ object Similarity {
             sqrt(col("m2") - col("mu") * col("mu")), 6)).as("z"))
   }
 
+  /** Hard-negative mining for contrastive training data (the sampling
+    * behind SimCLR/SBERT-style fine-tuning sets): for each query vector,
+    * the top-k most-similar corpus vectors carrying a DIFFERENT label —
+    * the "closest wrong answers" whose gradients matter most. Same exact
+    * cosine + deterministic ranking machinery as [[bruteForceTopK]] with
+    * the label-inequality predicate in the join; at scale swap the
+    * brute-force candidate stage for the IVF/LSH candidate generators
+    * (the predicate composes with any of them — filter, then verify).
+    * Output: (q_id, q_label, vec_id, label, cos, rank). */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qe"),
+      col(labelCol).as("q_label"))
+    val c = df.select(col(idCol).as("vec_id"), col(vecCol).as("e"),
+      col(labelCol).as("label"))
+    val scored = c.join(broadcast(q),
+        col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        round(VectorExpressions.cosineSim(col("qe"), col("e")), 6)
+          .as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Assign every vector to its nearest centroid (squared-L2, deterministic
     * tie-break on centroid id). Output: vec_id, cell, plus carried cols. */
   def assignCells(vectors: DataFrame, centroids: DataFrame, vecCol: String)

@@ -311,6 +311,49 @@ object TextAnalysis {
           .as("logprob_avg"))
   }
 
+  /** Add-one-smoothed bigram LM average log-probability — the next
+    * modeling step past [[unigramLogProb]]'s bag-of-words fluency:
+    * `P(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁) + V)` under the corpus's own
+    * counts, averaged per document over its bigrams. A document of
+    * common words in UNCOMMON order now scores low where the unigram
+    * proxy cannot tell — the word-salad detector.
+    *
+    * Same float discipline as the unigram form: each bigram's ln is
+    * rounded once at 6 dp, held as DECIMAL(18,6), summed exactly, one
+    * double divide + round. Documents with fewer than two tokens have no
+    * bigrams and drop out (as in the SQL mirror).
+    *
+    * Scale shape: one explode (bigrams built per-row), two
+    * map-side-combinable count tables (bigram and first-word), one
+    * tiny vocabulary scalar broadcast, one per-doc aggregate. The c12
+    * join is the big one — it shuffles on the bigram key, Zipf-bounded
+    * exactly like the term-frequency path. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toksC = graft.functions.Cleaning.tokens(lower(col(textCol)))
+    val withT = df.select(col(idCol), toksC.as("__t"))
+    val vocab = withT.select(explode(col("__t")).as("w"))
+      .agg(countDistinct(col("w")).as("V"))
+    val bg = withT.filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1))).as("p"))
+      .select(col(idCol), col("p").getField("0").as("w1"),
+        col("p").getField("1").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c12 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", round(log((col("c12") + 1).cast("double") /
+        (col("c1") + col("V")).cast("double")), 6).cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+          .as("logprob_avg"))
+  }
+
   /** Ranked BPE merge table for [[bpeTokenCounts]] — a small pinned set
     * of common English fusions standing in for a trained vocabulary's
     * merges file (offline container). Note rules 2 and 13 consume MERGED

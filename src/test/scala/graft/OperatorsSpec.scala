@@ -661,10 +661,67 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
   }
 }
 
+class HardNegativesSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  test("hard negatives: label-disjoint, rank-consistent, and exactly " +
+      "the filtered brute-force ranking") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.hardNegatives(emb, "vec_id", "embedding",
+        "label", emb.filter($"vec_id" < 5), k = 10)
+      .select("q_id", "q_label", "vec_id", "label", "cos", "rank")
+      .as[(Long, Int, Long, Int, Double, Int)].collect()
+    assert(out.length == 50)
+    assert(out.forall { case (_, ql, _, l, _, _) => ql != l },
+      "every negative carries a different label")
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._6)
+      assert(sorted.map(_._6).toSeq == (1 to 10))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._5 > b._5 || (a._5 == b._5 && a._3 < b._3)
+        case _ => true
+      })
+    }
+    // equals the unrestricted top-k recomputed with the label filter
+    val labels = emb.select($"vec_id".as[Long], $"label".as[Int])
+      .collect().toMap
+    val all = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 5),
+        "embedding", k = emb.count().toInt)
+      .select($"q_id".as[Long], $"vec_id".as[Long], $"cos".as[Double])
+      .collect()
+    val expect = all.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.filter(r => labels(r._2) != labels(q))
+        .sortBy(r => (-r._3, r._2)).take(10).map(r => (q, r._2)).toSeq
+    }.toSet
+    assert(out.map(r => (r._1, r._3)).toSet == expect)
+  }
+}
+
 class BpeSpec extends AnyFunSuite with SparkTester {
   import spark.implicits._
   import graft.expressions.BpeCountExpr
   import graft.operators.TextAnalysis
+
+  test("bigram LM separates phrase-structured text from the same words " +
+      "shuffled") {
+    import graft.operators.TextAnalysis
+    // corpus: many docs repeating the same bigrams + one word-salad doc
+    // built from the same vocabulary in a fixed scrambled order
+    val phrase = "the cat sat on the mat and the dog sat on the rug"
+    val salad = "mat the on dog rug and sat cat the on the sat the"
+    val docs = ((1L to 20L).map(i => (i, phrase)) :+ (99L, salad))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .select($"doc_id".as[Long], $"n_bigrams".as[Long],
+        $"logprob_avg".as[Double]).collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size == 21)
+    assert(out(1L)._1 == phrase.split(" ").length - 1)
+    // every phrase doc outscores the salad doc built from the same words
+    assert(out.filter(_._1 != 99L).values.forall(_._2 > out(99L)._2),
+      s"phrase ${out(1L)._2} vs salad ${out(99L)._2}")
+  }
 
   test("BPE merges are recursive and rank-prioritized; counts drop " +
       "below character counts") {
