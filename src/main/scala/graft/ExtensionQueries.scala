@@ -1138,6 +1138,73 @@ object TextQueries {
           FROM documents d LEFT JOIN agg USING (doc_id)"""
       }),
 
+    // self-BLEU-flavoured corpus-overlap diversity audit: fraction of
+    // each doc's distinct 4-grams appearing in OTHER docs. Spark
+    // shuffles xxhash64 gram keys; the oracle recomputes over gram
+    // strings — identical absent a 64-bit collision (the
+    // dedup_exact_substring precedent)
+    Q("text_selfoverlap",
+      (s, dir) => TextAnalysis.corpusOverlap(
+        Sources.table(s, dir, "documents"), "doc_id", "text", k = 4),
+      Some("""WITH w AS (
+          SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), x -> x <> '')
+              AS ws
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(ws) >= 4
+              THEN list_distinct([array_to_string(ws[i:i+3], ' ')
+                                  for i in range(1, len(ws) - 2)])
+              ELSE [array_to_string(ws, ' ')] END AS s
+          FROM w),
+        g AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
+        dfreq AS (SELECT g, count(*) AS df FROM g GROUP BY g),
+        agg AS (
+          SELECT doc_id, count(*) AS n_grams,
+            sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+          FROM g JOIN dfreq USING (g) GROUP BY doc_id)
+        SELECT doc_id, n_grams, n_shared,
+          round(n_shared::DOUBLE / n_grams::DOUBLE, 6) AS overlap_ratio
+        FROM agg""")),
+
+    // one-row corpus dashboard: counts, cardinalities, exact token
+    // totals — the composition a curation run reports at the end
+    Q("corpus_report",
+      (s, dir) => {
+        val d = Sources.table(s, dir, "documents")
+        val q = TextAnalysis.quality(d, "doc_id", "text")
+        d.join(q.select(col("doc_id"), col("n_tokens"),
+            col("n_numeric_tokens")), Seq("doc_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(col("source")).as("n_sources"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("n_tokens").cast("long")).as("total_tokens"),
+            round(sum(col("n_tokens").cast("long")).cast("double") /
+              count(lit(1)), 4).as("avg_doc_tokens"),
+            sum(when(col("n_numeric_tokens") > 0, 1L).otherwise(0L))
+              .as("n_docs_numeric"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, lang, source, n_chars,
+            list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        q AS (
+          SELECT doc_id, lang, source, n_chars, len(toks) AS n_tokens,
+            len(list_filter(toks, w -> regexp_matches(w, '^[0-9]+$')))
+              AS n_num
+          FROM t)
+        SELECT count(*) AS n_docs,
+          count(DISTINCT lang) AS n_langs,
+          count(DISTINCT source) AS n_sources,
+          sum(n_chars)::BIGINT AS total_chars,
+          sum(n_tokens)::BIGINT AS total_tokens,
+          round(sum(n_tokens)::DOUBLE / count(*), 4) AS avg_doc_tokens,
+          sum(CASE WHEN n_num > 0 THEN 1 ELSE 0 END)::BIGINT
+            AS n_docs_numeric
+        FROM q""")),
+
     // add-one bigram LM fluency (word-salad detector — common words in
     // uncommon order score low where the unigram proxy cannot tell)
     Q("text_bigram_logprob",

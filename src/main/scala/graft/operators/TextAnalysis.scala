@@ -311,6 +311,37 @@ object TextAnalysis {
           .as("logprob_avg"))
   }
 
+  /** Per-document corpus-overlap ratio (the self-BLEU-flavoured
+    * diversity audit): the fraction of a document's distinct word
+    * `k`-grams that occur in at least one OTHER document. High overlap
+    * flags template/boilerplate mass or synthetic-data mode collapse —
+    * the diversity counterpart of [[graft.operators.Curation
+    * .decontaminate]] (which checks overlap against an external
+    * benchmark, not the corpus itself).
+    *
+    * Scale shape: the shingle inverted index again — one codegen'd
+    * shingle pass, one distinct count per (doc, gram-hash), one gram
+    * document-frequency table (map-side combined, Zipf-bounded), one
+    * broadcast-scale join back. Shuffles carry 8-byte xxhash64 keys. */
+  def corpusOverlap(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4): DataFrame = {
+    import graft.expressions.TextExpressions
+    val grams = df.select(col(idCol).as("doc_id"),
+        explode(TextExpressions.wordShingles(lower(col(textCol)), k))
+          .as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    grams.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("overlap_ratio",
+        round(col("n_shared").cast("double") /
+          col("n_grams").cast("double"), 6))
+  }
+
   /** Add-one-smoothed bigram LM average log-probability — the next
     * modeling step past [[unigramLogProb]]'s bag-of-words fluency:
     * `P(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁) + V)` under the corpus's own

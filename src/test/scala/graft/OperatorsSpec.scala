@@ -703,6 +703,21 @@ class BpeSpec extends AnyFunSuite with SparkTester {
   import graft.expressions.BpeCountExpr
   import graft.operators.TextAnalysis
 
+  test("corpus overlap: exact copies saturate at 1, a unique doc " +
+      "reports 0") {
+    import graft.operators.TextAnalysis
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, shared), (2L, shared), // exact copies: every 4-gram shared
+      (3L, "one unique sentence nothing else repeats here at all"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.corpusOverlap(docs, "doc_id", "text", k = 4)
+      .select($"doc_id".as[Long], $"overlap_ratio".as[Double])
+      .collect().toMap
+    assert(m(1L) == 1.0 && m(2L) == 1.0)
+    assert(m(3L) == 0.0)
+  }
+
   test("bigram LM separates phrase-structured text from the same words " +
       "shuffled") {
     import graft.operators.TextAnalysis

@@ -142,4 +142,22 @@ class PlanSpec extends AnyFunSuite with SparkTester {
   }
   // (graph_pagerank's per-round plans are hidden behind localCheckpoint
   // by design — the iterative-loop rule; GraphSpec covers its semantics)
+
+  test("simsearch_hard_negatives: query side broadcast, corpus streams") {
+    val p = plan("simsearch_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_bigram_logprob / text_selfoverlap / corpus_report: counts " +
+      "partially aggregate map-side; scalars broadcast") {
+    for (name <- Seq("text_bigram_logprob", "text_selfoverlap")) {
+      val p = plan(name)
+      assert(p.contains("partial_count"), s"$name:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+    val r = plan("corpus_report")
+    assert(r.contains("partial_count"), r)
+  }
 }
