@@ -1922,6 +1922,34 @@ object CurationQueries {
         FROM cnt JOIN lr USING (j)
         GROUP BY doc_id""")),
 
+    // deterministic shard assignment over the md5 permutation (training
+    // shard delivery; rerun-stable). Oracle restates the permutation as
+    // one window + integer division
+    Q("curation_shards",
+      (s, dir) => Curation.assignShards(
+          Sources.table(s, dir, "documents"), "doc_id", salt = "r4",
+          shardSize = 64)
+        .select(col("doc_id"), col("pos"), col("shard_id")),
+      Some("""SELECT doc_id, pos, (pos - 1) // 64 AS shard_id FROM (
+          SELECT doc_id, row_number() OVER (
+            ORDER BY md5('r4' || doc_id::VARCHAR)) AS pos
+          FROM documents) t""")),
+
+    // order-independent corpus content fingerprint (lineage/reproduc-
+    // ibility attestation): bit_xor of a 60-bit md5 prefix of every
+    // (id, text) pair — any changed, added, or dropped row flips it,
+    // any row order does not
+    Q("corpus_fingerprint",
+      (s, dir) => Sources.table(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(CAST(conv(substring(md5(concat(" +
+            "CAST(doc_id AS STRING), '|', text)), 1, 15), 16, 10) " +
+            "AS BIGINT))").as("content_sig")),
+      Some("""SELECT count(*) AS n_docs,
+          bit_xor(('0x' || substr(md5(doc_id::VARCHAR || '|' || text),
+            1, 15))::BIGINT) AS content_sig
+        FROM documents""")),
+
     // deterministic global shuffle: position in the md5-permuted corpus.
     // The Spark side computes it as a bucketed two-phase prefix sum (no
     // single-partition sort); the oracle states the same permutation as

@@ -195,6 +195,23 @@ object Curation {
       .drop("_key", "_bucket", "_wpos", "_off")
   }
 
+  /** Deterministic shard assignment — the delivery step that splits a
+    * curated corpus into fixed-size training shards (WebDataset/TFRecord
+    * convention): shard i holds positions [i·shardSize, (i+1)·shardSize)
+    * of the [[shuffleDeterministic]] permutation, so shards are (a)
+    * equal-sized except the tail, (b) each an unbiased sample (the
+    * permutation is a hash shuffle), and (c) byte-identical on rerun —
+    * a re-delivery replaces shards content-identically instead of
+    * reshuffling the world. Output: (id, pos, shard_id). Writing =
+    * `partitionBy("shard_id")` on this frame ([[graft.sinks.Layout
+    * .writePartitioned]]). */
+  def assignShards(df: DataFrame, idCol: String, salt: String,
+      shardSize: Int): DataFrame = {
+    require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
+    shuffleDeterministic(df, idCol, salt)
+      .withColumn("shard_id", expr(s"(pos - 1) DIV $shardSize"))
+  }
+
   /** Fixed-size context packing: concatenate the (shuffled) corpus token
     * stream and chop it every `ctxSize` tokens — the sequence-packing
     * step that turns documents into equal-length training rows. Emits

@@ -223,6 +223,25 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(r.count(_._1 == 5L) >= 3)
   }
 
+  test("assignShards: full shards except the tail, rerun-identical, " +
+      "permutation-backed") {
+    val docs = spark.read.parquet(s"${sf("d")}/documents.parquet")
+    val n = docs.count()
+    val out = Curation.assignShards(docs, "doc_id", "v1", shardSize = 64)
+      .select($"doc_id".as[Long], $"pos".as[Long], $"shard_id".as[Long])
+      .collect()
+    assert(out.length == n)
+    assert(out.map(_._2).sorted.toSeq == (1L to n)) // a true permutation
+    val sizes = out.groupBy(_._3).view.mapValues(_.size).toMap
+    val full = sizes.filter(_._2 == 64)
+    assert(full.size >= sizes.size - 1, s"at most one partial shard: $sizes")
+    assert(sizes.values.sum == n)
+    val rerun = Curation.assignShards(docs, "doc_id", "v1", shardSize = 64)
+      .select($"doc_id".as[Long], $"pos".as[Long], $"shard_id".as[Long])
+      .collect()
+    assert(rerun.toSet == out.toSet)
+  }
+
   test("sampleWeighted: exact priority replay, heavier rows " +
       "overrepresented, deterministic, non-positive weights excluded") {
     val n = 2000
