@@ -767,6 +767,56 @@ object ReferenceQueries {
         WHERE p_size <= 25
         GROUP BY p_brand""")),
 
+    // ---- inactivity gaps: the dual of sessionization (session cuts as
+    // rows); whole-second boundary-crossing gap length is computed
+    // identically by Spark's long cast and ANSI date_diff ----
+    Q("events_gaps",
+      (s, dir) => graft.operators.Temporal.activityGaps(
+        Sources.events(s, dir), "user_id", "ts", minGapSec = 14400),
+      Some("""SELECT user_id, gap_start, gap_end, gap_s FROM (
+          SELECT user_id,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap_start,
+            ts AS gap_end,
+            date_diff('second',
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+              AS gap_s
+          FROM events) t
+        WHERE gap_start IS NOT NULL AND gap_s >= 14400""")),
+
+    // ---- ordered conversion funnel (view -> click -> purchase with
+    // strict event-order semantics) ----
+    Q("events_funnel",
+      (s, dir) => graft.operators.Temporal.funnel(
+        Sources.events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase")),
+      Some("""WITH s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        SELECT s1.user_id, t1, t2, t3
+        FROM s1 LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)""")),
+
+    // ---- daily retention cohort triangle ----
+    Q("events_retention",
+      (s, dir) => graft.operators.Temporal.retentionCohorts(
+        Sources.events(s, dir), "user_id", "ts"),
+      Some("""WITH f AS (
+          SELECT user_id, min(ts::DATE) AS cohort_day
+          FROM events GROUP BY 1),
+        a AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events)
+        SELECT cohort_day,
+          CAST(date_diff('day', cohort_day, d) AS INTEGER) AS day_offset,
+          count(DISTINCT user_id) AS n_users
+        FROM a JOIN f USING (user_id) GROUP BY 1, 2""")),
+
     // ---- date derivation (typed-schema improvement; SURVEY §2.8 note) ----
     Q("date_parts",
       (s, dir) => t(s, dir, "orders").select(

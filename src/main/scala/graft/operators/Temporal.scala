@@ -61,4 +61,67 @@ object Temporal {
       .filter(col("__is_right") === 0)
       .drop("__ts", "__payload", "__is_right")
   }
+
+  /** Inactivity gaps: per key, every pair of consecutive events more
+    * than `minGapSec` apart — the dual of sessionization (the session
+    * CUTS become rows). Gap length counts whole-second boundary
+    * crossings (`floor(ts) − floor(prev)`), which both Spark's long
+    * cast and ANSI `date_diff('second', …)` compute identically.
+    * One window shuffle on the key; skewed keys fall under AQE. */
+  def activityGaps(events: DataFrame, keyCol: String, tsCol: String,
+      minGapSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    // NTZ → timestamp (identical instant under the engine's pinned UTC
+    // session) → long = floor epoch seconds
+    def secs(c: Column) = c.cast("timestamp").cast("long")
+    events.select(col(keyCol), col(tsCol))
+      .withColumn("gap_start", lag(col(tsCol), 1).over(w))
+      .withColumn("gap_s", secs(col(tsCol)) - secs(col("gap_start")))
+      .filter(col("gap_start").isNotNull && col("gap_s") >= minGapSec)
+      .select(col(keyCol), col("gap_start"),
+        col(tsCol).as("gap_end"), col("gap_s"))
+  }
+
+  /** Ordered funnel: for each key, the earliest time of stage 1, then
+    * the earliest stage-2 event STRICTLY AFTER it, and so on — the
+    * classic product-analytics conversion funnel with strict event-order
+    * semantics (a purchase before the first view does not convert).
+    * Output: one row per key that completed stage 1, with nullable
+    * `t1..tn` reach times.
+    *
+    * Scale shape: one filtered min-aggregate per stage (map-side
+    * combined) joined key-to-key — n_stages narrow joins on the same
+    * key, each over the (shrinking) set of keys that reached the prior
+    * stage; no window, no explode. */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val s1 = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t1"))
+    stages.tail.zipWithIndex.foldLeft(s1) { case (acc, (st, i)) =>
+      val prev = s"t${i + 1}"
+      val cur = s"t${i + 2}"
+      val next = events.filter(col(typeCol) === st)
+        .select(col(keyCol), col(tsCol).as("__ts"))
+        .join(acc.select(col(keyCol), col(prev).as("__prev")),
+          Seq(keyCol))
+        .filter(col("__ts") > col("__prev"))
+        .groupBy(col(keyCol)).agg(min(col("__ts")).as(cur))
+      acc.join(next, Seq(keyCol), "left")
+    }
+  }
+
+  /** Daily retention cohorts: users grouped by first-active day, counted
+    * on each later active day (offset in days) — the standard cohort
+    * retention triangle. Two aggregates and one join, all on the key. */
+  def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String)
+      : DataFrame = {
+    val firstDay = events.groupBy(col(keyCol))
+      .agg(min(to_date(col(tsCol))).as("cohort_day"))
+    events.select(col(keyCol), to_date(col(tsCol)).as("d")).distinct()
+      .join(firstDay, Seq(keyCol))
+      .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col(keyCol)).as("n_users"))
+  }
 }

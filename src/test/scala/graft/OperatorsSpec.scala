@@ -442,6 +442,64 @@ class GraphSpec extends AnyFunSuite with SparkTester {
   }
 }
 
+class EventAnalyticsSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+  import graft.operators.Temporal
+
+  private def ts(min: Int) = java.sql.Timestamp.valueOf(
+    f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("funnel enforces strict event order per user") {
+    val ev = Seq(
+      // user 1 converts fully in order
+      (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(20), "purchase"),
+      // user 2's click PRECEDES its first view -> no stage 2
+      (2L, ts(5), "click"), (2L, ts(30), "view"), (2L, ts(40), "purchase"),
+      // user 3 stops after view
+      (3L, ts(1), "view"),
+      // user 4 never views -> absent from the funnel
+      (4L, ts(2), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val f = Temporal.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (r.get(1) != null, r.get(2) != null, r.get(3) != null)).toMap
+    assert(f.keySet == Set(1L, 2L, 3L))
+    assert(f(1L) == ((true, true, true)))
+    assert(f(2L) == ((true, false, false)), "pre-view click must not count")
+    assert(f(3L) == ((true, false, false)))
+  }
+
+  test("activity gaps emit exactly the over-threshold cuts") {
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(5)), (1L, ts(125)), // 120-min gap
+      (2L, ts(0)), (2L, ts(30)))               // under threshold
+      .toDF("user_id", "ts")
+    val g = Temporal.activityGaps(ev, "user_id", "ts", minGapSec = 3600)
+      .select($"user_id".as[Long], $"gap_s".as[Long]).collect()
+    assert(g.toSeq == Seq((1L, 7200L)))
+  }
+
+  test("retention: day-0 cell equals the cohort size") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val r = Temporal.retentionCohorts(ev, "user_id", "ts")
+    val day0 = r.filter($"day_offset" === 0)
+      .select($"cohort_day".as[java.sql.Date], $"n_users".as[Long])
+      .collect().toMap
+    val cohorts = ev.groupBy("user_id")
+      .agg(min(to_date($"ts")).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n"))
+      .select($"c".as[java.sql.Date], $"n".as[Long]).collect().toMap
+    assert(day0 == cohorts)
+    // offsets never negative; counts never exceed the cohort
+    val rows = r.select($"cohort_day".as[java.sql.Date],
+      $"day_offset".as[Int], $"n_users".as[Long]).collect()
+    assert(rows.forall(_._2 >= 0))
+    assert(rows.forall { case (c, _, n) => n <= cohorts(c) })
+  }
+}
+
 class TemporalSpec extends AnyFunSuite with SparkTester {
   import spark.implicits._
 
