@@ -365,17 +365,21 @@ object TextAnalysis {
     val withT = df.select(col(idCol), toksC.as("__t"))
     val vocab = withT.select(explode(col("__t")).as("w"))
       .agg(countDistinct(col("w")).as("V"))
+    // count tables and joins run on 8-byte xxhash64 keys, never bigram
+    // strings (the keys-not-payload shuffle rule; the oracle counts the
+    // strings — identical answers absent a 64-bit collision)
     val bg = withT.filter(size(col("__t")) >= 2)
       .select(col(idCol), explode(arrays_zip(
         slice(col("__t"), lit(1), size(col("__t")) - 1),
         slice(col("__t"), lit(2), size(col("__t")) - 1))).as("p"))
-      .select(col(idCol), col("p").getField("0").as("w1"),
-        col("p").getField("1").as("w2"))
+      .select(col(idCol),
+        xxhash64(col("p").getField("0")).as("h1"),
+        xxhash64(col("p").getField("0"), col("p").getField("1"))
+          .as("h12"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val c12 = bg.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+    val c12 = bg.groupBy(col("h12")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    bg.join(c12, Seq("h12")).join(c1, Seq("h1"))
       .crossJoin(broadcast(vocab))
       .withColumn("lp", round(log((col("c12") + 1).cast("double") /
         (col("c1") + col("V")).cast("double")), 6).cast("decimal(18,6)"))
