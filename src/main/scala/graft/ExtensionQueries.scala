@@ -1922,6 +1922,38 @@ object CurationQueries {
         FROM cnt JOIN lr USING (j)
         GROUP BY doc_id""")),
 
+    // corpus-version diff audit vs a deterministically perturbed v2
+    // snapshot (every 7th doc dropped, every 5th edited, a copied block
+    // re-added under offset ids) — per-row change verdicts hash-checked
+    Q("corpus_diff",
+      (s, dir) => {
+        val d = Sources.table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val v2 = d.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .union(d.select((col("doc_id") + 100000).as("doc_id"),
+            col("text")))
+        Curation.corpusDiff(d, v2, "doc_id", "text")
+      },
+      Some("""WITH o AS (
+          SELECT doc_id AS id, md5(text) AS oh FROM documents),
+        n0 AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+              AS text
+          FROM documents WHERE doc_id % 7 <> 0),
+        n AS (
+          SELECT doc_id AS id, md5(text) AS nh FROM n0
+          UNION ALL
+          SELECT doc_id + 100000 AS id, md5(text) AS nh FROM documents)
+        SELECT coalesce(o.id, n.id) AS id,
+          CASE WHEN o.id IS NULL THEN 'added'
+               WHEN n.id IS NULL THEN 'removed'
+               WHEN oh <> nh THEN 'changed'
+               ELSE 'unchanged' END AS change_type
+        FROM o FULL OUTER JOIN n ON o.id = n.id""")),
+
     // deterministic shard assignment over the md5 permutation (training
     // shard delivery; rerun-stable). Oracle restates the permutation as
     // one window + integer division

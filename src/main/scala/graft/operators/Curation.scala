@@ -382,6 +382,29 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Corpus-version diff — the audit between two snapshots of a managed
+    * training corpus (what a re-crawl / re-curation actually changed):
+    * per id, whether the row was `added`, `removed`, `changed` (content
+    * hash differs), or `unchanged`. Pairs with [[assignShards]]'s
+    * rerun-stability and the `corpus_fingerprint` attestation to make
+    * corpus evolution fully observable.
+    *
+    * Scale shape: both sides reduce to (id, 16-byte md5) BEFORE the
+    * join — the full-outer join shuffles hashes, never documents. */
+  def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldCorpus.select(col(idCol).as("id"),
+      md5(col(textCol)).as("__oh"))
+    val n = newCorpus.select(col(idCol).as("id"),
+      md5(col(textCol)).as("__nh"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "changed")
+          .otherwise("unchanged").as("change_type"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data",
     * arXiv:1911.00359 §4.3): rank documents by LM fluency WITHIN each

@@ -65,6 +65,17 @@ class CleaningSpec extends AnyFunSuite with SparkTester {
       == "https://h.com/CaseSensitive?b=2&a=1")
     // utm in a VALUE is not a tracking KEY — kept
     assert(canon("https://h.com/x?q=utm_source") == "https://h.com/x?q=utm_source")
+    // idempotence over the full branch matrix: a canonical URL is its
+    // own canonical form
+    for {
+      scheme <- Seq("http", "HTTPS")
+      port <- Seq("", ":80", ":443", ":8080")
+      frag <- Seq("", "#frag")
+      q <- Seq("", "?utm_source=x", "?a=1&ref=h&b=2", "?gclid=1")
+    } {
+      val u = s"$scheme://Host.Example.COM$port/Path/p$q$frag"
+      assert(canon(canon(u)) == canon(u), u)
+    }
   }
 
   test("F7 split_trim splits, trims, drops empties") {

@@ -118,3 +118,28 @@ object KernelProperties extends Properties("graft.kernels") {
         a.summary.endsWith(" . . . ")
     }
 }
+
+/** Properties of the BPE kernel (graft.expressions.BpeCountExpr). */
+object BpeProperties extends Properties("graft.bpe") {
+  import graft.expressions.BpeCountExpr
+  import graft.operators.TextAnalysis
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+
+  property("token count in [1, |word|]; empty word has none") =
+    Prop.forAll(word) { w =>
+      val n = BpeCountExpr.tokenCount(w, TextAnalysis.bpeMerges)
+      n >= 1 && n <= w.length &&
+        BpeCountExpr.tokenCount("", TextAnalysis.bpeMerges) == 0
+    }
+
+  property("appending lower-priority merges never increases the count " +
+      "(the extended system follows the base trajectory to its fixpoint, " +
+      "then merges further)") =
+    Prop.forAll(word) { w =>
+      val base = TextAnalysis.bpeMerges
+      val extended = base ++ Seq("d" -> "e", "s" -> "e", "n" -> "d")
+      BpeCountExpr.tokenCount(w, extended) <=
+        BpeCountExpr.tokenCount(w, base)
+    }
+}
