@@ -817,6 +817,30 @@ object ReferenceQueries {
           count(DISTINCT user_id) AS n_users
         FROM a JOIN f USING (user_id) GROUP BY 1, 2""")),
 
+    // ---- unpivot/melt (the inverse of pivot_events): wide metric
+    // columns to long (key, metric, value) rows — Spark's native
+    // unpivot; the oracle states the portable UNION ALL form ----
+    Q("unpivot_lineitem",
+      (s, dir) => t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          variableColumnName = "metric",
+          valueColumnName = "value"),
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+            l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""")),
+
     // ---- date derivation (typed-schema improvement; SURVEY §2.8 note) ----
     Q("date_parts",
       (s, dir) => t(s, dir, "orders").select(
