@@ -421,6 +421,40 @@ object ReferenceQueries {
         FROM ev e ASOF LEFT JOIN s
           ON e.user_id = s.user_id AND e.ts >= s.ts""")),
 
+    // ---- last-touch attribution: every purchase attributed to the
+    // latest preceding click by the same user — the as-of join applied
+    // to the classic marketing-analytics question; second differential
+    // against DuckDB's NATIVE ASOF JOIN ----
+    Q("events_attribution",
+      (s, dir) => {
+        val ev = Sources.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts", "event_id")
+        graft.operators.Temporal.asofJoin(purchases, clicks,
+          key = "user_id", leftTs = "ts", rightTs = "ts",
+          payload = Seq("event_id"), rightOrder = "event_id")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("value"),
+            col("__carried.event_id").as("click_id"),
+            col("__carried.__matched_ts").as("click_ts"))
+      },
+      Some("""WITH ev AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                 event_type
+          FROM events),
+        c AS (
+          SELECT user_id, ts, event_id FROM (
+            SELECT user_id, ts, event_id, row_number() OVER (
+              PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM ev WHERE event_type = 'click') t WHERE rn = 1)
+        SELECT p.event_id AS purchase_id, p.user_id, p.value,
+               c.event_id AS click_id, c.ts AS click_ts
+        FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts""")),
+
     // ---- pivot (free op): per-user event-type count matrix ----
     Q("pivot_events",
       (s, dir) => Sources.events(s, dir)
