@@ -180,4 +180,59 @@ object EventStream {
           }
       }
   }
+
+  case class FunnelState(reached: Array[Long])
+  case class FunnelReach(user_id: Long, stage: Int, ts_ms: Long)
+
+  /** Streaming conversion funnel: a per-user state machine over
+    * `flatMapGroupsWithState` that emits a `FunnelReach(user, stage,
+    * ts)` record the moment a user first reaches each stage — stage i
+    * counts only via an event STRICTLY AFTER the stage-(i−1) reach time,
+    * the same strict-order semantics as the batch
+    * [[graft.operators.Temporal.funnel]] (the spec holds the two to the
+    * same answers on the same data).
+    *
+    * State per user is `n_stages` longs — bounded, no timeout needed
+    * (a funnel position is meaningful forever; add a TTL timeout if the
+    * key domain is unbounded). Within a micro-batch events are folded in
+    * (ts, event_id) order; each reach is emitted exactly once (append
+    * mode). Bounded-state limitation, stated plainly: a stage-i event
+    * processed BEFORE its stage-(i−1) prerequisite arrives (late, in a
+    * later micro-batch) is not retroactively counted — the row was
+    * discarded, not buffered. For streams whose per-user order respects
+    * event time (or after batch reconciliation with
+    * [[graft.operators.Temporal.funnel]], which the spec runs), results
+    * are identical to the batch form. */
+  def funnelStream(events: Dataset[EventRow], stages: Seq[String])
+      : Dataset[FunnelReach] = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelReach](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow],
+            state: GroupState[FunnelState]) =>
+          val reached = state.getOption
+            .map(_.reached.clone())
+            .getOrElse(Array.fill(stages.length)(Long.MinValue))
+          val out = scala.collection.mutable.ListBuffer.empty[FunnelReach]
+          val sorted = rows.toSeq
+            .filter(e => stageIdx.contains(e.event_type))
+            .sortBy(e => (e.ts.getTime, e.event_id))
+          sorted.foreach { e =>
+            val i = stageIdx(e.event_type)
+            val t = e.ts.getTime
+            val priorOk = i == 0 ||
+              (reached(i - 1) != Long.MinValue && t > reached(i - 1))
+            if (reached(i) == Long.MinValue && priorOk) {
+              reached(i) = t
+              out += FunnelReach(userId, i + 1, t)
+            }
+          }
+          state.update(FunnelState(reached))
+          out.iterator
+      }
+  }
 }

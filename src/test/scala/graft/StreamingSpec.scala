@@ -124,6 +124,54 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     } finally q.stop()
   }
 
+  test("streaming funnel: per-user reaches across micro-batches equal " +
+      "the batch funnel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sfunnel")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    def row(id: Long, t: Int, u: Long, et: String) =
+      (id, ts(t), u, et, 1.0)
+    // batch 1: user 1 views+clicks; user 2 clicks before viewing
+    mem.addData(row(1, 0, 1, "view"), row(2, 10, 1, "click"),
+      row(3, 5, 2, "click"), row(4, 30, 2, "view"))
+    val q = EventStream.funnelStream(
+        mem.toDS().toDF("event_id", "ts", "user_id", "event_type", "value")
+          .as[EventStream.EventRow],
+        Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: user 1 purchases (stage 3 across the batch boundary);
+      // user 2's click AFTER its view now counts as stage 2
+      mem.addData(row(5, 20, 1, "purchase"), row(6, 40, 2, "click"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_out")
+        .select("user_id", "stage", "ts_ms")
+        .as[(Long, Int, Long)].collect().toSet
+      val expected = Set(
+        (1L, 1, ts(0).getTime), (1L, 2, ts(10).getTime),
+        (1L, 3, ts(20).getTime),
+        (2L, 1, ts(30).getTime), (2L, 2, ts(40).getTime))
+      assert(got == expected)
+      // and the batch operator agrees on the same (in-order) data
+      val ev = Seq(row(1, 0, 1, "view"), row(2, 10, 1, "click"),
+        row(3, 5, 2, "click"), row(4, 30, 2, "view"),
+        row(5, 20, 1, "purchase"), row(6, 40, 2, "click"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val batch = graft.operators.Temporal.funnel(
+          ev, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .collect().map(r => r.getLong(0) ->
+          Seq(Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+      def reachTimes(u: Long) = got.filter(_._1 == u).toSeq
+        .sortBy(_._2).map(x => new java.sql.Timestamp(x._3))
+      assert(batch(1L).flatten == reachTimes(1L))
+      assert(batch(2L).flatten == reachTimes(2L))
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join matches the batch interval join") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ssj")
     val cDir = dir.resolve("clicks"); val pDir = dir.resolve("purch")
