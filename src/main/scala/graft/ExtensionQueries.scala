@@ -547,6 +547,41 @@ object SimilarityQueries {
           FROM scored) r
         WHERE rank <= 10""")),
 
+    // the positive twin: top-5 SAME-label neighbours per query — the
+    // anchor-positive side of a contrastive batch
+    Q("simsearch_positives",
+      (s, dir) => {
+        val emb = Sources.table(s, dir, "embeddings")
+        Similarity.positivePairs(emb, "vec_id", "embedding", "label",
+          emb.filter(col("vec_id") < 5), k = 5)
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+        lab AS (SELECT DISTINCT vec_id, label FROM e),
+        q AS (SELECT * FROM e WHERE vec_id < 5),
+        dots AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS cid, sum(q.v * c.v) AS dot
+          FROM q JOIN e c ON q.i = c.i AND c.vec_id <> q.vec_id
+            AND c.label = q.label
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT q_id, lq.label AS q_label, cid AS vec_id,
+            round(dot / (nq.nrm * nc.nrm), 6) AS cos
+          FROM dots
+          JOIN norms nq ON q_id = nq.vec_id
+          JOIN norms nc ON cid = nc.vec_id
+          JOIN lab lq ON q_id = lq.vec_id)
+        SELECT q_id, q_label, vec_id, cos, rank FROM (
+          SELECT q_id, q_label, vec_id, cos,
+            CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER)
+              AS rank
+          FROM scored) r
+        WHERE rank <= 5""")),
+
     // exact brute-force cosine top-10 for queries vec_id < 5
     Q("simsearch_topk",
       (s, dir) => {
@@ -2347,6 +2382,31 @@ object GraphQueries {
     // unrolled CTEs replay all 3 rounds digit-for-digit (double rounding
     // at this precision is NOT engine-portable; integers are — see
     // Graph.pageRank scaladoc)
+    // degree-distribution audit of the same trade graph (the first thing
+    // to inspect before running an iterative graph algorithm: how skewed
+    // is the fan-out the per-round joins will carry)
+    Q("graph_degree_stats",
+      (s, dir) => {
+        val pairs = Sources.table(s, dir, "orders")
+          .join(Sources.table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("sp"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
+          .union(pairs.select(col("sp").as("src"), col("c").as("dst")))
+        edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+      },
+      Some("""WITH p AS (
+          SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        e AS (
+          SELECT c AS src, sp AS dst FROM p
+          UNION ALL SELECT sp AS src, c AS dst FROM p),
+        d AS (SELECT src, count(*) AS deg FROM e GROUP BY src)
+        SELECT deg, count(*) AS n_nodes FROM d GROUP BY deg""")),
+
     Q("graph_pagerank",
       (s, dir) => {
         val pairs = Sources.table(s, dir, "orders")

@@ -104,6 +104,27 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** The positive-pair twin of [[hardNegatives]]: top-k most-similar
+    * corpus vectors carrying the SAME label (excluding self) — the
+    * anchor–positive pairs of a contrastive batch. Same machinery, the
+    * equality predicate in the join. */
+  def positivePairs(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qe"),
+      col(labelCol).as("q_label"))
+    val c = df.select(col(idCol).as("vec_id"), col(vecCol).as("e"),
+      col(labelCol).as("label"))
+    val scored = c.join(broadcast(q),
+        col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id"),
+        round(VectorExpressions.cosineSim(col("qe"), col("e")), 6)
+          .as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Assign every vector to its nearest centroid (squared-L2, deterministic
     * tie-break on centroid id). Output: vec_id, cell, plus carried cols. */
   def assignCells(vectors: DataFrame, centroids: DataFrame, vecCol: String)

@@ -722,6 +722,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
 class HardNegativesSpec extends AnyFunSuite with SparkTester {
   import spark.implicits._
 
+  test("positive pairs: same label, never self, disjoint from the " +
+      "negatives") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val labels = emb.select($"vec_id".as[Long], $"label".as[Int])
+      .collect().toMap
+    val pos = Similarity.positivePairs(emb, "vec_id", "embedding",
+        "label", emb.filter($"vec_id" < 5), k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+    assert(pos.nonEmpty)
+    assert(pos.forall { case (q, v) => q != v && labels(q) == labels(v) })
+    val neg = Similarity.hardNegatives(emb, "vec_id", "embedding",
+        "label", emb.filter($"vec_id" < 5), k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(pos.toSet.intersect(neg).isEmpty)
+  }
+
   test("hard negatives: label-disjoint, rank-consistent, and exactly " +
       "the filtered brute-force ranking") {
     val emb = spark.read
