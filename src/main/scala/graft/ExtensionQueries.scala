@@ -912,6 +912,24 @@ object SimilarityQueries {
         dim = 64, nBits = 16, bandBits = 4),
       Some(s"WITH $lshBandsCtes $lshCandSql")),
 
+    // multi-probe LSH: probes every band key at Hamming distance 1 too —
+    // same index, bandBits x more probes, strictly-superset candidates.
+    // Hash-checked via the same committed plane fixture
+    Q("simsearch_lsh_multiprobe",
+      (s, dir) => Similarity.lshCandidatesMultiProbe(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, nBits = 16, bandBits = 4),
+      Some(s"""WITH $lshBandsCtes,
+        probes AS (
+          SELECT vec_id, band, key FROM bands
+          UNION ALL
+          SELECT vec_id, band, xor(key, 1::BIGINT << j) AS key
+          FROM bands, (SELECT unnest(range(0, 4)) AS j) jj)
+        SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM probes x JOIN bands y
+          ON x.band = y.band AND x.key = y.key
+          AND x.vec_id < y.vec_id""")),
+
     // feature-hashed text embedding (sparse rows, integer values) — the
     // engine-internal text→vector step, exactly reproducible in SQL
     Q("text_embed_hash",

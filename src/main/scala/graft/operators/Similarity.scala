@@ -500,4 +500,58 @@ object Similarity {
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
   }
+
+  /** Multi-probe LSH (Lv et al. 2007, "Multi-Probe LSH: Efficient
+    * Indexing for High-Dimensional Similarity Search"): in addition to
+    * each vector's own band keys, the probe side also visits every band
+    * key at Hamming distance 1 — a pair whose signatures disagree by one
+    * bit WITHIN a band (which plain banding misses unless another band
+    * matches exactly) now collides. Same index, `bandBits`× more probes,
+    * strictly-superset candidates; recall rises without adding hash
+    * tables (the classic memory/probe tradeoff — the paper's
+    * query-adaptive probe ordering degenerates to "all 1-flip
+    * neighbours" here, which keeps the generator deterministic and
+    * oracle-checkable via the same staged plane fixture).
+    *
+    * Scale shape: identical to [[lshCandidates]] with the probe side's
+    * explode fan-out ×(bandBits + 1); the join stays a band/key
+    * equi-join on small integer keys. */
+  def lshCandidatesMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int = 16, bandBits: Int = 4, seed: Long = 42L)
+      : DataFrame = {
+    val planes: Seq[Seq[Float]] = hyperplanes(dim, nBits, seed)
+    val bitCols = planes.map { p =>
+      val dot = VectorExpressions.dot(col(vecCol), typedLit(p))
+      when(dot >= 0, 1L).otherwise(0L)
+    }
+    val sig = bitCols.zipWithIndex
+      .map { case (b, i) => b * (1L << i) }
+      .reduce(_ + _)
+    val nBands = nBits / bandBits
+    val sigs = df.select(col(idCol).as("vec_id"), sig.as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def keyOf(i: Int) = shiftrightunsigned(col("sig"), i * bandBits)
+      .bitwiseAND(lit((1L << bandBits) - 1))
+    val bands = sigs.select(col("vec_id"),
+      explode(array((0 until nBands).map { i =>
+        struct(lit(i).as("band"), keyOf(i).as("key"))
+      }: _*)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"),
+        col("b.key").as("key"))
+    // probe set = own key + all 1-flip neighbours per band
+    val probes = sigs.select(col("vec_id"),
+      explode(array((0 until nBands).flatMap { i =>
+        struct(lit(i).as("band"), keyOf(i).as("key")) +:
+          (0 until bandBits).map { j =>
+            struct(lit(i).as("band"),
+              keyOf(i).bitwiseXOR(lit(1L << j)).as("key"))
+          }
+      }: _*)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"),
+        col("b.key").as("key"))
+    probes.as("x").join(bands.as("y"), Seq("band", "key"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+  }
 }

@@ -722,6 +722,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
 class HardNegativesSpec extends AnyFunSuite with SparkTester {
   import spark.implicits._
 
+  test("multi-probe LSH: strict candidate superset of plain banding; " +
+      "higher near-dup recall at the same index") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plain = Similarity.lshCandidates(emb, "vec_id", "embedding", 64)
+      .as[(Long, Long)].collect().toSet
+    val multi = Similarity.lshCandidatesMultiProbe(
+        emb, "vec_id", "embedding", 64)
+      .as[(Long, Long)].collect().toSet
+    assert(plain.subsetOf(multi), "1-flip probing only ADDS candidates")
+    assert(multi.size > plain.size, "the fixture must exercise the flips")
+    // recall against the exact pair set at a moderate threshold
+    val exact = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    if (exact.nonEmpty) {
+      val rPlain = (plain & exact).size.toDouble / exact.size
+      val rMulti = (multi & exact).size.toDouble / exact.size
+      assert(rMulti >= rPlain, s"recall $rMulti vs $rPlain")
+    }
+  }
+
   test("positive pairs: same label, never self, disjoint from the " +
       "negatives") {
     val emb = spark.read
