@@ -77,7 +77,7 @@ object DedupQueries {
 
   /** Min-label reachability clusters over the thresholded pair list —
     * shared by both connected-components implementations. */
-  private val clustersCtes =
+  private[graft] val clustersCtes =
     s"""pairs AS ($jaccardPairsSql),
       edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -1752,6 +1752,32 @@ object CurationQueries {
     // DSIR importance weights: hashed unigram+bigram bag log-likelihood
     // ratio, target slice = lang='en'. Exact-decimal per-doc sums (the
     // unigram-logprob parity rule), so the ranking is hash-checked
+    // LEAKAGE-SAFE split: the hash draw keys on the near-dup CLUSTER id,
+    // so a document and its near-duplicates always land in the same
+    // split — the standard guard against train/test contamination that
+    // a row-wise split cannot give. Oracle composes the recursive-CTE
+    // cluster labels with the same md5 draw
+    Q("curation_split_by_cluster",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          k = 5, threshold = 0.8)
+        val cc = Dedup.connectedComponents(docs, "doc_id", pairs)
+        Curation.assignSplit(cc, "cluster_id", trainPct = 80,
+            valPct = 10, salt = "v1")
+          .select(col("doc_id"), col("cluster_id"), col("split"))
+      },
+      Some(s"""WITH RECURSIVE
+        ${DedupQueries.clustersCtes}
+        SELECT doc_id, cluster_id,
+          CASE WHEN h < 80 THEN 'train'
+               WHEN h < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM (SELECT doc_id, cluster_id,
+            ('0x' || substr(md5(cluster_id::VARCHAR || 'v1'), 1, 8))
+              ::BIGINT % 100 AS h
+          FROM cc) t""")),
+
     // deterministic 80/10/10 split assignment — salt 'v1', md5 draw
     // mirrored exactly, so split membership itself is hash-checked
     Q("curation_split",

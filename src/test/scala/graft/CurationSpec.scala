@@ -223,6 +223,25 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(r.count(_._1 == 5L) >= 3)
   }
 
+  test("cluster-keyed split: near-duplicates never straddle a split " +
+      "boundary") {
+    val docs = spark.read.parquet(s"${sf("d")}/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.8)
+    assert(pairs.count() > 0, "fixture has planted near-dups")
+    val cc = Dedup.connectedComponents(docs, "doc_id", pairs)
+    val split = Curation.assignSplit(cc, "cluster_id", 80, 10, "v1")
+      .select($"doc_id".as[Long], $"split".as[String]).collect().toMap
+    // every near-dup pair shares a split; a row-wise split would not
+    val ps = pairs.select($"doc_a".as[Long], $"doc_b".as[Long]).collect()
+    ps.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a,$b) split across sets")
+    }
+    val rowwise = Curation.assignSplit(docs, "doc_id", 80, 10, "v1")
+      .select($"doc_id".as[Long], $"split".as[String]).collect().toMap
+    assert(ps.exists { case (a, b) => rowwise(a) != rowwise(b) },
+      "the row-wise control actually leaks on this fixture")
+  }
+
   test("assignShards: full shards except the tail, rerun-identical, " +
       "permutation-backed") {
     val docs = spark.read.parquet(s"${sf("d")}/documents.parquet")
