@@ -582,6 +582,60 @@ object SimilarityQueries {
           FROM scored) r
         WHERE rank <= 5""")),
 
+    // the assembled contrastive batch: rank-i positive paired with
+    // rank-i hard negative per anchor, with the contrastive margin —
+    // what a triplet-loss fine-tuning job actually consumes
+    Q("contrastive_triplets",
+      (s, dir) => {
+        val emb = Sources.table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+        val pos = Similarity.positivePairs(emb, "vec_id", "embedding",
+            "label", q, k = 3)
+          .select(col("q_id"), col("vec_id").as("pos_id"),
+            col("cos").as("pos_cos"), col("rank"))
+        val neg = Similarity.hardNegatives(emb, "vec_id", "embedding",
+            "label", q, k = 3)
+          .select(col("q_id"), col("vec_id").as("neg_id"),
+            col("cos").as("neg_cos"), col("rank"))
+        pos.join(neg, Seq("q_id", "rank"))
+          .select(col("q_id"), col("rank"), col("pos_id"), col("neg_id"),
+            round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+        lab AS (SELECT DISTINCT vec_id, label FROM e),
+        q AS (SELECT * FROM e WHERE vec_id < 5),
+        dots AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS cid,
+            lc.label = lq.label AS same_label, sum(q.v * c.v) AS dot
+          FROM q JOIN e c ON q.i = c.i AND c.vec_id <> q.vec_id
+          JOIN lab lq ON q.vec_id = lq.vec_id
+          JOIN lab lc ON c.vec_id = lc.vec_id
+          GROUP BY 1, 2, 3),
+        scored AS (
+          SELECT q_id, cid AS vec_id, same_label,
+            round(dot / (nq.nrm * nc.nrm), 6) AS cos
+          FROM dots
+          JOIN norms nq ON q_id = nq.vec_id
+          JOIN norms nc ON cid = nc.vec_id),
+        posr AS (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER)
+            AS rank
+          FROM scored WHERE same_label),
+        negr AS (
+          SELECT q_id, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER)
+            AS rank
+          FROM scored WHERE NOT same_label)
+        SELECT p.q_id, p.rank, p.vec_id AS pos_id, n.vec_id AS neg_id,
+          round(p.cos - n.cos, 6) AS margin
+        FROM posr p JOIN negr n ON p.q_id = n.q_id AND p.rank = n.rank
+        WHERE p.rank <= 3""")),
+
     // exact brute-force cosine top-10 for queries vec_id < 5
     Q("simsearch_topk",
       (s, dir) => {
