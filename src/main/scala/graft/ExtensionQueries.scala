@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, Enrich, Graph, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Enrich, Graph, Multimodal, QualityModel, Similarity, TextAnalysis}
 import graft.functions.Cleaning
 import graft.sources.Sources
 
@@ -317,6 +317,45 @@ object DedupQueries {
           WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4)
         SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
         FROM assign a LEFT JOIN dups d ON a.vec_id = d.vec_id""")),
+
+    // INCREMENTAL dedup — the continuous-crawl admission step: batch
+    // docs (id % 4 = 0) are admitted iff they near-dup neither the
+    // existing corpus (id % 4 <> 0) nor a lower-id batch doc. Both pair
+    // sources are LSH-with-exact-verify, so the verdict equals the
+    // brute-force cross/self Jaccard rule the oracle computes
+    Q("dedup_incremental",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 4 =!= 0),
+          docs.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", k = 5, threshold = 0.8)
+      },
+      Some(s"""WITH corp AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+        bat AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+        ${shingleCtesFor("corp", "wc", "sc")},
+        ${shingleCtesFor("bat", "wb", "sb")},
+        crossdup AS (
+          SELECT DISTINCT b.doc_id
+          FROM sc a JOIN sb b
+            ON round(len(list_intersect(a.s, b.s))::DOUBLE /
+              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+              >= 0.8),
+        withindup AS (
+          SELECT DISTINCT b2.doc_id
+          FROM sb b1 JOIN sb b2 ON b1.doc_id < b2.doc_id
+            AND round(len(list_intersect(b1.s, b2.s))::DOUBLE /
+              (len(b1.s) + len(b2.s) - len(list_intersect(b1.s, b2.s))),
+              6) >= 0.8)
+        SELECT b.doc_id,
+          (c.doc_id IS NOT NULL) AS dup_corpus,
+          (w.doc_id IS NOT NULL) AS dup_batch,
+          (c.doc_id IS NULL AND w.doc_id IS NULL) AS keep
+        FROM bat b
+        LEFT JOIN crossdup c ON b.doc_id = c.doc_id
+        LEFT JOIN withindup w ON b.doc_id = w.doc_id""")),
 
     // exact-substring dedup (Lee et al. 2021): every token inside a
     // >=k-token substring that occurs more than once in the corpus is
@@ -1062,7 +1101,107 @@ object SimilarityQueries {
 
 object TextQueries {
 
+  /** Unrolled-GD CTE chain mirroring [[QualityModel.trainLogReg]] — the
+    * logistic-regression twin of `kmeansAssignCtes`: each training round
+    * becomes three CTEs (per-doc logit/residual, per-bucket gradient,
+    * weight update) generated from the SAME constants the Spark trainer
+    * uses, so the two sides cannot drift. Exposes `f(doc_id, j, c)`,
+    * `docs(doc_id, y, n)`, `nn(nn)`, and the trained `w$iters(j, w)` /
+    * `b$iters(b)` to the caller's tail CTEs. `labelSql` must evaluate to
+    * 0/1 over a `documents` row aliased `d`. */
+  private[graft] def lrCtes(dim: Int, iters: Int, lr: Double,
+      labelSql: String): String = {
+    val rounds = (0 until iters).map { t =>
+      s"""s$t AS (
+          SELECT f.doc_id, sum(CAST(w.w AS DECIMAL(18,6)) * f.c) AS s
+          FROM f JOIN w$t w ON f.j = w.j
+          GROUP BY f.doc_id),
+        r$t AS (
+          SELECT d.doc_id, d.n,
+            CAST(round(1.0 / (1.0 + exp(-round(b.b +
+              $dim * CAST(s.s AS DOUBLE) / d.n, 6))), 6)
+              AS DECIMAL(18,6)) - d.y AS r
+          FROM docs d JOIN s$t s ON d.doc_id = s.doc_id CROSS JOIN b$t b),
+        g$t AS (
+          SELECT f.j,
+            sum(CAST(round(CAST(r.r AS DOUBLE) * $dim * f.c / r.n, 9)
+              AS DECIMAL(28,9))) AS g
+          FROM f JOIN r$t r ON f.doc_id = r.doc_id
+          GROUP BY f.j),
+        w${t + 1} AS (
+          SELECT w.j,
+            round(w.w - $lr * coalesce(CAST(g.g AS DOUBLE), 0.0) / nn.nn,
+              6) AS w
+          FROM w$t w LEFT JOIN g$t g ON w.j = g.j CROSS JOIN nn),
+        b${t + 1} AS (
+          SELECT round(b.b - $lr *
+            CAST((SELECT sum(r) FROM r$t) AS DOUBLE) / nn.nn, 6) AS b
+          FROM b$t b CROSS JOIN nn)"""
+    }.mkString(",\n")
+    s"""t AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+            AS term
+        FROM documents),
+      f AS (
+        SELECT doc_id,
+          ('0x' || substr(md5(term), 1, 8))::BIGINT % $dim AS j,
+          count(*) AS c
+        FROM t GROUP BY doc_id, j),
+      docs AS (
+        SELECT d.doc_id, ($labelSql)::INTEGER AS y, n.n
+        FROM documents d JOIN (
+          SELECT doc_id, sum(c) AS n FROM f GROUP BY doc_id) n
+          ON d.doc_id = n.doc_id),
+      nn AS (SELECT count(*) AS nn FROM docs),
+      w0 AS (SELECT unnest(range(0, $dim))::BIGINT AS j, 0.0 AS w),
+      b0 AS (SELECT 0.0 AS b),
+      $rounds"""
+  }
+
   def all: Seq[Q] = Seq(
+
+    // IN-ENGINE TRAINED quality classifier: full-batch logistic
+    // regression over hashed bag-of-words buckets, 3 deterministic GD
+    // rounds (decimal-exact weighted sums, 6-dp weight rounding). The
+    // oracle unrolls the whole training loop as generated CTEs — every
+    // trained weight (and the bias, the j = -1 row) hash-checked.
+    // NOTE: the synthetic corpus draws text from one shared vocabulary,
+    // so its lang column is statistically independent of the text — the
+    // registry entry checks the TRAINING DATAFLOW exactly;
+    // QualityModelSpec proves the same trainer separates a
+    // two-vocabulary fixture at >= 95% accuracy
+    Q("quality_train_lr",
+      (s, dir) => QualityModel.trainLogReg(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", dim = 32, iters = 3, lr = 2.0),
+      Some(s"""WITH ${lrCtes(32, 3, 2.0, "d.lang = 'en'")}
+        SELECT CAST(j AS INTEGER) AS j, w FROM w3
+        UNION ALL SELECT -1 AS j, b AS w FROM b3""")),
+
+    // the closed classifier loop (DataComp-LM / GPT-3 §2.2): label the
+    // trusted slice, TRAIN in-engine, score every document, filter at
+    // 0.5 — train + score + verdict composed into one differential query
+    Q("curation_classifier_filter",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        val model = QualityModel.trainLogReg(docs, "doc_id", "text",
+          col("lang") === "en", dim = 32, iters = 3, lr = 2.0)
+        QualityModel.scoreLogReg(docs, "doc_id", "text", model, dim = 32)
+      },
+      Some(s"""WITH ${lrCtes(32, 3, 2.0, "d.lang = 'en'")},
+        sF AS (
+          SELECT f.doc_id, sum(CAST(w.w AS DECIMAL(18,6)) * f.c) AS s,
+            sum(f.c) AS n
+          FROM f JOIN w3 w ON f.j = w.j GROUP BY f.doc_id),
+        sc AS (
+          SELECT d.doc_id,
+            round(1.0 / (1.0 + exp(-round(b.b +
+              coalesce(32 * CAST(sF.s AS DOUBLE) / sF.n, 0.0), 6))), 6)
+              AS score
+          FROM documents d LEFT JOIN sF ON d.doc_id = sF.doc_id
+          CROSS JOIN b3 b)
+        SELECT doc_id, score, score >= 0.5 AS keep FROM sc""")),
 
     Q("text_langid",
       (s, dir) => TextAnalysis.langId(

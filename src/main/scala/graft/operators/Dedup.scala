@@ -211,6 +211,108 @@ object Dedup {
     jaccardFromCounts(inter, sizes, threshold)
   }
 
+  /** MinHash+LSH near-dup pairs BETWEEN two corpora (no within-side
+    * pairs): candidates from a band equi-join of `left`'s signatures
+    * against `right`'s, then exact Jaccard verification — same hash
+    * family, banding, and verify stage as [[minhashLshPairs]], so the
+    * output equals brute-force cross Jaccard at the same threshold (up
+    * to the same ~1e-13 banding false-negative odds). Output:
+    * `(doc_a, doc_b, jaccard)` with `doc_a` from `left`, `doc_b` from
+    * `right`. Id spaces must be disjoint (callers pass distinct key
+    * ranges — an id in both sides would alias in the verify join).
+    *
+    * Scale shape: this is the CONTINUOUS-CRAWL join — at 100 TB the
+    * left (corpus-at-rest) signatures are computed once and persisted
+    * as a table; only the new batch computes fresh signatures, the band
+    * join shuffles 8-byte keys, and verification tokenizes candidate
+    * documents only, each side from its own store. */
+  def minhashLshPairsBetween(left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String, k: Int = 5, bands: Int = 32,
+      rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def bandRows(df: DataFrame): DataFrame = {
+      val sig = df.select(col(idCol).as("doc_id"),
+          graft.expressions.MinHash.signature(
+            Text.wordShingles(col(textCol), k), numHashes).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bandCols = (0 until bands).map { bnd =>
+        val rows = (0 until rowsPerBand)
+          .map(r => col("sig").getItem(bnd * rowsPerBand + r))
+        struct(lit(bnd).as("band"), xxhash64(rows: _*).as("key"))
+      }
+      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"),
+          col("b.key").as("key"))
+    }
+    val cand = bandRows(left).as("x").join(bandRows(right).as("y"),
+        Seq("band", "key"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def candShingles(df: DataFrame, side: String): DataFrame = {
+      val docs = cand.select(col(side).as("doc_id")).distinct()
+      df.select(col(idCol).as("doc_id"), col(textCol))
+        .join(broadcast(docs), Seq("doc_id"))
+        .select(col("doc_id"),
+          explode(Text.wordShingles(col(textCol), k)).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val shA = candShingles(left, "doc_a")
+    val shB = candShingles(right, "doc_b")
+    val sizesA = shA.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(shA.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shB.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizesA.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
+      .join(sizesB.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Incremental dedup — the continuous-crawl admission step: which
+    * documents of a NEW BATCH may enter an already-deduped corpus.
+    * A batch document is dropped when it near-dups (Jaccard ≥
+    * `threshold`) any corpus document, or any LOWER-ID batch document
+    * (the deterministic pairwise first-wins rule; note a doc dropped
+    * for duplicating the corpus still vetoes its own batch near-dups —
+    * its content is in the corpus transitively). Returns one row per
+    * batch document: `(doc_id, dup_corpus, dup_batch, keep)`.
+    *
+    * Built from [[minhashLshPairsBetween]] (corpus×batch) +
+    * [[minhashLshPairs]] (within batch) — both exact-verified, so the
+    * verdict equals the brute-force rule. At scale the corpus side
+    * contributes only its signature table (at rest); the quadratic
+    * work is bounded by banding exactly as in the base operator. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, k: Int = 5, bands: Int = 32,
+      rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val cross = minhashLshPairsBetween(corpus, batch, idCol, textCol,
+      k, bands, rowsPerBand, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("dup_corpus", lit(true))
+    val within = minhashLshPairs(batch, idCol, textCol,
+      k, bands, rowsPerBand, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("dup_batch", lit(true))
+    batch.select(col(idCol).as("doc_id"))
+      .join(cross, Seq("doc_id"), "left")
+      .join(within, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_corpus"), lit(false)).as("dup_corpus"),
+        coalesce(col("dup_batch"), lit(false)).as("dup_batch"),
+        (!coalesce(col("dup_corpus"), lit(false)) &&
+          !coalesce(col("dup_batch"), lit(false))).as("keep"))
+  }
+
   /** 64-bit SimHash per document over its word k-shingles, computed by one
     * codegen'd pass per document ([[graft.expressions.SimHashExpr]]) — no
     * explode, no 64-vote aggregate, no shuffle; the signature materializes

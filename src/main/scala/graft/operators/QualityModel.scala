@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cleaning
+
+/** IN-ENGINE trained quality classifier: full-batch logistic regression
+  * over hashed bag-of-words features, trained by deterministic gradient
+  * descent — the model-based document filter of GPT-3 §2.2 / CCNet /
+  * DataComp-LM, with the training step itself expressed as Spark
+  * dataflow instead of an external fastText job. Together with
+  * [[scoreLogReg]] this closes the classifier loop the curation suite
+  * previously only stubbed with pinned weights
+  * ([[TextAnalysis.qualityModelScore]]): label a seed slice, train,
+  * score the corpus, filter.
+  *
+  * Determinism / cross-engine parity (the repo's decimal-sum discipline,
+  * see Registry's scaladoc): weights live as doubles ROUNDED TO 6 DP
+  * after every update; all weighted sums multiply a 6-dp-decimal weight
+  * by an exact integer count and add in DECIMAL (order-independent);
+  * every division / exp happens on identical 6-dp doubles in both
+  * engines and is rounded once. Gradient terms are rounded at 9 dp and
+  * summed exactly. So the trained model — every weight, every score —
+  * is bit-reproducible in ANSI SQL (the oracle unrolls the training
+  * loop as generated CTEs, like the k-means trainer's
+  * `kmeansAssignCtes`).
+  *
+  * Model form: logit(doc) = b + dim · (Σ_j w_j · c_j) / n — the
+  * fastText linear form over ℓ1-normalized bucket counts, SCALED BY
+  * `dim` so the average feature magnitude is ~1 (same order as the
+  * implicit bias feature): without the scaling the per-bucket gradient
+  * is dim× smaller than the bias gradient and full-batch GD stalls
+  * (measured: weights move ~0.05/round at lr 50 unscaled). Document
+  * length still cancels, gradients stay O(1) per document.
+  *
+  * Scale shape (100 TB story): the feature table `(doc, bucket, count)`
+  * is built once (one token explode + one map-side-combinable count)
+  * and persisted; each GD round is (a) one broadcast join of the ≤`dim`
+  * -row weight table + per-doc aggregate (shuffle on doc id), (b) one
+  * per-bucket gradient aggregate (≤`dim` groups, map-side combined).
+  * The model is O(dim) rows — never collected to the driver; rounds are
+  * `localCheckpoint`ed so the plan does not grow (NOTES.md iterative
+  * rule). Full-batch GD over 100 TB is 2 passes/round over a hashed
+  * count table ≪ corpus; for many rounds, train on a
+  * [[Curation.sampleDeterministic]] slice — the classifier only needs
+  * a representative gradient, not every document.
+  */
+object QualityModel {
+
+  /** Hashed token-count features `(doc_id, j, c)` — md5 bucket family
+    * shared with [[TextAnalysis.hashedEmbedding]] / [[Curation
+    * .hashBucket]], so any ANSI engine recomputes the identical buckets. */
+  private def features(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(Cleaning.tokens(lower(col(textCol)))).as("__term"))
+      .select(col("doc_id"),
+        Curation.hashBucket(col("__term"), dim).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Train `iters` rounds of full-batch GD; returns the model as a
+    * `(j, w)` table — bucket weights for j in [0, dim) plus the bias as
+    * the j = -1 row. `label` must be a deterministic 0/1 column over
+    * `df`'s rows (e.g. `col("lang") === "en"` — the trusted-slice
+    * indicator). Weights start at 0 (so round 0's p = 0.5 exactly). */
+  def trainLogReg(df: DataFrame, idCol: String, textCol: String,
+      label: Column, dim: Int = 32, iters: Int = 3, lr: Double = 2.0)
+      : DataFrame = {
+    require(dim >= 2 && iters >= 1 && lr > 0,
+      s"need dim >= 2, iters >= 1, lr > 0; got $dim/$iters/$lr")
+    val spark = df.sparkSession
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val feats = features(df, idCol, textCol, dim).persist(sl)
+    val nTok = feats.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    // per-doc label + token count; docs with no tokens have no features
+    // and contribute no gradient (mirrors the oracle's f-derived doc set)
+    val docs = df.select(col(idCol).as("doc_id"), label.cast("int").as("y"))
+      .join(nTok, Seq("doc_id"))
+      .persist(sl)
+    val nDocs = docs.agg(count(lit(1)).as("nn"))
+
+    var w = spark.range(dim)
+      .select(col("id").as("j"), lit(0.0).as("w"))
+    var b = spark.range(1).select(lit(0.0).as("b"))
+    for (_ <- 0 until iters) {
+      // z = round(b + dim·(Σ_j wdec·c)/n, 6): decimal inner sum is exact
+      // and order-free; the one double multiply-divide-add rounds once
+      val s = feats.join(broadcast(w), Seq("j"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w").cast("decimal(18,6)") * col("c")).as("__s"))
+      val r = docs.join(s, Seq("doc_id"))
+        .crossJoin(broadcast(b))
+        .withColumn("z", round(col("b") +
+          lit(dim) * col("__s").cast("double") / col("n"), 6))
+        .withColumn("p",
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+        .select(col("doc_id"), col("n"),
+          (col("p").cast("decimal(18,6)") - col("y")).as("r"))
+      // per-bucket gradient: Σ_docs round(r·dim·c/n, 9), summed exactly
+      val g = feats.join(r, Seq("doc_id"))
+        .groupBy(col("j"))
+        .agg(sum(round(col("r").cast("double") * lit(dim) * col("c") /
+          col("n"), 9).cast("decimal(28,9)")).as("g"))
+      val gb = r.agg(sum(col("r")).as("gb"))
+      w = w.join(g, Seq("j"), "left")
+        .crossJoin(broadcast(nDocs))
+        .select(col("j"),
+          round(col("w") - lit(lr) *
+            coalesce(col("g").cast("double"), lit(0.0)) / col("nn"), 6)
+            .as("w"))
+        .localCheckpoint()
+      b = b.crossJoin(broadcast(gb)).crossJoin(broadcast(nDocs))
+        .select(round(col("b") - lit(lr) *
+          col("gb").cast("double") / col("nn"), 6).as("b"))
+        .localCheckpoint()
+    }
+    w.select(col("j").cast("int").as("j"), col("w"))
+      .unionByName(b.select(lit(-1).as("j"), col("b").as("w")))
+  }
+
+  /** Score every document of `df` under a trained `(j, w)` model (the
+    * [[trainLogReg]] output — bias rides as j = -1): `score =
+    * round(sigmoid(round(b + dim·(Σ w_j·c_j)/n, 6)), 6)`, `keep =
+    * score >= threshold`. Tokenless documents score `sigmoid(b)`. One
+    * broadcast join (the model is O(dim) rows) + one shuffle on doc id
+    * — the corpus streams through. */
+  def scoreLogReg(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, dim: Int = 32, threshold: Double = 0.5)
+      : DataFrame = {
+    val feats = features(df, idCol, textCol, dim)
+    val bias = model.filter(col("j") === -1).select(col("w").as("b"))
+    val s = feats
+      .join(broadcast(model.filter(col("j") >= 0)), Seq("j"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w").cast("decimal(18,6)") * col("c")).as("__s"),
+        sum(col("c")).as("n"))
+    df.select(col(idCol).as("doc_id"))
+      .join(s, Seq("doc_id"), "left")
+      .crossJoin(broadcast(bias))
+      .withColumn("z", round(col("b") + coalesce(
+        lit(dim) * col("__s").cast("double") / col("n"), lit(0.0)), 6))
+      .withColumn("score",
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+      .select(col("doc_id"), col("score"),
+        (col("score") >= threshold).as("keep"))
+  }
+}

@@ -108,6 +108,38 @@ class DedupSpec extends AnyFunSuite with SparkTester {
     assert(lsh == exact)
   }
 
+  test("incremental dedup: corpus dups, within-batch dups, and unique " +
+      "docs flagged by the brute-force rule") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = real.filter($"doc_id" % 4 =!= 0)
+    val batch = real.filter($"doc_id" % 4 === 0)
+    val got = Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+      k = 5, threshold = 0.8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3))).toMap
+    assert(got.size == batch.count())
+    // brute-force re-derivation of both flags
+    val crossDup = Dedup.ngramJaccardPairs(real, "doc_id", "text", 5, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        // pair spans the split → the batch-side doc is a corpus dup
+        (a % 4, b % 4) match {
+          case (0, x) if x != 0 => Some(a)
+          case (x, 0) if x != 0 => Some(b)
+          case _ => None
+        }
+      }.toSet
+    val withinDup = Dedup.ngramJaccardPairs(batch, "doc_id", "text", 5, 0.8)
+      .collect().map(_.getLong(1)).toSet
+    got.foreach { case (id, (dc, db, keep)) =>
+      assert(dc == crossDup.contains(id), s"dup_corpus wrong for $id")
+      assert(db == withinDup.contains(id), s"dup_batch wrong for $id")
+      assert(keep == (!dc && !db))
+    }
+    assert(got.values.exists(!_._3), "fixture should drop something")
+  }
+
   test("simhash: identical docs distance 0, near-dups close, others far") {
     val sp = Dedup.simhashPairs(docs, "doc_id", "text", k = 3,
       maxHamming = 12)

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.QualityModel
+
+/** The in-engine trained logistic-regression quality classifier.
+  * The registry queries (`quality_train_lr`,
+  * `curation_classifier_filter`) pin the training algebra against the
+  * DuckDB unroll; these tests pin the MODEL QUALITY on a corpus with
+  * real signal (the testdata's lang column is independent of its text,
+  * so learnability can only be shown on a constructed fixture) plus the
+  * operational contracts: determinism, shape, and tokenless scoring. */
+class QualityModelSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  // two-vocabulary corpus: "good" docs are English-stopword prose,
+  // "bad" docs German — disjoint vocabularies, deterministic rotation
+  private val enV = ("the of and to in that it is was for on are as " +
+    "with his they at be this have from or had by word").split(" ")
+  private val deV = ("der die das und ist nicht von sie mit sich des " +
+    "auf fur dem ein eine als auch es an werden aus er").split(" ")
+
+  private lazy val corpus = (0 until 100).map { i =>
+    val v = if (i % 2 == 0) enV else deV
+    val text = (0 until 30).map(k => v((i + k) % v.length)).mkString(" ")
+    (i.toLong, text, i % 2 == 0)
+  }.toDF("doc_id", "text", "is_en")
+
+  private lazy val model = QualityModel.trainLogReg(
+    corpus, "doc_id", "text", col("is_en"), dim = 32, iters = 3, lr = 2.0)
+
+  test("trained classifier separates a two-vocabulary corpus") {
+    val scored = QualityModel.scoreLogReg(
+      corpus, "doc_id", "text", model, dim = 32)
+    val acc = scored.join(corpus, "doc_id")
+      .select(avg(when(col("keep") === col("is_en"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    assert(acc >= 0.95, s"train accuracy $acc < 0.95")
+  }
+
+  test("model shape: dim bucket rows plus one bias row, finite weights") {
+    val rows = model.collect()
+    assert(rows.length == 33)
+    assert(rows.count(_.getInt(0) == -1) == 1)
+    assert(rows.forall(r => !r.getDouble(1).isNaN &&
+      !r.getDouble(1).isInfinite))
+    // training moved the weights (vs the all-zero init)
+    assert(rows.map(r => math.abs(r.getDouble(1))).max > 0.01)
+  }
+
+  test("training is deterministic: rerun produces identical weights") {
+    val again = QualityModel.trainLogReg(
+      corpus, "doc_id", "text", col("is_en"), dim = 32, iters = 3,
+      lr = 2.0)
+    assert(model.orderBy("j").collect().toSeq ==
+      again.orderBy("j").collect().toSeq)
+  }
+
+  test("tokenless documents score sigmoid(bias) and are not dropped") {
+    val withEmpty = corpus.select(col("doc_id"), col("text"))
+      .unionByName(Seq((999L, "")).toDF("doc_id", "text"))
+    val scored = QualityModel.scoreLogReg(
+      withEmpty, "doc_id", "text", model, dim = 32)
+    assert(scored.count() == 101)
+    val b = model.filter(col("j") === -1).head.getDouble(1)
+    val expected = BigDecimal(1.0 / (1.0 + math.exp(-b)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val empty = scored.filter(col("doc_id") === 999L).head
+    assert(empty.getDouble(1) == expected)
+  }
+
+  test("weights carry the signal: en-only buckets positive, de-only " +
+      "negative") {
+    // recompute each vocabulary's bucket set with the same md5 family
+    def buckets(v: Seq[String]): Set[Int] =
+      v.toDF("t").select(
+        graft.operators.Curation.hashBucket(col("t"), 32).cast("int"))
+        .collect().map(_.getInt(0)).toSet
+    val enB = buckets(enV.toSeq)
+    val deB = buckets(deV.toSeq)
+    val w = model.filter(col("j") >= 0).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val enOnly = enB -- deB
+    val deOnly = deB -- enB
+    assert(enOnly.nonEmpty && deOnly.nonEmpty,
+      "fixture vocabularies fully collide — pick different words")
+    assert(enOnly.forall(j => w(j) > 0),
+      s"some en-only bucket not positive: ${enOnly.map(j => j -> w(j))}")
+    assert(deOnly.forall(j => w(j) < 0),
+      s"some de-only bucket not negative: ${deOnly.map(j => j -> w(j))}")
+  }
+}
