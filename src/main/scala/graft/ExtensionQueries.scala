@@ -1161,6 +1161,42 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
 
+    // Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    // the token stream folds into a depth×width cell card (md5 hash
+    // family — engine-portable), and the exact top-20 terms are audited
+    // against their CMS point estimates. Cells, estimates, and the
+    // est >= exact gap are all hash-checked; SketchesSpec asserts the
+    // CMS bounds on an adversarial stream
+    Q("agg_cms_heavyhitters",
+      (s, dir) => {
+        val toks = Sources.table(s, dir, "documents")
+          .select(explode(Cleaning.tokens(lower(col("text")))).as("term"))
+        graft.operators.Sketches.cmsHeavyHitters(
+          toks, "term", k = 20, depth = 4, width = 256)
+      },
+      Some("""WITH t AS (
+          SELECT unnest(list_filter(string_split(lower(text), ' '),
+            x -> x <> '')) AS v
+          FROM documents),
+        cells AS (
+          SELECT ii.i,
+            ('0x' || substr(md5(ii.i::VARCHAR || '|' || t.v), 1, 8))
+              ::BIGINT % 256 AS b,
+            count(*) AS c
+          FROM t CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii
+          GROUP BY ii.i, b),
+        exact AS (
+          SELECT v, count(*) AS exact FROM t GROUP BY v
+          ORDER BY exact DESC, v ASC LIMIT 20),
+        est AS (
+          SELECT e.v, min(c.c) AS est
+          FROM exact e CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii
+          JOIN cells c ON c.i = ii.i
+            AND c.b = ('0x' || substr(md5(ii.i::VARCHAR || '|' || e.v),
+              1, 8))::BIGINT % 256
+          GROUP BY e.v)
+        SELECT e.v, e.exact, s.est FROM exact e JOIN est s USING (v)""")),
+
     // IN-ENGINE TRAINED quality classifier: full-batch logistic
     // regression over hashed bag-of-words buckets, 3 deterministic GD
     // rounds (decimal-exact weighted sums, 6-dp weight rounding). The
@@ -1819,6 +1855,116 @@ object CurationQueries {
         SELECT c.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
           COALESCE(h.n_hits, 0) > 0 AS contaminated
         FROM corp c LEFT JOIN hits h USING (doc_id)""")),
+
+    // Gopher quality-rule suite (Rae et al. 2021 A1.1) over a corpus
+    // seeded — identically in both engines — so every rule fires
+    // somewhere: bullet lines (2 on id%7, 10 on id%13 — only the
+    // latter crosses 90%), an ellipsis-ended tail line on id%11, a
+    // symbol burst on id%10, and the required stopwords on id%3 (the
+    // synthetic vocabulary otherwise carries only 'the'). Every
+    // measured value, per-rule flag, and the keep verdict hash-checked
+    Q("curation_gopher",
+      (s, dir) => {
+        val seeded = Sources.table(s, dir, "documents").select(
+          col("doc_id"),
+          concat(
+            when(col("doc_id") % 13 === 0,
+              lit(("- filler bullet line\n" * 10))).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              lit("- one bullet\n- two bullets\n")).otherwise(lit("")),
+            col("text"),
+            when(col("doc_id") % 3 === 0,
+              lit(" of and that have with")).otherwise(lit("")),
+            when(col("doc_id") % 10 === 0,
+              lit(" ### ### ### ### ### ###")).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              lit("\ntrailing thought...")).otherwise(lit("")))
+            .as("txt"))
+        Curation.gopherQualityFlags(seeded, "doc_id", "txt")
+      },
+      Some {
+        val stopSum = Curation.gopherStopwords
+          .map(s => s"list_contains(lws, '$s')::INTEGER").mkString(" + ")
+        s"""WITH seeded AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 13 = 0 THEN repeat(
+                '- filler bullet line' || chr(10), 10) ELSE '' END ||
+              CASE WHEN doc_id % 7 = 0 THEN '- one bullet' || chr(10) ||
+                '- two bullets' || chr(10) ELSE '' END ||
+              text ||
+              CASE WHEN doc_id % 3 = 0 THEN ' of and that have with'
+                ELSE '' END ||
+              CASE WHEN doc_id % 10 = 0 THEN ' ### ### ### ### ### ###'
+                ELSE '' END ||
+              CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+                'trailing thought...' ELSE '' END AS txt
+            FROM documents),
+          t AS (
+            SELECT doc_id,
+              list_filter(string_split_regex(txt, '\\s+'), x -> x <> '')
+                AS ws,
+              string_split(txt, chr(10)) AS lines
+            FROM seeded),
+          m AS (
+            SELECT doc_id, ws, lines,
+              list_transform(ws, w -> lower(w)) AS lws,
+              len(ws)::INTEGER AS n_words,
+              greatest(len(ws), 1) AS nw1,
+              greatest(len(lines), 1) AS nl1
+            FROM t),
+          v AS (
+            SELECT doc_id, n_words,
+              round(coalesce(list_sum(
+                list_transform(ws, w -> length(w))), 0)::DOUBLE / nw1, 6)
+                AS mean_word_len,
+              round((len(list_filter(ws, w -> contains(w, '#'))) +
+                len(list_filter(ws, w -> contains(w, '...'))))::DOUBLE
+                / nw1, 6) AS symbol_ratio,
+              round(len(list_filter(lines, l -> starts_with(l, '-')
+                OR starts_with(l, '*') OR starts_with(l, '•')))::DOUBLE
+                / nl1, 6) AS bullet_frac,
+              round(len(list_filter(lines, l -> ends_with(l, '...')))
+                ::DOUBLE / nl1, 6) AS ellipsis_frac,
+              round(len(list_filter(ws, w ->
+                regexp_matches(lower(w), '[a-z]')))::DOUBLE / nw1, 6)
+                AS alpha_frac,
+              ($stopSum) AS n_stopwords
+            FROM m)
+          SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+            bullet_frac, ellipsis_frac, alpha_frac, n_stopwords,
+            (n_words >= 50 AND n_words <= 100000
+              AND mean_word_len >= 3 AND mean_word_len <= 10
+              AND symbol_ratio < 0.1
+              AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+              AND alpha_frac >= 0.8 AND n_stopwords >= 2) AS keep
+          FROM v"""
+      }),
+
+    // token-budget mixture delivery: per-domain admission in the
+    // deterministic hash-priority order until the domain's token budget
+    // is spent (cum_before < budget — one straddling doc allowed, the
+    // packing convention). The window prefix-sum, priorities, and the
+    // admission cut all hash-checked
+    Q("curation_token_budget",
+      (s, dir) => Curation.tokenBudgetPerDomain(
+        Sources.table(s, dir, "documents"), "doc_id", "text", "source",
+        budget = 600L),
+      Some("""WITH tok AS (
+          SELECT doc_id, source AS domain,
+            len(list_filter(string_split(text, ' '), x -> x <> ''))
+              ::BIGINT AS n_tokens,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+              % 1073741824 AS pri
+          FROM documents),
+        c AS (
+          SELECT doc_id, domain, n_tokens,
+            coalesce(sum(n_tokens) OVER (
+              PARTITION BY domain ORDER BY pri, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              ::BIGINT AS cum_before
+          FROM tok)
+        SELECT doc_id, domain, n_tokens, cum_before
+        FROM c WHERE cum_before < 600""")),
 
     // temperature mixing over the (naturally skewed) lang column: kept
     // counts ~ n_d^0.5, smallest domain intact, deterministic id-hash

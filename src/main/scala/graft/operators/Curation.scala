@@ -637,6 +637,101 @@ object Curation {
         col("clean"))
   }
 
+  /** Stop words whose presence Gopher's rule 7 requires — Rae et al.
+    * 2021 (arXiv:2112.11446, A1.1) list exactly these eight. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021,
+    * arXiv:2112.11446 Appendix A1.1) — the heuristic filter suite
+    * MassiveText and most successor pipelines (RefinedWeb, FineWeb) run
+    * alongside C4's ([[c4Filters]]) and the repetition signals
+    * ([[TextAnalysis.repetitionStats]] covers A1.1's duplicate-fraction
+    * block): word-count band, mean-word-length band, symbol-to-word
+    * ratio (`#` and `...`), bullet-started and ellipsis-ended line
+    * fractions, alphabetic-word fraction, and required-stop-word
+    * presence. Emits every measured value and per-rule flag next to the
+    * final `keep` verdict so a curation run can audit WHY a document
+    * fell (same contract as [[c4Filters]]).
+    *
+    * Thresholds are the paper's: 50 ≤ words ≤ 100 000, 3 ≤ mean word
+    * length ≤ 10, symbol ratio < 0.1, bullet lines < 90%, ellipsis
+    * lines < 30%, alpha words ≥ 80%, ≥ 2 of the eight
+    * [[gopherStopwords]].
+    *
+    * Scale shape: pure per-row projection — no shuffle, no join; runs
+    * at scan speed (the HOF lambdas are interpreted; hoist to a codegen
+    * Expression if they profile hot at full corpus). Ratios are rounded
+    * once at 6 dp so any ANSI engine reproduces the verdicts. */
+  def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val ws = graft.functions.Cleaning.tokens(col(textCol))
+    val lines = split(col(textCol), "\n")
+    val nWords = size(ws)
+    val nLines = size(lines)
+    val meanLen = round(
+      aggregate(ws, lit(0L), (a, w) => a + length(w)).cast("double") /
+        greatest(nWords, lit(1)), 6)
+    val symRatio = round(
+      (size(filter(ws, w => w.contains("#"))) +
+        size(filter(ws, w => w.contains("...")))).cast("double") /
+        greatest(nWords, lit(1)), 6)
+    val bulletFrac = round(
+      size(filter(lines, l => l.startsWith("-") || l.startsWith("*") ||
+        l.startsWith("•"))).cast("double") /
+        greatest(nLines, lit(1)), 6)
+    val ellipsisFrac = round(
+      size(filter(lines, l => l.endsWith("..."))).cast("double") /
+        greatest(nLines, lit(1)), 6)
+    val alphaFrac = round(
+      size(filter(ws, w => lower(w).rlike("[a-z]"))).cast("double") /
+        greatest(nWords, lit(1)), 6)
+    val nStop = gopherStopwords
+      .map(s => when(array_contains(transform(ws, w => lower(w)), s), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    df.select(col(idCol).as("doc_id"), nWords.as("n_words"),
+        meanLen.as("mean_word_len"), symRatio.as("symbol_ratio"),
+        bulletFrac.as("bullet_frac"), ellipsisFrac.as("ellipsis_frac"),
+        alphaFrac.as("alpha_frac"), nStop.as("n_stopwords"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+          col("symbol_ratio") < 0.1 &&
+          col("bullet_frac") < 0.9 && col("ellipsis_frac") < 0.3 &&
+          col("alpha_frac") >= 0.8 && col("n_stopwords") >= 2)
+  }
+
+  /** Token-budget mixture delivery: admit documents per domain — in the
+    * deterministic hash-priority order every sampler here uses — until
+    * the domain's token budget is exhausted (the "N tokens of web, M of
+    * code" recipe a training run actually specifies, where [[quotaPerKey]]
+    * counts documents). A document is admitted iff the tokens of
+    * higher-priority documents in its domain leave room for at least one
+    * of its tokens (`cum_before < budget` — so one long document may
+    * straddle the boundary, the packing convention; admitted mass is
+    * bounded by budget + one document). Returns admitted rows:
+    * `(doc_id, domain, n_tokens, cum_before)`.
+    *
+    * Scale shape: one token-count projection, one per-domain window
+    * (shuffle on domain) — same skew profile as [[quotaPerKey]]: for a
+    * pathologically dominant domain, pre-filter with a count as in
+    * [[quotaPerKeyLarge]], or bucket the prefix sum as
+    * [[shuffleDeterministic]] does. */
+  def tokenBudgetPerDomain(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    df.select(col(idCol).as("doc_id"), col(domainCol).as("domain"),
+        size(graft.functions.Cleaning.tokens(col(textCol))).cast("long")
+          .as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          Window.partitionBy(col("domain"))
+            .orderBy(hashBucket(col("doc_id"), 1 << 30), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < budget)
+  }
+
   /** CCNet-style line-level dedup (Wenzek et al., arXiv:1911.00359 §3.1):
     * drop every line that occurs in at least `minDocs` DISTINCT documents
     * — headers, footers, cookie banners, navigation chrome — and rebuild

@@ -26,6 +26,63 @@ object Sketches {
     0.7213 / (1 + 1.079 / m) * m * m * 9007199254740992.0
   }
 
+  /** Count-Min sketch cells `(i, b, c)` over a value column (Cormode &
+    * Muthukrishnan 2005): `depth` independent hash rows, each mapping a
+    * value onto `width` buckets via the engine-portable md5 family
+    * (`md5(i || '|' || value)` — any ANSI engine recomputes the identical
+    * cells, so the sketch AND every estimate read from it are
+    * differential-testable, unlike an engine-internal hash).
+    *
+    * Scale shape: one narrow shuffle of `(i, b)`-keyed counts with
+    * map-side combine — the cell table is ≤ depth·width rows no matter
+    * how large the stream, the whole point of the sketch: a 100 TB token
+    * stream folds into a broadcastable card. Estimates then never touch
+    * the stream again. */
+  def cmsCells(df: DataFrame, valueCol: String, depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2,
+      s"need depth >= 1, width >= 2; got $depth/$width")
+    df.select(col(valueCol).cast("string").as("v"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("i"), col("v"))
+      .select(col("i"), Curation.hashBucket(
+        concat(col("i").cast("string"), lit("|"), col("v")), width)
+        .as("b"))
+      .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-estimate counts for `keys` from a [[cmsCells]] sketch: est =
+    * min over the depth rows of that key's cell — the classic CMS upper
+    * bound (`est >= true count`, over-count bounded by e·N/width w.p.
+    * 1−e^−depth). One projection of the keys + one broadcast join of the
+    * tiny cell table; the original stream is not consulted. */
+  def cmsEstimates(cells: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame =
+    keys.select(col(keyCol).cast("string").as("k")).distinct()
+      .select(col("k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .withColumn("b", Curation.hashBucket(
+        concat(col("i").cast("string"), lit("|"), col("k")), width))
+      .join(broadcast(cells), Seq("i", "b"))
+      .groupBy(col("k"))
+      .agg(min(col("c")).as("est"))
+
+  /** Heavy-hitters audit: the exact top-`k` values (by count, ties on
+    * value) side-by-side with their Count-Min estimates — one row
+    * `(v, exact, est)` per heavy hitter. The exact side is the ground
+    * truth a spot audit computes anyway; the CMS side is what a
+    * 100 TB pipeline would serve lookups from. `est >= exact` always;
+    * the gap is the sketch's collision noise. */
+  def cmsHeavyHitters(df: DataFrame, valueCol: String, k: Int = 20,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val vals = df.select(col(valueCol).cast("string").as("v"))
+    val exact = vals.groupBy(col("v")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("v").asc).limit(k)
+    val cells = cmsCells(df, valueCol, depth, width)
+    exact.join(cmsEstimates(cells, exact, "v", depth, width)
+        .withColumnRenamed("k", "v"), Seq("v"))
+      .select(col("v"), col("exact"), col("est"))
+  }
+
   /** HyperLogLog distinct-count estimate with 2^p registers.
     *
     * Determinism/portability: bucket = first `p/4` hex chars of

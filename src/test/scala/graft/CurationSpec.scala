@@ -583,4 +583,71 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     // high-similarity pairs (copy-type duplication shares char runs)
     assert(ngram.subsetOf(winnow), s"missing: ${ngram.diff(winnow)}")
   }
+
+  test("gopherQualityFlags: each rule trips on its crafted document, " +
+      "the clean document passes all") {
+    val good = (Seq.fill(8)("the quick brown fox jumps over lazy dog " +
+      "of and that have with these words here now") :+ "end").mkString(" ")
+    val docs = Seq(
+      (1L, good),                                     // passes everything
+      (2L, "too few words of and"),                   // word count < 50
+      (3L, Seq.fill(60)("### #ok").mkString(" ") + " of and"), // symbols
+      (4L, (Seq.fill(10)("- bullet line of and that") :+ "plain tail " +
+        Seq.fill(50)("word").mkString(" ")).mkString("\n")),   // bullets
+      (5L, Seq.fill(5)(Seq.fill(12)("of and that have words")
+        .mkString(" ") + "...").mkString("\n")),      // ellipsis lines
+      (6L, Seq.fill(60)("12345 67890").mkString(" ") + " of and"), // alpha
+      (7L, Seq.fill(60)("word token item") .mkString(" ")),  // no stops
+      (8L, Seq.fill(60)("a" * 15).mkString(" ") + " of and")) // word len
+      .toDF("doc_id", "text")
+    val m = Curation.gopherQualityFlags(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Boolean]("keep"), s"good doc fell: ${m(1L)}")
+    assert(!m(2L).getAs[Boolean]("keep") && m(2L).getAs[Int]("n_words") < 50)
+    assert(!m(3L).getAs[Boolean]("keep") &&
+      m(3L).getAs[Double]("symbol_ratio") >= 0.1)
+    assert(!m(4L).getAs[Boolean]("keep") &&
+      m(4L).getAs[Double]("bullet_frac") >= 0.9)
+    assert(!m(5L).getAs[Boolean]("keep") &&
+      m(5L).getAs[Double]("ellipsis_frac") >= 0.3)
+    assert(!m(6L).getAs[Boolean]("keep") &&
+      m(6L).getAs[Double]("alpha_frac") < 0.8)
+    assert(!m(7L).getAs[Boolean]("keep") &&
+      m(7L).getAs[Int]("n_stopwords") < 2)
+    assert(!m(8L).getAs[Boolean]("keep") &&
+      m(8L).getAs[Double]("mean_word_len") > 10)
+  }
+
+  test("tokenBudgetPerDomain: prefix admission per domain, bounded " +
+      "mass, deterministic") {
+    val docs = (0L until 40L).map { i =>
+      (i, s"dom${i % 4}", Seq.fill((i % 7 + 3).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "domain", "text")
+    val got = Curation.tokenBudgetPerDomain(docs, "doc_id", "text",
+      "domain", budget = 20L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // per domain: admitted rows sorted by cum_before chain exactly
+    // (each row's cum_before = sum of earlier admitted rows' tokens)
+    got.groupBy(_._2).foreach { case (dom, rows) =>
+      val sorted = rows.sortBy(_._4)
+      var cum = 0L
+      sorted.foreach { case (_, _, n, before) =>
+        assert(before == cum, s"$dom chain broken")
+        cum += n
+      }
+      assert(sorted.last._4 < 20L, "last admitted must have started " +
+        "under budget")
+      // admitted mass is bounded by budget + the straddling doc
+      assert(cum < 20L + sorted.map(_._3).max)
+    }
+    // every domain with enough mass fills its budget
+    assert(got.groupBy(_._2).forall { case (_, rows) =>
+      rows.map(_._3).sum + rows.map(_._4).min >= 20L ||
+        rows.length == 10
+    })
+    val again = Curation.tokenBudgetPerDomain(docs, "doc_id", "text",
+      "domain", budget = 20L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }

@@ -430,6 +430,41 @@ class SketchesSpec extends AnyFunSuite with SparkTester {
     val e2 = est(li, "l_returnflag")
     assert(math.abs(e2 - exactFlags) <= 1.0, s"est $e2 vs $exactFlags")
   }
+
+  test("count-min: est >= exact always, exact at generous width, " +
+      "collisions over-count at narrow width, card size bounded") {
+    import spark.implicits._
+    // zipf-ish stream: value i repeated (200/i) times, i in 1..200
+    val stream = (1 to 200).flatMap(i => Seq.fill(200 / i)(s"v$i"))
+      .toDF("v")
+    val exact = stream.groupBy("v").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def estAll(depth: Int, width: Int): Map[String, Long] = {
+      val cells = Sketches.cmsCells(stream, "v", depth, width)
+      assert(cells.count() <= depth.toLong * width, "card size bound")
+      Sketches.cmsEstimates(cells, stream.select("v").distinct(), "v",
+        depth, width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    // generous sketch: every estimate exact (no collisions survive min)
+    val wide = estAll(4, 4096)
+    assert(exact.forall { case (v, c) => wide(v) == c })
+    // narrow sketch: still an upper bound everywhere, and at 16 buckets
+    // for 200 keys some estimate MUST over-count
+    val narrow = estAll(2, 16)
+    assert(exact.forall { case (v, c) => narrow(v) >= c },
+      "CMS must never under-count")
+    assert(exact.exists { case (v, c) => narrow(v) > c },
+      "200 keys in 16 buckets must collide somewhere")
+    // heavy-hitters audit agrees with the exact head
+    val hh = Sketches.cmsHeavyHitters(stream, "v", k = 5, depth = 4,
+      width = 4096).collect()
+    assert(hh.length == 5)
+    assert(hh.map(_.getString(0)).toSet ==
+      exact.toSeq.sortBy { case (v, c) => (-c, v) }.take(5).map(_._1)
+        .toSet)
+    assert(hh.forall(r => r.getLong(2) == exact(r.getString(0))))
+  }
 }
 
 class GraphSpec extends AnyFunSuite with SparkTester {
