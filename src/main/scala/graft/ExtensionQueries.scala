@@ -1159,7 +1159,27 @@ object TextQueries {
       $rounds"""
   }
 
+  /** Columns `profile_table` audits — shared by the Spark call and the
+    * generated oracle (int64 + string columns only: their min/max
+    * string casts are engine-portable, float formatting is not). */
+  private val profiledCols =
+    Seq("doc_id", "text", "lang", "source", "n_chars")
+
   def all: Seq[Q] = Seq(
+
+    // per-column table profile (the trust-a-new-drop audit): one
+    // aggregate pass over every column -> long-form (col_name, counts,
+    // distinct, min/max) rows. The oracle UNION ALL chain is GENERATED
+    // from the same column list so the two sides cannot drift
+    Q("profile_table",
+      (s, dir) => graft.operators.Profiler.profile(
+        Sources.table(s, dir, "documents"), profiledCols),
+      Some(profiledCols.map(c =>
+        s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+          count(*) - count($c) AS n_null,
+          count(DISTINCT $c) AS n_distinct,
+          min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
+        FROM documents""").mkString("\nUNION ALL\n"))),
 
     // Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005):
     // the token stream folds into a depth×width cell card (md5 hash

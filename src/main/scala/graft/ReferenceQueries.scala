@@ -540,6 +540,29 @@ object ReferenceQueries {
         SELECT trim(unnest(string_split(text, ' '))) AS w FROM documents) t
         WHERE w <> '' AND w NOT IN ('a', 'the') GROUP BY w""")),
 
+    // ---- skew-resistant JOIN via salting (the join twin of
+    // agg_count_group_salted): the supplier build side is replicated 8
+    // times and lineitem probes spread across the replicas by md5
+    // bucket of the order key, so a pathologically hot suppkey lands on
+    // 8 reducers instead of one. Output (and oracle) are the PLAIN
+    // join + aggregate — salting must not change a single row ----
+    Q("join_skew_salted",
+      (s, dir) => {
+        val sup = t(s, dir, "supplier")
+          .withColumnRenamed("s_suppkey", "l_suppkey")
+        graft.operators.SkewJoin.saltedEquiJoin(
+          t(s, dir, "lineitem"), sup, "l_suppkey", "l_orderkey",
+          nSalts = 8)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"),
+            expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)")
+              .as("qty"))
+      },
+      Some("""SELECT s_nationkey, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey""")),
+
     // ---- S1 GDELT scan: headerless 61-col TSV with the typed schema ----
     Q("scan_csv",
       (s, _) => Sources.v2Export(s, "/root/repo/fixtures/v2_sample.tsv"),

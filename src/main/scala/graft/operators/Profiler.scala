@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the data-quality audit a pipeline runs before it
+  * trusts a new drop: per column, non-null/null counts, distinct count,
+  * and min/max (as strings, so one tidy long-form table covers every
+  * column type). The long form is what monitoring joins against
+  * yesterday's profile to alert on drift (pairs with `corpus_diff` /
+  * `corpus_report` in the lifecycle suite).
+  *
+  * Scale shape: ONE aggregate pass over the table (no per-column scans
+  * — all 4·|cols| aggregates ride a single partial-aggregation
+  * shuffle); the result is |cols| rows via a literal-array explode.
+  * `countDistinct` over many columns expands the aggregate (Spark plans
+  * one Expand branch per distinct column) — for very wide tables at
+  * 100 TB swap exact distinct for `approx_count_distinct` per column
+  * (same plan shape, sketch-merged); the exact form is the
+  * oracle-checkable baseline.
+  */
+object Profiler {
+
+  /** Long-form profile `(col_name, n_nonnull, n_null, n_distinct,
+    * min_val, max_val)`, one row per requested column. Min/max are the
+    * column's own ordering, then cast to string for the uniform schema
+    * — callers profiling float columns should note string-cast
+    * formatting is engine-specific (ints and strings are portable). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__n")
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"__nn_$c").as("n_nonnull"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_val"),
+        col(s"__mx_$c").as("max_val"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_nonnull"), col("p.n_null"),
+        col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+  }
+}
+
+/** Skew-resistant equi-join: replicate the (small) build side `nSalts`
+  * times and spread the (large) probe side across the replicas, so one
+  * hot key's rows land on `nSalts` reducers instead of one — the
+  * classic salting remedy when a Zipfian key (half the crawl from one
+  * domain) would otherwise stall a single task. Output is EXACTLY the
+  * plain equi-join (salt is an internal spreading key; the registry
+  * query is held to the unsalted oracle).
+  *
+  * The salt must be deterministic for reproducible lineage, so it is
+  * the md5 bucket of a caller-named probe-side id column — NOT
+  * `rand()`, and not a round-robin that would change under
+  * repartitioning. AQE's skew-join handles sort-merge cases
+  * automatically; explicit salting remains the tool when the skew is
+  * known ahead (and composes with broadcast: salting the build side of
+  * a shuffle join vs broadcasting it are the two ends of the same
+  * trade).
+  */
+object SkewJoin {
+
+  def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
+      largeIdCol: String, nSalts: Int): DataFrame = {
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
+    val l = large.withColumn("__salt",
+      Curation.hashBucket(col(largeIdCol), nSalts))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(nSalts - 1L))))
+    l.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -467,6 +467,52 @@ class SketchesSpec extends AnyFunSuite with SparkTester {
   }
 }
 
+class ProfilerSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+  import graft.operators.{Profiler, SkewJoin}
+
+  test("profile: null/distinct/min/max per column in long form") {
+    val df = Seq(
+      (Some(3L), Some("b")), (Some(1L), None),
+      (Some(3L), Some("a")), (None, Some("a")))
+      .toDF("k", "s")
+    val p = Profiler.profile(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("k").getLong(1) == 3 && p("k").getLong(2) == 1)
+    assert(p("k").getLong(3) == 2) // distinct excludes null
+    assert(p("k").getString(4) == "1" && p("k").getString(5) == "3")
+    assert(p("s").getLong(1) == 3 && p("s").getLong(2) == 1)
+    assert(p("s").getLong(3) == 2)
+    assert(p("s").getString(4) == "a" && p("s").getString(5) == "b")
+  }
+
+  test("profile of an all-null column reports null min/max") {
+    val df = Seq((1L, Option.empty[String]), (2L, None)).toDF("k", "s")
+    val p = Profiler.profile(df, Seq("s")).head
+    assert(p.getLong(1) == 0 && p.getLong(2) == 2 && p.getLong(3) == 0)
+    assert(p.isNullAt(4) && p.isNullAt(5))
+  }
+
+  test("salted join: identical rows to the plain join, salt in the " +
+      "join keys, salt column dropped") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+    val salted = SkewJoin.saltedEquiJoin(li, sup, "l_suppkey",
+      "l_orderkey", nSalts = 8)
+    val plain = li.join(sup, Seq("l_suppkey"))
+    assert(!salted.columns.contains("__salt"))
+    assert(salted.count() == plain.count())
+    val key = Seq("l_orderkey", "l_linenumber")
+    assert(salted.select("l_suppkey", "l_orderkey", "l_linenumber",
+        "s_nationkey").orderBy(key.map(col): _*).collect().toSeq ==
+      plain.select("l_suppkey", "l_orderkey", "l_linenumber",
+        "s_nationkey").orderBy(key.map(col): _*).collect().toSeq)
+    assert(salted.queryExecution.executedPlan.toString.contains("__salt"),
+      "join must actually key on the salt")
+  }
+}
+
 class GraphSpec extends AnyFunSuite with SparkTester {
   import spark.implicits._
   import graft.operators.Graph
