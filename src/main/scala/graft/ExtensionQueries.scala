@@ -1181,6 +1181,52 @@ object TextQueries {
           min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
         FROM documents""").mkString("\nUNION ALL\n"))),
 
+    // corpus-overlap release gate (Broder 1997): each corpus folds to a
+    // 16-long MinHash signature of its whole shingle set (md5 family —
+    // engine-portable, one codegen min-aggregate), and the overlap
+    // estimate sits next to its exact-Jaccard audit twin. Both numbers
+    // hash-checked; SketchesSpec pins the estimator's behavior on
+    // identical/disjoint corpora
+    Q("corpus_overlap_minhash",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        graft.operators.Sketches.corpusOverlapMinhash(
+          docs.filter(col("doc_id") % 4 === 0),
+          docs.filter(col("doc_id") % 4 =!= 0),
+          "text", k = 5, nHashes = 16)
+      },
+      Some(s"""WITH corpa AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+        corpb AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+        ${DedupQueries.shingleCtesFor("corpa", "wa", "sha")},
+        ${DedupQueries.shingleCtesFor("corpb", "wb", "shb")},
+        sa AS (SELECT unnest(s) AS s FROM sha),
+        sb AS (SELECT unnest(s) AS s FROM shb),
+        ii AS (SELECT unnest(range(0, 16)) AS i),
+        ha AS (
+          SELECT i, min(('0x' || substr(md5(i::VARCHAR || '|' || s),
+            1, 15))::BIGINT) AS mh
+          FROM sa CROSS JOIN ii GROUP BY i),
+        hb AS (
+          SELECT i, min(('0x' || substr(md5(i::VARCHAR || '|' || s),
+            1, 15))::BIGINT) AS mh
+          FROM sb CROSS JOIN ii GROUP BY i),
+        est AS (
+          SELECT round(sum((ha.mh = hb.mh)::INTEGER)::DOUBLE / 16, 6)
+            AS est_jaccard
+          FROM ha JOIN hb USING (i)),
+        da AS (SELECT DISTINCT s FROM sa),
+        db AS (SELECT DISTINCT s FROM sb),
+        ex AS (
+          SELECT round(
+            (SELECT count(*) FROM da JOIN db USING (s))::DOUBLE /
+            ((SELECT count(*) FROM da) + (SELECT count(*) FROM db) -
+              (SELECT count(*) FROM da JOIN db USING (s))), 6)
+            AS exact_jaccard)
+        SELECT 16 AS n_hashes, est_jaccard, exact_jaccard
+        FROM est CROSS JOIN ex""")),
+
     // Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005):
     // the token stream folds into a depth×width cell card (md5 hash
     // family — engine-portable), and the exact top-20 terms are audited
@@ -1239,12 +1285,9 @@ object TextQueries {
     // trusted slice, TRAIN in-engine, score every document, filter at
     // 0.5 — train + score + verdict composed into one differential query
     Q("curation_classifier_filter",
-      (s, dir) => {
-        val docs = Sources.table(s, dir, "documents")
-        val model = QualityModel.trainLogReg(docs, "doc_id", "text",
-          col("lang") === "en", dim = 32, iters = 3, lr = 2.0)
-        QualityModel.scoreLogReg(docs, "doc_id", "text", model, dim = 32)
-      },
+      (s, dir) => QualityModel.trainScoreLogReg(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", dim = 32, iters = 3, lr = 2.0),
       Some(s"""WITH ${lrCtes(32, 3, 2.0, "d.lang = 'en'")},
         sF AS (
           SELECT f.doc_id, sum(CAST(w.w AS DECIMAL(18,6)) * f.c) AS s,

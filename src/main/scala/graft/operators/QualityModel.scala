@@ -37,16 +37,19 @@ import graft.functions.Cleaning
   * Scale shape (100 TB story): the feature table `(doc, bucket, count)`
   * is built once (one token explode + one map-side-combinable count)
   * and persisted; each GD round is (a) one broadcast join of the ≤`dim`
-  * -row weight table + per-doc aggregate (shuffle on doc id), (b) one
-  * per-bucket gradient aggregate (≤`dim` groups, map-side combined).
-  * The model is O(dim) rows — never collected to the driver; rounds are
-  * `localCheckpoint`ed so the plan does not grow (NOTES.md iterative
-  * rule). Full-batch GD over 100 TB is 2 passes/round over a hashed
-  * count table ≪ corpus; for many rounds, train on a
+  * -row weight table + per-doc aggregate (shuffle on doc id) into a
+  * persisted residual table, (b) one per-bucket gradient aggregate
+  * (≤`dim` groups, map-side combined) consumed with the bias gradient
+  * by ONE eager model checkpoint — the residuals are computed once per
+  * round, not once per gradient. The model is O(dim) rows — never
+  * collected to the driver. Full-batch GD over 100 TB is 2 passes/round
+  * over a hashed count table ≪ corpus; for many rounds, train on a
   * [[Curation.sampleDeterministic]] slice — the classifier only needs
   * a representative gradient, not every document.
   */
 object QualityModel {
+
+  private val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
   /** Hashed token-count features `(doc_id, j, c)` — md5 bucket family
     * shared with [[TextAnalysis.hashedEmbedding]] / [[Curation
@@ -60,6 +63,69 @@ object QualityModel {
       .groupBy(col("doc_id"), col("j"))
       .agg(count(lit(1)).as("c"))
 
+  /** GD rounds over a persisted feature table; returns the `(j, w)`
+    * model with the bias as j = -1. One model table per round (weights
+    * AND bias together) so each round runs ONE eager checkpoint; the
+    * residual table is persisted within the round so the per-bucket and
+    * bias gradients share it instead of recomputing the logits. */
+  private def trainFromFeatures(feats: DataFrame, docs: DataFrame,
+      dim: Int, iters: Int, lr: Double): DataFrame = {
+    val spark = feats.sparkSession
+    val nDocs = docs.agg(count(lit(1)).as("nn"))
+    var model = spark.range(dim)
+      .select(col("id").cast("int").as("j"), lit(0.0).as("w"))
+      .unionByName(spark.range(1)
+        .select(lit(-1).as("j"), lit(0.0).as("w")))
+    for (_ <- 0 until iters) {
+      val w = model.filter(col("j") >= 0)
+      val bias = model.filter(col("j") === -1).select(col("w").as("b"))
+      // z = round(b + dim·(Σ_j wdec·c)/n, 6): decimal inner sum is exact
+      // and order-free; the one double multiply-divide-add rounds once
+      val s = feats.join(broadcast(w), Seq("j"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w").cast("decimal(18,6)") * col("c")).as("__s"))
+      val r = docs.join(s, Seq("doc_id"))
+        .crossJoin(broadcast(bias))
+        .withColumn("z", round(col("b") +
+          lit(dim) * col("__s").cast("double") / col("n"), 6))
+        .withColumn("p",
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+        .select(col("doc_id"), col("n"),
+          (col("p").cast("decimal(18,6)") - col("y")).as("r"))
+        .persist(sl)
+      // per-bucket gradient: Σ_docs round(r·dim·c/n, 9), summed exactly
+      val g = feats.join(r, Seq("doc_id"))
+        .groupBy(col("j"))
+        .agg(sum(round(col("r").cast("double") * lit(dim) * col("c") /
+          col("n"), 9).cast("decimal(28,9)")).as("g"))
+      val gb = r.agg(sum(col("r")).as("gb"))
+      val next = w.join(g, Seq("j"), "left")
+        .crossJoin(broadcast(nDocs))
+        .select(col("j"),
+          round(col("w") - lit(lr) *
+            coalesce(col("g").cast("double"), lit(0.0)) / col("nn"), 6)
+            .as("w"))
+        .unionByName(bias.crossJoin(broadcast(gb))
+          .crossJoin(broadcast(nDocs))
+          .select(lit(-1).as("j"),
+            round(col("b") - lit(lr) *
+              col("gb").cast("double") / col("nn"), 6).as("w")))
+        .localCheckpoint() // one eager job per round; cuts the plan chain
+      r.unpersist()
+      model = next
+    }
+    model
+  }
+
+  /** Per-doc label + feature-derived token count; docs with no tokens
+    * have no features and contribute no gradient (mirrors the oracle's
+    * f-derived doc set). */
+  private def labeledDocs(df: DataFrame, idCol: String, label: Column,
+      feats: DataFrame): DataFrame =
+    df.select(col(idCol).as("doc_id"), label.cast("int").as("y"))
+      .join(feats.groupBy(col("doc_id")).agg(sum(col("c")).as("n")),
+        Seq("doc_id"))
+
   /** Train `iters` rounds of full-batch GD; returns the model as a
     * `(j, w)` table — bucket weights for j in [0, dim) plus the bias as
     * the j = -1 row. `label` must be a deterministic 0/1 column over
@@ -70,54 +136,9 @@ object QualityModel {
       : DataFrame = {
     require(dim >= 2 && iters >= 1 && lr > 0,
       s"need dim >= 2, iters >= 1, lr > 0; got $dim/$iters/$lr")
-    val spark = df.sparkSession
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val feats = features(df, idCol, textCol, dim).persist(sl)
-    val nTok = feats.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
-    // per-doc label + token count; docs with no tokens have no features
-    // and contribute no gradient (mirrors the oracle's f-derived doc set)
-    val docs = df.select(col(idCol).as("doc_id"), label.cast("int").as("y"))
-      .join(nTok, Seq("doc_id"))
-      .persist(sl)
-    val nDocs = docs.agg(count(lit(1)).as("nn"))
-
-    var w = spark.range(dim)
-      .select(col("id").as("j"), lit(0.0).as("w"))
-    var b = spark.range(1).select(lit(0.0).as("b"))
-    for (_ <- 0 until iters) {
-      // z = round(b + dim·(Σ_j wdec·c)/n, 6): decimal inner sum is exact
-      // and order-free; the one double multiply-divide-add rounds once
-      val s = feats.join(broadcast(w), Seq("j"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("w").cast("decimal(18,6)") * col("c")).as("__s"))
-      val r = docs.join(s, Seq("doc_id"))
-        .crossJoin(broadcast(b))
-        .withColumn("z", round(col("b") +
-          lit(dim) * col("__s").cast("double") / col("n"), 6))
-        .withColumn("p",
-          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
-        .select(col("doc_id"), col("n"),
-          (col("p").cast("decimal(18,6)") - col("y")).as("r"))
-      // per-bucket gradient: Σ_docs round(r·dim·c/n, 9), summed exactly
-      val g = feats.join(r, Seq("doc_id"))
-        .groupBy(col("j"))
-        .agg(sum(round(col("r").cast("double") * lit(dim) * col("c") /
-          col("n"), 9).cast("decimal(28,9)")).as("g"))
-      val gb = r.agg(sum(col("r")).as("gb"))
-      w = w.join(g, Seq("j"), "left")
-        .crossJoin(broadcast(nDocs))
-        .select(col("j"),
-          round(col("w") - lit(lr) *
-            coalesce(col("g").cast("double"), lit(0.0)) / col("nn"), 6)
-            .as("w"))
-        .localCheckpoint()
-      b = b.crossJoin(broadcast(gb)).crossJoin(broadcast(nDocs))
-        .select(round(col("b") - lit(lr) *
-          col("gb").cast("double") / col("nn"), 6).as("b"))
-        .localCheckpoint()
-    }
-    w.select(col("j").cast("int").as("j"), col("w"))
-      .unionByName(b.select(lit(-1).as("j"), col("b").as("w")))
+    val docs = labeledDocs(df, idCol, label, feats).persist(sl)
+    trainFromFeatures(feats, docs, dim, iters, lr)
   }
 
   /** Score every document of `df` under a trained `(j, w)` model (the
@@ -128,16 +149,19 @@ object QualityModel {
     * — the corpus streams through. */
   def scoreLogReg(df: DataFrame, idCol: String, textCol: String,
       model: DataFrame, dim: Int = 32, threshold: Double = 0.5)
-      : DataFrame = {
-    val feats = features(df, idCol, textCol, dim)
+      : DataFrame =
+    scoreFromFeatures(df.select(col(idCol).as("doc_id")),
+      features(df, idCol, textCol, dim), model, dim, threshold)
+
+  private def scoreFromFeatures(ids: DataFrame, feats: DataFrame,
+      model: DataFrame, dim: Int, threshold: Double): DataFrame = {
     val bias = model.filter(col("j") === -1).select(col("w").as("b"))
     val s = feats
       .join(broadcast(model.filter(col("j") >= 0)), Seq("j"))
       .groupBy(col("doc_id"))
       .agg(sum(col("w").cast("decimal(18,6)") * col("c")).as("__s"),
         sum(col("c")).as("n"))
-    df.select(col(idCol).as("doc_id"))
-      .join(s, Seq("doc_id"), "left")
+    ids.join(s, Seq("doc_id"), "left")
       .crossJoin(broadcast(bias))
       .withColumn("z", round(col("b") + coalesce(
         lit(dim) * col("__s").cast("double") / col("n"), lit(0.0)), 6))
@@ -145,5 +169,22 @@ object QualityModel {
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
       .select(col("doc_id"), col("score"),
         (col("score") >= threshold).as("keep"))
+  }
+
+  /** The fused train→score→filter loop: identical output to
+    * `scoreLogReg(df, trainLogReg(df, …))` but the feature table is
+    * tokenized, hashed, and persisted ONCE and shared by the trainer
+    * and the scorer — the form a pipeline actually runs (the two-call
+    * composition pays a second full tokenize of the corpus). */
+  def trainScoreLogReg(df: DataFrame, idCol: String, textCol: String,
+      label: Column, dim: Int = 32, iters: Int = 3, lr: Double = 2.0,
+      threshold: Double = 0.5): DataFrame = {
+    require(dim >= 2 && iters >= 1 && lr > 0,
+      s"need dim >= 2, iters >= 1, lr > 0; got $dim/$iters/$lr")
+    val feats = features(df, idCol, textCol, dim).persist(sl)
+    val docs = labeledDocs(df, idCol, label, feats).persist(sl)
+    val model = trainFromFeatures(feats, docs, dim, iters, lr)
+    scoreFromFeatures(df.select(col(idCol).as("doc_id")), feats, model,
+      dim, threshold)
   }
 }

@@ -74,13 +74,85 @@ object Sketches {
     * the gap is the sketch's collision noise. */
   def cmsHeavyHitters(df: DataFrame, valueCol: String, k: Int = 20,
       depth: Int = 4, width: Int = 256): DataFrame = {
+    // the value stream feeds both the exact head and the sketch; it is
+    // deliberately NOT persisted — the stream is usually a codegen'd
+    // explode whose recompute is cheaper than writing millions of tiny
+    // cached rows (measured: persisting cost ~20% here), and both
+    // consumers reduce it map-side to tiny tables anyway
     val vals = df.select(col(valueCol).cast("string").as("v"))
     val exact = vals.groupBy(col("v")).agg(count(lit(1)).as("exact"))
       .orderBy(col("exact").desc, col("v").asc).limit(k)
-    val cells = cmsCells(df, valueCol, depth, width)
+    val cells = cmsCells(vals, "v", depth, width)
     exact.join(cmsEstimates(cells, exact, "v", depth, width)
         .withColumnRenamed("k", "v"), Seq("v"))
       .select(col("v"), col("exact"), col("est"))
+  }
+
+  /** Corpus-level MinHash signature `(i, mh)` over the word-`k`-shingle
+    * SET of a whole corpus: `mh_i = min over every shingle of
+    * md5(i || '|' || shingle)` (first 15 hex chars → a 60-bit positive
+    * long). One signature per corpus — nHashes longs standing in for
+    * billions of shingles — computed as a single codegen projection
+    * (nHashes md5 columns per shingle row) + one map-side-combined
+    * global min-aggregate: no per-hash explode, no shuffle beyond the
+    * nHashes-row combine. The md5 family (not xxhash) makes the
+    * signature — and any estimate derived from it — reproducible in
+    * ANSI SQL. */
+  def corpusMinhashSig(df: DataFrame, textCol: String, k: Int = 5,
+      nHashes: Int = 16): DataFrame = {
+    require(nHashes >= 1 && nHashes <= 64,
+      s"nHashes must be 1..64, got $nHashes")
+    import graft.functions.Text
+    val sh = df.select(
+      explode(Text.wordShingles(col(textCol), k)).as("s"))
+    val aggs = (0 until nHashes).map { i =>
+      min(conv(substring(
+        md5(concat(lit(i.toString), lit("|"), col("s"))), 1, 15),
+        16, 10).cast("long")).as(s"__m$i")
+    }
+    sh.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array((0 until nHashes).map(i =>
+        struct(lit(i).as("i"), col(s"__m$i").as("mh"))): _*)).as("p"))
+      .select(col("p.i").as("i"), col("p.mh").as("mh"))
+  }
+
+  /** Corpus-overlap audit between two corpora — "how much of what's in
+    * B is already in A" at corpus granularity (a release-gate between
+    * crawl snapshots, or a coarse contamination screen before the exact
+    * per-document `decontam_ngram` pass): the MinHash estimate of the
+    * shingle-set Jaccard (matching signature components / nHashes —
+    * Broder 1997) next to the EXACT Jaccard audit twin. At 100 TB the
+    * estimate is the production path (each corpus folds to nHashes
+    * longs, comparison is free, signatures can be stored per snapshot
+    * and compared across time without re-reading either corpus); the
+    * exact side is one distinct + one join on shingle hashes — the
+    * verifier this engine can afford at bench scale and the oracle
+    * checks both. Output: one row `(n_hashes, est_jaccard,
+    * exact_jaccard)`. */
+  def corpusOverlapMinhash(a: DataFrame, b: DataFrame, textCol: String,
+      k: Int = 5, nHashes: Int = 16): DataFrame = {
+    import graft.functions.Text
+    val est = corpusMinhashSig(a, textCol, k, nHashes).as("x")
+      .join(corpusMinhashSig(b, textCol, k, nHashes).as("y"), Seq("i"))
+      .agg(round(
+        sum(when(col("x.mh") === col("y.mh"), 1).otherwise(0))
+          .cast("double") / nHashes, 6).as("est_jaccard"))
+    def distinctSh(df: DataFrame): DataFrame =
+      df.select(explode(Text.wordShingles(col(textCol), k)).as("s"))
+        .distinct()
+    val da = distinctSh(a).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val db = distinctSh(b).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = da.agg(count(lit(1)).as("na"))
+      .crossJoin(db.agg(count(lit(1)).as("nb")))
+      .crossJoin(da.join(db, Seq("s"), "left_semi")
+        .agg(count(lit(1)).as("ni")))
+    val exact = counts.select(round(col("ni").cast("double") /
+      (col("na") + col("nb") - col("ni")), 6).as("exact_jaccard"))
+    est.crossJoin(exact)
+      .select(lit(nHashes).as("n_hashes"), col("est_jaccard"),
+        col("exact_jaccard"))
   }
 
   /** HyperLogLog distinct-count estimate with 2^p registers.

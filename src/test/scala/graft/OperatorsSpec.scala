@@ -465,6 +465,31 @@ class SketchesSpec extends AnyFunSuite with SparkTester {
         .toSet)
     assert(hh.forall(r => r.getLong(2) == exact(r.getString(0))))
   }
+
+  test("corpus minhash overlap: 1 on identical corpora, 0 on disjoint, " +
+      "estimate tracks exact on a half-shared corpus") {
+    import spark.implicits._
+    def corpus(rows: Seq[String]) =
+      rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+    val a = corpus((1 to 30).map(i =>
+      s"alpha beta gamma delta epsilon zeta token$i marker$i"))
+    val same = Sketches.corpusOverlapMinhash(a, a, "text").head
+    assert(same.getDouble(1) == 1.0 && same.getDouble(2) == 1.0)
+    val b = corpus((1 to 30).map(i =>
+      s"one two three four five six other$i thing$i"))
+    val disj = Sketches.corpusOverlapMinhash(a, b, "text").head
+    assert(disj.getDouble(1) == 0.0 && disj.getDouble(2) == 0.0)
+    // half-shared: estimate within the binomial noise of exact
+    // (sd = sqrt(J(1-J)/n) ≈ 0.12 at n=16 — allow 3 sigma with n=64)
+    val mixed = corpus((1 to 15).map(i =>
+      s"alpha beta gamma delta epsilon zeta token$i marker$i") ++
+      (1 to 15).map(i => s"one two three four five six other$i thing$i"))
+    val m = Sketches.corpusOverlapMinhash(a, mixed, "text",
+      nHashes = 64).head
+    assert(math.abs(m.getDouble(1) - m.getDouble(2)) < 0.25,
+      s"est ${m.getDouble(1)} vs exact ${m.getDouble(2)}")
+  }
 }
 
 class ProfilerSpec extends AnyFunSuite with SparkTester {
