@@ -997,6 +997,40 @@ object SimilarityQueries {
             / count(*), 6) AS m
         FROM e GROUP BY label, i""")),
 
+    // embedding outlier audit: cosine of each vector to its own label's
+    // mean embedding (exact-decimal centroid, index-ordered fold dot /
+    // norms mirrored by DuckDB ordered sums), low-cosine rows flagged —
+    // the label-noise screen before contrastive sampling trusts labels
+    Q("embedding_outliers",
+      (s, dir) => Similarity.labelCentroidOutliers(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", threshold = 0.1),
+      Some("""WITH e AS (
+          SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        cent AS (
+          SELECT label, i,
+            round(CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE)
+              / count(*), 6) AS m
+          FROM e GROUP BY label, i),
+        nv AS (
+          SELECT vec_id, sqrt(sum(v * v ORDER BY i)) AS nrm
+          FROM e GROUP BY vec_id),
+        nm AS (
+          SELECT label, sqrt(sum(m * m ORDER BY i)) AS nrm
+          FROM cent GROUP BY label),
+        d AS (
+          SELECT e.vec_id, e.label, sum(e.v * c.m ORDER BY e.i) AS dot
+          FROM e JOIN cent c ON e.label = c.label AND e.i = c.i
+          GROUP BY e.vec_id, e.label)
+        SELECT d.vec_id, d.label,
+          round(d.dot / (nv.nrm * nm.nrm), 6) AS cos_centroid,
+          round(d.dot / (nv.nrm * nm.nrm), 6) < 0.1 AS outlier
+        FROM d
+        JOIN nv USING (vec_id)
+        JOIN nm ON d.label = nm.label""")),
+
     // random-hyperplane LSH candidate generation (linear-cost ANN feed) —
     // fully hash-checked via the committed plane fixture (see lshBandsCtes)
     Q("simsearch_lsh",

@@ -18,6 +18,17 @@ object ReferenceQueries {
   /** Ignore list analogue of the_words.py:11 (`["state"]`). */
   private val ignoreKw = Seq("a", "the")
 
+  /** Row-level expectation rules for `validate_expectations`: (name →
+    * VIOLATION predicate as SQL text). Spark parses each with `expr()`
+    * and the oracle interpolates the identical string — one definition,
+    * zero drift. `qty_le_30` is deliberately violated by TPC-H data so
+    * the failure path is exercised. */
+  private val expectationRules: Seq[(String, String)] = Seq(
+    "qty_in_1_50" -> "l_quantity < 1 OR l_quantity > 50",
+    "price_positive" -> "l_extendedprice <= 0",
+    "shipdate_nonnull" -> "l_shipdate IS NULL",
+    "qty_le_30" -> "l_quantity > 30")
+
   def all: Seq[Q] = Seq(
 
     // ---- flagship aggregation (A2/A3/A4 composed; TPC-H Q1 shape) ----
@@ -562,6 +573,72 @@ object ReferenceQueries {
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey""")),
+
+    // ---- data expectations (the Great-Expectations/dbt-test shape):
+    // row rules share ONE aggregate pass (predicates parsed from the
+    // same SQL strings the oracle interpolates — zero drift), plus
+    // key-uniqueness and referential-integrity rules. qty_le_30 is
+    // deliberately violated, and pk_unique reports a GENUINE property
+    // of the synthetic data ((orderkey, linenumber) repeats) while
+    // row_unique's 4-column key passes — both outcomes of every rule
+    // type are exercised ----
+    Q("validate_expectations",
+      (s, dir) => {
+        import graft.operators.Profiler
+        val li = t(s, dir, "lineitem")
+        Profiler.expectRows(li,
+          expectationRules.map { case (n, p) => n -> expr(p) })
+          .unionByName(Profiler.expectUnique(li,
+            Seq("l_orderkey", "l_linenumber"), "pk_unique"))
+          .unionByName(Profiler.expectUnique(li,
+            Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+            "row_unique"))
+          .unionByName(Profiler.expectRefIntegrity(li, "l_orderkey",
+            t(s, dir, "orders"), "o_orderkey", "fk_orders"))
+      },
+      Some(expectationRules.map { case (n, p) =>
+        s"""SELECT '$n' AS rule,
+          coalesce(sum(CASE WHEN $p THEN 1 ELSE 0 END), 0)::BIGINT
+            AS n_violations,
+          coalesce(sum(CASE WHEN $p THEN 1 ELSE 0 END), 0) = 0 AS pass
+        FROM lineitem"""
+      }.mkString("\nUNION ALL\n") + """
+        UNION ALL
+        SELECT 'pk_unique' AS rule,
+          coalesce(sum(c - 1), 0)::BIGINT AS n_violations,
+          coalesce(sum(c - 1), 0) = 0 AS pass
+        FROM (SELECT count(*) AS c FROM lineitem
+          GROUP BY l_orderkey, l_linenumber) g
+        UNION ALL
+        SELECT 'row_unique' AS rule,
+          coalesce(sum(c - 1), 0)::BIGINT AS n_violations,
+          coalesce(sum(c - 1), 0) = 0 AS pass
+        FROM (SELECT count(*) AS c FROM lineitem
+          GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey) g2
+        UNION ALL
+        SELECT 'fk_orders' AS rule,
+          count(*)::BIGINT AS n_violations, count(*) = 0 AS pass
+        FROM (SELECT l_orderkey FROM lineitem
+          WHERE l_orderkey IS NOT NULL) f
+        LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) d
+          ON f.l_orderkey = d.o_orderkey
+        WHERE d.o_orderkey IS NULL""")),
+
+    // ---- fixed-width numeric histogram (profiling complement of the
+    // exact quantiles): clamped bins, per-bin count and observed
+    // min/max, one map-side-combinable aggregate ----
+    Q("numeric_histogram",
+      (s, dir) => graft.operators.Profiler.histogram(
+        t(s, dir, "lineitem"), "l_extendedprice", lo = 0.0,
+        hi = 80000.0, nBins = 16),
+      Some("""SELECT
+          least(greatest(CAST(floor((l_extendedprice - 0.0) / 5000.0)
+            AS BIGINT), 0), 15) AS bin,
+          count(*) AS n,
+          min(l_extendedprice) AS bin_min,
+          max(l_extendedprice) AS bin_max
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+        GROUP BY bin""")),
 
     // ---- S1 GDELT scan: headerless 61-col TSV with the typed schema ----
     Q("scan_csv",

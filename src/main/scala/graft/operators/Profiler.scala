@@ -47,6 +47,68 @@ object Profiler {
       .select(col("p.col_name"), col("p.n_nonnull"), col("p.n_null"),
         col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
   }
+
+  /** Row-level expectations (the Great-Expectations/dbt-test shape):
+    * each rule is `(name, violationPredicate)`; every rule is counted
+    * in ONE aggregate pass over the table (no per-rule scans) and
+    * reported long-form as `(rule, n_violations, pass)`. Compose with
+    * [[expectUnique]] / [[expectRefIntegrity]] (which need more than a
+    * row predicate) via `unionByName` for the full validation report. */
+  def expectRows(df: DataFrame, rules: Seq[(String, org.apache.spark.sql
+      .Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = rules.map { case (name, viol) =>
+      sum(when(viol, 1L).otherwise(0L)).as(s"__v_$name")
+    }
+    val rows = rules.map { case (name, _) =>
+      struct(lit(name).as("rule"),
+        coalesce(col(s"__v_$name"), lit(0L)).as("n_violations"),
+        (coalesce(col(s"__v_$name"), lit(0L)) === 0).as("pass"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("p"))
+      .select(col("p.rule"), col("p.n_violations"), col("p.pass"))
+  }
+
+  /** Key-uniqueness expectation: `n_violations` = rows beyond the first
+    * of each duplicated key tuple. One shuffle on the key. */
+  def expectUnique(df: DataFrame, cols: Seq[String], rule: String)
+      : DataFrame =
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(col("__c") - 1), lit(0L)).as("n_violations"))
+      .select(lit(rule).as("rule"), col("n_violations"),
+        (col("n_violations") === 0).as("pass"))
+
+  /** Referential-integrity expectation: `n_violations` = fact rows whose
+    * (non-null) key has no match in the dimension. One anti-join —
+    * broadcast when the dimension is small, shuffle otherwise. */
+  def expectRefIntegrity(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String, rule: String): DataFrame =
+    fact.select(col(factKey).as("__k")).filter(col("__k").isNotNull)
+      .join(dim.select(col(dimKey).as("__k")).distinct(), Seq("__k"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit(rule).as("rule"), col("n_violations"),
+        (col("n_violations") === 0).as("pass"))
+
+  /** Fixed-width numeric histogram over `[lo, hi)`: `nBins` bins plus
+    * clamping (values below `lo` land in bin 0, at/above `hi` in the
+    * last bin — no silent row loss), emitting count and observed
+    * min/max per non-empty bin. One map-side-combinable aggregate —
+    * the profiling complement of exact `agg_quantiles` that a 100 TB
+    * monitor can afford per column per day. */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1 && hi > lo, s"bad histogram spec [$lo,$hi)/$nBins")
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((col(c) - lo) / width).cast("long"), lit(0L)),
+      lit(nBins - 1L))
+    df.filter(col(c).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col(c)).as("bin_min"), max(col(c)).as("bin_max"))
+  }
 }
 
 /** Skew-resistant equi-join: replicate the (small) build side `nSalts`

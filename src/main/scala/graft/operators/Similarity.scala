@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expressions.VectorExpressions
@@ -414,6 +414,43 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"),
         round(sum(col("v").cast("decimal(28,10)")).cast("double") /
           count(lit(1)), 6).as("m"))
+
+  /** Embedding outlier audit: each vector's cosine to its own label's
+    * mean embedding (the [[labelCentroids]] prototype), with vectors
+    * below `threshold` flagged — the label-noise / out-of-distribution
+    * screen an embedding-curation pass runs before trusting labels for
+    * contrastive sampling ([[hardNegatives]]) or split stratification.
+    * Output: `(vec_id, label, cos_centroid, outlier)`.
+    *
+    * Float parity: centroid coordinates use the exact-decimal mean
+    * (same algebra as [[labelCentroids]], 6-dp round); dot and norms
+    * accumulate SEQUENTIALLY in index order via array folds, mirrored
+    * by DuckDB's ordered sums — the repo's bit-exact reduction rule.
+    * One tiny centroid aggregate broadcast back; per-row fold over the
+    * array — no joins against the corpus, it streams. (The fold is an
+    * interpreted HOF; hoist to a codegen Expression if it profiles hot
+    * — the audit is O(dim) per row.) */
+  def labelCentroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, threshold: Double): DataFrame = {
+    val cent = labelCentroids(df, labelCol, vecCol)
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("__c"))
+    def fold(pairs: Column): Column =
+      aggregate(pairs, lit(0.0), (acc, x) => acc + x)
+    df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        col(vecCol).as("__v"))
+      .join(broadcast(cent), Seq("label"))
+      .withColumn("__dot", fold(zip_with(col("__v"), col("__c"),
+        (a, b) => a.cast("double") * b)))
+      .withColumn("__nv", sqrt(fold(transform(col("__v"),
+        a => a.cast("double") * a.cast("double")))))
+      .withColumn("__nc", sqrt(fold(transform(col("__c"), b => b * b))))
+      .select(col("vec_id"), col("label"),
+        round(col("__dot") / (col("__nv") * col("__nc")), 6)
+          .as("cos_centroid"))
+      .withColumn("outlier", col("cos_centroid") < threshold)
+  }
 
   /** Deterministic gaussian hyperplane matrix for [[lshCandidates]]:
     * Box-Muller over the repo's self-pinned uniform stream

@@ -518,6 +518,61 @@ class ProfilerSpec extends AnyFunSuite with SparkTester {
     assert(p.isNullAt(4) && p.isNullAt(5))
   }
 
+  test("expectations: row rules, uniqueness, and referential integrity " +
+      "count violations exactly") {
+    val fact = Seq((1L, 5, Some(2L)), (1L, 5, Some(2L)), (2L, -1, Some(3L)),
+      (3L, 7, None), (4L, 120, Some(9L)))
+      .toDF("k", "qty", "fk")
+    val dim = Seq(2L, 3L).toDF("d")
+    val rows = Profiler.expectRows(fact, Seq(
+      "qty_pos" -> (col("qty") <= 0),
+      "qty_cap" -> (col("qty") > 100)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(rows("qty_pos") == (1L, false))
+    assert(rows("qty_cap") == (1L, false))
+    val uniq = Profiler.expectUnique(fact, Seq("k"), "k_unique").head
+    assert(uniq.getLong(1) == 1 && !uniq.getBoolean(2)) // one dup row
+    // null FK is not a violation; 9 has no match -> exactly one
+    val fk = Profiler.expectRefIntegrity(fact, "fk", dim, "d", "fk").head
+    assert(fk.getLong(1) == 1 && !fk.getBoolean(2))
+    // all-green path: empty violation predicates pass
+    val ok = Profiler.expectRows(fact, Seq("never" -> lit(false))).head
+    assert(ok.getLong(1) == 0 && ok.getBoolean(2))
+  }
+
+  test("histogram: clamped bins, exact per-bin counts and bounds") {
+    val df = Seq(-5.0, 0.0, 1.0, 9.9, 10.0, 15.0, 99.0, 250.0)
+      .toDF("x")
+    val h = Profiler.histogram(df, "x", lo = 0.0, hi = 100.0, nBins = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(h(0L) == (4L, -5.0, 9.9))  // {-5 (clamped), 0, 1, 9.9}
+    assert(h(1L) == (2L, 10.0, 15.0))
+    assert(h(9L) == (2L, 99.0, 250.0)) // 250 clamps into the last bin
+    assert(h.values.map(_._1).sum == 8)
+  }
+
+  test("embedding outliers: a planted off-cluster vector flags, " +
+      "on-cluster vectors do not") {
+    import graft.operators.Similarity
+    // label A clusters near e1, label B near e2; vec 99 carries label A
+    // but points along -e1 (cosine to A's centroid ~ -1)
+    val rows = (0L until 8L).map(i =>
+      (i, "A", Array(1.0f, 0.01f * i, 0.0f))) ++
+      (10L until 18L).map(i => (i, "B", Array(0.0f, 1.0f, 0.01f * i))) :+
+      ((99L, "A", Array(-1.0f, 0.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val out = Similarity.labelCentroidOutliers(df, "vec_id", "embedding",
+      "label", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2),
+        r.getBoolean(3))).toMap
+    assert(out(99L)._2, s"planted outlier not flagged: ${out(99L)}")
+    assert((0L until 8L).forall(i => !out(i)._2))
+    assert((10L until 18L).forall(i => !out(i)._2))
+    assert(out(99L)._1 < 0)
+  }
+
   test("salted join: identical rows to the plain join, salt in the " +
       "join keys, salt column dropped") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
