@@ -1315,6 +1315,33 @@ object TextQueries {
         SELECT CAST(j AS INTEGER) AS j, w FROM w3
         UNION ALL SELECT -1 AS j, b AS w FROM b3""")),
 
+    // the STREAMING scorer form: same trained model folded per-row over
+    // the token array (no explode, no groupBy — runs inside a streaming
+    // plan; StreamingCurationSpec drives it through MemoryStream). The
+    // decimal fold is exact, so it is held to the IDENTICAL oracle as
+    // the batch scorer below
+    Q("curation_classifier_stream",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        val model = QualityModel.trainLogReg(docs, "doc_id", "text",
+          col("lang") === "en", dim = 32, iters = 3, lr = 2.0)
+        QualityModel.scoreLogRegStateless(docs, "doc_id", "text", model,
+          dim = 32)
+      },
+      Some(s"""WITH ${lrCtes(32, 3, 2.0, "d.lang = 'en'")},
+        sF AS (
+          SELECT f.doc_id, sum(CAST(w.w AS DECIMAL(18,6)) * f.c) AS s,
+            sum(f.c) AS n
+          FROM f JOIN w3 w ON f.j = w.j GROUP BY f.doc_id),
+        sc AS (
+          SELECT d.doc_id,
+            round(1.0 / (1.0 + exp(-round(b.b +
+              coalesce(32 * CAST(sF.s AS DOUBLE) / sF.n, 0.0), 6))), 6)
+              AS score
+          FROM documents d LEFT JOIN sF ON d.doc_id = sF.doc_id
+          CROSS JOIN b3 b)
+        SELECT doc_id, score, score >= 0.5 AS keep FROM sc""")),
+
     // the closed classifier loop (DataComp-LM / GPT-3 §2.2): label the
     // trusted slice, TRAIN in-engine, score every document, filter at
     // 0.5 — train + score + verdict composed into one differential query

@@ -171,6 +171,45 @@ object QualityModel {
         (col("score") >= threshold).as("keep"))
   }
 
+  /** Stateless form of [[scoreLogReg]] — the STREAMING scorer: the
+    * trained model rides one broadcast row as a `j → w` map (weights as
+    * 6-dp decimals, bias under key −1) and each document's weighted sum
+    * folds over its own token array in a single projection — no
+    * explode, no groupBy, no state — so it runs INSIDE a Structured
+    * Streaming plan, scoring an endless document stream against a
+    * slowly-refreshed model (the classifier twin of
+    * [[Curation.dsirScoreStateless]]). Scores are IDENTICAL to the
+    * batch scorer: the decimal fold is exact and order-independent, so
+    * per-token accumulation equals the batch per-bucket sum
+    * (StreamingCurationSpec asserts equality). The fold is an
+    * interpreted HOF per row×token — fine beside the md5 hashing cost;
+    * hoist to a codegen Expression if it profiles hot. */
+  def scoreLogRegStateless(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, dim: Int = 32, threshold: Double = 0.5)
+      : DataFrame = {
+    val zero = lit("0").cast("decimal(18,6)")
+    val mrow = model.agg(map_from_entries(collect_list(
+      struct(col("j"), col("w").cast("decimal(18,6)")))).as("__wm"))
+    df.crossJoin(broadcast(mrow))
+      .select(col(idCol).as("doc_id"),
+        Cleaning.tokens(lower(col(textCol))).as("__t"), col("__wm"))
+      .select(col("doc_id"), col("__wm"),
+        size(col("__t")).as("__n"),
+        aggregate(col("__t"), zero, (acc, tok) =>
+          (acc + coalesce(element_at(col("__wm"),
+            Curation.hashBucket(tok, dim).cast("int")), zero))
+            .cast("decimal(18,6)")).as("__s"))
+      .withColumn("z", round(
+        element_at(col("__wm"), -1).cast("double") +
+          when(col("__n") > 0,
+            lit(dim) * col("__s").cast("double") / col("__n"))
+            .otherwise(lit(0.0)), 6))
+      .withColumn("score",
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+      .select(col("doc_id"), col("score"),
+        (col("score") >= threshold).as("keep"))
+  }
+
   /** The fused train→score→filter loop: identical output to
     * `scoreLogReg(df, trainLogReg(df, …))` but the feature table is
     * tokenized, hashed, and persisted ONCE and shared by the trainer

@@ -428,6 +428,41 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTester {
         $"logweight".as[Double]).collect().toSet
     assert(batch.nonEmpty && streamed == batch)
   }
+
+  test("streaming quality classifier: batch-trained LR model broadcast " +
+      "into a stateless streaming scorer, equal to the batch scores") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.QualityModel
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang").limit(60).cache()
+    val model = QualityModel.trainLogReg(docs, "doc_id", "text",
+      $"lang" === "en", dim = 32, iters = 2, lr = 2.0).cache()
+    assert(model.count() == 33)
+    val dir = java.nio.file.Files.createTempDirectory("graft-slr")
+    val out = dir.resolve("out").toString
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.select($"doc_id".as[Long], $"text".as[String])
+      .collect().toSeq: _*)
+    val q = QualityModel.scoreLogRegStateless(
+        mem.toDS().toDF("doc_id", "text"), "doc_id", "text", model,
+        dim = 32)
+      .writeStream
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .format("parquet").option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(out)
+      .select($"doc_id".as[Long], $"score".as[Double],
+        $"keep".as[Boolean]).collect().toSet
+    val batch = QualityModel.scoreLogReg(docs, "doc_id", "text", model,
+        dim = 32)
+      .select($"doc_id".as[Long], $"score".as[Double],
+        $"keep".as[Boolean]).collect().toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
 }
 
 class RegistrySpec extends AnyFunSuite with SparkTester {
