@@ -153,6 +153,40 @@ object ScaleBench {
       (dropped, prNodes)
     } else (-1L, -1L)
 
+    // incremental dedup: a new-crawl batch of 20% of the base corpus —
+    // even ids arrive as near-copies of their corpus counterpart (one
+    // prepended token, Jaccard ~0.95 → dropped against the corpus),
+    // odd ids fully salted (unique → admitted). The corpus side of the
+    // cross band-join is factor× large; the batch is small — the
+    // continuous-crawl shape whose cost should track the BATCH size
+    val nIncDropped = if (runExt) timed("incremental") {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
+      val saltTokens = (0 until 64).map { i =>
+        substring(md5(concat_ws("_", col("doc_id"), lit("inc"), lit(i))),
+          1, 12)
+      }
+      val batch = base.select(
+        (col("doc_id") * factor + lit(1000000000L)).as("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("v2 "), col("text")))
+          .otherwise(concat(concat_ws(" ", saltTokens: _*), lit(" "),
+            col("text"))).as("text"))
+      Dedup.incrementalDedup(big, batch, "doc_id", "text",
+        k = 5, threshold = 0.8).filter(!col("keep")).count()
+    } else -1L
+
+    // in-engine trained classifier at factor× docs: the boilerplate
+    // marker is a REAL learnable signal (10% positive class); cost per
+    // GD round should be two passes over the hashed count table
+    val nClsKept = if (runExt) timed("classifier") {
+      graft.operators.QualityModel.trainScoreLogReg(big, "doc_id",
+        "text", label = col("text").contains("archive division"),
+        dim = 32, iters = 3, lr = 2.0)
+        .filter(col("keep")).count()
+    } else -1L
+
     val times = t.map { case (k, v) =>
       "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.US, v)
     }.mkString("{", ",", "}")
@@ -163,6 +197,8 @@ object ScaleBench {
       s""""pairs":{"minhash":$nMinhash,"ngram_capped":$nCapped,""" +
       s""""ngram_uncapped":$nUncapped},"nondefault_docs":$nClusters,""" +
       s""""curate_kept":$nCurate,"semantic_dropped":$nSemDropped,""" +
-      s""""pagerank_nodes":$nPrNodes}""")
+      s""""pagerank_nodes":$nPrNodes,""" +
+      s""""incremental_dropped":$nIncDropped,""" +
+      s""""classifier_kept":$nClsKept}""")
   }
 }

@@ -160,4 +160,62 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     val r = plan("corpus_report")
     assert(r.contains("partial_count"), r)
   }
+
+  test("curation_gopher: pure per-row projection — no shuffle, no join") {
+    val p = plan("curation_gopher")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("profile_table / validate_expectations: stats ride ONE scan of " +
+      "the profiled table (no per-column re-scans)") {
+    // the documents table must be scanned exactly once for the whole
+    // per-column profile (countDistinct adds an Expand, not re-scans)
+    // formatted explain prints each node twice (tree + details) — count
+    // DISTINCT scan node ids from the details section
+    def nScans(p: String): Int =
+      "\\((\\d+)\\) Scan parquet".r.findAllMatchIn(p)
+        .map(_.group(1)).toSet.size
+    val p = plan("profile_table")
+    assert(nScans(p) == 1, p)
+    assert(p.contains("partial_count"), p)
+    // the row rules of validate_expectations likewise share one
+    // lineitem scan; uniqueness + FK rules add their own (4 lineitem
+    // scans total, plus the orders dim side)
+    val v = plan("validate_expectations")
+    assert(nScans(v) <= 5, v)
+  }
+
+  test("join_skew_salted: the join keys on the salt, partial " +
+      "aggregation survives above it") {
+    val p = plan("join_skew_salted")
+    assert(p.contains("__salt"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("agg_cms_heavyhitters / corpus_overlap_minhash: sketch folds are " +
+      "map-side partial aggregates, no cartesian anywhere") {
+    for (name <- Seq("agg_cms_heavyhitters", "corpus_overlap_minhash")) {
+      val p = plan(name)
+      assert(p.contains("partial_min") || p.contains("partial_count"),
+        s"$name:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
+  test("embedding_outliers: centroids broadcast back; corpus never " +
+      "self-joins") {
+    val p = plan("embedding_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("curation_token_budget: one window exchange on the domain, " +
+      "nothing else shuffles") {
+    val p = plan("curation_token_budget")
+    assert(p.contains("Window"), p)
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
 }
