@@ -1199,6 +1199,10 @@ object TextQueries {
   private val profiledCols =
     Seq("doc_id", "text", "lang", "source", "n_chars")
 
+  /** Query bag for `search_bm25` — shared by the Spark call and the
+    * generated oracle IN-list. */
+  private val bm25QueryTerms = Seq("spark", "query", "join")
+
   def all: Seq[Q] = Seq(
 
     // per-column table profile (the trust-a-new-drop audit): one
@@ -1831,6 +1835,81 @@ object TextQueries {
     // per-document top-5 BM25 terms; the scoring expression is mirrored
     // with identical association order and constants, so the double math
     // agrees bit-for-bit before the 6-dp rounding
+    // BM25 RETRIEVAL: every document scored against a fixed query bag,
+    // global top-20 — the lexical-search half of a RAG stack. Query
+    // terms are interpolated into the oracle from the same Seq; the
+    // per-(doc, term) contribution rounds once at 6 dp and sums as
+    // exact decimal so the ranking cannot drift between engines
+    Q("search_bm25",
+      (s, dir) => TextAnalysis.bm25Search(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        bm25QueryTerms, topN = 20),
+      Some {
+        val inList = bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+        s"""WITH t AS (
+            SELECT doc_id,
+              unnest(list_filter(string_split(lower(text), ' '),
+                x -> x <> '')) AS term
+            FROM documents),
+          dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+          c AS (SELECT count(*) AS n_docs,
+            sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+          qtf AS (
+            SELECT doc_id, term, count(*) AS tf FROM t
+            WHERE term IN ($inList) GROUP BY 1, 2),
+          dfreq AS (SELECT term, count(*) AS dfreq FROM qtf
+            GROUP BY term),
+          sc AS (
+            SELECT qtf.doc_id,
+              CAST(round(ln((c.n_docs - dfreq.dfreq + 0.5) /
+                  (dfreq.dfreq + 0.5) + 1.0) *
+                (qtf.tf * (1.2 + 1.0)) /
+                (qtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl)),
+                6) AS DECIMAL(18,6)) AS s
+            FROM qtf
+            JOIN dfreq USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN c)
+          SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+            CAST(sum(s) AS DOUBLE) AS score
+          FROM sc GROUP BY doc_id
+          ORDER BY score DESC, doc_id ASC LIMIT 20"""
+      }),
+
+    // canonical text normalization over a corpus seeded (identically in
+    // both engines) with accents, punctuation, and whitespace runs so
+    // every folding rule fires; the accent replace chain is GENERATED
+    // from TextAnalysis.accentFolds on both sides
+    Q("text_normalize",
+      (s, dir) => {
+        val seeded = Sources.table(s, dir, "documents").select(
+          col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              lit("  Résumé, CAFÉ!  piñata ÄÖÜ groß  ")).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              lit(" très-élevé (naïve)")).otherwise(lit(""))).as("txt"))
+        seeded.select(col("doc_id"),
+          TextAnalysis.normalizeText(col("txt")).as("clean"))
+      },
+      Some {
+        val folded = TextAnalysis.accentFolds.foldLeft("lower(txt)") {
+          case (acc, (from, to)) =>
+            s"regexp_replace($acc, '$from', '$to', 'g')"
+        }
+        s"""WITH seeded AS (
+            SELECT doc_id, text ||
+              CASE WHEN doc_id % 3 = 0
+                THEN '  Résumé, CAFÉ!  piñata ÄÖÜ groß  ' ELSE '' END ||
+              CASE WHEN doc_id % 7 = 0
+                THEN ' très-élevé (naïve)' ELSE '' END AS txt
+            FROM documents)
+          SELECT doc_id,
+            trim(regexp_replace(regexp_replace($folded,
+              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+          FROM seeded"""
+      }),
+
     Q("text_bm25",
       (s, dir) => TextAnalysis.bm25TopTerms(
         Sources.table(s, dir, "documents"), "doc_id", "text", topN = 5),

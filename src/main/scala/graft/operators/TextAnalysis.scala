@@ -244,6 +244,75 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("bm25"), col("rank"))
   }
 
+  /** BM25 document RETRIEVAL for one query — [[bm25TopTerms]] turned
+    * around: score every document against a fixed bag of query terms
+    * and return the global top-`topN` — the lexical-search half of a
+    * RAG/retrieval pipeline (pair with [[Similarity.bruteForceTopK]] /
+    * IVF for the dense half).
+    *
+    * Determinism: each (doc, term) BM25 contribution is rounded once at
+    * 6 dp and summed EXACTLY as DECIMAL(18,6) — order-free — then the
+    * rank tie-breaks on doc id. Corpus statistics (N, avgdl, df) come
+    * from the full corpus, query terms only filter the scoring join.
+    *
+    * Scale shape: same two map-side-combined aggregates as
+    * [[bm25TopTerms]] (per-doc tf over query terms only, corpus
+    * df/avgdl), the query-term filter prunes the tf table to
+    * |queryTerms| keys, and the final top-N is a TakeOrdered — no
+    * global sort, no window. */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topN: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val toks = df.select(col(idCol),
+      explode(Cleaning.tokens(lower(col(textCol)))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qtf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = qtf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    qtf.join(broadcast(dfreq), "term").join(dl, idCol)
+      .crossJoin(broadcast(corpus))
+      .withColumn("__s", round(
+        log((col("n_docs") - col("dfreq") + 0.5) /
+          (col("dfreq") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))),
+        6).cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("__s")).cast("double").as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topN)
+  }
+
+  /** Accent-fold mapping for [[normalizeText]] — one definition, the
+    * oracle generates the identical replace chain. */
+  val accentFolds: Seq[(String, String)] = Seq(
+    "á" -> "a", "à" -> "a", "â" -> "a", "ä" -> "a",
+    "é" -> "e", "è" -> "e", "ê" -> "e", "ë" -> "e",
+    "í" -> "i", "ì" -> "i", "î" -> "i", "ï" -> "i",
+    "ó" -> "o", "ò" -> "o", "ô" -> "o", "ö" -> "o",
+    "ú" -> "u", "ù" -> "u", "û" -> "u", "ü" -> "u",
+    "ñ" -> "n", "ç" -> "c", "ß" -> "ss")
+
+  /** Canonical text normalization — the preprocessing contract shared
+    * by dedup/embedding/token pipelines so "Résumé,  please" and
+    * "resume please" collapse to one form: lowercase → accent fold
+    * ([[accentFolds]], a generated replace chain identical in any
+    * engine) → strip every char outside `[a-z0-9 ]` → collapse
+    * whitespace runs → trim. Pure codegen'd projection, no shuffle. */
+  def normalizeText(c: Column): Column = {
+    val folded = accentFolds.foldLeft(lower(c)) {
+      case (acc, (from, to)) => regexp_replace(acc, from, to)
+    }
+    trim(regexp_replace(
+      regexp_replace(folded, "[^a-z0-9 ]", " "), " +", " "))
+  }
+
   /** Feature-hashed bag-of-words embedding (the hashing trick, Weinberger
     * et al. ICML'09) in SPARSE row form: `(doc_id, dim, value)` with one
     * row per non-zero bucket, where each token hashes to a bucket

@@ -1064,6 +1064,37 @@ class BpeSpec extends AnyFunSuite with SparkTester {
 class TextAnalysisSpec extends AnyFunSuite with SparkTester {
   import spark.implicits._
 
+  test("bm25 search: docs hitting more/rarer query terms rank higher, " +
+      "misses absent entirely") {
+    val df = Seq(
+      (1L, "spark join query spark engine plan"),   // all 3 terms
+      (2L, "spark table scan batch data rows"),     // 1 term
+      (3L, "filter sort window group order limit"), // 0 terms
+      (4L, "query join planner cost model stats"))  // 2 terms
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bm25Search(df, "doc_id", "text",
+      Seq("spark", "query", "join"), topN = 10)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
+    val m = r.toMap
+    assert(!m.contains(3L), "doc without query terms must not appear")
+    assert(m(1L)._1 == 3 && m(4L)._1 == 2 && m(2L)._1 == 1)
+    assert(m(1L)._2 > m(4L)._2 && m(4L)._2 > m(2L)._2)
+    // ranking order is the collect order (orderBy before limit)
+    assert(r.map(_._1).toSeq == Seq(1L, 4L, 2L))
+  }
+
+  test("normalizeText: accents fold, punctuation strips, whitespace " +
+      "collapses, already-clean text is a fixpoint") {
+    def n(s: String): String =
+      Seq(s).toDF("t").select(TextAnalysis.normalizeText($"t"))
+        .head.getString(0)
+    assert(n("  Résumé,  CAFÉ! ") == "resume cafe")
+    assert(n("piñata ÄÖÜ groß") == "pinata aou gross")
+    assert(n("très-élevé (naïve)") == "tres eleve naive")
+    assert(n("plain text 42") == "plain text 42")
+    assert(n(n("Déjà.  Vu!")) == n("Déjà.  Vu!"), "idempotent")
+  }
+
   test("langid scores marker stopwords; deterministic tie-break") {
     val df = Seq(
       (1L, "the cat and the dog"),
