@@ -1876,6 +1876,86 @@ object TextQueries {
           ORDER BY score DESC, doc_id ASC LIMIT 20"""
       }),
 
+    // HYBRID retrieval — BM25 shortlist re-ranked by hashed-embedding
+    // cosine, the two-stage RAG search in ONE differential query: the
+    // lexical stage, the integer sparse dense stage, and the fused
+    // ranking all mirrored (query text shared with search_bm25)
+    Q("search_hybrid",
+      (s, dir) => TextAnalysis.hybridSearch(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        bm25QueryTerms.mkString(" "), shortlist = 50, topN = 10),
+      Some {
+        val inList = bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+        val qVals = bm25QueryTerms.map(t => s"('$t')").mkString(", ")
+        s"""WITH t AS (
+            SELECT doc_id,
+              unnest(list_filter(string_split(lower(text), ' '),
+                x -> x <> '')) AS term
+            FROM documents),
+          dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+          c AS (SELECT count(*) AS n_docs,
+            sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+          qtf AS (
+            SELECT doc_id, term, count(*) AS tf FROM t
+            WHERE term IN ($inList) GROUP BY 1, 2),
+          dfreq AS (SELECT term, count(*) AS dfreq FROM qtf
+            GROUP BY term),
+          sc AS (
+            SELECT qtf.doc_id,
+              CAST(round(ln((c.n_docs - dfreq.dfreq + 0.5) /
+                  (dfreq.dfreq + 0.5) + 1.0) *
+                (qtf.tf * (1.2 + 1.0)) /
+                (qtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl)),
+                6) AS DECIMAL(18,6)) AS s
+            FROM qtf
+            JOIN dfreq USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN c),
+          short AS (
+            SELECT doc_id, CAST(sum(s) AS DOUBLE) AS score_bm25
+            FROM sc GROUP BY doc_id
+            ORDER BY score_bm25 DESC, doc_id ASC LIMIT 50),
+          demb AS (
+            SELECT t.doc_id,
+              ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS dim,
+              sum((('0x' || substr(md5(term), 9, 1))::BIGINT % 2) * 2 - 1)
+                AS value
+            FROM t JOIN short USING (doc_id)
+            GROUP BY 1, 2
+            HAVING sum((('0x' || substr(md5(term), 9, 1))::BIGINT % 2)
+              * 2 - 1) <> 0),
+          qt AS (SELECT term FROM (VALUES $qVals) v(term)),
+          qe AS (
+            SELECT ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS dim,
+              sum((('0x' || substr(md5(term), 9, 1))::BIGINT % 2) * 2 - 1)
+                AS qv
+            FROM qt GROUP BY 1
+            HAVING sum((('0x' || substr(md5(term), 9, 1))::BIGINT % 2)
+              * 2 - 1) <> 0),
+          qn AS (SELECT sum(qv * qv) AS qn FROM qe),
+          dn AS (SELECT doc_id, sum(value * value) AS dn FROM demb
+            GROUP BY doc_id),
+          dots AS (
+            SELECT doc_id, sum(value * qv) AS dot
+            FROM demb JOIN qe USING (dim) GROUP BY doc_id),
+          ranked AS (
+            SELECT s.doc_id, s.score_bm25,
+              CASE WHEN d.dot IS NULL THEN 0.0
+                ELSE round(d.dot::DOUBLE /
+                  (sqrt(dn.dn::DOUBLE) * sqrt(qn.qn::DOUBLE)), 6) END
+                AS cos
+            FROM short s
+            LEFT JOIN dots d USING (doc_id)
+            JOIN dn USING (doc_id)
+            CROSS JOIN qn)
+          SELECT doc_id, score_bm25, cos, rank FROM (
+            SELECT doc_id, score_bm25, cos, CAST(row_number() OVER (
+              ORDER BY cos DESC, score_bm25 DESC, doc_id ASC) AS INTEGER)
+              AS rank
+            FROM ranked) r
+          WHERE rank <= 10"""
+      }),
+
     // canonical text normalization over a corpus seeded (identically in
     // both engines) with accents, punctuation, and whitespace runs so
     // every folding rule fires; the accent replace chain is GENERATED

@@ -289,6 +289,59 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** HYBRID retrieval — the full two-stage RAG search in one plan:
+    * [[bm25Search]] produces a lexical shortlist, which is then
+    * re-ranked by cosine between the query's and each shortlisted
+    * document's feature-hashed embedding ([[hashedEmbedding]] — signed
+    * integer sparse vectors, so dots and norms are exact integer sums
+    * and the dense stage is bit-reproducible in any engine). The
+    * production pattern: the cheap wide net first, the semantic
+    * re-rank only over `shortlist` docs. Output: `(doc_id, score_bm25,
+    * cos, rank)` — rank by cosine (then bm25 would tie-break equal
+    * embeddings; doc id last).
+    *
+    * Scale shape: the BM25 stage is the query-pruned tf aggregate;
+    * embeddings are computed ONLY for shortlisted documents (semi-join
+    * BELOW the tokenize projection); the query embedding is one
+    * broadcast row-set; the final rank is a `shortlist`-row window. */
+  def hybridSearch(df: DataFrame, idCol: String, textCol: String,
+      queryText: String, shortlist: Int = 50, topN: Int = 10,
+      dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val terms = queryText.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val short = bm25Search(df, idCol, textCol, terms.toSeq, shortlist)
+      .withColumnRenamed("score", "score_bm25")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docEmb = hashedEmbedding(
+      df.join(broadcast(short.select(col(idCol))), Seq(idCol),
+        "left_semi"),
+      idCol, textCol, dim)
+    val qEmb = hashedEmbedding(
+      Seq((0L, queryText)).toDF("qid", "qtext"), "qid", "qtext", dim)
+      .select(col("dim"), col("value").as("qv"))
+    val qNorm = qEmb.agg(sum(col("qv") * col("qv")).as("qn"))
+    val dNorm = docEmb.groupBy(col(idCol))
+      .agg(sum(col("value") * col("value")).as("dn"))
+    val dots = docEmb.join(broadcast(qEmb), Seq("dim"))
+      .groupBy(col(idCol))
+      .agg(sum(col("value") * col("qv")).as("dot"))
+    val ranked = short
+      .join(dots, Seq(idCol), "left")
+      .join(dNorm, Seq(idCol))
+      .crossJoin(broadcast(qNorm))
+      .withColumn("cos", when(col("dot").isNull, lit(0.0)).otherwise(
+        round(col("dot").cast("double") /
+          (sqrt(col("dn").cast("double")) *
+            sqrt(col("qn").cast("double"))), 6)))
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("cos").desc, col("score_bm25").desc, col(idCol).asc)))
+      .filter(col("rank") <= topN)
+      .select(col(idCol), col("score_bm25"), col("cos"), col("rank"))
+    ranked
+  }
+
   /** Accent-fold mapping for [[normalizeText]] — one definition, the
     * oracle generates the identical replace chain. */
   val accentFolds: Seq[(String, String)] = Seq(

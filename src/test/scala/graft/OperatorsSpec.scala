@@ -1083,6 +1083,40 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTester {
     assert(r.map(_._1).toSeq == Seq(1L, 4L, 2L))
   }
 
+  test("hybrid search: dense rerank puts the exact-phrase doc first " +
+      "with cosine 1, lexical-only docs rank below, misses excluded") {
+    val df = Seq(
+      (1L, "spark query join"),                       // == the query
+      (2L, "spark query join " +
+        Seq.fill(20)("other filler words here").mkString(" ")),
+      (3L, "window filter sort order group"),         // no query terms
+      (4L, "spark spark spark spark spark"))          // one term, heavy
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.hybridSearch(df, "doc_id", "text",
+      "spark query join", shortlist = 10, topN = 10)
+      .collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2),
+        x.getInt(3)))
+    val ids = r.map(_._1)
+    assert(!ids.contains(3L))
+    val byId = r.map(x => x._1 -> x).toMap
+    assert(byId(1L)._3 == 1.0 && byId(1L)._4 == 1,
+      s"exact-phrase doc must rerank first with cos 1: ${byId(1L)}")
+    // doc 4 is a pure "spark" vector: cos = 1/sqrt(3) exactly (one of
+    // the query's three unit dims) — heavier filler (doc 2) dilutes
+    // BELOW that even with all three terms present: BOW cosine rewards
+    // concentration, not coverage
+    assert(byId(4L)._3 == BigDecimal(1.0 / math.sqrt(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(byId(2L)._3 > 0.0 && byId(2L)._3 < byId(4L)._3)
+    // deterministic rerun
+    val again = TextAnalysis.hybridSearch(df, "doc_id", "text",
+      "spark query join", shortlist = 10, topN = 10).collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2),
+        x.getInt(3)))
+    assert(r.toSeq == again.toSeq)
+  }
+
   test("normalizeText: accents fold, punctuation strips, whitespace " +
       "collapses, already-clean text is a fixpoint") {
     def n(s: String): String =
