@@ -1144,7 +1144,8 @@ object TextQueries {
     * `b$iters(b)` to the caller's tail CTEs. `labelSql` must evaluate to
     * 0/1 over a `documents` row aliased `d`. */
   private[graft] def lrCtes(dim: Int, iters: Int, lr: Double,
-      labelSql: String): String = {
+      labelSql: String, rel: String = "documents",
+      textExpr: String = "text"): String = {
     val rounds = (0 until iters).map { t =>
       s"""s$t AS (
           SELECT f.doc_id, sum(CAST(w.w AS DECIMAL(18,6)) * f.c) AS s
@@ -1172,19 +1173,19 @@ object TextQueries {
             CAST((SELECT sum(r) FROM r$t) AS DOUBLE) / nn.nn, 6) AS b
           FROM b$t b CROSS JOIN nn)"""
     }.mkString(",\n")
-    s"""t AS (
+    s"""lrt AS (
         SELECT doc_id,
-          unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-            AS term
-        FROM documents),
+          unnest(list_filter(string_split_regex(lower($textExpr),
+            '\\s+'), x -> x <> '')) AS term
+        FROM $rel),
       f AS (
         SELECT doc_id,
           ('0x' || substr(md5(term), 1, 8))::BIGINT % $dim AS j,
           count(*) AS c
-        FROM t GROUP BY doc_id, j),
+        FROM lrt GROUP BY doc_id, j),
       docs AS (
         SELECT d.doc_id, ($labelSql)::INTEGER AS y, n.n
-        FROM documents d JOIN (
+        FROM $rel d JOIN (
           SELECT doc_id, sum(c) AS n FROM f GROUP BY doc_id) n
           ON d.doc_id = n.doc_id),
       nn AS (SELECT count(*) AS nn FROM docs),
@@ -2095,6 +2096,94 @@ object CurationQueries {
         lit("unique tail line for document "), col("doc_id").cast("string"),
         lit(". it ends here.")).as("txt"))
 
+  /** Gopher-seeded corpus shared by `curation_gopher` and
+    * `pipeline_curate_model`: bullets on id%7/%13 (only the latter
+    * crosses the 90% line rule), required stopwords on id%3, a symbol
+    * burst on id%10, an ellipsis tail line on id%11 — identical in
+    * both engines. Keeps `lang`/`source` for the model pipeline. */
+  private[graft] def gopherSeededDocs(s: SparkSession, dir: String)
+      : DataFrame =
+    Sources.table(s, dir, "documents").select(
+      col("doc_id"), col("lang"), col("source"),
+      concat(
+        when(col("doc_id") % 13 === 0,
+          lit(("- filler bullet line\n" * 10))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("- one bullet\n- two bullets\n")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" of and that have with")).otherwise(lit("")),
+        when(col("doc_id") % 10 === 0,
+          lit(" ### ### ### ### ### ###")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\ntrailing thought...")).otherwise(lit("")))
+        .as("txt"))
+
+  /** DuckDB twin of [[gopherSeededDocs]] (CTE `seeded`, column `txt`). */
+  private[graft] val gopherSeededSql: String =
+    """seeded AS (
+        SELECT doc_id, lang, source,
+          CASE WHEN doc_id % 13 = 0 THEN repeat(
+            '- filler bullet line' || chr(10), 10) ELSE '' END ||
+          CASE WHEN doc_id % 7 = 0 THEN '- one bullet' || chr(10) ||
+            '- two bullets' || chr(10) ELSE '' END ||
+          text ||
+          CASE WHEN doc_id % 3 = 0 THEN ' of and that have with'
+            ELSE '' END ||
+          CASE WHEN doc_id % 10 = 0 THEN ' ### ### ### ### ### ###'
+            ELSE '' END ||
+          CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+            'trailing thought...' ELSE '' END AS txt
+        FROM documents)"""
+
+  /** Gopher verdict CTE chain over the `seeded` CTE, ending in
+    * `v(doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    * ellipsis_frac, alpha_frac, n_stopwords)` — shared by
+    * `curation_gopher` and `pipeline_curate_model`. */
+  private[graft] val gopherVerdictCtes: String = {
+    val stopSum = Curation.gopherStopwords
+      .map(s => s"list_contains(lws, '$s')::INTEGER").mkString(" + ")
+    s"""t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(txt, '\\s+'), x -> x <> '')
+            AS ws,
+          string_split(txt, chr(10)) AS lines
+        FROM seeded),
+      m AS (
+        SELECT doc_id, ws, lines,
+          list_transform(ws, w -> lower(w)) AS lws,
+          len(ws)::INTEGER AS n_words,
+          greatest(len(ws), 1) AS nw1,
+          greatest(len(lines), 1) AS nl1
+        FROM t),
+      v AS (
+        SELECT doc_id, n_words,
+          round(coalesce(list_sum(
+            list_transform(ws, w -> length(w))), 0)::DOUBLE / nw1, 6)
+            AS mean_word_len,
+          round((len(list_filter(ws, w -> contains(w, '#'))) +
+            len(list_filter(ws, w -> contains(w, '...'))))::DOUBLE
+            / nw1, 6) AS symbol_ratio,
+          round(len(list_filter(lines, l -> starts_with(l, '-')
+            OR starts_with(l, '*') OR starts_with(l, '•')))::DOUBLE
+            / nl1, 6) AS bullet_frac,
+          round(len(list_filter(lines, l -> ends_with(l, '...')))
+            ::DOUBLE / nl1, 6) AS ellipsis_frac,
+          round(len(list_filter(ws, w ->
+            regexp_matches(lower(w), '[a-z]')))::DOUBLE / nw1, 6)
+            AS alpha_frac,
+          ($stopSum) AS n_stopwords
+        FROM m)"""
+  }
+
+  /** The Gopher keep verdict over `v`'s columns (paper thresholds). */
+  private[graft] val gopherKeepExpr: String =
+    """(n_words >= 50 AND n_words <= 100000
+      AND mean_word_len >= 3 AND mean_word_len <= 10
+      AND symbol_ratio < 0.1
+      AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+      AND alpha_frac >= 0.8 AND n_stopwords >= 2)"""
+
   /** DuckDB twin of [[seededC4Docs]] (CTE named `seeded`, column `txt`). */
   private[graft] val seededC4Sql: String =
     """seeded AS (
@@ -2147,81 +2236,14 @@ object CurationQueries {
     // synthetic vocabulary otherwise carries only 'the'). Every
     // measured value, per-rule flag, and the keep verdict hash-checked
     Q("curation_gopher",
-      (s, dir) => {
-        val seeded = Sources.table(s, dir, "documents").select(
-          col("doc_id"),
-          concat(
-            when(col("doc_id") % 13 === 0,
-              lit(("- filler bullet line\n" * 10))).otherwise(lit("")),
-            when(col("doc_id") % 7 === 0,
-              lit("- one bullet\n- two bullets\n")).otherwise(lit("")),
-            col("text"),
-            when(col("doc_id") % 3 === 0,
-              lit(" of and that have with")).otherwise(lit("")),
-            when(col("doc_id") % 10 === 0,
-              lit(" ### ### ### ### ### ###")).otherwise(lit("")),
-            when(col("doc_id") % 11 === 0,
-              lit("\ntrailing thought...")).otherwise(lit("")))
-            .as("txt"))
-        Curation.gopherQualityFlags(seeded, "doc_id", "txt")
-      },
-      Some {
-        val stopSum = Curation.gopherStopwords
-          .map(s => s"list_contains(lws, '$s')::INTEGER").mkString(" + ")
-        s"""WITH seeded AS (
-            SELECT doc_id,
-              CASE WHEN doc_id % 13 = 0 THEN repeat(
-                '- filler bullet line' || chr(10), 10) ELSE '' END ||
-              CASE WHEN doc_id % 7 = 0 THEN '- one bullet' || chr(10) ||
-                '- two bullets' || chr(10) ELSE '' END ||
-              text ||
-              CASE WHEN doc_id % 3 = 0 THEN ' of and that have with'
-                ELSE '' END ||
-              CASE WHEN doc_id % 10 = 0 THEN ' ### ### ### ### ### ###'
-                ELSE '' END ||
-              CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
-                'trailing thought...' ELSE '' END AS txt
-            FROM documents),
-          t AS (
-            SELECT doc_id,
-              list_filter(string_split_regex(txt, '\\s+'), x -> x <> '')
-                AS ws,
-              string_split(txt, chr(10)) AS lines
-            FROM seeded),
-          m AS (
-            SELECT doc_id, ws, lines,
-              list_transform(ws, w -> lower(w)) AS lws,
-              len(ws)::INTEGER AS n_words,
-              greatest(len(ws), 1) AS nw1,
-              greatest(len(lines), 1) AS nl1
-            FROM t),
-          v AS (
-            SELECT doc_id, n_words,
-              round(coalesce(list_sum(
-                list_transform(ws, w -> length(w))), 0)::DOUBLE / nw1, 6)
-                AS mean_word_len,
-              round((len(list_filter(ws, w -> contains(w, '#'))) +
-                len(list_filter(ws, w -> contains(w, '...'))))::DOUBLE
-                / nw1, 6) AS symbol_ratio,
-              round(len(list_filter(lines, l -> starts_with(l, '-')
-                OR starts_with(l, '*') OR starts_with(l, '•')))::DOUBLE
-                / nl1, 6) AS bullet_frac,
-              round(len(list_filter(lines, l -> ends_with(l, '...')))
-                ::DOUBLE / nl1, 6) AS ellipsis_frac,
-              round(len(list_filter(ws, w ->
-                regexp_matches(lower(w), '[a-z]')))::DOUBLE / nw1, 6)
-                AS alpha_frac,
-              ($stopSum) AS n_stopwords
-            FROM m)
+      (s, dir) => Curation.gopherQualityFlags(
+        gopherSeededDocs(s, dir), "doc_id", "txt"),
+      Some(s"""WITH $gopherSeededSql,
+          $gopherVerdictCtes
           SELECT doc_id, n_words, mean_word_len, symbol_ratio,
             bullet_frac, ellipsis_frac, alpha_frac, n_stopwords,
-            (n_words >= 50 AND n_words <= 100000
-              AND mean_word_len >= 3 AND mean_word_len <= 10
-              AND symbol_ratio < 0.1
-              AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
-              AND alpha_frac >= 0.8 AND n_stopwords >= 2) AS keep
-          FROM v"""
-      }),
+            $gopherKeepExpr AS keep
+          FROM v""")),
 
     // token-budget mixture delivery: per-domain admission in the
     // deterministic hash-priority order until the domain's token budget
@@ -2248,6 +2270,57 @@ object CurationQueries {
           FROM tok)
         SELECT doc_id, domain, n_tokens, cum_before
         FROM c WHERE cum_before < 600""")),
+
+    // the MODEL-BASED curation pipeline end-to-end: Gopher gate →
+    // TRAIN the LR classifier on the survivors (trusted slice = lang
+    // 'en') → top-60 by score → 300-token budget per source. One
+    // drifted stage — a rule threshold, one trained weight, one rank —
+    // breaks the hash; the oracle replays heuristics, TRAINING LOOP,
+    // scoring, ranking, and the budget window in one generated query
+    Q("pipeline_curate_model",
+      (s, dir) => graft.Pipeline.curateModelPlan(
+        gopherSeededDocs(s, dir), targetLang = "en", topN = 60,
+        tokenBudget = 300L),
+      Some(s"""WITH $gopherSeededSql,
+        $gopherVerdictCtes,
+        surv AS (
+          SELECT s.doc_id, s.lang, s.source, s.txt
+          FROM seeded s JOIN v USING (doc_id)
+          WHERE $gopherKeepExpr),
+        ${TextQueries.lrCtes(32, 3, 2.0, "d.lang = 'en'", "surv", "txt")},
+        sF AS (
+          SELECT f.doc_id, sum(CAST(w.w AS DECIMAL(18,6)) * f.c) AS s,
+            sum(f.c) AS n
+          FROM f JOIN w3 w ON f.j = w.j GROUP BY f.doc_id),
+        scored AS (
+          SELECT d.doc_id,
+            round(1.0 / (1.0 + exp(-round(b.b +
+              coalesce(32 * CAST(sF.s AS DOUBLE) / sF.n, 0.0), 6))), 6)
+              AS score
+          FROM surv d LEFT JOIN sF ON d.doc_id = sF.doc_id
+          CROSS JOIN b3 b),
+        topd AS (
+          SELECT doc_id FROM scored
+          ORDER BY score DESC, doc_id ASC LIMIT 60),
+        sel AS (
+          SELECT s.doc_id, s.source, s.txt
+          FROM surv s JOIN topd USING (doc_id)),
+        tok AS (
+          SELECT doc_id, source AS domain,
+            len(list_filter(string_split_regex(txt, '\\s+'),
+              x -> x <> ''))::BIGINT AS n_tokens,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+              % 1073741824 AS pri
+          FROM sel),
+        cum AS (
+          SELECT doc_id, domain, n_tokens,
+            coalesce(sum(n_tokens) OVER (
+              PARTITION BY domain ORDER BY pri, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              ::BIGINT AS cum_before
+          FROM tok)
+        SELECT doc_id, domain, n_tokens, cum_before
+        FROM cum WHERE cum_before < 300""")),
 
     // temperature mixing over the (naturally skewed) lang column: kept
     // counts ~ n_d^0.5, smallest domain intact, deterministic id-hash

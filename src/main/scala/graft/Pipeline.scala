@@ -164,6 +164,40 @@ object Pipeline {
       .limit(topN)
   }
 
+  /** The MODEL-BASED curation dataflow — the third composed pipeline
+    * (dedup removes redundancy, C4+DSIR ranks by target likelihood;
+    * this one gates on heuristics then lets a TRAINED model decide):
+    * Gopher quality rules → in-engine trained LR classifier (labels =
+    * the trusted `targetLang` slice of the survivors) → deterministic
+    * top-`topN` by score → per-domain token budget. Every stage is
+    * deterministic and SQL-mirrorable, so the whole chain is one
+    * differential query (`pipeline_curate_model`).
+    *
+    * Top-N by score rather than a fixed 0.5 cut on purpose: on
+    * imbalanced labels the bias term pins every score under 0.5 after
+    * few rounds (ScaleBench measured exactly that) — ranking is the
+    * robust selector, the threshold is not.
+    *
+    * Expects `raw` with columns (doc_id, lang, source, txt). */
+  def curateModelPlan(raw: DataFrame, targetLang: String, topN: Int,
+      tokenBudget: Long): DataFrame = {
+    import graft.operators.{Curation, QualityModel}
+    val keep = Curation.gopherQualityFlags(raw, "doc_id", "txt")
+      .filter(col("keep")).select(col("doc_id"))
+    // survivors feed the trainer (two passes/round), the scorer, and
+    // the final budget join — persist the gated corpus once
+    val survivors = raw.join(keep, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = QualityModel.trainScoreLogReg(survivors, "doc_id",
+      "txt", label = col("lang") === targetLang, dim = 32, iters = 3,
+      lr = 2.0)
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topN).select(col("doc_id"))
+    val sel = survivors.join(broadcast(top), Seq("doc_id"), "left_semi")
+    Curation.tokenBudgetPerDomain(sel, "doc_id", "txt", "source",
+      tokenBudget)
+  }
+
   /** The curation dataflow as a lazy plan (see [[curate]] for the stage
     * rationale) — separated so the whole composed pipeline can be
     * differential-tested against a composed oracle, not just its stages. */

@@ -618,6 +618,37 @@ class CurationSpec extends AnyFunSuite with SparkTester {
       m(8L).getAs[Double]("mean_word_len") > 10)
   }
 
+  test("model pipeline: admitted docs passed the gopher gate, sit in " +
+      "the score top-N, and respect the per-domain budget chain") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"lang", $"source",
+        concat($"text",
+          when($"doc_id" % 3 === 0, lit(" of and that have with"))
+            .otherwise(lit(""))).as("txt"))
+    val out = graft.Pipeline.curateModelPlan(raw, targetLang = "en",
+      topN = 10, tokenBudget = 200L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.nonEmpty && out.length <= 10)
+    val gopherKeep = Curation.gopherQualityFlags(raw, "doc_id", "txt")
+      .filter($"keep").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => gopherKeep.contains(r._1)))
+    out.groupBy(_._2).foreach { case (dom, rows) =>
+      val sorted = rows.sortBy(_._4)
+      var cum = 0L
+      sorted.foreach { case (_, _, n, before) =>
+        assert(before == cum, s"$dom budget chain broken")
+        cum += n
+      }
+      assert(sorted.last._4 < 200L)
+    }
+    val again = graft.Pipeline.curateModelPlan(raw, targetLang = "en",
+      topN = 10, tokenBudget = 200L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("tokenBudgetPerDomain: prefix admission per domain, bounded " +
       "mass, deterministic") {
     val docs = (0L until 40L).map { i =>
