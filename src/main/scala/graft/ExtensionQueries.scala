@@ -1836,6 +1836,31 @@ object TextQueries {
     // per-document top-5 BM25 terms; the scoring expression is mirrored
     // with identical association order and constants, so the double math
     // agrees bit-for-bit before the 6-dp rounding
+    // corpus mixture report: the per-(lang, source) doc/token shares a
+    // data-mixing decision reads — two map-side-combined aggregates,
+    // total broadcast back
+    Q("corpus_mixture",
+      (s, dir) => {
+        val per = Sources.table(s, dir, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(Cleaning.tokens(col("text"))).cast("long"))
+              .as("n_tokens"))
+        per.crossJoin(broadcast(per.agg(sum("n_tokens").as("t"))))
+          .withColumn("token_share",
+            round(col("n_tokens").cast("double") / col("t"), 6))
+          .drop("t")
+      },
+      Some("""WITH per AS (
+          SELECT lang, source, count(*) AS n_docs,
+            sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              ::BIGINT AS n_tokens
+          FROM documents GROUP BY lang, source),
+        t AS (SELECT sum(n_tokens)::BIGINT AS t FROM per)
+        SELECT lang, source, n_docs, n_tokens,
+          round(n_tokens::DOUBLE / t, 6) AS token_share
+        FROM per CROSS JOIN t""")),
+
     // BM25 RETRIEVAL: every document scored against a fixed query bag,
     // global top-20 — the lexical-search half of a RAG stack. Query
     // terms are interpolated into the oracle from the same Seq; the
@@ -3070,6 +3095,40 @@ object CurationQueries {
 object MultimodalQueries {
 
   def all: Seq[Q] = Seq(
+
+    // perceptual-hash near-dup over BINARY payloads: byte-stream
+    // SimHash (hex 8-char grams, md5 bit votes) + pigeonhole banding —
+    // the image/audio dedup pipeline shape with the codec stage
+    // stubbed; signature bits, banding, and every hamming distance
+    // hash-checked
+    Q("multimodal_phash_pairs",
+      (s, dir) => Multimodal.phashPairs(
+        Multimodal.withBinaryPayload(
+          Sources.table(s, dir, "documents"), "text"),
+        "doc_id", "payload", maxHamming = 8),
+      Some("""WITH b AS (
+          SELECT doc_id, hex(encode(text)) AS h FROM documents),
+        g AS (
+          SELECT doc_id, unnest([substr(h, CAST(i AS INT), 8)
+            for i in range(1, greatest(length(h) - 7, 1) + 1)]) AS s
+          FROM b),
+        shx AS (
+          SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS hh
+          FROM g),
+        votes AS (
+          SELECT doc_id, j, sum(((hh >> j) & 1)::INTEGER * 2 - 1) AS v
+          FROM shx, (SELECT unnest(range(0, 64)) AS j)
+          GROUP BY doc_id, j),
+        sig AS (
+          SELECT doc_id,
+            sum(CASE WHEN v > 0 THEN 1::UBIGINT << j::INTEGER
+                ELSE 0::UBIGINT END) AS simhash
+          FROM votes GROUP BY doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+            AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""")),
 
     Q("multimodal_meta",
       (s, dir) => Multimodal.binaryMeta(

@@ -336,12 +336,20 @@ object Dedup {
     * (pigeonhole), so the segment equi-join has recall 1 — no probabilistic
     * loss, unlike MinHash banding. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, maxHamming: Int = 3): DataFrame = {
+      k: Int = 3, maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSigs(simhash(df, idCol, textCol, k), maxHamming)
+
+  /** Hamming-≤-`maxHamming` pairs from ANY `(doc_id, simhash)` signature
+    * table (see [[simhashPairs]] for the pigeonhole-banding recall
+    * argument) — shared by the text form and the multimodal
+    * perceptual-hash form ([[Multimodal.phashPairs]]). */
+  def simhashPairsFromSigs(sigTable: DataFrame, maxHamming: Int)
+      : DataFrame = {
     val nSeg = maxHamming + 1
     val segBits = 64 / nSeg
     // one long per doc — materialize so the segment self-join doesn't run
-    // the 64-vote aggregation once per side
-    val sigs = simhash(df, idCol, textCol, k)
+    // the signature computation once per side
+    val sigs = sigTable
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val segs = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until nSeg).map { i =>

@@ -116,6 +116,34 @@ object Multimodal {
       octet_length(resized).as("n_bytes_out"), n.as("n_bytes_in"))
   }
 
+  /** Perceptual-hash near-dup pairs over BINARY payloads — image/audio
+    * dedup with the same pipeline shape production uses (pHash →
+    * banded hamming join), here over the blob's byte stream since the
+    * container has no codecs: the payload's hex rendering is cut into
+    * overlapping 8-char grams (byte 4-grams), SimHash'ed with the
+    * engine-portable md5 bit votes ([[graft.expressions.SimHash]]),
+    * and paired via [[Dedup.simhashPairsFromSigs]]'s pigeonhole
+    * banding (recall 1 for hamming ≤ `maxHamming`). Swapping the
+    * gram stage for real DCT coefficients when a decoder exists
+    * changes ONE projection; the join topology — the scale-relevant
+    * part — is already exact.
+    *
+    * Scale shape: signature is per-row work (hex + gram transform +
+    * one codegen SimHash pass); the pair stage shuffles 8-byte
+    * signatures only. The gram array is the interpreted HOF here —
+    * hoist to an expression if blobs are large. */
+  def phashPairs(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("doc_id"), hex(col(binCol)).as("__h"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(1, greatest(length(__h) - 7, 1)),
+             i -> substring(__h, i, 8))""").as("__g"))
+      .select(col("doc_id"),
+        graft.expressions.SimHash.simhash64(col("__g")).as("simhash"))
+    Dedup.simhashPairsFromSigs(sigs, maxHamming)
+  }
+
   /** Frame sampling: every `stride`-th fixed-size slice of the blob — the
     * shape of video frame extraction (binary in, array of binary out),
     * exploded to one row per frame. Pure built-ins. */

@@ -429,6 +429,31 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTester {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("CMS cells aggregate INSIDE a streaming plan and equal the " +
+      "batch sketch - the sketch is the streaming-native structure") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sketches
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val values = (1 to 150).flatMap(i => Seq.fill(150 / i)(s"v$i"))
+    val mem = MemoryStream[String]
+    mem.addData(values: _*)
+    val q = Sketches.cmsCells(mem.toDS().toDF("v"), "v",
+        depth = 3, width = 32)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_cells_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("cms_cells_stream")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val batch = Sketches.cmsCells(values.toDF("v"), "v",
+        depth = 3, width = 32)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("streaming quality classifier: batch-trained LR model broadcast " +
       "into a stateless streaming scorer, equal to the batch scores") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
