@@ -3110,7 +3110,7 @@ object MultimodalQueries {
           SELECT doc_id, hex(encode(text)) AS h FROM documents),
         g AS (
           SELECT doc_id, unnest([substr(h, CAST(i AS INT), 8)
-            for i in range(1, greatest(length(h) - 7, 1) + 1)]) AS s
+            for i in range(1, greatest(length(h) - 7, 1) + 1, 4)]) AS s
           FROM b),
         shx AS (
           SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS hh

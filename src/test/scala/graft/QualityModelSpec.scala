@@ -49,6 +49,15 @@ class QualityModelSpec extends AnyFunSuite with SparkTester {
     assert(rows.map(r => math.abs(r.getDouble(1))).max > 0.01)
   }
 
+  test("trained weights are PARTITIONING-invariant — the decimal-sum " +
+      "discipline is what makes the model reproducible on a cluster") {
+    val shuffled = QualityModel.trainLogReg(
+      corpus.repartition(7), "doc_id", "text", col("is_en"),
+      dim = 32, iters = 3, lr = 2.0)
+    assert(model.orderBy("j").collect().toSeq ==
+      shuffled.orderBy("j").collect().toSeq)
+  }
+
   test("training is deterministic: rerun produces identical weights") {
     val again = QualityModel.trainLogReg(
       corpus, "doc_id", "text", col("is_en"), dim = 32, iters = 3,
