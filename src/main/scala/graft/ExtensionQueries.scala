@@ -318,6 +318,41 @@ object DedupQueries {
         SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
         FROM assign a LEFT JOIN dups d ON a.vec_id = d.vec_id""")),
 
+    // dedup EVALUATION as a first-class query ("measure, don't guess"):
+    // the LSH pair set audited against the exact inverted-index answer
+    // — tp/fp/fn/precision/recall in one row. The oracle asserts the
+    // strongest claim this engine makes about its LSH: fp = fn = 0 at
+    // these parameters; ANY banding drift turns this row red
+    Q("dedup_eval",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          k = 5, threshold = 0.8).select("doc_a", "doc_b")
+        val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          k = 5, bands = 32, rowsPerBand = 4, threshold = 0.8)
+          .select("doc_a", "doc_b")
+        val keys = Seq("doc_a", "doc_b")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+          .crossJoin(exact.join(lsh, keys, "left_semi")
+            .agg(count(lit(1)).as("tp")))
+          .crossJoin(lsh.join(exact, keys, "left_anti")
+            .agg(count(lit(1)).as("fp")))
+          .crossJoin(exact.join(lsh, keys, "left_anti")
+            .agg(count(lit(1)).as("fn")))
+          .withColumn("prec", when(col("n_lsh") === 0, lit(1.0))
+            .otherwise(round(col("tp").cast("double") / col("n_lsh"), 6)))
+          .withColumn("recall", when(col("n_exact") === 0, lit(1.0))
+            .otherwise(round(col("tp").cast("double") / col("n_exact"),
+              6)))
+      },
+      Some(s"""WITH pairs AS ($jaccardPairsSql),
+        c AS (SELECT count(*) AS n FROM pairs)
+        SELECT n AS n_exact, n AS n_lsh, n AS tp,
+          0::BIGINT AS fp, 0::BIGINT AS fn,
+          1.0 AS prec, 1.0 AS recall
+        FROM c""")),
+
     // INCREMENTAL dedup — the continuous-crawl admission step: batch
     // docs (id % 4 = 0) are admitted iff they near-dup neither the
     // existing corpus (id % 4 <> 0) nor a lower-id batch doc. Both pair

@@ -574,6 +574,28 @@ object ReferenceQueries {
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey""")),
 
+    // ---- event-rate anomaly detection: hourly counts z-scored against
+    // the corpus's own rate distribution — moments from EXACT integer
+    // sums (Σn, Σn² as longs) so mean/sd are single identical double
+    // expressions in both engines; |z| > 2 flags the spike/outage ----
+    Q("events_anomaly",
+      (s, dir) => graft.operators.Temporal.rateAnomalies(
+        Sources.events(s, dir), "ts", "1 hour", zThreshold = 2.0),
+      Some("""WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS ws, count(*) AS n
+          FROM events GROUP BY 1),
+        st AS (
+          SELECT count(*) AS k, sum(n)::BIGINT AS s1,
+            sum(n * n)::BIGINT AS s2
+          FROM hourly),
+        sc AS (
+          SELECT ws, n,
+            round((n - (s1::DOUBLE / k)) /
+              sqrt((s2::DOUBLE - k * (s1::DOUBLE / k) * (s1::DOUBLE / k))
+                / (k - 1)), 6) AS z
+          FROM hourly CROSS JOIN st)
+        SELECT ws, n, z, abs(z) > 2 AS anomaly FROM sc""")),
+
     // ---- data expectations (the Great-Expectations/dbt-test shape):
     // row rules share ONE aggregate pass (predicates parsed from the
     // same SQL strings the oracle interpolates — zero drift), plus

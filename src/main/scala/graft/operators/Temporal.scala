@@ -68,6 +68,33 @@ object Temporal {
     * crossings (`floor(ts) − floor(prev)`), which both Spark's long
     * cast and ANSI `date_diff('second', …)` compute identically.
     * One window shuffle on the key; skewed keys fall under AQE. */
+  /** Event-rate anomaly detection: bucket counts z-scored against the
+    * corpus's own rate distribution, |z| > `zThreshold` flagged — the
+    * spike/outage monitor over an event stream. Moments come from
+    * EXACT integer sums (Σn, Σn² as longs), so mean and sd are single
+    * identical double expressions in any engine and the z-scores are
+    * reproducible (`events_anomaly` is hash-checked on exactly this).
+    * Two map-side-combined aggregates + a broadcast stats row — the
+    * stream is scanned once. */
+  def rateAnomalies(events: DataFrame, tsCol: String,
+      windowLen: String = "1 hour", zThreshold: Double = 2.0)
+      : DataFrame = {
+    val hourly = events
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val stats = hourly.agg(count(lit(1)).as("k"),
+      sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"))
+    hourly.crossJoin(broadcast(stats))
+      .withColumn("mean", col("s1").cast("double") / col("k"))
+      .withColumn("sd", sqrt(
+        (col("s2").cast("double") - col("k") * col("mean") *
+          col("mean")) / (col("k") - 1)))
+      .select(col("ws"), col("n"),
+        round((col("n") - col("mean")) / col("sd"), 6).as("z"))
+      .withColumn("anomaly", abs(col("z")) > zThreshold)
+  }
+
   def activityGaps(events: DataFrame, keyCol: String, tsCol: String,
       minGapSec: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))

@@ -663,6 +663,22 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTester {
     assert(f(3L) == ((true, false, false)))
   }
 
+  test("rate anomalies: a planted spike hour flags, steady hours do not") {
+    // 24 steady hours of 10 events + one 100-event spike hour
+    val rows = (0 until 24).flatMap { h =>
+      val n = if (h == 12) 100 else 10
+      (0 until n).map(i => (h.toLong * 100 + i, ts(h * 60 + (i % 60))))
+    }.toDF("id", "ts")
+    val r = Temporal.rateAnomalies(rows, "ts", "1 hour", zThreshold = 2.0)
+      .collect().map(x => x.getTimestamp(0).getHours ->
+        (x.getLong(1), x.getDouble(2), x.getBoolean(3))).toMap
+    assert(r.size == 24)
+    assert(r(12)._1 == 100 && r(12)._3, s"spike must flag: ${r(12)}")
+    assert(r.filter(_._1 != 12).values.forall(!_._3),
+      "steady hours must not flag")
+    assert(r(12)._2 > 4, "spike z-score should be extreme")
+  }
+
   test("activity gaps emit exactly the over-threshold cuts") {
     val ev = Seq(
       (1L, ts(0)), (1L, ts(5)), (1L, ts(125)), // 120-min gap
