@@ -741,6 +741,97 @@ object SimilarityQueries {
           FROM scored) r
         WHERE rank <= 10""")),
 
+    // ANN EVALUATION as a first-class query (the dense twin of
+    // dedup_eval): per query, how many of the exact brute-force top-10
+    // the IVF probe actually recovered — recall@10 measured, not
+    // guessed, and hash-checked (the oracle recomputes BOTH pipelines
+    // and their intersection)
+    Q("simsearch_recall_eval",
+      (s, dir) => {
+        val emb = Sources.table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 5)
+        val brute = Similarity.bruteForceTopK(emb, q, "embedding",
+          k = 10).select(col("q_id"), col("vec_id"))
+        val ivf = Similarity.ivfTopK(emb, q, "embedding", k = 10,
+          centroidStep = 50, nprobe = 4).select(col("q_id"),
+          col("vec_id"))
+        brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+          .join(brute.join(ivf, Seq("q_id", "vec_id"), "left_semi")
+            .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits")),
+            Seq("q_id"), "left")
+          .select(col("q_id"), col("n_exact"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+              col("n_exact"), 6).as("recall"))
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+        q AS (SELECT * FROM e WHERE vec_id < 5),
+        bdots AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS cid, sum(q.v * c.v) AS dot
+          FROM q JOIN e c ON q.i = c.i AND c.vec_id <> q.vec_id
+          GROUP BY 1, 2),
+        bscored AS (
+          SELECT q_id, cid AS vec_id,
+            round(dot / (nq.nrm * nc.nrm), 6) AS cos
+          FROM bdots
+          JOIN norms nq ON q_id = nq.vec_id
+          JOIN norms nc ON cid = nc.vec_id),
+        brute AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (
+              PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM bscored) r
+          WHERE rank <= 10),
+        cent AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        d2a AS (
+          SELECT a.vec_id, c.vec_id AS cent_id,
+                 round(sum((a.v - c.v) * (a.v - c.v)), 9) AS d2
+          FROM e a JOIN cent c ON a.i = c.i GROUP BY 1, 2),
+        assign AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+            FROM d2a) t WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS q_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+            FROM d2a WHERE vec_id < 5) t WHERE rn <= 4),
+        icand AS (
+          SELECT p.q_id, a.vec_id
+          FROM probes p JOIN assign a ON p.cell = a.cell
+          WHERE a.vec_id <> p.q_id),
+        idots AS (
+          SELECT c.q_id, c.vec_id, sum(q.v * x.v) AS dot
+          FROM icand c
+          JOIN e q ON q.vec_id = c.q_id
+          JOIN e x ON x.vec_id = c.vec_id AND x.i = q.i
+          GROUP BY 1, 2),
+        iscored AS (
+          SELECT q_id, idots.vec_id AS vec_id,
+                 round(dot / (nq.nrm * nx.nrm), 6) AS cos
+          FROM idots
+          JOIN norms nq ON q_id = nq.vec_id
+          JOIN norms nx ON idots.vec_id = nx.vec_id),
+        ivf AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (
+              PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM iscored) r WHERE rank <= 10),
+        hits AS (
+          SELECT b.q_id, count(*) AS n_hits
+          FROM brute b JOIN ivf USING (q_id, vec_id)
+          GROUP BY b.q_id),
+        ex AS (SELECT q_id, count(*) AS n_exact FROM brute GROUP BY q_id)
+        SELECT ex.q_id, ex.n_exact,
+          coalesce(h.n_hits, 0) AS n_hits,
+          round(coalesce(h.n_hits, 0)::DOUBLE / ex.n_exact, 6) AS recall
+        FROM ex LEFT JOIN hits h USING (q_id)""")),
+
     // IVF (bucketed) search — the scale path. Fully deterministic (rounded
     // distances + id tie-breaks), so the whole pipeline — assignment,
     // probing, in-cell ranking — is mirrored in SQL and hash-checked
