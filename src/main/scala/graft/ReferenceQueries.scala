@@ -574,6 +574,35 @@ object ReferenceQueries {
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey""")),
 
+    // ---- incremental view maintenance: the per-user aggregate is
+    // maintained as MERGEABLE PARTIALS — the state through Jan 15 plus
+    // the delta after it, merged — and held to the full-recompute
+    // oracle. Exact merge algebra (counts sum, decimal sums add
+    // exactly, min/max fold); this is the update path a materialized
+    // 100 TB rollup takes when a day lands: touch the delta, not the
+    // history ----
+    Q("agg_incremental",
+      (s, dir) => {
+        val ev = Sources.events(s, dir)
+        val cut = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+        def partial(df: DataFrame): DataFrame =
+          df.groupBy(col("user_id")).agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).as("sv"),
+            min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        partial(ev.filter(col("ts") < cut))
+          .unionByName(partial(ev.filter(col("ts") >= cut)))
+          .groupBy(col("user_id")).agg(
+            sum(col("n")).as("n"),
+            sum(col("sv")).cast("double").as("total_value"),
+            min(col("first_ts")).as("first_ts"),
+            max(col("last_ts")).as("last_ts"))
+      },
+      Some("""SELECT user_id, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        min(ts) AS first_ts, max(ts) AS last_ts
+        FROM events GROUP BY user_id""")),
+
     // ---- event-rate anomaly detection: hourly counts z-scored against
     // the corpus's own rate distribution — moments from EXACT integer
     // sums (Σn, Σn² as longs) so mean/sd are single identical double
