@@ -903,6 +903,41 @@ object ReferenceQueries {
       (s, dir) => Sketches.hllDistinct(
         t(s, dir, "events"), "user_id", p = 8),
       Some(hllOracle("events", "user_id"))),
+    // grouped form: per-returnflag approx-distinct part keys — the
+    // rollup-dashboard shape, every per-key estimate hash-checked via
+    // the same register algebra GROUPed by key
+    Q("agg_hll_groups",
+      (s, dir) => Sketches.hllDistinctBy(
+        t(s, dir, "lineitem"), "l_returnflag", "l_partkey", p = 8),
+      Some {
+        val c = Sketches.hllAlphaM2Pow53(8).toString
+        s"""WITH b AS (
+            SELECT l_returnflag AS k,
+              ('0x' || substr(hx, 1, 2))::BIGINT AS j,
+              ('0x' || substr(hx, 3, 13))::BIGINT AS w
+            FROM (SELECT l_returnflag, md5(l_partkey::VARCHAR) AS hx
+              FROM lineitem) h),
+          r AS (
+            SELECT k, j, CASE WHEN w = 0 THEN 53
+                         ELSE 53 - length(bin(w)) END AS rk
+            FROM b),
+          regs AS (SELECT k, j, max(rk) AS mj FROM r GROUP BY k, j),
+          allr AS (
+            SELECT ks.k, coalesce(regs.mj, 0) AS mj
+            FROM (SELECT DISTINCT k FROM b) ks
+            CROSS JOIN (SELECT unnest(range(0, 256)) AS j) g
+            LEFT JOIN regs ON regs.k = ks.k AND regs.j = g.j),
+          f AS (
+            SELECT k,
+              sum(1::BIGINT << CAST(53 - mj AS INT))::BIGINT AS num,
+              sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END)::BIGINT AS v0
+            FROM allr GROUP BY k)
+          SELECT k AS l_returnflag,
+            CASE WHEN v0 > 0 AND $c / num::DOUBLE <= 640.0
+              THEN round(256.0 * ln(256.0 / v0::DOUBLE), 6)
+              ELSE round($c / num::DOUBLE, 6) END AS n_est
+          FROM f"""
+      }),
     Q("agg_hll_md5_raw",
       (s, dir) => Sketches.hllDistinct(
         t(s, dir, "lineitem"), "l_orderkey", p = 8),

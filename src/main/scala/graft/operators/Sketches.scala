@@ -26,6 +26,47 @@ object Sketches {
     0.7213 / (1 + 1.079 / m) * m * m * 9007199254740992.0
   }
 
+  /** Per-group [[hllDistinct]] — the grouped approx-distinct a rollup
+    * dashboard serves (`SELECT key, approx_distinct(v)`), with the same
+    * engine-portable register algebra so every per-key ESTIMATE is
+    * hash-checked. One narrow (key, bucket) exchange with map-side max
+    * combine — ≤ 2^p running registers per key; the register-domain
+    * completion is a keys × 2^p cross join (per-key sketches presume
+    * the key domain ≪ the row count — the rollup setting; for
+    * high-cardinality keys use the global sketch per partition of
+    * interest instead). */
+  def hllDistinctBy(df: DataFrame, keyCol: String, valueCol: String,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 12 && p % 4 == 0,
+      s"p must be 4, 8, or 12 (hex-aligned), got $p")
+    val m = 1 << p
+    val hexChars = p / 4
+    val h = md5(col(valueCol).cast("string"))
+    val bucket = conv(substring(h, 1, hexChars), 16, 10).cast("long")
+    val w = conv(substring(h, hexChars + 1, 13), 16, 10).cast("long")
+    val rank = when(w === 0, lit(53L))
+      .otherwise(lit(53L) - length(bin(w)).cast("long"))
+    val regs = df.select(col(keyCol).as("__k"), bucket.as("j"),
+        rank.as("r"))
+      .groupBy(col("__k"), col("j")).agg(max(col("r")).as("mj"))
+    val keys = df.select(col(keyCol).as("__k")).distinct()
+    val all = keys
+      .crossJoin(df.sparkSession.range(m).select(col("id").as("j")))
+      .join(regs, Seq("__k", "j"), "left")
+      .select(col("__k"), coalesce(col("mj"), lit(0L)).as("mj"))
+    val folded = all.groupBy(col("__k")).agg(
+      sum(expr("shiftleft(1L, CAST(53 - mj AS INT))")).as("num"),
+      sum(when(col("mj") === 0L, 1L).otherwise(0L)).as("v0"))
+    val c = hllAlphaM2Pow53(p)
+    folded.select(col("__k").as(keyCol),
+      when(col("v0") > 0 &&
+          lit(c) / col("num").cast("double") <= lit(2.5 * m),
+        round(lit(m.toDouble) *
+          log(lit(m.toDouble) / col("v0").cast("double")), 6))
+        .otherwise(round(lit(c) / col("num").cast("double"), 6))
+        .as("n_est"))
+  }
+
   /** Count-Min sketch cells `(i, b, c)` over a value column (Cormode &
     * Muthukrishnan 2005): `depth` independent hash rows, each mapping a
     * value onto `width` buckets via the engine-portable md5 family

@@ -431,6 +431,26 @@ class SketchesSpec extends AnyFunSuite with SparkTester {
     assert(math.abs(e2 - exactFlags) <= 1.0, s"est $e2 vs $exactFlags")
   }
 
+  test("grouped HLL: per-key estimates inside the error band, and a " +
+      "single-group sketch equals the global sketch") {
+    import spark.implicits._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val est = Sketches.hllDistinctBy(li, "l_returnflag", "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (k, e) =>
+      assert(math.abs(e - exact(k)) / exact(k) < 0.26,
+        s"$k: est $e vs exact ${exact(k)}")
+    }
+    // one constant group == the ungrouped sketch on the same rows
+    val one = Sketches.hllDistinctBy(
+      li.withColumn("g", lit("x")), "g", "l_partkey").head.getDouble(1)
+    assert(one == Sketches.hllDistinct(li, "l_partkey").head.getDouble(0))
+  }
+
   test("count-min: est >= exact always, exact at generous width, " +
       "collisions over-count at narrow width, card size bounded") {
     import spark.implicits._
