@@ -3371,6 +3371,62 @@ object GraphQueries {
             SELECT node, $scale // n AS r FROM nodes CROSS JOIN nn),
           $rounds
           SELECT node, r AS rank_f15 FROM r3"""
+      }),
+
+    // PERSONALIZED PageRank: teleport mass restarts at two seed
+    // customers instead of everywhere — proximity-to-the-trusted-seeds,
+    // the crawl-frontier prior. Same exact integer algebra, seeds
+    // interpolated into the oracle from the same Seq
+    Q("graph_ppr",
+      (s, dir) => {
+        val pairs = Sources.table(s, dir, "orders")
+          .join(Sources.table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("sp"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
+          .union(pairs.select(col("sp").as("src"), col("c").as("dst")))
+        Graph.personalizedPageRank(edges, "src", "dst", pprSeeds,
+          iters = 3, dampingPct = 85)
+      },
+      Some {
+        val seedInit = Graph.MassScale / pprSeeds.length
+        val seedTele =
+          Graph.MassScale / 100 * 15 / pprSeeds.length
+        val inList = pprSeeds.mkString(", ")
+        val rounds = (1 to 3).map { t =>
+          s"""c$t AS (
+            SELECT e.dst, r.r // deg.deg AS c
+            FROM e JOIN r${t - 1} r ON e.src = r.node
+            JOIN deg ON e.src = deg.src),
+          i$t AS (SELECT dst, sum(c)::BIGINT AS m FROM c$t GROUP BY dst),
+          r$t AS (
+            SELECT node,
+              CASE WHEN node IN ($inList) THEN $seedTele ELSE 0 END
+                + (coalesce(m, 0) * 85) // 100 AS r
+            FROM nodes LEFT JOIN i$t ON node = dst)"""
+        }.mkString(",\n")
+        s"""WITH p AS (
+            SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (
+            SELECT c AS src, sp AS dst FROM p
+            UNION ALL SELECT sp AS src, c AS dst FROM p),
+          nodes AS (
+            SELECT DISTINCT src AS node FROM e
+            UNION SELECT DISTINCT dst FROM e),
+          deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+          r0 AS (
+            SELECT node,
+              CASE WHEN node IN ($inList) THEN $seedInit ELSE 0 END AS r
+            FROM nodes),
+          $rounds
+          SELECT node, r AS rank_f15 FROM r3"""
       })
   )
+
+  /** Seed nodes for `graph_ppr` (customer-side ids in the bipartite
+    * encoding `custkey·2`) — shared by the Spark call and the oracle. */
+  private val pprSeeds: Seq[Long] = Seq(2L, 6L)
 }

@@ -639,6 +639,26 @@ class GraphSpec extends AnyFunSuite with SparkTester {
     assert(r2 == r, "deterministic across runs")
   }
 
+  test("personalized pageRank: mass stays near the seed, unreachable " +
+      "components get zero, seed outranks the far end of a chain") {
+    // chain 1-2-3-4-5 (symmetric) plus a disconnected pair 10-11
+    val chain = (1L to 4L).map(i => (i, i + 1))
+    val edges = (chain ++ chain.map(_.swap) ++
+      Seq((10L, 11L), (11L, 10L))).toDF("src", "dst")
+    val r = Graph.personalizedPageRank(edges, "src", "dst",
+      seeds = Seq(1L), iters = 6)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == 7)
+    assert(r(10L) == 0L && r(11L) == 0L,
+      s"unreachable component must hold zero mass: $r")
+    assert(r(1L) > r(3L) && r(3L) > r(5L),
+      s"rank must decay with distance from the seed: $r")
+    val again = Graph.personalizedPageRank(edges, "src", "dst",
+      seeds = Seq(1L), iters = 6)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(again == r, "deterministic across runs")
+  }
+
   test("pageRank single iteration matches the hand-computed update") {
     // path graph 1 <-> 2 <-> 3; degrees: 1:1, 2:2, 3:1; r0 = S/3 each;
     // exact 64-bit floor arithmetic mirrored here in Scala Longs
