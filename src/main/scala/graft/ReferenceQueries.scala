@@ -574,6 +574,36 @@ object ReferenceQueries {
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey""")),
 
+    // ---- the BINNED form of the range join: intervals explode to
+    // 6-hour bins, points equi-join their bin, the residual predicate
+    // filters — a hash-join plan instead of join_range's broadcast
+    // nested loop (fatal at a million intervals), held to the SAME
+    // day-aggregation oracle: the rewrite must change no rows ----
+    Q("join_range_binned",
+      (s, dir) => {
+        val base = 1704067200L // 2024-01-01 00:00:00 UTC
+        val days = s.range(0, 31).select(col("id").as("day_no"),
+          (lit(base) + col("id") * 86400L).as("lo"),
+          (lit(base) + (col("id") + 1) * 86400L).as("hi"))
+        val ev = Sources.events(s, dir)
+          .withColumn("es", col("ts").cast("timestamp").cast("long"))
+        graft.operators.RangeJoin.binnedRangeJoin(ev, "es", days,
+          "lo", "hi", binWidth = 21600L)
+          .groupBy("day_no")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("v"))
+      },
+      Some("""SELECT CAST(floor(date_diff('second',
+          TIMESTAMP '2024-01-01 00:00:00', CAST(ts AS TIMESTAMP))
+          / 86400.0) AS BIGINT) AS day_no,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts < TIMESTAMP '2024-02-01 00:00:00'
+        GROUP BY 1""")),
+
     // ---- incremental view maintenance: the per-user aggregate is
     // maintained as MERGEABLE PARTIALS — the state through Jan 15 plus
     // the delta after it, merged — and held to the full-recompute

@@ -140,3 +140,32 @@ object SkewJoin {
     l.join(s, Seq(key, "__salt")).drop("__salt")
   }
 }
+
+/** Binned (bucketized) range join — the standard rewrite that turns a
+  * point-in-interval join from a nested-loop/cartesian plan into a HASH
+  * join: the domain is cut into `binWidth`-sized bins, each interval
+  * explodes to the bins it covers, each point keys to its own bin, and
+  * the bin equi-join plus the residual range predicate reproduces the
+  * non-equi join's rows exactly. Spark plans `p >= lo AND p < hi`
+  * joins as BroadcastNestedLoopJoin — fine for a 31-row day table,
+  * fatal for a million-interval table (IP ranges, price epochs); the
+  * binned form shuffles on the bin key like any equi-join.
+  * `binWidth` trades interval replication (ceil(span/width) rows per
+  * interval) against per-bin candidate pressure — pick it near the
+  * median interval span. The registry holds the binned form to the
+  * SAME oracle as the non-equi `join_range`: the rewrite must change
+  * no rows. */
+object RangeJoin {
+
+  def binnedRangeJoin(points: DataFrame, pCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    val binned = intervals.withColumn("__bin", explode(expr(
+      s"sequence($loCol DIV $binWidth, ($hiCol - 1) DIV $binWidth)")))
+    points.withColumn("__bin", expr(s"$pCol DIV $binWidth"))
+      .join(binned, Seq("__bin"))
+      .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
+      .drop("__bin")
+  }
+}

@@ -593,6 +593,28 @@ class ProfilerSpec extends AnyFunSuite with SparkTester {
     assert(out(99L)._1 < 0)
   }
 
+  test("binned range join equals the non-equi join, including bin-" +
+      "boundary and multi-bin-interval cases") {
+    import graft.operators.RangeJoin
+    // intervals: [0,10) narrow, [10,35) spans bins, [100,101) tiny;
+    // points at boundaries: 0 in, 9 in, 10 edge (second interval),
+    // 34 in, 35 OUT, 50 in none, 100 in
+    val intervals = Seq((1L, 0L, 10L), (2L, 10L, 35L), (3L, 100L, 101L))
+      .toDF("iv_id", "lo", "hi")
+    val points = Seq(0L, 9L, 10L, 34L, 35L, 50L, 100L).toDF("p")
+    for (width <- Seq(1L, 7L, 16L, 1000L)) {
+      val binned = RangeJoin.binnedRangeJoin(points, "p", intervals,
+        "lo", "hi", width)
+        .select("p", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val plain = points.join(intervals,
+        $"p" >= $"lo" && $"p" < $"hi")
+        .select("p", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(binned == plain, s"width $width: $binned vs $plain")
+    }
+  }
+
   test("salted join: identical rows to the plain join, salt in the " +
       "join keys, salt column dropped") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

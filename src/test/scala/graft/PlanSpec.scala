@@ -212,6 +212,18 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("join_range_binned: hash equi-join on the bin — no nested loop, " +
+      "unlike the non-equi join_range") {
+    val binned = plan("join_range_binned")
+    assert(!binned.contains("BroadcastNestedLoopJoin"), binned)
+    assert(binned.contains("BroadcastHashJoin") ||
+      binned.contains("SortMergeJoin") ||
+      binned.contains("ShuffledHashJoin"), binned)
+    // the plain range join pays the nested loop (fine at 31 intervals,
+    // the contrast the binned form exists for)
+    assert(plan("join_range").contains("BroadcastNestedLoopJoin"))
+  }
+
   test("curation_token_budget: one window exchange on the domain, " +
       "nothing else shuffles") {
     val p = plan("curation_token_budget")
