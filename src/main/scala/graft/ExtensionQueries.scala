@@ -2473,6 +2473,17 @@ object CurationQueries {
         SELECT doc_id, domain, n_tokens, cum_before
         FROM cum WHERE cum_before < 300""")),
 
+    // deterministic 5-fold cross-validation assignment — growth-stable
+    // like curation_split (a doc never migrates folds as data arrives)
+    Q("curation_kfold",
+      (s, dir) => Curation.assignFolds(
+        Sources.table(s, dir, "documents"), "doc_id", k = 5, salt = "cv")
+        .select("doc_id", "fold"),
+      Some(s"""SELECT doc_id,
+        CAST(${ddbHashBucket("doc_id::VARCHAR || 'cv'", 5L)} AS INTEGER)
+          AS fold
+        FROM documents""")),
+
     // temperature mixing over the (naturally skewed) lang column: kept
     // counts ~ n_d^0.5, smallest domain intact, deterministic id-hash
     // draw. Both engines compute the identical per-domain threshold

@@ -382,6 +382,20 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Deterministic k-fold assignment — [[assignSplit]]'s
+    * cross-validation sibling: every row's fold is a pure function of
+    * `hash(id || salt) mod k`, so folds are equal-sized in expectation,
+    * stable as the corpus grows (a document never migrates folds when
+    * new data arrives), and any engine recomputes the identical
+    * assignment. Pure projection — no shuffle, no RNG. */
+  def assignFolds(df: DataFrame, idCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.withColumn("fold",
+      hashBucket(concat(col(idCol).cast("string"), lit(salt)), k)
+        .cast("int"))
+  }
+
   /** Corpus-version diff — the audit between two snapshots of a managed
     * training corpus (what a re-crawl / re-curation actually changed):
     * per id, whether the row was `added`, `removed`, `changed` (content

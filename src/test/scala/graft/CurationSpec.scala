@@ -618,6 +618,21 @@ class CurationSpec extends AnyFunSuite with SparkTester {
       m(8L).getAs[Double]("mean_word_len") > 10)
   }
 
+  test("k-fold assignment: covers all folds, roughly balanced, and " +
+      "growth-stable (no fold migration when the corpus doubles)") {
+    val small = (0L until 400L).map(i => (i, s"d$i")).toDF("doc_id", "x")
+    val big = (0L until 800L).map(i => (i, s"d$i")).toDF("doc_id", "x")
+    val f1 = Curation.assignFolds(small, "doc_id", k = 5, salt = "cv")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(f1.values.toSet == (0 until 5).toSet)
+    val sizes = f1.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.values.forall(s => s > 40 && s < 120), sizes.toMap)
+    val f2 = Curation.assignFolds(big, "doc_id", k = 5, salt = "cv")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(f1.forall { case (id, f) => f2(id) == f },
+      "growth must not migrate folds")
+  }
+
   test("model pipeline: admitted docs passed the gopher gate, sit in " +
       "the score top-N, and respect the per-domain budget chain") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
