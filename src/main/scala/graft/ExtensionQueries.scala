@@ -2654,33 +2654,38 @@ object CurationQueries {
     // URL canonicalization for crawl dedup: lowercase scheme/host, strip
     // default ports / fragments / tracking params. The input synthesizes
     // per-row raw-URL variants (case-folded host, :443 / :8080 ports,
-    // utm/gclid vs ref params) and the oracle REPLAYS the whole
-    // normalization algorithm step by step in SQL — not just the expected
-    // output — so every rule is hash-checked
+    // utm/gclid vs ref params, and scheme-less relative paths that must
+    // pass through UNCHANGED rather than collapse to '://') and the
+    // oracle REPLAYS the whole normalization algorithm step by step in
+    // SQL — not just the expected output — so every rule is hash-checked
     Q("url_canonical",
       (s, dir) => {
         val d = Sources.table(s, dir, "documents")
-        val rawUrl = concat(
-          lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM"),
-          when(col("doc_id") % 3 === 0, lit(":443"))
-            .when(col("doc_id") % 5 === 0, lit(":8080"))
-            .otherwise(lit("")),
-          lit("/Articles/"), col("doc_id"), lit("?id="), col("doc_id"),
-          when(col("doc_id") % 2 === 0, lit("&utm_source=feed&gclid=x"))
-            .otherwise(lit("&ref=home")),
-          lit("&page=2#frag"))
+        val rawUrl = when(col("doc_id") % 7 === 0,
+          concat(lit("/relative/Path/"), col("doc_id"), lit("?ref=home")))
+          .otherwise(concat(
+            lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM"),
+            when(col("doc_id") % 3 === 0, lit(":443"))
+              .when(col("doc_id") % 5 === 0, lit(":8080"))
+              .otherwise(lit("")),
+            lit("/Articles/"), col("doc_id"), lit("?id="), col("doc_id"),
+            when(col("doc_id") % 2 === 0, lit("&utm_source=feed&gclid=x"))
+              .otherwise(lit("&ref=home")),
+            lit("&page=2#frag")))
         d.select(col("doc_id"),
           Cleaning.canonicalizeUrl(rawUrl).as("url_canon"))
       },
       Some("""WITH raw AS (
           SELECT doc_id,
-            'HTTPS://WWW.' || upper(source) || '.Example.COM' ||
-            CASE WHEN doc_id % 3 = 0 THEN ':443'
-                 WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
-            '/Articles/' || doc_id || '?id=' || doc_id ||
-            CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed&gclid=x'
-                 ELSE '&ref=home' END ||
-            '&page=2#frag' AS url
+            CASE WHEN doc_id % 7 = 0
+              THEN '/relative/Path/' || doc_id || '?ref=home'
+              ELSE 'HTTPS://WWW.' || upper(source) || '.Example.COM' ||
+                CASE WHEN doc_id % 3 = 0 THEN ':443'
+                     WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+                '/Articles/' || doc_id || '?id=' || doc_id ||
+                CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed&gclid=x'
+                     ELSE '&ref=home' END ||
+                '&page=2#frag' END AS url
           FROM documents),
         s1 AS (
           SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
@@ -2707,9 +2712,12 @@ object CurationQueries {
                 '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=')
                 AND p <> ''), '&') AS q2
           FROM parts)
-        SELECT doc_id, scheme || '://' || host || path ||
-          CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS url_canon
-        FROM canon""")),
+        SELECT c.doc_id,
+          CASE WHEN c.scheme = '' THEN r.url
+            ELSE c.scheme || '://' || c.host || c.path ||
+              CASE WHEN c.q2 = '' THEN '' ELSE '?' || c.q2 END
+          END AS url_canon
+        FROM canon c JOIN raw r ON c.doc_id = r.doc_id""")),
 
     // CCNet perplexity buckets: per-language head/middle/tail terciles by
     // corpus-unigram log-prob. The oracle replays the text_unigram_logprob

@@ -647,12 +647,18 @@ object ReferenceQueries {
           SELECT count(*) AS k, sum(n)::BIGINT AS s1,
             sum(n * n)::BIGINT AS s2
           FROM hourly),
+        sd AS (
+          SELECT ws, n, k,
+            CASE WHEN k < 2 THEN 0.0 ELSE
+              sqrt((s2::DOUBLE - k * (s1::DOUBLE / k) * (s1::DOUBLE / k))
+                / (k - 1)) END AS sd,
+            s1::DOUBLE / k AS mean
+          FROM hourly CROSS JOIN st),
         sc AS (
           SELECT ws, n,
-            round((n - (s1::DOUBLE / k)) /
-              sqrt((s2::DOUBLE - k * (s1::DOUBLE / k) * (s1::DOUBLE / k))
-                / (k - 1)), 6) AS z
-          FROM hourly CROSS JOIN st)
+            CASE WHEN k < 2 OR sd = 0 THEN 0.0
+                 ELSE round((n - mean) / sd, 6) END AS z
+          FROM sd)
         SELECT ws, n, z, abs(z) > 2 AS anomaly FROM sc""")),
 
     // ---- data expectations (the Great-Expectations/dbt-test shape):

@@ -65,7 +65,13 @@ object Cleaning {
     *  5. the `?` dropped if no parameters survive.
     *
     * Pure codegen'd string ops (regexp + higher-order filter) — no UDF,
-    * no shuffle; RE2-safe patterns so ANSI engines replay it. */
+    * no shuffle; RE2-safe patterns so ANSI engines replay it.
+    *
+    * Scheme-less / malformed inputs (no `scheme://` prefix) pass through
+    * UNCHANGED: every regexp above extracts empty on them, so without the
+    * guard they would all collapse to the constant `"://"` — and URL-level
+    * dedup would then keep exactly one of those documents and silently
+    * drop the rest. */
   def canonicalizeUrl(c: Column): Column = {
     val noFrag = regexp_replace(c, "#.*$", "")
     val scheme =
@@ -81,7 +87,8 @@ object Cleaning {
     val kept = filter(split(query, "&"), p =>
       !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=") && p =!= "")
     val q2 = array_join(kept, "&")
-    concat(scheme, lit("://"), host, path,
-      when(q2 === "", lit("")).otherwise(concat(lit("?"), q2)))
+    when(scheme === "", c).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(q2 === "", lit("")).otherwise(concat(lit("?"), q2))))
   }
 }

@@ -21,9 +21,16 @@ object Sketches {
     * drift. */
   def hllAlphaM2Pow53(p: Int): Double = {
     val m = 1 << p
-    // alpha_m for m >= 128 (Flajolet et al. §4), times m^2, times 2^53
-    // (the fixed-point scale of the register sum) — one double constant
-    0.7213 / (1 + 1.079 / m) * m * m * 9007199254740992.0
+    // alpha_m (Flajolet et al. §4 — tabulated below 128, asymptotic
+    // above), times m^2, times 2^53 (the fixed-point scale of the
+    // register sum) — one double constant
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
+    alpha * m * m * 9007199254740992.0
   }
 
   /** Per-group [[hllDistinct]] — the grouped approx-distinct a rollup
@@ -37,8 +44,12 @@ object Sketches {
     * interest instead). */
   def hllDistinctBy(df: DataFrame, keyCol: String, valueCol: String,
       p: Int = 8): DataFrame = {
-    require(p >= 4 && p <= 12 && p % 4 == 0,
-      s"p must be 4, 8, or 12 (hex-aligned), got $p")
+    // p capped at 8: the exact register sum Σ 2^(53−mj) reaches m·2^53
+    // when registers are empty — 2^61 at m=256 (fits a signed long) but
+    // 2^65 at m=4096, where Spark would wrap while DuckDB promotes to
+    // HUGEINT and the engines diverge
+    require(p == 4 || p == 8,
+      s"p must be 4 or 8 (hex-aligned; sum fits int64), got $p")
     val m = 1 << p
     val hexChars = p / 4
     val h = md5(col(valueCol).cast("string"))
@@ -95,7 +106,11 @@ object Sketches {
     * min over the depth rows of that key's cell — the classic CMS upper
     * bound (`est >= true count`, over-count bounded by e·N/width w.p.
     * 1−e^−depth). One projection of the keys + one broadcast join of the
-    * tiny cell table; the original stream is not consulted. */
+    * tiny cell table; the original stream is not consulted. A probed
+    * cell ABSENT from the sketch holds a true zero, so the join is a
+    * left join with `coalesce(c, 0)` — an inner join would take the min
+    * over only the non-empty cells (overestimating past the CMS bound)
+    * and drop keys whose every cell is empty instead of returning 0. */
   def cmsEstimates(cells: DataFrame, keys: DataFrame, keyCol: String,
       depth: Int = 4, width: Int = 256): DataFrame =
     keys.select(col(keyCol).cast("string").as("k")).distinct()
@@ -103,9 +118,9 @@ object Sketches {
         explode(sequence(lit(0), lit(depth - 1))).as("i"))
       .withColumn("b", Curation.hashBucket(
         concat(col("i").cast("string"), lit("|"), col("k")), width))
-      .join(broadcast(cells), Seq("i", "b"))
+      .join(broadcast(cells), Seq("i", "b"), "left")
       .groupBy(col("k"))
-      .agg(min(col("c")).as("est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
 
   /** Heavy-hitters audit: the exact top-`k` values (by count, ties on
     * value) side-by-side with their Count-Min estimates — one row
@@ -217,8 +232,10 @@ object Sketches {
     * Standard error ≈ 1.04/√m (6.5% at p = 8). */
   def hllDistinct(df: DataFrame, valueCol: String, p: Int = 8)
       : DataFrame = {
-    require(p >= 4 && p <= 12 && p % 4 == 0,
-      s"p must be 4, 8, or 12 (hex-aligned), got $p")
+    // p capped at 8 — see [[hllDistinctBy]]: the exact integer register
+    // sum would overflow int64 at p = 12 (m·2^53 = 2^65)
+    require(p == 4 || p == 8,
+      s"p must be 4 or 8 (hex-aligned; sum fits int64), got $p")
     val m = 1 << p
     val hexChars = p / 4
     val h = md5(col(valueCol).cast("string"))

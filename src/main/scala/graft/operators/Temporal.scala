@@ -75,7 +75,12 @@ object Temporal {
     * identical double expressions in any engine and the z-scores are
     * reproducible (`events_anomaly` is hash-checked on exactly this).
     * Two map-side-combined aggregates + a broadcast stats row — the
-    * stream is scanned once. */
+    * stream is scanned once.
+    *
+    * Degenerate inputs are a defined "no anomaly", not NaN: one time
+    * bucket (k = 1, sample variance undefined) or a perfectly uniform
+    * rate (sd = 0) short-circuits every z to 0 / anomaly = false instead
+    * of dividing by zero. */
   def rateAnomalies(events: DataFrame, tsCol: String,
       windowLen: String = "1 hour", zThreshold: Double = 2.0)
       : DataFrame = {
@@ -87,11 +92,13 @@ object Temporal {
       sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"))
     hourly.crossJoin(broadcast(stats))
       .withColumn("mean", col("s1").cast("double") / col("k"))
-      .withColumn("sd", sqrt(
+      .withColumn("sd", when(col("k") < 2, lit(0.0)).otherwise(sqrt(
         (col("s2").cast("double") - col("k") * col("mean") *
-          col("mean")) / (col("k") - 1)))
+          col("mean")) / (col("k") - 1))))
       .select(col("ws"), col("n"),
-        round((col("n") - col("mean")) / col("sd"), 6).as("z"))
+        when(col("k") < 2 || col("sd") === 0.0, lit(0.0))
+          .otherwise(round((col("n") - col("mean")) / col("sd"), 6))
+          .as("z"))
       .withColumn("anomaly", abs(col("z")) > zThreshold)
   }
 

@@ -65,6 +65,13 @@ class CleaningSpec extends AnyFunSuite with SparkTester {
       == "https://h.com/CaseSensitive?b=2&a=1")
     // utm in a VALUE is not a tracking KEY — kept
     assert(canon("https://h.com/x?q=utm_source") == "https://h.com/x?q=utm_source")
+    // scheme-less / malformed inputs pass through UNCHANGED — without
+    // the guard every one of them collapses to the constant "://" and
+    // URL-level dedup would drop all but one of those documents
+    assert(canon("/relative/Path?ref=home") == "/relative/Path?ref=home")
+    assert(canon("example.com/no-scheme") == "example.com/no-scheme")
+    assert(canon("not a url at all") == "not a url at all")
+    assert(canon("") == "")
     // idempotence over the full branch matrix: a canonical URL is its
     // own canonical form
     for {

@@ -484,6 +484,14 @@ class SketchesSpec extends AnyFunSuite with SparkTester {
       exact.toSeq.sortBy { case (v, c) => (-c, v) }.take(5).map(_._1)
         .toSet)
     assert(hh.forall(r => r.getLong(2) == exact(r.getString(0))))
+    // point-estimate API on keys NOT in the stream: an absent cell is a
+    // true zero, so the key must surface with est = 0 — not vanish
+    // (inner join) nor take min over only its colliding cells
+    val cells = Sketches.cmsCells(stream, "v", 4, 4096)
+    val absent = Sketches.cmsEstimates(cells,
+      Seq("never-seen-1", "never-seen-2").toDF("v"), "v", 4, 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(absent == Map("never-seen-1" -> 0L, "never-seen-2" -> 0L))
   }
 
   test("corpus minhash overlap: 1 on identical corpora, 0 on disjoint, " +
@@ -739,6 +747,23 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTester {
     assert(r.filter(_._1 != 12).values.forall(!_._3),
       "steady hours must not flag")
     assert(r(12)._2 > 4, "spike z-score should be extreme")
+  }
+
+  test("rate anomalies: degenerate inputs are a defined no-anomaly, " +
+      "not NaN — one bucket (k=1) and a perfectly uniform rate (sd=0)") {
+    // k = 1: a single time bucket — sample variance undefined
+    val single = (0 until 5).map(i => (i.toLong, ts(i))).toDF("id", "ts")
+    val r1 = Temporal.rateAnomalies(single, "ts", "1 hour").collect()
+    assert(r1.length == 1)
+    assert(r1(0).getDouble(2) == 0.0 && !r1(0).getBoolean(3))
+    // sd = 0: every bucket identical
+    val uniform = (0 until 6).flatMap(h =>
+      (0 until 10).map(i => (h.toLong * 10 + i, ts(h * 60 + i))))
+      .toDF("id", "ts")
+    val r2 = Temporal.rateAnomalies(uniform, "ts", "1 hour").collect()
+    assert(r2.length == 6)
+    assert(r2.forall(x => x.getDouble(2) == 0.0 && !x.getBoolean(3)),
+      "uniform rate must yield z=0 everywhere, not NaN/Infinity")
   }
 
   test("activity gaps emit exactly the over-threshold cuts") {
