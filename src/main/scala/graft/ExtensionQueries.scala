@@ -289,16 +289,19 @@ object DedupQueries {
 
     // SemDeDup (Abbas et al. 2023): k-means the embedding space, then
     // within each cluster drop every vector with a lower-id neighbour at
-    // cosine >= tau. The oracle replays the TRAINED quantizer via the
-    // shared kmeansAssignCtes unroll (identical algebra to
-    // simsearch_ivf_kmeans), then mirrors the within-cell pairwise cosine
-    // + min-id survivor rule — cluster assignment, every pair decision,
-    // and the keep flag are all hash-checked
+    // cosine >= tau. Assignment (training rounds AND final) is the
+    // hierarchical coarse-probe form — the k ∝ n scale fix — and the
+    // oracle replays it via kmeansAssignHierCtes (rank-sampled coarse
+    // reps, (d2, id)-ordered nprobe, candidate-only argmin), then
+    // mirrors the within-cell pairwise cosine + min-id survivor rule —
+    // cluster assignment, every pair decision, and the keep flag are
+    // all hash-checked
     Q("dedup_semantic",
       (s, dir) => Dedup.semanticDedup(
         Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
-        centroidStep = 50, iters = 2, tau = 0.4),
-      Some(s"""WITH ${SimilarityQueries.kmeansAssignCtes(2)},
+        centroidStep = 50, iters = 2, tau = 0.4, coarseMult = 8,
+        nprobe = 2),
+      Some(s"""WITH ${SimilarityQueries.kmeansAssignHierCtes(2, 8, 2)},
         norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
         pr AS (
           SELECT x.vec_id AS id_a, y.vec_id AS id_b
@@ -558,6 +561,83 @@ object SimilarityQueries {
           SELECT vec_id, cent_id, row_number() OVER (
             PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
           FROM dF) t WHERE rn = 1)"""
+  }
+
+  /** Hierarchical twin of [[kmeansAssignCtes]], mirroring
+    * [[graft.operators.Similarity.assignCellsHier]]: per Lloyd's round
+    * (and for the final assignment) the centroid table is rank-sampled
+    * every `coarseMult`-th id into coarse reps, centroids exact-assign
+    * to their nearest rep, each vector keeps its `nprobe` nearest reps
+    * ((d2, id)-ordered, 9-dp-rounded — the same ordering Spark's
+    * sorted-struct slice produces), and the argmin runs over only the
+    * probed cells' centroids. Exposes `e` and `assign` like the flat
+    * form. Used by `dedup_semantic` — the k ∝ n consumer where flat
+    * assignment is n²/step. */
+  private[graft] def kmeansAssignHierCtes(iters: Int, coarseMult: Int,
+      nprobe: Int): String = {
+    // every chained CTE is MATERIALIZED: the hier blocks reference each
+    // round's centroid table 3× and `e` 2× — left to the inlining
+    // heuristic the plan doubles per reference per round (measured: the
+    // un-hinted chain took 63 s / 6.5 GB on 500 vectors; materialized
+    // it is instant)
+    def hierAssign(t: String, src: String): String =
+      s"""ck$t AS MATERIALIZED (
+        SELECT cent_id, row_number() OVER (ORDER BY cent_id) - 1 AS rk
+        FROM (SELECT DISTINCT cent_id FROM $src)),
+      co$t AS MATERIALIZED (
+        SELECT c.cent_id AS co_id, c.i, c.v
+        FROM $src c JOIN ck$t r ON c.cent_id = r.cent_id
+        WHERE r.rk % $coarseMult = 0),
+      cc$t AS MATERIALIZED (
+        SELECT cent_id, co_id AS ccell FROM (
+          SELECT d.cent_id, d.co_id, row_number() OVER (
+            PARTITION BY d.cent_id ORDER BY d.d2, d.co_id) AS rn
+          FROM (
+            SELECT a.cent_id, b.co_id,
+              round(sum((a.v - b.v) * (a.v - b.v) ORDER BY a.i), 9) AS d2
+            FROM $src a JOIN co$t b ON a.i = b.i
+            GROUP BY a.cent_id, b.co_id) d) x WHERE rn = 1),
+      vp$t AS MATERIALIZED (
+        SELECT vec_id, co_id AS ccell FROM (
+          SELECT d.vec_id, d.co_id, row_number() OVER (
+            PARTITION BY d.vec_id ORDER BY d.d2, d.co_id) AS rn
+          FROM (
+            SELECT a.vec_id, b.co_id,
+              round(sum((a.v - b.v) * (a.v - b.v) ORDER BY a.i), 9) AS d2
+            FROM e a JOIN co$t b ON a.i = b.i
+            GROUP BY a.vec_id, b.co_id) d) x WHERE rn <= $nprobe),
+      d$t AS MATERIALIZED (
+        SELECT a.vec_id, c.cent_id,
+          round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9) AS d2
+        FROM vp$t p
+        JOIN cc$t m ON m.ccell = p.ccell
+        JOIN e a ON a.vec_id = p.vec_id
+        JOIN $src c ON c.cent_id = m.cent_id AND c.i = a.i
+        GROUP BY a.vec_id, c.cent_id),
+      a$t AS MATERIALIZED (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT vec_id, cent_id, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+          FROM d$t) x WHERE rn = 1)"""
+    val init = """c0 AS MATERIALIZED (
+        SELECT vec_id AS cent_id, i, v FROM e WHERE vec_id % 50 = 0)"""
+    val rounds = (0 until iters).map { t =>
+      s"""${hierAssign(t.toString, s"c$t")},
+      c${t + 1} AS MATERIALIZED (
+        SELECT a.cell AS cent_id, e.i,
+          CAST(CAST(CAST(sum(CAST(e.v AS DECIMAL(28,10))) AS DOUBLE)
+            / count(*) AS FLOAT) AS DOUBLE) AS v
+        FROM a$t a JOIN e ON e.vec_id = a.vec_id
+        GROUP BY a.cell, e.i)"""
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      $init,
+      $rounds,
+      ${hierAssign("F", s"c$iters")},
+      assign AS (SELECT vec_id, cell FROM aF)"""
   }
 
   def all: Seq[Q] = Seq(

@@ -734,16 +734,26 @@ object Dedup {
     * embarrassingly parallel across clusters (one shuffle on `cell`).
     * A pathologically hot cell is bounded by re-running with larger k or
     * sub-clustering that cell; the cluster sizes are one cheap count-by
-    * away from observable. Output: (id, cell, keep). */
+    * away from observable.
+    *
+    * The assignment side of that argument only holds if assignment is
+    * NOT flat n×k (which with k ∝ n is n²/step — measured superlinear,
+    * NOTES scaling curve): both the Lloyd's rounds and the final
+    * assignment go through [[Similarity.assignCellsHier]] — coarse-probe
+    * the centroid table itself at `coarseMult`/`nprobe` — for
+    * k_c + nprobe·coarseMult work per vector instead of k. Pass
+    * `coarseMult ≈ √k` to hold total assignment work at O(n√k).
+    * Output: (id, cell, keep). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      centroidStep: Int = 50, iters: Int = 2, tau: Double = 0.4)
-      : DataFrame = {
+      centroidStep: Int = 50, iters: Int = 2, tau: Double = 0.4,
+      coarseMult: Int = 8, nprobe: Int = 2): DataFrame = {
     import graft.expressions.VectorExpressions
     val base = df.select(col(idCol).as("vec_id"), col(vecCol))
-    val cent = Similarity.kmeansCentroids(base, vecCol, centroidStep, iters)
-    val assigned = Similarity.assignCells(base,
+    val cent = Similarity.kmeansCentroidsHier(base, vecCol, centroidStep,
+      iters, coarseMult, nprobe)
+    val assigned = Similarity.assignCellsHier(base,
         cent.select(col("cent_id").as("vec_id"), col("ce").as(vecCol)),
-        vecCol)
+        vecCol, coarseMult, nprobe)
       .withColumn("nrm", sqrt(VectorExpressions.dot(col("e"), col("e"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // within-cell pairs, oriented id_a < id_b; a vector is a duplicate iff

@@ -145,6 +145,69 @@ object Similarity {
       .select(col("vec_id"), col("e"), col("best.cent_id").as("cell"))
   }
 
+  /** Two-level hierarchical assignment — "IVF-probe the centroids
+    * themselves": the scale fix for flat n×k assignment when k grows
+    * with the corpus (SemDeDup holds cluster size constant, so
+    * k ∝ n makes [[assignCells]] n²/step by construction).
+    *
+    *  1. coarse sample: every `coarseMult`-th centroid by id RANK
+    *     (rank, not id-modulo, so Lloyd's drop-out can never empty the
+    *     sample) — k_c = ⌈k/coarseMult⌉ coarse reps;
+    *  2. each centroid exact-assigns to its nearest coarse rep (k×k_c
+    *     work on the tiny centroid table; a rep is distance-0 from
+    *     itself, so every probed coarse cell is non-empty);
+    *  3. each vector scores all k_c coarse reps IN-ROW against one
+    *     broadcast array — per-row compute, nothing fans out, nothing
+    *     shuffles — and keeps its `nprobe` nearest coarse cells;
+    *  4. exact (d2, cent_id)-min over only the probed cells' centroids:
+    *     ~nprobe·coarseMult candidates instead of k.
+    *
+    * Per-vector work falls from k to k_c + nprobe·coarseMult — with
+    * coarseMult ≈ √k that is O(√k), total O(n√k) vs O(nk). The
+    * assignment is approximate (a vector whose true nearest centroid
+    * lives outside its probed cells lands in the runner-up — the
+    * standard IVF trade), but every step is deterministic: 9-dp-rounded
+    * distances, (d2, id)-struct ordering, rank-based sampling — so an
+    * ANSI engine replays the exact same cells and the result stays
+    * hash-checkable. Output shape identical to [[assignCells]]. */
+  def assignCellsHier(vectors: DataFrame, centroids: DataFrame,
+      vecCol: String, coarseMult: Int, nprobe: Int): DataFrame = {
+    require(coarseMult >= 2 && nprobe >= 1,
+      s"need coarseMult >= 2, nprobe >= 1; got $coarseMult/$nprobe")
+    val cent = centroids.select(col("vec_id").as("cent_id"),
+      col(vecCol).as("ce"))
+    // the global-order window runs on the centroid table (k rows) — the
+    // one place a single-partition sort is the right call
+    val coarse = cent
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("cent_id"))) - 1)
+      .filter(col("rk") % coarseMult === 0)
+      .select(col("cent_id").as("co_id"), col("ce").as("coe"))
+    val centToCoarse = cent.join(broadcast(coarse))
+      .withColumn("d2",
+        round(VectorExpressions.squaredDist(col("ce"), col("coe")), 9))
+      .groupBy(col("cent_id"))
+      .agg(min(struct(col("d2"), col("co_id"))).as("best"),
+        first(col("ce")).as("ce"))
+      .select(col("cent_id"), col("ce"), col("best.co_id").as("ccell"))
+    val coarseArr = coarse.agg(
+      collect_list(struct(col("co_id"), col("coe"))).as("cos"))
+    val probed = vectors.select(col("vec_id"), col(vecCol).as("e"))
+      .crossJoin(broadcast(coarseArr))
+      .withColumn("probe", slice(array_sort(transform(col("cos"), c =>
+        struct(round(VectorExpressions.squaredDist(col("e"), c("coe")), 9)
+          .as("d2"), c("co_id").as("co_id")))), 1, nprobe))
+      .select(col("vec_id"), col("e"),
+        explode(col("probe.co_id")).as("ccell"))
+    probed.join(broadcast(centToCoarse), Seq("ccell"))
+      .withColumn("d2",
+        round(VectorExpressions.squaredDist(col("e"), col("ce")), 9))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("best"),
+        first(col("e")).as("e"))
+      .select(col("vec_id"), col("e"), col("best.cent_id").as("cell"))
+  }
+
   /** Deterministic Lloyd's k-means trainer for the IVF coarse quantizer:
     * centroids start from the fixed id-sample (`vec_id ≡ 0 mod
     * centroidStep`) and run `iters` assignment/re-average rounds.
@@ -241,6 +304,44 @@ object Similarity {
     }
     cent
   }
+
+  /** [[kmeansFrom]] with hierarchical per-round assignment
+    * ([[assignCellsHier]]) — the trainer for the k ∝ n regime where the
+    * flat per-round n×k assignment is itself the quadratic step. Same
+    * exact-decimal re-averaging, same id-stable cell naming; only the
+    * assignment inside each round is the probed two-level form. */
+  def kmeansFromHier(corpus: DataFrame, vecCol: String, init: DataFrame,
+      iters: Int, coarseMult: Int, nprobe: Int): DataFrame = {
+    var cent = init
+    for (_ <- 0 until iters) {
+      cent = cent.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assigned = assignCellsHier(
+        corpus.select(col("vec_id"), col(vecCol)),
+        cent.select(col("cent_id").as("vec_id"), col("ce").as(vecCol)),
+        vecCol, coarseMult, nprobe)
+      cent = assigned
+        .select(col("cell"), posexplode(col("e")).as(Seq("i", "v")))
+        .groupBy(col("cell"), col("i"))
+        .agg((sum(col("v").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).cast("float").as("m"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)")
+          .as("ce"))
+        .select(col("cell").as("cent_id"), col("ce"))
+    }
+    cent
+  }
+
+  /** [[kmeansCentroids]] with hierarchical assignment in every Lloyd's
+    * round — see [[assignCellsHier]] for the scale story. */
+  def kmeansCentroidsHier(corpus: DataFrame, vecCol: String,
+      centroidStep: Int, iters: Int, coarseMult: Int, nprobe: Int)
+      : DataFrame =
+    kmeansFromHier(corpus, vecCol,
+      corpus.filter(col("vec_id") % centroidStep === 0)
+        .select(col("vec_id").as("cent_id"), col(vecCol).as("ce")),
+      iters, coarseMult, nprobe)
 
   /** IVF search: probe the `nprobe` nearest cells per query, exact top-k
     * within the probed cells. Deterministic coarse quantizer: centroids are

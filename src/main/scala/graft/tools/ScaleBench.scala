@@ -50,6 +50,12 @@ object ScaleBench {
     val cpus = sys.env.getOrElse("GRAFT_BENCH_CPUS", "8")
     val runUncapped = sys.env.getOrElse("GRAFT_SCALE_UNCAPPED", "1") == "1"
     val boilerPct = sys.env.getOrElse("GRAFT_SCALE_BOILER_PCT", "10").toInt
+    // comma-separated stage filter (e.g. "semantic,pagerank") — empty =
+    // all stages; lets a scaling question re-measure ONE stage without
+    // paying for the whole suite
+    val only: Option[Set[String]] =
+      sys.env.get("GRAFT_SCALE_ONLY").map(_.split(',').map(_.trim).toSet)
+    def want(stage: String): Boolean = only.forall(_.contains(stage))
     val cap = 1000L
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -72,29 +78,32 @@ object ScaleBench {
       n
     }
 
-    val nMinhash = timed("minhash") {
+    val nMinhash = if (want("minhash")) timed("minhash") {
       Dedup.minhashLshPairs(big, "doc_id", "text",
         k = 5, bands = 32, rowsPerBand = 4, threshold = 0.8).count()
-    }
+    } else -1L
+    val needCapped = want("ngram_capped") || want("clusters_ls")
     val capped = Dedup.ngramJaccardPairs(big, "doc_id", "text",
       k = 5, threshold = 0.8, maxDocFreq = Some(cap))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nCapped = timed("ngram_capped")(capped.count())
-    val nUncapped = if (runUncapped) timed("ngram_uncapped") {
-      Dedup.ngramJaccardPairs(big, "doc_id", "text",
-        k = 5, threshold = 0.8, maxDocFreq = None).count()
-    } else -1L
-    val nClusters = timed("clusters_ls") {
+    val nCapped = if (needCapped) timed("ngram_capped")(capped.count())
+      else -1L
+    val nUncapped = if (runUncapped && want("ngram_uncapped"))
+      timed("ngram_uncapped") {
+        Dedup.ngramJaccardPairs(big, "doc_id", "text",
+          k = 5, threshold = 0.8, maxDocFreq = None).count()
+      } else -1L
+    val nClusters = if (want("clusters_ls")) timed("clusters_ls") {
       Dedup.connectedComponentsAlternating(big, "doc_id", capped)
         .filter(col("doc_id") =!= col("cluster_id")).count()
-    }
+    } else -1L
     // the text-quality pipeline (C4 -> DSIR -> top-N) on the same corpus:
     // c4 is scan-speed and dsir is one explode + bounded-domain aggs, so
     // this stage should scale linearly with corpus size — this datapoint
     // is the evidence. The synthetic text carries no punctuation, so half
     // the docs get a three-sentence tail (they pass C4 and feed DSIR) and
     // a quarter get the target lang — both stages do full-corpus work
-    val nCurate = timed("curate_text") {
+    val nCurate = if (!want("curate_text")) -1L else timed("curate_text") {
       graft.Pipeline.curateTextPlan(
         big.withColumn("lang",
             when(pmod(xxhash64(col("doc_id")), lit(4)) === 0, lit("en"))
@@ -114,7 +123,8 @@ object ScaleBench {
     // cells stay constant-size (the paper's linear-cost argument — this
     // datapoint is the evidence)
     val runExt = sys.env.getOrElse("GRAFT_SCALE_EXT", "1") == "1"
-    val (nSemDropped, nPrNodes) = if (runExt) {
+    val (nSemDropped, nPrNodes) = if (runExt && (want("semantic") ||
+        want("semantic_assign") || want("pagerank"))) {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
       val reps = spark.range(0, factor).toDF("rep")
@@ -126,11 +136,29 @@ object ScaleBench {
                 .cast("float") / lit(1e6f)).cast("float")))
             .as("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      bigEmb.count()
-      val dropped = timed("semantic") {
+      val nEmb = bigEmb.count()
+      // coarseMult ≈ √k keeps per-vector assignment work at
+      // k_c + nprobe·coarseMult ≈ O(√k) — total O(n√k), the whole point
+      // of the hierarchical path (flat assignment was n·k = n²/50 here)
+      val cm = math.max(2,
+        math.sqrt((nEmb / 50).max(1).toDouble).round.toInt)
+      val dropped = if (!want("semantic")) -1L else timed("semantic") {
         Dedup.semanticDedup(bigEmb, "vec_id", "embedding",
-          centroidStep = 50, iters = 1, tau = 0.95)
+          centroidStep = 50, iters = 1, tau = 0.95,
+          coarseMult = cm, nprobe = 2)
           .filter(!col("keep")).count()
+      }
+      // assignment-only diagnostic: isolates the hierarchical
+      // train+assign cost from the within-cell pair stage (whose cost on
+      // THIS corpus grows with the planted dup-neighbourhood size ∝
+      // factor — a property of the synthetic replicas, not the operator)
+      if (want("semantic_assign")) timed("semantic_assign") {
+        val cent = graft.operators.Similarity.kmeansCentroidsHier(
+          bigEmb, "embedding", 50, 1, cm, 2)
+        graft.operators.Similarity.assignCellsHier(bigEmb,
+          cent.select(col("cent_id").as("vec_id"),
+            col("ce").as("embedding")),
+          "embedding", cm, 2).count()
       }
       // PageRank on factor× disjoint copies of the trade graph (same
       // structure per copy, factor× the rows through every per-round
@@ -146,7 +174,7 @@ object ScaleBench {
           (col("sp") + col("rep") * 100000000L).as("dst"))
       val sym = bigEdges.union(
         bigEdges.select(col("dst").as("src"), col("src").as("dst")))
-      val prNodes = timed("pagerank") {
+      val prNodes = if (!want("pagerank")) -1L else timed("pagerank") {
         graft.operators.Graph.pageRank(sym, "src", "dst", iters = 3)
           .count()
       }
@@ -159,7 +187,8 @@ object ScaleBench {
     // odd ids fully salted (unique → admitted). The corpus side of the
     // cross band-join is factor× large; the batch is small — the
     // continuous-crawl shape whose cost should track the BATCH size
-    val nIncDropped = if (runExt) timed("incremental") {
+    val nIncDropped = if (runExt && want("incremental"))
+      timed("incremental") {
       val base = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"))
         .filter(pmod(col("doc_id"), lit(5)) === 0)
@@ -180,7 +209,7 @@ object ScaleBench {
     // in-engine trained classifier at factor× docs: the boilerplate
     // marker is a REAL learnable signal (10% positive class); cost per
     // GD round should be two passes over the hashed count table
-    val nClsKept = if (runExt) timed("classifier") {
+    val nClsKept = if (runExt && want("classifier")) timed("classifier") {
       graft.operators.QualityModel.trainScoreLogReg(big, "doc_id",
         "text", label = col("text").contains("archive division"),
         dim = 32, iters = 3, lr = 2.0)

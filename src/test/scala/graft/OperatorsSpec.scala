@@ -846,6 +846,41 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("hierarchical assignment: identical to exact assignCells when " +
+      "nprobe covers every coarse cell; deterministic under repartition; " +
+      "pruned probes still assign every vector to a probed cell's " +
+      "centroid") {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val cent = Similarity.kmeansCentroids(base, "embedding", 50, 1)
+      .select(col("cent_id").as("vec_id"), col("ce").as("embedding"))
+    val k = cent.count().toInt
+    val exact = Similarity.assignCells(base, cent, "embedding")
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // nprobe >= k_c means every coarse cell is probed -> candidate set
+    // is ALL centroids -> hier must equal exact bit-for-bit
+    val kc = (k + 3) / 4
+    val full = Similarity.assignCellsHier(base, cent, "embedding",
+      coarseMult = 4, nprobe = kc)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == exact, "exhaustive probe must reproduce exact argmin")
+    // pruned: every vector assigned exactly once, to a real centroid,
+    // and the assignment is partitioning-invariant
+    val pruned = Similarity.assignCellsHier(base, cent, "embedding",
+      coarseMult = 4, nprobe = 1)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pruned.size == base.count())
+    val centIds = cent.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pruned.values.forall(centIds.contains))
+    val repart = Similarity.assignCellsHier(base.repartition(7), cent,
+      "embedding", coarseMult = 4, nprobe = 1)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repart == pruned, "hier assignment must be partitioning-invariant")
+  }
+
   test("sparse cosine top-k matches hand-computed cosines; disjoint " +
       "vectors never pair") {
     import spark.implicits._
