@@ -1,0 +1,93 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Strided hex grams over a binary payload, fused into one compiled
+  * pass — the gram stage of the perceptual-hash pipeline
+  * ([[graft.operators.Multimodal.phashPairs]]).
+  *
+  * Replaces the interpreted chain
+  * `transform(sequence(1, greatest(length(hex(b)) - 7, 1), 4),
+  * i -> substring(hex(b), i, 8))`, whose higher-order transform ran
+  * per-element through the interpreter (measured ~4× the codegen cost
+  * on the bench, r4 VERDICT). Semantics are byte-identical to that
+  * chain, including its edges: an empty/short payload yields exactly
+  * one (possibly truncated, possibly empty) gram, because
+  * `greatest(…, 1)` floors the sequence bound — the oracle SQL keeps
+  * the same shape.
+  *
+  * One allocation for the uppercase hex encoding, one slice per gram;
+  * no per-element lambda dispatch. Output feeds the codegen'd
+  * [[SimHash]] bit-vote pass, so the whole signature stage is two
+  * fused calls per row.
+  */
+case class HexGrams(child: Expression, gramChars: Int, strideChars: Int)
+    extends UnaryExpression {
+
+  require(gramChars >= 1 && strideChars >= 1,
+    s"need gramChars>=1, strideChars>=1; got $gramChars/$strideChars")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hex_grams needs BINARY input, got ${child.dataType}")
+  override def prettyName: String = "hex_grams"
+
+  private val HEX = "0123456789ABCDEF".toCharArray
+
+  def compute(bytes: Array[Byte]): ArrayData = {
+    val hexLen = bytes.length * 2
+    val h = new Array[Char](hexLen)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      h(2 * i) = HEX(b >>> 4)
+      h(2 * i + 1) = HEX(b & 0xf)
+      i += 1
+    }
+    // 1-based positions 1, 1+stride, … up to greatest(hexLen−(gram−1), 1)
+    val bound = math.max(hexLen - (gramChars - 1), 1)
+    val n = (bound - 1) / strideChars + 1
+    val out = new Array[Any](n)
+    var g = 0
+    while (g < n) {
+      val from = g * strideChars // 0-based
+      val until = math.min(from + gramChars, hexLen)
+      out(g) = UTF8String.fromString(
+        new String(h, from, math.max(until - from, 0)))
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("hexGrams", this,
+      classOf[HexGrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object HexGrams {
+  def hexGrams(bin: Column, gramChars: Int = 8, strideChars: Int = 4)
+      : Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      HexGrams(org.apache.spark.sql.graft.Bridge.expression(bin),
+        gramChars, strideChars))
+}

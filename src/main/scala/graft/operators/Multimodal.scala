@@ -128,20 +128,19 @@ object Multimodal {
     * changes ONE projection; the join topology — the scale-relevant
     * part — is already exact.
     *
-    * Scale shape: signature is per-row work (hex + gram transform +
-    * one codegen SimHash pass); the pair stage shuffles 8-byte
-    * signatures only. Grams step by 4 hex chars (2 bytes): every byte
-    * still sits in ≥2 overlapping grams, at a quarter of the full
-    * sliding window's per-row cost (the gram transform is the
-    * interpreted HOF here — measured 4× on the bench; hoist to an
-    * expression if blobs are large). */
+    * Scale shape: signature is per-row work — one fused
+    * [[graft.expressions.HexGrams]] pass (hex encode + strided gram
+    * slicing, replacing the interpreted `transform(sequence(...))`
+    * chain the r4 bench measured at ~4× codegen cost) feeding one
+    * codegen SimHash pass; the pair stage shuffles 8-byte signatures
+    * only. Grams step by 4 hex chars (2 bytes): every byte still sits
+    * in ≥2 overlapping grams, at a quarter of the full sliding
+    * window's per-row cost. */
   def phashPairs(df: DataFrame, idCol: String, binCol: String,
       maxHamming: Int = 8): DataFrame = {
     val sigs = df
-      .select(col(idCol).as("doc_id"), hex(col(binCol)).as("__h"))
-      .select(col("doc_id"), expr(
-        """transform(sequence(1, greatest(length(__h) - 7, 1), 4),
-             i -> substring(__h, i, 8))""").as("__g"))
+      .select(col(idCol).as("doc_id"),
+        graft.expressions.HexGrams.hexGrams(col(binCol), 8, 4).as("__g"))
       .select(col("doc_id"),
         graft.expressions.SimHash.simhash64(col("__g")).as("simhash"))
     Dedup.simhashPairsFromSigs(sigs, maxHamming)

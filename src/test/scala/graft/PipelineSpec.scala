@@ -108,6 +108,42 @@ class MultimodalSpec extends AnyFunSuite with SparkTester {
     assert(new String(r(2L).getAs[Array[Byte]](1)) == "tiny")
   }
 
+  test("hexGrams expression: byte-identical to the interpreted " +
+      "hex+transform chain it replaces, including empty/short edges") {
+    import org.apache.spark.sql.functions.{col, expr, hex}
+    val payloads = Seq(
+      (1L, "hello world, this is a binary payload stand-in"),
+      (2L, "tiny"), (3L, ""), (4L, "abc"), (5L, "12345678"),
+      (6L, "123456789"))
+      .toDF("doc_id", "txt")
+      .withColumn("payload", col("txt").cast("binary"))
+    val legacy = payloads
+      .select(col("doc_id"), hex(col("payload")).as("__h"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(1, greatest(length(__h) - 7, 1), 4),
+             i -> substring(__h, i, 8))""").as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val fused = payloads
+      .select(col("doc_id"),
+        graft.expressions.HexGrams.hexGrams(col("payload"), 8, 4).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fused == legacy)
+    // empty payload -> exactly one empty gram (greatest(...,1) floor)
+    assert(fused(3L) == Seq(""))
+    // phash pairs over the fused path still detects the planted dup
+    val near = Multimodal.withBinaryPayload(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "the quick brown fox jumps over the lazy dog again and agaiN"),
+      (12L, "completely different content with no shared byte structure!"))
+      .toDF("doc_id", "txt"), "txt")
+    val pairs = Multimodal.phashPairs(near, "doc_id", "payload",
+      maxHamming = 12)
+      .select("doc_a", "doc_b").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)))
+    assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L))
+  }
+
   test("sampleFrames: stride slicing with short-blob fallback") {
     val frames = Multimodal.sampleFrames(df, "doc_id", "payload", 16, 8)
       .collect()
