@@ -28,8 +28,17 @@ object Bench {
     // driver sets neither, so its runs always cover the full registry.
     val only: Option[Set[String]] =
       sys.env.get("GRAFT_BENCH_ONLY").map(_.split(',').toSet)
-    val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries
+    // single-run per-query timings swing ±30–300% at this config (NOTES:
+    // topk_aggregator 1.0↔3.7 s) — `--runs 3` (or GRAFT_BENCH_RUNS=3)
+    // reports the per-query MEDIAN over full registry sweeps so
+    // round-over-round comparisons stop chasing noise. Default stays 1
+    // run: the driver's invocation is unchanged.
+    val runs = args.sliding(2).collectFirst {
+      case Array("--runs", n) => n.toInt
+    }.orElse(sys.env.get("GRAFT_BENCH_RUNS").map(_.toInt)).getOrElse(1)
+    require(runs >= 1, s"--runs must be >= 1, got $runs")
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    def sweep(): Map[String, Double] = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -45,6 +54,18 @@ object Bench {
       // history is compared against
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // whole-registry sweeps (not per-query repeats) so each run sees the
+    // same cache-reuse topology the single-run bench history was
+    // recorded under
+    val sweeps = (1 to runs).map(_ => sweep())
+    def median(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = sweeps.head.keys.map { name =>
+      name -> median(sweeps.map(_(name)))
+    }.toMap
     // 3-decimal per-query seconds keep the detail line compact; the FINAL
     // stdout line is a short standalone result (the r2 driver artifact
     // showed its tail window starting mid-JSON on a ~2.5 KB line, so the
@@ -55,10 +76,11 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-      s""""queries":$qs,"failed":$failedJson,"cpus":$cpus,"sf":"$sfDir"}"""
+      s""""queries":$qs,"failed":$failedJson,"cpus":$cpus,"runs":$runs,""" +
+      s""""sf":"$sfDir"}"""
     val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"n_failed":${failed.size},""" +
-      s""""cpus":$cpus,"sf":"$sfDir"}"""
+      s""""cpus":$cpus,"runs":$runs,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing so no shutdown logging can land after the
     // result lines — the driver parses the last stdout line
     spark.stop()
