@@ -29,9 +29,17 @@ object Graph {
     * Floor division leaks at most 1 unit (10^-15 of total mass) per
     * division — deterministic, identical in both engines, and ~10 orders
     * below anything a ranking consumer can observe. Dangling nodes (no
-    * out-edges) leak their whole mass — the standard simplification;
-    * symmetrize the edge list (as the registry query does) or add a
-    * dangling-mass term if the graph needs it.
+    * out-edges) leak their whole mass under the default
+    * `danglingMass = false` — the standard simplification, fine for
+    * symmetrized edge lists (as `graph_pagerank` uses) where no node is
+    * dangling. For directed graphs pass `danglingMass = true`: each
+    * round the dangling nodes' total mass D is redistributed uniformly
+    * through the damping term — `r' = tele DIV n +
+    * ((m + D DIV n) · damp) DIV 100`, the "dangling nodes link to
+    * everyone" convention — so total mass is conserved up to floor-
+    * division leaks (< 3n + |E| units per round; GraphSpec pins the
+    * bound). D is a one-row aggregate broadcast back into the rank
+    * update — O(1) extra shuffle data per round.
     *
     * Scale shape: the classic distributed PageRank — per iteration one
     * equi-join of edges against the (node, rank) table on `src` (both
@@ -46,7 +54,8 @@ object Graph {
     * `dampingPct` is the damping factor in integer percent (85 = the
     * classic 0.85). Output: (node, rank_f15 BIGINT). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, dampingPct: Int = 85): DataFrame = {
+      iters: Int, dampingPct: Int = 85,
+      danglingMass: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be 0..100, got $dampingPct")
@@ -77,12 +86,25 @@ object Graph {
           Seq("src"))
         .select(col("dst"), expr("r DIV deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      rank = rank
+      val withContrib = rank
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"), col("n"), col("deg"),
-          expr(s"${teleportMass}L DIV n + " +
-            s"(coalesce(m, 0L) * $dampingPct) DIV 100").as("r"))
-        .localCheckpoint()
+      rank = (if (danglingMass) {
+        // one-row total of the mass parked on out-degree-0 nodes this
+        // round, broadcast back into every node's update (m ≤ 10^15 and
+        // dm DIV n ≤ 10^15, so (m + dm DIV n)·damp < 2·10^17 « 2^63)
+        val dangling = rank.filter(col("deg") === 0)
+          .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+        withContrib.crossJoin(broadcast(dangling))
+          .select(col("node"), col("n"), col("deg"),
+            expr(s"${teleportMass}L DIV n + " +
+              s"((coalesce(m, 0L) + dm DIV n) * $dampingPct) DIV 100")
+              .as("r"))
+      } else {
+        withContrib
+          .select(col("node"), col("n"), col("deg"),
+            expr(s"${teleportMass}L DIV n + " +
+              s"(coalesce(m, 0L) * $dampingPct) DIV 100").as("r"))
+      }).localCheckpoint()
     }
     rank.select(col("node"), col("r").as("rank_f15"))
   }

@@ -689,6 +689,47 @@ class GraphSpec extends AnyFunSuite with SparkTester {
     assert(again == r, "deterministic across runs")
   }
 
+  test("pageRank danglingMass: conserves mass on a directed graph " +
+      "where the default leaks it, and matches the hand-computed update") {
+    // directed star 0 -> {1,2,3}: the three sinks are dangling, holding
+    // 3/4 of the initial mass between them
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val iters = 4
+    val leaky = Graph.pageRank(edges, "src", "dst", iters = iters)
+      .collect().map(x => x.getLong(1)).sum
+    val kept = Graph.pageRank(edges, "src", "dst", iters = iters,
+        danglingMass = true)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val total = kept.values.sum
+    // without the term the sinks' mass vanishes every round
+    assert(leaky < Graph.MassScale * 60 / 100,
+      s"expected heavy leak without the term, got $leaky")
+    // with it: conserved up to floor-division leaks (< 3n + |E| per round)
+    val leakBound = iters * (3 * 4 + 3)
+    assert(total <= Graph.MassScale && total >= Graph.MassScale - leakBound,
+      s"mass $total vs ${Graph.MassScale}")
+    // one hand-checked round: r0 = S/4 each; dangling dm = 3·(S/4);
+    // node 0 gets tele/4 + (dm/4)·85/100 (no in-edges); sinks also get
+    // r0/3 from node 0
+    val s = Graph.MassScale
+    val r1 = {
+      val tele = s / 100 * 15
+      val r0 = s / 4
+      val dm = 3 * r0
+      val zero = tele / 4 + (dm / 4) * 85 / 100
+      val sink = tele / 4 + ((r0 / 3 + dm / 4) * 85) / 100
+      val dm2 = sink * 3
+      val zero2 = tele / 4 + (dm2 / 4) * 85 / 100
+      val sink2 = tele / 4 + ((zero / 3 + dm2 / 4) * 85) / 100
+      (zero2, sink2)
+    }
+    val two = Graph.pageRank(edges, "src", "dst", iters = 2,
+        danglingMass = true)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(two(0L) == r1._1 && two(1L) == r1._2 && two(2L) == r1._2,
+      s"hand-computed 2-round values must match exactly: $two vs $r1")
+  }
+
   test("pageRank single iteration matches the hand-computed update") {
     // path graph 1 <-> 2 <-> 3; degrees: 1:1, 2:2, 3:1; r0 = S/3 each;
     // exact 64-bit floor arithmetic mirrored here in Scala Longs
