@@ -1574,6 +1574,43 @@ object TextQueries {
           CROSS JOIN b3 b)
         SELECT doc_id, score, score >= 0.5 AS keep FROM sc""")),
 
+    // the BUDGETED selector variant: rank by score, admit until the
+    // token budget is spent (cum_before < B, straddler allowed — the
+    // token_budget packing convention) instead of cutting at a fixed
+    // 0.5 — the selector that still delivers data when imbalanced
+    // labels leave every score on one side of the threshold
+    // (QualityModelSpec proves that case on a 10%-prevalence fixture).
+    // The oracle replays training, scoring, AND the global score-order
+    // prefix sum; Spark runs the same sum as a bucketed two-pass
+    // prefix — same rows, hash-checked
+    Q("curation_classifier_budget",
+      (s, dir) => QualityModel.trainScoreLogRegBudget(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", dim = 32, iters = 3, lr = 2.0,
+        tokenBudget = 2000L),
+      Some(s"""WITH ${lrCtes(32, 3, 2.0, "d.lang = 'en'")},
+        sF AS (
+          SELECT f.doc_id, sum(CAST(w.w AS DECIMAL(18,6)) * f.c) AS s,
+            sum(f.c) AS n
+          FROM f JOIN w3 w ON f.j = w.j GROUP BY f.doc_id),
+        sc AS (
+          SELECT d.doc_id,
+            round(1.0 / (1.0 + exp(-round(b.b +
+              coalesce(32 * CAST(sF.s AS DOUBLE) / sF.n, 0.0), 6))), 6)
+              AS score,
+            coalesce(sF.n, 0)::BIGINT AS n_tokens
+          FROM documents d LEFT JOIN sF ON d.doc_id = sF.doc_id
+          CROSS JOIN b3 b),
+        c AS (
+          SELECT doc_id, score, n_tokens,
+            coalesce(sum(n_tokens) OVER (
+              ORDER BY score DESC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              ::BIGINT AS cum_before
+          FROM sc)
+        SELECT doc_id, score, n_tokens, cum_before
+        FROM c WHERE cum_before < 2000""")),
+
     Q("text_langid",
       (s, dir) => TextAnalysis.langId(
         Sources.table(s, dir, "documents"), "doc_id", "text"),
@@ -3461,6 +3498,56 @@ object GraphQueries {
           e AS (
             SELECT c AS src, sp AS dst FROM p
             UNION ALL SELECT sp AS src, c AS dst FROM p),
+          nodes AS (
+            SELECT DISTINCT src AS node FROM e
+            UNION SELECT DISTINCT dst FROM e),
+          nn AS (SELECT count(*) AS n FROM nodes),
+          deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+          r0 AS (
+            SELECT node, $scale // n AS r FROM nodes CROSS JOIN nn),
+          $rounds
+          SELECT node, r AS rank_f15 FROM r3"""
+      }),
+
+    // PageRank with the dangling-mass redistribution term, on the
+    // DIRECTED (asymmetric) customer→supplier edge list — every supplier
+    // is a dangling node, so without the term ~half the graph's mass
+    // leaks per round. Each round the oracle replays the same one-row
+    // dangling total dm and the conserving update
+    // r' = tele//n + ((m + dm//n)·85)//100 digit-for-digit
+    Q("graph_pagerank_dangling",
+      (s, dir) => {
+        val edges = Sources.table(s, dir, "orders")
+          .join(Sources.table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        Graph.pageRank(edges, "src", "dst", iters = 3, dampingPct = 85,
+          danglingMass = true)
+      },
+      Some {
+        val scale = Graph.MassScale
+        val tele = scale / 100 * 15
+        val rounds = (1 to 3).map { t =>
+          s"""d$t AS (
+            SELECT coalesce(sum(r), 0)::BIGINT AS dm
+            FROM r${t - 1} rr LEFT JOIN deg ON rr.node = deg.src
+            WHERE deg.src IS NULL),
+          c$t AS (
+            SELECT e.dst, r.r // deg.deg AS c
+            FROM e JOIN r${t - 1} r ON e.src = r.node
+            JOIN deg ON e.src = deg.src),
+          i$t AS (SELECT dst, sum(c)::BIGINT AS m FROM c$t GROUP BY dst),
+          r$t AS (
+            SELECT node,
+              $tele // n + ((coalesce(m, 0) + dm // n) * 85) // 100 AS r
+            FROM nodes CROSS JOIN nn CROSS JOIN d$t
+            LEFT JOIN i$t ON node = dst)"""
+        }.mkString(",\n")
+        s"""WITH e AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
           nodes AS (
             SELECT DISTINCT src AS node FROM e
             UNION SELECT DISTINCT dst FROM e),

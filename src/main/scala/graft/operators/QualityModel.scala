@@ -226,4 +226,65 @@ object QualityModel {
     scoreFromFeatures(df.select(col(idCol).as("doc_id")), feats, model,
       dim, threshold)
   }
+
+  /** BUDGETED classifier selection: train, score, then admit documents
+    * in (score DESC, doc_id ASC) order until `tokenBudget` tokens are
+    * spent (`cum_before < budget` — one straddling document allowed,
+    * the [[Curation.tokenBudgetPerDomain]] packing convention). This is
+    * the selector a fixed threshold gets wrong on imbalanced labels: at
+    * 10% positive prevalence a few GD rounds leave every score below
+    * 0.5 and `keep >= 0.5` selects NOTHING, while rank-by-score still
+    * orders positives first — the budget cut delivers the best-N tokens
+    * regardless of where the sigmoid's absolute level sits
+    * (DataComp-LM's top-k%-by-fastText-score selection rather than
+    * GPT-3's Pareto threshold).
+    *
+    * Scale shape: a naive `row_number() OVER (ORDER BY score)` is one
+    * reducer. Instead the 6-dp score's leading two decimal digits
+    * bucket the rows (bucket order == score order, the
+    * [[Curation.shuffleDeterministic]] prefix-sum pattern): a
+    * within-bucket window parallelizes over ≤101 buckets, the ≤101-row
+    * bucket-total table's running offsets broadcast back, and
+    * `cum_before = offset + within-bucket prefix` is an exact
+    * distributed prefix sum in score order — no single-partition sort.
+    * Output: admitted `(doc_id, score, n_tokens, cum_before)`. */
+  def trainScoreLogRegBudget(df: DataFrame, idCol: String,
+      textCol: String, label: Column, dim: Int = 32, iters: Int = 3,
+      lr: Double = 2.0, tokenBudget: Long = 1000L): DataFrame = {
+    require(dim >= 2 && iters >= 1 && lr > 0 && tokenBudget >= 1,
+      s"need dim >= 2, iters >= 1, lr > 0, tokenBudget >= 1; " +
+        s"got $dim/$iters/$lr/$tokenBudget")
+    import org.apache.spark.sql.expressions.Window
+    val feats = features(df, idCol, textCol, dim).persist(sl)
+    val docs = labeledDocs(df, idCol, label, feats).persist(sl)
+    val model = trainFromFeatures(feats, docs, dim, iters, lr)
+    val scored = scoreFromFeatures(df.select(col(idCol).as("doc_id")),
+      feats, model, dim, threshold = 0.5).drop("keep")
+    val toks = feats.groupBy(col("doc_id")).agg(sum(col("c")).as("__n"))
+    // floor(score·100) is monotone in the score (identical doubles →
+    // identical bucket), so bucket-desc order == score-desc order even
+    // if an epsilon nudges a value across a decimal boundary — bucket
+    // boundaries only need consistency, not decimal exactness
+    val bucketed = scored.join(toks, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("score"),
+        coalesce(col("__n"), lit(0L)).as("n_tokens"))
+      .withColumn("_bucket", floor(col("score") * 100).cast("int"))
+    val wIn = Window.partitionBy(col("_bucket"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy(col("_bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy(col("_bucket"))
+      .agg(sum(col("n_tokens")).as("_cnt"))
+      .withColumn("_off", coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
+      .select(col("_bucket"), col("_off"))
+    bucketed
+      .withColumn("_wcum",
+        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .join(broadcast(offs), Seq("_bucket"))
+      .withColumn("cum_before", col("_off") + col("_wcum"))
+      .filter(col("cum_before") < tokenBudget)
+      .select(col("doc_id"), col("score"), col("n_tokens"),
+        col("cum_before"))
+  }
 }

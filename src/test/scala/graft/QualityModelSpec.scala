@@ -79,6 +79,50 @@ class QualityModelSpec extends AnyFunSuite with SparkTester {
     assert(empty.getDouble(1) == expected)
   }
 
+  test("budget selector delivers ranked data where the 0.5 threshold " +
+      "keeps nothing: 10% positive prevalence") {
+    // 10 positives among 90 negatives, and the signal is WEAK: everyone
+    // shares one vocabulary, positives differ only by 4 marker tokens
+    // out of 30. After 3 GD rounds the bias has sunk toward the 10%
+    // base rate and every sigmoid sits below 0.5 — the NOTES
+    // imbalanced-label failure the fixed threshold can't survive — yet
+    // the marker buckets' positive weights still rank positives first
+    val markers = enV.take(6)
+    val imb = (0 until 100).map { i =>
+      val pos = i < 10
+      val shared = (0 until (if (pos) 26 else 30))
+        .map(k => deV((i + k) % deV.length))
+      val text = (shared ++ (if (pos)
+        (0 until 4).map(k => markers((i + k) % markers.length))
+        else Nil)).mkString(" ")
+      (i.toLong, text, pos)
+    }.toDF("doc_id", "text", "is_en")
+    val thresholded = QualityModel.trainScoreLogReg(
+      imb, "doc_id", "text", col("is_en"), dim = 32, iters = 3, lr = 2.0)
+    assert(thresholded.filter(col("keep")).count() == 0,
+      "fixture must reproduce the all-below-threshold failure")
+    // every doc is 30 tokens; a 300-token budget admits the top 10 by
+    // score — exactly the positives, since rank survives the shifted bias
+    val picked = QualityModel.trainScoreLogRegBudget(
+      imb, "doc_id", "text", col("is_en"), dim = 32, iters = 3, lr = 2.0,
+      tokenBudget = 300L).collect()
+    assert(picked.length == 10, s"budget must admit 10, got ${picked.length}")
+    assert(picked.map(_.getLong(0)).toSet == (0L until 10L).toSet,
+      s"admitted set must be the positives: ${picked.map(_.getLong(0)).toSeq}")
+    // cum_before is the exact exclusive prefix of the 30-token docs in
+    // rank order, and every admitted row starts under the budget
+    assert(picked.map(_.getLong(3)).sorted.toSeq ==
+      (0 until 10).map(_ * 30L))
+    // equals the single-window (no bucketing) reference on the same scores
+    val all = QualityModel.trainScoreLogReg(
+      imb, "doc_id", "text", col("is_en"), dim = 32, iters = 3, lr = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val refOrder = all.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(10).map(_._1).toSet
+    assert(picked.map(_.getLong(0)).toSet == refOrder,
+      "bucketed prefix sum must equal the global-order reference")
+  }
+
   test("weights carry the signal: en-only buckets positive, de-only " +
       "negative") {
     // recompute each vocabulary's bucket set with the same md5 family
