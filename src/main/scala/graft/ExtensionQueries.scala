@@ -406,10 +406,80 @@ object DedupQueries {
       (s, dir) => Dedup.exactSubstringSpans(
         Sources.table(s, dir, "documents"), "doc_id", "text",
         k = exactSubstringK),
-      Some(exactSubstringSql(exactSubstringK)))
+      Some(exactSubstringSql(exactSubstringK))),
+
+    // CHARACTER-level exact-substring dedup — Lee et al.'s native
+    // granularity: duplicated >= C-char runs are cut wherever they sit,
+    // token-aligned or not (the k-token form above is blind to a
+    // duplicated run spanning < k tokens; DedupSpec carries the
+    // counterexample). Spark shuffles O(chars) rolling-hash keys from
+    // one codegen pass; the oracle re-derives the windows as strings
+    // and replays the per-char span cut positionally
+    Q("dedup_exact_substring_chars",
+      (s, dir) => Dedup.exactSubstringSpansChars(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        minChars = exactSubstringChars),
+      Some(exactSubstringCharsSql(exactSubstringChars)))
   )
 
   private[graft] val exactSubstringK = 8
+  private[graft] val exactSubstringChars = 24
+
+  /** DuckDB mirror of [[Dedup.exactSubstringSpansChars]]: positional
+    * C-char windows by list comprehension (window VALUE stands in for
+    * Spark's rolling-hash key), the same gaps-and-islands merge, and
+    * the span cut replayed as a per-character positional anti-join +
+    * ordered string_agg. */
+  private[graft] def exactSubstringCharsSql(c: Int): String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+      wins0 AS (
+        SELECT doc_id,
+          CASE WHEN length(text) >= $c
+            THEN [substr(text, CAST(i AS INT), $c)
+                  for i in range(1, length(text) - $c + 2)]
+            ELSE [] END AS gs
+        FROM d),
+      win AS (
+        SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) - 1
+          AS pos
+        FROM wins0),
+      dup AS (SELECT g FROM win GROUP BY g HAVING count(*) >= 2),
+      dw AS (SELECT win.doc_id, win.pos FROM win JOIN dup USING (g)),
+      isl AS (
+        SELECT doc_id, pos,
+          CASE WHEN pos > COALESCE(max(pos + $c) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+            THEN 1 ELSE 0 END AS brk
+        FROM dw),
+      isl2 AS (
+        SELECT doc_id, pos,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl),
+      spans AS (
+        SELECT doc_id, island, min(pos) AS s, max(pos) + $c AS e
+        FROM isl2 GROUP BY doc_id, island),
+      ch AS (
+        SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM d),
+      kept AS (
+        SELECT c.doc_id, substr(c.text, CAST(c.i AS INT), 1) AS ch, c.i
+        FROM ch c LEFT JOIN spans sp
+          ON c.doc_id = sp.doc_id AND c.i - 1 >= sp.s AND c.i - 1 < sp.e
+        WHERE sp.doc_id IS NULL),
+      sp_agg AS (
+        SELECT doc_id, count(*)::INTEGER AS n_spans,
+          sum(e - s)::INTEGER AS dup_chars
+        FROM spans GROUP BY doc_id),
+      ct AS (
+        SELECT doc_id, string_agg(ch, '' ORDER BY i) AS clean_text
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(a.n_spans, 0) AS n_spans,
+        COALESCE(a.dup_chars, 0) AS dup_chars,
+        length(text)::INTEGER AS total_chars,
+        COALESCE(ct.clean_text, '') AS clean_text
+      FROM d LEFT JOIN sp_agg a USING (doc_id) LEFT JOIN ct USING (doc_id)"""
 
   /** DuckDB mirror of [[Dedup.exactSubstringSpans]]: positional windows
     * via list comprehension + generate_subscripts, duplicate windows by
@@ -561,6 +631,52 @@ object SimilarityQueries {
           SELECT vec_id, cent_id, row_number() OVER (
             PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
           FROM dF) t WHERE rn = 1)"""
+  }
+
+  /** One k-sweep point of [[graft.operators.Similarity.ivfKSelect]]'s
+    * oracle: the [[kmeansAssignCtes]] Lloyd's algebra at an arbitrary
+    * `centroidStep`, CTE names prefixed `px` (DuckDB rejects duplicate
+    * CTE names, so each sweep point gets its own chain off the shared
+    * `e`), collapsed to a single `(step, n_cells, wcss)` row — WCSS sums
+    * each vector's min 9-dp distance as exact DECIMAL, like Spark. */
+  private[graft] def kmeansWcssCtes(step: Int, iters: Int, px: String)
+      : String = {
+    val init = s"""${px}c0 AS (
+        SELECT vec_id AS cent_id, i, v FROM e WHERE vec_id % $step = 0)"""
+    val rounds = (0 until iters).map { t =>
+      s"""${px}d$t AS (
+        SELECT a.vec_id, c.cent_id,
+          round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9) AS d2
+        FROM e a JOIN ${px}c$t c ON a.i = c.i
+        GROUP BY a.vec_id, c.cent_id),
+      ${px}a$t AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT vec_id, cent_id, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+          FROM ${px}d$t) x WHERE rn = 1),
+      ${px}c${t + 1} AS (
+        SELECT a.cell AS cent_id, e.i,
+          CAST(CAST(CAST(sum(CAST(e.v AS DECIMAL(28,10))) AS DOUBLE)
+            / count(*) AS FLOAT) AS DOUBLE) AS v
+        FROM ${px}a$t a JOIN e ON e.vec_id = a.vec_id
+        GROUP BY a.cell, e.i)"""
+    }.mkString(",\n")
+    s"""$init,
+      $rounds,
+      ${px}dF AS (
+        SELECT a.vec_id, c.cent_id,
+          round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9) AS d2
+        FROM e a JOIN ${px}c$iters c ON a.i = c.i
+        GROUP BY a.vec_id, c.cent_id),
+      ${px}best AS (
+        SELECT vec_id, cent_id AS cell, d2 FROM (
+          SELECT vec_id, cent_id, d2, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+          FROM ${px}dF) x WHERE rn = 1),
+      ${px}row AS (
+        SELECT $step AS step, count(DISTINCT cell) AS n_cells,
+          CAST(sum(CAST(d2 AS DECIMAL(28,9))) AS DOUBLE) AS wcss
+        FROM ${px}best)"""
   }
 
   /** Hierarchical twin of [[kmeansAssignCtes]], mirroring
@@ -1008,6 +1124,40 @@ object SimilarityQueries {
               PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER)
               AS rank
             FROM scored) r WHERE rank <= 10"""
+      }),
+
+    // k-SELECTION for the IVF quantizer: sweep four centroid steps
+    // (nominal k = 2, 5, 10, 20 on the 500-vector corpus), train each
+    // quantizer with the SAME unrolled Lloyd's algebra, and mark the
+    // max-curvature elbow. The whole sweep table — every WCSS, the
+    // curvatures, and the chosen flag — is hash-checked, so a drift in
+    // any of the four trainings or in the knee rule turns the row red
+    Q("simsearch_ivf_kselect",
+      (s, dir) => Similarity.ivfKSelect(
+        Sources.table(s, dir, "embeddings"), "embedding",
+        steps = Seq(250, 100, 50, 25), iters = 1),
+      Some {
+        val steps = Seq(250, 100, 50, 25)
+        val chains = steps.map(st =>
+          SimilarityQueries.kmeansWcssCtes(st, 1, s"s$st")).mkString(",\n")
+        val union = steps.map(st => s"SELECT * FROM s${st}row")
+          .mkString(" UNION ALL ")
+        s"""WITH e AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings),
+          $chains,
+          sweep AS ($union),
+          ext AS (
+            SELECT step, n_cells, wcss,
+              round(lag(wcss) OVER (ORDER BY step DESC) - 2 * wcss +
+                lead(wcss) OVER (ORDER BY step DESC), 6) AS curvature
+            FROM sweep)
+          SELECT step, n_cells, wcss, curvature,
+            (curvature IS NOT NULL AND row_number() OVER (
+              ORDER BY curvature DESC NULLS LAST, step DESC) = 1)
+              AS chosen
+          FROM ext"""
       }),
 
     // IVF with farthest-point-seeded (deterministic k-means++-style)

@@ -1,0 +1,85 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-position polynomial rolling hashes of every `width`-char window
+  * of a string — the O(n) feed for CHARACTER-level exact-substring
+  * dedup ([[graft.operators.Dedup.exactSubstringSpansChars]]).
+  *
+  * `out(i) = hash(s[i, i+width))` for every 0-based char position, so
+  * `posexplode` yields (window offset, window hash) without ever
+  * materializing a window string: the hash of position i+1 is derived
+  * from position i in O(1) (subtract the outgoing char's `B^(width-1)`
+  * term, multiply by B, add the incoming char), so a document costs
+  * O(chars) total — against O(chars·width) bytes of intermediate
+  * strings if the windows were built and hashed individually (at a
+  * 100 TB corpus and width 24 that difference is the whole game).
+  * Arithmetic is 64-bit wraparound (mod 2^64), identical on every JVM;
+  * B is odd so multiplication by it is a bijection mod 2^64 and window
+  * content spreads over all 64 bits. Strings shorter than `width` have
+  * no window and return an empty array. Duplicate detection downstream
+  * treats equal hashes as equal windows — exactly the token-form's
+  * xxhash64 keys-not-payload convention (a collision needs ~2^32
+  * distinct windows to be likely and merely over-marks one window).
+  */
+case class CharWindowHashesExpr(child: Expression, width: Int)
+    extends UnaryExpression {
+
+  require(width >= 1, s"width must be >= 1, got $width")
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_window_hashes"
+
+  private val B = 1000003L
+  // B^(width-1) mod 2^64: the outgoing char's positional weight
+  private val topPow: Long = {
+    var p = 1L
+    var i = 1
+    while (i < width) { p *= B; i += 1 }
+    p
+  }
+
+  def compute(s: UTF8String): ArrayData = {
+    val cs = s.toString
+    val n = cs.length
+    if (n < width) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - width + 1)
+    var h = 0L
+    var i = 0
+    while (i < width) { h = h * B + cs.charAt(i); i += 1 }
+    out(0) = h
+    var p = 1
+    while (p + width <= n) {
+      h = (h - cs.charAt(p - 1) * topPow) * B + cs.charAt(p + width - 1)
+      out(p) = h
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("roller", this,
+      classOf[CharWindowHashesExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object RollingHash {
+  def charWindowHashes(text: Column, width: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      CharWindowHashesExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text), width))
+}

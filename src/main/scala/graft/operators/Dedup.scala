@@ -716,6 +716,83 @@ object Dedup {
           .otherwise(array_join(cleanToks, " ")).as("clean_text"))
   }
 
+  /** CHARACTER-level exact-substring deduplication — the granularity
+    * Lee et al. 2021 (arXiv:2107.06499 §3.1) actually operate at: mark
+    * every character inside a >= `minChars`-char substring occurring
+    * more than once in the corpus, and emit the text with those spans
+    * cut out. The token-window form ([[exactSubstringSpans]]) is exact
+    * for >= k whole-token matches but blind to duplicated runs that
+    * span fewer than k tokens (a few long tokens) or whose occurrences
+    * disagree mid-token at the edges; at char granularity neither
+    * alignment matters.
+    *
+    * Same exactness argument one level down: a substring of length
+    * m >= C is duplicated iff all of its C-char windows are duplicated,
+    * so the union of duplicated C-char windows IS the removed set the
+    * paper's suffix array computes for minimum match length C — this
+    * operator produces the identical answer with no monolithic suffix
+    * array, as three narrow shuffles over 8-byte keys.
+    *
+    * Scale shape: the per-position window hashes come from ONE O(chars)
+    * codegen rolling-hash pass ([[graft.expressions
+    * .CharWindowHashesExpr]]) — no window strings are ever built (the
+    * naive form materializes chars·C bytes; at 100 TB and C = 24 that
+    * is the difference between a 100 TB and a 2.4 PB intermediate).
+    * Then duplicate detection is one map-side-combinable count per
+    * 8-byte key, the interval merge sorts only each document's
+    * *duplicated* offsets, and the span cut is a per-row fold over the
+    * merged spans. The oracle recomputes windows as strings while Spark
+    * shuffles rolling-hash keys — identical absent a 64-bit collision
+    * (the [[exactSubstringSpans]] convention).
+    *
+    * Output per document: `(doc_id, n_spans, dup_chars, total_chars,
+    * clean_text)`. */
+  def exactSubstringSpansChars(df: DataFrame, idCol: String,
+      textCol: String, minChars: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.expressions.RollingHash
+    require(minChars >= 2, s"minChars must be >= 2, got $minChars")
+    val C = minChars
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("txt"))
+    val win = base.select(col("doc_id"),
+        posexplode(RollingHash.charWindowHashes(col("txt"), C)))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = win.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val dw = win.join(dup, Seq("h"), "leftsemi").select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(C))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dw
+      .withColumn("brk",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(C)).as("e"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e"))))
+        .as("spans"))
+    // cut the spans out: fold over the sorted disjoint spans carrying
+    // (next uncut 0-based position, accumulated clean prefix)
+    val cut = aggregate(col("spans"),
+      struct(lit(0).as("p"), lit("").as("acc")),
+      (st, sp) => struct(sp("e").as("p"),
+        concat(st("acc"),
+          col("txt").substr(st("p") + 1, sp("s") - st("p"))).as("acc")),
+      st => concat(st("acc"),
+        col("txt").substr(st("p") + 1, length(col("txt")) - st("p"))))
+    val dupChars = aggregate(col("spans"), lit(0),
+      (acc, sp) => acc + (sp("e") - sp("s")))
+    base.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(size(col("spans")), lit(0)).as("n_spans"),
+        coalesce(dupChars, lit(0)).as("dup_chars"),
+        length(col("txt")).as("total_chars"),
+        when(col("spans").isNull, col("txt")).otherwise(cut)
+          .as("clean_text"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540): cluster the embedding space with

@@ -407,6 +407,82 @@ class DedupSpec extends AnyFunSuite with SparkTester {
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
     assert(out(1L) == ((1, 5)) && out(2L) == ((1, 5)))
   }
+
+  test("char-level exact-substring: catches the duplicated run the " +
+      "token-k grid misses (few long tokens), cuts it at char precision") {
+    // the shared 46-char run spans only THREE tokens — invisible to the
+    // token form at k=8 even though both docs carry >= 8 tokens —
+    // exactly the counterexample char granularity exists for
+    val run = "supercalifragilistic expialidocious antidisest"  // 46 chars
+    val d = Seq(
+      (1L, s"intro one two three four five $run coda"),
+      (2L, s"other lead alpha beta gamma delta $run different tail"),
+      (3L, "no shared content whatsoever here")).toDF("doc_id", "text")
+    val tokenForm = Dedup.exactSubstringSpans(d, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tokenForm.values.forall(_ == 0),
+      s"k=8 token grid must miss the 3-token run: $tokenForm")
+    val out = Dedup.exactSubstringSpansChars(d, "doc_id", "text",
+        minChars = 24)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(4))).toMap
+    // one merged span per carrier covering "run" plus the shared
+    // single-space padding around it where windows still straddle
+    assert(out(1L)._1 == 1 && out(2L)._1 == 1,
+      s"each carrier must hold one merged span: $out")
+    assert(!out(1L)._3.contains("supercalifragilistic") &&
+      !out(2L)._3.contains("expialidocious"),
+      s"the duplicated run must be cut: $out")
+    assert(out(1L)._3.startsWith("intro") &&
+      out(2L)._3.startsWith("other lead"),
+      s"unique prefixes survive: $out")
+    assert(out(3L) == ((0, 0, "no shared content whatsoever here")))
+  }
+
+  test("char-level exact-substring agrees with the token form where " +
+      "both apply: identical docs are fully removed by both") {
+    val d = Seq(
+      (1L, "the same document body repeated verbatim across two rows"),
+      (2L, "the same document body repeated verbatim across two rows"),
+      (3L, "quick brown foxes jump over lazy dogs quietly")).toDF("doc_id", "text")
+    val tok = Dedup.exactSubstringSpans(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getString(4))).toMap
+    val chr = Dedup.exactSubstringSpansChars(d, "doc_id", "text",
+        minChars = 12)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getString(4))).toMap
+    for (m <- Seq(tok, chr)) {
+      assert(m(1L) == ((1, "")) && m(2L) == ((1, "")),
+        s"identical docs fully removed: $m")
+      assert(m(3L)._2.nonEmpty, s"unique doc untouched: $m")
+    }
+    // determinism: rerun bit-identical
+    val again = Dedup.exactSubstringSpansChars(d, "doc_id", "text",
+        minChars = 12)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getString(4))).toMap
+    assert(again == chr)
+  }
+
+  test("char-level exact-substring: within-doc repeats count, short " +
+      "docs have no windows, empty stays empty") {
+    val rep = "abcdefghijklmnopqrstuvwxyz"  // 26 chars, repeated in doc 1
+    val d = Seq(
+      (1L, s"$rep--$rep"),
+      (2L, "short"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringSpansChars(d, "doc_id", "text",
+        minChars = 20)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    // both occurrences of the 26-char run are duplicated spans; the
+    // "--" separator survives
+    assert(out(1L)._1 == 2 && out(1L)._4 == "--", s"got $out")
+    assert(out(1L)._2 == 52 && out(1L)._3 == 54)
+    assert(out(2L) == ((0, 0, 5, "short")))
+    assert(out(3L) == ((0, 0, 0, "")))
+  }
 }
 
 class SketchesSpec extends AnyFunSuite with SparkTester {
@@ -987,6 +1063,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
     assert(trained >= 0.4, s"trained recall $trained")
     assert(trained >= plain - 0.1,
       s"training degraded recall: $plain -> $trained")
+  }
+
+  test("ivfKSelect elbow: the knee lands on the planted cluster count, " +
+      "and the sweep is deterministic") {
+    import spark.implicits._
+    // three tight well-separated blobs, ids arranged so step 10's seeds
+    // (0, 10, 20) start one per blob and the k=1/k=6/k=10 sweep points
+    // bracket the true k=3
+    def blob(c: Array[Float], id0: Long): Seq[(Long, Array[Float])] =
+      (0 until 10).map { i =>
+        (id0 + i, c.zipWithIndex.map { case (v, d) =>
+          v + 0.1f * (((i + d) % 5) - 2) })
+      }
+    val pts = blob(Array(0f, 0f, 0f, 0f), 0L) ++
+      blob(Array(20f, 20f, 0f, 0f), 10L) ++
+      blob(Array(-20f, 10f, 5f, 0f), 20L)
+    val df = pts.toDF("vec_id", "embedding")
+    val out = Similarity.ivfKSelect(df, "embedding",
+      steps = Seq(30, 10, 5, 3), iters = 1)
+    val rows = out.collect().map(r => r.getInt(0) ->
+      (r.getLong(1), r.getDouble(2), r.getBoolean(4))).toMap
+    assert(rows.keySet == Set(30, 10, 5, 3))
+    // k grows down the sweep; WCSS never rises
+    val inOrder = Seq(30, 10, 5, 3).map(rows)
+    assert(inOrder.map(_._2) == inOrder.map(_._2).sorted.reverse,
+      s"wcss must be non-increasing in k: $inOrder")
+    // the knee: step 10 = one seed per blob -> n_cells 3, huge curvature
+    assert(rows(10)._1 == 3L, s"step 10 must keep 3 cells: $rows")
+    assert(rows(10)._3 && Seq(30, 5, 3).forall(s => !rows(s)._3),
+      s"elbow must be the true k=3 point alone: $rows")
+    // the k=3 quantizer really separates the blobs: its wcss is tiny
+    // next to the single-cell sweep point's
+    assert(rows(10)._2 < rows(30)._2 / 100,
+      s"3-cell wcss must collapse vs 1-cell: $rows")
+    val again = Similarity.ivfKSelect(df, "embedding",
+      steps = Seq(30, 10, 5, 3), iters = 1).collect().toSet
+    assert(again == out.collect().toSet, "sweep must be deterministic")
   }
 
   test("farthest-point init: min-id seed, k distinct spread centroids; " +
