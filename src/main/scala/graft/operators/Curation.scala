@@ -599,6 +599,77 @@ object Curation {
           .cast("double"), 6).as("logweight"))
   }
 
+  /** PER-MICRO-BATCH REFRESHED streaming DSIR: a `foreachBatch` scorer
+    * whose bucket log-ratio table tracks a MOVING raw distribution —
+    * each arriving micro-batch updates the raw side before being scored
+    * against the refreshed ratios, so the importance weights follow
+    * distribution drift in the stream instead of freezing at training
+    * time (the static-map form is [[dsirScoreStateless]] fed by
+    * [[dsirRatioMap]] once).
+    *
+    * The refresh is INCREMENTAL, which is what makes it stream-shaped:
+    * bucket counts are additive integers, so batch i contributes one
+    * ≤`dim`-row count table written under `countsPath/batch=<id>`
+    * (overwrite — Structured Streaming's batch-id replay contract makes
+    * the write idempotent across restarts), and the refreshed raw
+    * counts are the reference counts (computed once, persisted) plus
+    * the sum of the tiny per-batch tables — never a re-scan of the
+    * stream's history. The target side stays the trusted reference
+    * slice. The ratio algebra (laplace-smoothed 6-dp rounded log-ratio,
+    * DECIMAL held) is byte-identical to [[dsirRatioMap]], so scoring
+    * batch i equals the BATCH pipeline trained on the concatenation
+    * reference ∪ batches 1..i — StreamingCurationSpec pins that
+    * equality per batch.
+    *
+    * Output rows land under `outPath` (append) with a `batch_id`
+    * column. Scale shape per batch: one feature explode + map-side
+    * count of the BATCH only, a union of ≤dim-row count tables, one
+    * broadcast of the one-row map — the reference corpus and stream
+    * history are never re-read. */
+  def dsirRefreshingScorer(ref: DataFrame, idCol: String,
+      textCol: String, targetFilter: Column, dim: Int,
+      countsPath: String, outPath: String): (DataFrame, Long) => Unit = {
+    val spark = ref.sparkSession
+    val refFeats = ref.select(targetFilter.as("__tgt"),
+      explode(dsirFeatureArray(textCol, dim)).as("j"))
+    val refRaw = refFeats.groupBy(col("j"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val refTgt = refFeats.filter(col("__tgt")).groupBy(col("j"))
+      .agg(count(lit(1)).as("tc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (batch: DataFrame, batchId: Long) => {
+      val b = batch.select(col(idCol), col(textCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      b.select(explode(dsirFeatureArray(textCol, dim)).as("j"))
+        .groupBy(col("j")).agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(s"$countsPath/batch=$batchId")
+      // refreshed raw counts: reference + every batch seen so far (all
+      // tiny ≤dim-row tables)
+      val streamCounts = spark.read.option("basePath", countsPath)
+        .parquet(countsPath).select(col("j"), col("c"))
+      val raw = refRaw.select(col("j"), col("c"))
+        .unionByName(streamCounts)
+        .groupBy(col("j")).agg(sum(col("c")).as("rc"))
+      val rawTot = raw.agg(sum(col("rc")).as("rt"))
+      val tgtTot = refTgt.agg(coalesce(sum(col("tc")), lit(0L)).as("tt"))
+      val ratios = raw.join(refTgt, Seq("j"), "left")
+        .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+        .select(col("j"),
+          (round(log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+              (col("tt") + dim).cast("double")), 6).cast("decimal(18,6)") -
+            round(log((col("rc") + 1).cast("double") /
+              (col("rt") + dim).cast("double")), 6).cast("decimal(18,6)"))
+            .as("lr"))
+        .agg(map_from_entries(collect_list(struct(col("j"), col("lr"))))
+          .as("__lr"))
+      dsirScoreStateless(b, idCol, textCol, ratios, dim)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(outPath)
+      b.unpersist()
+    }
+  }
+
   /** Badword list for [[c4Filters]] — a deliberately tiny spam-marker
     * stand-in for the public LDNOOBW list (not shipped in this repo);
     * callers pass their full list in production. */

@@ -343,6 +343,60 @@ object Similarity {
         .select(col("vec_id").as("cent_id"), col(vecCol).as("ce")),
       iters, coarseMult, nprobe)
 
+  /** k-SELECTION SWEEP for the IVF quantizer: train the deterministic
+    * Lloyd's quantizer at each `centroidStep` in `steps` (strictly
+    * decreasing, so nominal k = n/step strictly grows), measure each
+    * sweep point's within-cluster sum of squares, and mark the ELBOW —
+    * the point of maximum discrete curvature `wcss(k_prev) − 2·wcss(k)
+    * + wcss(k_next)` (the classic knee rule, deterministic: no
+    * silhouette sampling, no RNG; ties break toward fewer cells).
+    *
+    * Determinism / oracle-checkability: WCSS sums each vector's
+    * 9-dp-rounded assigned squared distance as exact DECIMAL (order-
+    * free), cast to double once; the curvature and the chosen flag are
+    * windows over the ≤|steps|-row sweep table, replayed verbatim in
+    * SQL. Output one row per sweep point: `(step, n_cells, wcss,
+    * curvature, chosen)` — `n_cells` is the non-empty cell count (k
+    * after Lloyd's dropout), `curvature` null at the sweep ends.
+    *
+    * Scale shape: each sweep point is one [[kmeansCentroids]] training
+    * (broadcast centroid joins, map-side-combinable aggregates) plus
+    * one assignment pass collapsing to a SINGLE row before the union —
+    * the sweep table never exceeds |steps| rows, and the elbow windows
+    * run on that tiny table, not the corpus. At k ∝ n scale swap the
+    * trainer for [[kmeansCentroidsHier]]; the sweep algebra is
+    * unchanged. */
+  def ivfKSelect(corpus: DataFrame, vecCol: String, steps: Seq[Int],
+      iters: Int = 1): DataFrame = {
+    require(steps.size >= 3,
+      s"need >= 3 sweep points for a curvature elbow, got ${steps.size}")
+    require(steps == steps.distinct.sortBy(s => -s) && steps.forall(_ >= 1),
+      s"steps must be strictly decreasing positive, got $steps")
+    val base = corpus.select(col("vec_id"), col(vecCol).as("e"))
+    val sweep = steps.map { step =>
+      val cent = kmeansCentroids(
+        corpus.select(col("vec_id"), col(vecCol)), vecCol, step, iters)
+      base.join(broadcast(cent.select(col("cent_id"), col("ce"))))
+        .withColumn("d2",
+          round(VectorExpressions.squaredDist(col("e"), col("ce")), 9))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cent_id"))).as("best"))
+        .agg(countDistinct(col("best.cent_id")).as("n_cells"),
+          sum(col("best.d2").cast("decimal(28,9)")).cast("double")
+            .as("wcss"))
+        .select(lit(step).as("step"), col("n_cells"), col("wcss"))
+    }.reduce(_.unionByName(_))
+    val byK = Window.orderBy(col("step").desc)
+    sweep
+      .withColumn("curvature", round(
+        lag(col("wcss"), 1).over(byK) - lit(2) * col("wcss") +
+          lead(col("wcss"), 1).over(byK), 6))
+      .withColumn("chosen",
+        col("curvature").isNotNull &&
+          row_number().over(Window.orderBy(
+            col("curvature").desc_nulls_last, col("step").desc)) === 1)
+  }
+
   /** IVF search: probe the `nprobe` nearest cells per query, exact top-k
     * within the probed cells. Deterministic coarse quantizer: centroids are
     * the vectors whose id ≡ 0 (mod centroidStep) — a fixed sample; see

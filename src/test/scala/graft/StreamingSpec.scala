@@ -429,6 +429,70 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTester {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("REFRESHED streaming DSIR: the ratio map tracks the stream's " +
+      "moving raw distribution; each batch's scores equal the batch " +
+      "pipeline trained on the concatenation so far") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Curation
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang").orderBy("doc_id").limit(120)
+      .cache()
+    val ref = all.limit(40).cache()
+    val b1 = all.filter($"doc_id" >= 40 && $"doc_id" < 80)
+      .select($"doc_id".as[Long], $"text".as[String]).collect().toSeq
+    val b2 = all.filter($"doc_id" >= 80 && $"doc_id" < 120)
+      .select($"doc_id".as[Long], $"text".as[String]).collect().toSeq
+    assert(b1.nonEmpty && b2.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rdsir")
+    val out = dir.resolve("out").toString
+    val scorer = Curation.dsirRefreshingScorer(ref, "doc_id", "text",
+      targetFilter = $"lang" === "en", dim = 64,
+      countsPath = dir.resolve("counts").toString, outPath = out)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) => scorer(batch.toDF(), id)
+      }
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select($"batch_id".as[Long], $"doc_id".as[Long],
+        $"n_feats".as[Long], $"logweight".as[Double])
+      .collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(t => (t._2, t._3, t._4)).toSet }
+    // batch pipeline on the concatenation up to each point, via the
+    // STATIC map machinery the refreshed form must agree with
+    val refTagged = ref.select($"doc_id", $"text", ($"lang" === "en")
+      .as("__tgt"))
+    def expected(seen: Seq[(Long, String)], scoreOf: Seq[(Long, String)])
+        : Set[(Long, Long, Double)] = {
+      val corpus = refTagged.unionByName(seen.toDF("doc_id", "text")
+        .withColumn("__tgt", lit(false)))
+      val ratios = Curation.dsirRatioMap(corpus, "doc_id", "text",
+        $"__tgt", dim = 64)
+      Curation.dsirScoreStateless(scoreOf.toDF("doc_id", "text"),
+          "doc_id", "text", ratios, dim = 64)
+        .select($"doc_id".as[Long], $"n_feats".as[Long],
+          $"logweight".as[Double]).collect().toSet
+    }
+    assert(got(0L) == expected(b1, b1),
+      "batch 0 must score against ref + batch0 raw counts")
+    assert(got(1L) == expected(b1 ++ b2, b2),
+      "batch 1 must score against ref + batch0 + batch1 raw counts")
+    // the refresh MOVED the map: rescoring batch 1 under batch-0's map
+    // must differ somewhere (the drifted raw side changes weights)
+    assert(got(1L) != expected(b1, b2),
+      "refresh must actually change the scores as the stream drifts")
+  }
+
   test("CMS cells aggregate INSIDE a streaming plan and equal the " +
       "batch sketch - the sketch is the streaming-native structure") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
