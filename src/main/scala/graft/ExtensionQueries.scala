@@ -178,6 +178,38 @@ object DedupQueries {
       },
       Some(clustersOracleSql)),
 
+    // quality-aware survivor selection (FineWeb convention): within
+    // each near-dup cluster keep the highest-scoring member — here the
+    // token count, so the fullest variant survives and truncated
+    // near-copies drop — instead of the min-id default. Argmax is a
+    // map-side-combinable struct-max, no corpus-wide window
+    Q("dedup_survivor_quality",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          k = 5, threshold = 0.8)
+        Dedup.survivorByQuality(docs, "doc_id",
+          Dedup.connectedComponents(docs, "doc_id", pairs),
+          size(graft.functions.Cleaning.tokens(col("text"))).cast("long"))
+      },
+      Some(s"""WITH RECURSIVE
+        $clustersCtes,
+        q AS (
+          SELECT doc_id,
+            len(list_filter(string_split(text, ' '), x -> x <> ''))
+              ::BIGINT AS score
+          FROM documents),
+        best AS (
+          SELECT cluster_id, doc_id AS survivor_id FROM (
+            SELECT cc.cluster_id, q.doc_id, row_number() OVER (
+              PARTITION BY cc.cluster_id
+              ORDER BY q.score DESC, q.doc_id ASC) AS rn
+            FROM cc JOIN q ON cc.doc_id = q.doc_id) x WHERE rn = 1)
+        SELECT cc.doc_id, cc.cluster_id, q.score,
+          (cc.doc_id = b.survivor_id) AS keep
+        FROM cc JOIN q USING (doc_id)
+        JOIN best b ON cc.cluster_id = b.cluster_id""")),
+
     // cluster-size histogram over the near-dup components — the audit a
     // curation run reports ("how much mass sits in how-big duplicate
     // families"). Two tiny aggregates on the CC output; the oracle rides
@@ -1940,6 +1972,58 @@ object TextQueries {
           SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
             coalesce(n_bpe, 0) AS n_bpe
           FROM documents d LEFT JOIN agg USING (doc_id)"""
+      }),
+
+    // BPE merge TRAINING in-engine (the training half of the tokenizer
+    // loop; text_tokens_bpe applies a fixed table): top-150 word vocab,
+    // 8 merge rounds, each round's (pair, weighted count) hash-checked.
+    // Merge application is the IDENTICAL double literal-replace string
+    // algebra in both engines (see bpeTrainMerges scaladoc for the
+    // two-pass == leftmost-non-overlapping argument), so nothing rests
+    // on engine-specific merge conventions
+    Q("text_bpe_train",
+      (s, dir) => TextAnalysis.bpeTrainMerges(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 150, rounds = 8),
+      Some {
+        val rounds = 8
+        val roundCtes = (0 until rounds).map { t =>
+          s"""s$t AS (
+            SELECT list_filter(string_split(w, chr(31)), x -> x <> '')
+              AS ss, cnt
+            FROM v$t),
+          px$t AS (
+            SELECT ss, cnt, unnest(range(1, len(ss))) AS i FROM s$t),
+          p$t AS (
+            SELECT ss[CAST(i AS INT)] AS a, ss[CAST(i AS INT) + 1] AS b,
+              sum(cnt)::BIGINT AS total
+            FROM px$t GROUP BY 1, 2),
+          b$t AS (
+            SELECT a, b, total FROM p$t
+            ORDER BY total DESC, a ASC, b ASC LIMIT 1),
+          v${t + 1} AS (
+            SELECT replace(replace(v.w,
+                chr(31) || b.a || chr(31) || b.b || chr(31),
+                chr(31) || b.a || b.b || chr(31)),
+                chr(31) || b.a || chr(31) || b.b || chr(31),
+                chr(31) || b.a || b.b || chr(31)) AS w, v.cnt
+            FROM v$t v CROSS JOIN b$t b)"""
+        }.mkString(",\n")
+        val union = (0 until rounds).map(t =>
+          s"SELECT $t AS rank, a AS left_sym, b AS right_sym, " +
+            s"total AS pair_count FROM b$t").mkString(" UNION ALL ")
+        s"""WITH tok AS (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+              x -> x <> '')) AS word
+            FROM documents),
+          vc AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+          v0 AS (
+            SELECT chr(31) ||
+              regexp_replace(word, '(.)', '\\1' || chr(31), 'g') AS w, cnt
+            FROM (SELECT word, cnt FROM vc
+              ORDER BY cnt DESC, word ASC LIMIT 150)),
+          $roundCtes
+          $union"""
       }),
 
     // self-BLEU-flavoured corpus-overlap diversity audit: fraction of

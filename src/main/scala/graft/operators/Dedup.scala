@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -714,6 +714,39 @@ object Dedup {
         size(col("ws")).as("total_tokens"),
         when(col("spans").isNull, array_join(col("ws"), " "))
           .otherwise(array_join(cleanToks, " ")).as("clean_text"))
+  }
+
+  /** QUALITY-AWARE survivor selection over near-dup clusters — the
+    * FineWeb/RefinedWeb convention: within each duplicate family keep
+    * the BEST member (highest quality score, ties on lowest id), not
+    * the lowest-id one ([[connectedComponents]]' min-label default
+    * keeps whichever happened to enumerate first — fine for counting,
+    * wrong for corpus quality, since boilerplate-stripped or truncated
+    * variants often carry smaller ids than the clean original).
+    *
+    * `score` is any deterministic per-document quality column evaluated
+    * against `docs` (token count, a [[TextAnalysis.quality]] component,
+    * a trained [[QualityModel]] score...). Output one row per document:
+    * `(id, cluster_id, score, keep)`.
+    *
+    * Scale shape: the argmax is `max(struct(score, −id))` — a map-side-
+    * combinable aggregate, one shuffle on cluster_id (no window over
+    * the corpus), then one join back on cluster_id. Both shuffles carry
+    * (id, cluster, score) triples only. */
+  def survivorByQuality(docs: DataFrame, idCol: String,
+      clusters: DataFrame, score: Column): DataFrame = {
+    val scored = docs.select(col(idCol).as("__id"), score.as("score"))
+    val base = clusters
+      .select(col(idCol), col("cluster_id"))
+      .join(scored, col(idCol) === col("__id"))
+      .drop("__id")
+    val best = base.groupBy(col("cluster_id"))
+      .agg(max(struct(col("score"), (-col(idCol)).as("negid")))
+        .as("best"))
+      .select(col("cluster_id"), (-col("best.negid")).as("__survivor"))
+    base.join(best, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("score"),
+        (col(idCol) === col("__survivor")).as("keep"))
   }
 
   /** CHARACTER-level exact-substring deduplication — the granularity

@@ -544,6 +544,89 @@ object TextAnalysis {
         lit(0), (acc, c) => acc + c).as("n_bpe"))
   }
 
+  /** Symbol delimiter for [[bpeTrainMerges]]'s merge algebra — the unit
+    * separator, absent from any whitespace-split token. */
+  private val BpeSep = "\u001f"
+
+  /** IN-ENGINE BPE merge TRAINING (Sennrich et al. 2016,
+    * arXiv:1508.07909 §3.2): learn the top-`rounds` merge rules from the
+    * corpus itself — the training half of the tokenizer loop whose
+    * application half is [[bpeTokenCounts]] (which encodes under a FIXED
+    * merge table). Vocabulary = the `vocabSize` most frequent lowercased
+    * whitespace words (count desc, word asc — deterministic); each round
+    * counts adjacent symbol pairs across the vocabulary weighted by word
+    * frequency (overlapping occurrences count, the paper's convention),
+    * fuses the most frequent pair (ties: smallest left, then right
+    * symbol), and records `(rank, left_sym, right_sym, pair_count)`.
+    *
+    * Determinism / oracle parity: each word rides as a `\\u001f`-
+    * delimited symbol string (`␟a␟b␟c␟`) and a merge is applied as the
+    * SAME literal string algebra in both engines —
+    * `replace(replace(w, ␟a␟b␟, ␟ab␟), ␟a␟b␟, ␟ab␟)`. One `replace`
+    * pass consumes the trailing delimiter of each match, so of two
+    * ADJACENT occurrences only the first merges; but survivors of pass
+    * one are never adjacent (each sits after a merged occurrence whose
+    * emitted trailing delimiter pass two CAN match), so the double
+    * replace reaches exactly the leftmost non-overlapping fixpoint —
+    * equal to the reference fold, with zero cross-engine convention
+    * risk because both sides run the identical `replace` builtin.
+    *
+    * Scale shape: the corpus is touched ONCE (token count, map-side
+    * combined); training then iterates on the ≤`vocabSize`-row vocab
+    * table — per round one in-row pair explode over short arrays, one
+    * tiny groupBy, a 1-row ORDER BY/LIMIT best-pair, one broadcast
+    * cross join to rewrite the vocab, `localCheckpoint` per round (the
+    * NOTES iterative rule). 100 TB changes only the one corpus pass.
+    * Output: the learned merge table, `rounds` rows. */
+  def bpeTrainMerges(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 150, rounds: Int = 8): DataFrame = {
+    require(vocabSize >= 2 && rounds >= 1,
+      s"need vocabSize >= 2, rounds >= 1; got $vocabSize/$rounds")
+    val spark = df.sparkSession
+    // one corpus pass: top-V word frequencies
+    val vocab0 = df
+      .select(explode(Cleaning.tokens(lower(col(textCol)))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(vocabSize)
+      // ␟-delimited characters: ␟a␟b␟c␟
+      .select(concat(lit(BpeSep),
+        regexp_replace(col("word"), "(.)", "$1" + BpeSep)).as("w"),
+        col("cnt"))
+    var vocab = vocab0.localCheckpoint()
+    var merges: Option[DataFrame] = None
+    for (t <- 0 until rounds) {
+      val syms = filter(split(col("w"), BpeSep), s => s =!= "")
+      val pairs = vocab
+        .select(col("cnt"), syms.as("ss"))
+        .select(col("cnt"), explode(when(size(col("ss")) >= 2,
+          transform(sequence(lit(0), size(col("ss")) - 2),
+            i => struct(element_at(col("ss"), i + 1).as("a"),
+              element_at(col("ss"), i + 2).as("b"))))
+          .otherwise(array())).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("total"))
+      val best = pairs
+        .orderBy(col("total").desc, col("a").asc, col("b").asc).limit(1)
+        .localCheckpoint()
+      merges = Some(merges match {
+        case None => best.select(lit(t).as("rank"), col("a").as("left_sym"),
+          col("b").as("right_sym"), col("total").as("pair_count"))
+        case Some(m) => m.unionByName(best.select(lit(t).as("rank"),
+          col("a").as("left_sym"), col("b").as("right_sym"),
+          col("total").as("pair_count")))
+      })
+      val pat = concat(lit(BpeSep), col("a"), lit(BpeSep), col("b"),
+        lit(BpeSep))
+      val rep = concat(lit(BpeSep), col("a"), col("b"), lit(BpeSep))
+      vocab = vocab.crossJoin(broadcast(best))
+        .select(call_function("replace",
+          call_function("replace", col("w"), pat, rep), pat, rep).as("w"),
+          col("cnt"))
+        .localCheckpoint()
+    }
+    merges.get
+  }
+
   /** Weight vector for [[qualityModelScore]]: `dim` integer micro-unit
     * weights (w/1e6 ∈ [-1, 1)) from the repo's self-pinned splitmix64
     * generator — the same JDK-proof pinning as

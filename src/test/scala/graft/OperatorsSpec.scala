@@ -408,6 +408,31 @@ class DedupSpec extends AnyFunSuite with SparkTester {
     assert(out(1L) == ((1, 5)) && out(2L) == ((1, 5)))
   }
 
+  test("survivorByQuality keeps the best cluster member, not the " +
+      "lowest id; singletons always survive") {
+    import org.apache.spark.sql.functions.{col, length}
+    val docs = Seq(
+      (1L, "short copy"),                   // cluster A, truncated
+      (2L, "the full original long copy"),  // cluster A, best (id > min!)
+      (3L, "middling length copy here"),    // cluster A
+      (7L, "singleton doc"),                // own cluster
+      (8L, "twin x"), (9L, "twin x"))       // cluster B, equal scores
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L),
+      (8L, 8L), (9L, 8L)).toDF("doc_id", "cluster_id")
+    val out = Dedup.survivorByQuality(docs, "doc_id", clusters,
+        length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // highest score wins even though its id is not the minimum
+    assert(out(2L)._2 && !out(1L)._2 && !out(3L)._2,
+      s"cluster A must keep doc 2: $out")
+    assert(out(7L)._2, "singleton survives")
+    // equal scores: tie falls to the smaller id
+    assert(out(8L)._2 && !out(9L)._2, s"tie must keep min id: $out")
+    assert(out.count(_._2._2) == 3)
+  }
+
   test("char-level exact-substring: catches the duplicated run the " +
       "token-k grid misses (few long tokens), cuts it at char precision") {
     // the shared 46-char run spans only THREE tokens — invisible to the
@@ -1350,6 +1375,44 @@ class BpeSpec extends AnyFunSuite with SparkTester {
     val (nbSum, ncSum) =
       (rows.map(_._2.toLong).sum, rows.map(_._3.toLong).sum)
     assert(nbSum.toDouble / ncSum < 0.85, s"$nbSum/$ncSum")
+  }
+
+  test("BPE training learns the hand-computed Sennrich merge sequence") {
+    // the paper's worked example: low×5 lower×2 newest×6 widest×3.
+    // Weighted pair counts round by round (overlapping convention):
+    //   r0: es 9 (ties st 9 — es wins on smaller left symbol)
+    //   r1: es+t 9; r2: l+o 7 (ties ow — l < o); r3: lo+w 7
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrainMerges(df, "doc_id", "text",
+        vocabSize = 10, rounds = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((0, "e", "s", 9L), (1, "es", "t", 9L),
+      (2, "l", "o", 7L), (3, "lo", "w", 7L)), s"got $got")
+    val again = TextAnalysis.bpeTrainMerges(df, "doc_id", "text",
+        vocabSize = 10, rounds = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(again == got, "training deterministic")
+  }
+
+  test("BPE training: self-adjacent pair merges ALL non-overlapping " +
+      "occurrences (the double-replace path)") {
+    // 'aaaa'×2: round 0 counts a·a three times per word (overlapping),
+    // merges twice per word (non-overlapping) -> aa,aa; round 1 fuses
+    // aa·aa
+    val df = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrainMerges(df, "doc_id", "text",
+        vocabSize = 5, rounds = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((0, "a", "a", 6L), (1, "aa", "aa", 2L)),
+      s"got $got")
   }
 }
 
