@@ -3317,6 +3317,52 @@ object CurationQueries {
           least(e, (bin_id + 1) * 64) - greatest(s, bin_id * 64) AS n_tok
         FROM g""")),
 
+    // packing-efficiency audit over pack_contexts' bins: every interior
+    // bin must fill to exactly ctxSize (the chop is contiguous), the
+    // tail may be partial, and docs-per-bin bounds the attention-mask
+    // fragmentation. A one-row differential attestation of the packer
+    Q("pack_efficiency",
+      (s, dir) => Curation.packContexts(
+          Sources.table(s, dir, "documents"), "doc_id", "text",
+          ctxSize = 64, salt = "r4")
+        .groupBy(col("bin_id"))
+        .agg(sum(col("n_tok")).as("fill"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(when(col("fill") === 64, 1L).otherwise(0L)).as("full_bins"),
+          round(avg(col("fill")), 6).as("avg_fill"),
+          max(col("n_docs")).as("max_docs_per_bin")),
+      Some("""WITH t AS (
+          SELECT doc_id,
+            len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+              AS t,
+            md5('r4' || doc_id::VARCHAR) AS key
+          FROM documents),
+        c AS (
+          SELECT doc_id, t, sum(t) OVER (ORDER BY key
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+          FROM t),
+        b AS (
+          SELECT doc_id, t, e::BIGINT AS e, (e - t)::BIGINT AS s
+          FROM c WHERE t > 0),
+        g AS (
+          SELECT doc_id, s, e,
+            unnest(range(s // 64, (e - 1) // 64 + 1)) AS bin_id
+          FROM b),
+        p AS (
+          SELECT doc_id, bin_id,
+            least(e, (bin_id + 1) * 64) - greatest(s, bin_id * 64) AS n_tok
+          FROM g),
+        pb AS (
+          SELECT bin_id, sum(n_tok)::BIGINT AS fill,
+            count(DISTINCT doc_id)::BIGINT AS n_docs
+          FROM p GROUP BY bin_id)
+        SELECT count(*)::BIGINT AS n_bins,
+          sum(CASE WHEN fill = 64 THEN 1 ELSE 0 END)::BIGINT AS full_bins,
+          round(avg(fill), 6) AS avg_fill,
+          max(n_docs)::BIGINT AS max_docs_per_bin
+        FROM pb""")),
+
     // PII scrub. The synthetic corpus has no real PII, so each document is
     // seeded — identically in both engines — with email/ip/ssn/phone
     // fragments derived from doc_id, plus a card-like 16-digit number that
@@ -3791,6 +3837,81 @@ object GraphQueries {
             SELECT node, $scale // n AS r FROM nodes CROSS JOIN nn),
           $rounds
           SELECT node, r AS rank_f15 FROM r3"""
+      }),
+
+    // HARMONIC CENTRALITY via HyperBall — per-node HLL ball sketches
+    // max-merged along edges per round; the oracle replays the md5
+    // register algebra, every merge round, every ball estimate, and
+    // the harmonic fold digit-for-digit (the engine-portable-HLL
+    // convention of agg_hll_md5, applied per node per round)
+    Q("graph_harmonic",
+      (s, dir) => {
+        val pairs = Sources.table(s, dir, "orders")
+          .join(Sources.table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("sp"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
+          .union(pairs.select(col("sp").as("src"), col("c").as("dst")))
+        Graph.harmonicCentralityHyperBall(edges, "src", "dst",
+          rounds = 3, p = 4)
+      },
+      Some {
+        val c = graft.operators.Sketches.hllAlphaM2Pow53(4).toString
+        def estCte(src: String, k: Int): String =
+          s"""est$k AS (
+            SELECT node,
+              (sum(1::BIGINT << CAST(53 - mj AS INT))::BIGINT
+                + (16 - count(*)) * 9007199254740992)::BIGINT AS num,
+              (16 - count(*))::BIGINT AS v0
+            FROM $src GROUP BY node),
+          b$k AS (
+            SELECT node, CASE WHEN v0 > 0 AND $c / num::DOUBLE <= 40.0
+              THEN round(16.0 * ln(16.0 / v0::DOUBLE), 6)
+              ELSE round($c / num::DOUBLE, 6) END AS b$k
+            FROM est$k)"""
+        def mergeCte(prev: String, k: Int): String =
+          s"""r$k AS (
+            SELECT node, j, max(mj) AS mj FROM (
+              SELECT node, j, mj FROM $prev
+              UNION ALL
+              SELECT e.src AS node, h.j, h.mj
+              FROM e JOIN $prev h ON h.node = e.dst) u
+            GROUP BY node, j)"""
+        s"""WITH p0 AS (
+            SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e AS (
+            SELECT c AS src, sp AS dst FROM p0
+            UNION ALL SELECT sp AS src, c AS dst FROM p0),
+          nodes AS (
+            SELECT DISTINCT src AS node FROM e
+            UNION SELECT DISTINCT dst FROM e),
+          h0 AS (
+            SELECT node, ('0x' || substr(hx, 1, 1))::BIGINT AS j,
+              CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS mj
+            FROM (
+              SELECT node, md5(node::VARCHAR) AS hx,
+                ('0x' || substr(md5(node::VARCHAR), 2, 13))::BIGINT AS w
+              FROM nodes) x),
+          ${estCte("h0", 0)},
+          ${mergeCte("h0", 1)},
+          ${estCte("r1", 1)},
+          ${mergeCte("r1", 2)},
+          ${estCte("r2", 2)},
+          ${mergeCte("r2", 3)},
+          ${estCte("r3", 3)}
+          SELECT node, b0, b1, b2, b3,
+            CAST(6 * (CAST(CAST(b1 AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                  - CAST(CAST(b0 AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+              + 3 * (CAST(CAST(b2 AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                  - CAST(CAST(b1 AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+              + 2 * (CAST(CAST(b3 AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                  - CAST(CAST(b2 AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+              AS DOUBLE) / 6000000.0 AS harmonic
+          FROM b0 JOIN b1 USING (node) JOIN b2 USING (node)
+          JOIN b3 USING (node)"""
       }),
 
     // PERSONALIZED PageRank: teleport mass restarts at two seed

@@ -109,6 +109,95 @@ object Graph {
     rank.select(col("node"), col("r").as("rank_f15"))
   }
 
+  /** HARMONIC CENTRALITY via HyperBall (Boldi & Vigna 2013, "In-Core
+    * Computation of Geometric Centralities with HyperBall",
+    * arXiv:1308.2144): each node carries an HLL sketch of its ball
+    * B(v, r) = nodes within ≤ r hops; per round every sketch max-merges
+    * its out-neighbours' sketches, and harmonic centrality accumulates
+    * as Σ_r (|B(v,r)| − |B(v,r−1)|) / r. This is THE way geometric
+    * centralities are computed on 100 TB graphs — exact all-pairs BFS
+    * is O(n·m) and dead on arrival, while a sketch round is one
+    * edge ⋈ register-table join + a (node, register) max-merge: the
+    * same per-superstep shape as [[pageRank]], with ≤ 2^p rows of
+    * state per node.
+    *
+    * Determinism (what makes an APPROXIMATE centrality hash-checkable):
+    * the sketches use the engine-portable register algebra of
+    * [[Sketches.hllDistinct]] — md5 buckets, bin()-length ranks, exact
+    * integer register maxes and sums — and the per-round estimates
+    * round once at 6 dp, so both engines produce bit-identical balls
+    * AND centralities. Register growth makes raw estimates monotone
+    * per round; at the graph's diameter the sketches reach a fixpoint
+    * and further rounds change nothing (GraphSpec pins both).
+    *
+    * Output: `(node, b0..b{rounds}, harmonic)` — the per-round ball
+    * estimates ride along as the audit trail. */
+  def harmonicCentralityHyperBall(edges: DataFrame, srcCol: String,
+      dstCol: String, rounds: Int = 3, p: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(p == 4 || p == 8,
+      s"p must be 4 or 8 (hex-aligned; sum fits int64), got $p")
+    val m = 1 << p
+    val hexChars = p / 4
+    val c = Sketches.hllAlphaM2Pow53(p)
+    val pow53 = 9007199254740992L
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val h = md5(col("node").cast("string"))
+    val w = conv(substring(h, hexChars + 1, 13), 16, 10).cast("long")
+    var regs = nodes.select(col("node"),
+        conv(substring(h, 1, hexChars), 16, 10).cast("long").as("j"),
+        when(w === 0, lit(53L))
+          .otherwise(lit(53L) - length(bin(w)).cast("long")).as("mj"))
+      .localCheckpoint()
+    // absent registers carry mj = 0 (term 2^53): num = present sum +
+    // (m − present)·2^53, v0 = m − present — the sparse form of
+    // hllDistinct's register-domain completion
+    def estOf(r: DataFrame, name: String): DataFrame =
+      r.groupBy(col("node")).agg(
+          sum(expr("shiftleft(1L, CAST(53 - mj AS INT))")).as("sp"),
+          count(lit(1)).as("np"))
+        .select(col("node"),
+          (col("sp") + (lit(m.toLong) - col("np")) * lit(pow53))
+            .as("num"),
+          (lit(m.toLong) - col("np")).as("v0"))
+        .select(col("node"),
+          when(col("v0") > 0 &&
+              lit(c) / col("num").cast("double") <= lit(2.5 * m),
+            round(lit(m.toDouble) *
+              log(lit(m.toDouble) / col("v0").cast("double")), 6))
+            .otherwise(round(lit(c) / col("num").cast("double"), 6))
+            .as(name))
+    var ests = estOf(regs, "b0")
+    for (r <- 1 to rounds) {
+      val nbr = e.join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("j"), col("mj"))
+      regs = regs.unionByName(nbr)
+        .groupBy(col("node"), col("j")).agg(max(col("mj")).as("mj"))
+        .localCheckpoint()
+      ests = ests.join(estOf(regs, s"b$r"), Seq("node"))
+    }
+    // the harmonic fold Σ (b_r − b_{r−1})/r in EXACT integer micro-units
+    // over a common lcm(1..rounds) denominator, emitted as ONE unrounded
+    // division — dividing 6-dp values by 2 or 3 lands on exact half-ties
+    // at the 7th decimal where Spark's HALF_UP and other engines' binary
+    // rounding disagree (measured: 28/1600 rows), so no re-round may
+    // happen after the division
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = (1L to rounds.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    def micro(cn: String) =
+      (col(cn).cast("decimal(18,6)") * 1000000).cast("long")
+    val num6 = (1 to rounds)
+      .map(r => (micro(s"b$r") - micro(s"b${r - 1}")) * lit(lcm / r))
+      .reduce(_ + _)
+    ests.select(col("node") +: (0 to rounds).map(r => col(s"b$r")) :+
+      (num6.cast("double") / lit(lcm * 1e6)).as("harmonic"): _*)
+  }
+
   /** PERSONALIZED PageRank: identical integer power iteration, but the
     * teleport mass lands uniformly on a SEED set instead of every node
     * — proximity-to-the-seeds instead of global centrality (the "more

@@ -831,6 +831,33 @@ class GraphSpec extends AnyFunSuite with SparkTester {
       s"hand-computed 2-round values must match exactly: $two vs $r1")
   }
 
+  test("HyperBall harmonic centrality: balls grow monotonically, reach " +
+      "a fixpoint at the diameter, and the hub dominates") {
+    // star 0 <-> 1..10: diameter 2, so round 3 must change nothing
+    val pairs = (1L to 10L).map(l => (0L, l))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val r = Graph.harmonicCentralityHyperBall(edges, "src", "dst",
+        rounds = 3, p = 4)
+      .collect().map(x => x.getLong(0) ->
+        (x.getDouble(1), x.getDouble(2), x.getDouble(3), x.getDouble(4),
+          x.getDouble(5))).toMap
+    assert(r.size == 11)
+    r.foreach { case (n, (b0, b1, b2, b3, _)) =>
+      assert(b0 <= b1 + 1e-9 && b1 <= b2 + 1e-9,
+        s"ball estimates must be monotone at node $n: $b0 $b1 $b2")
+      assert(b2 == b3,
+        s"diameter-2 graph: round 3 must be a fixpoint at $n: $b2 $b3")
+    }
+    // the hub sees everyone at distance 1; leaves see 9/10 peers only at
+    // distance 2 — its harmonic centrality must dominate every leaf's
+    assert((1L to 10L).forall(l => r(0L)._5 > r(l)._5),
+      s"hub must dominate: $r")
+    val again = Graph.harmonicCentralityHyperBall(edges, "src", "dst",
+        rounds = 3, p = 4)
+      .collect().map(x => x.getLong(0) -> x.getDouble(5)).toMap
+    assert(again == r.map { case (k, v) => k -> v._5 }, "deterministic")
+  }
+
   test("pageRank single iteration matches the hand-computed update") {
     // path graph 1 <-> 2 <-> 3; degrees: 1:1, 2:2, 3:1; r0 = S/3 each;
     // exact 64-bit floor arithmetic mirrored here in Scala Longs
