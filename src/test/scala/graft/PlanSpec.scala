@@ -230,4 +230,43 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     assert(p.contains("Window"), p)
     assert("hashpartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  test("multimodal_phash_pairs: fused codegen gram+simhash signature " +
+      "stage — no interpreted HOF, no cartesian pair join") {
+    val p = plan("multimodal_phash_pairs")
+    assert(p.contains("hex_grams"), p)
+    assert(p.contains("simhash64"), p)
+    // the old interpreted chain's higher-order transform is gone
+    assert(!p.contains("lambdafunction"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_exact_substring_chars: one codegen rolling-hash pass " +
+      "feeds 8-byte keys; no window strings, no cartesian") {
+    val p = plan("dedup_exact_substring_chars")
+    assert(p.contains("char_window_hashes"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // duplicate detection is an aggregate + semi join, never a self
+    // nested-loop
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("curation_classifier_budget: the score-order prefix sum is " +
+      "bucketed — no whole-corpus single-partition window") {
+    val p = plan("curation_classifier_budget")
+    // within-bucket window partitions by _bucket; the only
+    // SinglePartition window is over the <=101-row bucket-offset table
+    assert(p.contains("_bucket"), p)
+  }
+
+  test("graph_harmonic: the register fold is a partial aggregate over " +
+      "checkpointed sketch tables — no pair blowup anywhere") {
+    // the per-round max-merges sit behind localCheckpoint scans (lineage
+    // deliberately cut — the NOTES iterative rule), so the visible plan
+    // is the estimate folds + node joins
+    val p = plan("graph_harmonic")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
