@@ -3139,6 +3139,57 @@ object CurationQueries {
         FROM cnt JOIN lr USING (j)
         GROUP BY doc_id""")),
 
+    // corpus-drift monitor: both KL directions between the en slice and
+    // the rest over the dsir feature-bucket distribution — snapshot
+    // drift gating at sketch cost (each side folds to 256 counts). The
+    // smoothed log-probs, per-bucket terms, and both divergences are
+    // hash-checked with the dsir rounding discipline
+    Q("corpus_drift",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        Curation.corpusDrift(docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"), "text", dim = 256)
+      },
+      Some("""WITH t AS (
+          SELECT lang,
+            list_filter(string_split(lower(text), ' '), x -> x <> '')
+              AS toks
+          FROM documents),
+        g AS (
+          SELECT lang, unnest(toks) AS f FROM t
+          UNION ALL
+          SELECT lang, unnest([toks[i] || ' ' || toks[i + 1]
+            for i in range(1, len(toks))]) AS f
+          FROM t),
+        bk AS (SELECT lang,
+            ('0x' || substr(md5(f), 1, 8))::BIGINT % 256 AS j FROM g),
+        ca AS (SELECT j, count(*) AS ca FROM bk WHERE lang = 'en'
+          GROUP BY j),
+        cb AS (SELECT j, count(*) AS cb FROM bk WHERE lang <> 'en'
+          GROUP BY j),
+        taT AS (SELECT count(*) AS ta FROM bk WHERE lang = 'en'),
+        tbT AS (SELECT count(*) AS tb FROM bk WHERE lang <> 'en'),
+        dom AS (SELECT unnest(range(0, 256)) AS j),
+        m AS (
+          SELECT ta, tb,
+            (coalesce(ca, 0) + 1)::DOUBLE / (ta + 256) AS p,
+            (coalesce(cb, 0) + 1)::DOUBLE / (tb + 256) AS q
+          FROM dom LEFT JOIN ca USING (j) LEFT JOIN cb USING (j)
+          CROSS JOIN taT CROSS JOIN tbT),
+        terms AS (
+          SELECT ta, tb,
+            round(p * (round(ln(p), 6)::DECIMAL(18,6)
+              - round(ln(q), 6)::DECIMAL(18,6))::DOUBLE, 9)
+              ::DECIMAL(28,9) AS t_ab,
+            round(q * (round(ln(q), 6)::DECIMAL(18,6)
+              - round(ln(p), 6)::DECIMAL(18,6))::DOUBLE, 9)
+              ::DECIMAL(28,9) AS t_ba
+          FROM m)
+        SELECT 256 AS n_buckets, ta AS tok_a, tb AS tok_b,
+          round(sum(t_ab)::DOUBLE, 6) AS kl_ab,
+          round(sum(t_ba)::DOUBLE, 6) AS kl_ba
+        FROM terms GROUP BY ta, tb""")),
+
     // Efraimidis-Spirakis weighted sample: top-150 documents by
     // ln(u)/weight priority, weight = n_chars. Priorities, membership,
     // and order ties all hash-checked

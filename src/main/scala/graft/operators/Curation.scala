@@ -599,6 +599,54 @@ object Curation {
           .cast("double"), 6).as("logweight"))
   }
 
+  /** CORPUS DRIFT monitor: symmetric pair of Laplace-smoothed KL
+    * divergences between two corpus slices over the hashed
+    * unigram+bigram bucket distribution (the [[dsirLogWeights]] feature
+    * domain) — the "did this crawl/refresh drift from the corpus we
+    * trained on?" gate a continuously-ingesting pipeline runs per
+    * snapshot, at sketch cost: each slice folds to `dim` bucket counts,
+    * so snapshots can be compared across time without re-reading
+    * either corpus (store the counts, diff the distributions).
+    *
+    * Determinism: smoothed log-probabilities round once at 6 dp (held
+    * DECIMAL), each bucket's KL term rounds at 9 dp and sums exactly,
+    * the final divergences round once — the [[dsirLogWeights]] /
+    * gradient parity discipline, so both directions are hash-checked.
+    * Output one row: `(n_buckets, tok_a, tok_b, kl_ab, kl_ba)`. */
+  def corpusDrift(a: DataFrame, b: DataFrame, textCol: String,
+      dim: Int = 256): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    def buckets(df: DataFrame): DataFrame =
+      df.select(explode(dsirFeatureArray(textCol, dim)).as("j"))
+    val fa = buckets(a).groupBy(col("j")).agg(count(lit(1)).as("ca"))
+    val fb = buckets(b).groupBy(col("j")).agg(count(lit(1)).as("cb"))
+    val ta = buckets(a).agg(count(lit(1)).as("ta"))
+    val tb = buckets(b).agg(count(lit(1)).as("tb"))
+    val dom = a.sparkSession.range(dim).select(col("id").as("j"))
+    val m = dom.join(fa, Seq("j"), "left").join(fb, Seq("j"), "left")
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(
+        (coalesce(col("ca"), lit(0L)) + 1).cast("double")
+          ./(col("ta") + dim).as("p"),
+        (coalesce(col("cb"), lit(0L)) + 1).cast("double")
+          ./(col("tb") + dim).as("q"),
+        col("ta"), col("tb"))
+      .select(col("ta"), col("tb"), col("p"), col("q"),
+        round(log(col("p")), 6).cast("decimal(18,6)").as("lp"),
+        round(log(col("q")), 6).cast("decimal(18,6)").as("lq"))
+    m.select(col("ta"), col("tb"),
+        round(col("p") * (col("lp") - col("lq")).cast("double"), 9)
+          .cast("decimal(28,9)").as("t_ab"),
+        round(col("q") * (col("lq") - col("lp")).cast("double"), 9)
+          .cast("decimal(28,9)").as("t_ba"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(sum(col("t_ab")).as("__ab"), sum(col("t_ba")).as("__ba"))
+      .select(lit(dim).as("n_buckets"), col("ta").as("tok_a"),
+        col("tb").as("tok_b"),
+        round(col("__ab").cast("double"), 6).as("kl_ab"),
+        round(col("__ba").cast("double"), 6).as("kl_ba"))
+  }
+
   /** PER-MICRO-BATCH REFRESHED streaming DSIR: a `foreachBatch` scorer
     * whose bucket log-ratio table tracks a MOVING raw distribution —
     * each arriving micro-batch updates the raw side before being scored

@@ -696,4 +696,32 @@ class CurationSpec extends AnyFunSuite with SparkTester {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("corpusDrift: zero on identical slices, large both ways on " +
+      "disjoint vocabularies, asymmetric in general, deterministic") {
+    val en = (0L until 30L).map(i =>
+      (i, s"the of and to in that it is was for word${i % 5}"))
+      .toDF("doc_id", "text")
+    val de = (0L until 30L).map(i =>
+      (i, s"der die das und ist nicht von sie mit sich wort${i % 5}"))
+      .toDF("doc_id", "text")
+    def row(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      Curation.corpusDrift(a, b, "text", dim = 64).head
+    val same = row(en, en)
+    assert(same.getDouble(3) == 0.0 && same.getDouble(4) == 0.0,
+      s"identical slices must have zero drift: $same")
+    val far = row(en, de)
+    assert(far.getDouble(3) > 1.0 && far.getDouble(4) > 1.0,
+      s"disjoint vocabularies must diverge strongly both ways: $far")
+    // a mild mixture drifts less than the disjoint pair
+    val mix = en.limit(20).unionByName(de.limit(10)
+      .select(($"doc_id" + 100L).as("doc_id"), $"text"))
+    val near = row(en, mix)
+    assert(near.getDouble(3) > 0.0 && near.getDouble(3) < far.getDouble(3),
+      s"mixture must sit between identity and disjoint: $near vs $far")
+    val again = row(en, de)
+    assert(again.getDouble(3) == far.getDouble(3) &&
+      again.getDouble(4) == far.getDouble(4), "deterministic")
+  }
 }
