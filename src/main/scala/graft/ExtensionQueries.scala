@@ -3058,10 +3058,10 @@ object CurationQueries {
                    THEN regexp_replace(hostport, ':443$', '')
                  ELSE hostport END AS host,
             path,
-            array_to_string(list_filter(string_split(q, '&'),
+            coalesce(array_to_string(list_filter(string_split(q, '&'),
               p -> NOT regexp_matches(p,
                 '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=')
-                AND p <> ''), '&') AS q2
+                AND p <> ''), '&'), '') AS q2
           FROM parts)
         SELECT c.doc_id,
           CASE WHEN c.scheme = '' THEN r.url
@@ -3069,6 +3069,71 @@ object CurationQueries {
               CASE WHEN c.q2 = '' THEN '' ELSE '?' || c.q2 END
           END AS url_canon
         FROM canon c JOIN raw r ON c.doc_id = r.doc_id""")),
+
+    // URL-level dedup — the crawl pipeline's FIRST dedup stage: raw
+    // spellings (case-folded host, explicit :443, tracking params,
+    // fragments) of ~5 docs per page collapse through canonicalizeUrl
+    // to one key; min-id survives. The oracle replays the full
+    // canonicalization algorithm then the same group
+    Q("dedup_url",
+      (s, dir) => {
+        val d = Sources.table(s, dir, "documents")
+        val raw = concat(
+          when(col("doc_id") % 2 === 0, lit("https://news.example.com"))
+            .otherwise(lit("HTTPS://News.EXAMPLE.com")),
+          when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+          lit("/articles/"), pmod(col("doc_id"), lit(100)),
+          when(col("doc_id") % 2 === 0, lit("?utm_source=feed&gclid=x"))
+            .otherwise(lit("?ref=home")),
+          lit("#sec"), col("doc_id"))
+        Dedup.exactBy(d.select(col("doc_id"),
+          Cleaning.canonicalizeUrl(raw).as("url_canon")),
+          "doc_id", "url_canon")
+      },
+      Some("""WITH raw AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0 THEN 'https://news.example.com'
+                 ELSE 'HTTPS://News.EXAMPLE.com' END ||
+            CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+            '/articles/' || (doc_id % 100) ||
+            CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&gclid=x'
+                 ELSE '?ref=home' END ||
+            '#sec' || doc_id AS url
+          FROM documents),
+        s1 AS (
+          SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+        parts AS (
+          SELECT doc_id,
+            lower(regexp_extract(u,
+              '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(u,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport,
+            regexp_extract(u,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS path,
+            regexp_extract(u, '\?(.*)$', 1) AS q
+          FROM s1),
+        canon AS (
+          SELECT doc_id, scheme,
+            CASE WHEN scheme = 'http'
+                   THEN regexp_replace(hostport, ':80$', '')
+                 WHEN scheme = 'https'
+                   THEN regexp_replace(hostport, ':443$', '')
+                 ELSE hostport END AS host,
+            path,
+            coalesce(array_to_string(list_filter(string_split(q, '&'),
+              p -> NOT regexp_matches(p,
+                '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=')
+                AND p <> ''), '&'), '') AS q2
+          FROM parts),
+        cu AS (
+          SELECT c.doc_id,
+            CASE WHEN c.scheme = '' THEN r.url
+              ELSE c.scheme || '://' || c.host || c.path ||
+                CASE WHEN c.q2 = '' THEN '' ELSE '?' || c.q2 END
+            END AS url_canon
+          FROM canon c JOIN raw r ON c.doc_id = r.doc_id)
+        SELECT url_canon, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM cu GROUP BY url_canon""")),
 
     // CCNet perplexity buckets: per-language head/middle/tail terciles by
     // corpus-unigram log-prob. The oracle replays the text_unigram_logprob

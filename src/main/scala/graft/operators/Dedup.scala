@@ -722,6 +722,18 @@ object Dedup {
           .otherwise(array_join(cleanToks, " ")).as("clean_text"))
   }
 
+  /** Exact dedup on an arbitrary precomputed KEY column — the
+    * URL-level first stage of a crawl pipeline when fed
+    * [[graft.functions.Cleaning.canonicalizeUrl]] output (the dozens
+    * of raw spellings of one page collapse to a single key before any
+    * content is fetched or compared), and the generic form for any
+    * caller-supplied identity (content hash → [[exact]], URL, source
+    * id). One map-side-combinable aggregate on the key; output
+    * `(key, keep_id, n_copies)` with the minimum id surviving. */
+  def exactBy(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** QUALITY-AWARE survivor selection over near-dup clusters — the
     * FineWeb/RefinedWeb convention: within each duplicate family keep
     * the BEST member (highest quality score, ties on lowest id), not

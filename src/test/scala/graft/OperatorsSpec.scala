@@ -408,6 +408,26 @@ class DedupSpec extends AnyFunSuite with SparkTester {
     assert(out(1L) == ((1, 5)) && out(2L) == ((1, 5)))
   }
 
+  test("exactBy: URL-level dedup — raw spellings collapse through " +
+      "canonicalization to one key, min id survives") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "https://a.example.com/x?utm_source=f"),
+      (2L, "HTTPS://A.Example.COM:443/x#frag"),
+      (3L, "https://a.example.com/x?ref=home"),
+      (7L, "https://b.example.com/y?id=2"))
+      .toDF("doc_id", "raw")
+    val out = Dedup.exactBy(d.select(col("doc_id"),
+        graft.functions.Cleaning.canonicalizeUrl(col("raw"))
+          .as("url_canon")), "doc_id", "url_canon")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out("https://a.example.com/x") == ((1L, 3L)),
+      s"three spellings must collapse, min id survives: $out")
+    assert(out("https://b.example.com/y?id=2") == ((7L, 1L)))
+    assert(out.size == 2)
+  }
+
   test("survivorByQuality keeps the best cluster member, not the " +
       "lowest id; singletons always survive") {
     import org.apache.spark.sql.functions.{col, length}
