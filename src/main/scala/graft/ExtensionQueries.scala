@@ -153,6 +153,52 @@ object DedupQueries {
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""")),
 
+    // edit-distance verification of the SimHash neighbourhood: banded
+    // candidates re-scored with exact Levenshtein (both engines' builtin
+    // — direct parity), verdict at 20% of the longer text. The
+    // character-level confirmation shingle measures only proxy
+    Q("dedup_edit_verify",
+      (s, dir) => Dedup.editVerifyPairs(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        k = 3, maxHamming = 8, maxEditFrac = 0.2),
+      Some("""WITH w AS (
+          SELECT doc_id, text,
+            list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(ws) >= 3
+              THEN list_distinct([array_to_string(ws[i:i+2], ' ')
+                                  for i in range(1, len(ws) - 1)])
+              ELSE [array_to_string(ws, ' ')] END AS s
+          FROM w),
+        shx AS (
+          SELECT doc_id, ('0x' || substr(md5(unnest(s)), 1, 16))::UBIGINT
+            AS h
+          FROM sh),
+        votes AS (
+          SELECT doc_id, j, sum(((h >> j) & 1)::INTEGER * 2 - 1) AS v
+          FROM shx, (SELECT unnest(range(0, 64)) AS j)
+          GROUP BY doc_id, j),
+        sig AS (
+          SELECT doc_id,
+            sum(CASE WHEN v > 0 THEN 1::UBIGINT << j::INTEGER
+                ELSE 0::UBIGINT END) AS simhash
+          FROM votes GROUP BY doc_id),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+              AS hamming
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 8)
+        SELECT c.doc_a, c.doc_b, c.hamming,
+          CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS edit_dist,
+          levenshtein(ta.text, tb.text) <=
+            greatest(length(ta.text), length(tb.text)) * 0.2 AS is_dup
+        FROM cand c
+        JOIN w ta ON ta.doc_id = c.doc_a
+        JOIN w tb ON tb.doc_id = c.doc_b""")),
+
     // near-dup clusters: connected components over the verified pair list;
     // oracle = recursive min-label reachability in SQL. The pair source is
     // pluggable (any of the dedup_* pair operators produce the same

@@ -722,6 +722,44 @@ object Dedup {
           .otherwise(array_join(cleanToks, " ")).as("clean_text"))
   }
 
+  /** EDIT-DISTANCE verification of near-dup candidates: SimHash-banded
+    * candidate pairs re-scored with exact Levenshtein distance — the
+    * character-level "how different are they really" verdict, which
+    * shingle-set measures (Jaccard, hamming-of-SimHash) can only proxy
+    * (a single early insertion shifts every downstream shingle; edit
+    * distance charges it one unit). Candidates come from the pigeonhole
+    * banding (recall 1 for hamming ≤ maxHamming), so this is the exact
+    * edit-verify of the SimHash neighbourhood, not an exhaustive
+    * edit-distance self-join (that needs length/q-gram filters —
+    * all-pairs Levenshtein is O(n²·len²) and dead at scale).
+    *
+    * Scale shape: the quadratic DP runs ONLY on banded candidate
+    * pairs, joined back to the two texts — the verify-on-candidates
+    * rule every near-dup operator here follows. `is_dup` cuts at
+    * `maxEditFrac` of the longer text (a length-relative threshold, the
+    * Lee et al. NearDup convention). Output: `(doc_a, doc_b, hamming,
+    * edit_dist, is_dup)`. */
+  def editVerifyPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, maxHamming: Int = 8, maxEditFrac: Double = 0.2)
+      : DataFrame = {
+    require(maxEditFrac > 0 && maxEditFrac <= 1,
+      s"maxEditFrac must be in (0, 1], got $maxEditFrac")
+    val base = df.select(col(idCol).as("doc_id"),
+      col(textCol).as("__t"))
+    val cand = simhashPairs(df, idCol, textCol, k, maxHamming)
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("__t").as("__ta")),
+        Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("__t").as("__tb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        levenshtein(col("__ta"), col("__tb")).as("edit_dist"),
+        greatest(length(col("__ta")), length(col("__tb"))).as("__len"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        col("edit_dist"),
+        (col("edit_dist") <= col("__len") * maxEditFrac).as("is_dup"))
+  }
+
   /** Exact dedup on an arbitrary precomputed KEY column — the
     * URL-level first stage of a crawl pipeline when fed
     * [[graft.functions.Cleaning.canonicalizeUrl]] output (the dozens

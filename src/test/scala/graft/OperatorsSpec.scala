@@ -408,6 +408,27 @@ class DedupSpec extends AnyFunSuite with SparkTester {
     assert(out(1L) == ((1, 5)) && out(2L) == ((1, 5)))
   }
 
+  test("editVerifyPairs: exact Levenshtein over the banded candidates " +
+      "— one-char edits count one, verdict cuts at 20% of the longer") {
+    val base = "the quick brown fox jumps over the lazy dog " * 3
+    val d = Seq(
+      (1L, base.trim),
+      (2L, base.trim.replace("quick", "quack")),  // 2 substitutions
+      (3L, "a completely different document about spark plans and " +
+        "catalyst optimizer internals with nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.editVerifyPairs(d, "doc_id", "text",
+        k = 3, maxHamming = 20, maxEditFrac = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(3), r.getBoolean(4))).toMap
+    assert(out.contains((1L, 2L)), s"near pair must surface: $out")
+    // 'quick' -> 'quack': the word repeats 3x, i/a substitution each
+    assert(out((1L, 2L))._1 == 3, s"exact edit count: $out")
+    assert(out((1L, 2L))._2, "3 edits on a 130+ char doc is a dup")
+    assert(!out.keys.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc must not pair: $out")
+  }
+
   test("exactBy: URL-level dedup — raw spellings collapse through " +
       "canonicalization to one key, min id survives") {
     import org.apache.spark.sql.functions.col
