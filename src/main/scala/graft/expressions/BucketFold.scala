@@ -1,0 +1,134 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, LongType}
+import org.apache.spark.sql.types.Decimal
+
+/** Codegen'd md5 bucket assignment for a token array — one compiled
+  * pass replacing the interpreted per-element lambda
+  * `transform(toks, t -> hashBucket(t, dim))`. Bucket algebra is
+  * byte-identical to [[graft.operators.Curation.hashBucket]]:
+  * `conv(substring(md5(tok), 1, 8), 16, 10) % dim` — the first four
+  * md5 bytes of the token's UTF-8 encoding as an unsigned 32-bit
+  * value, modulo `dim` — so every oracle that replays the md5 family
+  * keeps matching. */
+case class TokenBucketsExpr(child: Expression, dim: Int)
+    extends UnaryExpression {
+
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_buckets"
+
+  @transient private lazy val mdLocal =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val md = mdLocal.get()
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      out(i) = v % dim
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("bucketer", this,
+      classOf[TokenBucketsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Codegen'd bucket-indexed decimal fold: `Σ weights[bucket]` over a
+  * bucket array against a `dim`-length DECIMAL(18,6) weight vector —
+  * the per-document scoring step of the stateless streaming scorers
+  * ([[graft.operators.Curation.dsirScoreStateless]] and
+  * [[graft.operators.QualityModel.scoreLogRegStateless]]), replacing
+  * the interpreted `aggregate(...)` lambda whose per-element map
+  * lookup dispatched through the interpreter (the last flagged
+  * hot-path HOF). Accumulation is exact scale-6 BigDecimal addition —
+  * order-independent and equal to the old fold's per-step
+  * `cast(decimal(18,6))` chain, so scores are bit-identical and every
+  * downstream oracle keeps matching. Out-of-range buckets and null
+  * weight slots contribute zero. */
+case class BucketFoldExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DecimalType(18, 6)
+  override def prettyName: String = "bucket_fold"
+
+  // decimals with precision > 18 are stored in the variable-length
+  // region, not as unscaled longs — reading an element with the wrong
+  // declared precision misinterprets the storage, so the ACTUAL element
+  // type drives every getDecimal call
+  @transient private lazy val elemType: DecimalType =
+    right.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[DecimalType]
+
+  def compute(buckets: ArrayData, weights: ArrayData): Decimal = {
+    var acc = java.math.BigDecimal.ZERO
+    val n = buckets.numElements()
+    val m = weights.numElements()
+    val p = elemType.precision
+    val s = elemType.scale
+    var i = 0
+    while (i < n) {
+      val j = buckets.getLong(i)
+      if (j >= 0 && j < m && !weights.isNullAt(j.toInt)) {
+        acc = acc.add(
+          weights.getDecimal(j.toInt, p, s).toJavaBigDecimal)
+      }
+      i += 1
+    }
+    Decimal(acc.setScale(6), 18, 6)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("folder", this,
+      classOf[BucketFoldExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BucketFold {
+  def tokenBuckets(tokens: Column, dim: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      TokenBucketsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(tokens), dim))
+
+  def bucketFold(buckets: Column, weights: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      BucketFoldExpr(
+        org.apache.spark.sql.graft.Bridge.expression(buckets),
+        org.apache.spark.sql.graft.Bridge.expression(weights)))
+}

@@ -588,14 +588,22 @@ object Curation {
   def dsirScoreStateless(df: DataFrame, idCol: String, textCol: String,
       ratioMap: DataFrame, dim: Int = 256): DataFrame = {
     val zero = lit("0").cast("decimal(18,6)")
-    df.crossJoin(broadcast(ratioMap))
+    // unpack the map into a dense dim-length weight VECTOR once (one
+    // row), so the per-document fold is a codegen'd O(1)-lookup pass
+    // ([[graft.expressions.BucketFoldExpr]]) instead of an interpreted
+    // per-feature lambda with a linear map probe — scores are
+    // bit-identical (exact scale-6 decimal addition both ways)
+    val wv = ratioMap.select(transform(
+      sequence(lit(0), lit(dim - 1)),
+      i => coalesce(element_at(col("__lr"), i.cast("long")), zero))
+      .as("__wv"))
+    df.crossJoin(broadcast(wv))
       .select(col(idCol),
-        dsirFeatureArray(textCol, dim).as("__fs"), col("__lr"))
+        dsirFeatureArray(textCol, dim).as("__fs"), col("__wv"))
       .select(col(idCol),
         size(col("__fs")).cast("long").as("n_feats"),
-        round(aggregate(col("__fs"), zero, (acc, j) =>
-            (acc + coalesce(element_at(col("__lr"), j), zero))
-              .cast("decimal(18,6)"))
+        round(graft.expressions.BucketFold
+          .bucketFold(col("__fs"), col("__wv"))
           .cast("double"), 6).as("logweight"))
   }
 

@@ -188,19 +188,31 @@ object QualityModel {
       model: DataFrame, dim: Int = 32, threshold: Double = 0.5)
       : DataFrame = {
     val zero = lit("0").cast("decimal(18,6)")
+    // the model rides as a dense dim-length weight VECTOR plus the bias
+    // (unpacked from the map once, on one row), so the per-document
+    // pass is two codegen expressions — md5 bucket assignment + O(1)
+    // bucket-indexed decimal fold ([[graft.expressions
+    // .TokenBucketsExpr]]/[[graft.expressions.BucketFoldExpr]]) —
+    // instead of the interpreted per-token lambda. Bucket algebra and
+    // exact decimal accumulation are unchanged, so scores stay
+    // bit-identical to the batch scorer (StreamingCurationSpec and the
+    // oracle both pin it)
     val mrow = model.agg(map_from_entries(collect_list(
-      struct(col("j"), col("w").cast("decimal(18,6)")))).as("__wm"))
+        struct(col("j"), col("w").cast("decimal(18,6)")))).as("__wm"))
+      .select(transform(sequence(lit(0), lit(dim - 1)),
+        i => coalesce(element_at(col("__wm"), i), zero)).as("__wv"),
+        element_at(col("__wm"), -1).as("__bw"))
     df.crossJoin(broadcast(mrow))
       .select(col(idCol).as("doc_id"),
-        Cleaning.tokens(lower(col(textCol))).as("__t"), col("__wm"))
-      .select(col("doc_id"), col("__wm"),
+        Cleaning.tokens(lower(col(textCol))).as("__t"),
+        col("__wv"), col("__bw"))
+      .select(col("doc_id"), col("__bw"),
         size(col("__t")).as("__n"),
-        aggregate(col("__t"), zero, (acc, tok) =>
-          (acc + coalesce(element_at(col("__wm"),
-            Curation.hashBucket(tok, dim).cast("int")), zero))
-            .cast("decimal(18,6)")).as("__s"))
+        graft.expressions.BucketFold.bucketFold(
+          graft.expressions.BucketFold.tokenBuckets(col("__t"), dim),
+          col("__wv")).as("__s"))
       .withColumn("z", round(
-        element_at(col("__wm"), -1).cast("double") +
+        col("__bw").cast("double") +
           when(col("__n") > 0,
             lit(dim) * col("__s").cast("double") / col("__n"))
             .otherwise(lit(0.0)), 6))

@@ -697,6 +697,40 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("TokenBucketsExpr matches the md5 hashBucket builtin family on " +
+      "real corpus tokens, and the codegen fold equals the HOF fold") {
+    import graft.expressions.BucketFold
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val toks = Curation.hashBucket(col("t"), 32)
+    val both = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("t"), toks.as("builtin"))
+      .groupBy(col("t")).agg(first(col("builtin")).as("builtin"))
+      .select(col("t"), col("builtin"),
+        element_at(BucketFold.tokenBuckets(array(col("t")), 32), 1)
+          .as("fused"))
+    assert(both.filter(col("builtin") =!= col("fused")).count() == 0,
+      "every token must hash to the same bucket either way")
+    // fold parity: codegen fold == interpreted aggregate on a weight
+    // vector with gaps (null-free dense vector, absent buckets zero)
+    val zero = lit("0").cast("decimal(18,6)")
+    val wv = array((0 until 32).map(i =>
+      lit((i * 7 % 13 - 6) / 100.0).cast("decimal(18,6)")): _*)
+    val cmp = docs.select(
+        split(lower(col("text")), "\\s+").as("__t"))
+      .select(
+        BucketFold.bucketFold(
+          BucketFold.tokenBuckets(col("__t"), 32), wv).as("fused"),
+        aggregate(col("__t"), zero, (acc, tok) =>
+          (acc + coalesce(element_at(wv,
+            (Curation.hashBucket(tok, 32) + 1).cast("int")), zero))
+            .cast("decimal(18,6)")).as("hof"))
+    assert(cmp.filter(col("fused") =!= col("hof")).count() == 0,
+      "decimal fold must be bit-identical to the interpreted form")
+  }
+
   test("corpusDrift: zero on identical slices, large both ways on " +
       "disjoint vocabularies, asymmetric in general, deterministic") {
     val en = (0L until 30L).map(i =>
