@@ -1468,6 +1468,25 @@ class BpeSpec extends AnyFunSuite with SparkTester {
     assert(again == got, "training deterministic")
   }
 
+  test("trained merges feed the encoder: token counts under the " +
+      "learned vocabulary match the hand computation") {
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrainMerges(df, "doc_id", "text",
+        vocabSize = 10, rounds = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // learned: es, es+t, l+o, lo+w
+    def n(w: String) = BpeCountExpr.tokenCount(w, merges)
+    assert(n("low") == 1)            // low
+    assert(n("lower") == 3)          // low + e + r
+    assert(n("newest") == 4)         // n + e + w + est
+    assert(n("widest") == 4)         // w + i + d + est
+    assert(n("unrelated") == 9)      // no merge applies... except
+    // 'unrelated': u,n,r,e,l,a,t,e,d — no learned pair adjacent
+  }
+
   test("BPE training: self-adjacent pair merges ALL non-overlapping " +
       "occurrences (the double-replace path)") {
     // 'aaaa'×2: round 0 counts a·a three times per word (overlapping),
