@@ -128,7 +128,8 @@ object ScaleBench {
     // datapoint is the evidence)
     val runExt = sys.env.getOrElse("GRAFT_SCALE_EXT", "1") == "1"
     val (nSemDropped, nPrNodes) = if (runExt && (want("semantic") ||
-        want("semantic_assign") || want("pagerank"))) {
+        want("semantic_assign") || want("pagerank") ||
+        want("harmonic"))) {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
       val reps = spark.range(0, factor).toDF("rep")
@@ -181,6 +182,13 @@ object ScaleBench {
       val prNodes = if (!want("pagerank")) -1L else timed("pagerank") {
         graft.operators.Graph.pageRank(sym, "src", "dst", iters = 3)
           .count()
+      }
+      // HyperBall harmonic centrality on the same factor× graph: per
+      // round one edge⋈register join + (node, register) max-merge, so
+      // the curve should track edges×registers linearly
+      if (want("harmonic")) timed("harmonic") {
+        graft.operators.Graph.harmonicCentralityHyperBall(
+          sym, "src", "dst", rounds = 3, p = 4).count()
       }
       (dropped, prNodes)
     } else (-1L, -1L)
