@@ -29,13 +29,14 @@ object Bench {
     val only: Option[Set[String]] =
       sys.env.get("GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     // single-run per-query timings swing ±30–300% at this config (NOTES:
-    // topk_aggregator 1.0↔3.7 s) — `--runs 3` (or GRAFT_BENCH_RUNS=3)
-    // reports the per-query MEDIAN over full registry sweeps so
-    // round-over-round comparisons stop chasing noise. Default stays 1
-    // run: the driver's invocation is unchanged.
+    // topk_aggregator 1.0↔3.7 s) — every reported per-query number is the
+    // MEDIAN over full registry sweeps. Default is 3 sweeps so the driver
+    // artifact records medians rather than one warm-up-inflated pass
+    // (r5: 125.9 s single-run vs 94.3 s median over the same code);
+    // `--runs`/GRAFT_BENCH_RUNS override for quick local bisection.
     val runs = args.sliding(2).collectFirst {
       case Array("--runs", n) => n.toInt
-    }.orElse(sys.env.get("GRAFT_BENCH_RUNS").map(_.toInt)).getOrElse(1)
+    }.orElse(sys.env.get("GRAFT_BENCH_RUNS").map(_.toInt)).getOrElse(3)
     require(runs >= 1, s"--runs must be >= 1, got $runs")
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def sweep(): Map[String, Double] = SparkEntry.queries

@@ -2024,9 +2024,11 @@ object TextQueries {
     // loop; text_tokens_bpe applies a fixed table): top-150 word vocab,
     // 8 merge rounds, each round's (pair, weighted count) hash-checked.
     // Merge application is the IDENTICAL double literal-replace string
-    // algebra in both engines (see bpeTrainMerges scaladoc for the
-    // two-pass == leftmost-non-overlapping argument), so nothing rests
-    // on engine-specific merge conventions
+    // algebra in both engines — a repo-defined convention that differs
+    // from canonical BPE only on odd runs of one repeated symbol (see
+    // bpeTrainMerges scaladoc) — so nothing rests on engine-specific
+    // merge behavior: driver-local Java replace, Spark replace, and
+    // DuckDB replace all scan leftmost-restart-after-match
     Q("text_bpe_train",
       (s, dir) => TextAnalysis.bpeTrainMerges(
         Sources.table(s, dir, "documents"), "doc_id", "text",

@@ -26,6 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * treats equal hashes as equal windows — exactly the token-form's
   * xxhash64 keys-not-payload convention (a collision needs ~2^32
   * distinct windows to be likely and merely over-marks one window).
+  *
+  * "Char" means UNICODE CODE POINT, not UTF-16 code unit: the consumer
+  * cuts spans with Spark's `substr`/`length`, which index code points
+  * (as does the DuckDB oracle), so positions emitted here must count
+  * the same way — a supplementary-plane char (emoji) is ONE position,
+  * not two. Iterating code units instead would mis-cut every document
+  * containing a non-BMP char (spans shifted by the number of preceding
+  * surrogate pairs) and could report dup_chars > total_chars. For
+  * BMP-only text code point == code unit, so hashes are unchanged.
   */
 case class CharWindowHashesExpr(child: Expression, width: Int)
     extends UnaryExpression {
@@ -46,17 +55,29 @@ case class CharWindowHashesExpr(child: Expression, width: Int)
   }
 
   def compute(s: UTF8String): ArrayData = {
-    val cs = s.toString
-    val n = cs.length
+    val str = s.toString
+    // decode once to a code-point array so window positions index code
+    // points (Spark substr / DuckDB substring semantics), not UTF-16
+    // units — one extra int per char, still O(chars)
+    val n = str.codePointCount(0, str.length)
     if (n < width) return new GenericArrayData(Array.empty[Any])
+    val cps = new Array[Int](n)
+    var ci = 0
+    var cu = 0
+    while (cu < str.length) {
+      val cp = str.codePointAt(cu)
+      cps(ci) = cp
+      ci += 1
+      cu += Character.charCount(cp)
+    }
     val out = new Array[Any](n - width + 1)
     var h = 0L
     var i = 0
-    while (i < width) { h = h * B + cs.charAt(i); i += 1 }
+    while (i < width) { h = h * B + cps(i); i += 1 }
     out(0) = h
     var p = 1
     while (p + width <= n) {
-      h = (h - cs.charAt(p - 1) * topPow) * B + cs.charAt(p + width - 1)
+      h = (h - cps(p - 1) * topPow) * B + cps(p + width - 1)
       out(p) = h
       p += 1
     }

@@ -677,11 +677,15 @@ object Curation {
     * reference ∪ batches 1..i — StreamingCurationSpec pins that
     * equality per batch.
     *
-    * Output rows land under `outPath` (append) with a `batch_id`
-    * column. Scale shape per batch: one feature explode + map-side
-    * count of the BATCH only, a union of ≤dim-row count tables, one
-    * broadcast of the one-row map — the reference corpus and stream
-    * history are never re-read. */
+    * Output rows land under `outPath` PARTITIONED BY `batch_id` with
+    * dynamic partition overwrite — a foreachBatch replay of the same
+    * batchId (restart after a failure between the write and the
+    * checkpoint commit) rewrites exactly its own partition instead of
+    * appending the rows a second time, so the output obeys the same
+    * batch-id replay contract the counts write does. Scale shape per
+    * batch: one feature explode + map-side count of the BATCH only, a
+    * union of ≤dim-row count tables, one broadcast of the one-row map
+    * — the reference corpus and stream history are never re-read. */
   def dsirRefreshingScorer(ref: DataFrame, idCol: String,
       textCol: String, targetFilter: Column, dim: Int,
       countsPath: String, outPath: String): (DataFrame, Long) => Unit = {
@@ -721,7 +725,9 @@ object Curation {
           .as("__lr"))
       dsirScoreStateless(b, idCol, textCol, ratios, dim)
         .withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(outPath)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(outPath)
       b.unpersist()
     }
   }

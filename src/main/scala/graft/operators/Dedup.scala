@@ -780,26 +780,34 @@ object Dedup {
     * wrong for corpus quality, since boilerplate-stripped or truncated
     * variants often carry smaller ids than the clean original).
     *
-    * `score` is any deterministic per-document quality column evaluated
-    * against `docs` (token count, a [[TextAnalysis.quality]] component,
-    * a trained [[QualityModel]] score...). Output one row per document:
-    * `(id, cluster_id, score, keep)`.
+    * `score` is any deterministic NUMERIC per-document quality column
+    * evaluated against `docs` (token count, a [[TextAnalysis.quality]]
+    * component, a trained [[QualityModel]] score...) — enforced with a
+    * fail-fast `require` because the argmax negates it. The id column
+    * may be ANY orderable type (long, string UUID, URL): ties break to
+    * the MINIMUM id via struct ordering, never by negating the id (a
+    * negated non-numeric id silently casts to null under non-ANSI
+    * semantics and would mark every member keep=false). Output one row
+    * per document: `(id, cluster_id, score, keep)`.
     *
-    * Scale shape: the argmax is `max(struct(score, −id))` — a map-side-
+    * Scale shape: the argmax is `min(struct(−score, id))` — a map-side-
     * combinable aggregate, one shuffle on cluster_id (no window over
     * the corpus), then one join back on cluster_id. Both shuffles carry
     * (id, cluster, score) triples only. */
   def survivorByQuality(docs: DataFrame, idCol: String,
       clusters: DataFrame, score: Column): DataFrame = {
     val scored = docs.select(col(idCol).as("__id"), score.as("score"))
+    val scoreType = scored.schema("score").dataType
+    require(scoreType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"survivorByQuality score column must be numeric, got $scoreType")
     val base = clusters
       .select(col(idCol), col("cluster_id"))
       .join(scored, col(idCol) === col("__id"))
       .drop("__id")
     val best = base.groupBy(col("cluster_id"))
-      .agg(max(struct(col("score"), (-col(idCol)).as("negid")))
+      .agg(min(struct((-col("score")).as("negscore"), col(idCol).as("sid")))
         .as("best"))
-      .select(col("cluster_id"), (-col("best.negid")).as("__survivor"))
+      .select(col("cluster_id"), col("best.sid").as("__survivor"))
     base.join(best, Seq("cluster_id"))
       .select(col(idCol), col("cluster_id"), col("score"),
         (col(idCol) === col("__survivor")).as("keep"))

@@ -562,69 +562,100 @@ object TextAnalysis {
     * Determinism / oracle parity: each word rides as a `\\u001f`-
     * delimited symbol string (`␟a␟b␟c␟`) and a merge is applied as the
     * SAME literal string algebra in both engines —
-    * `replace(replace(w, ␟a␟b␟, ␟ab␟), ␟a␟b␟, ␟ab␟)`. One `replace`
-    * pass consumes the trailing delimiter of each match, so of two
-    * ADJACENT occurrences only the first merges; but survivors of pass
-    * one are never adjacent (each sits after a merged occurrence whose
-    * emitted trailing delimiter pass two CAN match), so the double
-    * replace reaches exactly the leftmost non-overlapping fixpoint —
-    * equal to the reference fold, with zero cross-engine convention
-    * risk because both sides run the identical `replace` builtin.
+    * `replace(replace(w, ␟a␟b␟, ␟ab␟), ␟a␟b␟, ␟ab␟)`. That double
+    * replace is a REPO-DEFINED merge convention, not canonical BPE:
+    * one `replace` pass consumes the trailing delimiter of each match
+    * and resumes AFTER it, so in an odd-length run of one repeated
+    * symbol (`␟a␟a␟a␟a␟a␟`) pass one matches positions 0 and 6 and
+    * yields `[aa, a, aa]`, where the canonical leftmost sequential
+    * fold gives `[aa, aa, a]` — pair statistics on such runs differ
+    * from Sennrich et al.'s fold (BpeConventionSpec pins the 5-run
+    * word). Cross-engine parity is unaffected because Java's
+    * `String.replace`, Spark's `replace`, and DuckDB's `replace` all
+    * run the identical leftmost-restart-after-match scan; the oracle
+    * replays this exact algebra. Words with no adjacent occurrences
+    * (the common case) are identical under both conventions.
     *
     * Scale shape: the corpus is touched ONCE (token count, map-side
-    * combined); training then iterates on the ≤`vocabSize`-row vocab
-    * table — per round one in-row pair explode over short arrays, one
-    * tiny groupBy, a 1-row ORDER BY/LIMIT best-pair, one broadcast
-    * cross join to rewrite the vocab, `localCheckpoint` per round (the
-    * NOTES iterative rule). 100 TB changes only the one corpus pass.
-    * Output: the learned merge table, `rounds` rows. */
+    * combined, one job); the merge loop then runs DRIVER-LOCAL on the
+    * collected ≤`vocabSize`-row word table — a model-plane collect,
+    * the same tiny-model shape [[bpeTokenCounts]]' callers use, never
+    * data. A real 32k-merge vocabulary is ~32k string scans over ~150
+    * short strings on the driver (microseconds each) and STILL one
+    * Spark job, where the previous per-round-as-a-Spark-job form was
+    * ~64k sequential driver-coordinated jobs. 100 TB changes only the
+    * one corpus pass. Output: the learned merge table, `rounds` rows
+    * `(rank, left_sym, right_sym, pair_count)`. */
   def bpeTrainMerges(df: DataFrame, idCol: String, textCol: String,
       vocabSize: Int = 150, rounds: Int = 8): DataFrame = {
     require(vocabSize >= 2 && rounds >= 1,
       s"need vocabSize >= 2, rounds >= 1; got $vocabSize/$rounds")
     val spark = df.sparkSession
-    // one corpus pass: top-V word frequencies
-    val vocab0 = df
+    import spark.implicits._
+    // one corpus pass: top-V word frequencies (the ONLY distributed work)
+    val words = df
       .select(explode(Cleaning.tokens(lower(col(textCol)))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word").asc).limit(vocabSize)
-      // ␟-delimited characters: ␟a␟b␟c␟
-      .select(concat(lit(BpeSep),
-        regexp_replace(col("word"), "(.)", "$1" + BpeSep)).as("w"),
-        col("cnt"))
-    var vocab = vocab0.localCheckpoint()
-    var merges: Option[DataFrame] = None
-    for (t <- 0 until rounds) {
-      val syms = filter(split(col("w"), BpeSep), s => s =!= "")
-      val pairs = vocab
-        .select(col("cnt"), syms.as("ss"))
-        .select(col("cnt"), explode(when(size(col("ss")) >= 2,
-          transform(sequence(lit(0), size(col("ss")) - 2),
-            i => struct(element_at(col("ss"), i + 1).as("a"),
-              element_at(col("ss"), i + 2).as("b"))))
-          .otherwise(array())).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("cnt")).as("total"))
-      val best = pairs
-        .orderBy(col("total").desc, col("a").asc, col("b").asc).limit(1)
-        .localCheckpoint()
-      merges = Some(merges match {
-        case None => best.select(lit(t).as("rank"), col("a").as("left_sym"),
-          col("b").as("right_sym"), col("total").as("pair_count"))
-        case Some(m) => m.unionByName(best.select(lit(t).as("rank"),
-          col("a").as("left_sym"), col("b").as("right_sym"),
-          col("total").as("pair_count")))
-      })
-      val pat = concat(lit(BpeSep), col("a"), lit(BpeSep), col("b"),
-        lit(BpeSep))
-      val rep = concat(lit(BpeSep), col("a"), col("b"), lit(BpeSep))
-      vocab = vocab.crossJoin(broadcast(best))
-        .select(call_function("replace",
-          call_function("replace", col("w"), pat, rep), pat, rep).as("w"),
-          col("cnt"))
-        .localCheckpoint()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // ␟-delimited code points: ␟a␟b␟c␟ (code points, matching the
+    // oracle's RE2 `(.)` and Spark substr semantics)
+    def symbolize(w: String): String = {
+      val sb = new StringBuilder(BpeSep)
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        sb.appendAll(Character.toChars(cp)).append(BpeSep)
+        i += Character.charCount(cp)
+      }
+      sb.toString
     }
-    merges.get
+    var vocab = words.map { case (w, c) => (symbolize(w), c) }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (t <- 0 until rounds) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long]
+      for ((w, c) <- vocab) {
+        val ss = w.split(BpeSep).filter(_.nonEmpty)
+        var i = 0
+        while (i < ss.length - 1) {
+          val k = (ss(i), ss(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        // best pair: count desc, then left asc, right asc — the same
+        // ORDER BY total DESC, a ASC, b ASC the oracle runs. Symbol
+        // order is CODE POINT order (== UTF-8 byte order, what Spark
+        // and DuckDB binary-collate by), not UTF-16 code-unit order —
+        // they differ between high-BMP and supplementary chars
+        def cpCompare(x: String, y: String): Int = {
+          var i = 0; var j = 0
+          while (i < x.length && j < y.length) {
+            val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+            if (cx != cy) return Integer.compare(cx, cy)
+            i += Character.charCount(cx); j += Character.charCount(cy)
+          }
+          Integer.compare(x.length - i, y.length - j)
+        }
+        val ((a, b), total) = counts.reduceLeft { (p, q) =>
+          val byCount = java.lang.Long.compare(q._2, p._2)
+          val byLeft = cpCompare(p._1._1, q._1._1)
+          val keepP = byCount < 0 || (byCount == 0 && (byLeft < 0 ||
+            (byLeft == 0 && cpCompare(p._1._2, q._1._2) <= 0)))
+          if (keepP) p else q
+        }
+        merges += ((t, a, b, total))
+        val pat = BpeSep + a + BpeSep + b + BpeSep
+        val rep = BpeSep + a + b + BpeSep
+        vocab = vocab.map { case (w, c) =>
+          (w.replace(pat, rep).replace(pat, rep), c)
+        }
+      }
+    }
+    merges.result()
+      .toDF("rank", "left_sym", "right_sym", "pair_count")
   }
 
   /** Weight vector for [[qualityModelScore]]: `dim` integer micro-unit

@@ -491,6 +491,17 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTester {
     // must differ somewhere (the drifted raw side changes weights)
     assert(got(1L) != expected(b1, b2),
       "refresh must actually change the scores as the stream drifts")
+    // REPLAY idempotency: foreachBatch re-delivers batch 1 after a crash
+    // between the write and the checkpoint commit — the partition
+    // overwrite must leave the output identical, not doubled
+    scorer(b2.toDF("doc_id", "text"), 1L)
+    val replayed = spark.read.parquet(out)
+      .select($"batch_id".as[Long], $"doc_id".as[Long],
+        $"n_feats".as[Long], $"logweight".as[Double]).collect()
+    assert(replayed.length == (b1.size + b2.size),
+      s"replay must not duplicate rows: ${replayed.length}")
+    assert(replayed.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).toSet
+      == got(1L), "replayed batch must rewrite its own partition only")
   }
 
   test("CMS cells aggregate INSIDE a streaming plan and equal the " +
