@@ -399,6 +399,38 @@ object DedupQueries {
         SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
         FROM assign a LEFT JOIN dups d ON a.vec_id = d.vec_id""")),
 
+    // SemDeDup with the LOG-DEPTH centroid-tree quantizer pinned at
+    // depth 2 (coarseMult fixed at 2) — the k ∝ n form past the 2-level
+    // scheme's √k per-vector term. The oracle replays the whole descent
+    // via kmeansAssignTreeCtes (rank-sampled layers, (d2, id)-argmin
+    // parent pointers, nprobe-kept cells per layer), then the identical
+    // within-cell pairwise cosine + min-id survivor rule — every layer
+    // decision, pair decision, and keep flag hash-checked
+    Q("dedup_semantic_tree",
+      (s, dir) => Dedup.semanticDedupTree(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
+        centroidStep = 50, iters = 1, tau = 0.4, coarseMult = 2,
+        nprobe = 2, levels = 2),
+      Some(s"""WITH ${SimilarityQueries.kmeansAssignTreeCtes(1, 2, 2, 2)},
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+        pr AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM assign x JOIN assign y
+            ON x.cell = y.cell AND x.vec_id < y.vec_id),
+        dots AS (
+          SELECT p.id_a, p.id_b, sum(a.v * b.v) AS dot
+          FROM pr p
+          JOIN e a ON a.vec_id = p.id_a
+          JOIN e b ON b.vec_id = p.id_b AND b.i = a.i
+          GROUP BY 1, 2),
+        dups AS (
+          SELECT DISTINCT id_b AS vec_id FROM dots
+          JOIN norms na ON id_a = na.vec_id
+          JOIN norms nb ON id_b = nb.vec_id
+          WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.4)
+        SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+        FROM assign a LEFT JOIN dups d ON a.vec_id = d.vec_id""")),
+
     // dedup EVALUATION as a first-class query ("measure, don't guess"):
     // the LSH pair set audited against the exact inverted-index answer
     // — tp/fp/fn/precision/recall in one row. The oracle asserts the
@@ -497,11 +529,76 @@ object DedupQueries {
       (s, dir) => Dedup.exactSubstringSpansChars(
         Sources.table(s, dir, "documents"), "doc_id", "text",
         minChars = exactSubstringChars),
-      Some(exactSubstringCharsSql(exactSubstringChars)))
+      Some(exactSubstringCharsSql(exactSubstringChars))),
+
+    // LENGTH-MAXIMAL duplicated substrings — the full Lee et al.
+    // suffix-array semantics the windowed forms can't report: exact
+    // maximal match lengths (minLen 16 catches runs the C=24 window
+    // form is blind to; maxLen 32 is the bounded-slice cap). Spark
+    // computes the suffix-sorted neighbour LCPs with a distributed
+    // rank + codegen LCP; the oracle replays the identical total order
+    // with one window and a list-expression LCP — every reported
+    // (pos, match_len) hash-checked
+    Q("dedup_substring_maximal",
+      (s, dir) => Dedup.exactSubstringMaximalSpans(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        minLen = maximalSpanMinLen, maxLen = maximalSpanMaxLen),
+      Some(maximalSpansSql(maximalSpanMinLen, maximalSpanMaxLen)))
   )
 
   private[graft] val exactSubstringK = 8
   private[graft] val exactSubstringChars = 24
+  private[graft] val maximalSpanMinLen = 16
+  private[graft] val maximalSpanMaxLen = 32
+
+  /** DuckDB mirror of [[Dedup.exactSubstringMaximalSpans]]: the same
+    * bounded suffix slices by list comprehension, ONE global
+    * `row_number` over the identical (slice, doc_id, pos) total order
+    * (Spark derives the same rank distributed — range partitions +
+    * per-partition rank + offsets), neighbour LCPs as a
+    * count-of-equal-prefixes list expression (prefix equality is
+    * monotone, so the count IS the LCP), and the same left-maximality
+    * lag filter. */
+  private[graft] def maximalSpansSql(minLen: Int, maxLen: Int): String = {
+    def lcpSql(a: String, b: String): String =
+      s"""COALESCE(len(list_filter(
+          range(1, least(length($a), length($b)) + 1),
+          i -> substr($a, 1, CAST(i AS INT)) =
+               substr($b, 1, CAST(i AS INT)))), 0)"""
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+      suf0 AS (
+        SELECT doc_id,
+          CASE WHEN length(text) >= $minLen
+            THEN [substr(text, CAST(i AS INT), $maxLen)
+                  for i in range(1, length(text) - $minLen + 2)]
+            ELSE [] END AS gs
+        FROM d),
+      suf AS (
+        SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos,
+          unnest(gs) AS s
+        FROM suf0),
+      r AS (
+        SELECT doc_id, pos, s,
+          row_number() OVER (ORDER BY s, doc_id, pos) AS rk
+        FROM suf),
+      nb AS (
+        SELECT a.doc_id, a.pos, a.s, p.s AS sp, n.s AS sn
+        FROM r a
+        LEFT JOIN r p ON p.rk = a.rk - 1
+        LEFT JOIN r n ON n.rk = a.rk + 1),
+      lcp AS (
+        SELECT doc_id, pos,
+          greatest(${lcpSql("s", "sp")}, ${lcpSql("s", "sn")}) AS L
+        FROM nb),
+      mx AS (
+        SELECT doc_id, pos, L,
+          lag(L) OVER (PARTITION BY doc_id ORDER BY pos) AS pL
+        FROM lcp)
+      SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+        CAST(L AS INTEGER) AS match_len
+      FROM mx
+      WHERE L >= $minLen AND (pL IS NULL OR pL < L + 1)"""
+  }
 
   /** DuckDB mirror of [[Dedup.exactSubstringSpansChars]]: positional
     * C-char windows by list comprehension (window VALUE stands in for
@@ -831,6 +928,106 @@ object SimilarityQueries {
       $init,
       $rounds,
       ${hierAssign("F", s"c$iters")},
+      assign AS (SELECT vec_id, cell FROM aF)"""
+  }
+
+  /** Log-depth tree twin of [[kmeansAssignHierCtes]], mirroring
+    * [[graft.operators.Similarity.assignCellsTree]]: `levels` rank-
+    * sampled rep layers (layer ℓ = every `coarseMult`-th of layer ℓ−1
+    * by id rank), parent pointers by exact (d2, id)-argmin against the
+    * next layer, and a per-vector descent that scores the whole top
+    * layer then only kept cells' children, keeping `nprobe` at each
+    * layer ((d2, id)-ordered, 9-dp-rounded — Spark's sorted-struct
+    * slice ordering). Exposes `e` and `assign` like the other forms.
+    * Used by `dedup_semantic_tree`. */
+  private[graft] def kmeansAssignTreeCtes(iters: Int, coarseMult: Int,
+      nprobe: Int, levels: Int): String = {
+    // same MATERIALIZED discipline as the hier form: every chained CTE
+    // is referenced multiple times downstream
+    def treeAssign(t: String, src: String): String = {
+      def lvl(l: Int): String = if (l == 0) src else s"lv${t}_$l"
+      val layers = (1 to levels).map { l =>
+        s"""tk${t}_$l AS MATERIALIZED (
+          SELECT cent_id, row_number() OVER (ORDER BY cent_id) - 1 AS rk
+          FROM (SELECT DISTINCT cent_id FROM ${lvl(l - 1)})),
+        lv${t}_$l AS MATERIALIZED (
+          SELECT c.cent_id, c.i, c.v
+          FROM ${lvl(l - 1)} c JOIN tk${t}_$l r ON c.cent_id = r.cent_id
+          WHERE r.rk % $coarseMult = 0)"""
+      }.mkString(",\n")
+      val parents = (0 until levels).map { l =>
+        s"""pp${t}_$l AS MATERIALIZED (
+          SELECT cent_id, p_id AS parent FROM (
+            SELECT d.cent_id, d.p_id, row_number() OVER (
+              PARTITION BY d.cent_id ORDER BY d.d2, d.p_id) AS rn
+            FROM (
+              SELECT a.cent_id, b.cent_id AS p_id,
+                round(sum((a.v - b.v) * (a.v - b.v) ORDER BY a.i), 9)
+                  AS d2
+              FROM ${lvl(l)} a JOIN lv${t}_${l + 1} b ON a.i = b.i
+              GROUP BY a.cent_id, b.cent_id) d) x WHERE rn = 1)"""
+      }.mkString(",\n")
+      val top =
+        s"""kp${t}_$levels AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT d.vec_id, d.cid, row_number() OVER (
+              PARTITION BY d.vec_id ORDER BY d.d2, d.cid) AS rn
+            FROM (
+              SELECT a.vec_id, b.cent_id AS cid,
+                round(sum((a.v - b.v) * (a.v - b.v) ORDER BY a.i), 9)
+                  AS d2
+              FROM e a JOIN lv${t}_$levels b ON a.i = b.i
+              GROUP BY a.vec_id, b.cent_id) d) x WHERE rn <= $nprobe)"""
+      val descent = ((levels - 1) to 1 by -1).map { l =>
+        s"""kp${t}_$l AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT d.vec_id, d.cid, row_number() OVER (
+              PARTITION BY d.vec_id ORDER BY d.d2, d.cid) AS rn
+            FROM (
+              SELECT a.vec_id, c.cent_id AS cid,
+                round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9)
+                  AS d2
+              FROM kp${t}_${l + 1} p
+              JOIN pp${t}_$l m ON m.parent = p.cid
+              JOIN e a ON a.vec_id = p.vec_id
+              JOIN ${lvl(l)} c ON c.cent_id = m.cent_id AND c.i = a.i
+              GROUP BY a.vec_id, c.cent_id) d) x WHERE rn <= $nprobe)"""
+      }.mkString(",\n")
+      val fin =
+        s"""a$t AS MATERIALIZED (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT d.vec_id, d.cent_id, row_number() OVER (
+              PARTITION BY d.vec_id ORDER BY d.d2, d.cent_id) AS rn
+            FROM (
+              SELECT a.vec_id, c.cent_id,
+                round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9)
+                  AS d2
+              FROM kp${t}_1 p
+              JOIN pp${t}_0 m ON m.parent = p.cid
+              JOIN e a ON a.vec_id = p.vec_id
+              JOIN $src c ON c.cent_id = m.cent_id AND c.i = a.i
+              GROUP BY a.vec_id, c.cent_id) d) x WHERE rn = 1)"""
+      Seq(layers, parents, top) ++ Seq(descent).filter(_.nonEmpty) ++
+        Seq(fin) mkString ",\n"
+    }
+    val init = """c0 AS MATERIALIZED (
+        SELECT vec_id AS cent_id, i, v FROM e WHERE vec_id % 50 = 0)"""
+    val rounds = (0 until iters).map { t =>
+      s"""${treeAssign(t.toString, s"c$t")},
+      c${t + 1} AS MATERIALIZED (
+        SELECT a.cell AS cent_id, e.i,
+          CAST(CAST(CAST(sum(CAST(e.v AS DECIMAL(28,10))) AS DOUBLE)
+            / count(*) AS FLOAT) AS DOUBLE) AS v
+        FROM a$t a JOIN e ON e.vec_id = a.vec_id
+        GROUP BY a.cell, e.i)"""
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      $init,
+      $rounds,
+      ${treeAssign("F", s"c$iters")},
       assign AS (SELECT vec_id, cell FROM aF)"""
   }
 

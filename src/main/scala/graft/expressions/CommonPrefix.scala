@@ -1,0 +1,64 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Longest-common-prefix length of two strings, in UNICODE CODE POINTS
+  * — the neighbour-LCP kernel of the suffix-slice duplicated-span
+  * operator ([[graft.operators.Dedup.exactSubstringMaximalSpans]]).
+  * Code points, not UTF-16 units, so the count composes with Spark's
+  * `substr`/`length` (and the DuckDB oracle's `substr`) exactly like
+  * [[CharWindowHashesExpr]]'s positions do. One compiled pass, no
+  * intermediate arrays — the HOF equivalent (zip_with + aggregate over
+  * exploded chars) allocates two char arrays per comparison, which on
+  * a corpus-scale suffix table is the whole cost.
+  */
+case class CommonPrefixCharsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "common_prefix_chars"
+
+  def compute(a: UTF8String, b: UTF8String): Int = {
+    val sa = a.toString
+    val sb = b.toString
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < sa.length && j < sb.length) {
+      val ca = sa.codePointAt(i)
+      val cb = sb.codePointAt(j)
+      if (ca != cb) return n
+      n += 1
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    n
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("lcp", this,
+      classOf[CommonPrefixCharsExpr].getName)
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CommonPrefix {
+  def lcpChars(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      CommonPrefixCharsExpr(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+}

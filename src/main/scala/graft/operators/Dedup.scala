@@ -81,10 +81,16 @@ object Dedup {
     maxDocFreq match {
       case Some(cap) =>
         // the pre-cap index feeds both the hot-element count and the
-        // anti-join; persist it so the shingle scan runs once
+        // anti-join; persist it so the shingle scan runs once. The df
+        // count goes through the PROFILE-GATED shuffle: shingle keys
+        // sit below the mostly-unique partial-agg trap on natural
+        // corpora (df ≈ docs containing the shingle), but a salted or
+        // high-entropy corpus pushes them over it — the gate measures
+        // instead of assuming (AdaptiveShuffle scaladoc)
         val sh = shRaw.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        val hot = AdaptiveShuffle.adaptiveKeyCount(sh.select("sh"), "sh")
+          .withColumnRenamed("c", "df")
           .filter(col("df") > cap).select("sh")
         sh.join(broadcast(hot), Seq("sh"), "left_anti")
       case None => shRaw
@@ -687,13 +693,15 @@ object Dedup {
       .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // windows whose hash occurs >= 2 times anywhere in the corpus.
-    // Repartition RAW on the key before counting: window hashes are
-    // mostly unique, so the default map-side partial aggregate builds
-    // giant per-task hash maps that spill superlinearly (ScaleBench:
-    // 3.2× time at 2× data; shuffle-first 1.5×, 5× faster at 20×) —
-    // the ~nothing the combine saves never repays its memory
-    val dup = win.repartition(col("h"))
-      .groupBy("h").agg(count(lit(1)).as("c"))
+    // The count goes through the PROFILE-GATED shuffle: window hashes
+    // are mostly unique on natural corpora, where the default map-side
+    // partial aggregate builds giant per-task hash maps that spill
+    // superlinearly (ScaleBench: 3.2× time at 2× data; shuffle-first
+    // 1.5×, 5× faster at 20×) — but a boilerplate-saturated corpus
+    // flips the regime, so the gate measures the key's multiplicity
+    // instead of hardcoding either plan (AdaptiveShuffle scaladoc)
+    val dup = AdaptiveShuffle.adaptiveKeyCount(
+        win.select("h"), "h")
       .filter(col("c") >= 2).select("h")
     val dw = win.join(dup, Seq("h"), "leftsemi").select("doc_id", "pos")
     // merge overlapping/adjacent duplicated windows [pos, pos+k) into
@@ -855,11 +863,12 @@ object Dedup {
         posexplode(RollingHash.charWindowHashes(col("txt"), C)))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // raw repartition before the count — see exactSubstringSpans: on
-    // mostly-unique window hashes the map-side partial agg spills
-    // superlinearly; shuffle-first is linear (measured 5× at 20×)
-    val dup = win.repartition(col("h"))
-      .groupBy("h").agg(count(lit(1)).as("c"))
+    // profile-gated shuffle before the count — see exactSubstringSpans:
+    // on mostly-unique window hashes the map-side partial agg spills
+    // superlinearly and shuffle-first is linear (measured 5× at 20×);
+    // the gate measures which regime this corpus is in
+    val dup = AdaptiveShuffle.adaptiveKeyCount(
+        win.select("h"), "h")
       .filter(col("c") >= 2).select("h")
     val dw = win.join(dup, Seq("h"), "leftsemi").select("doc_id", "pos")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
@@ -892,6 +901,97 @@ object Dedup {
         length(col("txt")).as("total_chars"),
         when(col("spans").isNull, col("txt")).otherwise(cut)
           .as("clean_text"))
+  }
+
+  /** LENGTH-MAXIMAL duplicated substrings — the remaining piece of the
+    * full Lee et al. 2021 (arXiv:2107.06499 §3.1) suffix-array
+    * semantics that the windowed forms cannot report: for every
+    * position opening a duplicated run of >= `minLen` chars, the run's
+    * ACTUAL maximal length (capped at `maxLen`), with runs contained in
+    * a longer run starting one position earlier suppressed. This both
+    * catches duplicated runs SHORTER than a fixed C-char window
+    * ([[exactSubstringSpansChars]] at C = 24 is blind to a 16-char
+    * duplicated run; this operator at minLen = 16 reports it with its
+    * exact length) and upgrades coverage-only spans to length-reported
+    * maximal matches.
+    *
+    * HOW without a monolithic suffix array: the classic SA fact that a
+    * suffix's longest match anywhere in the corpus is attained at one
+    * of its two NEIGHBOURS in suffix-sorted order. Each position emits
+    * one `maxLen`-char suffix SLICE (the bounded-slice trade: memory is
+    * chars × maxLen instead of a resident corpus + pointer array, and
+    * match lengths saturate at maxLen — successive capped spans keep
+    * coverage exact, spec-pinned); slices are globally ordered by a
+    * RANGE partition + per-partition rank + partition-offset fix-up
+    * (the standard distributed rank — no single-partition window
+    * anywhere near corpus-scale data), neighbour LCPs come from two
+    * rank-equi-joins through one codegen pass
+    * ([[graft.expressions.CommonPrefixCharsExpr]], code points), and
+    * left-maximality is a per-document lag. Within-doc repeats count,
+    * overlapping occurrences count — the same conventions as the
+    * window forms, so where both apply their coverages agree
+    * (DedupSpec pins coverage equality against
+    * [[exactSubstringSpansChars]] at minChars = minLen).
+    *
+    * Determinism / oracle parity: the total order is (slice, doc_id,
+    * pos) — unique, so ranks are exact in both engines regardless of
+    * range-sampling boundaries — slices compare as UTF-8 bytes in both
+    * engines, and LCPs count code points. Output one row per maximal
+    * duplicated run occurrence: `(doc_id, pos, match_len)`. */
+  def exactSubstringMaximalSpans(df: DataFrame, idCol: String,
+      textCol: String, minLen: Int, maxLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.expressions.CommonPrefix
+    require(minLen >= 2 && maxLen >= minLen,
+      s"need 2 <= minLen <= maxLen, got $minLen/$maxLen")
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("txt"))
+    // one suffix slice per position that still has >= minLen chars
+    val suf = base
+      .select(col("doc_id"), posexplode(
+        when(length(col("txt")) >= minLen,
+          transform(sequence(lit(0), length(col("txt")) - minLen),
+            i => col("txt").substr(i + 1, lit(maxLen))))
+          .otherwise(array())).as(Seq("pos", "s")))
+    // distributed global rank over (s, doc_id, pos): range-partition on
+    // the full (unique) key, rank within each range, add the cumulative
+    // count of earlier ranges (a <=shuffle-partitions-row table)
+    val nParts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val ranged = suf
+      .repartitionByRange(nParts, col("s"), col("doc_id"), col("pos"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offs = ranged.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("off"))
+    val rk = ranged.join(broadcast(offs), Seq("pid"))
+      .withColumn("lr", row_number().over(
+        Window.partitionBy(col("pid"))
+          .orderBy(col("s"), col("doc_id"), col("pos"))))
+      .select(col("doc_id"), col("pos"), col("s"),
+        (col("off") + col("lr")).as("rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // longest match = max LCP against the two sort neighbours
+    val lcp = rk
+      .join(rk.select((col("rk") + 1).as("rk"), col("s").as("sp")),
+        Seq("rk"), "left")
+      .join(rk.select((col("rk") - 1).as("rk"), col("s").as("sn")),
+        Seq("rk"), "left")
+      .select(col("doc_id"), col("pos"),
+        greatest(
+          coalesce(CommonPrefix.lcpChars(col("s"), col("sp")), lit(0)),
+          coalesce(CommonPrefix.lcpChars(col("s"), col("sn")), lit(0)))
+          .as("L"))
+    // left-maximality: a run opening at pos is contained in the run
+    // opening at pos-1 iff L(pos-1) >= L(pos)+1 (positions participate
+    // consecutively, so the doc-ordered lag IS pos-1)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    lcp.withColumn("pL", lag(col("L"), 1).over(byDoc))
+      .filter(col("L") >= minLen &&
+        (col("pL").isNull || col("pL") < col("L") + 1))
+      .select(col("doc_id"), col("pos"), col("L").as("match_len"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -941,6 +1041,43 @@ object Dedup {
     // within-cell pairs, oriented id_a < id_b; a vector is a duplicate iff
     // some LOWER-id cell-mate is within tau — so the earliest member of
     // every dense neighbourhood survives
+    val dups = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"),
+        round(VectorExpressions.dot(col("a.e"), col("b.e")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+      .select("vec_id").distinct()
+    assigned
+      .join(dups.withColumn("__dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id").as(idCol), col("cell"),
+        col("__dup").isNull.as("keep"))
+  }
+
+  /** [[semanticDedup]] with the LOG-DEPTH centroid-tree assignment
+    * ([[Similarity.assignCellsTree]]) in both the Lloyd's rounds and
+    * the final assignment — the k ∝ n form for corpora where even the
+    * 2-level scheme's O(√k) per-vector term binds (the round-5
+    * ScaleBench 20×→40× reading). `coarseMult` stays small and FIXED;
+    * `levels` grows ~log_cm(k), so assignment is O(n·cm·log k).
+    * Identical survivor algebra (within-cell pairs, 6-dp cosine,
+    * min-id neighbourhood survivors); only the quantizer descent
+    * differs, and at `levels = 1` even that is bit-identical to
+    * [[semanticDedup]] (SimilaritySpec). Output: (id, cell, keep). */
+  def semanticDedupTree(df: DataFrame, idCol: String, vecCol: String,
+      centroidStep: Int = 50, iters: Int = 2, tau: Double = 0.4,
+      coarseMult: Int = 4, nprobe: Int = 2, levels: Int = 2)
+      : DataFrame = {
+    import graft.expressions.VectorExpressions
+    val base = df.select(col(idCol).as("vec_id"), col(vecCol))
+    val cent = Similarity.kmeansCentroidsTree(base, vecCol, centroidStep,
+      iters, coarseMult, nprobe, levels)
+    val assigned = Similarity.assignCellsTree(base,
+        cent.select(col("cent_id").as("vec_id"), col("ce").as(vecCol)),
+        vecCol, coarseMult, nprobe, levels)
+      .withColumn("nrm", sqrt(VectorExpressions.dot(col("e"), col("e"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dups = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))

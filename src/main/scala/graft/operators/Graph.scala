@@ -130,10 +130,27 @@ object Graph {
     * per round; at the graph's diameter the sketches reach a fixpoint
     * and further rounds change nothing (GraphSpec pins both).
     *
+    * Ball estimates are ONE fused pass, not one fold per round: each
+    * round's (checkpointed) register table is snapshotted as
+    * `(rnd, node, mj)` rows — `j` drops out, the estimate only needs
+    * the rank multiset — and after the merge loop a single
+    * groupBy(node, rnd) evaluates every round's estimate together,
+    * then one pivot lays them out as b0..b{rounds} columns. Same total
+    * bytes aggregated, but rounds+1 estimate jobs and rounds chained
+    * `ests` joins collapse into two shuffles, which at 3 merge rounds
+    * halves the job count of the whole operator (the r5 ScaleBench
+    * curve attributed its 2.3×-at-2×-data constant to per-round job
+    * overhead — this is that constant, flattened).
+    * `fusedEstimates = false` keeps the per-round fold-and-join shape
+    * purely as the A/B counterfactual (ScaleBench's
+    * `harmonic_perround` stage measures it within-session; GraphSpec
+    * pins both paths bit-identical) — production callers never pass it.
+    *
     * Output: `(node, b0..b{rounds}, harmonic)` — the per-round ball
     * estimates ride along as the audit trail. */
   def harmonicCentralityHyperBall(edges: DataFrame, srcCol: String,
-      dstCol: String, rounds: Int = 3, p: Int = 4): DataFrame = {
+      dstCol: String, rounds: Int = 3, p: Int = 4,
+      fusedEstimates: Boolean = true): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(p == 4 || p == 8,
       s"p must be 4 or 8 (hex-aligned; sum fits int64), got $p")
@@ -154,32 +171,62 @@ object Graph {
         when(w === 0, lit(53L))
           .otherwise(lit(53L) - length(bin(w)).cast("long")).as("mj"))
       .localCheckpoint()
-    // absent registers carry mj = 0 (term 2^53): num = present sum +
-    // (m − present)·2^53, v0 = m − present — the sparse form of
-    // hllDistinct's register-domain completion
-    def estOf(r: DataFrame, name: String): DataFrame =
-      r.groupBy(col("node")).agg(
-          sum(expr("shiftleft(1L, CAST(53 - mj AS INT))")).as("sp"),
-          count(lit(1)).as("np"))
-        .select(col("node"),
-          (col("sp") + (lit(m.toLong) - col("np")) * lit(pow53))
-            .as("num"),
-          (lit(m.toLong) - col("np")).as("v0"))
-        .select(col("node"),
-          when(col("v0") > 0 &&
-              lit(c) / col("num").cast("double") <= lit(2.5 * m),
-            round(lit(m.toDouble) *
-              log(lit(m.toDouble) / col("v0").cast("double")), 6))
-            .otherwise(round(lit(c) / col("num").cast("double"), 6))
-            .as(name))
-    var ests = estOf(regs, "b0")
+    // per-round register snapshots — (rnd, node, mj) only: the estimate
+    // needs the rank multiset, not which register holds which rank, so
+    // j drops out of the fused pass. Each snapshot reads a checkpointed
+    // table; nothing re-executes the merge lineage.
+    val snaps = scala.collection.mutable.ArrayBuffer(
+      regs.select(lit(0).as("rnd"), col("node"), col("mj")))
     for (r <- 1 to rounds) {
       val nbr = e.join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("j"), col("mj"))
       regs = regs.unionByName(nbr)
         .groupBy(col("node"), col("j")).agg(max(col("mj")).as("mj"))
         .localCheckpoint()
-      ests = ests.join(estOf(regs, s"b$r"), Seq("node"))
+      snaps += regs.select(lit(r).as("rnd"), col("node"), col("mj"))
+    }
+    // absent registers carry mj = 0 (term 2^53): num = present sum +
+    // (m − present)·2^53, v0 = m − present — the sparse form of
+    // hllDistinct's register-domain completion; `estimate` turns a
+    // (…, sp, np) aggregate into (…, <name>) carrying any grouping
+    // columns through
+    def estimate(grouped: DataFrame, name: String): DataFrame =
+      grouped
+        .select(grouped.columns.filter(_ != "sp").filter(_ != "np")
+            .map(col) ++ Seq(
+          (col("sp") + (lit(m.toLong) - col("np")) * lit(pow53))
+            .as("num"),
+          (lit(m.toLong) - col("np")).as("v0")): _*)
+        .select(grouped.columns.filter(_ != "sp").filter(_ != "np")
+            .map(col) :+
+          when(col("v0") > 0 &&
+              lit(c) / col("num").cast("double") <= lit(2.5 * m),
+            round(lit(m.toDouble) *
+              log(lit(m.toDouble) / col("v0").cast("double")), 6))
+            .otherwise(round(lit(c) / col("num").cast("double"), 6))
+            .as(name): _*)
+    val ests = if (fusedEstimates) {
+      // ONE aggregation evaluates all rounds' estimates; one pivot lays
+      // them out as columns (every node appears in every round —
+      // registers only grow — so each (node, rnd) cell is exactly one
+      // estimate)
+      val est = estimate(snaps.reduce(_ unionByName _)
+        .groupBy(col("node"), col("rnd")).agg(
+          sum(expr("shiftleft(1L, CAST(53 - mj AS INT))")).as("sp"),
+          count(lit(1)).as("np")), "b")
+      val bCols = (0 to rounds)
+        .map(r => max(when(col("rnd") === r, col("b"))).as(s"b$r"))
+      est.groupBy(col("node")).agg(bCols.head, bCols.tail: _*)
+    } else {
+      // the pre-fusion counterfactual: one estimate fold per round,
+      // chained joins — measured only, never the production path
+      def estOf(r: DataFrame, name: String): DataFrame =
+        estimate(r.groupBy(col("node")).agg(
+          sum(expr("shiftleft(1L, CAST(53 - mj AS INT))")).as("sp"),
+          count(lit(1)).as("np")), name)
+      snaps.zipWithIndex
+        .map { case (s, r) => estOf(s, s"b$r") }
+        .reduce(_.join(_, Seq("node")))
     }
     // the harmonic fold Σ (b_r − b_{r−1})/r in EXACT integer micro-units
     // over a common lcm(1..rounds) denominator, emitted as ONE unrounded

@@ -111,6 +111,60 @@ object Profiler {
   }
 }
 
+/** Profile-gated shuffle planning: the repartition-before-groupBy rule
+  * made ADAPTIVE. On a mostly-unique key (window/content hashes) the
+  * default map-side partial aggregate builds giant per-task hash maps
+  * that spill superlinearly (ScaleBench, round 5: 3.2× time at 2× data
+  * vs shuffle-first's 1.5× — the combine saves ~nothing and its memory
+  * is pure cost); on a repetitive key the combine is the whole win.
+  * Which regime a key is in is a PROFILE question, so the gate measures
+  * it instead of each operator hardcoding the answer: a deterministic
+  * hash-bucket sample of KEYS (every occurrence of a sampled key is in
+  * or out together — the sample's distinct/rows ratio is an unbiased
+  * estimate of the frequency-weighted global ratio, which per-row
+  * sampling would bias toward 1), one tiny single-row aggregate
+  * (approx distinct — it only steers a plan choice), then the plan
+  * picks shuffle-first iff the ratio clears `uniqueFrac`. Both plans
+  * produce identical rows; only the shuffle topology differs, so
+  * oracle hashes never see the gate.
+  */
+object AdaptiveShuffle {
+
+  /** Estimated distinct/rows ratio of `key` over a 1/`sampleMod`
+    * deterministic key sample. Runs one small job at plan-build time
+    * (the same eager-measurement shape as the iterative operators'
+    * localCheckpoint). Empty sample → 1.0 (assume unique: the safe
+    * side — an unnecessary repartition costs one shuffle of what is by
+    * assumption a small table). */
+  def keyUniquenessEstimate(keyed: DataFrame, key: String,
+      sampleMod: Int = 64): Double = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val r = keyed
+      .filter(pmod(xxhash64(col(key)), lit(sampleMod)) === 0)
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col(key)).as("d"))
+      .head
+    val n = r.getLong(0)
+    if (n == 0) 1.0 else math.min(1.0, r.getLong(1).toDouble / n)
+  }
+
+  /** `keyed.groupBy(key).count()` with the shuffle topology chosen by
+    * the measured key multiplicity: shuffle-first (raw repartition on
+    * the key, partial aggregation skipped in effect) when the key is
+    * >= `uniqueFrac` unique, the default combine-first plan otherwise.
+    * Output column: `c`. */
+  def adaptiveKeyCount(keyed: DataFrame, key: String,
+      uniqueFrac: Double = 0.5, sampleMod: Int = 64): DataFrame = {
+    require(uniqueFrac > 0 && uniqueFrac <= 1,
+      s"uniqueFrac must be in (0, 1], got $uniqueFrac")
+    val base =
+      if (keyUniquenessEstimate(keyed, key, sampleMod) >= uniqueFrac)
+        keyed.repartition(col(key))
+      else keyed
+    base.groupBy(col(key)).agg(count(lit(1)).as("c"))
+  }
+}
+
 /** Skew-resistant equi-join: replicate the (small) build side `nSalts`
   * times and spread the (large) probe side across the replicas, so one
   * hot key's rows land on `nSalts` reducers instead of one — the

@@ -208,6 +208,92 @@ object Similarity {
       .select(col("vec_id"), col("e"), col("best.cent_id").as("cell"))
   }
 
+  /** LOG-DEPTH centroid-tree assignment — [[assignCellsHier]] recursed:
+    * `levels` rank-sampled rep layers instead of one. The 2-level
+    * scheme's per-vector cost is k_c + nprobe·coarseMult ≈ O(√k) at
+    * coarseMult ≈ √k — the √k term the round-5 ScaleBench curve
+    * surfaced at 20×→40× (2.67× for 2× data). Here `coarseMult` stays
+    * FIXED and depth grows: level ℓ is every coarseMult-th of level
+    * ℓ−1 by id rank, each member carries a parent pointer (exact
+    * (d2, id)-argmin against the next layer — centroid-table-only
+    * work), and a vector descends the tree scoring the top layer
+    * whole, then only the kept cells' children — per-vector work
+    * k/coarseMult^levels + levels·nprobe·coarseMult ≈ O(log k) at
+    * levels ≈ log_cm(k).
+    *
+    * The descent is IN-ROW end to end: one broadcast per layer (the
+    * top layer as an array, each lower layer as a parent→children
+    * map), candidates flattened / scored / nprobe-sliced inside a
+    * single projection — zero shuffles between the scan and the final
+    * assignment (the 2-level form's explode + argmin shuffle
+    * disappears too: the last layer's argmin is element 1 of the
+    * sorted candidate array).
+    *
+    * Same determinism contract as [[assignCellsHier]]: 9-dp-rounded
+    * distances, (d2, id) struct ordering everywhere, rank-based
+    * sampling — an ANSI engine replays the identical descent. With
+    * `levels = 1` the probed sets — hence the output — equal
+    * [[assignCellsHier]] bit-for-bit (SimilaritySpec pins it). Output
+    * shape identical to [[assignCells]]. */
+  def assignCellsTree(vectors: DataFrame, centroids: DataFrame,
+      vecCol: String, coarseMult: Int, nprobe: Int, levels: Int)
+      : DataFrame = {
+    require(coarseMult >= 2 && nprobe >= 1 && levels >= 1,
+      s"need coarseMult >= 2, nprobe >= 1, levels >= 1; " +
+        s"got $coarseMult/$nprobe/$levels")
+    val cent = centroids.select(col("vec_id").as("cent_id"),
+      col(vecCol).as("ce"))
+    // rep layers: lv(0) = the centroids; lv(l) = every coarseMult-th of
+    // lv(l-1) by id rank (rank, not id-modulo — Lloyd's dropout can
+    // never empty a layer, and the top layer always has >= 1 rep)
+    val lv = scala.collection.mutable.ArrayBuffer(cent)
+    for (l <- 1 to levels)
+      lv += lv(l - 1)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("cent_id"))) - 1)
+        .filter(col("rk") % coarseMult === 0)
+        .select(col("cent_id"), col("ce"))
+    // parent pointer: each lv(l) member exact-assigns to its nearest
+    // lv(l+1) rep; broadcast one parent→children map per layer
+    def childMap(child: DataFrame, reps: DataFrame): DataFrame =
+      child
+        .join(broadcast(reps.select(col("cent_id").as("p_id"),
+          col("ce").as("pe"))))
+        .withColumn("d2",
+          round(VectorExpressions.squaredDist(col("ce"), col("pe")), 9))
+        .groupBy(col("cent_id"))
+        .agg(min(struct(col("d2"), col("p_id"))).as("best"),
+          first(col("ce")).as("ce"))
+        .select(col("best.p_id").as("parent"), col("cent_id"), col("ce"))
+        .groupBy(col("parent"))
+        .agg(collect_list(struct(col("cent_id"), col("ce"))).as("kids"))
+        .agg(map_from_entries(collect_list(
+          struct(col("parent"), col("kids")))).as("km"))
+    def scoredSort(cands: Column) = array_sort(transform(cands, c =>
+      struct(round(VectorExpressions.squaredDist(col("e"), c("ce")), 9)
+        .as("d2"), c("cent_id").as("cid"))))
+    // descend: score the whole top layer, then only kept cells' kids
+    val topArr = lv(levels)
+      .agg(collect_list(struct(col("cent_id"), col("ce"))).as("reps"))
+    var v = vectors.select(col("vec_id"), col(vecCol).as("e"))
+      .crossJoin(broadcast(topArr))
+      .withColumn("probe", slice(scoredSort(col("reps")), 1, nprobe))
+      .select(col("vec_id"), col("e"), col("probe.cid").as("kept"))
+    for (l <- (levels - 1) to 0 by -1) {
+      val km = childMap(lv(l), lv(l + 1))
+      val cands = flatten(filter(
+        transform(col("kept"), p => element_at(col("km"), p)),
+        a => a.isNotNull))
+      v = v.crossJoin(broadcast(km))
+        .withColumn("probe",
+          if (l > 0) slice(scoredSort(cands), 1, nprobe)
+          else slice(scoredSort(cands), 1, 1))
+        .select(col("vec_id"), col("e"), col("probe.cid").as("kept"))
+    }
+    v.select(col("vec_id"), col("e"),
+      element_at(col("kept"), 1).as("cell"))
+  }
+
   /** Deterministic Lloyd's k-means trainer for the IVF coarse quantizer:
     * centroids start from the fixed id-sample (`vec_id ≡ 0 mod
     * centroidStep`) and run `iters` assignment/re-average rounds.
@@ -342,6 +428,44 @@ object Similarity {
       corpus.filter(col("vec_id") % centroidStep === 0)
         .select(col("vec_id").as("cent_id"), col(vecCol).as("ce")),
       iters, coarseMult, nprobe)
+
+  /** [[kmeansFrom]] with the log-depth tree assignment
+    * ([[assignCellsTree]]) in every Lloyd's round — the trainer for
+    * k ∝ n at depths where even one √k probe layer is too wide. Same
+    * exact-decimal re-averaging and id-stable cell naming. */
+  def kmeansFromTree(corpus: DataFrame, vecCol: String, init: DataFrame,
+      iters: Int, coarseMult: Int, nprobe: Int, levels: Int)
+      : DataFrame = {
+    var cent = init
+    for (_ <- 0 until iters) {
+      cent = cent.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assigned = assignCellsTree(
+        corpus.select(col("vec_id"), col(vecCol)),
+        cent.select(col("cent_id").as("vec_id"), col("ce").as(vecCol)),
+        vecCol, coarseMult, nprobe, levels)
+      cent = assigned
+        .select(col("cell"), posexplode(col("e")).as(Seq("i", "v")))
+        .groupBy(col("cell"), col("i"))
+        .agg((sum(col("v").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).cast("float").as("m"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)")
+          .as("ce"))
+        .select(col("cell").as("cent_id"), col("ce"))
+    }
+    cent
+  }
+
+  /** [[kmeansCentroids]] with tree assignment in every Lloyd's round —
+    * see [[assignCellsTree]] for the depth story. */
+  def kmeansCentroidsTree(corpus: DataFrame, vecCol: String,
+      centroidStep: Int, iters: Int, coarseMult: Int, nprobe: Int,
+      levels: Int): DataFrame =
+    kmeansFromTree(corpus, vecCol,
+      corpus.filter(col("vec_id") % centroidStep === 0)
+        .select(col("vec_id").as("cent_id"), col(vecCol).as("ce")),
+      iters, coarseMult, nprobe, levels)
 
   /** k-SELECTION SWEEP for the IVF quantizer: train the deterministic
     * Lloyd's quantizer at each `centroidStep` in `steps` (strictly

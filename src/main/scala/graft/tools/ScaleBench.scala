@@ -128,8 +128,9 @@ object ScaleBench {
     // datapoint is the evidence)
     val runExt = sys.env.getOrElse("GRAFT_SCALE_EXT", "1") == "1"
     val (nSemDropped, nPrNodes) = if (runExt && (want("semantic") ||
-        want("semantic_assign") || want("pagerank") ||
-        want("harmonic"))) {
+        want("semantic_assign") || want("semantic_assign_tree") ||
+        want("pagerank") || want("harmonic") ||
+        want("harmonic_perround") || want("harmonic_merge"))) {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
       val reps = spark.range(0, factor).toDF("rep")
@@ -165,6 +166,22 @@ object ScaleBench {
             col("ce").as("embedding")),
           "embedding", cm, 2).count()
       }
+      // tree twin of semantic_assign: coarseMult FIXED, depth grows
+      // ~log_cm(k) — per-vector work O(cm·levels + k/cm^levels) instead
+      // of the 2-level form's O(√k); the 40× datapoint is where the √k
+      // term dominated in r5 (2.67× at 2× data)
+      if (want("semantic_assign_tree")) timed("semantic_assign_tree") {
+        val k = (nEmb / 50).max(1)
+        val cmT = 8
+        val levels = math.max(1, math.ceil(
+          math.log(k.toDouble) / math.log(cmT.toDouble)).toInt - 1)
+        val cent = graft.operators.Similarity.kmeansCentroidsTree(
+          bigEmb, "embedding", 50, 1, cmT, 2, levels)
+        graft.operators.Similarity.assignCellsTree(bigEmb,
+          cent.select(col("cent_id").as("vec_id"),
+            col("ce").as("embedding")),
+          "embedding", cmT, 2, levels).count()
+      }
       // PageRank on factor× disjoint copies of the trade graph (same
       // structure per copy, factor× the rows through every per-round
       // join/aggregate)
@@ -189,6 +206,44 @@ object ScaleBench {
       if (want("harmonic")) timed("harmonic") {
         graft.operators.Graph.harmonicCentralityHyperBall(
           sym, "src", "dst", rounds = 3, p = 4).count()
+      }
+      // A/B counterfactual: the pre-r6 estimate shape — one ball-
+      // estimate fold per round + chained joins — on the identical
+      // graph, within the same session (bit-identical output, GraphSpec)
+      if (want("harmonic_perround")) timed("harmonic_perround") {
+        graft.operators.Graph.harmonicCentralityHyperBall(
+          sym, "src", "dst", rounds = 3, p = 4,
+          fusedEstimates = false).count()
+      }
+      // decomposition: the sketch-merge loop ALONE (3 × edge⋈register
+      // join + (node,j) max-merge + localCheckpoint, no estimates) —
+      // mirrors the loop inside harmonicCentralityHyperBall; harmonic −
+      // harmonic_merge attributes the estimate/pivot side
+      if (want("harmonic_merge")) timed("harmonic_merge") {
+        val e2 = sym.select(col("src").cast("long").as("src"),
+            col("dst").cast("long").as("dst")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nodes2 = e2.select(col("src").as("node"))
+          .union(e2.select(col("dst").as("node"))).distinct()
+        val h = md5(col("node").cast("string"))
+        val wv = conv(substring(h, 2, 13), 16, 10).cast("long")
+        var regs = nodes2.select(col("node"),
+            conv(substring(h, 1, 1), 16, 10).cast("long").as("j"),
+            when(wv === 0, lit(53L))
+              .otherwise(lit(53L) - length(bin(wv)).cast("long"))
+              .as("mj"))
+          .localCheckpoint()
+        for (_ <- 1 to 3) {
+          val nbr = e2
+            .join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
+            .select(col("src").as("node"), col("j"), col("mj"))
+          regs = regs.unionByName(nbr)
+            .groupBy(col("node"), col("j")).agg(max(col("mj")).as("mj"))
+            .localCheckpoint()
+        }
+        val n = regs.count()
+        e2.unpersist()
+        n
       }
       (dropped, prNodes)
     } else (-1L, -1L)

@@ -245,6 +245,34 @@ class DedupSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("semantic dedup TREE: levels=1 equals the 2-level form at " +
+      "matching params; the deeper tree classifies every vector once, " +
+      "deterministically, with min-id survivors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val flat = asMap(Dedup.semanticDedup(emb, "vec_id", "embedding",
+      centroidStep = 50, iters = 1, tau = 0.4, coarseMult = 4,
+      nprobe = 2))
+    val one = asMap(Dedup.semanticDedupTree(emb, "vec_id", "embedding",
+      centroidStep = 50, iters = 1, tau = 0.4, coarseMult = 4,
+      nprobe = 2, levels = 1))
+    assert(one == flat,
+      "tree at depth 1 must reproduce the 2-level pipeline exactly")
+    val deep = asMap(Dedup.semanticDedupTree(emb, "vec_id", "embedding",
+      centroidStep = 50, iters = 1, tau = 0.4, coarseMult = 2,
+      nprobe = 2, levels = 2))
+    assert(deep.size == emb.count(), "every vector classified once")
+    assert(deep.values.exists(!_._2), "fixture should force some drops")
+    deep.groupBy(_._2._1).foreach { case (cell, members) =>
+      assert(members(members.keys.min)._2, s"min id of cell $cell dropped")
+    }
+    val again = asMap(Dedup.semanticDedupTree(emb, "vec_id", "embedding",
+      centroidStep = 50, iters = 1, tau = 0.4, coarseMult = 2,
+      nprobe = 2, levels = 2))
+    assert(again == deep, "deterministic across runs")
+  }
+
   test("winnowing fingerprints detect shared substrings") {
     import graft.expressions.Winnowing
     val shared = "the quick brown fox jumps over the lazy dog tonight"
@@ -474,6 +502,26 @@ class DedupSpec extends AnyFunSuite with SparkTester {
     assert(out.count(_._2._2) == 3)
   }
 
+  test("survivorByQuality: STRING ids work (no silent negation cast); " +
+      "non-numeric score fails fast") {
+    val docs = Seq(
+      ("u-b", "the full original long copy"),
+      ("u-a", "short copy"),
+      ("u-c", "tie text"), ("u-d", "tie text")).toDF("doc_id", "text")
+    val clusters = Seq(("u-a", "c1"), ("u-b", "c1"),
+      ("u-c", "c2"), ("u-d", "c2")).toDF("doc_id", "cluster_id")
+    val out = Dedup.survivorByQuality(docs, "doc_id", clusters,
+        length(col("text")).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(out == Map("u-a" -> false, "u-b" -> true,
+      "u-c" -> true, "u-d" -> false),
+      s"string ids: best score wins, ties to min id: $out")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.survivorByQuality(docs, "doc_id", clusters, col("text"))
+    }
+    assert(ex.getMessage.contains("must be numeric"))
+  }
+
   test("char-level exact-substring: catches the duplicated run the " +
       "token-k grid misses (few long tokens), cuts it at char precision") {
     // the shared 46-char run spans only THREE tokens — invisible to the
@@ -548,6 +596,109 @@ class DedupSpec extends AnyFunSuite with SparkTester {
     assert(out(1L)._2 == 52 && out(1L)._3 == 54)
     assert(out(2L) == ((0, 0, 5, "short")))
     assert(out(3L) == ((0, 0, 0, "")))
+  }
+
+  test("maximal spans: a duplicated run SHORTER than the C-char window " +
+      "is reported with its exact length; one span per occurrence") {
+    // 18-char shared run "ABCDEFGHIJKLMNOPQR" with fully distinct
+    // surroundings — invisible to the window form at C = 24, reported
+    // with match_len exactly 18 by the suffix-slice form at minLen = 16
+    val run = "ABCDEFGHIJKLMNOPQR"
+    assert(run.length == 18)
+    val d = Seq(
+      (1L, s"wwwwwwwwww${run}zzzzzzzzzz"),
+      (2L, s"qqqqqqqqqq${run}kkkkkkkkkk"),
+      (3L, "totally unrelated text that matches nothing at all here"))
+      .toDF("doc_id", "text")
+    val windowed = Dedup.exactSubstringSpansChars(d, "doc_id", "text",
+        minChars = 24)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(windowed.values.forall(_ == 0),
+      s"C=24 window form must miss the 18-char run: $windowed")
+    val spans = Dedup.exactSubstringMaximalSpans(d, "doc_id", "text",
+        minLen = 16, maxLen = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(spans.toSet == Set((1L, 10, 18), (2L, 10, 18)),
+      s"exactly one maximal span per occurrence, exact length: " +
+        spans.mkString(", "))
+  }
+
+  test("maximal spans: within-doc repeats count; runs longer than " +
+      "maxLen keep exact coverage via successive capped spans") {
+    val run26 = "abcdefghijklmnopqrstuvwxyz"
+    val d = Seq(
+      (1L, s"$run26--$run26"),       // within-doc repeat, len 26 > maxLen 20
+      (2L, "nothing shared here at all okay"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringMaximalSpans(d, "doc_id", "text",
+        minLen = 12, maxLen = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(spans.forall(_._1 == 1L), s"doc 2 clean: $spans")
+    // coverage of [pos, pos+len) must equal the windowed form's
+    // dup-char coverage at minChars = minLen — capped lengths saturate
+    // but successive spans keep the union exact
+    val covered = spans.flatMap { case (_, p, l) => p until (p + l) }.toSet
+    val windowed = Dedup.exactSubstringSpansChars(d, "doc_id", "text",
+        minChars = 12)
+      .filter(col("doc_id") === 1L).head
+    assert(covered.size == windowed.getInt(2),
+      s"maximal-span coverage ${covered.size} vs windowed dup_chars " +
+        s"${windowed.getInt(2)}")
+    // every reported length saturates at maxLen or is the exact run
+    assert(spans.forall(_._3 <= 20))
+    assert(spans.exists(_._3 == 20), "the 26-char run must cap at 20")
+  }
+
+  test("maximal spans coverage equals the windowed form on a mixed " +
+      "corpus where both apply; deterministic under repartition") {
+    val shared = "the colourless green ideas sleep furiously tonight"
+    val d = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"uno dos $shared tres cuatro"),
+      (3L, s"prefix $shared suffix and then $shared again"),
+      (4L, "no duplication in this one whatsoever truly"))
+      .toDF("doc_id", "text")
+    val minLen = 16
+    val spans = Dedup.exactSubstringMaximalSpans(d, "doc_id", "text",
+        minLen = minLen, maxLen = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val covByDoc = spans.groupBy(_._1).map { case (id, ss) =>
+      id -> ss.flatMap { case (_, p, l) => p until (p + l) }.toSet.size
+    }
+    val windowed = Dedup.exactSubstringSpansChars(d, "doc_id", "text",
+        minChars = minLen)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    windowed.foreach { case (id, dup) =>
+      assert(covByDoc.getOrElse(id, 0) == dup,
+        s"doc $id: maximal-span coverage ${covByDoc.getOrElse(id, 0)} " +
+          s"!= windowed dup_chars $dup")
+    }
+    val again = Dedup.exactSubstringMaximalSpans(d.repartition(7),
+        "doc_id", "text", minLen = minLen, maxLen = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(again.toSet == spans.toSet, "partitioning-invariant")
+  }
+
+  test("char-level exact-substring: supplementary-plane chars (emoji) " +
+      "count as ONE position, so spans after them cut cleanly") {
+    // U+1F980/U+1F40D are 2 UTF-16 code units but 1 code point each; a
+    // code-unit window indexer would shift doc 1's span right by the 3
+    // emoji and cut into "tail" while leaving half the run in place
+    val run = "abcdefghijklmnopqrstuvwxyz"  // 26 chars, shared
+    val d = Seq(
+      (1L, s"🦀🦀🦀 $run tail"),
+      (2L, s"lead $run 🐍🐍 end")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringSpansChars(d, "doc_id", "text",
+        minChars = 20)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    // shared maximal run is " <run> " (28 code points) in both docs
+    assert(out(1L) == ((1, 28, 35, "🦀🦀🦀tail")),
+      s"emoji-prefixed doc must cut exactly the shared run: $out")
+    assert(out(2L) == ((1, 28, 38, "lead🐍🐍 end")),
+      s"emoji-suffixed doc must cut exactly the shared run: $out")
+    // the invariant the code-unit bug violated: dup never exceeds total
+    assert(out.values.forall(v => v._2 <= v._3))
   }
 }
 
@@ -709,6 +860,66 @@ class ProfilerSpec extends AnyFunSuite with SparkTester {
     // all-green path: empty violation predicates pass
     val ok = Profiler.expectRows(fact, Seq("never" -> lit(false))).head
     assert(ok.getLong(1) == 0 && ok.getBoolean(2))
+  }
+
+  test("adaptive shuffle gate: fires on a mostly-unique key, stays off " +
+      "on a repetitive key, and never changes the counts") {
+    import graft.operators.AdaptiveShuffle
+    val uniq = spark.range(0, 20000)
+      .select(md5(col("id").cast("string")).as("k"))
+    val rep = spark.range(0, 20000)
+      .select(concat(lit("k"), pmod(col("id"), lit(50))).as("k"))
+    assert(AdaptiveShuffle.keyUniquenessEstimate(uniq, "k") > 0.9)
+    assert(AdaptiveShuffle.keyUniquenessEstimate(rep, "k") < 0.1)
+    def hasRepartition(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical
+          .RepartitionByExpression => r
+      }.nonEmpty
+    val up = AdaptiveShuffle.adaptiveKeyCount(uniq, "k")
+    val rp = AdaptiveShuffle.adaptiveKeyCount(rep, "k")
+    assert(hasRepartition(up), "gate must fire shuffle-first on ~unique")
+    assert(!hasRepartition(rp), "gate must keep combine-first on hot keys")
+    // plan choice only — both shapes equal the plain groupBy counts
+    assert(up.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      uniq.groupBy("k").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    assert(rp.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      rep.groupBy("k").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
+  test("adaptive gate fires inside the capped ngram path on a " +
+      "high-uniqueness shingle corpus, and the pairs are unchanged") {
+    import graft.operators.{AdaptiveShuffle, Dedup}
+    // salted docs: every token unique per (doc, position) except two
+    // planted near-dups -> shingles are overwhelmingly corpus-unique,
+    // exactly the regime the r5 decomposition showed spilling
+    val salted = (0L until 60L).map { d =>
+      val toks = (0 until 40).map(i => s"t${d}x$i").mkString(" ")
+      (d, toks)
+    }
+    val nearDup = Seq(
+      (100L, (0 until 40).map(i => s"shared$i").mkString(" ")),
+      (101L, (0 until 40).map(i => s"shared$i").mkString(" ")))
+    val df = (salted ++ nearDup).toDF("doc_id", "text")
+    // the shingle key space of this corpus is ~fully unique
+    val sh = df.select(col("doc_id"), explode(transform(
+      sequence(lit(0), lit(35)), i => concat_ws(" ",
+        (0 until 5).map(j => element_at(split(col("text"), " "),
+          i + j + 1)): _*))).as("sh"))
+    assert(AdaptiveShuffle.keyUniquenessEstimate(sh, "sh") > 0.5,
+      "constructed corpus must sit in the mostly-unique regime")
+    val capped = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        k = 5, threshold = 0.8, maxDocFreq = Some(1000L))
+      .select("doc_a", "doc_b").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        k = 5, threshold = 0.8, maxDocFreq = None)
+      .select("doc_a", "doc_b").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped && capped == Set((100L, 101L)),
+      s"gated plan must not change the answer: $capped vs $uncapped")
   }
 
   test("histogram: clamped bins, exact per-bin counts and bounds") {
@@ -897,6 +1108,26 @@ class GraphSpec extends AnyFunSuite with SparkTester {
         rounds = 3, p = 4)
       .collect().map(x => x.getLong(0) -> x.getDouble(5)).toMap
     assert(again == r.map { case (k, v) => k -> v._5 }, "deterministic")
+  }
+
+  test("HyperBall fused estimate pass is bit-identical to the " +
+      "per-round fold-and-join counterfactual") {
+    // a less regular graph than the star: two linked triangles plus a
+    // pendant chain, symmetrized — distinct ball sizes per round
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 3L), (5L, 6L), (6L, 7L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    def run(fused: Boolean) =
+      Graph.harmonicCentralityHyperBall(edges, "src", "dst",
+          rounds = 3, p = 4, fusedEstimates = fused)
+        .collect().map(x => x.getLong(0) ->
+          (x.getDouble(1), x.getDouble(2), x.getDouble(3),
+            x.getDouble(4), x.getDouble(5))).toMap
+    val fused = run(true)
+    val perRound = run(false)
+    assert(fused == perRound,
+      s"fused and per-round estimates must agree on every round's ball" +
+        s" AND the harmonic fold: $fused vs $perRound")
   }
 
   test("pageRank single iteration matches the hand-computed update") {
@@ -1089,6 +1320,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
       .select("vec_id", "cell").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(repart == pruned, "hier assignment must be partitioning-invariant")
+  }
+
+  test("tree assignment: levels=1 equals hier bit-for-bit; exhaustive " +
+      "probes equal exact; deeper trees assign every vector, " +
+      "partitioning-invariant") {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val cent = Similarity.kmeansCentroids(base, "embedding", 50, 1)
+      .select(col("cent_id").as("vec_id"), col("ce").as("embedding"))
+    val k = cent.count().toInt
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one rep layer IS the 2-level hier scheme: same sampled reps, same
+    // probed cells, same candidate argmin — outputs must be identical
+    for (np <- Seq(1, 2)) {
+      val hier = asMap(Similarity.assignCellsHier(base, cent,
+        "embedding", coarseMult = 4, nprobe = np))
+      val tree = asMap(Similarity.assignCellsTree(base, cent,
+        "embedding", coarseMult = 4, nprobe = np, levels = 1))
+      assert(tree == hier, s"levels=1 must equal hier at nprobe=$np")
+    }
+    // nprobe >= every layer's width keeps every cell at every level ->
+    // the final candidate set is ALL centroids -> exact argmin
+    val exact = asMap(Similarity.assignCells(base, cent, "embedding"))
+    val full = asMap(Similarity.assignCellsTree(base, cent, "embedding",
+      coarseMult = 4, nprobe = k, levels = 2))
+    assert(full == exact, "exhaustive tree probe must reproduce exact")
+    // a 3-level pruned tree: every vector assigned once, to a real
+    // centroid, invariant under repartition
+    val deep = asMap(Similarity.assignCellsTree(base, cent, "embedding",
+      coarseMult = 2, nprobe = 1, levels = 3))
+    assert(deep.size == base.count())
+    val centIds = cent.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(deep.values.forall(centIds.contains))
+    val repart = asMap(Similarity.assignCellsTree(base.repartition(7),
+      cent, "embedding", coarseMult = 2, nprobe = 1, levels = 3))
+    assert(repart == deep, "tree assignment must be partitioning-invariant")
   }
 
   test("sparse cosine top-k matches hand-computed cosines; disjoint " +
@@ -1500,6 +1768,55 @@ class BpeSpec extends AnyFunSuite with SparkTester {
         r.getLong(3))).toSeq
     assert(got == Seq((0, "a", "a", 6L), (1, "aa", "aa", 2L)),
       s"got $got")
+  }
+
+  test("BPE convention pinned: an ODD run of one repeated symbol " +
+      "merges as [aa,a,aa], not canonical BPE's [aa,aa,a]") {
+    // 'aaaaa' (5-run): pass one of the double replace matches ␟a␟a␟ at
+    // positions 0 AND 6 (the scan resumes after each match's consumed
+    // trailing delimiter), leaving the middle 'a' single — so round 1
+    // sees pairs (aa,a) and (a,aa), tie-broken to (a,aa). Canonical
+    // leftmost-sequential BPE would give [aa,aa,a] and merge (aa,aa).
+    // This is the repo-defined convention both engines replay; the
+    // scaladoc documents the divergence.
+    val df = Seq((1L, "aaaaa aaaaa aaaaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrainMerges(df, "doc_id", "text",
+        vocabSize = 5, rounds = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((0, "a", "a", 12L), (1, "a", "aa", 3L)),
+      s"repo convention [aa,a,aa] must yield merge (a,aa): $got")
+  }
+
+  test("BPE training is ONE corpus pass: 4x the merge rounds adds " +
+      "ZERO Spark jobs (driver-local merge loop)") {
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    def jobsDuring(tag: String, rounds: Int): Int = {
+      spark.sparkContext.setJobGroup(tag, tag)
+      try TextAnalysis.bpeTrainMerges(df, "doc_id", "text",
+        vocabSize = 10, rounds = rounds).collect()
+      finally spark.sparkContext.clearJobGroup()
+      // the status store ingests listener events asynchronously — poll
+      // until the count is stable so the assertion doesn't race it
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 5000) {
+        val now = spark.sparkContext.statusTracker
+          .getJobIdsForGroup(tag).length
+        if (now == last) stable += 1 else { stable = 0; last = now }
+        Thread.sleep(100); waited += 100
+      }
+      last
+    }
+    val j8 = jobsDuring("bpe-jobs-r8", 8)
+    val j32 = jobsDuring("bpe-jobs-r32", 32)
+    assert(j8 >= 1, s"corpus pass must run at least one job: $j8")
+    assert(j32 == j8,
+      s"merge rounds must be driver-local (O(1) jobs): r8=$j8 r32=$j32")
   }
 }
 
