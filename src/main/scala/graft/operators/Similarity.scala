@@ -241,8 +241,13 @@ object Similarity {
     require(coarseMult >= 2 && nprobe >= 1 && levels >= 1,
       s"need coarseMult >= 2, nprobe >= 1, levels >= 1; " +
         s"got $coarseMult/$nprobe/$levels")
+    // materialize the (k-row) centroid table ONCE: the descent
+    // references it ~2·levels times (layer windows, parent maps, kid
+    // vectors) and when it arrives as a trained quantizer its plan is a
+    // corpus-wide re-average — unmaterialized, every reference would
+    // re-run that aggregation (measured 10× on the registry row)
     val cent = centroids.select(col("vec_id").as("cent_id"),
-      col(vecCol).as("ce"))
+      col(vecCol).as("ce")).localCheckpoint()
     // rep layers: lv(0) = the centroids; lv(l) = every coarseMult-th of
     // lv(l-1) by id rank (rank, not id-modulo — Lloyd's dropout can
     // never empty a layer, and the top layer always has >= 1 rep)

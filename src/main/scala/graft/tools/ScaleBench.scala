@@ -284,6 +284,18 @@ object ScaleBench {
           .filter(col("c") >= 2).count()
       } else -1L
 
+    // length-maximal spans via bounded suffix slices: the suffix table
+    // is (chars − minLen + 1) rows × maxLen-char slices — ~maxLen× the
+    // corpus bytes through one range shuffle + two rank-equi-joins, so
+    // the curve should track corpus bytes ~linearly with a large
+    // constant (the price of exact maximal lengths; the windowed form
+    // is the cheap screen, this is the precise reporter)
+    val nSubstrMax = if (runExt && want("substr_maximal"))
+      timed("substr_maximal") {
+        Dedup.exactSubstringMaximalSpans(big, "doc_id", "text",
+          minLen = 16, maxLen = 32).count()
+      } else -1L
+
     // decomposition stage: the codegen rolling-hash explode alone (no
     // shuffle at all) — the pure map-side floor under substr_hash
     val nSubstrExp = if (runExt && want("substr_explode"))
@@ -342,6 +354,7 @@ object ScaleBench {
       s""""pagerank_nodes":$nPrNodes,""" +
       s""""incremental_dropped":$nIncDropped,""" +
       s""""substr_chars_docs":$nSubstrChars,""" +
+      s""""substr_maximal_spans":$nSubstrMax,""" +
       s""""classifier_kept":$nClsKept}""")
   }
 }

@@ -269,4 +269,33 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("dedup_substring_maximal: codegen LCP over rank-joined suffix " +
+      "slices; the only single-partition window is the tiny offset " +
+      "table; offsets broadcast back") {
+    val p = plan("dedup_substring_maximal")
+    assert(p.contains("common_prefix_chars"), p)
+    assert(p.contains("BroadcastHashJoin"), p)  // pid -> offset fix-up
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the corpus-scale rank window partitions by pid; the offsets
+    // cumsum is the one unpartitioned window and reads an aggregate of
+    // <= shuffle-partitions rows, never suffix rows
+    assert(p.contains("[pid"), p)
+  }
+
+  test("dedup_semantic_tree: the descent is broadcast-only (one " +
+      "broadcast per layer, in-row probe — no corpus fan-out join at " +
+      "all); the within-cell pair stage stays a true equi-join") {
+    val p = plan("dedup_semantic_tree")
+    assert(!p.contains("CartesianProduct"), p)
+    // unlike the flat/hier forms there is NO vector × centroid
+    // nested-loop fan-out: the layers arrive as broadcast one-row
+    // array/map tables and the probe is element_at inside a projection
+    assert(p.contains("BroadcastNestedLoopJoin Inner BuildRight"), p)
+    // the only shuffled joins are the within-cell pair stage on cell
+    assert(p.contains("SortMergeJoin Inner") ||
+      p.contains("ShuffledHashJoin Inner") ||
+      p.contains("BroadcastHashJoin Inner"), p)
+  }
 }
