@@ -3083,6 +3083,54 @@ object CurationQueries {
           COALESCE(h.n_hits, 0) > 0 AS contaminated
         FROM corp c LEFT JOIN hits h USING (doc_id)""")),
 
+    // bloom-prefiltered decontamination — the same contamination
+    // verdicts when the benchmark shingle set is bitmap-compressed
+    // instead of broadcast-joined (the too-big-to-broadcast regime).
+    // n_candidates exposes the bloom's own decisions (the excess over
+    // n_hits is the measured false-positive mass), and the oracle
+    // replays the md5 bit assignments — the filter is differential-
+    // tested, not asserted
+    Q("decontam_bloom",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        Curation.decontaminateBloom(
+          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 20 === 0), "text", k = 5,
+          mBits = 262144, kHashes = 3)
+      },
+      Some(s"""WITH corp AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+        bench AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        ${DedupQueries.shingleCtesFor("corp", "wc", "sc")},
+        ${DedupQueries.shingleCtesFor("bench", "wb", "sb")},
+        bsh AS (SELECT DISTINCT unnest(s) AS g FROM sb),
+        pos AS (
+          SELECT DISTINCT ('0x' || substr(md5(g || '#' || i), 1, 8))::BIGINT
+            % 262144 AS p
+          FROM bsh CROSS JOIN (SELECT unnest(range(0, 3)) AS i) ii),
+        csh AS (SELECT doc_id, unnest(s) AS g FROM sc),
+        cp AS (
+          SELECT doc_id, g,
+            ('0x' || substr(md5(g || '#0'), 1, 8))::BIGINT % 262144 AS p0,
+            ('0x' || substr(md5(g || '#1'), 1, 8))::BIGINT % 262144 AS p1,
+            ('0x' || substr(md5(g || '#2'), 1, 8))::BIGINT % 262144 AS p2
+          FROM csh),
+        cand AS (
+          SELECT doc_id, g FROM cp
+          WHERE p0 IN (SELECT p FROM pos) AND p1 IN (SELECT p FROM pos)
+            AND p2 IN (SELECT p FROM pos)),
+        nc AS (
+          SELECT doc_id, count(*) AS n_candidates FROM cand GROUP BY doc_id),
+        nh AS (
+          SELECT doc_id, count(*) AS n_hits
+          FROM cand JOIN bsh USING (g) GROUP BY doc_id)
+        SELECT c.doc_id, COALESCE(nc.n_candidates, 0) AS n_candidates,
+          COALESCE(nh.n_hits, 0) AS n_hits,
+          COALESCE(nh.n_hits, 0) > 0 AS contaminated
+        FROM corp c LEFT JOIN nc USING (doc_id)
+          LEFT JOIN nh USING (doc_id)""")),
+
     // Gopher quality-rule suite (Rae et al. 2021 A1.1) over a corpus
     // seeded — identically in both engines — so every rule fires
     // somewhere: bullet lines (2 on id%7, 10 on id%13 — only the

@@ -333,6 +333,57 @@ object Curation {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-prefiltered benchmark decontamination — the shape of
+    * [[decontaminate]] for the regime where the benchmark k-gram set is
+    * too large to broadcast as a join hash table (a full eval-suite
+    * union is easily 10⁸ shingles ≈ tens of GB hashed) but compresses
+    * to a bitmap: build a [[BloomJoin]] bitmap over the benchmark
+    * k-grams (`mBits/8` bytes, independent of row count), probe every
+    * corpus shingle inside the scan's codegen span, and only the
+    * bloom-passing fraction enters the exact verification join. No
+    * false negatives by construction; false positives cost only wasted
+    * join rows — the exact join removes them, so `n_hits`/
+    * `contaminated` are identical to [[decontaminate]] (spec-pinned).
+    *
+    * The bloom's own decisions are part of the output — `n_candidates`
+    * counts the bloom-passing distinct shingles per doc (≥ `n_hits`;
+    * the excess IS the measured false-positive mass), and the oracle
+    * replays the md5 bit assignments, so the filter behaviour itself is
+    * differential-tested at corpus scale, not just asserted.
+    *
+    * Scale shape: corpus side linear (codegen shingles → k md5 probes
+    * per shingle → filter); the shuffle after the filter carries
+    * ~(true hits + FP rate × corpus shingles) rows instead of every
+    * shingle — at 100 TB the difference between shuffling the corpus
+    * and shuffling ~nothing. Returns `(doc_id, n_candidates, n_hits,
+    * contaminated)`. */
+  def decontaminateBloom(corpus: DataFrame, idCol: String,
+      textCol: String, benchmark: DataFrame, benchTextCol: String,
+      k: Int = 5, mBits: Int = 1 << 18, kHashes: Int = 3): DataFrame = {
+    import graft.expressions.TextExpressions
+    val docSh = corpus.select(col(idCol).as("doc_id"),
+      explode(TextExpressions.wordShingles(col(textCol), k)).as("sh"))
+    val benchSh = benchmark.select(
+        explode(TextExpressions.wordShingles(col(benchTextCol), k))
+          .as("sh"))
+      .distinct()
+    val bm = BloomJoin.buildBitmap(benchSh, "sh", mBits, kHashes)
+    val cand = BloomJoin.withBloomHit(docSh, "sh", bm, mBits, kHashes)
+      .filter(col("bloom_hit"))
+      .select(col("doc_id"), col("sh"))
+    val nCand = cand.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val hits = cand.join(benchSh, Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(nCand, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Temperature-based domain mixing (the multinomial-smoothing rule of
     * multilingual/multi-corpus training — Conneau & Lample,
     * arXiv:1901.07291 §3.1; GPT-3's weighted sampling): downsample each

@@ -533,6 +533,35 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(r.getLong(1) == 1L)
   }
 
+  test("decontaminateBloom: verdicts identical to the exact form; " +
+      "candidates are a superset of hits (no false negatives); a " +
+      "deliberately tiny bitmap produces false positives WITHOUT " +
+      "changing any verdict") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter($"doc_id" % 20 =!= 0)
+    val bench = docs.filter($"doc_id" % 20 === 0)
+    val exact = Curation
+      .decontaminate(corpus, "doc_id", "text", bench, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    // production-sized bitmap: same verdicts, candidates >= hits
+    val bloom = Curation.decontaminateBloom(corpus, "doc_id", "text",
+      bench, "text", mBits = 262144).collect()
+    assert(bloom.map(r =>
+      (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet == exact)
+    assert(bloom.forall(r => r.getLong(1) >= r.getLong(2)))
+    // saturation regime: 512 bits for thousands of keys — most shingles
+    // pass spuriously (candidates >> hits), yet the exact verify join
+    // keeps every verdict identical. This is the no-wrong-answers claim
+    // of the scaladoc under the worst bitmap sizing
+    val tiny = Curation.decontaminateBloom(corpus, "doc_id", "text",
+      bench, "text", mBits = 512).collect()
+    assert(tiny.map(r =>
+      (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet == exact)
+    assert(tiny.exists(r => r.getLong(1) > r.getLong(2)))
+  }
+
   test("curate pipeline end-to-end: scrub -> dedup -> quota -> sample, " +
       "deterministic across reruns") {
     val dir = java.nio.file.Files.createTempDirectory("graft-curate")
