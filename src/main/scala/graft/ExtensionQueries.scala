@@ -1031,6 +1031,50 @@ object SimilarityQueries {
       assign AS (SELECT vec_id, cell FROM aF)"""
   }
 
+  /** DuckDB CTE chain replaying [[Similarity.pcaFit]]'s power iteration:
+    * centered elements `xc(vec_id, i, x)`, corpus count `nn(n)`, and per
+    * round t the projection scalars `s_t`, unnormalized direction `w_t`,
+    * squared norm `n_t(n2)`, and 6-dp unit direction `v_t(i, vv)`. Every
+    * sum is an exact DECIMAL(28,12) fold — identical algebra to the
+    * Spark side, so the iteration cannot drift. */
+  /** The power loop's CTEs over a centered-element table `src(vec_id,
+    * i, x)`, names prefixed with `p` (DuckDB rejects duplicate CTE
+    * names — the deflation query runs the chain twice). */
+  private def pcaSteps(p: String, src: String, iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""${p}s$t AS (
+        SELECT vec_id,
+          CAST(sum(CAST(x * vv AS DECIMAL(28,12))) AS DOUBLE) AS s
+        FROM $src JOIN ${p}v${t - 1} USING (i) GROUP BY vec_id),
+      ${p}w$t AS (
+        SELECT i, CAST(sum(CAST(s * x AS DECIMAL(28,12))) AS DOUBLE) AS w
+        FROM $src JOIN ${p}s$t USING (vec_id) GROUP BY i),
+      ${p}n$t AS (
+        SELECT CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE) AS n2
+        FROM ${p}w$t),
+      ${p}v$t AS (
+        SELECT i, CASE WHEN n2 <= 0 THEN 0.0
+                       ELSE round(w / sqrt(n2), 6) END AS vv
+        FROM ${p}w$t CROSS JOIN ${p}n$t)"""
+    }.mkString(",\n      ")
+    s"""${p}v0 AS (SELECT i, 0.125 AS vv FROM mu),
+      $steps"""
+  }
+
+  private def pcaCtes(iters: Int): String =
+    s"""e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      mu AS (
+        SELECT i, CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+          / count(*) AS mu
+        FROM e GROUP BY i),
+      xc AS (SELECT vec_id, e.i AS i, v - mu AS x
+             FROM e JOIN mu ON e.i = mu.i),
+      nn AS (SELECT count(*) AS n FROM embeddings),
+      ${pcaSteps("", "xc", iters)}"""
+
   def all: Seq[Q] = Seq(
 
     // per-dimension z-score standardization — every element's scaled
@@ -1053,6 +1097,55 @@ object SimilarityQueries {
           CASE WHEN m2 - mu * mu <= 0 THEN 0.0
                ELSE round((v - mu) / sqrt(m2 - mu * mu), 6) END AS z
         FROM e JOIN st USING (i)""")),
+
+    // top principal component by matrix-free power iteration (3 rounds,
+    // fixed init): per-dimension loading + Rayleigh eigenvalue, every
+    // coordinate hash-checked against a DuckDB replay of the descent
+    Q("embedding_pca_power",
+      (s, dir) => Similarity.pcaPowerComponent(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
+        iters = 3),
+      Some(s"""WITH ${pcaCtes(3)}
+        SELECT CAST(v3.i AS INTEGER) AS i, vv AS loading,
+          round(sqrt(n3.n2) / nn.n, 6) AS lambda
+        FROM v3 CROSS JOIN n3 CROSS JOIN nn""")),
+
+    // per-vector projection onto that trained component — the 1-d PCA
+    // feature for bucketing/stratification; all 500 scores hash-checked
+    Q("embedding_pca_project",
+      (s, dir) => Similarity.pcaProjectScores(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
+        iters = 3),
+      Some(s"""WITH ${pcaCtes(3)}
+        SELECT vec_id,
+          round(CAST(sum(CAST(x * vv AS DECIMAL(28,12))) AS DOUBLE), 6)
+            AS score
+        FROM xc JOIN v3 USING (i) GROUP BY vec_id""")),
+
+    // top-2 components by Hotelling deflation: train v1, subtract each
+    // row's v1-projection, train v2 on the residual — both bases and
+    // eigenvalues hash-checked through the doubled CTE chain
+    Q("embedding_pca_deflate",
+      (s, dir) => Similarity.pcaDeflateComponents(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
+        iters = 3),
+      Some(s"""WITH ${pcaCtes(3)},
+        sF AS (
+          SELECT vec_id,
+            CAST(sum(CAST(x * vv AS DECIMAL(28,12))) AS DOUBLE) AS s
+          FROM xc JOIN v3 USING (i) GROUP BY vec_id),
+        xd AS (
+          SELECT xc.vec_id AS vec_id, xc.i AS i, x - s * vv AS x
+          FROM xc JOIN v3 ON xc.i = v3.i
+          JOIN sF ON xc.vec_id = sF.vec_id),
+        ${pcaSteps("d", "xd", 3)}
+        SELECT CAST(1 AS INTEGER) AS comp, CAST(v3.i AS INTEGER) AS i,
+          vv AS loading, round(sqrt(n3.n2) / nn.n, 6) AS lambda
+        FROM v3 CROSS JOIN n3 CROSS JOIN nn
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), CAST(dv3.i AS INTEGER),
+          vv, round(sqrt(dn3.n2) / nn.n, 6)
+        FROM dv3 CROSS JOIN dn3 CROSS JOIN nn""")),
 
     // hard-negative mining: per query, the 10 nearest vectors with a
     // DIFFERENT label (contrastive-training sampling); membership,

@@ -875,4 +875,156 @@ object Similarity {
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
   }
+
+  // ---- PCA via distributed power iteration --------------------------------
+
+  /** Collapse a (i, value) table into a ONE-ROW array table ordered by i
+    * (array_sort on (i, value) structs — i unique, so deterministic).
+    * The standard shape for shipping a tiny model vector back onto the
+    * corpus as a broadcast cross join. */
+  private def oneRowArray(tbl: DataFrame, iCol: String, vCol: String,
+      out: String): DataFrame =
+    tbl.agg(array_sort(collect_list(struct(col(iCol), col(vCol))))
+        .as("__p"))
+      .select(transform(col("__p"), s => s.getField(vCol)).as(out))
+
+  /** Shared descent for [[pcaPowerComponent]] / [[pcaProjectScores]]:
+    * top principal direction of the centered embedding cloud by power
+    * iteration, v_{t+1} = normalize(Σ_r x_r (x_r · v_t)) with
+    * x_r = emb_r − μ, fixed iteration count, v_0 = 0.125·1 (any fixed
+    * non-orthogonal init works; constant is trivially replayable).
+    *
+    * Scale shape (matrix-free — the d×d covariance is never formed):
+    * each iteration is ONE corpus scan: μ and v_t cross in as one-row
+    * broadcast array tables, the projection scalar s_r = x_r·v_t is a
+    * per-row fold, and the new direction Σ s_r·x_r is a posexplode +
+    * map-side-combined d-group aggregate — only d rows shuffle. No
+    * corpus-keyed join or shuffle anywhere; T iterations = T scans.
+    *
+    * Numeric parity (oracle-checkable): per-element products are IEEE
+    * doubles (identical both engines) cast to DECIMAL(28,12); every sum
+    * — the per-row fold AND the per-dimension aggregate — is exact
+    * decimal, so order never matters; one double divide + 6-dp round
+    * per iteration keeps v_t itself bit-identical. Every tiny table
+    * whose lineage embeds a corpus pass (μ, each v_t, ‖w‖²) is
+    * localCheckpoint-materialized before re-reference — the trained-
+    * quantizer lesson (NOTES round 6). */
+  private val pcaDec = "decimal(28,12)"
+
+  /** Exact-decimal dot of two double arrays: per-element IEEE product
+    * cast to DECIMAL(28,12), folded exactly (order-free — equals any
+    * engine's decimal group-sum over the same products). */
+  private def pcaFold(xs: Column, vv: Column): Column =
+    aggregate(zip_with(xs, vv, (x, v) => (x * v).cast(pcaDec)),
+      lit(BigDecimal(0)).cast(pcaDec),
+      (acc, e) => (acc + e).cast(pcaDec)).cast("double")
+
+  /** Centered corpus view `(vec_id, xs)` + one-row corpus count. μ
+    * crosses in as a one-row broadcast array; the view is recomputed
+    * inside each downstream scan, never stored. */
+  private def pcaBase(df: DataFrame, idCol: String, vecCol: String)
+      : (DataFrame, DataFrame) = {
+    val el = df.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("p", "v")))
+      .select(col("vec_id"), (col("p") + 1).as("i"),
+        col("v").cast("double").as("v"))
+    val mu = el.groupBy(col("i")).agg(
+      (sum(col("v").cast(pcaDec)).cast("double") / count(lit(1)))
+        .as("mu"))
+    val muRow = oneRowArray(mu, "i", "mu", "mu_arr").localCheckpoint()
+    val nRow = df.agg(count(lit(1)).cast("double").as("n"))
+      .localCheckpoint()
+    val base = df.select(col(idCol).as("vec_id"), col(vecCol).as("__e"))
+      .crossJoin(broadcast(muRow))
+      .select(col("vec_id"), zip_with(col("__e"), col("mu_arr"),
+        (x, m) => x.cast("double") - m).as("xs"))
+    (base, nRow)
+  }
+
+  /** The power loop over a centered view: returns the final one-row
+    * unit direction array and the one-row ‖w‖² of the last round. */
+  private def pcaIterate(base: DataFrame, iters: Int)
+      : (DataFrame, DataFrame) = {
+    var vRow = base.limit(1)
+      .select(transform(col("xs"), _ => lit(0.125)).as("v_arr"))
+      .localCheckpoint()
+    var n2Row: DataFrame = null
+    for (_ <- 1 to iters) {
+      val withS = base.crossJoin(broadcast(vRow))
+        .select(col("xs"), pcaFold(col("xs"), col("v_arr")).as("s"))
+      val w = withS
+        .select(posexplode(transform(col("xs"),
+          x => (col("s") * x).cast(pcaDec))).as(Seq("p", "c")))
+        .groupBy((col("p") + 1).as("i"))
+        .agg(sum(col("c")).cast("double").as("w"))
+      n2Row = w.agg(sum((col("w") * col("w")).cast(pcaDec))
+        .cast("double").as("n2")).localCheckpoint()
+      val vT = w.crossJoin(broadcast(n2Row))
+        .select(col("i"), when(col("n2") <= 0, lit(0.0))
+          .otherwise(round(col("w") / sqrt(col("n2")), 6)).as("vv"))
+      vRow = oneRowArray(vT, "i", "vv", "v_arr").localCheckpoint()
+    }
+    (vRow, n2Row)
+  }
+
+  private def pcaFit(df: DataFrame, idCol: String, vecCol: String,
+      iters: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (base, nRow) = pcaBase(df, idCol, vecCol)
+    val (vRow, n2Row) = pcaIterate(base, iters)
+    (base, vRow, n2Row, nRow)
+  }
+
+  /** Top principal component of the embedding cloud after `iters` power
+    * rounds: one row per dimension `(i, loading, lambda)` where loading
+    * is the unit direction (6-dp) and lambda = ‖Σ x(x·v)‖ / n, the
+    * Rayleigh-quotient eigenvalue estimate of the covariance. */
+  def pcaPowerComponent(df: DataFrame, idCol: String, vecCol: String,
+      iters: Int): DataFrame = {
+    val (_, vRow, n2Row, nRow) = pcaFit(df, idCol, vecCol, iters)
+    vRow.crossJoin(n2Row).crossJoin(nRow)
+      .select(posexplode(col("v_arr")).as(Seq("p", "loading")),
+        col("n2"), col("n"))
+      .select((col("p") + 1).cast("int").as("i"), col("loading"),
+        round(sqrt(col("n2")) / col("n"), 6).as("lambda"))
+  }
+
+  /** Per-vector projection onto the trained top component — the 1-d
+    * PCA feature (corpus-level signal axis) a curation pass can bucket,
+    * stratify, or drift-monitor on. One corpus scan over the broadcast
+    * component; exact-decimal fold, 6-dp round. */
+  def pcaProjectScores(df: DataFrame, idCol: String, vecCol: String,
+      iters: Int): DataFrame = {
+    val (base, vRow, _, _) = pcaFit(df, idCol, vecCol, iters)
+    base.crossJoin(broadcast(vRow))
+      .select(col("vec_id"),
+        round(pcaFold(col("xs"), col("v_arr")), 6).as("score"))
+  }
+
+  /** Top TWO principal components via Hotelling deflation: train v₁ on
+    * the centered cloud, subtract each row's v₁-projection
+    * (x ← x − (x·v₁)v₁), train v₂ on the residual. Output one row per
+    * (comp, dimension) with the component's Rayleigh eigenvalue — the
+    * 2-d PCA basis a layout/visualization or decorrelation pass wants.
+    * Same matrix-free scan shape; the deflated view is a projection on
+    * top of the centered view (still never stored), so component c
+    * costs c·iters scans. Deflation arithmetic is plain doubles on the
+    * 6-dp-rounded v₁ plus one exact-decimal fold — replayable. */
+  def pcaDeflateComponents(df: DataFrame, idCol: String, vecCol: String,
+      iters: Int): DataFrame = {
+    val (base, nRow) = pcaBase(df, idCol, vecCol)
+    val (v1, n21) = pcaIterate(base, iters)
+    val base2 = base.crossJoin(broadcast(v1))
+      .withColumn("__s", pcaFold(col("xs"), col("v_arr")))
+      .select(col("vec_id"), zip_with(col("xs"), col("v_arr"),
+        (x, vv) => x - col("__s") * vv).as("xs"))
+    val (v2, n22) = pcaIterate(base2, iters)
+    def emit(vRow: DataFrame, n2Row: DataFrame, c: Int): DataFrame =
+      vRow.crossJoin(n2Row).crossJoin(nRow)
+        .select(posexplode(col("v_arr")).as(Seq("p", "loading")),
+          col("n2"), col("n"))
+        .select(lit(c).as("comp"), (col("p") + 1).cast("int").as("i"),
+          col("loading"), round(sqrt(col("n2")) / col("n"), 6)
+            .as("lambda"))
+    emit(v1, n21, 1).unionAll(emit(v2, n22, 2))
+  }
 }

@@ -197,6 +197,73 @@ class DedupSpec extends AnyFunSuite with SparkTester {
     assert(z.count() == emb.count() * 64)
   }
 
+  test("pca power: recovers a planted dominant axis, unit loading, " +
+      "monotone projections") {
+    // points t·d + small orthogonal jitter, d = (0.6, 0.8)
+    val d = Array(0.6, 0.8)
+    val pts = (-5 to 5).map { t =>
+      val j = (t % 3) * 0.01 // jitter along (-0.8, 0.6)
+      (t.toLong + 5L, Array((t * d(0) - j * 0.8).toFloat,
+        (t * d(1) + j * 0.6).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val comp = Similarity.pcaPowerComponent(df, "vec_id", "embedding", 3)
+      .orderBy("i").collect()
+    assert(comp.length == 2)
+    val v = comp.map(_.getDouble(1))
+    val n2 = v.map(x => x * x).sum
+    assert(math.abs(n2 - 1.0) < 1e-4, s"unit norm, got $n2")
+    val cos = math.abs(v(0) * d(0) + v(1) * d(1))
+    assert(cos > 0.999, s"axis alignment, got $cos")
+    assert(comp.map(_.getDouble(2)).distinct.length == 1 &&
+      comp.head.getDouble(2) > 0, "one positive lambda")
+    // projections order like t (up to a global sign)
+    val sc = Similarity.pcaProjectScores(df, "vec_id", "embedding", 3)
+      .orderBy("vec_id").collect().map(_.getDouble(1))
+    val diffs = sc.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(diffs.forall(_ > 0) || diffs.forall(_ < 0),
+      s"monotone along the axis, got ${sc.toSeq}")
+  }
+
+  test("pca deflate: orthogonal unit components, descending lambda, " +
+      "second planted axis recovered") {
+    // strong axis d1 = (0.6, 0.8, 0), weak axis d2 = (0, 0, 1)
+    val pts = (-5 to 5).flatMap { t =>
+      Seq((2L * (t + 5), Array((t * 0.6).toFloat, (t * 0.8).toFloat,
+            (t * 0.2).toFloat)),
+          (2L * (t + 5) + 1L, Array((t * 0.6).toFloat, (t * 0.8).toFloat,
+            (-t * 0.2).toFloat)))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val rows = Similarity.pcaDeflateComponents(df, "vec_id", "embedding", 4)
+      .orderBy("comp", "i").collect()
+    assert(rows.length == 6)
+    val v1 = rows.filter(_.getInt(0) == 1).map(_.getDouble(2))
+    val v2 = rows.filter(_.getInt(0) == 2).map(_.getDouble(2))
+    def nrm(v: Array[Double]) = v.map(x => x * x).sum
+    assert(math.abs(nrm(v1) - 1) < 1e-4 && math.abs(nrm(v2) - 1) < 1e-4)
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-3, s"orthogonal, got $dot")
+    assert(math.abs(v1(0) * 0.6 + v1(1) * 0.8) > 0.999, v1.toSeq)
+    assert(math.abs(v2(2)) > 0.999, v2.toSeq)
+    val l1 = rows.filter(_.getInt(0) == 1).head.getDouble(3)
+    val l2 = rows.filter(_.getInt(0) == 2).head.getDouble(3)
+    assert(l1 > l2 && l2 > 0, (l1, l2))
+  }
+
+  test("pca power: partitioning-invariant (exact-decimal reductions)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.pcaPowerComponent(emb, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    val b = Similarity.pcaPowerComponent(emb.repartition(7), "vec_id",
+        "embedding", 2)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(a == b)
+    assert(a.size == 64)
+  }
+
   test("cluster stats histogram is consistent with the cluster table") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
