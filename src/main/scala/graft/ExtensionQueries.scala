@@ -1098,6 +1098,84 @@ object SimilarityQueries {
                ELSE round((v - mu) / sqrt(m2 - mu * mu), 6) END AS z
         FROM e JOIN st USING (i)""")),
 
+    // INT8 scalar quantization (SQ8): per-dim (min,max) learned over the
+    // corpus, every code + midpoint dequantization hash-checked — pure
+    // IEEE expressions after exact float min/max, so bucket-edge values
+    // land identically in both engines
+    Q("embedding_quantize_sq",
+      (s, dir) => Similarity.scalarQuantize(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding"),
+      Some("""WITH e AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings),
+        st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM e GROUP BY i),
+        c AS (
+          SELECT vec_id, e.i,
+            CASE WHEN mx = mn THEN 0
+              ELSE CAST(least(greatest(
+                floor((x - mn) * 255.0 / (mx - mn)), 0.0), 255.0)
+                AS BIGINT) END AS code,
+            mn, mx
+          FROM e JOIN st USING (i))
+        SELECT vec_id, CAST(i AS INTEGER) AS i, code,
+          round(mn + (code + 0.5) * (mx - mn) / 255.0, 6) AS recon
+        FROM c""")),
+
+    // the SQ8 safety audit: per-vector squared reconstruction error —
+    // decide whether int8 is safe for the recall target BEFORE
+    // re-coding the full corpus; exact-decimal term sums
+    Q("embedding_sq_error",
+      (s, dir) => Similarity.scalarQuantizeError(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding"),
+      Some("""WITH e AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings),
+        st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM e GROUP BY i),
+        c AS (
+          SELECT vec_id, x, mn, mx,
+            CASE WHEN mx = mn THEN 0
+              ELSE CAST(least(greatest(
+                floor((x - mn) * 255.0 / (mx - mn)), 0.0), 255.0)
+                AS BIGINT) END AS code
+          FROM e JOIN st USING (i)),
+        r AS (
+          SELECT vec_id,
+            x - (mn + (code + 0.5) * (mx - mn) / 255.0) AS d
+          FROM c)
+        SELECT vec_id,
+          round(CAST(sum(CAST(d * d AS DECIMAL(28,12))) AS DOUBLE), 6)
+            AS err2
+        FROM r GROUP BY vec_id""")),
+
+    // Johnson–Lindenstrauss ±1 random projection to 16 dims: md5-derived
+    // sign matrix (stateless — both engines regenerate it), exact-decimal
+    // per-row folds; every projected coordinate hash-checked
+    Q("embedding_rp",
+      (s, dir) => Similarity.randomProjection(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 16),
+      Some(s"""WITH e AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings),
+        dims AS (SELECT DISTINCT i FROM e),
+        signs AS (
+          SELECT i, j,
+            CASE WHEN ('0x' || substr(md5(i::VARCHAR || '_' ||
+              j::VARCHAR), 1, 1))::INT % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+          FROM dims
+          CROSS JOIN (SELECT unnest(range(1, 17)) AS j) js),
+        t AS (
+          SELECT vec_id, j, CAST(x * s AS DECIMAL(28,12)) AS term
+          FROM e JOIN signs USING (i))
+        SELECT vec_id, CAST(j AS INTEGER) AS j,
+          round(CAST(sum(term) AS DOUBLE) * ${1.0 / math.sqrt(16.0)}, 6)
+            AS y
+        FROM t GROUP BY vec_id, j""")),
+
     // top principal component by matrix-free power iteration (3 rounds,
     // fixed init): per-dimension loading + Rayleigh eigenvalue, every
     // coordinate hash-checked against a DuckDB replay of the descent
@@ -4574,6 +4652,134 @@ object GraphQueries {
             FROM nodes),
           $rounds
           SELECT node, r AS rank_f15 FROM r3"""
+      }),
+
+    // triangle counting on the supplier CO-OCCURRENCE graph (suppliers
+    // sharing an order — the one-mode projection of the trade bipartite
+    // graph, which itself has no triangles). Degree orientation bounds
+    // wedge fan-out by O(√m); exact integer counting, so the oracle
+    // replays the orient→wedge→close algebra row-for-row
+    Q("graph_triangles",
+      (s, dir) => {
+        val os = Sources.table(s, dir, "orders")
+          .join(Sources.table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("l_suppkey").as("sv"))
+          .distinct()
+        val pairs = os.as("a").join(os.as("b"),
+            col("a.ok") === col("b.ok") && col("a.sv") < col("b.sv"))
+          .select(col("a.sv").as("src"), col("b.sv").as("dst"))
+        Graph.triangleCounts(pairs, "src", "dst")
+      },
+      Some("""WITH os AS (
+          SELECT DISTINCT o_orderkey AS ok, l_suppkey AS s
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        und AS (
+          SELECT DISTINCT a.s AS u, b.s AS v
+          FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s),
+        deg AS (
+          SELECT node, count(*) AS deg FROM (
+            SELECT u AS node FROM und
+            UNION ALL SELECT v FROM und) t
+          GROUP BY node),
+        ori AS (
+          SELECT
+            CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              THEN u ELSE v END AS src,
+            CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              THEN v ELSE u END AS dst
+          FROM und
+          JOIN deg du ON und.u = du.node
+          JOIN deg dv ON und.v = dv.node),
+        w AS (
+          SELECT e1.src AS ctr, e1.dst AS x, e2.dst AS y
+          FROM ori e1 JOIN ori e2
+            ON e1.src = e2.src AND e1.dst < e2.dst),
+        tri AS (
+          SELECT ctr, x, y
+          FROM w JOIN und ON w.x = und.u AND w.y = und.v)
+        SELECT node, count(*) AS triangles FROM (
+          SELECT ctr AS node FROM tri
+          UNION ALL SELECT x FROM tri
+          UNION ALL SELECT y FROM tri) t
+        GROUP BY node""")),
+
+    // k-core of the trade bipartite graph: 3 synchronous peel rounds at
+    // k=30 — strips low-activity customers (and any suppliers those
+    // removals sink below k) from the graph a centrality prior would
+    // run on. Fixed rounds = unrolled-CTE-replayable; pure counting
+    Q("graph_kcore",
+      (s, dir) => {
+        val pairs = Sources.table(s, dir, "orders")
+          .join(Sources.table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        Graph.kCorePeel(pairs, "src", "dst", k = 30, rounds = 3)
+      },
+      Some {
+        val rounds = (1 to 3).map { t =>
+          s"""d$t AS (
+            SELECT node, count(*) AS deg FROM (
+              SELECT u AS node FROM e${t - 1}
+              UNION ALL SELECT v FROM e${t - 1}) t$t
+            GROUP BY node),
+          n$t AS (SELECT node FROM d$t WHERE deg >= 30),
+          e$t AS (
+            SELECT u, v FROM e${t - 1}
+            WHERE u IN (SELECT node FROM n$t)
+              AND v IN (SELECT node FROM n$t))"""
+        }.mkString(",\n")
+        s"""WITH p AS (
+            SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e0 AS (
+            SELECT least(c, sp) AS u, greatest(c, sp) AS v FROM p),
+          $rounds
+          SELECT node, count(*) AS deg FROM (
+            SELECT u AS node FROM e3
+            UNION ALL SELECT v FROM e3) tf
+          GROUP BY node"""
+      }),
+
+    // community detection by synchronous label propagation (3 rounds,
+    // min-label tie-break) over the same trade graph — the deterministic
+    // LPA variant two engines can agree on label-for-label. The Spark
+    // side folds the per-node argmax into max(struct(cnt, -label));
+    // the oracle's row_number replay picks the identical winner
+    Q("graph_labelprop",
+      (s, dir) => {
+        val pairs = Sources.table(s, dir, "orders")
+          .join(Sources.table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        Graph.labelPropagation(pairs, "src", "dst", rounds = 3)
+      },
+      Some {
+        val rounds = (1 to 3).map { t =>
+          s"""c$t AS (
+            SELECT a.node, l.label, count(*) AS cnt
+            FROM adj a JOIN l${t - 1} l ON a.nbr = l.node
+            GROUP BY 1, 2),
+          l$t AS (
+            SELECT node, label FROM (
+              SELECT node, label, row_number() OVER (
+                PARTITION BY node ORDER BY cnt DESC, label) AS rn
+              FROM c$t) r$t
+            WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""WITH p AS (
+            SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e0 AS (
+            SELECT least(c, sp) AS u, greatest(c, sp) AS v FROM p),
+          adj AS (
+            SELECT u AS node, v AS nbr FROM e0
+            UNION ALL SELECT v, u FROM e0),
+          l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+          $rounds
+          SELECT node, label FROM l3"""
       })
   )
 

@@ -979,6 +979,55 @@ object ReferenceQueries {
         t(s, dir, "lineitem"), "l_orderkey", p = 8),
       Some(hllOracle("lineitem", "l_orderkey"))),
 
+    // ---- KMV (k-minimum-values) sketch family: the MERGEABLE distinct
+    // sketch a snapshot catalog stores per partition. md5 + binary hex
+    // order + one rounded division — every estimate hash-checked ----
+    Q("agg_kmv",
+      (s, dir) => Sketches.kmvDistinct(
+        t(s, dir, "lineitem"), "l_orderkey", k = 64),
+      Some(kmvOracle(
+        "SELECT DISTINCT md5(l_orderkey::VARCHAR) AS h FROM lineitem"))),
+    // per-returnflag approx-distinct parts — tail groups below k report
+    // exactly (the KMV small-set guarantee)
+    Q("agg_kmv_groups",
+      (s, dir) => Sketches.kmvDistinctBy(
+        t(s, dir, "lineitem"), "l_returnflag", "l_partkey", k = 64),
+      Some(s"""WITH h AS (
+          SELECT DISTINCT l_returnflag AS k, md5(l_partkey::VARCHAR) AS h
+          FROM lineitem),
+        r AS (
+          SELECT k, h, row_number() OVER (PARTITION BY k ORDER BY h)
+            AS rn
+          FROM h),
+        sk AS (
+          SELECT k, count(*) AS n_k, max(h) AS kth_hash
+          FROM r WHERE rn <= 64 GROUP BY k)
+        SELECT k AS l_returnflag, n_k, kth_hash,
+          ${kmvEstSql(64)} AS est_distinct
+        FROM sk""")),
+    // sketch MERGE: per-half sketches of l_partkey (split on line-number
+    // parity) unioned into one — the merged estimate is definitionally
+    // the whole-set estimate (SketchesSpec pins the equality; this row
+    // hash-checks the merged value itself)
+    Q("agg_kmv_union",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        Sketches.kmvMergedDistinct(
+          Seq(li.filter(col("l_linenumber") % 2 === 0),
+            li.filter(col("l_linenumber") % 2 === 1)),
+          "l_partkey", k = 64)
+      },
+      Some(kmvOracle("""SELECT DISTINCT h FROM (
+          (SELECT h FROM (
+            SELECT DISTINCT md5(l_partkey::VARCHAR) AS h
+            FROM lineitem WHERE l_linenumber % 2 = 0)
+            q0 ORDER BY h LIMIT 64)
+          UNION ALL
+          (SELECT h FROM (
+            SELECT DISTINCT md5(l_partkey::VARCHAR) AS h
+            FROM lineitem WHERE l_linenumber % 2 = 1)
+            q1 ORDER BY h LIMIT 64)) u"""))),
+
     // ---- exact distinct aggregation (SURVEY §2.5 "free" row) ----
     Q("agg_distinct",
       (s, dir) => t(s, dir, "lineitem")
@@ -1145,8 +1194,91 @@ object ReferenceQueries {
           FROM o CROSS JOIN mm)
         SELECT o_orderkey,
           (${Zorder.zvalueSql("bx", "by", 8)}) AS zval FROM b"""
-      })
+      }),
+
+    // zone maps over the Z-ordered orders table: shard = top 6 bits of
+    // the Morton value (64 curve segments), per-shard min/max/count of
+    // the RAW scan columns — the row-group stats a reader prunes on
+    Q("layout_zonemap",
+      (s, dir) => {
+        import graft.sinks.Layout
+        Layout.zoneMaps(zorderedOrders(s, dir),
+          shiftright(col("zval"), 10), Seq("ck", "days"))
+      },
+      Some(s"""WITH $zorderedOrdersSql
+        SELECT zval >> 10 AS shard, count(*) AS n_rows,
+          min(ck) AS ck_min, max(ck) AS ck_max,
+          min(days) AS days_min, max(days) AS days_max
+        FROM z GROUP BY 1""")),
+
+    // the pruning payoff, measured from the stats alone: a box predicate
+    // (custkey 100..300, orderdate days 9000..9400) against the zone
+    // maps — shards whose ranges refute the box are skipped; read_frac
+    // is the scan-cost ratio the Z-order layout buys. Data untouched
+    Q("layout_zonemap_prune",
+      (s, dir) => {
+        import graft.sinks.Layout
+        Layout.zoneMapPruneAudit(
+          Layout.zoneMaps(zorderedOrders(s, dir),
+            shiftright(col("zval"), 10), Seq("ck", "days")),
+          Seq(("ck", 100L, 300L), ("days", 9000L, 9400L)))
+      },
+      Some(s"""WITH $zorderedOrdersSql,
+        zm AS (
+          SELECT zval >> 10 AS shard, count(*) AS n_rows,
+            min(ck) AS ck_min, max(ck) AS ck_max,
+            min(days) AS days_min, max(days) AS days_max
+          FROM z GROUP BY 1),
+        kz AS (
+          SELECT *, NOT (ck_max < 100 OR ck_min > 300 OR
+            days_max < 9000 OR days_min > 9400) AS keep
+          FROM zm)
+        SELECT count(*)::BIGINT AS n_shards,
+          sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS shards_read,
+          sum(n_rows)::BIGINT AS rows_total,
+          sum(CASE WHEN keep THEN n_rows ELSE 0 END)::BIGINT AS rows_read,
+          round(sum(CASE WHEN keep THEN n_rows ELSE 0 END)::DOUBLE /
+            sum(n_rows), 6) AS read_frac
+        FROM kz"""))
   )
+
+  /** Shared base of the zone-map rows: orders keyed by (custkey,
+    * orderdate-days) with the 8-bit Morton value — identical to
+    * `layout_zorder`'s construction, plus the raw columns carried
+    * through for the stats. */
+  private def zorderedOrders(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.Zorder
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey").as("ck"),
+      datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+        .cast("long").as("days"))
+    val mm = o.agg(min("ck").as("cklo"), max("ck").as("ckhi"),
+      min("days").as("dylo"), max("days").as("dyhi"))
+    o.crossJoin(broadcast(mm)).select(col("o_orderkey"), col("ck"),
+      col("days"),
+      Zorder.zvalue(
+        Zorder.rangeBucket(col("ck"), col("cklo"), col("ckhi"), 8),
+        Zorder.rangeBucket(col("days"), col("dylo"), col("dyhi"), 8),
+        bits = 8).as("zval"))
+  }
+
+  /** The matching DuckDB CTE chain ending in `z(o_orderkey, ck, days,
+    * zval)`. */
+  private def zorderedOrdersSql: String = {
+    import graft.sinks.Zorder
+    s"""o AS (SELECT o_orderkey, o_custkey AS ck,
+        datediff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT
+          AS days
+      FROM orders),
+    mm AS (SELECT min(ck) AS cklo, max(ck) AS ckhi,
+        min(days) AS dylo, max(days) AS dyhi FROM o),
+    b AS (SELECT o_orderkey, ck, days,
+        ${Zorder.rangeBucketSql("ck", "cklo", "ckhi", 8)} AS bx,
+        ${Zorder.rangeBucketSql("days", "dylo", "dyhi", 8)} AS by
+      FROM o CROSS JOIN mm),
+    z AS (SELECT o_orderkey, ck, days,
+        (${Zorder.zvalueSql("bx", "by", 8)}) AS zval FROM b)"""
+  }
 
   /** DuckDB mirror of [[graft.operators.Sketches.hllDistinct]] at p = 8:
     * identical md5 bucketing, bin()-length ranks, exact integer register
@@ -1176,6 +1308,23 @@ object ReferenceQueries {
         ELSE round($c / num::DOUBLE, 6) END AS n_est
       FROM f"""
   }
+
+  /** The KMV estimate CASE shared by every KMV oracle: exact below k,
+    * else (k−1)/U(h_k) with the 2^52 fixed-point scale interpolated from
+    * the ONE Scala constant ([[graft.operators.Sketches.KmvScale]]). */
+  private def kmvEstSql(k: Int): String =
+    s"""CASE WHEN n_k < $k THEN n_k::DOUBLE
+      ELSE round(${(k - 1).toDouble} * ${graft.operators.Sketches.KmvScale}
+        / ('0x' || substr(kth_hash, 1, 13))::BIGINT::DOUBLE, 6) END"""
+
+  /** DuckDB mirror of [[graft.operators.Sketches.kmvDistinct]] (k = 64)
+    * over an arbitrary distinct-hash subquery: k smallest hashes by
+    * binary hex order, then the one rounded division. */
+  private def kmvOracle(hashQuery: String): String =
+    s"""WITH h AS ($hashQuery),
+      top AS (SELECT h FROM h ORDER BY h LIMIT 64),
+      sk AS (SELECT count(*) AS n_k, max(h) AS kth_hash FROM top)
+      SELECT n_k, kth_hash, ${kmvEstSql(64)} AS est_distinct FROM sk"""
 
   /** DuckDB oracle for a GDELT scan: read the same fixture with the same
     * typed schema (generated from the `StructType` so the two can never

@@ -295,4 +295,139 @@ object Graph {
     }
     rank.select(col("node"), col("r").as("rank_f15"))
   }
+
+  /** Canonicalized undirected edge list: self-loops dropped, each edge
+    * kept once as (u, v) with u < v. The normal form every undirected
+    * algorithm below starts from. */
+  def canonicalUndirected(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val a = col(srcCol).cast("long")
+    val b = col(dstCol).cast("long")
+    edges.filter(a =!= b)
+      .select(least(a, b).as("u"), greatest(a, b).as("v"))
+      .distinct()
+  }
+
+  /** TRIANGLE COUNTING by degree orientation (the MapReduce-era
+    * standard — Suri & Vassilvitskii 2011, "Counting Triangles and the
+    * Curse of the Last Reducer"): orient every undirected edge from the
+    * lower-(degree, id) endpoint to the higher, enumerate wedges as the
+    * self-join of the oriented list on its source, and close each wedge
+    * against the canonical edge set. Degree orientation bounds every
+    * node's out-degree by O(√m), so the wedge join materializes
+    * O(m^{3/2}) candidates total instead of Σ deg(v)² — the difference
+    * between a web-scale count finishing and the highest-degree hub's
+    * reducer running forever. Each triangle {a,b,c} has exactly ONE
+    * node with oriented edges to the other two, so nothing is
+    * double-counted and no post-hoc division is needed.
+    *
+    * Plan shape: two shuffled equi-joins (wedge build on `src`, wedge
+    * close on the canonical pair) plus one count-by-node — all exact
+    * integer counting, trivially oracle-replayable. Output:
+    * (node, triangles) for every node in ≥ 1 triangle. */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient low-(deg, id) → high-(deg, id); the tie-break on id makes
+    // the orientation a total order, so the wedge join's out-lists are
+    // the O(√m)-bounded ones the algorithm's bound depends on
+    val ori = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("dst"))
+    val wedges = ori.select(col("src").as("ctr"), col("dst").as("x"))
+      .join(ori.select(col("src").as("ctr"), col("dst").as("y")), "ctr")
+      .filter(col("x") < col("y"))
+    val tri = wedges.join(und,
+      wedges("x") === und("u") && wedges("y") === und("v"))
+      .select(col("ctr"), col("x"), col("y"))
+    tri.select(col("ctr").as("node"))
+      .union(tri.select(col("x").as("node")))
+      .union(tri.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
+  /** k-CORE PEELING, fixed-round synchronous form: each round computes
+    * surviving degrees and drops every node with degree < k (and every
+    * edge touching one). `rounds` is pinned by the caller so the oracle
+    * can replay the peel as an unrolled CTE chain — the fixpoint form
+    * (iterate to no change) is the same loop with a convergence check;
+    * pinning the round count is what makes an ITERATIVE pruning
+    * algorithm hash-checkable. Output: (node, deg) — nodes still
+    * present after the last peel, with their degree in the surviving
+    * edge set (the value the next round would peel on).
+    *
+    * Scale shape: per round one degree count and two left-semi joins
+    * (edge-endpoint filters) — the degree table is orders smaller than
+    * the edge list and broadcastable for most real k. The surviving
+    * edge set is localCheckpoint'ed per round: like [[pageRank]], the
+    * plan would otherwise grow by two joins per round. */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      e = e
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .localCheckpoint()
+    }
+    e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** SYNCHRONOUS LABEL PROPAGATION (Raghavan et al. 2007) with a total
+    * deterministic tie-break: every node starts labeled with its own id;
+    * each round it adopts the label most frequent among its neighbours,
+    * ties broken by the SMALLEST label. Plain LPA's random tie-breaking
+    * makes runs irreproducible — the min-label tie-break is the standard
+    * determinization and what lets two engines agree on every community
+    * assignment. Fixed `rounds` (oracle-unrollable), synchronous update
+    * (all nodes read round t−1's labels).
+    *
+    * Per round: one edge ⋈ label join on the neighbour key and one
+    * (node, label) count — and the argmax is folded into the SAME
+    * aggregation pass as `max(struct(cnt, −label))`, so no second
+    * shuffle and no window: the struct max's lexicographic order IS
+    * (highest count, then smallest label). Labels localCheckpoint per
+    * round (the iterative-loop rule). Output: (node, label). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lab = adj.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      lab = adj
+        .join(lab.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt"),
+          (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint()
+    }
+    lab
+  }
 }

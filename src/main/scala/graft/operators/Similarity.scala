@@ -1027,4 +1027,115 @@ object Similarity {
             .as("lambda"))
     emit(v1, n21, 1).unionAll(emit(v2, n22, 2))
   }
+
+  /** INT8 SCALAR QUANTIZATION (the SQ8 of FAISS/vector stores): per
+    * dimension, learn (min, max) over the corpus and code each value as
+    * `floor((x − min)·255/(max − min))` clamped to 0..255 — 4× smaller
+    * than float32, the first compression rung before PQ. A constant
+    * dimension (max = min) codes 0. Output: (vec_id, i, code, recon)
+    * where recon is the midpoint dequantization
+    * `min + (code + 0.5)·(max − min)/255` (6-dp rounded for transport).
+    *
+    * Numeric parity: min/max over FLOATS are comparisons (exact, no
+    * accumulation); code/recon are pure IEEE double expressions —
+    * bit-identical in any IEEE engine — and `floor` is exact, so even
+    * values landing near bucket edges land identically. Scale shape:
+    * one posexplode pass for the d-row stats table, broadcast back, one
+    * codegen projection — no corpus shuffle (the d-group aggregate
+    * moves d rows per partition). */
+  def scalarQuantize(df: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val el = df.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("p", "v")))
+      .select(col("vec_id"), (col("p") + 1).as("i"),
+        col("v").cast("double").as("x"))
+    val stats = el.groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val code = when(col("mx") === col("mn"), lit(0L))
+      .otherwise(least(greatest(
+        floor((col("x") - col("mn")) * 255.0 / (col("mx") - col("mn"))),
+        lit(0.0)), lit(255.0)).cast("long"))
+    el.join(broadcast(stats), Seq("i"))
+      .select(col("vec_id"), col("i").cast("int").as("i"),
+        code.as("code"), col("mn"), col("mx"), col("x"))
+      .select(col("vec_id"), col("i"), col("code"),
+        round(col("mn") + (col("code") + 0.5) *
+          (col("mx") - col("mn")) / 255.0, 6).as("recon"))
+  }
+
+  /** Corpus-level audit of [[scalarQuantize]]: per-vector squared
+    * reconstruction error Σ_i (x_i − recon_i)² — the number that tells
+    * you whether SQ8 is safe for your recall target before you re-code
+    * 100 TB of vectors. Exact-decimal term sums (order-free), one
+    * 6-dp round. Output: (vec_id, err2). */
+  def scalarQuantizeError(df: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val el = df.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("p", "v")))
+      .select(col("vec_id"), (col("p") + 1).as("i"),
+        col("v").cast("double").as("x"))
+    val stats = el.groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val code = when(col("mx") === col("mn"), lit(0L))
+      .otherwise(least(greatest(
+        floor((col("x") - col("mn")) * 255.0 / (col("mx") - col("mn"))),
+        lit(0.0)), lit(255.0)).cast("long"))
+    val recon = col("mn") + (code + 0.5) * (col("mx") - col("mn")) / 255.0
+    el.join(broadcast(stats), Seq("i"))
+      .select(col("vec_id"),
+        ((col("x") - recon) * (col("x") - recon)).cast(pcaDec).as("e2"))
+      .groupBy(col("vec_id"))
+      .agg(round(sum(col("e2")).cast("double"), 6).as("err2"))
+  }
+
+  /** JOHNSON–LINDENSTRAUSS RANDOM PROJECTION (Achlioptas 2003 ±1
+    * variant): project d-dim embeddings to `m` dims via a dense sign
+    * matrix S ∈ {±1}^{d×m}, y_j = (1/√m)·Σ_i S_ij·x_i. The signs are
+    * md5-derived from (i, j) — no RNG state, any engine regenerates the
+    * identical matrix, and pairwise distances are preserved within
+    * (1 ± ε) for m = O(log n / ε²) — the cheap dimensionality-reduction
+    * rung before PCA when all you need is distance geometry.
+    *
+    * Scale shape: the d×m sign matrix is built once from the DATA's own
+    * dimension ids (d·m tiny rows), folded to a one-row nested array,
+    * and broadcast; each vector then projects in a single codegen
+    * projection — NO corpus shuffle, no per-row md5 recomputation (the
+    * naive explode-join recomputes n·d·m md5s; this computes d·m).
+    * Exact-decimal per-row folds keep every coordinate
+    * oracle-replayable. Output: (vec_id, j, y). */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 16): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val el = df.select(posexplode(col(vecCol)).as(Seq("p", "v")))
+      .select((col("p") + 1).as("i")).distinct()
+    // sign(i, j) = +1 iff the first md5 nibble of "i_j" is even
+    val signs = el.select(col("i"),
+        explode(sequence(lit(1), lit(m))).as("j"))
+      .select(col("i"), col("j"),
+        when(conv(substring(md5(concat(col("i").cast("string"),
+          lit("_"), col("j").cast("string"))), 1, 1), 16, 10)
+          .cast("int") % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+          .as("s"))
+    // one row per dimension i: s_row = [s_i1 .. s_im]; then one nested
+    // array [[s_11..s_1m], ...] indexed [i][j], broadcast to every task
+    val byI = signs.groupBy(col("i"))
+      .agg(array_sort(collect_list(struct(col("j"), col("s"))))
+        .as("__p"))
+      .select(col("i"), transform(col("__p"), x => x.getField("s"))
+        .as("srow"))
+    val sRow = oneRowArray(byI, "i", "srow", "s_arr").localCheckpoint()
+    val invSqrtM = 1.0 / math.sqrt(m.toDouble)
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("__e"))
+      .crossJoin(broadcast(sRow))
+      .select(col("vec_id"), posexplode(
+        transform(sequence(lit(1), lit(m)), j =>
+          round(aggregate(
+            zip_with(col("__e"), col("s_arr"), (x, srow) =>
+              (x.cast("double") * element_at(srow, j)).cast(pcaDec)),
+            lit(BigDecimal(0)).cast(pcaDec),
+            (acc, e) => (acc + e).cast(pcaDec)).cast("double")
+            * lit(invSqrtM), 6))).as(Seq("p", "y")))
+      .select(col("vec_id"), (col("p") + 1).cast("int").as("j"),
+        col("y"))
+  }
 }

@@ -261,4 +261,90 @@ object Sketches {
         .otherwise(round(lit(c) / col("num").cast("double"), 6))
         .as("n_est"))
   }
+
+  /** 2^52 — the fixed-point denominator of the KMV hash fraction: the
+    * first 13 hex chars of an md5 read as a 52-bit integer, so
+    * `v / 2^52` ∈ [0, 1) is exact in a double. Shared by the Spark side
+    * and (interpolated) the SQL oracles. */
+  val KmvScale: Double = 4503599627370496.0
+
+  private def kmvEstimate(k: Int, nK: Column, kth: Column): Column =
+    when(nK < k, nK.cast("double"))
+      .otherwise(round(lit((k - 1).toDouble) * lit(KmvScale) /
+        conv(substring(kth, 1, 13), 16, 10).cast("double"), 6))
+
+  /** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+    * 2002): hash every value with md5, keep the k lexicographically
+    * smallest distinct hashes; if fewer than k exist the count is EXACT
+    * (the hash set is the value set), else est = (k−1)/U(h_k) where
+    * U reads the k-th smallest hash as a [0,1) fraction (first 52 bits).
+    * Relative error ≈ 1/√(k−2) (~13% at k=64).
+    *
+    * Why keep it next to [[hllDistinct]]: KMV sketches are TRIVIALLY
+    * mergeable by set-union ([[kmvMergedDistinct]]) and support
+    * intersection estimates — the sketch a snapshot catalog stores per
+    * partition and combines at query time. Everything is engine-portable:
+    * md5, binary string order (hex digits sort identically under any
+    * binary collation), one double division rounded at 6 dp.
+    *
+    * Scale shape: distinct-hash reduce, then a global k-smallest — which
+    * Spark executes as TakeOrdered (per-partition top-k, merged on the
+    * driver), NOT a full sort: only k rows ever cross. Output: one row
+    * `(n_k, kth_hash, est_distinct)`. */
+  def kmvDistinct(df: DataFrame, valueCol: String, k: Int = 64)
+      : DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val top = df.select(md5(col(valueCol).cast("string")).as("h"))
+      .distinct().orderBy(col("h")).limit(k)
+    top.agg(count(lit(1)).as("n_k"), max(col("h")).as("kth_hash"))
+      .select(col("n_k"), col("kth_hash"),
+        kmvEstimate(k, col("n_k"), col("kth_hash")).as("est_distinct"))
+  }
+
+  /** Per-group [[kmvDistinct]] — the rollup form: one row
+    * `(key, n_k, kth_hash, est_distinct)` per key. The per-key
+    * k-smallest runs as a window `row_number` over one key-partitioned
+    * shuffle; state per key is bounded at k hashes. Groups with fewer
+    * than k distinct values report their EXACT count — the KMV
+    * small-set guarantee, which matters in rollups where tail groups
+    * are tiny and a ±13% estimate would look broken. */
+  def kmvDistinctBy(df: DataFrame, keyCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val hashes = df.select(col(keyCol).as("__k"),
+        md5(col(valueCol).cast("string")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("__k")).orderBy(col("h"))
+    hashes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_k"), max(col("h")).as("kth_hash"))
+      .select(col("__k").as(keyCol), col("n_k"), col("kth_hash"),
+        kmvEstimate(k, col("n_k"), col("kth_hash")).as("est_distinct"))
+  }
+
+  /** Merge KMV sketches by hash-set union: each input contributes its
+    * k smallest distinct hashes; the union's k smallest are EXACTLY the
+    * k smallest of the combined value set, so the merged estimate
+    * equals the single-pass estimate over the union of the inputs —
+    * KMV's defining property (SketchesSpec pins the equality). This is
+    * the catalog pattern at 100 TB: per-partition sketches (k hashes
+    * each) are stored at write time and any partition subset's distinct
+    * count is answered from k·|subset| tiny rows, never re-reading
+    * data. */
+  def kmvMergedDistinct(parts: Seq[DataFrame], valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(parts.nonEmpty, "need at least one input")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val tops = parts.map { df =>
+      df.select(md5(col(valueCol).cast("string")).as("h"))
+        .distinct().orderBy(col("h")).limit(k)
+    }
+    val top = tops.reduce(_ unionByName _).distinct()
+      .orderBy(col("h")).limit(k)
+    top.agg(count(lit(1)).as("n_k"), max(col("h")).as("kth_hash"))
+      .select(col("n_k"), col("kth_hash"),
+        kmvEstimate(k, col("n_k"), col("kth_hash")).as("est_distinct"))
+  }
 }

@@ -82,6 +82,47 @@ object Layout {
       .drop(scratch: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** ZONE MAPS: per-shard (row-group/file) min/max/count statistics over
+    * the scan columns — the metadata a reader consults to SKIP shards
+    * whose [min, max] cannot intersect a predicate (parquet row-group
+    * stats, ORC stripe stats, Snowflake micro-partition pruning — same
+    * object everywhere). Paired with a Z-order shard id, the stats make
+    * BOX predicates prune on both dimensions; the stats table is
+    * shards-sized (tiny), computed in one map-side-combinable pass, and
+    * at 100 TB lives in the catalog so planning never touches data.
+    * Output: (shard, n_rows, <c>_min, <c>_max per stat column). */
+  def zoneMaps(df: DataFrame, shardCol: Column, statCols: Seq[String])
+      : DataFrame = {
+    require(statCols.nonEmpty, "need at least one stat column")
+    val aggs = count(lit(1)).as("n_rows") +: statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    df.groupBy(shardCol.as("shard")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Prune audit over a [[zoneMaps]] table for a conjunctive box
+    * predicate `lo_c <= c <= hi_c`: a shard is READ iff no stat range
+    * refutes it (`NOT (max < lo OR min > hi)` per column — the exact
+    * test a parquet reader applies to row-group stats). Output: one row
+    * (n_shards, shards_read, rows_total, rows_read, read_frac) — the
+    * number that justifies (or kills) a layout before rewriting 100 TB:
+    * read_frac IS the scan-cost ratio the layout buys. Runs entirely on
+    * the stats table — data is never touched. */
+  def zoneMapPruneAudit(zones: DataFrame,
+      box: Seq[(String, Long, Long)]): DataFrame = {
+    require(box.nonEmpty, "need at least one predicate range")
+    val keep = box.map { case (c, lo, hi) =>
+      !(col(s"${c}_max") < lo || col(s"${c}_min") > hi)
+    }.reduce(_ && _)
+    zones.agg(count(lit(1)).as("n_shards"),
+        sum(when(keep, 1L).otherwise(0L)).as("shards_read"),
+        sum(col("n_rows")).as("rows_total"),
+        sum(when(keep, col("n_rows")).otherwise(0L)).as("rows_read"))
+      .select(col("n_shards"), col("shards_read"), col("rows_total"),
+        col("rows_read"),
+        round(col("rows_read").cast("double") / col("rows_total"), 6)
+          .as("read_frac"))
+  }
 }
 
 /** 2-D Z-order (Morton) interleave: bit `b` of `x` lands at output bit

@@ -200,4 +200,34 @@ class LayoutSpec extends AnyFunSuite with SparkTester {
     assert(r.forall(_.getDouble(3) == 0.0))
     assert(r.forall(_.getInt(4) == 2))
   }
+
+  test("zone maps: stats bound their shard's rows, the prune audit " +
+      "refutes only shards that cannot match, and an in-range box " +
+      "keeps every matching row") {
+    import spark.implicits._
+    // 4 shards of 25 rows each with disjoint value ranges
+    val rows = (0 until 100).map(i => (i.toLong / 25, i.toLong))
+    val df = rows.toDF("shard", "x")
+    val zones = Layout.zoneMaps(df, col("shard"), Seq("x"))
+    val z = zones.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(z.size == 4)
+    assert(z(0L) == (25L, 0L, 24L) && z(3L) == (25L, 75L, 99L))
+    // box [30, 40] intersects only shard 1
+    val audit = Layout.zoneMapPruneAudit(zones, Seq(("x", 30L, 40L)))
+      .head
+    assert(audit.getLong(0) == 4 && audit.getLong(1) == 1)
+    assert(audit.getLong(2) == 100 && audit.getLong(3) == 25)
+    assert(audit.getDouble(4) == 0.25)
+    // soundness: every row matching the predicate lives in a kept shard
+    // (zone pruning may over-read, never under-read) — here exact since
+    // shard ranges are disjoint
+    val matching = df.filter($"x" >= 30 && $"x" <= 40).count()
+    assert(matching <= audit.getLong(3))
+    // a box outside every range reads nothing
+    val none = Layout.zoneMapPruneAudit(zones, Seq(("x", 500L, 600L)))
+      .head
+    assert(none.getLong(1) == 0 && none.getDouble(4) == 0.0)
+  }
 }

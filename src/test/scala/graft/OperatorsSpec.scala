@@ -878,6 +878,45 @@ class SketchesSpec extends AnyFunSuite with SparkTester {
     assert(math.abs(m.getDouble(1) - m.getDouble(2)) < 0.25,
       s"est ${m.getDouble(1)} vs exact ${m.getDouble(2)}")
   }
+
+  test("KMV: exact below k, within the error band above it, and " +
+      "duplication-insensitive") {
+    import spark.implicits._
+    // 40 distinct values < k=64: the sketch IS the value set — exact
+    val small = (1 to 40).flatMap(i => Seq(i, i)).toDF("v")
+    val sm = Sketches.kmvDistinct(small, "v", k = 64).head
+    assert(sm.getLong(0) == 40L && sm.getDouble(2) == 40.0)
+    // thousands distinct: rel error ~ 1/sqrt(62) ≈ 12.7%; allow 4 sigma
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val exact = li.select("l_orderkey").distinct().count().toDouble
+    val e = Sketches.kmvDistinct(li, "l_orderkey", k = 64).head.getDouble(2)
+    assert(math.abs(e - exact) / exact < 0.51, s"est $e vs exact $exact")
+    // duplication changes nothing (set semantics)
+    val e2 = Sketches.kmvDistinct(li.union(li), "l_orderkey", k = 64)
+      .head.getDouble(2)
+    assert(e2 == e)
+  }
+
+  test("KMV merge: unioning per-partition sketches reproduces the " +
+      "whole-set sketch bit-for-bit; grouped form is exact on tail keys") {
+    import spark.implicits._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val halves = Seq(li.filter($"l_linenumber" % 2 === 0),
+      li.filter($"l_linenumber" % 2 === 1))
+    val merged = Sketches.kmvMergedDistinct(halves, "l_partkey", k = 64)
+      .head
+    val whole = Sketches.kmvDistinct(li, "l_partkey", k = 64).head
+    assert(merged.getLong(0) == whole.getLong(0) &&
+      merged.getString(1) == whole.getString(1) &&
+      merged.getDouble(2) == whole.getDouble(2),
+      s"merged $merged vs whole $whole")
+    // grouped: a 3-distinct-value group reports exactly 3
+    val g = Seq(("a", 1), ("a", 2), ("a", 2), ("a", 3), ("b", 9))
+      .toDF("k", "v")
+    val r = Sketches.kmvDistinctBy(g, "k", "v", k = 64)
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(r == Map("a" -> 3.0, "b" -> 1.0))
+  }
 }
 
 class ProfilerSpec extends AnyFunSuite with SparkTester {
@@ -1210,6 +1249,69 @@ class GraphSpec extends AnyFunSuite with SparkTester {
     assert(r(1L) == tele / 3 + (r0 / 2) * 85 / 100)
     assert(r(2L) == tele / 3 + ((r0 / 1 + r0 / 1) * 85) / 100)
     assert(r(3L) == r(1L))
+  }
+
+  test("triangleCounts: K4 gives 3 per node, a path gives none, " +
+      "direction/duplicates/self-loops don't change the count") {
+    // K4 on 1..4 has C(4,3)=4 triangles; every node sits in 3
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+    val r = Graph.triangleCounts(k4.toDF("src", "dst"), "src", "dst")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // path 1-2-3-4: wedge-rich, triangle-free
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.triangleCounts(path, "src", "dst").count() == 0)
+    // noisy form of K4: reversed duplicates and self-loops are
+    // canonicalized away, count unchanged
+    val noisy = (k4 ++ k4.map(_.swap) ++ Seq((2L, 2L), (3L, 3L)))
+      .toDF("src", "dst")
+    val r2 = Graph.triangleCounts(noisy, "src", "dst")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2 == r)
+  }
+
+  test("kCorePeel: pendant chain peels off, the K4 core survives with " +
+      "its in-core degrees, and enough rounds reach the fixpoint") {
+    // K4 on 1..4 plus a chain 4-5-6 hanging off it
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    // k=2, one round: only 6 (deg 1) is peeled; 5 keeps deg 1 < 2 but
+    // isn't re-examined until round 2 — the synchronous-round contract
+    val one = Graph.kCorePeel(edges, "src", "dst", k = 2, rounds = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(!one.contains(6L) && one(5L) == 1L)
+    // two rounds = fixpoint here: the chain is gone, K4 remains at deg 3
+    val fix = Graph.kCorePeel(edges, "src", "dst", k = 2, rounds = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(fix == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // extra rounds change nothing once the core is stable
+    val more = Graph.kCorePeel(edges, "src", "dst", k = 2, rounds = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(more == fix)
+    // k above the max degree empties the graph
+    assert(Graph.kCorePeel(edges, "src", "dst", k = 5, rounds = 2)
+      .count() == 0)
+  }
+
+  test("labelPropagation: two cliques joined by one bridge converge to " +
+      "their min-id labels; reruns are bit-identical") {
+    // cliques {1,2,3} and {10,11,12} bridged by 3-10
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L)) ++
+      Seq((3L, 10L))).toDF("src", "dst")
+    val r = Graph.labelPropagation(edges, "src", "dst", rounds = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // hand-simulated fixpoint: the left clique settles on its min id 1;
+    // the bridge node's id 3 invades the right clique through the
+    // min-tie-break (round 1 relabels 10 -> 3, and 3 then out-ties 10
+    // inside the clique) — the two communities stay separated, with the
+    // right one labeled by the bridge endpoint, not its own min id
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L), s"labels: $r")
+    val r2 = Graph.labelPropagation(edges, "src", "dst", rounds = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2 == r, "deterministic across runs")
   }
 }
 
@@ -1629,6 +1731,82 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
     val cand = Similarity.lshCandidates(df, "vec_id", "embedding", 64)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cand.contains((1L, 2L)))
+  }
+
+  test("scalarQuantize: codes stay in 0..255, constant dims code 0, " +
+      "and every reconstruction lands within one bucket of the input") {
+    import spark.implicits._
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val codes = Similarity.scalarQuantize(emb, "vec_id", "embedding")
+    val bad = codes.filter($"code" < 0 || $"code" > 255).count()
+    assert(bad == 0)
+    // per-element error bound: |x - recon| <= bucket width (midpoint
+    // dequantization actually gives half that; full width is safe
+    // against the 6-dp transport rounding)
+    val el = emb.select($"vec_id",
+        posexplode($"embedding").as(Seq("p", "v")))
+      .select($"vec_id", ($"p" + 1).cast("int").as("i"),
+        $"v".cast("double").as("x"))
+    val widths = el.groupBy($"i")
+      .agg(((max($"x") - min($"x")) / 255.0).as("w"))
+    val joined = codes.join(el, Seq("vec_id", "i")).join(widths, "i")
+    assert(joined.filter(abs($"x" - $"recon") > $"w" + 1e-6).count() == 0)
+    // a constant dimension codes 0 everywhere
+    val const = Seq((1L, Seq(5.0f, 1.0f)), (2L, Seq(5.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val c = Similarity.scalarQuantize(const, "vec_id", "embedding")
+      .filter($"i" === 1).select($"code").as[Long].collect()
+    assert(c.toSeq == Seq(0L, 0L))
+  }
+
+  test("scalarQuantizeError equals the independently folded sum of " +
+      "squared element errors") {
+    import spark.implicits._
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val viaOp = Similarity.scalarQuantizeError(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // recompute from the unrounded midpoint recon, independently
+    val el = emb.select($"vec_id",
+        posexplode($"embedding").as(Seq("p", "v")))
+      .select($"vec_id", ($"p" + 1).as("i"), $"v".cast("double").as("x"))
+    val st = el.groupBy($"i").agg(min($"x").as("mn"), max($"x").as("mx"))
+    val code = when($"mx" === $"mn", lit(0L))
+      .otherwise(least(greatest(
+        floor(($"x" - $"mn") * 255.0 / ($"mx" - $"mn")), lit(0.0)),
+        lit(255.0)).cast("long"))
+    val recon = $"mn" + (code + 0.5) * ($"mx" - $"mn") / 255.0
+    val manual = el.join(st, Seq("i"))
+      .select($"vec_id",
+        (($"x" - recon) * ($"x" - recon)).cast("decimal(28,12)").as("e"))
+      .groupBy($"vec_id")
+      .agg(round(sum($"e").cast("double"), 6).as("err2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaOp == manual)
+  }
+
+  test("randomProjection: deterministic across runs, preserves norms " +
+      "on average (JL), and output shape is n x m") {
+    import spark.implicits._
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val y = Similarity.randomProjection(emb, "vec_id", "embedding",
+      m = 16)
+    assert(y.count() == n * 16)
+    val y2 = Similarity.randomProjection(emb, "vec_id", "embedding",
+      m = 16)
+    assert(y.orderBy("vec_id", "j").collect().toSeq ==
+      y2.orderBy("vec_id", "j").collect().toSeq)
+    // E[||y||^2] = ||x||^2; the corpus-mean ratio concentrates hard
+    val ny = y.groupBy($"vec_id").agg(sum($"y" * $"y").as("ny"))
+    val nx = emb.select($"vec_id", aggregate(transform($"embedding",
+        x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, b) => a + b).as("nx"))
+    val ratio = ny.join(nx, "vec_id")
+      .agg(avg($"ny" / $"nx")).head.getDouble(0)
+    assert(ratio > 0.8 && ratio < 1.2, s"mean norm ratio $ratio")
   }
 }
 
