@@ -2619,6 +2619,43 @@ object TextQueries {
 
     // add-one bigram LM fluency (word-salad detector — common words in
     // uncommon order score low where the unigram proxy cannot tell)
+    // interpolated Kneser–Ney bigram scoring (D=0.75): the continuation-
+    // count smoothing KenLM defaults to, next to the add-one twin below.
+    // One fixed IEEE expression tree over integer counts; the oracle
+    // replays model tables (c1, N1+ fwd/bwd, B) from the same bigrams
+    Q("text_kneser_ney",
+      (s, dir) => TextAnalysis.kneserNeyLogProb(
+        Sources.table(s, dir, "documents"), "doc_id", "text", d = 0.75),
+      Some("""WITH t AS (
+          SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), x -> x <> '')
+              AS toks
+          FROM documents),
+        bg AS (
+          SELECT doc_id,
+            string_split(b, chr(2))[1] AS w1,
+            string_split(b, chr(2))[2] AS w2
+          FROM (SELECT doc_id,
+              unnest([toks[i] || chr(2) || toks[i + 1]
+                for i in range(1, len(toks))]) AS b
+            FROM t) x),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        fw AS (SELECT w1, count(*) AS n1f FROM c12 GROUP BY 1),
+        bw AS (SELECT w2, count(*) AS n1b FROM c12 GROUP BY 1),
+        bb AS (SELECT count(*) AS b_types FROM c12),
+        lp AS (
+          SELECT doc_id,
+            round(ln((c12::DOUBLE - 0.75) / c1::DOUBLE
+              + 0.75 * n1f::DOUBLE / c1::DOUBLE
+                * (n1b::DOUBLE / b_types::DOUBLE)), 6)
+              ::DECIMAL(18,6) AS lp
+          FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+          JOIN fw USING (w1) JOIN bw USING (w2) CROSS JOIN bb)
+        SELECT doc_id, count(*) AS n_bigrams,
+          round(sum(lp)::DOUBLE / count(*), 6) AS kn_logprob_avg
+        FROM lp GROUP BY doc_id""")),
+
     Q("text_bigram_logprob",
       (s, dir) => TextAnalysis.bigramLogProb(
         Sources.table(s, dir, "documents"), "doc_id", "text"),
@@ -3830,6 +3867,69 @@ object CurationQueries {
     // Efraimidis-Spirakis weighted sample: top-150 documents by
     // ln(u)/weight priority, weight = n_chars. Priorities, membership,
     // and order ties all hash-checked
+    // DoReMi-style mixture solver (3 multiplicative-weights rounds,
+    // eta=0.5): domains whose corpus-LM loss exceeds the mixture-
+    // weighted mean get upweighted. One corpus pass for per-domain mean
+    // loss; the solver is K-row arithmetic — the oracle replays every
+    // round's weighted mean, exp-update, and renormalization
+    Q("curation_doremi",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        val lp = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+        val losses = docs.select(col("doc_id"), col("source"))
+          .join(lp.select(col("doc_id"),
+            (-col("logprob_avg")).as("loss")), "doc_id")
+        Curation.domainReweight(losses, "source", "loss",
+          eta = 0.5, rounds = 3)
+      },
+      Some {
+        val rounds = (1 to 3).map { t =>
+          s"""m$t AS (
+            SELECT CAST(sum(CAST(w * l AS DECIMAL(28,12))) AS DOUBLE)
+              AS m
+            FROM w${t - 1}),
+          u$t AS (
+            SELECT domain, n_docs, l, w * exp(0.5 * (l - m)) AS u
+            FROM w${t - 1} CROSS JOIN m$t),
+          z$t AS (
+            SELECT CAST(sum(CAST(u AS DECIMAL(28,12))) AS DOUBLE) AS z
+            FROM u$t),
+          w$t AS (
+            SELECT domain, n_docs, l, round(u / z, 6) AS w
+            FROM u$t CROSS JOIN z$t)"""
+        }.mkString(",\n")
+        s"""WITH tok AS (
+            SELECT doc_id,
+              unnest(list_filter(string_split(lower(text), ' '),
+                x -> x <> '')) AS w
+            FROM documents),
+          lex AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+          tot AS (SELECT count(*) AS t FROM tok),
+          lpt AS (
+            SELECT doc_id,
+              round(ln(cnt::DOUBLE / t::DOUBLE), 6)::DECIMAL(18,6) AS lp
+            FROM tok JOIN lex USING (w) CROSS JOIN tot),
+          dlp AS (
+            SELECT doc_id,
+              round(sum(lp)::DOUBLE / count(*), 6) AS logprob_avg
+            FROM lpt GROUP BY doc_id),
+          losses AS (
+            SELECT d.source AS domain,
+              CAST(-(logprob_avg) AS DECIMAL(18,6)) AS loss
+            FROM documents d JOIN dlp USING (doc_id)),
+          dl AS (
+            SELECT domain, round(sum(loss)::DOUBLE / count(*), 6) AS l,
+              count(*)::BIGINT AS n_docs
+            FROM losses GROUP BY domain),
+          kk AS (SELECT count(*) AS k FROM dl),
+          w0 AS (
+            SELECT domain, n_docs, l, round(1.0::DOUBLE / k::DOUBLE, 6)
+              AS w
+            FROM dl CROSS JOIN kk),
+          $rounds
+          SELECT domain, n_docs, l AS l_domain, w AS weight FROM w3"""
+      }),
+
     Q("curation_sample_weighted",
       (s, dir) => Curation.sampleWeighted(
           Sources.table(s, dir, "documents"), "doc_id", "n_chars", k = 150)
@@ -4394,7 +4494,42 @@ object MultimodalQueries {
         SELECT doc_id, text,
           unnest(range(0,
             greatest(0, (octet_length(encode(text)) - 32) // 16) + 1)) AS i
-        FROM documents) t"""))
+        FROM documents) t""")),
+
+    // energy VAD over the stub "audio" payload: strided frames, exact
+    // integer frame energy sum((byte-128)^2), integer threshold gate,
+    // per-doc speech fraction — every frame decision engine-replayable
+    Q("multimodal_audio_vad",
+      (s, dir) => Multimodal.audioVadStub(
+        Multimodal.withBinaryPayload(
+          Sources.table(s, dir, "documents"), "text"),
+        "doc_id", "payload", frameSize = 32, stride = 16,
+        energyPerByte = 1000L),
+      Some("""WITH f AS (
+          SELECT doc_id, i AS frame_no,
+            substr(text, CAST(i * 16 + 1 AS INTEGER), 32) AS frame
+          FROM (SELECT doc_id, text,
+            unnest(range(0,
+              greatest(0, (octet_length(encode(text)) - 32) // 16) + 1))
+              AS i
+            FROM documents) t
+          WHERE length(substr(text, CAST(i * 16 + 1 AS INTEGER), 32)) > 0),
+        b AS (
+          SELECT doc_id, frame_no, frame,
+            unnest(range(1, length(frame) + 1)) AS j
+          FROM f),
+        e AS (
+          SELECT doc_id, frame_no,
+            sum((ord(substr(frame, j, 1)) - 128) *
+                (ord(substr(frame, j, 1)) - 128))::BIGINT AS en,
+            count(*)::BIGINT AS nb
+          FROM b GROUP BY doc_id, frame_no),
+        s AS (SELECT doc_id, en > 1000 * nb AS speech FROM e)
+        SELECT doc_id, count(*)::BIGINT AS n_frames,
+          sum(CASE WHEN speech THEN 1 ELSE 0 END)::BIGINT AS n_speech,
+          round(sum(CASE WHEN speech THEN 1 ELSE 0 END)::DOUBLE /
+            count(*), 6) AS speech_ratio
+        FROM s GROUP BY doc_id"""))
   )
 }
 

@@ -984,4 +984,54 @@ object Curation {
         (coalesce(col("_n_total"), lit(0L)) -
           coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
+
+  /** DoReMi-STYLE DOMAIN REWEIGHTING (after Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * multiplicative-weights update over domain mixture weights, where
+    * each round upweights domains whose loss EXCEEDS the current
+    * mixture-weighted mean — w'_k ∝ w_k · exp(η·(L_k − Σ_j w_j·L_j)) —
+    * for a fixed round count. The real DoReMi's excess loss comes from
+    * a proxy-vs-reference model pair trained in the loop; this engine's
+    * deterministic form takes any per-document loss column (here the
+    * corpus-LM negative log-prob) and runs the same update, which is
+    * the piece a DATA engine owns — the mixture solver over per-domain
+    * loss statistics, replayable end-to-end.
+    *
+    * Scale shape: ONE corpus aggregation produces the K-row domain
+    * table (mean loss, doc count); every round after that is K-row
+    * arithmetic against two one-row broadcast aggregates (the weighted
+    * mean and the normalizer) — at 100 TB the corpus is touched once,
+    * the solver is free. Parity: per-domain mean loss rounds at 6 dp;
+    * each round's weighted mean and normalizer are exact-decimal sums
+    * of IEEE products; weights re-round at 6 dp per round, so the
+    * oracle replays the rounds as a CTE chain digit-for-digit.
+    * Output: (domain, n_docs, l_domain, weight). */
+  def domainReweight(docLosses: DataFrame, domainCol: String,
+      lossCol: String, eta: Double, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val dec = "decimal(28,12)"
+    val dl = docLosses.groupBy(col(domainCol).as("domain"))
+      .agg(round(sum(col(lossCol).cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("l"), count(lit(1)).as("n_docs"))
+      .localCheckpoint()
+    val k = dl.agg(count(lit(1)).as("k"))
+    var w = dl.crossJoin(broadcast(k))
+      .select(col("domain"), col("n_docs"), col("l"),
+        round(lit(1.0) / col("k").cast("double"), 6).as("w"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val mean = w.agg(sum((col("w") * col("l")).cast(dec))
+        .cast("double").as("m")).localCheckpoint()
+      val u = w.crossJoin(broadcast(mean))
+        .select(col("domain"), col("n_docs"), col("l"),
+          (col("w") * exp(lit(eta) * (col("l") - col("m")))).as("u"))
+      val z = u.agg(sum(col("u").cast(dec)).cast("double").as("z"))
+      w = u.crossJoin(broadcast(z))
+        .select(col("domain"), col("n_docs"), col("l"),
+          round(col("u") / col("z"), 6).as("w"))
+        .localCheckpoint()
+    }
+    w.select(col("domain"), col("n_docs"), col("l").as("l_domain"),
+      col("w").as("weight"))
+  }
 }

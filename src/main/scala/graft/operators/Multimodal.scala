@@ -161,4 +161,45 @@ object Multimodal {
       i => col(binCol).substr(i * stride + 1, lit(frameSize)))
     df.select(col(idCol), posexplode(frames).as(Seq("frame_no", "frame")))
   }
+
+  /** Voice-activity detection over a binary "audio" column — the frame-
+    * energy gate every speech pipeline starts with (energy VAD: frame
+    * RMS above threshold = speech). The DECODE is the stub (the blob's
+    * raw bytes are read as unsigned 8-bit PCM centered at 128 — a real
+    * implementation swaps in a codec at the byte-extraction step); the
+    * engine side is the real shape: strided framing ([[sampleFrames]]),
+    * per-frame energy as a codegen fold over the byte values, an
+    * integer threshold test, and the per-document speech-fraction
+    * rollup a curation filter consumes ("drop clips with < 30%
+    * speech").
+    *
+    * Parity: energy is the EXACT integer Σ(v−128)² per frame and the
+    * gate compares `energy > threshold · n_bytes` in integers — no
+    * floats anywhere except the final 6-dp ratio, so any engine
+    * replays every frame decision. Empty frames (empty payloads) are
+    * dropped on both sides. Scale shape: framing and energy are pure
+    * per-row codegen work; only (doc_id, flag) pairs reach the
+    * aggregate. Output: (doc_id, n_frames, n_speech, speech_ratio). */
+  def audioVadStub(df: DataFrame, idCol: String, binCol: String,
+      frameSize: Int = 32, stride: Int = 16,
+      energyPerByte: Long = 1000L): DataFrame = {
+    val frames = sampleFrames(df, idCol, binCol, frameSize, stride)
+      .filter(octet_length(col("frame")) > 0)
+    val hx = hex(col("frame"))
+    val nb = octet_length(col("frame")).cast("long")
+    // byte j (1-based) lives at hex chars 2j-1..2j; (v-128)^2 summed
+    // exactly in 64-bit (max 128^2 * frameSize per frame)
+    val vals = transform(sequence(lit(1), nb.cast("int")), j =>
+      conv(substring(hx, (j - 1) * 2 + 1, lit(2)), 16, 10).cast("long"))
+    val energy = aggregate(vals, lit(0L),
+      (acc, v) => acc + (v - 128L) * (v - 128L))
+    frames
+      .select(col(idCol), (energy > lit(energyPerByte) * nb).as("speech"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("speech"), 1L).otherwise(0L)).as("n_speech"))
+      .select(col(idCol), col("n_frames"), col("n_speech"),
+        round(col("n_speech").cast("double") / col("n_frames"), 6)
+          .as("speech_ratio"))
+  }
 }

@@ -511,6 +511,63 @@ object TextAnalysis {
           .as("logprob_avg"))
   }
 
+  /** Per-document INTERPOLATED KNESER–NEY bigram log-probability (Kneser
+    * & Ney 1995; the smoothing KenLM ships as default) with fixed
+    * absolute discount D: p(w2|w1) = (c(w1,w2) − D)/c(w1) +
+    * D·N1+(w1,·)/c(w1) · N1+(·,w2)/B, where N1+(w1,·) counts distinct
+    * continuations of w1, N1+(·,w2) distinct left-contexts of w2 (the
+    * "how many contexts has this word completed" novelty signal — KN's
+    * defining idea, vs. raw frequency), and B the total bigram types.
+    * Every scored bigram is observed (the corpus is its own model), so
+    * max(c−D, 0) = c−D. Against the add-one [[bigramLogProb]] this is
+    * the production-grade LM the quality-filter literature actually
+    * perplexity-scores with.
+    *
+    * Scale shape: identical to [[bigramLogProb]] — counts and joins run
+    * on 8-byte xxhash64 keys (keys-not-payload rule); the three model
+    * tables (c1, N1+ forward, N1+ backward) are map-side-combined
+    * aggregates of the same bigram pass; B is a one-row broadcast.
+    * Parity: the probability is one fixed IEEE expression tree over
+    * integer counts, ln rounds at 6 dp into exact DECIMAL term sums.
+    * Output: (doc_id, n_bigrams, kn_logprob_avg). */
+  def kneserNeyLogProb(df: DataFrame, idCol: String, textCol: String,
+      d: Double = 0.75): DataFrame = {
+    require(d > 0 && d < 1, s"discount must be in (0,1), got $d")
+    val toksC = graft.functions.Cleaning.tokens(lower(col(textCol)))
+    val withT = df.select(col(idCol), toksC.as("__t"))
+    val bg = withT.filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1))).as("p"))
+      .select(col(idCol),
+        xxhash64(col("p").getField("0")).as("h1"),
+        xxhash64(col("p").getField("1")).as("h2"),
+        xxhash64(col("p").getField("0"), col("p").getField("1"))
+          .as("h12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bigram TYPE table — reused three ways (c12 lookup, both N1+
+    // folds) plus the one-row B, so materialize it once
+    val types = bg.groupBy(col("h12"), col("h1"), col("h2"))
+      .agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = bg.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    val fw = types.groupBy(col("h1")).agg(count(lit(1)).as("n1f"))
+    val bw = types.groupBy(col("h2")).agg(count(lit(1)).as("n1b"))
+    val bb = types.agg(count(lit(1)).as("b_types"))
+    bg.join(types.select(col("h12"), col("c12")), Seq("h12"))
+      .join(c1, Seq("h1")).join(fw, Seq("h1")).join(bw, Seq("h2"))
+      .crossJoin(broadcast(bb))
+      .withColumn("lp", round(log(
+        (col("c12").cast("double") - d) / col("c1").cast("double") +
+          lit(d) * col("n1f").cast("double") / col("c1").cast("double") *
+          (col("n1b").cast("double") / col("b_types").cast("double"))),
+        6).cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+          .as("kn_logprob_avg"))
+  }
+
   /** Ranked BPE merge table for [[bpeTokenCounts]] — a small pinned set
     * of common English fusions standing in for a trained vocabulary's
     * merges file (offline container). Note rules 2 and 13 consume MERGED

@@ -787,4 +787,34 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(again.getDouble(3) == far.getDouble(3) &&
       again.getDouble(4) == far.getDouble(4), "deterministic")
   }
+
+  test("domainReweight: equal losses stay uniform, the hard domain " +
+      "gains weight monotonically in rounds, weights renormalize, " +
+      "and reruns are bit-identical") {
+    // two domains, equal loss: the exp-update is exp(0) — uniform holds
+    val eq = Seq(("a", 2.0), ("a", 2.0), ("b", 2.0))
+      .toDF("domain", "loss")
+    val we = Curation.domainReweight(eq, "domain", "loss",
+      eta = 0.5, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(we == Map("a" -> 0.5, "b" -> 0.5))
+    // hard domain (loss 4) vs easy (loss 1): weight moves toward hard,
+    // more rounds move it further
+    val sk = Seq(("hard", 4.0), ("hard", 4.0), ("easy", 1.0))
+      .toDF("domain", "loss")
+    def wOf(rounds: Int) = Curation.domainReweight(sk, "domain", "loss",
+        eta = 0.5, rounds = rounds)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val w1 = wOf(1); val w3 = wOf(3)
+    assert(w1("hard") > 0.5 && w3("hard") > w1("hard"),
+      s"round 1 $w1, round 3 $w3")
+    // renormalized each round (6-dp rounding can leave 1e-6 slack)
+    assert(math.abs(w3.values.sum - 1.0) <= 2e-6)
+    assert(wOf(3) == w3, "deterministic")
+    // per-domain stats carried through: n_docs and 6-dp mean loss
+    val row = Curation.domainReweight(sk, "domain", "loss",
+        eta = 0.5, rounds = 1)
+      .filter(col("domain") === "hard").head
+    assert(row.getLong(1) == 2L && row.getDouble(2) == 4.0)
+  }
 }

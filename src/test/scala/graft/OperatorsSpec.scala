@@ -2383,4 +2383,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTester {
     assert(r.getInt(2) == 4)  // re tokens: ab, 12, cd, ef
     assert(r.getInt(3) == 2)
   }
+
+  test("kneserNeyLogProb matches the hand-computed interpolated KN " +
+      "value, and continuation probabilities sum to 1 over the vocab") {
+    import spark.implicits._
+    // c(a,b)=2, c(a,c)=1, c1(a)=3, N1+(a,.)=2, N1+(.,b)=N1+(.,c)=1, B=2
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.kneserNeyLogProb(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
+      .toMap
+    def rnd(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = (2.0 - 0.75) / 3.0 + 0.75 * 2.0 / 3.0 * (1.0 / 2.0)
+    val pAC = (1.0 - 0.75) / 3.0 + 0.75 * 2.0 / 3.0 * (1.0 / 2.0)
+    assert(r(1L) == (1L, rnd(rnd(math.log(pAB)))), s"got ${r(1L)}")
+    assert(r(2L) == r(1L))
+    assert(r(3L) == (1L, rnd(rnd(math.log(pAC)))), s"got ${r(3L)}")
+    // the KN normalization identity: observed mass (c1 - D*N1+)/c1 plus
+    // continuation mass D*N1+/c1 * (sum over vocab of N1+(.,w))/B = 1
+    assert(math.abs(pAB + pAC - 1.0) < 1e-12)
+    // frequent continuation outranks rare one
+    assert(r(1L)._2 > r(3L)._2)
+  }
 }

@@ -155,6 +155,27 @@ class MultimodalSpec extends AnyFunSuite with SparkTester {
       .getAs[Array[Byte]](2))
     assert(f0 == "rld, this is a b")
   }
+
+  test("audioVadStub: all-space frames gate as speech, letter-only " +
+      "frames as silence, frame counts follow the stride, empty " +
+      "payloads drop") {
+    // spaces: (32-128)^2 = 9216 > 1000 per byte; 'x': (120-128)^2 = 64
+    val aud = Multimodal.withBinaryPayload(
+      Seq((1L, " " * 64), (2L, "x" * 64), (3L, ""))
+        .toDF("doc_id", "txt"), "txt")
+    val r = Multimodal.audioVadStub(aud, "doc_id", "payload",
+        frameSize = 32, stride = 16, energyPerByte = 1000L)
+      .collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toMap
+    // 64 bytes, frame 32, stride 16: frames at 0,16,32 -> 3 frames
+    assert(r(1L) == (3L, 3L, 1.0), s"spaces: ${r.get(1L)}")
+    assert(r(2L) == (3L, 0L, 0.0), s"letters: ${r.get(2L)}")
+    assert(!r.contains(3L), "empty payload produces no frames")
+    // hand-check one frame's exact integer energy: 32 spaces
+    // -> 32 * 9216 = 294912 > 1000 * 32
+    assert(32L * 9216L > 1000L * 32L)
+  }
 }
 
 class PipelineSpec extends AnyFunSuite with SparkTester {
