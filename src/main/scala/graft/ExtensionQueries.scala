@@ -4790,10 +4790,14 @@ object GraphQueries {
       }),
 
     // triangle counting on the supplier CO-OCCURRENCE graph (suppliers
-    // sharing an order — the one-mode projection of the trade bipartite
-    // graph, which itself has no triangles). Degree orientation bounds
-    // wedge fan-out by O(√m); exact integer counting, so the oracle
-    // replays the orient→wedge→close algebra row-for-row
+    // sharing >= 5 orders — the min-support-thresholded one-mode
+    // projection of the trade bipartite graph; the bipartite graph
+    // itself has no triangles, and an UNthresholded projection densifies
+    // toward a clique as orders grow — the threshold is what keeps a
+    // basket projection sparse at scale, exactly as in market-basket
+    // practice). Degree orientation bounds wedge fan-out by O(√m);
+    // exact integer counting, so the oracle replays the
+    // orient→wedge→close algebra row-for-row
     Q("graph_triangles",
       (s, dir) => {
         val os = Sources.table(s, dir, "orders")
@@ -4803,15 +4807,21 @@ object GraphQueries {
           .distinct()
         val pairs = os.as("a").join(os.as("b"),
             col("a.ok") === col("b.ok") && col("a.sv") < col("b.sv"))
-          .select(col("a.sv").as("src"), col("b.sv").as("dst"))
+          .groupBy(col("a.sv").as("src"), col("b.sv").as("dst"))
+          .agg(count(lit(1)).as("__w"))
+          .filter(col("__w") >= 5)
+          .select(col("src"), col("dst"))
         Graph.triangleCounts(pairs, "src", "dst")
       },
       Some("""WITH os AS (
           SELECT DISTINCT o_orderkey AS ok, l_suppkey AS s
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         und AS (
-          SELECT DISTINCT a.s AS u, b.s AS v
-          FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s),
+          SELECT u, v FROM (
+            SELECT a.s AS u, b.s AS v, count(*) AS w
+            FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+            GROUP BY 1, 2) wp
+          WHERE w >= 5),
         deg AS (
           SELECT node, count(*) AS deg FROM (
             SELECT u AS node FROM und

@@ -298,4 +298,49 @@ class PlanSpec extends AnyFunSuite with SparkTester {
       p.contains("ShuffledHashJoin Inner") ||
       p.contains("BroadcastHashJoin Inner"), p)
   }
+
+  test("agg_kmv: the k-smallest runs as TakeOrdered (per-partition " +
+      "top-k merged at the driver), never a full global sort") {
+    val p = plan("agg_kmv")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), p)
+  }
+
+  test("embedding_quantize_sq / embedding_rp: the d-row stats and the " +
+      "sign matrix broadcast back — no corpus-keyed shuffle join") {
+    val sq = plan("embedding_quantize_sq")
+    assert(sq.contains("BroadcastHashJoin"), sq)
+    assert(!sq.contains("SortMergeJoin"), sq)
+    // the projection pass crosses ONE one-row nested sign array in —
+    // a 1-row BroadcastNestedLoopJoin, not a per-element join
+    val rp = plan("embedding_rp")
+    assert(rp.contains("BroadcastNestedLoopJoin"), rp)
+    assert(!rp.contains("SortMergeJoin"), rp)
+  }
+
+  test("layout_zonemap_prune: the audit runs on the stats table alone " +
+      "— one scan of orders feeds the shard aggregate, and the box " +
+      "test is a residual-free aggregate over shards") {
+    val p = plan("layout_zonemap_prune")
+    // two aggregates: shard stats, then the one-row audit fold
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("graph_triangles: min-support projection partial-aggregates " +
+      "before its shuffle; wedge close is an equi-join (no nested " +
+      "loop anywhere)") {
+    val p = plan("graph_triangles")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("text_kneser_ney: model tables join on 8-byte hash keys and " +
+      "aggregate map-side; B is broadcast") {
+    val p = plan("text_kneser_ney")
+    assert(p.contains("xxhash64"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
