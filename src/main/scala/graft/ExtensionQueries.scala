@@ -4662,6 +4662,57 @@ object GraphQueries {
           SELECT node, r AS rank_f15 FROM r3"""
       }),
 
+    // HITS hubs/authorities on the DIRECTED customer→supplier graph —
+    // customers are pure hubs (no in-edges), suppliers pure authorities,
+    // so the two scores separate the bipartite roles the way HITS is
+    // meant to. Raw per-round sums exceed 64 bits, so both engines
+    // aggregate them exactly (Spark DECIMAL(38,0), DuckDB HUGEINT) and
+    // normalize with an exact integer floor division — every femto-unit
+    // hash-checked across 2 full rounds
+    Q("graph_hits",
+      (s, dir) => {
+        val edges = Sources.table(s, dir, "orders")
+          .join(Sources.table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        Graph.hits(edges, "src", "dst", iters = 2)
+      },
+      Some {
+        val scale = Graph.MassScale
+        val rounds = (1 to 2).map { t =>
+          s"""ar$t AS (
+            SELECT e.dst AS node, sum(hh.h)::HUGEINT AS araw
+            FROM e JOIN h${t - 1} hh ON e.src = hh.node GROUP BY e.dst),
+          ta$t AS (SELECT sum(araw) AS t FROM ar$t),
+          a$t AS (
+            SELECT node, ((araw * $scale::HUGEINT) // t)::BIGINT AS a
+            FROM ar$t CROSS JOIN ta$t),
+          hr$t AS (
+            SELECT e.src AS node, sum(aa.a)::HUGEINT AS hraw
+            FROM e JOIN a$t aa ON e.dst = aa.node GROUP BY e.src),
+          th$t AS (SELECT sum(hraw) AS t FROM hr$t),
+          h$t AS (
+            SELECT node, ((hraw * $scale::HUGEINT) // t)::BIGINT AS h
+            FROM hr$t CROSS JOIN th$t)"""
+        }.mkString(",\n")
+        s"""WITH e AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          nodes AS (
+            SELECT DISTINCT src AS node FROM e
+            UNION SELECT DISTINCT dst FROM e),
+          nn AS (SELECT count(*) AS n FROM nodes),
+          h0 AS (
+            SELECT node, $scale // n AS h FROM nodes CROSS JOIN nn),
+          $rounds
+          SELECT n.node, coalesce(h.h, 0) AS hub_f15,
+            coalesce(a.a, 0) AS auth_f15
+          FROM nodes n LEFT JOIN h2 h ON n.node = h.node
+          LEFT JOIN a2 a ON n.node = a.node"""
+      }),
+
     // HARMONIC CENTRALITY via HyperBall — per-node HLL ball sketches
     // max-merged along edges per round; the oracle replays the md5
     // register algebra, every merge round, every ball estimate, and

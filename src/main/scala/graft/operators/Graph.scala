@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph centrality over relational edge lists.
@@ -294,6 +294,77 @@ object Graph {
         .localCheckpoint()
     }
     rank.select(col("node"), col("r").as("rank_f15"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
+    * list: per round, authority(v) = Σ_{u→v} hub(u) then
+    * hub(u) = Σ_{u→v} authority(v), each L1-normalized back to
+    * [[MassScale]] integer units. On a crawl graph this separates
+    * "pages that point at good content" (hubs — link directories,
+    * indexes) from "content worth pointing at" (authorities) — the
+    * second quality prior next to PageRank, and on a bipartite
+    * interaction graph (buyer→product) it is the classic
+    * co-ranking.
+    *
+    * Numeric parity: raw sums exceed 64 bits (Σ over |E| edges of
+    * 10^15-unit masses), so they are aggregated as DECIMAL(38,0) —
+    * exact, order-free — and the normalization
+    * `(raw · MassScale) DIV total` is computed as
+    * `(p − p % t) / t` on decimals: the dividend is made exactly
+    * divisible first, so the decimal division is an exact integer and
+    * Spark's quotient-scale rounding can never flip a floor (a plain
+    * decimal `/` rounds at scale 6, which CAN cross an integer
+    * boundary; subtracting the remainder removes the boundary).
+    * DuckDB replays it as 128-bit `//`. Same per-round equi-join +
+    * map-side-combinable sum shape as [[pageRank]], localCheckpoint
+    * per round; nodes with no in-edges (resp. out-edges) hold
+    * authority (resp. hub) 0.
+    *
+    * Output: (node, hub_f15, auth_f15). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val dec = "decimal(38,0)"
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    // exact floor((raw*MassScale)/total) — see Scaladoc
+    def normF15(raw: Column, total: Column): Column = {
+      val p = (raw.cast(dec) * lit(MassScale)).cast(dec)
+      ((p - p % total.cast(dec)) / total.cast(dec)).cast("long")
+    }
+    var hub = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), expr(s"${MassScale}L DIV n").as("h"))
+      .localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub.select(col("node").as("src"), col("h")),
+          Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("h").cast(dec)).as("araw"))
+      val tA = aRaw.agg(sum(col("araw")).as("t"))
+      auth = aRaw.crossJoin(broadcast(tA))
+        .select(col("node"), normF15(col("araw"), col("t")).as("a"))
+        .localCheckpoint()
+      val hRaw = e.join(auth.select(col("node").as("dst"), col("a")),
+          Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("a").cast(dec)).as("hraw"))
+      val tH = hRaw.agg(sum(col("hraw")).as("t"))
+      hub = hRaw.crossJoin(broadcast(tH))
+        .select(col("node"), normF15(col("hraw"), col("t")).as("h"))
+        .localCheckpoint()
+    }
+    nodes
+      .join(hub, Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("hub_f15"),
+        coalesce(col("a"), lit(0L)).as("auth_f15"))
   }
 
   /** Canonicalized undirected edge list: self-loops dropped, each edge

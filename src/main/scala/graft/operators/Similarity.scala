@@ -920,8 +920,12 @@ object Similarity {
       (acc, e) => (acc + e).cast(pcaDec)).cast("double")
 
   /** Centered corpus view `(vec_id, xs)` + one-row corpus count. μ
-    * crosses in as a one-row broadcast array; the view is recomputed
-    * inside each downstream scan, never stored. */
+    * crosses in as a one-row broadcast array. The centered view is
+    * localCheckpoint-materialized ONCE — the MLlib persist-the-
+    * training-view pattern: T power rounds rescan it T times, so one
+    * materialization replaces T parquet re-reads + re-centerings (at
+    * cluster scale this is `persist(MEMORY_AND_DISK)` of the training
+    * view for the duration of the fit). */
   private def pcaBase(df: DataFrame, idCol: String, vecCol: String)
       : (DataFrame, DataFrame) = {
     val el = df.select(col(idCol).as("vec_id"),
@@ -938,6 +942,7 @@ object Similarity {
       .crossJoin(broadcast(muRow))
       .select(col("vec_id"), zip_with(col("__e"), col("mu_arr"),
         (x, m) => x.cast("double") - m).as("xs"))
+      .localCheckpoint()
     (base, nRow)
   }
 
@@ -952,11 +957,16 @@ object Similarity {
     for (_ <- 1 to iters) {
       val withS = base.crossJoin(broadcast(vRow))
         .select(col("xs"), pcaFold(col("xs"), col("v_arr")).as("s"))
+      // checkpoint w (d rows — model-plane tiny): n2 and the normalized
+      // direction both derive from it, so without the barrier each of
+      // their actions would re-run the full corpus scan — one corpus
+      // job per round instead of two. Values are unchanged.
       val w = withS
         .select(posexplode(transform(col("xs"),
           x => (col("s") * x).cast(pcaDec))).as(Seq("p", "c")))
         .groupBy((col("p") + 1).as("i"))
         .agg(sum(col("c")).cast("double").as("w"))
+        .localCheckpoint()
       n2Row = w.agg(sum((col("w") * col("w")).cast(pcaDec))
         .cast("double").as("n2")).localCheckpoint()
       val vT = w.crossJoin(broadcast(n2Row))
@@ -1005,16 +1015,23 @@ object Similarity {
     * (x ← x − (x·v₁)v₁), train v₂ on the residual. Output one row per
     * (comp, dimension) with the component's Rayleigh eigenvalue — the
     * 2-d PCA basis a layout/visualization or decorrelation pass wants.
-    * Same matrix-free scan shape; the deflated view is a projection on
-    * top of the centered view (still never stored), so component c
-    * costs c·iters scans. Deflation arithmetic is plain doubles on the
-    * 6-dp-rounded v₁ plus one exact-decimal fold — replayable. */
+    * Same matrix-free scan shape. The per-row projection scalar `__s`
+    * is materialized (localCheckpoint) BEFORE the residual zip: if it
+    * stayed lazy, CollapseProject would inline the O(d) decimal fold
+    * into the zip_with lambda body, where the interpreted HOF
+    * re-evaluates it PER ELEMENT — O(d²) decimal work per row on every
+    * downstream scan (measured 39 s → the barrier keeps `__s` an
+    * attribute, O(d) per scan). Deflation arithmetic is plain doubles
+    * on the 6-dp-rounded v₁ plus one exact-decimal fold — replayable. */
   def pcaDeflateComponents(df: DataFrame, idCol: String, vecCol: String,
       iters: Int): DataFrame = {
     val (base, nRow) = pcaBase(df, idCol, vecCol)
     val (v1, n21) = pcaIterate(base, iters)
-    val base2 = base.crossJoin(broadcast(v1))
-      .withColumn("__s", pcaFold(col("xs"), col("v_arr")))
+    val scored = base.crossJoin(broadcast(v1))
+      .select(col("vec_id"), col("xs"),
+        pcaFold(col("xs"), col("v_arr")).as("__s"))
+      .localCheckpoint()
+    val base2 = scored.crossJoin(broadcast(v1))
       .select(col("vec_id"), zip_with(col("xs"), col("v_arr"),
         (x, vv) => x - col("__s") * vv).as("xs"))
     val (v2, n22) = pcaIterate(base2, iters)

@@ -1128,6 +1128,37 @@ class GraphSpec extends AnyFunSuite with SparkTester {
     assert(r2 == r, "deterministic across runs")
   }
 
+  test("hits: bipartite roles separate, L1 norms hold, in-degree orders " +
+      "authority, reruns bit-identical") {
+    // directed bipartite: hubs 1,2,3 → authorities 10,11; node 10 has
+    // in-degree 3, node 11 has in-degree 1; hub 3 points at both
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (3L, 11L))
+      .toDF("src", "dst")
+    val r = Graph.hits(edges, "src", "dst", iters = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val hub = r.map(x => x._1 -> x._2).toMap
+    val auth = r.map(x => x._1 -> x._3).toMap
+    assert(r.length == 5)
+    // sources have zero authority; sinks have zero hub score
+    assert(Seq(1L, 2L, 3L).forall(n => auth(n) == 0L), s"$auth")
+    assert(Seq(10L, 11L).forall(n => hub(n) == 0L), s"$hub")
+    // the double-linked hub dominates; the in-degree-3 authority wins
+    assert(hub(3L) > hub(1L) && hub(1L) == hub(2L), s"$hub")
+    assert(auth(10L) > auth(11L), s"$auth")
+    // L1 normalization: each score family sums to MassScale up to the
+    // floor-division leak (< 1 unit per scored node)
+    val hubTotal = hub.values.sum
+    val authTotal = auth.values.sum
+    assert(hubTotal <= Graph.MassScale &&
+      hubTotal >= Graph.MassScale - 5, s"hub mass $hubTotal")
+    assert(authTotal <= Graph.MassScale &&
+      authTotal >= Graph.MassScale - 5, s"auth mass $authTotal")
+    val again = Graph.hits(edges, "src", "dst", iters = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(again.sortBy(_._1).sameElements(r.sortBy(_._1)),
+      "deterministic across runs")
+  }
+
   test("personalized pageRank: mass stays near the seed, unreachable " +
       "components get zero, seed outranks the far end of a chain") {
     // chain 1-2-3-4-5 (symmetric) plus a disconnected pair 10-11
@@ -1387,8 +1418,9 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTester {
   }
 
   test("retention: day-0 cell equals the cohort size") {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // Sources.events normalizes ts whether the driver wrote nanos-as-long
+    // or microsecond timestamps (the physical type changed across rounds)
+    val ev = graft.sources.Sources.events(spark, "/root/testdata/sf0.001")
     val r = Temporal.retentionCohorts(ev, "user_id", "ts")
     val day0 = r.filter($"day_offset" === 0)
       .select($"cohort_day".as[java.sql.Date], $"n_users".as[Long])
