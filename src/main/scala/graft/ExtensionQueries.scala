@@ -2170,6 +2170,78 @@ object TextQueries {
           CROSS JOIN b3 b)
         SELECT doc_id, score, score >= 0.5 AS keep FROM sc""")),
 
+    // reliability-diagram calibration audit of the trained classifier:
+    // per score-decile mean predicted probability vs empirical positive
+    // rate and their gap — bin on identical rounded doubles, exact
+    // decimal bin means, integer positive rates
+    Q("quality_calibration",
+      (s, dir) => QualityModel.calibration(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", dim = 32, iters = 3, lr = 2.0, bins = 10),
+      Some(s"""WITH ${lrCtes(32, 3, 2.0, "d.lang = 'en'")},
+        sF AS (
+          SELECT f.doc_id, sum(CAST(w.w AS DECIMAL(18,6)) * f.c) AS s,
+            sum(f.c) AS n
+          FROM f JOIN w3 w ON f.j = w.j GROUP BY f.doc_id),
+        sc AS (
+          SELECT d.doc_id, (d.lang = 'en')::INTEGER AS y,
+            round(1.0 / (1.0 + exp(-round(b.b +
+              coalesce(32 * CAST(sF.s AS DOUBLE) / sF.n, 0.0), 6))), 6)
+              AS score
+          FROM documents d LEFT JOIN sF ON d.doc_id = sF.doc_id
+          CROSS JOIN b3 b)
+        SELECT least(floor(score * 10), 9.0)::INTEGER AS bin,
+          count(*) AS n,
+          round(CAST(sum(score::DECIMAL(18,6)) AS DOUBLE) / count(*), 6)
+            AS mean_score,
+          round(sum(y)::DOUBLE / count(*), 6) AS pos_rate,
+          round(abs(
+            round(CAST(sum(score::DECIMAL(18,6)) AS DOUBLE) / count(*), 6)
+            - round(sum(y)::DOUBLE / count(*), 6)), 6) AS gap
+        FROM sc GROUP BY 1""")),
+
+    // precision/recall/F1 sweep at thresholds 0.1..0.9 — the
+    // operating-point curve; exact TP/FP/FN counts, one rounded
+    // division per metric, F1 over the rounded P and R
+    Q("quality_pr_curve",
+      (s, dir) => QualityModel.prCurve(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", dim = 32, iters = 3, lr = 2.0, steps = 9),
+      Some(s"""WITH ${lrCtes(32, 3, 2.0, "d.lang = 'en'")},
+        sF AS (
+          SELECT f.doc_id, sum(CAST(w.w AS DECIMAL(18,6)) * f.c) AS s,
+            sum(f.c) AS n
+          FROM f JOIN w3 w ON f.j = w.j GROUP BY f.doc_id),
+        sc AS (
+          SELECT d.doc_id, (d.lang = 'en')::INTEGER AS y,
+            round(1.0 / (1.0 + exp(-round(b.b +
+              coalesce(32 * CAST(sF.s AS DOUBLE) / sF.n, 0.0), 6))), 6)
+              AS score
+          FROM documents d LEFT JOIN sF ON d.doc_id = sF.doc_id
+          CROSS JOIN b3 b),
+        th AS (SELECT unnest(range(1, 10))::DOUBLE / 10 AS t),
+        cnt AS (
+          SELECT t,
+            sum(CASE WHEN score >= t AND y = 1 THEN 1 ELSE 0 END)::BIGINT
+              AS tp,
+            sum(CASE WHEN score >= t AND y = 0 THEN 1 ELSE 0 END)::BIGINT
+              AS fp,
+            sum(CASE WHEN score < t AND y = 1 THEN 1 ELSE 0 END)::BIGINT
+              AS fn
+          FROM sc CROSS JOIN th GROUP BY t),
+        pr AS (
+          SELECT t, tp, fp, fn,
+            CASE WHEN tp + fp = 0 THEN 0.0
+              ELSE round(tp::DOUBLE / (tp + fp), 6) END AS precision,
+            CASE WHEN tp + fn = 0 THEN 0.0
+              ELSE round(tp::DOUBLE / (tp + fn), 6) END AS recall
+          FROM cnt)
+        SELECT t, tp, fp, fn, precision, recall,
+          CASE WHEN precision + recall = 0 THEN 0.0
+            ELSE round(2.0 * precision * recall / (precision + recall), 6)
+          END AS f1
+        FROM pr""")),
+
     // the BUDGETED selector variant: rank by score, admit until the
     // token budget is spent (cum_before < B, straddler allowed — the
     // token_budget packing convention) instead of cutting at a fixed
@@ -2331,6 +2403,40 @@ object TextQueries {
         SELECT doc_id, count(*) AS n_tokens,
           round(sum(lp)::DOUBLE / count(*), 6) AS logprob_avg
         FROM lp GROUP BY doc_id""")),
+
+    // Zipf rank–frequency OLS fit over the top-100 lexicon — the one-row
+    // corpus-health gauge (natural text ≈ slope −1); ln() per term
+    // rounded into DECIMAL(18,6), exact decimal moment sums, two closing
+    // double divisions — every digit replayed by the oracle
+    Q("corpus_zipf",
+      (s, dir) => TextAnalysis.zipfFit(
+        Sources.table(s, dir, "documents"), "text", topN = 100),
+      Some("""WITH tok AS (
+          SELECT unnest(list_filter(string_split(lower(text), ' '),
+            x -> x <> '')) AS w
+          FROM documents),
+        lex AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+        rk AS (
+          SELECT row_number() OVER (ORDER BY cnt DESC, w) AS rank, cnt
+          FROM lex ORDER BY cnt DESC, w LIMIT 100),
+        xy AS (
+          SELECT round(ln(rank::DOUBLE), 6)::DECIMAL(18,6) AS x,
+            round(ln(cnt::DOUBLE), 6)::DECIMAL(18,6) AS y
+          FROM rk),
+        s AS (
+          SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+            sum((x * y)::DECIMAL(38,12)) AS sxy,
+            sum((x * x)::DECIMAL(38,12)) AS sxx
+          FROM xy),
+        s2 AS (
+          SELECT n, sx, sy,
+            round(CAST(n * sxy - sx * sy AS DOUBLE) /
+              CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+          FROM s)
+        SELECT n, slope,
+          round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n, 6)
+            AS intercept
+        FROM s2""")),
 
     // real BPE token counting: ranked merges applied one-at-a-time
     // (lowest rank, leftmost occurrence) to a fixpoint. The oracle

@@ -1028,6 +1028,37 @@ object ReferenceQueries {
             FROM lineitem WHERE l_linenumber % 2 = 1)
             q1 ORDER BY h LIMIT 64)) u"""))),
 
+    // sketch INTERSECTION: customers-who-ordered ∩ all-customers from
+    // two k-min sketches — ρ·est(|A∪B|), exact below k (the Beyer et
+    // al. estimator); the reconciliation query two stored partition
+    // sketches answer without re-reading data
+    Q("agg_kmv_intersect",
+      (s, dir) => Sketches.kmvIntersect(
+        t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey", k = 64),
+      Some(s"""WITH ta AS (
+          SELECT h FROM (
+            SELECT DISTINCT md5(o_custkey::VARCHAR) AS h FROM orders) q
+          ORDER BY h LIMIT 64),
+        tb AS (
+          SELECT h FROM (
+            SELECT DISTINCT md5(c_custkey::VARCHAR) AS h FROM customer) q
+          ORDER BY h LIMIT 64),
+        u AS (
+          SELECT coalesce(ta.h, tb.h) AS h,
+            CASE WHEN ta.h IS NULL THEN 0 ELSE 1 END AS in_a,
+            CASE WHEN tb.h IS NULL THEN 0 ELSE 1 END AS in_b
+          FROM ta FULL OUTER JOIN tb ON ta.h = tb.h
+          ORDER BY h LIMIT 64),
+        sk AS (
+          SELECT count(*) AS n_k, max(h) AS kth_hash,
+            sum(in_a * in_b)::BIGINT AS n_both
+          FROM u)
+        SELECT n_k, kth_hash, n_both, ${kmvEstSql(64)} AS est_union,
+          round(n_both::DOUBLE * ${kmvEstSql(64)} / n_k, 6)
+            AS est_intersect
+        FROM sk""")),
+
     // ---- exact distinct aggregation (SURVEY §2.5 "free" row) ----
     Q("agg_distinct",
       (s, dir) => t(s, dir, "lineitem")
@@ -1121,6 +1152,27 @@ object ReferenceQueries {
           CAST(date_diff('day', cohort_day, d) AS INTEGER) AS day_offset,
           count(DISTINCT user_id) AS n_users
         FROM a JOIN f USING (user_id) GROUP BY 1, 2""")),
+
+    // first-order Markov transition matrix over per-user event
+    // sequences (ties on ts break on event_id, so every count is
+    // total-order deterministic); counts exact, probabilities one
+    // rounded division
+    Q("events_markov",
+      (s, dir) => graft.operators.Temporal.markovTransitions(
+        Sources.events(s, dir), "user_id", "ts", "event_type",
+        "event_id"),
+      Some("""WITH s AS (
+          SELECT event_type AS from_type,
+            lead(event_type) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          FROM events),
+        p AS (
+          SELECT from_type, to_type, count(*) AS n
+          FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT from_type, sum(n) AS tot FROM p GROUP BY 1)
+        SELECT p.from_type, p.to_type, p.n,
+          round(p.n::DOUBLE / t.tot, 6) AS p
+        FROM p JOIN t USING (from_type)""")),
 
     // ---- unpivot/melt (the inverse of pivot_events): wide metric
     // columns to long (key, metric, value) rows — Spark's native

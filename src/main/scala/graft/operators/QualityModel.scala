@@ -299,4 +299,79 @@ object QualityModel {
       .select(col("doc_id"), col("score"), col("n_tokens"),
         col("cum_before"))
   }
+
+  /** CALIBRATION audit of the trained classifier (the reliability
+    * diagram behind ECE): scores bucketed into `bins` equal-width bins;
+    * per bin the mean predicted probability vs the empirical positive
+    * rate, and their gap. A well-calibrated scorer has gap ≈ 0
+    * everywhere; a few-round GD model is usually over-confident at the
+    * extremes — the audit that says whether `keep >= t` thresholds mean
+    * what they claim before a 100 TB selection run commits to one.
+    *
+    * Parity: bin = floor(score·bins) on identical 6-dp-rounded score
+    * doubles (clamped to the top bin at score = 1); the bin mean is an
+    * exact decimal sum divided once; the positive rate is an integer
+    * ratio. Scale shape: scoring streams, then one ≤`bins`-row
+    * aggregate — audit cost is the scorer's cost. */
+  def calibration(df: DataFrame, idCol: String, textCol: String,
+      label: Column, dim: Int = 32, iters: Int = 3, lr: Double = 2.0,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val scored = trainScoreLogReg(df, idCol, textCol, label, dim, iters,
+      lr)
+    val y = df.select(col(idCol).as("doc_id"), label.cast("int").as("y"))
+    scored.join(y, Seq("doc_id"))
+      .withColumn("bin", least(floor(col("score") * bins),
+        lit((bins - 1).toDouble)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("score").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_score"),
+        round(sum(col("y")).cast("double") / count(lit(1)), 6)
+          .as("pos_rate"))
+      .withColumn("gap",
+        round(abs(col("mean_score") - col("pos_rate")), 6))
+  }
+
+  /** PRECISION/RECALL sweep of the trained classifier: TP/FP/FN and the
+    * derived precision, recall, F1 at thresholds i/(steps+1) for
+    * i = 1..steps — the curve that picks the operating threshold (or
+    * shows, on imbalanced labels, that no threshold beats the budgeted
+    * rank selector of [[trainScoreLogRegBudget]]). Counts are exact
+    * integers; each derived metric is one rounded division (F1 over the
+    * already-rounded P and R), zero-guarded to 0. Scale shape: the
+    * scored corpus crosses a `steps`-row literal threshold table
+    * (constant-factor fan-out, map-side-combined counts) — no extra
+    * corpus pass per threshold. */
+  def prCurve(df: DataFrame, idCol: String, textCol: String,
+      label: Column, dim: Int = 32, iters: Int = 3, lr: Double = 2.0,
+      steps: Int = 9): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val scored = trainScoreLogReg(df, idCol, textCol, label, dim, iters,
+      lr)
+    val y = df.select(col(idCol).as("doc_id"), label.cast("int").as("y"))
+    val th = df.sparkSession.range(1, steps + 1)
+      .select((col("id").cast("double") / (steps + 1)).as("t"))
+    val cnt = scored.join(y, Seq("doc_id"))
+      .crossJoin(broadcast(th))
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("score") >= col("t") && col("y") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("t") && col("y") === 0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("t") && col("y") === 1, 1L)
+          .otherwise(0L)).as("fn"))
+    val p = when(col("tp") + col("fp") === 0, lit(0.0))
+      .otherwise(round(col("tp").cast("double") /
+        (col("tp") + col("fp")), 6))
+    val r = when(col("tp") + col("fn") === 0, lit(0.0))
+      .otherwise(round(col("tp").cast("double") /
+        (col("tp") + col("fn")), 6))
+    cnt.withColumn("precision", p).withColumn("recall", r)
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0, lit(0.0))
+          .otherwise(round(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall")), 6)))
+  }
 }

@@ -347,4 +347,38 @@ object Sketches {
       .select(col("n_k"), col("kth_hash"),
         kmvEstimate(k, col("n_k"), col("kth_hash")).as("est_distinct"))
   }
+
+  /** KMV INTERSECTION estimate (Beyer et al. 2007, "On Synopses for
+    * Distinct-Value Estimation Under Multiset Operations"): from the two
+    * k-min sketches, take the k smallest hashes of their union; the
+    * fraction ρ of those present in BOTH sketches is an unbiased
+    * estimate of the Jaccard similarity, and
+    * |A∩B| ≈ ρ · est(|A∪B|). When the union holds fewer than k distinct
+    * values both factors are exact, so the intersection count is exact —
+    * the same small-set guarantee as [[kmvDistinct]].
+    *
+    * This is the catalog set-reconciliation query: given two stored
+    * sketches (k hashes each — never the data), how many values do two
+    * 100 TB partitions share? Only 2k rows are ever joined. Output one
+    * row `(n_k, kth_hash, n_both, est_union, est_intersect)`. */
+  def kmvIntersect(dfA: DataFrame, colA: String, dfB: DataFrame,
+      colB: String, k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    def top(df: DataFrame, c: String): DataFrame =
+      df.select(md5(col(c).cast("string")).as("h"))
+        .distinct().orderBy(col("h")).limit(k)
+    val ta = top(dfA, colA).withColumn("in_a", lit(1))
+    val tb = top(dfB, colB).withColumn("in_b", lit(1))
+    val u = ta.join(tb, Seq("h"), "full_outer")
+      .select(col("h"), coalesce(col("in_a"), lit(0)).as("in_a"),
+        coalesce(col("in_b"), lit(0)).as("in_b"))
+      .orderBy(col("h")).limit(k)
+    u.agg(count(lit(1)).as("n_k"), max(col("h")).as("kth_hash"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      .select(col("n_k"), col("kth_hash"), col("n_both"),
+        kmvEstimate(k, col("n_k"), col("kth_hash")).as("est_union"))
+      .withColumn("est_intersect",
+        round(col("n_both").cast("double") * col("est_union") /
+          col("n_k"), 6))
+  }
 }

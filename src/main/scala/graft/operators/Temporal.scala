@@ -158,4 +158,34 @@ object Temporal {
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(countDistinct(col(keyCol)).as("n_users"))
   }
+
+  /** First-order Markov transition matrix over per-key event sequences:
+    * for each consecutive (event, next-event) pair within a key's
+    * timeline, the transition count and its row-normalized probability —
+    * the session model behind next-action prediction and anomaly
+    * scoring. Ordering ties on the timestamp break on `idCol` so the
+    * sequence (and hence every count) is total-order deterministic.
+    *
+    * Scale shape: one key-partitioned window (the same single shuffle a
+    * sessionizer needs — at rest the event log is typically already
+    * bucketed by key), then a count aggregate; probabilities are a
+    * second window over the counts table, which holds at most
+    * |event types|² rows. Counts are exact integers; each probability
+    * is one double division rounded at 6 dp. */
+  def markovTransitions(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seqW = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(keyCol), col(tsCol), col(idCol),
+        col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(seqW).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowW = Window.partitionBy(col("from_type"))
+    pairs.withColumn("p",
+      round(col("n").cast("double") / sum(col("n")).over(rowW), 6))
+  }
 }

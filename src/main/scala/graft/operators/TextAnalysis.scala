@@ -433,6 +433,52 @@ object TextAnalysis {
           .as("logprob_avg"))
   }
 
+  /** Zipf rank–frequency fit over the corpus lexicon: OLS slope and
+    * intercept of ln(freq) against ln(rank) for the `topN` most frequent
+    * words. Natural text sits near slope −1; a corpus drifting toward 0
+    * (flat) signals template/synthetic mass, and a cliff past −1.5
+    * signals boilerplate domination — a one-row corpus-health gauge next
+    * to [[charEntropy]]'s per-doc signal.
+    *
+    * Scale shape: one token aggregate to the lexicon (map-side
+    * combined), then a global top-N (TakeOrdered — only `topN` rows
+    * cross), then the regression folds over `topN` rows. The only
+    * single-partition window runs on the top-N table (model-plane
+    * tiny). Parity: ln() per term rounded at 6 dp into DECIMAL(18,6);
+    * all Σx/Σy/Σxy/Σx² are exact decimal sums; the two closing
+    * divisions are double, rounded at 6 dp — the [[unigramLogProb]]
+    * convention. Rank ties break (count DESC, word ASC): total order,
+    * identical in binary collation. */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 100)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 3, s"topN must be >= 3, got $topN")
+    val prodDec = "decimal(38,12)"
+    val lex = df
+      .select(explode(Cleaning.tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val top = lex.orderBy(col("cnt").desc, col("w")).limit(topN)
+    val ranked = top.select(
+      row_number().over(Window.orderBy(col("cnt").desc, col("w")))
+        .as("rank"), col("cnt"))
+    val xy = ranked.select(
+      round(log(col("rank").cast("double")), 6).cast("decimal(18,6)")
+        .as("x"),
+      round(log(col("cnt").cast("double")), 6).cast("decimal(18,6)")
+        .as("y"))
+    val s = xy.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("y")).cast(prodDec)).as("sxy"),
+      sum((col("x") * col("x")).cast(prodDec)).as("sxx"))
+    val slope = round(
+      (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+    s.withColumn("slope", slope)
+      .select(col("n"), col("slope"),
+        round((col("sy").cast("double") - col("slope") *
+          col("sx").cast("double")) / col("n"), 6).as("intercept"))
+  }
+
   /** Per-document corpus-overlap ratio (the self-BLEU-flavoured
     * diversity audit): the fraction of a document's distinct word
     * `k`-grams that occur in at least one OTHER document. High overlap

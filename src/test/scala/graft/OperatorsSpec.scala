@@ -917,6 +917,27 @@ class SketchesSpec extends AnyFunSuite with SparkTester {
       .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
     assert(r == Map("a" -> 3.0, "b" -> 1.0))
   }
+  test("kmv intersect: exact below k, identical sets give " +
+      "est_intersect == est_union, half-overlap lands in the error band") {
+    import spark.implicits._
+    val a = (1L to 10L).toDF("v")
+    val b = (6L to 15L).toDF("v")
+    val small = Sketches.kmvIntersect(a, "v", b, "v", k = 64).head
+    assert(small.getLong(0) == 15L, "union below k reports exactly")
+    assert(small.getLong(2) == 5L, s"n_both ${small.getLong(2)}")
+    assert(small.getDouble(3) == 15.0 && small.getDouble(4) == 5.0,
+      "small-set estimates must be exact")
+    val big = (1L to 1000L).toDF("v")
+    val same = Sketches.kmvIntersect(big, "v", big, "v", k = 64).head
+    assert(same.getDouble(3) == same.getDouble(4),
+      "identical sets: rho = 1 so intersect == union estimate")
+    val shifted = (501L to 1500L).toDF("v")
+    val half = Sketches.kmvIntersect(big, "v", shifted, "v", k = 64).head
+    assert(half.getDouble(4) > 200 && half.getDouble(4) < 800,
+      s"true 500, est ${half.getDouble(4)}")
+    val again = Sketches.kmvIntersect(big, "v", shifted, "v", k = 64).head
+    assert(again == half, "deterministic across runs")
+  }
 }
 
 class ProfilerSpec extends AnyFunSuite with SparkTester {
@@ -1415,6 +1436,33 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTester {
     val g = Temporal.activityGaps(ev, "user_id", "ts", minGapSec = 3600)
       .select($"user_id".as[Long], $"gap_s".as[Long]).collect()
     assert(g.toSeq == Seq((1L, 7200L)))
+  }
+
+  test("markov transitions: counts follow the per-user timeline, rows " +
+      "normalize to 1, ts ties break on the id column") {
+    val ev = Seq(
+      // user 1: view -> click -> view  (ids give the order at ts ties)
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(10), "click"),
+      (3L, 1L, ts(20), "view"),
+      // user 2: view -> view; the second pair is a ts TIE broken by id
+      (4L, 2L, ts(0), "view"), (5L, 2L, ts(5), "view"),
+      // user 3: tie at ts(0): id 6 (click) precedes id 7 (buy)
+      (6L, 3L, ts(0), "click"), (7L, 3L, ts(0), "buy"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val m = Temporal.markovTransitions(ev, "user_id", "ts", "event_type",
+      "event_id")
+      .select($"from_type".as[String], $"to_type".as[String],
+        $"n".as[Long], $"p".as[Double]).collect()
+      .map(x => (x._1, x._2) -> (x._3, x._4)).toMap
+    assert(m(("view", "click")) == (1L, 0.5))
+    assert(m(("view", "view")) == (1L, 0.5))
+    assert(m(("click", "view")) == (1L, 0.5))
+    assert(m(("click", "buy")) == (1L, 0.5), s"tie must order by id: $m")
+    assert(!m.contains(("buy", "click")), "no transition out of the tail")
+    // per-from row sums ≈ 1 (6-dp rounding)
+    val rows = m.toSeq.groupBy(_._1._1)
+      .map { case (_, xs) => xs.map(_._2._2).sum }
+    assert(rows.forall(s => math.abs(s - 1.0) < 1e-5), s"$rows")
   }
 
   test("retention: day-0 cell equals the cohort size") {
@@ -2437,5 +2485,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTester {
     assert(math.abs(pAB + pAC - 1.0) < 1e-12)
     // frequent continuation outranks rare one
     assert(r(1L)._2 > r(3L)._2)
+  }
+
+  test("zipf fit recovers slope -1 on an exact power-law lexicon and " +
+      "is partitioning-invariant") {
+    // counts 6/3/2 = 6/rank: ln(freq) = ln 6 - ln(rank) exactly
+    val words = Seq.fill(6)("aa") ++ Seq.fill(3)("bb") ++ Seq.fill(2)("cc")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(df, "text", topN = 3).head
+    assert(r.getLong(0) == 3L)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-4,
+      s"slope ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - math.log(6.0)) < 1e-4,
+      s"intercept ${r.getDouble(2)}")
+    val r2 = TextAnalysis.zipfFit(df.repartition(7), "text", topN = 3)
+      .head
+    assert(r2 == r, "decimal moment sums must be partitioning-invariant")
   }
 }

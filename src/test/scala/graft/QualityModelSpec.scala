@@ -123,6 +123,50 @@ class QualityModelSpec extends AnyFunSuite with SparkTester {
       "bucketed prefix sum must equal the global-order reference")
   }
 
+  test("calibration: bins partition the corpus, gap is the honest " +
+      "|mean - rate|, separated classes land in separated bins") {
+    val cal = QualityModel.calibration(
+      corpus, "doc_id", "text", col("is_en"), dim = 32, iters = 3,
+      lr = 2.0, bins = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(cal.map(_._2).sum == 100L, "bins must partition the corpus")
+    assert(cal.forall(c => c._1 >= 0 && c._1 <= 9))
+    assert(cal.forall(c => c._4 >= 0.0 && c._4 <= 1.0))
+    cal.foreach { c =>
+      val expect = BigDecimal(math.abs(c._3 - c._4))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(c._5 == expect, s"gap mismatch in bin ${c._1}")
+    }
+    // the two-vocabulary corpus separates: some mass below 0.5, some
+    // above, and the top occupied bin is purer than the bottom one
+    val lo = cal.filter(_._1 <= 4)
+    val hi = cal.filter(_._1 >= 5)
+    assert(lo.nonEmpty && hi.nonEmpty, s"degenerate calibration: $cal")
+    assert(hi.maxBy(_._1)._4 > lo.minBy(_._1)._4,
+      "positive rate must rise with the score bin")
+  }
+
+  test("pr curve: counts are consistent, recall falls as the threshold " +
+      "rises, the separating corpus holds an operating point") {
+    val pr = QualityModel.prCurve(
+      corpus, "doc_id", "text", col("is_en"), dim = 32, iters = 3,
+      lr = 2.0, steps = 9)
+      .orderBy("t")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(pr.length == 9)
+    // tp + fn is the positive count at every threshold
+    assert(pr.forall(x => x._2 + x._4 == 50L), s"$pr")
+    // recall monotonically non-increasing in t
+    assert(pr.map(_._6).sliding(2).forall(w => w(0) >= w(1)))
+    assert(pr.forall(x => x._5 >= 0 && x._5 <= 1 && x._6 >= 0 &&
+      x._6 <= 1 && x._7 >= 0 && x._7 <= 1))
+    // the separable fixture has a threshold with both P and R >= 0.9
+    assert(pr.exists(x => x._5 >= 0.9 && x._6 >= 0.9),
+      s"no good operating point: $pr")
+  }
+
   test("weights carry the signal: en-only buckets positive, de-only " +
       "negative") {
     // recompute each vocabulary's bucket set with the same md5 family
