@@ -110,6 +110,31 @@ object DedupQueries {
         k = 5, threshold = 0.8),
       Some(jaccardPairsSql)),
 
+    // asymmetric shingle CONTAINMENT — the doc-in-doc detector Jaccard
+    // misses (a short doc quoted whole in a long one); both directions
+    // of each pair, inverted-index exact, brute-force oracle
+    Q("dedup_containment",
+      (s, dir) => Dedup.containmentPairs(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        k = 5, threshold = 0.5),
+      Some(s"""WITH ${shingleCtesFor("documents")},
+        x AS (SELECT doc_id, unnest(s) AS t FROM sh),
+        sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+        p AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM x a JOIN x b ON a.t = b.t AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        e AS (
+          SELECT da, db, i, za.sz AS sza, zb.sz AS szb
+          FROM p JOIN sz za ON p.da = za.doc_id
+          JOIN sz zb ON p.db = zb.doc_id)
+        SELECT da AS doc_a, db AS doc_b,
+          round(i::DOUBLE / sza, 6) AS containment
+        FROM e WHERE round(i::DOUBLE / sza, 6) >= 0.5
+        UNION ALL
+        SELECT db, da, round(i::DOUBLE / szb, 6)
+        FROM e WHERE round(i::DOUBLE / szb, 6) >= 0.5""")),
+
     // MinHash+LSH with exact verification — same answer as brute force
     // (false-negative probability ~1e-13 at these parameters), same oracle
     Q("dedup_minhash",
@@ -1225,6 +1250,39 @@ object SimilarityQueries {
           vv, round(sqrt(dn3.n2) / nn.n, 6)
         FROM dv3 CROSS JOIN dn3 CROSS JOIN nn""")),
 
+    // PCA whitening onto the deflated top-2 basis: per-vector
+    // (x·v1/√λ1, x_res·v2/√λ2) — unit-variance decorrelated coords for
+    // anisotropy-safe retrieval/quantization and corpus maps; every
+    // coordinate hash-checked through the doubled CTE chain
+    Q("embedding_whiten",
+      (s, dir) => Similarity.pcaWhiten(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
+        iters = 3),
+      Some(s"""WITH ${pcaCtes(3)},
+        sF AS (
+          SELECT vec_id,
+            CAST(sum(CAST(x * vv AS DECIMAL(28,12))) AS DOUBLE) AS s
+          FROM xc JOIN v3 USING (i) GROUP BY vec_id),
+        xd AS (
+          SELECT xc.vec_id AS vec_id, xc.i AS i, x - s * vv AS x
+          FROM xc JOIN v3 ON xc.i = v3.i
+          JOIN sF ON xc.vec_id = sF.vec_id),
+        ${pcaSteps("d", "xd", 3)},
+        s2F AS (
+          SELECT vec_id,
+            CAST(sum(CAST(x * vv AS DECIMAL(28,12))) AS DOUBLE) AS s2
+          FROM xd JOIN dv3 USING (i) GROUP BY vec_id),
+        lam AS (
+          SELECT round(sqrt(n3.n2) / nn.n, 6) AS lam1,
+            round(sqrt(dn3.n2) / nn.n, 6) AS lam2
+          FROM n3 CROSS JOIN dn3 CROSS JOIN nn)
+        SELECT sF.vec_id,
+          CASE WHEN lam1 <= 0 THEN 0.0
+            ELSE round(s / sqrt(lam1), 6) END AS y1,
+          CASE WHEN lam2 <= 0 THEN 0.0
+            ELSE round(s2 / sqrt(lam2), 6) END AS y2
+        FROM sF JOIN s2F USING (vec_id) CROSS JOIN lam""")),
+
     // hard-negative mining: per query, the 10 nearest vectors with a
     // DIFFERENT label (contrastive-training sampling); membership,
     // scores, labels, and ranks all hash-checked
@@ -1382,6 +1440,35 @@ object SimilarityQueries {
               AS rank
           FROM scored) r
         WHERE rank <= 10""")),
+
+    // exact k-NN GRAPH over the corpus (k=5): the structure graph-based
+    // dedup/label-prop/HNSW builds consume; quadratic exact form as the
+    // declared verifier, LSH/IVF buckets as the production path
+    Q("embedding_knn_graph",
+      (s, dir) => Similarity.knnGraph(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5),
+      Some("""WITH e AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+        dots AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst, sum(a.v * b.v) AS dot
+          FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT src, dst, round(dot / (na.nrm * nb.nrm), 6) AS cos
+          FROM dots
+          JOIN norms na ON src = na.vec_id
+          JOIN norms nb ON dst = nb.vec_id)
+        SELECT src, dst, cos, rank FROM (
+          SELECT src, dst, cos,
+            CAST(row_number() OVER (
+              PARTITION BY src ORDER BY cos DESC, dst ASC) AS INTEGER)
+              AS rank
+          FROM scored) r
+        WHERE rank <= 5""")),
 
     // ANN EVALUATION as a first-class query (the dense twin of
     // dedup_eval): per query, how many of the exact brute-force top-10
@@ -2951,6 +3038,34 @@ object TextQueries {
           CAST(len(res) AS INTEGER) AS n_re_tokens,
           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens
         FROM t""")),
+
+    // per-language tokenizer fertility (subword tokens per word,
+    // chars per token) — the budget statistic that says which
+    // languages overpay context length under the tokenizer; exact
+    // integer sums, two rounded divisions
+    Q("text_fertility",
+      (s, dir) => TextAnalysis.tokenFertility(
+        Sources.table(s, dir, "documents"), "text", "lang"),
+      Some("""WITH t AS (
+          SELECT lang,
+            len(list_filter(string_split(text, ' '), x -> x <> ''))
+              ::BIGINT AS ws,
+            len(regexp_extract_all(text,
+              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS re,
+            length(text)::BIGINT AS ch
+          FROM documents),
+        g AS (
+          SELECT lang, count(*) AS n_docs, sum(ws)::BIGINT AS n_ws_tokens,
+            sum(re)::BIGINT AS n_re_tokens, sum(ch)::BIGINT AS n_chars
+          FROM t GROUP BY lang)
+        SELECT lang, n_docs, n_ws_tokens, n_re_tokens, n_chars,
+          CASE WHEN n_ws_tokens = 0 THEN 0.0
+            ELSE round(n_re_tokens::DOUBLE / n_ws_tokens, 6) END
+            AS fertility,
+          CASE WHEN n_re_tokens = 0 THEN 0.0
+            ELSE round(n_chars::DOUBLE / n_re_tokens, 6) END
+            AS chars_per_token
+        FROM g""")),
 
     // per-document top-5 TF-IDF terms; smoothed idf, 6-dp rounding and
     // term tie-breaks make the ranking deterministic in both engines

@@ -604,6 +604,48 @@ object ReferenceQueries {
           AND ts < TIMESTAMP '2024-02-01 00:00:00'
         GROUP BY 1""")),
 
+    // INTERVAL-OVERLAP self-join via two-sided bin tiling: concurrent
+    // shipments of the same part from different suppliers — both sides
+    // tile to 32-day bins, the (part, bin) hash join + residual overlap
+    // predicate reproduces the non-equi answer exactly (the oracle IS
+    // the naive quadratic form); integer day arithmetic throughout
+    Q("join_interval",
+      (s, dir) => {
+        // the synthetic lineitem has no receiptdate — derive a
+        // deterministic 5–35 day shipping window from the line number
+        val li = t(s, dir, "lineitem").select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+          col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+          datediff(col("l_shipdate"), lit("1970-01-01")).as("lo"),
+          (datediff(col("l_shipdate"), lit("1970-01-01")) +
+            col("l_linenumber") * 5).cast("int").as("hi"))
+        val a = li.select(col("rid").as("rid_a"), col("pk"),
+          col("sk").as("sk_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
+        val b = li.select(col("rid").as("rid_b"), col("pk"),
+          col("sk").as("sk_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))
+        graft.operators.RangeJoin.intervalOverlapJoin(
+            a, "lo_a", "hi_a", b, "lo_b", "hi_b", Seq("pk"),
+            binWidth = 32L)
+          .filter(col("rid_a") < col("rid_b") &&
+            col("sk_a") =!= col("sk_b"))
+          .select(col("rid_a"), col("rid_b"), col("pk"),
+            (least(col("hi_a"), col("hi_b")) -
+              greatest(col("lo_a"), col("lo_b")) + 1).as("overlap_days"))
+      },
+      Some("""WITH l AS (
+          SELECT l_orderkey * 10 + l_linenumber AS rid,
+            l_partkey AS pk, l_suppkey AS sk,
+            date_diff('day', DATE '1970-01-01', l_shipdate) AS lo,
+            CAST(date_diff('day', DATE '1970-01-01', l_shipdate)
+              + l_linenumber * 5 AS INTEGER) AS hi
+          FROM lineitem)
+        SELECT a.rid AS rid_a, b.rid AS rid_b, a.pk AS pk,
+          CAST(least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1 AS INTEGER)
+            AS overlap_days
+        FROM l a JOIN l b
+          ON a.pk = b.pk AND a.rid < b.rid AND a.sk <> b.sk
+          AND a.lo <= b.hi AND b.lo <= a.hi""")),
+
     // ---- incremental view maintenance: the per-user aggregate is
     // maintained as MERGEABLE PARTIALS — the state through Jan 15 plus
     // the delta after it, merged — and held to the full-recompute

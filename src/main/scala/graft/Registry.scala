@@ -21,10 +21,25 @@ case class Q(
     oracle: Option[String])
 
 object Registry {
+  /** DuckDB (1.0) inlines every non-materialized CTE at each reference,
+    * so an iterative oracle chain (power iteration, GD training) whose
+    * round t references round t−1 several times re-evaluates its whole
+    * prefix COMBINATORIALLY: `embedding_pca_deflate`'s doubled chain
+    * measured 420 s plain vs 0.13 s with `AS MATERIALIZED` hints — and
+    * a driver gate that times out zeroes the round's correctness
+    * artifact. Every oracle CTE here is pure and deterministic, so the
+    * hint can never change values; it is applied centrally so no
+    * hand-written oracle can regress the gate. Recursive CTE members
+    * carry a column list (`name(a, b) AS (`) and deliberately don't
+    * match — DuckDB rejects materializing those. */
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("""\b(\w+) AS \(""", "$1 AS MATERIALIZED (")
+
   def all: Seq[Q] =
-    ReferenceQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+    (ReferenceQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       TextQueries.all ++ CurationQueries.all ++ MultimodalQueries.all ++
-      GraphQueries.all
+      GraphQueries.all)
+      .map(q => q.copy(oracle = q.oracle.map(materializeCtes)))
 }
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */

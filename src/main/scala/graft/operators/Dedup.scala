@@ -113,6 +113,45 @@ object Dedup {
     jaccardFromCounts(inter, sizes, threshold)
   }
 
+  /** Exact shingle CONTAINMENT pairs (Broder's "roughly contained"
+    * relation): for every ordered pair, |S_a ∩ S_b| / |S_a| — the
+    * asymmetric near-dup signal Jaccard misses. A short doc quoted
+    * whole inside a long one has Jaccard ≈ |a|/|b| (arbitrarily low)
+    * but containment ≈ 1; this is the detector for quote-expansion,
+    * boilerplate wrapping, and train/test doc-in-doc leakage. Output
+    * `(doc_a, doc_b, containment)` = doc_a's shingle set sitting inside
+    * doc_b, both directions of each unordered pair emitted
+    * independently when they clear the threshold.
+    *
+    * Same inverted-index + stop-shingle scale shape as
+    * [[ngramJaccardPairs]] (one shuffle on shingle, one on the pair,
+    * intersection counted once per unordered pair); identical to
+    * brute-force because a pair at containment ≥ t > 0 must share a
+    * shingle. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, threshold: Double = 0.9,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val sh = dropHot(shingleRows(df, idCol, textCol, k), maxDocFreq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val both = inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")),
+        Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")),
+        Seq("db"))
+    val aInB = both.select(col("da").as("doc_a"), col("db").as("doc_b"),
+      round(col("inter").cast("double") / col("sza"), 6)
+        .as("containment"))
+    val bInA = both.select(col("db").as("doc_a"), col("da").as("doc_b"),
+      round(col("inter").cast("double") / col("szb"), 6)
+        .as("containment"))
+    aInB.unionByName(bInA).filter(col("containment") >= threshold)
+  }
+
   /** Near-dup pairs over winnowing FINGERPRINT sets
     * ([[graft.expressions.WinnowFingerprints]]) — the same inverted-index
     * Jaccard as [[ngramJaccardPairs]], but the index holds only the

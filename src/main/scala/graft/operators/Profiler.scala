@@ -222,4 +222,31 @@ object RangeJoin {
       .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** INTERVAL-OVERLAP join (both sides are CLOSED intervals): pairs
+    * with `aLo <= bHi AND bLo <= aHi`, plus any equi-`keys`. The same
+    * tiling rewrite as [[binnedRangeJoin]] applied to both sides: each
+    * interval explodes to the bins it covers, the (keys, bin) hash join
+    * meets every truly-overlapping pair in at least one shared bin, the
+    * residual predicate drops false bin-neighbours, and a distinct
+    * collapses pairs that met in several bins. This is the temporal
+    * self-join shape (concurrent sessions, co-active shipments,
+    * overlapping price epochs) that a naive non-equi plan executes as a
+    * nested loop. Column names of the two sides must be disjoint on the
+    * non-key columns so the residual predicate can see both. */
+  def intervalOverlapJoin(a: DataFrame, aLo: String, aHi: String,
+      b: DataFrame, bLo: String, bHi: String, keys: Seq[String],
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    require(Seq(aLo, aHi, bLo, bHi).distinct.size == 4,
+      "interval column names must be disjoint between the two sides")
+    val at = a.withColumn("__bin", explode(expr(
+      s"sequence($aLo DIV $binWidth, $aHi DIV $binWidth)")))
+    val bt = b.withColumn("__bin", explode(expr(
+      s"sequence($bLo DIV $binWidth, $bHi DIV $binWidth)")))
+    at.join(bt, keys :+ "__bin")
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .drop("__bin")
+      .distinct()
+  }
 }

@@ -47,6 +47,33 @@ object Similarity {
     ranked(scored, k)
   }
 
+  /** Exact k-NEAREST-NEIGHBOUR GRAPH over the corpus: each vector's top
+    * `k` cosine neighbours `(src, dst, cos, rank)` — the structure that
+    * feeds graph-based dedup-clustering, label propagation over
+    * embeddings, and (at build time) HNSW-family indexes. Ties break on
+    * the 6-dp cosine then dst id — total order, oracle-replayable.
+    *
+    * Scale shape: this EXACT form is the declared verifier (the
+    * [[embeddingNearDupLSH]]/IVF convention — quadratic forms verify,
+    * bucketed forms produce): an n×n codegen cosine pass with a
+    * per-src window (map-side-limited by WindowGroupLimit at rank ≤ k).
+    * The 100 TB production path builds the same (src, dst, cos) rows
+    * from LSH/IVF candidate buckets and reuses this ranking tail. */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = df.select(col(idCol).as("src"), col(vecCol).as("ea"))
+    val b = df.select(col(idCol).as("dst"), col(vecCol).as("eb"))
+    val scored = a.join(b, col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(VectorExpressions.cosineSim(col("ea"), col("eb")), 6)
+          .as("cos"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-dimension z-score standardization of an embedding column — the
     * feature-scaling pass run before distance-based ops (ANN, k-means,
     * SemDeDup) when dimensions carry heterogeneous scales, so no single
@@ -1043,6 +1070,45 @@ object Similarity {
           col("loading"), round(sqrt(col("n2")) / col("n"), 6)
             .as("lambda"))
     emit(v1, n21, 1).unionAll(emit(v2, n22, 2))
+  }
+
+  /** PCA WHITENING onto the top-2 deflated basis: each vector's
+    * projections (x·v₁, x_res·v₂) scaled by 1/√λ_c — unit-variance
+    * decorrelated coordinates. Whitening is the preprocessing step that
+    * makes cosine/ℓ2 retrieval and quantization behave when the
+    * embedding cloud is anisotropic (one dominant direction otherwise
+    * swamps every distance); these 2-d coordinates are also the layout
+    * a corpus map plots. Same fit as [[pcaDeflateComponents]] (scored
+    * projection checkpointed once — the same CollapseProject guard),
+    * one extra streaming projection per row; λ_c ≤ 0 yields 0. */
+  def pcaWhiten(df: DataFrame, idCol: String, vecCol: String,
+      iters: Int): DataFrame = {
+    val (base, nRow) = pcaBase(df, idCol, vecCol)
+    val (v1, n21) = pcaIterate(base, iters)
+    val scored = base.crossJoin(broadcast(v1))
+      .select(col("vec_id"), col("xs"),
+        pcaFold(col("xs"), col("v_arr")).as("__s"))
+      .localCheckpoint()
+    val base2 = scored.crossJoin(broadcast(v1))
+      .select(col("vec_id"), col("__s"),
+        zip_with(col("xs"), col("v_arr"),
+          (x, vv) => x - col("__s") * vv).as("xs"))
+    val (v2, n22) = pcaIterate(base2, iters)
+    def lamRow(n2Row: DataFrame, name: String): DataFrame =
+      n2Row.crossJoin(nRow)
+        .select(round(sqrt(col("n2")) / col("n"), 6).as(name))
+        .localCheckpoint()
+    val lam1 = lamRow(n21, "lam1")
+    val lam2 = lamRow(n22, "lam2")
+    base2
+      .crossJoin(broadcast(v2.select(col("v_arr").as("v2"))))
+      .crossJoin(broadcast(lam1)).crossJoin(broadcast(lam2))
+      .select(col("vec_id"),
+        when(col("lam1") <= 0, lit(0.0))
+          .otherwise(round(col("__s") / sqrt(col("lam1")), 6)).as("y1"),
+        when(col("lam2") <= 0, lit(0.0))
+          .otherwise(round(pcaFold(col("xs"), col("v2")) /
+            sqrt(col("lam2")), 6)).as("y2"))
   }
 
   /** INT8 SCALAR QUANTIZATION (the SQ8 of FAISS/vector stores): per

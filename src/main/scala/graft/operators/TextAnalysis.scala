@@ -168,6 +168,39 @@ object TextAnalysis {
       size(array_distinct(toks)).as("n_distinct_tokens"))
   }
 
+  /** Tokenizer FERTILITY per group (usually language): subword tokens
+    * per whitespace word and characters per subword token — the
+    * statistics that decide tokenizer/vocabulary fit per language
+    * before a training run commits its token budget (a language at 3×
+    * the fertility of English pays 3× the context length for the same
+    * text). Uses the same whitespace + BPE-ish regex counters as
+    * [[tokenCounts]]; sums are exact integers, each ratio one rounded
+    * division, zero-guarded. One map-side-combined aggregate to
+    * |groups| rows — scales with the scan. */
+  def tokenFertility(df: DataFrame, textCol: String, groupCol: String)
+      : DataFrame = {
+    val toks = Cleaning.tokens(col(textCol))
+    df.select(col(groupCol).as("grp"),
+        size(toks).cast("long").as("ws"),
+        size(regexp_extract_all(col(textCol),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+          .cast("long").as("re"),
+        length(col(textCol)).cast("long").as("ch"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_ws_tokens"),
+        sum(col("re")).as("n_re_tokens"),
+        sum(col("ch")).as("n_chars"))
+      .select(col("grp").as(groupCol), col("n_docs"),
+        col("n_ws_tokens"), col("n_re_tokens"), col("n_chars"),
+        when(col("n_ws_tokens") === 0, lit(0.0))
+          .otherwise(round(col("n_re_tokens").cast("double") /
+            col("n_ws_tokens"), 6)).as("fertility"),
+        when(col("n_re_tokens") === 0, lit(0.0))
+          .otherwise(round(col("n_chars").cast("double") /
+            col("n_re_tokens"), 6)).as("chars_per_token"))
+  }
+
   /** Per-document top-`topN` TF-IDF terms — the relevance-scoring
     * primitive for corpus curation (keyword extraction, quality weighting,
     * query-document matching).

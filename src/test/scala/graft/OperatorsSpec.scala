@@ -86,6 +86,24 @@ class DedupSpec extends AnyFunSuite with SparkTester {
     assert(dupGroup._2 == 1L)
   }
 
+  test("containment catches a doc quoted inside a longer one that " +
+      "jaccard misses; unrelated and reverse directions stay out") {
+    val docs = Seq(
+      (1L, "a b c d e f"),                 // 2 distinct 5-shingles
+      (2L, "a b c d e f g h i j"),         // superset: all of doc 1's
+      (3L, "z y x w v u t s r q")).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(docs, "doc_id", "text",
+      k = 5, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(c((1L, 2L)) == 1.0, s"$c")
+    assert(!c.contains((2L, 1L)), "reverse direction is 2/6, below 0.9")
+    assert(!c.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    // symmetric jaccard at a high bar misses the quoted doc entirely
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 5, threshold = 0.9).count() == 0L)
+  }
+
   test("ngram jaccard finds exact and near dups, not unrelated") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       k = 3, threshold = 0.3)
@@ -1103,6 +1121,29 @@ class ProfilerSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("interval overlap join equals the non-equi join across bin " +
+      "widths, including touching and multi-bin intervals") {
+    import graft.operators.RangeJoin
+    val a = Seq((1L, 10L, 0L, 10L), (2L, 10L, 40L, 80L),
+      (3L, 20L, 0L, 100L)).toDF("aid", "k", "lo_a", "hi_a")
+    val b = Seq((7L, 10L, 10L, 12L), (8L, 10L, 81L, 90L),
+      (9L, 10L, 35L, 45L), (10L, 20L, 50L, 50L), (11L, 30L, 0L, 100L))
+      .toDF("bid", "k", "lo_b", "hi_b")
+    for (width <- Seq(1L, 7L, 32L, 1000L)) {
+      val tiled = RangeJoin.intervalOverlapJoin(a, "lo_a", "hi_a",
+        b, "lo_b", "hi_b", Seq("k"), width)
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val plain = a.join(b, Seq("k"))
+        .filter($"lo_a" <= $"hi_b" && $"lo_b" <= $"hi_a")
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(tiled == plain, s"width $width: $tiled vs $plain")
+      // the closed-interval touching case (1,7) and the key miss (11)
+      assert(tiled.contains((1L, 7L)) && !tiled.exists(_._2 == 11L))
+    }
+  }
+
   test("salted join: identical rows to the plain join, salt in the " +
       "join keys, salt column dropped") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
@@ -1514,6 +1555,49 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
   private lazy val emb =
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
   private lazy val queries = emb.filter(col("vec_id") < 5)
+
+  test("knn graph: planted neighbours in order, k rows per node, " +
+      "deterministic") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(g.size == 8, "k rows per node")
+    assert(g((1L, 1)) == 2L && g((1L, 2)) == 3L)
+    assert(g((4L, 1)) == 3L, "only node 3 is orthogonal, others negative")
+    val again = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1))
+      .toMap
+    assert(again == g)
+  }
+
+  test("pca whiten: planted anisotropic cloud whitens to unit " +
+      "coordinates; partitioning-invariant on real embeddings") {
+    import spark.implicits._
+    val cloud = Seq(
+      (1L, Array(4.0f, 1.0f)), (2L, Array(4.0f, -1.0f)),
+      (3L, Array(-4.0f, 1.0f)), (4L, Array(-4.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val w = Similarity.pcaWhiten(cloud, "vec_id", "embedding", iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // cov = diag(16, 1): raw projections ±4 and ±1 both whiten to ±1
+    w.values.foreach { case (y1, y2) =>
+      assert(math.abs(math.abs(y1) - 1.0) < 0.05, s"y1 $y1")
+      assert(math.abs(math.abs(y2) - 1.0) < 0.05, s"y2 $y2")
+    }
+    // the dominant axis carries the sign structure: 1,2 vs 3,4 oppose
+    assert(w(1L)._1 * w(3L)._1 < 0 && w(2L)._1 * w(4L)._1 < 0)
+    val r1 = Similarity.pcaWhiten(emb, "vec_id", "embedding", iters = 2)
+      .orderBy("vec_id").collect().toSeq
+    val r2 = Similarity.pcaWhiten(emb.repartition(7), "vec_id",
+      "embedding", iters = 2).orderBy("vec_id").collect().toSeq
+    assert(r1 == r2, "whitened coords must be partitioning-invariant")
+  }
 
   test("brute-force top-k: k rows per query, ranked, self excluded") {
     val r = Similarity.bruteForceTopK(emb, queries, "embedding", 10)
@@ -2485,6 +2569,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTester {
     assert(math.abs(pAB + pAC - 1.0) < 1e-12)
     // frequent continuation outranks rare one
     assert(r(1L)._2 > r(3L)._2)
+  }
+
+  test("token fertility: hand-computed counts and ratios per group") {
+    val docs = Seq(
+      (1L, "ab cd", "en"),   // ws 2, re 2, ch 5
+      (2L, "a,b", "en"),     // ws 1, re 3 (a / , / b), ch 3
+      (3L, "xy", "de"))      // ws 1, re 1, ch 2
+      .toDF("doc_id", "text", "lang")
+    val f = TextAnalysis.tokenFertility(docs, "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(f("en") == (2L, 3L, 5L, 8L, 1.666667, 1.6), s"${f("en")}")
+    assert(f("de") == (1L, 1L, 1L, 2L, 1.0, 2.0), s"${f("de")}")
   }
 
   test("zipf fit recovers slope -1 on an exact power-law lexicon and " +
