@@ -1470,6 +1470,99 @@ object SimilarityQueries {
           FROM scored) r
         WHERE rank <= 5""")),
 
+    // the PRODUCTION k-NN graph: LSH-band candidates (committed plane
+    // fixture), exact cosine on candidates only, per-src top-k — the
+    // linear-cost path; candidates, scores, and ranks all hash-checked
+    Q("embedding_knn_graph_lsh",
+      (s, dir) => Similarity.knnGraphLsh(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, dim = 64),
+      Some(s"""WITH ${SimilarityQueries.lshBandsCtes},
+        cand AS (${SimilarityQueries.lshCandSql}),
+        cboth AS (
+          SELECT id_a AS src, id_b AS dst FROM cand
+          UNION ALL SELECT id_b, id_a FROM cand),
+        norms AS (
+          SELECT vec_id, sqrt(sum(v * v ORDER BY i)) AS nrm
+          FROM e GROUP BY vec_id),
+        vdots AS (
+          SELECT c.src, c.dst, sum(a.v * b.v ORDER BY a.i) AS dot
+          FROM cboth c
+          JOIN e a ON a.vec_id = c.src
+          JOIN e b ON b.vec_id = c.dst AND b.i = a.i
+          GROUP BY c.src, c.dst),
+        scored AS (
+          SELECT d.src, d.dst, round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+          FROM vdots d
+          JOIN norms na ON d.src = na.vec_id
+          JOIN norms nb ON d.dst = nb.vec_id)
+        SELECT src, dst, cos, rank FROM (
+          SELECT src, dst, cos,
+            CAST(row_number() OVER (
+              PARTITION BY src ORDER BY cos DESC, dst ASC) AS INTEGER)
+              AS rank
+          FROM scored) r
+        WHERE rank <= 5""")),
+
+    // edge recall of the LSH graph against the exact graph — the number
+    // an ANN deployment must report before switching off the exact
+    // path; both chains replayed, one row
+    Q("knn_graph_recall",
+      (s, dir) => Similarity.knnGraphRecall(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, dim = 64),
+      Some(s"""WITH ${SimilarityQueries.lshBandsCtes},
+        cand AS (${SimilarityQueries.lshCandSql}),
+        cboth AS (
+          SELECT id_a AS src, id_b AS dst FROM cand
+          UNION ALL SELECT id_b, id_a FROM cand),
+        norms AS (
+          SELECT vec_id, sqrt(sum(v * v ORDER BY i)) AS nrm
+          FROM e GROUP BY vec_id),
+        adots AS (
+          SELECT c.src, c.dst, sum(a.v * b.v ORDER BY a.i) AS dot
+          FROM cboth c
+          JOIN e a ON a.vec_id = c.src
+          JOIN e b ON b.vec_id = c.dst AND b.i = a.i
+          GROUP BY c.src, c.dst),
+        ascored AS (
+          SELECT d.src, d.dst, round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+          FROM adots d
+          JOIN norms na ON d.src = na.vec_id
+          JOIN norms nb ON d.dst = nb.vec_id),
+        ag AS (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+              row_number() OVER (
+                PARTITION BY src ORDER BY cos DESC, dst ASC) AS rank
+            FROM ascored) r
+          WHERE rank <= 5),
+        edots AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+            sum(a.v * b.v) AS dot
+          FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+        escored AS (
+          SELECT d.src, d.dst, round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+          FROM edots d
+          JOIN norms na ON d.src = na.vec_id
+          JOIN norms nb ON d.dst = nb.vec_id),
+        eg AS (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+              row_number() OVER (
+                PARTITION BY src ORDER BY cos DESC, dst ASC) AS rank
+            FROM escored) r
+          WHERE rank <= 5),
+        j AS (
+          SELECT count(*) AS n_exact,
+            sum(CASE WHEN ag.src IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+              AS n_hit
+          FROM eg LEFT JOIN ag ON eg.src = ag.src AND eg.dst = ag.dst)
+        SELECT n_exact, n_hit,
+          round(n_hit::DOUBLE / n_exact, 6) AS recall
+        FROM j""")),
+
     // ANN EVALUATION as a first-class query (the dense twin of
     // dedup_eval): per query, how many of the exact brute-force top-10
     // the IVF probe actually recovered — recall@10 measured, not

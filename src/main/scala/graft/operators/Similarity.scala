@@ -74,6 +74,57 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** LSH-ACCELERATED k-NN graph — the 100 TB production path for
+    * [[knnGraph]]: hyperplane-band candidates ([[lshCandidates]])
+    * mirrored to both directions, exact cosine re-scored on candidates
+    * only, per-src top-k among candidates.
+    * Nodes keep ≤ k of their CANDIDATE neighbours — recall < 1 by
+    * design (the `knn_graph_recall` registry row measures it against
+    * the exact graph); candidate generation is linear in n·bands
+    * instead of n². Same ranking tail and tie-breaks as the exact
+    * form. */
+  def knnGraphLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      dim: Int, nBits: Int = 16, bandBits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.expressions.VectorExpressions
+    val cand = lshCandidates(df, idCol, vecCol, dim, nBits, bandBits)
+    val both = cand.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(
+        cand.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val v = df.select(col(idCol).as("vec_id"), col(vecCol).as("e"))
+      .withColumn("nrm", sqrt(VectorExpressions.dot(col("e"), col("e"))))
+    val scored = both
+      .join(v.select(col("vec_id").as("src"), col("e").as("ea"),
+        col("nrm").as("na")), Seq("src"))
+      .join(v.select(col("vec_id").as("dst"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        round(VectorExpressions.dot(col("ea"), col("eb")) /
+          (col("na") * col("nb")), 6).as("cos"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Edge recall of [[knnGraphLsh]] against the exact [[knnGraph]]:
+    * one row `(n_exact, n_hit, recall)` — the number every ANN
+    * deployment must report before the exact path is switched off. */
+  def knnGraphRecall(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int): DataFrame = {
+    val exact = knnGraph(df, idCol, vecCol, k).select("src", "dst")
+    val approx = knnGraphLsh(df, idCol, vecCol, k, dim)
+      .select(col("src").as("src2"), col("dst").as("dst2"))
+    exact.join(approx,
+        col("src") === col("src2") && col("dst") === col("dst2"),
+        "left")
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("dst2")).as("n_hit"))
+      .select(col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6)
+          .as("recall"))
+  }
+
   /** Per-dimension z-score standardization of an embedding column — the
     * feature-scaling pass run before distance-based ops (ANN, k-means,
     * SemDeDup) when dimensions carry heterogeneous scales, so no single

@@ -1575,6 +1575,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
     assert(again == g)
   }
 
+  test("lsh knn graph: a subset of candidate pairs, ranks contiguous, " +
+      "recall row is consistent") {
+    val g = Similarity.knnGraphLsh(emb, "vec_id", "embedding",
+      k = 5, dim = 64).collect()
+    assert(g.nonEmpty)
+    // per-src ranks are 1..m contiguous
+    val bySrc = g.groupBy(_.getLong(0))
+    bySrc.values.foreach { rows =>
+      val ranks = rows.map(_.getInt(3)).sorted
+      assert(ranks.toSeq == (1 to ranks.length).toSeq, s"$ranks")
+      assert(ranks.length <= 5)
+    }
+    val r = Similarity.knnGraphRecall(emb, "vec_id", "embedding",
+      k = 5, dim = 64).head
+    val (nExact, nHit, recall) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nHit <= nExact && recall >= 0.0 && recall <= 1.0)
+    assert(nHit > 0, "banding must recover some true neighbours")
+  }
+
   test("pca whiten: planted anisotropic cloud whitens to unit " +
       "coordinates; partitioning-invariant on real embeddings") {
     import spark.implicits._
