@@ -3747,6 +3747,71 @@ object CurationQueries {
         SELECT doc_id, domain, n_tokens, cum_before
         FROM cum WHERE cum_before < 300""")),
 
+    // COHEN'S KAPPA between the stopword and char-trigram language-ID
+    // labelers — the inter-annotator-agreement audit run before one
+    // cheap filter replaces another; marginals, chance agreement, and
+    // κ all replayed from both full labeler chains
+    Q("curation_kappa",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        Curation.cohenKappa(
+          TextAnalysis.langId(docs, "doc_id", "text"),
+          TextAnalysis.langIdNgram(docs, "doc_id", "text"),
+          "doc_id", "predicted")
+      },
+      Some {
+        val stopScore = TextAnalysis.langMarkers.map { case (l, ws) =>
+          val inList = ws.map(w => s"'$w'").mkString(", ")
+          s"""CAST(len(list_filter(list_filter(
+             string_split(lower(text), ' '),
+             x -> x <> ''), w -> w IN ($inList))) AS INTEGER) AS s_$l"""
+        }.mkString(",\n")
+        val triScore = Seq("en", "de", "fr", "es").map { l =>
+          val inList = TextAnalysis.trigramProfiles(l)
+            .map(t => s"'$t'").mkString(", ")
+          s"CAST(len(list_intersect(tris, [$inList])) AS INTEGER) AS t_$l"
+        }.mkString(",\n")
+        s"""WITH sA AS (SELECT doc_id, $stopScore FROM documents),
+          pA AS (
+            SELECT doc_id,
+              CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                   WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                   WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                   WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                   ELSE 'es' END AS la
+            FROM sA),
+          tri AS (
+            SELECT doc_id, list_distinct(
+              [substr(lower(text), CAST(i AS INT), 3)
+               for i in range(1, length(text) - 1)]) AS tris
+            FROM documents),
+          sB AS (SELECT doc_id, $triScore FROM tri),
+          pB AS (
+            SELECT doc_id,
+              CASE WHEN greatest(t_en, t_de, t_fr, t_es) = 0 THEN 'und'
+                   WHEN t_en = greatest(t_en, t_de, t_fr, t_es) THEN 'en'
+                   WHEN t_de = greatest(t_en, t_de, t_fr, t_es) THEN 'de'
+                   WHEN t_fr = greatest(t_en, t_de, t_fr, t_es) THEN 'fr'
+                   ELSE 'es' END AS lb
+            FROM sB),
+          j AS (SELECT la, lb FROM pA JOIN pB USING (doc_id)),
+          nn AS (
+            SELECT count(*) AS n,
+              sum(CASE WHEN la = lb THEN 1 ELSE 0 END)::BIGINT AS n_agree
+            FROM j),
+          r AS (SELECT la, count(*) AS ra FROM j GROUP BY la),
+          c AS (SELECT lb, count(*) AS cb FROM j GROUP BY lb),
+          sS AS (
+            SELECT coalesce(sum(ra * cb), 0)::BIGINT AS s
+            FROM r JOIN c ON la = lb)
+          SELECT n, n_agree, round(n_agree::DOUBLE / n, 6) AS po,
+            round(s::DOUBLE / (n::DOUBLE * n), 6) AS pe,
+            CASE WHEN n::DOUBLE * n - s = 0 THEN 0.0
+              ELSE round((n_agree::DOUBLE * n - s::DOUBLE) /
+                (n::DOUBLE * n - s::DOUBLE), 6) END AS kappa
+          FROM nn CROSS JOIN sS"""
+      }),
+
     // deterministic 5-fold cross-validation assignment — growth-stable
     // like curation_split (a doc never migrates folds as data arrives)
     Q("curation_kfold",
@@ -5290,6 +5355,65 @@ object GraphQueries {
           l0 AS (SELECT DISTINCT node, node AS label FROM adj),
           $rounds
           SELECT node, label FROM l3"""
+      }),
+
+    // Newman modularity of the label-prop communities — the one-number
+    // audit that says whether the detected structure beats random
+    // wiring before per-community curation acts on it; exact integer
+    // Q = (4m·Σm_c − Σd_c²)/4m², one rounded division
+    Q("graph_modularity",
+      (s, dir) => {
+        val pairs = Sources.table(s, dir, "orders")
+          .join(Sources.table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        Graph.modularity(pairs, "src", "dst",
+          Graph.labelPropagation(pairs, "src", "dst", rounds = 3))
+      },
+      Some {
+        val rounds = (1 to 3).map { t =>
+          s"""c$t AS (
+            SELECT a.node, l.label, count(*) AS cnt
+            FROM adj a JOIN l${t - 1} l ON a.nbr = l.node
+            GROUP BY 1, 2),
+          l$t AS (
+            SELECT node, label FROM (
+              SELECT node, label, row_number() OVER (
+                PARTITION BY node ORDER BY cnt DESC, label) AS rn
+              FROM c$t) r$t
+            WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""WITH p AS (
+            SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e0 AS (
+            SELECT least(c, sp) AS u, greatest(c, sp) AS v FROM p),
+          adj AS (
+            SELECT u AS node, v AS nbr FROM e0
+            UNION ALL SELECT v, u FROM e0),
+          l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+          $rounds,
+          lab AS (SELECT node, label FROM l3),
+          wi AS (
+            SELECT lu.label, count(*) AS mc
+            FROM e0 JOIN lab lu ON e0.u = lu.node
+            JOIN lab lv ON e0.v = lv.node
+            WHERE lu.label = lv.label GROUP BY 1),
+          deg AS (SELECT node, count(*) AS d FROM adj GROUP BY 1),
+          dcs AS (
+            SELECT l.label, sum(d)::BIGINT AS dc
+            FROM deg JOIN lab l ON deg.node = l.node GROUP BY 1),
+          tot AS (
+            SELECT
+              (SELECT coalesce(sum(mc), 0)::BIGINT FROM wi) AS smc,
+              (SELECT sum(dc * dc)::BIGINT FROM dcs) AS sd2,
+              (SELECT count(*) FROM e0) AS m,
+              (SELECT count(*) FROM dcs) AS nc)
+          SELECT m, nc AS n_communities,
+            round((4 * m * smc - sd2)::DOUBLE / (4 * m * m)::DOUBLE, 6)
+              AS q
+          FROM tot"""
       })
   )
 

@@ -1034,4 +1034,45 @@ object Curation {
     w.select(col("domain"), col("n_docs"), col("l").as("l_domain"),
       col("w").as("weight"))
   }
+
+  /** COHEN'S KAPPA between two labelers over the same keyed rows — the
+    * inter-annotator-agreement number that says whether two cheap
+    * filters (two language-ID heuristics, a ruleset vs a classifier)
+    * agree beyond chance before one replaces the other in a 100 TB
+    * selection run. Multi-class: po = agreement rate, pe = chance
+    * agreement from the marginals, κ = (po − pe)/(1 − pe).
+    *
+    * Parity: every count is exact; po/pe/κ are computed as the SAME
+    * double expression shapes both engines evaluate identically
+    * (products of counts stay ≤ 2^53 at any n the per-class marginals
+    * can reach before the double algebra is itself the bottleneck).
+    * κ is 0 when pe = 1 (degenerate single-class labelers). Scale
+    * shape: one key equi-join + three map-side-combined aggregates,
+    * all over |classes|-bounded tables. Output one row
+    * `(n, n_agree, po, pe, kappa)`. */
+  def cohenKappa(a: DataFrame, b: DataFrame, idCol: String,
+      labelCol: String): DataFrame = {
+    val j = a.select(col(idCol).as("__id"), col(labelCol).as("la"))
+      .join(b.select(col(idCol).as("__id"), col(labelCol).as("lb")),
+        Seq("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nn = j.agg(count(lit(1)).as("n"),
+      sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_agree"))
+    val s = j.groupBy(col("la")).agg(count(lit(1)).as("ra"))
+      .join(j.groupBy(col("lb")).agg(count(lit(1)).as("cb")),
+        col("la") === col("lb"))
+      .agg(coalesce(sum(col("ra") * col("cb")), lit(0L)).as("s"))
+    nn.crossJoin(broadcast(s))
+      .select(col("n"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n"), 6).as("po"),
+        round(col("s").cast("double") /
+          (col("n").cast("double") * col("n")), 6).as("pe"),
+        when(col("n").cast("double") * col("n") - col("s") === 0.0,
+          lit(0.0))
+          .otherwise(round(
+            (col("n_agree").cast("double") * col("n") -
+              col("s").cast("double")) /
+            (col("n").cast("double") * col("n") -
+              col("s").cast("double")), 6)).as("kappa"))
+  }
 }

@@ -478,6 +478,44 @@ object Graph {
     * shuffle and no window: the struct max's lexicographic order IS
     * (highest count, then smallest label). Labels localCheckpoint per
     * round (the iterative-loop rule). Output: (node, label). */
+  /** NEWMAN MODULARITY of a node partition over the undirected graph:
+    * Q = Σ_c (m_c/m − (d_c/2m)²) — the one-number audit of a community
+    * structure ([[labelPropagation]]'s output, a dedup clustering, a
+    * domain partition): Q ≈ 0 means the communities are no better than
+    * random wiring, so acting on them (per-community sampling, quota,
+    * survivor selection) adds nothing. Computed as one EXACT integer
+    * expression Q = (4m·Σm_c − Σd_c²) / 4m² with a single rounded
+    * double division — order-free, engine-identical (widen the three
+    * sums to DECIMAL(38,0)/HUGEINT past ~10⁹ edges; the shape is
+    * unchanged). Scale: two label joins on the edge list + three
+    * |communities|-bounded aggregates. Output one row
+    * `(m, n_communities, q)`. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame): DataFrame = {
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lab = labels.select(col("node"), col("label"))
+    val within = und
+      .join(lab.select(col("node").as("u"), col("label").as("lu")), "u")
+      .join(lab.select(col("node").as("v"), col("label").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu")).agg(count(lit(1)).as("mc"))
+      .agg(coalesce(sum(col("mc")), lit(0L)).as("smc"))
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val dc2 = deg.join(lab, "node")
+      .groupBy(col("label")).agg(sum(col("d")).as("dc"))
+      .agg(sum(col("dc") * col("dc")).as("sd2"),
+        count(lit(1)).as("nc"))
+    val mRow = und.agg(count(lit(1)).as("m"))
+    mRow.crossJoin(broadcast(within)).crossJoin(broadcast(dc2))
+      .select(col("m"), col("nc").as("n_communities"),
+        round((lit(4L) * col("m") * col("smc") - col("sd2"))
+          .cast("double") /
+          (lit(4L) * col("m") * col("m")).cast("double"), 6).as("q"))
+  }
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")

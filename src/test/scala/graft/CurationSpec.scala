@@ -817,4 +817,25 @@ class CurationSpec extends AnyFunSuite with SparkTester {
       .filter(col("domain") === "hard").head
     assert(row.getLong(1) == 2L && row.getDouble(2) == 4.0)
   }
+
+  test("cohen's kappa: 1 on perfect agreement, 0 for a constant " +
+      "labeler, hand-computed on a known multi-class table") {
+    import spark.implicits._
+    def lab(xs: (Long, String)*) = xs.toSeq.toDF("id", "l")
+    val a = lab(1L -> "en", 2L -> "de", 3L -> "en", 4L -> "fr")
+    val perfect = Curation.cohenKappa(a, a, "id", "l").head
+    assert(perfect.getDouble(4) == 1.0 && perfect.getDouble(2) == 1.0)
+    // constant labeler: pe equals po, kappa must be 0 (not NaN)
+    val const = lab(1L -> "en", 2L -> "en", 3L -> "en", 4L -> "en")
+    val k0 = Curation.cohenKappa(a, const, "id", "l").head
+    assert(k0.getDouble(4) == 0.0, s"got $k0")
+    // hand case: only id 1 agrees -> n=4, agree=1, po=0.25; marginals
+    // a: en 2, de 1, fr 1; b: en 2, de 2 -> S = 2*2 + 1*2 = 6,
+    // pe = 6/16 = 0.375, kappa = (1*4-6)/(16-6) = -0.2
+    val b = lab(1L -> "en", 2L -> "en", 3L -> "de", 4L -> "de")
+    val h = Curation.cohenKappa(a, b, "id", "l").head
+    assert(h.getLong(0) == 4L && h.getLong(1) == 1L, s"$h")
+    assert(h.getDouble(2) == 0.25 && h.getDouble(3) == 0.375, s"$h")
+    assert(h.getDouble(4) == -0.2, s"$h")
+  }
 }

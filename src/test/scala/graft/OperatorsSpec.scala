@@ -1221,6 +1221,32 @@ class GraphSpec extends AnyFunSuite with SparkTester {
       "deterministic across runs")
   }
 
+  test("modularity: two cliques joined by a bridge score high under " +
+      "the clique partition, the bipartite split scores -0.5") {
+    // K4 on {1..4} + K4 on {5..8} + one bridge (4,5): m = 13
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = (clique(1L to 4L) ++ clique(5L to 8L) :+ (4L, 5L))
+      .toDF("src", "dst")
+    val good = (1L to 8L).map(n => (n, if (n <= 4) 1L else 2L))
+      .toDF("node", "label")
+    val q1 = Graph.modularity(edges, "src", "dst", good).head
+    assert(q1.getLong(0) == 13L && q1.getLong(1) == 2L)
+    assert(q1.getDouble(2) > 0.4, s"clique partition q ${q1.getDouble(2)}")
+    // complete bipartite K2,2 with the side split: no within edges,
+    // balanced degrees -> exactly -1/2 (the textbook minimum case)
+    val bip = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("src", "dst")
+    val sides = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L))
+      .toDF("node", "label")
+    val q2 = Graph.modularity(bip, "src", "dst", sides).head
+    assert(q2.getDouble(2) == -0.5, s"got ${q2.getDouble(2)}")
+    // everything in ONE community: Q = 0 by definition
+    val one = (1L to 4L).map(n => (n, 0L)).toDF("node", "label")
+    assert(Graph.modularity(bip, "src", "dst", one).head.getDouble(2)
+      == 0.0)
+  }
+
   test("personalized pageRank: mass stays near the seed, unreachable " +
       "components get zero, seed outranks the far end of a chain") {
     // chain 1-2-3-4-5 (symmetric) plus a disconnected pair 10-11
