@@ -84,10 +84,38 @@ object Similarity {
     * instead of n². Same ranking tail and tie-breaks as the exact
     * form. */
   def knnGraphLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      dim: Int, nBits: Int = 16, bandBits: Int = 4): DataFrame = {
+      dim: Int, nBits: Int = 16, bandBits: Int = 4,
+      maxBucket: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.expressions.VectorExpressions
-    val cand = lshCandidates(df, idCol, vecCol, dim, nBits, bandBits)
+    val cand = maxBucket match {
+      case None =>
+        lshCandidates(df, idCol, vecCol, dim, nBits, bandBits)
+      case Some(c) =>
+        // MEGA-BUCKET GUARD for duplicate-heavy corpora: a bucket of B
+        // near-identical vectors yields B²/2 candidate pairs — on a
+        // corpus that is mostly replicas (the dedup input case!) the
+        // join goes quadratic. Cap the INDEX side of each (band, key)
+        // bucket to its c lowest-id members while probing with every
+        // vector: pairs per bucket fall to ≤ B·c, every vector still
+        // reaches the bucket's representatives (inside a mega-bucket
+        // the members are near-interchangeable, so top-k edges to
+        // representatives are the edges a dedup/cluster consumer
+        // needs), and lowest-id selection keeps the generator
+        // deterministic. The same physics as ngramJaccardPairs'
+        // maxDocFreq, adapted to keep rather than drop.
+        val bands = lshBands(df, idCol, vecCol, dim, nBits, bandBits)
+        val wB = Window.partitionBy(col("band"), col("key"))
+          .orderBy(col("vec_id").asc)
+        val index = bands
+          .withColumn("__r", row_number().over(wB))
+          .filter(col("__r") <= c).drop("__r")
+        bands.as("x")
+          .join(index.as("y"), Seq("band", "key"))
+          .filter(col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+          .distinct()
+    }
     val both = cand.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(
         cand.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -868,8 +896,10 @@ object Similarity {
     * Hyperplanes are pseudo-random but fixed by `seed` ([[hyperplanes]]),
     * generated on the driver and shipped as literals — identical on every
     * executor. */
-  def lshCandidates(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      nBits: Int = 16, bandBits: Int = 4, seed: Long = 42L): DataFrame = {
+  /** The per-vector (band, key) table behind [[lshCandidates]] — shared
+    * by the plain generator and the bucket-capped graph build. */
+  private def lshBands(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int, bandBits: Int, seed: Long = 42L): DataFrame = {
     // planes as float literals so the codegen'd DotProduct applies (the
     // zip_with/aggregate HOF form is interpreted); the double-accumulated
     // index-order dot is exactly reproducible in SQL (ordered sum over the
@@ -887,13 +917,18 @@ object Similarity {
     // one long per vector — materialize before the band self-join
     val sigs = df.select(col(idCol).as("vec_id"), sig.as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sigs.select(col("vec_id"),
+    sigs.select(col("vec_id"),
       explode(array((0 until nBands).map { i =>
         struct(lit(i).as("band"),
           shiftrightunsigned(col("sig"), i * bandBits)
             .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
       }: _*)).as("b"))
       .select(col("vec_id"), col("b.band").as("band"), col("b.key").as("key"))
+  }
+
+  def lshCandidates(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nBits: Int = 16, bandBits: Int = 4, seed: Long = 42L): DataFrame = {
+    val bands = lshBands(df, idCol, vecCol, dim, nBits, bandBits, seed)
     bands.as("x").join(bands.as("y"), Seq("band", "key"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))

@@ -130,7 +130,8 @@ object ScaleBench {
     val (nSemDropped, nPrNodes) = if (runExt && (want("semantic") ||
         want("semantic_assign") || want("semantic_assign_tree") ||
         want("pagerank") || want("harmonic") ||
-        want("harmonic_perround") || want("harmonic_merge"))) {
+        want("harmonic_perround") || want("harmonic_merge") ||
+        want("hits") || want("knn_lsh") || want("knn_lsh_uncapped"))) {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
       val reps = spark.range(0, factor).toDF("rep")
@@ -244,6 +245,27 @@ object ScaleBench {
         val n = regs.count()
         e2.unpersist()
         n
+      }
+      // HITS on the same factor× directed graph (customer→supplier per
+      // copy): two corpus equi-joins + two one-row normalizations per
+      // round — the curve should track edges linearly like pagerank
+      if (want("hits")) timed("hits") {
+        graft.operators.Graph.hits(bigEdges, "src", "dst", iters = 2)
+          .count()
+      }
+      // LSH kNN graph on the factor× embeddings. The replicated
+      // near-dup corpus concentrates buckets, so the UNCAPPED build is
+      // the adversarial Σ bucket² case (141.6 s at 10× — recorded once
+      // as the counterfactual); the capped build (index side of each
+      // bucket limited to 64 lowest-id representatives, pairs ≤ B·64)
+      // is the production shape this stage curves
+      if (want("knn_lsh")) timed("knn_lsh") {
+        graft.operators.Similarity.knnGraphLsh(bigEmb, "vec_id",
+          "embedding", k = 5, dim = 64, maxBucket = Some(64)).count()
+      }
+      if (want("knn_lsh_uncapped")) timed("knn_lsh_uncapped") {
+        graft.operators.Similarity.knnGraphLsh(bigEmb, "vec_id",
+          "embedding", k = 5, dim = 64).count()
       }
       (dropped, prNodes)
     } else (-1L, -1L)

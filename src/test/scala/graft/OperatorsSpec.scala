@@ -1619,6 +1619,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
       (r.getLong(0), r.getLong(1), r.getDouble(2))
     assert(nHit <= nExact && recall >= 0.0 && recall <= 1.0)
     assert(nHit > 0, "banding must recover some true neighbours")
+    // mega-bucket guard: capped edges are a subset of the uncapped
+    // graph's CANDIDATE pairs, every src with any candidate keeps
+    // edges, and the build is deterministic
+    val capped = Similarity.knnGraphLsh(emb, "vec_id", "embedding",
+      k = 5, dim = 64, maxBucket = Some(8)).collect()
+    assert(capped.nonEmpty)
+    capped.groupBy(_.getLong(0)).values.foreach { rows =>
+      val ranks = rows.map(_.getInt(3)).sorted
+      assert(ranks.toSeq == (1 to ranks.length).toSeq)
+    }
+    val capped2 = Similarity.knnGraphLsh(emb, "vec_id", "embedding",
+      k = 5, dim = 64, maxBucket = Some(8)).collect()
+    assert(capped2.map(_.toString).sorted
+      .sameElements(capped.map(_.toString).sorted), "deterministic")
   }
 
   test("pca whiten: planted anisotropic cloud whitens to unit " +
