@@ -2353,12 +2353,18 @@ object TextQueries {
     // reliability-diagram calibration audit of the trained classifier:
     // per score-decile mean predicted probability vs empirical positive
     // rate and their gap — bin on identical rounded doubles, exact
-    // decimal bin means, integer positive rates
+    // decimal bin means, integer positive rates. The synthetic corpus
+    // carries no text→lang signal, so the well-trained model predicts
+    // the prior and the audit reads CALIBRATED (one occupied bin,
+    // gap ≈ 0.001; lr must stay small — at lr = 2.0 the dim·s/n term
+    // saturates every score to 0 and the same audit reads maximally
+    // miscalibrated, gap = prevalence). The multi-bin signal case is
+    // pinned on QualityModelSpec's separable fixture
     Q("quality_calibration",
       (s, dir) => QualityModel.calibration(
         Sources.table(s, dir, "documents"), "doc_id", "text",
-        col("lang") === "en", dim = 32, iters = 3, lr = 2.0, bins = 10),
-      Some(s"""WITH ${lrCtes(32, 3, 2.0, "d.lang = 'en'")},
+        col("lang") === "en", dim = 32, iters = 3, lr = 0.05, bins = 10),
+      Some(s"""WITH ${lrCtes(32, 3, 0.05, "d.lang = 'en'")},
         sF AS (
           SELECT f.doc_id, sum(CAST(w.w AS DECIMAL(18,6)) * f.c) AS s,
             sum(f.c) AS n
@@ -2382,12 +2388,15 @@ object TextQueries {
 
     // precision/recall/F1 sweep at thresholds 0.1..0.9 — the
     // operating-point curve; exact TP/FP/FN counts, one rounded
-    // division per metric, F1 over the rounded P and R
+    // division per metric, F1 over the rounded P and R (on the
+    // no-signal corpus the curve shows the prior cliff at the
+    // predicted-prior threshold — the shape that tells a user to reach
+    // for the budgeted rank selector instead)
     Q("quality_pr_curve",
       (s, dir) => QualityModel.prCurve(
         Sources.table(s, dir, "documents"), "doc_id", "text",
-        col("lang") === "en", dim = 32, iters = 3, lr = 2.0, steps = 9),
-      Some(s"""WITH ${lrCtes(32, 3, 2.0, "d.lang = 'en'")},
+        col("lang") === "en", dim = 32, iters = 3, lr = 0.05, steps = 9),
+      Some(s"""WITH ${lrCtes(32, 3, 0.05, "d.lang = 'en'")},
         sF AS (
           SELECT f.doc_id, sum(CAST(w.w AS DECIMAL(18,6)) * f.c) AS s,
             sum(f.c) AS n

@@ -343,4 +343,35 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     assert(p.contains("partial_count"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("join_interval: the two-sided tiling turns the overlap join " +
+      "into a hash/sort-merge equi-join — no nested loop, no cartesian") {
+    val p = plan("join_interval")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") && p.contains("__bin"), p)
+  }
+
+  test("embedding_knn_graph_lsh: candidates come from a (band, key) " +
+      "equi-join — the n² cartesian appears ONLY in the exact verifier") {
+    val p = plan("embedding_knn_graph_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("band"), p)
+  }
+
+  test("graph_hits / curation_kappa / graph_modularity: one-row " +
+      "normalization totals ride broadcast, per-round work partial-" +
+      "aggregates before its shuffle") {
+    // hits checkpoints each round, so the final plan is only the
+    // nodes⋈hub⋈auth assembly — assert it stays equi-join shaped
+    val h = plan("graph_hits")
+    assert(!h.contains("CartesianProduct") &&
+      !h.contains("BroadcastNestedLoopJoin"), h)
+    val k = plan("curation_kappa")
+    assert(k.contains("partial_count"), k)
+    assert(k.contains("BroadcastExchange"), k)
+    val m = plan("graph_modularity")
+    assert(m.contains("partial_count"), m)
+    assert(m.contains("BroadcastExchange"), m)
+  }
 }
