@@ -774,6 +774,32 @@ object ReferenceQueries {
       (s, _) => Sources.v2Export(s, "/root/repo/fixtures/v2_sample.tsv"),
       Some(scanCsvOracle)),
 
+    // JSONL scan with explicit schema — the training-corpus interchange
+    // format; nested metadata struct flattened so the null-meta row's
+    // propagated nulls are oracle-checked alongside types and unicode
+    Q("scan_jsonl",
+      (s, _) => {
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("lang", StringType),
+          StructField("meta", StructType(Seq(
+            StructField("source", StringType),
+            StructField("tokens", LongType))))))
+        Sources.jsonl(s, "/root/repo/fixtures/docs_sample.jsonl", schema)
+          .select(col("doc_id"), col("text"), col("lang"),
+            col("meta.source").as("meta_source"),
+            col("meta.tokens").as("meta_tokens"))
+      },
+      Some("""SELECT doc_id, text, lang,
+          meta.source AS meta_source, meta.tokens AS meta_tokens
+        FROM read_json('/root/repo/fixtures/docs_sample.jsonl',
+          format='newline_delimited',
+          columns={'doc_id': 'BIGINT', 'text': 'VARCHAR',
+            'lang': 'VARCHAR',
+            'meta': 'STRUCT(source VARCHAR, tokens BIGINT)'})""")),
+
     // ---- K2 geometry point (engine-side form, extractor.py:168-179):
     // struct(lat,long) materialized only where both coordinates exist,
     // flattened here so the null-guard semantics are oracle-checked ----

@@ -50,6 +50,21 @@ object Sources {
       .option("header", "true")
       .csv(path)
 
+  /** JSON-LINES reader with an explicit schema — the de-facto training-
+    * corpus interchange format (one JSON document per line; nested
+    * metadata as a struct column). Same rules as the TSV readers: never
+    * `inferSchema` (a second full pass over 100 TB, and silent type
+    * drift when a shard's field happens to be all-null), PERMISSIVE
+    * mode so one corrupt line yields a null row instead of killing the
+    * scan. JSONL splits by newline, so a 100 TB directory parallelizes
+    * per-block like CSV. */
+  def jsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .json(path)
+
   /** Harness adapter: one parquet table out of a scale-factor directory
     * (TESTDATA.md layout). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -131,7 +131,8 @@ object ScaleBench {
         want("semantic_assign") || want("semantic_assign_tree") ||
         want("pagerank") || want("harmonic") ||
         want("harmonic_perround") || want("harmonic_merge") ||
-        want("hits") || want("knn_lsh") || want("knn_lsh_uncapped"))) {
+        want("hits") || want("knn_lsh") || want("knn_lsh_uncapped") ||
+        want("interval"))) {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
       val reps = spark.range(0, factor).toDF("rep")
@@ -266,6 +267,35 @@ object ScaleBench {
       if (want("knn_lsh_uncapped")) timed("knn_lsh_uncapped") {
         graft.operators.Similarity.knnGraphLsh(bigEmb, "vec_id",
           "embedding", k = 5, dim = 64).count()
+      }
+      // interval-overlap join on factor× disjoint copies of the
+      // lineitem shipping windows (part keys shifted per copy, so
+      // per-(part, bin) cohabitant counts stay constant): the tiled
+      // equi-join should scale linearly with rows — this datapoint is
+      // the evidence the binWidth tiling holds the fan-out
+      if (want("interval")) timed("interval") {
+        val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select((col("l_orderkey") * 10 + col("l_linenumber"))
+            .as("rid0"),
+            col("l_partkey").as("pk0"), col("l_suppkey").as("sk"),
+            datediff(col("l_shipdate"), lit("1970-01-01")).as("lo"),
+            (datediff(col("l_shipdate"), lit("1970-01-01")) +
+              col("l_linenumber") * 5).cast("int").as("hi"))
+        val li = li0.crossJoin(reps)
+          .select((col("rid0") * factor + col("rep")).as("rid"),
+            (col("pk0") + col("rep") * 100000000L).as("pk"),
+            col("sk"), col("lo"), col("hi"))
+        val a = li.select(col("rid").as("rid_a"), col("pk"),
+          col("sk").as("sk_a"), col("lo").as("lo_a"),
+          col("hi").as("hi_a"))
+        val b = li.select(col("rid").as("rid_b"), col("pk"),
+          col("sk").as("sk_b"), col("lo").as("lo_b"),
+          col("hi").as("hi_b"))
+        graft.operators.RangeJoin.intervalOverlapJoin(
+            a, "lo_a", "hi_a", b, "lo_b", "hi_b", Seq("pk"),
+            binWidth = 32L)
+          .filter(col("rid_a") < col("rid_b") &&
+            col("sk_a") =!= col("sk_b")).count()
       }
       (dropped, prNodes)
     } else (-1L, -1L)
