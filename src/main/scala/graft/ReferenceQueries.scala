@@ -971,6 +971,33 @@ object ReferenceQueries {
         round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50
         FROM lineitem GROUP BY l_returnflag""")),
 
+    // the BOUNDED-MEMORY exact-quantile rewrite: percentile() buffers
+    // every group value in executor memory (an OOM at 100 TB groups);
+    // the bucketed two-pass form holds one histogram row per (key,
+    // bucket) + one bucket's rows, and is held to the SAME
+    // quantile_cont oracle — the rewrite must change no values
+    Q("agg_quantiles_bucketed",
+      (s, dir) => {
+        import graft.operators.Quantiles
+        val li = t(s, dir, "lineitem")
+        val price = Quantiles.exactQuantilesBucketed(
+          li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.95))
+        val qty = Quantiles.exactQuantilesBucketed(
+          li, "l_returnflag", "l_quantity", Seq(0.5))
+        price.filter(col("p") === 0.5)
+          .select(col("l_returnflag"), col("q").as("p50"))
+          .join(price.filter(col("p") === 0.95)
+            .select(col("l_returnflag"), col("q").as("p95")),
+            Seq("l_returnflag"))
+          .join(qty.select(col("l_returnflag"), col("q").as("qty_p50")),
+            Seq("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50
+        FROM lineitem GROUP BY l_returnflag""")),
+
     // ---- moment statistics (free op): corr / stddev ----
     Q("agg_stats",
       (s, dir) => t(s, dir, "lineitem")

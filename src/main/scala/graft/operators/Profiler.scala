@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the data-quality audit a pipeline runs before it
@@ -192,6 +192,88 @@ object SkewJoin {
     val s = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(nSalts - 1L))))
     l.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+}
+
+/** EXACT quantiles with BOUNDED memory — the 100 TB rewrite of
+  * `percentile()`: Spark's exact percentile aggregate buffers every
+  * value of a group in executor memory (fine for 3 return flags at
+  * sf0.1, an OOM at a trillion rows per group). This form never holds
+  * more than one histogram row per (key, bucket) plus the rows of the
+  * single bucket each order statistic lands in:
+  *
+  *  1. one pass: per-key (n, min, max) + per-(key, bucket) counts over
+  *     `nBuckets` fixed-width buckets;
+  *  2. a cumulative window over the ≤ nBuckets-row histogram locates
+  *     the bucket holding each needed order statistic (ranks
+  *     floor/ceil of p·(n−1) — the interpolated-quantile neighbours);
+  *  3. second pass: only the located buckets' rows are re-read, ranked
+  *     within their bucket (offset + within-bucket row_number = global
+  *     rank), and the two order statistics interpolate exactly like
+  *     percentile_cont: q = lo + (p·(n−1) − ⌊p·(n−1)⌋)·(hi − lo).
+  *
+  * Order statistics are raw data values, so the result is EXACT — the
+  * registry holds this form to the SAME quantile_cont oracle as the
+  * buffering form (the rewrite must change no values). Output: long
+  * form `(key, p, q)` per requested p. */
+object Quantiles {
+  import org.apache.spark.sql.expressions.Window
+
+  def exactQuantilesBucketed(df: DataFrame, keyCol: String,
+      valCol: String, ps: Seq[Double], nBuckets: Int = 1024,
+      scale: Int = 4): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      s"need probabilities in [0,1], got $ps")
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val base = df.select(col(keyCol).as("k"),
+      col(valCol).cast("double").as("v")).filter(col("v").isNotNull)
+    val stats = base.groupBy(col("k")).agg(count(lit(1)).as("n"),
+      min(col("v")).as("mn"), max(col("v")).as("mx"))
+    def bucketOf(v: Column) =
+      when(col("mx") === col("mn"), lit(0))
+        .otherwise(least(floor((v - col("mn")) * nBuckets /
+          (col("mx") - col("mn"))).cast("int"), lit(nBuckets - 1)))
+    val bucketed = base.join(broadcast(stats), Seq("k"))
+      .select(col("k"), col("v"), bucketOf(col("v")).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = bucketed.groupBy(col("k"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("k")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("off", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+    // the ranks each p needs (0-indexed): floor and ceil of p·(n−1)
+    val pRows = ps.map(p => lit(p))
+    val ranks = stats.select(col("k"), col("n"),
+        explode(array(pRows: _*)).as("p"))
+      .select(col("k"), col("p"),
+        floor(col("p") * (col("n") - 1)).cast("long").as("r_lo"),
+        ceil(col("p") * (col("n") - 1)).cast("long").as("r_hi"),
+        (col("p") * (col("n") - 1)).as("r"))
+    val need = ranks
+      .select(col("k"), col("p"), col("r"), col("r_lo"),
+        explode(array(col("r_lo"), col("r_hi"))).as("want"))
+    // locate each wanted rank's bucket: off <= want < off + cnt
+    val located = need.join(cum, Seq("k"))
+      .filter(col("want") >= col("off") &&
+        col("want") < col("off") + col("cnt"))
+      .select(col("k"), col("p"), col("r"), col("r_lo"), col("want"),
+        col("b"), col("off"))
+    // second pass: rank only within the located buckets
+    val wIn = Window.partitionBy(col("k"), col("b")).orderBy(col("v"))
+    val inBucket = bucketed
+      .join(located.select(col("k"), col("b")).distinct(),
+        Seq("k", "b"))
+      .withColumn("rn", row_number().over(wIn).cast("long") - 1)
+    val vals = located.join(inBucket,
+        Seq("k", "b")).filter(col("off") + col("rn") === col("want"))
+      .select(col("k"), col("p"), col("r"), col("r_lo"), col("want"),
+        col("v"))
+    vals.groupBy(col("k"), col("p"), col("r"), col("r_lo"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .select(col("k").as(keyCol), col("p"),
+        round(col("lo") + (col("r") - col("r_lo")) *
+          (col("hi") - col("lo")), scale).as("q"))
   }
 }
 

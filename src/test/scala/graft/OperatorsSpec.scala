@@ -1121,6 +1121,42 @@ class ProfilerSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("bucketed exact quantiles equal percentile() across p values, " +
+      "duplicates, tiny bucket counts, and partitionings") {
+    import graft.operators.Quantiles
+    // skewed values with heavy duplicates across two keys
+    val rows = (0 until 500).map { i =>
+      val k = if (i % 3 == 0) "a" else "b"
+      val v = ((i * 2654435761L) % 97).toDouble / 7.0 +
+        (if (i % 10 == 0) 50.0 else 0.0)
+      (k, v)
+    }
+    val df = rows.toDF("k", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    for (nb <- Seq(2, 16, 1024)) {
+      val got = Quantiles.exactQuantilesBucketed(df, "k", "v", ps,
+        nBuckets = nb)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+          r.getDouble(2)).toMap
+      ps.foreach { p =>
+        val ref = df.groupBy("k")
+          .agg(round(expr(s"percentile(v, $p)"), 4).as("q"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        ref.foreach { case (k, q) =>
+          assert(got((k, p)) == q, s"nb=$nb p=$p k=$k: " +
+            s"${got((k, p))} vs $q")
+        }
+      }
+    }
+    val rep = Quantiles.exactQuantilesBucketed(df.repartition(7), "k",
+      "v", ps).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val one = Quantiles.exactQuantilesBucketed(df, "k", "v", ps)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(rep == one, "exact order statistics are partitioning-free")
+  }
+
   test("interval overlap join equals the non-equi join across bin " +
       "widths, including touching and multi-bin intervals") {
     import graft.operators.RangeJoin
