@@ -64,10 +64,18 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val a = df.select(col(idCol).as("src"), col(vecCol).as("ea"))
     val b = df.select(col(idCol).as("dst"), col(vecCol).as("eb"))
-    val scored = a.join(b, col("src") =!= col("dst"))
+    // cosine is symmetric: evaluate each unordered pair ONCE
+    // (src < dst — half the codegen cosine work of the full n²
+    // product), then mirror the scored rows before the per-src window
+    val half = a.join(b, col("src") < col("dst"))
       .select(col("src"), col("dst"),
         round(VectorExpressions.cosineSim(col("ea"), col("eb")), 6)
           .as("cos"))
+      // consumed twice by the mirror union — materialize so the n²/2
+      // cosine pass runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = half.unionByName(half.select(col("dst").as("src"),
+      col("src").as("dst"), col("cos")))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos").desc, col("dst").asc)
     scored.withColumn("rank", row_number().over(w).cast("int"))
