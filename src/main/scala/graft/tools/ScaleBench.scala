@@ -132,7 +132,7 @@ object ScaleBench {
         want("pagerank") || want("harmonic") ||
         want("harmonic_perround") || want("harmonic_merge") ||
         want("hits") || want("knn_lsh") || want("knn_lsh_uncapped") ||
-        want("interval"))) {
+        want("interval") || want("quantiles"))) {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
       val reps = spark.range(0, factor).toDF("rep")
@@ -296,6 +296,20 @@ object ScaleBench {
             binWidth = 32L)
           .filter(col("rid_a") < col("rid_b") &&
             col("sk_a") =!= col("sk_b")).count()
+      }
+      // bounded-memory exact quantiles on factor× lineitem prices
+      // (values shifted per copy so distincts grow with the data):
+      // histogram pass + located-bucket second pass — the curve should
+      // track rows linearly with per-key state fixed at nBuckets
+      if (want("quantiles")) timed("quantiles") {
+        val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_returnflag"), col("l_extendedprice"))
+        val liQ = li0.crossJoin(reps)
+          .select(col("l_returnflag"),
+            (col("l_extendedprice") + col("rep").cast("double") / 1000)
+              .as("price"))
+        graft.operators.Quantiles.exactQuantilesBucketed(
+          liQ, "l_returnflag", "price", Seq(0.5, 0.95, 0.99)).count()
       }
       (dropped, prNodes)
     } else (-1L, -1L)
