@@ -971,6 +971,29 @@ object ReferenceQueries {
         round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50
         FROM lineitem GROUP BY l_returnflag""")),
 
+    // join-key skew report — the pre-shuffle diagnostic (plain vs
+    // broadcast vs salted): exact key-size stats + max/mean skew
+    // factor + exact Gini over rank-ordered counts
+    Q("profile_skew",
+      (s, dir) => graft.operators.SkewReport.keySkew(
+        t(s, dir, "lineitem"), "l_suppkey"),
+      Some("""WITH cnt AS (
+          SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        r AS (
+          SELECT k, c, row_number() OVER (ORDER BY c, k) AS i FROM cnt),
+        n AS (
+          SELECT count(*) AS n_keys, sum(c)::BIGINT AS n_rows,
+            max(c) AS max_cnt
+          FROM cnt),
+        g AS (
+          SELECT sum((2 * i - n_keys - 1) * c)::BIGINT AS gnum
+          FROM r CROSS JOIN n)
+        SELECT n_keys, n_rows, max_cnt,
+          round(n_rows::DOUBLE / n_keys, 6) AS mean_cnt,
+          round(max_cnt::DOUBLE * n_keys / n_rows, 6) AS skew_factor,
+          round(gnum::DOUBLE / (n_keys::DOUBLE * n_rows), 6) AS gini
+        FROM n CROSS JOIN g""")),
+
     // the BOUNDED-MEMORY exact-quantile rewrite: percentile() buffers
     // every group value in executor memory (an OOM at 100 TB groups);
     // the bucketed two-pass form holds one histogram row per (key,

@@ -195,6 +195,43 @@ object SkewJoin {
   }
 }
 
+/** JOIN-KEY SKEW REPORT — the diagnostic run before committing a
+  * 100 TB shuffle: per-key row counts reduced to the numbers that
+  * decide between a plain join, a broadcast, and a salted join
+  * ([[SkewJoin]]): key count, max/mean/p99-ish top share, the
+  * max-to-mean skew factor, and the exact Gini coefficient of the
+  * key-size distribution. All counts exact; Gini uses the closed form
+  * Σ(2i − n − 1)·x_(i) / (n·Σx) over rank-ordered counts — exact
+  * integer numerator (DECIMAL(38,0) once keys×rows outgrow 64 bits),
+  * one rounded division. The rank window runs over the KEY table
+  * (|keys| rows, not data rows). */
+object SkewReport {
+  import org.apache.spark.sql.expressions.Window
+
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val cnt = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("c"))
+    // rank ties broken by key so the Gini fold is deterministic
+    val w = Window.orderBy(col("c").asc, col("k").asc)
+    val ranked = cnt.withColumn("i", row_number().over(w).cast("long"))
+    val nRow = cnt.agg(count(lit(1)).as("n_keys"),
+      sum(col("c")).as("n_rows"), max(col("c")).as("max_cnt"))
+    ranked.crossJoin(broadcast(nRow))
+      .agg(max(col("n_keys")).as("n_keys"),
+        max(col("n_rows")).as("n_rows"),
+        max(col("max_cnt")).as("max_cnt"),
+        sum((lit(2) * col("i") - col("n_keys") - 1) * col("c"))
+          .as("gnum"))
+      .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+        round(col("n_rows").cast("double") / col("n_keys"), 6)
+          .as("mean_cnt"),
+        round(col("max_cnt").cast("double") * col("n_keys") /
+          col("n_rows"), 6).as("skew_factor"),
+        round(col("gnum").cast("double") /
+          (col("n_keys").cast("double") * col("n_rows")), 6).as("gini"))
+  }
+}
+
 /** EXACT quantiles with BOUNDED memory — the 100 TB rewrite of
   * `percentile()`: Spark's exact percentile aggregate buffers every
   * value of a group in executor memory (fine for 3 return flags at

@@ -1121,6 +1121,26 @@ class ProfilerSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("key skew report: zero gini on uniform keys, hand-computed " +
+      "gini, hot key drives the skew factor") {
+    import graft.operators.SkewReport
+    val uniform = (0 until 100).map(i => (i % 10, i)).toDF("k", "x")
+    val u = SkewReport.keySkew(uniform, "k").head
+    assert(u.getLong(0) == 10L && u.getLong(1) == 100L)
+    assert(u.getDouble(4) == 1.0 && u.getDouble(5) == 0.0,
+      s"uniform must read skew 1, gini 0: $u")
+    // counts {1, 3}: gnum = (2·1−3)·1 + (2·2−3)·3 = 2 → gini = 2/8
+    val two = Seq(("a", 1), ("b", 1), ("b", 2), ("b", 3)).toDF("k", "x")
+    val h = SkewReport.keySkew(two, "k").head
+    assert(h.getDouble(5) == 0.25, s"$h")
+    // one key holding half the rows dominates both signals
+    val hot = ((0 until 500).map(i => (0, i)) ++
+      (0 until 500).map(i => (1 + i % 50, i))).toDF("k", "x")
+    val s = SkewReport.keySkew(hot, "k").head
+    // 1 hot key (500 rows) + 50 keys of 10: skew 25.5, gini ≈ 0.48
+    assert(s.getDouble(4) > 20.0 && s.getDouble(5) > 0.4, s"$s")
+  }
+
   test("bucketed exact quantiles equal percentile() across p values, " +
       "duplicates, tiny bucket counts, and partitionings") {
     import graft.operators.Quantiles
