@@ -110,6 +110,40 @@ object DedupQueries {
         k = 5, threshold = 0.8),
       Some(jaccardPairsSql)),
 
+    // threshold-sweep tuning table: near-dup pair count and affected-doc
+    // count at τ ∈ {0.5..0.9} from ONE shingle/index pass — the table
+    // that picks the dedup threshold before a 100 TB run commits to one
+    Q("dedup_threshold_sweep",
+      (s, dir) => {
+        val pairs = Dedup.ngramJaccardPairs(
+          Sources.table(s, dir, "documents"), "doc_id", "text",
+          k = 5, threshold = 0.5)
+        val th = s.range(5, 10)
+          .select((col("id").cast("double") / 10).as("t"))
+        val inner = broadcast(th).join(pairs, col("jaccard") >= col("t"))
+        val nP = inner.groupBy(col("t")).agg(count(lit(1)).as("np"))
+        val nD = inner.select(col("t"),
+            explode(array(col("doc_a"), col("doc_b"))).as("d"))
+          .groupBy(col("t")).agg(countDistinct(col("d")).as("nd"))
+        th.join(nP, Seq("t"), "left").join(nD, Seq("t"), "left")
+          .select(col("t"), coalesce(col("np"), lit(0L)).as("n_pairs"),
+            coalesce(col("nd"), lit(0L)).as("n_docs"))
+      },
+      Some(s"""WITH ${shingleCtesFor("documents")},
+        pairs AS (${pairsSelectSql(0.5)}),
+        th AS (SELECT unnest(range(5, 10))::DOUBLE / 10 AS t),
+        i AS (
+          SELECT t, doc_a, doc_b FROM th JOIN pairs ON jaccard >= t),
+        np AS (SELECT t, count(*) AS n_pairs FROM i GROUP BY t),
+        nd AS (
+          SELECT t, count(DISTINCT d) AS n_docs FROM (
+            SELECT t, unnest([doc_a, doc_b]) AS d FROM i) q
+          GROUP BY t)
+        SELECT th.t, coalesce(np.n_pairs, 0)::BIGINT AS n_pairs,
+          coalesce(nd.n_docs, 0)::BIGINT AS n_docs
+        FROM th LEFT JOIN np ON th.t = np.t
+        LEFT JOIN nd ON th.t = nd.t""")),
+
     // asymmetric shingle CONTAINMENT — the doc-in-doc detector Jaccard
     // misses (a short doc quoted whole in a long one); both directions
     // of each pair, inverted-index exact, brute-force oracle
@@ -1469,6 +1503,43 @@ object SimilarityQueries {
               AS rank
           FROM scored) r
         WHERE rank <= 5""")),
+
+    // TwoNN intrinsic-dimension estimate — the embedding-quality audit
+    // (does the 64-dim column really use 64 dims?) from each point's
+    // two nearest-neighbour distances; duplicates excluded, exact
+    // decimal term sum, one closing division
+    Q("embedding_intrinsic_dim",
+      (s, dir) => Similarity.intrinsicDimTwoNN(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding"),
+      Some("""WITH e AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        d AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+            round(sum((a.v - b.v) * (a.v - b.v) ORDER BY a.i), 9) AS d2
+          FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY 1, 2),
+        dd AS (
+          SELECT src, dst, d2 FROM d
+          UNION ALL SELECT dst, src, d2 FROM d),
+        r AS (
+          SELECT src, dst, d2, row_number() OVER (
+            PARTITION BY src ORDER BY d2, dst) AS rn
+          FROM dd),
+        pv AS (
+          SELECT src,
+            max(CASE WHEN rn = 1 THEN d2 END) AS d1,
+            max(CASE WHEN rn = 2 THEN d2 END) AS d2nd
+          FROM r WHERE rn <= 2 GROUP BY src),
+        t AS (
+          SELECT round(ln(d2nd / d1) * 0.5, 6)::DECIMAL(18,6) AS t
+          FROM pv WHERE d1 > 0 AND d2nd IS NOT NULL),
+        s AS (SELECT count(*) AS n_used, sum(t) AS s FROM t)
+        SELECT n_used,
+          CASE WHEN s <= 0 THEN 0.0
+            ELSE round(n_used::DOUBLE / s::DOUBLE, 6) END AS id_dim
+        FROM s""")),
 
     // the PRODUCTION k-NN graph: LSH-band candidates (committed plane
     // fixture), exact cosine on candidates only, per-src top-k — the
@@ -5365,6 +5436,40 @@ object GraphQueries {
           $rounds
           SELECT node, label FROM l3"""
       }),
+
+    // degree assortativity of the trade graph — hubs-to-hubs vs
+    // hubs-to-leaves in one exact-integer Pearson number (bipartite
+    // infrastructure graphs read negative)
+    Q("graph_assortativity",
+      (s, dir) => {
+        val pairs = Sources.table(s, dir, "orders")
+          .join(Sources.table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        Graph.assortativity(pairs, "src", "dst")
+      },
+      Some("""WITH p AS (
+          SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        e0 AS (SELECT least(c, sp) AS u, greatest(c, sp) AS v FROM p),
+        adj AS (
+          SELECT u AS node, v AS nbr FROM e0
+          UNION ALL SELECT v, u FROM e0),
+        deg AS (SELECT node, count(*) AS d FROM adj GROUP BY 1),
+        j AS (
+          SELECT du.d AS ju, dv.d AS jv
+          FROM adj a JOIN deg du ON a.node = du.node
+          JOIN deg dv ON a.nbr = dv.node),
+        s AS (
+          SELECT count(*)::HUGEINT AS n2m, sum(ju)::HUGEINT AS sj,
+            sum(ju * ju)::HUGEINT AS sj2, sum(ju * jv)::HUGEINT AS sjk
+          FROM j)
+        SELECT (n2m // 2)::BIGINT AS m,
+          CASE WHEN n2m * sj2 - sj * sj = 0 THEN 0.0
+            ELSE round((n2m * sjk - sj * sj)::DOUBLE /
+              (n2m * sj2 - sj * sj)::DOUBLE, 6) END AS r
+        FROM s""")),
 
     // Newman modularity of the label-prop communities — the one-number
     // audit that says whether the detected structure beats random

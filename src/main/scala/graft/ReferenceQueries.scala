@@ -971,6 +971,33 @@ object ReferenceQueries {
         round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50
         FROM lineitem GROUP BY l_returnflag""")),
 
+    // MODE aggregate (most frequent value per group, deterministic
+    // smallest-value tie-break) — the categorical summary statistic
+    // Spark lacks as a builtin; count + windowed argmax, exact
+    Q("agg_mode",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cnt = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_shipdate"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("cnt").desc, col("l_shipdate").asc)
+        cnt.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"),
+            col("l_shipdate").as("mode_shipdate"), col("cnt").as("n"))
+      },
+      Some("""WITH c AS (
+          SELECT l_returnflag, l_shipdate, count(*) AS cnt
+          FROM lineitem GROUP BY 1, 2)
+        SELECT l_returnflag, l_shipdate AS mode_shipdate, cnt AS n
+        FROM (
+          SELECT l_returnflag, l_shipdate, cnt, row_number() OVER (
+            PARTITION BY l_returnflag
+            ORDER BY cnt DESC, l_shipdate ASC) AS rn
+          FROM c) r
+        WHERE rn = 1""")),
+
     // join-key skew report — the pre-shuffle diagnostic (plain vs
     // broadcast vs salted): exact key-size stats + max/mean skew
     // factor + exact Gini over rank-ordered counts

@@ -516,6 +516,43 @@ object Graph {
           (lit(4L) * col("m") * col("m")).cast("double"), 6).as("q"))
   }
 
+  /** DEGREE ASSORTATIVITY (Newman 2002): the Pearson correlation of
+    * endpoint degrees over all (directed representations of) edges —
+    * one number saying whether hubs link to hubs (r > 0, social
+    * graphs) or to leaves (r < 0, web/bipartite infrastructure
+    * graphs). With both edge directions included the two marginals
+    * coincide, so r = (2m·Σjk − (Σj)²) / (2m·Σj² − (Σj)²) — every sum
+    * an exact DECIMAL(38,0) integer (HUGEINT in the oracle), one
+    * rounded division, den = 0 (degree-regular graph) → 0. Scale:
+    * two broadcast-or-shuffle degree joins on the edge list + one
+    * map-side-combined aggregate. Output one row (m, r). */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val dir = und.select(col("u"), col("v"))
+      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+    val j = dir
+      .join(deg.select(col("node").as("u"), col("d").as("ju")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("jv")), "v")
+    j.agg(count(lit(1)).as("n2m"),
+        sum(col("ju").cast(dec)).as("sj"),
+        sum((col("ju") * col("ju")).cast(dec)).as("sj2"),
+        sum((col("ju") * col("jv")).cast(dec)).as("sjk"))
+      .select((col("n2m") / 2).cast("long").as("m"),
+        when(col("n2m") * col("sj2") - col("sj") * col("sj") === 0,
+          lit(0.0))
+          .otherwise(round(
+            (col("n2m") * col("sjk") - col("sj") * col("sj"))
+              .cast("double") /
+            (col("n2m") * col("sj2") - col("sj") * col("sj"))
+              .cast("double"), 6)).as("r"))
+  }
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")

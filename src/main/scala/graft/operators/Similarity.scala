@@ -143,6 +143,51 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** INTRINSIC DIMENSION by the TwoNN estimator (Facco et al. 2017,
+    * "Estimating the intrinsic dimension of datasets by a minimal
+    * neighborhood information"): for each point the ratio
+    * μ = r₂/r₁ of its two nearest-neighbour distances follows a
+    * Pareto(d) law, so d̂ = n / Σ ln μᵢ. The embedding-quality audit
+    * run before choosing quantizers/index parameters: a 64-dim column
+    * whose data lives on a ~10-dim manifold wants very different
+    * PQ/IVF settings than one using all 64. Zero-distance duplicates
+    * are excluded from the estimate (standard practice — their μ is
+    * undefined); per-point terms are 6-dp-rounded decimals summed
+    * exactly, so the estimate is partitioning-free. Same
+    * score-once-mirror-after pair shape as [[knnGraph]] (squared
+    * distance is exactly symmetric); the LSH candidate path drops in
+    * at scale the same way. Output one row (n_used, id_dim). */
+  def intrinsicDimTwoNN(df: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.expressions.VectorExpressions
+    val a = df.select(col(idCol).as("src"), col(vecCol).as("ea"))
+    val b = df.select(col(idCol).as("dst"), col(vecCol).as("eb"))
+    val half = a.join(b, col("src") < col("dst"))
+      .select(col("src"), col("dst"),
+        round(VectorExpressions.squaredDist(col("ea"), col("eb")), 9)
+          .as("d2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dirs = half.unionByName(half.select(col("dst").as("src"),
+      col("src").as("dst"), col("d2")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("d2").asc, col("dst").asc)
+    val top2 = dirs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    val pv = top2.groupBy(col("src")).agg(
+        max(when(col("rn") === 1, col("d2"))).as("d1"),
+        max(when(col("rn") === 2, col("d2"))).as("d2nd"))
+      .filter(col("d1") > 0 && col("d2nd").isNotNull)
+    val terms = pv.select(
+      round(log(col("d2nd") / col("d1")) * 0.5, 6)
+        .cast("decimal(18,6)").as("t"))
+    terms.agg(count(lit(1)).as("n_used"), sum(col("t")).as("s"))
+      .select(col("n_used"),
+        when(col("s") <= 0, lit(0.0))
+          .otherwise(round(col("n_used").cast("double") /
+            col("s").cast("double"), 6)).as("id_dim"))
+  }
+
   /** Edge recall of [[knnGraphLsh]] against the exact [[knnGraph]]:
     * one row `(n_exact, n_hit, recall)` — the number every ANN
     * deployment must report before the exact path is switched off. */

@@ -1277,6 +1277,20 @@ class GraphSpec extends AnyFunSuite with SparkTester {
       "deterministic across runs")
   }
 
+  test("assortativity: star graph reads -1, regular ring reads 0 " +
+      "(zero-variance guard), deterministic") {
+    val star = (1L to 5L).map(l => (0L, l)).toDF("src", "dst")
+    val s = Graph.assortativity(star, "src", "dst").head
+    assert(s.getLong(0) == 5L)
+    assert(s.getDouble(1) == -1.0, s"star must be perfectly " +
+      s"disassortative: $s")
+    // 4-cycle: every node degree 2 -> degree variance 0 -> guard fires
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    assert(Graph.assortativity(ring, "src", "dst").head.getDouble(1)
+      == 0.0)
+  }
+
   test("modularity: two cliques joined by a bridge score high under " +
       "the clique partition, the bipartite split scores -0.5") {
     // K4 on {1..4} + K4 on {5..8} + one bridge (4,5): m = 13
@@ -1655,6 +1669,42 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
       .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1))
       .toMap
     assert(again == g)
+  }
+
+  test("twonn intrinsic dimension: ~1 on a 1-d manifold in 4-d, " +
+      "duplicates excluded from the estimate") {
+    import spark.implicits._
+    // pseudo-random positions on a line through R^4 (hash-spaced so
+    // neighbour ratios vary — TwoNN assumes non-grid spacing)
+    // splitmix-style mixer: a plain j·c mod m lattice has only THREE
+    // distinct sorted gaps (three-distance theorem), which makes every
+    // neighbour ratio ≈ 1 and inflates the estimate — TwoNN needs
+    // iid-uniform spacing
+    def mix(x0: Long): Long = {
+      var x = x0; x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L; x ^= x >>> 33; x
+    }
+    val pos = (0 until 200)
+      .map(j => (mix(j + 1L) >>> 11).toDouble / (1L << 53).toDouble)
+      .sorted
+    val pts = pos.zipWithIndex.map { case (p, i) =>
+      (i.toLong, Array(p.toFloat, (2 * p).toFloat, (0.5 * p).toFloat,
+        (-p).toFloat))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.intrinsicDimTwoNN(pts, "vec_id", "embedding")
+      .head
+    assert(r.getLong(0) == 200L)
+    assert(r.getDouble(1) > 0.5 && r.getDouble(1) < 2.0,
+      s"1-d manifold must read ~1, got ${r.getDouble(1)}")
+    // two exact duplicates: both excluded (r1 = 0), estimate survives
+    val withDup = pts.unionByName(Seq(
+      (900L, Array(0.001f, 0.002f, 0.0005f, -0.001f)),
+      (901L, Array(0.001f, 0.002f, 0.0005f, -0.001f)))
+      .toDF("vec_id", "embedding"))
+    val d = Similarity.intrinsicDimTwoNN(withDup, "vec_id", "embedding")
+      .head
+    assert(d.getLong(0) == 200L,
+      s"duplicate pair must drop out: ${d.getLong(0)}")
   }
 
   test("lsh knn graph: a subset of candidate pairs, ranks contiguous, " +
