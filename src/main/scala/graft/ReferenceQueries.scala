@@ -1319,6 +1319,28 @@ object ReferenceQueries {
           round(p.n::DOUBLE / t.tot, 6) AS p
         FROM p JOIN t USING (from_type)""")),
 
+    // event-type co-occurrence PMI within user histories — joint
+    // PRESENCE association (vs events_markov's adjacent ORDER); exact
+    // presence counts, one rounded ln per pair
+    Q("events_cooccurrence",
+      (s, dir) => graft.operators.Temporal.cooccurrencePmi(
+        Sources.events(s, dir), "user_id", "event_type"),
+      Some("""WITH pres AS (
+          SELECT DISTINCT user_id AS k, event_type AS t FROM events),
+        nn AS (SELECT count(DISTINCT k) AS n FROM pres),
+        marg AS (SELECT t, count(*) AS c FROM pres GROUP BY t),
+        p AS (
+          SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_ab
+          FROM pres a JOIN pres b ON a.k = b.k AND a.t < b.t
+          GROUP BY 1, 2)
+        SELECT type_a, type_b, ma.c AS n_a, mb.c AS n_b, n_ab,
+          round(ln(n_ab::DOUBLE * nn.n /
+            (ma.c::DOUBLE * mb.c)), 6) AS pmi
+        FROM p
+        JOIN marg ma ON p.type_a = ma.t
+        JOIN marg mb ON p.type_b = mb.t
+        CROSS JOIN nn""")),
+
     // ---- unpivot/melt (the inverse of pivot_events): wide metric
     // columns to long (key, metric, value) rows — Spark's native
     // unpivot; the oracle states the portable UNION ALL form ----

@@ -159,6 +159,42 @@ object Temporal {
       .agg(countDistinct(col(keyCol)).as("n_users"))
   }
 
+  /** Pointwise mutual information of event-type CO-OCCURRENCE within a
+    * key's timeline: for each unordered type pair, how much more (or
+    * less) often the two co-occur in the same user's history than
+    * independence predicts — PMI = ln(n·c_ab / (c_a·c_b)) over
+    * per-key presence sets. The association measure behind
+    * basket/affinity analysis and feature co-occurrence audits;
+    * [[markovTransitions]] reads adjacent ORDER, this reads joint
+    * PRESENCE. Exact integer counts (presence is a distinct reduce),
+    * one rounded ln per pair; the pair join fans out only |types
+    * present per key|², bounded by the type vocabulary. Output
+    * `(type_a, type_b, n_a, n_b, n_ab, pmi)` with type_a < type_b. */
+  def cooccurrencePmi(events: DataFrame, keyCol: String,
+      typeCol: String): DataFrame = {
+    val present = events
+      .select(col(keyCol).as("k"), col(typeCol).as("t")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRow = present.select(col("k")).distinct()
+      .agg(count(lit(1)).as("n"))
+    val marg = present.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val pairs = present.as("a")
+      .join(present.as("b"),
+        col("a.k") === col("b.k") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("type_a"), col("b.t").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marg.select(col("t").as("type_a"),
+        col("c").as("n_a"))), Seq("type_a"))
+      .join(broadcast(marg.select(col("t").as("type_b"),
+        col("c").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nRow))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("n") /
+          (col("n_a").cast("double") * col("n_b"))), 6).as("pmi"))
+  }
+
   /** First-order Markov transition matrix over per-key event sequences:
     * for each consecutive (event, next-event) pair within a key's
     * timeline, the transition count and its row-normalized probability —

@@ -1575,6 +1575,32 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTester {
     assert(g.toSeq == Seq((1L, 7200L)))
   }
 
+  test("cooccurrence pmi: positive when types travel together, " +
+      "negative when they avoid each other, zero at independence") {
+    import graft.operators.Temporal
+    def ev(rows: (Long, String)*) = rows.toSeq.zipWithIndex
+      .map { case ((u, t), i) => (i.toLong, u, ts(i), t) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    // A,B always together; C alone: PMI(A,B) = ln(2·3/(2·2)) > 0
+    val pos = Temporal.cooccurrencePmi(
+      ev(1L -> "A", 1L -> "B", 2L -> "A", 2L -> "B", 3L -> "C"),
+      "user_id", "event_type").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5))
+      .toMap
+    assert(pos(("A", "B")) > 0.0, s"$pos")
+    assert(!pos.contains(("A", "C")), "never co-occurring -> no row")
+    // A,B mostly apart: PMI = ln(1·3/(2·2)) < 0
+    val neg = Temporal.cooccurrencePmi(
+      ev(1L -> "A", 2L -> "B", 3L -> "A", 3L -> "B"),
+      "user_id", "event_type").head
+    assert(neg.getDouble(5) < 0.0, s"$neg")
+    // exact independence: c_ab·n == c_a·c_b -> PMI 0
+    val ind = Temporal.cooccurrencePmi(
+      ev(1L -> "A", 1L -> "B", 2L -> "A", 2L -> "B", 3L -> "A"),
+      "user_id", "event_type").head
+    assert(ind.getDouble(5) == 0.0, s"$ind")
+  }
+
   test("markov transitions: counts follow the per-user timeline, rows " +
       "normalize to 1, ts ties break on the id column") {
     val ev = Seq(
