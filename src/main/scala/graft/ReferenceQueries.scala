@@ -1048,6 +1048,36 @@ object ReferenceQueries {
         round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50
         FROM lineitem GROUP BY l_returnflag""")),
 
+    // EQUI-DEPTH histogram (the optimizer's histogram): bin edges at
+    // the exact i/8 quantiles via the bounded-memory quantile path,
+    // then one exact counting pass per half-open bin
+    Q("numeric_histogram_equidepth",
+      (s, dir) => graft.operators.EquiDepth.histogram(
+        t(s, dir, "lineitem").select(col("l_extendedprice")),
+        "l_extendedprice", bins = 8),
+      Some {
+        val ps = (0 to 8).map(i => (i.toDouble / 8).toString)
+          .mkString("[", ", ", "]")
+        s"""WITH v AS (
+            SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+            WHERE l_extendedprice IS NOT NULL),
+          qa AS (SELECT quantile_cont(v, $ps) AS qs FROM v),
+          ed AS (
+            SELECT generate_subscripts(qs, 1) AS i1,
+              round(unnest(qs), 4) AS q
+            FROM qa),
+          spans AS (
+            SELECT i1 - 1 AS bin, q AS lo,
+              lead(q) OVER (ORDER BY i1) AS hi
+            FROM ed)
+          SELECT CAST(bin AS INTEGER) AS bin, lo, hi, count(*) AS n
+          FROM v JOIN spans
+            ON v.v >= spans.lo AND (v.v < spans.hi OR
+              (spans.bin = 7 AND v.v <= spans.hi))
+          WHERE hi IS NOT NULL
+          GROUP BY 1, 2, 3"""
+      }),
+
     // ---- moment statistics (free op): corr / stddev ----
     Q("agg_stats",
       (s, dir) => t(s, dir, "lineitem")

@@ -195,6 +195,40 @@ object SkewJoin {
   }
 }
 
+/** EQUI-DEPTH histogram — the histogram an optimizer stores: bin
+  * EDGES at the exact p = i/B quantiles (so bins hold ~equal row
+  * counts and the tails get resolution where equi-WIDTH bins go
+  * empty), then one pass counting rows per [edge_i, edge_{i+1})
+  * half-open bin (the last bin closed). Edges come from
+  * [[Quantiles.exactQuantilesBucketed]], so the whole thing is
+  * bounded-memory and exact; counts are exact integers. Output
+  * `(bin, lo, hi, n)` per bin. */
+object EquiDepth {
+  def histogram(df: DataFrame, valCol: String, bins: Int,
+      scale: Int = 4): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val ps = (0 to bins).map(i => i.toDouble / bins)
+    val keyed = df.select(lit(1).as("__g"),
+      col(valCol).cast("double").as("v")).filter(col("v").isNotNull)
+    val edges = Quantiles.exactQuantilesBucketed(keyed, "__g", "v", ps,
+        scale = scale)
+      // round before the cast: p·B lands a hair under the integer for
+      // non-dyadic p (0.3·10 = 2.999…96 truncates to 2)
+      .select(round(col("p") * bins, 0).cast("int").as("i"), col("q"))
+    val lo = edges.select(col("i").as("bin"), col("q").as("lo"))
+      .filter(col("bin") < bins)
+    val hi = edges.select((col("i") - 1).as("bin"), col("q").as("hi"))
+      .filter(col("bin") >= 0)
+    val spans = lo.join(hi, Seq("bin"))
+    keyed.crossJoin(broadcast(spans))
+      .filter(col("v") >= col("lo") &&
+        (col("v") < col("hi") || (col("bin") === bins - 1 &&
+          col("v") <= col("hi"))))
+      .groupBy(col("bin"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"))
+  }
+}
+
 /** JOIN-KEY SKEW REPORT — the diagnostic run before committing a
   * 100 TB shuffle: per-key row counts reduced to the numbers that
   * decide between a plain join, a broadcast, and a salted join

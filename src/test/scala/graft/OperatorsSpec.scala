@@ -1121,6 +1121,25 @@ class ProfilerSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("equi-depth histogram: near-equal bin counts on skewed data, " +
+      "bins partition all rows, edges monotone") {
+    import graft.operators.EquiDepth
+    // heavily skewed values: equi-WIDTH would park most rows in bin 0
+    val df = (0 until 1000)
+      .map(i => math.pow(1.01, i % 700) * (1 + i % 7)).toDF("x")
+    val h = EquiDepth.histogram(df, "x", bins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(h.length == 10)
+    assert(h.map(_._4).sum == 1000L, "bins must partition every row")
+    assert(h.forall(b => b._4 >= 80 && b._4 <= 120),
+      s"equi-depth bins must stay near n/bins: ${h.map(_._4).toSeq}")
+    assert(h.sliding(2).forall(w => w(0)._3 == w(1)._2),
+      "consecutive bins share their edge")
+    assert(h.forall(b => b._2 <= b._3))
+  }
+
   test("key skew report: zero gini on uniform keys, hand-computed " +
       "gini, hot key drives the skew factor") {
     import graft.operators.SkewReport
