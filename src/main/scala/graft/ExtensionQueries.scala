@@ -818,6 +818,26 @@ object SimilarityQueries {
       FROM bands x JOIN bands y
         ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id"""
 
+  /** Multi-probe probe rows: own band keys + every 1-flip neighbour —
+    * shared by `simsearch_lsh_multiprobe` and the production kNN-graph
+    * rows (which run multiProbe = true for recall). */
+  private[graft] val lshProbesCte =
+    """probes AS (
+        SELECT vec_id, band, key FROM bands
+        UNION ALL
+        SELECT vec_id, band, xor(key, 1::BIGINT << j) AS key
+        FROM bands, (SELECT unnest(range(0, 4)) AS j) jj)"""
+
+  private[graft] val lshCandMultiSql =
+    """SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM probes x JOIN bands y
+        ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id"""
+
+  /** The engine-portable md5 source-sample predicate used by the
+    * exact-kNN verifier rows (`hashBucket(id, 100) < pct`). */
+  private[graft] def srcSamplePred(idExpr: String, pct: Int): String =
+    s"(('0x' || substr(md5($idExpr::VARCHAR), 1, 8))::BIGINT % 100) < $pct"
+
   /** CTE chain `e → c0 → (d/a/c)×iters → dF → assign` unrolling the
     * deterministic Lloyd's trainer ([[graft.operators.Similarity
     * .kmeansCentroids]], centroidStep = 50) so DuckDB reproduces the
@@ -1475,14 +1495,17 @@ object SimilarityQueries {
           FROM scored) r
         WHERE rank <= 10""")),
 
-    // exact k-NN GRAPH over the corpus (k=5): the structure graph-based
+    // exact k-NN GRAPH audit panel (k=5): the structure graph-based
     // dedup/label-prop/HNSW builds consume; quadratic exact form as the
-    // declared verifier, LSH/IVF buckets as the production path
+    // declared VERIFIER, scoped to a deterministic md5 20% source
+    // sample against the FULL index ((pct/100)·n² work, each sampled
+    // source still exactly ranked) and memo-shared with the
+    // knn_graph_recall row; LSH/IVF buckets are the production path
     Q("embedding_knn_graph",
-      (s, dir) => Similarity.knnGraph(
+      (s, dir) => Similarity.knnGraphSampled(
         Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 5),
-      Some("""WITH e AS (
+        k = 5, pct = 20),
+      Some(s"""WITH e AS (
           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
                  generate_subscripts(embedding, 1) AS i
           FROM embeddings),
@@ -1490,6 +1513,7 @@ object SimilarityQueries {
         dots AS (
           SELECT a.vec_id AS src, b.vec_id AS dst, sum(a.v * b.v) AS dot
           FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+          WHERE ${SimilarityQueries.srcSamplePred("a.vec_id", 20)}
           GROUP BY 1, 2),
         scored AS (
           SELECT src, dst, round(dot / (na.nrm * nb.nrm), 6) AS cos
@@ -1541,15 +1565,17 @@ object SimilarityQueries {
             ELSE round(n_used::DOUBLE / s::DOUBLE, 6) END AS id_dim
         FROM s""")),
 
-    // the PRODUCTION k-NN graph: LSH-band candidates (committed plane
-    // fixture), exact cosine on candidates only, per-src top-k — the
-    // linear-cost path; candidates, scores, and ranks all hash-checked
+    // the PRODUCTION k-NN graph: multi-probe LSH-band candidates
+    // (committed plane fixture; 1-flip probes lift edge recall), exact
+    // cosine on candidates only, per-src top-k — the linear-cost path;
+    // candidates, scores, and ranks all hash-checked
     Q("embedding_knn_graph_lsh",
       (s, dir) => Similarity.knnGraphLsh(
         Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 5, dim = 64),
+        k = 5, dim = 64, multiProbe = true),
       Some(s"""WITH ${SimilarityQueries.lshBandsCtes},
-        cand AS (${SimilarityQueries.lshCandSql}),
+        ${SimilarityQueries.lshProbesCte},
+        cand AS (${SimilarityQueries.lshCandMultiSql}),
         cboth AS (
           SELECT id_a AS src, id_b AS dst FROM cand
           UNION ALL SELECT id_b, id_a FROM cand),
@@ -1575,15 +1601,18 @@ object SimilarityQueries {
           FROM scored) r
         WHERE rank <= 5""")),
 
-    // edge recall of the LSH graph against the exact graph — the number
-    // an ANN deployment must report before switching off the exact
-    // path; both chains replayed, one row
+    // edge recall of the (multi-probe) LSH graph against the exact
+    // graph on the md5-sampled audit panel — the number an ANN
+    // deployment must report before switching off the exact path; both
+    // chains replayed, one row. The exact side is memo-shared with the
+    // embedding_knn_graph row
     Q("knn_graph_recall",
       (s, dir) => Similarity.knnGraphRecall(
         Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 5, dim = 64),
+        k = 5, dim = 64, srcPct = 20, multiProbe = true),
       Some(s"""WITH ${SimilarityQueries.lshBandsCtes},
-        cand AS (${SimilarityQueries.lshCandSql}),
+        ${SimilarityQueries.lshProbesCte},
+        cand AS (${SimilarityQueries.lshCandMultiSql}),
         cboth AS (
           SELECT id_a AS src, id_b AS dst FROM cand
           UNION ALL SELECT id_b, id_a FROM cand),
@@ -1612,6 +1641,7 @@ object SimilarityQueries {
           SELECT a.vec_id AS src, b.vec_id AS dst,
             sum(a.v * b.v) AS dot
           FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+          WHERE ${SimilarityQueries.srcSamplePred("a.vec_id", 20)}
           GROUP BY 1, 2),
         escored AS (
           SELECT d.src, d.dst, round(d.dot / (na.nrm * nb.nrm), 6) AS cos
@@ -2100,15 +2130,8 @@ object SimilarityQueries {
         Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, nBits = 16, bandBits = 4),
       Some(s"""WITH $lshBandsCtes,
-        probes AS (
-          SELECT vec_id, band, key FROM bands
-          UNION ALL
-          SELECT vec_id, band, xor(key, 1::BIGINT << j) AS key
-          FROM bands, (SELECT unnest(range(0, 4)) AS j) jj)
-        SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-        FROM probes x JOIN bands y
-          ON x.band = y.band AND x.key = y.key
-          AND x.vec_id < y.vec_id""")),
+        $lshProbesCte
+        $lshCandMultiSql""")),
 
     // feature-hashed text embedding (sparse rows, integer values) — the
     // engine-internal text→vector step, exactly reproducible in SQL

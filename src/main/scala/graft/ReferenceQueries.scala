@@ -1062,19 +1062,28 @@ object ReferenceQueries {
             SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
             WHERE l_extendedprice IS NOT NULL),
           qa AS (SELECT quantile_cont(v, $ps) AS qs FROM v),
+          mm AS (SELECT min(v) AS mn, max(v) AS mx FROM v),
           ed AS (
             SELECT generate_subscripts(qs, 1) AS i1,
               round(unnest(qs), 4) AS q
             FROM qa),
-          spans AS (
+          spans0 AS (
             SELECT i1 - 1 AS bin, q AS lo,
               lead(q) OVER (ORDER BY i1) AS hi
-            FROM ed)
+            FROM ed),
+          -- outermost boundaries are the UNROUNDED min/max (mirror of
+          -- the Scala fix: rounded p=0/p=1 edges can exclude rows)
+          spans AS (
+            SELECT bin,
+              CASE WHEN bin = 0 THEN (SELECT mn FROM mm) ELSE lo END
+                AS lo,
+              CASE WHEN bin = 7 THEN (SELECT mx FROM mm) ELSE hi END
+                AS hi
+            FROM spans0 WHERE hi IS NOT NULL)
           SELECT CAST(bin AS INTEGER) AS bin, lo, hi, count(*) AS n
           FROM v JOIN spans
             ON v.v >= spans.lo AND (v.v < spans.hi OR
               (spans.bin = 7 AND v.v <= spans.hi))
-          WHERE hi IS NOT NULL
           GROUP BY 1, 2, 3"""
       }),
 

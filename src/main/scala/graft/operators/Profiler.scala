@@ -219,7 +219,20 @@ object EquiDepth {
       .filter(col("bin") < bins)
     val hi = edges.select((col("i") - 1).as("bin"), col("q").as("hi"))
       .filter(col("bin") >= 0)
+    // Outermost boundaries are the UNROUNDED min/max: a rounded p=0
+    // edge that rounds up (or p=1 edge that rounds down) would match
+    // no bin for the rows outside it — silently dropped, breaking the
+    // "bins partition every row" invariant (round-8 ADVICE fix).
+    // Interior edges stay rounded (display-stable); only which bin a
+    // boundary-adjacent row lands in shifts, never whether it counts.
+    val mm = keyed.agg(min(col("v")).as("__mn"), max(col("v")).as("__mx"))
     val spans = lo.join(hi, Seq("bin"))
+      .crossJoin(broadcast(mm))
+      .select(col("bin"),
+        when(col("bin") === 0, col("__mn")).otherwise(col("lo"))
+          .as("lo"),
+        when(col("bin") === bins - 1, col("__mx")).otherwise(col("hi"))
+          .as("hi"))
     keyed.crossJoin(broadcast(spans))
       .filter(col("v") >= col("lo") &&
         (col("v") < col("hi") || (col("bin") === bins - 1 &&

@@ -82,6 +82,48 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Memo for [[knnGraphSampled]]: the exact-verifier registry rows
+    * (`embedding_knn_graph` and `knn_graph_recall`) consume the SAME
+    * sampled exact graph in the same session — computing the s·n cosine
+    * pass once and sharing the persisted (tiny: |sample|·k rows) result
+    * is the round-8 verdict's "share the half-pair table" item. Keyed
+    * by session identity + analyzed-plan semantic hash, so different
+    * inputs/sessions never collide; entries are small persisted
+    * DataFrames, bounded by the handful of distinct verifier inputs a
+    * session touches. */
+  private val sampledExactMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int, String, String, Int, Int), DataFrame]
+
+  /** Exact k-NN graph RESTRICTED to a deterministic md5 sample of
+    * source nodes (the `curation_sample` convention:
+    * `hashBucket(id, 100) < pct`) against the FULL index — the
+    * verifier-scoped form of [[knnGraph]]. An exact verifier does not
+    * need every source to certify an ANN build; a reproducible ~pct%
+    * audit panel costs (pct/100)·n² instead of n²/2 and keeps the same
+    * per-source exactness (each sampled source is ranked against ALL
+    * other vectors). Engine-portable sampling → the DuckDB oracle
+    * replays the identical panel. */
+  def knnGraphSampled(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, pct: Int): DataFrame = {
+    val memoKey = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash(), idCol, vecCol, k, pct)
+    sampledExactMemo.getOrElseUpdate(memoKey, {
+      val srcs = df
+        .filter(Curation.hashBucket(col(idCol), 100) < pct)
+        .select(col(idCol).as("src"), col(vecCol).as("ea"))
+      val all = df.select(col(idCol).as("dst"), col(vecCol).as("eb"))
+      val scored = srcs.join(all, col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          round(VectorExpressions.cosineSim(col("ea"), col("eb")), 6)
+            .as("cos"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst").asc)
+      scored.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
   /** LSH-ACCELERATED k-NN graph — the 100 TB production path for
     * [[knnGraph]]: hyperplane-band candidates ([[lshCandidates]])
     * mirrored to both directions, exact cosine re-scored on candidates
@@ -93,12 +135,27 @@ object Similarity {
     * form. */
   def knnGraphLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
       dim: Int, nBits: Int = 16, bandBits: Int = 4,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = None, multiProbe: Boolean = false)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.expressions.VectorExpressions
+    val nBands = nBits / bandBits
+    val sigs = lshSigs(df, idCol, vecCol, dim, nBits, seed = 42L)
+    val bands = bandsOf(sigs, nBands, bandBits)
+    // multiProbe (the production default for recall ≥ 0.7 at 16 bits):
+    // probe side also visits every 1-flip band key — ×(bandBits+1)
+    // probe fan-out, same index, strictly-superset candidates
+    val probe =
+      if (multiProbe) probesOf(sigs, nBands, bandBits) else bands
     val cand = maxBucket match {
       case None =>
-        lshCandidates(df, idCol, vecCol, dim, nBits, bandBits)
+        // symmetric collisions (own-key and 1-flip both): the x < y
+        // half-filter is complete and halves the join output
+        probe.as("x").join(bands.as("y"), Seq("band", "key"))
+          .filter(col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("id_a"),
+            col("y.vec_id").as("id_b"))
+          .distinct()
       case Some(c) =>
         // MEGA-BUCKET GUARD for duplicate-heavy corpora: a bucket of B
         // near-identical vectors yields B²/2 candidate pairs — on a
@@ -112,16 +169,21 @@ object Similarity {
         // needs), and lowest-id selection keeps the generator
         // deterministic. The same physics as ngramJaccardPairs'
         // maxDocFreq, adapted to keep rather than drop.
-        val bands = lshBands(df, idCol, vecCol, dim, nBits, bandBits)
         val wB = Window.partitionBy(col("band"), col("key"))
           .orderBy(col("vec_id").asc)
         val index = bands
           .withColumn("__r", row_number().over(wB))
           .filter(col("__r") <= c).drop("__r")
-        bands.as("x")
+        // Probe joins the capped index; canonicalize each pair with
+        // least/greatest — a `<` filter against the lowest-id
+        // representatives would silently drop every probe whose id is
+        // ABOVE its bucket's representatives (round-8 ADVICE fix).
+        probe.as("x")
           .join(index.as("y"), Seq("band", "key"))
-          .filter(col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+          .filter(col("x.vec_id") =!= col("y.vec_id"))
+          .select(
+            least(col("x.vec_id"), col("y.vec_id")).as("id_a"),
+            greatest(col("x.vec_id"), col("y.vec_id")).as("id_b"))
           .distinct()
     }
     val both = cand.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -190,11 +252,23 @@ object Similarity {
 
   /** Edge recall of [[knnGraphLsh]] against the exact [[knnGraph]]:
     * one row `(n_exact, n_hit, recall)` — the number every ANN
-    * deployment must report before the exact path is switched off. */
+    * deployment must report before the exact path is switched off.
+    * With `srcPct < 100` the exact side is the [[knnGraphSampled]]
+    * audit panel (shared via its memo with the `embedding_knn_graph`
+    * row) — recall over a reproducible source sample against the full
+    * LSH graph, the scale-sane verifier shape. */
   def knnGraphRecall(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, dim: Int): DataFrame = {
-    val exact = knnGraph(df, idCol, vecCol, k).select("src", "dst")
-    val approx = knnGraphLsh(df, idCol, vecCol, k, dim)
+      k: Int, dim: Int, srcPct: Int = 100, multiProbe: Boolean = false)
+      : DataFrame = {
+    val exactG =
+      if (srcPct >= 100) knnGraph(df, idCol, vecCol, k)
+      else knnGraphSampled(df, idCol, vecCol, k, srcPct)
+    val exact = exactG.select("src", "dst")
+    val approxG =
+      knnGraphLsh(df, idCol, vecCol, k, dim, multiProbe = multiProbe)
+    val approx = (if (srcPct >= 100) approxG
+      else approxG.filter(
+        Curation.hashBucket(col("src"), 100) < srcPct))
       .select(col("src").as("src2"), col("dst").as("dst2"))
     exact.join(approx,
         col("src") === col("src2") && col("dst") === col("dst2"),
@@ -949,15 +1023,15 @@ object Similarity {
     * Hyperplanes are pseudo-random but fixed by `seed` ([[hyperplanes]]),
     * generated on the driver and shipped as literals — identical on every
     * executor. */
-  /** The per-vector (band, key) table behind [[lshCandidates]] — shared
-    * by the plain generator and the bucket-capped graph build. */
-  private def lshBands(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, nBits: Int, bandBits: Int, seed: Long = 42L): DataFrame = {
-    // planes as float literals so the codegen'd DotProduct applies (the
-    // zip_with/aggregate HOF form is interpreted); the double-accumulated
-    // index-order dot is exactly reproducible in SQL (ordered sum over the
-    // staged plane fixture), which is what lets the candidate generator be
-    // oracle-checked rather than rows-only
+  /** One `nBits`-bit sign signature per vector, persisted (one long per
+    * row — materialized before any band join). Planes as float literals
+    * so the codegen'd DotProduct applies (the zip_with/aggregate HOF
+    * form is interpreted); the double-accumulated index-order dot is
+    * exactly reproducible in SQL (ordered sum over the staged plane
+    * fixture), which is what lets every candidate generator be
+    * oracle-checked rather than rows-only. */
+  private def lshSigs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int, seed: Long): DataFrame = {
     val planes: Seq[Seq[Float]] = hyperplanes(dim, nBits, seed)
     val bitCols = planes.map { p =>
       val dot = VectorExpressions.dot(col(vecCol), typedLit(p))
@@ -966,18 +1040,46 @@ object Similarity {
     val sig = bitCols.zipWithIndex
       .map { case (b, i) => b * (1L << i) }
       .reduce(_ + _)
-    val nBands = nBits / bandBits
-    // one long per vector — materialize before the band self-join
-    val sigs = df.select(col(idCol).as("vec_id"), sig.as("sig"))
+    df.select(col(idCol).as("vec_id"), sig.as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def bandKey(i: Int, bandBits: Int): Column =
+    shiftrightunsigned(col("sig"), i * bandBits)
+      .bitwiseAND(lit((1L << bandBits) - 1))
+
+  /** Per-vector (band, key) rows: each vector's own key per band. */
+  private def bandsOf(sigs: DataFrame, nBands: Int, bandBits: Int)
+      : DataFrame =
     sigs.select(col("vec_id"),
       explode(array((0 until nBands).map { i =>
-        struct(lit(i).as("band"),
-          shiftrightunsigned(col("sig"), i * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))
+        struct(lit(i).as("band"), bandKey(i, bandBits).as("key"))
       }: _*)).as("b"))
-      .select(col("vec_id"), col("b.band").as("band"), col("b.key").as("key"))
-  }
+      .select(col("vec_id"), col("b.band").as("band"),
+        col("b.key").as("key"))
+
+  /** Multi-probe rows: own key PLUS every key at Hamming distance 1
+    * within each band (Lv et al. 2007) — ×(bandBits+1) probe fan-out,
+    * strictly-superset collisions, same index. */
+  private def probesOf(sigs: DataFrame, nBands: Int, bandBits: Int)
+      : DataFrame =
+    sigs.select(col("vec_id"),
+      explode(array((0 until nBands).flatMap { i =>
+        struct(lit(i).as("band"), bandKey(i, bandBits).as("key")) +:
+          (0 until bandBits).map { j =>
+            struct(lit(i).as("band"),
+              bandKey(i, bandBits).bitwiseXOR(lit(1L << j)).as("key"))
+          }
+      }: _*)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"),
+        col("b.key").as("key"))
+
+  /** The per-vector (band, key) table behind [[lshCandidates]] — shared
+    * by the plain generator and the bucket-capped graph build. */
+  private def lshBands(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int, bandBits: Int, seed: Long = 42L): DataFrame =
+    bandsOf(lshSigs(df, idCol, vecCol, dim, nBits, seed),
+      nBits / bandBits, bandBits)
 
   def lshCandidates(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       nBits: Int = 16, bandBits: Int = 4, seed: Long = 42L): DataFrame = {
@@ -1006,36 +1108,12 @@ object Similarity {
   def lshCandidatesMultiProbe(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, nBits: Int = 16, bandBits: Int = 4, seed: Long = 42L)
       : DataFrame = {
-    val planes: Seq[Seq[Float]] = hyperplanes(dim, nBits, seed)
-    val bitCols = planes.map { p =>
-      val dot = VectorExpressions.dot(col(vecCol), typedLit(p))
-      when(dot >= 0, 1L).otherwise(0L)
-    }
-    val sig = bitCols.zipWithIndex
-      .map { case (b, i) => b * (1L << i) }
-      .reduce(_ + _)
     val nBands = nBits / bandBits
-    val sigs = df.select(col(idCol).as("vec_id"), sig.as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def keyOf(i: Int) = shiftrightunsigned(col("sig"), i * bandBits)
-      .bitwiseAND(lit((1L << bandBits) - 1))
-    val bands = sigs.select(col("vec_id"),
-      explode(array((0 until nBands).map { i =>
-        struct(lit(i).as("band"), keyOf(i).as("key"))
-      }: _*)).as("b"))
-      .select(col("vec_id"), col("b.band").as("band"),
-        col("b.key").as("key"))
-    // probe set = own key + all 1-flip neighbours per band
-    val probes = sigs.select(col("vec_id"),
-      explode(array((0 until nBands).flatMap { i =>
-        struct(lit(i).as("band"), keyOf(i).as("key")) +:
-          (0 until bandBits).map { j =>
-            struct(lit(i).as("band"),
-              keyOf(i).bitwiseXOR(lit(1L << j)).as("key"))
-          }
-      }: _*)).as("b"))
-      .select(col("vec_id"), col("b.band").as("band"),
-        col("b.key").as("key"))
+    val sigs = lshSigs(df, idCol, vecCol, dim, nBits, seed)
+    val bands = bandsOf(sigs, nBands, bandBits)
+    // probe set = own key + all 1-flip neighbours per band; 1-bit
+    // collisions are symmetric, so the x < y half-filter stays complete
+    val probes = probesOf(sigs, nBands, bandBits)
     probes.as("x").join(bands.as("y"), Seq("band", "key"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))

@@ -503,9 +503,14 @@ object TextAnalysis {
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
       sum((col("x") * col("y")).cast(prodDec)).as("sxy"),
       sum((col("x") * col("x")).cast(prodDec)).as("sxx"))
-    val slope = round(
+    // n·Σx² − (Σx)² = 0 when the lexicon holds < 2 distinct tokens
+    // (topN only bounds the LIMIT, not the corpus) — guard the 0/0
+    // like assortativity/cohenKappa rather than emit NaN
+    val denom =
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slope = when(denom === 0.0, lit(0.0)).otherwise(round(
       (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+        denom, 6))
     s.withColumn("slope", slope)
       .select(col("n"), col("slope"),
         round((col("sy").cast("double") - col("slope") *

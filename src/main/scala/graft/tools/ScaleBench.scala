@@ -262,7 +262,8 @@ object ScaleBench {
       // is the production shape this stage curves
       if (want("knn_lsh")) timed("knn_lsh") {
         graft.operators.Similarity.knnGraphLsh(bigEmb, "vec_id",
-          "embedding", k = 5, dim = 64, maxBucket = Some(64)).count()
+          "embedding", k = 5, dim = 64, maxBucket = Some(64),
+          multiProbe = true).count()
       }
       if (want("knn_lsh_uncapped")) timed("knn_lsh_uncapped") {
         graft.operators.Similarity.knnGraphLsh(bigEmb, "vec_id",

@@ -1140,6 +1140,23 @@ class ProfilerSpec extends AnyFunSuite with SparkTester {
     assert(h.forall(b => b._2 <= b._3))
   }
 
+  test("equi-depth histogram: rows at extremes that round AWAY from " +
+      "the data range still land in a bin (unrounded outer edges)") {
+    import graft.operators.EquiDepth
+    // min rounds UP at scale 4 (1.23456 → 1.2346), max rounds DOWN
+    // (9.87654 → 9.8765): the round-7 rounded-edge form dropped both
+    val df = (Seq(1.23456, 9.87654) ++
+      (0 until 98).map(i => 2.0 + 0.06 * i)).toDF("x")
+    val h = EquiDepth.histogram(df, "x", bins = 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(h.map(_._4).sum == 100L,
+      s"extreme rows dropped: ${h.toSeq}")
+    assert(h.head._2 == 1.23456 && h.last._3 == 9.87654,
+      s"outer edges must be the unrounded min/max: ${h.toSeq}")
+  }
+
   test("key skew report: zero gini on uniform keys, hand-computed " +
       "gini, hot key drives the skew factor") {
     import graft.operators.SkewReport
@@ -1784,6 +1801,50 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
       k = 5, dim = 64, maxBucket = Some(8)).collect()
     assert(capped2.map(_.toString).sorted
       .sameElements(capped.map(_.toString).sorted), "deterministic")
+  }
+
+  test("sampled exact knn graph equals the full graph on the md5 " +
+      "panel; multiprobe lifts recall to the production bar") {
+    import graft.operators.Curation
+    val full = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+      .filter(Curation.hashBucket(col("src"), 100) < 20)
+      .select("src", "dst", "cos", "rank")
+      .collect().map(_.toString).sorted
+    val sampled = Similarity.knnGraphSampled(emb, "vec_id", "embedding",
+        k = 5, pct = 20)
+      .select("src", "dst", "cos", "rank")
+      .collect().map(_.toString).sorted
+    assert(sampled.nonEmpty && sampled.sameElements(full),
+      s"panel mismatch: ${sampled.length} vs ${full.length}")
+    val plain = Similarity.knnGraphRecall(emb, "vec_id", "embedding",
+      k = 5, dim = 64, srcPct = 20).head.getDouble(2)
+    val multi = Similarity.knnGraphRecall(emb, "vec_id", "embedding",
+      k = 5, dim = 64, srcPct = 20, multiProbe = true).head.getDouble(2)
+    assert(multi >= plain,
+      s"multiprobe candidates are a superset: $multi < $plain")
+    assert(multi >= 0.7, s"production recall bar (verdict r8): $multi")
+  }
+
+  test("lsh knn graph mega-bucket guard: members ABOVE the cap's " +
+      "lowest-id representatives still keep edges to them") {
+    import spark.implicits._
+    // one giant bucket: 50 near-identical vectors (ids 1..50) all land
+    // on the same (band, key); cap the index side at 4 representatives
+    val base = Array.tabulate(8)(i => 1.0f + 0.1f * i)
+    val fam = (1L to 50L).map { id =>
+      (id, base.zipWithIndex.map { case (v, j) =>
+        v + 1e-4f * ((id + j) % 7) })
+    }.toDF("vec_id", "embedding")
+    val g = Similarity.knnGraphLsh(fam, "vec_id", "embedding",
+      k = 3, dim = 8, maxBucket = Some(4)).collect()
+    val srcs = g.map(_.getLong(0)).toSet
+    // the round-7 `<`-against-reps filter silently dropped every probe
+    // whose id exceeded its bucket's representatives — exactly these
+    assert(srcs == (1L to 50L).toSet,
+      s"members missing from capped graph: ${((1L to 50L).toSet -- srcs).toSeq.sorted}")
+    // high-id probes link to the low-id representatives
+    val dstOf50 = g.filter(_.getLong(0) == 50L).map(_.getLong(1)).toSet
+    assert(dstOf50.nonEmpty && dstOf50.forall(_ <= 4L), s"$dstOf50")
   }
 
   test("pca whiten: planted anisotropic cloud whitens to unit " +
@@ -2811,5 +2872,14 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTester {
     val r2 = TextAnalysis.zipfFit(df.repartition(7), "text", topN = 3)
       .head
     assert(r2 == r, "decimal moment sums must be partitioning-invariant")
+  }
+
+  test("zipf fit: a single-token lexicon yields slope 0, not NaN") {
+    val df = Seq((1L, "same same same"), (2L, "same"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(df, "text", topN = 3).head
+    assert(r.getLong(0) == 1L)
+    assert(r.getDouble(1) == 0.0, s"slope ${r.getDouble(1)}")
+    assert(!r.getDouble(2).isNaN, s"intercept ${r.getDouble(2)}")
   }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Oracle-hygiene pins for the central `Registry.materializeCtes` rewrite.
+  *
+  * Background (NOTES.md round 5 + round 7): DuckDB silently stops iterating
+  * a `WITH RECURSIVE` member when any sibling CTE in the same statement
+  * carries a materialization hint — rows/schema still match, every value
+  * computed at recursion depth 0. The central rewrite must therefore never
+  * touch a recursive statement; these specs make that invariant (and the
+  * rewrite's positive obligations) unskippable for future hand-written
+  * oracles.
+  */
+class OracleHygieneSpec extends AnyFunSuite {
+
+  private lazy val oracles: Map[String, String] =
+    Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  private lazy val recursive = oracles.filter(_._2.contains("WITH RECURSIVE"))
+
+  test("recursive oracles exist (spec is exercising real rows)") {
+    assert(recursive.size >= 5, recursive.keys.toSeq.sorted.mkString(", "))
+    assert(recursive.contains("text_bpe_apply"))
+  }
+
+  test("no MATERIALIZED hint anywhere inside any WITH RECURSIVE oracle") {
+    // match the hint token itself, not the word (text_bpe_apply's
+    // in-SQL comment explains the quirk and names the word)
+    val offenders = recursive.filter(_._2.contains("AS MATERIALIZED"))
+    assert(offenders.isEmpty,
+      s"materialization hint inside a recursive statement would silently " +
+        s"stop DuckDB's recursion (NOTES round 5): ${offenders.keys.toSeq.sorted}")
+  }
+
+  test("non-recursive multi-CTE oracles are materialized by the rewrite") {
+    // The rewrite's reason to exist: DuckDB re-inlines plain CTEs at every
+    // reference, so iterative chains blow up combinatorially without hints.
+    val plainWith = oracles.filter { case (_, sql) =>
+      sql.contains("WITH ") && !sql.contains("WITH RECURSIVE")
+    }
+    val rewritten = plainWith.filter(_._2.contains("AS MATERIALIZED ("))
+    assert(plainWith.nonEmpty && rewritten.size * 10 >= plainWith.size * 9,
+      s"rewrite coverage dropped: ${rewritten.size}/${plainWith.size} " +
+        s"non-recursive WITH oracles carry hints")
+  }
+
+  test("rewrite is idempotent (no double hints)") {
+    val doubled = oracles.filter(_._2.contains("MATERIALIZED MATERIALIZED"))
+    assert(doubled.isEmpty, doubled.keys.toSeq.sorted.mkString(", "))
+  }
+}

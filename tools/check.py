@@ -14,6 +14,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 con = duckdb.connect()
+# Record the oracle engine version: round-7 builder/driver artifacts
+# disagreed (220 vs 219 green) and the version was one uneliminated cause.
+print(f"duckdb {duckdb.__version__}")
 for t in TABLES:
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
