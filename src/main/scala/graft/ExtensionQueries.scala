@@ -5382,6 +5382,70 @@ object GraphQueries {
           UNION ALL SELECT y FROM tri) t
         GROUP BY node""")),
 
+    // local clustering coefficient over the same trade graph: per node,
+    // connected-neighbour-pair fraction 2T/(d(d-1)) — hubs bridging
+    // unrelated clusters read ~0, near-cliques (boilerplate families in
+    // a similarity graph) read ~1. Zero-triangle nodes INCLUDED (an
+    // audit dropping them overstates cohesion); exact counts, one
+    // 6-dp-rounded division
+    Q("graph_clustcoef",
+      (s, dir) => {
+        val os = Sources.table(s, dir, "orders")
+          .join(Sources.table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("l_suppkey").as("sv"))
+          .distinct()
+        val pairs = os.as("a").join(os.as("b"),
+            col("a.ok") === col("b.ok") && col("a.sv") < col("b.sv"))
+          .groupBy(col("a.sv").as("src"), col("b.sv").as("dst"))
+          .agg(count(lit(1)).as("__w"))
+          .filter(col("__w") >= 5)
+          .select(col("src"), col("dst"))
+        Graph.clusteringCoefficient(pairs, "src", "dst")
+      },
+      Some("""WITH os AS (
+          SELECT DISTINCT o_orderkey AS ok, l_suppkey AS s
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        und AS (
+          SELECT u, v FROM (
+            SELECT a.s AS u, b.s AS v, count(*) AS w
+            FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+            GROUP BY 1, 2) wp
+          WHERE w >= 5),
+        deg AS (
+          SELECT node, count(*) AS deg FROM (
+            SELECT u AS node FROM und
+            UNION ALL SELECT v FROM und) t
+          GROUP BY node),
+        ori AS (
+          SELECT
+            CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              THEN u ELSE v END AS src,
+            CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              THEN v ELSE u END AS dst
+          FROM und
+          JOIN deg du ON und.u = du.node
+          JOIN deg dv ON und.v = dv.node),
+        w AS (
+          SELECT e1.src AS ctr, e1.dst AS x, e2.dst AS y
+          FROM ori e1 JOIN ori e2
+            ON e1.src = e2.src AND e1.dst < e2.dst),
+        tri AS (
+          SELECT ctr, x, y
+          FROM w JOIN und ON w.x = und.u AND w.y = und.v),
+        tn AS (
+          SELECT node, count(*) AS triangles FROM (
+            SELECT ctr AS node FROM tri
+            UNION ALL SELECT x FROM tri
+            UNION ALL SELECT y FROM tri) t
+          GROUP BY node)
+        SELECT d.node, d.deg,
+          COALESCE(tn.triangles, 0) AS triangles,
+          CASE WHEN d.deg < 2 THEN 0.0
+            ELSE round(2.0 * COALESCE(tn.triangles, 0) /
+              (d.deg * (d.deg - 1))::DOUBLE, 6) END AS lcc
+        FROM deg d LEFT JOIN tn USING (node)""")),
+
     // k-core of the trade bipartite graph: 3 synchronous peel rounds at
     // k=30 — strips low-activity customers (and any suppliers those
     // removals sink below k) from the graph a centrality prior would

@@ -800,6 +800,22 @@ object ReferenceQueries {
             'lang': 'VARCHAR',
             'meta': 'STRUCT(source VARCHAR, tokens BIGINT)'})""")),
 
+    // SCHEMA-EVOLUTION parquet scan: two files whose schemas drifted
+    // (the 2024 crawl added lang + quality) read as one union-schema
+    // relation, old files null-filling the new columns — the footer
+    // merge a years-long 100 TB corpus needs, paid explicitly
+    Q("scan_parquet_evolved",
+      (s, _) => Sources.parquetEvolved(s,
+          "/root/repo/fixtures/evolved/part1.parquet",
+          "/root/repo/fixtures/evolved/part2.parquet")
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("quality")),
+      Some("""SELECT doc_id, source, lang, quality
+        FROM read_parquet(
+          ['/root/repo/fixtures/evolved/part1.parquet',
+           '/root/repo/fixtures/evolved/part2.parquet'],
+          union_by_name=true)""")),
+
     // ---- K2 geometry point (engine-side form, extractor.py:168-179):
     // struct(lat,long) materialized only where both coordinates exist,
     // flattened here so the null-guard semantics are oracle-checked ----

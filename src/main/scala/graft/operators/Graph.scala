@@ -396,8 +396,11 @@ object Graph {
     * close on the canonical pair) plus one count-by-node — all exact
     * integer counting, trivially oracle-replayable. Output:
     * (node, triangles) for every node in ≥ 1 triangle. */
-  def triangleCounts(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
+  /** Shared core of [[triangleCounts]] / [[clusteringCoefficient]]:
+    * (degree table, per-node triangle counts) over the canonical
+    * undirected edge set. */
+  private def degreesAndTriangles(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame) = {
     val und = canonicalUndirected(edges, srcCol, dstCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(col("u").as("node"))
@@ -422,10 +425,42 @@ object Graph {
     val tri = wedges.join(und,
       wedges("x") === und("u") && wedges("y") === und("v"))
       .select(col("ctr"), col("x"), col("y"))
-    tri.select(col("ctr").as("node"))
+    val triN = tri.select(col("ctr").as("node"))
       .union(tri.select(col("x").as("node")))
       .union(tri.select(col("y").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    (deg, triN)
+  }
+
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    degreesAndTriangles(edges, srcCol, dstCol)._2
+
+  /** LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998): per node,
+    * the fraction of its neighbour pairs that are themselves connected
+    * — lcc = 2·T(v) / (deg(v)·(deg(v)−1)), 0 for degree < 2. The
+    * community-density audit a graph-based dedup/crawl-prioritization
+    * pass reads next to raw triangle counts: a high-degree node with
+    * lcc ≈ 0 is a hub bridging unrelated clusters; lcc ≈ 1 marks a
+    * near-clique (boilerplate families in a similarity graph). Output
+    * one row per node `(node, deg, triangles, lcc)` — nodes outside
+    * any triangle INCLUDED with lcc 0, unlike [[triangleCounts]]'s
+    * sparse output (an audit that silently drops the zero rows
+    * overstates corpus cohesion).
+    *
+    * Scale shape: [[degreesAndTriangles]]'s two bounded equi-joins plus
+    * one node-keyed left join; counts exact integers, the one division
+    * 6-dp-rounded — partitioning-free and oracle-replayable. */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val (deg, triN) = degreesAndTriangles(edges, srcCol, dstCol)
+    deg.join(triN, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") < 2, lit(0.0)).otherwise(
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("deg") * (col("deg") - lit(1))).cast("double"), 6))
+          .as("lcc"))
   }
 
   /** k-CORE PEELING, fixed-round synchronous form: each round computes

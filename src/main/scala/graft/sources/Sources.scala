@@ -65,6 +65,19 @@ object Sources {
       .option("mode", "PERMISSIVE")
       .json(path)
 
+  /** SCHEMA-EVOLUTION parquet reader: `mergeSchema=true` reconciles the
+    * footers of every file into one union schema — columns added by
+    * newer crawls read as null for older files. A 100 TB corpus is
+    * written over years; its schema WILL drift (new metadata columns,
+    * enrichments back-filled only going forward), and the default
+    * single-footer read silently DROPS the new columns whenever an old
+    * file's footer is sampled first. Merge cost is per-FOOTER (metadata,
+    * not data) — pay it explicitly here, never by default. Type-changing
+    * drift (int→long) is rejected by the merge, which is correct: that
+    * needs a versioned migration, not a silent widening. */
+  def parquetEvolved(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** Harness adapter: one parquet table out of a scale-factor directory
     * (TESTDATA.md layout). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -1495,6 +1495,28 @@ class GraphSpec extends AnyFunSuite with SparkTester {
     assert(r2 == r)
   }
 
+  test("clusteringCoefficient: hand-computed lcc on triangle+pendant, " +
+      "zero-triangle nodes included, partitioning-invariant") {
+    // triangle {1,2,3} + pendant edge 1-4:
+    // deg 1:3 2:2 3:2 4:1; T 1:1 2:1 3:1 4:0
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+      .toDF("src", "dst")
+    val r = Graph.clusteringCoefficient(es, "src", "dst")
+      .collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toMap
+    assert(r.size == 4, "zero-triangle node 4 must appear")
+    assert(r(1L) == ((3L, 1L, 0.333333)))
+    assert(r(2L) == ((2L, 1L, 1.0)))
+    assert(r(3L) == ((2L, 1L, 1.0)))
+    assert(r(4L) == ((1L, 0L, 0.0)), "degree-1 node reads lcc 0")
+    val r2 = Graph.clusteringCoefficient(es.repartition(7), "src", "dst")
+      .collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toMap
+    assert(r2 == r)
+  }
+
   test("kCorePeel: pendant chain peels off, the K4 core survives with " +
       "its in-core degrees, and enough rounds reach the fixpoint") {
     // K4 on 1..4 plus a chain 4-5-6 hanging off it

@@ -103,4 +103,21 @@ class SourcesSpec extends AnyFunSuite with SparkTester {
       org.apache.spark.sql.types.TimestampNTZType)
     assert(df.count() == 1000)
   }
+
+  test("evolved parquet scan merges drifted schemas, null-filling the " +
+      "columns older files predate") {
+    val df = Sources.parquetEvolved(spark,
+      "/root/repo/fixtures/evolved/part1.parquet",
+      "/root/repo/fixtures/evolved/part2.parquet")
+    assert(df.columns.toSet == Set("doc_id", "source", "lang", "quality"))
+    assert(df.count() == 14)
+    // every pre-evolution row reads null for the added columns
+    assert(df.filter(col("doc_id") <= 8 && col("lang").isNull &&
+      col("quality").isNull).count() == 8)
+    assert(df.filter(col("doc_id") > 8 && col("lang").isNotNull).count()
+      == 6)
+    // single-footer default would have dropped the added columns had
+    // part1's footer been the sampled one — pin that merge keeps them
+    assert(df.filter(col("lang") === "en").count() == 3)
+  }
 }
