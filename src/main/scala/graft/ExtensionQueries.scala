@@ -2065,6 +2065,141 @@ object SimilarityQueries {
             AS rank
           FROM rer) r WHERE rank <= 10""")),
 
+    // IVF-PQ RESIDUAL quantization audit (the FAISS IVFPQ encoding):
+    // plain-PQ MSE vs PQ-on-coarse-residuals MSE at the same byte
+    // budget — the measured gain that justifies storing (coarse_id,
+    // codes) at 100 TB. Both quantizer trainings, the coarse assign,
+    // the float residual projection, and the error folds are all
+    // replayed: the one-row verdict is hash-checked end-to-end
+    Q("embedding_pq_residual",
+      (s, dir) => Similarity.pqResidualError(
+        Sources.table(s, dir, "embeddings"), "embedding", dim = 64,
+        m = 4, centroidStep = 50, coarseIters = 1, pqIters = 1),
+      Some("""WITH e AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        -- ---- plain PQ (m=4, sw=16, 1 Lloyd round) ----
+        pes AS (
+          SELECT vec_id, CAST(floor((i - 1) / 16) AS INTEGER) AS sub,
+            i, v
+          FROM e),
+        pc0 AS (
+          SELECT sub, vec_id AS cent_id, i, v FROM pes
+          WHERE vec_id % 50 = 0),
+        pd0 AS (
+          SELECT a.vec_id, c.sub, c.cent_id,
+            round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9) AS d2
+          FROM pes a JOIN pc0 c ON a.sub = c.sub AND a.i = c.i
+          GROUP BY a.vec_id, c.sub, c.cent_id),
+        pa0 AS (
+          SELECT vec_id, sub, cent_id AS cell FROM (
+            SELECT vec_id, sub, cent_id, row_number() OVER (
+              PARTITION BY vec_id, sub ORDER BY d2, cent_id) AS rn
+            FROM pd0) t WHERE rn = 1),
+        pc1 AS (
+          SELECT a.sub, a.cell AS cent_id, pes.i,
+            CAST(CAST(CAST(sum(CAST(pes.v AS DECIMAL(28,10))) AS DOUBLE)
+              / count(*) AS FLOAT) AS DOUBLE) AS v
+          FROM pa0 a JOIN pes ON pes.vec_id = a.vec_id
+            AND pes.sub = a.sub
+          GROUP BY a.sub, a.cell, pes.i),
+        pdF AS (
+          SELECT a.vec_id, c.sub, c.cent_id,
+            round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9) AS d2
+          FROM pes a JOIN pc1 c ON a.sub = c.sub AND a.i = c.i
+          GROUP BY a.vec_id, c.sub, c.cent_id),
+        perr AS (
+          SELECT vec_id, sum(CAST(d2 AS DECIMAL(18,9))) AS err FROM (
+            SELECT vec_id, sub, d2, row_number() OVER (
+              PARTITION BY vec_id, sub ORDER BY d2, cent_id) AS rn
+            FROM pdF) t WHERE rn = 1
+          GROUP BY vec_id),
+        pq1 AS (
+          SELECT count(*) AS n,
+            round(CAST(sum(err) AS DOUBLE) / count(*), 6) AS mse_pq
+          FROM perr),
+        -- ---- coarse k-means on FULL vectors (1 Lloyd round) ----
+        kc0 AS (
+          SELECT vec_id AS cent_id, i, v FROM e WHERE vec_id % 50 = 0),
+        kd0 AS (
+          SELECT a.vec_id, c.cent_id,
+            round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9) AS d2
+          FROM e a JOIN kc0 c ON a.i = c.i
+          GROUP BY a.vec_id, c.cent_id),
+        ka0 AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+            FROM kd0) t WHERE rn = 1),
+        kc1 AS (
+          SELECT a.cell AS cent_id, e.i,
+            CAST(CAST(CAST(sum(CAST(e.v AS DECIMAL(28,10))) AS DOUBLE)
+              / count(*) AS FLOAT) AS DOUBLE) AS v
+          FROM ka0 a JOIN e ON e.vec_id = a.vec_id
+          GROUP BY a.cell, e.i),
+        kdF AS (
+          SELECT a.vec_id, c.cent_id,
+            round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9) AS d2
+          FROM e a JOIN kc1 c ON a.i = c.i
+          GROUP BY a.vec_id, c.cent_id),
+        kassign AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+            FROM kdF) t WHERE rn = 1),
+        -- ---- FLOAT residual from the assigned coarse centroid ----
+        resid AS (
+          SELECT a.vec_id, a.i,
+            CAST(CAST(a.v - c.v AS FLOAT) AS DOUBLE) AS v
+          FROM e a
+          JOIN kassign s ON a.vec_id = s.vec_id
+          JOIN kc1 c ON c.cent_id = s.cell AND c.i = a.i),
+        -- ---- PQ on residuals (same budget, same trainer) ----
+        res_es AS (
+          SELECT vec_id, CAST(floor((i - 1) / 16) AS INTEGER) AS sub,
+            i, v
+          FROM resid),
+        rc0 AS (
+          SELECT sub, vec_id AS cent_id, i, v FROM res_es
+          WHERE vec_id % 50 = 0),
+        rd0 AS (
+          SELECT a.vec_id, c.sub, c.cent_id,
+            round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9) AS d2
+          FROM res_es a JOIN rc0 c ON a.sub = c.sub AND a.i = c.i
+          GROUP BY a.vec_id, c.sub, c.cent_id),
+        ra0 AS (
+          SELECT vec_id, sub, cent_id AS cell FROM (
+            SELECT vec_id, sub, cent_id, row_number() OVER (
+              PARTITION BY vec_id, sub ORDER BY d2, cent_id) AS rn
+            FROM rd0) t WHERE rn = 1),
+        rc1 AS (
+          SELECT a.sub, a.cell AS cent_id, res_es.i,
+            CAST(CAST(CAST(sum(CAST(res_es.v AS DECIMAL(28,10)))
+              AS DOUBLE) / count(*) AS FLOAT) AS DOUBLE) AS v
+          FROM ra0 a JOIN res_es ON res_es.vec_id = a.vec_id
+            AND res_es.sub = a.sub
+          GROUP BY a.sub, a.cell, res_es.i),
+        rdF AS (
+          SELECT a.vec_id, c.sub, c.cent_id,
+            round(sum((a.v - c.v) * (a.v - c.v) ORDER BY a.i), 9) AS d2
+          FROM res_es a JOIN rc1 c ON a.sub = c.sub AND a.i = c.i
+          GROUP BY a.vec_id, c.sub, c.cent_id),
+        rerr AS (
+          SELECT vec_id, sum(CAST(d2 AS DECIMAL(18,9))) AS err FROM (
+            SELECT vec_id, sub, d2, row_number() OVER (
+              PARTITION BY vec_id, sub ORDER BY d2, cent_id) AS rn
+            FROM rdF) t WHERE rn = 1
+          GROUP BY vec_id),
+        pq2 AS (
+          SELECT round(CAST(sum(err) AS DOUBLE) / count(*), 6)
+            AS mse_ivfpq
+          FROM rerr)
+        SELECT n, mse_pq, mse_ivfpq,
+          CASE WHEN mse_ivfpq = 0.0 THEN 0.0
+            ELSE round(mse_pq / mse_ivfpq, 6) END AS gain
+        FROM pq1 CROSS JOIN pq2""")),
+
     // per-label mean embedding (class prototypes) in flat row form —
     // exact decimal coordinate sums, one double divide, 6 dp round
     Q("embedding_label_centroids",

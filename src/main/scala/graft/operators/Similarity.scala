@@ -826,7 +826,11 @@ object Similarity {
           col("ce")), 9).as("d2"))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("d2"), col("cent_id"))).as("best"))
-      .select(col("vec_id"), col("sub"), col("best.cent_id").as("code"))
+      // best.d2 IS the per-subspace reconstruction error (assignment
+      // minimizes distance to the code centroid) — exposed for the
+      // quantization-error audits, ignored by search
+      .select(col("vec_id"), col("sub"), col("best.cent_id").as("code"),
+        col("best.d2").as("d2"))
 
   /** Product-quantization codebook (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search", TPAMI 2011): split `dim` into `m`
@@ -914,6 +918,65 @@ object Similarity {
     rer.withColumn("rank", row_number().over(wEx))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("d2"), col("rank"))
+  }
+
+  /** Corpus-wide PQ reconstruction error: train a codebook, assign
+    * codes, and fold each vector's per-subspace assignment distances
+    * (which ARE its reconstruction error — assignment minimizes
+    * distance to the chosen code centroid). Per-vector error is an
+    * exact decimal sum of m 9-dp-rounded terms; MSE one double divide,
+    * 6 dp. Output one row (n, mse). */
+  private def pqReconError(corpus: DataFrame, vecCol: String, dim: Int,
+      m: Int, centroidStep: Int, iters: Int): DataFrame = {
+    val sw = dim / m
+    val cb = pqCodebook(corpus, vecCol, dim, m, centroidStep, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pqAssign(corpus, vecCol, cb, sw)
+      .select(col("vec_id"), col("d2").cast("decimal(18,9)").as("d2"))
+      .groupBy(col("vec_id")).agg(sum(col("d2")).as("err"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("err")).cast("double") / count(lit(1)), 6)
+          .as("mse"))
+  }
+
+  /** IVF-PQ RESIDUAL quantization audit (Jégou et al. 2011 §IV — the
+    * FAISS `IVFPQ` encoding): quantize each vector's RESIDUAL from its
+    * coarse k-means centroid instead of the raw vector. Residuals
+    * concentrate near the origin with most inter-cluster variance
+    * already explained by the coarse id, so the same PQ byte budget
+    * spends its codewords on a far smaller cell — reconstruction error
+    * drops, and that drop is THE number that justifies storing
+    * (coarse_id, m code bytes) rather than m code bytes at 100 TB.
+    * Output one row `(n, mse_pq, mse_ivfpq, gain)`: plain-PQ MSE,
+    * residual-PQ MSE (both m-subspace, same budget), and their ratio.
+    *
+    * Scale shape: two [[pqCodebook]] trainings (broadcast codebooks,
+    * map-side-combined assignment aggregates) + one coarse
+    * [[assignCells]] pass + a zip_with residual projection — no new
+    * join topology beyond the quantizers it composes. Residuals are
+    * FLOAT subtraction (single-rounded), replayed in SQL as
+    * CAST(a − b AS FLOAT). */
+  def pqResidualError(corpus: DataFrame, vecCol: String, dim: Int,
+      m: Int = 4, centroidStep: Int = 50, coarseIters: Int = 1,
+      pqIters: Int = 1): DataFrame = {
+    val plain = pqReconError(corpus, vecCol, dim, m, centroidStep,
+      pqIters).select(col("n"), col("mse").as("mse_pq"))
+    val cents = kmeansCentroids(corpus, vecCol, centroidStep,
+        coarseIters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val res = assignCells(corpus.select(col("vec_id"), col(vecCol)),
+        cents.select(col("cent_id").as("vec_id"), col("ce").as(vecCol)),
+        vecCol)
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("vec_id"),
+        zip_with(col("e"), col("ce"), (a, b) => a - b).as("res"))
+    val resErr = pqReconError(res, "res", dim, m, centroidStep, pqIters)
+      .select(col("mse").as("mse_ivfpq"))
+    plain.crossJoin(broadcast(resErr))
+      .select(col("n"), col("mse_pq"), col("mse_ivfpq"),
+        when(col("mse_ivfpq") === 0.0, lit(0.0))
+          .otherwise(round(col("mse_pq") / col("mse_ivfpq"), 6))
+          .as("gain"))
   }
 
   /** Per-label mean embedding — class prototypes in flat (label, i, m)

@@ -1825,6 +1825,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
       .sameElements(capped.map(_.toString).sorted), "deterministic")
   }
 
+  test("pq residual error audit: one verdict row, positive errors, " +
+      "gain is the recorded ratio, partitioning-invariant") {
+    val r = Similarity.pqResidualError(emb, "embedding", dim = 64,
+      m = 4, centroidStep = 50, coarseIters = 1, pqIters = 1).head
+    assert(r.getLong(0) == 500L)
+    val (msePq, mseIvf, gain) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(msePq > 0 && mseIvf > 0)
+    assert(gain == math.rint(msePq / mseIvf * 1e6) / 1e6 ||
+      math.abs(gain - msePq / mseIvf) < 1e-6, s"$r")
+    val r2 = Similarity.pqResidualError(emb.repartition(7), "embedding",
+      dim = 64, m = 4, centroidStep = 50, coarseIters = 1,
+      pqIters = 1).head
+    assert(r2 == r, "quantizer trainings must be partitioning-invariant")
+  }
+
   test("sampled exact knn graph equals the full graph on the md5 " +
       "panel; multiprobe lifts recall to the production bar") {
     import graft.operators.Curation
