@@ -1,0 +1,546 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, Linkage, RobustStats, Similarity, Temporal, TextAnalysis}
+import graft.sources.Sources
+
+/** Round-8 analytics extensions: time-series monitoring (EWMA trend,
+  * CUSUM change-points), retrieval fusion + ranking evaluation (RRF,
+  * nDCG), record linkage (blocking join + compiled Jaro–Winkler), and
+  * robust per-group statistics (winsorized mean, MAD outlier screen)
+  * on the bounded-memory quantile path.
+  *
+  * Oracle conventions are the repo-wide ones (see [[Registry]]):
+  * decimal-exact sums of once-rounded contributions, single identical
+  * double divisions, id tie-breaks on every ranking.
+  */
+object AnalyticsQueries {
+
+  /** Query bag shared by the RRF / nDCG rows and their oracles. */
+  private val fusionQueryTerms = Seq("spark", "query", "join")
+
+  /** Shared BM25 oracle prefix (tokens → dl → corpus stats → pruned
+    * tf → df → per-(doc,term) 6-dp decimal contributions) — the same
+    * text as the `search_bm25` oracle, factored so the fusion/eval
+    * rows cannot drift from it. */
+  private def bm25Ctes(inList: String): String =
+    s"""t AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split(lower(text), ' '),
+            x -> x <> '')) AS term
+        FROM documents),
+      dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+      c AS (SELECT count(*) AS n_docs,
+        sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+      qtf AS (
+        SELECT doc_id, term, count(*) AS tf FROM t
+        WHERE term IN ($inList) GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS dfreq FROM qtf GROUP BY term),
+      sc AS (
+        SELECT qtf.doc_id,
+          CAST(round(ln((c.n_docs - dfreq.dfreq + 0.5) /
+              (dfreq.dfreq + 0.5) + 1.0) *
+            (qtf.tf * (1.2 + 1.0)) /
+            (qtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl)),
+            6) AS DECIMAL(18,6)) AS s
+        FROM qtf
+        JOIN dfreq USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN c),
+      bm AS (
+        SELECT doc_id, CAST(sum(s) AS DOUBLE) AS score
+        FROM sc GROUP BY doc_id)"""
+
+  def all: Seq[Q] = Seq(
+
+    // ---- time-decayed EWMA of the per-type daily event rate: weight
+    // 2^(-gap_days) over the last 8 observed days — dyadic-exact
+    // weights, order-free decimal numerator/denominator, one final
+    // double division. The drift-monitor trend line ----
+    Q("events_ewma",
+      (s, dir) => Temporal.ewmaDailyRate(
+        Sources.events(s, dir), "event_type", "ts", windowDays = 8),
+      Some("""WITH daily AS (
+          SELECT event_type, date_trunc('day', ts)::DATE AS day,
+            count(*) AS x
+          FROM events GROUP BY 1, 2)
+        SELECT a.event_type, a.day, a.x,
+          round(
+            CAST(sum(CAST(b.x * power(0.5,
+              date_diff('day', b.day, a.day)) AS DECIMAL(28,10)))
+              AS DOUBLE) /
+            CAST(sum(CAST(power(0.5, date_diff('day', b.day, a.day))
+              AS DECIMAL(28,10))) AS DOUBLE), 6) AS ewma
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type
+         AND date_diff('day', b.day, a.day) BETWEEN 0 AND 7
+        GROUP BY 1, 2, 3""")),
+
+    // ---- CUSUM change-point detection in CLOSED FORM: s_i = P_i −
+    // min(0, running-min of P) — one running-sum + one running-min
+    // window instead of the textbook per-row recursion; exact decimal
+    // throughout, flag at threshold 5.0 ----
+    Q("events_cusum",
+      (s, dir) => Temporal.cusumChangepoints(
+        Sources.events(s, dir), "event_type", "ts",
+        slack = 1.0, threshold = 5.0),
+      Some("""WITH daily AS (
+          SELECT event_type, date_trunc('day', ts)::DATE AS day,
+            count(*) AS x
+          FROM events GROUP BY 1, 2),
+        mu AS (
+          SELECT event_type,
+            CAST(round(sum(x)::DOUBLE / count(*), 6) AS DECIMAL(18,6))
+              AS mu
+          FROM daily GROUP BY 1),
+        d AS (
+          SELECT daily.event_type, day, x,
+            CAST(x AS DECIMAL(18,6)) - mu - CAST(1.0 AS DECIMAL(18,6))
+              AS dd
+          FROM daily JOIN mu USING (event_type)),
+        p AS (
+          SELECT event_type, day, x,
+            sum(dd) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+          FROM d),
+        s AS (
+          SELECT event_type, day, x,
+            round(CAST(pp - least(CAST(0 AS DECIMAL(28,6)),
+              min(pp) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              AS DOUBLE), 6) AS cusum
+          FROM p)
+        SELECT event_type, day, x, cusum, cusum > 5.0 AS changepoint
+        FROM s""")),
+
+    // ---- reciprocal-rank fusion of the BM25 and dense hashed-
+    // embedding rankings (Cormack+ SIGIR'09) — score-calibration-free
+    // list fusion, both lists and the fusion replayed in the oracle ----
+    Q("search_rrf",
+      (s, dir) => TextAnalysis.rrfFusion(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        fusionQueryTerms, listK = 50, topN = 20),
+      Some {
+        val inList = fusionQueryTerms.map(t => s"'$t'").mkString(", ")
+        val qVals = fusionQueryTerms.map(t => s"('$t')").mkString(", ")
+        s"""WITH ${bm25Ctes(inList)},
+          lex AS (
+            SELECT doc_id, row_number() OVER (
+              ORDER BY score DESC, doc_id ASC) AS rank_bm25
+            FROM (SELECT * FROM bm
+                  ORDER BY score DESC, doc_id ASC LIMIT 50)),
+          demb AS (
+            SELECT doc_id,
+              ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS dim,
+              sum((('0x' || substr(md5(term), 9, 1))::BIGINT % 2) * 2
+                - 1) AS value
+            FROM t GROUP BY 1, 2
+            HAVING sum((('0x' || substr(md5(term), 9, 1))::BIGINT % 2)
+              * 2 - 1) <> 0),
+          qt AS (SELECT term FROM (VALUES $qVals) v(term)),
+          qe AS (
+            SELECT ('0x' || substr(md5(term), 1, 8))::BIGINT % 64
+                AS dim,
+              sum((('0x' || substr(md5(term), 9, 1))::BIGINT % 2) * 2
+                - 1) AS qv
+            FROM qt GROUP BY 1
+            HAVING sum((('0x' || substr(md5(term), 9, 1))::BIGINT % 2)
+              * 2 - 1) <> 0),
+          qn AS (SELECT sum(qv * qv) AS qn FROM qe),
+          dn AS (SELECT doc_id, sum(value * value) AS dn FROM demb
+            GROUP BY doc_id),
+          dots AS (
+            SELECT doc_id, sum(value * qv) AS dot
+            FROM demb JOIN qe USING (dim) GROUP BY doc_id),
+          cosd AS (
+            SELECT doc_id,
+              round(dot::DOUBLE / (sqrt(dn::DOUBLE) * sqrt(qn::DOUBLE)),
+                6) AS cos
+            FROM dots JOIN dn USING (doc_id) CROSS JOIN qn),
+          denl AS (
+            SELECT doc_id, row_number() OVER (
+              ORDER BY cos DESC, doc_id ASC) AS rank_dense
+            FROM (SELECT * FROM cosd
+                  ORDER BY cos DESC, doc_id ASC LIMIT 50)),
+          fused AS (
+            SELECT coalesce(lex.doc_id, denl.doc_id) AS doc_id,
+              rank_bm25, rank_dense,
+              round(coalesce(1.0 / (60 + rank_bm25), 0.0) +
+                coalesce(1.0 / (60 + rank_dense), 0.0), 6) AS rrf
+            FROM lex FULL OUTER JOIN denl ON lex.doc_id = denl.doc_id),
+          rk AS (
+            SELECT doc_id, rank_bm25, rank_dense, rrf,
+              row_number() OVER (ORDER BY rrf DESC,
+                rank_bm25 ASC NULLS LAST, doc_id ASC) AS rank
+            FROM fused)
+          SELECT doc_id, rank_bm25, rank_dense, rrf, rank
+          FROM rk WHERE rank <= 20"""
+      }),
+
+    // ---- retrieval eval harness: nDCG@10 / MRR / P@10 of the BM25
+    // ranking against the derived relevance label (distinct query
+    // terms present) — ln-discount DCG, 6-dp decimal term sums, ideal
+    // ranking over the WHOLE corpus ----
+    Q("search_eval_ndcg",
+      (s, dir) => TextAnalysis.ndcgEval(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        fusionQueryTerms, k = 10),
+      Some {
+        val inList = fusionQueryTerms.map(t => s"'$t'").mkString(", ")
+        s"""WITH ${bm25Ctes(inList)},
+          rk AS (
+            SELECT doc_id, row_number() OVER (
+              ORDER BY score DESC, doc_id ASC) AS rank
+            FROM (SELECT * FROM bm
+                  ORDER BY score DESC, doc_id ASC LIMIT 10)),
+          rel AS (
+            SELECT doc_id, count(DISTINCT term) AS rel
+            FROM t WHERE term IN ($inList) GROUP BY 1),
+          rr AS (
+            SELECT rk.doc_id, rank, coalesce(rel.rel, 0) AS rel
+            FROM rk LEFT JOIN rel USING (doc_id)),
+          d AS (
+            SELECT
+              CAST(sum(CAST(round((power(2.0, rel) - 1) /
+                ln(rank + 1.0), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                AS dcg,
+              round(max(CASE WHEN rel > 0 THEN 1.0 / rank
+                ELSE 0.0 END), 6) AS mrr,
+              sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS hits
+            FROM rr),
+          ideal AS (
+            SELECT CAST(sum(CAST(round((power(2.0, rel) - 1) /
+              ln(rank + 1.0), 6) AS DECIMAL(18,6))) AS DOUBLE) AS idcg
+            FROM (
+              SELECT rel, row_number() OVER (
+                ORDER BY rel DESC, doc_id ASC) AS rank
+              FROM (SELECT * FROM rel
+                    ORDER BY rel DESC, doc_id ASC LIMIT 10)))
+          SELECT 10 AS k, dcg, idcg,
+            CASE WHEN idcg > 0 THEN round(dcg / idcg, 6)
+              ELSE 0.0 END AS ndcg,
+            mrr, round(hits::DOUBLE / 10, 6) AS p_at_k
+          FROM d CROSS JOIN ideal"""
+      }),
+
+    // ---- record linkage: blocking join on the first name token, the
+    // compiled Jaro–Winkler on within-block candidates (index side
+    // capped at 64 lowest-id reps per block — B·64 pairs, not B²/2),
+    // per-block audit report. DuckDB's jaro_winkler_similarity is the
+    // oracle's scorer; JaroWinklerSpec pins the two bit-identical ----
+    Q("link_blocking_jw",
+      (s, dir) => Linkage.blockReport(
+        Sources.table(s, dir, "part"), "p_partkey", "p_name",
+        split(col("p_name"), " ").getItem(0),
+        minSim = 0.9, maxBlock = 64),
+      Some("""WITH p AS (
+          SELECT p_partkey AS id, p_name AS nm,
+            string_split(p_name, ' ')[1] AS block
+          FROM part),
+        reps AS (
+          SELECT block, id, nm FROM (
+            SELECT block, id, nm, row_number() OVER (
+              PARTITION BY block ORDER BY id) AS r
+            FROM p) q
+          WHERE r <= 64),
+        pairs AS (
+          SELECT DISTINCT a.block AS block,
+            least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+            CASE WHEN a.id < b.id THEN a.nm ELSE b.nm END AS name_a,
+            CASE WHEN a.id < b.id THEN b.nm ELSE a.nm END AS name_b
+          FROM reps a JOIN p b USING (block) WHERE a.id <> b.id),
+        sc AS (
+          SELECT block,
+            round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+          FROM pairs)
+        SELECT block, count(*) AS n_pairs,
+          sum(CASE WHEN jw >= 0.9 THEN 1 ELSE 0 END)::BIGINT
+            AS n_match,
+          round(CAST(sum(CAST(jw AS DECIMAL(18,6))) AS DOUBLE) /
+            count(*), 6) AS mean_jw
+        FROM sc GROUP BY block""")),
+
+    // ---- the same linkage candidates as raw top-matches: global
+    // top-50 pairs by (rounded) similarity, id tie-breaks ----
+    Q("link_pairs_topk",
+      (s, dir) => Linkage.blockedPairs(
+          Sources.table(s, dir, "part"), "p_partkey", "p_name",
+          split(col("p_name"), " ").getItem(0),
+          minSim = 0.9, maxBlock = 64)
+        .orderBy(col("jw").desc, col("id_a").asc, col("id_b").asc)
+        .limit(50)
+        .select(col("id_a"), col("id_b"), col("jw")),
+      Some("""WITH p AS (
+          SELECT p_partkey AS id, p_name AS nm,
+            string_split(p_name, ' ')[1] AS block
+          FROM part),
+        reps AS (
+          SELECT block, id, nm FROM (
+            SELECT block, id, nm, row_number() OVER (
+              PARTITION BY block ORDER BY id) AS r
+            FROM p) q
+          WHERE r <= 64),
+        pairs AS (
+          SELECT DISTINCT least(a.id, b.id) AS id_a,
+            greatest(a.id, b.id) AS id_b,
+            CASE WHEN a.id < b.id THEN a.nm ELSE b.nm END AS name_a,
+            CASE WHEN a.id < b.id THEN b.nm ELSE a.nm END AS name_b
+          FROM reps a JOIN p b USING (block) WHERE a.id <> b.id),
+        sc AS (
+          SELECT id_a, id_b,
+            round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+          FROM pairs)
+        SELECT id_a, id_b, jw FROM sc WHERE jw >= 0.9
+        ORDER BY jw DESC, id_a ASC, id_b ASC LIMIT 50""")),
+
+    // ---- winsorized mean per group on the BOUNDED-MEMORY quantile
+    // path: clip to [p05, p95] (exact 4-dp order statistics), exact
+    // decimal means of 6-dp contributions ----
+    Q("numeric_winsorize",
+      (s, dir) => RobustStats.winsorizedMean(
+        Sources.table(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", pLo = 0.05, pHi = 0.95),
+      Some("""WITH b AS (
+          SELECT l_returnflag,
+            round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05),
+              4) AS q_lo,
+            round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95),
+              4) AS q_hi
+          FROM lineitem GROUP BY 1),
+        v AS (
+          SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v
+          FROM lineitem)
+        SELECT v.l_returnflag, count(*) AS n,
+          min(q_lo) AS q_lo, min(q_hi) AS q_hi,
+          sum(CASE WHEN v < q_lo THEN 1 ELSE 0 END)::BIGINT
+            AS n_clip_lo,
+          sum(CASE WHEN v > q_hi THEN 1 ELSE 0 END)::BIGINT
+            AS n_clip_hi,
+          round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6)))
+            AS DOUBLE) / count(*), 6) AS mean_raw,
+          round(CAST(sum(CAST(round(least(greatest(v, q_lo), q_hi), 6)
+            AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_wins
+        FROM v JOIN b USING (l_returnflag)
+        GROUP BY 1""")),
+
+    // ---- MAD outlier screen per group: median and median-absolute-
+    // deviation both on the bounded-memory quantile path (the second
+    // quantile runs over a DERIVED column), robust-z flag at
+    // 3·1.4826·MAD ----
+    Q("numeric_mad_outliers",
+      (s, dir) => RobustStats.madOutliers(
+        Sources.table(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", nSigma = 3.0),
+      Some("""WITH med AS (
+          SELECT l_returnflag,
+            round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5),
+              4) AS median
+          FROM lineitem GROUP BY 1),
+        dev AS (
+          SELECT l.l_returnflag,
+            abs(CAST(l_extendedprice AS DOUBLE) - median) AS dev,
+            median
+          FROM lineitem l JOIN med USING (l_returnflag)),
+        mad AS (
+          SELECT l_returnflag, round(quantile_cont(dev, 0.5), 4) AS mad
+          FROM dev GROUP BY 1)
+        SELECT d.l_returnflag, count(*) AS n,
+          min(d.median) AS median, min(mad) AS mad,
+          sum(CASE WHEN dev > 3.0 * 1.4826 * mad THEN 1 ELSE 0 END)
+            ::BIGINT AS n_outliers,
+          round(sum(CASE WHEN dev > 3.0 * 1.4826 * mad THEN 1
+            ELSE 0 END)::DOUBLE / count(*), 6) AS outlier_rate
+        FROM dev d JOIN mad USING (l_returnflag)
+        GROUP BY 1""")),
+
+    // ---- Matryoshka truncation audit: top-5 recall of prefix-sliced
+    // embeddings (d = 16, 32) against the full-dim exact panel — the
+    // storage/FLOP-saving measurement for the ANN index; truth panel
+    // memo-shared with embedding_knn_graph ----
+    Q("embedding_matryoshka",
+      (s, dir) => Similarity.matryoshkaRecall(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, dims = Seq(16, 32), pct = 20),
+      Some {
+        val samp = SimilarityQueries.srcSamplePred("a.vec_id", 20)
+        def rankedSel(dotsCte: String, normsCte: String) =
+          s"""SELECT src, dst FROM (
+            SELECT src, dst,
+              row_number() OVER (PARTITION BY src
+                ORDER BY round(dot / (na.nrm * nb.nrm), 6) DESC,
+                  dst ASC) AS rank
+            FROM $dotsCte
+            JOIN $normsCte na ON src = na.vec_id
+            JOIN $normsCte nb ON dst = nb.vec_id) r
+          WHERE rank <= 5"""
+        val perDim = Seq(16, 32).map { d =>
+          s"""nd$d AS (
+            SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e
+            WHERE i <= $d GROUP BY 1),
+          dd$d AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+              sum(a.v * b.v) AS dot
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+            WHERE a.i <= $d AND $samp
+            GROUP BY 1, 2),
+          tr$d AS (${rankedSel(s"dd$d", s"nd$d")}),
+          r$d AS (
+            SELECT $d AS dim, count(*) AS n_truth,
+              count(t.src) AS n_hit,
+              round(count(t.src)::DOUBLE / count(*), 6) AS recall
+            FROM truth
+            LEFT JOIN tr$d t
+              ON truth.src = t.src AND truth.dst = t.dst)"""
+        }.mkString(",\n")
+        s"""WITH e AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings),
+          norms AS (
+            SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY 1),
+          dots AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+              sum(a.v * b.v) AS dot
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+            WHERE $samp
+            GROUP BY 1, 2),
+          truth AS (${rankedSel("dots", "norms")}),
+          $perDim
+          SELECT * FROM r16 UNION ALL SELECT * FROM r32"""
+      }),
+
+    // ---- single-source BFS hop distances over the trade graph:
+    // semi-naive frontier iteration (per-round anti-join), bounded at
+    // 6 hops, deterministic min-id pivot; the oracle replays it as a
+    // recursive closure with a min-dist fold ----
+    Q("graph_bfs_hops",
+      (s, dir) => {
+        val pairs = Sources.table(s, dir, "orders")
+          .join(Sources.table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("sp"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
+          .union(pairs.select(col("sp").as("src"), col("c").as("dst")))
+        Graph.bfsHops(edges, "src", "dst", maxHops = 6)
+      },
+      Some("""WITH RECURSIVE p AS (
+          SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        e AS (
+          SELECT c AS src, sp AS dst FROM p
+          UNION ALL SELECT sp AS src, c AS dst FROM p),
+        walk(node, dist) AS (
+          SELECT (SELECT min(src) FROM e) AS node, 0 AS dist
+          UNION
+          SELECT e.dst, w.dist + 1
+          FROM walk w JOIN e ON e.src = w.node
+          WHERE w.dist < 6)
+        SELECT node, min(dist) AS dist FROM walk GROUP BY node""")),
+
+    // ---- ntile bucketing (SURVEY §2.6 window family): quartile of
+    // order value within each priority class — identical floor-
+    // distribution semantics in both engines; ties broken on the key
+    // so the assignment is total-ordered ----
+    Q("window_ntile",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Sources.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"),
+            ntile(4).over(Window.partitionBy(col("o_orderpriority"))
+              .orderBy(col("o_totalprice").asc, col("o_orderkey").asc))
+              .as("quartile"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+          ntile(4) OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+        FROM orders""")),
+
+    // ---- day-of-week seasonality profile per event type: counts,
+    // exact shares, peak-day flag. dow = epoch-day mod 7 (0 =
+    // Thursday), the one day-of-week formula both engines compute
+    // identically with no locale/ISO ambiguity ----
+    Q("events_seasonality",
+      (s, dir) => {
+        val ev = Sources.events(s, dir)
+        val daily = ev.select(col("event_type"),
+          (datediff(date_trunc("DAY", col("ts")).cast("date"),
+            to_date(lit("1970-01-01"))) % 7).as("dow"))
+          .groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+        daily
+          .withColumn("share", round(col("n").cast("double") /
+            sum(col("n")).over(w), 6))
+          .withColumn("is_peak", col("n") === max(col("n")).over(w))
+      },
+      Some("""WITH d AS (
+          SELECT event_type,
+            date_diff('day', DATE '1970-01-01',
+              date_trunc('day', ts)::DATE) % 7 AS dow
+          FROM events),
+        c AS (
+          SELECT event_type, dow, count(*) AS n FROM d GROUP BY 1, 2),
+        t AS (
+          SELECT event_type, sum(n)::BIGINT AS tot, max(n) AS mx
+          FROM c GROUP BY 1)
+        SELECT c.event_type, dow, n,
+          round(n::DOUBLE / tot, 6) AS share,
+          n = mx AS is_peak
+        FROM c JOIN t USING (event_type)""")),
+
+    // ---- data-mixture drift: KL(source ‖ corpus) over fixed-width
+    // token-length buckets — the divergence a mixture rebalance
+    // (DoReMi/DSIR-style) monitors per source; ln terms rounded at
+    // 6 dp, exact decimal sum, absent buckets contribute zero ----
+    Q("corpus_length_kl",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+          .select(col("source"),
+            least(floor(size(graft.functions.Cleaning.tokens(
+              col("text"))) / 10), lit(7L)).as("b"))
+        val bySrc = docs.groupBy(col("source"), col("b"))
+          .agg(count(lit(1)).as("n"))
+        val srcTot = bySrc.groupBy(col("source"))
+          .agg(sum(col("n")).as("tot_s"))
+        val corpus = bySrc.groupBy(col("b"))
+          .agg(sum(col("n")).as("n_c"))
+        val corpusTot = corpus.agg(sum(col("n_c")).as("tot_c"))
+        bySrc.join(broadcast(srcTot), "source")
+          .join(broadcast(corpus), "b")
+          .crossJoin(broadcast(corpusTot))
+          .withColumn("term", round(
+            (col("n").cast("double") / col("tot_s")) *
+              log((col("n").cast("double") / col("tot_s")) /
+                (col("n_c").cast("double") / col("tot_c"))), 6)
+            .cast("decimal(18,6)"))
+          .groupBy(col("source"))
+          .agg(min(col("tot_s")).as("n_docs"),
+            sum(col("term")).cast("double").as("kl"))
+      },
+      Some("""WITH d AS (
+          SELECT source,
+            least((len(list_filter(string_split(lower(text), ' '),
+              x -> x <> '')) // 10), 7) AS b
+          FROM documents),
+        bs AS (SELECT source, b, count(*) AS n FROM d GROUP BY 1, 2),
+        st AS (SELECT source, sum(n)::BIGINT AS tot_s FROM bs
+          GROUP BY 1),
+        cb AS (SELECT b, sum(n)::BIGINT AS n_c FROM bs GROUP BY 1),
+        ct AS (SELECT sum(n_c)::BIGINT AS tot_c FROM cb),
+        terms AS (
+          SELECT source, tot_s,
+            CAST(round((n::DOUBLE / tot_s) *
+              ln((n::DOUBLE / tot_s) / (n_c::DOUBLE / tot_c)), 6)
+              AS DECIMAL(18,6)) AS term
+          FROM bs JOIN st USING (source) JOIN cb USING (b)
+          CROSS JOIN ct)
+        SELECT source, min(tot_s) AS n_docs,
+          CAST(sum(term) AS DOUBLE) AS kl
+        FROM terms GROUP BY source"""))
+  )
+}

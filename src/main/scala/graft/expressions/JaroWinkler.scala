@@ -1,0 +1,105 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro–Winkler string similarity (Winkler 1990) as a compiled
+  * expression — the record-linkage kernel Spark lacks (it ships only
+  * `levenshtein`): Jaro similarity (matches within the
+  * ⌊max(|a|,|b|)/2⌋−1 window, half-transposition count) boosted by up
+  * to 4 chars of common prefix at weight 0.1, boost applied only when
+  * the Jaro score exceeds 0.7.
+  *
+  * The constants (prefix cap 4, weight 0.1, boost threshold 0.7) are
+  * the classical defaults and exactly the semantics of DuckDB's
+  * `jaro_winkler_similarity`, which is what lets the blocking-join
+  * linkage operator be differentially hash-checked pre-rounding-free:
+  * every arithmetic step below (three divisions, one fused
+  * sum-then-/3) mirrors the published formula
+  * (m/|a| + m/|b| + (m−t)/m)/3 with double division order fixed.
+  *
+  * One compiled pass over the two strings, O(|a|·window) with two
+  * boolean scratch arrays — no tokenization, no allocation beyond the
+  * flags. Stays inside whole-stage codegen via a static-call
+  * `doGenCode` like [[CommonPrefixCharsExpr]].
+  */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  def compute(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString
+    val b = ub.toString
+    val la = a.length
+    val lb = b.length
+    // both-empty returns 0.0 (not the textbook 1.0) — DuckDB's choice,
+    // kept so the differential oracle is bit-exact on every input
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val ma = new Array[Boolean](la)
+    val mb = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+          ma(i) = true; mb(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: matched chars of a vs matched chars of b in order
+    var t = 0
+    var j = 0
+    i = 0
+    while (i < la) {
+      if (ma(i)) {
+        while (!mb(j)) j += 1
+        if (a.charAt(i) != b.charAt(j)) t += 1
+        j += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (md - t / 2) / md) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val cap = math.min(4, math.min(la, lb))
+    while (l < cap && a.charAt(l) == b.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("jw", this,
+      classOf[JaroWinklerExpr].getName)
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      JaroWinklerExpr(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+}

@@ -611,4 +611,39 @@ object Graph {
     }
     lab
   }
+
+  /** Single-source BFS hop distances, bounded at `maxHops` — the
+    * reachability probe (how far is everything from this hub?) behind
+    * ego-network extraction and diameter spot checks. The source is
+    * the SMALLEST src id in the edge list (a deterministic pivot, no
+    * parameter to drift from the oracle), seeded as a one-row
+    * aggregate — no driver collect.
+    *
+    * Frontier-style semi-naive iteration: each round expands only the
+    * PREVIOUS round's newly-reached frontier (join → distinct →
+    * anti-join against all visited), so total work is Σ|frontier
+    * adjacency|, not rounds·|V|·|E|; `localCheckpoint` per round cuts
+    * the growing lineage exactly like the other Pregel-shaped
+    * operators here. Exact integers only. Output: `(node, dist)` for
+    * every node within `maxHops` hops (the source at dist 0). */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = e.agg(min(col("src")).as("node"))
+      .withColumn("dist", lit(0)).localCheckpoint()
+    var frontier = dist.select(col("node"))
+    for (h <- 1 to maxHops) {
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+      dist = dist.unionByName(
+        next.withColumn("dist", lit(h))).localCheckpoint()
+      frontier = next
+    }
+    e.unpersist()
+    dist
+  }
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expressions.JaroWinkler
+
+/** Record linkage / fuzzy entity matching: the blocking-join +
+  * string-similarity pattern (Fellegi–Sunter style candidate
+  * generation) every dedup-adjacent pipeline needs for entity columns
+  * that near-match rather than hash-match (vendor names, author
+  * strings, addresses).
+  *
+  * Shape: a cheap deterministic BLOCKING key bounds the candidate set
+  * (only within-block pairs are scored), then the compiled
+  * [[graft.expressions.JaroWinklerExpr]] scores each candidate pair.
+  * This is the same two-phase contract as MinHash-LSH dedup: a
+  * recall-oriented bucketing phase and a precision scoring phase, and
+  * the same scale hazard — a hot block goes quadratic — handled the
+  * same way as `knnGraphLsh`'s mega-bucket guard: the scoring join's
+  * INDEX side is capped at the `maxBlock` lowest-id members per block,
+  * so a block of size B yields at most B·maxBlock candidates instead
+  * of B²/2 while every row still reaches the block's representatives.
+  */
+object Linkage {
+
+  /** Within-block candidate pairs, canonicalized `(id_a < id_b)`, with
+    * their Jaro–Winkler score; only pairs whose ROUNDED score clears
+    * `minSim` survive (round-then-filter so the threshold cannot sit on
+    * an ULP boundary between engines).
+    *
+    * Scale shape: one shuffle on the block key (the join), per-block
+    * fan-out capped at `maxBlock`, similarity computed post-cap only.
+    */
+  def blockedPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockExpr: Column, minSim: Double = 0.9, maxBlock: Int = 64)
+      : DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(nameCol).as("__nm"),
+      blockExpr.as("block"))
+    val reps = base.withColumn("__r", row_number().over(
+        Window.partitionBy(col("block")).orderBy(col("__id"))))
+      .filter(col("__r") <= maxBlock).drop("__r")
+      .select(col("block"), col("__id").as("__ida"),
+        col("__nm").as("__nma"))
+    val pairs = reps.join(base, "block")
+      .filter(col("__ida") =!= col("__id"))
+      .select(col("block"),
+        least(col("__ida"), col("__id")).as("id_a"),
+        greatest(col("__ida"), col("__id")).as("id_b"),
+        when(col("__ida") < col("__id"), col("__nma"))
+          .otherwise(col("__nm")).as("name_a"),
+        when(col("__ida") < col("__id"), col("__nm"))
+          .otherwise(col("__nma")).as("name_b"))
+      .distinct()
+    pairs
+      .withColumn("jw",
+        round(JaroWinkler.jaroWinkler(col("name_a"), col("name_b")), 6))
+      .filter(col("jw") >= minSim)
+  }
+
+  /** Per-block linkage report over [[blockedPairs]]: candidate count,
+    * match count at `minSim`, and the exact mean score (6-dp decimal
+    * contributions summed exactly, one final double division) — the
+    * audit a linkage run ships instead of its (huge) raw pair table.
+    */
+  def blockReport(df: DataFrame, idCol: String, nameCol: String,
+      blockExpr: Column, minSim: Double = 0.9, maxBlock: Int = 64)
+      : DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(nameCol).as("__nm"),
+      blockExpr.as("block"))
+    val reps = base.withColumn("__r", row_number().over(
+        Window.partitionBy(col("block")).orderBy(col("__id"))))
+      .filter(col("__r") <= maxBlock).drop("__r")
+      .select(col("block"), col("__id").as("__ida"),
+        col("__nm").as("__nma"))
+    val scored = reps.join(base, "block")
+      .filter(col("__ida") =!= col("__id"))
+      .select(col("block"),
+        least(col("__ida"), col("__id")).as("id_a"),
+        greatest(col("__ida"), col("__id")).as("id_b"),
+        when(col("__ida") < col("__id"), col("__nma"))
+          .otherwise(col("__nm")).as("name_a"),
+        when(col("__ida") < col("__id"), col("__nm"))
+          .otherwise(col("__nma")).as("name_b"))
+      .distinct()
+      .withColumn("jw",
+        round(JaroWinkler.jaroWinkler(col("name_a"), col("name_b")), 6))
+    scored.groupBy(col("block"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("jw") >= minSim, 1L).otherwise(0L)).as("n_match"),
+        round(sum(col("jw").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_jw"))
+  }
+}

@@ -280,6 +280,55 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Matryoshka truncation audit (Kusupati et al. NeurIPS'22): how much
+    * top-k recall survives when the embedding column is cut to its
+    * first `d` dimensions — the measurement that decides whether the
+    * 100 TB ANN index can run on d/64-ths of the storage and FLOPs
+    * (MRL-style embeddings front-load information, so small prefixes
+    * often retain most neighbour structure; this row reports the
+    * actual number instead of assuming it).
+    *
+    * Ground truth is the SAME md5-sampled exact panel as
+    * `embedding_knn_graph` (memo-shared — the n²·pct verifier runs
+    * once per sweep, not once per row); each truncation re-ranks the
+    * same sampled sources with prefix-sliced vectors, and recall is
+    * |truth ∩ truncated| / |truth| per d. Output: one row per d
+    * `(dim, n_truth, n_hit, recall)`.
+    *
+    * Scale shape: per truncation one sampled-src × corpus codegen
+    * cosine pass over d-element slices — strictly cheaper than the
+    * verifier itself; nothing quadratic in the full corpus. */
+  def matryoshkaRecall(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, dims: Seq[Int], pct: Int): DataFrame = {
+    val truth = knnGraphSampled(df, idCol, vecCol, k, pct)
+      .select(col("src"), col("dst"))
+    dims.map { d =>
+      val srcs = df
+        .filter(Curation.hashBucket(col(idCol), 100) < pct)
+        .select(col(idCol).as("src2"),
+          slice(col(vecCol), 1, d).as("ea"))
+      val all = df.select(col(idCol).as("dst2"),
+        slice(col(vecCol), 1, d).as("eb"))
+      val scored = srcs.join(all, col("src2") =!= col("dst2"))
+        .select(col("src2"), col("dst2"),
+          round(VectorExpressions.cosineSim(col("ea"), col("eb")), 6)
+            .as("cos"))
+      val w = Window.partitionBy(col("src2"))
+        .orderBy(col("cos").desc, col("dst2").asc)
+      val trunc = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("src2"), col("dst2"))
+      truth.join(trunc,
+          col("src") === col("src2") && col("dst") === col("dst2"),
+          "left")
+        .agg(count(lit(1)).as("n_truth"),
+          count(col("dst2")).as("n_hit"))
+        .select(lit(d).as("dim"), col("n_truth"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_truth"), 6)
+            .as("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Per-dimension z-score standardization of an embedding column — the
     * feature-scaling pass run before distance-based ops (ANN, k-means,
     * SemDeDup) when dimensions carry heterogeneous scales, so no single

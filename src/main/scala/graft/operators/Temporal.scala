@@ -224,4 +224,90 @@ object Temporal {
     pairs.withColumn("p",
       round(col("n").cast("double") / sum(col("n")).over(rowW), 6))
   }
+
+  /** Time-decayed EWMA of the per-key daily event rate — the smoothed
+    * trend line behind rate dashboards and drift monitors. Time-aware
+    * form (Holt's "irregular series" weighting): each day's smoothed
+    * value is the decay-weighted mean of the last `windowDays` observed
+    * days, weight 2^(−gap_days) — a half-life of one day — so missing
+    * days decay the older observations instead of being imputed.
+    *
+    * Determinism (why this hash-matches a second engine): with decay
+    * 0.5 every weight 2^(−d), d ≤ windowDays−1, is an EXACT dyadic
+    * double; weighted contributions x·2^(−d) (x an integer count) are
+    * exact in double AND in DECIMAL(28,10) (≤ 10 fractional digits for
+    * windowDays ≤ 8), so numerator/denominator are order-free exact
+    * decimal sums; the single final division is one double op, rounded
+    * at 6 dp.
+    *
+    * Scale shape: the raw event log collapses to one row per (key, day)
+    * FIRST (map-side combined count), and the windowed self-join fans
+    * each daily row out at most `windowDays`× — bounded, broadcastable
+    * when the daily table is small, an equi-join on the key plus a
+    * bounded date-range predicate otherwise. No window over the raw
+    * log, no per-row state. */
+  def ewmaDailyRate(events: DataFrame, keyCol: String, tsCol: String,
+      windowDays: Int = 8): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 8,
+      "dyadic-exact weighting needs 1 <= windowDays <= 8")
+    val daily = events
+      .groupBy(col(keyCol), date_trunc("DAY", col(tsCol)).cast("date")
+        .as("day"))
+      .agg(count(lit(1)).as("x"))
+    val a = daily.select(col(keyCol), col("day"), col("x"))
+    val b = daily.select(col(keyCol).as("__k"), col("day").as("__day"),
+      col("x").as("__x"))
+    val gap = datediff(col("day"), col("__day"))
+    val w = pow(lit(0.5), gap)
+    a.join(b, col(keyCol) === col("__k") &&
+        gap >= 0 && gap <= windowDays - 1)
+      .groupBy(col(keyCol), col("day"), col("x"))
+      .agg(
+        sum((col("__x") * w).cast("decimal(28,10)")).as("__num"),
+        sum(w.cast("decimal(28,10)")).as("__den"))
+      .select(col(keyCol), col("day"), col("x"),
+        round(col("__num").cast("double") / col("__den").cast("double"),
+          6).as("ewma"))
+  }
+
+  /** CUSUM change-point detection over the per-key daily event rate
+    * (Page 1954): s_i = max(0, s_{i−1} + (x_i − μ − slack)), flag when
+    * s_i exceeds `threshold` — the classic one-sided upward-shift
+    * detector. Computed in CLOSED FORM, not recursively: with prefix
+    * sums P_i of the drifts, s_i = P_i − min(0, P_1..P_i), so the whole
+    * detector is one running-sum window plus one running-min window —
+    * no per-row recursion, no driver loop.
+    *
+    * Determinism: μ is one double division rounded at 6 dp and pinned
+    * as DECIMAL(18,6); drifts, prefix sums and running minima then stay
+    * in exact decimal arithmetic (order-free), and only the final
+    * statistic is cast back to double.
+    *
+    * Scale shape: map-side-combined daily counts, a broadcast per-key
+    * mean join, then ONE key-partitioned window sort — the same single
+    * shuffle as sessionization; per-key state inside the window is two
+    * running decimals. */
+  def cusumChangepoints(events: DataFrame, keyCol: String,
+      tsCol: String, slack: Double = 1.0, threshold: Double = 5.0)
+      : DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), date_trunc("DAY", col(tsCol)).cast("date")
+        .as("day"))
+      .agg(count(lit(1)).as("x"))
+    val mu = daily.groupBy(col(keyCol))
+      .agg(round(sum(col("x")).cast("double") / count(lit(1)), 6)
+        .cast("decimal(18,6)").as("__mu"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(mu), keyCol)
+      .withColumn("__d", col("x").cast("decimal(18,6)") - col("__mu") -
+        lit(slack).cast("decimal(18,6)"))
+      .withColumn("__p", sum(col("__d")).over(w))
+      .withColumn("__base", least(lit(0).cast("decimal(28,6)"),
+        min(col("__p")).over(w)))
+      .select(col(keyCol), col("day"), col("x"),
+        round((col("__p") - col("__base")).cast("double"), 6)
+          .as("cusum"))
+      .withColumn("changepoint", col("cusum") > threshold)
+  }
 }

@@ -375,6 +375,121 @@ object TextAnalysis {
     ranked
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR'09) of
+    * the lexical and dense retrieval lists — the standard way a RAG
+    * stack combines BM25 with an embedding ANN without score
+    * calibration: fused(d) = Σ_lists 1/(rrfK + rank_list(d)), missing
+    * from a list contributes 0. Both input rankings are the engine's
+    * own deterministic retrievers ([[bm25Search]]; hashed-embedding
+    * cosine over the full corpus), each truncated at `listK`.
+    *
+    * Determinism: ranks are exact integers (both rankings tie-break on
+    * doc id), each reciprocal 1/(rrfK+rank) is one double division, the
+    * fusion is ONE double addition (order-free for two terms), rounded
+    * at 6 dp; the final rank tie-breaks bm25-rank then doc id.
+    *
+    * Scale shape: the BM25 stage is the query-term-pruned aggregate of
+    * [[bm25Search]]; the dense stage joins the sparse doc embeddings to
+    * a BROADCAST ≤|query terms|-row query vector (never doc×doc); each
+    * list is a TakeOrdered top-`listK`, and the fusion joins two
+    * `listK`-row lists — driver-trivial. */
+  def rrfFusion(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], listK: Int = 50, topN: Int = 20,
+      rrfK: Int = 60, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    def ranked(list: DataFrame, score: Column): DataFrame =
+      list.withColumn("__r", row_number().over(
+        Window.orderBy(score.desc, col(idCol).asc)))
+    // lexical list: BM25 top-listK with explicit integer ranks
+    val lex = ranked(
+      bm25Search(df, idCol, textCol, queryTerms, listK),
+      col("score"))
+      .select(col(idCol), col("__r").as("rank_bm25"))
+    // dense list: full-corpus hashed-embedding cosine vs the query bag
+    val docEmb = hashedEmbedding(df, idCol, textCol, dim)
+    val qEmb = hashedEmbedding(
+      Seq((0L, queryTerms.mkString(" "))).toDF("qid", "qtext"),
+      "qid", "qtext", dim)
+      .select(col("dim"), col("value").as("qv"))
+    val qNorm = qEmb.agg(sum(col("qv") * col("qv")).as("qn"))
+    val dn = docEmb.groupBy(col(idCol))
+      .agg(sum(col("value") * col("value")).as("dn"))
+    val dots = docEmb.join(broadcast(qEmb), Seq("dim"))
+      .groupBy(col(idCol)).agg(sum(col("value") * col("qv")).as("dot"))
+    val cos = dots.join(dn, idCol).crossJoin(broadcast(qNorm))
+      .select(col(idCol),
+        round(col("dot").cast("double") /
+          (sqrt(col("dn").cast("double")) *
+            sqrt(col("qn").cast("double"))), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc).limit(listK)
+    val den = ranked(cos, col("cos"))
+      .select(col(idCol), col("__r").as("rank_dense"))
+    lex.join(den, Seq(idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_dense")),
+            lit(0.0)), 6))
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("rrf").desc, col("rank_bm25").asc_nulls_last,
+        col(idCol).asc)))
+      .filter(col("rank") <= topN)
+      .select(col(idCol), col("rank_bm25"), col("rank_dense"),
+        col("rrf"), col("rank"))
+  }
+
+  /** Ranking-quality evaluation of the engine's own BM25 retriever —
+    * the retrieval half of a RAG eval harness: nDCG@k, MRR and
+    * precision@k against a DERIVED relevance label (relevance of a doc
+    * = number of DISTINCT query terms it contains, 0..|terms|), so the
+    * whole eval is self-contained and engine-portable (no hand
+    * labels).
+    *
+    * Uses the ln-discount DCG formulation (DCG = Σ (2^rel − 1)/ln(1+rank))
+    * — same monotone discount, and `ln` of small integers is the one
+    * transcendental this codebase already relies on matching across
+    * engines (every BM25 row). Each DCG term is rounded at 6 dp and
+    * summed as exact decimal; ideal ranking orders by relevance desc,
+    * doc id asc over the WHOLE corpus, so nDCG is against the true
+    * ideal, not the retrieved ideal.
+    *
+    * Scale shape: relevance needs only the query-term-filtered token
+    * table (same pruned aggregate as BM25 itself); the ideal list is a
+    * TakeOrdered top-k; everything after is k-row arithmetic. */
+  def ndcgEval(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rel = df.select(col(idCol),
+        explode(Cleaning.tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("term")).as("rel"))
+    val ranking = bm25Search(df, idCol, textCol, queryTerms, k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col(idCol).asc)))
+      .join(rel, Seq(idCol), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    def gain(relC: Column, rankC: Column): Column =
+      round((pow(lit(2.0), relC) - 1.0) / log(rankC + 1.0), 6)
+        .cast("decimal(18,6)")
+    val dcg = ranking.agg(
+      sum(gain(col("rel"), col("rank"))).cast("double").as("dcg"),
+      max(when(col("rel") > 0, lit(1.0) / col("rank"))
+        .otherwise(lit(0.0))).as("__mrr_raw"),
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("__hits"))
+    val ideal = rel.orderBy(col("rel").desc, col(idCol).asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rel").desc, col(idCol).asc)))
+      .agg(sum(gain(col("rel"), col("rank"))).cast("double").as("idcg"))
+    dcg.crossJoin(ideal)
+      .select(lit(k).as("k"), col("dcg"), col("idcg"),
+        when(col("idcg") > 0, round(col("dcg") / col("idcg"), 6))
+          .otherwise(lit(0.0)).as("ndcg"),
+        round(col("__mrr_raw"), 6).as("mrr"),
+        round(col("__hits").cast("double") / k, 6).as("p_at_k"))
+  }
+
   /** Accent-fold mapping for [[normalizeText]] — one definition, the
     * oracle generates the identical replace chain. */
   val accentFolds: Seq[(String, String)] = Seq(

@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.JaroWinkler
+import graft.operators.{Linkage, RobustStats, Temporal, TextAnalysis}
+
+/** Round-8 analytics extensions: Jaro–Winkler linkage, EWMA/CUSUM
+  * monitoring, RRF fusion + nDCG eval, robust statistics. */
+class AnalyticsSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  // ---- Jaro–Winkler expression ----
+
+  test("jaroWinkler matches DuckDB's jaro_winkler_similarity bit-exactly " +
+      "on the canonical cases") {
+    // expectations are DuckDB 1.0 outputs, captured verbatim
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("duane", "dwayne", 0.8400000000000001),
+      ("aaaaaaaab", "aaaaaaaac", 0.9555555555555556), // prefix cap 4
+      ("abqqqqqq", "abzzzzzz", 0.5), // jaro <= 0.7: no boost
+      ("abc", "abc", 1.0),
+      ("ab", "ba", 0.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0)) // DuckDB's both-empty convention
+    val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .withColumn("jw", JaroWinkler.jaroWinkler(col("a"), col("b")))
+    val got = df.select("a", "b", "jw").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    cases.foreach { case (a, b, want) =>
+      assert(got((a, b)) === want, s"jw('$a','$b')")
+    }
+  }
+
+  test("jaroWinkler is symmetric and null-safe") {
+    val df = Seq(("dixon", "dicksonx"), ("dicksonx", "dixon"))
+      .toDF("a", "b")
+      .select(JaroWinkler.jaroWinkler(col("a"), col("b")).as("jw"))
+    val Array(x, y) = df.collect().map(_.getDouble(0))
+    assert(x === y)
+    val n = Seq((Option("a"), Option.empty[String])).toDF("a", "b")
+      .select(JaroWinkler.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  // ---- linkage blocking ----
+
+  test("blockedPairs: every member of an over-cap block keeps pairs to " +
+      "the block's representatives") {
+    val n = 10
+    val df = (1 to n).map(i => (i.toLong, s"name$i", "blk"))
+      .toDF("id", "nm", "b")
+    val pairs = Linkage.blockedPairs(df, "id", "nm", col("b"),
+      minSim = 0.0, maxBlock = 3)
+    val rows = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // reps are ids 1..3; every id 1..10 must appear in some pair
+    val touched = rows.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(touched === (1 to n).map(_.toLong).toSet)
+    // canonical and distinct
+    assert(rows.forall(p => p._1 < p._2))
+    assert(rows.length === rows.distinct.length)
+    // bounded: at most reps * (n-1)
+    assert(rows.length <= 3 * (n - 1))
+  }
+
+  test("blockReport mean_jw is the exact mean of rounded pair scores") {
+    val df = Seq((1L, "martha", "m"), (2L, "marhta", "m"),
+      (3L, "marlta", "m")).toDF("id", "nm", "b")
+    val rep = Linkage.blockReport(df, "id", "nm", col("b"),
+      minSim = 0.9, maxBlock = 64).collect().head
+    assert(rep.getAs[Long]("n_pairs") === 3)
+    // all three pairwise scores are > 0.9 for these near-identical names
+    assert(rep.getAs[Long]("n_match") === 3)
+    val mean = rep.getAs[Double]("mean_jw")
+    assert(mean > 0.9 && mean <= 1.0)
+  }
+
+  // ---- EWMA ----
+
+  test("ewmaDailyRate: dyadic weights over observed days only") {
+    val ev = Seq(
+      // day 1: 4 events; day 2: 2 events; day 4: 1 event (day 3 missing)
+      (1L, "2024-01-01 10:00:00", "a"), (2L, "2024-01-01 11:00:00", "a"),
+      (3L, "2024-01-01 12:00:00", "a"), (4L, "2024-01-01 13:00:00", "a"),
+      (5L, "2024-01-02 10:00:00", "a"), (6L, "2024-01-02 11:00:00", "a"),
+      (7L, "2024-01-04 10:00:00", "a"))
+      .toDF("event_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Temporal.ewmaDailyRate(ev, "event_type", "ts", 8)
+      .orderBy("day").collect()
+    // day1: 4/1 = 4; day2: (2 + 0.5*4)/(1.5) = 8/3; day4 (gaps 0,2,3):
+    // (1 + 0.25*2 + 0.125*4)/(1 + 0.25 + 0.125) = 2/1.375
+    assert(got.length === 3)
+    assert(got(0).getAs[Double]("ewma") === 4.0)
+    assert(got(1).getAs[Double]("ewma") ===
+      BigDecimal(8.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(got(2).getAs[Double]("ewma") ===
+      BigDecimal(2.0 / 1.375).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  // ---- CUSUM ----
+
+  test("cusumChangepoints closed form equals the textbook recursion") {
+    // counts per day: 2,2,2,9,9 -> mean 4.8; slack 1 -> drifts
+    // -3.8,-3.8,-3.8,3.2,3.2; recursion s=max(0,s+d): 0,0,0,3.2,6.4
+    val rows = Seq(
+      ("2024-01-01", 2), ("2024-01-02", 2), ("2024-01-03", 2),
+      ("2024-01-04", 9), ("2024-01-05", 9))
+    val ev = rows.flatMap { case (d, n) =>
+      (1 to n).map(i => (s"$d $i:00:00", "a"))
+    }.zipWithIndex.map { case ((ts, t), i) => (i.toLong, ts, t) }
+      .toDF("event_id", "ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Temporal.cusumChangepoints(ev, "event_type", "ts",
+      slack = 1.0, threshold = 5.0).orderBy("day").collect()
+    val cusums = got.map(_.getAs[Double]("cusum")).toSeq
+    assert(cusums === Seq(0.0, 0.0, 0.0, 3.2, 6.4))
+    assert(got.map(_.getAs[Boolean]("changepoint")).toSeq ===
+      Seq(false, false, false, false, true))
+  }
+
+  test("cusumChangepoints is partitioning-invariant") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val a = Temporal.cusumChangepoints(ev, "event_type", "ts")
+      .collect().map(_.toString).sorted
+    val b = Temporal.cusumChangepoints(ev.repartition(7), "event_type",
+      "ts").collect().map(_.toString).sorted
+    assert(a === b)
+  }
+
+  // ---- RRF ----
+
+  test("rrfFusion: fused score is the sum of reciprocal ranks and " +
+      "missing lists contribute zero") {
+    val docs = Seq(
+      (1L, "spark query join spark"), (2L, "spark query"),
+      (3L, "join the cluster"), (4L, "nothing relevant here"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.rrfFusion(docs, "doc_id", "text",
+      Seq("spark", "query", "join"), listK = 3, topN = 4)
+      .collect()
+    got.foreach { r =>
+      val rb = Option(r.getAs[Any]("rank_bm25"))
+        .map(_.asInstanceOf[Int])
+      val rd = Option(r.getAs[Any]("rank_dense"))
+        .map(_.asInstanceOf[Int])
+      val want = BigDecimal(
+        rb.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+          rd.map(x => 1.0 / (60 + x)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("rrf") === want)
+    }
+    // doc 4 matches no query term: absent from both lists
+    assert(!got.map(_.getAs[Long]("doc_id")).contains(4L))
+  }
+
+  // ---- nDCG ----
+
+  test("ndcgEval: perfect single-relevant ranking gives ndcg=1, mrr=1") {
+    val docs = Seq(
+      (1L, "spark query join"), (2L, "filler words only"),
+      (3L, "other filler text"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.ndcgEval(docs, "doc_id", "text",
+      Seq("spark", "query", "join"), k = 10).collect().head
+    assert(r.getAs[Double]("ndcg") === 1.0)
+    assert(r.getAs[Double]("mrr") === 1.0)
+    // one relevant doc out of k=10 slots
+    assert(r.getAs[Double]("p_at_k") === 0.1)
+  }
+
+  // ---- robust stats ----
+
+  test("winsorizedMean clips to the exact p05/p95 order statistics") {
+    val df = (1 to 100).map(i => ("k", i.toDouble)).toDF("k", "v")
+    val r = RobustStats.winsorizedMean(df, "k", "v").collect().head
+    // p05 of 1..100 = 1 + 0.05*99 = 5.95; p95 = 1 + 0.95*99 = 95.05
+    assert(r.getAs[Double]("q_lo") === 5.95)
+    assert(r.getAs[Double]("q_hi") === 95.05)
+    assert(r.getAs[Long]("n_clip_lo") === 5)
+    assert(r.getAs[Long]("n_clip_hi") === 5)
+    assert(r.getAs[Double]("mean_raw") === 50.5)
+    // winsorized mean: (5*5.95 + sum(6..95) + 5*95.05)/100
+    val want = (5 * 5.95 + (6 to 95).sum + 5 * 95.05) / 100
+    assert(math.abs(r.getAs[Double]("mean_wins") - want) < 1e-6)
+  }
+
+  test("bfsHops: chain graph distances, bounded at maxHops, min-id pivot") {
+    // chain 1-2-3-4-5 plus isolated pair 10-11 (unreachable)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L)).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = operators.Graph.bfsHops(edges, "src", "dst", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("matryoshkaRecall: full-prefix truncation has recall 1, a " +
+      "zeroed-out prefix does not beat it") {
+    val vecs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = operators.Similarity.matryoshkaRecall(
+      vecs, "vec_id", "embedding", k = 5, dims = Seq(64, 16), pct = 50)
+      .collect().map(r =>
+        r.getAs[Int]("dim") -> r.getAs[Double]("recall")).toMap
+    assert(got(64) === 1.0) // d=64 IS the truth
+    assert(got(16) <= 1.0 && got(16) >= 0.0)
+  }
+
+  test("madOutliers flags the planted spike and nothing else") {
+    val df = ((1 to 99).map(i => ("k", (i % 10).toDouble)) :+
+      (("k", 1000.0))).toDF("k", "v")
+    val r = RobustStats.madOutliers(df, "k", "v").collect().head
+    assert(r.getAs[Long]("n") === 100)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+    assert(r.getAs[Double]("outlier_rate") === 0.01)
+  }
+}
