@@ -541,6 +541,99 @@ object AnalyticsQueries {
           CROSS JOIN ct)
         SELECT source, min(tot_s) AS n_docs,
           CAST(sum(term) AS DOUBLE) AS kl
-        FROM terms GROUP BY source"""))
+        FROM terms GROUP BY source""")),
+
+    // ---- content-defined chunking dedup audit: boundaries where the
+    // 8-char window's md5 bucket hits 0 mod 32, chunks deduped by
+    // exact text corpus-wide — duplicated-BYTES measurement for
+    // partially-overlapping near-copies; every boundary replayed ----
+    Q("dedup_cdc_chunks",
+      (s, dir) => graft.operators.Dedup.cdcChunkStats(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        width = 8, divisor = 32),
+      Some("""WITH d AS (
+          SELECT doc_id, text, length(text) AS n FROM documents
+          WHERE length(text) > 0),
+        cuts0 AS (
+          SELECT doc_id, i + 8 - 1 AS cut
+          FROM (SELECT doc_id, text, unnest(range(1, n - 8 + 2)) AS i
+                FROM d WHERE n >= 8) p
+          WHERE ('0x' || substr(md5(substring(text, i, 8)), 1, 8))
+            ::BIGINT % 32 = 0),
+        cuts AS (
+          SELECT doc_id, cut FROM cuts0
+          UNION SELECT doc_id, n FROM d),
+        ch AS (
+          SELECT doc_id,
+            coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut),
+              0) + 1 AS s,
+            cut
+          FROM cuts),
+        chunks AS (
+          SELECT c.doc_id, d.n, cut - s + 1 AS clen,
+            md5(substring(text, s, cut - s + 1)) AS h
+          FROM ch c JOIN d USING (doc_id)),
+        freq AS (SELECT h, count(*) AS cnt FROM chunks GROUP BY h)
+        SELECT doc_id, count(*) AS n_chunks,
+          sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)::BIGINT
+            AS n_dup_chunks,
+          sum(CASE WHEN cnt >= 2 THEN clen ELSE 0 END)::BIGINT
+            AS dup_chars,
+          min(n)::BIGINT AS n_chars,
+          round(sum(CASE WHEN cnt >= 2 THEN clen ELSE 0 END)::DOUBLE /
+            min(n), 6) AS dup_ratio
+        FROM chunks JOIN freq USING (h)
+        GROUP BY doc_id""")),
+
+    // ---- per-doc n-gram novelty vs all lower-id docs: the
+    // diminishing-returns curve of a crawl; min-doc-id ownership over
+    // the dedup family's word-5-shingles ----
+    Q("text_ngram_novelty",
+      (s, dir) => TextAnalysis.ngramNovelty(
+        Sources.table(s, dir, "documents"), "doc_id", "text", k = 5),
+      Some(s"""WITH ${DedupQueries.shingleCtesFor("documents")},
+        u AS (SELECT doc_id, unnest(s) AS s FROM sh),
+        f AS (SELECT s, min(doc_id) AS first_doc FROM u GROUP BY s)
+        SELECT u.doc_id, count(*) AS n_shingles,
+          sum(CASE WHEN first_doc = u.doc_id THEN 1 ELSE 0 END)::BIGINT
+            AS n_novel,
+          round(sum(CASE WHEN first_doc = u.doc_id THEN 1
+            ELSE 0 END)::DOUBLE / count(*), 6) AS novelty
+        FROM u JOIN f USING (s)
+        GROUP BY u.doc_id""")),
+
+    // ---- common-neighbour link prediction over the customer-supplier
+    // bipartite table: Jaccard of capped neighbour sets (hub customers
+    // over deg 256 dropped — the maxDocFreq convention), global
+    // top-20 ----
+    Q("graph_link_prediction",
+      (s, dir) => {
+        val pairs = Sources.table(s, dir, "orders")
+          .join(Sources.table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+          .distinct()
+        Graph.linkPrediction(pairs, "c", "sp", maxDeg = 256, topN = 20)
+      },
+      Some("""WITH p AS (
+          SELECT DISTINCT o_custkey AS l, l_suppkey AS r
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        keep AS (
+          SELECT l FROM (
+            SELECT l, count(*) AS dl FROM p GROUP BY l) k
+          WHERE dl <= 256),
+        c AS (SELECT p.l, p.r FROM p JOIN keep USING (l)),
+        deg AS (SELECT r, count(*) AS deg FROM c GROUP BY r),
+        cm AS (
+          SELECT a.r AS ra, b.r AS rb, count(*) AS n_common
+          FROM c a JOIN c b ON a.l = b.l AND a.r < b.r
+          GROUP BY 1, 2)
+        SELECT ra AS id_a, rb AS id_b, n_common,
+          round(n_common::DOUBLE / (da.deg + db.deg - n_common), 6)
+            AS jacc
+        FROM cm
+        JOIN deg da ON ra = da.r
+        JOIN deg db ON rb = db.r
+        ORDER BY jacc DESC, id_a ASC, id_b ASC LIMIT 20"""))
   )
 }

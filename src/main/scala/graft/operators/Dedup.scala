@@ -1130,4 +1130,62 @@ object Dedup {
       .select(col("vec_id").as(idCol), col("cell"),
         col("__dup").isNull.as("keep"))
   }
+
+  /** Content-defined chunking (CDC) dedup audit — the storage-dedup
+    * technique (LBFS/Venti lineage) applied to corpus text: chunk
+    * boundaries are placed where the hash of the trailing `width`-char
+    * window hits `0 mod divisor`, so boundaries move WITH the content —
+    * an insertion early in a document shifts every fixed-size block but
+    * leaves all later CDC chunks identical, which is what lets
+    * partially-overlapping near-copies share chunks. Expected chunk
+    * length ≈ `divisor` chars.
+    *
+    * Output per document: `(doc_id, n_chunks, n_dup_chunks, dup_chars,
+    * n_chars, dup_ratio)` where a chunk is "dup" when its exact text
+    * occurs ≥ 2 times corpus-wide — the duplicated-BYTES measurement
+    * that exact whole-doc dedup can't see and exact-substring dedup
+    * prices at O(n·window) pairs.
+    *
+    * Hash family is the md5-prefix bucket used engine-wide (portable —
+    * the oracle replays every boundary); the boundary test costs one
+    * md5 per position here, and the production swap-in for a 100 TB
+    * run is [[graft.expressions.CharWindowHashesExpr]] (O(1) per
+    * position rolling hash, same topology, different — but equally
+    * valid — boundary set). Documents shorter than `width` form one
+    * chunk. Scale shape: one explode over char positions (linear), one
+    * shuffle on the 16-byte chunk hash, one per-doc window over cut
+    * positions. */
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 8, divisor: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("n", length(col("text"))).filter(col("n") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cuts0 = d.filter(col("n") >= width)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), col("n") - width + 1)).as("i"))
+      .filter(conv(substring(md5(
+          expr(s"substring(text, i, $width)")), 1, 8), 16, 10)
+        .cast("long") % divisor === 0)
+      .select(col("doc_id"), (col("i") + width - 1).as("cut"))
+    val cuts = cuts0.union(d.select(col("doc_id"), col("n").as("cut")))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("cut"))
+    val chunks = cuts
+      .withColumn("s", coalesce(lag(col("cut"), 1).over(w), lit(0)) + 1)
+      .join(d, "doc_id")
+      .select(col("doc_id"), col("n"), (col("cut") - col("s") + 1)
+        .as("clen"),
+        md5(expr("substring(text, s, cut - s + 1)")).as("h"))
+    val freq = chunks.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    chunks.join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("cnt") >= 2, col("clen")).otherwise(0L))
+          .cast("long").as("dup_chars"),
+        min(col("n")).cast("long").as("n_chars"))
+      .withColumn("dup_ratio",
+        round(col("dup_chars").cast("double") / col("n_chars"), 6))
+  }
 }

@@ -646,4 +646,45 @@ object Graph {
     e.unpersist()
     dist
   }
+
+  /** Common-neighbour LINK PREDICTION over a bipartite pair table
+    * `(left, right)`: for every right-side pair sharing at least one
+    * left-side neighbour, the Jaccard coefficient of their neighbour
+    * sets — the classic "who should be connected" score (and, on a
+    * doc–entity table, the co-occurrence suggester). Output: the
+    * global `topN` pairs `(id_a, id_b, n_common, jacc)`, ties broken
+    * on ids.
+    *
+    * Scale guard: the pair fan-out is Σ_left deg², so one hub left
+    * node goes quadratic — left nodes with degree > `maxDeg` are
+    * DROPPED before pairing (the maxDocFreq convention from the
+    * ngram-dedup inverted index: hubs predict nothing anyway — a
+    * customer connected to every supplier carries no signal). Degrees
+    * in the Jaccard denominator are measured on the SAME capped
+    * adjacency, so the score is exact on the declared (capped) graph
+    * and the oracle replays it. */
+  def linkPrediction(pairs: DataFrame, leftCol: String,
+      rightCol: String, maxDeg: Int, topN: Int): DataFrame = {
+    val adj = pairs.select(col(leftCol).as("l"), col(rightCol).as("r"))
+      .distinct()
+    val keep = adj.groupBy(col("l")).agg(count(lit(1)).as("dl"))
+      .filter(col("dl") <= maxDeg).select(col("l"))
+    val capped = adj.join(broadcast(keep), "l")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = capped.groupBy(col("r")).agg(count(lit(1)).as("deg"))
+    val common = capped.select(col("l"), col("r").as("ra"))
+      .join(capped.select(col("l"), col("r").as("rb")), "l")
+      .filter(col("ra") < col("rb"))
+      .groupBy(col("ra"), col("rb"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(deg.select(col("r").as("ra"), col("deg").as("da")), "ra")
+      .join(deg.select(col("r").as("rb"), col("deg").as("db")), "rb")
+      .select(col("ra").as("id_a"), col("rb").as("id_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("da") + col("db") - col("n_common")), 6).as("jacc"))
+      .orderBy(col("jacc").desc, col("id_a").asc, col("id_b").asc)
+      .limit(topN)
+  }
 }

@@ -490,6 +490,37 @@ object TextAnalysis {
         round(col("__hits").cast("double") / k, 6).as("p_at_k"))
   }
 
+  /** Per-document n-gram NOVELTY against everything that came before it
+    * in corpus order — the redundancy-over-time curve a curation run
+    * inspects to decide where a crawl stops adding information: a
+    * document's shingles are "novel" when no lower-id document contains
+    * them, and the per-doc novel share falling toward 0 is the
+    * diminishing-returns signal (the corpus-level dual of per-pair
+    * near-dup scores).
+    *
+    * Same word-5-shingle contract as the Jaccard dedup family
+    * ([[graft.functions.Text.wordShingles]] — short docs collapse to a
+    * whole-text shingle), shuffled as 64-bit shingle hashes
+    * (keys-not-payload). Ownership is min-doc-id — exact, no ordering
+    * ambiguity. Scale shape: one explode, one min-aggregate per
+    * shingle (map-side combined), one join back — the inverted-index
+    * build without its quadratic pair stage. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+        explode(Text.wordShingles(col(textCol), k)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+    val first = sh.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Accent-fold mapping for [[normalizeText]] — one definition, the
     * oracle generates the identical replace chain. */
   val accentFolds: Seq[(String, String)] = Seq(

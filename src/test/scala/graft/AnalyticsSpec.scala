@@ -215,6 +215,61 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
     assert(got(16) <= 1.0 && got(16) >= 0.0)
   }
 
+  test("cdcChunkStats: identical docs fully dup; content-defined " +
+      "boundaries survive a prefix insertion") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ") // ~200 chars
+    val docs = Seq(
+      (1L, base), (2L, base), // identical pair
+      (3L, "PREFIX-INSERTED " + base), // shifted copy
+      (4L, "zq9 xv7 kp3 jm5 unique text with no overlap at all"))
+      .toDF("doc_id", "text")
+    val got = operators.Dedup.cdcChunkStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // identical docs: every chunk duplicated
+    assert(got(1L).getAs[Double]("dup_ratio") === 1.0)
+    assert(got(2L).getAs[Double]("dup_ratio") === 1.0)
+    // prefix insertion: boundaries resynchronize, so the copy still
+    // shares most chunks with the original (fixed-size blocks would
+    // share none)
+    assert(got(3L).getAs[Long]("dup_chars") > 0L)
+    // chunks partition the text exactly
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("dup_chars") <= r.getAs[Long]("n_chars"))
+    }
+  }
+
+  test("ngramNovelty: first copy owns its shingles, the clone is 0") {
+    val t = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, t), (2L, t),
+      (3L, "completely different words in this one here now ok fine"))
+      .toDF("doc_id", "text")
+    val got = operators.TextAnalysis.ngramNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("novelty"))
+      .toMap
+    assert(got(1L) === 1.0)
+    assert(got(2L) === 0.0)
+    assert(got(3L) === 1.0)
+  }
+
+  test("linkPrediction: Jaccard over capped neighbour sets, hubs " +
+      "dropped") {
+    val pairs = Seq(
+      (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 20L), (3L, 30L),
+      // hub left node over the cap: connects 40 to everything
+      (9L, 10L), (9L, 20L), (9L, 30L), (9L, 40L))
+      .toDF("c", "sp")
+    val got = operators.Graph.linkPrediction(pairs, "c", "sp",
+      maxDeg = 3, topN = 10).collect()
+    val byPair = got.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jacc")).toMap
+    // hub (deg 4 > 3) dropped: node 40 predicts nothing
+    assert(!got.exists(r => r.getLong(0) === 40L || r.getLong(1) === 40L))
+    // (10,20): common {1,2}, deg 2 and 3 -> 2/3
+    assert(byPair((10L, 20L)) === 0.666667)
+    // (20,30): common {3}, deg 3 and 1 -> 1/3
+    assert(byPair((20L, 30L)) === 0.333333)
+  }
+
   test("madOutliers flags the planted spike and nothing else") {
     val df = ((1 to 99).map(i => ("k", (i % 10).toDouble)) :+
       (("k", 1000.0))).toDF("k", "v")
