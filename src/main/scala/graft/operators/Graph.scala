@@ -634,14 +634,23 @@ object Graph {
     var dist = e.agg(min(col("src")).as("node"))
       .withColumn("dist", lit(0)).localCheckpoint()
     var frontier = dist.select(col("node"))
-    for (h <- 1 to maxHops) {
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
       val next = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(dist.select(col("node")), Seq("node"), "left_anti")
         .localCheckpoint()
-      dist = dist.unionByName(
-        next.withColumn("dist", lit(h))).localCheckpoint()
-      frontier = next
+      // next is materialized by the checkpoint — the emptiness probe is
+      // a cheap local scan, and an empty frontier ends the walk (a
+      // small-diameter graph should not pay for the remaining rounds)
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.unionByName(
+          next.withColumn("dist", lit(h))).localCheckpoint()
+        frontier = next
+      }
+      h += 1
     }
     e.unpersist()
     dist

@@ -62,6 +62,10 @@ object RobustStats {
     val med = Quantiles.exactQuantilesBucketed(df, keyCol, valCol,
         Seq(0.5))
       .select(col(keyCol), col("q").as("median"))
+    // NOT persisted: the deviation projection is scan+broadcast-join+abs
+    // — measured 6.9 s recomputed vs 8.4 s cached at the pinned bench
+    // (caching 600k wide rows costs more than re-deriving them; the
+    // same counter-lesson as the CMS token stream in NOTES)
     val dev = df.select(col(keyCol), col(valCol))
       .join(broadcast(med), Seq(keyCol))
       .withColumn("__dev",

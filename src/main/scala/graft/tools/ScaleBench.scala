@@ -132,7 +132,8 @@ object ScaleBench {
         want("pagerank") || want("harmonic") ||
         want("harmonic_perround") || want("harmonic_merge") ||
         want("hits") || want("knn_lsh") || want("knn_lsh_uncapped") ||
-        want("interval") || want("quantiles"))) {
+        want("interval") || want("quantiles") || want("linkage") ||
+        want("linkage_cap4x"))) {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
       val reps = spark.range(0, factor).toDF("rep")
@@ -311,6 +312,32 @@ object ScaleBench {
               .as("price"))
         graft.operators.Quantiles.exactQuantilesBucketed(
           liQ, "l_returnflag", "price", Seq(0.5, 0.95, 0.99)).count()
+      }
+      // blocked Jaro-Winkler linkage at factor× entities (replicas are
+      // suffix-mutated near-copies, so they land in the same blocks and
+      // score high): with the index side capped at 64 reps per block
+      // the candidate count grows ∝ rows·cap — the curve should be
+      // linear in factor; `linkage_cap4x` re-measures at cap 256 to
+      // show cost ∝ cap (the B²/2 uncapped form would be quadratic in
+      // factor and is priced by extrapolation, not run)
+      def linkEntities = {
+        val p0 = spark.read.parquet(s"$sfDir/part.parquet")
+          .select(col("p_partkey").as("id0"), col("p_name").as("nm0"))
+        p0.crossJoin(reps)
+          .select((col("id0") * factor + col("rep")).as("id"),
+            when(col("rep") === 0, col("nm0"))
+              .otherwise(concat(col("nm0"), lit(" v"),
+                col("rep").cast("string"))).as("nm"))
+      }
+      if (want("linkage")) timed("linkage") {
+        graft.operators.Linkage.blockedPairs(linkEntities, "id", "nm",
+          split(col("nm"), " ").getItem(0), minSim = 0.9,
+          maxBlock = 64).count()
+      }
+      if (want("linkage_cap4x")) timed("linkage_cap4x") {
+        graft.operators.Linkage.blockedPairs(linkEntities, "id", "nm",
+          split(col("nm"), " ").getItem(0), minSim = 0.9,
+          maxBlock = 256).count()
       }
       (dropped, prNodes)
     } else (-1L, -1L)
