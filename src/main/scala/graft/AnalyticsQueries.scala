@@ -634,6 +634,62 @@ object AnalyticsQueries {
         FROM cm
         JOIN deg da ON ra = da.r
         JOIN deg db ON rb = db.r
-        ORDER BY jacc DESC, id_a ASC, id_b ASC LIMIT 20"""))
+        ORDER BY jacc DESC, id_a ASC, id_b ASC LIMIT 20""")),
+
+    // ---- NEAREST-direction as-of join: every view matched to the
+    // temporally closest purchase of the same user (either direction),
+    // whole-second floor distances, nearer→earlier→lowest-id ties;
+    // the oracle replays it as one ranked candidate join ----
+    Q("join_asof_nearest",
+      (s, dir) => {
+        val ev = Sources.events(s, dir)
+        Temporal.nearestJoin(
+          ev.filter(col("event_type") === "view")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          "user_id", "ts", "ts", "event_id")
+      },
+      Some("""WITH v AS (
+          SELECT event_id, user_id, ts,
+            date_diff('second', TIMESTAMP '1970-01-01', ts) AS s
+          FROM events WHERE event_type = 'view'),
+        p0 AS (
+          SELECT event_id AS pid, user_id, ts AS pts,
+            date_diff('second', TIMESTAMP '1970-01-01', ts) AS ps
+          FROM events WHERE event_type = 'purchase'),
+        p AS (
+          SELECT pid, user_id, pts, ps FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY user_id, ps ORDER BY pid) AS rn
+            FROM p0) x
+          WHERE rn = 1),
+        c AS (
+          SELECT v.event_id, pid, pts, ps, s,
+            row_number() OVER (PARTITION BY v.event_id
+              ORDER BY abs(ps - s), ps, pid) AS rn
+          FROM v JOIN p USING (user_id))
+        SELECT v.event_id, v.user_id, v.ts,
+          c.pid AS matched_id, c.pts AS matched_ts,
+          c.ps - c.s AS delta_s
+        FROM v LEFT JOIN (SELECT * FROM c WHERE rn = 1) c
+          USING (event_id)""")),
+
+    // ---- CUBE aggregate (SURVEY §2.5 family beside rollup): all four
+    // grouping levels in one pass, grouping_id disambiguates rolled-up
+    // NULLs; decimal-exact revenue ----
+    Q("agg_cube",
+      (s, dir) => Sources.table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus,
+          GROUPING(l_returnflag, l_linestatus) AS gid,
+          count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)"""))
   )
 }

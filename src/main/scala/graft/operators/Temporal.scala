@@ -225,6 +225,75 @@ object Temporal {
       round(col("n").cast("double") / sum(col("n")).over(rowW), 6))
   }
 
+  /** NEAREST-direction as-of join (pandas `merge_asof(direction=
+    * 'nearest')`): for every left row, the right row whose timestamp is
+    * CLOSEST in either direction, per key — the sensor-alignment /
+    * closest-quote join the backward-only [[asofJoin]] can't express.
+    *
+    * Declared at WHOLE-SECOND resolution (the engine-portable floor
+    * convention of [[activityGaps]]): distances are floor-second
+    * deltas, right rows are deduplicated to the lowest `rightId` per
+    * (key, second), and ties break nearer-then-earlier-then-lowest-id
+    * — a total order the oracle replays with one ranked candidate
+    * join.
+    *
+    * Plan shape: ONE shuffle of both sides on the key, then two window
+    * sorts over the same partitioning (backward carry = `last(payload)`
+    * over ≤, forward carry = `first(payload)` over ≥ — right rows
+    * sort adjacent to equal-second left rows on the matching side), and
+    * an arithmetic pick of the nearer candidate. No range join, nothing
+    * quadratic per key. Output: every left row + `(matched_id,
+    * matched_ts, delta_s)` (nulls when the key has no right rows;
+    * `delta_s` is signed right−left seconds). */
+  def nearestJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightId: String): DataFrame = {
+    def secs(c: Column) = c.cast("timestamp").cast("long")
+    val rd = right
+      .withColumn("__s", secs(col(rightTs)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(key), col("__s"))
+          .orderBy(col(rightId).asc)))
+      .filter(col("__rn") === 1)
+      .select(col(key), col("__s"),
+        struct(col(rightId).as("m_id"), col(rightTs).as("m_ts"),
+          col("__s").as("m_s")).as("__p"))
+      .withColumn("__isr", lit(1))
+    val l = left
+      .withColumn("__s", secs(col(leftTs)))
+      .withColumn("__p", lit(null).cast(rd.schema("__p").dataType))
+      .withColumn("__isr", lit(0))
+    val all = l
+      .select((left.columns.map(col) ++
+        Seq(col("__s"), col("__p"), col("__isr"))): _*)
+      .unionByName(rd.select((left.columns.map(c =>
+        if (c == key) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col("__s"), col("__p"), col("__isr"))): _*))
+    // backward: right rows sort BEFORE left at the same second (≤ incl.)
+    val wb = Window.partitionBy(col(key))
+      .orderBy(col("__s").asc, col("__isr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: right rows sort AFTER left at the same second (≥ incl.)
+    val wf = Window.partitionBy(col(key))
+      .orderBy(col("__s").asc, col("__isr").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val picked = all
+      .withColumn("__b", last(col("__p"), ignoreNulls = true).over(wb))
+      .withColumn("__f", first(col("__p"), ignoreNulls = true).over(wf))
+      .filter(col("__isr") === 0)
+      .withColumn("__m",
+        when(col("__b").isNull, col("__f"))
+          .when(col("__f").isNull, col("__b"))
+          .when(col("__s") - col("__b.m_s") <=
+            col("__f.m_s") - col("__s"), col("__b"))
+          .otherwise(col("__f")))
+    picked
+      .select((left.columns.map(col) :+
+        col("__m.m_id").as("matched_id")) ++
+        Seq(col("__m.m_ts").as("matched_ts"),
+          (col("__m.m_s") - col("__s")).as("delta_s")): _*)
+  }
+
   /** Time-decayed EWMA of the per-key daily event rate — the smoothed
     * trend line behind rate dashboards and drift monitors. Time-aware
     * form (Holt's "irregular series" weighting): each day's smoothed

@@ -270,6 +270,37 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
     assert(byPair((20L, 30L)) === 0.333333)
   }
 
+  test("nearestJoin: nearer wins, equidistant prefers backward, " +
+      "same-second dedups to lowest id, keyless rows get nulls") {
+    def ts(s: String) = s
+    val views = Seq(
+      (1L, 1L, "2024-01-01 00:01:40"), // t=100: purchases at 90/110 tie
+      (2L, 1L, "2024-01-01 00:01:45"), // t=105: 110 is nearer
+      (3L, 2L, "2024-01-01 00:00:10"), // user 2 has no purchases
+      (4L, 3L, "2024-01-01 00:00:30")) // same-second purchase pair
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val purchases = Seq(
+      (10L, 1L, "2024-01-01 00:01:30"), // t=90
+      (11L, 1L, "2024-01-01 00:01:50"), // t=110
+      (7L, 3L, "2024-01-01 00:00:31"),
+      (8L, 3L, "2024-01-01 00:00:31"))
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = operators.Temporal.nearestJoin(views, purchases,
+      "user_id", "ts", "ts", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[Any]("matched_id")), r.getAs[Any]("delta_s")))
+      .toMap
+    assert(got(1L)._1 === Some(10L)) // tie -> backward (earlier)
+    assert(got(1L)._2 === -10L)
+    assert(got(2L)._1 === Some(11L))
+    assert(got(2L)._2 === 5L)
+    assert(got(3L)._1 === None)
+    assert(got(4L)._1 === Some(7L)) // lowest id within the second
+    assert(got(4L)._2 === 1L)
+  }
+
   test("madOutliers flags the planted spike and nothing else") {
     val df = ((1 to 99).map(i => ("k", (i % 10).toDouble)) :+
       (("k", 1000.0))).toDF("k", "v")
