@@ -690,6 +690,103 @@ object AnalyticsQueries {
           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
             AS sum_qty
         FROM lineitem
-        GROUP BY CUBE (l_returnflag, l_linestatus)"""))
+        GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
+    // ---- market-basket association rules: co-ordered part pairs with
+    // support ≥ 2, confidence and lift from exact integer counts
+    // (integer products stay < 2^63), global top-20 by lift. The pair
+    // stage is per-order (order size ~O(7) → bounded fan-out), never
+    // part×part ----
+    Q("assoc_rules",
+      (s, dir) => {
+        val items = Sources.table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val nOrders = items.select(col("o")).distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val supp = items.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+        val pairs = items.select(col("o"), col("p").as("pa"))
+          .join(items.select(col("o"), col("p").as("pb")), "o")
+          .filter(col("pa") < col("pb"))
+          .groupBy(col("pa"), col("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        pairs
+          .join(supp.select(col("p").as("pa"), col("n_p").as("n_a")),
+            "pa")
+          .join(supp.select(col("p").as("pb"), col("n_p").as("n_b")),
+            "pb")
+          .crossJoin(broadcast(nOrders))
+          .select(col("pa").as("id_a"), col("pb").as("id_b"),
+            col("n_ab"), col("n_a"), col("n_b"),
+            round(col("n_ab").cast("double") / col("n_a"), 6)
+              .as("confidence"),
+            round((col("n_ab") * col("n_orders")).cast("double") /
+              (col("n_a") * col("n_b")), 6).as("lift"))
+          .orderBy(col("lift").desc, col("id_a").asc, col("id_b").asc)
+          .limit(20)
+      },
+      Some("""WITH i AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          FROM lineitem),
+        no AS (SELECT count(DISTINCT o) AS n_orders FROM i),
+        supp AS (SELECT p, count(*) AS n_p FROM i GROUP BY p),
+        pr AS (
+          SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+          FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT pa AS id_a, pb AS id_b, n_ab,
+          sa.n_p AS n_a, sb.n_p AS n_b,
+          round(n_ab::DOUBLE / sa.n_p, 6) AS confidence,
+          round((n_ab * n_orders)::DOUBLE / (sa.n_p * sb.n_p), 6)
+            AS lift
+        FROM pr
+        JOIN supp sa ON pa = sa.p
+        JOIN supp sb ON pb = sb.p
+        CROSS JOIN no
+        ORDER BY lift DESC, id_a ASC, id_b ASC LIMIT 20""")),
+
+    // ---- TPC-H-Q9-shaped profit rollup (adapted to the testdata's
+    // tables — cost proxied by p_retailprice since partsupp is not
+    // generated, filter word from the generator's vocabulary): five-table join, filter pushed to the part scan,
+    // small dims broadcast, decimal-exact profit ----
+    Q("q9_profit_like",
+      (s, dir) => {
+        val li = Sources.table(s, dir, "lineitem")
+        val part = Sources.table(s, dir, "part")
+          .filter(col("p_name").contains("gear"))
+        val sup = Sources.table(s, dir, "supplier")
+        val nat = Sources.table(s, dir, "nation")
+        val ord = Sources.table(s, dir, "orders")
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).as("o_year"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") -
+                col("l_discount").cast("decimal(18,2)")) -
+              col("p_retailprice").cast("decimal(18,2)") *
+                col("l_quantity").cast("decimal(18,2)"))
+              .cast("decimal(28,4)")).cast("double").as("profit"))
+      },
+      Some("""SELECT n_name AS nation,
+          year(o_orderdate) AS o_year, count(*) AS n,
+          CAST(sum(CAST(
+            CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (CAST(1 AS DECIMAL(18,2)) -
+                CAST(l_discount AS DECIMAL(18,2))) -
+            CAST(p_retailprice AS DECIMAL(18,2)) *
+              CAST(l_quantity AS DECIMAL(18,2))
+            AS DECIMAL(28,4))) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY 1, 2"""))
   )
 }
