@@ -374,4 +374,42 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     assert(m.contains("partial_count"), m)
     assert(m.contains("BroadcastExchange"), m)
   }
+
+  test("q9_profit_like: dims broadcast, part filter pushed to the scan") {
+    val p = plan("q9_profit_like")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("StringContains(p_name,gear)"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("assoc_rules / link_pairs_topk: global top-N fuses to " +
+      "TakeOrderedAndProject, pair counts partial-aggregate") {
+    val a = plan("assoc_rules")
+    assert(a.contains("TakeOrderedAndProject"), a)
+    assert(a.contains("partial_count"), a)
+    val l = plan("link_pairs_topk")
+    assert(l.contains("TakeOrderedAndProject"), l)
+  }
+
+  test("join_asof_nearest: NO join at all — union + two window sorts " +
+      "over one key partitioning") {
+    val p = plan("join_asof_nearest")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("numeric_winsorize / events_ewma: quantile bounds ride " +
+      "broadcast; daily rates partial-aggregate before the window join") {
+    val w = plan("numeric_winsorize")
+    assert(w.contains("BroadcastHashJoin"), w)
+    val e = plan("events_ewma")
+    assert(e.contains("partial_count"), e)
+  }
+
+  test("search_rrf: the query embedding joins as broadcast — the dense " +
+      "stage never shuffles the corpus against the query") {
+    val p = plan("search_rrf")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
