@@ -787,6 +787,166 @@ object AnalyticsQueries {
         JOIN nation ON s_nationkey = n_nationkey
         JOIN orders ON l_orderkey = o_orderkey
         WHERE p_name LIKE '%gear%'
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // ---- perceptual-hash near-dup CLUSTERS: the multimodal pair list
+    // closed into duplicate families via the same connected-components
+    // path as text dedup; oracle = sig chain + recursive min-label
+    // reachability (1.5 s measured — the sibling chain re-inlines per
+    // iteration because recursive statements cannot carry
+    // materialization hints) ----
+    Q("multimodal_phash_clusters",
+      (s, dir) => {
+        import graft.operators.{Dedup, Multimodal}
+        val docs = Multimodal.withBinaryPayload(
+          Sources.table(s, dir, "documents"), "text")
+        val pairs = Multimodal.phashPairs(docs, "doc_id", "payload",
+          maxHamming = 8)
+        Dedup.connectedComponents(docs, "doc_id", pairs)
+      },
+      Some("""WITH RECURSIVE b AS (
+          SELECT doc_id, hex(encode(text)) AS h FROM documents),
+        g AS (
+          SELECT doc_id, unnest([substr(h, CAST(i AS INT), 8)
+            for i in range(1, greatest(length(h) - 7, 1) + 1, 4)]) AS s
+          FROM b),
+        shx AS (
+          SELECT doc_id, ('0x' || substr(md5(s), 1, 16))::UBIGINT AS hh
+          FROM g),
+        votes AS (
+          SELECT doc_id, j, sum(((hh >> j) & 1)::INTEGER * 2 - 1) AS v
+          FROM shx, (SELECT unnest(range(0, 64)) AS j)
+          GROUP BY doc_id, j),
+        sig AS (
+          SELECT doc_id,
+            sum(CASE WHEN v > 0 THEN 1::UBIGINT << j::INTEGER
+                ELSE 0::UBIGINT END) AS simhash
+          FROM votes GROUP BY doc_id),
+        ppairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 8),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM ppairs
+          UNION ALL SELECT doc_b, doc_a FROM ppairs),
+        reach(node, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e
+            ON e.src = r.node),
+        cc AS (
+          SELECT node AS doc_id, MIN(lab) AS cluster_id
+          FROM reach GROUP BY node)
+        SELECT doc_id, cluster_id FROM cc""")),
+
+    // ---- seasonal-naive forecast BACKTEST: forecast(d) = x(d−7) per
+    // event type, scored where both exist — MAE and signed bias from
+    // exact integer errors; the baseline every fancier forecaster must
+    // beat, and the backtesting harness shape itself ----
+    Q("events_forecast_naive",
+      (s, dir) => {
+        val daily = Sources.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("DAY", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val lagged = daily.select(col("event_type").as("__et"),
+          col("day").as("pday"), col("x").as("x7"))
+        daily.join(lagged,
+            col("event_type") === col("__et") &&
+              datediff(col("day"), col("pday")) === 7)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_eval"),
+            round(sum(abs(col("x") - col("x7"))).cast("double") /
+              count(lit(1)), 6).as("mae"),
+            round(sum(col("x") - col("x7")).cast("double") /
+              count(lit(1)), 6).as("bias"))
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, date_trunc('day', ts)::DATE AS day,
+            count(*) AS x
+          FROM events GROUP BY 1, 2)
+        SELECT a.event_type, count(*) AS n_eval,
+          round(sum(abs(a.x - b.x))::DOUBLE / count(*), 6) AS mae,
+          round(sum(a.x - b.x)::DOUBLE / count(*), 6) AS bias
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type
+         AND date_diff('day', b.day, a.day) = 7
+        GROUP BY 1""")),
+
+    // ---- the full rank family in one pass (rank / dense_rank /
+    // percent_rank / cume_dist) — tie-PRESERVING semantics, identical
+    // in both engines; ratios are single integer-derived divisions ----
+    Q("window_rank_family",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").asc)
+        Sources.table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            round(percent_rank().over(w), 6).as("prnk"),
+            round(cume_dist().over(w), 6).as("cdist"))
+      },
+      // NOTE: no SQL `WINDOW w AS (...)` clause here — the central
+      // materializeCtes rewrite would hit `w AS (` and inject a hint
+      // mid-statement; the four OVER specs are inlined instead
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+          rank() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice ASC) AS rnk,
+          dense_rank() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice ASC) AS drnk,
+          round(percent_rank() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice ASC), 6) AS prnk,
+          round(cume_dist() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice ASC), 6) AS cdist
+        FROM orders""")),
+
+    // ---- RAKE keyword extraction: stopword-delimited candidate
+    // phrases, word degree/frequency scores, corpus top-20 phrases;
+    // stopword list shared with the oracle ----
+    Q("text_rake_keywords",
+      (s, dir) => TextAnalysis.rakeKeywords(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        TextAnalysis.langMarkers("en"), topN = 20),
+      Some {
+        val stops = TextAnalysis.langMarkers("en").mkString("|")
+        s"""WITH ph0 AS (
+            SELECT unnest(string_split(regexp_replace(lower(text),
+              '\\b($stops)\\b', '|', 'g'), '|')) AS p0
+            FROM documents),
+          ph AS (
+            SELECT trim(regexp_replace(p0, ' +', ' ', 'g')) AS phrase
+            FROM ph0
+            WHERE trim(regexp_replace(p0, ' +', ' ', 'g')) <> ''),
+          pt AS (
+            SELECT phrase,
+              len(list_filter(string_split(phrase, ' '), x -> x <> ''))
+                AS plen,
+              unnest(list_filter(string_split(phrase, ' '),
+                x -> x <> '')) AS w
+            FROM ph),
+          ws AS (
+            SELECT w, count(*) AS freq, sum(plen)::BIGINT AS deg
+            FROM pt GROUP BY w),
+          wsc AS (
+            SELECT w,
+              CAST(round(deg::DOUBLE / freq, 6) AS DECIMAL(18,6)) AS s
+            FROM ws),
+          occ AS (
+            SELECT phrase, count(*) AS n_occ FROM ph GROUP BY phrase),
+          dtok AS (
+            SELECT phrase,
+              unnest(list_filter(string_split(phrase, ' '),
+                x -> x <> '')) AS w
+            FROM (SELECT DISTINCT phrase FROM ph) d),
+          psc AS (
+            SELECT phrase, CAST(sum(s) AS DOUBLE) AS score
+            FROM dtok JOIN wsc USING (w) GROUP BY phrase)
+          SELECT p.phrase, score, n_occ
+          FROM psc p JOIN occ USING (phrase)
+          ORDER BY score DESC, phrase ASC LIMIT 20"""
+      })
   )
 }

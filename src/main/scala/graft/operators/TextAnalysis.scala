@@ -521,6 +521,51 @@ object TextAnalysis {
         round(col("n_novel").cast("double") / col("n_shingles"), 6))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs; a word scores degree/frequency
+    * (degree = summed length of the phrases it appears in — words that
+    * live in long phrases outrank words that appear alone), and a
+    * phrase scores the sum of its words' scores. The classic
+    * no-model keyphrase extractor — corpus-level top-`topN` here, the
+    * summary a curation run attaches to each source.
+    *
+    * Determinism: word stats are exact integer counts over ALL phrase
+    * occurrences; word scores round once at 6 dp; each distinct
+    * phrase's score is an exact decimal sum over its token multiset;
+    * ties break on the phrase text. The stopword list is interpolated
+    * into the oracle from the same Seq.
+    *
+    * Scale shape: one regex projection + two exploded aggregates (word
+    * stats, phrase scores) + a TakeOrdered top-N — nothing quadratic,
+    * no window over the corpus. */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], topN: Int = 20): DataFrame = {
+    require(stopwords.nonEmpty, "need a stopword list")
+    val delim = regexp_replace(lower(col(textCol)),
+      "\\b(" + stopwords.mkString("|") + ")\\b", "|")
+    val ph = df
+      .select(explode(split(delim, "[|]")).as("p0"))
+      .select(trim(regexp_replace(col("p0"), " +", " ")).as("phrase"))
+      .filter(col("phrase") =!= "")
+    val pt = ph.select(col("phrase"),
+        size(Cleaning.tokens(col("phrase"))).as("plen"),
+        explode(Cleaning.tokens(col("phrase"))).as("w"))
+    val ws = pt.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("s", round(col("deg").cast("double") / col("freq"), 6)
+        .cast("decimal(18,6)"))
+    val occ = ph.groupBy(col("phrase")).agg(count(lit(1)).as("n_occ"))
+    val dtok = ph.select(col("phrase")).distinct()
+      .select(col("phrase"),
+        explode(Cleaning.tokens(col("phrase"))).as("w"))
+    dtok.join(ws.select(col("w"), col("s")), "w")
+      .groupBy(col("phrase"))
+      .agg(sum(col("s")).cast("double").as("score"))
+      .join(occ, "phrase")
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(topN)
+  }
+
   /** Accent-fold mapping for [[normalizeText]] — one definition, the
     * oracle generates the identical replace chain. */
   val accentFolds: Seq[(String, String)] = Seq(

@@ -301,6 +301,19 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
     assert(got(4L)._2 === 1L)
   }
 
+  test("rakeKeywords: degree/frequency scoring on the textbook shape") {
+    val docs = Seq((1L, "deep learning of the deep net"))
+      .toDF("doc_id", "text")
+    val got = operators.TextAnalysis.rakeKeywords(docs, "doc_id",
+      "text", Seq("the", "a", "of", "and", "to"), topN = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("score"), r.getAs[Long]("n_occ"))).toMap
+    // freq: deep 2, learning 1, net 1; deg: deep 4, learning 2, net 2
+    // -> every word scores 2.0; both phrases score 4.0
+    assert(got === Map("deep learning" -> (4.0, 1L),
+      "deep net" -> (4.0, 1L)))
+  }
+
   test("madOutliers flags the planted spike and nothing else") {
     val df = ((1 to 99).map(i => ("k", (i % 10).toDouble)) :+
       (("k", 1000.0))).toDF("k", "v")

@@ -49,4 +49,13 @@ class OracleHygieneSpec extends AnyFunSuite {
     val doubled = oracles.filter(_._2.contains("MATERIALIZED MATERIALIZED"))
     assert(doubled.isEmpty, doubled.keys.toSeq.sorted.mkString(", "))
   }
+
+  test("no oracle uses a SQL WINDOW clause (the rewrite would corrupt " +
+      "`w AS (` into a mid-statement hint — round 8 incident)") {
+    // window_rank_family originally wrote `WINDOW w AS (...)`; the
+    // rewrite's `\w+ AS (` pattern matched it and produced unparseable
+    // SQL. Named windows must be inlined into each OVER spec.
+    val offenders = oracles.filter(_._2.matches("(?s).*\\bWINDOW\\s+\\w+\\s+AS.*"))
+    assert(offenders.isEmpty, offenders.keys.toSeq.sorted.mkString(", "))
+  }
 }
