@@ -947,6 +947,144 @@ object AnalyticsQueries {
           SELECT p.phrase, score, n_occ
           FROM psc p JOIN occ USING (phrase)
           ORDER BY score DESC, phrase ASC LIMIT 20"""
-      })
+      }),
+
+    // ---- manifest-committed table (the table-format pattern in
+    // minimal honest form): the LATEST snapshot reads exactly the
+    // files manifest-v2 lists — part data-a is on disk but compacted
+    // out of the snapshot ----
+    Q("scan_manifest_latest",
+      (s, _) => Sources.manifestTable(s,
+        "/root/repo/fixtures/manifest"),
+      Some("""SELECT doc_id, text, quality FROM read_parquet(
+          ['/root/repo/fixtures/manifest/data-b.parquet',
+           '/root/repo/fixtures/manifest/data-c.parquet'])""")),
+
+    // ---- time travel: the same directory pinned at version 1 reads
+    // the pre-compaction snapshot (a+b) — old parts stay on disk, they
+    // just leave the manifest ----
+    Q("scan_manifest_timetravel",
+      (s, _) => Sources.manifestTable(s,
+        "/root/repo/fixtures/manifest", version = Some(1)),
+      Some("""SELECT doc_id, text, quality FROM read_parquet(
+          ['/root/repo/fixtures/manifest/data-a.parquet',
+           '/root/repo/fixtures/manifest/data-b.parquet'])""")),
+
+    // ---- Welch's two-sample t statistic between the view and
+    // purchase value distributions — the experiment-analysis primitive:
+    // moments from exact decimal sums, one identical double formula
+    // chain (t and the Welch–Satterthwaite df) in both engines ----
+    Q("stats_welch_t",
+      (s, dir) => {
+        val ev = Sources.events(s, dir)
+          .filter(col("event_type").isin("view", "purchase"))
+          .withColumn("vd", col("value").cast("decimal(18,6)"))
+        val m = ev.agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("n1"),
+          sum(when(col("event_type") === "view", col("vd")))
+            .cast("double").as("s1"),
+          sum(when(col("event_type") === "view", col("vd") * col("vd")))
+            .cast("double").as("q1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n2"),
+          sum(when(col("event_type") === "purchase", col("vd")))
+            .cast("double").as("s2"),
+          sum(when(col("event_type") === "purchase",
+            col("vd") * col("vd"))).cast("double").as("q2"))
+        m.select(col("n1"), col("n2"),
+            (col("s1") / col("n1")).as("m1"),
+            (col("s2") / col("n2")).as("m2"),
+            ((col("q1") - col("n1") * (col("s1") / col("n1")) *
+              (col("s1") / col("n1"))) / (col("n1") - 1)).as("v1"),
+            ((col("q2") - col("n2") * (col("s2") / col("n2")) *
+              (col("s2") / col("n2"))) / (col("n2") - 1)).as("v2"))
+          .select(col("n1"), col("n2"),
+            round(col("m1"), 6).as("mean1"),
+            round(col("m2"), 6).as("mean2"),
+            round((col("m1") - col("m2")) /
+              sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 6)
+              .as("t_stat"),
+            round(pow(col("v1") / col("n1") + col("v2") / col("n2"),
+              2.0) /
+              (pow(col("v1") / col("n1"), 2.0) / (col("n1") - 1) +
+                pow(col("v2") / col("n2"), 2.0) / (col("n2") - 1)), 2)
+              .as("df"))
+      },
+      Some("""WITH m AS (
+          SELECT
+            sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+              AS n1,
+            CAST(sum(CASE WHEN event_type = 'view'
+              THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS s1,
+            CAST(sum(CASE WHEN event_type = 'view'
+              THEN CAST(value AS DECIMAL(18,6)) *
+                CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS q1,
+            sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              ::BIGINT AS n2,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS s2,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(value AS DECIMAL(18,6)) *
+                CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS q2
+          FROM events WHERE event_type IN ('view', 'purchase')),
+        v AS (
+          SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+            (q1 - n1 * (s1 / n1) * (s1 / n1)) / (n1 - 1) AS v1,
+            (q2 - n2 * (s2 / n2) * (s2 / n2)) / (n2 - 1) AS v2
+          FROM m)
+        SELECT n1, n2, round(m1, 6) AS mean1, round(m2, 6) AS mean2,
+          round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+          round(power(v1 / n1 + v2 / n2, 2.0) /
+            (power(v1 / n1, 2.0) / (n1 - 1) +
+             power(v2 / n2, 2.0) / (n2 - 1)), 2) AS df
+        FROM v""")),
+
+    // ---- chi-square independence statistic over the lang × source
+    // contingency table — "is the language mix the same across
+    // sources?"; expected counts in one identical double expression,
+    // 6-dp decimal term sums ----
+    Q("stats_chi2",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        val o = docs.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("o"))
+        val rt = o.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+        val ct = o.groupBy(col("source")).agg(sum(col("o")).as("c"))
+        val n = o.agg(sum(col("o")).as("n"),
+          countDistinct(col("lang")).as("nl"),
+          countDistinct(col("source")).as("ns"))
+        val e = (col("r") * col("c")).cast("double") / col("n")
+        o.join(broadcast(rt), "lang").join(broadcast(ct), "source")
+          .crossJoin(broadcast(n))
+          .withColumn("term", round(
+            (col("o") - e) * (col("o") - e) / e, 6)
+            .cast("decimal(18,6)"))
+          .groupBy(col("n"), col("nl"), col("ns"))
+          .agg(sum(col("term")).cast("double").as("chi2"))
+          .select(col("n"), col("nl").as("n_lang"),
+            col("ns").as("n_source"),
+            ((col("nl") - 1) * (col("ns") - 1)).as("df"), col("chi2"))
+      },
+      Some("""WITH o AS (
+          SELECT lang, source, count(*) AS o FROM documents
+          GROUP BY 1, 2),
+        rt AS (SELECT lang, sum(o)::BIGINT AS r FROM o GROUP BY 1),
+        ct AS (SELECT source, sum(o)::BIGINT AS c FROM o GROUP BY 1),
+        nn AS (
+          SELECT sum(o)::BIGINT AS n, count(DISTINCT lang) AS nl,
+            count(DISTINCT source) AS ns
+          FROM o),
+        terms AS (
+          SELECT n, nl, ns,
+            CAST(round((o - (r * c)::DOUBLE / n) *
+              (o - (r * c)::DOUBLE / n) / ((r * c)::DOUBLE / n), 6)
+              AS DECIMAL(18,6)) AS term
+          FROM o JOIN rt USING (lang) JOIN ct USING (source)
+          CROSS JOIN nn)
+        SELECT n, nl AS n_lang, ns AS n_source,
+          (nl - 1) * (ns - 1) AS df,
+          CAST(sum(term) AS DOUBLE) AS chi2
+        FROM terms GROUP BY n, nl, ns"""))
   )
 }

@@ -78,6 +78,43 @@ object Sources {
   def parquetEvolved(spark: SparkSession, paths: String*): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
 
+  /** MANIFEST-committed parquet table — the table-format pattern
+    * (Delta/Iceberg/Hudi) in its minimal honest form: a directory of
+    * immutable part files plus versioned JSON manifests, each listing
+    * the files ACTIVE at that version. Readers resolve a manifest and
+    * scan exactly its file list, which buys the three properties a raw
+    * directory scan can't give at 100 TB:
+    *   - snapshot isolation: a writer commits by writing parts THEN a
+    *     new manifest — readers never see a half-written snapshot;
+    *   - compaction/delete without eventual-consistency races: old
+    *     files stay on disk, they just leave the manifest;
+    *   - time travel: `version = Some(v)` reads any retained snapshot.
+    * Manifest resolution is driver-side metadata I/O (exactly like the
+    * real formats' log replay); the data scan is a plain parallel
+    * parquet read of the listed files, so every pushdown/pruning
+    * property of [[table]] is preserved. */
+  def manifestTable(spark: SparkSession, dir: String,
+      version: Option[Int] = None): DataFrame = {
+    val d = new java.io.File(dir)
+    val versions = Option(d.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect { case n if n.startsWith("manifest-v") &&
+        n.endsWith(".json") =>
+        n.stripPrefix("manifest-v").stripSuffix(".json").toInt }
+      .sorted
+    require(versions.nonEmpty, s"no manifest-v*.json in $dir")
+    val v = version.getOrElse(versions.last)
+    require(versions.contains(v),
+      s"version $v not in retained snapshots ${versions.mkString(",")}")
+    // one tiny driver-side JSON read — the manifest IS metadata
+    val manifest = spark.read
+      .schema("version LONG, files ARRAY<STRING>")
+      .json(s"$dir/manifest-v$v.json")
+      .head()
+    val files = manifest.getSeq[String](1).map(f => s"$dir/$f")
+    spark.read.parquet(files: _*)
+  }
+
   /** Harness adapter: one parquet table out of a scale-factor directory
     * (TESTDATA.md layout). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =

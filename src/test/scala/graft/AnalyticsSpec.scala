@@ -314,6 +314,21 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
       "deep net" -> (4.0, 1L)))
   }
 
+  test("manifestTable: latest snapshot, time travel, and a clear error " +
+      "for a version that was never committed") {
+    val dir = "/root/repo/fixtures/manifest"
+    val latest = sources.Sources.manifestTable(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(latest === Array(4L, 5L, 6L, 7L, 8L, 9L))
+    val v1 = sources.Sources.manifestTable(spark, dir, Some(1))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(v1 === Array(1L, 2L, 3L, 4L, 5L, 6L))
+    val e = intercept[IllegalArgumentException] {
+      sources.Sources.manifestTable(spark, dir, Some(99))
+    }
+    assert(e.getMessage.contains("99"))
+  }
+
   test("madOutliers flags the planted spike and nothing else") {
     val df = ((1 to 99).map(i => ("k", (i % 10).toDouble)) :+
       (("k", 1000.0))).toDF("k", "v")
