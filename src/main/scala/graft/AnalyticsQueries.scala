@@ -1085,6 +1085,203 @@ object AnalyticsQueries {
         SELECT n, nl AS n_lang, ns AS n_source,
           (nl - 1) * (ns - 1) AS df,
           CAST(sum(term) AS DOUBLE) AS chi2
-        FROM terms GROUP BY n, nl, ns"""))
+        FROM terms GROUP BY n, nl, ns""")),
+
+    // ---- two-sample Kolmogorov–Smirnov: D = sup |ECDF_view −
+    // ECDF_purchase|, evaluated at the DISTINCT observed values (the sup
+    // is attained there), cumulative counts via one ordered window over
+    // the distinct-value table — integers until two identical double
+    // divisions; 1.36 = the α=0.05 asymptotic coefficient. At unbounded
+    // value cardinality swap the distinct table for equi-depth bin
+    // edges (Profiler.EquiDepth) — same window, bounded rows ----
+    Q("stats_ks",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Sources.events(s, dir)
+          .filter(col("event_type").isin("view", "purchase"))
+        val g = ev.groupBy(col("value").as("v"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("c1"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("c2"))
+        val w = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val n = g.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        g.select(col("v"), sum(col("c1")).over(w).as("cum1"),
+            sum(col("c2")).over(w).as("cum2"))
+          .crossJoin(broadcast(n))
+          .select(col("n1"), col("n2"),
+            round(abs(col("cum1").cast("double") / col("n1") -
+              col("cum2").cast("double") / col("n2")), 6).as("dd"))
+          .groupBy(col("n1"), col("n2"))
+          .agg(max(col("dd")).as("d_stat"))
+          .withColumn("c_alpha", round(lit(1.36) *
+            sqrt((col("n1") + col("n2")).cast("double") /
+              (col("n1") * col("n2"))), 6))
+          .withColumn("reject", col("d_stat") > col("c_alpha"))
+      },
+      Some("""WITH g AS (
+          SELECT value AS v,
+            sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              ::BIGINT AS c1,
+            sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              ::BIGINT AS c2
+          FROM events WHERE event_type IN ('view', 'purchase')
+          GROUP BY 1),
+        n AS (
+          SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM g),
+        c AS (
+          SELECT v,
+            sum(c1) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+            sum(c2) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+          FROM g),
+        d AS (
+          SELECT n1, n2,
+            round(abs(cum1::DOUBLE / n1 - cum2::DOUBLE / n2), 6) AS dd
+          FROM c CROSS JOIN n)
+        SELECT n1, n2, max(dd) AS d_stat,
+          round(1.36 * sqrt((n1 + n2)::DOUBLE / (n1 * n2)), 6)
+            AS c_alpha,
+          max(dd) > round(1.36 * sqrt((n1 + n2)::DOUBLE / (n1 * n2)), 6)
+            AS reject
+        FROM d GROUP BY n1, n2""")),
+
+    // ---- A/B experiment readout: users assigned to arms by md5
+    // parity (the deterministic randomization unit — reproducible,
+    // join-free, balanced), conversion = first purchase within 2 days
+    // of first signup (the raw any-purchase rate saturates at 1.0 in
+    // this corpus — a degenerate metric is itself the lesson); pooled
+    // two-proportion z, 0-variance-guarded. All counts integer, one
+    // identical double formula chain ----
+    Q("stats_ab_test",
+      (s, dir) => {
+        val ev = Sources.events(s, dir)
+        val t0 = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+        val fast = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"))
+          .join(t0, "user_id")
+          .filter(col("pts") >= col("t0") &&
+            datediff(col("pts").cast("date"), col("t0").cast("date"))
+              <= 2)
+          .select(col("user_id")).distinct()
+          .withColumn("cv", lit(1L))
+        val users = t0.join(fast, Seq("user_id"), "left")
+          .select(col("user_id"), coalesce(col("cv"), lit(0L)).as("conv"))
+          .withColumn("arm",
+            graft.operators.Curation.hashBucket(col("user_id"), 2))
+        val m = users.groupBy(col("arm"))
+          .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+        val wide = m.agg(
+          sum(when(col("arm") === 0, col("n"))).as("n0"),
+          sum(when(col("arm") === 0, col("k"))).as("k0"),
+          sum(when(col("arm") === 1, col("n"))).as("n1"),
+          sum(when(col("arm") === 1, col("k"))).as("k1"))
+        wide.select(col("n0"), col("k0"), col("n1"), col("k1"),
+            round(col("k0").cast("double") / col("n0"), 6).as("p0"),
+            round(col("k1").cast("double") / col("n1"), 6).as("p1"),
+            ((col("k0") + col("k1")).cast("double") /
+              (col("n0") + col("n1"))).as("pp"))
+          .withColumn("se", sqrt(col("pp") * (lit(1.0) - col("pp")) *
+            (lit(1.0) / col("n0") + lit(1.0) / col("n1"))))
+          .withColumn("z", when(col("se") > 0, round(
+            (col("k1").cast("double") / col("n1") -
+              col("k0").cast("double") / col("n0")) / col("se"), 6))
+            .otherwise(lit(0.0)))
+          .select(col("n0"), col("k0"), col("n1"), col("k1"),
+            col("p0"), col("p1"), col("z"),
+            (abs(col("z")) > 1.96).as("significant"))
+      },
+      Some("""WITH t0 AS (
+          SELECT user_id, min(ts) AS t0 FROM events
+          WHERE event_type = 'signup' GROUP BY 1),
+        fast AS (
+          SELECT DISTINCT e.user_id
+          FROM events e JOIN t0 ON e.user_id = t0.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= t0.t0
+            AND date_diff('day', t0.t0::DATE, e.ts::DATE) <= 2),
+        u AS (
+          SELECT t0.user_id,
+            CASE WHEN fast.user_id IS NOT NULL THEN 1 ELSE 0 END
+              ::BIGINT AS conv,
+            ('0x' || substr(md5(t0.user_id::VARCHAR), 1, 8))::BIGINT % 2
+              AS arm
+          FROM t0 LEFT JOIN fast ON t0.user_id = fast.user_id),
+        m AS (
+          SELECT
+            sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+            sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)::BIGINT AS k0,
+            sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+            sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)::BIGINT AS k1
+          FROM u),
+        z AS (
+          SELECT n0, k0, n1, k1,
+            round(k0::DOUBLE / n0, 6) AS p0,
+            round(k1::DOUBLE / n1, 6) AS p1,
+            CASE WHEN sqrt(((k0 + k1)::DOUBLE / (n0 + n1)) *
+                (1.0 - (k0 + k1)::DOUBLE / (n0 + n1)) *
+                (1.0 / n0 + 1.0 / n1)) > 0
+              THEN round((k1::DOUBLE / n1 - k0::DOUBLE / n0) /
+                sqrt(((k0 + k1)::DOUBLE / (n0 + n1)) *
+                  (1.0 - (k0 + k1)::DOUBLE / (n0 + n1)) *
+                  (1.0 / n0 + 1.0 / n1)), 6)
+              ELSE 0.0 END AS z
+          FROM m)
+        SELECT n0, k0, n1, k1, p0, p1, z, abs(z) > 1.96 AS significant
+        FROM z""")),
+
+    // ---- Kaplan–Meier time-to-purchase from signup, right-censored
+    // at the observation horizon — the survival curve behind "how long
+    // until a signed-up user converts"; portable product via 6-dp ln
+    // terms summed exactly, curve rows on the bounded distinct-
+    // duration table ----
+    Q("events_survival_km",
+      (s, dir) => Temporal.kaplanMeier(
+        Sources.events(s, dir), "user_id", "event_type", "ts",
+        startType = "signup", eventType = "purchase"),
+      Some("""WITH t0 AS (
+          SELECT user_id AS u, min(ts) AS t0 FROM events
+          WHERE event_type = 'signup' GROUP BY 1),
+        h AS (SELECT max(ts) AS hmax FROM events),
+        evt AS (
+          SELECT e.user_id AS u, min(e.ts) AS pts
+          FROM events e JOIN t0 ON e.user_id = t0.u
+          WHERE e.event_type = 'purchase' AND e.ts >= t0.t0
+          GROUP BY 1),
+        users AS (
+          SELECT t0.u,
+            CASE WHEN pts IS NOT NULL
+              THEN date_diff('day', t0::DATE, pts::DATE)
+              ELSE date_diff('day', t0::DATE, hmax::DATE) END AS dur,
+            CASE WHEN pts IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS obs
+          FROM t0 LEFT JOIN evt ON t0.u = evt.u CROSS JOIN h),
+        byt AS (
+          SELECT dur AS t, sum(obs)::BIGINT AS d,
+            sum(1 - obs)::BIGINT AS c, count(*) AS m
+          FROM users GROUP BY 1),
+        r AS (
+          SELECT t, d, c,
+            sum(m) OVER (ORDER BY t DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              ::BIGINT AS n_risk
+          FROM byt),
+        tm AS (
+          SELECT t, n_risk, d, c,
+            CASE WHEN d < n_risk THEN
+              CAST(round(ln(1.0 - d::DOUBLE / n_risk), 6)
+                AS DECIMAL(18,6)) END AS term,
+            max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (
+              ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS dead
+          FROM r)
+        SELECT t, n_risk, d, c,
+          CASE WHEN dead = 1 THEN 0.0
+            ELSE round(exp(CAST(sum(term) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE)), 6) END AS surv
+        FROM tm"""))
   )
 }

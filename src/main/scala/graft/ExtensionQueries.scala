@@ -1156,6 +1156,75 @@ object SimilarityQueries {
 
   def all: Seq[Q] = Seq(
 
+    // simplified silhouette of the trained k-means quantizer: a = dist
+    // to own centroid, b = dist to nearest other — the cluster-quality
+    // gate before trusting cluster-level curation decisions; the oracle
+    // reruns the shared Lloyd's algebra and reads a/b as the rn=1/rn=2
+    // rows of the per-vector distance ranking
+    Q("embedding_silhouette",
+      (s, dir) => Similarity.silhouette(
+        Sources.table(s, dir, "embeddings"), "embedding",
+        centroidStep = 50, iters = 2),
+      Some(s"""WITH ${kmeansAssignCtes(2)},
+          dd AS (SELECT vec_id, cent_id, sqrt(d2) AS d FROM dF),
+          t AS (
+            SELECT vec_id, cent_id, d, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+            FROM dd),
+          ab AS (
+            SELECT a.vec_id, a.cent_id AS cell, a.d AS a, b.d AS b
+            FROM t a JOIN t b
+              ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+          sil AS (
+            SELECT vec_id, cell,
+              round(CASE WHEN greatest(a, b) > 0
+                THEN (b - a) / greatest(a, b) ELSE 0 END, 6) AS sil
+            FROM ab)
+          SELECT cell, count(*) AS n,
+            round(CAST(sum(CAST(sil AS DECIMAL(18,6))) AS DOUBLE) /
+              count(*), 6) AS mean_sil
+          FROM sil GROUP BY cell""")),
+
+    // Davies–Bouldin separation audit, silhouette's complement: per
+    // cluster the scatter (mean member→centroid distance) and the worst
+    // (s_i+s_j)/d(c_i,c_j) ratio over other clusters; centroid-pair
+    // distances replay the final Lloyd's centroid table (c2) with the
+    // same ordered-sum/9-dp rounding as the assignment distances
+    Q("embedding_davies_bouldin",
+      (s, dir) => Similarity.daviesBouldin(
+        Sources.table(s, dir, "embeddings"), "embedding",
+        centroidStep = 50, iters = 2),
+      Some(s"""WITH ${kmeansAssignCtes(2)},
+          own AS (
+            SELECT a.vec_id, a.cell, sqrt(d.d2) AS a
+            FROM assign a JOIN dF d
+              ON a.vec_id = d.vec_id AND a.cell = d.cent_id),
+          sc AS (
+            SELECT cell, count(*) AS n,
+              round(CAST(sum(CAST(round(a, 6) AS DECIMAL(18,6)))
+                AS DOUBLE) / count(*), 6) AS s
+            FROM own GROUP BY cell),
+          cd AS (
+            SELECT a.cent_id AS ci, b.cent_id AS cj,
+              sqrt(round(sum((a.v - b.v) * (a.v - b.v) ORDER BY a.i),
+                9)) AS m
+            FROM c2 a JOIN c2 b
+              ON a.i = b.i AND a.cent_id <> b.cent_id
+            GROUP BY 1, 2),
+          ratios AS (
+            SELECT ci, si.n, si.s AS si, cj,
+              round((si.s + sj.s) / m, 6) AS ratio
+            FROM cd
+            JOIN sc si ON ci = si.cell
+            JOIN sc sj ON cj = sj.cell),
+          best AS (
+            SELECT ci, n, si, cj, ratio, row_number() OVER (
+              PARTITION BY ci ORDER BY ratio DESC, cj DESC) AS rn
+            FROM ratios)
+          SELECT ci AS cell, n, si AS s, cj AS worst_other,
+            ratio AS worst_ratio
+          FROM best WHERE rn = 1""")),
+
     // per-dimension z-score standardization — every element's scaled
     // value hash-checked (exact-decimal moments, one double divide)
     Q("embedding_standardize",
@@ -2416,6 +2485,79 @@ object TextQueries {
   private val bm25QueryTerms = Seq("spark", "query", "join")
 
   def all: Seq[Q] = Seq(
+
+    // cross-document boilerplate profile: 4-token segments occurring in
+    // >= 3 distinct docs are template text (the CCNet/C4 line-frequency
+    // strip, with fixed token windows as the line surrogate for this
+    // newline-free corpus); per-doc removed-words ratio. The segment
+    // join keys on md5(segment) in BOTH engines, so the 32-byte-key
+    // shuffle optimization is itself hash-checked
+    Q("text_boilerplate",
+      (s, dir) => TextAnalysis.boilerplateProfile(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        segWords = 4, minDocs = 3),
+      Some("""WITH t AS (
+          SELECT doc_id,
+            unnest(list_filter(string_split(lower(text), ' '),
+              x -> x <> '')) AS w,
+            generate_subscripts(list_filter(string_split(lower(text),
+              ' '), x -> x <> ''), 1) AS i
+          FROM documents),
+        segs AS (
+          SELECT doc_id, (i - 1) // 4 AS ch,
+            md5(string_agg(w, ' ' ORDER BY i)) AS seg_h,
+            count(*) AS nw
+          FROM t GROUP BY 1, 2),
+        freq AS (
+          SELECT seg_h, count(DISTINCT doc_id) AS nd
+          FROM segs GROUP BY 1)
+        SELECT doc_id, count(*) AS n_seg,
+          sum(CASE WHEN nd >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+          sum(nw)::BIGINT AS n_words,
+          sum(CASE WHEN nd < 3 THEN nw ELSE 0 END)::BIGINT
+            AS n_words_kept,
+          round((sum(nw) - sum(CASE WHEN nd < 3 THEN nw ELSE 0 END))
+            ::DOUBLE / sum(nw), 6) AS removed_ratio
+        FROM segs JOIN freq USING (seg_h)
+        GROUP BY doc_id""")),
+
+    // lexical richness per source: type/token ratio and hapax-legomena
+    // share (words seen exactly once IN THAT SOURCE) — the fast "is
+    // this source templated or organic" screen (templated text has few
+    // hapaxes; the corpus-level companion of corpus_zipf's slope)
+    Q("text_hapax_ratio",
+      (s, dir) => {
+        val toks = Sources.table(s, dir, "documents")
+          .select(col("source"), explode(
+            graft.functions.Cleaning.tokens(lower(col("text"))))
+            .as("w"))
+        val wc = toks.groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("c"))
+        wc.groupBy(col("source"))
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+          .select(col("source"), col("n_tokens"), col("n_types"),
+            col("n_hapax"),
+            round(col("n_types").cast("double") / col("n_tokens"), 6)
+              .as("type_token_ratio"),
+            round(col("n_hapax").cast("double") / col("n_types"), 6)
+              .as("hapax_ratio"))
+      },
+      Some("""WITH t AS (
+          SELECT source,
+            unnest(list_filter(string_split(lower(text), ' '),
+              x -> x <> '')) AS w
+          FROM documents),
+        wc AS (
+          SELECT source, w, count(*) AS c FROM t GROUP BY 1, 2)
+        SELECT source, sum(c)::BIGINT AS n_tokens,
+          count(*) AS n_types,
+          sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+          round(count(*)::DOUBLE / sum(c), 6) AS type_token_ratio,
+          round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE /
+            count(*), 6) AS hapax_ratio
+        FROM wc GROUP BY source""")),
 
     // per-column table profile (the trust-a-new-drop audit): one
     // aggregate pass over every column -> long-form (col_name, counts,
@@ -3817,6 +3959,33 @@ object CurationQueries {
 
   def all: Seq[Q] = Seq(
 
+    // cross-source quality-score calibration by rank uniformization:
+    // each source's raw score (token count) maps to its within-source
+    // percent_rank, so "top decile of reddit" and "top decile of
+    // wikipedia" become comparable before a global quality cut — the
+    // fix for threshold-on-raw-score favoring whichever source runs
+    // long. Ties broken on doc_id → a total order both engines share
+    Q("quality_quantile_norm",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Sources.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(graft.functions.Cleaning.tokens(col("text")))
+              .cast("long").as("raw"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("raw").asc, col("doc_id").asc)
+        docs.withColumn("qnorm", round(percent_rank().over(w), 6))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, source,
+            len(list_filter(string_split(text, ' '), x -> x <> ''))
+              ::BIGINT AS raw
+          FROM documents)
+        SELECT doc_id, source, raw,
+          round(percent_rank() OVER (PARTITION BY source
+            ORDER BY raw ASC, doc_id ASC), 6) AS qnorm
+        FROM d""")),
+
     // benchmark decontamination: every 20th document plays the role of
     // the eval suite; the rest of the corpus is flagged when it shares a
     // word 5-gram with any of them (GPT-3 appendix-C rule). The oracle
@@ -5153,6 +5322,163 @@ object MultimodalQueries {
 object GraphQueries {
 
   def all: Seq[Q] = Seq(
+
+    // STRONGLY connected components over a genuinely directed graph:
+    // supplier "handoff" edges (consecutive lineitems of one order, by
+    // linenumber) kept when the nation key does not decrease — within-
+    // nation edges run both ways (cycles → per-nation SCCs), cross-
+    // nation edges only low→high (a DAG between the components): the
+    // web-graph bowtie shape in miniature. The coloring algorithm's
+    // min-id labels make scc_id = min member id, which the oracle
+    // replays as a two-way recursive reachability closure (v and u in
+    // one SCC iff v→*u and u→*v)
+    Q("graph_scc",
+      (s, dir) => {
+        val li = Sources.table(s, dir, "lineitem")
+        val a = li.select(col("l_orderkey").as("o"),
+          col("l_linenumber").as("ln"), col("l_suppkey").as("sa"))
+        val b = li.select(col("l_orderkey").as("o"),
+          (col("l_linenumber") - 1).as("ln"), col("l_suppkey").as("sb"))
+        val sup = Sources.table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val edges = a.join(b, Seq("o", "ln"))
+          .filter(col("sa") =!= col("sb"))
+          .join(broadcast(sup.select(col("s_suppkey").as("sa"),
+            col("s_nationkey").as("na"))), "sa")
+          .join(broadcast(sup.select(col("s_suppkey").as("sb"),
+            col("s_nationkey").as("nb"))), "sb")
+          .filter(col("na") <= col("nb"))
+          .select(col("sa").as("src"), col("sb").as("dst"))
+          .distinct()
+        Graph.stronglyConnectedComponents(edges, "src", "dst")
+      },
+      Some("""WITH RECURSIVE li2 AS (
+          SELECT a.l_suppkey AS sa, b.l_suppkey AS sb
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+          WHERE a.l_suppkey <> b.l_suppkey),
+        e AS (
+          SELECT DISTINCT sa AS src, sb AS dst
+          FROM li2
+          JOIN supplier s1 ON sa = s1.s_suppkey
+          JOIN supplier s2 ON sb = s2.s_suppkey
+          WHERE s1.s_nationkey <= s2.s_nationkey),
+        n AS (
+          SELECT DISTINCT src AS v FROM e
+          UNION SELECT DISTINCT dst FROM e),
+        r(a, b) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b),
+        mut AS (
+          SELECT r1.a AS v, r1.b AS u
+          FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a)
+        SELECT n.v AS node,
+          least(n.v, coalesce(min(m.u), n.v)) AS scc_id
+        FROM n LEFT JOIN mut m ON n.v = m.v
+        GROUP BY n.v""")),
+
+    // edge reciprocity of the RAW (unfiltered) supplier-handoff digraph:
+    // what fraction of directed edges have a reverse edge — the first
+    // directedness diagnostic (1.0 = effectively undirected, near 0 =
+    // true flow); one self-join on the distinct edge table
+    Q("graph_reciprocity",
+      (s, dir) => {
+        val li = Sources.table(s, dir, "lineitem")
+        val a = li.select(col("l_orderkey").as("o"),
+          col("l_linenumber").as("ln"), col("l_suppkey").as("sa"))
+        val b = li.select(col("l_orderkey").as("o"),
+          (col("l_linenumber") - 1).as("ln"), col("l_suppkey").as("sb"))
+        val e = a.join(b, Seq("o", "ln"))
+          .filter(col("sa") =!= col("sb"))
+          .select(col("sa").as("src"), col("sb").as("dst")).distinct()
+        val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+        e.join(rev, Seq("src", "dst"), "left_semi")
+          .agg(count(lit(1)).as("n_reciprocal"))
+          .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+          .select(col("n_edges"), col("n_reciprocal"),
+            round(col("n_reciprocal").cast("double") / col("n_edges"), 6)
+              .as("reciprocity"))
+      },
+      Some("""WITH e AS (
+          SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+          WHERE a.l_suppkey <> b.l_suppkey)
+        SELECT
+          (SELECT count(*) FROM e) AS n_edges,
+          count(*) AS n_reciprocal,
+          round(count(*)::DOUBLE / (SELECT count(*) FROM e), 6)
+            AS reciprocity
+        FROM e WHERE EXISTS (
+          SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)""")),
+
+    // condensation of the SCC partition: the quotient DAG whose nodes
+    // are graph_scc's components — cross-component edges mapped to
+    // (scc_a → scc_b) and deduped. On the bowtie shape this is the
+    // "which regions feed which" rollup; acyclicity is guaranteed by
+    // construction (any quotient cycle would merge its SCCs)
+    Q("graph_condensation",
+      (s, dir) => {
+        val li = Sources.table(s, dir, "lineitem")
+        val a = li.select(col("l_orderkey").as("o"),
+          col("l_linenumber").as("ln"), col("l_suppkey").as("sa"))
+        val b = li.select(col("l_orderkey").as("o"),
+          (col("l_linenumber") - 1).as("ln"), col("l_suppkey").as("sb"))
+        val sup = Sources.table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val edges = a.join(b, Seq("o", "ln"))
+          .filter(col("sa") =!= col("sb"))
+          .join(broadcast(sup.select(col("s_suppkey").as("sa"),
+            col("s_nationkey").as("na"))), "sa")
+          .join(broadcast(sup.select(col("s_suppkey").as("sb"),
+            col("s_nationkey").as("nb"))), "sb")
+          .filter(col("na") <= col("nb"))
+          .select(col("sa").as("src"), col("sb").as("dst"))
+          .distinct()
+        val scc = Graph.stronglyConnectedComponents(edges, "src", "dst")
+        edges
+          .join(scc.select(col("node").as("src"),
+            col("scc_id").as("scc_a")), "src")
+          .join(scc.select(col("node").as("dst"),
+            col("scc_id").as("scc_b")), "dst")
+          .filter(col("scc_a") =!= col("scc_b"))
+          .select(col("scc_a"), col("scc_b")).distinct()
+      },
+      Some("""WITH RECURSIVE li2 AS (
+          SELECT a.l_suppkey AS sa, b.l_suppkey AS sb
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+          WHERE a.l_suppkey <> b.l_suppkey),
+        e AS (
+          SELECT DISTINCT sa AS src, sb AS dst
+          FROM li2
+          JOIN supplier s1 ON sa = s1.s_suppkey
+          JOIN supplier s2 ON sb = s2.s_suppkey
+          WHERE s1.s_nationkey <= s2.s_nationkey),
+        n AS (
+          SELECT DISTINCT src AS v FROM e
+          UNION SELECT DISTINCT dst FROM e),
+        r(a, b) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b),
+        mut AS (
+          SELECT r1.a AS v, r1.b AS u
+          FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a),
+        scc AS (
+          SELECT n.v AS node,
+            least(n.v, coalesce(min(m.u), n.v)) AS scc_id
+          FROM n LEFT JOIN mut m ON n.v = m.v
+          GROUP BY n.v)
+        SELECT DISTINCT sa.scc_id AS scc_a, sb.scc_id AS scc_b
+        FROM e
+        JOIN scc sa ON e.src = sa.node
+        JOIN scc sb ON e.dst = sb.node
+        WHERE sa.scc_id <> sb.scc_id""")),
 
     // PageRank over the relationally-derived customer–supplier bipartite
     // graph (distinct trade edges from orders⋈lineitem, symmetrized;

@@ -533,6 +533,33 @@ object ReferenceQueries {
         SUM(l_quantity) AS sum_qty FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
 
+    // ---- GROUPING SETS (the general member of the rollup/cube family):
+    // a mixed-dimension set — (flag, status), (ship_year), () — that
+    // neither rollup nor cube expresses; grouping_id covers all three
+    // grouping columns with identical bit order in both engines ----
+    Q("agg_grouping_sets",
+      (s, dir) => t(s, dir, "lineitem")
+        .withColumn("ship_year", year(col("l_shipdate")))
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("ship_year")), Seq()),
+          col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty")),
+      Some("""WITH li AS (
+          SELECT l_returnflag, l_linestatus,
+            year(l_shipdate) AS ship_year, l_quantity
+          FROM lineitem)
+        SELECT l_returnflag, l_linestatus, ship_year,
+          GROUPING(l_returnflag, l_linestatus, ship_year) AS gid,
+          count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_qty
+        FROM li
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          (ship_year), ())""")),
+
     // ---- A2 under skew: two-phase salted aggregation. Same result as
     // agg_count_group (and the same oracle) — the salt only reshapes the
     // shuffle: phase 1 groups on (key, salt) so one hot key spreads over

@@ -696,4 +696,88 @@ object Graph {
       .orderBy(col("jacc").desc, col("id_a").asc, col("id_b").asc)
       .limit(topN)
   }
+
+  /** STRONGLY connected components of a directed graph — the coloring
+    * algorithm (Orzan's OBF family) with deterministic min-id labels,
+    * so the component id is always the smallest member id and an ANSI
+    * engine can replay the result via a two-way reachability closure.
+    *
+    * Per outer round over the still-unassigned subgraph:
+    *  1. forward MIN-color propagation to fixpoint (semi-naive: only
+    *     nodes whose color changed re-propagate) — color(v) = the
+    *     smallest id with a directed path to v;
+    *  2. every node with color(v) = v is a PIVOT, and the pivots'
+    *     components are carved out in parallel: backward reachability
+    *     from each pivot restricted to its own color region (a node on
+    *     any path between same-SCC nodes provably carries the same
+    *     color, so the restriction loses nothing);
+    *  3. confirmed members leave the node/edge set.
+    *
+    * Every remaining subgraph's minimum node id is its own color and
+    * hence a pivot, so each round retires ≥ 1 component and the loop
+    * terminates without a fixed iteration count. All frontiers and the
+    * shrinking edge set are `localCheckpoint`ed per round (the
+    * iterative-loop rule); per-round work is frontier-adjacency-sized
+    * joins + map-side-combinable min-aggregates — the Pregel shape,
+    * bucketable on the node key at rest. Unlike union-find this never
+    * collects edges to the driver, and unlike the (R,S)-label heuristic
+    * it is exact: two distinct SCCs sharing forward AND backward min
+    * labels cannot both survive the backward-confirm step.
+    *
+    * Output: (node, scc_id) for every edge endpoint, scc_id = min
+    * member id. */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxRounds: Int = 64): DataFrame = {
+    var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // typed after the caller's node ids — built from the node table so
+    // the per-round unionByName never coerces
+    var result = nodes.select(col("node"), col("node").as("scc_id"))
+      .limit(0).localCheckpoint()
+    var round = 0
+    while (!nodes.isEmpty && round < maxRounds) {
+      // 1. forward min-color fixpoint (semi-naive frontier)
+      var color = nodes.withColumn("color", col("node")).localCheckpoint()
+      var frontier = color
+      while (!frontier.isEmpty) {
+        val inc = frontier.join(e, col("node") === col("src"))
+          .select(col("dst").as("node"), col("color").as("cin"))
+          .groupBy(col("node")).agg(min(col("cin")).as("cin"))
+        val joined = color.join(inc, Seq("node"), "left").localCheckpoint()
+        frontier = joined.filter(col("cin") < col("color"))
+          .select(col("node"), col("cin").as("color")).localCheckpoint()
+        color = joined.select(col("node"),
+          least(col("color"), coalesce(col("cin"), col("color")))
+            .as("color")).localCheckpoint()
+      }
+      // 2. backward confirm from the pivots, within each color region
+      var member = color.filter(col("color") === col("node"))
+        .select(col("node"), col("node").as("scc_id")).localCheckpoint()
+      var back = member
+      while (!back.isEmpty) {
+        val next = back.join(e, col("node") === col("dst"))
+          .select(col("src").as("node"), col("scc_id")).distinct()
+          .join(color, Seq("node"))
+          .filter(col("color") === col("scc_id"))
+          .select(col("node"), col("scc_id"))
+          .join(member.select(col("node")), Seq("node"), "left_anti")
+          .localCheckpoint()
+        if (!next.isEmpty) member = member.unionByName(next).localCheckpoint()
+        back = next
+      }
+      result = result.unionByName(member).localCheckpoint()
+      // 3. retire confirmed members; keep only edges inside the remainder
+      nodes = nodes.join(member.select(col("node")), Seq("node"),
+        "left_anti").localCheckpoint()
+      e = e.join(nodes.select(col("node").as("src")), Seq("src"))
+        .join(nodes.select(col("node").as("dst")), Seq("dst"))
+        .select(col("src"), col("dst")).localCheckpoint()
+      round += 1
+    }
+    require(nodes.isEmpty,
+      s"SCC did not converge within $maxRounds rounds")
+    result
+  }
 }

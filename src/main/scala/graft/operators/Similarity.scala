@@ -1550,4 +1550,96 @@ object Similarity {
       .select(col("vec_id"), (col("p") + 1).cast("int").as("j"),
         col("y"))
   }
+
+  /** Simplified (centroid-based) SILHOUETTE audit of the trained
+    * k-means quantizer: a(i) = distance to the own centroid, b(i) =
+    * distance to the nearest OTHER centroid, s = (b − a)/max(a, b) —
+    * the standard medoid-free silhouette that needs only the n×k
+    * distance table the assignment already computes, never the n²
+    * pairwise form. The per-cluster mean silhouette is the "are these
+    * clusters real" gate a SemDeDup/curation pipeline should read
+    * before trusting cluster-level dedup decisions.
+    *
+    * Determinism: distances are the assignment's 9-dp-rounded squared
+    * L2 under IEEE sqrt; the own cell uses [[assignCells]]' (d2, id)
+    * struct-min tie rule; per-doc s rounds at 6 dp and cluster means
+    * sum exact decimals. Scale shape: one broadcast of the (small by
+    * design) centroid table, one groupBy(vec) whose per-key payload is
+    * k (d, id) pairs — the centroid count, not the corpus — then one
+    * k-sized aggregate per cluster.
+    *
+    * Output: (cell, n, mean_sil), one row per surviving cluster. */
+  def silhouette(corpus: DataFrame, vecCol: String, centroidStep: Int,
+      iters: Int): DataFrame = {
+    val cents = kmeansCentroids(corpus, vecCol, centroidStep, iters)
+    val d = corpus.select(col("vec_id"), col(vecCol).as("e"))
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        sqrt(round(VectorExpressions.squaredDist(col("e"), col("ce")), 9))
+          .as("d"))
+    val ab = d.groupBy(col("vec_id"))
+      .agg(slice(sort_array(collect_list(
+        struct(col("d"), col("cent_id")))), 1, 2).as("t2"))
+      .select(col("vec_id"),
+        col("t2").getItem(0).getField("cent_id").as("cell"),
+        col("t2").getItem(0).getField("d").as("a"),
+        col("t2").getItem(1).getField("d").as("b"))
+    // a lone surviving centroid has no "nearest other" — drop, like the
+    // oracle's rn=2 inner join (cannot happen at the configured steps)
+    ab.filter(col("b").isNotNull)
+      .withColumn("sil",
+        round(when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)), 6))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("sil").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_sil"))
+  }
+
+  /** Davies–Bouldin cluster-separation audit of the same trained
+    * quantizer — [[silhouette]]'s complement: per cluster i, scatter
+    * s_i = mean member distance to the centroid, and the worst-case
+    * ratio max_{j≠i} (s_i + s_j) / d(c_i, c_j) (small = compact and
+    * far from the nearest confusable cluster; the mean over clusters
+    * is the classic DB index, derivable from this table by the
+    * consumer). Distances reuse the assignment's 9-dp-rounded squared
+    * L2; scatters are exact-decimal means of 6-dp member distances;
+    * the k×k centroid-pair stage runs on the tiny centroid table only.
+    *
+    * Output: (cell, n, s, worst_other, worst_ratio). */
+  def daviesBouldin(corpus: DataFrame, vecCol: String,
+      centroidStep: Int, iters: Int): DataFrame = {
+    val cents = kmeansCentroids(corpus, vecCol, centroidStep, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d = corpus.select(col("vec_id"), col(vecCol).as("e"))
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        sqrt(round(VectorExpressions.squaredDist(col("e"), col("ce")), 9))
+          .as("d"))
+    val own = d.groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("cell"),
+        col("best.d").as("a"))
+    val scatter = own.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("a"), 6).cast("decimal(18,6)"))
+          .cast("double") / count(lit(1)), 6).as("s"))
+    val cc = cents.select(col("cent_id").as("ci"), col("ce").as("ei"))
+      .crossJoin(cents.select(col("cent_id").as("cj"), col("ce").as("ej")))
+      .filter(col("ci") =!= col("cj"))
+      .select(col("ci"), col("cj"),
+        sqrt(round(VectorExpressions.squaredDist(col("ei"), col("ej")), 9))
+          .as("m"))
+    cc.join(scatter.select(col("cell").as("ci"), col("n"),
+          col("s").as("si")), "ci")
+      .join(scatter.select(col("cell").as("cj"), col("s").as("sj")), "cj")
+      .select(col("ci"), col("n"), col("si"), col("cj"),
+        round((col("si") + col("sj")) / col("m"), 6).as("ratio"))
+      .groupBy(col("ci").as("cell"))
+      .agg(min(col("n")).as("n"), min(col("si")).as("s"),
+        max(struct(col("ratio"), col("cj"))).as("w"))
+      .select(col("cell"), col("n"), col("s"),
+        col("w.cj").as("worst_other"), col("w.ratio").as("worst_ratio"))
+  }
 }

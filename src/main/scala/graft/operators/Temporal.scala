@@ -379,4 +379,64 @@ object Temporal {
           .as("cusum"))
       .withColumn("changepoint", col("cusum") > threshold)
   }
+
+  /** Kaplan–Meier survival curve for time-to-event with right
+    * censoring — "how long from `startType` to `eventType`, counting
+    * the users who never got there": each user contributes the
+    * day-count from their first `startType` to their first subsequent
+    * `eventType`, or a CENSORED observation at the global horizon
+    * (max observed timestamp) if none. S(t) = Π_{t'≤t} (1 − d/n) with
+    * deaths-before-censorings at ties (the standard convention: a
+    * user censored at t is still at risk at t).
+    *
+    * Determinism: risk sets and death counts are integers; each
+    * product factor enters as a 6-dp-rounded ln term summed exactly
+    * as decimals, one final exp — the portable product trick (float
+    * multiplication order never matters because there is none). If a
+    * duration's deaths exhaust its risk set, S drops to exactly 0.
+    *
+    * Scale: the per-user reduction is one shuffle on the user key;
+    * the curve itself lives on the DISTINCT-duration table (bounded
+    * by the observation window in days), so the unpartitioned
+    * cumulative windows scan a small table — the stats_ks distinct-
+    * value pattern. Output: (t, n_risk, d, c, surv). */
+  def kaplanMeier(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, startType: String, eventType: String): DataFrame = {
+    val t0 = events.filter(col(typeCol) === startType)
+      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t0"))
+    val horizon = events.agg(max(col(tsCol)).as("hmax"))
+    val evt = events.filter(col(typeCol) === eventType)
+      .select(col(userCol).as("u"), col(tsCol).as("pts"))
+      .join(t0, "u").filter(col("pts") >= col("t0"))
+      .groupBy(col("u")).agg(min(col("pts")).as("pts"))
+    val users = t0.join(evt, Seq("u"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(col("u"),
+        when(col("pts").isNotNull,
+          datediff(col("pts").cast("date"), col("t0").cast("date")))
+          .otherwise(
+            datediff(col("hmax").cast("date"), col("t0").cast("date")))
+          .as("dur"),
+        when(col("pts").isNotNull, 1L).otherwise(0L).as("obs"))
+    val byt = users.groupBy(col("dur").as("t"))
+      .agg(sum(col("obs")).as("d"),
+        sum(lit(1L) - col("obs")).as("c"), count(lit(1)).as("m"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byt.withColumn("n_risk", sum(col("m")).over(wDesc))
+      .withColumn("term",
+        when(col("d") < col("n_risk"),
+          round(log(lit(1.0) -
+            col("d").cast("double") / col("n_risk")), 6)
+            .cast("decimal(18,6)")))
+      .withColumn("dead",
+        max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wAsc))
+      .withColumn("surv",
+        when(col("dead") === 1, lit(0.0))
+          .otherwise(round(exp(
+            sum(col("term")).over(wAsc).cast("double")), 6)))
+      .select(col("t"), col("n_risk"), col("d"), col("c"), col("surv"))
+  }
 }

@@ -1092,4 +1092,52 @@ object TextAnalysis {
         round(col("r.top_bigram_char_frac"), 6).as("top_bigram_char_frac"),
         round(col("r.top_trigram_char_frac"), 6).as("top_trigram_char_frac"))
   }
+
+  /** BOILERPLATE detection by cross-document segment frequency — the
+    * template-strip pass (nav bars, cookie banners, footers) a crawl
+    * pipeline runs before quality scoring: a document is cut into
+    * consecutive `segWords`-token segments and any segment occurring in
+    * ≥ `minDocs` DISTINCT documents is flagged as boilerplate. (CCNet
+    * and C4 both strip by cross-doc line frequency; this is that
+    * operator for newline-free text, with fixed-width token windows as
+    * the line surrogate.)
+    *
+    * Scale shape: one token pass → per-(doc, segment) groupBy, then the
+    * segment-frequency table is keyed on md5(segment) — 32-byte keys
+    * shuffle instead of arbitrary-length segment text, and the frequency
+    * side can be broadcast when the flagged-segment set is small (it is:
+    * boilerplate is by definition the high-frequency tail). Counts are
+    * per-distinct-doc, so a segment repeated inside one document does
+    * not self-flag.
+    *
+    * Output per non-empty document: n_seg, n_boiler, n_words,
+    * n_words_kept, removed_ratio (6 dp). */
+  def boilerplateProfile(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int, minDocs: Int): DataFrame = {
+    require(segWords >= 1 && minDocs >= 2,
+      s"need segWords >= 1, minDocs >= 2; got $segWords/$minDocs")
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.Cleaning.tokens(lower(col(textCol))))
+          .as(Seq("i", "w")))
+    val segs = toks
+      .withColumn("ch", (col("i") / segWords).cast("long"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("i"), col("w")))),
+            x => x.getField("w")))).as("seg_h"),
+        count(lit(1)).as("nw"))
+    val freq = segs.groupBy(col("seg_h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    segs.join(freq, "seg_h")
+      .withColumn("boiler", col("nd") >= minDocs)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        sum(col("nw")).as("n_words"),
+        sum(when(!col("boiler"), col("nw")).otherwise(0L))
+          .as("n_words_kept"))
+      .withColumn("removed_ratio",
+        round((col("n_words") - col("n_words_kept")).cast("double") /
+          col("n_words"), 6))
+  }
 }

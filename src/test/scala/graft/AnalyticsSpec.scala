@@ -337,4 +337,106 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
     assert(r.getAs[Long]("n_outliers") === 1L)
     assert(r.getAs[Double]("outlier_rate") === 0.01)
   }
+
+  test("stronglyConnectedComponents: bowtie of two cycles, a bridge, " +
+      "and singleton tails") {
+    // 6 → (1→2→3→1) → (4→5→4); 7→8 is a path, not a cycle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 4L),
+      (3L, 4L), (6L, 1L), (7L, 8L)).toDF("src", "dst")
+    val got = operators.Graph
+      .stronglyConnectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 4L, 6L -> 6L, 7L -> 7L, 8L -> 8L))
+  }
+
+  test("stronglyConnectedComponents: a directed chain is all " +
+      "singletons, one global cycle is one component") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val gotChain = operators.Graph
+      .stronglyConnectedComponents(chain, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotChain === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val gotCycle = operators.Graph
+      .stronglyConnectedComponents(cycle, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotCycle === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("silhouette: two well-separated blobs score near 1, both " +
+      "clusters survive with full membership") {
+    // vec_id % 50 == 0 seeds the two true centers (ids 0 and 50)
+    val vecs = (Seq(0L, 1L, 2L, 3L).map(i =>
+        (i, Array(0.0f + i * 0.01f, 0.0f))) ++
+      Seq(50L, 51L, 52L, 53L).map(i =>
+        (i, Array(10.0f + (i - 50) * 0.01f, 10.0f))))
+      .toDF("vec_id", "embedding")
+    val got = operators.Similarity
+      .silhouette(vecs, "embedding", centroidStep = 50, iters = 1)
+      .collect().map(r => r.getAs[Long]("cell") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mean_sil"))).toMap
+    assert(got.keySet === Set(0L, 50L))
+    assert(got(0L)._1 === 4L && got(50L)._1 === 4L)
+    assert(got(0L)._2 > 0.9 && got(50L)._2 > 0.9)
+  }
+
+  test("kaplanMeier: textbook 3-user curve with one censored tail") {
+    // u1 converts at day 2, u2 at day 5, u3 never (censored at the
+    // horizon = day 5); S(2) = 2/3, S(5) = 2/3 · 1/2 = 1/3
+    val events = Seq(
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "purchase", "2024-01-03 00:00:00"),
+      (2L, "signup", "2024-01-01 00:00:00"),
+      (2L, "purchase", "2024-01-06 00:00:00"),
+      (3L, "signup", "2024-01-01 00:00:00"),
+      (3L, "view", "2024-01-02 00:00:00"))
+      .toDF("user_id", "event_type", "s")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val got = Temporal.kaplanMeier(events, "user_id", "event_type",
+        "ts", "signup", "purchase")
+      .collect().map(r => r.getAs[Int]("t") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("d"),
+          r.getAs[Long]("c"), r.getAs[Double]("surv"))).toMap
+    assert(got(2) === ((3L, 1L, 0L, 0.666667)))
+    // ln-term rounding makes S(5) land at 0.333334, not 1/3 exactly
+    assert(got(5)._1 === 2L && got(5)._2 === 1L && got(5)._3 === 1L)
+    assert(math.abs(got(5)._4 - 1.0 / 3.0) < 1e-5)
+  }
+
+  test("daviesBouldin: two tight far-apart blobs give small worst " +
+      "ratios, full membership") {
+    val vecs = (Seq(0L, 1L, 2L, 3L).map(i =>
+        (i, Array(0.0f + i * 0.01f, 0.0f))) ++
+      Seq(50L, 51L, 52L, 53L).map(i =>
+        (i, Array(10.0f + (i - 50) * 0.01f, 10.0f))))
+      .toDF("vec_id", "embedding")
+    val got = operators.Similarity
+      .daviesBouldin(vecs, "embedding", centroidStep = 50, iters = 1)
+      .collect().map(r => r.getAs[Long]("cell") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("worst_ratio"))).toMap
+    assert(got.keySet === Set(0L, 50L))
+    assert(got(0L)._1 === 4L && got(50L)._1 === 4L)
+    assert(got(0L)._2 < 0.1 && got(50L)._2 < 0.1)
+  }
+
+  test("boilerplateProfile flags the shared 4-token segment and " +
+      "keeps the unique tails") {
+    val docs = Seq(
+      (1L, "aa bb cc dd x1 x2 x3 x4"),
+      (2L, "aa bb cc dd y1 y2 y3 y4"),
+      (3L, "aa bb cc dd z1 z2 z3 z4"),
+      (4L, "q1 q2 q3 q4 q5 q6 q7 q8")).toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateProfile(docs, "doc_id", "text",
+        segWords = 4, minDocs = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (1L to 3L).foreach { d =>
+      assert(got(d).getAs[Long]("n_boiler") === 1L)
+      assert(got(d).getAs[Long]("n_words_kept") === 4L)
+      assert(got(d).getAs[Double]("removed_ratio") === 0.5)
+    }
+    assert(got(4L).getAs[Long]("n_boiler") === 0L)
+    assert(got(4L).getAs[Double]("removed_ratio") === 0.0)
+  }
 }
