@@ -1232,6 +1232,156 @@ object AnalyticsQueries {
         SELECT n0, k0, n1, k1, p0, p1, z, abs(z) > 1.96 AS significant
         FROM z""")),
 
+    // ---- Benford first-digit audit of the price column — the classic
+    // fabricated-data / unit-mixing screen: observed leading-digit
+    // shares vs log10(1 + 1/d). The digit comes from the INTEGER cents
+    // string (never from double formatting, which engines print
+    // differently); expectations are one identical double formula ----
+    Q("numeric_benford",
+      (s, dir) => {
+        val d = Sources.table(s, dir, "lineitem")
+          .filter(col("l_extendedprice") > 0)
+          .select(substring(round(col("l_extendedprice") * 100, 0)
+            .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        val tot = d.agg(sum(col("n")).as("tot"))
+        d.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            round(col("n").cast("double") / col("tot"), 6)
+              .as("obs_share"),
+            round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+              .as("exp_share"))
+          .withColumn("dev",
+            round(col("obs_share") - col("exp_share"), 6))
+      },
+      Some("""WITH d AS (
+          SELECT substr(CAST(CAST(round(l_extendedprice * 100, 0)
+              AS BIGINT) AS VARCHAR), 1, 1)::INTEGER AS digit
+          FROM lineitem WHERE l_extendedprice > 0),
+        c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        t AS (SELECT sum(n)::BIGINT AS tot FROM c)
+        SELECT digit, n,
+          round(n::DOUBLE / tot, 6) AS obs_share,
+          round(log10(1.0 + 1.0 / digit), 6) AS exp_share,
+          round(round(n::DOUBLE / tot, 6) -
+            round(log10(1.0 + 1.0 / digit), 6), 6) AS dev
+        FROM c CROSS JOIN t""")),
+
+    // ---- index-of-dispersion (variance/mean of the daily count) per
+    // event type: the Poisson-ness check behind every rate alarm —
+    // under a homogeneous Poisson process it is ≈1, bursty arrivals
+    // push it up. Daily counts are integers, so Σx and Σx² are exact
+    // 64-bit sums and both engines derive identical doubles ----
+    Q("events_dispersion",
+      (s, dir) => {
+        val daily = Sources.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("DAY", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("x"))
+        daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+          .filter(col("n_days") > 1)
+          .select(col("event_type"), col("n_days"),
+            round(col("sx").cast("double") / col("n_days"), 6)
+              .as("mean"),
+            round((col("sxx") - col("sx").cast("double") * col("sx") /
+              col("n_days")) / (col("n_days") - 1), 6).as("variance"))
+          .withColumn("dispersion",
+            round(col("variance") / col("mean"), 6))
+          .withColumn("overdispersed", col("dispersion") > 1.5)
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, date_trunc('day', ts)::DATE AS day,
+            count(*) AS x
+          FROM events GROUP BY 1, 2),
+        m AS (
+          SELECT event_type, count(*) AS n_days,
+            sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx
+          FROM daily GROUP BY 1)
+        SELECT event_type, n_days,
+          round(sx::DOUBLE / n_days, 6) AS mean,
+          round((sxx - sx::DOUBLE * sx / n_days) / (n_days - 1), 6)
+            AS variance,
+          round(round((sxx - sx::DOUBLE * sx / n_days) /
+              (n_days - 1), 6) /
+            round(sx::DOUBLE / n_days, 6), 6) AS dispersion,
+          round(round((sxx - sx::DOUBLE * sx / n_days) /
+              (n_days - 1), 6) /
+            round(sx::DOUBLE / n_days, 6), 6) > 1.5 AS overdispersed
+        FROM m WHERE n_days > 1""")),
+
+    // ---- permutation test on the view-vs-purchase value gap: 64
+    // md5-DETERMINISTIC relabelings (the reproducible stand-in for
+    // random shuffles — same p-value at any scale or rerun), statistic
+    // = |mean difference|, exact decimal means, compare at 6 dp.
+    // The nonparametric companion to stats_welch_t ----
+    Q("stats_permutation",
+      (s, dir) => {
+        val ev = Sources.events(s, dir)
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("event_id"), col("event_type"),
+            col("value").cast("decimal(18,6)").as("vd"))
+        def meanDiff(lbl: org.apache.spark.sql.Column)
+            : org.apache.spark.sql.Column =
+          round(abs(
+            sum(when(lbl === 0, col("vd"))).cast("double") /
+              sum(when(lbl === 0, 1L).otherwise(0L)) -
+            sum(when(lbl === 1, col("vd"))).cast("double") /
+              sum(when(lbl === 1, 1L).otherwise(0L))), 6)
+        val obs = ev.agg(meanDiff(
+          when(col("event_type") === "view", 0L).otherwise(1L))
+          .as("stat_obs"))
+        val perms = ev.crossJoin(
+            ev.sparkSession.range(0, 64).select(col("id").as("b")))
+          .withColumn("lbl", graft.operators.Curation.hashBucket(
+            concat(col("event_id").cast("string"), lit("_"),
+              col("b").cast("string")), 2))
+          .groupBy(col("b")).agg(meanDiff(col("lbl")).as("stat"))
+        perms.crossJoin(broadcast(obs))
+          .agg(min(col("stat_obs")).as("stat_obs"),
+            count(lit(1)).as("n_perm"),
+            sum(when(col("stat") >= col("stat_obs"), 1L).otherwise(0L))
+              .as("n_ge"))
+          .withColumn("p_value",
+            round((lit(1L) + col("n_ge")).cast("double") /
+              (col("n_perm") + 1), 6))
+      },
+      Some("""WITH ev AS (
+          SELECT event_id, event_type,
+            CAST(value AS DECIMAL(18,6)) AS vd
+          FROM events WHERE event_type IN ('view', 'purchase')),
+        obs AS (
+          SELECT round(abs(
+            CAST(sum(CASE WHEN event_type = 'view' THEN vd END)
+              AS DOUBLE) /
+              sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) -
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN vd END)
+              AS DOUBLE) /
+              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                END)), 6) AS stat_obs
+          FROM ev),
+        bs AS (SELECT unnest(range(0, 64)) AS b),
+        p AS (
+          SELECT b,
+            ('0x' || substr(md5(event_id::VARCHAR || '_' ||
+              b::VARCHAR), 1, 8))::BIGINT % 2 AS lbl,
+            vd
+          FROM ev CROSS JOIN bs),
+        st AS (
+          SELECT b, round(abs(
+            CAST(sum(CASE WHEN lbl = 0 THEN vd END) AS DOUBLE) /
+              sum(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) -
+            CAST(sum(CASE WHEN lbl = 1 THEN vd END) AS DOUBLE) /
+              sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END)), 6) AS stat
+          FROM p GROUP BY b)
+        SELECT stat_obs, count(*) AS n_perm,
+          sum(CASE WHEN stat >= stat_obs THEN 1 ELSE 0 END)::BIGINT
+            AS n_ge,
+          round((1 + sum(CASE WHEN stat >= stat_obs THEN 1 ELSE 0
+            END))::DOUBLE / (count(*) + 1), 6) AS p_value
+        FROM st CROSS JOIN obs GROUP BY stat_obs""")),
+
     // ---- Kaplan–Meier time-to-purchase from signup, right-censored
     // at the observation horizon — the survival curve behind "how long
     // until a signed-up user converts"; portable product via 6-dp ln

@@ -103,6 +103,25 @@ object DedupQueries {
       Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         COUNT(*) AS n_copies FROM documents GROUP BY md5(text)""")),
 
+    // bag-of-words exact dedup: the canonical key is the SORTED token
+    // multiset, so word-order shuffles (the cheapest paraphrase spin)
+    // collapse to one group while genuinely different texts never do —
+    // the order-insensitive rung between dedup_exact and minhash;
+    // same one-shuffle shape, 32-byte md5 keys
+    Q("dedup_bow",
+      (s, dir) => Sources.table(s, dir, "documents")
+        .select(col("doc_id"), md5(concat_ws(" ", array_sort(
+          graft.functions.Cleaning.tokens(lower(col("text"))))))
+          .as("bow_hash"))
+        .groupBy(col("bow_hash"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies")),
+      Some("""SELECT md5(array_to_string(list_sort(list_filter(
+          string_split(lower(text), ' '), x -> x <> '')), ' '))
+          AS bow_hash,
+        min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1""")),
+
     // exact inverted-index n-gram Jaccard — shares the brute-force oracle
     Q("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(
