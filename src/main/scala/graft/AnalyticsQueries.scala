@@ -970,6 +970,102 @@ object AnalyticsQueries {
           ['/root/repo/fixtures/manifest/data-a.parquet',
            '/root/repo/fixtures/manifest/data-b.parquet'])""")),
 
+    // ---- hive-layout partitioned table: the partition column lives in
+    // the DIRECTORY NAME (source=wiki/…), decoded by partition
+    // discovery — the warehouse layout convention ----
+    Q("scan_hive_partitioned",
+      (s, _) => Sources.hiveTable(s, "/root/repo/fixtures/hive"),
+      Some("""SELECT doc_id, text, source FROM read_parquet(
+          '/root/repo/fixtures/hive/*/*.parquet',
+          hive_partitioning = true)""")),
+
+    // ---- the same table with an equality predicate on the partition
+    // column: pruned at PLANNING time (PartitionFilters in the scan;
+    // PlanSpec-pinned) — the web partition's files are never listed
+    // into tasks, the property that keeps a 100 TB date-partitioned
+    // table queryable ----
+    Q("scan_hive_pruned",
+      (s, _) => Sources.hiveTable(s, "/root/repo/fixtures/hive")
+        .filter(col("source") === "wiki"),
+      Some("""SELECT doc_id, text, source FROM read_parquet(
+          '/root/repo/fixtures/hive/source=wiki/*.parquet',
+          hive_partitioning = true)""")),
+
+    // ---- trailing 7-day event count per type via a RANGE frame over
+    // the integer epoch-day key — value-based framing (gaps count,
+    // unlike ROWS), identical semantics in both engines ----
+    Q("window_trailing_range",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Sources.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("DAY", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("epoch_day",
+            datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("epoch_day")).rangeBetween(-6, 0)
+        daily.select(col("event_type"), col("day"), col("x"),
+          sum(col("x")).over(w).as("t7"))
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, date_trunc('day', ts)::DATE AS day,
+            date_diff('day', DATE '1970-01-01',
+              date_trunc('day', ts)::DATE) AS epoch_day,
+            count(*) AS x
+          FROM events GROUP BY 1, 2, 3)
+        SELECT event_type, day, x,
+          sum(x) OVER (PARTITION BY event_type ORDER BY epoch_day
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT AS t7
+        FROM daily""")),
+
+    // ---- peak concurrency per day: each event opens a 30-minute
+    // session, the ±1 boundary sweep's running sum is the live-session
+    // gauge, daily max per type. Tie order (t, delta) closes sessions
+    // before opening simultaneous ones; within identical (t, delta)
+    // ties the prefix-sum SET is order-invariant, so the daily MAX is
+    // deterministic even though per-row prefixes are not ----
+    Q("events_concurrency",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Sources.events(s, dir)
+          .select(col("event_type"),
+            unix_timestamp(col("ts")).as("t0"))
+        val deltas = ev.select(col("event_type"),
+            col("t0").as("t"), lit(1L).as("delta"))
+          .unionByName(ev.select(col("event_type"),
+            (col("t0") + 1800).as("t"), lit(-1L).as("delta")))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("t").asc, col("delta").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas
+          .withColumn("live", sum(col("delta")).over(w))
+          .withColumn("day",
+            to_date(timestamp_seconds(col("t"))))
+          .groupBy(col("event_type"), col("day"))
+          .agg(max(col("live")).as("peak"))
+      },
+      Some("""WITH ev AS (
+          SELECT event_type,
+            date_diff('second', TIMESTAMP '1970-01-01', ts) AS t0
+          FROM events),
+        deltas AS (
+          SELECT event_type, t0 AS t, 1::BIGINT AS delta FROM ev
+          UNION ALL
+          SELECT event_type, t0 + 1800 AS t, -1::BIGINT AS delta
+          FROM ev),
+        run AS (
+          SELECT event_type, t, delta,
+            sum(delta) OVER (PARTITION BY event_type
+              ORDER BY t ASC, delta ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              ::BIGINT AS live
+          FROM deltas)
+        SELECT event_type,
+          (TIMESTAMP '1970-01-01' + to_seconds(t))::DATE AS day,
+          max(live) AS peak
+        FROM run GROUP BY 1, 2""")),
+
     // ---- Welch's two-sample t statistic between the view and
     // purchase value distributions — the experiment-analysis primitive:
     // moments from exact decimal sums, one identical double formula

@@ -4005,6 +4005,21 @@ object CurationQueries {
             ORDER BY raw ASC, doc_id ASC), 6) AS qnorm
         FROM d""")),
 
+    // EXACT-k deterministic sample ("reservoir" semantics without the
+    // RNG): global k smallest md5 ranks — TakeOrdered computes it as
+    // per-partition top-k then one k-row merge, so no full sort and no
+    // single-reducer shuffle; complements curation_sample's keep-pct
+    // filter when the contract is "exactly k rows", any corpus size
+    Q("curation_sample_exact_k",
+      (s, dir) => Sources.table(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit("_xk")))
+            .as("rk"))
+        .orderBy(col("rk").asc, col("doc_id").asc)
+        .limit(50),
+      Some("""SELECT doc_id, md5(doc_id::VARCHAR || '_xk') AS rk
+        FROM documents ORDER BY rk ASC, doc_id ASC LIMIT 50""")),
+
     // benchmark decontamination: every 20th document plays the role of
     // the eval suite; the rest of the corpus is flagged when it shares a
     // word 5-gram with any of them (GPT-3 appendix-C rule). The oracle
@@ -5456,7 +5471,10 @@ object GraphQueries {
             col("s_nationkey").as("nb"))), "sb")
           .filter(col("na") <= col("nb"))
           .select(col("sa").as("src"), col("sb").as("dst"))
-          .distinct()
+          // materialized once: both the SCC pass and the quotient
+          // mapping below consume it — without the checkpoint the
+          // lineitem self-join would re-run for the mapping join
+          .distinct().localCheckpoint()
         val scc = Graph.stronglyConnectedComponents(edges, "src", "dst")
         edges
           .join(scc.select(col("node").as("src"),
@@ -5498,6 +5516,85 @@ object GraphQueries {
         JOIN scc sa ON e.src = sa.node
         JOIN scc sb ON e.dst = sb.node
         WHERE sa.scc_id <> sb.scc_id""")),
+
+    // topological levels of the condensation DAG: level = longest path
+    // from any source component — the "execution wave" view of the
+    // bowtie (which regions could be processed in parallel, which wait)
+    // and the third member of the scc → condensation → schedule chain;
+    // acyclicity is structural, so the level recursion terminates
+    Q("graph_topo_levels",
+      (s, dir) => {
+        val li = Sources.table(s, dir, "lineitem")
+        val a = li.select(col("l_orderkey").as("o"),
+          col("l_linenumber").as("ln"), col("l_suppkey").as("sa"))
+        val b = li.select(col("l_orderkey").as("o"),
+          (col("l_linenumber") - 1).as("ln"), col("l_suppkey").as("sb"))
+        val sup = Sources.table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val edges = a.join(b, Seq("o", "ln"))
+          .filter(col("sa") =!= col("sb"))
+          .join(broadcast(sup.select(col("s_suppkey").as("sa"),
+            col("s_nationkey").as("na"))), "sa")
+          .join(broadcast(sup.select(col("s_suppkey").as("sb"),
+            col("s_nationkey").as("nb"))), "sb")
+          .filter(col("na") <= col("nb"))
+          .select(col("sa").as("src"), col("sb").as("dst"))
+          .distinct().localCheckpoint()
+        val scc = Graph.stronglyConnectedComponents(edges, "src", "dst")
+        val dag = edges
+          .join(scc.select(col("node").as("src"),
+            col("scc_id").as("scc_a")), "src")
+          .join(scc.select(col("node").as("dst"),
+            col("scc_id").as("scc_b")), "dst")
+          .filter(col("scc_a") =!= col("scc_b"))
+          .select(col("scc_a"), col("scc_b")).distinct()
+        Graph.topoLevels(dag, "scc_a", "scc_b")
+      },
+      Some("""WITH RECURSIVE li2 AS (
+          SELECT a.l_suppkey AS sa, b.l_suppkey AS sb
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+          WHERE a.l_suppkey <> b.l_suppkey),
+        e AS (
+          SELECT DISTINCT sa AS src, sb AS dst
+          FROM li2
+          JOIN supplier s1 ON sa = s1.s_suppkey
+          JOIN supplier s2 ON sb = s2.s_suppkey
+          WHERE s1.s_nationkey <= s2.s_nationkey),
+        n AS (
+          SELECT DISTINCT src AS v FROM e
+          UNION SELECT DISTINCT dst FROM e),
+        r(a, b) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b),
+        mut AS (
+          SELECT r1.a AS v, r1.b AS u
+          FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a),
+        scc AS (
+          SELECT n.v AS node,
+            least(n.v, coalesce(min(m.u), n.v)) AS scc_id
+          FROM n LEFT JOIN mut m ON n.v = m.v
+          GROUP BY n.v),
+        dag AS (
+          SELECT DISTINCT sa.scc_id AS scc_a, sb.scc_id AS scc_b
+          FROM e
+          JOIN scc sa ON e.src = sa.node
+          JOIN scc sb ON e.dst = sb.node
+          WHERE sa.scc_id <> sb.scc_id),
+        dn AS (
+          SELECT DISTINCT scc_a AS v FROM dag
+          UNION SELECT DISTINCT scc_b FROM dag),
+        roots AS (
+          SELECT v FROM dn WHERE v NOT IN (SELECT scc_b FROM dag)),
+        walk(node, d) AS (
+          SELECT v, 0 FROM roots
+          UNION
+          SELECT dag.scc_b, walk.d + 1
+          FROM walk JOIN dag ON dag.scc_a = walk.node)
+        SELECT node, max(d)::INTEGER AS level
+        FROM walk GROUP BY node""")),
 
     // PageRank over the relationally-derived customer–supplier bipartite
     // graph (distinct trade edges from orders⋈lineitem, symmetrized;

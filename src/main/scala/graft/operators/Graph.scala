@@ -725,11 +725,194 @@ object Graph {
     * labels cannot both survive the backward-confirm step.
     *
     * Output: (node, scc_id) for every edge endpoint, scc_id = min
-    * member id. */
+    * member id.
+    *
+    * Size gate (the [[graft.operators.Dedup.connectedComponents]]
+    * convention): when the materialized DISTINCT edge list fits the
+    * driver comfortably (`driverMaxEdges`), run one-pass iterative
+    * Tarjan locally in O(V+E) and parallelize the labels back —
+    * diameter-many distributed rounds of fixed job latency are the
+    * wrong trade below millions of edges (measured on the supplier
+    * handoff graph at sf0.1: 18.4 s coloring vs sub-second local).
+    * Same answer by construction — SCC membership is unique and the
+    * label is the component min, independent of traversal order. The
+    * coloring path remains the default the moment the edge list
+    * outgrows the gate. */
   def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
-      dstCol: String, maxRounds: Int = 64): DataFrame = {
-    var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      dstCol: String, maxRounds: Int = 64,
+      driverMaxEdges: Long = 2000000L): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    if (e0.count() <= driverMaxEdges) sccTarjanLocal(e0)
+    else sccColoring(e0, maxRounds)
+  }
+
+  /** Driver-local iterative Tarjan over a collected (long, long) edge
+    * list; returns (node, scc_id = min member id) parallelized back. */
+  private def sccTarjanLocal(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val adj = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    val nodeSet = scala.collection.mutable.LongMap.empty[Unit]
+    e.collect().foreach { row =>
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        adj.getOrElseUpdate(a,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += b
+        nodeSet(a) = (); nodeSet(b) = ()
+      }
+    }
+    val index = scala.collection.mutable.LongMap.empty[Int]
+    val lowlink = scala.collection.mutable.LongMap.empty[Int]
+    val onStack = scala.collection.mutable.LongMap.empty[Unit]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sccId = scala.collection.mutable.LongMap.empty[Long]
+    var counter = 0
+    // explicit work stack of (node, next-child cursor) — no recursion,
+    // so pathological chain graphs cannot blow the JVM stack
+    val work = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    // deterministic outer order is cosmetic (membership and min-label
+    // are traversal-invariant) but keeps debugging reproducible
+    nodeSet.keys.toArray.sorted.foreach { root =>
+      if (!index.contains(root)) {
+        work += ((root, 0))
+        index(root) = counter; lowlink(root) = counter; counter += 1
+        stack += root; onStack(root) = ()
+        while (work.nonEmpty) {
+          val (v, ci) = work.remove(work.length - 1)
+          val children = adj.getOrElse(v, null)
+          var i = ci
+          var descended = false
+          while (!descended && children != null && i < children.length) {
+            val w = children(i)
+            if (!index.contains(w)) {
+              work += ((v, i + 1))
+              work += ((w, 0))
+              index(w) = counter; lowlink(w) = counter; counter += 1
+              stack += w; onStack(w) = ()
+              descended = true
+            } else {
+              if (onStack.contains(w) && lowlink(v) > index(w))
+                lowlink(v) = index(w)
+              i += 1
+            }
+          }
+          if (!descended) {
+            if (lowlink(v) == index(v)) {
+              // v roots an SCC: pop it off, label with the min member
+              var members = List.empty[Long]
+              var done = false
+              while (!done) {
+                val w = stack.remove(stack.length - 1)
+                onStack.remove(w)
+                members = w :: members
+                if (w == v) done = true
+              }
+              val m = members.min
+              members.foreach(w => sccId(w) = m)
+            }
+            // propagate lowlink to the parent frame, if any
+            if (work.nonEmpty) {
+              val (p, _) = work(work.length - 1)
+              if (lowlink(p) > lowlink(v)) lowlink(p) = lowlink(v)
+            }
+          }
+        }
+      }
+    }
+    spark.createDataset(sccId.toSeq.map { case (n, s) => (n, s) })
+      .toDF("node", "scc_id")
+  }
+
+  /** TOPOLOGICAL LEVELS of a DAG (e.g. [[stronglyConnectedComponents]]'
+    * condensation): level(v) = length of the longest path from any
+    * source to v — the "execution wave" a scheduler would run v in,
+    * and the depth profile of a dependency graph. Input must be
+    * acyclic (a cycle fails the bounded iteration / Kahn check with
+    * IllegalStateException — never a silent wrong answer).
+    *
+    * Same size-gate convention as SCC: small edge lists run Kahn's
+    * algorithm on the driver in O(V+E); larger ones fall back to
+    * semi-naive distributed relaxation (level(v) =
+    * max(level(pred)+1)), rounds = DAG depth, frontiers
+    * localCheckpoint'ed. Output: (node, level) over the edge
+    * endpoints. */
+  def topoLevels(dagEdges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 64, driverMaxEdges: Long = 2000000L)
+      : DataFrame = {
+    val e = dagEdges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    if (e.count() <= driverMaxEdges) {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val adj = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.ArrayBuffer[Long]]
+      val indeg = scala.collection.mutable.LongMap.empty[Int]
+      e.collect().foreach { row =>
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          adj.getOrElseUpdate(a,
+            scala.collection.mutable.ArrayBuffer.empty[Long]) += b
+          indeg(b) = indeg.getOrElse(b, 0) + 1
+          indeg.getOrElseUpdate(a, 0)
+        }
+      }
+      val level = scala.collection.mutable.LongMap.empty[Int]
+      var frontier = indeg.iterator.collect {
+        case (n, 0) => n }.toArray.sorted
+      frontier.foreach(n => level(n) = 0)
+      var done = 0
+      while (frontier.nonEmpty) {
+        val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+        frontier.foreach { v =>
+          done += 1
+          adj.getOrElse(v, Nil).foreach { w =>
+            if (level.getOrElse(w, -1) < level(v) + 1)
+              level(w) = level(v) + 1
+            indeg(w) -= 1
+            if (indeg(w) == 0) next += w
+          }
+        }
+        frontier = next.toArray
+      }
+      if (done != indeg.size)
+        throw new IllegalStateException(
+          s"topoLevels: input has a cycle (${indeg.size - done} nodes unresolved)")
+      spark.createDataset(level.toSeq.map { case (n, l) => (n, l) })
+        .toDF("node", "level")
+    } else {
+      var lvl = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .withColumn("level", lit(0)).localCheckpoint()
+      var frontier = lvl
+      var round = 0
+      while (!frontier.isEmpty && round <= maxRounds) {
+        val bumped = frontier.join(e, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("level") + 1).as("cand"))
+          .groupBy(col("node")).agg(max(col("cand")).as("cand"))
+        val joined = lvl.join(bumped, Seq("node"), "left")
+          .localCheckpoint()
+        frontier = joined.filter(col("cand") > col("level"))
+          .select(col("node"), col("cand").as("level")).localCheckpoint()
+        lvl = joined.select(col("node"),
+          greatest(col("level"), coalesce(col("cand"), col("level")))
+            .as("level")).localCheckpoint()
+        round += 1
+      }
+      if (!frontier.isEmpty)
+        throw new IllegalStateException(
+          s"topoLevels: no fixpoint within $maxRounds rounds — cyclic input?")
+      lvl
+    }
+  }
+
+  /** Distributed coloring fallback — see
+    * [[stronglyConnectedComponents]]. */
+  private def sccColoring(e0: DataFrame, maxRounds: Int): DataFrame = {
+    var e = e0
     var nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     // typed after the caller's node ids — built from the node table so

@@ -115,6 +115,17 @@ object Sources {
     spark.read.parquet(files: _*)
   }
 
+  /** Hive-layout partitioned parquet table — `source=VALUE` child
+    * directories of `dir`, the partition column decoded from the
+    * directory name —
+    * Spark's native partition discovery, so an equality predicate on
+    * the partition column prunes at PLANNING time (PartitionFilters in
+    * the scan, whole directories never listed into tasks — the layout
+    * property that makes a 100 TB date-partitioned table queryable;
+    * PlanSpec pins it). */
+  def hiveTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("basePath", dir).parquet(dir)
+
   /** Harness adapter: one parquet table out of a scale-factor directory
     * (TESTDATA.md layout). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =

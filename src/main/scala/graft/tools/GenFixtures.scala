@@ -44,3 +44,44 @@ object GenFixtures {
     println(s"wrote ${weights.size} weights to $wout")
   }
 }
+
+/** Writes the committed hive-partitioned parquet fixture for
+  * `scan_hive_partitioned` / `scan_hive_pruned`:
+  * `fixtures/hive/source=<v>/part-0.parquet` — the directory-encoded
+  * partition layout every warehouse table uses, here in minimal
+  * committed form (Spark's writer output renamed to stable names,
+  * _SUCCESS/CRC sidecars dropped). Run once and commit. */
+object GenHiveFixture {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "spark reads hive layouts", "wiki"),
+      (2L, "partition pruning is free", "wiki"),
+      (3L, "directory equals predicate", "wiki"),
+      (4L, "crawl shard one", "web"),
+      (5L, "crawl shard two", "web"))
+    val out = "fixtures/hive"
+    rows.toDF("doc_id", "text", "source")
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("source").parquet(out)
+    // stable names + no sidecars, like the manifest fixture
+    val root = Paths.get(out)
+    Files.walk(root).forEach { p =>
+      val n = p.getFileName.toString
+      if (n == "_SUCCESS" || n.endsWith(".crc")) Files.delete(p)
+    }
+    Files.walk(root).forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("part-") && n.endsWith(".parquet"))
+        Files.move(p, p.getParent.resolve("part-0.parquet"))
+    }
+    println(s"wrote hive fixture to $out")
+    spark.stop()
+  }
+}

@@ -339,30 +339,89 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
   }
 
   test("stronglyConnectedComponents: bowtie of two cycles, a bridge, " +
-      "and singleton tails") {
+      "and singleton tails — driver and distributed paths agree") {
     // 6 → (1→2→3→1) → (4→5→4); 7→8 is a path, not a cycle
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 4L),
       (3L, 4L), (6L, 1L), (7L, 8L)).toDF("src", "dst")
-    val got = operators.Graph
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 4L, 6L -> 6L, 7L -> 7L, 8L -> 8L)
+    val tarjan = operators.Graph
       .stronglyConnectedComponents(edges, "src", "dst")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
-      5L -> 4L, 6L -> 6L, 7L -> 7L, 8L -> 8L))
+    assert(tarjan === want)
+    // driverMaxEdges = 0 forces the distributed coloring fallback
+    val coloring = operators.Graph
+      .stronglyConnectedComponents(edges, "src", "dst",
+        driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(coloring === want)
   }
 
   test("stronglyConnectedComponents: a directed chain is all " +
-      "singletons, one global cycle is one component") {
+      "singletons, one global cycle is one component (both paths)") {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
-    val gotChain = operators.Graph
-      .stronglyConnectedComponents(chain, "src", "dst")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(gotChain === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    val wantChain = Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L)
+    Seq(2000000L, 0L).foreach { gate =>
+      val got = operators.Graph
+        .stronglyConnectedComponents(chain, "src", "dst",
+          driverMaxEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === wantChain, s"gate=$gate")
+    }
     val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
       .toDF("src", "dst")
-    val gotCycle = operators.Graph
-      .stronglyConnectedComponents(cycle, "src", "dst")
+    val wantCycle = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L)
+    Seq(2000000L, 0L).foreach { gate =>
+      val got = operators.Graph
+        .stronglyConnectedComponents(cycle, "src", "dst",
+          driverMaxEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === wantCycle, s"gate=$gate")
+    }
+  }
+
+  test("stronglyConnectedComponents: nested-cycle stress — Tarjan " +
+      "lowlink propagation through deep chains matches the coloring " +
+      "path on a random-ish deterministic graph") {
+    // 3 rings of 30 linked by one-way bridges + chords: exercises
+    // iterative Tarjan's parent-lowlink folding on deep DFS stacks
+    val ring = (0 until 3).flatMap { r =>
+      val base = r * 100L
+      (0 until 30).map(i => (base + i, base + (i + 1) % 30)) ++
+        Seq((base + 7, base + 3), (base + 21, base + 11)) // chords
+    }
+    val bridges = Seq((5L, 105L), (110L, 205L)) // DAG between rings
+    val edges = (ring ++ bridges).toDF("src", "dst")
+    val a = operators.Graph
+      .stronglyConnectedComponents(edges, "src", "dst")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(gotCycle === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    val b = operators.Graph
+      .stronglyConnectedComponents(edges, "src", "dst",
+        driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a.values.toSet === Set(0L, 100L, 200L))
+  }
+
+  test("topoLevels: diamond DAG longest-path levels on both paths; " +
+      "cyclic input raises") {
+    // 1 → {2, 3} → 4, plus 2 → 3: longest path to 4 goes 1-2-3-4
+    val dag = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (2L, 3L))
+      .toDF("src", "dst")
+    val want = Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3)
+    Seq(2000000L, 0L).foreach { gate =>
+      val got = operators.Graph
+        .topoLevels(dag, "src", "dst", driverMaxEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === want, s"gate=$gate")
+    }
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    Seq(2000000L, 0L).foreach { gate =>
+      intercept[IllegalStateException] {
+        operators.Graph.topoLevels(cyc, "src", "dst",
+          maxRounds = 8, driverMaxEdges = gate).collect()
+      }
+    }
   }
 
   test("silhouette: two well-separated blobs score near 1, both " +

@@ -412,4 +412,32 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("scan_hive_pruned: the partition predicate prunes at planning " +
+      "time — PartitionFilters on the scan, data filters empty") {
+    val p = plan("scan_hive_pruned")
+    assert(p.contains("PartitionFilters:") &&
+      p.contains("(source"), p)
+    // the predicate must NOT degrade to a post-scan data filter
+    assert(!p.contains("PushedFilters: [IsNotNull(source"), p)
+  }
+
+  test("curation_sample_exact_k: exact-k sampling fuses to " +
+      "TakeOrderedAndProject — no full sort, no single-reducer shuffle") {
+    val p = plan("curation_sample_exact_k")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("\n   Sort "), p)
+  }
+
+  test("stats_permutation / numeric_benford: one-row totals ride " +
+      "broadcast into the scoring joins") {
+    assert(plan("stats_permutation").contains("BroadcastExchange"))
+    assert(plan("numeric_benford").contains("BroadcastExchange"))
+  }
+
+  test("graph_reciprocity: the consecutive-lineitem pairing " +
+      "partial-aggregates its distinct before the reciprocity probe") {
+    val p = plan("graph_reciprocity")
+    assert(p.contains("partial_count"), p)
+  }
 }
