@@ -1407,6 +1407,124 @@ object AnalyticsQueries {
             round(sx::DOUBLE / n_days, 6), 6) > 1.5 AS overdispersed
         FROM m WHERE n_days > 1""")),
 
+    // ---- per-type OLS trend of the daily event rate: slope /
+    // intercept / R² from exact integer moment sums (counts and
+    // epoch-days are integers, so Σx, Σy, Σxy, Σxx, Σyy are exact
+    // 64-bit), zero-variance guarded like zipfFit/assortativity ----
+    Q("stats_ols",
+      (s, dir) => {
+        val daily = Sources.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("DAY", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("x",
+            datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+        val m = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("y") * col("y")).as("syy"))
+        val dx = (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")
+        val dy = (col("n") * col("syy") - col("sy") * col("sy"))
+          .cast("double")
+        val cv = (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double")
+        m.select(col("event_type"), col("n"),
+          when(dx > 0, round(cv / dx, 6)).otherwise(0.0).as("slope"),
+          when(dx > 0, round((col("sy") - (cv / dx) * col("sx"))
+            .cast("double") / col("n"), 6))
+            .otherwise(0.0).as("intercept"),
+          when(dx > 0 && dy > 0, round(cv * cv / (dx * dy), 6))
+            .otherwise(0.0).as("r2"))
+      },
+      Some("""WITH daily AS (
+          SELECT event_type,
+            date_diff('day', DATE '1970-01-01',
+              date_trunc('day', ts)::DATE) AS x,
+            count(*) AS y
+          FROM events GROUP BY 1, 2),
+        m AS (
+          SELECT event_type, count(*) AS n,
+            sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+            sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
+            sum(y * y)::BIGINT AS syy
+          FROM daily GROUP BY 1)
+        SELECT event_type, n,
+          CASE WHEN (n * sxx - sx * sx) > 0
+            THEN round((n * sxy - sx * sy)::DOUBLE /
+              (n * sxx - sx * sx), 6) ELSE 0.0 END AS slope,
+          CASE WHEN (n * sxx - sx * sx) > 0
+            THEN round((sy - ((n * sxy - sx * sy)::DOUBLE /
+              (n * sxx - sx * sx)) * sx)::DOUBLE / n, 6)
+            ELSE 0.0 END AS intercept,
+          CASE WHEN (n * sxx - sx * sx) > 0 AND
+              (n * syy - sy * sy) > 0
+            THEN round((n * sxy - sx * sy)::DOUBLE *
+              (n * sxy - sx * sy) /
+              ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)), 6)
+            ELSE 0.0 END AS r2
+        FROM m""")),
+
+    // ---- lag-1 / lag-7 autocorrelation of the daily series per type:
+    // the is-there-weekly-structure diagnostic feeding the seasonal
+    // models; centered products rounded at 6 dp into exact decimal
+    // sums (double product order never arises), denominator from the
+    // matched-pair rows so both sides see identical data ----
+    Q("events_autocorr",
+      (s, dir) => {
+        val daily = Sources.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("DAY", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val mu = daily.groupBy(col("event_type"))
+          .agg((sum(col("x")).cast("double") / count(lit(1))).as("m"))
+        val lags = Sources.events(s, dir).sparkSession
+          .range(0, 2).select(
+            when(col("id") === 0, 1).otherwise(7).as("lag"))
+        val a = daily.join(broadcast(mu), "event_type")
+        val b = a.select(col("event_type").as("__et"),
+          col("day").as("bday"), col("x").as("bx"))
+        a.crossJoin(broadcast(lags))
+          .join(b, col("event_type") === col("__et") &&
+            datediff(col("bday"), col("day")) === col("lag"))
+          .groupBy(col("event_type"), col("lag"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(round((col("x") - col("m")) * (col("bx") - col("m")), 6)
+              .cast("decimal(18,6)")).as("num"),
+            sum(round((col("x") - col("m")) * (col("x") - col("m")), 6)
+              .cast("decimal(18,6)")).as("den"))
+          .select(col("event_type"), col("lag"), col("n_pairs"),
+            when(col("den") > 0,
+              round(col("num").cast("double") /
+                col("den").cast("double"), 6))
+              .otherwise(0.0).as("autocorr"))
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, date_trunc('day', ts)::DATE AS day,
+            count(*) AS x
+          FROM events GROUP BY 1, 2),
+        mu AS (
+          SELECT event_type, sum(x)::DOUBLE / count(*) AS m
+          FROM daily GROUP BY 1),
+        lags AS (SELECT unnest([1, 7]) AS lag),
+        p AS (
+          SELECT a.event_type, lag,
+            CAST(round((a.x - m) * (b.x - m), 6) AS DECIMAL(18,6))
+              AS num_t,
+            CAST(round((a.x - m) * (a.x - m), 6) AS DECIMAL(18,6))
+              AS den_t
+          FROM daily a
+          JOIN mu USING (event_type)
+          CROSS JOIN lags
+          JOIN daily b ON a.event_type = b.event_type
+            AND date_diff('day', a.day, b.day) = lag)
+        SELECT event_type, lag, count(*) AS n_pairs,
+          CASE WHEN sum(den_t) > 0
+            THEN round(CAST(sum(num_t) AS DOUBLE) /
+              CAST(sum(den_t) AS DOUBLE), 6) ELSE 0.0 END AS autocorr
+        FROM p GROUP BY 1, 2""")),
+
     // ---- permutation test on the view-vs-purchase value gap: 64
     // md5-DETERMINISTIC relabelings (the reproducible stand-in for
     // random shuffles — same p-value at any scale or rerun), statistic

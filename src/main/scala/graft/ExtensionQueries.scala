@@ -2578,6 +2578,121 @@ object TextQueries {
             count(*), 6) AS hapax_ratio
         FROM wc GROUP BY source""")),
 
+    // pairwise Jensen–Shannon divergence between source unigram
+    // distributions — the corpus-similarity MATRIX behind mixture
+    // design ("which sources are near-duplicates of each other at the
+    // distribution level"). Shared-word terms are 6-dp decimal sums
+    // over the word⋈pair inverted index; the disjoint-support
+    // remainder is CLOSED FORM (Σ_only p · ½ln2 via 2 − Σ_both), so no
+    // outer join materializes the vocab × pair complement. At larger
+    // vocabularies cap the index by document frequency (the maxDocFreq
+    // convention) before pairing
+    Q("corpus_source_jsd",
+      (s, dir) => {
+        val wc = Sources.table(s, dir, "documents")
+          .select(col("source"), explode(
+            graft.functions.Cleaning.tokens(lower(col("text"))))
+            .as("w"))
+          .groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("c"))
+        val tot = wc.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+        val p = wc.join(tot, "source")
+        val a = p.select(col("source").as("sa"), col("w"),
+          col("c").as("ca"), col("tot").as("ta"))
+        val b = p.select(col("source").as("sb"), col("w"),
+          col("c").as("cb"), col("tot").as("tb"))
+        val pa = col("ca").cast("double") / col("ta")
+        val pb = col("cb").cast("double") / col("tb")
+        a.join(b, Seq("w")).filter(col("sa") < col("sb"))
+          .withColumn("t", round(
+            lit(0.5) * (pa * log(lit(2.0) * pa / (pa + pb)) +
+              pb * log(lit(2.0) * pb / (pa + pb))), 6)
+            .cast("decimal(18,6)"))
+          .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"),
+            sum(col("t")).cast("double").as("__both"),
+            sum(col("ca")).as("__sca"), min(col("ta")).as("__ta"),
+            sum(col("cb")).as("__scb"), min(col("tb")).as("__tb"))
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            round(col("__both") + lit(0.5 * math.log(2.0)) *
+              (lit(2.0) - col("__sca").cast("double") / col("__ta") -
+                col("__scb").cast("double") / col("__tb")), 6)
+              .as("jsd"))
+      },
+      Some("""WITH t AS (
+          SELECT source,
+            unnest(list_filter(string_split(lower(text), ' '),
+              x -> x <> '')) AS w
+          FROM documents),
+        wc AS (SELECT source, w, count(*) AS c FROM t GROUP BY 1, 2),
+        tot AS (SELECT source, sum(c)::BIGINT AS tot FROM wc
+          GROUP BY 1),
+        p AS (SELECT wc.source, w, c, tot FROM wc JOIN tot
+          USING (source)),
+        pairs AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+            count(*) AS n_shared,
+            CAST(sum(CAST(round(0.5 *
+              ((a.c::DOUBLE / a.tot) * ln(2.0 * (a.c::DOUBLE / a.tot) /
+                (a.c::DOUBLE / a.tot + b.c::DOUBLE / b.tot)) +
+               (b.c::DOUBLE / b.tot) * ln(2.0 * (b.c::DOUBLE / b.tot) /
+                (a.c::DOUBLE / a.tot + b.c::DOUBLE / b.tot))), 6)
+              AS DECIMAL(18,6))) AS DOUBLE) AS both_sum,
+            sum(a.c)::BIGINT AS sca, min(a.tot) AS ta,
+            sum(b.c)::BIGINT AS scb, min(b.tot) AS tb
+          FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT source_a, source_b, n_shared,
+          round(both_sum + 0.5 * ln(2.0) *
+            (2.0 - sca::DOUBLE / ta - scb::DOUBLE / tb), 6) AS jsd
+        FROM pairs""")),
+
+    // quality-cut threshold sweep: docs/tokens surviving min-length
+    // cuts t ∈ {20..100} from ONE pass over the length table — the
+    // dedup_threshold_sweep convention applied to the filter every
+    // pipeline tunes first (pick the cut BEFORE the 100 TB run)
+    Q("curation_length_sweep",
+      (s, dir) => {
+        val dl = Sources.table(s, dir, "documents")
+          .select(size(graft.functions.Cleaning.tokens(col("text")))
+            .cast("long").as("len"))
+        val th = Sources.table(s, dir, "documents").sparkSession
+          .range(1, 6).select((col("id") * 20).as("t"))
+        val tot = dl.agg(count(lit(1)).as("nd"), sum(col("len"))
+          .as("ntok"))
+        dl.crossJoin(broadcast(th))
+          .groupBy(col("t"))
+          .agg(sum(when(col("len") >= col("t"), 1L).otherwise(0L))
+            .as("n_docs_kept"),
+            sum(when(col("len") >= col("t"), col("len")).otherwise(0L))
+              .as("n_tokens_kept"))
+          .crossJoin(broadcast(tot))
+          .select(col("t"), col("n_docs_kept"),
+            round(col("n_docs_kept").cast("double") / col("nd"), 6)
+              .as("doc_share"),
+            col("n_tokens_kept"),
+            round(col("n_tokens_kept").cast("double") / col("ntok"), 6)
+              .as("token_share"))
+      },
+      Some("""WITH dl AS (
+          SELECT len(list_filter(string_split(text, ' '),
+            x -> x <> ''))::BIGINT AS len
+          FROM documents),
+        th AS (SELECT unnest([20, 40, 60, 80, 100])::BIGINT AS t),
+        tot AS (SELECT count(*) AS nd, sum(len)::BIGINT AS ntok
+          FROM dl)
+        SELECT t,
+          sum(CASE WHEN len >= t THEN 1 ELSE 0 END)::BIGINT
+            AS n_docs_kept,
+          round(sum(CASE WHEN len >= t THEN 1 ELSE 0 END)::DOUBLE /
+            min(nd), 6) AS doc_share,
+          sum(CASE WHEN len >= t THEN len ELSE 0 END)::BIGINT
+            AS n_tokens_kept,
+          round(sum(CASE WHEN len >= t THEN len ELSE 0 END)::DOUBLE /
+            min(ntok), 6) AS token_share
+        FROM dl CROSS JOIN th CROSS JOIN tot
+        GROUP BY t""")),
+
     // per-column table profile (the trust-a-new-drop audit): one
     // aggregate pass over every column -> long-form (col_name, counts,
     // distinct, min/max) rows. The oracle UNION ALL chain is GENERATED
