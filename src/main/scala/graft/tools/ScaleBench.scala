@@ -133,7 +133,7 @@ object ScaleBench {
         want("harmonic_perround") || want("harmonic_merge") ||
         want("hits") || want("knn_lsh") || want("knn_lsh_uncapped") ||
         want("interval") || want("quantiles") || want("linkage") ||
-        want("linkage_cap4x"))) {
+        want("linkage_cap4x") || want("scc") || want("scc_coloring"))) {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
       val reps = spark.range(0, factor).toDF("rep")
@@ -202,6 +202,40 @@ object ScaleBench {
       val prNodes = if (!want("pagerank")) -1L else timed("pagerank") {
         graft.operators.Graph.pageRank(sym, "src", "dst", iters = 3)
           .count()
+      }
+      // SCC on factor× disjoint copies of the DIRECTED supplier-handoff
+      // graph (consecutive lineitems; within-nation edges both ways,
+      // cross-nation low→high). Under the 2M-edge gate this times the
+      // edge derivation + one driver Tarjan pass (linear in V+E); the
+      // `scc_coloring` counterfactual forces the distributed fallback
+      // on the same graph — the diameter-rounds price the gate avoids
+      if (want("scc") || want("scc_coloring")) {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val a = li.select(col("l_orderkey").as("o"),
+          col("l_linenumber").as("ln"), col("l_suppkey").as("sa"))
+        val b = li.select(col("l_orderkey").as("o"),
+          (col("l_linenumber") - 1).as("ln"), col("l_suppkey").as("sb"))
+        val handoff = a.join(b, Seq("o", "ln"))
+          .filter(col("sa") =!= col("sb"))
+          .join(broadcast(sup.select(col("s_suppkey").as("sa"),
+            col("s_nationkey").as("na"))), "sa")
+          .join(broadcast(sup.select(col("s_suppkey").as("sb"),
+            col("s_nationkey").as("nb"))), "sb")
+          .filter(col("na") <= col("nb"))
+          .select(col("sa").as("src"), col("sb").as("dst")).distinct()
+        val bigDir = handoff.crossJoin(reps)
+          .select((col("src") + col("rep") * 100000000L).as("src"),
+            (col("dst") + col("rep") * 100000000L).as("dst"))
+        if (want("scc")) timed("scc") {
+          graft.operators.Graph.stronglyConnectedComponents(
+            bigDir, "src", "dst").count()
+        }
+        if (want("scc_coloring")) timed("scc_coloring") {
+          graft.operators.Graph.stronglyConnectedComponents(
+            bigDir, "src", "dst", driverMaxEdges = 0L).count()
+        }
       }
       // HyperBall harmonic centrality on the same factor× graph: per
       // round one edge⋈register join + (node, register) max-merge, so
