@@ -1328,6 +1328,58 @@ object AnalyticsQueries {
         SELECT n0, k0, n1, k1, p0, p1, z, abs(z) > 1.96 AS significant
         FROM z""")),
 
+    // ---- RFM segmentation: recency (days since last purchase at the
+    // observation horizon) / frequency / monetary per user, quartiled
+    // with id tie-breaks into the classic 3-digit RFM code. Monetary
+    // sums exact decimals; the global ntile windows run on the
+    // per-user rollup (at corpus scale swap for the bucket-parallel
+    // rank-cut pattern — see ARCHITECTURE.md) ----
+    Q("events_rfm",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Sources.events(s, dir)
+        val hmax = ev.agg(max(date_trunc("DAY", col("ts")).cast("date"))
+          .as("h"))
+        val base = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(max(date_trunc("DAY", col("ts")).cast("date"))
+            .as("last_day"),
+            count(lit(1)).as("f"),
+            round(sum(col("value").cast("decimal(18,6)"))
+              .cast("double"), 6).as("m"))
+          .crossJoin(broadcast(hmax))
+          .select(col("user_id"),
+            datediff(col("h"), col("last_day")).as("r_days"),
+            col("f"), col("m"))
+        val wr = Window.orderBy(col("r_days").asc, col("user_id").asc)
+        val wf = Window.orderBy(col("f").desc, col("user_id").asc)
+        val wm = Window.orderBy(col("m").desc, col("user_id").asc)
+        base.select(col("user_id"), col("r_days"), col("f"), col("m"),
+            ntile(4).over(wr).as("r_q"), ntile(4).over(wf).as("f_q"),
+            ntile(4).over(wm).as("m_q"))
+          .withColumn("rfm",
+            col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+      },
+      Some("""WITH h AS (
+          SELECT max(date_trunc('day', ts)::DATE) AS h FROM events),
+        base AS (
+          SELECT user_id,
+            date_diff('day', max(date_trunc('day', ts)::DATE),
+              (SELECT h FROM h))::INTEGER AS r_days,
+            count(*) AS f,
+            round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+              AS m
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id)
+        SELECT user_id, r_days, f, m,
+          ntile(4) OVER (ORDER BY r_days ASC, user_id ASC) AS r_q,
+          ntile(4) OVER (ORDER BY f DESC, user_id ASC) AS f_q,
+          ntile(4) OVER (ORDER BY m DESC, user_id ASC) AS m_q,
+          ntile(4) OVER (ORDER BY r_days ASC, user_id ASC) * 100 +
+            ntile(4) OVER (ORDER BY f DESC, user_id ASC) * 10 +
+            ntile(4) OVER (ORDER BY m DESC, user_id ASC) AS rfm
+        FROM base""")),
+
     // ---- Benford first-digit audit of the price column — the classic
     // fabricated-data / unit-mixing screen: observed leading-digit
     // shares vs log10(1 + 1/d). The digit comes from the INTEGER cents

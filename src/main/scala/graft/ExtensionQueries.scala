@@ -2891,6 +2891,55 @@ object TextQueries {
             - round(sum(y)::DOUBLE / count(*), 6)), 6) AS gap
         FROM sc GROUP BY 1""")),
 
+    // Brier score + Murphy decomposition — the one-row rollup of the
+    // calibration table: overall forecast MSE, binned reliability
+    // (miscalibration mass), resolution (class separation), base-rate
+    // uncertainty; same trained scorer, same rounded bin statistics
+    Q("quality_brier",
+      (s, dir) => QualityModel.brier(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", dim = 32, iters = 3, lr = 0.05,
+        bins = 10),
+      Some(s"""WITH ${lrCtes(32, 3, 0.05, "d.lang = 'en'")},
+        sF AS (
+          SELECT f.doc_id, sum(CAST(w.w AS DECIMAL(18,6)) * f.c) AS s,
+            sum(f.c) AS n
+          FROM f JOIN w3 w ON f.j = w.j GROUP BY f.doc_id),
+        sc AS (
+          SELECT d.doc_id, (d.lang = 'en')::INTEGER AS y,
+            round(1.0 / (1.0 + exp(-round(b.b +
+              coalesce(32 * CAST(sF.s AS DOUBLE) / sF.n, 0.0), 6))), 6)
+              AS score
+          FROM documents d LEFT JOIN sF ON d.doc_id = sF.doc_id
+          CROSS JOIN b3 b),
+        o AS (
+          SELECT count(*) AS n,
+            sum(CAST(round((score - y) * (score - y), 6)
+              AS DECIMAL(18,6))) AS bsum,
+            sum(y)::BIGINT AS sy
+          FROM sc),
+        bb AS (
+          SELECT least(floor(score * 10), 9.0)::INTEGER AS bin,
+            count(*) AS nk,
+            round(CAST(sum(score::DECIMAL(18,6)) AS DOUBLE) /
+              count(*), 6) AS ms,
+            round(sum(y)::DOUBLE / count(*), 6) AS pr
+          FROM sc GROUP BY 1),
+        agg AS (
+          SELECT n, bsum, sy,
+            sum(CAST(round((ms - pr) * (ms - pr), 6)
+              AS DECIMAL(18,6)) * nk) AS rel,
+            sum(CAST(round((pr - sy::DOUBLE / n) *
+              (pr - sy::DOUBLE / n), 6) AS DECIMAL(18,6)) * nk) AS res
+          FROM bb CROSS JOIN o
+          GROUP BY n, bsum, sy)
+        SELECT n, round(CAST(bsum AS DOUBLE) / n, 6) AS brier,
+          round(CAST(rel AS DOUBLE) / n, 6) AS reliability,
+          round(CAST(res AS DOUBLE) / n, 6) AS resolution,
+          round((sy::DOUBLE / n) * (1.0 - sy::DOUBLE / n), 6)
+            AS uncertainty
+        FROM agg""")),
+
     // precision/recall/F1 sweep at thresholds 0.1..0.9 — the
     // operating-point curve; exact TP/FP/FN counts, one rounded
     // division per metric, F1 over the rounded P and R (on the

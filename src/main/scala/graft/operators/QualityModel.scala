@@ -333,6 +333,58 @@ object QualityModel {
         round(abs(col("mean_score") - col("pos_rate")), 6))
   }
 
+  /** BRIER SCORE + Murphy decomposition of the trained classifier:
+    * overall mean squared error of the probability forecast, plus the
+    * binned reliability (calibration error mass), resolution (how much
+    * the forecast separates the classes), and uncertainty (base-rate
+    * variance) — reliability − resolution + uncertainty ≈ brier up to
+    * the within-bin remainder. The single-row summary [[calibration]]'s
+    * per-bin table rolls up to.
+    *
+    * Determinism: per-doc (score−y)² terms and per-bin squared gaps
+    * round at 6 dp into exact decimal sums (bin statistics reuse the
+    * ROUNDED mean/rate the calibration row publishes); one double
+    * division each. Scale: one pass for the doc terms + the ≤bins-row
+    * rollup. Output: (n, brier, reliability, resolution, uncertainty). */
+  def brier(df: DataFrame, idCol: String, textCol: String,
+      label: Column, dim: Int = 32, iters: Int = 3, lr: Double = 2.0,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val scored = trainScoreLogReg(df, idCol, textCol, label, dim, iters,
+      lr)
+    val y = df.select(col(idCol).as("doc_id"), label.cast("int").as("y"))
+    val sc = scored.join(y, Seq("doc_id"))
+      .select(col("score"), col("y"),
+        least(floor(col("score") * bins), lit((bins - 1).toDouble))
+          .cast("int").as("bin"))
+    val overall = sc.agg(count(lit(1)).as("n"),
+      sum(round((col("score") - col("y")) * (col("score") - col("y")), 6)
+        .cast("decimal(18,6)")).as("bsum"),
+      sum(col("y")).as("sy"))
+    val byBin = sc.groupBy(col("bin"))
+      .agg(count(lit(1)).as("nk"),
+        round(sum(col("score").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("ms"),
+        round(sum(col("y")).cast("double") / count(lit(1)), 6).as("pr"))
+    byBin.crossJoin(broadcast(overall))
+      .select(col("n"), col("bsum"), col("sy"), col("nk"),
+        (round((col("ms") - col("pr")) * (col("ms") - col("pr")), 6)
+          .cast("decimal(18,6)") * col("nk")).as("relk"),
+        (round((col("pr") - col("sy").cast("double") / col("n")) *
+          (col("pr") - col("sy").cast("double") / col("n")), 6)
+          .cast("decimal(18,6)") * col("nk")).as("resk"))
+      .groupBy(col("n"), col("bsum"), col("sy"))
+      .agg(sum(col("relk")).as("rel"), sum(col("resk")).as("res"))
+      .select(col("n"),
+        round(col("bsum").cast("double") / col("n"), 6).as("brier"),
+        round(col("rel").cast("double") / col("n"), 6)
+          .as("reliability"),
+        round(col("res").cast("double") / col("n"), 6).as("resolution"),
+        round((col("sy").cast("double") / col("n")) *
+          (lit(1.0) - col("sy").cast("double") / col("n")), 6)
+          .as("uncertainty"))
+  }
+
   /** PRECISION/RECALL sweep of the trained classifier: TP/FP/FN and the
     * derived precision, recall, F1 at thresholds i/(steps+1) for
     * i = 1..steps — the curve that picks the operating threshold (or
