@@ -122,6 +122,41 @@ object DedupQueries {
         min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY 1""")),
 
+    // the LSH banding S-curve TABLE: candidate probability
+    // 1 − (1 − s^r)^b over similarity grid × (bands, rows) configs,
+    // with each config's s50 threshold (1/b)^(1/r) — the tuning sheet
+    // read before committing a 100 TB corpus to one banding (the
+    // numbers behind dedup_minhash's 32×4 choice); pure closed-form
+    // algebra, 6-dp rounded in both engines
+    Q("dedup_lsh_tune",
+      (s, dir) => {
+        val spark = Sources.table(s, dir, "documents").sparkSession
+        val cfg = spark.range(0, 4).select(
+          when(col("id") === 0, 32).when(col("id") === 1, 16)
+            .when(col("id") === 2, 8).otherwise(64).as("bands"),
+          when(col("id") === 0, 4).when(col("id") === 1, 8)
+            .when(col("id") === 2, 16).otherwise(2).as("rows_per_band"))
+        val grid = spark.range(1, 20)
+          .select(round(col("id").cast("double") / 20, 2).as("s"))
+        cfg.crossJoin(grid)
+          .select(col("bands"), col("rows_per_band"), col("s"),
+            round(lit(1.0) - pow(lit(1.0) -
+              pow(col("s"), col("rows_per_band").cast("double")),
+              col("bands").cast("double")), 6).as("p_candidate"),
+            round(pow(lit(1.0) / col("bands"),
+              lit(1.0) / col("rows_per_band")), 6).as("s50"))
+      },
+      Some("""WITH cfg AS (
+          SELECT unnest([32, 16, 8, 64]) AS bands,
+            unnest([4, 8, 16, 2]) AS rows_per_band),
+        grid AS (
+          SELECT round(unnest(range(1, 20))::DOUBLE / 20, 2) AS s)
+        SELECT bands, rows_per_band, s,
+          round(1.0 - power(1.0 - power(s, rows_per_band::DOUBLE),
+            bands::DOUBLE), 6) AS p_candidate,
+          round(power(1.0 / bands, 1.0 / rows_per_band), 6) AS s50
+        FROM cfg CROSS JOIN grid""")),
+
     // exact inverted-index n-gram Jaccard — shares the brute-force oracle
     Q("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(
@@ -2692,6 +2727,65 @@ object TextQueries {
             min(ntok), 6) AS token_share
         FROM dl CROSS JOIN th CROSS JOIN tot
         GROUP BY t""")),
+
+    // collocation extraction: PMI of ordered word pairs within a
+    // ±2-token window (the classic "strong collocations" statistic —
+    // n-gram-order-aware, unlike document co-occurrence), support ≥ 5,
+    // global top-20 with full tie-breaks. Fan-out is a fixed ×2 of the
+    // token table; PMI from exact counts, one rounded ln per pair
+    Q("text_collocations",
+      (s, dir) => {
+        val toks = Sources.table(s, dir, "documents")
+          .select(col("doc_id"), posexplode(
+            graft.functions.Cleaning.tokens(lower(col("text"))))
+            .as(Seq("i", "w")))
+        val tot = toks.agg(count(lit(1)).as("n_tok"))
+        val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val b = toks.select(col("doc_id"), col("i").as("j"),
+          col("w").as("wb"))
+        val pairs = toks.join(b, Seq("doc_id"))
+          .filter(col("j") > col("i") && col("j") <= col("i") + 2)
+          .groupBy(col("w").as("wa"), col("wb"))
+          .agg(count(lit(1)).as("n_pair"))
+          .filter(col("n_pair") >= 5)
+        val nPairsTot = pairs.agg(sum(col("n_pair")).as("n_all"))
+        pairs
+          .join(uni.select(col("w").as("wa"), col("c").as("ca")), "wa")
+          .join(uni.select(col("w").as("wb"), col("c").as("cb")), "wb")
+          .crossJoin(broadcast(nPairsTot))
+          .crossJoin(broadcast(tot))
+          .select(col("wa"), col("wb"), col("n_pair"),
+            round(log((col("n_pair").cast("double") / col("n_all")) /
+              ((col("ca").cast("double") / col("n_tok")) *
+                (col("cb").cast("double") / col("n_tok")))), 6)
+              .as("pmi"))
+          .orderBy(col("pmi").desc, col("wa").asc, col("wb").asc)
+          .limit(20)
+      },
+      Some("""WITH t AS (
+          SELECT doc_id,
+            unnest(list_filter(string_split(lower(text), ' '),
+              x -> x <> '')) AS w,
+            generate_subscripts(list_filter(string_split(lower(text),
+              ' '), x -> x <> ''), 1) AS i
+          FROM documents),
+        tot AS (SELECT count(*) AS n_tok FROM t),
+        uni AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+        pr AS (
+          SELECT a.w AS wa, b.w AS wb, count(*) AS n_pair
+          FROM t a JOIN t b ON a.doc_id = b.doc_id
+            AND b.i > a.i AND b.i <= a.i + 2
+          GROUP BY 1, 2 HAVING count(*) >= 5),
+        na AS (SELECT sum(n_pair)::BIGINT AS n_all FROM pr)
+        SELECT wa, wb, n_pair,
+          round(ln((n_pair::DOUBLE / n_all) /
+            ((ua.c::DOUBLE / n_tok) * (ub.c::DOUBLE / n_tok))), 6)
+            AS pmi
+        FROM pr
+        JOIN uni ua ON wa = ua.w
+        JOIN uni ub ON wb = ub.w
+        CROSS JOIN na CROSS JOIN tot
+        ORDER BY pmi DESC, wa ASC, wb ASC LIMIT 20""")),
 
     // per-column table profile (the trust-a-new-drop audit): one
     // aggregate pass over every column -> long-form (col_name, counts,

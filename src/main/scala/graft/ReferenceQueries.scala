@@ -1401,6 +1401,49 @@ object ReferenceQueries {
           round(p.n::DOUBLE / t.tot, 6) AS p
         FROM p JOIN t USING (from_type)""")),
 
+    // stationary distribution of the same chain by 6 rounds of power
+    // iteration in INTEGER femto-mass (the pageRank discipline:
+    // (mass div n_i)·n_ij per edge is exact 64-bit and order-free, so
+    // the oracle unrolls every round digit-for-digit; absorbing states
+    // hold mass via a virtual self-loop)
+    Q("events_markov_stationary",
+      (s, dir) => graft.operators.Temporal.markovStationary(
+        Sources.events(s, dir), "user_id", "ts", "event_type",
+        "event_id", rounds = 6),
+      Some {
+        val rounds = (1 to 6).map { t =>
+          s"""m$t AS (
+            SELECT to_type AS state, sum((mass // nout) * n) AS mass
+            FROM e JOIN m${t - 1} ON from_type = m${t - 1}.state
+            GROUP BY 1)"""
+        }.mkString(",\n")
+        s"""WITH s AS (
+            SELECT event_type AS from_type,
+              lead(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+            FROM events),
+          p AS (
+            SELECT from_type, to_type, count(*) AS n
+            FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+          t AS (SELECT from_type, sum(n)::BIGINT AS nout FROM p
+            GROUP BY 1),
+          st AS (
+            SELECT DISTINCT from_type AS state FROM p
+            UNION SELECT DISTINCT to_type FROM p),
+          e AS (
+            SELECT from_type, to_type, n, nout
+            FROM p JOIN t USING (from_type)
+            UNION ALL
+            SELECT state, state, 1::BIGINT, 1::BIGINT FROM st
+            WHERE state NOT IN (SELECT from_type FROM p)),
+          ns AS (SELECT count(*) AS ns FROM st),
+          m0 AS (
+            SELECT state, (1000000000000000 // ns)::BIGINT AS mass
+            FROM st CROSS JOIN ns),
+          $rounds
+          SELECT state, mass::BIGINT AS mass_f15 FROM m6"""
+      }),
+
     // event-type co-occurrence PMI within user histories — joint
     // PRESENCE association (vs events_markov's adjacent ORDER); exact
     // presence counts, one rounded ln per pair

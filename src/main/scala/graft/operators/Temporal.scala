@@ -225,6 +225,54 @@ object Temporal {
       round(col("n").cast("double") / sum(col("n")).over(rowW), 6))
   }
 
+  /** STATIONARY DISTRIBUTION of the [[markovTransitions]] chain by
+    * power iteration in INTEGER femto-units of probability mass (the
+    * [[Graph.pageRank]] discipline): each round moves
+    * `(mass_i div n_i) · n_ij` units along every observed transition —
+    * exact 64-bit integers (the per-edge term never exceeds mass_i
+    * because n_ij ≤ n_i), order-independent sums, floor-division leak
+    * < n_i units per state per round. An ANSI engine replays every
+    * round digit-for-digit; double arithmetic at this precision is
+    * NOT portable (the pageRank scaladoc's measurement).
+    *
+    * States with no outgoing transitions (a type observed only as the
+    * final event of every sequence) hold their mass via a virtual
+    * self-loop — the absorbing-state convention, mirrored in the
+    * oracle. The fixed-round iterate IS the deliverable ("where does
+    * attention concentrate after k steps"); run more rounds for the
+    * asymptotic fixpoint. Output: (state, mass_f15 BIGINT). */
+  def markovStationary(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, idCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val counts = markovTransitions(events, keyCol, tsCol, typeCol, idCol)
+      .select(col("from_type"), col("to_type"), col("n"))
+    val outTot = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("nout"))
+    val states = counts.select(col("from_type").as("state"))
+      .union(counts.select(col("to_type").as("state"))).distinct()
+    val edges = counts.join(outTot, "from_type")
+    val sinks = states
+      .join(edges.select(col("from_type").as("state")).distinct(),
+        Seq("state"), "left_anti")
+      .select(col("state").as("from_type"), col("state").as("to_type"),
+        lit(1L).as("n"), lit(1L).as("nout"))
+    val e = edges.unionByName(sinks).localCheckpoint()
+    var mass = states
+      .crossJoin(broadcast(states.agg(count(lit(1)).as("ns"))))
+      .select(col("state"),
+        expr(s"${Graph.MassScale}L div ns").as("mass_f15"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      mass = e.join(mass, col("from_type") === col("state"))
+        .select(col("to_type"),
+          expr("(mass_f15 div nout) * n").as("part"))
+        .groupBy(col("to_type")).agg(sum(col("part")).as("mass_f15"))
+        .select(col("to_type").as("state"), col("mass_f15"))
+        .localCheckpoint()
+    }
+    mass
+  }
+
   /** NEAREST-direction as-of join (pandas `merge_asof(direction=
     * 'nearest')`): for every left row, the right row whose timestamp is
     * CLOSEST in either direction, per key — the sensor-alignment /

@@ -441,6 +441,35 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
     assert(got(0L)._2 > 0.9 && got(50L)._2 > 0.9)
   }
 
+  test("markovStationary: absorbing state collects (almost) all mass; " +
+      "a symmetric two-state chain stays balanced") {
+    def ev(rows: (Long, String, String)*) =
+      rows.map { case (u, t, ts) => (u, t, ts) }
+        .toDF("user_id", "event_type", "s")
+        .withColumn("ts", to_timestamp(col("s"))).drop("s")
+        .withColumn("event_id", monotonically_increasing_id())
+    // a -> b -> a -> b ... : symmetric; each state should hold ~half
+    val sym = ev((1L, "a", "2024-01-01 00:00:00"),
+      (1L, "b", "2024-01-01 00:01:00"), (1L, "a", "2024-01-01 00:02:00"),
+      (1L, "b", "2024-01-01 00:03:00"), (1L, "a", "2024-01-01 00:04:00"))
+    val gotSym = operators.Temporal.markovStationary(
+      sym, "user_id", "ts", "event_type", "event_id", rounds = 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = gotSym.values.sum
+    assert(math.abs(gotSym("a") - gotSym("b")) <= total / 3)
+    assert(total > operators.Graph.MassScale * 99 / 100) // leak < 1%
+    // a -> sink, sink self-loops: all mass ends in sink
+    val abs = ev((1L, "a", "2024-01-01 00:00:00"),
+      (1L, "sink", "2024-01-01 00:01:00"),
+      (2L, "a", "2024-01-01 00:00:00"),
+      (2L, "sink", "2024-01-01 00:01:00"))
+    val gotAbs = operators.Temporal.markovStationary(
+      abs, "user_id", "ts", "event_type", "event_id", rounds = 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!gotAbs.contains("a") || gotAbs("a") === 0L)
+    assert(gotAbs("sink") > operators.Graph.MassScale * 99 / 100)
+  }
+
   test("kaplanMeier: textbook 3-user curve with one censored tail") {
     // u1 converts at day 2, u2 at day 5, u3 never (censored at the
     // horizon = day 5); S(2) = 2/3, S(5) = 2/3 · 1/2 = 1/3
