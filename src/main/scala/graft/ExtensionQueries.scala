@@ -326,6 +326,43 @@ object DedupQueries {
       },
       Some(clustersOracleSql)),
 
+    // SOFT dedup (SoftDeDup / docs-as-weights): instead of dropping
+    // duplicates, each document keeps weight 1/cluster_size so a cluster
+    // contributes ONE document's worth of gradient — the
+    // training-time alternative to hard removal; effective tokens =
+    // n_tokens/cluster_size. Same cluster chain as dedup_clusters
+    Q("curation_soft_dedup",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          k = 5, threshold = 0.8)
+        val cc = Dedup.connectedComponents(docs, "doc_id", pairs)
+        val sz = cc.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+        val toks = docs.select(col("doc_id"),
+          size(graft.functions.Cleaning.tokens(col("text")))
+            .cast("long").as("n_tokens"))
+        cc.join(broadcast(sz), "cluster_id").join(toks, "doc_id")
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+            round(lit(1.0) / col("cluster_size"), 6).as("weight"),
+            round(col("n_tokens").cast("double") / col("cluster_size"),
+              6).as("eff_tokens"))
+      },
+      Some(s"""WITH RECURSIVE
+        $clustersCtes,
+        sz AS (
+          SELECT cluster_id, count(*) AS cluster_size FROM cc
+          GROUP BY 1),
+        tk AS (
+          SELECT doc_id,
+            len(list_filter(string_split(text, ' '), x -> x <> ''))
+              ::BIGINT AS n_tokens
+          FROM documents)
+        SELECT cc.doc_id, cc.cluster_id, cluster_size,
+          round(1.0 / cluster_size, 6) AS weight,
+          round(n_tokens::DOUBLE / cluster_size, 6) AS eff_tokens
+        FROM cc JOIN sz USING (cluster_id) JOIN tk USING (doc_id)""")),
+
     // same clusters through the large-star/small-star contraction — the
     // O(log² n)-round extreme-scale path, held to the identical oracle
     Q("dedup_clusters_ls",
@@ -3032,6 +3069,43 @@ object TextQueries {
           round(CAST(res AS DOUBLE) / n, 6) AS resolution,
           round((sy::DOUBLE / n) * (1.0 - sy::DOUBLE / n), 6)
             AS uncertainty
+        FROM agg""")),
+
+    // exact ROC-AUC via the rank-sum identity with midrank ties —
+    // threshold-free discrimination, completing the classifier-audit
+    // family (calibration bins, PR sweep, Brier decomposition, AUC);
+    // integer algebra until one division
+    Q("quality_roc_auc",
+      (s, dir) => QualityModel.rocAuc(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", dim = 32, iters = 3, lr = 0.05),
+      Some(s"""WITH ${lrCtes(32, 3, 0.05, "d.lang = 'en'")},
+        sF AS (
+          SELECT f.doc_id, sum(CAST(w.w AS DECIMAL(18,6)) * f.c) AS s,
+            sum(f.c) AS n
+          FROM f JOIN w3 w ON f.j = w.j GROUP BY f.doc_id),
+        sc AS (
+          SELECT d.doc_id, (d.lang = 'en')::INTEGER AS y,
+            round(1.0 / (1.0 + exp(-round(b.b +
+              coalesce(32 * CAST(sF.s AS DOUBLE) / sF.n, 0.0), 6))), 6)
+              AS score
+          FROM documents d LEFT JOIN sF ON d.doc_id = sF.doc_id
+          CROSS JOIN b3 b),
+        rk AS (
+          SELECT y, rank() OVER (ORDER BY score) AS r,
+            count(*) OVER (PARTITION BY score) AS ties
+          FROM sc),
+        agg AS (
+          SELECT
+            sum(CASE WHEN y = 1 THEN 2 * r + ties - 1 ELSE 0 END)
+              ::BIGINT AS s2,
+            sum(y)::BIGINT AS np,
+            sum(1 - y)::BIGINT AS nn
+          FROM rk)
+        SELECT np AS n_pos, nn AS n_neg,
+          CASE WHEN np > 0 AND nn > 0
+            THEN round((s2 - np * (np + 1))::DOUBLE / (2 * np * nn), 6)
+            ELSE 0.0 END AS auc
         FROM agg""")),
 
     // precision/recall/F1 sweep at thresholds 0.1..0.9 — the
@@ -5853,6 +5927,74 @@ object GraphQueries {
           FROM walk JOIN dag ON dag.scc_a = walk.node)
         SELECT node, max(d)::INTEGER AS level
         FROM walk GROUP BY node""")),
+
+    // Broder bowtie census against the largest SCC (ties: smallest id):
+    // scc / in / out / other — the shape summary of a link graph
+    // ("which part of the crawl can reach the core"); the oracle reads
+    // membership and both reachability directions off the same closure
+    // the SCC oracle already builds
+    Q("graph_bowtie",
+      (s, dir) => {
+        val li = Sources.table(s, dir, "lineitem")
+        val a = li.select(col("l_orderkey").as("o"),
+          col("l_linenumber").as("ln"), col("l_suppkey").as("sa"))
+        val b = li.select(col("l_orderkey").as("o"),
+          (col("l_linenumber") - 1).as("ln"), col("l_suppkey").as("sb"))
+        val sup = Sources.table(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val edges = a.join(b, Seq("o", "ln"))
+          .filter(col("sa") =!= col("sb"))
+          .join(broadcast(sup.select(col("s_suppkey").as("sa"),
+            col("s_nationkey").as("na"))), "sa")
+          .join(broadcast(sup.select(col("s_suppkey").as("sb"),
+            col("s_nationkey").as("nb"))), "sb")
+          .filter(col("na") <= col("nb"))
+          .select(col("sa").as("src"), col("sb").as("dst"))
+          .distinct()
+        Graph.bowtieProfile(edges, "src", "dst")
+      },
+      Some("""WITH RECURSIVE li2 AS (
+          SELECT a.l_suppkey AS sa, b.l_suppkey AS sb
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+          WHERE a.l_suppkey <> b.l_suppkey),
+        e AS (
+          SELECT DISTINCT sa AS src, sb AS dst
+          FROM li2
+          JOIN supplier s1 ON sa = s1.s_suppkey
+          JOIN supplier s2 ON sb = s2.s_suppkey
+          WHERE s1.s_nationkey <= s2.s_nationkey),
+        n AS (
+          SELECT DISTINCT src AS v FROM e
+          UNION SELECT DISTINCT dst FROM e),
+        r(a, b) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b),
+        mut AS (
+          SELECT r1.a AS v, r1.b AS u
+          FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a),
+        scc AS (
+          SELECT n.v AS node,
+            least(n.v, coalesce(min(m.u), n.v)) AS scc_id
+          FROM n LEFT JOIN mut m ON n.v = m.v
+          GROUP BY n.v),
+        giant AS (
+          SELECT scc_id FROM scc GROUP BY scc_id
+          ORDER BY count(*) DESC, scc_id ASC LIMIT 1),
+        members AS (
+          SELECT node FROM scc WHERE scc_id = (SELECT scc_id
+            FROM giant))
+        SELECT s.node,
+          CASE
+            WHEN s.scc_id = (SELECT scc_id FROM giant) THEN 'scc'
+            WHEN EXISTS (SELECT 1 FROM r JOIN members m
+              ON r.b = m.node WHERE r.a = s.node) THEN 'in'
+            WHEN EXISTS (SELECT 1 FROM r JOIN members m
+              ON r.a = m.node WHERE r.b = s.node) THEN 'out'
+            ELSE 'other' END AS klass
+        FROM scc s""")),
 
     // PageRank over the relationally-derived customer–supplier bipartite
     // graph (distinct trade edges from orders⋈lineitem, symmetrized;

@@ -753,16 +753,31 @@ object Graph {
   private def sccTarjanLocal(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
+    val edgeArr = collectEdges(e)
+    spark.createDataset(tarjanSccIds(edgeArr).toSeq)
+      .toDF("node", "scc_id")
+  }
+
+  /** Null-safe driver collect of a 2-long-column edge DataFrame. */
+  private def collectEdges(e: DataFrame): Array[(Long, Long)] =
+    e.collect().flatMap { row =>
+      if (!row.isNullAt(0) && !row.isNullAt(1))
+        Some((row.getLong(0), row.getLong(1)))
+      else None
+    }
+
+  /** Iterative Tarjan on a driver-local edge array → node → scc_id
+    * (= min member id). Shared by [[sccTarjanLocal]] and
+    * [[bowtieProfile]]'s fast path. */
+  private def tarjanSccIds(edgeArr: Array[(Long, Long)])
+      : scala.collection.mutable.LongMap[Long] = {
     val adj = scala.collection.mutable.LongMap
       .empty[scala.collection.mutable.ArrayBuffer[Long]]
     val nodeSet = scala.collection.mutable.LongMap.empty[Unit]
-    e.collect().foreach { row =>
-      if (!row.isNullAt(0) && !row.isNullAt(1)) {
-        val (a, b) = (row.getLong(0), row.getLong(1))
-        adj.getOrElseUpdate(a,
-          scala.collection.mutable.ArrayBuffer.empty[Long]) += b
-        nodeSet(a) = (); nodeSet(b) = ()
-      }
+    edgeArr.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a,
+        scala.collection.mutable.ArrayBuffer.empty[Long]) += b
+      nodeSet(a) = (); nodeSet(b) = ()
     }
     val index = scala.collection.mutable.LongMap.empty[Int]
     val lowlink = scala.collection.mutable.LongMap.empty[Int]
@@ -822,8 +837,7 @@ object Graph {
         }
       }
     }
-    spark.createDataset(sccId.toSeq.map { case (n, s) => (n, s) })
-      .toDF("node", "scc_id")
+    sccId
   }
 
   /** TOPOLOGICAL LEVELS of a DAG (e.g. [[stronglyConnectedComponents]]'
@@ -906,6 +920,108 @@ object Graph {
         throw new IllegalStateException(
           s"topoLevels: no fixpoint within $maxRounds rounds — cyclic input?")
       lvl
+    }
+  }
+
+  /** BOWTIE CENSUS (Broder et al. 2000) of a directed graph: every
+    * node classified against the LARGEST strongly connected component
+    * (ties: smallest scc_id) — `scc` (member), `in` (reaches the giant
+    * but is outside it), `out` (reachable from the giant), `other`
+    * (tendrils/disconnected). The shape summary of any link graph —
+    * which part of a crawl can reach the core, which only drains out.
+    *
+    * Size gate as in [[stronglyConnectedComponents]]: under
+    * `driverMaxEdges` the whole census (Tarjan + two BFS sweeps) runs
+    * driver-local; above it, the distributed SCC feeds two semi-naive
+    * frontier reachability loops (the [[bfsHops]] shape, multi-source
+    * from the giant's members, forward and on reversed edges).
+    * Output: (node, klass). */
+  def bowtieProfile(edges: DataFrame, srcCol: String, dstCol: String,
+      driverMaxEdges: Long = 2000000L): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val spark = e.sparkSession
+    import spark.implicits._
+    if (e.count() <= driverMaxEdges) {
+      val edgeArr = collectEdges(e)
+      val sccId = tarjanSccIds(edgeArr)
+      val sizes = scala.collection.mutable.LongMap.empty[Long]
+      sccId.foreach { case (_, s) =>
+        sizes(s) = sizes.getOrElse(s, 0L) + 1L }
+      val giant = sizes.toSeq.maxBy { case (id, n) => (n, -id) }._1
+      val fwd = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.ArrayBuffer[Long]]
+      val rev = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.ArrayBuffer[Long]]
+      edgeArr.foreach { case (a, b) =>
+        fwd.getOrElseUpdate(a,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += b
+        rev.getOrElseUpdate(b,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += a
+      }
+      def bfs(adj: scala.collection.mutable.LongMap[
+          scala.collection.mutable.ArrayBuffer[Long]])
+          : scala.collection.mutable.LongMap[Unit] = {
+        val seen = scala.collection.mutable.LongMap.empty[Unit]
+        var frontier = sccId.iterator
+          .collect { case (n, s) if s == giant => n }.toArray
+        frontier.foreach(n => seen(n) = ())
+        while (frontier.nonEmpty) {
+          val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+          frontier.foreach { v =>
+            adj.getOrElse(v, Nil).foreach { w =>
+              if (!seen.contains(w)) { seen(w) = (); next += w }
+            }
+          }
+          frontier = next.toArray
+        }
+        seen
+      }
+      val outSet = bfs(fwd)
+      val inSet = bfs(rev)
+      val rows = sccId.toSeq.map { case (n, s) =>
+        val klass =
+          if (s == giant) "scc"
+          else if (inSet.contains(n)) "in"
+          else if (outSet.contains(n)) "out"
+          else "other"
+        (n, klass)
+      }
+      spark.createDataset(rows).toDF("node", "klass")
+    } else {
+      val scc = stronglyConnectedComponents(e, "src", "dst",
+        driverMaxEdges = driverMaxEdges).localCheckpoint()
+      val giant = scc.groupBy(col("scc_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("scc_id").asc).limit(1)
+        .select(col("scc_id"))
+      val members = scc.join(broadcast(giant), "scc_id")
+        .select(col("node")).localCheckpoint()
+      def reach(ed: DataFrame): DataFrame = {
+        var visited = members
+        var frontier = members
+        while (!frontier.isEmpty) {
+          val next = frontier.join(ed, col("node") === col("src"))
+            .select(col("dst").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti").localCheckpoint()
+          if (!next.isEmpty)
+            visited = visited.union(next).localCheckpoint()
+          frontier = next
+        }
+        visited
+      }
+      val outR = reach(e).withColumn("__o", lit(1))
+      val inR = reach(e.select(col("dst").as("src"),
+        col("src").as("dst"))).withColumn("__i", lit(1))
+      scc.join(members.withColumn("__m", lit(1)), Seq("node"), "left")
+        .join(inR, Seq("node"), "left")
+        .join(outR, Seq("node"), "left")
+        .select(col("node"),
+          when(col("__m") === 1, "scc")
+            .when(col("__i") === 1, "in")
+            .when(col("__o") === 1, "out")
+            .otherwise("other").as("klass"))
     }
   }
 

@@ -385,6 +385,39 @@ object QualityModel {
           .as("uncertainty"))
   }
 
+  /** Exact ROC-AUC of the trained classifier via the rank-sum
+    * (Mann–Whitney U) identity with midrank tie handling — the
+    * threshold-free twin of [[prCurve]]. Everything stays INTEGER
+    * until one division: Σ over positives of (2·rank + ties − 1) is
+    * twice the midrank sum, so AUC = (S2 − n⁺(n⁺+1)) / (2·n⁺·n⁻)
+    * exactly, 6-dp rounded once. The global rank window runs on the
+    * scored table (swap in the bucket-parallel rank pattern at corpus
+    * scale — ARCHITECTURE.md). Output: (n_pos, n_neg, auc). */
+  def rocAuc(df: DataFrame, idCol: String, textCol: String,
+      label: Column, dim: Int = 32, iters: Int = 3, lr: Double = 2.0)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = trainScoreLogReg(df, idCol, textCol, label, dim, iters,
+      lr)
+    val y = df.select(col(idCol).as("doc_id"), label.cast("int").as("y"))
+    val sc = scored.join(y, Seq("doc_id"))
+    val w = Window.orderBy(col("score"))
+    val ranked = sc.select(col("y"),
+      rank().over(w).cast("long").as("r"),
+      count(lit(1)).over(Window.partitionBy(col("score")))
+        .as("ties"))
+    ranked.agg(
+        sum(when(col("y") === 1, lit(2L) * col("r") + col("ties") -
+          1L).otherwise(0L)).as("s2"),
+        sum(col("y").cast("long")).as("np"),
+        sum(lit(1L) - col("y")).as("nn"))
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        when(col("np") > 0 && col("nn") > 0,
+          round((col("s2") - col("np") * (col("np") + 1))
+            .cast("double") / (lit(2L) * col("np") * col("nn")), 6))
+          .otherwise(0.0).as("auc"))
+  }
+
   /** PRECISION/RECALL sweep of the trained classifier: TP/FP/FN and the
     * derived precision, recall, F1 at thresholds i/(steps+1) for
     * i = 1..steps — the curve that picks the operating threshold (or

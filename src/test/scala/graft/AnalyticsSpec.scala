@@ -403,6 +403,24 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
     assert(a.values.toSet === Set(0L, 100L, 200L))
   }
 
+  test("bowtieProfile: giant-SCC census classifies in/scc/out/other " +
+      "identically on both paths") {
+    // giant cycle {10,11,12}; feeder 1 and feeder-cycle {40,41};
+    // drain 20; disconnected pair {30,31}
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 10L),
+      (1L, 10L), (40L, 41L), (41L, 40L), (41L, 10L),
+      (12L, 20L), (30L, 31L)).toDF("src", "dst")
+    val want = Map(10L -> "scc", 11L -> "scc", 12L -> "scc",
+      1L -> "in", 40L -> "in", 41L -> "in", 20L -> "out",
+      30L -> "other", 31L -> "other")
+    Seq(2000000L, 0L).foreach { gate =>
+      val got = operators.Graph
+        .bowtieProfile(edges, "src", "dst", driverMaxEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === want, s"gate=$gate")
+    }
+  }
+
   test("topoLevels: diamond DAG longest-path levels on both paths; " +
       "cyclic input raises") {
     // 1 → {2, 3} → 4, plus 2 → 3: longest path to 4 goes 1-2-3-4
