@@ -1328,6 +1328,92 @@ object AnalyticsQueries {
         SELECT n0, k0, n1, k1, p0, p1, z, abs(z) > 1.96 AS significant
         FROM z""")),
 
+    // ---- trailing-7-day DISTINCT users per (type, day) — the rolling
+    // active-user gauge count(DISTINCT) OVER cannot express: the
+    // distinct (type, day, user) table joins its own day grid within
+    // the window (≤7× fan-out, then one exact distinct count). The
+    // exact small-window form; at wide windows swap the distinct for
+    // the portable-HLL register max-merge ----
+    Q("window_sliding_distinct",
+      (s, dir) => {
+        val ev = Sources.events(s, dir)
+        val du = ev.select(col("event_type"),
+            date_trunc("DAY", col("ts")).cast("date").as("day"),
+            col("user_id"))
+          .distinct().localCheckpoint()
+        val grid = du.select(col("event_type"), col("day")).distinct()
+        grid.join(du.select(col("event_type").as("__et"),
+            col("day").as("pday"), col("user_id")),
+            col("event_type") === col("__et") &&
+              datediff(col("day"), col("pday")).between(0, 6))
+          .groupBy(col("event_type"), col("day"))
+          .agg(countDistinct(col("user_id")).as("u7"))
+      },
+      Some("""WITH du AS (
+          SELECT DISTINCT event_type,
+            date_trunc('day', ts)::DATE AS day, user_id
+          FROM events),
+        grid AS (SELECT DISTINCT event_type, day FROM du)
+        SELECT g.event_type, g.day,
+          count(DISTINCT p.user_id) AS u7
+        FROM grid g JOIN du p
+          ON g.event_type = p.event_type
+         AND date_diff('day', p.day, g.day) BETWEEN 0 AND 6
+        GROUP BY 1, 2""")),
+
+    // ---- growth accounting: per week, users classified new /
+    // retained / resurrected / churned from their weekly activity
+    // pattern (week = epoch_day // 7 — locale-free); churned(w) =
+    // active in w−1, silent in w. The startup-metrics state machine
+    // as three window-free joins on the distinct (user, week) table ----
+    Q("events_lifecycle",
+      (s, dir) => {
+        val ev = Sources.events(s, dir)
+        val uw = ev.select(col("user_id"),
+            (datediff(date_trunc("DAY", col("ts")).cast("date"),
+              to_date(lit("1970-01-01"))) / 7).cast("long").as("week"))
+          .distinct().localCheckpoint()
+        val first = uw.groupBy(col("user_id"))
+          .agg(min(col("week")).as("fw"))
+        val prev = uw.select(col("user_id"),
+          (col("week") + 1).as("week"), lit(1).as("__p"))
+        val states = uw.join(broadcast(first), "user_id")
+          .join(prev, Seq("user_id", "week"), "left")
+          .select(col("week"),
+            when(col("week") === col("fw"), "new")
+              .when(col("__p") === 1, "retained")
+              .otherwise("resurrected").as("state"))
+        val churned = prev.select(col("user_id"), col("week"))
+          .join(uw, Seq("user_id", "week"), "left_anti")
+          .select(col("week"), lit("churned").as("state"))
+        states.unionByName(churned)
+          .groupBy(col("week"), col("state"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH uw AS (
+          SELECT DISTINCT user_id,
+            date_diff('day', DATE '1970-01-01',
+              date_trunc('day', ts)::DATE) // 7 AS week
+          FROM events),
+        fw AS (SELECT user_id, min(week) AS fw FROM uw GROUP BY 1),
+        st AS (
+          SELECT a.week,
+            CASE WHEN a.week = fw.fw THEN 'new'
+              WHEN p.user_id IS NOT NULL THEN 'retained'
+              ELSE 'resurrected' END AS state
+          FROM uw a
+          JOIN fw ON a.user_id = fw.user_id
+          LEFT JOIN uw p ON a.user_id = p.user_id
+            AND p.week = a.week - 1),
+        ch AS (
+          SELECT a.week + 1 AS week, 'churned' AS state
+          FROM uw a LEFT JOIN uw n
+            ON a.user_id = n.user_id AND n.week = a.week + 1
+          WHERE n.user_id IS NULL),
+        allst AS (SELECT * FROM st UNION ALL SELECT * FROM ch)
+        SELECT week, state, count(*) AS n
+        FROM allst GROUP BY 1, 2""")),
+
     // ---- RFM segmentation: recency (days since last purchase at the
     // observation horizon) / frequency / monetary per user, quartiled
     // with id tie-breaks into the classic 3-digit RFM code. Monetary

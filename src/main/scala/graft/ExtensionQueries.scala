@@ -3108,6 +3108,70 @@ object TextQueries {
             ELSE 0.0 END AS auc
         FROM agg""")),
 
+    // population stability index of the trained score between the two
+    // md5-parity halves of the corpus — the model-monitoring drift
+    // gauge (PSI > 0.2 = investigate): add-one-smoothed decile shares,
+    // 6-dp decimal term sums; same scorer chain as the other audits
+    Q("quality_psi",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        val scored = QualityModel.trainScoreLogReg(docs, "doc_id",
+          "text", col("lang") === "en", dim = 32, iters = 3, lr = 0.05)
+        val sc = scored.select(col("doc_id"),
+          least(floor(col("score") * 10), lit(9.0)).cast("int")
+            .as("bin"),
+          graft.operators.Curation.hashBucket(col("doc_id"), 2)
+            .as("half"))
+        val bins = sc.groupBy(col("bin"))
+          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb"))
+        val tot = bins.agg(sum(col("ca")).as("na"),
+          sum(col("cb")).as("nb"), count(lit(1)).as("k"))
+        val pa = (col("ca") + 1).cast("double") / (col("na") + col("k"))
+        val pb = (col("cb") + 1).cast("double") / (col("nb") + col("k"))
+        bins.crossJoin(broadcast(tot))
+          .select(col("na"), col("nb"),
+            round((pa - pb) * log(pa / pb), 6).cast("decimal(18,6)")
+              .as("term"))
+          .groupBy(col("na"), col("nb"))
+          .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
+          .select(col("na").as("n_a"), col("nb").as("n_b"), col("psi"))
+      },
+      Some(s"""WITH ${lrCtes(32, 3, 0.05, "d.lang = 'en'")},
+        sF AS (
+          SELECT f.doc_id, sum(CAST(w.w AS DECIMAL(18,6)) * f.c) AS s,
+            sum(f.c) AS n
+          FROM f JOIN w3 w ON f.j = w.j GROUP BY f.doc_id),
+        sc AS (
+          SELECT d.doc_id,
+            least(floor(round(1.0 / (1.0 + exp(-round(b.b +
+              coalesce(32 * CAST(sF.s AS DOUBLE) / sF.n, 0.0), 6))), 6)
+              * 10), 9.0)::INTEGER AS bin,
+            ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 2
+              AS half
+          FROM documents d LEFT JOIN sF ON d.doc_id = sF.doc_id
+          CROSS JOIN b3 b),
+        bins AS (
+          SELECT bin,
+            sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+            sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+          FROM sc GROUP BY 1),
+        tot AS (
+          SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+            count(*) AS k
+          FROM bins),
+        terms AS (
+          SELECT na, nb,
+            CAST(round(((ca + 1)::DOUBLE / (na + k) -
+              (cb + 1)::DOUBLE / (nb + k)) *
+              ln(((ca + 1)::DOUBLE / (na + k)) /
+                ((cb + 1)::DOUBLE / (nb + k))), 6)
+              AS DECIMAL(18,6)) AS term
+          FROM bins CROSS JOIN tot)
+        SELECT na AS n_a, nb AS n_b,
+          round(CAST(sum(term) AS DOUBLE), 6) AS psi
+        FROM terms GROUP BY na, nb""")),
+
     // precision/recall/F1 sweep at thresholds 0.1..0.9 — the
     // operating-point curve; exact TP/FP/FN counts, one rounded
     // division per metric, F1 over the rounded P and R (on the
