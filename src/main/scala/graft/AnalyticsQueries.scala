@@ -68,10 +68,10 @@ object AnalyticsQueries {
         SELECT a.event_type, a.day, a.x,
           round(
             CAST(sum(CAST(b.x * power(0.5,
-              date_diff('day', b.day, a.day)) AS DECIMAL(28,10)))
+              date_diff('day', b.day, a.day)) AS DECIMAL(38,12)))
               AS DOUBLE) /
             CAST(sum(CAST(power(0.5, date_diff('day', b.day, a.day))
-              AS DECIMAL(28,10))) AS DOUBLE), 6) AS ewma
+              AS DECIMAL(38,12))) AS DOUBLE), 6) AS ewma
         FROM daily a JOIN daily b
           ON a.event_type = b.event_type
          AND date_diff('day', b.day, a.day) BETWEEN 0 AND 7
@@ -1327,6 +1327,110 @@ object AnalyticsQueries {
           FROM m)
         SELECT n0, k0, n1, k1, p0, p1, z, abs(z) > 1.96 AS significant
         FROM z""")),
+
+    // ---- sequential rules A→B: of the users whose FIRST a precedes
+    // any b, what fraction go on to b (first-occurrence ordering, so
+    // each user votes once per pair) — events_markov's adjacent-step
+    // matrix generalized to eventually-follows; exact integer counts ----
+    Q("events_sequence_rules",
+      (s, dir) => {
+        val firsts = Sources.events(s, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(min(col("ts")).as("t0"))
+          .localCheckpoint()
+        val supp = firsts.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"))
+        val pairs = firsts.select(col("user_id"),
+            col("event_type").as("a"), col("t0").as("ta"))
+          .join(firsts.select(col("user_id"),
+            col("event_type").as("b"), col("t0").as("tb")), "user_id")
+          .filter(col("a") =!= col("b") && col("ta") < col("tb"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("n_ab"))
+        pairs.join(broadcast(supp.select(col("event_type").as("a"),
+            col("n_users").as("n_a"))), "a")
+          .select(col("a"), col("b"), col("n_ab"), col("n_a"),
+            round(col("n_ab").cast("double") / col("n_a"), 6)
+              .as("confidence"))
+      },
+      Some("""WITH f AS (
+          SELECT user_id, event_type, min(ts) AS t0
+          FROM events GROUP BY 1, 2),
+        supp AS (
+          SELECT event_type, count(*) AS n_users FROM f GROUP BY 1),
+        pr AS (
+          SELECT a.event_type AS a, b.event_type AS b,
+            count(*) AS n_ab
+          FROM f a JOIN f b ON a.user_id = b.user_id
+            AND a.event_type <> b.event_type AND a.t0 < b.t0
+          GROUP BY 1, 2)
+        SELECT a, b, n_ab, n_users AS n_a,
+          round(n_ab::DOUBLE / n_users, 6) AS confidence
+        FROM pr JOIN supp ON a = supp.event_type""")),
+
+    // ---- pairwise Pearson correlation matrix over the lineitem
+    // numeric columns in long form — exact decimal moment sums per
+    // pair, one identical double formula, zero-variance guarded; the
+    // generated column-pair list keeps Spark and oracle in lockstep ----
+    Q("numeric_corr_matrix",
+      (s, dir) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        val li = Sources.table(s, dir, "lineitem")
+        val pairsDf = cols.combinations(2).map { case Seq(x, y) =>
+          li.agg(count(lit(1)).as("n"),
+              sum(col(x).cast("decimal(18,6)")).cast("double").as("sx"),
+              sum(col(y).cast("decimal(18,6)")).cast("double").as("sy"),
+              sum((col(x).cast("decimal(18,6)") *
+                col(x).cast("decimal(18,6)")).cast("decimal(38,12)"))
+                .cast("double").as("sxx"),
+              sum((col(y).cast("decimal(18,6)") *
+                col(y).cast("decimal(18,6)")).cast("decimal(38,12)"))
+                .cast("double").as("syy"),
+              sum((col(x).cast("decimal(18,6)") *
+                col(y).cast("decimal(18,6)")).cast("decimal(38,12)"))
+                .cast("double").as("sxy"))
+            .select(lit(x).as("col_a"), lit(y).as("col_b"), col("n"),
+              when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+                (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+                round((col("n") * col("sxy") - col("sx") * col("sy")) /
+                  sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                    (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+                .otherwise(0.0).as("corr"))
+        }.reduce(_ unionByName _)
+        pairsDf
+      },
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        // DuckDB multiplies DECIMAL(18,6) operands in 18-digit space
+        // (overflow on the squares) — widen operands to (19,6) so the
+        // product lands in DECIMAL(38,12) losslessly, the exact type
+        // Spark's (18,6)x(18,6) product carries
+        def sq(a: String, b: String) =
+          s"""CAST(sum(CAST(CAST($a AS DECIMAL(19,6)) *
+            CAST($b AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE)"""
+        val parts = cols.combinations(2).toSeq.zipWithIndex.map {
+          case (Seq(x, y), i) =>
+            (s"""m$i AS (
+              SELECT count(*) AS n,
+                CAST(sum(CAST($x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                CAST(sum(CAST($y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                ${sq(x, x)} AS sxx,
+                ${sq(y, y)} AS syy,
+                ${sq(x, y)} AS sxy
+              FROM lineitem)""",
+             s"""SELECT '$x' AS col_a, '$y' AS col_b, n,
+               CASE WHEN (n * sxx - sx * sx) > 0
+                   AND (n * syy - sy * sy) > 0
+                 THEN round((n * sxy - sx * sy) /
+                   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                 ELSE 0.0 END AS corr
+               FROM m$i""")
+        }
+        "WITH " + parts.map(_._1).mkString(",\n") + "\n" +
+          parts.map(_._2).mkString("\nUNION ALL\n")
+      }),
 
     // ---- trailing-7-day DISTINCT users per (type, day) — the rolling
     // active-user gauge count(DISTINCT) OVER cannot express: the

@@ -122,6 +122,57 @@ object DedupQueries {
         min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY 1""")),
 
+    // document STITCHING detection: page A's last-8-token shingle
+    // equals page B's first-8 — the crawl-continuation / pagination
+    // signature (one article split across fetches with a repeated
+    // boundary) that whole-document similarity misses. The corpus is
+    // PAGINATED first (each doc ≥ 16 tokens splits into two pages
+    // overlapping by 8 — ids 2i / 2i+1), so the detector provably
+    // re-finds every split point; hash-keyed boundary join
+    Q("dedup_stitch_pairs",
+      (s, dir) => {
+        val toks = Sources.table(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.Cleaning.tokens(lower(col("text")))
+              .as("ws"))
+          .filter(size(col("ws")) >= 16)
+          .withColumn("mid", (size(col("ws")) / 2).cast("int"))
+        val pages = toks.select((col("doc_id") * 2).as("page_id"),
+            slice(col("ws"), lit(1), col("mid")).as("ws"))
+          .unionByName(toks.select((col("doc_id") * 2 + 1).as("page_id"),
+            slice(col("ws"), col("mid") - lit(7),
+              size(col("ws")) - col("mid") + lit(8)).as("ws")))
+        val tail = pages.select(col("page_id").as("page_a"),
+          md5(concat_ws(" ", slice(col("ws"), -8, 8))).as("h"))
+        val head = pages.select(col("page_id").as("page_b"),
+          md5(concat_ws(" ", slice(col("ws"), 1, 8))).as("h"))
+        tail.join(head, "h")
+          .filter(col("page_a") =!= col("page_b"))
+          .select(col("page_a"), col("page_b"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), x -> x <> '')
+              AS ws
+          FROM documents),
+        ok AS (
+          SELECT doc_id, ws, (len(ws) // 2)::INTEGER AS mid
+          FROM t WHERE len(ws) >= 16),
+        pages AS (
+          SELECT doc_id * 2 AS page_id, ws[1:mid] AS ws FROM ok
+          UNION ALL
+          SELECT doc_id * 2 + 1, ws[mid-7:] FROM ok),
+        tl AS (
+          SELECT page_id AS page_a,
+            md5(array_to_string(ws[-8:], ' ')) AS h
+          FROM pages),
+        hd AS (
+          SELECT page_id AS page_b,
+            md5(array_to_string(ws[1:8], ' ')) AS h
+          FROM pages)
+        SELECT page_a, page_b FROM tl JOIN hd USING (h)
+        WHERE page_a <> page_b""")),
+
     // the LSH banding S-curve TABLE: candidate probability
     // 1 − (1 − s^r)^b over similarity grid × (bands, rows) configs,
     // with each config's s50 threshold (1/b)^(1/r) — the tuning sheet
@@ -5808,6 +5859,55 @@ object GraphQueries {
           least(n.v, coalesce(min(m.u), n.v)) AS scc_id
         FROM n LEFT JOIN mut m ON n.v = m.v
         GROUP BY n.v""")),
+
+    // two-hop reach per node (friend-of-friend audience size) on the
+    // undirected trade graph: two self-joins on the hub-capped
+    // adjacency + one exact distinct, self and direct neighbours
+    // excluded — the influence-radius gauge; the maxDeg cap keeps the
+    // intermediate fan-out Σdeg² bounded (the maxDocFreq convention)
+    Q("graph_two_hop",
+      (s, dir) => {
+        val pairs = Sources.table(s, dir, "orders")
+          .join(Sources.table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("sp"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
+          .union(pairs.select(col("sp").as("src"), col("c").as("dst")))
+        val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .filter(col("d") <= 4096).select(col("src"))
+        val capped = edges.join(broadcast(keep), "src")
+          .localCheckpoint()
+        val one = capped.select(col("src").as("v"), col("dst").as("n1"))
+        val two = one
+          .join(capped.select(col("src").as("n1"), col("dst").as("n2")),
+            "n1")
+          .filter(col("n2") =!= col("v"))
+          .join(one.select(col("v"), col("n1").as("n2"),
+            lit(1).as("__direct")), Seq("v", "n2"), "left")
+          .filter(col("__direct").isNull)
+        two.groupBy(col("v").as("node"))
+          .agg(countDistinct(col("n2")).as("two_hop"))
+      },
+      Some("""WITH p AS (
+          SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        e AS (
+          SELECT c AS src, sp AS dst FROM p
+          UNION ALL SELECT sp, c FROM p),
+        keep AS (
+          SELECT src FROM (SELECT src, count(*) AS d FROM e GROUP BY 1)
+          WHERE d <= 4096),
+        ce AS (SELECT e.src, e.dst FROM e JOIN keep USING (src)),
+        two AS (
+          SELECT a.src AS v, b.dst AS n2
+          FROM ce a JOIN ce b ON a.dst = b.src
+          WHERE b.dst <> a.src
+            AND NOT EXISTS (SELECT 1 FROM ce d
+              WHERE d.src = a.src AND d.dst = b.dst))
+        SELECT v AS node, count(DISTINCT n2) AS two_hop
+        FROM two GROUP BY v""")),
 
     // edge reciprocity of the RAW (unfiltered) supplier-handoff digraph:
     // what fraction of directed edges have a reverse edge — the first
