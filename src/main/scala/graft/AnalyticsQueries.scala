@@ -1328,6 +1328,144 @@ object AnalyticsQueries {
         SELECT n0, k0, n1, k1, p0, p1, z, abs(z) > 1.96 AS significant
         FROM z""")),
 
+    // ---- POINT-IN-TIME multi-table feature join (the feature-store
+    // correctness primitive): each view event carries the latest
+    // preceding purchase value and the ages of the last purchase and
+    // last error — two chained as-of joins, so no feature can leak
+    // from the future (training–serving skew prevention); DuckDB's
+    // native ASOF JOIN is the double differential ----
+    Q("join_pit_features",
+      (s, dir) => {
+        val ev = Sources.events(s, dir)
+        val spine = ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts")
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id", "value")
+        val errs = ev.filter(col("event_type") === "error")
+          .select("user_id", "ts", "event_id")
+        val f1 = Temporal.asofJoin(spine, purch, "user_id", "ts", "ts",
+            Seq("value"), "event_id")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("__carried.__matched_ts").as("p_ts"),
+            round(col("__carried.value"), 6).as("f_purchase_value"))
+        Temporal.asofJoin(f1, errs, "user_id", "ts", "ts",
+            Seq(), "event_id")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("f_purchase_value"),
+            (unix_timestamp(col("ts")) -
+              unix_timestamp(col("p_ts"))).as("purchase_age_s"),
+            (unix_timestamp(col("ts")) -
+              unix_timestamp(col("__carried.__matched_ts")))
+              .as("error_age_s"))
+      },
+      Some("""WITH ev AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                 event_type
+          FROM events),
+        spine AS (
+          SELECT event_id, user_id, ts FROM ev
+          WHERE event_type = 'view'),
+        p AS (
+          SELECT user_id, ts, value FROM (
+            SELECT user_id, ts, value, row_number() OVER (
+              PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM ev WHERE event_type = 'purchase') t WHERE rn = 1),
+        er AS (
+          SELECT user_id, ts FROM (
+            SELECT user_id, ts, row_number() OVER (
+              PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM ev WHERE event_type = 'error') t WHERE rn = 1)
+        SELECT s.event_id, s.user_id, s.ts,
+          round(p.value, 6) AS f_purchase_value,
+          date_diff('second', p.ts, s.ts) AS purchase_age_s,
+          date_diff('second', er.ts, s.ts) AS error_age_s
+        FROM spine s
+        ASOF LEFT JOIN p
+          ON s.user_id = p.user_id AND s.ts >= p.ts
+        ASOF LEFT JOIN er
+          ON s.user_id = er.user_id AND s.ts >= er.ts""")),
+
+    // ---- Lorenz curve of order revenue: decile table (equal-count
+    // buckets by price, id tie-broken) with exact decimal sums and
+    // cumulative share — revenue-concentration reading; the Gini is
+    // one fold over this table ----
+    Q("numeric_lorenz",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Sources.table(s, dir, "orders")
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("decimal(18,6)").as("v"))
+        val ranked = o.withColumn("decile",
+          ntile(10).over(Window.orderBy(col("v").asc,
+            col("o_orderkey").asc)))
+        val tot = ranked.agg(sum(col("v")).as("tv"))
+        val byD = ranked.groupBy(col("decile"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("v")).as("sv"))
+        byD.crossJoin(broadcast(tot))
+          .withColumn("cum_sv", sum(col("sv"))
+            .over(Window.orderBy(col("decile"))
+              .rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)))
+          .select(col("decile"), col("n"),
+            col("sv").cast("double").as("sum_price"),
+            round(col("cum_sv").cast("double") /
+              col("tv").cast("double"), 6).as("cum_share"))
+      },
+      Some("""WITH o AS (
+          SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,6)) AS v
+          FROM orders),
+        r AS (
+          SELECT v, ntile(10) OVER (ORDER BY v ASC, o_orderkey ASC)
+            AS decile
+          FROM o),
+        t AS (SELECT sum(v) AS tv FROM r),
+        d AS (
+          SELECT decile, count(*) AS n, sum(v) AS sv
+          FROM r GROUP BY decile)
+        SELECT decile, n, CAST(sv AS DOUBLE) AS sum_price,
+          round(CAST(sum(sv) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / CAST(tv AS DOUBLE), 6) AS cum_share
+        FROM d CROSS JOIN t""")),
+
+    // ---- activity episodes: consecutive events ≤ 30 min apart fuse
+    // into one episode; per user the episode count and the total
+    // active seconds — interval-union-by-gap in ONE window pass
+    // (Σ of the small gaps IS the union length, no per-episode
+    // grouping needed); whole-second floors, exact integers ----
+    Q("events_episodes",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("t").asc, col("event_id").asc)
+        Sources.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_timestamp(col("ts")).as("t"))
+          .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (sum(when(col("gap").isNull || col("gap") > 1800, 1L)
+              .otherwise(0L))).as("n_episodes"),
+            sum(when(col("gap").isNotNull && col("gap") <= 1800,
+              col("gap")).otherwise(0L)).as("active_s"))
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id,
+            date_diff('second', TIMESTAMP '1970-01-01', ts) AS t
+          FROM events),
+        g AS (
+          SELECT user_id,
+            t - lag(t) OVER (PARTITION BY user_id
+              ORDER BY t ASC, event_id ASC) AS gap
+          FROM e)
+        SELECT user_id, count(*) AS n_events,
+          sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+            ::BIGINT AS n_episodes,
+          sum(CASE WHEN gap IS NOT NULL AND gap <= 1800 THEN gap
+            ELSE 0 END)::BIGINT AS active_s
+        FROM g GROUP BY user_id""")),
+
     // ---- sequential rules A→B: of the users whose FIRST a precedes
     // any b, what fraction go on to b (first-occurrence ordering, so
     // each user votes once per pair) — events_markov's adjacent-step
