@@ -991,6 +991,17 @@ object AnalyticsQueries {
           '/root/repo/fixtures/hive/source=wiki/*.parquet',
           hive_partitioning = true)""")),
 
+    // ---- ORC source (the other columnar warehouse format Spark reads
+    // natively): scan the committed ORC fixture; the oracle reads the
+    // PARQUET TWIN of the same rows (DuckDB has no ORC reader) — same
+    // logical content committed once per format, so the row checks
+    // format-independent decode incl. null and date handling ----
+    Q("scan_orc",
+      (s, _) => s.read.orc("/root/repo/fixtures/twin_orc"),
+      Some("""SELECT id, note, score, d
+        FROM read_parquet(
+          '/root/repo/fixtures/twin_parquet/part-0.parquet')""")),
+
     // ---- trailing 7-day event count per type via a RANGE frame over
     // the integer epoch-day key — value-based framing (gaps count,
     // unlike ROWS), identical semantics in both engines ----

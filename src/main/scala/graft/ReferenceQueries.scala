@@ -560,6 +560,36 @@ object ReferenceQueries {
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
           (ship_year), ())""")),
 
+    // ---- arg-max/arg-min aggregates (the "which row holds the
+    // extreme" family): per priority, the order key at the highest and
+    // lowest price — TIES broken through the (value, key) tuple so the
+    // argmax is total-ordered in both engines ----
+    Q("agg_argminmax",
+      (s, dir) => {
+        // DuckDB 1.0's arg_max takes only a SCALAR ordering key, so
+        // the (price, key) tie-break is encoded into one BIGINT:
+        // integer cents (exact at 2-dp prices) shifted past the key
+        // range — lexicographic order preserved, 64-bit safe
+        val ord = round(col("o_totalprice") * 100, 0).cast("long") *
+          lit(1000000000L) + col("o_orderkey")
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(max_by(col("o_orderkey"), ord).as("max_price_key"),
+            min_by(col("o_orderkey"), ord).as("min_price_key"),
+            max(col("o_totalprice")).as("max_price"),
+            min(col("o_totalprice")).as("min_price"))
+      },
+      Some("""SELECT o_orderpriority,
+          arg_max(o_orderkey,
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) * 1000000000
+              + o_orderkey) AS max_price_key,
+          arg_min(o_orderkey,
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) * 1000000000
+              + o_orderkey) AS min_price_key,
+          max(o_totalprice) AS max_price,
+          min(o_totalprice) AS min_price
+        FROM orders GROUP BY o_orderpriority""")),
+
     // ---- A2 under skew: two-phase salted aggregation. Same result as
     // agg_count_group (and the same oracle) — the salt only reshapes the
     // shuffle: phase 1 groups on (key, salt) so one hot key spreads over

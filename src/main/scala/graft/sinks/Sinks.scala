@@ -66,4 +66,17 @@ object Sinks {
     Seq(System.currentTimeMillis() / 1000.0).toDF("runtime")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Partitioned parquet sink with DYNAMIC partition overwrite: only
+    * the partitions present in `df` are replaced, every other
+    * partition on disk survives — the idempotent-batch-replay contract
+    * a date-partitioned 100 TB table needs (re-running yesterday's
+    * batch must not truncate the table, which is exactly what static
+    * overwrite mode does; SinkSpec pins both behaviours). */
+  def overwritePartitions(df: DataFrame, partitionCol: String,
+      path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
 }

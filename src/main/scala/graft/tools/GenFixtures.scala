@@ -82,6 +82,33 @@ object GenHiveFixture {
         Files.move(p, p.getParent.resolve("part-0.parquet"))
     }
     println(s"wrote hive fixture to $out")
+
+    // ORC + parquet TWINS of the same rows: scan_orc reads the ORC
+    // file, its oracle reads the parquet twin (DuckDB has no ORC
+    // reader) — same logical content, committed once in each format
+    val twin = Seq(
+      (1L, "orc row one", 1.5, "2024-01-01"),
+      (2L, "orc row two", -2.25, "2024-02-29"),
+      (3L, null.asInstanceOf[String], 0.0, "2024-12-31"))
+      .toDF("id", "note", "score", "d")
+      .withColumn("d",
+        org.apache.spark.sql.functions.col("d").cast("date"))
+      .repartition(1)
+    Seq("orc", "parquet").foreach { fmt =>
+      val dir = s"fixtures/twin_$fmt"
+      twin.write.mode("overwrite").format(fmt).save(dir)
+      val r = Paths.get(dir)
+      Files.walk(r).forEach { p =>
+        val n = p.getFileName.toString
+        if (n == "_SUCCESS" || n.endsWith(".crc")) Files.delete(p)
+      }
+      Files.walk(r).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("part-"))
+          Files.move(p, p.getParent.resolve(s"part-0.$fmt"))
+      }
+    }
+    println("wrote twin_orc / twin_parquet fixtures")
     spark.stop()
   }
 }

@@ -403,6 +403,26 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
     assert(a.values.toSet === Set(0L, 100L, 200L))
   }
 
+  test("overwritePartitions replaces only the written partitions; " +
+      "static overwrite would truncate the rest") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dynpart").toString
+    val v1 = Seq((1L, "a"), (2L, "a"), (3L, "b"))
+      .toDF("id", "source")
+    sinks.Sinks.overwritePartitions(v1, "source", dir)
+    // replay partition a only, with different rows
+    val v2 = Seq((10L, "a")).toDF("id", "source")
+    sinks.Sinks.overwritePartitions(v2, "source", dir)
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((10L, "a"), (3L, "b")), "b must survive")
+    // the counter-behaviour: plain static overwrite truncates b
+    v2.write.mode("overwrite").partitionBy("source").parquet(dir)
+    val trunc = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(trunc === Set((10L, "a")))
+  }
+
   test("bowtieProfile: giant-SCC census classifies in/scc/out/other " +
       "identically on both paths") {
     // giant cycle {10,11,12}; feeder 1 and feeder-cycle {40,41};
