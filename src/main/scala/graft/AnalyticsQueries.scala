@@ -1339,6 +1339,117 @@ object AnalyticsQueries {
         SELECT n0, k0, n1, k1, p0, p1, z, abs(z) > 1.96 AS significant
         FROM z""")),
 
+    // ---- cohort LTV triangle: users grouped by signup week, purchase
+    // value accumulated by age-week — the lifetime-value curve every
+    // retention/payback analysis reads; exact decimal value sums, one
+    // cumulative window over the small (cohort × age) table ----
+    Q("events_cohort_ltv",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Sources.events(s, dir)
+        def wk(c: org.apache.spark.sql.Column) =
+          (datediff(date_trunc("DAY", c).cast("date"),
+            to_date(lit("1970-01-01"))) / 7).cast("long")
+        val cohort = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(wk(col("ts"))).as("cw"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), wk(col("ts")).as("pw"),
+            col("value").cast("decimal(18,6)").as("vd"))
+          .join(cohort, "user_id")
+          .filter(col("pw") >= col("cw"))
+        val cell = pur.groupBy(col("cw").as("cohort_week"),
+            (col("pw") - col("cw")).as("age_week"))
+          .agg(countDistinct(col("user_id")).as("n_buyers"),
+            sum(col("vd")).as("v"))
+        val sz = cohort.groupBy(col("cw").as("cohort_week"))
+          .agg(count(lit(1)).as("cohort_size"))
+        val w = Window.partitionBy(col("cohort_week"))
+          .orderBy(col("age_week"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cell.join(broadcast(sz), "cohort_week")
+          .withColumn("cum_v", sum(col("v")).over(w))
+          .select(col("cohort_week"), col("age_week"),
+            col("cohort_size"), col("n_buyers"),
+            col("v").cast("double").as("value"),
+            round(col("cum_v").cast("double") / col("cohort_size"), 6)
+              .as("cum_ltv"))
+      },
+      Some("""WITH co AS (
+          SELECT user_id,
+            min(date_diff('day', DATE '1970-01-01',
+              date_trunc('day', ts)::DATE) // 7) AS cw
+          FROM events WHERE event_type = 'signup' GROUP BY 1),
+        pu AS (
+          SELECT e.user_id,
+            date_diff('day', DATE '1970-01-01',
+              date_trunc('day', e.ts)::DATE) // 7 AS pw,
+            CAST(e.value AS DECIMAL(18,6)) AS vd
+          FROM events e WHERE e.event_type = 'purchase'),
+        cell AS (
+          SELECT cw AS cohort_week, pw - cw AS age_week,
+            count(DISTINCT pu.user_id) AS n_buyers,
+            sum(vd) AS v
+          FROM pu JOIN co ON pu.user_id = co.user_id
+          WHERE pw >= cw
+          GROUP BY 1, 2),
+        sz AS (
+          SELECT cw AS cohort_week, count(*) AS cohort_size
+          FROM co GROUP BY 1)
+        SELECT cohort_week, age_week, cohort_size, n_buyers,
+          CAST(v AS DOUBLE) AS value,
+          round(CAST(sum(v) OVER (PARTITION BY cohort_week
+            ORDER BY age_week
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / cohort_size, 6) AS cum_ltv
+        FROM cell JOIN sz USING (cohort_week)""")),
+
+    // ---- vocabulary coverage curve: share of all tokens covered by
+    // the top-k words (k = 10/100/1000, count-then-word ranked) — the
+    // Zipf-tail reading behind tokenizer vocab budgeting ----
+    Q("text_ngram_coverage",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wc = Sources.table(s, dir, "documents")
+          .select(explode(graft.functions.Cleaning.tokens(
+            lower(col("text")))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val ranked = wc.withColumn("rk", row_number().over(
+          Window.orderBy(col("c").desc, col("w").asc)))
+        val tot = wc.agg(sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_types"))
+        val ks = Sources.table(s, dir, "documents").sparkSession
+          .range(1, 4).select(pow(lit(10.0), col("id").cast("double"))
+            .cast("long").as("k"))
+        ranked.crossJoin(broadcast(ks))
+          .filter(col("rk") <= col("k"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("c")).as("covered"))
+          .crossJoin(broadcast(tot))
+          .select(col("k"), col("n_words"), col("covered"),
+            col("n_types"),
+            round(col("covered").cast("double") / col("n_tok"), 6)
+              .as("coverage"))
+      },
+      Some("""WITH t AS (
+          SELECT unnest(list_filter(string_split(lower(text), ' '),
+            x -> x <> '')) AS w
+          FROM documents),
+        wc AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+        rk AS (
+          SELECT w, c, row_number() OVER (ORDER BY c DESC, w ASC)
+            AS rk
+          FROM wc),
+        tot AS (SELECT sum(c)::BIGINT AS n_tok, count(*) AS n_types
+          FROM wc),
+        ks AS (SELECT unnest([10, 100, 1000])::BIGINT AS k)
+        SELECT k, count(*) AS n_words, sum(c)::BIGINT AS covered,
+          min(n_types) AS n_types,
+          round(sum(c)::DOUBLE / min(n_tok), 6) AS coverage
+        FROM rk CROSS JOIN ks CROSS JOIN tot
+        WHERE rk <= k
+        GROUP BY k""")),
+
     // ---- POINT-IN-TIME multi-table feature join (the feature-store
     // correctness primitive): each view event carries the latest
     // preceding purchase value and the ages of the last purchase and
