@@ -590,6 +590,34 @@ object ReferenceQueries {
           min(o_totalprice) AS min_price
         FROM orders GROUP BY o_orderpriority""")),
 
+    // ---- WEIGHTED exact quantiles (price quantiles weighted by
+    // quantity — "the price the median UNIT ships at", not the median
+    // line) on the bounded-memory bucketed two-pass path; the
+    // lower-weighted-quantile definition (min v with cumW ≥ p·W) is
+    // interpolation-free so both engines agree exactly, and the
+    // oracle replays it as one direct window cumsum ----
+    Q("agg_weighted_quantiles",
+      (s, dir) => graft.operators.Quantiles.weightedQuantilesBucketed(
+        t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        "l_quantity", ps = Seq(0.25, 0.5, 0.9)),
+      Some("""WITH b AS (
+          SELECT l_returnflag AS k,
+            CAST(l_extendedprice AS DOUBLE) AS v,
+            CAST(l_quantity AS DECIMAL(18,6)) AS w
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL AND l_quantity > 0),
+        tw AS (SELECT k, sum(w) AS tw FROM b GROUP BY 1),
+        byv AS (SELECT k, v, sum(w) AS vw FROM b GROUP BY 1, 2),
+        cum AS (
+          SELECT k, v, sum(vw) OVER (PARTITION BY k ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv
+          FROM byv),
+        ps AS (SELECT unnest([0.25, 0.5, 0.9]) AS p)
+        SELECT c.k AS l_returnflag, p, min(v) AS wq
+        FROM cum c JOIN tw USING (k) CROSS JOIN ps
+        WHERE CAST(cumv AS DOUBLE) >= p * CAST(tw AS DOUBLE)
+        GROUP BY 1, 2""")),
+
     // ---- A2 under skew: two-phase salted aggregation. Same result as
     // agg_count_group (and the same oracle) — the salt only reshapes the
     // shuffle: phase 1 groups on (key, salt) so one hot key spreads over

@@ -359,6 +359,66 @@ object Quantiles {
         round(col("lo") + (col("r") - col("r_lo")) *
           (col("hi") - col("lo")), scale).as("q"))
   }
+
+  /** WEIGHTED exact quantiles on the same bounded-memory two-pass
+    * scheme as [[exactQuantilesBucketed]]: quantile(p) = min v with
+    * cumWeight(v) ≥ p·W (the lower-weighted-quantile definition —
+    * interpolation-free, so there is one canonical answer and every
+    * engine agrees). Pass 1 accumulates per-bucket WEIGHT sums
+    * (exact decimals); the ≤nBuckets cumulative table locates each
+    * target's bucket; pass 2 ranks only the hit buckets' DISTINCT
+    * values by cumulative weight (grouping by value first makes the
+    * cumsum order-unambiguous under ties). Per-key state stays at
+    * nBuckets rows — `sum(w) FILTER/percentile`-style full buffering
+    * never happens. Output: (keyCol, p, wq). */
+  def weightedQuantilesBucketed(df: DataFrame, keyCol: String,
+      valCol: String, wCol: String, ps: Seq[Double],
+      nBuckets: Int = 1024): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"need probabilities in (0,1], got $ps")
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val base = df.select(col(keyCol).as("k"),
+        col(valCol).cast("double").as("v"),
+        col(wCol).cast("decimal(18,6)").as("w"))
+      .filter(col("v").isNotNull && col("w").isNotNull && col("w") > 0)
+    val stats = base.groupBy(col("k")).agg(sum(col("w")).as("tw"),
+      min(col("v")).as("mn"), max(col("v")).as("mx"))
+    def bucketOf(v: Column) =
+      when(col("mx") === col("mn"), lit(0))
+        .otherwise(least(floor((v - col("mn")) * nBuckets /
+          (col("mx") - col("mn"))).cast("int"), lit(nBuckets - 1)))
+    val bucketed = base.join(broadcast(stats), Seq("k"))
+      .select(col("k"), col("v"), col("w"), bucketOf(col("v")).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = bucketed.groupBy(col("k"), col("b"))
+      .agg(sum(col("w")).as("sw"))
+    val wCum = Window.partitionBy(col("k")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("off",
+      coalesce(sum(col("sw")).over(wCum), lit(0).cast("decimal(18,6)")))
+    val targets = stats.select(col("k"), col("tw"),
+        explode(array(ps.map(lit(_)): _*)).as("p"))
+      .select(col("k"), col("p"),
+        (col("p") * col("tw").cast("double")).as("t"))
+    // the bucket where cumWeight first reaches t: off < t ≤ off + sw
+    // (t ≤ first bucket's weight lands in bucket 0 since off = 0 < t)
+    val located = targets.join(cum, Seq("k"))
+      .filter(col("off").cast("double") < col("t") &&
+        col("t") <= (col("off") + col("sw")).cast("double"))
+      .select(col("k"), col("p"), col("t"), col("b"), col("off"))
+    val byV = bucketed
+      .join(located.select(col("k"), col("b")).distinct(), Seq("k", "b"))
+      .groupBy(col("k"), col("b"), col("v"))
+      .agg(sum(col("w")).as("vw"))
+    val wInV = Window.partitionBy(col("k"), col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byV.withColumn("cumv", sum(col("vw")).over(wInV))
+    located.join(ranked, Seq("k", "b"))
+      .filter((col("off") + col("cumv")).cast("double") >= col("t"))
+      .groupBy(col("k"), col("p"))
+      .agg(min(col("v")).as("wq"))
+      .select(col("k").as(keyCol), col("p"), col("wq"))
+  }
 }
 
 /** Binned (bucketized) range join — the standard rewrite that turns a

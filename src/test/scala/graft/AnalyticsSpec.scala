@@ -403,6 +403,22 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
     assert(a.values.toSet === Set(0L, 100L, 200L))
   }
 
+  test("weightedQuantilesBucketed: lower weighted quantile honours " +
+      "weights, agrees across bucket counts and partitionings") {
+    // W = 100: v=1 w=1, v=2 w=1, v=3 w=98 → q(0.01)=1, q(0.02)=2,
+    // q(0.5)=3; a fine-grained and a 2-bucket histogram must agree
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 98.0))
+      .map { case (v, w) => ("k", v, w) }.toDF("g", "v", "w")
+    Seq(2, 1024).foreach { nb =>
+      val got = operators.Quantiles.weightedQuantilesBucketed(
+        df.repartition(3), "g", "v", "w",
+        ps = Seq(0.01, 0.02, 0.5), nBuckets = nb)
+        .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+      assert(got === Map(0.01 -> 1.0, 0.02 -> 2.0, 0.5 -> 3.0),
+        s"nBuckets=$nb")
+    }
+  }
+
   test("overwritePartitions replaces only the written partitions; " +
       "static overwrite would truncate the rest") {
     val dir = java.nio.file.Files
