@@ -440,4 +440,25 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     val p = plan("graph_reciprocity")
     assert(p.contains("partial_count"), p)
   }
+
+  test("join_pit_features: both as-of stages are union+window carries " +
+      "— no sort-merge join anywhere in the feature assembly") {
+    val p = plan("join_pit_features")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("events_episodes: the interval union is ONE window pass — " +
+      "no join, no self-join") {
+    val p = plan("events_episodes")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("agg_weighted_quantiles: per-key stats ride broadcast into the " +
+      "bucketing scan; the weight histogram partial-aggregates") {
+    val p = plan("agg_weighted_quantiles")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
 }
