@@ -1725,6 +1725,44 @@ object AnalyticsQueries {
          AND date_diff('day', p.day, g.day) BETWEEN 0 AND 6
         GROUP BY 1, 2""")),
 
+    // ---- DAU / MAU(28d) / stickiness per day: the engagement ratio
+    // read daily on every growth dashboard — trailing-28-day distinct
+    // actives via the bounded day-grid join (window_sliding_distinct's
+    // pattern at the wider window) ----
+    Q("events_dau_mau",
+      (s, dir) => {
+        val du = Sources.events(s, dir)
+          .select(date_trunc("DAY", col("ts")).cast("date").as("day"),
+            col("user_id"))
+          .distinct().localCheckpoint()
+        val dau = du.groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+        val mau = du.select(col("day")).distinct()
+          .join(du.select(col("day").as("pday"), col("user_id")),
+            datediff(col("day"), col("pday")).between(0, 27))
+          .groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("mau"))
+        dau.join(mau, "day")
+          .select(col("day"), col("dau"), col("mau"),
+            round(col("dau").cast("double") / col("mau"), 6)
+              .as("stickiness"))
+      },
+      Some("""WITH du AS (
+          SELECT DISTINCT date_trunc('day', ts)::DATE AS day, user_id
+          FROM events),
+        dau AS (
+          SELECT day, count(DISTINCT user_id) AS dau
+          FROM du GROUP BY 1),
+        grid AS (SELECT DISTINCT day FROM du),
+        mau AS (
+          SELECT g.day, count(DISTINCT p.user_id) AS mau
+          FROM grid g JOIN du p
+            ON date_diff('day', p.day, g.day) BETWEEN 0 AND 27
+          GROUP BY 1)
+        SELECT day, dau, mau,
+          round(dau::DOUBLE / mau, 6) AS stickiness
+        FROM dau JOIN mau USING (day)""")),
+
     // ---- growth accounting: per week, users classified new /
     // retained / resurrected / churned from their weekly activity
     // pattern (week = epoch_day // 7 — locale-free); churned(w) =
