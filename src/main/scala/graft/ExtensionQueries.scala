@@ -4470,6 +4470,32 @@ object CurationQueries {
       Some("""SELECT doc_id, md5(doc_id::VARCHAR || '_xk') AS rk
         FROM documents ORDER BY rk ASC, doc_id ASC LIMIT 50""")),
 
+    // STRATIFIED exact-k: exactly 5 docs per source by md5 rank — the
+    // per-stratum contract curation_sample_stratified's keep-pct form
+    // cannot give; the rank-filter window compiles to Spark's
+    // WindowGroupLimit (per-partition top-k pushed below the shuffle —
+    // PlanSpec pins it), so no stratum ever sorts more than it keeps
+    Q("curation_sample_exact_k_stratified",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Sources.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(concat(col("doc_id").cast("string"), lit("_xs")))
+              .as("rk"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("rk").asc, col("doc_id").asc)))
+          .filter(col("rn") <= 5).drop("rn")
+      },
+      Some("""SELECT doc_id, source, rk FROM (
+          SELECT doc_id, source,
+            md5(doc_id::VARCHAR || '_xs') AS rk,
+            row_number() OVER (PARTITION BY source
+              ORDER BY md5(doc_id::VARCHAR || '_xs') ASC, doc_id ASC)
+              AS rn
+          FROM documents) t
+        WHERE rn <= 5""")),
+
     // benchmark decontamination: every 20th document plays the role of
     // the eval suite; the rest of the corpus is flagged when it shares a
     // word 5-gram with any of them (GPT-3 appendix-C rule). The oracle

@@ -461,4 +461,10 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("partial_sum"), p)
   }
+
+  test("curation_sample_exact_k_stratified: the rank filter compiles " +
+      "to WindowGroupLimit — per-stratum top-k below the shuffle") {
+    val p = plan("curation_sample_exact_k_stratified")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
