@@ -1767,7 +1767,11 @@ object AnalyticsQueries {
     // retained / resurrected / churned from their weekly activity
     // pattern (week = epoch_day // 7 — locale-free); churned(w) =
     // active in w−1, silent in w. The startup-metrics state machine
-    // as three window-free joins on the distinct (user, week) table ----
+    // as three window-free joins on the distinct (user, week) table.
+    // Churned rows are CLAMPED to the observed-week range: without
+    // the clamp, every user active in the final observed week emits a
+    // phantom "churned" row at week max+1 — a post-horizon 100%-churn
+    // artifact, not a measurement ----
     Q("events_lifecycle",
       (s, dir) => {
         val ev = Sources.events(s, dir)
@@ -1777,6 +1781,7 @@ object AnalyticsQueries {
           .distinct().localCheckpoint()
         val first = uw.groupBy(col("user_id"))
           .agg(min(col("week")).as("fw"))
+        val weeks = uw.select(col("week")).distinct()
         val prev = uw.select(col("user_id"),
           (col("week") + 1).as("week"), lit(1).as("__p"))
         val states = uw.join(broadcast(first), "user_id")
@@ -1787,6 +1792,7 @@ object AnalyticsQueries {
               .otherwise("resurrected").as("state"))
         val churned = prev.select(col("user_id"), col("week"))
           .join(uw, Seq("user_id", "week"), "left_anti")
+          .join(broadcast(weeks), Seq("week"), "left_semi")
           .select(col("week"), lit("churned").as("state"))
         states.unionByName(churned)
           .groupBy(col("week"), col("state"))
@@ -1798,6 +1804,7 @@ object AnalyticsQueries {
               date_trunc('day', ts)::DATE) // 7 AS week
           FROM events),
         fw AS (SELECT user_id, min(week) AS fw FROM uw GROUP BY 1),
+        wk AS (SELECT DISTINCT week FROM uw),
         st AS (
           SELECT a.week,
             CASE WHEN a.week = fw.fw THEN 'new'
@@ -1811,7 +1818,8 @@ object AnalyticsQueries {
           SELECT a.week + 1 AS week, 'churned' AS state
           FROM uw a LEFT JOIN uw n
             ON a.user_id = n.user_id AND n.week = a.week + 1
-          WHERE n.user_id IS NULL),
+          WHERE n.user_id IS NULL
+            AND a.week + 1 IN (SELECT week FROM wk)),
         allst AS (SELECT * FROM st UNION ALL SELECT * FROM ch)
         SELECT week, state, count(*) AS n
         FROM allst GROUP BY 1, 2""")),

@@ -6811,3 +6811,95 @@ object GraphQueries {
     * encoding `custkey·2`) — shared by the Spark call and the oracle. */
   private val pprSeeds: Seq[Long] = Seq(2L, 6L)
 }
+
+/** SQL front-end surface for the flagship extension operators: each row
+  * drives a whole operator THROUGH `spark.sql` via the
+  * [[GraftExtensions]] table-valued functions, and its oracle checks
+  * the SQL form end-to-end. On a 1000-executor cluster most users reach
+  * the engine through a SQL gateway, not the Scala API — these rows pin
+  * that the TVF registration layer feeds literal parameters through to
+  * the exact same logical plans (same banding joins, broadcasts, and
+  * window shapes as the Scala-call twins `dedup_minhash`, `join_asof`,
+  * `agg_quantiles_bucketed`). */
+object SqlSurfaceQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // MinHash+LSH pairs as a SQL TVF — same oracle as dedup_minhash
+    // (LSH + exact verify equals brute-force Jaccard at j >= 0.8)
+    Q("sql_minhash_pairs",
+      (s, dir) => {
+        GraftExtensions.register(s)
+        Sources.table(s, dir, "documents")
+          .createOrReplaceTempView("documents_sqltvf_v")
+        s.sql("""SELECT doc_a, doc_b, jaccard
+          FROM graft_minhash_pairs('documents_sqltvf_v', 'doc_id',
+            'text', 5, 32, 4, 0.8)""")
+      },
+      Some(DedupQueries.jaccardPairsSql)),
+
+    // as-of (point-in-time) join as a SQL TVF — oracle is DuckDB's
+    // native ASOF LEFT JOIN, mirroring join_asof
+    Q("sql_asof_join",
+      (s, dir) => {
+        GraftExtensions.register(s)
+        val ev = Sources.events(s, dir)
+        ev.select("event_id", "user_id", "ts")
+          .createOrReplaceTempView("ev_sqltvf_v")
+        ev.filter(col("event_type") === "signup")
+          .select("user_id", "ts", "event_id", "value")
+          .createOrReplaceTempView("signup_sqltvf_v")
+        s.sql("""SELECT event_id, user_id,
+            matched_ts AS signup_ts, value_asof AS signup_value
+          FROM graft_asof_join('ev_sqltvf_v', 'signup_sqltvf_v',
+            'user_id', 'ts', 'ts', 'value', 'event_id')""")
+      },
+      Some("""WITH ev AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                 event_type
+          FROM events),
+        s AS (
+          SELECT user_id, ts, value FROM (
+            SELECT user_id, ts, value, row_number() OVER (
+              PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM ev WHERE event_type = 'signup') t WHERE rn = 1)
+        SELECT e.event_id, e.user_id,
+               s.ts AS signup_ts, s.value AS signup_value
+        FROM ev e ASOF LEFT JOIN s
+          ON e.user_id = s.user_id AND e.ts >= s.ts""")),
+
+    // bounded-memory exact quantiles as a SQL TVF (long form) — held
+    // to the same quantile_cont values as agg_quantiles_bucketed
+    Q("sql_quantiles",
+      (s, dir) => {
+        GraftExtensions.register(s)
+        Sources.table(s, dir, "lineitem")
+          .createOrReplaceTempView("lineitem_sqltvf_v")
+        s.sql("""SELECT l_returnflag, p, q
+          FROM graft_quantiles('lineitem_sqltvf_v', 'l_returnflag',
+            'l_extendedprice', 0.5, 0.95)""")
+      },
+      Some("""SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS p,
+          round(quantile_cont(l_extendedprice, 0.5), 4) AS q
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT l_returnflag, CAST(0.95 AS DOUBLE) AS p,
+          round(quantile_cont(l_extendedprice, 0.95), 4) AS q
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // scalar SQL surface: the compiled Jaro-Winkler expression reached
+    // through spark.sql, differentially against DuckDB's builtin on
+    // real name pairs (the record-linkage hot expression)
+    Q("sql_jaro_winkler",
+      (s, dir) => {
+        GraftExtensions.register(s)
+        Sources.table(s, dir, "customer")
+          .createOrReplaceTempView("cust_sqltvf_v")
+        s.sql("""SELECT c_custkey,
+            round(jaro_winkler(c_name, c_mktsegment), 6) AS jw
+          FROM cust_sqltvf_v""")
+      },
+      Some("""SELECT c_custkey,
+          round(jaro_winkler_similarity(c_name, c_mktsegment), 6) AS jw
+        FROM customer""")))
+}

@@ -3,26 +3,42 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, DotProduct, SquaredDistance, WordShinglesExpr}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import graft.expressions.{CosineSimilarity, DotProduct, JaroWinklerExpr, SquaredDistance, WordShinglesExpr}
 
 /** Session extension registering the engine's custom Catalyst expressions
-  * as SQL functions, so the SQL front-end is as capable as the Scala API:
+  * as SQL functions AND its flagship whole-operator pipelines as SQL
+  * table-valued functions, so the SQL front-end is as capable as the
+  * Scala API — on a shared cluster, `spark.sql` through a thrift/Connect
+  * gateway is how most users would actually reach these operators:
   *
   * {{{
   * val spark = SparkSession.builder()
   *   .withExtensions(new GraftExtensions).getOrCreate()
   * spark.sql("SELECT cosine_similarity(a.e, b.e) FROM ...")
+  * spark.sql("""SELECT * FROM
+  *   graft_minhash_pairs('docs', 'doc_id', 'text', 5, 32, 4, 0.8)""")
   * }}}
   *
+  * The TVF builders run at analysis time: literal arguments select a
+  * registered (temp or catalog) table and parameterize the operator,
+  * and the returned plan is the operator's full logical plan — the SQL
+  * form therefore optimizes and executes IDENTICALLY to the Scala call
+  * (same banding joins, same broadcasts), it is not a reimplementation.
+  *
   * Also usable on an existing session via [[GraftExtensions.register]]
-  * (temp-function registry), which is what Verify/Bench do.
+  * (temp-function registries), which is what Verify/Bench do.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    GraftExtensions.tableDefinitions.foreach { case (name, info, builder) =>
+      e.injectTableFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
 }
 
 object GraftExtensions {
@@ -30,6 +46,25 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
+
+  /** Literal string argument of a TVF (SQL strings arrive as
+    * UTF8String literals). */
+  private def litStr(e: Expression, what: String): String = e match {
+    case Literal(v, _) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal, got $other")
+  }
+
+  /** Literal numeric argument of a TVF (int/long/double/decimal). */
+  private def litNum(e: Expression, what: String): Double = e match {
+    case Literal(v, _) if v != null =>
+      try v.toString.toDouble
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$what must be a numeric literal, got $v") }
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
 
   private val definitions
       : Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -44,6 +79,10 @@ object GraftExtensions {
       info("squared_distance",
         "squared_distance(a, b) - squared L2 distance of two float vectors"),
       (es: Seq[Expression]) => SquaredDistance(es(0), es(1))),
+    ("jaro_winkler",
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity of two strings"),
+      (es: Seq[Expression]) => JaroWinklerExpr(es(0), es(1))),
     ("word_shingles",
       info("word_shingles",
         "word_shingles(text, k) - distinct word k-shingles"),
@@ -55,11 +94,81 @@ object GraftExtensions {
             s"word_shingles k must be a literal, got $other")
       }))
 
+  /** Whole-operator SQL table functions. Each builder resolves its
+    * table-name argument against the ACTIVE session's catalog (temp
+    * views included), applies the Scala operator, and returns that
+    * DataFrame's logical plan for the analyzer to splice in. */
+  private val tableDefinitions
+      : Seq[(String, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
+    ("graft_minhash_pairs",
+      info("graft_minhash_pairs",
+        "graft_minhash_pairs(table, idCol, textCol, k, bands, " +
+          "rowsPerBand, threshold) - MinHash+LSH near-duplicate pairs " +
+          "(doc_a, doc_b, jaccard), exact-verified"),
+      (es: Seq[Expression]) => {
+        require(es.length == 7,
+          s"graft_minhash_pairs takes 7 arguments, got ${es.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Dedup.minhashLshPairs(
+          spark.table(litStr(es(0), "table")),
+          litStr(es(1), "idCol"), litStr(es(2), "textCol"),
+          k = litNum(es(3), "k").toInt,
+          bands = litNum(es(4), "bands").toInt,
+          rowsPerBand = litNum(es(5), "rowsPerBand").toInt,
+          threshold = litNum(es(6), "threshold"))
+          .queryExecution.logical
+      }),
+    ("graft_asof_join",
+      info("graft_asof_join",
+        "graft_asof_join(leftTable, rightTable, key, leftTs, rightTs, " +
+          "payloadCol, rightOrder) - point-in-time join: left columns " +
+          "plus matched_ts and <payloadCol>_asof from the latest right " +
+          "row at-or-before each left timestamp"),
+      (es: Seq[Expression]) => {
+        require(es.length == 7,
+          s"graft_asof_join takes 7 arguments, got ${es.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.col
+        val left = spark.table(litStr(es(0), "leftTable"))
+        val right = spark.table(litStr(es(1), "rightTable"))
+        val payload = litStr(es(5), "payloadCol")
+        val joined = graft.operators.Temporal.asofJoin(
+          left, right, key = litStr(es(2), "key"),
+          leftTs = litStr(es(3), "leftTs"),
+          rightTs = litStr(es(4), "rightTs"),
+          payload = Seq(payload),
+          rightOrder = litStr(es(6), "rightOrder"))
+        joined.select(left.columns.map(col) ++ Seq(
+          col("__carried.__matched_ts").as("matched_ts"),
+          col("__carried." + payload).as(payload + "_asof")): _*)
+          .queryExecution.logical
+      }),
+    ("graft_quantiles",
+      info("graft_quantiles",
+        "graft_quantiles(table, keyCol, valCol, p, ...) - exact " +
+          "per-key quantiles (keyCol, p, q) on the bounded-memory " +
+          "bucketed two-pass path"),
+      (es: Seq[Expression]) => {
+        require(es.length >= 4,
+          s"graft_quantiles takes >= 4 arguments, got ${es.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Quantiles.exactQuantilesBucketed(
+          spark.table(litStr(es(0), "table")),
+          litStr(es(1), "keyCol"), litStr(es(2), "valCol"),
+          ps = es.drop(3).zipWithIndex.map { case (e, i) =>
+            litNum(e, s"p[$i]") })
+          .queryExecution.logical
+      }))
+
   /** Register on an already-built session (temp functions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     definitions.foreach { case (name, _, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+    val treg = spark.sessionState.tableFunctionRegistry
+    tableDefinitions.foreach { case (name, _, builder) =>
+      treg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
   }
 }

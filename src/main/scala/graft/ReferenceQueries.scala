@@ -569,9 +569,20 @@ object ReferenceQueries {
         // DuckDB 1.0's arg_max takes only a SCALAR ordering key, so
         // the (price, key) tie-break is encoded into one BIGINT:
         // integer cents (exact at 2-dp prices) shifted past the key
-        // range — lexicographic order preserved, 64-bit safe
-        val ord = round(col("o_totalprice") * 100, 0).cast("long") *
-          lit(1000000000L) + col("o_orderkey")
+        // range — lexicographic order preserved. Bounds: the 1e11
+        // shift carries keys to o_orderkey < 1e11 (TPC-H sf ≈ 17,000)
+        // and prices to ~$9.2e7 with cents·1e11 ≤ 9.2e18 = Long.Max;
+        // out-of-range keys raise instead of silently mis-ordering
+        // (the same encoding runs in BOTH engines, so a silent
+        // overflow would hash-match while being wrong — hence loud)
+        val shift = 100000000000L
+        val keyOk = col("o_orderkey") >= 0 && col("o_orderkey") < shift
+        val ord = when(keyOk,
+          round(col("o_totalprice") * 100, 0).cast("long") *
+            lit(shift) + col("o_orderkey"))
+          .otherwise(raise_error(lit(
+            "agg_argminmax: o_orderkey outside [0, 1e11) — widen the " +
+              "tie-break shift")))
         t(s, dir, "orders")
           .groupBy(col("o_orderpriority"))
           .agg(max_by(col("o_orderkey"), ord).as("max_price_key"),
@@ -580,12 +591,18 @@ object ReferenceQueries {
             min(col("o_totalprice")).as("min_price"))
       },
       Some("""SELECT o_orderpriority,
-          arg_max(o_orderkey,
-            CAST(round(o_totalprice * 100, 0) AS BIGINT) * 1000000000
-              + o_orderkey) AS max_price_key,
-          arg_min(o_orderkey,
-            CAST(round(o_totalprice * 100, 0) AS BIGINT) * 1000000000
-              + o_orderkey) AS min_price_key,
+          arg_max(o_orderkey, CASE
+            WHEN o_orderkey >= 0 AND o_orderkey < 100000000000
+            THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+              * 100000000000 + o_orderkey
+            ELSE error('agg_argminmax: o_orderkey outside [0, 1e11)')
+            END) AS max_price_key,
+          arg_min(o_orderkey, CASE
+            WHEN o_orderkey >= 0 AND o_orderkey < 100000000000
+            THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+              * 100000000000 + o_orderkey
+            ELSE error('agg_argminmax: o_orderkey outside [0, 1e11)')
+            END) AS min_price_key,
           max(o_totalprice) AS max_price,
           min(o_totalprice) AS min_price
         FROM orders GROUP BY o_orderpriority""")),
@@ -1203,15 +1220,29 @@ object ReferenceQueries {
         round(avg(l_quantity), 4) AS mean_qty
         FROM lineitem GROUP BY l_returnflag""")),
 
-    // ---- HLL sketch aggregation (SURVEY §2.5 "free" row). Approximate ⇒
-    // no cross-engine oracle; bounded-error vs exact is asserted in
-    // OperatorsSpec ----
+    // ---- HLL sketch aggregation (SURVEY §2.5 "free" row). The raw
+    // HLL++ estimate is engine-internal (register hashing differs), so
+    // the row is made hash-checkable WITHOUT dropping the sketch from
+    // the dataflow: the output carries the exact distinct count (both
+    // engines agree) plus `within_band` — Spark computes it genuinely
+    // as |estimate − exact| ≤ 5·rsd·exact while the oracle emits
+    // literal TRUE, so an out-of-band estimate flips the Spark side to
+    // false and fails the hash compare. Tighter error-band behavior
+    // (both HLL branches) is spec'd in OperatorsSpec, and the
+    // portable-HLL twins agg_hll_md5/_raw/_groups hash-check the full
+    // estimate algebra ----
     Q("agg_approx_distinct",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02)
-          .as("approx_parts")),
-      None),
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("est"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("est") - col("exact_parts")) <=
+            lit(5 * 0.02) * col("exact_parts")).as("within_band")),
+      Some("""SELECT l_returnflag,
+          count(DISTINCT l_partkey) AS exact_parts,
+          TRUE AS within_band
+        FROM lineitem GROUP BY l_returnflag""")),
 
     // ---- engine-portable HLL (operators/Sketches): unlike the built-in
     // HLL++ above (engine-internal register hashing → rows-only), this

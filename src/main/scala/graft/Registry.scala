@@ -47,7 +47,7 @@ object Registry {
   def all: Seq[Q] =
     (ReferenceQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       TextQueries.all ++ CurationQueries.all ++ MultimodalQueries.all ++
-      GraphQueries.all ++ AnalyticsQueries.all)
+      GraphQueries.all ++ AnalyticsQueries.all ++ SqlSurfaceQueries.all)
       .map(q => q.copy(oracle = q.oracle.map(materializeCtes)))
 }
 

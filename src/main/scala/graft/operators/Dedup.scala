@@ -188,6 +188,25 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
 
+  /** Signature table `(doc_id, sig: array<long>)` → `(doc_id, band,
+    * key)` band rows: `bands` groups of `rowsPerBand` signature slots,
+    * each group hashed to one 8-byte band key. THE single definition
+    * of the banding layout — [[minhashLshPairs]] and
+    * [[minhashLshPairsBetween]] (and through it the incremental path)
+    * both explode through here, so a banding change cannot drift the
+    * within-corpus and between-corpora candidate generators apart. */
+  private def bandRowsOf(sig: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { bnd =>
+      val rows = (0 until rowsPerBand)
+        .map(r => col("sig").getItem(bnd * rowsPerBand + r))
+      struct(lit(bnd).as("band"), xxhash64(rows: _*).as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.key").as("key"))
+  }
+
   /** MinHash + LSH near-dup pairs, exact-verified.
     *
     * numHashes = bands × rowsPerBand signature; banding turns candidate
@@ -220,14 +239,7 @@ object Dedup {
     val sig = base.select(col("doc_id"),
         graft.expressions.MinHash.signature(col("shs"), numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandCols = (0 until bands).map { bnd =>
-      val rows = (0 until rowsPerBand)
-        .map(r => col("sig").getItem(bnd * rowsPerBand + r))
-      struct(lit(bnd).as("band"), xxhash64(rows: _*).as("key"))
-    }
-    val bandRows = sig.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val bandRows = bandRowsOf(sig, bands, rowsPerBand)
     val cand = bandRows.as("x").join(bandRows.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -280,14 +292,7 @@ object Dedup {
           graft.expressions.MinHash.signature(
             Text.wordShingles(col(textCol), k), numHashes).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bandCols = (0 until bands).map { bnd =>
-        val rows = (0 until rowsPerBand)
-          .map(r => col("sig").getItem(bnd * rowsPerBand + r))
-        struct(lit(bnd).as("band"), xxhash64(rows: _*).as("key"))
-      }
-      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"),
-          col("b.key").as("key"))
+      bandRowsOf(sig, bands, rowsPerBand)
     }
     val cand = bandRows(left).as("x").join(bandRows(right).as("y"),
         Seq("band", "key"))

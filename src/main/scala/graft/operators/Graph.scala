@@ -714,8 +714,11 @@ object Graph {
     *  3. confirmed members leave the node/edge set.
     *
     * Every remaining subgraph's minimum node id is its own color and
-    * hence a pivot, so each round retires ≥ 1 component and the loop
-    * terminates without a fixed iteration count. All frontiers and the
+    * hence a pivot, so each round retires ≥ 1 component; degree-0
+    * trimming plus per-round direction alternation (see
+    * [[sccColoring]]) collapse chain-of-singleton inputs in O(1)
+    * coloring rounds, and the round cap scales with log of the
+    * subgraph size as a corruption backstop. All frontiers and the
     * shrinking edge set are `localCheckpoint`ed per round (the
     * iterative-loop rule); per-round work is frontier-adjacency-sized
     * joins + map-side-combinable min-aggregates — the Pregel shape,
@@ -903,7 +906,7 @@ object Graph {
         .withColumn("level", lit(0)).localCheckpoint()
       var frontier = lvl
       var round = 0
-      while (!frontier.isEmpty && round <= maxRounds) {
+      while (!frontier.isEmpty && round < maxRounds) {
         val bumped = frontier.join(e, col("node") === col("src"))
           .select(col("dst").as("node"), (col("level") + 1).as("cand"))
           .groupBy(col("node")).agg(max(col("cand")).as("cand"))
@@ -916,9 +919,21 @@ object Graph {
             .as("level")).localCheckpoint()
         round += 1
       }
-      if (!frontier.isEmpty)
+      if (!frontier.isEmpty) {
+        // distinguish a genuinely deep DAG from a cycle: any level
+        // exceeding the node count proves a cycle (a simple path can
+        // visit each node at most once), since relaxation on a cycle
+        // grows levels without bound while a DAG's levels are capped
+        // by its depth < |V|
+        val nNodes = lvl.count()
+        val maxLvl = lvl.agg(max(col("level"))).head().getInt(0)
+        val verdict =
+          if (maxLvl >= nNodes) "input has a cycle"
+          else s"DAG depth exceeds maxRounds=$maxRounds (raise it) " +
+            "or input is cyclic"
         throw new IllegalStateException(
-          s"topoLevels: no fixpoint within $maxRounds rounds — cyclic input?")
+          s"topoLevels: no fixpoint within $maxRounds rounds — $verdict")
+      }
       lvl
     }
   }
@@ -1026,8 +1041,26 @@ object Graph {
   }
 
   /** Distributed coloring fallback — see
-    * [[stronglyConnectedComponents]]. */
-  private def sccColoring(e0: DataFrame, maxRounds: Int): DataFrame = {
+    * [[stronglyConnectedComponents]]. Three defenses against the
+    * one-SCC-per-round degeneration (an increasing-id chain of
+    * singleton SCCs would otherwise retire exactly one node per
+    * coloring round):
+    *  - TRIM before every coloring round: a node with in-degree 0 or
+    *    out-degree 0 in the remaining subgraph is provably a singleton
+    *    SCC; all such fringe nodes retire at once, fixpointed up to
+    *    `trimIters` peels per round (FW-BW-Trim, McLendon et al.);
+    *  - ALTERNATE propagation direction per round. scc_id = min member
+    *    id is direction-invariant (SCCs of G and Gᵀ coincide, and the
+    *    pivot of a region is its minimum id either way), so reversing
+    *    the edges changes only convergence speed: an id-increasing
+    *    chain that forward-colors into ONE region (pivot 1) becomes,
+    *    under reversal, every-node-its-own-pivot and retires whole;
+    *  - the round cap scales with the subgraph: max(maxRounds,
+    *    2·log₂ n + 8) — with trim + alternation the expected round
+    *    count is logarithmic, and the cap is a corruption backstop,
+    *    not a terminator the algorithm leans on. */
+  private def sccColoring(e0: DataFrame, maxRounds: Int,
+      trimIters: Int = 16): DataFrame = {
     var e = e0
     var nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
@@ -1035,48 +1068,82 @@ object Graph {
     // the per-round unionByName never coerces
     var result = nodes.select(col("node"), col("node").as("scc_id"))
       .limit(0).localCheckpoint()
+    val n0 = nodes.count()
+    val cap = math.max(maxRounds,
+      2 * (64 - java.lang.Long.numberOfLeadingZeros(n0 + 1)) + 8)
     var round = 0
-    while (!nodes.isEmpty && round < maxRounds) {
-      // 1. forward min-color fixpoint (semi-naive frontier)
-      var color = nodes.withColumn("color", col("node")).localCheckpoint()
-      var frontier = color
-      while (!frontier.isEmpty) {
-        val inc = frontier.join(e, col("node") === col("src"))
-          .select(col("dst").as("node"), col("color").as("cin"))
-          .groupBy(col("node")).agg(min(col("cin")).as("cin"))
-        val joined = color.join(inc, Seq("node"), "left").localCheckpoint()
-        frontier = joined.filter(col("cin") < col("color"))
-          .select(col("node"), col("cin").as("color")).localCheckpoint()
-        color = joined.select(col("node"),
-          least(col("color"), coalesce(col("cin"), col("color")))
-            .as("color")).localCheckpoint()
+    while (!nodes.isEmpty && round < cap) {
+      // 0. trim: fringe nodes (no in-edge or no out-edge in the
+      // remaining subgraph) are singleton SCCs — retire them in bulk
+      var t = 0
+      var trimming = true
+      while (trimming && t < trimIters && !nodes.isEmpty) {
+        val hasIn = e.select(col("dst").as("node")).distinct()
+        val hasOut = e.select(col("src").as("node")).distinct()
+        val trivial = nodes.join(hasIn, Seq("node"), "left_anti")
+          .union(nodes.join(hasOut, Seq("node"), "left_anti"))
+          .distinct().localCheckpoint()
+        if (trivial.isEmpty) trimming = false
+        else {
+          result = result.unionByName(
+            trivial.select(col("node"), col("node").as("scc_id")))
+            .localCheckpoint()
+          nodes = nodes.join(trivial, Seq("node"), "left_anti")
+            .localCheckpoint()
+          e = e.join(nodes.select(col("node").as("src")), Seq("src"))
+            .join(nodes.select(col("node").as("dst")), Seq("dst"))
+            .select(col("src"), col("dst")).localCheckpoint()
+        }
+        t += 1
       }
-      // 2. backward confirm from the pivots, within each color region
-      var member = color.filter(col("color") === col("node"))
-        .select(col("node"), col("node").as("scc_id")).localCheckpoint()
-      var back = member
-      while (!back.isEmpty) {
-        val next = back.join(e, col("node") === col("dst"))
-          .select(col("src").as("node"), col("scc_id")).distinct()
-          .join(color, Seq("node"))
-          .filter(col("color") === col("scc_id"))
-          .select(col("node"), col("scc_id"))
-          .join(member.select(col("node")), Seq("node"), "left_anti")
-          .localCheckpoint()
-        if (!next.isEmpty) member = member.unionByName(next).localCheckpoint()
-        back = next
+      if (!nodes.isEmpty) {
+        // alternate direction each round; see scaladoc for invariance
+        val ed = if (round % 2 == 0) e
+          else e.select(col("dst").as("src"), col("src").as("dst"))
+            .localCheckpoint()
+        // 1. min-color fixpoint (semi-naive frontier)
+        var color = nodes.withColumn("color", col("node")).localCheckpoint()
+        var frontier = color
+        while (!frontier.isEmpty) {
+          val inc = frontier.join(ed, col("node") === col("src"))
+            .select(col("dst").as("node"), col("color").as("cin"))
+            .groupBy(col("node")).agg(min(col("cin")).as("cin"))
+          val joined = color.join(inc, Seq("node"), "left").localCheckpoint()
+          frontier = joined.filter(col("cin") < col("color"))
+            .select(col("node"), col("cin").as("color")).localCheckpoint()
+          color = joined.select(col("node"),
+            least(col("color"), coalesce(col("cin"), col("color")))
+              .as("color")).localCheckpoint()
+        }
+        // 2. reverse-confirm from the pivots, within each color region
+        var member = color.filter(col("color") === col("node"))
+          .select(col("node"), col("node").as("scc_id")).localCheckpoint()
+        var back = member
+        while (!back.isEmpty) {
+          val next = back.join(ed, col("node") === col("dst"))
+            .select(col("src").as("node"), col("scc_id")).distinct()
+            .join(color, Seq("node"))
+            .filter(col("color") === col("scc_id"))
+            .select(col("node"), col("scc_id"))
+            .join(member.select(col("node")), Seq("node"), "left_anti")
+            .localCheckpoint()
+          if (!next.isEmpty) member = member.unionByName(next).localCheckpoint()
+          back = next
+        }
+        result = result.unionByName(member).localCheckpoint()
+        // 3. retire confirmed members; keep only edges inside the remainder
+        nodes = nodes.join(member.select(col("node")), Seq("node"),
+          "left_anti").localCheckpoint()
+        e = e.join(nodes.select(col("node").as("src")), Seq("src"))
+          .join(nodes.select(col("node").as("dst")), Seq("dst"))
+          .select(col("src"), col("dst")).localCheckpoint()
       }
-      result = result.unionByName(member).localCheckpoint()
-      // 3. retire confirmed members; keep only edges inside the remainder
-      nodes = nodes.join(member.select(col("node")), Seq("node"),
-        "left_anti").localCheckpoint()
-      e = e.join(nodes.select(col("node").as("src")), Seq("src"))
-        .join(nodes.select(col("node").as("dst")), Seq("dst"))
-        .select(col("src"), col("dst")).localCheckpoint()
       round += 1
     }
     require(nodes.isEmpty,
-      s"SCC did not converge within $maxRounds rounds")
+      s"SCC did not converge within $cap rounds " +
+        s"(n=$n0; trim+alternating coloring should be ~log n rounds — " +
+        "suspect corrupt input, not depth)")
     result
   }
 }

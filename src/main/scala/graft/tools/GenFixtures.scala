@@ -52,6 +52,35 @@ object GenFixtures {
   * committed form (Spark's writer output renamed to stable names,
   * _SUCCESS/CRC sidecars dropped). Run once and commit. */
 object GenHiveFixture {
+  /** Drop _SUCCESS/.crc sidecars and rename each directory's single
+    * `part-*` data file to `stableName`. The tree is SNAPSHOTTED to a
+    * list before any mutation (deleting/renaming inside an open
+    * `Files.walk` stream can throw or skip entries on some
+    * filesystems), and exactly one part file per directory is
+    * asserted so a multi-part write can never silently collide on
+    * the stable name. */
+  private def stabilize(root: java.nio.file.Path,
+      stableName: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val all = {
+      val s = Files.walk(root)
+      try s.iterator().asScala.toList finally s.close()
+    }
+    all.filter { p =>
+      val n = p.getFileName.toString
+      n == "_SUCCESS" || n.endsWith(".crc")
+    }.foreach(Files.delete)
+    all.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("part-") && !n.endsWith(".crc")
+    }.groupBy(_.getParent).foreach { case (dir, ps) =>
+      require(ps.size == 1,
+        s"expected exactly one part file in $dir, found ${ps.size} — " +
+          "did the writer run without repartition(1)?")
+      Files.move(ps.head, dir.resolve(stableName))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
@@ -71,16 +100,7 @@ object GenHiveFixture {
       .repartition(1)
       .write.mode("overwrite").partitionBy("source").parquet(out)
     // stable names + no sidecars, like the manifest fixture
-    val root = Paths.get(out)
-    Files.walk(root).forEach { p =>
-      val n = p.getFileName.toString
-      if (n == "_SUCCESS" || n.endsWith(".crc")) Files.delete(p)
-    }
-    Files.walk(root).forEach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("part-") && n.endsWith(".parquet"))
-        Files.move(p, p.getParent.resolve("part-0.parquet"))
-    }
+    stabilize(Paths.get(out), "part-0.parquet")
     println(s"wrote hive fixture to $out")
 
     // ORC + parquet TWINS of the same rows: scan_orc reads the ORC
@@ -97,16 +117,7 @@ object GenHiveFixture {
     Seq("orc", "parquet").foreach { fmt =>
       val dir = s"fixtures/twin_$fmt"
       twin.write.mode("overwrite").format(fmt).save(dir)
-      val r = Paths.get(dir)
-      Files.walk(r).forEach { p =>
-        val n = p.getFileName.toString
-        if (n == "_SUCCESS" || n.endsWith(".crc")) Files.delete(p)
-      }
-      Files.walk(r).forEach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("part-"))
-          Files.move(p, p.getParent.resolve(s"part-0.$fmt"))
-      }
+      stabilize(Paths.get(dir), s"part-0.$fmt")
     }
     println("wrote twin_orc / twin_parquet fixtures")
     spark.stop()

@@ -380,6 +380,36 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("stronglyConnectedComponents coloring: a 70-node " +
+      "increasing-id chain (one singleton SCC per node, ids in " +
+      "topological order) converges — trim + direction alternation, " +
+      "not one-pivot-per-round") {
+    // the degenerate shape for naive coloring: forward min-color makes
+    // the whole chain ONE region with pivot 1, retiring one node per
+    // round; 70 > the old fixed 64-round cap, so the pre-fix code
+    // tripped its convergence require on exactly this input
+    val n = 70
+    val chain = (1 until n).map(i => (i.toLong, i.toLong + 1))
+      .toDF("src", "dst")
+    val got = operators.Graph
+      .stronglyConnectedComponents(chain, "src", "dst",
+        driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1 to n).map(i => i.toLong -> i.toLong).toMap)
+    // chain feeding a terminal cycle: trim peels the chain down to the
+    // cycle (no out-degree-0 end to peel from), coloring carves the
+    // cycle — still inside the round cap
+    val mixed = ((1 until 20).map(i => (i.toLong, i.toLong + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (22L, 20L))).toDF("src", "dst")
+    val gotMixed = operators.Graph
+      .stronglyConnectedComponents(mixed, "src", "dst",
+        driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantMixed = (1 to 19).map(i => i.toLong -> i.toLong).toMap ++
+      Map(20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(gotMixed === wantMixed)
+  }
+
   test("stronglyConnectedComponents: nested-cycle stress — Tarjan " +
       "lowlink propagation through deep chains matches the coloring " +
       "path on a random-ish deterministic graph") {

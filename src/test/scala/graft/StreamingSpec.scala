@@ -582,14 +582,16 @@ class RegistrySpec extends AnyFunSuite with SparkTester {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
-  test("registry names are unique, and ONLY the known sketch/seed-free " +
-      "query lacks an oracle") {
+  test("registry names are unique, and every query has an oracle " +
+      "(the HLL row is bounded via its exact-twin + within_band form)") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size,
       names.groupBy(identity).filter(_._2.size > 1).keys.toSeq.toString)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // an accidental None on a new query would silently weaken the gate:
-    // every rows-only key must be on this explicit allowlist
-    assert(rowsOnly == Set("agg_approx_distinct"), rowsOnly.toString)
+    // since r9 the registry is 100% oracle-checked (agg_approx_distinct
+    // carries exact_parts + a genuine within_band assertion), so ANY
+    // rows-only key is a regression
+    assert(rowsOnly.isEmpty, rowsOnly.toString)
   }
 }
