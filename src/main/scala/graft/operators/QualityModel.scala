@@ -390,9 +390,18 @@ object QualityModel {
     * threshold-free twin of [[prCurve]]. Everything stays INTEGER
     * until one division: Σ over positives of (2·rank + ties − 1) is
     * twice the midrank sum, so AUC = (S2 − n⁺(n⁺+1)) / (2·n⁺·n⁻)
-    * exactly, 6-dp rounded once. The global rank window runs on the
-    * scored table (swap in the bucket-parallel rank pattern at corpus
-    * scale — ARCHITECTURE.md). Output: (n_pos, n_neg, auc). */
+    * exactly, 6-dp rounded once.
+    *
+    * Scale shape: NO per-row rank window. Scores are 6-dp rounded (a
+    * parity invariant of [[trainScoreLogReg]]), so the corpus first
+    * collapses to a (score → count, positives) frequency table of at
+    * most ~10⁶ rows regardless of corpus size — one map-side-combined
+    * shuffle — and the rank cumsum runs over that bounded table.
+    * rank(s) = 1 + Σ_{s'<s} n(s') and ties(s) = n(s), so
+    * S2 = Σ_s n⁺(s)·(2·(below(s)+1) + n(s) − 1) — the same integers
+    * the per-row window produced, at per-row cost O(1) window state
+    * instead of a corpus-wide single-partition sort.
+    * Output: (n_pos, n_neg, auc). */
   def rocAuc(df: DataFrame, idCol: String, textCol: String,
       label: Column, dim: Int = 32, iters: Int = 3, lr: Double = 2.0)
       : DataFrame = {
@@ -401,16 +410,17 @@ object QualityModel {
       lr)
     val y = df.select(col(idCol).as("doc_id"), label.cast("int").as("y"))
     val sc = scored.join(y, Seq("doc_id"))
-    val w = Window.orderBy(col("score"))
-    val ranked = sc.select(col("y"),
-      rank().over(w).cast("long").as("r"),
-      count(lit(1)).over(Window.partitionBy(col("score")))
-        .as("ties"))
-    ranked.agg(
-        sum(when(col("y") === 1, lit(2L) * col("r") + col("ties") -
-          1L).otherwise(0L)).as("s2"),
-        sum(col("y").cast("long")).as("np"),
-        sum(lit(1L) - col("y")).as("nn"))
+    val freq = sc.groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("y").cast("long")).as("npos"))
+    val wCum = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = freq.withColumn("below",
+      coalesce(sum(col("n")).over(wCum), lit(0L)))
+    cum.agg(
+        sum(col("npos") * (lit(2L) * (col("below") + 1L) + col("n") -
+          1L)).as("s2"),
+        sum(col("npos")).as("np"),
+        sum(col("n") - col("npos")).as("nn"))
       .select(col("np").as("n_pos"), col("nn").as("n_neg"),
         when(col("np") > 0 && col("nn") > 0,
           round((col("s2") - col("np") * (col("np") + 1))

@@ -67,6 +67,7 @@ object ScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.maxFields", "256")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -133,7 +134,8 @@ object ScaleBench {
         want("harmonic_perround") || want("harmonic_merge") ||
         want("hits") || want("knn_lsh") || want("knn_lsh_uncapped") ||
         want("interval") || want("quantiles") || want("linkage") ||
-        want("linkage_cap4x") || want("scc") || want("scc_coloring"))) {
+        want("linkage_cap4x") || want("scc") || want("scc_coloring") ||
+        want("bfs_hops") || want("markov") || want("window_sliding"))) {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
       val reps = spark.range(0, factor).toDF("rep")
@@ -288,6 +290,52 @@ object ScaleBench {
       if (want("hits")) timed("hits") {
         graft.operators.Graph.hits(bigEdges, "src", "dst", iters = 2)
           .count()
+      }
+      // semi-naive BFS from the min node on the factor× undirected
+      // graph: the frontier stays inside ONE copy (disjoint replicas),
+      // but each hop's frontier⋈edges hash join streams the FULL edge
+      // set — so the curve isolates the per-round edge-scan cost that
+      // dominates at corpus scale (frontier size is factor-invariant)
+      if (want("bfs_hops")) timed("bfs_hops") {
+        graft.operators.Graph.bfsHops(sym, "src", "dst", maxHops = 6)
+          .count()
+      }
+      // events at factor× users (disjoint user-id spaces, same day
+      // range): markov's transition table grows ∝ rows while the state
+      // space stays constant — 6 power-iteration rounds on a
+      // states×states table should be factor-invariant after the one
+      // corpus lag pass
+      if (want("markov") || want("window_sliding")) {
+        val bigEv = graft.sources.Sources.events(spark, sfDir)
+          .crossJoin(reps)
+          .select(
+            (col("user_id") + col("rep") * 100000000L).as("user_id"),
+            col("ts"), col("event_type"),
+            (col("event_id") * factor + col("rep")).as("event_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        bigEv.count()
+        if (want("markov")) timed("markov") {
+          graft.operators.Temporal.markovStationary(bigEv, "user_id",
+            "ts", "event_type", "event_id", rounds = 6).count()
+        }
+        // 7-day sliding distinct users via the bounded day-grid join:
+        // grid is (event_type × day) = constant, du grows ∝ users —
+        // join output ∝ rows·7, countDistinct map-side partials
+        if (want("window_sliding")) timed("window_sliding") {
+          val du = bigEv.select(col("event_type"),
+              date_trunc("DAY", col("ts")).cast("date").as("day"),
+              col("user_id"))
+            .distinct().localCheckpoint()
+          val grid = du.select(col("event_type"), col("day")).distinct()
+          grid.join(du.select(col("event_type").as("__et"),
+              col("day").as("pday"), col("user_id")),
+              col("event_type") === col("__et") &&
+                datediff(col("day"), col("pday")).between(0, 6))
+            .groupBy(col("event_type"), col("day"))
+            .agg(countDistinct(col("user_id")).as("u7"))
+            .count()
+        }
+        bigEv.unpersist()
       }
       // LSH kNN graph on the factor× embeddings. The replicated
       // near-dup corpus concentrates buckets, so the UNCAPPED build is
@@ -468,6 +516,33 @@ object ScaleBench {
         dim = 32, iters = 3, lr = 2.0)
         .filter(col("keep")).count()
     } else -1L
+    // ROC-AUC over the trained scores at factor× docs: train+score is
+    // the classifier stage's cost; the marginal here is the rank-sum —
+    // since r9 a bounded score-frequency rollup (6-dp scores) instead
+    // of a corpus-wide global rank window, so the delta over
+    // `classifier` should stay ~flat with factor
+    if (runExt && want("roc_auc")) timed("roc_auc") {
+      graft.operators.QualityModel.rocAuc(big, "doc_id", "text",
+        label = col("text").contains("archive division"),
+        dim = 32, iters = 3, lr = 2.0).count()
+    }
+    // PSI drift-audit shape: score, 10-bin, two-half counts — the only
+    // post-score corpus pass is the bin aggregation (map-side
+    // combined), so this too should track `classifier`
+    if (runExt && want("psi")) timed("psi") {
+      val scored = graft.operators.QualityModel.trainScoreLogReg(big,
+        "doc_id", "text",
+        label = col("text").contains("archive division"),
+        dim = 32, iters = 3, lr = 2.0)
+      scored.select(
+          least(floor(col("score") * 10), lit(9.0)).cast("int")
+            .as("bin"),
+          pmod(xxhash64(col("doc_id")), lit(2)).as("half"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb"))
+        .count()
+    }
 
     val times = t.map { case (k, v) =>
       "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.US, v)

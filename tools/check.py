@@ -4,75 +4,106 @@
 each oracle SQL in DuckDB over the same sf tables and diffs (columns sorted
 by name, rows sorted by all columns, exact value equality).
 
+Sharded: the query list is split across worker PROCESSES (each with its own
+DuckDB connection over the same parquet views), because one connection runs
+one query at a time and the 300+-row registry passed 235 s single-threaded
+at sf0.01 — past the point where a driver-style timeout becomes a risk.
+Results and the exit code are identical to the sequential form; shard
+count via GATE_SHARDS (default 8, 1 = the old sequential behavior).
+
 Usage: python3 tools/check.py [sfdir] [outdir]
 """
-import duckdb, json, os, sys
+import json, os, sys
+from concurrent.futures import ProcessPoolExecutor
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-con = duckdb.connect()
-# Record the oracle engine version: round-7 builder/driver artifacts
-# disagreed (220 vs 219 green) and the version was one uneliminated cause.
-print(f"duckdb {duckdb.__version__}")
-for t in TABLES:
-    con.execute(
-        f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
-oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-results = {}
-for name in sorted(d for d in os.listdir(outdir)
-                   if os.path.isdir(os.path.join(outdir, d))):
-    try:
-        got = con.execute(
-            f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
-    except Exception as e:
-        results[name] = f"READ-FAIL {e}"
-        continue
-    if name not in oracle:
-        results[name] = f"NO-ORACLE rows={len(got)}"
-        continue
-    try:
-        want = con.execute(oracle[name]).fetchdf()
-    except Exception as e:
-        results[name] = f"ORACLE-FAIL {type(e).__name__} {e}"
-        continue
+def check_shard(names):
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    out = {}
+    for name in names:
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
+        except Exception as e:
+            out[name] = f"READ-FAIL {e}"
+            continue
+        if name not in oracle:
+            out[name] = f"NO-ORACLE rows={len(got)}"
+            continue
+        try:
+            want = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            out[name] = f"ORACLE-FAIL {type(e).__name__} {e}"
+            continue
 
-    def norm(df):
-        df = df[sorted(df.columns)].copy()
-        for c in df.columns:
-            if df[c].dtype == object:
-                df[c] = df[c].map(
-                    lambda v: v.hex() if isinstance(v, (bytes, bytearray))
-                    else str(v))
-            else:
-                df[c] = df[c].map(str)
-        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+        def norm(df):
+            df = df[sorted(df.columns)].copy()
+            for c in df.columns:
+                if df[c].dtype == object:
+                    df[c] = df[c].map(
+                        lambda v: v.hex()
+                        if isinstance(v, (bytes, bytearray)) else str(v))
+                else:
+                    df[c] = df[c].map(str)
+            return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
-    if sorted(got.columns) != sorted(want.columns):
-        results[name] = (f"SCHEMA got={sorted(got.columns)} "
+        if sorted(got.columns) != sorted(want.columns):
+            out[name] = (f"SCHEMA got={sorted(got.columns)} "
                          f"want={sorted(want.columns)}")
-        continue
-    g, w = norm(got), norm(want)
-    if len(g) != len(w):
-        results[name] = f"ROWS got={len(g)} want={len(w)}"
-        continue
-    neq = (g != w).any(axis=1)
-    if neq.any():
-        i = neq.idxmax()
-        results[name] = (f"VALUES {int(neq.sum())}/{len(g)} differ; "
+            continue
+        g, w = norm(got), norm(want)
+        if len(g) != len(w):
+            out[name] = f"ROWS got={len(g)} want={len(w)}"
+            continue
+        neq = (g != w).any(axis=1)
+        if neq.any():
+            i = neq.idxmax()
+            out[name] = (f"VALUES {int(neq.sum())}/{len(g)} differ; "
                          f"first: got={g.iloc[i].to_dict()} "
                          f"want={w.iloc[i].to_dict()}")
-    else:
-        results[name] = f"OK rows={len(g)}"
+        else:
+            out[name] = f"OK rows={len(g)}"
+    return out
 
-bad = {k: v for k, v in results.items()
-       if not (v.startswith("OK") or v.startswith("NO-ORACLE"))}
-for k, v in results.items():
-    print(("PASS " if k not in bad else "FAIL ") + k + ": " + v[:400])
-print(f"\n{len(results) - len(bad)}/{len(results)} ok; "
-      f"{sum(1 for v in results.values() if v.startswith('NO-ORACLE'))} "
-      f"rows-only")
-sys.exit(1 if bad else 0)
+
+def main():
+    import duckdb
+    # Record the oracle engine version: round-7 builder/driver artifacts
+    # disagreed (220 vs 219 green) and the version was one uneliminated
+    # cause.
+    print(f"duckdb {duckdb.__version__}")
+    names = sorted(d for d in os.listdir(outdir)
+                   if os.path.isdir(os.path.join(outdir, d)))
+    shards = max(1, int(os.environ.get("GATE_SHARDS", "8")))
+    results = {}
+    if shards == 1:
+        results = check_shard(names)
+    else:
+        # round-robin keeps each shard a mix of heavy and light oracles
+        parts = [names[i::shards] for i in range(shards)]
+        with ProcessPoolExecutor(max_workers=shards) as ex:
+            for part_result in ex.map(check_shard, parts):
+                results.update(part_result)
+    bad = {k: v for k, v in results.items()
+           if not (v.startswith("OK") or v.startswith("NO-ORACLE"))}
+    for k in sorted(results):
+        v = results[k]
+        print(("PASS " if k not in bad else "FAIL ") + k + ": " + v[:400])
+    print(f"\n{len(results) - len(bad)}/{len(results)} ok; "
+          f"{sum(1 for v in results.values() if v.startswith('NO-ORACLE'))} "
+          f"rows-only")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
