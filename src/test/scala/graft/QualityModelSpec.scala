@@ -187,4 +187,37 @@ class QualityModelSpec extends AnyFunSuite with SparkTester {
     assert(deOnly.forall(j => w(j) < 0),
       s"some de-only bucket not negative: ${deOnly.map(j => j -> w(j))}")
   }
+
+  test("rocAuc equals the textbook per-row midrank formula, ties " +
+      "included (frequency-table regrouping is exact)") {
+    // the r9 rank-sum reshape computes ranks from the score-frequency
+    // table; replay the per-row definition on the same trained scores
+    // and assert the identical AUC — ties matter, so the 6-dp rounded
+    // scores of a learnable corpus (many tied sigmoid plateaus) are a
+    // real tie workload, not a degenerate one
+    val got = QualityModel.rocAuc(corpus, "doc_id", "text",
+      col("is_en"), dim = 32, iters = 3, lr = 2.0).head()
+    val scored = QualityModel.scoreLogReg(
+        corpus, "doc_id", "text", model, dim = 32)
+      .join(corpus.select(col("doc_id"),
+        col("is_en").cast("int").as("y")), "doc_id")
+      .select(col("score"), col("y"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+    val np = scored.count(_._2 == 1).toLong
+    val nn = scored.length - np
+    // per-row midrank: rank = 1 + #strictly-below, ties = #equal
+    val s2 = scored.filter(_._2 == 1).map { case (s, _) =>
+      val below = scored.count(_._1 < s).toLong
+      val ties = scored.count(_._1 == s).toLong
+      2L * (below + 1) + ties - 1
+    }.sum
+    val want = BigDecimal((s2 - np * (np + 1)).toDouble /
+      (2.0 * np * nn)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(got.getLong(0) == np && got.getLong(1) == nn)
+    assert(got.getDouble(2) == want,
+      s"auc ${got.getDouble(2)} != per-row $want")
+    // a separating model should also read near-perfect AUC
+    assert(got.getDouble(2) > 0.95)
+  }
 }
