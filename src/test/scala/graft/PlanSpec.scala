@@ -467,4 +467,37 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     val p = plan("curation_sample_exact_k_stratified")
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("quality_roc_auc: the rank-sum window runs ABOVE the " +
+      "score-frequency aggregate, never over the scored corpus") {
+    // the r9 reshape's load-bearing property: the only Window in the
+    // plan consumes the (score, n, npos) rollup — per-score rows,
+    // bounded by the 6-dp score domain — so no corpus-wide
+    // single-partition sort exists. The window's input columns are the
+    // aggregate's outputs; a regression back to per-row rank() would
+    // put doc-level columns (y) under the window instead.
+    val p = plan("quality_roc_auc")
+    assert(p.contains("partial_count"), p)  // rollup partial-aggregates
+    // tree shape: the Window's input chain is Sort → Exchange →
+    // HashAggregate — the frequency rollup, not a corpus-level Project
+    val winShape =
+      """Window \(\d+\)\s*\n\s*\+- Sort \(\d+\)\s*\n\s*\+- Exchange """ +
+        """\(\d+\)\s*\n\s*\+- HashAggregate"""
+    assert(winShape.r.findFirstIn(p).isDefined, p)
+  }
+
+  test("sql TVF rows plan identically to their Scala-call twins " +
+      "(the SQL front-end is registration, not reimplementation)") {
+    // canonical evidence the TVF layer feeds through the same logical
+    // plans: identical optimized-plan operator multiset for the as-of
+    // pair (modulo cosmetic expr ids, so compare operator class names)
+    def shape(name: String): Seq[String] = {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.queryExecution.optimizedPlan.collect {
+        case n => n.getClass.getSimpleName }
+    }
+    val tvf = shape("sql_asof_join").sorted
+    val scala_ = shape("join_asof").sorted
+    assert(tvf == scala_, s"tvf=$tvf vs scala=$scala_")
+  }
 }
