@@ -6901,5 +6901,26 @@ object SqlSurfaceQueries {
       },
       Some("""SELECT c_custkey,
           round(jaro_winkler_similarity(c_name, c_mktsegment), 6) AS jw
-        FROM customer""")))
+        FROM customer""")),
+
+    // COMPOSITION through the SQL surface: greedy-by-id near-dup
+    // survivors in ONE spark.sql statement — the TVF's pair list anti-
+    // joined back against the corpus (drop every doc that is the
+    // higher id of some pair). This is the rule most SQL-gateway users
+    // would write first; the CC-clustered form stays the Scala-side
+    // `curation_survivors`. Oracle replays it over brute-force Jaccard
+    // pairs (LSH + exact verify == brute force at these parameters)
+    Q("sql_dedup_survivors",
+      (s, dir) => {
+        GraftExtensions.register(s)
+        Sources.table(s, dir, "documents")
+          .createOrReplaceTempView("documents_sqltvf_v")
+        s.sql("""SELECT d.doc_id FROM documents_sqltvf_v d
+          WHERE d.doc_id NOT IN (
+            SELECT doc_b FROM graft_minhash_pairs('documents_sqltvf_v',
+              'doc_id', 'text', 5, 32, 4, 0.8))""")
+      },
+      Some(s"""WITH pairs AS (${DedupQueries.jaccardPairsSql})
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs)""")))
 }
