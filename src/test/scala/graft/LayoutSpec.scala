@@ -201,6 +201,35 @@ class LayoutSpec extends AnyFunSuite with SparkTester {
     assert(r.forall(_.getInt(4) == 2))
   }
 
+  test("table functions are SQL-callable after registration and " +
+      "reject misuse loudly (wrong arity, non-literal args)") {
+    GraftExtensions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .createOrReplaceTempView("li_tvf_v")
+    // happy path: long-form quantiles through SQL
+    val q = spark.sql("""SELECT * FROM graft_quantiles('li_tvf_v',
+        'l_returnflag', 'l_quantity', 0.5)""").collect()
+    assert(q.nonEmpty && q.forall(_.getDouble(1) == 0.5))
+    // wrong arity: the require message, not an analyzer mystery
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_quantiles('li_tvf_v')").collect()
+    }
+    assert(e1.getMessage.contains("graft_quantiles takes >= 4"),
+      e1.getMessage)
+    // non-literal argument: named, actionable error
+    val e2 = intercept[Exception] {
+      spark.sql("""SELECT * FROM graft_minhash_pairs(upper('x'), 'a',
+          'b', 5, 32, 4, 0.8)""").collect()
+    }
+    assert(e2.getMessage.contains("must be a literal"), e2.getMessage)
+    // unknown table: the catalog's own TABLE_OR_VIEW_NOT_FOUND surfaces
+    val e3 = intercept[Exception] {
+      spark.sql("""SELECT * FROM graft_quantiles('no_such_view_xyz',
+          'k', 'v', 0.5)""").collect()
+    }
+    assert(e3.getMessage.contains("no_such_view_xyz"), e3.getMessage)
+  }
+
   test("zone maps: stats bound their shard's rows, the prune audit " +
       "refutes only shards that cannot match, and an in-range box " +
       "keeps every matching row") {
