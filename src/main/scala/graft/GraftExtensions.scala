@@ -132,6 +132,13 @@ object GraftExtensions {
         val left = spark.table(litStr(es(0), "leftTable"))
         val right = spark.table(litStr(es(1), "rightTable"))
         val payload = litStr(es(5), "payloadCol")
+        // the flattened output appends these two names to the left
+        // columns — collide loudly instead of silently shadowing
+        Seq("matched_ts", payload + "_asof").foreach { c =>
+          require(!left.columns.contains(c),
+            s"graft_asof_join: left table already has a column '$c' " +
+              "(the TVF appends it) — rename or project it away first")
+        }
         val joined = graft.operators.Temporal.asofJoin(
           left, right, key = litStr(es(2), "key"),
           leftTs = litStr(es(3), "leftTs"),
