@@ -380,6 +380,33 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("stronglyConnectedComponents: coloring == Tarjan on seeded " +
+      "random digraphs (trim + alternation change no labels)") {
+    // differential pin for the r9 trim/alternation rewrite: six
+    // deterministic Erdős–Rényi-ish digraphs spanning sparse (mostly
+    // singleton SCCs + fringes, the trim path) through dense (one
+    // giant SCC, the confirm path); the forced coloring result must
+    // equal driver Tarjan node-for-node
+    val rnd = new scala.util.Random(20260814L)
+    for ((n, m) <- Seq((12, 8), (12, 18), (16, 24), (16, 40),
+        (20, 20), (20, 60))) {
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val tarjan = operators.Graph
+          .stronglyConnectedComponents(df, "src", "dst")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val coloring = operators.Graph
+          .stronglyConnectedComponents(df, "src", "dst",
+            driverMaxEdges = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(coloring === tarjan, s"n=$n m=$m edges=$edges")
+      }
+    }
+  }
+
   test("stronglyConnectedComponents coloring: a 70-node " +
       "increasing-id chain (one singleton SCC per node, ids in " +
       "topological order) converges — trim + direction alternation, " +
