@@ -1768,10 +1768,12 @@ object AnalyticsQueries {
     // pattern (week = epoch_day // 7 — locale-free); churned(w) =
     // active in w−1, silent in w. The startup-metrics state machine
     // as three window-free joins on the distinct (user, week) table.
-    // Churned rows are CLAMPED to the observed-week range: without
+    // Churned rows are CLAMPED to week ≤ max(observed week): without
     // the clamp, every user active in the final observed week emits a
     // phantom "churned" row at week max+1 — a post-horizon 100%-churn
-    // artifact, not a measurement ----
+    // artifact, not a measurement. The clamp is a RANGE bound, not
+    // observed-set membership: an interior globally-silent week (an
+    // outage) must still carry its churn rows ----
     Q("events_lifecycle",
       (s, dir) => {
         val ev = Sources.events(s, dir)
@@ -1781,7 +1783,7 @@ object AnalyticsQueries {
           .distinct().localCheckpoint()
         val first = uw.groupBy(col("user_id"))
           .agg(min(col("week")).as("fw"))
-        val weeks = uw.select(col("week")).distinct()
+        val horizon = uw.agg(max(col("week")).as("maxw"))
         val prev = uw.select(col("user_id"),
           (col("week") + 1).as("week"), lit(1).as("__p"))
         val states = uw.join(broadcast(first), "user_id")
@@ -1792,7 +1794,8 @@ object AnalyticsQueries {
               .otherwise("resurrected").as("state"))
         val churned = prev.select(col("user_id"), col("week"))
           .join(uw, Seq("user_id", "week"), "left_anti")
-          .join(broadcast(weeks), Seq("week"), "left_semi")
+          .crossJoin(broadcast(horizon))
+          .filter(col("week") <= col("maxw"))
           .select(col("week"), lit("churned").as("state"))
         states.unionByName(churned)
           .groupBy(col("week"), col("state"))
@@ -1804,7 +1807,7 @@ object AnalyticsQueries {
               date_trunc('day', ts)::DATE) // 7 AS week
           FROM events),
         fw AS (SELECT user_id, min(week) AS fw FROM uw GROUP BY 1),
-        wk AS (SELECT DISTINCT week FROM uw),
+        hz AS (SELECT max(week) AS maxw FROM uw),
         st AS (
           SELECT a.week,
             CASE WHEN a.week = fw.fw THEN 'new'
@@ -1819,7 +1822,7 @@ object AnalyticsQueries {
           FROM uw a LEFT JOIN uw n
             ON a.user_id = n.user_id AND n.week = a.week + 1
           WHERE n.user_id IS NULL
-            AND a.week + 1 IN (SELECT week FROM wk)),
+            AND a.week + 1 <= (SELECT maxw FROM hz)),
         allst AS (SELECT * FROM st UNION ALL SELECT * FROM ch)
         SELECT week, state, count(*) AS n
         FROM allst GROUP BY 1, 2""")),

@@ -64,9 +64,13 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = sweeps.head.keys.map { name =>
-      name -> median(sweeps.map(_(name)))
-    }.toMap
+    // failed queries are EXCLUDED from results: their time-to-exception
+    // is not a timing, and letting it into the medians would poison the
+    // drift gate and any baseline promoted from bench_last.json (a row
+    // that OOMs at 0.3 s would read as a 20x "regression" once healthy)
+    val results = sweeps.head.keys
+      .filterNot(failed.contains)
+      .map { name => name -> median(sweeps.map(_(name))) }.toMap
     // ---- per-row drift gate: compare medians against the committed
     // prior-round baseline so a >1.3x regression is caught by machinery
     // in the artifact itself, not by a judge diffing tails. Tiny rows
@@ -105,11 +109,18 @@ object Bench {
     val driftGlobal =
       if (common.isEmpty) 1.0
       else common.toSeq.map(results).sum / common.toSeq.map(baseline).sum
+    // noise floor keys on EITHER side: prior >= 0.5 catches slowdowns
+    // of already-substantial rows at >1.3x; a row that was FAST in the
+    // baseline is judged by where it landed (cur >= 0.5) at a higher
+    // >2x bar — 0.4 s -> 5 s is a plan regression the prior-only
+    // exemption would never flag, while 0.2 s -> 0.55 s stays exempt
+    // (sub-second jitter at this config swings that much)
     val regressions = results.toSeq.flatMap { case (name, cur) =>
-      baseline.get(name).collect {
-        case prior if prior >= 0.5 &&
-            cur / prior / driftGlobal > 1.3 =>
-          (name, prior, cur, cur / prior / driftGlobal)
+      baseline.get(name).flatMap { prior =>
+        val nr = cur / prior / driftGlobal
+        val hit = (prior >= 0.5 && nr > 1.3) ||
+          (prior < 0.5 && cur >= 0.5 && nr > 2.0)
+        if (hit) Some((name, prior, cur, nr)) else None
       }
     }.sortBy(-_._4)
     // 3-decimal per-query seconds keep the detail line compact; the FINAL

@@ -571,18 +571,25 @@ object ReferenceQueries {
         // integer cents (exact at 2-dp prices) shifted past the key
         // range — lexicographic order preserved. Bounds: the 1e11
         // shift carries keys to o_orderkey < 1e11 (TPC-H sf ≈ 17,000)
-        // and prices to ~$9.2e7 with cents·1e11 ≤ 9.2e18 = Long.Max;
-        // out-of-range keys raise instead of silently mis-ordering
-        // (the same encoding runs in BOTH engines, so a silent
-        // overflow would hash-match while being wrong — hence loud)
+        // and cents to 9.2e7 — prices ≤ ~$922,337, a ~1.5× margin
+        // over TPC-H's ~$600k max — with cents·1e11 + key <
+        // 9.223e18 = Long.Max. BOTH operands are guarded: an
+        // out-of-range key OR price raises in both engines instead of
+        // silently mis-ordering (the same encoding runs in both, so a
+        // silent overflow would hash-match while being wrong — and
+        // Spark without ANSI wraps negative where DuckDB raises, so
+        // only a shared loud guard keeps the engines aligned)
         val shift = 100000000000L
+        val maxCents = 92233719L // floor((2^63-1 - 1e11) / 1e11)
+        val cents = round(col("o_totalprice") * 100, 0).cast("long")
         val keyOk = col("o_orderkey") >= 0 && col("o_orderkey") < shift
-        val ord = when(keyOk,
-          round(col("o_totalprice") * 100, 0).cast("long") *
-            lit(shift) + col("o_orderkey"))
+        val priceOk = cents >= 0 && cents <= maxCents
+        val ord = when(keyOk && priceOk, cents * lit(shift) +
+            col("o_orderkey"))
           .otherwise(raise_error(lit(
-            "agg_argminmax: o_orderkey outside [0, 1e11) — widen the " +
-              "tie-break shift")))
+            "agg_argminmax: o_orderkey outside [0, 1e11) or " +
+              "o_totalprice outside [0, $922,337] — widen the " +
+              "tie-break encoding")))
         t(s, dir, "orders")
           .groupBy(col("o_orderpriority"))
           .agg(max_by(col("o_orderkey"), ord).as("max_price_key"),
@@ -590,22 +597,26 @@ object ReferenceQueries {
             max(col("o_totalprice")).as("max_price"),
             min(col("o_totalprice")).as("min_price"))
       },
-      Some("""SELECT o_orderpriority,
+      Some("""WITH o AS (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+          FROM orders)
+        SELECT o_orderpriority,
           arg_max(o_orderkey, CASE
             WHEN o_orderkey >= 0 AND o_orderkey < 100000000000
-            THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
-              * 100000000000 + o_orderkey
-            ELSE error('agg_argminmax: o_orderkey outside [0, 1e11)')
+              AND cents >= 0 AND cents <= 92233719
+            THEN cents * 100000000000 + o_orderkey
+            ELSE error('agg_argminmax: key or price out of range')
             END) AS max_price_key,
           arg_min(o_orderkey, CASE
             WHEN o_orderkey >= 0 AND o_orderkey < 100000000000
-            THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
-              * 100000000000 + o_orderkey
-            ELSE error('agg_argminmax: o_orderkey outside [0, 1e11)')
+              AND cents >= 0 AND cents <= 92233719
+            THEN cents * 100000000000 + o_orderkey
+            ELSE error('agg_argminmax: key or price out of range')
             END) AS min_price_key,
           max(o_totalprice) AS max_price,
           min(o_totalprice) AS min_price
-        FROM orders GROUP BY o_orderpriority""")),
+        FROM o GROUP BY o_orderpriority""")),
 
     // ---- WEIGHTED exact quantiles (price quantiles weighted by
     // quantity — "the price the median UNIT ships at", not the median

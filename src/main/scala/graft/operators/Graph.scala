@@ -857,8 +857,11 @@ object Graph {
     * localCheckpoint'ed. Output: (node, level) over the edge
     * endpoints. */
   def topoLevels(dagEdges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 64, driverMaxEdges: Long = 2000000L)
+      maxRounds: Int = 128, driverMaxEdges: Long = 2000000L)
       : DataFrame = {
+    // default raised 64 -> 128 when the loop bound tightened to
+    // `round < maxRounds`, so every DAG depth the old `<=` bound
+    // accepted still converges with margin
     val e = dagEdges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()

@@ -94,14 +94,17 @@ def main():
         with ProcessPoolExecutor(max_workers=shards) as ex:
             for part_result in ex.map(check_shard, parts):
                 results.update(part_result)
-    bad = {k: v for k, v in results.items()
-           if not (v.startswith("OK") or v.startswith("NO-ORACLE"))}
+    # since r9 the registry invariant is EVERY row oracle-checked (the
+    # HLL row carries an exact twin + band assert), so a NO-ORACLE row
+    # is itself a gate failure — a new query with oracle=None must not
+    # sail through green here and only fail later in the sbt suite
+    bad = {k: v for k, v in results.items() if not v.startswith("OK")}
     for k in sorted(results):
         v = results[k]
         print(("PASS " if k not in bad else "FAIL ") + k + ": " + v[:400])
     print(f"\n{len(results) - len(bad)}/{len(results)} ok; "
           f"{sum(1 for v in results.values() if v.startswith('NO-ORACLE'))} "
-          f"rows-only")
+          f"rows-only (rows-only now FAILS the gate)")
     sys.exit(1 if bad else 0)
 
 
