@@ -499,5 +499,10 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     val tvf = shape("sql_asof_join").sorted
     val scala_ = shape("join_asof").sorted
     assert(tvf == scala_, s"tvf=$tvf vs scala=$scala_")
+    // and the LSH pipeline: same operator multiset through the TVF
+    // (both sides add only their final projection/filter wrappers)
+    val tvfMh = shape("sql_minhash_pairs").sorted
+    val scalaMh = shape("dedup_minhash").sorted
+    assert(tvfMh == scalaMh, s"tvf=$tvfMh vs scala=$scalaMh")
   }
 }
