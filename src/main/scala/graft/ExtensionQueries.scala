@@ -3402,10 +3402,12 @@ object TextQueries {
             FROM documents)
           SELECT doc_id, CAST(n_chars AS INTEGER) AS n_chars,
             CAST(len(toks) AS INTEGER) AS n_tokens,
-            round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
-              / len(toks), 4) AS avg_token_len,
-            round(len(list_filter(toks, w -> w IN ($stop)))::DOUBLE
-              / len(toks), 4) AS stopword_ratio,
+            CASE WHEN len(toks) > 0 THEN
+              round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                / len(toks), 4) END AS avg_token_len,
+            CASE WHEN len(toks) > 0 THEN
+              round(len(list_filter(toks, w -> lower(w) IN ($stop)))::DOUBLE
+                / len(toks), 4) END AS stopword_ratio,
             CAST(len(list_filter(toks,
               w -> regexp_matches(w, '^[0-9]+$$'))) AS INTEGER)
               AS n_numeric_tokens
@@ -5252,7 +5254,7 @@ object CurationQueries {
         s AS (
           SELECT doc_id, toks,
             unnest(range(0, greatest(len(toks), 1), 24)) AS st
-          FROM t)
+          FROM t WHERE len(toks) > 0)
         SELECT doc_id, CAST(st // 24 AS INTEGER) AS chunk_id,
           CAST(len(toks[st + 1 : st + 32]) AS INTEGER) AS n_tokens,
           array_to_string(toks[st + 1 : st + 32], ' ') AS chunk
@@ -5329,7 +5331,7 @@ object CurationQueries {
         SELECT coalesce(o.id, n.id) AS id,
           CASE WHEN o.id IS NULL THEN 'added'
                WHEN n.id IS NULL THEN 'removed'
-               WHEN oh <> nh THEN 'changed'
+               WHEN oh IS DISTINCT FROM nh THEN 'changed'
                ELSE 'unchanged' END AS change_type
         FROM o FULL OUTER JOIN n ON o.id = n.id""")),
 

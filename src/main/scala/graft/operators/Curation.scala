@@ -264,6 +264,11 @@ object Curation {
       s"stride must be 1..window, got $stride")
     df.select(col(idCol),
         graft.functions.Cleaning.tokens(col(textCol)).as("__t"))
+      // token-less (empty/null-text) docs produce NO chunks — the
+      // packContexts/WordWindowsExpr convention; without this filter
+      // every empty doc emitted one phantom (chunk_id 0, n_tokens 0,
+      // "") row into the training pipeline
+      .filter(size(col("__t")) > 0)
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), greatest(size(col("__t")) - 1, lit(0)),
           lit(stride)),
@@ -363,14 +368,20 @@ object Curation {
     import graft.expressions.TextExpressions
     val docSh = corpus.select(col(idCol).as("doc_id"),
       explode(TextExpressions.wordShingles(col(textCol), k)).as("sh"))
+    // benchSh feeds the bitmap build AND the exact-verification join;
+    // cand feeds the candidate count AND that join — persisted, or the
+    // benchmark shingle pass and the full-corpus probe scan (the
+    // expensive side at 100 TB) would each execute twice
     val benchSh = benchmark.select(
         explode(TextExpressions.wordShingles(col(benchTextCol), k))
           .as("sh"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bm = BloomJoin.buildBitmap(benchSh, "sh", mBits, kHashes)
     val cand = BloomJoin.withBloomHit(docSh, "sh", bm, mBits, kHashes)
       .filter(col("bloom_hit"))
       .select(col("doc_id"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCand = cand.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_candidates"))
     val hits = cand.join(benchSh, Seq("sh"))
@@ -458,15 +469,20 @@ object Curation {
     * join — the full-outer join shuffles hashes, never documents. */
   def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    // presence is tracked by explicit flags, NOT hash nullability:
+    // md5(null text) is null, so an id present in both snapshots with
+    // a null text on one side would otherwise masquerade as
+    // added/removed; hashes compare null-safely (null vs value =
+    // changed, null vs null = unchanged)
     val o = oldCorpus.select(col(idCol).as("id"),
-      md5(col(textCol)).as("__oh"))
+      md5(col(textCol)).as("__oh"), lit(1).as("__op"))
     val n = newCorpus.select(col(idCol).as("id"),
-      md5(col(textCol)).as("__nh"))
+      md5(col(textCol)).as("__nh"), lit(1).as("__np"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id"),
-        when(col("__oh").isNull, "added")
-          .when(col("__nh").isNull, "removed")
-          .when(col("__oh") =!= col("__nh"), "changed")
+        when(col("__op").isNull, "added")
+          .when(col("__np").isNull, "removed")
+          .when(!(col("__oh") <=> col("__nh")), "changed")
           .otherwise("unchanged").as("change_type"))
   }
 
@@ -571,6 +587,25 @@ object Curation {
     transform(concat(toks, bigrams), f => hashBucket(f, dim))
   }
 
+  /** THE smoothed log-ratio SELECT: `round(ln((tc+1)/(tt+dim)),6) −
+    * round(ln((rc+1)/(rt+dim)),6)` as DECIMAL(18,6). One definition —
+    * [[dsirLogWeights]], [[dsirRatioMap]], and [[dsirRefreshingScorer]]
+    * all derive their ratio tables through here, so the documented
+    * byte-equality of the fused, map, and streaming forms cannot drift
+    * apart under a future edit to one of them. Inputs: `raw(j, rc)`,
+    * `tgt(j, tc)` (left-joined — absent buckets smooth to tc=0), and
+    * the one-row totals `rawTot(rt)` / `tgtTot(tt)`. */
+  private def dsirLogRatio(raw: DataFrame, tgt: DataFrame,
+      rawTot: DataFrame, tgtTot: DataFrame, dim: Int): DataFrame =
+    raw.join(tgt, Seq("j"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("j"),
+        (round(log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+            (col("tt") + dim).cast("double")), 6).cast("decimal(18,6)") -
+          round(log((col("rc") + 1).cast("double") /
+            (col("rt") + dim).cast("double")), 6).cast("decimal(18,6)"))
+          .as("lr"))
+
   def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
       targetFilter: Column, dim: Int = 256): DataFrame = {
     val feats = df.select(col(idCol), targetFilter.as("is_tgt"),
@@ -583,14 +618,7 @@ object Curation {
     val tgtTot = feats.filter(col("is_tgt")).agg(count(lit(1)).as("tt"))
     // log-ratio per OCCURRING bucket (absent buckets contribute 0 to any
     // doc sum); tiny table (≤ dim rows) — broadcast back onto doc counts
-    val lr = raw.join(tgt, Seq("j"), "left")
-      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
-      .select(col("j"),
-        (round(log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
-            (col("tt") + dim).cast("double")), 6).cast("decimal(18,6)") -
-          round(log((col("rc") + 1).cast("double") /
-            (col("rt") + dim).cast("double")), 6).cast("decimal(18,6)"))
-          .as("lr"))
+    val lr = dsirLogRatio(raw, tgt, rawTot, tgtTot, dim)
     feats.groupBy(col(idCol), col("j")).agg(count(lit(1)).as("c"))
       .join(broadcast(lr), Seq("j"))
       .groupBy(col(idCol))
@@ -606,21 +634,18 @@ object Curation {
     * round(ln raw,6))` held as DECIMAL(18,6). */
   def dsirRatioMap(df: DataFrame, idCol: String, textCol: String,
       targetFilter: Column, dim: Int = 256): DataFrame = {
+    // persisted like dsirLogWeights' twin: raw/tgt/rawTot/tgtTot all
+    // consume feats — unpersisted, the tokenize+bigram+md5 explode of
+    // the full corpus would execute four times
     val feats = df.select(col(idCol), targetFilter.as("is_tgt"),
-      explode(dsirFeatureArray(textCol, dim)).as("j"))
+        explode(dsirFeatureArray(textCol, dim)).as("j"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val raw = feats.groupBy(col("j")).agg(count(lit(1)).as("rc"))
     val tgt = feats.filter(col("is_tgt"))
       .groupBy(col("j")).agg(count(lit(1)).as("tc"))
     val rawTot = feats.agg(count(lit(1)).as("rt"))
     val tgtTot = feats.filter(col("is_tgt")).agg(count(lit(1)).as("tt"))
-    raw.join(tgt, Seq("j"), "left")
-      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
-      .select(col("j"),
-        (round(log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
-            (col("tt") + dim).cast("double")), 6).cast("decimal(18,6)") -
-          round(log((col("rc") + 1).cast("double") /
-            (col("rt") + dim).cast("double")), 6).cast("decimal(18,6)"))
-          .as("lr"))
+    dsirLogRatio(raw, tgt, rawTot, tgtTot, dim)
       .agg(map_from_entries(collect_list(struct(col("j"), col("lr"))))
         .as("__lr"))
   }
@@ -764,14 +789,7 @@ object Curation {
         .groupBy(col("j")).agg(sum(col("c")).as("rc"))
       val rawTot = raw.agg(sum(col("rc")).as("rt"))
       val tgtTot = refTgt.agg(coalesce(sum(col("tc")), lit(0L)).as("tt"))
-      val ratios = raw.join(refTgt, Seq("j"), "left")
-        .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
-        .select(col("j"),
-          (round(log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
-              (col("tt") + dim).cast("double")), 6).cast("decimal(18,6)") -
-            round(log((col("rc") + 1).cast("double") /
-              (col("rt") + dim).cast("double")), 6).cast("decimal(18,6)"))
-            .as("lr"))
+      val ratios = dsirLogRatio(raw, refTgt, rawTot, tgtTot, dim)
         .agg(map_from_entries(collect_list(struct(col("j"), col("lr"))))
           .as("__lr"))
       dsirScoreStateless(b, idCol, textCol, ratios, dim)
@@ -1062,11 +1080,15 @@ object Curation {
       .join(j.groupBy(col("lb")).agg(count(lit(1)).as("cb")),
         col("la") === col("lb"))
       .agg(coalesce(sum(col("ra") * col("cb")), lit(0L)).as("s"))
+    // n = 0 (disjoint or empty id sets) degenerates to the same 0-κ
+    // row the pe = 1 guard produces — not an ANSI DIVIDE_BY_ZERO abort
     nn.crossJoin(broadcast(s))
       .select(col("n"), col("n_agree"),
-        round(col("n_agree").cast("double") / col("n"), 6).as("po"),
-        round(col("s").cast("double") /
-          (col("n").cast("double") * col("n")), 6).as("pe"),
+        when(col("n") === 0, lit(0.0)).otherwise(
+          round(col("n_agree").cast("double") / col("n"), 6)).as("po"),
+        when(col("n") === 0, lit(0.0)).otherwise(
+          round(col("s").cast("double") /
+            (col("n").cast("double") * col("n")), 6)).as("pe"),
         when(col("n").cast("double") * col("n") - col("s") === 0.0,
           lit(0.0))
           .otherwise(round(

@@ -142,17 +142,24 @@ object TextAnalysis {
 
   /** Quality metrics: token count, mean token length, stopword ratio,
     * digit count, and a composite score — the length/punct/stopword-ratio
-    * family used to filter training corpora. */
+    * family used to filter training corpora. Token-less documents emit
+    * NULL ratios (not a DIVIDE_BY_ZERO abort under ANSI — the one
+    * malformed row must not kill the corpus pass), and stopword
+    * matching lowercases tokens first (sentence-initial "The" counts —
+    * the langId/gopher convention). */
   def quality(df: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String] = langMarkers("en")): DataFrame = {
     val toks = Cleaning.tokens(col(textCol))
+    val nTok = size(toks)
     df.select(col(idCol),
       length(col(textCol)).as("n_chars"),
-      size(toks).as("n_tokens"),
-      round(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-        .cast("double") / size(toks), 4).as("avg_token_len"),
-      round(hitCount(toks, stopwords).cast("double") / size(toks), 4)
-        .as("stopword_ratio"),
+      nTok.as("n_tokens"),
+      when(nTok > 0,
+        round(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / nTok, 4)).as("avg_token_len"),
+      when(nTok > 0,
+        round(hitCount(transform(toks, t => lower(t)), stopwords)
+          .cast("double") / nTok, 4)).as("stopword_ratio"),
       size(filter(transform(toks, t => t.rlike("^[0-9]+$")), b => b))
         .as("n_numeric_tokens"))
   }
@@ -362,12 +369,18 @@ object TextAnalysis {
       .agg(sum(col("value") * col("qv")).as("dot"))
     val ranked = short
       .join(dots, Seq(idCol), "left")
-      .join(dNorm, Seq(idCol))
+      // LEFT join: a shortlisted doc whose signed bucket sums all
+      // cancel has no hashedEmbedding rows and hence no dNorm row — an
+      // inner join would silently drop it from the output, defeating
+      // the cos=0 fallback below that exists for exactly that doc
+      .join(dNorm, Seq(idCol), "left")
       .crossJoin(broadcast(qNorm))
-      .withColumn("cos", when(col("dot").isNull, lit(0.0)).otherwise(
-        round(col("dot").cast("double") /
-          (sqrt(col("dn").cast("double")) *
-            sqrt(col("qn").cast("double"))), 6)))
+      .withColumn("cos",
+        when(col("dot").isNull || col("dn").isNull || col("dn") === 0,
+          lit(0.0)).otherwise(
+          round(col("dot").cast("double") /
+            (sqrt(col("dn").cast("double")) *
+              sqrt(col("qn").cast("double"))), 6)))
       .withColumn("rank", row_number().over(Window.orderBy(
         col("cos").desc, col("score_bm25").desc, col(idCol).asc)))
       .filter(col("rank") <= topN)
@@ -541,8 +554,13 @@ object TextAnalysis {
   def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String], topN: Int = 20): DataFrame = {
     require(stopwords.nonEmpty, "need a stopword list")
+    // Pattern.quote each word: a caller stopword like "c++" would
+    // otherwise be a dangling quantifier (PatternSyntaxException at
+    // execution) and "a.b" would silently match "axb" — regex-neutral
+    // lists (the default) produce the identical pattern
     val delim = regexp_replace(lower(col(textCol)),
-      "\\b(" + stopwords.mkString("|") + ")\\b", "|")
+      "\\b(" + stopwords.map(java.util.regex.Pattern.quote)
+        .mkString("|") + ")\\b", "|")
     val ph = df
       .select(explode(split(delim, "[|]")).as("p0"))
       .select(trim(regexp_replace(col("p0"), " +", " ")).as("phrase"))
@@ -704,8 +722,11 @@ object TextAnalysis {
         denom, 6))
     s.withColumn("slope", slope)
       .select(col("n"), col("slope"),
-        round((col("sy").cast("double") - col("slope") *
-          col("sx").cast("double")) / col("n"), 6).as("intercept"))
+        // n = 0 (empty/token-less corpus) must take the guard too —
+        // the slope's 0/0 guard alone still left intercept = x/0
+        when(col("n") === 0, lit(0.0)).otherwise(
+          round((col("sy").cast("double") - col("slope") *
+            col("sx").cast("double")) / col("n"), 6)).as("intercept"))
   }
 
   /** Per-document corpus-overlap ratio (the self-BLEU-flavoured

@@ -342,9 +342,11 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     // every token appears at chunk-relative stride positions exactly once
     val covered = d1.flatMap(c => c._4.split(" ").take(12))
     assert(covered.toSeq == (1 to 50).map(i => s"w$i"))
-    // short doc: one partial chunk; empty doc: one empty chunk row
+    // short doc: one partial chunk; token-less doc: NO rows (the
+    // packContexts/WordWindowsExpr convention — a phantom empty chunk
+    // must not flow into the training pipeline)
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 2, "a b")))
-    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0, 0, "")))
+    assert(out.filter(_._1 == 3L).isEmpty)
   }
 
   test("sampleTemperature flattens the domain head; nested in alpha; " +
