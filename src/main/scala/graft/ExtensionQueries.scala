@@ -1409,7 +1409,8 @@ object SimilarityQueries {
             mn, mx
           FROM e JOIN st USING (i))
         SELECT vec_id, CAST(i AS INTEGER) AS i, code,
-          round(mn + (code + 0.5) * (mx - mn) / 255.0, 6) AS recon
+          round(least(mn + (code + 0.5) * (mx - mn) / 255.0, mx), 6)
+            AS recon
         FROM c""")),
 
     // the SQ8 safety audit: per-vector squared reconstruction error —
@@ -1432,7 +1433,7 @@ object SimilarityQueries {
           FROM e JOIN st USING (i)),
         r AS (
           SELECT vec_id,
-            x - (mn + (code + 0.5) * (mx - mn) / 255.0) AS d
+            x - least(mn + (code + 0.5) * (mx - mn) / 255.0, mx) AS d
           FROM c)
         SELECT vec_id,
           round(CAST(sum(CAST(d * d AS DECIMAL(28,12))) AS DOUBLE), 6)

@@ -795,9 +795,16 @@ object ReferenceQueries {
     Q("events_anomaly",
       (s, dir) => graft.operators.Temporal.rateAnomalies(
         Sources.events(s, dir), "ts", "1 hour", zThreshold = 2.0),
-      Some("""WITH hourly AS (
+      Some("""WITH hourly0 AS (
           SELECT date_trunc('hour', ts) AS ws, count(*) AS n
           FROM events GROUP BY 1),
+        span AS (SELECT min(ws) AS mn, max(ws) AS mx FROM hourly0),
+        grid AS (
+          SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS ws
+          FROM span),
+        hourly AS (
+          SELECT g.ws, coalesce(h.n, 0)::BIGINT AS n
+          FROM grid g LEFT JOIN hourly0 h ON g.ws = h.ws),
         st AS (
           SELECT count(*) AS k, sum(n)::BIGINT AS s1,
             sum(n * n)::BIGINT AS s2
@@ -805,8 +812,9 @@ object ReferenceQueries {
         sd AS (
           SELECT ws, n, k,
             CASE WHEN k < 2 THEN 0.0 ELSE
-              sqrt((s2::DOUBLE - k * (s1::DOUBLE / k) * (s1::DOUBLE / k))
-                / (k - 1)) END AS sd,
+              sqrt(greatest(
+                (s2::DOUBLE - k * (s1::DOUBLE / k) * (s1::DOUBLE / k))
+                  / (k - 1), 0)) END AS sd,
             s1::DOUBLE / k AS mean
           FROM hourly CROSS JOIN st),
         sc AS (
@@ -1541,7 +1549,9 @@ object ReferenceQueries {
             SELECT state, (1000000000000000 // ns)::BIGINT AS mass
             FROM st CROSS JOIN ns),
           $rounds
-          SELECT state, mass::BIGINT AS mass_f15 FROM m6"""
+          SELECT st.state,
+            coalesce(m6.mass, 0)::BIGINT AS mass_f15
+          FROM st LEFT JOIN m6 ON st.state = m6.state"""
       }),
 
     // event-type co-occurrence PMI within user histories — joint

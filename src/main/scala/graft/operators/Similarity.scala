@@ -90,9 +90,13 @@ object Similarity {
     * by session identity + analyzed-plan semantic hash, so different
     * inputs/sessions never collide; entries are small persisted
     * DataFrames, bounded by the handful of distinct verifier inputs a
-    * session touches. */
+    * session touches. Keyed by the CANONICALIZED PLAN STRING (exact —
+    * a 32-bit semanticHash could collide two different inputs and hand
+    * one the other's graph) and bounded: past 8 entries the map is
+    * unpersisted and cleared, so a long-lived process can never pin an
+    * unbounded set of DataFrames (or a stopped session's blocks). */
   private val sampledExactMemo = scala.collection.concurrent.TrieMap
-    .empty[(Int, Int, String, String, Int, Int), DataFrame]
+    .empty[(Int, String, String, String, Int, Int), DataFrame]
 
   /** Exact k-NN graph RESTRICTED to a deterministic md5 sample of
     * source nodes (the `curation_sample` convention:
@@ -106,7 +110,14 @@ object Similarity {
   def knnGraphSampled(df: DataFrame, idCol: String, vecCol: String,
       k: Int, pct: Int): DataFrame = {
     val memoKey = (System.identityHashCode(df.sparkSession),
-      df.queryExecution.analyzed.semanticHash(), idCol, vecCol, k, pct)
+      df.queryExecution.analyzed.canonicalized.toString,
+      idCol, vecCol, k, pct)
+    if (sampledExactMemo.size > 8) {
+      sampledExactMemo.values.foreach { v =>
+        try v.unpersist() catch { case _: Throwable => () }
+      }
+      sampledExactMemo.clear()
+    }
     sampledExactMemo.getOrElseUpdate(memoKey, {
       val srcs = df
         .filter(Curation.hashBucket(col(idCol), 100) < pct)
@@ -649,23 +660,25 @@ object Similarity {
     cent
   }
 
-  /** Lloyd's rounds from an explicit initial centroid table
-    * (cent_id, ce) — see [[kmeansCentroids]] for the determinism and
-    * per-round scale story. */
-  def kmeansFrom(corpus: DataFrame, vecCol: String, init: DataFrame,
-      iters: Int): DataFrame = {
+  /** THE Lloyd's round loop shared by all three trainers — persist the
+    * round's centroid table (broadcast into the assignment join AND the
+    * base of the next round), assign via the caller's strategy, exact-
+    * decimal re-average, then materialize the new table and UNPERSIST
+    * the previous round's (dead after the hand-off; leaving every
+    * round's table registered would bloat the block manager across an
+    * ivfKSelect sweep). One definition of the re-averaging algebra so
+    * the flat/hier/tree forms cannot drift. */
+  private def lloydsRounds(corpus: DataFrame, vecCol: String,
+      init: DataFrame, iters: Int)(
+      assign: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    if (iters <= 0) return init
     var cent = init
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (_ <- 0 until iters) {
-      // each round's centroid table is broadcast into the assignment join
-      // AND is the base of the next round — persist so round t's full
-      // assignment+mean plan isn't re-evaluated inside round t+1's plan
-      cent = cent.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val assigned = assignCells(
+      val assigned = assign(
         corpus.select(col("vec_id"), col(vecCol)),
-        cent.select(col("cent_id").as("vec_id"), col("ce").as(vecCol)),
-        vecCol)
-      cent = assigned
+        cent.select(col("cent_id").as("vec_id"), col("ce").as(vecCol)))
+      val next = assigned
         .select(col("cell"), posexplode(col("e")).as(Seq("i", "v")))
         .groupBy(col("cell"), col("i"))
         .agg((sum(col("v").cast("decimal(28,10)")).cast("double") /
@@ -674,9 +687,21 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)")
           .as("ce"))
         .select(col("cell").as("cent_id"), col("ce"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize BEFORE releasing the table it reads
+      cent.unpersist()
+      cent = next
     }
     cent
   }
+
+  /** Lloyd's rounds from an explicit initial centroid table
+    * (cent_id, ce) — see [[kmeansCentroids]] for the determinism and
+    * per-round scale story. */
+  def kmeansFrom(corpus: DataFrame, vecCol: String, init: DataFrame,
+      iters: Int): DataFrame =
+    lloydsRounds(corpus, vecCol, init, iters)(
+      (c, cents) => assignCells(c, cents, vecCol))
 
   /** [[kmeansFrom]] with hierarchical per-round assignment
     * ([[assignCellsHier]]) — the trainer for the k ∝ n regime where the
@@ -684,27 +709,9 @@ object Similarity {
     * exact-decimal re-averaging, same id-stable cell naming; only the
     * assignment inside each round is the probed two-level form. */
   def kmeansFromHier(corpus: DataFrame, vecCol: String, init: DataFrame,
-      iters: Int, coarseMult: Int, nprobe: Int): DataFrame = {
-    var cent = init
-    for (_ <- 0 until iters) {
-      cent = cent.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val assigned = assignCellsHier(
-        corpus.select(col("vec_id"), col(vecCol)),
-        cent.select(col("cent_id").as("vec_id"), col("ce").as(vecCol)),
-        vecCol, coarseMult, nprobe)
-      cent = assigned
-        .select(col("cell"), posexplode(col("e")).as(Seq("i", "v")))
-        .groupBy(col("cell"), col("i"))
-        .agg((sum(col("v").cast("decimal(28,10)")).cast("double") /
-          count(lit(1))).cast("float").as("m"))
-        .groupBy(col("cell"))
-        .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)")
-          .as("ce"))
-        .select(col("cell").as("cent_id"), col("ce"))
-    }
-    cent
-  }
+      iters: Int, coarseMult: Int, nprobe: Int): DataFrame =
+    lloydsRounds(corpus, vecCol, init, iters)(
+      (c, cents) => assignCellsHier(c, cents, vecCol, coarseMult, nprobe))
 
   /** [[kmeansCentroids]] with hierarchical assignment in every Lloyd's
     * round — see [[assignCellsHier]] for the scale story. */
@@ -722,27 +729,10 @@ object Similarity {
     * exact-decimal re-averaging and id-stable cell naming. */
   def kmeansFromTree(corpus: DataFrame, vecCol: String, init: DataFrame,
       iters: Int, coarseMult: Int, nprobe: Int, levels: Int)
-      : DataFrame = {
-    var cent = init
-    for (_ <- 0 until iters) {
-      cent = cent.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val assigned = assignCellsTree(
-        corpus.select(col("vec_id"), col(vecCol)),
-        cent.select(col("cent_id").as("vec_id"), col("ce").as(vecCol)),
-        vecCol, coarseMult, nprobe, levels)
-      cent = assigned
-        .select(col("cell"), posexplode(col("e")).as(Seq("i", "v")))
-        .groupBy(col("cell"), col("i"))
-        .agg((sum(col("v").cast("decimal(28,10)")).cast("double") /
-          count(lit(1))).cast("float").as("m"))
-        .groupBy(col("cell"))
-        .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)")
-          .as("ce"))
-        .select(col("cell").as("cent_id"), col("ce"))
-    }
-    cent
-  }
+      : DataFrame =
+    lloydsRounds(corpus, vecCol, init, iters)(
+      (c, cents) =>
+        assignCellsTree(c, cents, vecCol, coarseMult, nprobe, levels))
 
   /** [[kmeansCentroids]] with tree assignment in every Lloyd's round —
     * see [[assignCellsTree]] for the depth story. */
@@ -1306,6 +1296,10 @@ object Similarity {
     * unit direction array and the one-row ‖w‖² of the last round. */
   private def pcaIterate(base: DataFrame, iters: Int)
       : (DataFrame, DataFrame) = {
+    // iters = 0 would leave the norm row null and NPE deep inside the
+    // caller's crossJoin — fail here with the actual cause (the
+    // markovStationary/ivfKSelect require() convention)
+    require(iters >= 1, s"pca iters must be >= 1, got $iters")
     var vRow = base.limit(1)
       .select(transform(col("xs"), _ => lit(0.125)).as("v_arr"))
       .localCheckpoint()
@@ -1446,7 +1440,8 @@ object Similarity {
     * than float32, the first compression rung before PQ. A constant
     * dimension (max = min) codes 0. Output: (vec_id, i, code, recon)
     * where recon is the midpoint dequantization
-    * `min + (code + 0.5)·(max − min)/255` (6-dp rounded for transport).
+    * `min + (code + 0.5)·(max − min)/255`, clamped at max (6-dp
+    * rounded for transport).
     *
     * Numeric parity: min/max over FLOATS are comparisons (exact, no
     * accumulation); code/recon are pure IEEE double expressions —
@@ -1455,7 +1450,14 @@ object Similarity {
     * one posexplode pass for the d-row stats table, broadcast back, one
     * codegen projection — no corpus shuffle (the d-group aggregate
     * moves d rows per partition). */
-  def scalarQuantize(df: DataFrame, idCol: String, vecCol: String)
+  /** Shared coded table of the SQ8 family: (vec_id, i, x, code,
+    * recon-unrounded). ONE definition of the coding scheme so the
+    * quantizer and its error audit can never silently disagree. The
+    * midpoint dequantization is CLAMPED at mx: code 255 is hit only by
+    * x = mx exactly (the cell is a point), where the unclamped
+    * midpoint mn + 255.5·step would overshoot the data range and give
+    * every max-valued element a spurious reconstruction error. */
+  private def sq8Coded(df: DataFrame, idCol: String, vecCol: String)
       : DataFrame = {
     val el = df.select(col(idCol).as("vec_id"),
         posexplode(col(vecCol)).as(Seq("p", "v")))
@@ -1468,12 +1470,16 @@ object Similarity {
         floor((col("x") - col("mn")) * 255.0 / (col("mx") - col("mn"))),
         lit(0.0)), lit(255.0)).cast("long"))
     el.join(broadcast(stats), Seq("i"))
-      .select(col("vec_id"), col("i").cast("int").as("i"),
-        code.as("code"), col("mn"), col("mx"), col("x"))
-      .select(col("vec_id"), col("i"), col("code"),
-        round(col("mn") + (col("code") + 0.5) *
-          (col("mx") - col("mn")) / 255.0, 6).as("recon"))
+      .select(col("vec_id"), col("i"), col("x"), code.as("code"),
+        least(col("mn") + (code + 0.5) *
+          (col("mx") - col("mn")) / 255.0, col("mx")).as("recon"))
   }
+
+  def scalarQuantize(df: DataFrame, idCol: String, vecCol: String)
+      : DataFrame =
+    sq8Coded(df, idCol, vecCol)
+      .select(col("vec_id"), col("i").cast("int").as("i"), col("code"),
+        round(col("recon"), 6).as("recon"))
 
   /** Corpus-level audit of [[scalarQuantize]]: per-vector squared
     * reconstruction error Σ_i (x_i − recon_i)² — the number that tells
@@ -1481,24 +1487,13 @@ object Similarity {
     * 100 TB of vectors. Exact-decimal term sums (order-free), one
     * 6-dp round. Output: (vec_id, err2). */
   def scalarQuantizeError(df: DataFrame, idCol: String, vecCol: String)
-      : DataFrame = {
-    val el = df.select(col(idCol).as("vec_id"),
-        posexplode(col(vecCol)).as(Seq("p", "v")))
-      .select(col("vec_id"), (col("p") + 1).as("i"),
-        col("v").cast("double").as("x"))
-    val stats = el.groupBy(col("i"))
-      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    val code = when(col("mx") === col("mn"), lit(0L))
-      .otherwise(least(greatest(
-        floor((col("x") - col("mn")) * 255.0 / (col("mx") - col("mn"))),
-        lit(0.0)), lit(255.0)).cast("long"))
-    val recon = col("mn") + (code + 0.5) * (col("mx") - col("mn")) / 255.0
-    el.join(broadcast(stats), Seq("i"))
+      : DataFrame =
+    sq8Coded(df, idCol, vecCol)
       .select(col("vec_id"),
-        ((col("x") - recon) * (col("x") - recon)).cast(pcaDec).as("e2"))
+        ((col("x") - col("recon")) * (col("x") - col("recon")))
+          .cast(pcaDec).as("e2"))
       .groupBy(col("vec_id"))
       .agg(round(sum(col("e2")).cast("double"), 6).as("err2"))
-  }
 
   /** JOHNSON–LINDENSTRAUSS RANDOM PROJECTION (Achlioptas 2003 ±1
     * variant): project d-dim embeddings to `m` dims via a dense sign

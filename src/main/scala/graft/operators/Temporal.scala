@@ -29,11 +29,17 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, payload: Seq[String],
       rightOrder: String): DataFrame = {
-    // deduplicate right side to one row per (key, ts): keep max rightOrder
-    val wDedup = Window.partitionBy(col(key), col(rightTs))
-      .orderBy(col(rightOrder).desc)
+    // deduplicate right side to one row per (key, ts): keep max
+    // rightOrder. NULL right timestamps are dropped first — a null
+    // __ts sorts BEFORE every real timestamp in the ascending carry
+    // window and would become a universal "earliest" match for left
+    // rows that precede all real right rows (DuckDB's ASOF JOIN
+    // never matches a null ts, so this also keeps oracle parity)
     val r = right
-      .withColumn("__rn", row_number().over(wDedup))
+      .filter(col(rightTs).isNotNull)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(key), col(rightTs))
+          .orderBy(col(rightOrder).desc)))
       .filter(col("__rn") === 1)
       .select(col(key), col(rightTs).as("__ts"),
         struct(col(rightTs).as("__matched_ts") +:
@@ -80,21 +86,35 @@ object Temporal {
     * Degenerate inputs are a defined "no anomaly", not NaN: one time
     * bucket (k = 1, sample variance undefined) or a perfectly uniform
     * rate (sd = 0) short-circuits every z to 0 / anomaly = false instead
-    * of dividing by zero. */
+    * of dividing by zero; the exact-integer variance is clamped at 0
+    * before the sqrt (double rounding on huge near-uniform counts can
+    * push s2 − k·mean² fractionally negative → NaN sd would silently
+    * disable the detector).
+    *
+    * The bucket table is DENSIFIED over [min, max] bucket starts
+    * before scoring: a bucket with zero events is exactly the outage
+    * the monitor exists to flag, and groupBy alone would simply omit
+    * it (no row → no z-score → a full outage could never fire, and the
+    * missing zeros would bias every other bucket's mean/sd). */
   def rateAnomalies(events: DataFrame, tsCol: String,
       windowLen: String = "1 hour", zThreshold: Double = 2.0)
       : DataFrame = {
-    val hourly = events
+    val counts = events
       .groupBy(window(col(tsCol), windowLen))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("n"))
+    val grid = counts.agg(min(col("ws")).as("mn"), max(col("ws")).as("mx"))
+      .select(explode(expr(s"sequence(mn, mx, interval $windowLen)"))
+        .as("ws"))
+    val hourly = grid.join(counts, Seq("ws"), "left")
+      .select(col("ws"), coalesce(col("n"), lit(0L)).as("n"))
     val stats = hourly.agg(count(lit(1)).as("k"),
       sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"))
     hourly.crossJoin(broadcast(stats))
       .withColumn("mean", col("s1").cast("double") / col("k"))
       .withColumn("sd", when(col("k") < 2, lit(0.0)).otherwise(sqrt(
-        (col("s2").cast("double") - col("k") * col("mean") *
-          col("mean")) / (col("k") - 1))))
+        greatest((col("s2").cast("double") - col("k") * col("mean") *
+          col("mean")) / (col("k") - 1), lit(0.0)))))
       .select(col("ws"), col("n"),
         when(col("k") < 2 || col("sd") === 0.0, lit(0.0))
           .otherwise(round((col("n") - col("mean")) / col("sd"), 6))
@@ -270,7 +290,14 @@ object Temporal {
         .select(col("to_type").as("state"), col("mass_f15"))
         .localCheckpoint()
     }
-    mass
+    // states that drained to zero (observed only as from_type, never
+    // reached) drop out of the re-aggregation after round 1 — emit
+    // them as explicit mass 0 so the output always covers the chain's
+    // full state set (consumers joining the state list or summing the
+    // distribution must not see a missing row)
+    states.join(mass, Seq("state"), "left")
+      .select(col("state"),
+        coalesce(col("mass_f15"), lit(0L)).as("mass_f15"))
   }
 
   /** NEAREST-direction as-of join (pandas `merge_asof(direction=
@@ -296,7 +323,12 @@ object Temporal {
   def nearestJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightId: String): DataFrame = {
     def secs(c: Column) = c.cast("timestamp").cast("long")
+    // null right timestamps can never be "nearest" — and a null __s
+    // sorts first in the ascending backward window, where it would
+    // masquerade as a universal earliest candidate (same defect class
+    // as asofJoin's filter above)
     val rd = right
+      .filter(col(rightTs).isNotNull)
       .withColumn("__s", secs(col(rightTs)))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(key), col("__s"))

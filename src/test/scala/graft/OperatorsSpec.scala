@@ -2250,7 +2250,9 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
       .otherwise(least(greatest(
         floor(($"x" - $"mn") * 255.0 / ($"mx" - $"mn")), lit(0.0)),
         lit(255.0)).cast("long"))
-    val recon = $"mn" + (code + 0.5) * ($"mx" - $"mn") / 255.0
+    // clamped at mx like the operator (code 255 = the point cell x=mx)
+    val recon = least($"mn" + (code + 0.5) * ($"mx" - $"mn") / 255.0,
+      $"mx")
     val manual = el.join(st, Seq("i"))
       .select($"vec_id",
         (($"x" - recon) * ($"x" - recon)).cast("decimal(28,12)").as("e"))
