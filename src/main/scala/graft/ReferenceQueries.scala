@@ -1321,7 +1321,8 @@ object ReferenceQueries {
       (s, dir) => Sketches.kmvDistinct(
         t(s, dir, "lineitem"), "l_orderkey", k = 64),
       Some(kmvOracle(
-        "SELECT DISTINCT md5(l_orderkey::VARCHAR) AS h FROM lineitem"))),
+        "SELECT DISTINCT md5(l_orderkey::VARCHAR) AS h FROM lineitem " +
+        "WHERE l_orderkey IS NOT NULL"))),
     // per-returnflag approx-distinct parts — tail groups below k report
     // exactly (the KMV small-set guarantee)
     Q("agg_kmv_groups",
@@ -1329,7 +1330,7 @@ object ReferenceQueries {
         t(s, dir, "lineitem"), "l_returnflag", "l_partkey", k = 64),
       Some(s"""WITH h AS (
           SELECT DISTINCT l_returnflag AS k, md5(l_partkey::VARCHAR) AS h
-          FROM lineitem),
+          FROM lineitem WHERE l_partkey IS NOT NULL),
         r AS (
           SELECT k, h, row_number() OVER (PARTITION BY k ORDER BY h)
             AS rn
@@ -1355,12 +1356,14 @@ object ReferenceQueries {
       Some(kmvOracle("""SELECT DISTINCT h FROM (
           (SELECT h FROM (
             SELECT DISTINCT md5(l_partkey::VARCHAR) AS h
-            FROM lineitem WHERE l_linenumber % 2 = 0)
+            FROM lineitem WHERE l_linenumber % 2 = 0
+              AND l_partkey IS NOT NULL)
             q0 ORDER BY h LIMIT 64)
           UNION ALL
           (SELECT h FROM (
             SELECT DISTINCT md5(l_partkey::VARCHAR) AS h
-            FROM lineitem WHERE l_linenumber % 2 = 1)
+            FROM lineitem WHERE l_linenumber % 2 = 1
+              AND l_partkey IS NOT NULL)
             q1 ORDER BY h LIMIT 64)) u"""))),
 
     // sketch INTERSECTION: customers-who-ordered ∩ all-customers from
@@ -1373,11 +1376,13 @@ object ReferenceQueries {
         t(s, dir, "customer"), "c_custkey", k = 64),
       Some(s"""WITH ta AS (
           SELECT h FROM (
-            SELECT DISTINCT md5(o_custkey::VARCHAR) AS h FROM orders) q
+            SELECT DISTINCT md5(o_custkey::VARCHAR) AS h FROM orders
+            WHERE o_custkey IS NOT NULL) q
           ORDER BY h LIMIT 64),
         tb AS (
           SELECT h FROM (
-            SELECT DISTINCT md5(c_custkey::VARCHAR) AS h FROM customer) q
+            SELECT DISTINCT md5(c_custkey::VARCHAR) AS h FROM customer
+            WHERE c_custkey IS NOT NULL) q
           ORDER BY h LIMIT 64),
         u AS (
           SELECT coalesce(ta.h, tb.h) AS h,

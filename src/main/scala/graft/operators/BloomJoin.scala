@@ -40,7 +40,11 @@ object BloomJoin {
   def buildBitmap(build: DataFrame, keyCol: String, mBits: Int = 65536,
       k: Int = 3): DataFrame = {
     require((mBits & (mBits - 1)) == 0, s"mBits must be a power of 2")
-    build.select(explode(array(positions(col(keyCol), mBits, k): _*))
+    // a null build key cannot equi-match any probe row, and its null
+    // probe positions would poison map_from_entries (null map key) —
+    // drop it before hashing
+    build.filter(col(keyCol).isNotNull)
+      .select(explode(array(positions(col(keyCol), mBits, k): _*))
         .as("p"))
       .distinct()
       .select(expr("CAST(p DIV 64 AS INT) AS w"),

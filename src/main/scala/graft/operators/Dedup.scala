@@ -68,9 +68,20 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, threshold: Double = 0.8,
       maxDocFreq: Option[Long] = None): DataFrame = {
+    requirePositiveThreshold(threshold)
     jaccardOverIndex(dropHot(shingleRows(df, idCol, textCol, k),
       maxDocFreq), threshold)
   }
+
+  /** Every pair generator here enumerates only pairs sharing >= 1 index
+    * element, so "identical to brute force" holds iff the threshold is
+    * strictly positive (at t = 0 brute force also claims the
+    * share-nothing pairs) — fail fast instead of silently under-
+    * reporting. */
+  private def requirePositiveThreshold(threshold: Double): Unit =
+    require(threshold > 0,
+      s"threshold must be > 0 (shared-element pair enumeration misses " +
+        s"disjoint pairs at t <= 0), got $threshold")
 
   /** Stop-shingle guard shared by the inverted-index Jaccard operators:
     * drop index elements whose document frequency exceeds the cap.
@@ -131,6 +142,7 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, threshold: Double = 0.9,
       maxDocFreq: Option[Long] = None): DataFrame = {
+    requirePositiveThreshold(threshold)
     val sh = dropHot(shingleRows(df, idCol, textCol, k), maxDocFreq)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -168,6 +180,7 @@ object Dedup {
   def winnowJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, threshold: Double = 0.5,
       maxDocFreq: Option[Long] = None): DataFrame = {
+    requirePositiveThreshold(threshold)
     val fp = df.select(col(idCol).as("doc_id"),
       explode(graft.expressions.Winnowing.winnow(col(textCol), k, w))
         .as("sh"))
@@ -218,6 +231,7 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, bands: Int = 32, rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
+    requirePositiveThreshold(threshold)
     val numHashes = bands * rowsPerBand
     val base = df.select(col(idCol).as("doc_id"),
       Text.wordShingles(col(textCol), k).as("shs"))
@@ -250,12 +264,18 @@ object Dedup {
     // documents BEFORE computing shingles — the join is placed explicitly
     // below the shingle projection (Catalyst won't reorder a join under a
     // projection that computes expressions), so at real-world dup rates
-    // the verify pass tokenizes a few percent of the corpus, not all of it
+    // the verify pass tokenizes a few percent of the corpus, not all of it.
+    // UNHINTED semi-join deliberately: the candidate-doc set scales with
+    // the corpus's dup rate (a 50%-dup crawl puts ~half the corpus ids
+    // here), so a forced broadcast() is an OOM at exactly the inputs
+    // dedup exists for — AQE converts to broadcast at runtime whenever
+    // the set actually is small, and degrades to a shuffle join (never a
+    // dead executor) when it isn't
     val candDocs = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val sh = df.select(col(idCol).as("doc_id"), col(textCol))
-      .join(broadcast(candDocs), Seq("doc_id"))
+      .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         explode(Text.wordShingles(col(textCol), k)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -286,6 +306,7 @@ object Dedup {
   def minhashLshPairsBetween(left: DataFrame, right: DataFrame,
       idCol: String, textCol: String, k: Int = 5, bands: Int = 32,
       rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
+    requirePositiveThreshold(threshold)
     val numHashes = bands * rowsPerBand
     def bandRows(df: DataFrame): DataFrame = {
       val sig = df.select(col(idCol).as("doc_id"),
@@ -300,9 +321,11 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def candShingles(df: DataFrame, side: String): DataFrame = {
+      // unhinted semi-join — same dup-rate-scaling argument as the
+      // within-corpus verify stage above
       val docs = cand.select(col(side).as("doc_id")).distinct()
       df.select(col(idCol).as("doc_id"), col(textCol))
-        .join(broadcast(docs), Seq("doc_id"))
+        .join(docs, Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
           explode(Text.wordShingles(col(textCol), k)).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -856,8 +879,14 @@ object Dedup {
       .select(col(idCol), col("cluster_id"))
       .join(scored, col(idCol) === col("__id"))
       .drop("__id")
+    // argmax key negates the score IN DOUBLE: negating the native type
+    // aborts under ANSI on Long.MinValue/Int.MinValue scores (integer
+    // negation overflow), while double negation is total. Scores whose
+    // gap is below double precision (|score| > 2^53) tie and fall to the
+    // min-id break — deterministic either way.
     val best = base.groupBy(col("cluster_id"))
-      .agg(min(struct((-col("score")).as("negscore"), col(idCol).as("sid")))
+      .agg(min(struct((-col("score").cast("double")).as("negscore"),
+        col(idCol).as("sid")))
         .as("best"))
       .select(col("cluster_id"), col("best.sid").as("__survivor"))
     base.join(best, Seq("cluster_id"))
@@ -1157,7 +1186,9 @@ object Dedup {
     * run is [[graft.expressions.CharWindowHashesExpr]] (O(1) per
     * position rolling hash, same topology, different — but equally
     * valid — boundary set). Documents shorter than `width` form one
-    * chunk. Scale shape: one explode over char positions (linear), one
+    * chunk; EMPTY (or null-text) documents have no chunks and produce
+    * no output row — callers auditing coverage left-join this result
+    * back to the corpus. Scale shape: one explode over char positions (linear), one
     * shuffle on the 16-byte chunk hash, one per-doc window over cut
     * positions. */
   def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,

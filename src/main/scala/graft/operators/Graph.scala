@@ -253,19 +253,28 @@ object Graph {
     * literature). Initial mass: `MassScale DIV |seeds|` on each seed,
     * 0 elsewhere; per round each node receives its damped in-neighbor
     * contributions and seeds additionally receive
-    * `teleport DIV |seeds|`. Same exact 64-bit floor-division algebra,
+    * `teleport DIV |seeds|` (|seeds| counts DISTINCT seeds; a seed id
+    * absent from the edge list forfeits its share — there is no node
+    * row for it to land on). Same exact 64-bit floor-division algebra,
     * same per-round shuffle shape and localCheckpoint rule as
     * [[pageRank]]; the seed membership test is a broadcast-free literal
     * IN over the (small, caller-chosen) seed list. */
   def personalizedPageRank(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: Seq[Long], iters: Int,
       dampingPct: Int = 85): DataFrame = {
-    require(seeds.nonEmpty, "need at least one seed node")
+    // dedupe defensively: a repeated seed would shrink the per-seed
+    // share (mass divides by the LIST length) while isin() ignores the
+    // repeat — total teleport mass would silently fall below MassScale.
+    // A seed absent from the edge list still forfeits its share (it has
+    // no node row to land on) — that is the documented contract; the
+    // distinct only repairs the self-inconsistent split.
+    val sd = seeds.distinct
+    require(sd.nonEmpty, "need at least one seed node")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be 0..100, got $dampingPct")
-    val seedInit = MassScale / seeds.length
-    val seedTele = MassScale / 100 * (100 - dampingPct) / seeds.length
+    val seedInit = MassScale / sd.length
+    val seedTele = MassScale / 100 * (100 - dampingPct) / sd.length
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
@@ -273,7 +282,7 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    def isSeed = col("node").isin(seeds: _*)
+    def isSeed = col("node").isin(sd: _*)
     var rank = nodes
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
@@ -631,7 +640,11 @@ object Graph {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // min over an empty (or all-null-src) edge list is NULL — without
+    // the filter that emitted a phantom (null, 0) row instead of the
+    // empty result an empty graph should produce
     var dist = e.agg(min(col("src")).as("node"))
+      .filter(col("node").isNotNull)
       .withColumn("dist", lit(0)).localCheckpoint()
     var frontier = dist.select(col("node"))
     var h = 1
@@ -676,9 +689,13 @@ object Graph {
       rightCol: String, maxDeg: Int, topN: Int): DataFrame = {
     val adj = pairs.select(col(leftCol).as("l"), col(rightCol).as("r"))
       .distinct()
+    // unhinted semi-join: `keep` is the ANTI-hub set — nearly every left
+    // node on a real graph — so its size scales with the graph and a
+    // forced broadcast() OOMs at exactly the scale the cap exists for;
+    // AQE still broadcasts it at runtime whenever it is actually small
     val keep = adj.groupBy(col("l")).agg(count(lit(1)).as("dl"))
       .filter(col("dl") <= maxDeg).select(col("l"))
-    val capped = adj.join(broadcast(keep), "l")
+    val capped = adj.join(keep, Seq("l"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = capped.groupBy(col("r")).agg(count(lit(1)).as("deg"))
     val common = capped.select(col("l"), col("r").as("ra"))

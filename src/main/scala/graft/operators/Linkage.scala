@@ -33,9 +33,14 @@ object Linkage {
     * Scale shape: one shuffle on the block key (the join), per-block
     * fan-out capped at `maxBlock`, similarity computed post-cap only.
     */
-  def blockedPairs(df: DataFrame, idCol: String, nameCol: String,
-      blockExpr: Column, minSim: Double = 0.9, maxBlock: Int = 64)
-      : DataFrame = {
+  /** THE single definition of the candidate generation + scoring
+    * stage — blocking, `maxBlock` representative cap, pair
+    * canonicalization, 6-dp Jaro–Winkler — consumed by both
+    * [[blockedPairs]] and [[blockReport]], so a change to the blocking
+    * or cap semantics cannot drift the pair list and its rollup apart
+    * (the [[Dedup]] `bandRowsOf` convention). */
+  private def scoredPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockExpr: Column, maxBlock: Int): DataFrame = {
     val base = df.select(col(idCol).as("__id"), col(nameCol).as("__nm"),
       blockExpr.as("block"))
     val reps = base.withColumn("__r", row_number().over(
@@ -43,7 +48,7 @@ object Linkage {
       .filter(col("__r") <= maxBlock).drop("__r")
       .select(col("block"), col("__id").as("__ida"),
         col("__nm").as("__nma"))
-    val pairs = reps.join(base, "block")
+    reps.join(base, "block")
       .filter(col("__ida") =!= col("__id"))
       .select(col("block"),
         least(col("__ida"), col("__id")).as("id_a"),
@@ -53,11 +58,15 @@ object Linkage {
         when(col("__ida") < col("__id"), col("__nm"))
           .otherwise(col("__nma")).as("name_b"))
       .distinct()
-    pairs
       .withColumn("jw",
         round(JaroWinkler.jaroWinkler(col("name_a"), col("name_b")), 6))
-      .filter(col("jw") >= minSim)
   }
+
+  def blockedPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockExpr: Column, minSim: Double = 0.9, maxBlock: Int = 64)
+      : DataFrame =
+    scoredPairs(df, idCol, nameCol, blockExpr, maxBlock)
+      .filter(col("jw") >= minSim)
 
   /** Per-block linkage report over [[blockedPairs]]: candidate count,
     * match count at `minSim`, and the exact mean score (6-dp decimal
@@ -67,25 +76,7 @@ object Linkage {
   def blockReport(df: DataFrame, idCol: String, nameCol: String,
       blockExpr: Column, minSim: Double = 0.9, maxBlock: Int = 64)
       : DataFrame = {
-    val base = df.select(col(idCol).as("__id"), col(nameCol).as("__nm"),
-      blockExpr.as("block"))
-    val reps = base.withColumn("__r", row_number().over(
-        Window.partitionBy(col("block")).orderBy(col("__id"))))
-      .filter(col("__r") <= maxBlock).drop("__r")
-      .select(col("block"), col("__id").as("__ida"),
-        col("__nm").as("__nma"))
-    val scored = reps.join(base, "block")
-      .filter(col("__ida") =!= col("__id"))
-      .select(col("block"),
-        least(col("__ida"), col("__id")).as("id_a"),
-        greatest(col("__ida"), col("__id")).as("id_b"),
-        when(col("__ida") < col("__id"), col("__nma"))
-          .otherwise(col("__nm")).as("name_a"),
-        when(col("__ida") < col("__id"), col("__nm"))
-          .otherwise(col("__nma")).as("name_b"))
-      .distinct()
-      .withColumn("jw",
-        round(JaroWinkler.jaroWinkler(col("name_a"), col("name_b")), 6))
+    val scored = scoredPairs(df, idCol, nameCol, blockExpr, maxBlock)
     scored.groupBy(col("block"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("jw") >= minSim, 1L).otherwise(0L)).as("n_match"),

@@ -63,11 +63,16 @@ object Multimodal {
     in.mapPartitions { rows =>
       decoder.open()
       val digest = java.security.MessageDigest.getInstance("MD5")
-      rows.map { case (id, bytes) =>
-        val (fmt, w, h) = decoder.decode(bytes)
-        digest.reset()
-        val sum = digest.digest(bytes).map("%02x".format(_)).mkString
-        MediaMeta(id, bytes.length, fmt, w, h, sum)
+      rows.map {
+        // a null blob (unfetched/corrupt row) yields a null-metadata row
+        // instead of an NPE killing the task — the E1 row-error
+        // absorption convention ([[Enrich.enrich]])
+        case (id, null) => MediaMeta(id, 0, null, 0, 0, null)
+        case (id, bytes) =>
+          val (fmt, w, h) = decoder.decode(bytes)
+          digest.reset()
+          val sum = digest.digest(bytes).map("%02x".format(_)).mkString
+          MediaMeta(id, bytes.length, fmt, w, h, sum)
       }
     }
   }
@@ -87,8 +92,11 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, bytes) =>
-          val hist = new Array[Float](dim)
+        rows.map {
+          // null blob → null features (E1 absorption, as [[decodeMeta]])
+          case (id, null) => MediaFeatures(id, null)
+          case (id, bytes) =>
+            val hist = new Array[Float](dim)
           var i = 0
           while (i < bytes.length) {
             hist((bytes(i) & 0xff) % dim) += 1f; i += 1

@@ -250,17 +250,35 @@ object EquiDepth {
   * key-size distribution. All counts exact; Gini uses the closed form
   * Σ(2i − n − 1)·x_(i) / (n·Σx) over rank-ordered counts — exact
   * integer numerator (DECIMAL(38,0) once keys×rows outgrow 64 bits),
-  * one rounded division. The rank window runs over the KEY table
-  * (|keys| rows, not data rows). */
+  * one rounded division. The rank runs over the KEY table (|keys|
+  * rows, not data rows) — and it is the DISTRIBUTED rank (range
+  * partition on the full sort key, per-partition row_number, partition
+  * offsets added back), never a single-partition global window: the
+  * key table of a 100 TB join is itself easily 10⁹ rows, exactly the
+  * corpus-wide-sort shape the rocAuc reshape removed. */
 object SkewReport {
   import org.apache.spark.sql.expressions.Window
 
   def keySkew(df: DataFrame, keyCol: String): DataFrame = {
     val cnt = df.groupBy(col(keyCol).as("k"))
       .agg(count(lit(1)).as("c"))
-    // rank ties broken by key so the Gini fold is deterministic
-    val w = Window.orderBy(col("c").asc, col("k").asc)
-    val ranked = cnt.withColumn("i", row_number().over(w).cast("long"))
+    // rank ties broken by key so the Gini fold is deterministic; the
+    // (c, k) sort key is unique, so range-sampling boundaries cannot
+    // split ties and the distributed ranks are exact
+    val nParts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val ranged = cnt.repartitionByRange(nParts, col("c").asc, col("k").asc)
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offs = ranged.groupBy(col("pid")).agg(count(lit(1)).as("np"))
+      .withColumn("off", coalesce(sum(col("np")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("off"))
+    val ranked = ranged.join(broadcast(offs), Seq("pid"))
+      .withColumn("i", (col("off") + row_number().over(
+        Window.partitionBy(col("pid"))
+          .orderBy(col("c").asc, col("k").asc))).cast("long"))
     val nRow = cnt.agg(count(lit(1)).as("n_keys"),
       sum(col("c")).as("n_rows"), max(col("c")).as("max_cnt"))
     ranked.crossJoin(broadcast(nRow))
@@ -299,7 +317,13 @@ object SkewReport {
   * Order statistics are raw data values, so the result is EXACT — the
   * registry holds this form to the SAME quantile_cont oracle as the
   * buffering form (the rewrite must change no values). Output: long
-  * form `(key, p, q)` per requested p. */
+  * form `(key, p, q)` per requested p.
+  *
+  * Key-domain contract: the per-key stats table rides a broadcast into
+  * the bucketing pass, so the KEY domain must be far smaller than the
+  * row count (the rollup setting, as [[Sketches.hllDistinctBy]]). For
+  * high-cardinality keys the right tool is a per-key sort within a
+  * key-partitioned shuffle, not this operator. */
 object Quantiles {
   import org.apache.spark.sql.expressions.Window
 

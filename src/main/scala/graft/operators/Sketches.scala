@@ -294,7 +294,13 @@ object Sketches {
   def kmvDistinct(df: DataFrame, valueCol: String, k: Int = 64)
       : DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
+    // null values are dropped BEFORE the k-smallest cut (the
+    // count-distinct convention: NULL is not a value) — also an engine-
+    // parity necessity: Spark's ASC sort puts the null hash FIRST,
+    // DuckDB's puts it LAST, so an unfiltered null would poison the two
+    // engines' k-min sets differently
     val top = df.select(md5(col(valueCol).cast("string")).as("h"))
+      .filter(col("h").isNotNull)
       .distinct().orderBy(col("h")).limit(k)
     top.agg(count(lit(1)).as("n_k"), max(col("h")).as("kth_hash"))
       .select(col("n_k"), col("kth_hash"),
@@ -314,6 +320,7 @@ object Sketches {
     import org.apache.spark.sql.expressions.Window
     val hashes = df.select(col(keyCol).as("__k"),
         md5(col(valueCol).cast("string")).as("h"))
+      .filter(col("h").isNotNull) // see kmvDistinct: NULL is not a value
       .distinct()
     val w = Window.partitionBy(col("__k")).orderBy(col("h"))
     hashes.withColumn("rn", row_number().over(w))
@@ -339,6 +346,7 @@ object Sketches {
     require(k >= 2, s"k must be >= 2, got $k")
     val tops = parts.map { df =>
       df.select(md5(col(valueCol).cast("string")).as("h"))
+        .filter(col("h").isNotNull) // see kmvDistinct
         .distinct().orderBy(col("h")).limit(k)
     }
     val top = tops.reduce(_ unionByName _).distinct()
@@ -366,6 +374,7 @@ object Sketches {
     require(k >= 2, s"k must be >= 2, got $k")
     def top(df: DataFrame, c: String): DataFrame =
       df.select(md5(col(c).cast("string")).as("h"))
+        .filter(col("h").isNotNull) // see kmvDistinct
         .distinct().orderBy(col("h")).limit(k)
     val ta = top(dfA, colA).withColumn("in_a", lit(1))
     val tb = top(dfB, colB).withColumn("in_b", lit(1))

@@ -231,7 +231,12 @@ object EventStream {
               out += FunnelReach(userId, i + 1, t)
             }
           }
-          state.update(FunnelState(reached))
+          // store state only for users who have actually entered the
+          // funnel — otherwise every user who ever emits ANY event pins
+          // n_stages longs of state forever, and the state store scales
+          // with the full key domain instead of funnel participants
+          if (state.exists || reached.exists(_ != Long.MinValue))
+            state.update(FunnelState(reached))
           out.iterator
       }
   }

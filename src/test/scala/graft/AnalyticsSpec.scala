@@ -203,6 +203,26 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
     assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
   }
 
+  test("bfsHops: empty edge list yields an empty result, not a " +
+      "phantom (null, 0) source row") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(operators.Graph.bfsHops(empty, "src", "dst", maxHops = 2)
+      .count() == 0L)
+  }
+
+  test("personalized pageRank: a duplicated seed list splits mass " +
+      "like the distinct list (no silent mass loss)") {
+    val chain = (1L to 4L).map(i => (i, i + 1))
+    val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    val once = operators.Graph.personalizedPageRank(edges, "src", "dst",
+      seeds = Seq(1L), iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val duped = operators.Graph.personalizedPageRank(edges, "src", "dst",
+      seeds = Seq(1L, 1L, 1L), iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(duped == once, s"dup seeds must not shrink mass: $duped vs $once")
+  }
+
   test("matryoshkaRecall: full-prefix truncation has recall 1, a " +
       "zeroed-out prefix does not beat it") {
     val vecs = spark.read

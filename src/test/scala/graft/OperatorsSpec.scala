@@ -607,6 +607,31 @@ class DedupSpec extends AnyFunSuite with SparkTester {
     assert(ex.getMessage.contains("must be numeric"))
   }
 
+  test("pair generators fail fast at threshold <= 0 (shared-element " +
+      "enumeration cannot see disjoint pairs); survivorByQuality argmax " +
+      "survives Long.MinValue scores under ANSI") {
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3,
+        threshold = 0.0)
+    }
+    assert(ex.getMessage.contains("threshold must be > 0"))
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = -0.1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.0)
+    }
+    // a Long.MinValue score would abort the whole query under ANSI if
+    // the argmax key negated the native long; the double-keyed struct
+    // is total and still picks the higher score
+    val d2 = Seq((1L, "a"), (2L, "bb")).toDF("doc_id", "text")
+    val cl = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val out = Dedup.survivorByQuality(d2, "doc_id", cl,
+        when(col("doc_id") === 1L, lit(Long.MinValue)).otherwise(lit(0L)))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> false, 2L -> true), s"$out")
+  }
+
   test("char-level exact-substring: catches the duplicated run the " +
       "token-k grid misses (few long tokens), cuts it at char precision") {
     // the shared 46-char run spans only THREE tokens — invisible to the

@@ -87,6 +87,23 @@ class MultimodalSpec extends AnyFunSuite with SparkTester {
     assert(r(2L).checksum_hex.length == 32)
   }
 
+  test("decodeMeta / extractFeatures: a null blob yields a null row, " +
+      "not a task-killing NPE (E1 absorption)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val withNull = df.withColumn("payload",
+      when(col("doc_id") === 1L, lit(null).cast("binary"))
+        .otherwise(col("payload")))
+    val meta = Multimodal.decodeMeta(withNull, "doc_id", "payload",
+      new Multimodal.StubDecoder).collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).n_bytes == 0 && meta(1L).format == null &&
+      meta(1L).checksum_hex == null)
+    assert(meta(2L).format == "fake/img") // others unaffected
+    val feats = Multimodal.extractFeatures(withNull, "doc_id", "payload",
+      dim = 8).collect().map(m => m.doc_id -> m.features).toMap
+    assert(feats(1L) == null)
+    assert(feats(2L).length == 8)
+  }
+
   test("extractFeatures: normalized histogram features via mapPartitions") {
     val r = Multimodal.extractFeatures(df, "doc_id", "payload", dim = 8)
       .collect().map(m => m.doc_id -> m.features).toMap
