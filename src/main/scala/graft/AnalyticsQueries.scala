@@ -1413,8 +1413,13 @@ object AnalyticsQueries {
           .select(explode(graft.functions.Cleaning.tokens(
             lower(col("text")))).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        val ranked = wc.withColumn("rk", row_number().over(
-          Window.orderBy(col("c").desc, col("w").asc)))
+        // only the top max(k)=1000 words can satisfy rk <= k, so take
+        // them with TakeOrdered (per-partition top-k, driver merge) and
+        // rank the 1000 survivors — the former corpus-vocabulary-wide
+        // row_number() was a single-partition sort of the whole vocab
+        val ranked = wc.orderBy(col("c").desc, col("w").asc).limit(1000)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("c").desc, col("w").asc)))
         val tot = wc.agg(sum(col("c")).as("n_tok"),
           count(lit(1)).as("n_types"))
         val ks = Sources.table(s, dir, "documents").sparkSession
@@ -1510,16 +1515,18 @@ object AnalyticsQueries {
     // ---- Lorenz curve of order revenue: decile table (equal-count
     // buckets by price, id tie-broken) with exact decimal sums and
     // cumulative share — revenue-concentration reading; the Gini is
-    // one fold over this table ----
+    // one fold over this table. Deciles come from the DISTRIBUTED
+    // ntile (Ranks.withGlobalNtile — range-partitioned rank + the
+    // exact n%k tile formula), NOT a global ntile() window, which
+    // single-partition-sorts the whole fact table ----
     Q("numeric_lorenz",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val o = Sources.table(s, dir, "orders")
           .select(col("o_orderkey"),
             col("o_totalprice").cast("decimal(18,6)").as("v"))
-        val ranked = o.withColumn("decile",
-          ntile(10).over(Window.orderBy(col("v").asc,
-            col("o_orderkey").asc)))
+        val ranked = graft.operators.Ranks.withGlobalNtile(o,
+          Seq(col("v").asc, col("o_orderkey").asc), 10, "decile")
         val tot = ranked.agg(sum(col("v")).as("tv"))
         val byD = ranked.groupBy(col("decile"))
           .agg(count(lit(1)).as("n"),

@@ -242,6 +242,70 @@ object EquiDepth {
   }
 }
 
+/** Distributed global ranking — THE shared rewrite of
+  * `row_number() OVER (ORDER BY ...)`: range-partition on the full
+  * sort key, per-partition row_number, add the running offset of the
+  * earlier ranges (a ≤shuffle-partitions-row broadcast). Exact ranks
+  * REQUIRE a unique sort key (pass a tie-break column) — range
+  * boundaries may split equal keys across partitions. One definition
+  * consumed by [[SkewReport.keySkew]] and the registry's decile/rank
+  * rows, the same pattern [[graft.operators.Dedup
+  * .exactSubstringMaximalSpans]] inlines — a single-partition global
+  * window is the one shape that can never survive 100 TB. */
+object Ranks {
+  import org.apache.spark.sql.expressions.Window
+
+  /** `df` + `out` = 1-based global rank under `sortCols` order. The
+    * range exchange is persisted (two consumers: offsets + the rank
+    * join); callers chaining further aggregates read it once more. */
+  def withGlobalRowNumber(df: DataFrame, sortCols: Seq[Column],
+      out: String = "rn"): DataFrame = {
+    require(sortCols.nonEmpty, "need at least one sort column")
+    val nParts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(nParts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offs = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__np"))
+      .withColumn("__off", coalesce(sum(col("__np")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    ranged.join(broadcast(offs), Seq("__pid"))
+      .withColumn(out, (col("__off") + row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(sortCols: _*)))
+        .cast("long"))
+      .drop("__pid", "__off")
+  }
+
+  /** Exact `ntile(k) OVER (ORDER BY sortCols)` on the distributed
+    * rank: the first `n % k` tiles carry `n/k + 1` rows (the SQL
+    * ntile contract, identical in Spark and DuckDB). `total` is the
+    * row count of `df` (one tiny aggregate the caller usually already
+    * has). */
+  def withGlobalNtile(df: DataFrame, sortCols: Seq[Column], k: Int,
+      out: String = "tile"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ranked = withGlobalRowNumber(df, sortCols, "__rn")
+    val tot = df.agg(count(lit(1)).as("__n"))
+    // integral DIV throughout (Column./ is double division); the ELSE
+    // branch's divisor __n DIV k is 0 only when n < k, where every row
+    // satisfies the WHEN branch — CASE evaluates lazily, so the dead
+    // branch never divides
+    ranked.crossJoin(broadcast(tot))
+      .withColumn(out, expr(
+        s"""CAST(CASE
+            WHEN __rn <= (__n DIV $k + 1) * (__n % $k)
+              THEN (__rn - 1) DIV (__n DIV $k + 1) + 1
+            ELSE __n % $k +
+              (__rn - 1 - (__n DIV $k + 1) * (__n % $k))
+                DIV (__n DIV $k) + 1
+            END AS INT)"""))
+      .drop("__rn", "__n")
+  }
+}
+
 /** JOIN-KEY SKEW REPORT — the diagnostic run before committing a
   * 100 TB shuffle: per-key row counts reduced to the numbers that
   * decide between a plain join, a broadcast, and a salted join
@@ -265,20 +329,8 @@ object SkewReport {
     // rank ties broken by key so the Gini fold is deterministic; the
     // (c, k) sort key is unique, so range-sampling boundaries cannot
     // split ties and the distributed ranks are exact
-    val nParts = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions").toInt
-    val ranged = cnt.repartitionByRange(nParts, col("c").asc, col("k").asc)
-      .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val offs = ranged.groupBy(col("pid")).agg(count(lit(1)).as("np"))
-      .withColumn("off", coalesce(sum(col("np")).over(
-        Window.orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("pid"), col("off"))
-    val ranked = ranged.join(broadcast(offs), Seq("pid"))
-      .withColumn("i", (col("off") + row_number().over(
-        Window.partitionBy(col("pid"))
-          .orderBy(col("c").asc, col("k").asc))).cast("long"))
+    val ranked = Ranks.withGlobalRowNumber(cnt,
+      Seq(col("c").asc, col("k").asc), "i")
     val nRow = cnt.agg(count(lit(1)).as("n_keys"),
       sum(col("c")).as("n_rows"), max(col("c")).as("max_cnt"))
     ranked.crossJoin(broadcast(nRow))

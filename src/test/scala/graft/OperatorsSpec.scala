@@ -1009,6 +1009,33 @@ class ProfilerSpec extends AnyFunSuite with SparkTester {
     assert(p.isNullAt(4) && p.isNullAt(5))
   }
 
+  test("Ranks: distributed row_number and ntile equal the global-window " +
+      "forms on uneven n % k, n < k, and shuffled input") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, ntile, row_number}
+    import graft.operators.Ranks
+    // 23 rows, k = 4 (rem 3), values with ties broken by id
+    val rows = (1L to 23L).map(i => (i, (i * 7 % 5).toDouble))
+    val df = rows.toDF("id", "v").repartition(5)
+    val sort = Seq(col("v").asc, col("id").asc)
+    val w = Window.orderBy(sort: _*)
+    val wantRn = df.withColumn("rn", row_number().over(w))
+      .collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    val gotRn = Ranks.withGlobalRowNumber(df, sort)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gotRn == wantRn)
+    val wantT = df.withColumn("t", ntile(4).over(w))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val gotT = Ranks.withGlobalNtile(df, sort, 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(gotT == wantT)
+    // n < k: every row is its own tile
+    val tiny = Seq((1L, 1.0), (2L, 0.5)).toDF("id", "v")
+    val gotTiny = Ranks.withGlobalNtile(tiny, sort, 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(gotTiny == Map(2L -> 1, 1L -> 2))
+  }
+
   test("expectations: row rules, uniqueness, and referential integrity " +
       "count violations exactly") {
     val fact = Seq((1L, 5, Some(2L)), (1L, 5, Some(2L)), (2L, -1, Some(3L)),
