@@ -544,6 +544,35 @@ object ScaleBench {
         .count()
     }
 
+    // distributed global decile (the numeric_lorenz shape) at factor×
+    // fact rows, vs the single-partition ntile() window counterfactual
+    // — the pair that prices the r9 Ranks reshape the way scc vs
+    // scc_coloring prices the SCC gate. Same output by construction
+    // (ProfilerSpec pins it); only the topology differs.
+    if (runExt && (want("ranks") || want("ranks_window"))) {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val reps = spark.range(0, factor).toDF("rep")
+      val fact = orders.crossJoin(reps)
+        .select((col("o_orderkey") * factor + col("rep")).as("id"),
+          (col("o_totalprice") +
+            col("rep").cast("double") / 1000).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fact.count() // materialize outside the timed sections
+      if (want("ranks")) timed("ranks") {
+        graft.operators.Ranks.withGlobalNtile(fact,
+            Seq(col("v").asc, col("id").asc), 10, "decile")
+          .groupBy(col("decile")).agg(count(lit(1)).as("n")).count()
+      }
+      if (want("ranks_window")) timed("ranks_window") {
+        import org.apache.spark.sql.expressions.Window
+        fact.select(col("id"), ntile(10).over(
+            Window.orderBy(col("v").asc, col("id").asc)).as("decile"))
+          .groupBy(col("decile")).agg(count(lit(1)).as("n")).count()
+      }
+      fact.unpersist()
+    }
+
     val times = t.map { case (k, v) =>
       "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.US, v)
     }.mkString("{", ",", "}")
