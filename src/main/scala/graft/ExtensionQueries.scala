@@ -2818,10 +2818,15 @@ object TextQueries {
         GROUP BY t""")),
 
     // collocation extraction: PMI of ordered word pairs within a
-    // ±2-token window (the classic "strong collocations" statistic —
-    // n-gram-order-aware, unlike document co-occurrence), support ≥ 5,
-    // global top-20 with full tie-breaks. Fan-out is a fixed ×2 of the
-    // token table; PMI from exact counts, one rounded ln per pair
+    // forward 2-token window (the classic "strong collocations"
+    // statistic — n-gram-order-aware, unlike document co-occurrence),
+    // support ≥ 5, global top-20 with full tie-breaks. The pair stage
+    // is an EQUI-join on the shifted position (each token emits its
+    // i+1 and i+2 probes), so fan-out is an exact ×2 of the token
+    // table — the doc_id-only join with the window as a residual
+    // predicate evaluates T² candidate pairs per document, a
+    // doc-length-quadratic term that long documents turn into the
+    // whole cost. PMI from exact counts, one rounded ln per pair
     Q("text_collocations",
       (s, dir) => {
         val toks = Sources.table(s, dir, "documents")
@@ -2832,9 +2837,10 @@ object TextQueries {
         val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
         val b = toks.select(col("doc_id"), col("i").as("j"),
           col("w").as("wb"))
-        val pairs = toks.join(b, Seq("doc_id"))
-          .filter(col("j") > col("i") && col("j") <= col("i") + 2)
-          .groupBy(col("w").as("wa"), col("wb"))
+        val probes = toks.select(col("doc_id"), col("w").as("wa"),
+          explode(array(col("i") + 1, col("i") + 2)).as("j"))
+        val pairs = probes.join(b, Seq("doc_id", "j"))
+          .groupBy(col("wa"), col("wb"))
           .agg(count(lit(1)).as("n_pair"))
           .filter(col("n_pair") >= 5)
         val nPairsTot = pairs.agg(sum(col("n_pair")).as("n_all"))

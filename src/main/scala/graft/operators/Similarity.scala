@@ -660,25 +660,33 @@ object Similarity {
     cent
   }
 
-  /** THE Lloyd's round loop shared by all three trainers — persist the
+  /** THE Lloyd's round loop shared by all three trainers — persist each
     * round's centroid table (broadcast into the assignment join AND the
     * base of the next round), assign via the caller's strategy, exact-
-    * decimal re-average, then materialize the new table and UNPERSIST
-    * the previous round's (dead after the hand-off; leaving every
-    * round's table registered would bloat the block manager across an
-    * ivfKSelect sweep). One definition of the re-averaging algebra so
-    * the flat/hier/tree forms cannot drift. */
+    * decimal re-average. One definition of the re-averaging algebra so
+    * the flat/hier/tree forms cannot drift. Persists chain LAZILY —
+    * see the in-loop comment for why the eager count()+unpersist form
+    * was reverted. */
   private def lloydsRounds(corpus: DataFrame, vecCol: String,
       init: DataFrame, iters: Int)(
       assign: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     if (iters <= 0) return init
     var cent = init
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (_ <- 0 until iters) {
+      // LAZY chained persists deliberately — each round's table caches
+      // as a side effect of the CONSUMER's first evaluation, in one
+      // job. The eager per-round count()+unpersist discipline tried in
+      // r9 measured ~2.8x slower across the trained-quantizer family
+      // (isolated A/B, NOTES): every round became its own multi-stage
+      // job while the memory it freed was k centroid rows (~KB). Leak
+      // budget: <= iters tiny tables per training, bounded by the
+      // sweep's step list.
+      cent = cent.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val assigned = assign(
         corpus.select(col("vec_id"), col(vecCol)),
         cent.select(col("cent_id").as("vec_id"), col("ce").as(vecCol)))
-      val next = assigned
+      cent = assigned
         .select(col("cell"), posexplode(col("e")).as(Seq("i", "v")))
         .groupBy(col("cell"), col("i"))
         .agg((sum(col("v").cast("decimal(28,10)")).cast("double") /
@@ -687,10 +695,6 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)")
           .as("ce"))
         .select(col("cell").as("cent_id"), col("ce"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize BEFORE releasing the table it reads
-      cent.unpersist()
-      cent = next
     }
     cent
   }
