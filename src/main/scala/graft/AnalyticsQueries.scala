@@ -1793,7 +1793,8 @@ object AnalyticsQueries {
         val horizon = uw.agg(max(col("week")).as("maxw"))
         val prev = uw.select(col("user_id"),
           (col("week") + 1).as("week"), lit(1).as("__p"))
-        val states = uw.join(broadcast(first), "user_id")
+        // unhinted: first-week table is one row PER USER (AQE decides)
+        val states = uw.join(first, "user_id")
           .join(prev, Seq("user_id", "week"), "left")
           .select(col("week"),
             when(col("week") === col("fw"), "new")

@@ -393,7 +393,9 @@ object DedupQueries {
         val toks = docs.select(col("doc_id"),
           size(graft.functions.Cleaning.tokens(col("text")))
             .cast("long").as("n_tokens"))
-        cc.join(broadcast(sz), "cluster_id").join(toks, "doc_id")
+        // unhinted: the per-cluster size table scales with the corpus
+        // (AQE broadcasts it while small)
+        cc.join(sz, "cluster_id").join(toks, "doc_id")
           .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
             round(lit(1.0) / col("cluster_size"), 6).as("weight"),
             round(col("n_tokens").cast("double") / col("cluster_size"),
@@ -5923,9 +5925,13 @@ object GraphQueries {
         val edges = a.join(b, Seq("o2", "ln"))
           .filter(col("sa") =!= col("sb"))
           .select(col("sa").as("src"), col("sb").as("dst")).distinct()
-        val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-          .filter(col("d") <= 64).select(col("src"))
-        val capped = edges.join(broadcast(keep), "src")
+        // cap residual hubs by ANTI-joining the (bounded-small) hub
+        // set rather than inner-joining the keep set — the keep set is
+        // "almost every node" and scales with the graph, the same
+        // forced-broadcast trap the linkPrediction fix removed
+        val hubs = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .filter(col("d") > 64).select(col("src"))
+        val capped = edges.join(hubs, Seq("src"), "left_anti")
           .localCheckpoint()
         val one = capped.select(col("src").as("v"), col("dst").as("n1"))
         val two = one

@@ -130,8 +130,11 @@ object Curation {
 
   /** [[quotaPerKey]] for pathological key skew — identical output, but
     * only OVER-QUOTA keys pass through the rank window: the count
-    * pre-aggregate (map-side combined, tiny result) splits the corpus
-    * with two broadcast semi/anti-joins, and under-quota keys — the
+    * pre-aggregate (map-side combined) splits the corpus with two
+    * UNHINTED semi/anti-joins (AQE broadcasts the over-quota set when
+    * it is small; a small quota over a broad key domain can put MOST
+    * keys over quota, so forcing the hint would OOM exactly there),
+    * and under-quota keys — the
     * overwhelming majority of a Zipfian key distribution — bypass the
     * window's shuffle-and-sort entirely. At 100 TB with one domain
     * holding half the corpus, the window input shrinks from the whole
@@ -141,8 +144,8 @@ object Curation {
       : DataFrame = {
     val over = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
       .filter(col("__c") > n).select(col(keyCol))
-    val cold = df.join(broadcast(over), Seq(keyCol), "left_anti")
-    val hot = df.join(broadcast(over), Seq(keyCol), "left_semi")
+    val cold = df.join(over, Seq(keyCol), "left_anti")
+    val hot = df.join(over, Seq(keyCol), "left_semi")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(hashBucket(col(idCol), 1 << 30), col(idCol))
     cold.unionByName(
@@ -409,9 +412,12 @@ object Curation {
     * documents survive on every rerun and the sample nests as alpha
     * rises. Returns the surviving rows.
     *
-    * Scale shape: one map-side-combinable count per domain (a tiny
-    * table), rates broadcast back, then the draw is a pure filter — the
-    * corpus streams through twice with no wide shuffle anywhere. */
+    * Scale shape: one map-side-combinable count per domain, the rates
+    * joined back UNHINTED (the per-domain table scales with domain
+    * cardinality — ~1e8 registrable domains on a web corpus — so AQE
+    * decides; it still broadcasts when the table is actually small),
+    * then the draw is a pure filter — the corpus streams through twice
+    * with no wide shuffle anywhere. */
   def sampleTemperature(df: DataFrame, idCol: String, domainCol: String,
       alpha: Double): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be 0..1, got $alpha")
@@ -420,7 +426,7 @@ object Curation {
     val rates = counts.crossJoin(broadcast(nMin)).select(col(domainCol),
       round(pow(col("__nmin").cast("double") / col("__n").cast("double"),
         1.0 - alpha) * 1e6, 0).cast("long").as("__thr"))
-    df.join(broadcast(rates), Seq(domainCol))
+    df.join(rates, Seq(domainCol))
       .filter(hashBucket(col(idCol), 1000000) < col("__thr"))
       .drop("__thr")
   }
@@ -986,7 +992,10 @@ object Curation {
       .groupBy(col("_h")).agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= minDocs)
       .select(col("_h"))
-    val kept = lines.join(broadcast(hot), Seq("_h"), "left_anti")
+    // UNHINTED anti-join: the hot-line set scales with the corpus (every
+    // nav menu / footer on the web clears minDocs) — AQE broadcasts it
+    // only when it actually fits
+    val kept = lines.join(hot, Seq("_h"), "left_anti")
     val rebuilt = kept.groupBy(col("doc_id")).agg(
       array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("line")))),

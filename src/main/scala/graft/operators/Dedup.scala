@@ -103,7 +103,10 @@ object Dedup {
         val hot = AdaptiveShuffle.adaptiveKeyCount(sh.select("sh"), "sh")
           .withColumnRenamed("c", "df")
           .filter(col("df") > cap).select("sh")
-        sh.join(broadcast(hot), Seq("sh"), "left_anti")
+        // UNHINTED anti-join: the over-cap shingle set grows with the
+        // corpus (more docs push more shingles over any fixed df cap)
+        // — AQE broadcasts it at runtime only while it fits
+        sh.join(hot, Seq("sh"), "left_anti")
       case None => shRaw
     }
 

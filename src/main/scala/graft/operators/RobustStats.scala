@@ -39,8 +39,12 @@ object RobustStats {
         .select(col(keyCol), col("q").as("q_hi")), Seq(keyCol))
     val v = col(valCol).cast("double")
     val clipped = least(greatest(v, col("q_lo")), col("q_hi"))
+    // UNHINTED join: `bounds` is one row PER KEY, so its size scales
+    // with the key domain (~1e9 keys on a 100 TB fact table) — a forced
+    // broadcast is an OOM at exactly that scale. AQE still broadcasts
+    // at runtime when the key table is actually small.
     df.select(col(keyCol), col(valCol))
-      .join(broadcast(bounds), Seq(keyCol))
+      .join(bounds, Seq(keyCol))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
         min(col("q_lo")).as("q_lo"), min(col("q_hi")).as("q_hi"),
@@ -62,18 +66,20 @@ object RobustStats {
     val med = Quantiles.exactQuantilesBucketed(df, keyCol, valCol,
         Seq(0.5))
       .select(col(keyCol), col("q").as("median"))
-    // NOT persisted: the deviation projection is scan+broadcast-join+abs
+    // NOT persisted: the deviation projection is scan+join+abs
     // — measured 6.9 s recomputed vs 8.4 s cached at the pinned bench
     // (caching 600k wide rows costs more than re-deriving them; the
-    // same counter-lesson as the CMS token stream in NOTES)
+    // same counter-lesson as the CMS token stream in NOTES).
+    // UNHINTED joins here and below: the per-key median/MAD tables
+    // scale with the key domain — AQE broadcasts when small.
     val dev = df.select(col(keyCol), col(valCol))
-      .join(broadcast(med), Seq(keyCol))
+      .join(med, Seq(keyCol))
       .withColumn("__dev",
         abs(col(valCol).cast("double") - col("median")))
     val mad = Quantiles.exactQuantilesBucketed(dev, keyCol, "__dev",
         Seq(0.5))
       .select(col(keyCol), col("q").as("mad"))
-    dev.join(broadcast(mad), Seq(keyCol))
+    dev.join(mad, Seq(keyCol))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
         min(col("median")).as("median"), min(col("mad")).as("mad"),
