@@ -72,12 +72,31 @@ class PlanSpec extends AnyFunSuite with SparkTester {
       plan("text_langid_rank"))
   }
 
-  test("curation_quota_large: hot-key split joins are broadcast, and the " +
-      "quota window runs after them") {
-    val p = plan("curation_quota_large")
+  /** AQE-final plan: run the query so AdaptiveSparkPlan finalizes, then
+    * explain — the runtime plan, not the static one. Used for joins
+    * whose small side is deliberately UNHINTED (it scales with the
+    * input, so a forced broadcast would OOM at the target scale): the
+    * pin proves AQE converts them to broadcast while the side is small,
+    * which is the whole bargain of dropping the hint. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+    df.collect()
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("curation_quota_large: the UNHINTED hot-key split joins convert " +
+      "to broadcast under AQE at small scale, and the quota window runs " +
+      "after them") {
+    val p = finalPlan("curation_quota_large")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("numeric_winsorize: the UNHINTED per-key bounds join converts to " +
+      "broadcast under AQE at small scale") {
+    val p = finalPlan("numeric_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("text_bm25: corpus scalars broadcast; term/doc aggregates are " +
