@@ -3235,6 +3235,66 @@ object TextQueries {
           round(CAST(sum(term) AS DOUBLE), 6) AS psi
         FROM terms GROUP BY na, nb""")),
 
+    // confident-learning label-noise estimate (Northcutt et al. 2021):
+    // per-class mean-score thresholds, confident joint 2x2 counts, and
+    // the off-diagonal estimated label-error rate — the "how dirty are
+    // my labels?" audit; the oracle replays training, scoring, the
+    // threshold means, and every cell assignment, so the whole
+    // count matrix hash-checks. Same family parameters as the other
+    // trained-LR audits, so the persisted feature table is shared
+    Q("quality_confident_learning",
+      (s, dir) => QualityModel.confidentLearning(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", dim = 32, iters = 3, lr = 0.05),
+      Some(s"""WITH ${lrCtes(32, 3, 0.05, "d.lang = 'en'")},
+        sF AS (
+          SELECT f.doc_id, sum(CAST(w.w AS DECIMAL(18,6)) * f.c) AS s,
+            sum(f.c) AS n
+          FROM f JOIN w3 w ON f.j = w.j GROUP BY f.doc_id),
+        sc AS (
+          SELECT d.doc_id, (d.lang = 'en')::INTEGER AS y,
+            round(1.0 / (1.0 + exp(-round(b.b +
+              coalesce(32 * CAST(sF.s AS DOUBLE) / sF.n, 0.0), 6))), 6)
+              AS score
+          FROM documents d LEFT JOIN sF ON d.doc_id = sF.doc_id
+          CROSS JOIN b3 b),
+        th AS (
+          SELECT
+            round(sum(CASE WHEN y = 1
+                THEN CAST(score AS DECIMAL(18,6)) END)::DOUBLE /
+              sum(CASE WHEN y = 1 THEN 1 ELSE 0 END), 6) AS t1,
+            round(sum(CASE WHEN y = 0
+                THEN CAST(1.0 - score AS DECIMAL(18,6)) END)::DOUBLE /
+              sum(CASE WHEN y = 0 THEN 1 ELSE 0 END), 6) AS t0
+          FROM sc),
+        cl AS (
+          SELECT y, t1, t0,
+            CASE
+              WHEN score >= t1 AND NOT (1.0 - score >= t0) THEN 1
+              WHEN 1.0 - score >= t0 AND NOT (score >= t1) THEN 0
+              WHEN score >= t1 AND 1.0 - score >= t0
+                THEN CASE WHEN score >= 0.5 THEN 1 ELSE 0 END
+              ELSE NULL END AS yhat
+          FROM sc CROSS JOIN th),
+        agg AS (
+          SELECT min(t1) AS t1, min(t0) AS t0,
+            coalesce(sum(CASE WHEN y = 1 AND yhat = 1 THEN 1 END), 0)
+              ::BIGINT AS n11,
+            coalesce(sum(CASE WHEN y = 1 AND yhat = 0 THEN 1 END), 0)
+              ::BIGINT AS n10,
+            coalesce(sum(CASE WHEN y = 0 AND yhat = 1 THEN 1 END), 0)
+              ::BIGINT AS n01,
+            coalesce(sum(CASE WHEN y = 0 AND yhat = 0 THEN 1 END), 0)
+              ::BIGINT AS n00,
+            coalesce(sum(CASE WHEN yhat IS NULL THEN 1 END), 0)
+              ::BIGINT AS n_unassigned
+          FROM cl)
+        SELECT t1, t0, n11, n10, n01, n00, n_unassigned,
+          CASE WHEN n11 + n10 + n01 + n00 = 0 THEN 0.0
+            ELSE round((n10 + n01)::DOUBLE /
+              (n11 + n10 + n01 + n00), 6) END AS err_rate
+        FROM agg""")),
+
     // precision/recall/F1 sweep at thresholds 0.1..0.9 — the
     // operating-point curve; exact TP/FP/FN counts, one rounded
     // division per metric, F1 over the rounded P and R (on the
@@ -5488,6 +5548,25 @@ object CurationQueries {
           " intl +1 555.123.4567 card 4111-1111-1111-1111 end'"
         s"SELECT doc_id, ${ddbScrub(seeded)} AS clean FROM documents"
       }),
+
+    // k-anonymity / l-diversity audit over the corpus quasi-identifiers
+    // (lang, source, 100-char size bucket), sensitive attribute = the
+    // document's first token — the re-identification-risk report before
+    // a metadata-rich corpus ships; every equivalence-class size and
+    // distinct-sensitive count hash-checks
+    Q("privacy_k_anonymity",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+          .withColumn("size_bucket", expr("n_chars div 100"))
+        Curation.kAnonymityAudit(docs,
+          Seq("lang", "source", "size_bucket"),
+          element_at(split(col("text"), " "), 1), k = 5, l = 3)
+      },
+      Some("""SELECT lang, source, n_chars // 100 AS size_bucket,
+          count(*) AS n_docs, count(*) >= 5 AS k_anonymous,
+          count(DISTINCT split_part(text, ' ', 1)) AS n_sensitive,
+          count(DISTINCT split_part(text, ' ', 1)) >= 3 AS l_diverse
+        FROM documents GROUP BY 1, 2, 3""")),
 
     // deterministic ~37% sample — a pure filter, reproducible at any scale
     Q("curation_sample",

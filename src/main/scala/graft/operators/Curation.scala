@@ -1106,4 +1106,36 @@ object Curation {
             (col("n").cast("double") * col("n") -
               col("s").cast("double")), 6)).as("kappa"))
   }
+
+  /** K-ANONYMITY / L-DIVERSITY audit (Sweeney 2002; Machanavajjhala
+    * 2007) over the corpus's quasi-identifier columns — the
+    * re-identification-risk report run BEFORE a labeled or
+    * metadata-rich corpus ships: every row whose quasi-identifier
+    * combination is shared by fewer than `k` documents is potentially
+    * re-identifiable by joining those columns against an external
+    * table, and a group whose `sensitive` values collapse to fewer
+    * than `l` distinct values leaks the sensitive attribute even when
+    * k-anonymous (the homogeneity attack). Output one row per
+    * equivalence class: the QI columns, `n_docs`, `k_anonymous`
+    * (n ≥ k), `n_sensitive` (distinct sensitive values), `l_diverse`
+    * (distinct ≥ l) — the violating classes are the release blocker
+    * list, and `sum(n_docs) WHERE NOT k_anonymous` is the row count a
+    * generalization/suppression pass must treat.
+    *
+    * Scale shape: one groupBy on the QI key (map-side combinable
+    * count; the distinct-count runs as Spark's standard two-phase
+    * expand on the same shuffle) — no second pass, no window, and the
+    * equivalence-class table is ≤ the QI-combination cardinality.
+    * Exact integers throughout — nothing to round. */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String],
+      sensitive: Column, k: Int = 5, l: Int = 3): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2 && l >= 2, s"need k >= 2 and l >= 2, got $k/$l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .select(qiCols.map(col) ++ Seq(
+        col("n_docs"), (col("n_docs") >= k).as("k_anonymous"),
+        col("n_sensitive"), (col("n_sensitive") >= l).as("l_diverse")): _*)
+  }
 }

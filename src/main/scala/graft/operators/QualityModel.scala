@@ -428,6 +428,67 @@ object QualityModel {
           .otherwise(0.0).as("auc"))
   }
 
+  /** CONFIDENT-LEARNING label-noise estimate (Northcutt et al. 2021)
+    * over the trained classifier — the "how dirty are my labels?"
+    * audit run before trusting a labeled slice: per-class confidence
+    * thresholds t₁ = mean score over y=1 docs, t₀ = mean (1−score)
+    * over y=0 docs; a document is CONFIDENTLY class j when its class-j
+    * probability clears t_j (both → argmax, tie at 0.5 → class 1;
+    * neither → unassigned and excluded from the joint). Off-diagonal
+    * mass of the confident joint is the estimated label-error rate —
+    * cells n10/n01 are the documents whose given label the model
+    * confidently contradicts.
+    *
+    * Determinism: thresholds are exact decimal sums of the 6-dp scores
+    * divided once and rounded at 6 dp; every comparison then runs on
+    * identical doubles in both engines. Scale shape: the scorer
+    * streams, then one two-row-aggregate pass (thresholds) and one
+    * counting pass — audit cost is the scorer's cost, output is ONE
+    * row: (t1, t0, n11, n10, n01, n00, n_unassigned, err_rate). */
+  def confidentLearning(df: DataFrame, idCol: String, textCol: String,
+      label: Column, dim: Int = 32, iters: Int = 3, lr: Double = 2.0)
+      : DataFrame = {
+    val scored = trainScoreLogReg(df, idCol, textCol, label, dim, iters,
+      lr)
+    val y = df.select(col(idCol).as("doc_id"), label.cast("int").as("y"))
+    val sc = scored.join(y, Seq("doc_id"))
+      .select(col("y"), col("score"))
+    val th = sc.agg(
+      round(sum(when(col("y") === 1,
+          col("score").cast("decimal(18,6)"))).cast("double") /
+        sum(when(col("y") === 1, 1L).otherwise(0L)), 6).as("t1"),
+      round(sum(when(col("y") === 0,
+          (lit(1.0) - col("score")).cast("decimal(18,6)")))
+          .cast("double") /
+        sum(when(col("y") === 0, 1L).otherwise(0L)), 6).as("t0"))
+    val c1 = col("score") >= col("t1")
+    val c0 = (lit(1.0) - col("score")) >= col("t0")
+    val assigned = sc.crossJoin(broadcast(th))
+      .withColumn("yhat",
+        when(c1 && !c0, 1)
+          .when(c0 && !c1, 0)
+          .when(c1 && c0, when(col("score") >= 0.5, 1).otherwise(0))
+          .otherwise(lit(null).cast("int")))
+    assigned.agg(
+        min(col("t1")).as("t1"), min(col("t0")).as("t0"),
+        sum(when(col("y") === 1 && col("yhat") === 1, 1L)).as("n11"),
+        sum(when(col("y") === 1 && col("yhat") === 0, 1L)).as("n10"),
+        sum(when(col("y") === 0 && col("yhat") === 1, 1L)).as("n01"),
+        sum(when(col("y") === 0 && col("yhat") === 0, 1L)).as("n00"),
+        sum(when(col("yhat").isNull, 1L)).as("n_unassigned"))
+      .select(col("t1"), col("t0"),
+        coalesce(col("n11"), lit(0L)).as("n11"),
+        coalesce(col("n10"), lit(0L)).as("n10"),
+        coalesce(col("n01"), lit(0L)).as("n01"),
+        coalesce(col("n00"), lit(0L)).as("n00"),
+        coalesce(col("n_unassigned"), lit(0L)).as("n_unassigned"))
+      .withColumn("err_rate",
+        when(col("n11") + col("n10") + col("n01") + col("n00") === 0,
+          lit(0.0))
+          .otherwise(round((col("n10") + col("n01")).cast("double") /
+            (col("n11") + col("n10") + col("n01") + col("n00")), 6)))
+  }
+
   /** PRECISION/RECALL sweep of the trained classifier: TP/FP/FN and the
     * derived precision, recall, F1 at thresholds i/(steps+1) for
     * i = 1..steps — the curve that picks the operating threshold (or

@@ -840,4 +840,32 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(h.getDouble(2) == 0.25 && h.getDouble(3) == 0.375, s"$h")
     assert(h.getDouble(4) == -0.2, s"$h")
   }
+
+  test("kAnonymityAudit flags small equivalence classes and " +
+      "sensitive-homogeneous groups independently") {
+    val rows = Seq(
+      // (en, s1): 5 docs, 3 distinct sensitive -> k-anon AND l-diverse
+      (1L, "en", "s1", "x"), (2L, "en", "s1", "y"), (3L, "en", "s1", "z"),
+      (4L, "en", "s1", "x"), (5L, "en", "s1", "y"),
+      // (de, s1): 2 docs -> NOT k-anon; homogeneous -> NOT l-diverse
+      (6L, "de", "s1", "x"), (7L, "de", "s1", "x"),
+      // (en, s2): 6 docs, ONE sensitive value -> k-anon but NOT
+      // l-diverse (the homogeneity attack the l-check exists for)
+      (8L, "en", "s2", "q"), (9L, "en", "s2", "q"), (10L, "en", "s2", "q"),
+      (11L, "en", "s2", "q"), (12L, "en", "s2", "q"), (13L, "en", "s2", "q")
+    ).toDF("doc_id", "lang", "source", "sens")
+    val a = Curation.kAnonymityAudit(rows, Seq("lang", "source"),
+        col("sens"), k = 5, l = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(a.size == 3)
+    val g1 = a(("en", "s1"))
+    assert(g1.getLong(2) == 5 && g1.getBoolean(3) &&
+      g1.getLong(4) == 3 && g1.getBoolean(5), s"$g1")
+    val g2 = a(("de", "s1"))
+    assert(g2.getLong(2) == 2 && !g2.getBoolean(3) &&
+      g2.getLong(4) == 1 && !g2.getBoolean(5), s"$g2")
+    val g3 = a(("en", "s2"))
+    assert(g3.getLong(2) == 6 && g3.getBoolean(3) &&
+      g3.getLong(4) == 1 && !g3.getBoolean(5), s"$g3")
+  }
 }

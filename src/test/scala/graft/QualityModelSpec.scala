@@ -220,4 +220,29 @@ class QualityModelSpec extends AnyFunSuite with SparkTester {
     // a separating model should also read near-perfect AUC
     assert(got.getDouble(2) > 0.95)
   }
+
+  test("confident learning surfaces planted label noise as " +
+      "off-diagonal mass") {
+    // flip 10 of the 100 labels (doc_id % 10 == 3): the model trains
+    // dominantly on the 90 clean labels of a separable corpus, so the
+    // confident prediction tracks the TRUE class and the flipped docs
+    // land in the off-diagonal cells
+    val noisy = corpus.withColumn("label",
+      col("is_en") =!= (pmod(col("doc_id"), lit(10)) === 3))
+    val r = QualityModel.confidentLearning(noisy, "doc_id", "text",
+      col("label"), dim = 32, iters = 3, lr = 2.0).head()
+    val n11 = r.getLong(2); val n10 = r.getLong(3)
+    val n01 = r.getLong(4); val n00 = r.getLong(5)
+    val err = r.getDouble(7)
+    assert(n10 + n01 >= 8,
+      s"flipped docs not surfaced: off-diagonal ${n10 + n01}")
+    assert(n11 + n00 >= 70, s"diagonal collapsed: ${n11 + n00}")
+    assert(err >= 0.06 && err <= 0.2, s"err_rate $err")
+  }
+
+  test("confident learning on clean labels reports near-zero error") {
+    val r = QualityModel.confidentLearning(corpus, "doc_id", "text",
+      col("is_en"), dim = 32, iters = 3, lr = 2.0).head()
+    assert(r.getDouble(7) <= 0.05, s"err_rate ${r.getDouble(7)}")
+  }
 }
