@@ -4370,6 +4370,38 @@ object CurationQueries {
       s"regexp_replace($acc, '$re', '${rep.replace("$1", "\\1")}', 'g')"
     }
 
+  /** PII class name from a [[Curation.piiPatterns]] replacement tag
+    * (`"<EMAIL>"` → `"email"`, `"$1<PHONE>"` → `"phone"`) — one
+    * derivation shared by the Spark column names and the oracle SQL. */
+  private def piiClassName(tag: String): String =
+    tag.filter(_.isLetter).toLowerCase
+
+  /** The seeded-PII corpus shared by `curation_pii` and
+    * `privacy_pii_density`: email/ip/ssn/phone fragments derived from
+    * doc_id plus the card-like number that must never match. Spark and
+    * SQL forms are maintained as a PAIR — any seeding change edits
+    * both. */
+  private def piiSeeded(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com ip 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".77 ssn 123-45-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" ph 555-123-4567 alt (555) 123-4567 bare 5551234567" +
+          " intl +1 555.123.4567 card 4111-1111-1111-1111 end"))
+        .as("seeded"))
+
+  private val piiSeededSql: String =
+    "text || ' contact user' || doc_id || " +
+      "'@mail.example.com ip 10.0.' || (doc_id % 256) || " +
+      "'.77 ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || " +
+      "' ph 555-123-4567 alt (555) 123-4567 bare 5551234567" +
+      " intl +1 555.123.4567 card 4111-1111-1111-1111 end'"
+
   /** Shared seeded corpus for the C4-family queries: the raw documents
     * carry no newlines and no sentence punctuation, so line structure and
     * every C4 rule outcome are injected deterministically (and
@@ -5526,27 +5558,49 @@ object CurationQueries {
     // engines can never drift.
     Q("curation_pii",
       (s, dir) => {
-        val seeded = Sources.table(s, dir, "documents").select(col("doc_id"),
-          concat(
-            col("text"),
-            lit(" contact user"), col("doc_id").cast("string"),
-            lit("@mail.example.com ip 10.0."),
-            pmod(col("doc_id"), lit(256)).cast("string"),
-            lit(".77 ssn 123-45-"),
-            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
-            lit(" ph 555-123-4567 alt (555) 123-4567 bare 5551234567" +
-              " intl +1 555.123.4567 card 4111-1111-1111-1111 end"))
-            .as("seeded"))
+        val seeded = piiSeeded(Sources.table(s, dir, "documents"))
         seeded.select(col("doc_id"),
           Curation.scrubPii(col("seeded")).as("clean"))
       },
+      Some(s"SELECT doc_id, ${ddbScrub(piiSeededSql)} AS clean " +
+        "FROM documents")),
+
+    // PII DENSITY report: per-document occurrence counts of each PII
+    // class on the same seeded corpus — the exposure AUDIT beside the
+    // scrub (run first to size the problem, then to attest the scrub
+    // landed: density on scrubbed text must read zero). Both the class
+    // list and both engines' count expressions are GENERATED from
+    // Curation.piiPatterns; each pattern counts independently on the
+    // raw text, and the card-like number counts in NO class. Counting
+    // is a pure projection — scan-speed, no shuffle, no join.
+    Q("privacy_pii_density",
+      (s, dir) => {
+        val seeded = piiSeeded(Sources.table(s, dir, "documents"))
+        val cells = Curation.piiPatterns.map { case (re, tag) =>
+          regexp_count(col("seeded"), lit(re))
+            .as("n_" + piiClassName(tag))
+        }
+        val total = Curation.piiPatterns
+          .map { case (_, tag) => col("n_" + piiClassName(tag)) }
+          .reduce(_ + _)
+        seeded.select(col("doc_id") +: cells: _*)
+          .withColumn("n_pii", total)
+      },
       Some {
-        val seeded = "text || ' contact user' || doc_id || " +
-          "'@mail.example.com ip 10.0.' || (doc_id % 256) || " +
-          "'.77 ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || " +
-          "' ph 555-123-4567 alt (555) 123-4567 bare 5551234567" +
-          " intl +1 555.123.4567 card 4111-1111-1111-1111 end'"
-        s"SELECT doc_id, ${ddbScrub(seeded)} AS clean FROM documents"
+        val cells = Curation.piiPatterns.map { case (re, tag) =>
+          s"len(regexp_extract_all(seeded, '$re'))::INTEGER " +
+            s"AS n_${piiClassName(tag)}"
+        }.mkString(",\n            ")
+        val total = Curation.piiPatterns
+          .map { case (_, tag) => s"n_${piiClassName(tag)}" }
+          .mkString(" + ")
+        s"""WITH s AS (
+            SELECT doc_id, $piiSeededSql AS seeded FROM documents),
+          c AS (
+            SELECT doc_id,
+            $cells
+            FROM s)
+          SELECT c.*, ($total)::INTEGER AS n_pii FROM c"""
       }),
 
     // k-anonymity / l-diversity audit over the corpus quasi-identifiers

@@ -841,6 +841,28 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(h.getDouble(4) == -0.2, s"$h")
   }
 
+  test("PII density: every class counted on raw text, card-like " +
+      "numbers in none, and zero after the scrub (the attestation loop)") {
+    val docs = Seq(
+      (1L, "mail a@b.co and c@d.org ip 10.0.0.1 ssn 123-45-6789 " +
+        "ph 555-123-4567 card 4111-1111-1111-1111"),
+      (2L, "clean text with a long number 4111-1111-1111-1111 only")
+    ).toDF("doc_id", "text")
+    def density(c: org.apache.spark.sql.Column) =
+      Curation.piiPatterns.map { case (re, _) =>
+        regexp_count(c, lit(re))
+      }.reduce(_ + _)
+    val raw = docs.select(col("doc_id"), density(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(raw(1L) == 5, s"email x2 + ip + ssn + phone: got ${raw(1L)}")
+    assert(raw(2L) == 0, s"card-only text must count zero: ${raw(2L)}")
+    val scrubbed = docs
+      .select(col("doc_id"),
+        density(Curation.scrubPii(col("text"))).as("n"))
+      .collect().map(_.getInt(1)).sum
+    assert(scrubbed == 0, s"scrubbed corpus must read density 0: $scrubbed")
+  }
+
   test("kAnonymityAudit flags small equivalence classes and " +
       "sensitive-homogeneous groups independently") {
     val rows = Seq(
