@@ -2619,6 +2619,42 @@ object TextQueries {
       $rounds"""
   }
 
+  /** DuckDB CTE chain computing the [[graft.operators.QualityModel
+    * .trainNaiveBayes]] model over `documents(lang)`: the same hashed
+    * token buckets as [[lrCtes]], add-one-smoothed log likelihoods over
+    * the dense class×bucket grid (`lik`), and per-class log priors as
+    * j = -1 rows (`pri`). Closed form — nothing to unroll. */
+  private def nbModelCtes(dim: Int): String =
+    s"""nbt AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+            x -> x <> '')) AS term
+        FROM documents),
+      f AS (
+        SELECT doc_id,
+          ('0x' || substr(md5(term), 1, 8))::BIGINT % $dim AS j,
+          count(*) AS c
+        FROM nbt GROUP BY doc_id, j),
+      cls AS (SELECT doc_id, lang::VARCHAR AS cls FROM documents),
+      cnt AS (
+        SELECT cls, j, sum(c)::BIGINT AS cnt
+        FROM f JOIN cls USING (doc_id) GROUP BY cls, j),
+      tot AS (SELECT cls, sum(cnt)::BIGINT AS tot FROM cnt GROUP BY cls),
+      grid AS (
+        SELECT d.cls, g.j FROM (SELECT DISTINCT cls FROM cls) d
+        CROSS JOIN (SELECT unnest(range(0, $dim)) AS j) g),
+      lik AS (
+        SELECT grid.cls, grid.j::INTEGER AS j,
+          round(ln((coalesce(cnt.cnt, 0) + 1)::DOUBLE /
+            (coalesce(tot.tot, 0) + $dim)::DOUBLE), 6) AS w
+        FROM grid LEFT JOIN cnt ON grid.cls = cnt.cls AND grid.j = cnt.j
+        LEFT JOIN tot ON grid.cls = tot.cls),
+      pri AS (
+        SELECT cls, -1 AS j,
+          round(ln(count(*)::DOUBLE / (SELECT count(*) FROM cls)), 6)
+            AS w
+        FROM cls GROUP BY cls)"""
+
   /** Columns `profile_table` audits — shared by the Spark call and the
     * generated oracle (int64 + string columns only: their min/max
     * string casts are engine-portable, float formatting is not). */
@@ -3294,6 +3330,52 @@ object TextQueries {
             ELSE round((n10 + n01)::DOUBLE /
               (n11 + n10 + n01 + n00), 6) END AS err_rate
         FROM agg""")),
+
+    // multinomial Naive Bayes trained in-engine — the closed-form
+    // multiclass classifier beside the GD-trained LR: the model IS two
+    // aggregates (add-one-smoothed log likelihoods over the DENSE
+    // class x bucket grid + log priors as j = -1 rows), every weight
+    // hash-checked with no iteration to unroll
+    Q("quality_train_nb",
+      (s, dir) => QualityModel.trainNaiveBayes(
+        Sources.table(s, dir, "documents"), "doc_id", "text", "lang",
+        dim = 64),
+      Some(s"""WITH ${nbModelCtes(64)}
+        SELECT * FROM lik UNION ALL SELECT * FROM pri""")),
+
+    // NB prediction: per-document argmax class under the trained model
+    // — score(c) = prior + Sigma w_cj * c_j as an exact 6-dp-decimal
+    // dot product, ties broken on class name, so the winning class and
+    // its score hash-check. On the text-independent lang labels the
+    // prediction collapses to the prior argmax for most docs — exactly
+    // the dataflow the oracle should (and does) agree on; learnability
+    // is pinned in QualityModelSpec on the two-vocabulary fixture
+    Q("quality_nb_predict",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        QualityModel.predictNaiveBayes(docs, "doc_id", "text",
+          QualityModel.trainNaiveBayes(docs, "doc_id", "text", "lang",
+            dim = 64),
+          dim = 64)
+      },
+      Some(s"""WITH ${nbModelCtes(64)},
+        sc AS (
+          SELECT f.doc_id, lik.cls,
+            sum(CAST(lik.w AS DECIMAL(18,6)) * f.c) AS s
+          FROM f JOIN lik ON f.j = lik.j
+          GROUP BY f.doc_id, lik.cls),
+        allsc AS (
+          SELECT d.doc_id, p.cls,
+            CAST(p.w AS DECIMAL(18,6)) + coalesce(sc.s, 0) AS score
+          FROM documents d CROSS JOIN pri p
+          LEFT JOIN sc ON d.doc_id = sc.doc_id AND p.cls = sc.cls),
+        best AS (
+          SELECT doc_id, cls AS pred, score,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, cls ASC) AS rk
+          FROM allsc)
+        SELECT doc_id, pred, score::DOUBLE AS score
+        FROM best WHERE rk = 1""")),
 
     // precision/recall/F1 sweep at thresholds 0.1..0.9 — the
     // operating-point curve; exact TP/FP/FN counts, one rounded

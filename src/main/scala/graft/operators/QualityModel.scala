@@ -428,6 +428,78 @@ object QualityModel {
           .otherwise(0.0).as("auc"))
   }
 
+  /** MULTINOMIAL NAIVE BAYES trained in-engine — the closed-form
+    * multiclass text classifier beside the GD-trained [[trainLogReg]]
+    * (the fastText-era baseline for language-ID and source routing):
+    * no iteration, the model IS two aggregates. Features are the same
+    * hashed token buckets as the LR family (shared [[features]]
+    * builder), so an engine user can A/B the two classifiers on one
+    * persisted feature table.
+    *
+    * Model table: one row per (class, bucket) with
+    * `w = round(ln((cnt+1)/(tot_c+dim)), 6)` (add-one-smoothed log
+    * likelihood over the DENSE class×bucket domain — absent buckets
+    * smooth, they don't vanish), plus per class a `j = -1` row holding
+    * the log prior `round(ln(n_c/n), 6)` (the [[trainLogReg]] bias
+    * convention). Exact integer counts everywhere; ln rounds once at
+    * 6 dp — the model is bit-reproducible in ANSI SQL.
+    *
+    * Scale shape: one token explode + two map-side-combinable
+    * aggregates; the dense domain is classes×dim rows (a literal-range
+    * cross join, never corpus-sized). */
+  def trainNaiveBayes(df: DataFrame, idCol: String, textCol: String,
+      classCol: String, dim: Int = 64): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val spark = df.sparkSession
+    val feats = features(df, idCol, textCol, dim)
+    val cls = df.select(col(idCol).as("doc_id"),
+      col(classCol).cast("string").as("cls"))
+    val cnt = feats.join(cls, Seq("doc_id"))
+      .groupBy(col("cls"), col("j")).agg(sum(col("c")).as("cnt"))
+    val tot = cnt.groupBy(col("cls")).agg(sum(col("cnt")).as("tot"))
+    val dom = cls.select(col("cls")).distinct()
+      .crossJoin(spark.range(dim).select(col("id").cast("int").as("j")))
+    val lik = dom.join(cnt, Seq("cls", "j"), "left")
+      .join(tot, Seq("cls"), "left")
+      .select(col("cls"), col("j"),
+        round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("tot"), lit(0L)) + dim).cast("double")), 6)
+          .as("w"))
+    val pri = cls.groupBy(col("cls")).agg(count(lit(1)).as("nc"))
+      .crossJoin(broadcast(cls.agg(count(lit(1)).as("n"))))
+      .select(col("cls"), lit(-1).as("j"),
+        round(log(col("nc").cast("double") / col("n")), 6).as("w"))
+    lik.unionByName(pri)
+  }
+
+  /** Score every document under a trained [[trainNaiveBayes]] model and
+    * predict the argmax class: `score(c) = prior_c + Σ_j w_cj · c_j` —
+    * a 6-dp-decimal dot product of exact counts, so the winner (ties
+    * broken on class name ascending) is engine-portable. One broadcast
+    * join of the classes×dim model + one shuffle on doc id; tokenless
+    * documents score the prior alone. Output:
+    * (doc_id, pred, score). */
+  def predictNaiveBayes(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, dim: Int = 64): DataFrame = {
+    val feats = features(df, idCol, textCol, dim)
+    val pri = model.filter(col("j") === -1)
+      .select(col("cls"), col("w").cast("decimal(18,6)").as("prior"))
+    val s = feats
+      .join(broadcast(model.filter(col("j") >= 0)), Seq("j"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("w").cast("decimal(18,6)") * col("c")).as("__s"))
+    val scored = df.select(col(idCol).as("doc_id"))
+      .crossJoin(broadcast(pri))
+      .join(s, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("cls"),
+        (col("prior") + coalesce(col("__s"),
+          lit("0").cast("decimal(18,6)"))).as("score"))
+    scored.groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("cls"))).as("best"))
+      .select(col("doc_id"), col("best.cls").as("pred"),
+        (-col("best.ns")).cast("double").as("score"))
+  }
+
   /** CONFIDENT-LEARNING label-noise estimate (Northcutt et al. 2021)
     * over the trained classifier — the "how dirty are my labels?"
     * audit run before trusting a labeled slice: per-class confidence

@@ -221,6 +221,26 @@ class QualityModelSpec extends AnyFunSuite with SparkTester {
     assert(got.getDouble(2) > 0.95)
   }
 
+  test("Naive Bayes separates the two-vocabulary corpus and is " +
+      "partitioning-invariant") {
+    val labeled = corpus.withColumn("cls",
+      when(col("is_en"), "en").otherwise("de"))
+    val nb = QualityModel.trainNaiveBayes(labeled, "doc_id", "text",
+      "cls", dim = 64)
+    val pred = QualityModel.predictNaiveBayes(labeled, "doc_id", "text",
+      nb, dim = 64)
+    val acc = pred.join(labeled, "doc_id")
+      .select(avg(when(col("pred") === col("cls"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    assert(acc >= 0.95, s"NB accuracy $acc < 0.95")
+    // model shape: 2 classes x (dim likelihood rows + 1 prior row)
+    assert(nb.count() == 2 * 65)
+    val again = QualityModel.trainNaiveBayes(labeled.repartition(7),
+      "doc_id", "text", "cls", dim = 64)
+    assert(nb.orderBy("cls", "j").collect().toSeq ==
+      again.orderBy("cls", "j").collect().toSeq)
+  }
+
   test("confident learning surfaces planted label noise as " +
       "off-diagonal mass") {
     // flip 10 of the 100 labels (doc_id % 10 == 3): the model trains
