@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, Enrich, Graph, Multimodal, QualityModel, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Enrich, Graph, Multimodal, QualityModel, Similarity, TextAnalysis, UnigramTokenizer}
 import graft.functions.Cleaning
 import graft.sources.Sources
 
@@ -2655,6 +2655,98 @@ object TextQueries {
             AS w
         FROM cls GROUP BY cls)"""
 
+  /** DuckDB CTE chain training the [[graft.operators.UnigramTokenizer]]
+    * count-seeded vocabulary over `documents`: distinct weighted words
+    * (`words`), per-occurrence substring counts (`cand`), the
+    * singles + top-V selection (`vocab0`), and the integer micro-unit
+    * cost table (`vocab`) — the same floor(ln·10⁶) both engines
+    * compute on identical doubles. */
+  private def unigramVocabCtes(maxWordLen: Int, maxPieceLen: Int,
+      topV: Int): String =
+    s"""wtok AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text),
+          '\\s+'), x -> x <> '')) AS word
+        FROM documents),
+      words AS (
+        SELECT word, count(*) AS freq FROM wtok
+        WHERE length(word) <= $maxWordLen GROUP BY word),
+      cand AS (
+        SELECT piece, sum(freq)::BIGINT AS cnt FROM (
+          SELECT freq, unnest(flatten(list_transform(
+            range(0, length(word)),
+            s -> list_transform(
+              range(1, least($maxPieceLen, length(word) - s) + 1),
+              l -> substr(word, (s + 1)::INTEGER, l::INTEGER)))))
+            AS piece
+          FROM words) GROUP BY piece),
+      vocab0 AS (
+        SELECT piece, cnt FROM cand WHERE length(piece) = 1
+        UNION ALL
+        (SELECT piece, cnt FROM cand WHERE length(piece) >= 2
+         ORDER BY cnt DESC, piece ASC LIMIT $topV)),
+      vtot AS (SELECT sum(cnt)::BIGINT AS t FROM vocab0),
+      vocab AS (
+        SELECT piece, cnt,
+          (-floor(ln(cnt::DOUBLE / t) * 1000000))::BIGINT AS cost
+        FROM vocab0 CROSS JOIN vtot)"""
+
+  /** DuckDB replay of the integer Viterbi DP + backtrace of
+    * [[graft.expressions.UnigramViterbiExpr]], unrolled to `maxWordLen`
+    * positions (the GD-loop-unroll discipline applied to dynamic
+    * programming): `d$i` holds the best prefix cost at position i,
+    * `jb` the argmin split point per (word, position) with the
+    * (cost asc, j asc) tie-break the expression's strictly-less
+    * ascending scan implements, `s$k` walks the backtrace, and `used`
+    * is the chosen piece multiset per word — the segmentation itself,
+    * hash-checkable. Requires the `words` and `vocab` CTEs of
+    * [[unigramVocabCtes]] in scope. */
+  private def unigramDpCtes(maxWordLen: Int, maxPieceLen: Int,
+      p: String = "", vocabCte: String = "vocab"): String = {
+    val dChain = (1 to maxWordLen).map { i =>
+      val branches = (math.max(0, i - maxPieceLen) until i).map { j =>
+        s"SELECT word, cost, $j AS j FROM ${p}d$j " +
+          s"WHERE length(word) >= $i"
+      }.mkString("\n          UNION ALL ")
+      s"""${p}d$i AS (
+        SELECT u.word, min(u.cost + v.cost) AS cost
+        FROM ($branches) u
+        JOIN $vocabCte v ON v.piece = substr(u.word, u.j + 1, $i - u.j)
+        GROUP BY u.word)"""
+    }.mkString(",\n      ")
+    val jbBranches = (1 to maxWordLen).flatMap { i =>
+      (math.max(0, i - maxPieceLen) until i).map { j =>
+        s"SELECT word, $i AS i, $j AS j, cost FROM ${p}d$j " +
+          s"WHERE length(word) >= $i"
+      }
+    }.mkString("\n          UNION ALL ")
+    val sChain = (1 to maxWordLen).map { k =>
+      s"""${p}s$k AS (
+        SELECT s.word, jb.j AS pos FROM ${p}s${k - 1} s
+        JOIN ${p}jb jb ON jb.word = s.word AND jb.i = s.pos
+        WHERE s.pos > 0)"""
+    }.mkString(",\n      ")
+    val pieceBranches = (0 until maxWordLen).map { k =>
+      s"""SELECT s.word, jb.j AS st, s.pos AS en FROM ${p}s$k s
+        JOIN ${p}jb jb ON jb.word = s.word AND jb.i = s.pos
+        WHERE s.pos > 0"""
+    }.mkString("\n          UNION ALL ")
+    s"""${p}d0 AS (SELECT word, 0::BIGINT AS cost FROM words),
+      $dChain,
+      ${p}jb AS (
+        SELECT word, i, j FROM (
+          SELECT u.word, u.i, u.j,
+            row_number() OVER (PARTITION BY u.word, u.i
+              ORDER BY u.cost + v.cost ASC, u.j ASC) AS rk
+          FROM ($jbBranches) u
+          JOIN $vocabCte v ON v.piece = substr(u.word, u.j + 1, u.i - u.j))
+        WHERE rk = 1),
+      ${p}s0 AS (SELECT word, length(word)::INTEGER AS pos FROM words),
+      $sChain,
+      ${p}used AS (
+        SELECT word, substr(word, st + 1, en - st) AS piece FROM (
+          $pieceBranches))"""
+  }
+
   /** Columns `profile_table` audits — shared by the Spark call and the
     * generated oracle (int64 + string columns only: their min/max
     * string casts are engine-portable, float formatting is not). */
@@ -3376,6 +3468,111 @@ object TextQueries {
           FROM allsc)
         SELECT doc_id, pred, score::DOUBLE AS score
         FROM best WHERE rk = 1""")),
+
+    // unigram-LM tokenizer, stage 1: the count-seeded vocabulary
+    // (Kudo/SentencePiece seeding — every <=5-char substring,
+    // frequency-weighted; all single chars + top-40 longer pieces) with
+    // integer micro-unit costs; every piece, count, and cost
+    // hash-checks. Everything runs on DISTINCT words — lexicon-sized,
+    // never corpus-sized
+    Q("tokenizer_unigram_vocab",
+      (s, dir) => UnigramTokenizer.trainVocab(
+        UnigramTokenizer.wordFreq(
+          Sources.table(s, dir, "documents"), "text", maxWordLen = 12),
+        maxPieceLen = 5, topV = 40),
+      Some(s"""WITH ${unigramVocabCtes(12, 5, 40)}
+        SELECT piece, cnt, cost FROM vocab""")),
+
+    // stage 2: the corpus ENCODED under the trained vocabulary — exact
+    // integer Viterbi segmentation per distinct word (codegen DP
+    // expression), audited per piece. The oracle replays the DP and
+    // its backtrace position by position as unrolled CTEs, so the
+    // CHOSEN segmentation — not just its cost — hash-checks
+    Q("tokenizer_unigram_encode",
+      (s, dir) => UnigramTokenizer.pieceStats(
+        Sources.table(s, dir, "documents"), "text",
+        maxWordLen = 12, maxPieceLen = 5, topV = 40),
+      Some(s"""WITH ${unigramVocabCtes(12, 5, 40)},
+        ${unigramDpCtes(12, 5)}
+        SELECT v.piece, v.cost,
+          count(DISTINCT u.word)::BIGINT AS n_words,
+          sum(w.freq)::BIGINT AS n_uses
+        FROM used u
+        JOIN words w ON u.word = w.word
+        JOIN vocab v ON v.piece = u.piece
+        GROUP BY v.piece, v.cost""")),
+
+    // stage 3: one-row corpus fertility under the trained tokenizer —
+    // the pieces-per-token / chars-per-piece budget statistic that
+    // prices a vocabulary before a full-corpus encode
+    Q("tokenizer_unigram_fertility",
+      (s, dir) => UnigramTokenizer.fertility(
+        Sources.table(s, dir, "documents"), "text",
+        maxWordLen = 12, maxPieceLen = 5, topV = 40),
+      Some(s"""WITH ${unigramVocabCtes(12, 5, 40)},
+        ${unigramDpCtes(12, 5)},
+        pc AS (
+          SELECT u.word, count(*) AS np, sum(v.cost)::BIGINT AS wcost
+          FROM used u JOIN vocab v ON u.piece = v.piece
+          GROUP BY u.word)
+        SELECT count(*)::BIGINT AS n_words,
+          sum(w.freq)::BIGINT AS n_tokens,
+          sum(w.freq * pc.np)::BIGINT AS n_pieces,
+          round(sum(w.freq * pc.np)::DOUBLE / sum(w.freq), 6)
+            AS pieces_per_token,
+          round(sum(w.freq * length(w.word))::DOUBLE /
+            sum(w.freq * pc.np), 6) AS chars_per_piece,
+          sum(CAST(w.freq * pc.wcost AS DECIMAL(38,0)))
+            AS total_cost_micro
+        FROM words w JOIN pc ON w.word = pc.word""")),
+
+    // stage 4: one Viterbi-EM re-estimation round — piece counts
+    // re-estimated from actual segmentation use (+1 smoothing), costs
+    // recomputed, corpus re-encoded; fertility AND corpus NLL reported
+    // PER ROUND so the training loop's improvement (the NLL drop; on
+    // this fixed-point corpus the segmentation itself is stable) is a
+    // hash-checked number. The oracle instantiates the unrolled DP +
+    // backtrace TWICE (once per vocabulary) — the doubled-chain form
+    // the central MATERIALIZED rewrite exists for
+    Q("tokenizer_unigram_em",
+      (s, dir) => UnigramTokenizer.fertilityByRound(
+        Sources.table(s, dir, "documents"), "text",
+        maxWordLen = 12, maxPieceLen = 5, topV = 40),
+      Some {
+        def fert(round: Int, usedCte: String, vocabCte: String) =
+          s"""SELECT $round AS round, count(*)::BIGINT AS n_words,
+            sum(w.freq)::BIGINT AS n_tokens,
+            sum(w.freq * pc.np)::BIGINT AS n_pieces,
+            round(sum(w.freq * pc.np)::DOUBLE / sum(w.freq), 6)
+              AS pieces_per_token,
+            round(sum(w.freq * length(w.word))::DOUBLE /
+              sum(w.freq * pc.np), 6) AS chars_per_piece,
+            sum(CAST(w.freq * pc.wcost AS DECIMAL(38,0)))
+              AS total_cost_micro
+          FROM words w JOIN (
+            SELECT u.word, count(*) AS np, sum(v.cost)::BIGINT AS wcost
+            FROM $usedCte u JOIN $vocabCte v ON u.piece = v.piece
+            GROUP BY u.word) pc
+            ON w.word = pc.word"""
+        s"""WITH ${unigramVocabCtes(12, 5, 40)},
+        ${unigramDpCtes(12, 5)},
+        v2c AS (
+          SELECT piece, sum(w.freq)::BIGINT AS u
+          FROM used u2 JOIN words w ON u2.word = w.word
+          GROUP BY piece),
+        vocab2 AS (
+          SELECT v.piece, coalesce(c.u, 0) + 1 AS cnt2
+          FROM vocab v LEFT JOIN v2c c ON v.piece = c.piece),
+        v2tot AS (SELECT sum(cnt2)::BIGINT AS t FROM vocab2),
+        vocab2c AS (
+          SELECT piece,
+            (-floor(ln(cnt2::DOUBLE / t) * 1000000))::BIGINT AS cost
+          FROM vocab2 CROSS JOIN v2tot),
+        ${unigramDpCtes(12, 5, p = "b", vocabCte = "vocab2c")}
+        ${fert(1, "used", "vocab")}
+        UNION ALL
+        ${fert(2, "bused", "vocab2c")}"""
+      }),
 
     // precision/recall/F1 sweep at thresholds 0.1..0.9 — the
     // operating-point curve; exact TP/FP/FN counts, one rounded

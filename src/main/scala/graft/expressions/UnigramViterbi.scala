@@ -1,0 +1,123 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Exact Viterbi segmentation of one word under a unigram-LM piece
+  * vocabulary (Kudo 2018, arXiv:1804.10959 — the SentencePiece unigram
+  * model): split the word into the piece sequence minimizing the total
+  * piece cost, where cost is the negated log probability in integer
+  * MICRO-UNITS (`-floor(ln(p)·10⁶)` — integer DP, so the optimum and
+  * every tie are engine-exact, never float-order-dependent).
+  *
+  * `left` is the word, `right` the `map<string,long>` piece→cost
+  * vocabulary (one broadcast row, the [[BucketFold]] convention). DP is
+  * O(len · maxPieceLen) per word with O(len) state; ties between
+  * segmentations break to the SMALLEST split point j at each position
+  * (the strictly-less update below) — i.e. the longest final piece —
+  * which is also what `ORDER BY cost, j` picks in the SQL replay, so
+  * the chosen segmentation (not just its cost) is hash-checkable.
+  *
+  * Returns null when the word cannot be covered by the vocabulary (a
+  * character outside it); callers that seed the vocabulary with every
+  * corpus character never see that. Empty word → empty array. */
+case class UnigramViterbiExpr(left: Expression, right: Expression,
+    maxPieceLen: Int) extends BinaryExpression {
+
+  require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+
+  override def dataType: DataType = ArrayType(StringType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "unigram_viterbi"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = left.dataType == StringType &&
+      (right.dataType match {
+        case MapType(StringType, LongType, _) => true
+        case _ => false
+      })
+    if (ok)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, map<string,bigint>), got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  def compute(w: UTF8String, m: MapData): ArrayData = {
+    val word = w.toString
+    val n = word.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val costs = new java.util.HashMap[String, java.lang.Long]()
+    val keys = m.keyArray(); val vals = m.valueArray()
+    var t = 0
+    while (t < m.numElements()) {
+      costs.put(keys.getUTF8String(t).toString, vals.getLong(t))
+      t += 1
+    }
+    val INF = Long.MaxValue / 4
+    val dp = Array.fill(n + 1)(INF)
+    val back = Array.fill(n + 1)(-1)
+    dp(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (dp(j) < INF) {
+          val c = costs.get(word.substring(j, i))
+          if (c != null && dp(j) + c < dp(i)) {
+            dp(i) = dp(j) + c
+            back(i) = j
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (dp(n) >= INF) return null
+    var pos = n
+    var out = List.empty[Any]
+    while (pos > 0) {
+      val j = back(pos)
+      out = UTF8String.fromString(word.substring(j, pos)) :: out
+      pos = j
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[UTF8String], b.asInstanceOf[MapData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("viterbi", this,
+      classOf[UnigramViterbiExpr].getName)
+    nullSafeCodeGen(ctx, ev, (w, m) => {
+      s"""
+         |${ev.value} = $ref.compute($w, $m);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft,
+    right = newRight)
+}
+
+object UnigramViterbi {
+  /** Column factory: Viterbi pieces of `word` under the one-row
+    * broadcast `costMap` (`map<string,long>` micro-unit costs). */
+  def viterbiPieces(word: Column, costMap: Column, maxPieceLen: Int)
+      : Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      UnigramViterbiExpr(
+        org.apache.spark.sql.graft.Bridge.expression(word),
+        org.apache.spark.sql.graft.Bridge.expression(costMap),
+        maxPieceLen))
+}

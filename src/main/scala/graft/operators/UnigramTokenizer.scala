@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer trained in-engine (Kudo 2018,
+  * arXiv:1804.10959 — the SentencePiece unigram model): count-seeded
+  * piece vocabulary + exact Viterbi encoding, the second classic
+  * tokenizer family beside the repo's ranked-merge BPE
+  * ([[TextAnalysis]] `text_bpe_train`/`text_bpe_apply`). Where BPE
+  * grows a vocabulary bottom-up by fusing pairs, the unigram model
+  * starts from a LARGE candidate set and segments each word into the
+  * minimum-cost piece sequence under piece log probabilities.
+  *
+  * Honest scope: the vocabulary is the count-seeded initialization
+  * (every substring up to `maxPieceLen` chars, frequency-weighted, all
+  * single characters kept for coverage + the top `topV` longer pieces)
+  * — i.e. the model after the seeding step, before EM refinement and
+  * pruning rounds. The ENCODER is the full exact algorithm: integer
+  * micro-unit Viterbi ([[graft.expressions.UnigramViterbiExpr]]) whose
+  * chosen segmentation — not just its cost — is replayed position by
+  * position in the DuckDB oracle (unrolled DP + backtrace CTEs, the
+  * GD-loop-unroll discipline applied to dynamic programming).
+  *
+  * Scale shape (100 TB): everything downstream of [[wordFreq]] runs on
+  * DISTINCT words — the token stream collapses in one map-side-combined
+  * count and the candidate/vocab/encode stages cost |lexicon|, not
+  * |corpus| (a web-scale lexicon is ~10⁷ rows vs 10¹² tokens). The
+  * top-V selection is TakeOrdered (per-partition heaps), never a global
+  * window; the trained vocabulary rides one broadcast map row; encoding
+  * the full corpus is then a broadcast join of that row against the
+  * distinct-word table plus one re-join to the stream. */
+object UnigramTokenizer {
+
+  private val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Distinct `(word, freq)` over the corpus token stream ([[
+    * graft.functions.Cleaning.tokens]] convention: lowercase,
+    * whitespace-split, empties dropped). Words longer than `maxWordLen`
+    * are excluded — the bound is part of the operator contract (it is
+    * also the oracle's DP unroll depth). */
+  def wordFreq(df: DataFrame, textCol: String, maxWordLen: Int)
+      : DataFrame =
+    df.select(explode(graft.functions.Cleaning.tokens(
+        lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) <= maxWordLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Count-seeded vocabulary: every substring of length 1..`maxPieceLen`
+    * of every word (per occurrence, frequency-weighted), then ALL
+    * length-1 pieces (coverage guarantee: any word is encodable) plus
+    * the top `topV` longer pieces by (count desc, piece asc). Output
+    * `(piece, cnt, cost)` with `cost = -floor(ln(cnt/total)·10⁶)` —
+    * positive integer micro-unit costs, so the DP downstream is pure
+    * int64 (floor, not round: identical on the identical doubles both
+    * engines compute, with no half-way convention to match). */
+  def trainVocab(words: DataFrame, maxPieceLen: Int = 5, topV: Int = 40)
+      : DataFrame = {
+    require(maxPieceLen >= 1 && topV >= 1,
+      s"need maxPieceLen >= 1, topV >= 1; got $maxPieceLen/$topV")
+    val cand = words.select(col("freq"),
+        explode(flatten(transform(
+          sequence(lit(0), length(col("word")) - 1),
+          s => transform(
+            sequence(lit(1),
+              least(lit(maxPieceLen), length(col("word")) - s)),
+            l => col("word").substr(s + 1, l))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .persist(sl)
+    val singles = cand.filter(length(col("piece")) === 1)
+    // TakeOrdered, not a global window: per-partition heaps of topV
+    val longer = cand.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(topV)
+    val vocab0 = singles.unionByName(longer)
+    val tot = vocab0.agg(sum(col("cnt")).as("t"))
+    vocab0.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        (-floor(log(col("cnt").cast("double") / col("t")) * 1e6))
+          .cast("long").as("cost"))
+  }
+
+  /** Viterbi-encode the distinct words under a trained vocabulary:
+    * `(word, freq, pieces)` — the vocabulary rides one broadcast map
+    * row; segmentation is one codegen expression per word. */
+  def encodeWords(words: DataFrame, vocab: DataFrame, maxPieceLen: Int)
+      : DataFrame = {
+    val mrow = vocab.agg(map_from_entries(collect_list(
+      struct(col("piece"), col("cost")))).as("__vm"))
+    words.crossJoin(broadcast(mrow))
+      .select(col("word"), col("freq"),
+        graft.expressions.UnigramViterbi.viterbiPieces(
+          col("word"), col("__vm"), maxPieceLen).as("pieces"))
+  }
+
+  /** Registry surface 1: per-piece usage over the encoded corpus —
+    * `(piece, cost, n_words, n_uses)` where `n_uses` counts every use
+    * frequency-weighted (a piece used twice in a word counts twice per
+    * occurrence of the word). The tokenizer-audit table: which pieces
+    * earn their vocabulary slot. */
+  def pieceStats(df: DataFrame, textCol: String, maxWordLen: Int = 12,
+      maxPieceLen: Int = 5, topV: Int = 40): DataFrame = {
+    val words = wordFreq(df, textCol, maxWordLen).persist(sl)
+    val vocab = trainVocab(words, maxPieceLen, topV)
+    encodeWords(words, vocab, maxPieceLen)
+      .select(col("word"), col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece"))
+      .agg(countDistinct(col("word")).as("n_words"),
+        sum(col("freq")).as("n_uses"))
+      .join(vocab.select(col("piece"), col("cost")), Seq("piece"))
+      .select(col("piece"), col("cost"), col("n_words"), col("n_uses"))
+  }
+
+  /** Fertility + corpus NLL under one (vocabulary, segmentation) pair.
+    * `total_cost_micro` is the corpus's total encode cost — its
+    * negative log likelihood in integer micro-nats. Because every
+    * round's model is a normalized distribution over the SAME piece
+    * set, the NLL is comparable across rounds: it is the number the EM
+    * step provably drives down even when the segmentation (and hence
+    * fertility) is already at a fixed point. DECIMAL(38,0) sum — at
+    * 10¹² tokens × 10⁷-unit word costs the int64 range is gone. */
+  private def fertilityUnder(words: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int): DataFrame =
+    encodeWords(words, vocab, maxPieceLen)
+      .select(col("word"), col("freq"), explode(col("pieces")).as("piece"))
+      .join(vocab.select(col("piece"), col("cost")), Seq("piece"))
+      .groupBy(col("word"), col("freq"))
+      .agg(count(lit(1)).as("np"), sum(col("cost")).as("wcost"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("freq")).as("n_tokens"),
+        sum(col("freq") * col("np")).as("n_pieces"),
+        sum(col("freq") * length(col("word"))).as("__chars"),
+        sum((col("freq") * col("wcost")).cast("decimal(38,0)"))
+          .as("total_cost_micro"))
+      .select(col("n_words"), col("n_tokens"), col("n_pieces"),
+        round(col("n_pieces").cast("double") / col("n_tokens"), 6)
+          .as("pieces_per_token"),
+        round(col("__chars").cast("double") / col("n_pieces"), 6)
+          .as("chars_per_piece"),
+        col("total_cost_micro").cast("decimal(38,0)")
+          .as("total_cost_micro"))
+
+  /** Registry surface 2: one-row corpus fertility under the trained
+    * tokenizer — `(n_words, n_tokens, n_pieces, pieces_per_token,
+    * chars_per_piece)`; the budget statistic that prices a vocabulary
+    * before committing a 100 TB encode ([[TextAnalysis]]
+    * `text_fertility`'s trained-tokenizer twin). */
+  def fertility(df: DataFrame, textCol: String, maxWordLen: Int = 12,
+      maxPieceLen: Int = 5, topV: Int = 40): DataFrame = {
+    val words = wordFreq(df, textCol, maxWordLen).persist(sl)
+    val vocab = trainVocab(words, maxPieceLen, topV)
+    fertilityUnder(words, vocab, maxPieceLen)
+  }
+
+  /** One Viterbi-EM round (hard EM — the documented Viterbi variant of
+    * Kudo's EM step): re-estimate each piece's count as its
+    * frequency-weighted USE count under the current segmentation
+    * (+1 add-one smoothing so unused pieces keep a finite cost and the
+    * coverage guarantee survives), then recompute the micro-unit
+    * costs. The vocabulary's piece SET is unchanged — this is the
+    * re-estimation step; pruning would follow in a full trainer. */
+  def emRound(words: DataFrame, vocab: DataFrame, maxPieceLen: Int)
+      : DataFrame = {
+    val used = encodeWords(words, vocab, maxPieceLen)
+      .select(col("word"), col("freq"), explode(col("pieces")).as("piece"))
+    val cnt2 = used.groupBy(col("piece")).agg(sum(col("freq")).as("u"))
+    val v2 = vocab.select(col("piece"))
+      .join(cnt2, Seq("piece"), "left")
+      .select(col("piece"), (coalesce(col("u"), lit(0L)) + 1).as("cnt"))
+    val tot = v2.agg(sum(col("cnt")).as("t"))
+    v2.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        (-floor(log(col("cnt").cast("double") / col("t")) * 1e6))
+          .cast("long").as("cost"))
+  }
+
+  /** Registry surface 3: fertility + corpus NLL per training round —
+    * round 1 is the count-seeded vocabulary, round 2 the same pieces
+    * after one Viterbi-EM re-estimation. The number that shows the
+    * training loop LEARNING is `total_cost_micro` (corpus negative log
+    * likelihood): re-estimation fits the ML model to the observed
+    * segmentation (provably non-increasing NLL, up to the +1
+    * smoothing), and re-segmentation can only lower it further.
+    * Fertility may hold flat — a decent seed often IS the Viterbi
+    * fixed point (the registry corpus is; the spec's morpheme corpus
+    * shows the NLL still dropping there). Output: (round, n_words,
+    * n_tokens, n_pieces, pieces_per_token, chars_per_piece,
+    * total_cost_micro). */
+  def fertilityByRound(df: DataFrame, textCol: String,
+      maxWordLen: Int = 12, maxPieceLen: Int = 5, topV: Int = 40)
+      : DataFrame = {
+    val words = wordFreq(df, textCol, maxWordLen).persist(sl)
+    val v1 = trainVocab(words, maxPieceLen, topV)
+      .persist(sl)
+    val v2 = emRound(words, v1, maxPieceLen)
+    fertilityUnder(words, v1, maxPieceLen).select(lit(1).as("round"),
+        col("*"))
+      .unionByName(fertilityUnder(words, v2, maxPieceLen)
+        .select(lit(2).as("round"), col("*")))
+  }
+}
