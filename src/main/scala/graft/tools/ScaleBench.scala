@@ -544,6 +544,20 @@ object ScaleBench {
         .count()
     }
 
+    // unigram tokenizer at factor× docs: on THIS corpus the salted
+    // replicas blow the LEXICON up with the corpus (64 unique salt
+    // tokens per replica doc), so this stage prices the tokenizer's
+    // worst case — distinct-word-bound work (substring explode + agg,
+    // one Viterbi per distinct word ×3 encodes for the EM pair)
+    // growing ∝ corpus instead of staying lexicon-flat. Natural
+    // corpora sit far below it: their lexicon grows ~Heaps-law
+    // sublinearly, and the token-stream collapse is one
+    // map-side-combined count either way
+    if (runExt && want("tokenizer")) timed("tokenizer") {
+      graft.operators.UnigramTokenizer.fertilityByRound(big, "text",
+        maxWordLen = 24, maxPieceLen = 5, topV = 40).count()
+    }
+
     // distributed global decile (the numeric_lorenz shape) at factor×
     // fact rows, vs the single-partition ntile() window counterfactual
     // — the pair that prices the r9 Ranks reshape the way scc vs
