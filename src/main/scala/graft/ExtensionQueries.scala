@@ -3574,6 +3574,69 @@ object TextQueries {
         ${fert(2, "bused", "vocab2c")}"""
       }),
 
+    // stage 5: the FULL three-phase unigram training loop — seed, EM
+    // re-estimation, count-threshold prune — fertility + NLL +
+    // vocabulary size per phase, all hash-checked. The oracle
+    // instantiates the unrolled Viterbi DP THREE times (one per
+    // vocabulary); n_vocab is the number pruning moves
+    Q("tokenizer_unigram_phases",
+      (s, dir) => UnigramTokenizer.trainingPhases(
+        Sources.table(s, dir, "documents"), "text",
+        maxWordLen = 12, maxPieceLen = 5, topV = 40, minUses = 50),
+      Some {
+        def fert(round: Int, usedCte: String, vocabCte: String) =
+          s"""SELECT $round AS round,
+            (SELECT count(*) FROM $vocabCte)::BIGINT AS n_vocab,
+            count(*)::BIGINT AS n_words,
+            sum(w.freq)::BIGINT AS n_tokens,
+            sum(w.freq * pc.np)::BIGINT AS n_pieces,
+            round(sum(w.freq * pc.np)::DOUBLE / sum(w.freq), 6)
+              AS pieces_per_token,
+            round(sum(w.freq * length(w.word))::DOUBLE /
+              sum(w.freq * pc.np), 6) AS chars_per_piece,
+            sum(CAST(w.freq * pc.wcost AS DECIMAL(38,0)))
+              AS total_cost_micro
+          FROM words w JOIN (
+            SELECT u.word, count(*) AS np, sum(v.cost)::BIGINT AS wcost
+            FROM $usedCte u JOIN $vocabCte v ON u.piece = v.piece
+            GROUP BY u.word) pc
+            ON w.word = pc.word"""
+        s"""WITH ${unigramVocabCtes(12, 5, 40)},
+        ${unigramDpCtes(12, 5)},
+        v2c AS (
+          SELECT piece, sum(w.freq)::BIGINT AS u
+          FROM used u2 JOIN words w ON u2.word = w.word
+          GROUP BY piece),
+        vocab2 AS (
+          SELECT v.piece, coalesce(c.u, 0) + 1 AS cnt2
+          FROM vocab v LEFT JOIN v2c c ON v.piece = c.piece),
+        v2tot AS (SELECT sum(cnt2)::BIGINT AS t FROM vocab2),
+        vocab2c AS (
+          SELECT piece,
+            (-floor(ln(cnt2::DOUBLE / t) * 1000000))::BIGINT AS cost
+          FROM vocab2 CROSS JOIN v2tot),
+        ${unigramDpCtes(12, 5, p = "b", vocabCte = "vocab2c")},
+        v3c AS (
+          SELECT piece, sum(w.freq)::BIGINT AS u
+          FROM bused u2 JOIN words w ON u2.word = w.word
+          GROUP BY piece),
+        vocab3 AS (
+          SELECT v.piece, coalesce(c.u, 0) + 1 AS cnt3
+          FROM vocab2c v LEFT JOIN v3c c ON v.piece = c.piece
+          WHERE length(v.piece) = 1 OR coalesce(c.u, 0) >= 50),
+        v3tot AS (SELECT sum(cnt3)::BIGINT AS t FROM vocab3),
+        vocab3c AS (
+          SELECT piece,
+            (-floor(ln(cnt3::DOUBLE / t) * 1000000))::BIGINT AS cost
+          FROM vocab3 CROSS JOIN v3tot),
+        ${unigramDpCtes(12, 5, p = "c", vocabCte = "vocab3c")}
+        ${fert(1, "used", "vocab")}
+        UNION ALL
+        ${fert(2, "bused", "vocab2c")}
+        UNION ALL
+        ${fert(3, "cused", "vocab3c")}"""
+      }),
+
     // precision/recall/F1 sweep at thresholds 0.1..0.9 — the
     // operating-point curve; exact TP/FP/FN counts, one rounded
     // division per metric, F1 over the rounded P and R (on the

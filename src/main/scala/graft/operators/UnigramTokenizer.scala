@@ -173,6 +173,59 @@ object UnigramTokenizer {
           .cast("long").as("cost"))
   }
 
+  /** Count-based vocabulary PRUNING (the third phase of the unigram
+    * trainer: seed → EM → prune): drop multi-char pieces whose
+    * frequency-weighted USE count under the current segmentation falls
+    * below `minUses`; single characters are always kept (the coverage
+    * guarantee). Counts are re-estimated over the surviving set with
+    * the same +1 smoothing. Honest scope: this is the count-threshold
+    * form, not SentencePiece's exact per-piece likelihood-loss ranking
+    * (which re-segments the corpus once per candidate piece); at the
+    * vocabulary sizes that matter the two agree on everything far from
+    * the cut line. */
+  def pruneRound(words: DataFrame, vocab: DataFrame, maxPieceLen: Int,
+      minUses: Long): DataFrame = {
+    require(minUses >= 1, s"minUses must be >= 1, got $minUses")
+    val used = encodeWords(words, vocab, maxPieceLen)
+      .select(col("word"), col("freq"), explode(col("pieces")).as("piece"))
+    val cnt = used.groupBy(col("piece")).agg(sum(col("freq")).as("u"))
+    val v3 = vocab.select(col("piece"))
+      .join(cnt, Seq("piece"), "left")
+      .filter(length(col("piece")) === 1 ||
+        coalesce(col("u"), lit(0L)) >= minUses)
+      .select(col("piece"), (coalesce(col("u"), lit(0L)) + 1).as("cnt"))
+    val tot = v3.agg(sum(col("cnt")).as("t"))
+    v3.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        (-floor(log(col("cnt").cast("double") / col("t")) * 1e6))
+          .cast("long").as("cost"))
+  }
+
+  /** Registry surface 4: the FULL three-phase training loop — seed,
+    * one Viterbi-EM re-estimation, count-threshold prune — with
+    * fertility + NLL + vocabulary size per phase. `n_vocab` is the
+    * number that pruning moves; NLL may tick UP at the prune (mass
+    * redistribution over fewer pieces) while the vocabulary shrinks —
+    * the compression-vs-likelihood trade the row prices. Output:
+    * (round, n_vocab, n_words, n_tokens, n_pieces, pieces_per_token,
+    * chars_per_piece, total_cost_micro). */
+  def trainingPhases(df: DataFrame, textCol: String,
+      maxWordLen: Int = 12, maxPieceLen: Int = 5, topV: Int = 40,
+      minUses: Long = 50): DataFrame = {
+    val words = wordFreq(df, textCol, maxWordLen).persist(sl)
+    val v1 = trainVocab(words, maxPieceLen, topV).persist(sl)
+    val v2 = emRound(words, v1, maxPieceLen).persist(sl)
+    val v3 = pruneRound(words, v2, maxPieceLen, minUses)
+    def phaseRow(round: Int, v: DataFrame): DataFrame =
+      fertilityUnder(words, v, maxPieceLen)
+        .crossJoin(broadcast(v.agg(count(lit(1)).as("n_vocab"))))
+        .select(lit(round).as("round"), col("n_vocab"), col("n_words"),
+          col("n_tokens"), col("n_pieces"), col("pieces_per_token"),
+          col("chars_per_piece"), col("total_cost_micro"))
+    phaseRow(1, v1).unionByName(phaseRow(2, v2))
+      .unionByName(phaseRow(3, v3))
+  }
+
   /** Registry surface 3: fertility + corpus NLL per training round —
     * round 1 is the count-seeded vocabulary, round 2 the same pieces
     * after one Viterbi-EM re-estimation. The number that shows the

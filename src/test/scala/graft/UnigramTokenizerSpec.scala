@@ -85,6 +85,27 @@ class UnigramTokenizerSpec extends AnyFunSuite with SparkTester {
     assert(fert2 <= fert1, s"EM raised fertility: $fert1 -> $fert2")
   }
 
+  test("pruning drops unused multi-char pieces, never single chars, " +
+      "and the pruned vocabulary still encodes every word") {
+    val docs = (0 until 30).map(i =>
+      (i.toLong, "walking talking walking talking helping"))
+      .toDF("doc_id", "text")
+    val words = UnigramTokenizer.wordFreq(docs, "text", 12)
+    val v1 = UnigramTokenizer.trainVocab(words, maxPieceLen = 5,
+      topV = 30)
+    val v3 = UnigramTokenizer.pruneRound(words, v1, maxPieceLen = 5,
+      minUses = 10)
+    val kept = v3.select("piece").collect().map(_.getString(0)).toSet
+    val all = v1.select("piece").collect().map(_.getString(0)).toSet
+    assert(kept.subsetOf(all) && kept.size < all.size,
+      s"pruning removed nothing: ${all.size} -> ${kept.size}")
+    // coverage: every single char of the corpus survives
+    val chars = all.filter(_.length == 1)
+    assert(chars.subsetOf(kept), s"pruned a single char")
+    val enc = UnigramTokenizer.encodeWords(words, v3, 5)
+    assert(enc.filter(col("pieces").isNull).count() == 0)
+  }
+
   test("encode stats are partitioning-invariant and cover every word") {
     val docs = (0 until 30).map(i =>
       (i.toLong, s"alpha beta gamma delta word$i"))
