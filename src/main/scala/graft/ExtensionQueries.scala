@@ -2661,7 +2661,7 @@ object TextQueries {
     * singles + top-V selection (`vocab0`), and the integer micro-unit
     * cost table (`vocab`) — the same floor(ln·10⁶) both engines
     * compute on identical doubles. */
-  private def unigramVocabCtes(maxWordLen: Int, maxPieceLen: Int,
+  private[graft] def unigramVocabCtes(maxWordLen: Int, maxPieceLen: Int,
       topV: Int): String =
     s"""wtok AS (
         SELECT unnest(list_filter(string_split_regex(lower(text),
@@ -3446,6 +3446,39 @@ object TextQueries {
       (s, dir) => {
         val docs = Sources.table(s, dir, "documents")
         QualityModel.predictNaiveBayes(docs, "doc_id", "text",
+          QualityModel.trainNaiveBayes(docs, "doc_id", "text", "lang",
+            dim = 64),
+          dim = 64)
+      },
+      Some(s"""WITH ${nbModelCtes(64)},
+        sc AS (
+          SELECT f.doc_id, lik.cls,
+            sum(CAST(lik.w AS DECIMAL(18,6)) * f.c) AS s
+          FROM f JOIN lik ON f.j = lik.j
+          GROUP BY f.doc_id, lik.cls),
+        allsc AS (
+          SELECT d.doc_id, p.cls,
+            CAST(p.w AS DECIMAL(18,6)) + coalesce(sc.s, 0) AS score
+          FROM documents d CROSS JOIN pri p
+          LEFT JOIN sc ON d.doc_id = sc.doc_id AND p.cls = sc.cls),
+        best AS (
+          SELECT doc_id, cls AS pred, score,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, cls ASC) AS rk
+          FROM allsc)
+        SELECT doc_id, pred, score::DOUBLE AS score
+        FROM best WHERE rk = 1""")),
+
+    // the STREAMING NB form: same trained model as k broadcast weight
+    // vectors + priors, each document scored by k codegen bucket folds
+    // in one projection (no explode, no groupBy — runs inside a
+    // streaming plan; StreamingCurationSpec drives it through
+    // MemoryStream). Exact decimal folds, so it is held to the
+    // IDENTICAL oracle as the batch predictor above
+    Q("quality_nb_stream",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        QualityModel.predictNaiveBayesStateless(docs, "doc_id", "text",
           QualityModel.trainNaiveBayes(docs, "doc_id", "text", "lang",
             dim = 64),
           dim = 64)
@@ -7376,6 +7409,20 @@ object SqlSurfaceQueries {
         SELECT l_returnflag, CAST(0.95 AS DOUBLE) AS p,
           round(quantile_cont(l_extendedprice, 0.95), 4) AS q
         FROM lineitem GROUP BY l_returnflag""")),
+
+    // the unigram tokenizer's vocabulary trainer as a SQL TVF — same
+    // oracle as tokenizer_unigram_vocab (the TVF splices the exact
+    // Scala operator plan, so the SQL form cannot drift from it)
+    Q("sql_unigram_vocab",
+      (s, dir) => {
+        GraftExtensions.register(s)
+        Sources.table(s, dir, "documents")
+          .createOrReplaceTempView("docs_sqltvf_v")
+        s.sql("""SELECT piece, cnt, cost
+          FROM graft_unigram_vocab('docs_sqltvf_v', 'text', 12, 5, 40)""")
+      },
+      Some(s"""WITH ${TextQueries.unigramVocabCtes(12, 5, 40)}
+        SELECT piece, cnt, cost FROM vocab""")),
 
     // scalar SQL surface: the compiled Jaro-Winkler expression reached
     // through spark.sql, differentially against DuckDB's builtin on

@@ -150,6 +150,24 @@ object GraftExtensions {
           col("__carried." + payload).as(payload + "_asof")): _*)
           .queryExecution.logical
       }),
+    ("graft_unigram_vocab",
+      info("graft_unigram_vocab",
+        "graft_unigram_vocab(table, textCol, maxWordLen, maxPieceLen, " +
+          "topV) - count-seeded unigram-LM tokenizer vocabulary " +
+          "(piece, cnt, cost) with integer micro-nat costs"),
+      (es: Seq[Expression]) => {
+        require(es.length == 5,
+          s"graft_unigram_vocab takes 5 arguments, got ${es.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val words = graft.operators.UnigramTokenizer.wordFreq(
+          spark.table(litStr(es(0), "table")),
+          litStr(es(1), "textCol"),
+          maxWordLen = litNum(es(2), "maxWordLen").toInt)
+        graft.operators.UnigramTokenizer.trainVocab(words,
+          maxPieceLen = litNum(es(3), "maxPieceLen").toInt,
+          topV = litNum(es(4), "topV").toInt)
+          .queryExecution.logical
+      }),
     ("graft_quantiles",
       info("graft_quantiles",
         "graft_quantiles(table, keyCol, valCol, p, ...) - exact " +

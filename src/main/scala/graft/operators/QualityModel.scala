@@ -500,6 +500,57 @@ object QualityModel {
         (-col("best.ns")).cast("double").as("score"))
   }
 
+  /** STATELESS form of [[predictNaiveBayes]] — the STREAMING
+    * multiclass scorer (the NB twin of [[scoreLogRegStateless]]): the
+    * trained model rides ONE broadcast row as k dense weight vectors +
+    * k priors, each document folds its token buckets through k codegen
+    * [[graft.expressions.BucketFold]] passes in a single projection —
+    * no explode, no groupBy, no state — so it runs inside a Structured
+    * Streaming plan against a slowly-refreshed model. The class LIST
+    * is read from the model once on the driver (k strings — the
+    * model-plane tiny-collect class, like the BPE merge table): the
+    * number of classes shapes the PLAN, not the data. Scores and the
+    * name-ascending argmax tie-break are bit-identical to the batch
+    * predictor (exact decimal folds; StreamingCurationSpec pins
+    * equality). Output: (doc_id, pred, score). */
+  def predictNaiveBayesStateless(df: DataFrame, idCol: String,
+      textCol: String, model: DataFrame, dim: Int = 64): DataFrame = {
+    val zero = lit("0").cast("decimal(18,6)")
+    val classes = model.select(col("cls")).distinct()
+      .orderBy(col("cls")).collect().map(_.getString(0))
+    require(classes.nonEmpty, "model has no classes")
+    val maps = classes.zipWithIndex.map { case (c, i) =>
+      map_from_entries(collect_list(when(col("cls") === c,
+        struct(col("j"), col("w").cast("decimal(18,6)")))))
+        .as(s"__m$i")
+    }
+    val mrow = model.agg(maps.head, maps.tail: _*)
+      .select(classes.indices.flatMap { i =>
+        Seq(
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => coalesce(element_at(col(s"__m$i"), j), zero))
+            .as(s"__wv$i"),
+          element_at(col(s"__m$i"), -1).as(s"__pr$i"))
+      }: _*)
+    val scored = df.crossJoin(broadcast(mrow))
+      .select(col(idCol).as("doc_id") +:
+        graft.expressions.BucketFold.tokenBuckets(
+          graft.functions.Cleaning.tokens(lower(col(textCol))), dim)
+          .as("__bs") +:
+        classes.indices.flatMap(i =>
+          Seq(col(s"__wv$i"), col(s"__pr$i"))): _*)
+    val cells = classes.zipWithIndex.map { case (c, i) =>
+      struct(
+        (-(col(s"__pr$i") + graft.expressions.BucketFold.bucketFold(
+          col("__bs"), col(s"__wv$i")))).as("ns"),
+        lit(c).as("cls"))
+    }
+    scored
+      .withColumn("best", array_min(array(cells: _*)))
+      .select(col("doc_id"), col("best.cls").as("pred"),
+        (-col("best.ns")).cast("double").as("score"))
+  }
+
   /** CONFIDENT-LEARNING label-noise estimate (Northcutt et al. 2021)
     * over the trained classifier — the "how dirty are my labels?"
     * audit run before trusting a labeled slice: per-class confidence

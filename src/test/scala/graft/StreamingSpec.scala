@@ -563,6 +563,41 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTester {
         $"keep".as[Boolean]).collect().toSet
     assert(batch.nonEmpty && streamed == batch)
   }
+
+  test("streaming Naive Bayes: batch-trained multiclass model broadcast " +
+      "into the stateless k-fold scorer, equal to the batch argmax") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.QualityModel
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang").limit(60).cache()
+    val model = QualityModel.trainNaiveBayes(docs, "doc_id", "text",
+      "lang", dim = 64).cache()
+    assert(model.count() > 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-snb")
+    val out = dir.resolve("out").toString
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.select($"doc_id".as[Long], $"text".as[String])
+      .collect().toSeq: _*)
+    val q = QualityModel.predictNaiveBayesStateless(
+        mem.toDS().toDF("doc_id", "text"), "doc_id", "text", model,
+        dim = 64)
+      .writeStream
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .format("parquet").option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(out)
+      .select($"doc_id".as[Long], $"pred".as[String],
+        $"score".as[Double]).collect().toSet
+    val batch = QualityModel.predictNaiveBayes(docs, "doc_id", "text",
+        model, dim = 64)
+      .select($"doc_id".as[Long], $"pred".as[String],
+        $"score".as[Double]).collect().toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
 }
 
 class RegistrySpec extends AnyFunSuite with SparkTester {
