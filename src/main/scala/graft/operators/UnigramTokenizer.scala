@@ -110,6 +110,35 @@ object UnigramTokenizer {
       .select(col("piece"), col("cost"), col("n_words"), col("n_uses"))
   }
 
+  /** The exploded segmentation `(word, freq, piece)` — one row per
+    * piece USE. The shared intermediate of the EM/prune/fertility
+    * stages: computing it once per vocabulary and persisting it is
+    * what keeps [[trainingPhases]] at one Viterbi encode per phase. */
+  private def usedPieces(words: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int): DataFrame =
+    encodeWords(words, vocab, maxPieceLen)
+      .select(col("word"), col("freq"), explode(col("pieces")).as("piece"))
+
+  /** Re-estimated vocabulary from a segmentation's use counts (+1
+    * smoothing); `minUses = Some(m)` additionally prunes multi-char
+    * pieces under m frequency-weighted uses (single chars always
+    * survive — the coverage guarantee). */
+  private def vocabFromUses(vocab: DataFrame, used: DataFrame,
+      minUses: Option[Long]): DataFrame = {
+    val cnt = used.groupBy(col("piece")).agg(sum(col("freq")).as("u"))
+    val joined = vocab.select(col("piece"))
+      .join(cnt, Seq("piece"), "left")
+    val kept = minUses.fold(joined)(m => joined.filter(
+      length(col("piece")) === 1 || coalesce(col("u"), lit(0L)) >= m))
+    val v = kept.select(col("piece"),
+      (coalesce(col("u"), lit(0L)) + 1).as("cnt"))
+    val tot = v.agg(sum(col("cnt")).as("t"))
+    v.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        (-floor(log(col("cnt").cast("double") / col("t")) * 1e6))
+          .cast("long").as("cost"))
+  }
+
   /** Fertility + corpus NLL under one (vocabulary, segmentation) pair.
     * `total_cost_micro` is the corpus's total encode cost — its
     * negative log likelihood in integer micro-nats. Because every
@@ -118,10 +147,9 @@ object UnigramTokenizer {
     * step provably drives down even when the segmentation (and hence
     * fertility) is already at a fixed point. DECIMAL(38,0) sum — at
     * 10¹² tokens × 10⁷-unit word costs the int64 range is gone. */
-  private def fertilityUnder(words: DataFrame, vocab: DataFrame,
-      maxPieceLen: Int): DataFrame =
-    encodeWords(words, vocab, maxPieceLen)
-      .select(col("word"), col("freq"), explode(col("pieces")).as("piece"))
+  private def fertilityFromUsed(used: DataFrame, vocab: DataFrame)
+      : DataFrame =
+    used
       .join(vocab.select(col("piece"), col("cost")), Seq("piece"))
       .groupBy(col("word"), col("freq"))
       .agg(count(lit(1)).as("np"), sum(col("cost")).as("wcost"))
@@ -138,6 +166,10 @@ object UnigramTokenizer {
           .as("chars_per_piece"),
         col("total_cost_micro").cast("decimal(38,0)")
           .as("total_cost_micro"))
+
+  private def fertilityUnder(words: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int): DataFrame =
+    fertilityFromUsed(usedPieces(words, vocab, maxPieceLen), vocab)
 
   /** Registry surface 2: one-row corpus fertility under the trained
     * tokenizer — `(n_words, n_tokens, n_pieces, pieces_per_token,
@@ -159,19 +191,8 @@ object UnigramTokenizer {
     * costs. The vocabulary's piece SET is unchanged — this is the
     * re-estimation step; pruning would follow in a full trainer. */
   def emRound(words: DataFrame, vocab: DataFrame, maxPieceLen: Int)
-      : DataFrame = {
-    val used = encodeWords(words, vocab, maxPieceLen)
-      .select(col("word"), col("freq"), explode(col("pieces")).as("piece"))
-    val cnt2 = used.groupBy(col("piece")).agg(sum(col("freq")).as("u"))
-    val v2 = vocab.select(col("piece"))
-      .join(cnt2, Seq("piece"), "left")
-      .select(col("piece"), (coalesce(col("u"), lit(0L)) + 1).as("cnt"))
-    val tot = v2.agg(sum(col("cnt")).as("t"))
-    v2.crossJoin(broadcast(tot))
-      .select(col("piece"), col("cnt"),
-        (-floor(log(col("cnt").cast("double") / col("t")) * 1e6))
-          .cast("long").as("cost"))
-  }
+      : DataFrame =
+    vocabFromUses(vocab, usedPieces(words, vocab, maxPieceLen), None)
 
   /** Count-based vocabulary PRUNING (the third phase of the unigram
     * trainer: seed → EM → prune): drop multi-char pieces whose
@@ -186,19 +207,8 @@ object UnigramTokenizer {
   def pruneRound(words: DataFrame, vocab: DataFrame, maxPieceLen: Int,
       minUses: Long): DataFrame = {
     require(minUses >= 1, s"minUses must be >= 1, got $minUses")
-    val used = encodeWords(words, vocab, maxPieceLen)
-      .select(col("word"), col("freq"), explode(col("pieces")).as("piece"))
-    val cnt = used.groupBy(col("piece")).agg(sum(col("freq")).as("u"))
-    val v3 = vocab.select(col("piece"))
-      .join(cnt, Seq("piece"), "left")
-      .filter(length(col("piece")) === 1 ||
-        coalesce(col("u"), lit(0L)) >= minUses)
-      .select(col("piece"), (coalesce(col("u"), lit(0L)) + 1).as("cnt"))
-    val tot = v3.agg(sum(col("cnt")).as("t"))
-    v3.crossJoin(broadcast(tot))
-      .select(col("piece"), col("cnt"),
-        (-floor(log(col("cnt").cast("double") / col("t")) * 1e6))
-          .cast("long").as("cost"))
+    vocabFromUses(vocab, usedPieces(words, vocab, maxPieceLen),
+      Some(minUses))
   }
 
   /** Registry surface 4: the FULL three-phase training loop — seed,
@@ -212,18 +222,28 @@ object UnigramTokenizer {
   def trainingPhases(df: DataFrame, textCol: String,
       maxWordLen: Int = 12, maxPieceLen: Int = 5, topV: Int = 40,
       minUses: Long = 50): DataFrame = {
+    require(minUses >= 1, s"minUses must be >= 1, got $minUses")
+    // ONE Viterbi encode per phase: each phase's exploded segmentation
+    // is persisted (LAZILY — the NOTES eager-persist lesson) and feeds
+    // BOTH its fertility/NLL row and the next phase's vocabulary
+    // re-estimation. The naive per-call composition re-encodes five
+    // times: measured 17.7 -> 8.7 s cold-standalone at the pinned
+    // bench, identical hashes.
     val words = wordFreq(df, textCol, maxWordLen).persist(sl)
     val v1 = trainVocab(words, maxPieceLen, topV).persist(sl)
-    val v2 = emRound(words, v1, maxPieceLen).persist(sl)
-    val v3 = pruneRound(words, v2, maxPieceLen, minUses)
-    def phaseRow(round: Int, v: DataFrame): DataFrame =
-      fertilityUnder(words, v, maxPieceLen)
+    val used1 = usedPieces(words, v1, maxPieceLen).persist(sl)
+    val v2 = vocabFromUses(v1, used1, None).persist(sl)
+    val used2 = usedPieces(words, v2, maxPieceLen).persist(sl)
+    val v3 = vocabFromUses(v2, used2, Some(minUses)).persist(sl)
+    val used3 = usedPieces(words, v3, maxPieceLen)
+    def phaseRow(round: Int, v: DataFrame, used: DataFrame): DataFrame =
+      fertilityFromUsed(used, v)
         .crossJoin(broadcast(v.agg(count(lit(1)).as("n_vocab"))))
         .select(lit(round).as("round"), col("n_vocab"), col("n_words"),
           col("n_tokens"), col("n_pieces"), col("pieces_per_token"),
           col("chars_per_piece"), col("total_cost_micro"))
-    phaseRow(1, v1).unionByName(phaseRow(2, v2))
-      .unionByName(phaseRow(3, v3))
+    phaseRow(1, v1, used1).unionByName(phaseRow(2, v2, used2))
+      .unionByName(phaseRow(3, v3, used3))
   }
 
   /** Registry surface 3: fertility + corpus NLL per training round —
