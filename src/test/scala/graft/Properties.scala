@@ -143,3 +143,84 @@ object BpeProperties extends Properties("graft.bpe") {
         BpeCountExpr.tokenCount(w, base)
     }
 }
+
+/** Properties of the unigram Viterbi kernel
+  * (graft.expressions.UnigramViterbiExpr): against EXHAUSTIVE
+  * segmentation enumeration on short words — the DP must return the
+  * true minimum cost, rebuild its word exactly, and use only
+  * vocabulary pieces. The {a, b} alphabet forces heavy piece overlap
+  * (and hence cost ties), exactly where a DP bug would hide. */
+object UnigramViterbiProperties
+    extends Properties("graft.unigram_viterbi") {
+  import graft.expressions.UnigramViterbiExpr
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  private val word: Gen[String] =
+    Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+
+  private val maxLen = 4
+
+  /** Random costs for every substring up to maxLen (always covering
+    * singles), with small values so ties are common. */
+  private def vocabFor(w: String): Gen[Map[String, Long]] = {
+    val subs = (for {
+      i <- 0 until w.length
+      l <- 1 to math.min(maxLen, w.length - i)
+    } yield w.substring(i, i + l)).distinct
+    Gen.sequence[List[(String, Long)], (String, Long)](
+      subs.toList.map(p =>
+        Gen.choose(1L, 5L).map(c => p -> c * 1000L))).map(_.toMap)
+  }
+
+  private def run(w: String, costs: Map[String, Long])
+      : Option[(Seq[String], Long)] = {
+    val ks = costs.keys.toArray
+    val m = new ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ks.map(UTF8String.fromString(_): Any)),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ks.map(k => costs(k): Any)))
+    val out = UnigramViterbiExpr(Literal(w),
+        Literal.create(null, org.apache.spark.sql.types.MapType(
+          StringType, LongType)), maxLen)
+      .compute(UTF8String.fromString(w), m)
+    if (out == null) None
+    else {
+      val pieces = out.toObjectArray(StringType).map(_.toString).toSeq
+      Some((pieces, pieces.map(costs).sum))
+    }
+  }
+
+  /** Exhaustive minimum over all segmentations (word <= 8 chars). */
+  private def bruteMin(w: String, costs: Map[String, Long])
+      : Option[Long] = {
+    def go(i: Int): Option[Long] =
+      if (i == w.length) Some(0L)
+      else (1 to math.min(maxLen, w.length - i)).flatMap { l =>
+        costs.get(w.substring(i, i + l)).flatMap(c => go(i + l).map(_ + c))
+      }.minOption
+    go(0)
+  }
+
+  property("Viterbi cost == exhaustive minimum; pieces rebuild the " +
+      "word from vocabulary members") =
+    Prop.forAll(word.flatMap(w => vocabFor(w).map(w -> _))) {
+      case (w, costs) =>
+        (run(w, costs), bruteMin(w, costs)) match {
+          case (Some((pieces, cost)), Some(best)) =>
+            pieces.mkString("") == w &&
+              pieces.forall(costs.contains) && cost == best
+          case (None, None) => true
+          case _ => false
+        }
+    }
+
+  property("deterministic: identical inputs yield the identical " +
+      "segmentation") =
+    Prop.forAll(word.flatMap(w => vocabFor(w).map(w -> _))) {
+      case (w, costs) => run(w, costs) == run(w, costs)
+    }
+}
