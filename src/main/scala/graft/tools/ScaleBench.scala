@@ -544,6 +544,22 @@ object ScaleBench {
         .count()
     }
 
+    // closed-form Naive Bayes at factor× docs, same learnable
+    // boilerplate label as `classifier`: the NB counterfactual prices
+    // what the 3-round GD loop costs over a one-pass count model —
+    // train is two aggregates over the same hashed feature table,
+    // predict one broadcast join, so the stage should run well under
+    // `classifier` at every factor
+    if (runExt && want("nb")) timed("nb") {
+      val m = graft.operators.QualityModel.trainNaiveBayes(
+        big.withColumn("cls",
+          when(col("text").contains("archive division"), "boiler")
+            .otherwise("clean")),
+        "doc_id", "text", "cls", dim = 32)
+      graft.operators.QualityModel.predictNaiveBayes(big, "doc_id",
+        "text", m, dim = 32).filter(col("pred") === "boiler").count()
+    }
+
     // unigram tokenizer at factor× docs: on THIS corpus the salted
     // replicas blow the LEXICON up with the corpus (64 unique salt
     // tokens per replica doc), so this stage prices the tokenizer's
