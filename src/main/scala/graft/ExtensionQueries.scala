@@ -2635,7 +2635,8 @@ object TextQueries {
           ('0x' || substr(md5(term), 1, 8))::BIGINT % $dim AS j,
           count(*) AS c
         FROM nbt GROUP BY doc_id, j),
-      cls AS (SELECT doc_id, lang::VARCHAR AS cls FROM documents),
+      cls AS (SELECT doc_id, lang::VARCHAR AS cls FROM documents
+        WHERE lang IS NOT NULL),
       cnt AS (
         SELECT cls, j, sum(c)::BIGINT AS cnt
         FROM f JOIN cls USING (doc_id) GROUP BY cls, j),

@@ -452,8 +452,16 @@ object QualityModel {
     require(dim >= 2, s"dim must be >= 2, got $dim")
     val spark = df.sparkSession
     val feats = features(df, idCol, textCol, dim)
-    val cls = df.select(col(idCol).as("doc_id"),
-      col(classCol).cast("string").as("cls"))
+    // null class labels are excluded on BOTH sides (oracle mirrors with
+    // WHERE IS NOT NULL): a null class would otherwise become a model
+    // class whose ARGMAX TIE ORDER differs across engines (Spark's
+    // struct-min sorts null first, SQL's ORDER BY cls ASC sorts it
+    // last) — the null-ordering shared-blindspot class the KMV fix
+    // established. Unlabeled rows contribute no counts; they are still
+    // scored at predict time.
+    val cls = df.filter(col(classCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        col(classCol).cast("string").as("cls"))
     val cnt = feats.join(cls, Seq("doc_id"))
       .groupBy(col("cls"), col("j")).agg(sum(col("c")).as("cnt"))
     val tot = cnt.groupBy(col("cls")).agg(sum(col("cnt")).as("tot"))
