@@ -24,7 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Returns null when the word cannot be covered by the vocabulary (a
   * character outside it); callers that seed the vocabulary with every
-  * corpus character never see that. Empty word → empty array. */
+  * corpus character never see that. Empty word → empty array.
+  *
+  * Indexing caveat: positions are JVM UTF-16 code units while the SQL
+  * replay's substr counts Unicode code points — identical for BMP
+  * text (all ASCII corpora incl. the fixtures); a surrogate-pair
+  * corpus would need a code-point-indexed DP on this side. */
 case class UnigramViterbiExpr(left: Expression, right: Expression,
     maxPieceLen: Int) extends BinaryExpression {
 
