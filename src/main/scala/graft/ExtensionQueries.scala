@@ -3470,6 +3470,52 @@ object TextQueries {
         SELECT doc_id, pred, score::DOUBLE AS score
         FROM best WHERE rk = 1""")),
 
+    // NB confusion matrix: predicted vs given class counts with
+    // per-cell rates — the one-glance audit of what the classifier
+    // confuses with what (on the text-independent lang labels it reads
+    // prior-dominated, exactly what the matrix exists to reveal)
+    Q("quality_nb_confusion",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        val pred = QualityModel.predictNaiveBayes(docs, "doc_id", "text",
+          QualityModel.trainNaiveBayes(docs, "doc_id", "text", "lang",
+            dim = 64),
+          dim = 64)
+        pred.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("row_total",
+            sum(col("n")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("lang"))))
+          .select(col("lang"), col("pred"), col("n"),
+            round(col("n").cast("double") / col("row_total"), 6)
+              .as("rate"))
+      },
+      Some(s"""WITH ${nbModelCtes(64)},
+        sc AS (
+          SELECT f.doc_id, lik.cls,
+            sum(CAST(lik.w AS DECIMAL(18,6)) * f.c) AS s
+          FROM f JOIN lik ON f.j = lik.j
+          GROUP BY f.doc_id, lik.cls),
+        allsc AS (
+          SELECT d.doc_id, p.cls,
+            CAST(p.w AS DECIMAL(18,6)) + coalesce(sc.s, 0) AS score
+          FROM documents d CROSS JOIN pri p
+          LEFT JOIN sc ON d.doc_id = sc.doc_id AND p.cls = sc.cls),
+        best AS (
+          SELECT doc_id, cls AS pred,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, cls ASC) AS rk
+          FROM allsc),
+        cm AS (
+          SELECT d.lang, b.pred, count(*)::BIGINT AS n
+          FROM documents d JOIN best b
+            ON d.doc_id = b.doc_id AND b.rk = 1
+          GROUP BY d.lang, b.pred)
+        SELECT lang, pred, n,
+          round(n::DOUBLE / sum(n) OVER (PARTITION BY lang), 6) AS rate
+        FROM cm""")),
+
     // the STREAMING NB form: same trained model as k broadcast weight
     // vectors + priors, each document scored by k codegen bucket folds
     // in one projection (no explode, no groupBy — runs inside a
@@ -5997,6 +6043,45 @@ object CurationQueries {
           count(DISTINCT split_part(text, ' ', 1)) AS n_sensitive,
           count(DISTINCT split_part(text, ' ', 1)) >= 3 AS l_diverse
         FROM documents GROUP BY 1, 2, 3""")),
+
+    // the one-row k-anonymity RELEASE GATE: equivalence-class counts,
+    // how many classes (and rows) violate k or l — the number a
+    // release pipeline actually gates on, rolled up from the same
+    // audit the per-class row details
+    Q("privacy_k_anonymity_summary",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+          .withColumn("size_bucket", expr("n_chars div 100"))
+        Curation.kAnonymityAudit(docs,
+            Seq("lang", "source", "size_bucket"),
+            element_at(split(col("text"), " "), 1), k = 5, l = 3)
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when(!col("k_anonymous"), 1L).otherwise(0L))
+              .as("classes_under_k"),
+            sum(when(!col("k_anonymous"), col("n_docs")).otherwise(0L))
+              .as("rows_at_risk"),
+            sum(when(!col("l_diverse"), 1L).otherwise(0L))
+              .as("classes_under_l"),
+            sum(col("n_docs")).as("n_rows"))
+          .withColumn("risk_frac",
+            round(col("rows_at_risk").cast("double") / col("n_rows"), 6))
+      },
+      Some("""WITH a AS (
+          SELECT lang, source, n_chars // 100 AS size_bucket,
+            count(*) AS n_docs, count(*) >= 5 AS k_anonymous,
+            count(DISTINCT split_part(text, ' ', 1)) >= 3 AS l_diverse
+          FROM documents GROUP BY 1, 2, 3)
+        SELECT count(*)::BIGINT AS n_classes,
+          sum(CASE WHEN NOT k_anonymous THEN 1 ELSE 0 END)::BIGINT
+            AS classes_under_k,
+          sum(CASE WHEN NOT k_anonymous THEN n_docs ELSE 0 END)::BIGINT
+            AS rows_at_risk,
+          sum(CASE WHEN NOT l_diverse THEN 1 ELSE 0 END)::BIGINT
+            AS classes_under_l,
+          sum(n_docs)::BIGINT AS n_rows,
+          round(sum(CASE WHEN NOT k_anonymous THEN n_docs ELSE 0 END)
+            ::DOUBLE / sum(n_docs), 6) AS risk_frac
+        FROM a""")),
 
     // deterministic ~37% sample — a pure filter, reproducible at any scale
     Q("curation_sample",
