@@ -2663,11 +2663,11 @@ object TextQueries {
     * cost table (`vocab`) — the same floor(ln·10⁶) both engines
     * compute on identical doubles. */
   private[graft] def unigramVocabCtes(maxWordLen: Int, maxPieceLen: Int,
-      topV: Int): String =
+      topV: Int, srcWhere: String = "TRUE"): String =
     s"""wtok AS (
         SELECT unnest(list_filter(string_split_regex(lower(text),
           '\\s+'), x -> x <> '')) AS word
-        FROM documents),
+        FROM documents WHERE ($srcWhere)),
       words AS (
         SELECT word, count(*) AS freq FROM wtok
         WHERE length(word) <= $maxWordLen GROUP BY word),
@@ -2702,7 +2702,8 @@ object TextQueries {
     * hash-checkable. Requires the `words` and `vocab` CTEs of
     * [[unigramVocabCtes]] in scope. */
   private def unigramDpCtes(maxWordLen: Int, maxPieceLen: Int,
-      p: String = "", vocabCte: String = "vocab"): String = {
+      p: String = "", vocabCte: String = "vocab",
+      wordsCte: String = "words"): String = {
     val dChain = (1 to maxWordLen).map { i =>
       val branches = (math.max(0, i - maxPieceLen) until i).map { j =>
         s"SELECT word, cost, $j AS j FROM ${p}d$j " +
@@ -2731,7 +2732,7 @@ object TextQueries {
         JOIN ${p}jb jb ON jb.word = s.word AND jb.i = s.pos
         WHERE s.pos > 0"""
     }.mkString("\n          UNION ALL ")
-    s"""${p}d0 AS (SELECT word, 0::BIGINT AS cost FROM words),
+    s"""${p}d0 AS (SELECT word, 0::BIGINT AS cost FROM $wordsCte),
       $dChain,
       ${p}jb AS (
         SELECT word, i, j FROM (
@@ -2741,7 +2742,8 @@ object TextQueries {
           FROM ($jbBranches) u
           JOIN $vocabCte v ON v.piece = substr(u.word, u.j + 1, u.i - u.j))
         WHERE rk = 1),
-      ${p}s0 AS (SELECT word, length(word)::INTEGER AS pos FROM words),
+      ${p}s0 AS (SELECT word, length(word)::INTEGER AS pos
+        FROM $wordsCte),
       $sChain,
       ${p}used AS (
         SELECT word, substr(word, st + 1, en - st) AS piece FROM (
@@ -3605,6 +3607,55 @@ object TextQueries {
           sum(CAST(w.freq * pc.wcost AS DECIMAL(38,0)))
             AS total_cost_micro
         FROM words w JOIN pc ON w.word = pc.word""")),
+
+    // held-out evaluation: vocabulary trained on the md5-even half,
+    // fertility + NLL + explicit OOV counts measured on the md5-odd
+    // half — the unbiased tokenizer number (train-slice fertility is
+    // biased low). The oracle trains on one WHERE slice and runs the
+    // unrolled DP over the other
+    Q("tokenizer_unigram_heldout",
+      (s, dir) => UnigramTokenizer.heldOutFertility(
+        Sources.table(s, dir, "documents"), "text",
+        trainFilter = Curation.hashBucket(col("doc_id"), 2) === 0,
+        heldFilter = Curation.hashBucket(col("doc_id"), 2) === 1,
+        maxWordLen = 12, maxPieceLen = 5, topV = 40),
+      Some {
+        val even =
+          "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2 = 0"
+        val odd =
+          "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2 = 1"
+        s"""WITH ${unigramVocabCtes(12, 5, 40, srcWhere = even)},
+        hwtok AS (
+          SELECT unnest(list_filter(string_split_regex(lower(text),
+            '\\s+'), x -> x <> '')) AS word
+          FROM documents WHERE ($odd)),
+        hwords AS (
+          SELECT word, count(*) AS freq FROM hwtok
+          WHERE length(word) <= 12 GROUP BY word),
+        ${unigramDpCtes(12, 5, p = "h", vocabCte = "vocab",
+          wordsCte = "hwords")},
+        pc AS (
+          SELECT u.word, count(*) AS np, sum(v.cost)::BIGINT AS wcost
+          FROM hused u JOIN vocab v ON u.piece = v.piece
+          GROUP BY u.word)
+        SELECT count(pc.word)::BIGINT AS n_words,
+          sum(CASE WHEN pc.word IS NULL THEN 1 ELSE 0 END)::BIGINT
+            AS n_oov_words,
+          coalesce(sum(CASE WHEN pc.word IS NULL THEN w.freq END), 0)
+            ::BIGINT AS n_oov_tokens,
+          sum(CASE WHEN pc.word IS NOT NULL THEN w.freq END)::BIGINT
+            AS n_tokens,
+          sum(w.freq * pc.np)::BIGINT AS n_pieces,
+          round(sum(w.freq * pc.np)::DOUBLE /
+            sum(CASE WHEN pc.word IS NOT NULL THEN w.freq END), 6)
+            AS pieces_per_token,
+          round(sum(CASE WHEN pc.word IS NOT NULL
+              THEN w.freq * length(w.word) END)::DOUBLE /
+            sum(w.freq * pc.np), 6) AS chars_per_piece,
+          sum(CAST(w.freq * pc.wcost AS DECIMAL(38,0)))
+            AS total_cost_micro
+        FROM hwords w LEFT JOIN pc ON w.word = pc.word"""
+      }),
 
     // stage 4: one Viterbi-EM re-estimation round — piece counts
     // re-estimated from actual segmentation use (+1 smoothing), costs

@@ -183,6 +183,37 @@ object UnigramTokenizer {
     fertilityUnder(words, vocab, maxPieceLen)
   }
 
+  /** HELD-OUT tokenizer evaluation — the unbiased form of
+    * [[fertility]]: train the vocabulary on the `trainFilter` slice,
+    * measure fertility/NLL on the DISJOINT `heldFilter` slice (plus
+    * explicit OOV counts: held-out words containing a character the
+    * training slice never produced cannot be encoded and are reported,
+    * not silently dropped). Fertility measured on training text is
+    * biased low — this is the number to trust before committing a
+    * vocabulary. Output one row: (n_words, n_oov_words, n_oov_tokens,
+    * n_tokens, n_pieces, pieces_per_token, chars_per_piece,
+    * total_cost_micro), all over the held-out slice. */
+  def heldOutFertility(df: DataFrame, textCol: String,
+      trainFilter: org.apache.spark.sql.Column,
+      heldFilter: org.apache.spark.sql.Column, maxWordLen: Int = 12,
+      maxPieceLen: Int = 5, topV: Int = 40): DataFrame = {
+    val vocab = trainVocab(
+      wordFreq(df.filter(trainFilter), textCol, maxWordLen),
+      maxPieceLen, topV).persist(sl)
+    val held = wordFreq(df.filter(heldFilter), textCol, maxWordLen)
+    val enc = encodeWords(held, vocab, maxPieceLen).persist(sl)
+    val oov = enc.filter(col("pieces").isNull)
+      .agg(count(lit(1)).as("n_oov_words"),
+        coalesce(sum(col("freq")), lit(0L)).as("n_oov_tokens"))
+    val used = enc.filter(col("pieces").isNotNull)
+      .select(col("word"), col("freq"), explode(col("pieces")).as("piece"))
+    fertilityFromUsed(used, vocab)
+      .crossJoin(broadcast(oov))
+      .select(col("n_words"), col("n_oov_words"), col("n_oov_tokens"),
+        col("n_tokens"), col("n_pieces"), col("pieces_per_token"),
+        col("chars_per_piece"), col("total_cost_micro"))
+  }
+
   /** One Viterbi-EM round (hard EM — the documented Viterbi variant of
     * Kudo's EM step): re-estimate each piece's count as its
     * frequency-weighted USE count under the current segmentation

@@ -106,6 +106,22 @@ class UnigramTokenizerSpec extends AnyFunSuite with SparkTester {
     assert(enc.filter(col("pieces").isNull).count() == 0)
   }
 
+  test("held-out fertility reports OOV words instead of dropping them " +
+      "silently") {
+    // train slice speaks {a,b,c}; held-out adds a word with 'z' — no
+    // training substring covers it, so it must surface as OOV while
+    // the coverable held-out words still measure
+    val docs = Seq(
+      (1L, "abc cab bac abc"), (2L, "cab abc"),
+      (3L, "bac zzz cab")).toDF("doc_id", "text")
+    val r = UnigramTokenizer.heldOutFertility(docs, "text",
+      trainFilter = col("doc_id") <= 2, heldFilter = col("doc_id") === 3,
+      maxWordLen = 12, maxPieceLen = 5, topV = 10).head()
+    assert(r.getLong(0) == 2, s"coverable held-out words: $r")
+    assert(r.getLong(1) == 1 && r.getLong(2) == 1, s"OOV counts: $r")
+    assert(r.getLong(3) == 2, s"held-out tokens measured: $r")
+  }
+
   test("encode stats are partitioning-invariant and cover every word") {
     val docs = (0 until 30).map(i =>
       (i.toLong, s"alpha beta gamma delta word$i"))
