@@ -3600,10 +3600,10 @@ object TextQueries {
         SELECT count(*)::BIGINT AS n_words,
           sum(w.freq)::BIGINT AS n_tokens,
           sum(w.freq * pc.np)::BIGINT AS n_pieces,
-          round(sum(w.freq * pc.np)::DOUBLE / sum(w.freq), 6)
-            AS pieces_per_token,
-          round(sum(w.freq * length(w.word))::DOUBLE /
-            sum(w.freq * pc.np), 6) AS chars_per_piece,
+          ((sum(w.freq * pc.np)::BIGINT * 1000000) //
+            sum(w.freq)::BIGINT)::BIGINT AS pieces_per_token_micro,
+          ((sum(w.freq * length(w.word))::BIGINT * 1000000) //
+            sum(w.freq * pc.np)::BIGINT)::BIGINT AS chars_per_piece_micro,
           sum(CAST(w.freq * pc.wcost AS DECIMAL(38,0)))
             AS total_cost_micro
         FROM words w JOIN pc ON w.word = pc.word""")),
@@ -3646,12 +3646,12 @@ object TextQueries {
           sum(CASE WHEN pc.word IS NOT NULL THEN w.freq END)::BIGINT
             AS n_tokens,
           sum(w.freq * pc.np)::BIGINT AS n_pieces,
-          round(sum(w.freq * pc.np)::DOUBLE /
-            sum(CASE WHEN pc.word IS NOT NULL THEN w.freq END), 6)
-            AS pieces_per_token,
-          round(sum(CASE WHEN pc.word IS NOT NULL
-              THEN w.freq * length(w.word) END)::DOUBLE /
-            sum(w.freq * pc.np), 6) AS chars_per_piece,
+          ((sum(w.freq * pc.np)::BIGINT * 1000000) //
+            sum(CASE WHEN pc.word IS NOT NULL THEN w.freq END)::BIGINT)
+            ::BIGINT AS pieces_per_token_micro,
+          ((sum(CASE WHEN pc.word IS NOT NULL
+              THEN w.freq * length(w.word) END)::BIGINT * 1000000) //
+            sum(w.freq * pc.np)::BIGINT)::BIGINT AS chars_per_piece_micro,
           sum(CAST(w.freq * pc.wcost AS DECIMAL(38,0)))
             AS total_cost_micro
         FROM hwords w LEFT JOIN pc ON w.word = pc.word"""
@@ -3674,10 +3674,11 @@ object TextQueries {
           s"""SELECT $round AS round, count(*)::BIGINT AS n_words,
             sum(w.freq)::BIGINT AS n_tokens,
             sum(w.freq * pc.np)::BIGINT AS n_pieces,
-            round(sum(w.freq * pc.np)::DOUBLE / sum(w.freq), 6)
-              AS pieces_per_token,
-            round(sum(w.freq * length(w.word))::DOUBLE /
-              sum(w.freq * pc.np), 6) AS chars_per_piece,
+            ((sum(w.freq * pc.np)::BIGINT * 1000000) //
+              sum(w.freq)::BIGINT)::BIGINT AS pieces_per_token_micro,
+            ((sum(w.freq * length(w.word))::BIGINT * 1000000) //
+              sum(w.freq * pc.np)::BIGINT)::BIGINT
+              AS chars_per_piece_micro,
             sum(CAST(w.freq * pc.wcost AS DECIMAL(38,0)))
               AS total_cost_micro
           FROM words w JOIN (
@@ -3721,10 +3722,11 @@ object TextQueries {
             count(*)::BIGINT AS n_words,
             sum(w.freq)::BIGINT AS n_tokens,
             sum(w.freq * pc.np)::BIGINT AS n_pieces,
-            round(sum(w.freq * pc.np)::DOUBLE / sum(w.freq), 6)
-              AS pieces_per_token,
-            round(sum(w.freq * length(w.word))::DOUBLE /
-              sum(w.freq * pc.np), 6) AS chars_per_piece,
+            ((sum(w.freq * pc.np)::BIGINT * 1000000) //
+              sum(w.freq)::BIGINT)::BIGINT AS pieces_per_token_micro,
+            ((sum(w.freq * length(w.word))::BIGINT * 1000000) //
+              sum(w.freq * pc.np)::BIGINT)::BIGINT
+              AS chars_per_piece_micro,
             sum(CAST(w.freq * pc.wcost AS DECIMAL(38,0)))
               AS total_cost_micro
           FROM words w JOIN (

@@ -146,7 +146,18 @@ object UnigramTokenizer {
     * set, the NLL is comparable across rounds: it is the number the EM
     * step provably drives down even when the segmentation (and hence
     * fertility) is already at a fixed point. DECIMAL(38,0) sum — at
-    * 10¹² tokens × 10⁷-unit word costs the int64 range is gone. */
+    * 10¹² tokens × 10⁷-unit word costs the int64 range is gone.
+    *
+    * The two fertility RATIOS are emitted as exact integer micro-units
+    * (`x_micro = (num * 10⁶) DIV den`, both operands exact int64) —
+    * NEVER as `round(double, 6)`: dividing exact integers and
+    * re-rounding the binary quotient lands on half-ties where Spark's
+    * HALF_UP and other engines' binary rounding disagree (the
+    * [[Graph]] `harmonic` lesson, `Graph.scala` micro-unit fold; this
+    * exact class cost 4 hash-red rows in round 9). Integer DIV
+    * truncates identically everywhere. Bound: n_pieces·10⁶ must fit
+    * int64 — good to ~9.2·10¹² pieces; shard the corpus or drop the
+    * scale before that. */
   private def fertilityFromUsed(used: DataFrame, vocab: DataFrame)
       : DataFrame =
     used
@@ -160,10 +171,10 @@ object UnigramTokenizer {
         sum((col("freq") * col("wcost")).cast("decimal(38,0)"))
           .as("total_cost_micro"))
       .select(col("n_words"), col("n_tokens"), col("n_pieces"),
-        round(col("n_pieces").cast("double") / col("n_tokens"), 6)
-          .as("pieces_per_token"),
-        round(col("__chars").cast("double") / col("n_pieces"), 6)
-          .as("chars_per_piece"),
+        expr("(n_pieces * 1000000L) DIV n_tokens")
+          .as("pieces_per_token_micro"),
+        expr("(__chars * 1000000L) DIV n_pieces")
+          .as("chars_per_piece_micro"),
         col("total_cost_micro").cast("decimal(38,0)")
           .as("total_cost_micro"))
 
@@ -172,8 +183,8 @@ object UnigramTokenizer {
     fertilityFromUsed(usedPieces(words, vocab, maxPieceLen), vocab)
 
   /** Registry surface 2: one-row corpus fertility under the trained
-    * tokenizer — `(n_words, n_tokens, n_pieces, pieces_per_token,
-    * chars_per_piece)`; the budget statistic that prices a vocabulary
+    * tokenizer — `(n_words, n_tokens, n_pieces, pieces_per_token_micro,
+    * chars_per_piece_micro)`; the budget statistic that prices a vocabulary
     * before committing a 100 TB encode ([[TextAnalysis]]
     * `text_fertility`'s trained-tokenizer twin). */
   def fertility(df: DataFrame, textCol: String, maxWordLen: Int = 12,
@@ -191,7 +202,7 @@ object UnigramTokenizer {
     * not silently dropped). Fertility measured on training text is
     * biased low — this is the number to trust before committing a
     * vocabulary. Output one row: (n_words, n_oov_words, n_oov_tokens,
-    * n_tokens, n_pieces, pieces_per_token, chars_per_piece,
+    * n_tokens, n_pieces, pieces_per_token_micro, chars_per_piece_micro,
     * total_cost_micro), all over the held-out slice. */
   def heldOutFertility(df: DataFrame, textCol: String,
       trainFilter: org.apache.spark.sql.Column,
@@ -210,8 +221,8 @@ object UnigramTokenizer {
     fertilityFromUsed(used, vocab)
       .crossJoin(broadcast(oov))
       .select(col("n_words"), col("n_oov_words"), col("n_oov_tokens"),
-        col("n_tokens"), col("n_pieces"), col("pieces_per_token"),
-        col("chars_per_piece"), col("total_cost_micro"))
+        col("n_tokens"), col("n_pieces"), col("pieces_per_token_micro"),
+        col("chars_per_piece_micro"), col("total_cost_micro"))
   }
 
   /** One Viterbi-EM round (hard EM — the documented Viterbi variant of
@@ -248,8 +259,8 @@ object UnigramTokenizer {
     * number that pruning moves; NLL may tick UP at the prune (mass
     * redistribution over fewer pieces) while the vocabulary shrinks —
     * the compression-vs-likelihood trade the row prices. Output:
-    * (round, n_vocab, n_words, n_tokens, n_pieces, pieces_per_token,
-    * chars_per_piece, total_cost_micro). */
+    * (round, n_vocab, n_words, n_tokens, n_pieces,
+    * pieces_per_token_micro, chars_per_piece_micro, total_cost_micro). */
   def trainingPhases(df: DataFrame, textCol: String,
       maxWordLen: Int = 12, maxPieceLen: Int = 5, topV: Int = 40,
       minUses: Long = 50): DataFrame = {
@@ -271,8 +282,9 @@ object UnigramTokenizer {
       fertilityFromUsed(used, v)
         .crossJoin(broadcast(v.agg(count(lit(1)).as("n_vocab"))))
         .select(lit(round).as("round"), col("n_vocab"), col("n_words"),
-          col("n_tokens"), col("n_pieces"), col("pieces_per_token"),
-          col("chars_per_piece"), col("total_cost_micro"))
+          col("n_tokens"), col("n_pieces"),
+          col("pieces_per_token_micro"), col("chars_per_piece_micro"),
+          col("total_cost_micro"))
     phaseRow(1, v1, used1).unionByName(phaseRow(2, v2, used2))
       .unionByName(phaseRow(3, v3, used3))
   }
@@ -287,7 +299,7 @@ object UnigramTokenizer {
     * Fertility may hold flat — a decent seed often IS the Viterbi
     * fixed point (the registry corpus is; the spec's morpheme corpus
     * shows the NLL still dropping there). Output: (round, n_words,
-    * n_tokens, n_pieces, pieces_per_token, chars_per_piece,
+    * n_tokens, n_pieces, pieces_per_token_micro, chars_per_piece_micro,
     * total_cost_micro). */
   def fertilityByRound(df: DataFrame, textCol: String,
       maxWordLen: Int = 12, maxPieceLen: Int = 5, topV: Int = 40)

@@ -50,6 +50,127 @@ class OracleHygieneSpec extends AnyFunSuite {
     assert(doubled.isEmpty, doubled.keys.toSeq.sorted.mkString(", "))
   }
 
+  // ---- rounded-double-division pin (round 9 incident) ------------------
+  //
+  // `round(<double division>, k)` in a hash-compared oracle is a latent
+  // cross-engine hazard: when the exact quotient lands on a half-tie at
+  // the (k+1)-th decimal, Spark's HALF_UP decimal rounding and DuckDB's
+  // round-to-nearest-even on the binary double disagree — and WHICH rows
+  // tie depends on the data, so a locally-green oracle can go red on the
+  // driver's DuckDB (round 9: the four tokenizer_unigram_* fertility
+  // rows). The safe forms are exact integer micro-units
+  // (`(num * 10⁶) DIV den`, the Graph.harmonic / UnigramTokenizer fix)
+  // or a single UNROUNDED division as the final emitted value.
+  //
+  // This pin freezes the set of oracles that still round a division to
+  // the audited grandfather list below — every name on it was
+  // hash-green on the DRIVER's DuckDB in CORRECTNESS_r09 (an empirical
+  // cross-engine audit on the pinned corpus). Adding a NEW rounded
+  // division trips the spec and forces the micro-unit form instead.
+
+  /** Spans of `round(...)` whose argument list contains a `/` at the
+    * round call's own paren depth or deeper — a rounded division. */
+  private def hasRoundedDivision(sql: String): Boolean = {
+    val s = sql.toLowerCase
+    var i = s.indexOf("round(")
+    while (i >= 0) {
+      var depth = 1
+      var j = i + "round(".length
+      while (j < s.length && depth > 0) {
+        s(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case '/' => return true
+          case _ =>
+        }
+        j += 1
+      }
+      i = s.indexOf("round(", i + 1)
+    }
+    false
+  }
+
+  // Every name below was hash_match:true in the DRIVER's
+  // CORRECTNESS_r09.json — the cross-engine empirical audit. New rounded
+  // divisions go through the micro-unit form, not onto this list.
+  private val roundedDivisionGrandfathered: Set[String] = Set(
+    "agg_hll_groups", "agg_hll_md5", "agg_hll_md5_raw", "agg_kmv",
+    "agg_kmv_groups", "agg_kmv_intersect", "agg_kmv_union", "assoc_rules",
+    "contrastive_triplets", "corpus_length_kl", "corpus_mixture",
+    "corpus_overlap_minhash", "corpus_report", "corpus_source_jsd",
+    "corpus_zipf", "curation_ccnet_buckets", "curation_classifier_budget",
+    "curation_classifier_filter", "curation_classifier_stream",
+    "curation_doremi", "curation_dsir", "curation_dsir_stream",
+    "curation_gopher", "curation_kappa", "curation_length_sweep",
+    "curation_sample_temperature", "curation_sample_weighted",
+    "curation_soft_dedup", "curation_split_by_cluster",
+    "curation_survivors", "curation_survivors_embedding",
+    "dedup_cdc_chunks", "dedup_cluster_stats", "dedup_clusters",
+    "dedup_clusters_ls", "dedup_containment", "dedup_embedding",
+    "dedup_embedding_lsh", "dedup_eval", "dedup_incremental",
+    "dedup_lsh_tune", "dedup_minhash", "dedup_ngram_jaccard",
+    "dedup_semantic", "dedup_semantic_tree", "dedup_survivor_quality",
+    "dedup_threshold_sweep", "dedup_winnow_pairs",
+    "embedding_davies_bouldin", "embedding_intrinsic_dim",
+    "embedding_knn_graph", "embedding_knn_graph_lsh",
+    "embedding_label_centroids", "embedding_matryoshka",
+    "embedding_outliers", "embedding_pca_deflate", "embedding_pca_power",
+    "embedding_pca_project", "embedding_pq_residual",
+    "embedding_quantize_sq", "embedding_silhouette",
+    "embedding_standardize", "embedding_whiten", "events_anomaly",
+    "events_autocorr", "events_cohort_ltv", "events_cooccurrence",
+    "events_cusum", "events_dau_mau", "events_dispersion", "events_ewma",
+    "events_forecast_naive", "events_markov", "events_seasonality",
+    "events_sequence_rules", "events_survival_km", "graph_assortativity",
+    "graph_clustcoef", "graph_harmonic", "graph_link_prediction",
+    "graph_modularity", "graph_reciprocity", "knn_graph_recall",
+    "layout_zonemap_prune", "link_blocking_jw", "multimodal_audio_vad",
+    "numeric_benford", "numeric_corr_matrix", "numeric_lorenz",
+    "numeric_mad_outliers", "numeric_winsorize", "pipeline_curate",
+    "pipeline_curate_model", "pipeline_curate_text",
+    "privacy_k_anonymity_summary", "profile_skew", "quality_brier",
+    "quality_calibration", "quality_confident_learning",
+    "quality_nb_confusion", "quality_nb_predict", "quality_nb_stream",
+    "quality_pr_curve", "quality_psi", "quality_roc_auc",
+    "quality_train_lr", "quality_train_nb", "search_bm25",
+    "search_eval_ndcg", "search_hybrid", "search_rrf",
+    "simsearch_hard_negatives", "simsearch_ivf", "simsearch_ivf_kmeans",
+    "simsearch_ivf_kmeanspp", "simsearch_positives",
+    "simsearch_recall_eval", "simsearch_text_sparse", "simsearch_topk",
+    "sql_dedup_survivors", "sql_minhash_pairs", "stats_ab_test",
+    "stats_chi2", "stats_ks", "stats_ols", "stats_permutation",
+    "stats_welch_t", "text_bigram_logprob", "text_bm25",
+    "text_boilerplate", "text_collocations", "text_entropy",
+    "text_fertility", "text_hapax_ratio", "text_kneser_ney",
+    "text_ngram_coverage", "text_ngram_novelty", "text_quality",
+    "text_quality_model", "text_rake_keywords", "text_repetition",
+    "text_selfoverlap", "text_tfidf", "text_unigram_logprob")
+
+  test("no NEW oracle rounds a double division (half-tie hazard; use " +
+      "integer micro-units instead — round 9 tokenizer incident)") {
+    val offenders = oracles.filter(o => hasRoundedDivision(o._2)).keySet
+    val fresh = offenders -- roundedDivisionGrandfathered
+    val gone = roundedDivisionGrandfathered -- offenders
+    assert(fresh.isEmpty,
+      s"new rounded-division oracles (emit exact integer micro-units " +
+        s"instead): ${fresh.toSeq.sorted.mkString(", ")}")
+    assert(gone.isEmpty,
+      s"stale grandfather entries (prune the list): " +
+        gone.toSeq.sorted.mkString(", "))
+  }
+
+  test("the fixed tokenizer fertility oracles emit micro-unit integers, " +
+      "not rounded doubles") {
+    val fixed = Seq("tokenizer_unigram_fertility", "tokenizer_unigram_em",
+      "tokenizer_unigram_heldout", "tokenizer_unigram_phases")
+    fixed.foreach { n =>
+      val sql = oracles(n)
+      assert(!hasRoundedDivision(sql), s"$n regressed to round(x/y)")
+      assert(sql.contains("pieces_per_token_micro"),
+        s"$n lost its micro-unit column")
+    }
+  }
+
   test("no oracle uses a SQL WINDOW clause (the rewrite would corrupt " +
       "`w AS (` into a mid-statement hint — round 8 incident)") {
     // window_rank_family originally wrote `WINDOW w AS (...)`; the
