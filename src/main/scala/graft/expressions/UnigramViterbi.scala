@@ -26,14 +26,39 @@ import org.apache.spark.unsafe.types.UTF8String
   * character outside it); callers that seed the vocabulary with every
   * corpus character never see that. Empty word → empty array.
   *
-  * Indexing caveat: positions are JVM UTF-16 code units while the SQL
-  * replay's substr counts Unicode code points — identical for BMP
-  * text (all ASCII corpora incl. the fixtures); a surrogate-pair
-  * corpus would need a code-point-indexed DP on this side. */
+  * DP positions are Unicode CODE POINTS (the word is exploded to a
+  * code-point array up front), matching the SQL replay's substr/length
+  * semantics exactly — a surrogate-pair (non-BMP) word segments
+  * identically in both engines; for BMP text the array is just the
+  * chars. */
 case class UnigramViterbiExpr(left: Expression, right: Expression,
     maxPieceLen: Int) extends BinaryExpression {
 
   require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+
+  // The vocabulary rides ONE broadcast map row repeated onto every word;
+  // decoding MapData -> HashMap is O(|vocab|) and must not run per word.
+  // Cache keyed on the MapData instance (identity): same object -> reuse;
+  // a fresh wrapper just rebuilds (correct either way). Single volatile
+  // tuple write so a cross-thread race sees null or a consistent pair.
+  @transient @volatile private var vocabCache
+      : (MapData, java.util.HashMap[String, java.lang.Long]) = null
+
+  private def decodedCosts(m: MapData)
+      : java.util.HashMap[String, java.lang.Long] = {
+    val c = vocabCache
+    if (c != null && (c._1 eq m)) return c._2
+    val costs = new java.util.HashMap[String, java.lang.Long](
+      m.numElements() * 2)
+    val keys = m.keyArray(); val vals = m.valueArray()
+    var t = 0
+    while (t < m.numElements()) {
+      costs.put(keys.getUTF8String(t).toString, vals.getLong(t))
+      t += 1
+    }
+    vocabCache = (m, costs)
+    costs
+  }
 
   override def dataType: DataType = ArrayType(StringType)
   override def nullable: Boolean = true
@@ -56,15 +81,13 @@ case class UnigramViterbiExpr(left: Expression, right: Expression,
 
   def compute(w: UTF8String, m: MapData): ArrayData = {
     val word = w.toString
-    val n = word.length
+    // code-point array: DP indexes match the oracle's substr/length
+    // code-point semantics for non-BMP text; for BMP it's the chars
+    val cps = word.codePoints().toArray
+    val n = cps.length
     if (n == 0) return new GenericArrayData(Array.empty[Any])
-    val costs = new java.util.HashMap[String, java.lang.Long]()
-    val keys = m.keyArray(); val vals = m.valueArray()
-    var t = 0
-    while (t < m.numElements()) {
-      costs.put(keys.getUTF8String(t).toString, vals.getLong(t))
-      t += 1
-    }
+    val costs = decodedCosts(m)
+    def piece(j: Int, i: Int): String = new String(cps, j, i - j)
     val INF = Long.MaxValue / 4
     val dp = Array.fill(n + 1)(INF)
     val back = Array.fill(n + 1)(-1)
@@ -74,7 +97,7 @@ case class UnigramViterbiExpr(left: Expression, right: Expression,
       var j = math.max(0, i - maxPieceLen)
       while (j < i) {
         if (dp(j) < INF) {
-          val c = costs.get(word.substring(j, i))
+          val c = costs.get(piece(j, i))
           if (c != null && dp(j) + c < dp(i)) {
             dp(i) = dp(j) + c
             back(i) = j
@@ -89,7 +112,7 @@ case class UnigramViterbiExpr(left: Expression, right: Expression,
     var out = List.empty[Any]
     while (pos > 0) {
       val j = back(pos)
-      out = UTF8String.fromString(word.substring(j, pos)) :: out
+      out = UTF8String.fromString(piece(j, pos)) :: out
       pos = j
     }
     new GenericArrayData(out.toArray)

@@ -532,13 +532,18 @@ object QualityModel {
         struct(col("j"), col("w").cast("decimal(18,6)")))))
         .as(s"__m$i")
     }
+    // try_element_at, not element_at: under ANSI mode (Spark 4 default)
+    // element_at THROWS on a missing map key before the coalesce fallback
+    // can apply — a model pruned of some bucket, or a dim wider than the
+    // trained one, must score the missing buckets as 0 (the batch
+    // predictor's left-join semantics), not kill the streaming job
     val mrow = model.agg(maps.head, maps.tail: _*)
       .select(classes.indices.flatMap { i =>
         Seq(
           transform(sequence(lit(0), lit(dim - 1)),
-            j => coalesce(element_at(col(s"__m$i"), j), zero))
+            j => coalesce(try_element_at(col(s"__m$i"), j), zero))
             .as(s"__wv$i"),
-          element_at(col(s"__m$i"), -1).as(s"__pr$i"))
+          try_element_at(col(s"__m$i"), lit(-1)).as(s"__pr$i"))
       }: _*)
     val scored = df.crossJoin(broadcast(mrow))
       .select(col(idCol).as("doc_id") +:

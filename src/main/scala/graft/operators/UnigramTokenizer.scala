@@ -34,6 +34,38 @@ object UnigramTokenizer {
 
   private val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
+  // Persist-lifecycle discipline (the Dedup/Similarity convention): the
+  // per-call intermediates below are persisted privately, so a caller
+  // can never unpersist them; a long-lived session running many
+  // tokenizer queries would otherwise accumulate cached blocks without
+  // bound. Every persist goes through this bounded FIFO registry —
+  // past `maxCached` entries the oldest are unpersisted (non-blocking).
+  // Evicting a frame whose query later re-runs only costs a recompute,
+  // never correctness; with ≤6 persists per call and a 16-entry bound,
+  // eviction touches prior calls only.
+  private val maxCached = 16
+  private val cached =
+    new java.util.ArrayDeque[org.apache.spark.sql.DataFrame]()
+
+  private def persisted(df: DataFrame): DataFrame = cached.synchronized {
+    while (cached.size >= maxCached) {
+      try cached.pollFirst().unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
+    val p = df.persist(sl)
+    cached.addLast(p)
+    p
+  }
+
+  /** Unpersist every intermediate this operator still has cached —
+    * for callers that want a clean session after a tokenizer batch. */
+  def unpersistAll(): Unit = cached.synchronized {
+    while (!cached.isEmpty) {
+      try cached.pollFirst().unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
+  }
+
   /** Distinct `(word, freq)` over the corpus token stream ([[
     * graft.functions.Cleaning.tokens]] convention: lowercase,
     * whitespace-split, empties dropped). Words longer than `maxWordLen`
@@ -66,7 +98,7 @@ object UnigramTokenizer {
               least(lit(maxPieceLen), length(col("word")) - s)),
             l => col("word").substr(s + 1, l))))).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
-      .persist(sl)
+      .transform(persisted)
     val singles = cand.filter(length(col("piece")) === 1)
     // TakeOrdered, not a global window: per-partition heaps of topV
     val longer = cand.filter(length(col("piece")) >= 2)
@@ -99,7 +131,7 @@ object UnigramTokenizer {
     * earn their vocabulary slot. */
   def pieceStats(df: DataFrame, textCol: String, maxWordLen: Int = 12,
       maxPieceLen: Int = 5, topV: Int = 40): DataFrame = {
-    val words = wordFreq(df, textCol, maxWordLen).persist(sl)
+    val words = wordFreq(df, textCol, maxWordLen).transform(persisted)
     val vocab = trainVocab(words, maxPieceLen, topV)
     encodeWords(words, vocab, maxPieceLen)
       .select(col("word"), col("freq"), explode(col("pieces")).as("piece"))
@@ -189,7 +221,7 @@ object UnigramTokenizer {
     * `text_fertility`'s trained-tokenizer twin). */
   def fertility(df: DataFrame, textCol: String, maxWordLen: Int = 12,
       maxPieceLen: Int = 5, topV: Int = 40): DataFrame = {
-    val words = wordFreq(df, textCol, maxWordLen).persist(sl)
+    val words = wordFreq(df, textCol, maxWordLen).transform(persisted)
     val vocab = trainVocab(words, maxPieceLen, topV)
     fertilityUnder(words, vocab, maxPieceLen)
   }
@@ -210,9 +242,9 @@ object UnigramTokenizer {
       maxPieceLen: Int = 5, topV: Int = 40): DataFrame = {
     val vocab = trainVocab(
       wordFreq(df.filter(trainFilter), textCol, maxWordLen),
-      maxPieceLen, topV).persist(sl)
+      maxPieceLen, topV).transform(persisted)
     val held = wordFreq(df.filter(heldFilter), textCol, maxWordLen)
-    val enc = encodeWords(held, vocab, maxPieceLen).persist(sl)
+    val enc = encodeWords(held, vocab, maxPieceLen).transform(persisted)
     val oov = enc.filter(col("pieces").isNull)
       .agg(count(lit(1)).as("n_oov_words"),
         coalesce(sum(col("freq")), lit(0L)).as("n_oov_tokens"))
@@ -271,12 +303,12 @@ object UnigramTokenizer {
     // re-estimation. The naive per-call composition re-encodes five
     // times: measured 17.7 -> 8.7 s cold-standalone at the pinned
     // bench, identical hashes.
-    val words = wordFreq(df, textCol, maxWordLen).persist(sl)
-    val v1 = trainVocab(words, maxPieceLen, topV).persist(sl)
-    val used1 = usedPieces(words, v1, maxPieceLen).persist(sl)
-    val v2 = vocabFromUses(v1, used1, None).persist(sl)
-    val used2 = usedPieces(words, v2, maxPieceLen).persist(sl)
-    val v3 = vocabFromUses(v2, used2, Some(minUses)).persist(sl)
+    val words = wordFreq(df, textCol, maxWordLen).transform(persisted)
+    val v1 = trainVocab(words, maxPieceLen, topV).transform(persisted)
+    val used1 = usedPieces(words, v1, maxPieceLen).transform(persisted)
+    val v2 = vocabFromUses(v1, used1, None).transform(persisted)
+    val used2 = usedPieces(words, v2, maxPieceLen).transform(persisted)
+    val v3 = vocabFromUses(v2, used2, Some(minUses)).transform(persisted)
     val used3 = usedPieces(words, v3, maxPieceLen)
     def phaseRow(round: Int, v: DataFrame, used: DataFrame): DataFrame =
       fertilityFromUsed(used, v)
@@ -304,9 +336,9 @@ object UnigramTokenizer {
   def fertilityByRound(df: DataFrame, textCol: String,
       maxWordLen: Int = 12, maxPieceLen: Int = 5, topV: Int = 40)
       : DataFrame = {
-    val words = wordFreq(df, textCol, maxWordLen).persist(sl)
+    val words = wordFreq(df, textCol, maxWordLen).transform(persisted)
     val v1 = trainVocab(words, maxPieceLen, topV)
-      .persist(sl)
+      .transform(persisted)
     val v2 = emRound(words, v1, maxPieceLen)
     fertilityUnder(words, v1, maxPieceLen).select(lit(1).as("round"),
         col("*"))

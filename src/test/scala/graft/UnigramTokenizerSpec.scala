@@ -53,6 +53,24 @@ class UnigramTokenizerSpec extends AnyFunSuite with SparkTester {
     assert(segment("", Seq("a" -> 1000L)).contains(Seq.empty[String]))
   }
 
+  test("non-BMP (surrogate-pair) words segment by CODE POINTS, matching " +
+      "the oracle's substr/length semantics") {
+    // 𝕒 and 𝕓 are U+1D552/U+1D553 — two UTF-16 code units each. A
+    // UTF-16-indexed DP would try to split inside a surrogate pair and
+    // never find these pieces; the code-point DP segments exactly.
+    val a = "𝕒" // 𝕒
+    val b = "𝕓" // 𝕓
+    assert(segment(a + b + a + b,
+      Seq(a -> 1000L, b -> 1000L, (a + b) -> 1500L))
+      .contains(Seq(a + b, a + b)))
+    // maxPieceLen counts code points: with maxPieceLen=1 the 2-cp piece
+    // is out of the window even though it is 4 UTF-16 units "long"
+    assert(segment(a + b, Seq(a -> 1000L, b -> 1000L, (a + b) -> 1L),
+      maxPieceLen = 1).contains(Seq(a, b)))
+    // a character outside the vocabulary still returns null
+    assert(segment(a + "z", Seq(a -> 1000L)).isEmpty)
+  }
+
   test("maxPieceLen bounds the search: a long cheap piece outside the " +
       "window is not used") {
     assert(segment("abcd",
