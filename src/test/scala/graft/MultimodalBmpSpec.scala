@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** The REAL multimodal decode path: BmpDecodeExpr against a committed
+  * hand-assembled fixture (known pixels — catches a generator/decoder
+  * shared bug the differential oracle cannot), the synthetic generator
+  * round-trip, malformed-byte absorption, and the top-down (negative
+  * height) variant of the format. */
+class MultimodalBmpSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  private def decodeBytes(b: Array[Byte]) =
+    Multimodal.decodeBmp(
+      Seq((1L, b)).toDF("doc_id", "payload"), "doc_id", "payload").head()
+
+  test("committed fixture decodes to its known pixels (header offsets, " +
+      "stride padding, bottom-up row order all exercised)") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("fixtures/sample_3x2.bmp"))
+    assert(bytes.length == 78)
+    val r = decodeBytes(bytes)
+    assert(r.getInt(1) == 3 && r.getInt(2) == 2 && r.getInt(3) == 24)
+    assert(r.getLong(4) == 6) // n_pixels
+    // image: top row red/green/blue, bottom row white/black/(128,64,32)
+    assert(r.getLong(5) == 542, s"sum_b: $r")
+    assert(r.getLong(6) == 574, s"sum_g: $r")
+    assert(r.getLong(7) == 638, s"sum_r: $r")
+    // the TOP image row is stored LAST (bottom-up): r+g+b = 3*255
+    assert(r.getLong(8) == 765, s"top_row_sum: $r")
+  }
+
+  test("top-down BMP (negative height) reads the FIRST stored row as " +
+      "the top row") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("fixtures/sample_3x2.bmp")).clone()
+    // height int32 LE at offset 22: 2 -> -2 (top-down)
+    val neg = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-2).array()
+    System.arraycopy(neg, 0, bytes, 22, 4)
+    val r = decodeBytes(bytes)
+    assert(r.getInt(2) == 2)
+    // channel sums are row-order-invariant...
+    assert(r.getLong(5) == 542 && r.getLong(6) == 574 &&
+      r.getLong(7) == 638)
+    // ...but the top row is now the first stored row (the white/black/
+    // gray one): 255*3 + 0*3 + (32+64+128) = 989
+    assert(r.getLong(8) == 989, s"top-down top_row_sum: $r")
+  }
+
+  test("malformed payloads null out, never throw: short, bad magic, " +
+      "unsupported bpp, truncated pixel data") {
+    val good = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("fixtures/sample_3x2.bmp"))
+    def nulled(b: Array[Byte]): Boolean =
+      decodeBytes(b).isNullAt(1)
+    assert(nulled(good.take(20)))              // mid-header truncation
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(nulled(badMagic))
+    val bpp8 = good.clone(); bpp8(28) = 8.toByte
+    assert(nulled(bpp8))
+    assert(nulled(good.take(60)))              // pixel data cut short
+    assert(!nulled(good))
+  }
+
+  test("generator emits valid BMPs whose decode matches the pixel " +
+      "model, across every (w, h) residue class") {
+    val docs = (0L until 48L).toDF("doc_id")
+    val dec = Multimodal.decodeBmp(
+      Multimodal.bmpPayload(docs, "doc_id"), "doc_id", "payload")
+    val rows = dec.collect()
+    assert(rows.length == 48 && rows.forall(!_.isNullAt(1)))
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 6 + 2).toInt, s"width of $id")
+      assert(r.getInt(2) == (id % 4 + 1).toInt, s"height of $id")
+      // model replay in Scala: stored byte i cycles md5(id) pair i%16
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val w = (id % 6 + 2).toInt; val h = (id % 4 + 1).toInt
+      val rb = 3 * w
+      def v(row: Int, b: Int): Long =
+        java.lang.Long.parseLong(
+          m.substring(((row * rb + b) % 16) * 2,
+            ((row * rb + b) % 16) * 2 + 2), 16)
+      val sums = Array(0L, 0L, 0L)
+      for (row <- 0 until h; b <- 0 until rb) sums(b % 3) += v(row, b)
+      assert(r.getLong(5) == sums(0) && r.getLong(6) == sums(1) &&
+        r.getLong(7) == sums(2), s"channel sums of $id")
+      val top = (0 until rb).map(b => v(h - 1, b)).sum
+      assert(r.getLong(8) == top, s"top_row_sum of $id")
+    }
+  }
+
+  test("BmpDecoder (mapPartitions plumbing) parses real header " +
+      "dimensions") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("fixtures/sample_3x2.bmp"))
+    val d = new Multimodal.BmpDecoder
+    assert(d.decode(bytes) == ("bmp24", 3, 2))
+    intercept[IllegalArgumentException](d.decode(bytes.take(10)))
+  }
+
+  test("channel-mean features are exact micro-unit integers") {
+    val docs = Seq(5L, 6L, 7L).toDF("doc_id")
+    val f = Multimodal.bmpChannelFeatures(
+      Multimodal.bmpPayload(docs, "doc_id"), "doc_id", "payload")
+    val dec = Multimodal.decodeBmp(
+      Multimodal.bmpPayload(docs, "doc_id"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(4))).toMap
+    f.collect().foreach { r =>
+      val (sb, sg, sr, np) = dec(r.getLong(0))
+      assert(r.getLong(1) == sb * 1000000L / np)
+      assert(r.getLong(2) == sg * 1000000L / np)
+      assert(r.getLong(3) == sr * 1000000L / np)
+    }
+  }
+}
