@@ -1210,20 +1210,47 @@ object Similarity {
     *
     * Scale shape: identical to [[lshCandidates]] with the probe side's
     * explode fan-out ×(bandBits + 1); the join stays a band/key
-    * equi-join on small integer keys. */
+    * equi-join on small integer keys. The candidate COUNT is
+    * output-bound: on a duplicate-heavy corpus (B near-identical
+    * vectors sharing a bucket) it is Σ|bucket|²-shaped — genuinely
+    * quadratic because the TRUE near-dup pair set is (ScaleBench
+    * measured ×100 candidates at ×10 replicas, uncapped). `maxBucket`
+    * is the mega-bucket guard for that corpus class, the identical
+    * index-side cap [[knnGraphLsh]] carries: each (band, key) bucket's
+    * index side keeps its c lowest-id representatives, every vector
+    * still probes, pairs fall to ≤ B·c per bucket — candidates then
+    * grow ∝ rows·c, and inside a mega-bucket the representatives are
+    * the edges a dedup/cluster consumer needs. */
   def lshCandidatesMultiProbe(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, nBits: Int = 16, bandBits: Int = 4, seed: Long = 42L)
-      : DataFrame = {
+      dim: Int, nBits: Int = 16, bandBits: Int = 4, seed: Long = 42L,
+      maxBucket: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val nBands = nBits / bandBits
     val sigs = lshSigs(df, idCol, vecCol, dim, nBits, seed)
     val bands = bandsOf(sigs, nBands, bandBits)
     // probe set = own key + all 1-flip neighbours per band; 1-bit
     // collisions are symmetric, so the x < y half-filter stays complete
     val probes = probesOf(sigs, nBands, bandBits)
-    probes.as("x").join(bands.as("y"), Seq("band", "key"))
-      .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-      .distinct()
+    maxBucket match {
+      case None =>
+        probes.as("x").join(bands.as("y"), Seq("band", "key"))
+          .filter(col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+          .distinct()
+      case Some(c) =>
+        // capped index + least/greatest canonicalization (NOT `<`,
+        // which would drop probes whose id exceeds the bucket's
+        // representatives — the round-8 knnGraphLsh lesson)
+        val wB = Window.partitionBy(col("band"), col("key"))
+          .orderBy(col("vec_id").asc)
+        val index = bands.withColumn("__r", row_number().over(wB))
+          .filter(col("__r") <= c).drop("__r")
+        probes.as("x").join(index.as("y"), Seq("band", "key"))
+          .filter(col("x.vec_id") =!= col("y.vec_id"))
+          .select(least(col("x.vec_id"), col("y.vec_id")).as("id_a"),
+            greatest(col("x.vec_id"), col("y.vec_id")).as("id_b"))
+          .distinct()
+    }
   }
 
   // ---- PCA via distributed power iteration --------------------------------

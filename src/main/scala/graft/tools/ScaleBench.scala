@@ -76,6 +76,10 @@ object ScaleBench {
     val nDocs = big.count() // materialize outside the timed sections
 
     val t = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-stage output sizes where the SIZE is the scaling claim (e.g.
+    // candidate counts that must stay sub-quadratic) — emitted as
+    // "counts" in the JSON line
+    val cnt = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def timed(name: String)(f: => Long): Long = {
       val t0 = System.nanoTime()
       val n = f
@@ -133,6 +137,7 @@ object ScaleBench {
         want("pagerank") || want("harmonic") ||
         want("harmonic_perround") || want("harmonic_merge") ||
         want("hits") || want("knn_lsh") || want("knn_lsh_uncapped") ||
+        want("lsh_multiprobe") || want("lsh_multiprobe_uncapped") ||
         want("interval") || want("quantiles") || want("linkage") ||
         want("linkage_cap4x") || want("scc") || want("scc_coloring") ||
         want("bfs_hops") || want("markov") || want("window_sliding"))) {
@@ -351,6 +356,29 @@ object ScaleBench {
       if (want("knn_lsh_uncapped")) timed("knn_lsh_uncapped") {
         graft.operators.Similarity.knnGraphLsh(bigEmb, "vec_id",
           "embedding", k = 5, dim = 64).count()
+      }
+      // 1-flip multiprobe CANDIDATE curve (simsearch_lsh_multiprobe is
+      // the suite's largest candidate set, 96k rows at sf0.1). On THIS
+      // corpus the replicas are true near-dups sharing buckets, so the
+      // uncapped pair count is Σ|bucket|²-shaped — measured ×100
+      // candidates at ×10 data (1.54M → 154M): genuinely quadratic
+      // because the ground-truth near-dup pair set is. The capped stage
+      // (maxBucket = 64, the knnGraphLsh guard now on the raw candidate
+      // API too) is the production shape whose count must grow ~∝ rows
+      if (want("lsh_multiprobe")) {
+        cnt("lsh_multiprobe_cands") = timed("lsh_multiprobe") {
+          graft.operators.Similarity.lshCandidatesMultiProbe(bigEmb,
+            "vec_id", "embedding", dim = 64, nBits = 16, bandBits = 4,
+            maxBucket = Some(64)).count()
+        }
+      }
+      if (want("lsh_multiprobe_uncapped")) {
+        cnt("lsh_multiprobe_uncapped_cands") =
+          timed("lsh_multiprobe_uncapped") {
+            graft.operators.Similarity.lshCandidatesMultiProbe(bigEmb,
+              "vec_id", "embedding", dim = 64, nBits = 16, bandBits = 4)
+              .count()
+          }
       }
       // interval-overlap join on factor× disjoint copies of the
       // lineitem shipping windows (part keys shifted per copy, so
@@ -606,10 +634,12 @@ object ScaleBench {
     val times = t.map { case (k, v) =>
       "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.US, v)
     }.mkString("{", ",", "}")
+    val counts = cnt.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     spark.stop()
     println(s"""{"metric":"dedup_scale","docs":$nDocs,"factor":$factor,""" +
       s""""cap":$cap,"boiler_pct":$boilerPct,"cpus":$cpus,""" +
-      s""""times_sec":$times,""" +
+      s""""times_sec":$times,"counts":$counts,""" +
       s""""pairs":{"minhash":$nMinhash,"ngram_capped":$nCapped,""" +
       s""""ngram_uncapped":$nUncapped},"nondefault_docs":$nClusters,""" +
       s""""curate_kept":$nCurate,"semantic_dropped":$nSemDropped,""" +

@@ -86,8 +86,14 @@ class JdbcSpec extends AnyFunSuite with SparkTester {
     Sinks.applyGeometrySql(conn, "v2_exports", "actor1geo_lat",
       "actor1geo_long")
     assert(executed.size == 2)
-    assert(executed(0).contains("addgeometrycolumn('v2_exports'"))
-    assert(executed(1).startsWith("update v2_exports set geom ="))
-    assert(executed(1).contains("st_point(actor1geo_long, actor1geo_lat)"))
+    // EXACT statement text (not substring): Postgres is the one boundary
+    // the sandbox cannot integration-test, so the statements are pinned
+    // byte-for-byte to the reference's f-strings —
+    // set_geom_field / pop_geom_field, extractor/extractor.py:168-179
+    // (note the reference's argument order: st_point(LONG, LAT))
+    assert(executed(0) ==
+      "select addgeometrycolumn('v2_exports', 'geom', 4326, 'POINT', 2)")
+    assert(executed(1) == "update v2_exports set geom = " +
+      "st_setsrid(st_point(actor1geo_long, actor1geo_lat), 4326)")
   }
 }

@@ -2362,6 +2362,33 @@ class HardNegativesSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("multi-probe mega-bucket guard: capped candidates are a subset, " +
+      "bounded per bucket, and keep every probe reachable") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // a duplicate-heavy corpus: 5 replicas per vector (the corpus class
+    // whose uncapped candidate set is Σ|bucket|²-quadratic)
+    val reps = spark.range(0, 5).toDF("rep")
+    val dup = emb.crossJoin(reps)
+      .select(($"vec_id" * 5 + $"rep").as("vec_id"), $"embedding")
+    val unc = Similarity.lshCandidatesMultiProbe(
+        dup, "vec_id", "embedding", 64)
+      .as[(Long, Long)].collect().toSet
+    val cap = Similarity.lshCandidatesMultiProbe(
+        dup, "vec_id", "embedding", 64, maxBucket = Some(8))
+      .as[(Long, Long)].collect().toSet
+    assert(cap.subsetOf(unc), "cap must only remove candidates")
+    assert(cap.size < unc.size, "the replica corpus must trip the cap")
+    // every vector keeps at least one candidate edge (probes against
+    // its bucket's representatives) — the least/greatest
+    // canonicalization guarantee; ids above the representatives would
+    // vanish under a naive x < y filter
+    val covered = cap.flatMap(p => Seq(p._1, p._2))
+    val all = dup.select($"vec_id".as[Long]).collect().toSet
+    assert((all -- covered).size < all.size / 10,
+      s"${(all -- covered).size} of ${all.size} vectors lost all edges")
+  }
+
   test("positive pairs: same label, never self, disjoint from the " +
       "negatives") {
     val emb = spark.read
