@@ -6408,6 +6408,27 @@ object MultimodalQueries {
         sum(CASE WHEN r = h - 1 THEN val END)::BIGINT AS top_row_sum
       FROM bv GROUP BY doc_id, w, h)"""
 
+  /** Ground-truth sample MODEL of [[Multimodal.wavPayload]]'s synthetic
+    * clips: per-(doc, sample index i) signed 16-bit values straight
+    * from the md5-group definition — like [[bmpModelCtes]], the oracle
+    * never touches the RIFF layout (chunk walk, LE byte order, the
+    * planted JUNK chunk), so the Spark parser is checked against
+    * independent ground truth. */
+  private def wavModelCtes(where: String = "TRUE"): String =
+    s"""wp AS (
+      SELECT doc_id, (8 + doc_id % 9)::INTEGER AS n,
+        md5(doc_id::VARCHAR) AS m
+      FROM documents WHERE ($where)),
+    ws AS (
+      SELECT doc_id, n, i,
+        CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      FROM (
+        SELECT doc_id, n, i,
+          ('0x' || substr(m, CAST((i % 8) * 4 + 1 AS INTEGER), 4))
+            ::INTEGER AS u
+        FROM (SELECT doc_id, n, m, unnest(range(0, n)) AS i FROM wp) t)
+        t2)"""
+
   def all: Seq[Q] = Seq(
 
     // REAL format decode: every document carries a synthesized VALID
@@ -6453,6 +6474,53 @@ object MultimodalQueries {
           CASE WHEN doc_id % 17 = 0 THEN NULL ELSE top_row_sum END
             AS top_row_sum
         FROM bstats""")),
+
+    // REAL audio decode: every document carries a synthesized VALID
+    // RIFF/WAVE 16-bit mono PCM clip; the id%3 slice plants a JUNK
+    // chunk between fmt and data, so only a genuine chunk walk (not a
+    // fixed offset-44 read) decodes it. Oracle recomputes amplitude
+    // stats from the sample MODEL; first/last samples pin the order
+    Q("multimodal_decode_wav",
+      (s, dir) => Multimodal.decodeWav(
+        Multimodal.wavPayload(
+          Sources.table(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload"),
+      Some(s"""WITH ${wavModelCtes()}
+        SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels, 16 AS bits,
+          count(*)::BIGINT AS n_samples,
+          sum(abs(s))::BIGINT AS sum_abs,
+          sum(s * s)::BIGINT AS energy,
+          max(abs(s))::INTEGER AS max_abs,
+          max(CASE WHEN i = 0 THEN s END)::INTEGER AS first_sample,
+          max(CASE WHEN i = n - 1 THEN s END)::INTEGER AS last_sample
+        FROM ws GROUP BY doc_id""")),
+
+    // energy VAD over the REAL PCM stream (the non-stub twin of
+    // multimodal_audio_vad): chunk-walk decode, strided sample frames,
+    // exact integer energy gate, micro-unit speech ratio
+    Q("multimodal_wav_vad",
+      (s, dir) => Multimodal.audioVadWav(
+        Multimodal.wavPayload(
+          Sources.table(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload", frameSize = 4, stride = 2,
+        energyPerSample = 358000000L),
+      Some(s"""WITH ${wavModelCtes()},
+        wf AS (
+          SELECT doc_id, n,
+            unnest(range(0, greatest(0, (n - 4) // 2) + 1)) AS f
+          FROM wp),
+        we AS (
+          SELECT w.doc_id, w.f, least(4, w.n - w.f * 2) AS flen,
+            sum(s.s * s.s)::BIGINT AS energy
+          FROM wf w JOIN ws s ON s.doc_id = w.doc_id
+            AND s.i >= w.f * 2 AND s.i < w.f * 2 + 4
+          GROUP BY w.doc_id, w.f, w.n)
+        SELECT doc_id, count(*)::BIGINT AS n_frames,
+          sum(CASE WHEN energy > 358000000 * flen THEN 1 ELSE 0 END)
+            ::BIGINT AS n_speech,
+          ((sum(CASE WHEN energy > 358000000 * flen THEN 1 ELSE 0 END)
+            * 1000000) // count(*))::BIGINT AS speech_ratio_micro
+        FROM we GROUP BY doc_id""")),
 
     // per-channel mean features from the real decode, exact integer
     // micro-units (the hash-portable ratio discipline): the numeric

@@ -126,6 +126,97 @@ object Multimodal {
         expr("(sum_g * 1000000L) DIV n_pixels").as("mean_g_micro"),
         expr("(sum_r * 1000000L) DIV n_pixels").as("mean_r_micro"))
 
+  // ---------------------------------------------------------------------
+  // REAL format: RIFF/WAVE 16-bit mono PCM (genuine chunk-walk decode —
+  // graft.expressions.WavDecodeExpr)
+  // ---------------------------------------------------------------------
+
+  /** Synthesize a VALID RIFF/WAVE file of 16-bit mono PCM per row:
+    * `n = 8 + id%9` samples whose signed values cycle md5(id)'s eight
+    * 16-bit groups (big-endian model value, written little-endian into
+    * the file), 8 kHz mono fmt chunk — and on the `id%3 == 0` slice a
+    * JUNK chunk is planted BETWEEN fmt and data, so any decoder that
+    * assumes `data` at byte 44 instead of walking the chunk list reads
+    * garbage and fails the oracle. All hex/md5 algebra, replayable in
+    * SQL; the oracle computes ground truth from the sample MODEL, never
+    * the file layout. */
+  def wavPayload(df: DataFrame, idCol: String,
+      out: String = "payload"): DataFrame = {
+    val id = col(idCol).cast("long")
+    val n = (id % 9 + 8).cast("int")
+    val m = md5(id.cast("string"))
+    val dataSize = (n * 2).cast("long")
+    val junk = pmod(id, lit(3)) === 0
+    val junkLen = when(junk, lit(12L)).otherwise(lit(0L))
+    val riffSize = lit(4L) + lit(24L) + junkLen + lit(8L) + dataSize
+    // sample i: model value = big-endian uint16 at md5 group (i mod 8);
+    // file bytes are little-endian — low pair first
+    val sampleHex = (i: Column) => {
+      val g = m.substr((pmod(i, lit(8)) * 4 + 1).cast("int"), lit(4))
+      concat(g.substr(lit(3), lit(2)), g.substr(lit(1), lit(2)))
+    }
+    val dataHex = concat_ws("",
+      transform(sequence(lit(0), n - 1), sampleHex))
+    val hexStr = concat(
+      lit("52494646"), le32Hex(riffSize), lit("57415645"), // RIFF…WAVE
+      lit("666D7420"), le32Hex(lit(16)),                   // 'fmt ', 16
+      lit("0100"), lit("0100"),            // PCM, mono (LE16)
+      le32Hex(lit(8000)), le32Hex(lit(16000)),    // rate, byte rate
+      lit("0200"), lit("1000"),            // block align 2, 16 bits
+      when(junk, concat(lit("4A554E4B"),   // 'JUNK' + size 4 + payload
+        lit("04000000"), lit("00000000"))).otherwise(lit("")),
+      lit("64617461"), le32Hex(dataSize), dataHex)         // 'data'
+    df.select(col(idCol), unhex(hexStr).as(out))
+  }
+
+  /** Decode a 16-bit mono PCM WAV column with the REAL chunk-walking
+    * parser ([[graft.expressions.WavDecodeExpr]]): exact integer
+    * amplitude stats, with first/last samples as the order witness;
+    * malformed blobs yield null fields (E1 absorption). */
+  def decodeWav(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.expressions.WavDecode.wavDecode(col(binCol)).as("__d"))
+      .select(col(idCol),
+        col("__d.sample_rate").as("sample_rate"),
+        col("__d.n_channels").as("n_channels"),
+        col("__d.bits").as("bits"),
+        col("__d.n_samples").as("n_samples"),
+        col("__d.sum_abs").as("sum_abs"),
+        col("__d.energy").as("energy"),
+        col("__d.max_abs").as("max_abs"),
+        col("__d.first_sample").as("first_sample"),
+        col("__d.last_sample").as("last_sample"))
+
+  /** Energy VAD over REAL PCM samples (the non-stub twin of
+    * [[audioVadStub]]): decode via the chunk walk, frame the SAMPLE
+    * stream (`frameSize` samples every `stride`, the [[sampleFrames]]
+    * count convention), gate each frame on exact integer energy
+    * `Σs² > energyPerSample · frameLen`, roll up per document. Ratio in
+    * micro-units (the hash-portable integer form). Output: (idCol,
+    * n_frames, n_speech, speech_ratio_micro). */
+  def audioVadWav(df: DataFrame, idCol: String, binCol: String,
+      frameSize: Int = 4, stride: Int = 2,
+      energyPerSample: Long = 358000000L): DataFrame = {
+    val dec = df.select(col(idCol),
+        graft.expressions.WavDecode.wavDecode(col(binCol)).as("__d"),
+        graft.expressions.WavDecode.wavFrameEnergy(col(binCol),
+          frameSize, stride).as("__e"))
+      .filter(col("__d").isNotNull)
+      .select(col(idCol), col("__d.n_samples").as("__ns"),
+        posexplode(col("__e")).as(Seq("frame_no", "energy")))
+    val frameLen = least(lit(frameSize.toLong),
+      col("__ns") - col("frame_no") * stride)
+    dec
+      .select(col(idCol),
+        (col("energy") > lit(energyPerSample) * frameLen).as("speech"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("speech"), 1L).otherwise(0L)).as("n_speech"))
+      .select(col(idCol), col("n_frames"), col("n_speech"),
+        expr("(n_speech * 1000000L) DIV n_frames")
+          .as("speech_ratio_micro"))
+  }
+
   /** REAL [[MediaDecoder]] for the mapPartitions plumbing: parses the
     * actual BMP header ('BM' magic, LE width/height at offsets 18/22,
     * bpp at 28) instead of faking dimensions from the length. Malformed

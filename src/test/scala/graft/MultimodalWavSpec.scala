@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** The REAL audio decode path: WavDecodeExpr against a committed
+  * hand-assembled 16-bit PCM fixture, the chunk walk (JUNK chunk
+  * between fmt and data), the synthetic generator round-trip, malformed
+  * absorption, and the frame-energy VAD over real samples. */
+class MultimodalWavSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  private def fixture: Array[Byte] = java.nio.file.Files.readAllBytes(
+    java.nio.file.Paths.get("fixtures/sample_8.wav"))
+
+  private def decodeBytes(b: Array[Byte]) =
+    Multimodal.decodeWav(
+      Seq((1L, b)).toDF("doc_id", "payload"), "doc_id", "payload").head()
+
+  test("committed fixture decodes to its known samples") {
+    val r = decodeBytes(fixture)
+    // samples: 0, 16384, -16384, 32767, -32768, 1, -1, 100
+    assert(r.getInt(1) == 8000 && r.getInt(2) == 1 && r.getInt(3) == 16)
+    assert(r.getLong(4) == 8)
+    assert(r.getLong(5) == 98405L, s"sum_abs: $r")
+    assert(r.getLong(6) == 2684299027L, s"energy: $r")
+    assert(r.getInt(7) == 32768, s"max_abs: $r")
+    assert(r.getInt(8) == 0 && r.getInt(9) == 100,
+      s"first/last order witness: $r")
+  }
+
+  test("chunk walk skips an interleaved JUNK chunk (no fixed offset-44 " +
+      "assumption)") {
+    val b = fixture
+    // splice 'JUNK' + size 4 + 4 bytes between fmt (ends at 36) and data
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ Array[Byte](0x7f, 0x7f, 0x7f, 0x7f)
+    val spliced = b.take(36) ++ junk ++ b.drop(36)
+    // fix the RIFF size field (offset 4, LE): +12
+    val sz = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt((b.length - 8) + 12).array()
+    System.arraycopy(sz, 0, spliced, 4, 4)
+    val r = decodeBytes(spliced)
+    assert(r.getLong(4) == 8 && r.getLong(5) == 98405L &&
+      r.getLong(6) == 2684299027L, s"junk-chunk decode: $r")
+  }
+
+  test("malformed payloads null out, never throw") {
+    def nulled(b: Array[Byte]): Boolean = decodeBytes(b).isNullAt(1)
+    assert(nulled(fixture.take(10)))            // truncated header
+    val badMagic = fixture.clone(); badMagic(0) = 'X'.toByte
+    assert(nulled(badMagic))
+    val stereo = fixture.clone(); stereo(22) = 2.toByte // channels=2
+    assert(nulled(stereo))
+    val cut = fixture.take(fixture.length - 3)  // data shorter than size
+    assert(nulled(cut))
+    assert(!nulled(fixture))
+  }
+
+  test("generator emits valid WAVs whose decode matches the sample " +
+      "model, with the JUNK slice exercising the chunk walk") {
+    val docs = (0L until 36L).toDF("doc_id")
+    val rows = Multimodal.decodeWav(
+      Multimodal.wavPayload(docs, "doc_id"), "doc_id", "payload")
+      .collect()
+    assert(rows.length == 36 && rows.forall(!_.isNullAt(1)))
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = (id % 9 + 8).toInt
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      def sample(i: Int): Int = {
+        val u = Integer.parseInt(
+          m.substring((i % 8) * 4, (i % 8) * 4 + 4), 16)
+        if (u >= 0x8000) u - 0x10000 else u
+      }
+      val ss = (0 until n).map(sample)
+      assert(r.getLong(4) == n, s"n_samples of $id")
+      assert(r.getLong(5) == ss.map(v => math.abs(v).toLong).sum,
+        s"sum_abs of $id")
+      assert(r.getLong(6) == ss.map(v => v.toLong * v).sum,
+        s"energy of $id")
+      assert(r.getInt(8) == ss.head && r.getInt(9) == ss.last,
+        s"first/last of $id")
+    }
+  }
+
+  test("frame-energy VAD over real samples: counts follow the " +
+      "sampleFrames convention, gate is exact") {
+    val docs = (0L until 18L).toDF("doc_id")
+    val vad = Multimodal.audioVadWav(
+      Multimodal.wavPayload(docs, "doc_id"), "doc_id", "payload",
+      frameSize = 4, stride = 2, energyPerSample = 358000000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    (0L until 18L).foreach { id =>
+      val n = (id % 9 + 8).toInt
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      def sample(i: Int): Long = {
+        val u = Integer.parseInt(
+          m.substring((i % 8) * 4, (i % 8) * 4 + 4), 16)
+        (if (u >= 0x8000) u - 0x10000 else u).toLong
+      }
+      val nf = math.max(0, (n - 4) / 2) + 1
+      val speech = (0 until nf).count { f =>
+        val len = math.min(4, n - f * 2)
+        val e = (f * 2 until f * 2 + len).map(i => sample(i) * sample(i)).sum
+        e > 358000000L * len
+      }
+      val (gotF, gotS, gotR) = vad(id)
+      assert(gotF == nf && gotS == speech, s"vad of $id")
+      assert(gotR == speech.toLong * 1000000L / nf, s"ratio of $id")
+    }
+  }
+}
