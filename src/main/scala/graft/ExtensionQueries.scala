@@ -6475,6 +6475,55 @@ object MultimodalQueries {
             AS top_row_sum
         FROM bstats""")),
 
+    // perceptual near-dup pairs over REAL decoded pixels: exact-integer
+    // average-hash (bit k = n·luma_k > Σluma, image-order pixels) on a
+    // twin-pair corpus (ids 2k/2k+1 share a base 8×8 image, the odd one
+    // perturbed), paired via the shared pigeonhole banding. The oracle
+    // rebuilds every hash bit from the pixel MODEL and takes all pairs
+    // at the same hamming bound — the non-stub completion of
+    // multimodal_phash_pairs' byte-stream stand-in
+    Q("multimodal_phash_real",
+      (s, dir) => Multimodal.phashPairsReal(
+        Multimodal.bmpPayloadTwins(
+          Sources.table(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload", maxHamming = 12),
+      Some("""WITH tp AS (
+          SELECT doc_id,
+            md5((doc_id // 2)::VARCHAR) ||
+              md5((doc_id // 2)::VARCHAR || 'x') AS m
+          FROM documents),
+        tv AS (
+          SELECT doc_id, i,
+            CASE WHEN doc_id % 2 = 1 AND i % 19 = 0
+              THEN (('0x' || substr(m, CAST((i % 32)*2 + 1 AS INTEGER),
+                2))::INTEGER + 40) % 256
+              ELSE ('0x' || substr(m, CAST((i % 32)*2 + 1 AS INTEGER),
+                2))::INTEGER END AS v
+          FROM (SELECT doc_id, m, unnest(range(0, 192)) AS i FROM tp)
+            t),
+        tpx AS (
+          SELECT doc_id, (i // 3) AS sp,
+            sum(CASE WHEN i % 3 = 1 THEN 2 * v ELSE v END)::BIGINT AS l
+          FROM tv GROUP BY doc_id, (i // 3)),
+        timg AS (
+          SELECT doc_id, (7 - sp // 8) * 8 + (sp % 8) AS k, l
+          FROM tpx),
+        ttot AS (
+          SELECT doc_id, sum(l)::BIGINT AS tot
+          FROM timg GROUP BY doc_id),
+        thash AS (
+          SELECT i.doc_id,
+            sum(CASE WHEN 64 * i.l > t.tot
+              THEN (1::UBIGINT << CAST(i.k AS INTEGER))
+              ELSE 0::UBIGINT END) AS simhash
+          FROM timg i JOIN ttot t USING (doc_id)
+          GROUP BY i.doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+            AS hamming
+        FROM thash a JOIN thash b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 12""")),
+
     // REAL audio decode: every document carries a synthesized VALID
     // RIFF/WAVE 16-bit mono PCM clip; the id%3 slice plants a JUNK
     // chunk between fmt and data, so only a genuine chunk walk (not a

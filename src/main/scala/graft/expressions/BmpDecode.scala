@@ -32,30 +32,21 @@ import org.apache.spark.sql.types._
   * Scale shape: one compiled pass per row, no allocation beyond the
   * result row; blobs never leave the scan — only the 8 integers shuffle.
   */
-case class BmpDecodeExpr(child: Expression) extends UnaryExpression {
+/** Shared header parse for the BMP expression family: returns
+  * (width, height, topDown, pixelOffset, stride) or null for any
+  * malformed/unsupported payload. */
+private[expressions] object Bmp24 {
 
-  override def dataType: DataType = BmpDecodeExpr.schema
-  override def nullable: Boolean = true
-  override def prettyName: String = "bmp_decode"
+  @inline def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
 
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == BinaryType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs BINARY input, got ${child.dataType}")
-
-  @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-
-  private def le16(b: Array[Byte], i: Int): Int =
+  def le16(b: Array[Byte], i: Int): Int =
     u8(b, i) | (u8(b, i + 1) << 8)
 
-  private def le32(b: Array[Byte], i: Int): Int =
+  def le32(b: Array[Byte], i: Int): Int =
     u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
       (u8(b, i + 3) << 24)
 
-  def compute(bytes: Array[Byte]): InternalRow = {
+  def parseHeader(bytes: Array[Byte]): (Int, Int, Boolean, Int, Int) = {
     if (bytes == null || bytes.length < 54) return null
     if (bytes(0) != 'B' || bytes(1) != 'M') return null
     val pixelOffset = le32(bytes, 10)
@@ -76,6 +67,31 @@ case class BmpDecodeExpr(child: Expression) extends UnaryExpression {
     if (pixelOffset < 54 ||
       pixelOffset.toLong + stride.toLong * height > bytes.length)
       return null
+    (width, height, topDown, pixelOffset, stride)
+  }
+}
+
+case class BmpDecodeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BmpDecodeExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "bmp_decode"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BINARY input, got ${child.dataType}")
+
+  import Bmp24.u8
+
+  def compute(bytes: Array[Byte]): InternalRow = {
+    val hdr = Bmp24.parseHeader(bytes)
+    if (hdr == null) return null
+    val (width, height, topDown, pixelOffset, stride) = hdr
+    val rowBytes = 3 * width
     var sumB = 0L; var sumG = 0L; var sumR = 0L
     var topRowSum = 0L
     // the TOP image row is the LAST stored row bottom-up, the FIRST
@@ -98,7 +114,7 @@ case class BmpDecodeExpr(child: Expression) extends UnaryExpression {
       }
       r += 1
     }
-    InternalRow(width, height, bpp, width.toLong * height,
+    InternalRow(width, height, 24, width.toLong * height,
       sumB, sumG, sumR, topRowSum)
   }
 
@@ -133,10 +149,97 @@ object BmpDecodeExpr {
     StructField("top_row_sum", LongType, nullable = false)))
 }
 
+/** AVERAGE-HASH perceptual signature over the REAL decoded pixels — the
+  * classic aHash family member (mean-threshold bit per pixel), computed
+  * with EXACT integer algebra so any engine replays every bit: pixel k
+  * (IMAGE order — top row first, left to right, regardless of the
+  * file's bottom-up/top-down storage) contributes luma
+  * `l_k = r + 2g + b`, and bit k (k < 64) is set iff
+  * `n·l_k > Σl` (strict, cross-multiplied — no division, no float, no
+  * mean rounding convention to match across engines). Images larger
+  * than 64 pixels hash their first 64 image-order pixels; smaller ones
+  * leave high bits clear. Null for malformed payloads.
+  *
+  * This is the "swap the gram stage for real pixel coefficients when a
+  * codec exists" step the byte-stream [[graft.operators.Multimodal
+  * .phashPairs]] documented: the signature now measures the picture,
+  * not the file bytes, so the banded hamming-join topology downstream
+  * (recall 1 at ≤ maxHamming via pigeonhole) pairs visually-near
+  * images. */
+case class BmpAHashExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bmp_ahash"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BINARY input, got ${child.dataType}")
+
+  import Bmp24.u8
+
+  def compute(bytes: Array[Byte]): Any = {
+    val hdr = Bmp24.parseHeader(bytes)
+    if (hdr == null) return null
+    val (width, height, topDown, pixelOffset, stride) = hdr
+    val n = width.toLong * height
+    // image-order luma: image row r lives at stored row (h-1-r) for
+    // bottom-up files, r for top-down
+    def luma(imgRow: Int, c: Int): Long = {
+      val stored = if (topDown) imgRow else height - 1 - imgRow
+      val p = pixelOffset + stored * stride + 3 * c
+      u8(bytes, p) + 2L * u8(bytes, p + 1) + u8(bytes, p + 2)
+    }
+    var tot = 0L
+    var r = 0
+    while (r < height) {
+      var c = 0
+      while (c < width) { tot += luma(r, c); c += 1 }
+      r += 1
+    }
+    var hash = 0L
+    var k = 0
+    val kMax = math.min(n, 64L).toInt
+    while (k < kMax) {
+      if (n * luma(k / width, k % width) > tot) hash |= (1L << k)
+      k += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("bmpAHash", this,
+      classOf[BmpAHashExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |Object ahr = $ref.compute($c);
+         |if (ahr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) ahr).longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 object BmpDecode {
   /** Column factory: decode a 24-bit uncompressed BMP blob to its exact
     * integer stats struct (null for malformed payloads). */
   def bmpDecode(bin: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       BmpDecodeExpr(org.apache.spark.sql.graft.Bridge.expression(bin)))
+
+  /** Column factory: exact-integer average-hash of the decoded pixels. */
+  def bmpAHash(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      BmpAHashExpr(org.apache.spark.sql.graft.Bridge.expression(bin)))
 }

@@ -101,6 +101,56 @@ object Multimodal {
     df.select(col(idCol), unhex(concat(headerHex, pixHex)).as(out))
   }
 
+  /** TWIN-PAIR image corpus for the real perceptual hash: fixed 8×8
+    * 24-bit BMPs (stride 24 — already word-aligned) whose 192-byte
+    * pixel stream cycles `md5(doc_id DIV 2)` — so ids 2k and 2k+1 share
+    * a base image — with the ODD id of each pair perturbed (+40 mod 256
+    * at stream positions ≡ 0 mod 19): visually-near twins a pixel-space
+    * hash must pair and the byte-stream hash family cannot see past the
+    * file layout. Same engine-portable hex algebra as [[bmpPayload]]. */
+  def bmpPayloadTwins(df: DataFrame, idCol: String,
+      out: String = "payload"): DataFrame = {
+    val id = col(idCol).cast("long")
+    val base = floor(id / 2).cast("long").cast("string")
+    // 32-byte stream period (two md5s): a 16-byte cycle leaves only ~16
+    // distinct luma classes over 64 pixels, which collapses the hash's
+    // effective entropy and makes coincidental low-hamming pairs common
+    // (measured 111 at ≤12 over 100 docs); 32 distinct classes puts
+    // random pairs far outside the bound while twins stay inside
+    val m = concat(md5(base), md5(concat(base, lit("x"))))
+    val byteHex = (i: Column) => {
+      val pair = m.substr((pmod(i, lit(32)) * 2 + 1).cast("int"), lit(2))
+      val v = conv(pair, 16, 10).cast("int")
+      when(pmod(id, lit(2)) === 1 && pmod(i, lit(19)) === 0,
+        lpad(lower(hex(pmod(v + 40, lit(256)))), 2, "0"))
+        .otherwise(pair)
+    }
+    val pixHex = concat_ws("",
+      transform(sequence(lit(0), lit(191)), byteHex))
+    val headerHex = concat(
+      lit("424D"), le32Hex(lit(192 + 54)), lit("00000000"),
+      le32Hex(lit(54)), le32Hex(lit(40)),
+      le32Hex(lit(8)), le32Hex(lit(8)),
+      lit("0100"), lit("1800"), le32Hex(lit(0)), le32Hex(lit(192)),
+      le32Hex(lit(0)), le32Hex(lit(0)), le32Hex(lit(0)), le32Hex(lit(0)))
+    df.select(col(idCol), unhex(concat(headerHex, pixHex)).as(out))
+  }
+
+  /** Perceptual near-dup pairs over REAL decoded pixels: exact-integer
+    * average-hash per image ([[graft.expressions.BmpAHashExpr]] — bit k
+    * = n·luma_k > Σluma over image-order pixels) fed into the shared
+    * pigeonhole banding ([[Dedup.simhashPairsFromSigs]], recall 1 at
+    * ≤ maxHamming). The non-stub completion of [[phashPairs]]: the
+    * signature measures the PICTURE (storage order, stride, padding all
+    * normalized away by the decoder), not the file bytes. */
+  def phashPairsReal(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 12): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc_id"),
+        graft.expressions.BmpDecode.bmpAHash(col(binCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+    Dedup.simhashPairsFromSigs(sigs, maxHamming)
+  }
+
   /** Decode a 24-bit BMP column with the REAL byte parser
     * ([[graft.expressions.BmpDecodeExpr]]): exact integer channel sums
     * plus the bottom-up-order witness `top_row_sum`; malformed blobs

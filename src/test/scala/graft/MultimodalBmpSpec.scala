@@ -95,6 +95,55 @@ class MultimodalBmpSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("average-hash measures the PICTURE: identical for bottom-up and " +
+      "top-down storage of the same image, and exact per bit") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("fixtures/sample_3x2.bmp"))
+    def ahashOf(b: Array[Byte]): Long =
+      Seq((1L, b)).toDF("doc_id", "payload")
+        .select(graft.expressions.BmpDecode.bmpAHash(col("payload")))
+        .head().getLong(0)
+    val h = ahashOf(bytes)
+    // hand-computed: image-order pixels (top row first) red green blue /
+    // white black (128,64,32); luma r+2g+b: 255,510,255,1020,0,288;
+    // total 2328; bit k set iff 6*luma_k > 2328 -> lumas 510,1020
+    assert(h == ((1L << 1) | (1L << 3)), s"ahash bits: ${h.toBinaryString}")
+    // re-encode the SAME image top-down: negate height, reverse stored
+    // rows — the hash must not move (storage normalization)
+    val td = bytes.clone()
+    val neg = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-2).array()
+    System.arraycopy(neg, 0, td, 22, 4)
+    val row0 = bytes.slice(54, 66); val row1 = bytes.slice(66, 78)
+    System.arraycopy(row1, 0, td, 54, 12)
+    System.arraycopy(row0, 0, td, 66, 12)
+    assert(ahashOf(td) == h, "top-down re-encoding moved the hash")
+    // malformed -> null
+    val r = Seq((1L, bytes.take(20))).toDF("doc_id", "payload")
+      .select(graft.expressions.BmpDecode.bmpAHash(col("payload")))
+      .head()
+    assert(r.isNullAt(0))
+  }
+
+  test("twin-pair corpus: real-pixel phash pairs every planted twin at " +
+      "low hamming, and twins dominate the pair list") {
+    val docs = (0L until 100L).toDF("doc_id")
+    val pairs = operators.Multimodal.phashPairsReal(
+      operators.Multimodal.bmpPayloadTwins(docs, "doc_id"),
+      "doc_id", "payload", maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val twinPairs = pairs.filter { case (a, b, _) => a / 2 == b / 2 }
+    // every planted twin (2k, 2k+1) whose perturbation stayed within
+    // the hamming bound must be found; expect the large majority of
+    // the 50 planted pairs present and hamming well under random (~32)
+    assert(twinPairs.length >= 40,
+      s"only ${twinPairs.length}/50 planted twins paired")
+    assert(twinPairs.forall(_._3 <= 12))
+    val nonTwin = pairs.length - twinPairs.length
+    assert(twinPairs.length > nonTwin,
+      s"twins $twinPairs vs coincidental $nonTwin")
+  }
+
   test("BmpDecoder (mapPartitions plumbing) parses real header " +
       "dimensions") {
     val bytes = java.nio.file.Files.readAllBytes(
