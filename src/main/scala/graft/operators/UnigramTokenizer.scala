@@ -41,9 +41,13 @@ object UnigramTokenizer {
   // bound. Every persist goes through this bounded FIFO registry —
   // past `maxCached` entries the oldest are unpersisted (non-blocking).
   // Evicting a frame whose query later re-runs only costs a recompute,
-  // never correctness; with ≤6 persists per call and a 16-entry bound,
-  // eviction touches prior calls only.
-  private val maxCached = 16
+  // never correctness. The bound is 64, NOT lower: the full tokenizer
+  // query family persists ~20 frames per registry sweep, and a 16-entry
+  // cap evicted frames that later queries in the same sweep reuse via
+  // CacheManager plan matching (measured: tokenizer_unigram_vocab
+  // 0.20 → 0.70 s in the r10 bench under cap 16). 64 preserves
+  // within-sweep reuse while still bounding a long-lived session.
+  private val maxCached = 64
   private val cached =
     new java.util.ArrayDeque[org.apache.spark.sql.DataFrame]()
 
