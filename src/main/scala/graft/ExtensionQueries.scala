@@ -6475,6 +6475,37 @@ object MultimodalQueries {
             AS top_row_sum
         FROM bstats""")),
 
+    // REAL PNG decode — the only format here with actual COMPRESSION in
+    // the path: CRC-verified chunk walk, zlib INFLATE (JDK Inflater),
+    // and scanline reconstruction of all five PNG filters (the
+    // generator cycles None/Sub/Up/Average/Paeth per row, heights reach
+    // 6 so Paeth is always exercised). Oracle recomputes the stats from
+    // the pixel MODEL — a wrong predictor or filter start state changes
+    // the sums and fails the hash
+    Q("multimodal_decode_png",
+      (s, dir) => Multimodal.decodePng(
+        Multimodal.pngPayload(
+          Sources.table(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload"),
+      Some("""WITH gp AS (
+          SELECT doc_id, (2 + doc_id % 5)::INTEGER AS w,
+            (1 + doc_id % 6)::INTEGER AS h,
+            md5(doc_id::VARCHAR) AS m
+          FROM documents),
+        gv AS (
+          SELECT doc_id, w, h, j,
+            ('0x' || substr(m, CAST((j % 16)*2 + 1 AS INTEGER), 2))
+              ::BIGINT AS v
+          FROM (SELECT doc_id, w, h, m,
+              unnest(range(0, 3*w*h)) AS j FROM gp) t)
+        SELECT doc_id, w AS width, h AS height, 2 AS color_type,
+          (w * h)::BIGINT AS n_pixels,
+          sum(CASE WHEN j % 3 = 0 THEN v END)::BIGINT AS sum_r,
+          sum(CASE WHEN j % 3 = 1 THEN v END)::BIGINT AS sum_g,
+          sum(CASE WHEN j % 3 = 2 THEN v END)::BIGINT AS sum_b,
+          sum(CASE WHEN j < 3 * w THEN v END)::BIGINT AS top_row_sum
+        FROM gv GROUP BY doc_id, w, h""")),
+
     // perceptual near-dup pairs over REAL decoded pixels: exact-integer
     // average-hash (bit k = n·luma_k > Σluma, image-order pixels) on a
     // twin-pair corpus (ids 2k/2k+1 share a base 8×8 image, the odd one

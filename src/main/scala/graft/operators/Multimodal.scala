@@ -177,6 +177,37 @@ object Multimodal {
         expr("(sum_r * 1000000L) DIV n_pixels").as("mean_r_micro"))
 
   // ---------------------------------------------------------------------
+  // REAL format: PNG 8-bit truecolor (chunk walk + CRC verification +
+  // zlib inflate + all five filter reconstructions —
+  // graft.expressions.PngDecodeExpr)
+  // ---------------------------------------------------------------------
+
+  /** Synthesize a real PNG per row ([[graft.expressions.PngSynthExpr]]:
+    * JDK-deflate IDAT, per-row filters cycling None/Sub/Up/Average/
+    * Paeth) from the portable pixel model — the only generator here
+    * whose BYTES are built in Scala rather than SQL hex algebra,
+    * legitimate because the oracle validates decoded stats against the
+    * model, never the compressed stream. */
+  def pngPayload(df: DataFrame, idCol: String,
+      out: String = "payload"): DataFrame =
+    df.select(col(idCol),
+      graft.expressions.PngDecode.pngSynth(col(idCol).cast("long"))
+        .as(out))
+
+  /** Decode a PNG column with the REAL decoder (CRC-verified chunk
+    * walk, inflate, filter reconstruction): exact integer channel sums
+    * + the top-scanline witness; malformed blobs null out (E1). */
+  def decodePng(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.expressions.PngDecode.pngDecode(col(binCol)).as("__d"))
+      .select(col(idCol), col("__d.width").as("width"),
+        col("__d.height").as("height"),
+        col("__d.color_type").as("color_type"),
+        col("__d.n_pixels").as("n_pixels"), col("__d.sum_r").as("sum_r"),
+        col("__d.sum_g").as("sum_g"), col("__d.sum_b").as("sum_b"),
+        col("__d.top_row_sum").as("top_row_sum"))
+
+  // ---------------------------------------------------------------------
   // REAL format: RIFF/WAVE 16-bit mono PCM (genuine chunk-walk decode —
   // graft.expressions.WavDecodeExpr)
   // ---------------------------------------------------------------------

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** The REAL PNG decode path: a python-zlib-built fixture (a genuine
+  * cross-implementation check of the inflate path against the JDK
+  * Inflater), Paeth/Average filter reconstruction, CRC enforcement,
+  * the encoder round-trip over every filter type, and malformed-byte
+  * absorption. */
+class MultimodalPngSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  private def fixture: Array[Byte] = java.nio.file.Files.readAllBytes(
+    java.nio.file.Paths.get("fixtures/sample_3x2.png"))
+
+  private def decodeBytes(b: Array[Byte]) =
+    Multimodal.decodePng(
+      Seq((1L, b)).toDF("doc_id", "payload"), "doc_id", "payload").head()
+
+  test("committed fixture (python zlib, Paeth + Average filtered rows) " +
+      "decodes to its known pixels") {
+    val r = decodeBytes(fixture)
+    assert(r.getInt(1) == 3 && r.getInt(2) == 2 && r.getInt(3) == 2)
+    assert(r.getLong(4) == 6)
+    // same picture as the BMP fixture: red/green/blue over
+    // white/black/(128,64,32) — but PNG stores top-down, so
+    // top_row_sum is the red/green/blue scanline
+    assert(r.getLong(5) == 638, s"sum_r: $r")
+    assert(r.getLong(6) == 574, s"sum_g: $r")
+    assert(r.getLong(7) == 542, s"sum_b: $r")
+    assert(r.getLong(8) == 765, s"top_row_sum: $r")
+  }
+
+  test("CRC verification: a flipped pixel byte inside IDAT nulls the " +
+      "row instead of decoding garbage") {
+    val b = fixture.clone()
+    // flip a byte in the middle of the IDAT payload (after sig + IHDR
+    // chunk = 8 + 25 = 33, IDAT data starts at 41)
+    b(45) = (b(45) ^ 0x55).toByte
+    assert(decodeBytes(b).isNullAt(1), "corrupt IDAT must fail the CRC")
+    // also: bad signature, truncated file, non-truecolor IHDR
+    assert(decodeBytes(fixture.take(30)).isNullAt(1))
+    val sig = fixture.clone(); sig(1) = 'X'.toByte
+    assert(decodeBytes(sig).isNullAt(1))
+  }
+
+  test("encoder round-trip matches the pixel model for every (w, h) " +
+      "residue class — all five filter types reconstructed") {
+    val docs = (0L until 30L).toDF("doc_id")
+    val rows = Multimodal.decodePng(
+      Multimodal.pngPayload(docs, "doc_id"), "doc_id", "payload")
+      .collect()
+    assert(rows.length == 30 && rows.forall(!_.isNullAt(1)))
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val w = (id % 5 + 2).toInt; val h = (id % 6 + 1).toInt
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      def v(j: Int): Long = (m(j % 16) & 0xff).toLong
+      val n = 3 * w * h
+      assert(r.getInt(1) == w && r.getInt(2) == h, s"dims of $id")
+      assert(r.getLong(5) == (0 until n by 3).map(v).sum, s"sum_r of $id")
+      assert(r.getLong(6) == (1 until n by 3).map(v).sum, s"sum_g of $id")
+      assert(r.getLong(7) == (2 until n by 3).map(v).sum, s"sum_b of $id")
+      assert(r.getLong(8) == (0 until 3 * w).map(v).sum, s"top of $id")
+    }
+  }
+
+  test("multi-IDAT streams are stitched before inflating") {
+    // rebuild the fixture's single IDAT as two chunks split mid-stream
+    val b = fixture
+    val idatLen = Png2.be32(b, 33)
+    val data = b.slice(41, 41 + idatLen)
+    val (d1, d2) = data.splitAt(3)
+    val out = b.take(33) ++ Png2.chunk("IDAT", d1) ++
+      Png2.chunk("IDAT", d2) ++ b.drop(33 + 12 + idatLen)
+    val r = decodeBytes(out)
+    assert(!r.isNullAt(1) && r.getLong(5) == 638 && r.getLong(8) == 765,
+      s"multi-IDAT decode: $r")
+  }
+}
+
+/** Tiny chunk-builder twin for the spec (independent of the encoder). */
+private object Png2 {
+  def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  def chunk(t: String, d: Array[Byte]): Array[Byte] = {
+    val o = java.nio.ByteBuffer.allocate(12 + d.length)
+    o.putInt(d.length)
+    val tb = t.getBytes("US-ASCII")
+    o.put(tb); o.put(d)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(d)
+    o.putInt(crc.getValue.toInt)
+    o.array()
+  }
+}
