@@ -452,6 +452,37 @@ object ScaleBench {
       (dropped, prNodes)
     } else (-1L, -1L)
 
+    // real-codec decode throughput: synthesize + decode BMP/WAV/PNG for
+    // factor× ids (payload generation and decode are both pure per-row
+    // codegen work — no shuffle at all below the final count), so the
+    // curve must track rows linearly; PNG is the interesting one (a
+    // deflate round-trip per row)
+    if (runExt && want("codec_decode")) {
+      val ids = spark.range(0, nDocs * 10L).toDF("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ids.count()
+      timed("codec_decode") {
+        // COLLECT the aggregate value, not .count(): count() of a
+        // global aggregate lets column pruning elide the decode
+        // entirely (measured flat 0.7 s at any factor — a benchmark
+        // of nothing)
+        val bmp = graft.operators.Multimodal.decodeBmp(
+          graft.operators.Multimodal.bmpPayload(ids, "doc_id"),
+          "doc_id", "payload")
+          .agg(sum(col("sum_r"))).head().getLong(0)
+        val wav = graft.operators.Multimodal.decodeWav(
+          graft.operators.Multimodal.wavPayload(ids, "doc_id"),
+          "doc_id", "payload")
+          .agg(sum(col("energy"))).head().getLong(0)
+        val png = graft.operators.Multimodal.decodePng(
+          graft.operators.Multimodal.pngPayload(ids, "doc_id"),
+          "doc_id", "payload")
+          .agg(sum(col("sum_g"))).head().getLong(0)
+        bmp + wav + png
+      }
+      ids.unpersist()
+    }
+
     // char-level exact-substring dedup: one rolling-hash pass + count
     // per 8-byte key + sparse interval merge — should scale linearly
     // with corpus bytes (the boilerplate tail is a REAL duplicated
