@@ -81,6 +81,11 @@ private[expressions] object Png {
             filterMethod != 0 || interlace != 0) return null
           if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16))
             return null
+          // bound w·h BEFORE the inflate buffer is sized from header
+          // fields: a forged 65535×65535 header would otherwise demand
+          // a ~12 GB allocation from attacker-controlled bytes (the
+          // BMP decoder never allocates, so only PNG needs this)
+          if (w.toLong * h > (1L << 24)) return null
         case "IDAT" =>
           if (w < 0) return null // IDAT before IHDR
           idat.write(bytes, pos + 8, len)

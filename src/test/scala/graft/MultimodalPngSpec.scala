@@ -68,6 +68,20 @@ class MultimodalPngSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("forged giant-dimension IHDR is rejected before any allocation " +
+      "is sized from it") {
+    val b = fixture
+    // rebuild IHDR with w = h = 65535 (valid CRC, so only the bound
+    // check can reject it) and keep the rest of the file
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(65535).putInt(65535)
+    ihdr.put(8.toByte).put(2.toByte)
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    val forged = b.take(8) ++ Png2.chunk("IHDR", ihdr.array()) ++
+      b.drop(8 + 25)
+    assert(decodeBytes(forged).isNullAt(1))
+  }
+
   test("multi-IDAT streams are stitched before inflating") {
     // rebuild the fixture's single IDAT as two chunks split mid-stream
     val b = fixture
