@@ -6506,6 +6506,48 @@ object MultimodalQueries {
           sum(CASE WHEN j < 3 * w THEN v END)::BIGINT AS top_row_sum
         FROM gv GROUP BY doc_id, w, h""")),
 
+    // the full color-type matrix of the real PNG decoder: the corpus
+    // cycles gray / truecolor / gray+alpha / RGBA by id, so the filter
+    // chain runs at all four per-pixel byte widths (the left-neighbor
+    // offset IS the channel count — a decoder hardcoding the truecolor
+    // offset scrambles Sub/Paeth rows on 3/4 of the corpus). Channel
+    // mapping: gray→sum_r, alpha→sum_a, absent channels exactly 0;
+    // top_row_sum stays channel-agnostic (all first-scanline bytes)
+    Q("multimodal_decode_png_mix",
+      (s, dir) => Multimodal.decodePngFull(
+        Multimodal.pngPayloadMix(
+          Sources.table(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload"),
+      Some("""WITH gp AS (
+          SELECT doc_id, (2 + doc_id % 5)::INTEGER AS w,
+            (1 + doc_id % 6)::INTEGER AS h,
+            CASE CAST(doc_id % 4 AS INTEGER)
+              WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 6 END
+              AS ct,
+            CASE CAST(doc_id % 4 AS INTEGER)
+              WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END
+              AS c,
+            md5(doc_id::VARCHAR) AS m
+          FROM documents),
+        gv AS (
+          SELECT doc_id, w, h, ct, c, j,
+            ('0x' || substr(m, CAST((j % 16)*2 + 1 AS INTEGER), 2))
+              ::BIGINT AS v
+          FROM (SELECT doc_id, w, h, ct, c, m,
+              unnest(range(0, c*w*h)) AS j FROM gp) t)
+        SELECT doc_id, w AS width, h AS height, ct AS color_type,
+          (w * h)::BIGINT AS n_pixels,
+          COALESCE(sum(CASE WHEN j % c = 0 THEN v END), 0)
+            ::BIGINT AS sum_r,
+          COALESCE(sum(CASE WHEN c >= 3 AND j % c = 1 THEN v END), 0)
+            ::BIGINT AS sum_g,
+          COALESCE(sum(CASE WHEN c >= 3 AND j % c = 2 THEN v END), 0)
+            ::BIGINT AS sum_b,
+          COALESCE(sum(CASE WHEN c IN (2, 4) AND j % c = c - 1
+            THEN v END), 0)::BIGINT AS sum_a,
+          sum(CASE WHEN j < c * w THEN v END)::BIGINT AS top_row_sum
+        FROM gv GROUP BY doc_id, w, h, ct, c""")),
+
     // perceptual near-dup pairs over REAL decoded pixels: exact-integer
     // average-hash (bit k = n·luma_k > Σluma, image-order pixels) on a
     // twin-pair corpus (ids 2k/2k+1 share a base 8×8 image, the odd one

@@ -18,18 +18,33 @@ import org.apache.spark.sql.types._
   * oracle.
   *
   * Output mirrors the BMP stats row (exact integers): `struct(width,
-  * height, color_type, n_pixels, sum_r, sum_g, sum_b, top_row_sum)` —
+  * height, color_type, n_pixels, sum_r, sum_g, sum_b, sum_a,
+  * top_row_sum)` —
   * PNG stores rows top-down, so `top_row_sum` is the FIRST scanline
   * (the witness that row order and the filter chain start state are
   * right). Malformed input → null (bad signature, CRC mismatch,
   * truncated chunk, unsupported bit depth/color type/interlace,
   * inflate error, or a pixel stream of the wrong length).
   *
-  * Supported profile: bit depth 8, color type 2 (truecolor RGB),
-  * compression 0, filter method 0, non-interlaced — the overwhelmingly
-  * common profile for synthetic/ML-pipeline imagery; anything else
-  * nulls (honest scope, absorbed per row). */
+  * Supported profile: bit depth 8, color types 0/2/4/6 (grayscale,
+  * truecolor, gray+alpha, RGBA — every 8-bit non-palette profile),
+  * compression 0, filter method 0, non-interlaced; palette (3),
+  * sub-byte depths, 16-bit and interlaced files null (honest scope,
+  * absorbed per row). The filter chain's left-neighbor offset is the
+  * per-pixel byte count, so each color type exercises a DIFFERENT
+  * reconstruction geometry — decoding RGBA with the RGB offset
+  * scrambles every Sub/Paeth row. */
 private[expressions] object Png {
+
+  /** Bytes per pixel for the supported bit-depth-8 color types;
+    * -1 = unsupported. */
+  def channelsOf(colorType: Int): Int = colorType match {
+    case 0 => 1 // grayscale
+    case 2 => 3 // truecolor RGB
+    case 4 => 2 // grayscale + alpha
+    case 6 => 4 // RGBA
+    case _ => -1
+  }
 
   val SIG: Array[Byte] = Array(0x89.toByte, 'P', 'N', 'G',
     0x0d, 0x0a, 0x1a, 0x0a)
@@ -45,9 +60,9 @@ private[expressions] object Png {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** (width, height, reconstructed RGB bytes row-major top-down) or
-    * null. */
-  def parse(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+  /** (width, height, colorType, reconstructed pixel bytes row-major
+    * top-down, `channelsOf(colorType)` bytes per pixel) or null. */
+  def parse(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     if (bytes == null || bytes.length < SIG.length + 12) return null
     var i = 0
     while (i < SIG.length) {
@@ -55,7 +70,7 @@ private[expressions] object Png {
       i += 1
     }
     var pos = SIG.length
-    var w = -1; var h = -1
+    var w = -1; var h = -1; var ct = -1; var bpp = -1
     val idat = new java.io.ByteArrayOutputStream()
     var sawEnd = false
     while (!sawEnd) {
@@ -73,11 +88,12 @@ private[expressions] object Png {
           w = be32(bytes, pos + 8)
           h = be32(bytes, pos + 12)
           val bitDepth = bytes(pos + 16) & 0xff
-          val colorType = bytes(pos + 17) & 0xff
+          ct = bytes(pos + 17) & 0xff
           val compression = bytes(pos + 18) & 0xff
           val filterMethod = bytes(pos + 19) & 0xff
           val interlace = bytes(pos + 20) & 0xff
-          if (bitDepth != 8 || colorType != 2 || compression != 0 ||
+          bpp = channelsOf(ct)
+          if (bitDepth != 8 || bpp < 0 || compression != 0 ||
             filterMethod != 0 || interlace != 0) return null
           if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16))
             return null
@@ -96,7 +112,7 @@ private[expressions] object Png {
     }
     if (w < 0) return null
     // inflate the stitched IDAT stream
-    val rowBytes = 3 * w
+    val rowBytes = bpp * w
     val raw = new Array[Byte]((rowBytes + 1) * h)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
@@ -122,9 +138,9 @@ private[expressions] object Png {
       var k = 0
       while (k < rowBytes) {
         val x = raw(src + k) & 0xff
-        val a = if (k >= 3) out(dst + k - 3) & 0xff else 0
+        val a = if (k >= bpp) out(dst + k - bpp) & 0xff else 0
         val b = if (r > 0) out(dst - rowBytes + k) & 0xff else 0
-        val c = if (r > 0 && k >= 3) out(dst - rowBytes + k - 3) & 0xff
+        val c = if (r > 0 && k >= bpp) out(dst - rowBytes + k - bpp) & 0xff
           else 0
         val v = ft match {
           case 0 => x
@@ -138,17 +154,20 @@ private[expressions] object Png {
       }
       r += 1
     }
-    (w, h, out)
+    (w, h, ct, out)
   }
 
   /** Deterministic PNG ENCODER for the synthetic generator (Scala-side
     * only — oracles check decoded stats against the pixel MODEL, so the
-    * compressed byte stream itself never needs SQL replay): 8-bit RGB,
-    * per-row filter type `r mod 5` applied FORWARD (so decode exercises
-    * every reconstruction path), one zlib-deflated IDAT. */
-  def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
-    require(rgb.length == 3 * w * h)
-    val rowBytes = 3 * w
+    * compressed byte stream itself never needs SQL replay): bit depth
+    * 8, any supported color type, per-row filter type `r mod 5` applied
+    * FORWARD (so decode exercises every reconstruction path), one
+    * zlib-deflated IDAT. */
+  def encode(w: Int, h: Int, colorType: Int, px: Array[Byte])
+      : Array[Byte] = {
+    val bpp = channelsOf(colorType)
+    require(bpp > 0 && px.length == bpp * w * h)
+    val rowBytes = bpp * w
     val raw = new Array[Byte]((rowBytes + 1) * h)
     var r = 0
     while (r < h) {
@@ -158,10 +177,10 @@ private[expressions] object Png {
       val dst = r * (rowBytes + 1) + 1
       var k = 0
       while (k < rowBytes) {
-        val x = rgb(src + k) & 0xff
-        val a = if (k >= 3) rgb(src + k - 3) & 0xff else 0
-        val b = if (r > 0) rgb(src - rowBytes + k) & 0xff else 0
-        val c = if (r > 0 && k >= 3) rgb(src - rowBytes + k - 3) & 0xff
+        val x = px(src + k) & 0xff
+        val a = if (k >= bpp) px(src + k - bpp) & 0xff else 0
+        val b = if (r > 0) px(src - rowBytes + k) & 0xff else 0
+        val c = if (r > 0 && k >= bpp) px(src - rowBytes + k - bpp) & 0xff
           else 0
         val f = ft match {
           case 0 => x
@@ -196,7 +215,7 @@ private[expressions] object Png {
     }
     val ihdr = java.nio.ByteBuffer.allocate(13)
     ihdr.putInt(w).putInt(h)
-    ihdr.put(8.toByte).put(2.toByte) // bit depth 8, truecolor
+    ihdr.put(8.toByte).put(colorType.toByte) // bit depth 8
     ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
     SIG ++ chunk("IHDR", ihdr.array()) ++ chunk("IDAT", zOut.toByteArray) ++
       chunk("IEND", Array.empty[Byte])
@@ -217,24 +236,31 @@ case class PngDecodeExpr(child: Expression) extends UnaryExpression {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName needs BINARY input, got ${child.dataType}")
 
+  /** Channel mapping per color type (gray lands in `sum_r`, the alpha
+    * plane — when present — in `sum_a`, missing channels report 0):
+    * gray→(r,0,0,0); RGB→(r,g,b,0); gray+alpha→(r,0,0,a);
+    * RGBA→(r,g,b,a). `top_row_sum` is ALL bytes of the first scanline
+    * (channel-agnostic — the row-order/filter-start witness). */
   def compute(bytes: Array[Byte]): InternalRow = {
     val parsed = Png.parse(bytes)
     if (parsed == null) return null
-    val (w, h, px) = parsed
-    var sumR = 0L; var sumG = 0L; var sumB = 0L; var top = 0L
-    val rowBytes = 3 * w
+    val (w, h, ct, px) = parsed
+    val c = Png.channelsOf(ct)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var sumA = 0L
+    var top = 0L
+    val rowBytes = c * w
     var i = 0
     while (i < px.length) {
       val v = px(i) & 0xff
-      (i % 3) match {
-        case 0 => sumR += v
-        case 1 => sumG += v
-        case 2 => sumB += v
-      }
+      val q = i % c
+      if (q == 0) sumR += v
+      else if (c >= 3 && q == 1) sumG += v
+      else if (c >= 3 && q == 2) sumB += v
+      else sumA += v // q == c-1 on an even (alpha-bearing) color type
       if (i < rowBytes) top += v // PNG rows are stored top-down
       i += 1
     }
-    InternalRow(w, h, 2, w.toLong * h, sumR, sumG, sumB, top)
+    InternalRow(w, h, ct, w.toLong * h, sumR, sumG, sumB, sumA, top)
   }
 
   override def nullSafeEval(input: Any): Any =
@@ -265,6 +291,7 @@ object PngDecodeExpr {
     StructField("sum_r", LongType, nullable = false),
     StructField("sum_g", LongType, nullable = false),
     StructField("sum_b", LongType, nullable = false),
+    StructField("sum_a", LongType, nullable = false),
     StructField("top_row_sum", LongType, nullable = false)))
 }
 
@@ -297,7 +324,7 @@ case class PngSynthExpr(child: Expression) extends UnaryExpression {
     val rgb = new Array[Byte](3 * w * h)
     var j = 0
     while (j < rgb.length) { rgb(j) = m(j % 16); j += 1 }
-    Png.encode(w, h, rgb)
+    Png.encode(w, h, 2, rgb)
   }
 
   override def nullSafeEval(input: Any): Any =
@@ -314,6 +341,57 @@ case class PngSynthExpr(child: Expression) extends UnaryExpression {
       : Expression = copy(child = newChild)
 }
 
+/** Synthesize a real PNG per row with the COLOR TYPE cycling by id
+  * (`id mod 4` → gray / truecolor / gray+alpha / RGBA), same `w`/`h`
+  * residues and md5-pair byte model as [[PngSynthExpr]] — one corpus
+  * whose decode exercises all four channel geometries, so a decoder
+  * that hardcodes the truecolor left-neighbor offset fails three
+  * quarters of the rows. */
+case class PngSynthMixExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "png_synth_mix"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BIGINT input, got ${child.dataType}")
+
+  def compute(id: Long): Array[Byte] = {
+    val ct = PngSynthMixExpr.COLOR_TYPES((id % 4).toInt)
+    val c = Png.channelsOf(ct)
+    val w = (id % 5 + 2).toInt
+    val h = (id % 6 + 1).toInt
+    val m = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    val px = new Array[Byte](c * w * h)
+    var j = 0
+    while (j < px.length) { px(j) = m(j % 16); j += 1 }
+    Png.encode(w, h, ct, px)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("pngSynthMix", this,
+      classOf[PngSynthMixExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object PngSynthMixExpr {
+  val COLOR_TYPES: Array[Int] = Array(0, 2, 4, 6)
+}
+
 object PngDecode {
   def pngDecode(bin: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
@@ -322,4 +400,8 @@ object PngDecode {
   def pngSynth(id: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       PngSynthExpr(org.apache.spark.sql.graft.Bridge.expression(id)))
+
+  def pngSynthMix(id: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      PngSynthMixExpr(org.apache.spark.sql.graft.Bridge.expression(id)))
 }

@@ -207,6 +207,31 @@ object Multimodal {
         col("__d.sum_g").as("sum_g"), col("__d.sum_b").as("sum_b"),
         col("__d.top_row_sum").as("top_row_sum"))
 
+  /** Synthesize a real PNG per row with the COLOR TYPE cycling by id
+    * (`id mod 4` → gray / truecolor / gray+alpha / RGBA) — one corpus
+    * exercising all four supported channel geometries of the decoder's
+    * filter chain. */
+  def pngPayloadMix(df: DataFrame, idCol: String,
+      out: String = "payload"): DataFrame =
+    df.select(col(idCol),
+      graft.expressions.PngDecode.pngSynthMix(col(idCol).cast("long"))
+        .as(out))
+
+  /** [[decodePng]] plus the alpha-plane sum — the full channel report
+    * for color types that carry alpha (gray lands in `sum_r`, absent
+    * channels report 0; see [[graft.expressions.PngDecodeExpr]]). */
+  def decodePngFull(df: DataFrame, idCol: String, binCol: String)
+      : DataFrame =
+    df.select(col(idCol),
+        graft.expressions.PngDecode.pngDecode(col(binCol)).as("__d"))
+      .select(col(idCol), col("__d.width").as("width"),
+        col("__d.height").as("height"),
+        col("__d.color_type").as("color_type"),
+        col("__d.n_pixels").as("n_pixels"), col("__d.sum_r").as("sum_r"),
+        col("__d.sum_g").as("sum_g"), col("__d.sum_b").as("sum_b"),
+        col("__d.sum_a").as("sum_a"),
+        col("__d.top_row_sum").as("top_row_sum"))
+
   // ---------------------------------------------------------------------
   // REAL format: RIFF/WAVE 16-bit mono PCM (genuine chunk-walk decode —
   // graft.expressions.WavDecodeExpr)

@@ -82,6 +82,49 @@ class MultimodalPngSpec extends AnyFunSuite with SparkTester {
     assert(decodeBytes(forged).isNullAt(1))
   }
 
+  test("color-type matrix: gray / truecolor / gray+alpha / RGBA all " +
+      "round-trip with the channel-width-dependent filter chain") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val rows = Multimodal.decodePngFull(
+      Multimodal.pngPayloadMix(docs, "doc_id"), "doc_id", "payload")
+      .collect()
+    assert(rows.length == 40 && rows.forall(!_.isNullAt(1)))
+    val cts = Array(0, 2, 4, 6); val chans = Array(1, 3, 2, 4)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val ct = cts((id % 4).toInt); val c = chans((id % 4).toInt)
+      val w = (id % 5 + 2).toInt; val h = (id % 6 + 1).toInt
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      def v(j: Int): Long = (m(j % 16) & 0xff).toLong
+      val n = c * w * h
+      assert(r.getInt(3) == ct, s"color_type of $id")
+      // gray lands in sum_r (q = 0 for every byte when c = 1)
+      assert(r.getLong(5) == (0 until n by c).map(v).sum, s"sum_r of $id")
+      val expG = if (c >= 3) (1 until n by c).map(v).sum else 0L
+      val expB = if (c >= 3) (2 until n by c).map(v).sum else 0L
+      val expA = if (c == 2 || c == 4) (c - 1 until n by c).map(v).sum
+        else 0L
+      assert(r.getLong(6) == expG, s"sum_g of $id")
+      assert(r.getLong(7) == expB, s"sum_b of $id")
+      assert(r.getLong(8) == expA, s"sum_a of $id")
+      assert(r.getLong(9) == (0 until c * w).map(v).sum, s"top of $id")
+    }
+  }
+
+  test("palette color type (3) nulls — outside the supported profile") {
+    // rebuild the fixture's IHDR with color type 3 (valid CRC): the
+    // decoder must refuse rather than misread the filter geometry
+    val b = fixture
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(3).putInt(2)
+    ihdr.put(8.toByte).put(3.toByte)
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    val forged = b.take(8) ++ Png2.chunk("IHDR", ihdr.array()) ++
+      b.drop(8 + 25)
+    assert(decodeBytes(forged).isNullAt(1))
+  }
+
   test("multi-IDAT streams are stitched before inflating") {
     // rebuild the fixture's single IDAT as two chunks split mid-stream
     val b = fixture
