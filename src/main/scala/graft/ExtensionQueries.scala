@@ -6548,6 +6548,56 @@ object MultimodalQueries {
           sum(CASE WHEN j < c * w THEN v END)::BIGINT AS top_row_sum
         FROM gv GROUP BY doc_id, w, h, ct, c""")),
 
+    // REAL image resize (the non-stub counterpart of the byte-budget
+    // `multimodal_resize` stub): nearest-neighbor ×2 downsample over
+    // the genuinely-decoded pixel grid, re-ENCODED as a PNG of the same
+    // color type, then decoded AGAIN — a decode → transform → encode →
+    // decode chain per row, all real codec work. The oracle replays the
+    // sampled-pixel model (output pixel (r,q) = input (2r,2q), ceil
+    // dims): a resize that samples the wrong grid, drops the alpha
+    // plane, or re-encodes with a broken filter chain fails the hash
+    Q("multimodal_resize_png",
+      (s, dir) => Multimodal.decodePngFull(
+        Multimodal.resizePng(
+          Multimodal.pngPayloadMix(
+            Sources.table(s, dir, "documents"), "doc_id"),
+          "doc_id", "payload", k = 2),
+        "doc_id", "payload"),
+      Some("""WITH gp AS (
+          SELECT doc_id, (2 + doc_id % 5)::INTEGER AS w,
+            (1 + doc_id % 6)::INTEGER AS h,
+            CASE CAST(doc_id % 4 AS INTEGER)
+              WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 6 END
+              AS ct,
+            CASE CAST(doc_id % 4 AS INTEGER)
+              WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END
+              AS c,
+            md5(doc_id::VARCHAR) AS m
+          FROM documents),
+        gd AS (
+          SELECT doc_id, w, h, ct, c, m,
+            (w + 1) // 2 AS w2, (h + 1) // 2 AS h2
+          FROM gp),
+        gv AS (
+          SELECT doc_id, ct, c, w2, h2, j2,
+            ('0x' || substr(m, CAST(((
+              c * (((j2 // c) // w2) * 2 * w + ((j2 // c) % w2) * 2)
+                + j2 % c) % 16)*2 + 1 AS INTEGER), 2))::BIGINT AS v
+          FROM (SELECT doc_id, w, ct, c, m, w2, h2,
+              unnest(range(0, c*w2*h2)) AS j2 FROM gd) t)
+        SELECT doc_id, w2 AS width, h2 AS height, ct AS color_type,
+          (w2 * h2)::BIGINT AS n_pixels,
+          COALESCE(sum(CASE WHEN j2 % c = 0 THEN v END), 0)
+            ::BIGINT AS sum_r,
+          COALESCE(sum(CASE WHEN c >= 3 AND j2 % c = 1 THEN v END), 0)
+            ::BIGINT AS sum_g,
+          COALESCE(sum(CASE WHEN c >= 3 AND j2 % c = 2 THEN v END), 0)
+            ::BIGINT AS sum_b,
+          COALESCE(sum(CASE WHEN c IN (2, 4) AND j2 % c = c - 1
+            THEN v END), 0)::BIGINT AS sum_a,
+          sum(CASE WHEN j2 < c * w2 THEN v END)::BIGINT AS top_row_sum
+        FROM gv GROUP BY doc_id, w2, h2, ct, c""")),
+
     // perceptual near-dup pairs over REAL decoded pixels: exact-integer
     // average-hash (bit k = n·luma_k > Σluma, image-order pixels) on a
     // twin-pair corpus (ids 2k/2k+1 share a base 8×8 image, the odd one

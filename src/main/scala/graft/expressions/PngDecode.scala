@@ -157,6 +157,35 @@ private[expressions] object Png {
     (w, h, ct, out)
   }
 
+  /** REAL pixel-space resize: nearest-neighbor downsample by integer
+    * factor `k` (output pixel (r, q) = input pixel (r·k, q·k), ceil
+    * output dims so every input image — including those smaller than
+    * `k` — keeps at least one pixel per axis), re-encoded as a PNG of
+    * the SAME color type. A full decode → transform → encode round
+    * trip per row; null in (or malformed bytes) → null out. */
+  def resizeNearest(bytes: Array[Byte], k: Int): Array[Byte] = {
+    val p = parse(bytes)
+    if (p == null || k <= 0) return null
+    val (w, h, ct, px) = p
+    val c = channelsOf(ct)
+    val w2 = (w + k - 1) / k
+    val h2 = (h + k - 1) / k
+    val out = new Array[Byte](c * w2 * h2)
+    var r2 = 0
+    while (r2 < h2) {
+      var q2 = 0
+      while (q2 < w2) {
+        val src = c * (r2 * k * w + q2 * k)
+        val dst = c * (r2 * w2 + q2)
+        var ch = 0
+        while (ch < c) { out(dst + ch) = px(src + ch); ch += 1 }
+        q2 += 1
+      }
+      r2 += 1
+    }
+    encode(w2, h2, ct, out)
+  }
+
   /** Deterministic PNG ENCODER for the synthetic generator (Scala-side
     * only — oracles check decoded stats against the pixel MODEL, so the
     * compressed byte stream itself never needs SQL replay): bit depth
@@ -392,6 +421,48 @@ object PngSynthMixExpr {
   val COLOR_TYPES: Array[Int] = Array(0, 2, 4, 6)
 }
 
+/** REAL image resize as an expression: nearest-neighbor downsample by
+  * integer factor `k` over the genuinely-decoded pixel grid, re-encoded
+  * as a PNG of the same color type ([[Png.resizeNearest]]) — the
+  * non-stub counterpart of the byte-truncation `Multimodal.resize`.
+  * Malformed input nulls (E1). */
+case class PngResizeExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "png_resize"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType && k > 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BINARY input and k > 0")
+
+  def compute(bytes: Array[Byte]): Array[Byte] =
+    Png.resizeNearest(bytes, k)
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("pngResize", this,
+      classOf[PngResizeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $ref.compute($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 object PngDecode {
   def pngDecode(bin: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
@@ -404,4 +475,8 @@ object PngDecode {
   def pngSynthMix(id: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       PngSynthMixExpr(org.apache.spark.sql.graft.Bridge.expression(id)))
+
+  def pngResize(bin: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      PngResizeExpr(org.apache.spark.sql.graft.Bridge.expression(bin), k))
 }

@@ -217,6 +217,17 @@ object Multimodal {
       graft.expressions.PngDecode.pngSynthMix(col(idCol).cast("long"))
         .as(out))
 
+  /** REAL pixel-space resize (the non-stub counterpart of [[resize]]):
+    * nearest-neighbor downsample by integer factor `k` over the
+    * genuinely-decoded pixel grid, re-encoded as a PNG of the same
+    * color type — a full decode → transform → encode round trip per
+    * row; malformed blobs null out (E1). Compose with
+    * [[decodePngFull]] to read the resized image back. */
+  def resizePng(df: DataFrame, idCol: String, binCol: String, k: Int,
+      out: String = "payload"): DataFrame =
+    df.select(col(idCol),
+      graft.expressions.PngDecode.pngResize(col(binCol), k).as(out))
+
   /** [[decodePng]] plus the alpha-plane sum — the full channel report
     * for color types that carry alpha (gray lands in `sum_r`, absent
     * channels report 0; see [[graft.expressions.PngDecodeExpr]]). */

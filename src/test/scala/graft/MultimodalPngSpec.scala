@@ -112,6 +112,59 @@ class MultimodalPngSpec extends AnyFunSuite with SparkTester {
     }
   }
 
+  test("real resize: fixture 3x2 nearest-neighbor k=2 keeps pixels " +
+      "(0,0) and (0,2) — red and blue of the top scanline") {
+    val out = Multimodal.decodePngFull(
+      Multimodal.resizePng(
+        Seq((1L, fixture)).toDF("doc_id", "payload"),
+        "doc_id", "payload", k = 2),
+      "doc_id", "payload").head()
+    assert(out.getInt(1) == 2 && out.getInt(2) == 1) // ceil(3/2), ceil(2/2)
+    assert(out.getLong(4) == 2)
+    // top row of the fixture is red/green/blue → sampled cols 0, 2 are
+    // (255,0,0) and (0,0,255)
+    assert(out.getLong(5) == 255 && out.getLong(6) == 0 &&
+      out.getLong(7) == 255 && out.getLong(8) == 0)
+    assert(out.getLong(9) == 510)
+    // malformed input nulls THROUGH the resize chain
+    val bad = Multimodal.decodePngFull(
+      Multimodal.resizePng(
+        Seq((1L, fixture.take(30))).toDF("doc_id", "payload"),
+        "doc_id", "payload", k = 2),
+      "doc_id", "payload").head()
+    assert(bad.isNullAt(1))
+  }
+
+  test("resize round-trips the sampled-pixel model across every color " +
+      "type and residue class") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val rows = Multimodal.decodePngFull(
+      Multimodal.resizePng(
+        Multimodal.pngPayloadMix(docs, "doc_id"),
+        "doc_id", "payload", k = 2),
+      "doc_id", "payload").collect()
+    assert(rows.length == 40 && rows.forall(!_.isNullAt(1)))
+    val chans = Array(1, 3, 2, 4)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val c = chans((id % 4).toInt)
+      val w = (id % 5 + 2).toInt; val h = (id % 6 + 1).toInt
+      val w2 = (w + 1) / 2; val h2 = (h + 1) / 2
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      // source byte of output byte j2: nearest-neighbor (2r, 2q)
+      def v(j2: Int): Long = {
+        val sp = j2 / c; val ch = j2 % c
+        val j = c * ((sp / w2) * 2 * w + (sp % w2) * 2) + ch
+        (m(j % 16) & 0xff).toLong
+      }
+      val n = c * w2 * h2
+      assert(r.getInt(1) == w2 && r.getInt(2) == h2, s"dims of $id")
+      assert(r.getLong(5) == (0 until n by c).map(v).sum, s"sum_r of $id")
+      assert(r.getLong(9) == (0 until c * w2).map(v).sum, s"top of $id")
+    }
+  }
+
   test("palette color type (3) nulls — outside the supported profile") {
     // rebuild the fixture's IHDR with color type 3 (valid CRC): the
     // decoder must refuse rather than misread the filter geometry
