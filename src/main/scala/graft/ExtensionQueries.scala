@@ -5979,6 +5979,49 @@ object CurationQueries {
           least(e, (bin_id + 1) * 64) - greatest(s, bin_id * 64) AS n_tok
         FROM g""")),
 
+    // fill-in-the-middle (Bavarian et al. 2022): hash-gated split at
+    // two md5-derived code-point cuts, both PSM and SPM reorderings
+    // emitted; the oracle replays the full cut/gate algebra and the
+    // substring reassembly — an off-by-one in either cut, a UTF-16 vs
+    // code-point length mismatch, or a wrong gate rate changes the
+    // strings and fails the hash
+    Q("curation_fim",
+      (s, dir) => Curation.fimTransform(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        ratePct = 90, salt = "r10"),
+      Some("""WITH t AS (
+          SELECT doc_id, text, length(text)::BIGINT AS n,
+            ('0x' || substr(md5('r10:g:' || doc_id::VARCHAR), 1, 8))
+              ::BIGINT % 100 AS g,
+            ('0x' || substr(md5('r10:a:' || doc_id::VARCHAR), 1, 8))
+              ::BIGINT AS ha,
+            ('0x' || substr(md5('r10:b:' || doc_id::VARCHAR), 1, 8))
+              ::BIGINT AS hb
+          FROM documents),
+        s AS (
+          SELECT doc_id, text, n, g < 90 AND n >= 2 AS applied,
+            least(ha % (n + 1), hb % (n + 1)) AS lo,
+            greatest(ha % (n + 1), hb % (n + 1)) AS hi
+          FROM t)
+        SELECT doc_id, applied AS fim_applied,
+          CASE WHEN applied THEN lo END AS cut_lo,
+          CASE WHEN applied THEN hi END AS cut_hi,
+          CASE WHEN applied THEN
+            '<PRE>' || substr(text, 1, CAST(lo AS INTEGER)) ||
+            '<SUF>' || substr(text, CAST(hi + 1 AS INTEGER),
+              CAST(n AS INTEGER)) ||
+            '<MID>' || substr(text, CAST(lo + 1 AS INTEGER),
+              CAST(hi - lo AS INTEGER))
+          ELSE text END AS text_psm,
+          CASE WHEN applied THEN
+            '<SUF>' || substr(text, CAST(hi + 1 AS INTEGER),
+              CAST(n AS INTEGER)) ||
+            '<PRE>' || substr(text, 1, CAST(lo AS INTEGER)) ||
+            '<MID>' || substr(text, CAST(lo + 1 AS INTEGER),
+              CAST(hi - lo AS INTEGER))
+          ELSE text END AS text_spm
+        FROM s""")),
+
     // packing-efficiency audit over pack_contexts' bins: every interior
     // bin must fill to exactly ctxSize (the chop is contiguous), the
     // tail may be partial, and docs-per-bin bounds the attention-mask

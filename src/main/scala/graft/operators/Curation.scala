@@ -282,6 +282,48 @@ object Curation {
         array_join(col("__c"), " ").as("chunk"))
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022,
+    * arXiv:2207.14255 — the code-model pretraining augmentation):
+    * deterministically split each document into (prefix, middle,
+    * suffix) at two hash-derived code-point cuts and emit BOTH
+    * canonical reorderings — PSM `<PRE>p<SUF>s<MID>m` and SPM
+    * `<SUF>s<PRE>p<MID>m` — plus the cut coordinates for audit. A hash
+    * gate applies the transform to `ratePct`% of documents (the paper's
+    * fim_rate, typically 50–90); ungated docs and docs shorter than 2
+    * chars pass through unchanged with `fim_applied = false`. All
+    * randomness is md5 algebra over (salt, doc_id): byte-identical on
+    * rerun (training-data provenance), no RNG state, embarrassingly
+    * parallel — one codegen'd projection, no shuffle at any scale. */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+      ratePct: Int, salt: String): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100,
+      s"ratePct must be in [0, 100], got $ratePct")
+    val id = col(idCol)
+    val text = col(textCol)
+    val n = length(text).cast("long")
+    def h(tag: String): Column =
+      conv(substring(md5(concat(lit(salt), lit(tag),
+        id.cast("string"))), 1, 8), 16, 10).cast("long")
+    val gate = h(":g:") % 100 < lit(ratePct.toLong)
+    // two independent cuts in [0, n]; sorted → 0 <= lo <= hi <= n
+    val a = h(":a:") % (n + 1)
+    val b = h(":b:") % (n + 1)
+    val lo = least(a, b)
+    val hi = greatest(a, b)
+    val applied = gate && n >= 2
+    val prefix = text.substr(lit(1), lo.cast("int"))
+    val middle = text.substr((lo + 1).cast("int"), (hi - lo).cast("int"))
+    val suffix = text.substr((hi + 1).cast("int"), n.cast("int"))
+    df.select(id.as("doc_id"),
+      applied.as("fim_applied"),
+      when(applied, lo).as("cut_lo"),
+      when(applied, hi).as("cut_hi"),
+      when(applied, concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix,
+        lit("<MID>"), middle)).otherwise(text).as("text_psm"),
+      when(applied, concat(lit("<SUF>"), suffix, lit("<PRE>"), prefix,
+        lit("<MID>"), middle)).otherwise(text).as("text_spm"))
+  }
+
   /** `md5(salt || id)` order key + its leading-hex-byte bucket. */
   private def withShuffleKey(df: DataFrame, idCol: String, salt: String,
       bucketChars: Int): DataFrame = {

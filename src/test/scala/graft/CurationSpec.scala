@@ -890,4 +890,46 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(g3.getLong(2) == 6 && g3.getBoolean(3) &&
       g3.getLong(4) == 1 && !g3.getBoolean(5), s"$g3")
   }
+
+  test("fimTransform: applied rows reassemble to the original text, " +
+      "gate hits ~ratePct, passthrough rows unchanged") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i body " + ("x" * (i % 7).toInt))).toDF("doc_id", "text")
+    val out = Curation.fimTransform(docs, "doc_id", "text",
+      ratePct = 90, salt = "t").collect()
+    assert(out.length == 200)
+    val applied = out.filter(_.getBoolean(1))
+    // the gate is an md5 mod-100 draw: 90% +- sampling noise
+    assert(applied.length > 150 && applied.length < 200,
+      s"gate rate: ${applied.length}/200")
+    val byId = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    applied.foreach { r =>
+      val orig = byId(r.getLong(0))
+      val lo = r.getLong(2).toInt; val hi = r.getLong(3).toInt
+      assert(lo >= 0 && lo <= hi && hi <= orig.length)
+      val psm = r.getString(4)
+      // <PRE>p<SUF>s<MID>m --> p + m + s == orig
+      val p = psm.stripPrefix("<PRE>").takeWhile(_ != '<') // no '<' in corpus
+      assert(psm == "<PRE>" + orig.substring(0, lo) + "<SUF>" +
+        orig.substring(hi) + "<MID>" + orig.substring(lo, hi),
+        s"psm of ${r.getLong(0)}")
+      assert(r.getString(5) == "<SUF>" + orig.substring(hi) + "<PRE>" +
+        orig.substring(0, lo) + "<MID>" + orig.substring(lo, hi),
+        s"spm of ${r.getLong(0)}")
+      assert(p == orig.substring(0, lo))
+    }
+    out.filter(!_.getBoolean(1)).foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(3))
+      assert(r.getString(4) == byId(r.getLong(0)))
+      assert(r.getString(5) == byId(r.getLong(0)))
+    }
+    // byte-identical on rerun (provenance)
+    val again = Curation.fimTransform(docs, "doc_id", "text",
+      ratePct = 90, salt = "t").collect()
+    assert(out.map(_.toString).sorted.sameElements(
+      again.map(_.toString).sorted))
+    // rate 0 --> pure passthrough
+    val none = Curation.fimTransform(docs, "doc_id", "text",
+      ratePct = 0, salt = "t").collect()
+    assert(none.forall(r => !r.getBoolean(1)))
+  }
 }
