@@ -6710,6 +6710,35 @@ object MultimodalQueries {
           max(CASE WHEN i = n - 1 THEN s END)::INTEGER AS last_sample
         FROM ws GROUP BY doc_id""")),
 
+    // REAL audio resample: decimate the genuinely-decoded PCM stream
+    // by 3 (output sample j = input sample 3j, rate 8000 → 2666),
+    // re-encode a canonical WAV, then decode AGAIN — the audio twin of
+    // multimodal_resize_png's decode → transform → encode → decode
+    // chain. The oracle replays the decimation over the sample MODEL;
+    // a wrong stride, a dropped tail sample, or a re-encode that
+    // corrupts the chunk layout fails the hash. The JUNK-chunk slice of
+    // the input corpus also proves the resampler's PARSE walks chunks
+    Q("multimodal_resample_wav",
+      (s, dir) => Multimodal.decodeWav(
+        Multimodal.resampleWav(
+          Multimodal.wavPayload(
+            Sources.table(s, dir, "documents"), "doc_id"),
+          "doc_id", "payload", k = 3),
+        "doc_id", "payload"),
+      Some(s"""WITH ${wavModelCtes()},
+        rs AS (
+          SELECT doc_id, (i // 3)::BIGINT AS i2, s,
+            ((n + 2) // 3)::BIGINT AS n2
+          FROM ws WHERE i % 3 = 0)
+        SELECT doc_id, 2666 AS sample_rate, 1 AS n_channels, 16 AS bits,
+          count(*)::BIGINT AS n_samples,
+          sum(abs(s))::BIGINT AS sum_abs,
+          sum(s * s)::BIGINT AS energy,
+          max(abs(s))::INTEGER AS max_abs,
+          max(CASE WHEN i2 = 0 THEN s END)::INTEGER AS first_sample,
+          max(CASE WHEN i2 = n2 - 1 THEN s END)::INTEGER AS last_sample
+        FROM rs GROUP BY doc_id""")),
+
     // energy VAD over the REAL PCM stream (the non-stub twin of
     // multimodal_audio_vad): chunk-walk decode, strided sample frames,
     // exact integer energy gate, micro-unit speech ratio

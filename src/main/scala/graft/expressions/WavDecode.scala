@@ -79,6 +79,43 @@ private[expressions] object WavPcm {
     if (rate < 0 || samples == null) return null
     (rate, ch, bits, samples)
   }
+
+  /** Canonical RIFF/WAVE ENCODER (16-bit mono PCM, fmt then data, no
+    * ancillary chunks) — the output side of [[resample]]; samples are
+    * written signed little-endian int16. */
+  def encode(rate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val o = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    o.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    o.put("WAVE".getBytes("US-ASCII"))
+    o.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    o.putShort(1).putShort(1)              // PCM, mono
+    o.putInt(rate).putInt(rate * 2)        // sample rate, byte rate
+    o.putShort(2).putShort(16)             // block align, bits
+    o.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < samples.length) { o.putShort(samples(i).toShort); i += 1 }
+    o.array()
+  }
+
+  /** REAL sample-space resample: decimate by integer factor `k`
+    * (output sample j = input sample j·k — the zero-phase nearest
+    * neighbor of the PNG resize), sample rate divided accordingly,
+    * re-encoded as a canonical WAV. A full decode → transform → encode
+    * round trip per row; malformed bytes (or k ≤ 0 / k > rate) →
+    * null. */
+  def resample(bytes: Array[Byte], k: Int): Array[Byte] = {
+    val p = parse(bytes)
+    if (p == null || k <= 0) return null
+    val (rate, _, _, s) = p
+    if (k > rate) return null
+    val n2 = (s.length + k - 1) / k
+    val out = new Array[Int](n2)
+    var j = 0
+    while (j < n2) { out(j) = s(j * k); j += 1 }
+    encode(rate / k, out)
+  }
 }
 
 case class WavDecodeExpr(child: Expression) extends UnaryExpression {
@@ -208,10 +245,56 @@ case class WavFrameEnergyExpr(child: Expression, frameSize: Int,
       : Expression = copy(child = newChild)
 }
 
+/** REAL audio resample as an expression: decimate the genuinely-decoded
+  * PCM stream by integer factor `k` and re-encode a canonical WAV at
+  * `rate / k` ([[WavPcm.resample]]) — the audio twin of
+  * [[PngResizeExpr]]. Malformed input nulls (E1). */
+case class WavResampleExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_resample"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType && k > 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BINARY input and k > 0")
+
+  def compute(bytes: Array[Byte]): Array[Byte] =
+    WavPcm.resample(bytes, k)
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("wavResample", this,
+      classOf[WavResampleExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $ref.compute($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 object WavDecode {
   def wavDecode(bin: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       WavDecodeExpr(org.apache.spark.sql.graft.Bridge.expression(bin)))
+
+  def wavResample(bin: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      WavResampleExpr(
+        org.apache.spark.sql.graft.Bridge.expression(bin), k))
 
   def wavFrameEnergy(bin: Column, frameSize: Int, stride: Int): Column =
     org.apache.spark.sql.graft.Bridge.column(

@@ -286,6 +286,16 @@ object Multimodal {
     df.select(col(idCol), unhex(hexStr).as(out))
   }
 
+  /** REAL sample-space resample (the audio twin of [[resizePng]]):
+    * decimate the genuinely-decoded PCM stream by integer factor `k`
+    * and re-encode a canonical WAV at `rate / k` — a full decode →
+    * transform → encode round trip per row; malformed blobs null out
+    * (E1). Compose with [[decodeWav]] to read the result back. */
+  def resampleWav(df: DataFrame, idCol: String, binCol: String, k: Int,
+      out: String = "payload"): DataFrame =
+    df.select(col(idCol),
+      graft.expressions.WavDecode.wavResample(col(binCol), k).as(out))
+
   /** Decode a 16-bit mono PCM WAV column with the REAL chunk-walking
     * parser ([[graft.expressions.WavDecodeExpr]]): exact integer
     * amplitude stats, with first/last samples as the order witness;

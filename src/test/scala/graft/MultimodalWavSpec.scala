@@ -117,4 +117,36 @@ class MultimodalWavSpec extends AnyFunSuite with SparkTester {
       assert(gotR == speech.toLong * 1000000L / nf, s"ratio of $id")
     }
   }
+
+  test("real resample: fixture decimated by 3 keeps samples 0/3/6 at " +
+      "rate 2666, and malformed input nulls through the chain") {
+    val out = Multimodal.decodeWav(
+      Multimodal.resampleWav(
+        Seq((1L, fixture)).toDF("doc_id", "payload"),
+        "doc_id", "payload", k = 3),
+      "doc_id", "payload").head()
+    // kept samples: 0, 32767, -1 (indices 0, 3, 6 of the fixture)
+    assert(out.getInt(1) == 2666 && out.getInt(2) == 1 &&
+      out.getInt(3) == 16)
+    assert(out.getLong(4) == 3)
+    assert(out.getLong(5) == 32768L, s"sum_abs: $out")
+    assert(out.getLong(6) == 1073676290L, s"energy: $out")
+    assert(out.getInt(7) == 32767, s"max_abs: $out")
+    assert(out.getInt(8) == 0 && out.getInt(9) == -1,
+      s"first/last: $out")
+    val bad = Multimodal.decodeWav(
+      Multimodal.resampleWav(
+        Seq((1L, fixture.take(10))).toDF("doc_id", "payload"),
+        "doc_id", "payload", k = 3),
+      "doc_id", "payload").head()
+    assert(bad.isNullAt(1))
+    // k = 1 is the identity transform (canonical re-encode, same stats)
+    val same = Multimodal.decodeWav(
+      Multimodal.resampleWav(
+        Seq((1L, fixture)).toDF("doc_id", "payload"),
+        "doc_id", "payload", k = 1),
+      "doc_id", "payload").head()
+    assert(same.getLong(4) == 8 && same.getLong(5) == 98405L &&
+      same.getInt(9) == 100)
+  }
 }
