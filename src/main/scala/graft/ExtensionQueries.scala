@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, Enrich, Graph, Multimodal, QualityModel, Similarity, TextAnalysis, UnigramTokenizer}
+import graft.operators.{Curation, Dedup, Enrich, Graph, Multimodal, QualityModel, Similarity, TextAnalysis, UnigramTokenizer, WordPiece}
 import graft.functions.Cleaning
 import graft.sources.Sources
 
@@ -2760,6 +2760,83 @@ object TextQueries {
     * generated oracle IN-list. */
   private val bm25QueryTerms = Seq("spark", "query", "join")
 
+  /** DuckDB CTE chain for the WordPiece vocabulary (substring-frequency
+    * scoring over two position classes) ending in `wvoc(rank, piece,
+    * is_cont, weight)` and `wvc(word, cnt)` — mirrors
+    * [[graft.operators.WordPiece.trainVocab]]. */
+  private def wordpieceVocabCtes(vocabSize: Int, maxPieceLen: Int)
+      : String =
+    s"""wtok AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+        x -> x <> '')) AS word
+      FROM documents),
+    wvc AS (SELECT word, count(*)::BIGINT AS cnt FROM wtok GROUP BY word),
+    wsub1 AS (
+      SELECT word, cnt, unnest(range(0, length(word))) AS i FROM wvc),
+    wsub2 AS (
+      SELECT word, cnt, i,
+        unnest(range(1, least($maxPieceLen, length(word) - i) + 1)) AS l
+      FROM wsub1),
+    wsub AS (
+      SELECT DISTINCT word, cnt,
+        substr(word, CAST(i + 1 AS INTEGER), CAST(l AS INTEGER))
+          AS piece,
+        (i > 0) AS is_cont
+      FROM wsub2),
+    wagg AS (
+      SELECT piece, is_cont, sum(cnt)::BIGINT AS weight
+      FROM wsub GROUP BY piece, is_cont),
+    wvoc AS (
+      SELECT CAST(row_number() OVER (ORDER BY weight DESC, is_cont ASC,
+          piece ASC) AS INTEGER) AS rank,
+        piece, is_cont, weight
+      FROM wagg
+      ORDER BY weight DESC, is_cont ASC, piece ASC
+      LIMIT $vocabSize)"""
+
+  /** Unrolled greedy longest-match-first WordPiece encode over a
+    * `wbase(word, cnt)` table against `wvoc`: `steps` chained CTEs
+    * (each consumes ≥ 1 code point, so `steps = maxWordLen` always
+    * terminates), ending in `e$steps(word, cnt, np, unk, enc)` —
+    * mirrors [[graft.expressions.WordPieceEncodeExpr]] including the
+    * whole-word `[UNK]` rule on dead ends and over-length words. */
+  private def wordpieceGreedyCtes(steps: Int, maxWordLen: Int): String = {
+    val base = s"""e0 AS (
+      SELECT word, cnt, 0 AS p,
+        CASE WHEN length(word) > $maxWordLen THEN 1 ELSE 0 END AS np,
+        length(word) > $maxWordLen AS unk,
+        CASE WHEN length(word) > $maxWordLen THEN '[UNK]' ELSE '' END
+          AS enc
+      FROM wbase)"""
+    val stepCtes = (0 until steps).map { t =>
+      s"""e${t + 1} AS (
+        SELECT e.word, e.cnt,
+          CASE WHEN e.unk OR e.p >= length(e.word) THEN e.p
+               WHEN v.piece IS NULL THEN e.p
+               ELSE e.p + length(v.piece) END AS p,
+          CASE WHEN e.unk OR e.p >= length(e.word) THEN e.np
+               WHEN v.piece IS NULL THEN 1
+               ELSE e.np + 1 END AS np,
+          CASE WHEN e.unk THEN true
+               WHEN e.p >= length(e.word) THEN false
+               WHEN v.piece IS NULL THEN true
+               ELSE false END AS unk,
+          CASE WHEN e.unk OR e.p >= length(e.word) THEN e.enc
+               WHEN v.piece IS NULL THEN '[UNK]'
+               ELSE e.enc ||
+                 CASE WHEN e.p = 0 THEN '' ELSE ' ##' END || v.piece
+               END AS enc
+        FROM e$t e LEFT JOIN wvoc v
+          ON NOT (e.unk OR e.p >= length(e.word))
+          AND v.is_cont = (e.p > 0)
+          AND v.piece = substr(e.word, CAST(e.p + 1 AS INTEGER),
+            CAST(length(v.piece) AS INTEGER))
+        QUALIFY row_number() OVER (PARTITION BY e.word
+          ORDER BY length(v.piece) DESC NULLS LAST, v.piece ASC) = 1)"""
+    }.mkString(",\n")
+    base + ",\n" + stepCtes
+  }
+
   def all: Seq[Q] = Seq(
 
     // cross-document boilerplate profile: 4-token segments occurring in
@@ -3769,6 +3846,68 @@ object TextQueries {
         UNION ALL
         ${fert(3, "cused", "vocab3c")}"""
       }),
+
+    // WordPiece (Wu et al. 2016 — the BERT tokenizer): completes the
+    // tokenizer-family TRIPLE beside BPE (text_bpe_*) and Unigram-LM
+    // (tokenizer_unigram_*). Training is the deterministic
+    // substring-frequency form — every ≤8-cp substring of every
+    // distinct word scores the summed count of containing words,
+    // separately for the word-initial and continuation (##) classes,
+    // top 200 win — fully relational, so the oracle re-derives the
+    // whole model. Every rank, piece, class, and weight hash-checks
+    Q("tokenizer_wordpiece_vocab",
+      (s, dir) => WordPiece.trainVocab(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 200, maxPieceLen = 8),
+      Some(s"""WITH ${wordpieceVocabCtes(200, 8)}
+        SELECT rank, piece, is_cont, weight FROM wvoc""")),
+
+    // the greedy longest-match-first ENCODE made visible, word by word:
+    // top-64 distinct words segmented under the trained vocab, with
+    // the chosen piece sequence (## continuations), the piece count,
+    // and the whole-word [UNK] rule (dead end OR > 16 cp). The oracle
+    // unrolls the greedy walk as 16 chained CTEs — one drifted match
+    // anywhere changes the encoded string and fails the hash
+    Q("tokenizer_wordpiece_encode",
+      (s, dir) => WordPiece.encodeWords(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 200, maxPieceLen = 8, maxWordLen = 16,
+        topWords = 64),
+      Some(s"""WITH ${wordpieceVocabCtes(200, 8)},
+        wbase AS (
+          SELECT word, cnt FROM wvc
+          ORDER BY cnt DESC, word ASC LIMIT 64),
+        ${wordpieceGreedyCtes(16, 16)}
+        SELECT word, cnt, np AS n_pieces, unk AS is_unk,
+          enc AS encoded
+        FROM e16""")),
+
+    // the tokenizer APPLIED to the whole corpus (the text_bpe_apply
+    // closure): per document word / piece / [UNK] counts under the
+    // trained vocab — the oracle encodes EVERY distinct word through
+    // the unrolled greedy walk and joins the occurrence list back
+    Q("tokenizer_wordpiece_doc",
+      (s, dir) => WordPiece.docStats(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 200, maxPieceLen = 8, maxWordLen = 16),
+      Some(s"""WITH ${wordpieceVocabCtes(200, 8)},
+        wbase AS (SELECT word, cnt FROM wvc),
+        ${wordpieceGreedyCtes(16, 16)},
+        wocc AS (
+          SELECT doc_id,
+            unnest(list_filter(string_split(lower(text), ' '),
+              x -> x <> '')) AS word
+          FROM documents),
+        wde AS (
+          SELECT o.doc_id, e.np, e.unk
+          FROM wocc o JOIN e16 e USING (word))
+        SELECT d.doc_id,
+          count(w.np)::BIGINT AS n_words,
+          COALESCE(sum(w.np), 0)::BIGINT AS n_pieces,
+          COALESCE(sum(CASE WHEN w.unk THEN 1 ELSE 0 END), 0)::BIGINT
+            AS n_unk
+        FROM documents d LEFT JOIN wde w USING (doc_id)
+        GROUP BY d.doc_id""")),
 
     // precision/recall/F1 sweep at thresholds 0.1..0.9 — the
     // operating-point curve; exact TP/FP/FN counts, one rounded

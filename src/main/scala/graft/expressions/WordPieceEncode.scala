@@ -1,0 +1,111 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WordPiece ENCODE (Wu et al. 2016, arXiv:1609.08144 §4.1 — the BERT
+  * tokenizer): greedy longest-match-first over a trained vocabulary
+  * with separate word-initial and continuation (`##`) piece classes.
+  * Completes the engine's tokenizer-family triple beside BPE
+  * ([[BpeCountExpr]]) and Unigram-LM ([[UnigramViterbiExpr]]).
+  *
+  * Per word: repeatedly take the LONGEST vocab piece (≤ `maxPieceLen`
+  * code points) matching at the cursor — the word-initial class at
+  * position 0, the continuation class after — and advance. If no piece
+  * matches at any cursor, or the word exceeds `maxWordLen` code points
+  * (BERT's `max_input_chars_per_word`), the WHOLE word becomes one
+  * `[UNK]` (never a partial encode). Output: `struct(n_pieces, is_unk,
+  * encoded)` with continuations rendered `##piece` and pieces joined by
+  * one space.
+  *
+  * The vocabulary arrives as two piece lists (a collected model-plane
+  * row set, never data) and is matched over CODE POINTS — the same
+  * unit DuckDB's `length`/`substr` count — so the oracle's unrolled
+  * greedy replay is bit-identical on non-BMP input too. */
+case class WordPieceEncodeExpr(child: Expression,
+    initPieces: Seq[String], contPieces: Seq[String],
+    maxPieceLen: Int, maxWordLen: Int) extends UnaryExpression {
+
+  override def dataType: DataType = WordPieceEncodeExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "wordpiece_encode"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType && maxPieceLen > 0 && maxWordLen > 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs STRING input and positive bounds")
+
+  // sets are built once per (deserialized) expression instance, shared
+  // across all rows of a partition via the codegen reference object
+  @transient private lazy val initSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](initPieces.size * 2)
+    initPieces.foreach(s.add); s
+  }
+  @transient private lazy val contSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](contPieces.size * 2)
+    contPieces.foreach(s.add); s
+  }
+
+  private def unkRow: InternalRow =
+    InternalRow(1, true, UTF8String.fromString("[UNK]"))
+
+  def compute(input: UTF8String): InternalRow = {
+    val w = input.toString
+    val cps = w.codePoints.toArray
+    val n = cps.length
+    if (n == 0 || n > maxWordLen) return unkRow
+    val sb = new java.lang.StringBuilder(w.length + 8)
+    var p = 0
+    var pieces = 0
+    while (p < n) {
+      val set = if (p == 0) initSet else contSet
+      var l = math.min(maxPieceLen, n - p)
+      var hit: String = null
+      while (l >= 1 && hit == null) {
+        val cand = new String(cps, p, l)
+        if (set.contains(cand)) hit = cand else l -= 1
+      }
+      if (hit == null) return unkRow
+      if (p > 0) sb.append(" ##") // continuation marker
+      sb.append(hit)
+      p += hit.codePointCount(0, hit.length)
+      pieces += 1
+    }
+    InternalRow(pieces, false, UTF8String.fromString(sb.toString))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("wordpieceEncode", this,
+      classOf[WordPieceEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object WordPieceEncodeExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_pieces", IntegerType, nullable = false),
+    StructField("is_unk", BooleanType, nullable = false),
+    StructField("encoded", StringType, nullable = false)))
+
+  def wordpieceEncode(word: Column, initPieces: Seq[String],
+      contPieces: Seq[String], maxPieceLen: Int, maxWordLen: Int)
+      : Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      WordPieceEncodeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(word),
+        initPieces, contPieces, maxPieceLen, maxWordLen))
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expressions.WordPieceEncodeExpr
+
+/** WordPiece tokenizer (Wu et al. 2016, arXiv:1609.08144; the BERT
+  * tokenizer) — completes the engine's tokenizer-family triple beside
+  * BPE ([[TextAnalysis.bpeTrainMerges]]) and Unigram-LM
+  * ([[UnigramTokenizer]]).
+  *
+  * Training here is the deterministic substring-frequency form: every
+  * substring of every distinct word (≤ `maxPieceLen` code points)
+  * scores the total count of words containing it, separately for the
+  * word-INITIAL and CONTINUATION (`##`) position classes, and the top
+  * `vocabSize` (piece, class) entries win — fully relational (explode →
+  * distinct → sum → top-K), so the whole model is SQL-replayable and
+  * the oracle can re-derive it. (Classic WordPiece training maximizes
+  * corpus likelihood; the *encode* below is the standard greedy
+  * longest-match-first and is independent of how the vocab was
+  * chosen.)
+  *
+  * Scale shape: substring enumeration is DISTINCT-WORD bound (≤ L ×
+  * maxPieceLen pieces per distinct word — the same bound as the BPE /
+  * Unigram trainers), the top-K is a TakeOrdered (no global sort), and
+  * encode is one codegen expression over a broadcast ≤`vocabSize`-entry
+  * model: no shuffle beyond the word-count aggregation at any corpus
+  * size. */
+object WordPiece {
+
+  /** Train the (piece, class) vocabulary: `(rank, piece, is_cont,
+    * weight)`, rank 1-based in (weight DESC, is_cont ASC, piece ASC)
+    * order — word-initial pieces win ties so short words stay
+    * encodable. */
+  def trainVocab(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, maxPieceLen: Int): DataFrame = {
+    require(vocabSize > 0 && maxPieceLen > 0)
+    val words = distinctWords(df, textCol)
+    val subs = words
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(0), length(col("word")) - 1)).as("i"))
+      .select(col("word"), col("cnt"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - col("i"))))
+          .as("l"))
+      .select(col("word"), col("cnt"),
+        col("word").substr(col("i") + 1, col("l")).as("piece"),
+        (col("i") > 0).as("is_cont"))
+      .distinct() // a word counts each (piece, class) once
+    val order = Seq(col("weight").desc, col("is_cont").asc,
+      col("piece").asc)
+    subs.groupBy("piece", "is_cont").agg(sum("cnt").as("weight"))
+      .orderBy(order: _*).limit(vocabSize)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+      .select(col("rank"), col("piece"), col("is_cont"), col("weight"))
+  }
+
+  /** Encode the `topWords` most frequent distinct words under the
+    * trained vocab: `(word, cnt, n_pieces, is_unk, encoded)` — the
+    * word-level witness table (the per-word greedy walk made visible,
+    * like the Unigram encode row). */
+  def encodeWords(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, maxPieceLen: Int, maxWordLen: Int, topWords: Int)
+      : DataFrame = {
+    val (init, cont) = collectVocab(df, idCol, textCol, vocabSize,
+      maxPieceLen)
+    distinctWords(df, textCol)
+      .orderBy(col("cnt").desc, col("word").asc).limit(topWords)
+      .select(col("word"), col("cnt"),
+        WordPieceEncodeExpr.wordpieceEncode(col("word"), init, cont,
+          maxPieceLen, maxWordLen).as("__e"))
+      .select(col("word"), col("cnt"),
+        col("__e.n_pieces").as("n_pieces"),
+        col("__e.is_unk").as("is_unk"),
+        col("__e.encoded").as("encoded"))
+  }
+
+  /** Apply the tokenizer to the whole corpus: per document `(doc_id,
+    * n_words, n_pieces, n_unk)` — the corpus-level closure of the
+    * train → encode loop (the `text_bpe_apply` shape). */
+  def docStats(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    val (init, cont) = collectVocab(df, idCol, textCol, vocabSize,
+      maxPieceLen)
+    val toks = graft.functions.Cleaning.tokens(lower(col(textCol)))
+    val encs = transform(toks,
+      w => WordPieceEncodeExpr.wordpieceEncode(w, init, cont,
+        maxPieceLen, maxWordLen))
+    df.select(col(idCol).as("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      aggregate(encs, lit(0L),
+        (acc, e) => acc + e.getField("n_pieces").cast("long"))
+        .as("n_pieces"),
+      aggregate(encs, lit(0L),
+        (acc, e) => acc + e.getField("is_unk").cast("int").cast("long"))
+        .as("n_unk"))
+  }
+
+  /** Distinct lowercased whitespace words with their corpus counts. */
+  private def distinctWords(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(
+        graft.functions.Cleaning.tokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Collect the trained vocab (model plane — ≤ `vocabSize` rows, never
+    * data) split into the two position classes. */
+  private def collectVocab(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, maxPieceLen: Int): (Seq[String], Seq[String]) = {
+    val rows = trainVocab(df, idCol, textCol, vocabSize, maxPieceLen)
+      .select("piece", "is_cont").collect()
+    (rows.filter(!_.getBoolean(1)).map(_.getString(0)).toSeq,
+      rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.expressions.WordPieceEncodeExpr
+import graft.operators.WordPiece
+
+/** The WordPiece greedy longest-match-first encoder and its
+  * substring-frequency trainer: BERT's segmentation rules (## classes,
+  * whole-word [UNK], max word length) pinned against hand-computable
+  * vocabularies. */
+class WordPieceSpec extends AnyFunSuite with SparkTester {
+  import spark.implicits._
+
+  private def enc(word: String, init: Seq[String], cont: Seq[String],
+      maxPiece: Int = 8, maxWord: Int = 16) =
+    Seq(word).toDF("w").select(
+      WordPieceEncodeExpr.wordpieceEncode(col("w"), init, cont,
+        maxPiece, maxWord).as("e"))
+      .select(col("e.n_pieces"), col("e.is_unk"), col("e.encoded"))
+      .head()
+
+  test("greedy longest-match-first with ## continuation class") {
+    // BERT's canonical example shape: un + ##aff + ##able
+    val r = enc("unaffable",
+      init = Seq("un", "u", "unaff"),
+      cont = Seq("aff", "able", "a", "f", "b", "l", "e", "affable"))
+    // greedy takes the LONGEST initial piece: "unaff", then "##able"
+    assert(r.getInt(0) == 2 && !r.getBoolean(1))
+    assert(r.getString(2) == "unaff ##able")
+  }
+
+  test("position classes are separate: an initial-only piece never " +
+      "matches mid-word") {
+    // "ab" initial only; continuation must fall back to single chars
+    val r = enc("abab",
+      init = Seq("ab", "a", "b"), cont = Seq("a", "b"))
+    assert(r.getString(2) == "ab ##a ##b")
+    assert(r.getInt(0) == 3)
+  }
+
+  test("dead end anywhere makes the WHOLE word one [UNK]") {
+    // 'z' missing from the continuation class: progress is discarded
+    val r = enc("az", init = Seq("a", "az".take(1)), cont = Seq("a"))
+    assert(r.getInt(0) == 1 && r.getBoolean(1))
+    assert(r.getString(2) == "[UNK]")
+    // missing initial char: immediate [UNK]
+    val r2 = enc("za", init = Seq("a"), cont = Seq("a", "z"))
+    assert(r2.getBoolean(1))
+  }
+
+  test("words over maxWordLen code points are [UNK] before any match") {
+    val r = enc("a" * 17, init = Seq("a"), cont = Seq("a"))
+    assert(r.getInt(0) == 1 && r.getBoolean(1))
+    val ok = enc("a" * 16, init = Seq("a"), cont = Seq("a"))
+    assert(ok.getInt(0) == 16 && !ok.getBoolean(1))
+  }
+
+  test("matching is code-point based: surrogate-pair characters count " +
+      "once, like the oracle's length/substr") {
+    val g = new String(Character.toChars(0x1F600)) // non-BMP emoji
+    val r = enc(g + "ab", init = Seq(g), cont = Seq("ab", "a", "b"))
+    assert(r.getString(2) == s"$g ##ab")
+    // 17 emoji = 17 code points (34 UTF-16 units) --> over the cap
+    val over = enc(g * 17, init = Seq(g), cont = Seq(g))
+    assert(over.getBoolean(1))
+    val under = enc(g * 16, init = Seq(g), cont = Seq(g))
+    assert(!under.getBoolean(1) && under.getInt(0) == 16)
+  }
+
+  test("trainVocab scores the two classes separately and ranks " +
+      "deterministically; encodeWords round-trips its own vocab") {
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab ba")).toDF("doc_id", "text")
+    val v = WordPiece.trainVocab(docs, "doc_id", "text",
+      vocabSize = 100, maxPieceLen = 8).collect()
+    val byKey = v.map(r => (r.getString(1), r.getBoolean(2)) ->
+      r.getLong(3)).toMap
+    // 'a' word-initially: aa(2) + ab(2) = 4; continuation: aa(2)+ba(1)=3
+    assert(byKey(("a", false)) == 4 && byKey(("a", true)) == 3)
+    // 'b' initial only in ba; continuation in ab
+    assert(byKey(("b", false)) == 1 && byKey(("b", true)) == 2)
+    // full words as initial pieces
+    assert(byKey(("aa", false)) == 2 && byKey(("ab", false)) == 2)
+    // ranks are 1..n and unique
+    assert(v.map(_.getInt(0)).sorted.sameElements(1 to v.length))
+    val e = WordPiece.encodeWords(docs, "doc_id", "text",
+      vocabSize = 100, maxPieceLen = 8, maxWordLen = 16, topWords = 10)
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    // whole words are vocab pieces, so each encodes as itself
+    assert(e("aa") == "aa" && e("ab") == "ab" && e("ba") == "ba")
+    val d = WordPiece.docStats(docs, "doc_id", "text",
+      vocabSize = 100, maxPieceLen = 8, maxWordLen = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(d(1L) == ((3L, 3L, 0L)) && d(2L) == ((2L, 2L, 0L)))
+  }
+}
