@@ -88,14 +88,18 @@ object WordPiece {
     val encs = transform(toks,
       w => WordPieceEncodeExpr.wordpieceEncode(w, init, cont,
         maxPieceLen, maxWordLen))
+    // ONE pass over the encodes: each word packs (pieces, unk) into a
+    // single long (pieces ≤ maxWordLen < 2³², unk in the high word), so
+    // a single sum carries both counts — two separate aggregate()
+    // lambdas would re-run the greedy encode once per aggregate
+    val packed = aggregate(encs, lit(0L),
+      (acc, e) => acc + e.getField("n_pieces").cast("long") +
+        e.getField("is_unk").cast("int").cast("long") * lit(1L << 32))
     df.select(col(idCol).as("doc_id"),
-      size(toks).cast("long").as("n_words"),
-      aggregate(encs, lit(0L),
-        (acc, e) => acc + e.getField("n_pieces").cast("long"))
-        .as("n_pieces"),
-      aggregate(encs, lit(0L),
-        (acc, e) => acc + e.getField("is_unk").cast("int").cast("long"))
-        .as("n_unk"))
+        size(toks).cast("long").as("n_words"), packed.as("__p"))
+      .select(col("doc_id"), col("n_words"),
+        (col("__p") % lit(1L << 32)).as("n_pieces"),
+        shiftrightunsigned(col("__p"), 32).as("n_unk"))
   }
 
   /** Distinct lowercased whitespace words with their corpus counts. */

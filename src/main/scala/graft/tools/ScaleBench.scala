@@ -633,6 +633,21 @@ object ScaleBench {
         maxWordLen = 24, maxPieceLen = 5, topV = 40).count()
     }
 
+    // WordPiece train + corpus apply at factor× docs: the trainer is
+    // distinct-word bound like the unigram stage (substring explode →
+    // distinct → top-K TakeOrdered, worst-case ∝ corpus on this salted
+    // lexicon), the apply is one codegen greedy encode per word
+    // occurrence against a broadcast ≤200-entry model — per-occurrence
+    // linear with no shuffle beyond the word count. The count collapses
+    // the per-doc stats so column pruning can't elide the encode
+    // (sum(n_pieces), the codec_decode lesson)
+    if (runExt && want("wordpiece")) timed("wordpiece") {
+      val d = graft.operators.WordPiece.docStats(big, "doc_id", "text",
+        vocabSize = 200, maxPieceLen = 8, maxWordLen = 16)
+      cnt("wordpiece") = d.agg(sum(col("n_pieces"))).head().getLong(0)
+      cnt("wordpiece")
+    }
+
     // distributed global decile (the numeric_lorenz shape) at factor×
     // fact rows, vs the single-partition ntile() window counterfactual
     // — the pair that prices the r9 Ranks reshape the way scc vs
