@@ -4902,6 +4902,65 @@ object TextQueries {
           FROM seeded"""
       }),
 
+    // Unicode NFC canonicalization, differentially checked against
+    // DuckDB's utf8proc-backed nfc_normalize: the corpus is seeded with
+    // decomposed sequences (every 'e' -> e+COMBINING ACUTE; doc_id%5
+    // also gets A+COMBINING RING and a non-BMP base whose combining
+    // mark has NO precomposed form, so it must survive normalization
+    // un-composed in both engines). Both sides run real UAX#15
+    // composition over the same frozen UCD tables (JDK Normalizer vs
+    // utf8proc) — a genuine cross-implementation check, like the PNG
+    // inflate fixture.
+    Q("text_unicode_nfc",
+      (s, dir) => {
+        val seeded = Sources.table(s, dir, "documents").select(
+          col("doc_id"),
+          concat(
+            regexp_replace(substring(col("text"), 1, 60), "e", "e\u0301"),
+            when(col("doc_id") % 5 === 0,
+              lit(" A\u030A \uD835\uDC00\u0301")).otherwise(lit("")))
+            .as("txt"))
+        TextAnalysis.nfcNormalize(seeded, "doc_id", "txt")
+      },
+      Some(s"""WITH seeded AS (
+          SELECT doc_id,
+            replace(substr(text, 1, 60), 'e', 'e' || chr(769)) ||
+            CASE WHEN doc_id % 5 = 0
+              THEN ' A' || chr(778) || ' ' || chr(119808) || chr(769)
+              ELSE '' END AS txt
+          FROM documents)
+        SELECT doc_id, nfc_normalize(txt) AS nfc,
+          length(txt) AS n_cp_raw,
+          length(nfc_normalize(txt)) AS n_cp_nfc,
+          nfc_normalize(txt) <> txt AS changed
+        FROM seeded""")),
+
+    // one-row corpus canonicality audit over the same seeded frame
+    Q("text_unicode_nfc_audit",
+      (s, dir) => {
+        val seeded = Sources.table(s, dir, "documents").select(
+          col("doc_id"),
+          concat(
+            regexp_replace(substring(col("text"), 1, 60), "e", "e\u0301"),
+            when(col("doc_id") % 5 === 0,
+              lit(" A\u030A \uD835\uDC00\u0301")).otherwise(lit("")))
+            .as("txt"))
+        TextAnalysis.nfcAudit(seeded, "doc_id", "txt")
+      },
+      Some(s"""WITH seeded AS (
+          SELECT doc_id,
+            replace(substr(text, 1, 60), 'e', 'e' || chr(769)) ||
+            CASE WHEN doc_id % 5 = 0
+              THEN ' A' || chr(778) || ' ' || chr(119808) || chr(769)
+              ELSE '' END AS txt
+          FROM documents)
+        SELECT count(*) AS n_docs,
+          CAST(sum(CASE WHEN nfc_normalize(txt) <> txt
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+          CAST(sum(length(txt) - length(nfc_normalize(txt))) AS BIGINT)
+            AS cp_composed
+        FROM seeded""")),
+
     Q("text_bm25",
       (s, dir) => TextAnalysis.bm25TopTerms(
         Sources.table(s, dir, "documents"), "doc_id", "text", topN = 5),

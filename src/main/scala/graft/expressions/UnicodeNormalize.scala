@@ -1,0 +1,96 @@
+package graft.expressions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode normalization (UAX #15) as a compiled expression — the
+  * pre-tokenization canonicalization step every multilingual corpus
+  * needs and Spark lacks as a builtin: the same user-visible text
+  * arrives from crawls in composed (é = U+00E9) and decomposed
+  * (e + U+0301) forms, and every downstream exact/near-dup hash,
+  * shingle, and tokenizer vocabulary treats those byte sequences as
+  * different documents unless the corpus is normalized first
+  * (SentencePiece normalizes to NFKC before training for exactly this
+  * reason).
+  *
+  * Forms: NFC/NFD (canonical composition/decomposition) and
+  * NFKC/NFKD (adds compatibility folding: ligature ﬁ → fi, fullwidth
+  * Ａ → A, ² → 2). NFC is differentially checkable — DuckDB ships
+  * `nfc_normalize` — so the oracle gate covers the composition path
+  * end-to-end; the compatibility forms share the same JDK ICU tables
+  * and are spec-pinned (ligatures, width folding, idempotence,
+  * NFC∘NFD = NFC).
+  *
+  * The JDK's `java.text.Normalizer` implements the Unicode
+  * normalization algorithm over the same character database DuckDB's
+  * utf8proc uses, so composed outputs agree codepoint-for-codepoint
+  * (both ship the stable, versioned UCD tables; composition is frozen
+  * by the Unicode stability policy since 3.1).
+  *
+  * Fast path: `isNormalized` is a cheap quick-check scan (most real
+  * text is already NFC — ASCII short-circuits immediately), so the
+  * common case allocates nothing and returns the input UTF8String
+  * unchanged. Only rows that actually carry decomposed sequences pay
+  * the String round-trip. Stays inside whole-stage codegen via a
+  * static-call `doGenCode` like [[JaroWinklerExpr]].
+  */
+case class UnicodeNormalizeExpr(child: Expression, form: String)
+    extends UnaryExpression {
+
+  private val nform: Normalizer.Form = form match {
+    case "NFC" => Normalizer.Form.NFC
+    case "NFD" => Normalizer.Form.NFD
+    case "NFKC" => Normalizer.Form.NFKC
+    case "NFKD" => Normalizer.Form.NFKD
+    case other =>
+      throw new IllegalArgumentException(
+        s"unicode_normalize form must be NFC|NFD|NFKC|NFKD, got $other")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string input, got ${child.dataType.sql}")
+
+  def compute(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (Normalizer.isNormalized(s, nform)) u
+    else UTF8String.fromString(Normalizer.normalize(s, nform))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("norm", this,
+      classOf[UnicodeNormalizeExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object UnicodeNormalizeExpr {
+  private def toCol(e: Expression): Column =
+    org.apache.spark.sql.graft.Bridge.column(e)
+  private def expr(c: Column): Expression =
+    org.apache.spark.sql.graft.Bridge.expression(c)
+
+  def nfc(c: Column): Column = toCol(UnicodeNormalizeExpr(expr(c), "NFC"))
+  def nfd(c: Column): Column = toCol(UnicodeNormalizeExpr(expr(c), "NFD"))
+  def nfkc(c: Column): Column = toCol(UnicodeNormalizeExpr(expr(c), "NFKC"))
+  def nfkd(c: Column): Column = toCol(UnicodeNormalizeExpr(expr(c), "NFKD"))
+}

@@ -1161,4 +1161,34 @@ object TextAnalysis {
         round((col("n_words") - col("n_words_kept")).cast("double") /
           col("n_words"), 6))
   }
+
+  /** Unicode-NFC canonicalization of a text column
+    * ([[graft.expressions.UnicodeNormalizeExpr]]) with per-document
+    * audit counts — the step that makes composed (é) and decomposed
+    * (e+U+0301) crawls hash/shingle/tokenize identically downstream.
+    * Emits `(id, nfc, n_cp_raw, n_cp_nfc, changed)`; code-point counts
+    * (Spark `length` = UTF8String.numChars) match DuckDB's `length`.
+    *
+    * Scale shape: one codegen pass per row, no shuffle; already-NFC
+    * rows (the overwhelming majority of real text — ASCII
+    * short-circuits the quick-check) return the input buffer
+    * unchanged, so the common case allocates nothing. */
+  def nfcNormalize(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.select(col(idCol), col(textCol).as("__raw"),
+        graft.expressions.UnicodeNormalizeExpr.nfc(col(textCol)).as("nfc"))
+      .select(col(idCol), col("nfc"),
+        length(col("__raw")).as("n_cp_raw"),
+        length(col("nfc")).as("n_cp_nfc"),
+        (col("nfc") =!= col("__raw")).as("changed"))
+
+  /** Corpus-level NFC audit: how much of the corpus is non-canonical
+    * (docs changed, code points composed away) — the one-row health
+    * check a 100 TB ingest runs before deciding whether to pay the
+    * normalization rewrite. Single partial-aggregable pass. */
+  def nfcAudit(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    nfcNormalize(df, idCol, textCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("changed"), 1L).otherwise(0L)).as("n_changed"),
+      sum(col("n_cp_raw") - col("n_cp_nfc")).as("cp_composed"))
 }

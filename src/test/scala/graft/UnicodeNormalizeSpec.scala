@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.UnicodeNormalizeExpr
+import graft.operators.TextAnalysis
+
+/** UAX#15 normalization pins for [[UnicodeNormalizeExpr]] — the forms
+  * the DuckDB oracle can't cover (it ships only nfc_normalize) plus the
+  * fast-path/identity invariants the oracle can't see. Every literal is
+  * an explicit \\u escape: composed vs decomposed glyphs are visually
+  * identical, so spelled-out codepoints are the only trustworthy form. */
+class UnicodeNormalizeSpec extends AnyFunSuite with SparkTester {
+
+  private val eAcuteC = "\u00e9"           // LATIN SMALL E WITH ACUTE
+  private val eAcuteD = "e\u0301"          // e + COMBINING ACUTE
+  private val aRingC = "\u00c5"            // LATIN CAPITAL A WITH RING
+  private val aRingD = "A\u030a"           // A + COMBINING RING
+  private val boldA = "\ud835\udc00"       // U+1D400 MATH BOLD A, non-BMP
+  private val fiLig = "\ufb01"             // LATIN SMALL LIGATURE FI
+  private val fwA = "\uff21"               // FULLWIDTH LATIN CAPITAL A
+  private val sup2 = "\u00b2"              // SUPERSCRIPT TWO
+
+  private def norm(form: String, s: String): String = {
+    val e = UnicodeNormalizeExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType), form)
+    e.eval(null).asInstanceOf[UTF8String].toString
+  }
+
+  test("NFC composes canonical sequences") {
+    assert(norm("NFC", eAcuteD) == eAcuteC)
+    assert(norm("NFC", aRingD) == aRingC)
+    assert(norm("NFC", eAcuteC) == eAcuteC) // already composed: unchanged
+  }
+
+  test("NFD decomposes and NFC(NFD(x)) == NFC(x)") {
+    assert(norm("NFD", eAcuteC) == eAcuteD)
+    val mixed = "R" + eAcuteC + "sum" + eAcuteD + " groß"
+    assert(norm("NFC", norm("NFD", mixed)) == norm("NFC", mixed))
+  }
+
+  test("NFKC folds compatibility characters NFC must preserve") {
+    assert(norm("NFKC", fiLig + "le") == "file")
+    assert(norm("NFC", fiLig + "le") == fiLig + "le") // NFC keeps it
+    assert(norm("NFKC", fwA + fwA) == "AA")
+    assert(norm("NFKC", "x" + sup2) == "x2")
+  }
+
+  test("non-BMP base with no precomposed form survives NFC un-composed") {
+    // U+1D400 + combining acute: no precomposed codepoint exists, so
+    // NFC must keep the pair (and not corrupt the surrogate pair);
+    // NFKC compatibility-folds the math-bold base to plain A, after
+    // which composition with the acute applies
+    val s = boldA + "\u0301"
+    assert(norm("NFC", s) == s)
+    assert(norm("NFKC", s) == "\u00c1") // A WITH ACUTE
+  }
+
+  test("all four forms are idempotent") {
+    val s = aRingD + " " + fiLig + " " + fwA + " " + eAcuteD + " " +
+      boldA + "\u0301"
+    for (f <- Seq("NFC", "NFD", "NFKC", "NFKD"))
+      assert(norm(f, norm(f, s)) == norm(f, s), f)
+  }
+
+  test("already-normalized input returns the SAME buffer (fast path)") {
+    val u = UTF8String.fromString("plain ascii text")
+    val e = UnicodeNormalizeExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(u,
+        org.apache.spark.sql.types.StringType), "NFC")
+    assert(e.eval(null).asInstanceOf[AnyRef] eq u)
+  }
+
+  test("invalid form is rejected at construction") {
+    intercept[IllegalArgumentException] { norm("NFX", "x") }
+  }
+
+  test("nfcNormalize operator: codegen path, counts, changed flag") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "caf" + eAcuteD),        // composes: 5 cp -> 4 cp
+      (2L, "plain"),                // unchanged
+      (3L, aRingD + aRingD)         // 4 cp -> 2 cp
+    )).toDF("doc_id", "txt")
+    val out = TextAnalysis.nfcNormalize(df, "doc_id", "txt")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("nfc") == "caf" + eAcuteC)
+    assert(out(0).getAs[Int]("n_cp_raw") == 5 &&
+      out(0).getAs[Int]("n_cp_nfc") == 4)
+    assert(!out(1).getAs[Boolean]("changed"))
+    assert(out(2).getAs[String]("nfc") == aRingC + aRingC)
+
+    val audit = TextAnalysis.nfcAudit(df, "doc_id", "txt").collect()(0)
+    assert(audit.getAs[Long]("n_docs") == 3)
+    assert(audit.getAs[Long]("n_changed") == 2)
+    assert(audit.getAs[Long]("cp_composed") == 3)
+  }
+
+  test("nulls flow through as nulls") {
+    val df = spark.createDataFrame(Seq((1L, "x"), (2L, null: String)))
+      .toDF("doc_id", "txt")
+    val out = df.select(UnicodeNormalizeExpr.nfc(col("txt")).as("n"))
+      .collect()
+    assert(out.count(_.isNullAt(0)) == 1)
+  }
+}
