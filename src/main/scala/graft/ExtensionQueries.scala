@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, Enrich, Graph, Multimodal, QualityModel, Similarity, TextAnalysis, UnigramTokenizer, WordPiece}
+import graft.operators.{ChatData, Curation, Dedup, Enrich, Graph, Multimodal, QualityModel, Similarity, TextAnalysis, UnigramTokenizer, WordPiece}
 import graft.functions.Cleaning
 import graft.sources.Sources
 
@@ -6613,7 +6613,76 @@ object CurationQueries {
           FROM reach GROUP BY node)
         SELECT d.doc_id, d.source FROM documents d
         JOIN clusters c ON d.doc_id = c.doc_id
-        WHERE c.doc_id = c.cluster_id"""))
+        WHERE c.doc_id = c.cluster_id""")),
+
+    // ---- instruction-tuning data prep (ChatData) --------------------
+    // turn derivation: text cut into 12-word turns (max 8), alternating
+    // user/assistant — a row-local array transform (no explode shuffle
+    // until the final row shape), replayed in SQL as a range cross-join
+    // bounded by the same cap
+    Q("chat_turns",
+      (s, dir) => ChatData.deriveTurns(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        wordsPerTurn = 12, maxTurns = 8),
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '),
+            x -> x <> '') AS t
+          FROM documents)
+        SELECT doc_id AS conv_id, CAST(i AS INTEGER) AS turn_idx,
+          CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+          array_to_string(t[i*12+1 : i*12+12], ' ') AS content
+        FROM toks, (SELECT unnest(range(0, 8)) AS i) g
+        WHERE i * 12 < len(t)""")),
+
+    // ChatML render + the loss-mask stats an SFT packer needs
+    // (assistant-span code points vs total); zero-turn conversations
+    // are dropped on both sides (nothing to train on)
+    Q("chat_render",
+      (s, dir) => ChatData.renderChatML(
+          Sources.table(s, dir, "documents"), "doc_id", "text",
+          wordsPerTurn = 12, maxTurns = 8)
+        .filter(col("n_turns") > 0),
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '),
+            x -> x <> '') AS t
+          FROM documents),
+        turns AS (
+          SELECT doc_id AS conv_id, i AS turn_idx,
+            CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+            array_to_string(t[i*12+1 : i*12+12], ' ') AS content
+          FROM toks, (SELECT unnest(range(0, 8)) AS i) g
+          WHERE i * 12 < len(t))
+        SELECT conv_id,
+          string_agg('<|im_start|>' || role || chr(10) || content ||
+            '<|im_end|>' || chr(10), '' ORDER BY turn_idx) AS rendered,
+          CAST(count(*) AS INTEGER) AS n_turns,
+          CAST(sum(CASE WHEN role = 'assistant' THEN length(content)
+            ELSE 0 END) AS BIGINT) AS assistant_cp,
+          CAST(length(string_agg('<|im_start|>' || role || chr(10) ||
+            content || '<|im_end|>' || chr(10), '' ORDER BY turn_idx))
+            AS BIGINT) AS rendered_cp
+        FROM turns GROUP BY conv_id""")),
+
+    // preference pairs (the DPO dataset shape): per (lang, source)
+    // group, chosen = longest doc, rejected = shortest, id tie-breaks;
+    // single-member and zero-margin groups drop
+    Q("chat_pref_pairs",
+      (s, dir) => ChatData.prefPairs(
+        Sources.table(s, dir, "documents"), Seq("lang", "source"),
+        "doc_id", "n_chars"),
+      Some("""WITH r AS (
+          SELECT lang, source, doc_id, n_chars,
+            row_number() OVER (PARTITION BY lang, source
+              ORDER BY n_chars DESC, doc_id ASC) AS rb,
+            row_number() OVER (PARTITION BY lang, source
+              ORDER BY n_chars ASC, doc_id ASC) AS rw
+          FROM documents)
+        SELECT c.lang, c.source, c.doc_id AS chosen_id,
+          w.doc_id AS rejected_id, c.n_chars - w.n_chars AS margin
+        FROM r c JOIN r w
+          ON c.lang = w.lang AND c.source = w.source
+        WHERE c.rb = 1 AND w.rw = 1 AND c.doc_id <> w.doc_id
+          AND c.n_chars > w.n_chars"""))
   )
 }
 

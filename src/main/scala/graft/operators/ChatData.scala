@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Instruction-tuning data preparation: turn derivation, chat-template
+  * rendering, and preference-pair construction — the assembly steps
+  * between a curated document corpus and an SFT/DPO training set.
+  *
+  * Scale shape: turn derivation and template rendering are pure per-row
+  * array transforms (zero shuffle — the conversation never leaves its
+  * row, so 100 TB renders at scan speed); preference pairing is one
+  * shuffle on the grouping key with map-side-limited windows.
+  */
+object ChatData {
+
+  /** Derive alternating user/assistant turns from a document: the text
+    * is whitespace-tokenized and cut into `wordsPerTurn`-word turns
+    * (capped at `maxTurns`), even turn indices speaking "user", odd
+    * "assistant" — a deterministic conversation shape over flat text,
+    * built row-local (array slice, no explode-shuffle) and only then
+    * exploded to `(conv_id, turn_idx, role, content)` rows. */
+  def deriveTurns(df: DataFrame, idCol: String, textCol: String,
+      wordsPerTurn: Int, maxTurns: Int): DataFrame = {
+    require(wordsPerTurn >= 1 && maxTurns >= 1)
+    val turns = turnsArray(df, idCol, textCol, wordsPerTurn, maxTurns)
+    turns.select(col("conv_id"), explode(col("turns")).as("t"))
+      .select(col("conv_id"),
+        col("t.turn_idx").as("turn_idx"),
+        col("t.role").as("role"),
+        col("t.content").as("content"))
+  }
+
+  /** Row-local `(conv_id, turns: array<struct>)` form shared by
+    * [[deriveTurns]] and [[renderChatML]]. */
+  private def turnsArray(df: DataFrame, idCol: String, textCol: String,
+      wordsPerTurn: Int, maxTurns: Int): DataFrame = {
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val nTurns = least(
+      ceil(size(col("__toks")).cast("double") / wordsPerTurn).cast("int"),
+      lit(maxTurns))
+    df.select(col(idCol).as("conv_id"), toks.as("__toks"))
+      .select(col("conv_id"),
+        when(size(col("__toks")) === 0, array().cast(
+          "array<struct<turn_idx:int,role:string,content:string>>"))
+          .otherwise(transform(sequence(lit(0), nTurns - 1), i =>
+            struct(i.cast("int").as("turn_idx"),
+              when(i % 2 === 0, lit("user")).otherwise(lit("assistant"))
+                .as("role"),
+              array_join(slice(col("__toks"), i * wordsPerTurn + 1,
+                lit(wordsPerTurn)), " ").as("content"))))
+          .as("turns"))
+  }
+
+  /** Render each conversation in the (public) ChatML wire shape —
+    * `<|im_start|>role\ncontent<|im_end|>\n` per turn — plus the loss-
+    * masking stats an SFT packer needs: total rendered code points and
+    * the code points inside assistant spans (the only tokens that take
+    * loss). Pure per-row transform; no shuffle. */
+  def renderChatML(df: DataFrame, idCol: String, textCol: String,
+      wordsPerTurn: Int, maxTurns: Int): DataFrame = {
+    val t = turnsArray(df, idCol, textCol, wordsPerTurn, maxTurns)
+    t.select(col("conv_id"),
+        array_join(transform(col("turns"), x =>
+          concat(lit("<|im_start|>"), x.getField("role"), lit("\n"),
+            x.getField("content"), lit("<|im_end|>\n"))), "")
+          .as("rendered"),
+        size(col("turns")).as("n_turns"),
+        aggregate(col("turns"), lit(0L), (acc, x) =>
+          acc + when(x.getField("role") === "assistant",
+            length(x.getField("content")).cast("long")).otherwise(0L))
+          .as("assistant_cp"))
+      .withColumn("rendered_cp", length(col("rendered")).cast("long"))
+  }
+
+  /** Preference-pair construction (the DPO/RLHF dataset shape): within
+    * each group, chosen = highest-scoring row, rejected = lowest (both
+    * tie-broken on id for a total order), emitted with the score
+    * margin; single-row groups and zero-margin pairs are dropped —
+    * a pair with no preference signal teaches nothing. One shuffle on
+    * the group key; both windows are map-side limited at rank 1. */
+  def prefPairs(df: DataFrame, groupCols: Seq[String], idCol: String,
+      scoreCol: String): DataFrame = {
+    val gc = groupCols.map(col)
+    val best = Window.partitionBy(gc: _*)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val worst = Window.partitionBy(gc: _*)
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    val ranked = df.select(gc :+ col(idCol) :+ col(scoreCol): _*)
+      .withColumn("__rb", row_number().over(best))
+      .withColumn("__rw", row_number().over(worst))
+    val chosen = ranked.filter(col("__rb") === 1)
+      .select(gc :+ col(idCol).as("chosen_id") :+
+        col(scoreCol).as("__cs"): _*)
+    val rejected = ranked.filter(col("__rw") === 1)
+      .select(gc :+ col(idCol).as("rejected_id") :+
+        col(scoreCol).as("__rs"): _*)
+    chosen.join(rejected, groupCols)
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("__cs") > col("__rs"))
+      .select(gc :+ col("chosen_id") :+ col("rejected_id") :+
+        (col("__cs") - col("__rs")).as("margin"): _*)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ChatData
+
+/** Semantics pins for [[ChatData]] that the oracle rows can't isolate:
+  * the turn cap, empty-document behavior, loss-mask arithmetic, and
+  * preference-pair degenerate groups. */
+class ChatDataSpec extends AnyFunSuite with SparkTester {
+
+  private lazy val docs = spark.createDataFrame(Seq(
+    (1L, "a b c d e f g"),  // 7 words -> 3 turns at w=3 (wpt 3)
+    (2L, ""),               // empty -> no turns
+    (3L, "one two"),        // 2 words -> 1 turn
+    (4L, ("w " * 50).trim)  // 50 words -> capped at maxTurns
+  )).toDF("doc_id", "text")
+
+  test("deriveTurns: alternating roles, slice boundaries, cap") {
+    val t = ChatData.deriveTurns(docs, "doc_id", "text",
+      wordsPerTurn = 3, maxTurns = 4)
+      .orderBy("conv_id", "turn_idx").collect()
+    val c1 = t.filter(_.getLong(0) == 1L)
+    assert(c1.length == 3)
+    assert(c1.map(_.getAs[String]("role")).toSeq ==
+      Seq("user", "assistant", "user"))
+    assert(c1.map(_.getAs[String]("content")).toSeq ==
+      Seq("a b c", "d e f", "g"))
+    assert(!t.exists(_.getLong(0) == 2L))         // empty doc: no rows
+    assert(t.count(_.getLong(0) == 4L) == 4)      // capped at 4 turns
+  }
+
+  test("renderChatML: ChatML framing + loss-mask stats") {
+    val r = ChatData.renderChatML(docs.filter(col("doc_id") === 1),
+      "doc_id", "text", wordsPerTurn = 3, maxTurns = 4).collect()(0)
+    assert(r.getAs[String]("rendered") ==
+      "<|im_start|>user\na b c<|im_end|>\n" +
+      "<|im_start|>assistant\nd e f<|im_end|>\n" +
+      "<|im_start|>user\ng<|im_end|>\n")
+    assert(r.getAs[Int]("n_turns") == 3)
+    assert(r.getAs[Long]("assistant_cp") == 5)    // "d e f"
+    assert(r.getAs[Long]("rendered_cp") ==
+      r.getAs[String]("rendered").length)
+  }
+
+  test("renderChatML: empty doc renders empty with zero turns") {
+    val r = ChatData.renderChatML(docs.filter(col("doc_id") === 2),
+      "doc_id", "text", wordsPerTurn = 3, maxTurns = 4).collect()(0)
+    assert(r.getAs[Int]("n_turns") == 0)
+    assert(r.getAs[String]("rendered") == "")
+  }
+
+  test("prefPairs: margin, tie-breaks, degenerate groups drop") {
+    val scored = spark.createDataFrame(Seq(
+      ("g1", 1L, 10L), ("g1", 2L, 3L), ("g1", 3L, 7L),
+      ("g2", 4L, 5L),                      // single member: drops
+      ("g3", 5L, 4L), ("g3", 6L, 4L)       // zero margin: drops
+    )).toDF("grp", "id", "score")
+    val p = ChatData.prefPairs(scored, Seq("grp"), "id", "score")
+      .collect()
+    assert(p.length == 1)
+    assert(p(0).getAs[Long]("chosen_id") == 1L)
+    assert(p(0).getAs[Long]("rejected_id") == 2L)
+    assert(p(0).getAs[Long]("margin") == 7L)
+  }
+
+  test("prefPairs: id tie-break is deterministic on equal scores") {
+    val scored = spark.createDataFrame(Seq(
+      ("g", 9L, 5L), ("g", 7L, 5L), ("g", 8L, 1L)
+    )).toDF("grp", "id", "score")
+    val p = ChatData.prefPairs(scored, Seq("grp"), "id", "score")
+      .collect()(0)
+    assert(p.getAs[Long]("chosen_id") == 7L)   // min id among max score
+    assert(p.getAs[Long]("rejected_id") == 8L)
+    assert(p.getAs[Long]("margin") == 4L)
+  }
+}
