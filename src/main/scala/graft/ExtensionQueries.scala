@@ -2554,8 +2554,106 @@ object SimilarityQueries {
           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
           FROM embeddings)
         SELECT vec_id, round(sqrt(sum(v * v)), 6) AS l2
-        FROM e GROUP BY vec_id"""))
+        FROM e GROUP BY vec_id""")),
+
+    // MMR diversity re-rank (Carbonell & Goldstein 1998): greedy
+    // λ·rel − (1−λ)·max_sim selection over a per-query shortlist, in
+    // exact integer micro-units (floor of bit-identical doubles — the
+    // post-round-9 portability form, no round() anywhere). The oracle
+    // replays the full greedy walk as unrolled CTE steps: every pick,
+    // tie-break, and objective value hash-checked.
+    Q("simsearch_mmr",
+      (s, dir) => {
+        val emb = Sources.table(s, dir, "embeddings")
+        Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 3),
+          "embedding", shortlist = 16, k = 5, lamMicro = 700000L)
+      },
+      Some(mmrSql(nQ = 3, shortlist = 16, k = 5, lam = 700000L)))
   )
+
+  /** Unrolled-greedy MMR oracle: `sel1..selk` CTEs each pick the next
+    * candidate by the exact int64 objective; `ms{t}` computes each
+    * remaining candidate's max micro-similarity to the selected-so-far
+    * set. Cosines are index-ordered double sums micro-floored — the
+    * bit-exact replay of [[graft.expressions.MmrSelectExpr]]. */
+  private def mmrSql(nQ: Int, shortlist: Int, k: Int, lam: Long)
+      : String = {
+    val om = 1000000L - lam
+    val steps = (2 to k).map { t =>
+      s"""ms$t AS (
+        SELECT r.q_id, r.cid, r.rel_micro, max(p.sim_micro) AS ms
+        FROM shortf r
+        JOIN psim p ON p.q_id = r.q_id AND p.a = r.cid
+        JOIN selu${t - 1} s ON s.q_id = p.q_id AND s.cid = p.b
+        LEFT JOIN selu${t - 1} x ON x.q_id = r.q_id AND x.cid = r.cid
+        WHERE x.cid IS NULL
+        GROUP BY 1, 2, 3),
+      sel$t AS (
+        SELECT q_id, cid, rel_micro, score_micro FROM (
+          SELECT q_id, cid, rel_micro,
+            $lam * rel_micro - $om * ms AS score_micro,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY ($lam * rel_micro - $om * ms) DESC, cid ASC) AS rn
+          FROM ms$t) z WHERE rn = 1),
+      selu$t AS (
+        SELECT * FROM selu${t - 1}
+        UNION ALL SELECT q_id, cid FROM sel$t)"""
+    }.mkString(",\n      ")
+    val finalSel = (1 to k).map { t =>
+      s"""SELECT q_id, $t AS rk, cid, rel_micro, score_micro FROM sel$t"""
+    }.mkString("\n        UNION ALL ")
+    s"""WITH e AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(sum(v * v ORDER BY i)) AS nrm
+        FROM e GROUP BY 1),
+      q AS (SELECT * FROM e WHERE vec_id < $nQ),
+      dots AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS cid,
+          sum(q.v * c.v ORDER BY q.i) AS dot
+        FROM q JOIN e c ON q.i = c.i AND c.vec_id <> q.vec_id
+        GROUP BY 1, 2),
+      rel AS (
+        SELECT q_id, cid,
+          CAST(floor((dot / (nq.nrm * nc.nrm)) * 1000000) AS BIGINT)
+            AS rel_micro
+        FROM dots
+        JOIN norms nq ON q_id = nq.vec_id
+        JOIN norms nc ON cid = nc.vec_id),
+      shortf AS (
+        SELECT q_id, cid, rel_micro FROM (
+          SELECT q_id, cid, rel_micro, row_number() OVER (
+            PARTITION BY q_id ORDER BY rel_micro DESC, cid ASC) AS rk
+          FROM rel) z WHERE rk <= $shortlist),
+      pd AS (
+        SELECT s1.q_id, s1.cid AS a, s2.cid AS b,
+          sum(ea.v * eb.v ORDER BY ea.i) AS dot
+        FROM shortf s1
+        JOIN shortf s2 ON s1.q_id = s2.q_id AND s1.cid <> s2.cid
+        JOIN e ea ON ea.vec_id = s1.cid
+        JOIN e eb ON eb.vec_id = s2.cid AND eb.i = ea.i
+        GROUP BY 1, 2, 3),
+      psim AS (
+        SELECT q_id, a, b,
+          CAST(floor((dot / (na.nrm * nb.nrm)) * 1000000) AS BIGINT)
+            AS sim_micro
+        FROM pd
+        JOIN norms na ON a = na.vec_id
+        JOIN norms nb ON b = nb.vec_id),
+      sel1 AS (
+        SELECT q_id, cid, rel_micro, $lam * rel_micro AS score_micro
+        FROM (
+          SELECT q_id, cid, rel_micro, row_number() OVER (
+            PARTITION BY q_id ORDER BY rel_micro DESC, cid ASC) AS rn
+          FROM shortf) z WHERE rn = 1),
+      selu1 AS (SELECT q_id, cid FROM sel1),
+      $steps
+      SELECT q_id, CAST(rk AS INTEGER) AS sel_rank, cid AS vec_id,
+        rel_micro, score_micro
+      FROM ($finalSel) u"""
+  }
 }
 
 object TextQueries {

@@ -1,0 +1,169 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Maximal-Marginal-Relevance selection (Carbonell & Goldstein 1998) over
+  * a per-query candidate shortlist — the diversity re-rank a retrieval or
+  * diverse-sampling pipeline runs after ANN: greedily pick k candidates
+  * maximizing `λ·rel − (1−λ)·max_sim(c, selected)`, so each new pick is
+  * relevant but not redundant with what's already chosen.
+  *
+  * Engine-portable by exact integer micro-units: relevance arrives as
+  * `floor(cos·10⁶)` (floor of a bit-identical double is deterministic —
+  * no decimal-rounding half-tie hazard), pairwise candidate similarity is
+  * computed HERE with the same index-ordered double accumulation as
+  * [[CosineSimilarity]] then micro-floored, and the MMR objective is pure
+  * int64 algebra (λ in micro-units; magnitudes ≤ 10⁶·10⁶ = 10¹² « 2⁶³).
+  * Ties break on the lower candidate id — a total order, so the DuckDB
+  * oracle replays the greedy walk as unrolled CTE steps.
+  *
+  * Input: `array<struct<vec_id:long, rel_micro:long, emb:array<float>>>`
+  * (one collected shortlist row per query — bounded by the shortlist
+  * size, so the whole selection is a single row-local pass: no shuffle,
+  * no driver involvement, O(shortlist²·dim) per query).
+  * Output: `array<struct<sel_rank:int, vec_id:long, rel_micro:long,
+  * score_micro:long>>` in selection order.
+  *
+  * Empty selection (k ≤ 0 or empty shortlist) returns an empty array.
+  */
+case class MmrSelectExpr(child: Expression, k: Int, lamMicro: Long)
+    extends UnaryExpression {
+
+  require(k >= 0, s"k must be >= 0, got $k")
+  require(lamMicro >= 0L && lamMicro <= 1000000L,
+    s"lamMicro must be in [0, 1000000], got $lamMicro")
+
+  private val inElem = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("rel_micro", LongType),
+    StructField("emb", ArrayType(FloatType))))
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("sel_rank", IntegerType, nullable = false),
+    StructField("vec_id", LongType, nullable = false),
+    StructField("rel_micro", LongType, nullable = false),
+    StructField("score_micro", LongType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "mmr_select"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = child.dataType match {
+      case ArrayType(s: StructType, _) =>
+        s.length == 3 &&
+          s(0).dataType == LongType && s(1).dataType == LongType &&
+          (s(2).dataType match {
+            case ArrayType(FloatType, _) => true
+            case _ => false
+          })
+      case _ => false
+    }
+    if (ok)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<struct<long, long, array<float>>>, " +
+          s"got ${child.dataType.sql}")
+  }
+
+  /** floor(cos(a,b)·10⁶): the identical arithmetic sequence as
+    * [[CosineSimilarity.compute]] — index-ordered double accumulation,
+    * `dot / (sqrt(na)·sqrt(nb))` — then one multiply and one floor, so
+    * the DuckDB replay `floor((sum(ORDER BY i)/(nrm·nrm))·1000000)` is
+    * bit-exact. Zero norms score Long.MinValue (never selected over a
+    * real candidate; the oracle shortlist can't contain them because
+    * their cosine is null there). */
+  private def simMicro(a: Array[Float], b: Array[Float]): Long = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) Long.MinValue
+    else math.floor(dot / denom * 1000000.0).toLong
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val rel = new Array[Long](n)
+    val emb = new Array[Array[Float]](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      rel(i) = row.getLong(1)
+      emb(i) = row.getArray(2).toFloatArray()
+      i += 1
+    }
+    // deterministic iteration order regardless of collect_list order
+    val order = (0 until n).sortBy(ids(_)).toArray
+
+    val taken = new Array[Boolean](n)
+    // running max sim of each candidate to the selected set — updated
+    // incrementally on each pick: O(k·n) sim evaluations, not O(k·n²)
+    val maxSim = Array.fill(n)(0L)
+    val out = new Array[Any](math.min(k, n))
+    var step = 0
+    while (step < out.length) {
+      var bestIdx = -1
+      var bestScore = 0L
+      var oi = 0
+      while (oi < n) {
+        val c = order(oi)
+        if (!taken(c)) {
+          val ms = if (step == 0) 0L else maxSim(c)
+          val score = lamMicro * rel(c) - (1000000L - lamMicro) * ms
+          // strict > with ascending-id iteration = lower id wins ties
+          if (bestIdx < 0 || score > bestScore) {
+            bestIdx = c; bestScore = score
+          }
+        }
+        oi += 1
+      }
+      taken(bestIdx) = true
+      out(step) = InternalRow(step + 1, ids(bestIdx), rel(bestIdx),
+        bestScore)
+      var c = 0
+      while (c < n) {
+        if (!taken(c)) {
+          val s = simMicro(emb(c), emb(bestIdx))
+          if (step == 0 || s > maxSim(c)) maxSim(c) = s
+        }
+        c += 1
+      }
+      step += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("mmr", this,
+      classOf[MmrSelectExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object MmrSelectExpr {
+  def mmr(candidates: Column, k: Int, lamMicro: Long): Column =
+    org.apache.spark.sql.graft.Bridge.column(MmrSelectExpr(
+      org.apache.spark.sql.graft.Bridge.expression(candidates),
+      k, lamMicro))
+}

@@ -1668,4 +1668,47 @@ object Similarity {
       .select(col("cell"), col("n"), col("s"),
         col("w.cj").as("worst_other"), col("w.ratio").as("worst_ratio"))
   }
+  /** MMR (maximal-marginal-relevance) diversity re-rank: after an ANN
+    * shortlist, greedily select `k` of the top-`shortlist` candidates
+    * per query maximizing `λ·rel − (1−λ)·max_sim(c, selected)` — the
+    * standard redundancy-avoiding re-rank for retrieval and for
+    * diversity-aware corpus sampling (pick relevant-but-mutually-
+    * different exemplars).
+    *
+    * Exact integer micro-units throughout ([[graft.expressions
+    * .MmrSelectExpr]]): relevance is `floor(cos·10⁶)` (floor of a
+    * bit-identical double — no decimal-rounding half-tie hazard), the
+    * greedy objective is pure int64 algebra, ties break on candidate
+    * id, so the DuckDB oracle replays the walk step by step.
+    *
+    * Scale shape: one broadcast score pass + one rank-limited window
+    * for the shortlist, one groupBy(q_id) to pack it, then the whole
+    * greedy selection is row-local (O(shortlist²·dim) per query, zero
+    * further shuffle). At 100 TB the shortlist comes from the IVF/LSH
+    * index instead of the brute-force pass; the packed-selection tail
+    * is unchanged. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      shortlist: Int, k: Int, lamMicro: Long): DataFrame = {
+    import graft.expressions.MmrSelectExpr
+    val q = queries.select(col("vec_id").as("q_id"), col(vecCol).as("qe"))
+    val c = corpus.select(col("vec_id"), col(vecCol).as("e"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("e"),
+        floor(VectorExpressions.cosineSim(col("qe"), col("e")) *
+          lit(1000000.0)).cast("long").as("rel_micro"))
+      .filter(col("rel_micro").isNotNull)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel_micro").desc, col("vec_id").asc)
+    val short = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= shortlist)
+    short.groupBy(col("q_id"))
+      .agg(collect_list(struct(col("vec_id"), col("rel_micro"),
+        col("e").as("emb"))).as("cands"))
+      .select(col("q_id"),
+        explode(MmrSelectExpr.mmr(col("cands"), k, lamMicro)).as("s"))
+      .select(col("q_id"), col("s.sel_rank").as("sel_rank"),
+        col("s.vec_id").as("vec_id"),
+        col("s.rel_micro").as("rel_micro"),
+        col("s.score_micro").as("score_micro"))
+  }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Behavioral pins for [[graft.expressions.MmrSelectExpr]] /
+  * [[Similarity.mmrRerank]] the oracle row can't isolate: the diversity
+  * property itself, the λ extremes, ties, and k > |candidates|. */
+class MmrSpec extends AnyFunSuite with SparkTester {
+
+  // q = (1,1,0); c10/c11 near-duplicates (rel .99863/.99845,
+  // sim(c10,c11) ≈ .99998), c12 diverse (rel .6774, sim to c10 .6407).
+  // At λ=.5 the duplicate's marginal score is ≈ −0.0008 vs c12's
+  // ≈ +0.018, so diversity flips the second pick
+  private lazy val corpus = spark.createDataFrame(Seq(
+    (10L, Array(1.0f, 0.9f, 0.0f)),
+    (11L, Array(1.0f, 0.89f, 0.0f)),
+    (12L, Array(0.0f, 1.0f, 0.3f)),
+    (0L, Array(1.0f, 1.0f, 0.0f))      // the query
+  )).toDF("vec_id", "embedding")
+
+  private def run(lamMicro: Long, k: Int = 3) = Similarity.mmrRerank(
+    corpus.filter(col("vec_id") >= 10), corpus.filter(col("vec_id") === 0),
+    "embedding", shortlist = 16, k = k, lamMicro = lamMicro)
+    .orderBy("sel_rank").collect()
+
+  test("diversity: second pick skips the near-duplicate") {
+    val sel = run(500000L).map(_.getAs[Long]("vec_id")).toSeq
+    assert(sel == Seq(10L, 12L, 11L)) // rel order would be 10, 11, 12
+  }
+
+  test("lambda = 1 reduces to pure relevance order") {
+    val sel = run(1000000L).map(_.getAs[Long]("vec_id")).toSeq
+    assert(sel == Seq(10L, 11L, 12L))
+  }
+
+  test("k > candidates returns all with dense ranks") {
+    val out = run(700000L, k = 10)
+    assert(out.map(_.getAs[Int]("sel_rank")).toSeq == Seq(1, 2, 3))
+  }
+
+  test("score ties break on lower vec_id") {
+    // two identical candidates: identical rel and identical sims
+    val c = spark.createDataFrame(Seq(
+      (21L, Array(1.0f, 0.0f)), (20L, Array(1.0f, 0.0f)),
+      (0L, Array(1.0f, 0.0f)))).toDF("vec_id", "embedding")
+    val sel = Similarity.mmrRerank(
+      c.filter(col("vec_id") >= 20), c.filter(col("vec_id") === 0),
+      "embedding", 16, 2, 700000L)
+      .orderBy("sel_rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(sel == Seq(20L, 21L))
+  }
+
+  test("first pick's objective is lambda * rel exactly") {
+    val out = run(500000L)
+    assert(out(0).getAs[Long]("score_micro") ==
+      500000L * out(0).getAs[Long]("rel_micro"))
+  }
+
+  test("negative similarity raises (not lowers) later scores vs dup") {
+    // anti-correlated candidate should be preferred over a duplicate
+    // even when its relevance is slightly lower
+    val c = spark.createDataFrame(Seq(
+      (30L, Array(1.0f, 0.1f)),    // top rel
+      (31L, Array(1.0f, 0.1f)),    // duplicate of 30
+      (32L, Array(0.9f, -0.9f)),   // negatively similar to 30
+      (0L, Array(1.0f, 0.0f)))).toDF("vec_id", "embedding")
+    val sel = Similarity.mmrRerank(
+      c.filter(col("vec_id") >= 30), c.filter(col("vec_id") === 0),
+      "embedding", 16, 2, 500000L)
+      .orderBy("sel_rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(sel == Seq(30L, 32L))
+  }
+}
