@@ -5444,6 +5444,51 @@ object CurationQueries {
         FROM corp c LEFT JOIN nc USING (doc_id)
           LEFT JOIN nh USING (doc_id)""")),
 
+    // SEMANTIC decontamination — the paraphrase-level leak the n-gram
+    // forms above can't see: nearest-benchmark cosine in exact floor-
+    // micro units (bit-identical index-ordered double sums; the
+    // post-round-9 portability form), threshold 0.30 on this corpus's
+    // sim distribution (p90 ≈ 0.299, so ~10% flags — both branches of
+    // the predicate exercised)
+    Q("decontam_semantic",
+      (s, dir) => {
+        val emb = Sources.table(s, dir, "embeddings")
+        Curation.decontamSemantic(
+          emb.filter(col("vec_id") % 50 =!= 0),
+          emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", thresholdMicro = 300000L)
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (
+          SELECT vec_id, sqrt(sum(v * v ORDER BY i)) AS nrm
+          FROM e GROUP BY 1),
+        b AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        c AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+        dots AS (
+          SELECT c.vec_id AS cid, b.vec_id AS bench_id,
+            sum(c.v * b.v ORDER BY c.i) AS dot
+          FROM c JOIN b ON c.i = b.i
+          GROUP BY 1, 2),
+        sims AS (
+          SELECT cid AS vec_id, bench_id,
+            CAST(floor((dot / (nc.nrm * nb.nrm)) * 1000000) AS BIGINT)
+              AS sim_micro
+          FROM dots
+          JOIN norms nc ON cid = nc.vec_id
+          JOIN norms nb ON bench_id = nb.vec_id)
+        SELECT vec_id, bench_id AS nearest_bench,
+          sim_micro AS max_sim_micro,
+          sim_micro >= 300000 AS contaminated
+        FROM (
+          SELECT vec_id, bench_id, sim_micro, row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim_micro DESC, bench_id ASC)
+            AS rn
+          FROM sims) z
+        WHERE rn = 1""")),
+
     // Gopher quality-rule suite (Rae et al. 2021 A1.1) over a corpus
     // seeded — identically in both engines — so every rule fires
     // somewhere: bullet lines (2 on id%7, 10 on id%13 — only the

@@ -92,7 +92,14 @@ object GraftExtensions {
         case other =>
           throw new IllegalArgumentException(
             s"word_shingles k must be a literal, got $other")
-      }))
+      }),
+    ("unicode_normalize",
+      info("unicode_normalize",
+        "unicode_normalize(text, form) - UAX#15 normalization " +
+          "(form: 'NFC'|'NFD'|'NFKC'|'NFKD')"),
+      (es: Seq[Expression]) =>
+        graft.expressions.UnicodeNormalizeExpr(es(0),
+          litStr(es(1), "unicode_normalize form"))))
 
   /** Whole-operator SQL table functions. Each builder resolves its
     * table-name argument against the ACTIVE session's catalog (temp

@@ -1180,4 +1180,40 @@ object Curation {
         col("n_docs"), (col("n_docs") >= k).as("k_anonymous"),
         col("n_sensitive"), (col("n_sensitive") >= l).as("l_diverse")): _*)
   }
+  /** SEMANTIC decontamination: flag corpus vectors whose embedding is
+    * too close to any held-out benchmark vector — the paraphrase-level
+    * leak the n-gram forms ([[decontaminate]]/[[decontaminateBloom]])
+    * can't see, because an eval item rewritten in different words keeps
+    * its embedding neighborhood while sharing no 8-gram.
+    *
+    * Exact integer micro-units (`floor(cos·10⁶)` of bit-identical
+    * index-ordered double sums — the post-round-9 portability form):
+    * the nearest benchmark id, its similarity, and the flag are all
+    * hash-checkable. Ties break on the lower benchmark id.
+    *
+    * Scale shape: the benchmark set is SMALL by construction (an eval
+    * suite, thousands of rows) and broadcast; one codegen cosine pass,
+    * one rank-1-limited window on the corpus id — no corpus shuffle of
+    * the wide embedding column. A 100 TB corpus against a paraphrase-
+    * heavy benchmark can pre-shortlist with the LSH band index
+    * ([[graft.operators.Similarity]]); this exact pass is the verifier
+    * and the small-benchmark production path. */
+  def decontamSemantic(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, thresholdMicro: Long): DataFrame = {
+    import graft.expressions.VectorExpressions
+    val b = benchmark.select(col(idCol).as("bench_id"),
+      col(vecCol).as("be"))
+    val scored = corpus.select(col(idCol), col(vecCol).as("e"))
+      .join(broadcast(b))
+      .select(col(idCol), col("bench_id"),
+        floor(VectorExpressions.cosineSim(col("e"), col("be")) *
+          lit(1000000.0)).cast("long").as("sim_micro"))
+      .filter(col("sim_micro").isNotNull)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("sim_micro").desc, col("bench_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("bench_id").as("nearest_bench"),
+        col("sim_micro").as("max_sim_micro"),
+        (col("sim_micro") >= thresholdMicro).as("contaminated"))
+  }
 }

@@ -932,4 +932,28 @@ class CurationSpec extends AnyFunSuite with SparkTester {
       ratePct = 0, salt = "t").collect()
     assert(none.forall(r => !r.getBoolean(1)))
   }
+
+  test("decontamSemantic: nearest benchmark, tie-break, threshold flag") {
+    val corpus = spark.createDataFrame(Seq(
+      (1L, Array(1.0f, 0.0f)),    // identical to bench 100 and 101
+      (2L, Array(0.0f, 1.0f)),    // orthogonal to both
+      (3L, Array(0.9f, 0.44f))    // close to bench 100/101
+    )).toDF("vec_id", "embedding")
+    val bench = spark.createDataFrame(Seq(
+      (101L, Array(1.0f, 0.0f)), (100L, Array(1.0f, 0.0f))
+    )).toDF("vec_id", "embedding")
+    val out = graft.operators.Curation.decontamSemantic(
+      corpus, bench, "vec_id", "embedding", thresholdMicro = 800000L)
+      .orderBy("vec_id").collect()
+    assert(out.length == 3)
+    // identical vectors: sim exactly 1.0 -> 1000000; tie -> bench 100
+    assert(out(0).getAs[Long]("max_sim_micro") == 1000000L)
+    assert(out(0).getAs[Long]("nearest_bench") == 100L)
+    assert(out(0).getAs[Boolean]("contaminated"))
+    // orthogonal: sim 0 -> not contaminated
+    assert(out(1).getAs[Long]("max_sim_micro") == 0L)
+    assert(!out(1).getAs[Boolean]("contaminated"))
+    // close: above 0.8 threshold
+    assert(out(2).getAs[Boolean]("contaminated"))
+  }
 }

@@ -106,4 +106,19 @@ class UnicodeNormalizeSpec extends AnyFunSuite with SparkTester {
       .collect()
     assert(out.count(_.isNullAt(0)) == 1)
   }
+
+  test("SQL surface: unicode_normalize registered via GraftExtensions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT unicode_normalize('e\\u0301', 'NFC') AS c, " +
+        "unicode_normalize('\\ufb01le', 'NFKC') AS k").collect()(0)
+    assert(r.getString(0) == "\u00e9")
+    assert(r.getString(1) == "file")
+    // non-literal form is rejected with a clear message
+    val err = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', c) " +
+        "FROM (SELECT 'NFC' AS c)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
 }
