@@ -5959,6 +5959,36 @@ object CurationQueries {
         SELECT url_canon, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         FROM cu GROUP BY url_canon""")),
 
+    // Unicode-aware exact dedup: the corpus is doubled into composed
+    // (á = U+00E1) and decomposed (a + U+0301) variants of each doc —
+    // byte-different, user-identical. Raw byte hashing can NOT collapse
+    // them; hashing the NFC form ([[graft.expressions
+    // .UnicodeNormalizeExpr]]) collapses every pair, which is exactly
+    // why real crawl pipelines normalize before the first dedup stage.
+    // Both engines run real UAX#15 composition (JDK vs utf8proc) — the
+    // group keys themselves are the differential check
+    Q("dedup_unicode",
+      (s, dir) => {
+        val d = Sources.table(s, dir, "documents")
+        val seeded = d.select((col("doc_id") * 2).as("id"),
+            regexp_replace(col("text"), "a", "\u00e1").as("txt"))
+          .unionByName(d.select((col("doc_id") * 2 + 1).as("id"),
+            regexp_replace(col("text"), "a", "a\u0301").as("txt")))
+        Dedup.exactBy(seeded.select(col("id"),
+          md5(graft.expressions.UnicodeNormalizeExpr.nfc(col("txt")))
+            .as("nfc_h")), "id", "nfc_h")
+      },
+      Some("""WITH seeded AS (
+          SELECT doc_id * 2 AS id, replace(text, 'a', chr(225)) AS txt
+          FROM documents
+          UNION ALL
+          SELECT doc_id * 2 + 1 AS id,
+            replace(text, 'a', 'a' || chr(769)) AS txt
+          FROM documents)
+        SELECT md5(nfc_normalize(txt)) AS nfc_h, min(id) AS keep_id,
+          CAST(count(*) AS BIGINT) AS n_copies
+        FROM seeded GROUP BY 1""")),
+
     // CCNet perplexity buckets: per-language head/middle/tail terciles by
     // corpus-unigram log-prob. The oracle replays the text_unigram_logprob
     // algebra (6-dp ln terms, exact DECIMAL sums) then the same
