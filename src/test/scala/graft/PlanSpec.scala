@@ -524,4 +524,41 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     val scalaMh = shape("dedup_minhash").sorted
     assert(tvfMh == scalaMh, s"tvf=$tvfMh vs scala=$scalaMh")
   }
+
+  test("chat_render / chat_turns: row-local transforms — zero Exchange " +
+      "(the conversation never leaves its row)") {
+    for (q <- Seq("chat_render", "chat_turns")) {
+      val pl = plan(q)
+      assert(!pl.contains("Exchange"), s"$q shuffles:\n$pl")
+    }
+  }
+
+  test("text_unicode_nfc: per-row normalize, pruned 2-col scan, no " +
+      "shuffle") {
+    val pl = plan("text_unicode_nfc")
+    assert(!pl.contains("Exchange"), pl)
+    assert(pl.contains("ReadSchema: struct<doc_id:bigint,text:string>"), pl)
+  }
+
+  test("decontam_semantic: benchmark side broadcast; exactly one " +
+      "corpus shuffle (the rank-1 window)") {
+    val pl = plan("decontam_semantic")
+    assert(pl.contains("BroadcastExchange"), pl)
+    assert(!pl.contains("SortMergeJoin"), pl)
+    val shuffles = "\\+- Exchange \\(".r.findAllIn(pl).length
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$pl")
+    // the rank-1 window is map-side limited before the full sort
+    assert(pl.contains("WindowGroupLimit"), pl)
+  }
+
+  test("simsearch_mmr: broadcast score pass, rank-limited shortlist " +
+      "window, selection itself adds no extra shuffle") {
+    val pl = plan("simsearch_mmr")
+    assert(pl.contains("BroadcastExchange"), pl)
+    assert(pl.contains("WindowGroupLimit"), pl)
+    // shortlist window + the pack-by-query groupBy: two hash exchanges,
+    // nothing else (the greedy walk is row-local)
+    val shuffles = "\\+- Exchange \\(".r.findAllIn(pl).length
+    assert(shuffles <= 2, s"expected <= 2 hash exchanges, got $shuffles:\n$pl")
+  }
 }
