@@ -5989,6 +5989,37 @@ object CurationQueries {
           CAST(count(*) AS BIGINT) AS n_copies
         FROM seeded GROUP BY 1""")),
 
+    // stride-scheduling mixture interleave (Waldspurger & Weihl 1995 →
+    // data ordering): per-source integer weights (1 + digits%3, so all
+    // three weights occur), exact int64 virtual time, the whole stream
+    // order hash-checked — Spark produces positions via the bucketed
+    // two-phase prefix sum (no single-partition sort), the oracle as
+    // one global window: identical arithmetic, different execution
+    Q("curation_mix_interleave",
+      (s, dir) => Curation.mixInterleave(
+        Sources.table(s, dir, "documents"), "doc_id", "source",
+        weight = regexp_extract(col("source"), "([0-9]+)$", 1)
+          .cast("int") % 3 + 1,
+        salt = "mx"),
+      Some("""WITH base AS (
+          SELECT doc_id, source,
+            CAST(CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 3
+              + 1 AS BIGINT) AS w,
+            md5('mx' || doc_id::VARCHAR) AS key
+          FROM documents),
+        kk AS (
+          SELECT doc_id, source, w,
+            row_number() OVER (PARTITION BY source ORDER BY key, doc_id)
+              - 1 AS k
+          FROM base),
+        v AS (
+          SELECT doc_id, source, w, k,
+            ((k + 1) * 1000000000) // w AS v_nano
+          FROM kk)
+        SELECT doc_id, source AS domain, w AS weight, k, v_nano,
+          row_number() OVER (ORDER BY v_nano, source, k) AS pos
+        FROM v""")),
+
     // CCNet perplexity buckets: per-language head/middle/tail terciles by
     // corpus-unigram log-prob. The oracle replays the text_unigram_logprob
     // algebra (6-dp ln terms, exact DECIMAL sums) then the same

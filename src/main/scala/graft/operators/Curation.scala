@@ -1216,4 +1216,50 @@ object Curation {
         col("sim_micro").as("max_sim_micro"),
         (col("sim_micro") >= thresholdMicro).as("contaminated"))
   }
+  /** Weighted-fair mixture interleave — stride scheduling (Waldspurger &
+    * Weihl 1995; WFQ's virtual time) applied to training-data ordering:
+    * every domain appears in the global stream proportionally to its
+    * integer weight and as EVENLY as possible (no long single-domain
+    * runs, unlike weight-proportional concatenation or hash shuffles,
+    * which only equalize in expectation). The in-domain index k gets
+    * virtual time `v = ((k+1)·10⁹) div w` — exact int64, strictly
+    * increasing within a domain — and the stream is the total order
+    * `(v, domain, k)`.
+    *
+    * Global positions are produced WITHOUT a single-partition sort: v is
+    * range-bucketed (`v div vBucketNanos` — monotone in v, so bucket
+    * order IS stream order), positions within a bucket come from one
+    * windowed pass, and cross-bucket offsets from the broadcast
+    * prefix-sum of bucket counts (the [[shuffleDeterministic]] two-phase
+    * pattern). `vBucketNanos` sizes the bucket table: buckets ≈
+    * n_docs·10⁹ / (min_weight·vBucketNanos); pick it so that stays in
+    * the tens of thousands at the target corpus size.
+    *
+    * Output: `(id, domain, weight, k, v_nano, pos)` with `pos` 1-based
+    * and byte-identical on rerun (the in-domain order is the salted md5
+    * permutation). */
+  def mixInterleave(df: DataFrame, idCol: String, domainCol: String,
+      weight: Column, salt: String,
+      vBucketNanos: Long = 256000000000L): DataFrame = {
+    require(vBucketNanos >= 1L)
+    val keyed = df
+      .withColumn("_w", weight.cast("long"))
+      .withColumn("_key",
+        md5(concat(lit(salt), col(idCol).cast("string"))))
+    val wIn = Window.partitionBy(col(domainCol))
+      .orderBy(col("_key"), col(idCol))
+    val base = keyed
+      .withColumn("_k", row_number().over(wIn).cast("long") - 1)
+      .withColumn("v_nano",
+        expr("((_k + 1) * CAST(1000000000 AS BIGINT)) DIV _w"))
+      .withColumn("_bucket",
+        expr(s"CAST(v_nano DIV ${vBucketNanos}L AS INT)"))
+    val wB = Window.partitionBy(col("_bucket"))
+      .orderBy(col("v_nano"), col(domainCol), col("_k"))
+    base.withColumn("_wpos", row_number().over(wB).cast("long"))
+      .join(broadcast(bucketOffsets(base, count(lit(1)))), "_bucket")
+      .select(col(idCol), col(domainCol).as("domain"),
+        col("_w").as("weight"), col("_k").as("k"), col("v_nano"),
+        (col("_off") + col("_wpos")).as("pos"))
+  }
 }

@@ -956,4 +956,39 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     // close: above 0.8 threshold
     assert(out(2).getAs[Boolean]("contaminated"))
   }
+
+  test("mixInterleave: fair interleave, permutation, bucket invariance") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 90).toDF("doc_id")
+      .withColumn("dom", concat(lit("d"), col("doc_id") % 3))
+    // weights d0=3, d1=2, d2=1 over 30 docs each
+    val w = expr("CAST(substring(dom, 2, 1) AS INT)")
+    val out = graft.operators.Curation.mixInterleave(
+      docs, "doc_id", "dom", lit(3) - w, "t").collect()
+    val n = out.length
+    assert(n == 90)
+    // pos is a permutation of 1..n
+    assert(out.map(_.getAs[Long]("pos")).sorted.toSeq ==
+      (1L to n.toLong).toSeq)
+    // fairness: in the first half of the stream, domain shares track
+    // weights 3:2:1 (d0 paces 3x faster than d2)
+    val firstHalf = out.filter(_.getAs[Long]("pos") <= 45)
+      .groupBy(_.getAs[String]("domain")).view.mapValues(_.length).toMap
+    assert(firstHalf("d0") > firstHalf("d1"))
+    assert(firstHalf("d1") > firstHalf("d2"))
+    // evenness: the weight-1 domain never waits longer than its stride
+    // (v steps of 1e9 interleave 6 positions of total weight per step)
+    val d2pos = out.filter(_.getAs[String]("domain") == "d2")
+      .map(_.getAs[Long]("pos")).sorted
+    assert(d2pos.zip(d2pos.tail).forall { case (a, b) => b - a <= 8 })
+    // bucket width must not change the stream (two-phase prefix sum
+    // == one global window): force MANY buckets and compare
+    val tiny = graft.operators.Curation.mixInterleave(
+      docs, "doc_id", "dom", lit(3) - w, "t",
+      vBucketNanos = 1000000000L).collect()
+    assert(tiny.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")))
+      .sortBy(_._1).sameElements(
+        out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")))
+          .sortBy(_._1)))
+  }
 }
