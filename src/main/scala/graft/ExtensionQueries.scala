@@ -6020,6 +6020,66 @@ object CurationQueries {
           row_number() OVER (ORDER BY v_nano, source, k) AS pos
         FROM v""")),
 
+    // length-grouped batching (HF group_by_length, exactly): batches of
+    // 32 cut from the per-shard (len, id) order; per-row padding bill of
+    // a pad-to-batch-max collation — every batch boundary, max, and pad
+    // integer hash-checked
+    Q("curation_length_batches",
+      (s, dir) => Curation.lengthBatches(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        batchSize = 32, shards = 16, salt = "lb"),
+      Some(s"""WITH keyed AS (
+          SELECT doc_id,
+            CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS len,
+            ${ddbHashBucket("'lb' || doc_id::VARCHAR", 16)} AS shard
+          FROM documents),
+        b AS (
+          SELECT doc_id, len, shard,
+            (row_number() OVER (PARTITION BY shard ORDER BY len, doc_id)
+              - 1) // 32 AS batch_id
+          FROM keyed)
+        SELECT doc_id, shard, len, batch_id,
+          max(len) OVER (PARTITION BY shard, batch_id) AS batch_max,
+          max(len) OVER (PARTITION BY shard, batch_id) - len AS pad
+        FROM b""")),
+
+    // whole-document next-fit-decreasing packing (documents stay
+    // intact — the SFT counterpart of pack_contexts' concat-and-chop):
+    // per-shard row-local NFD walk ([[NextFitPackExpr]]) whose O(1)
+    // state makes it replayable as a linear recursive-CTE fold — every
+    // placement (bin, offset) hash-checked. Capacity 128 tokens on
+    // ~30-token docs so bins hold several documents and overflow
+    // boundaries actually occur
+    Q("pack_bins_nfd",
+      (s, dir) => Curation.packBinsNextFit(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        capacity = 128L, shards = 16, salt = "pk"),
+      Some(s"""WITH RECURSIVE keyed AS (
+          SELECT doc_id,
+            CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS len,
+            ${ddbHashBucket("'pk' || doc_id::VARCHAR", 16)} AS shard
+          FROM documents),
+        ord AS (
+          SELECT doc_id, len, shard, row_number() OVER (
+            PARTITION BY shard ORDER BY len DESC, doc_id) AS rn
+          FROM keyed),
+        st(shard, rn, doc_id, len, bin, off, fill) AS (
+          SELECT shard, rn, doc_id, len, 0, CAST(0 AS BIGINT), len
+          FROM ord WHERE rn = 1
+          UNION ALL
+          SELECT o.shard, o.rn, o.doc_id, o.len,
+            CASE WHEN s.fill + o.len <= 128 THEN s.bin
+                 ELSE s.bin + 1 END,
+            CASE WHEN s.fill + o.len <= 128 THEN s.fill
+                 ELSE CAST(0 AS BIGINT) END,
+            CASE WHEN s.fill + o.len <= 128 THEN s.fill + o.len
+                 ELSE o.len END
+          FROM st s JOIN ord o ON o.shard = s.shard AND o.rn = s.rn + 1)
+        SELECT doc_id, shard, len, CAST(bin AS INTEGER) AS bin, off
+        FROM st""")),
+
     // CCNet perplexity buckets: per-language head/middle/tail terciles by
     // corpus-unigram log-prob. The oracle replays the text_unigram_logprob
     // algebra (6-dp ln terms, exact DECIMAL sums) then the same

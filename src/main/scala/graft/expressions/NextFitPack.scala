@@ -1,0 +1,119 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Next-fit-decreasing bin packing over a bounded document group — the
+  * WHOLE-document packing style (vs [[graft.operators.Curation
+  * .packContexts]]' concat-and-chop, which splits documents across
+  * context windows): sort the group by (len desc, id), then place each
+  * document in the current bin if it fits, else open a new bin. For
+  * SFT corpora where documents must stay intact, this is the packing
+  * that turns per-example padding into a few percent instead of ~half.
+  *
+  * Next-fit (not first/best-fit) is the deliberate choice: it is the
+  * strongest packing rule with O(1) state per step, which makes the
+  * walk REPLAYABLE as a linear recursive-CTE fold in the DuckDB oracle
+  * — first-fit's open-bin scan would need per-step unbounded state.
+  * Decreasing order recovers most of first-fit's advantage (classical
+  * NFD ≤ 2·OPT, and ≪ that on natural length distributions).
+  *
+  * A document longer than `capacity` gets its own oversize bin (placed
+  * at offset 0; the next document always opens a new bin), so the
+  * packer is total — the caller decides whether to chunk oversize docs
+  * first ([[graft.operators.Curation.chunkTokens]]).
+  *
+  * Input: `array<struct<id:long, len:long>>` (one collected group —
+  * bounded by the caller's sharding). Output: `array<struct<id:long,
+  * len:long, bin:int, off:long>>` in placement order. Pure int64
+  * arithmetic end to end — hash-portable by construction.
+  */
+case class NextFitPackExpr(child: Expression, capacity: Long)
+    extends UnaryExpression {
+
+  require(capacity >= 1L, s"capacity must be >= 1, got $capacity")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("len", LongType, nullable = false),
+    StructField("bin", IntegerType, nullable = false),
+    StructField("off", LongType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "next_fit_pack"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = child.dataType match {
+      case ArrayType(s: StructType, _) =>
+        s.length == 2 && s(0).dataType == LongType &&
+          s(1).dataType == LongType
+      case _ => false
+    }
+    if (ok)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<struct<long, long>>, " +
+          s"got ${child.dataType.sql}")
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val lens = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      lens(i) = row.getLong(1)
+      i += 1
+    }
+    // decreasing length, id tie-break — the "D" in NFD, and the total
+    // order the oracle's ORDER BY len DESC, id replays
+    val order = (0 until n).sortBy(j => (-lens(j), ids(j))).toArray
+    val out = new Array[Any](n)
+    var bin = 0
+    var fill = 0L
+    var k = 0
+    while (k < n) {
+      val j = order(k)
+      if (k == 0) {
+        fill = lens(j)
+        out(k) = InternalRow(ids(j), lens(j), 0, 0L)
+      } else if (fill + lens(j) <= capacity) {
+        out(k) = InternalRow(ids(j), lens(j), bin, fill)
+        fill += lens(j)
+      } else {
+        bin += 1
+        out(k) = InternalRow(ids(j), lens(j), bin, 0L)
+        fill = lens(j)
+      }
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("nfp", this,
+      classOf[NextFitPackExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object NextFitPackExpr {
+  def pack(group: Column, capacity: Long): Column =
+    org.apache.spark.sql.graft.Bridge.column(NextFitPackExpr(
+      org.apache.spark.sql.graft.Bridge.expression(group), capacity))
+}

@@ -991,4 +991,55 @@ class CurationSpec extends AnyFunSuite with SparkTester {
         out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")))
           .sortBy(_._1)))
   }
+
+  test("packBinsNextFit / NextFitPackExpr: NFD walk semantics") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.NextFitPackExpr
+    // direct expression check: lens 9,7,5,3 at capacity 12 -> NFD order
+    // 9|7,5|3? walk: 9 (bin0 fill9), 7 (9+7>12 -> bin1 fill7),
+    // 5 (7+5=12 <= 12 -> bin1 off7), 3 (12+3>12 -> bin2)
+    val df = spark.createDataFrame(Seq(Tuple1(Seq(
+      (1L, 3L), (2L, 9L), (3L, 5L), (4L, 7L))))).toDF("g")
+      .select(explode(NextFitPackExpr.pack(
+        col("g").cast("array<struct<id:bigint,len:bigint>>"), 12L))
+        .as("p"))
+      .select("p.id", "p.len", "p.bin", "p.off").collect()
+    val byId = df.map(r => r.getLong(0) ->
+      (r.getInt(2), r.getLong(3))).toMap
+    assert(byId(2L) == (0, 0L))   // 9 opens bin 0
+    assert(byId(4L) == (1, 0L))   // 7 overflows -> bin 1
+    assert(byId(3L) == (1, 7L))   // 5 fits exactly (12 <= 12)
+    assert(byId(1L) == (2, 0L))   // 3 overflows the full bin
+  }
+
+  test("packBinsNextFit: oversize doc gets its own bin; invariants") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.createDataFrame(Seq(
+      (1L, ("w " * 200).trim),  // 200 tokens > capacity 64
+      (2L, ("w " * 30).trim),
+      (3L, ("w " * 30).trim),
+      (4L, ("w " * 30).trim)
+    )).toDF("doc_id", "text")
+    val out = graft.operators.Curation.packBinsNextFit(
+      docs, "doc_id", "text", capacity = 64L, shards = 1, salt = "t")
+      .collect()
+    assert(out.length == 4)
+    val oversize = out.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(oversize.getAs[Long]("off") == 0L)
+    // no two rows share (shard, bin, off); offsets respect capacity for
+    // non-oversize rows; bin fill never exceeds capacity except the
+    // oversize singleton
+    val keys = out.map(r => (r.getAs[Long]("shard"), r.getAs[Int]("bin"),
+      r.getAs[Long]("off")))
+    assert(keys.distinct.length == keys.length)
+    val byBin = out.groupBy(r => (r.getAs[Long]("shard"),
+      r.getAs[Int]("bin")))
+    byBin.foreach { case (_, rows) =>
+      val fill = rows.map(_.getAs[Long]("len")).sum
+      assert(fill <= 64L || rows.length == 1)
+      rows.foreach { r =>
+        assert(r.getAs[Long]("off") + r.getAs[Long]("len") <= fill)
+      }
+    }
+  }
 }
