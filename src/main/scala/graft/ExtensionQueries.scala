@@ -3980,6 +3980,34 @@ object TextQueries {
           enc AS encoded
         FROM e16""")),
 
+    // detokenize round-trip audit: stripping the ' ##' joints from a
+    // non-UNK encode must reproduce the word EXACTLY (WordPiece is
+    // lossless by construction — every piece is a literal substring).
+    // One row: n_ok must equal n_words - n_unk in BOTH engines, so the
+    // losslessness invariant itself is hash-pinned, not just spec'd
+    Q("tokenizer_wordpiece_roundtrip",
+      (s, dir) => WordPiece.encodeWords(
+          Sources.table(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 200, maxPieceLen = 8, maxWordLen = 16,
+          topWords = 64)
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(col("is_unk"), 1L).otherwise(0L)).as("n_unk"),
+          sum(when(!col("is_unk") &&
+              replace(col("encoded"), lit(" ##"), lit("")) ===
+                col("word"), 1L)
+            .otherwise(0L)).as("n_ok")),
+      Some(s"""WITH ${wordpieceVocabCtes(200, 8)},
+        wbase AS (
+          SELECT word, cnt FROM wvc
+          ORDER BY cnt DESC, word ASC LIMIT 64),
+        ${wordpieceGreedyCtes(16, 16)}
+        SELECT CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+          CAST(sum(CASE WHEN NOT unk
+              AND replace(enc, ' ##', '') = word THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ok
+        FROM e16""")),
+
     // the tokenizer APPLIED to the whole corpus (the text_bpe_apply
     // closure): per document word / piece / [UNK] counts under the
     // trained vocab — the oracle encodes EVERY distinct word through
