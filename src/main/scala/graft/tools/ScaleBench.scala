@@ -648,6 +648,28 @@ object ScaleBench {
       cnt("wordpiece")
     }
 
+    // training-stream assembly at factor× docs: stride interleave (two
+    // windowed passes + the broadcast bucket prefix-sum — no global
+    // sort) and whole-doc NFD packing (one groupBy + a row-local walk
+    // per shard). Both must scale linearly; counts pin the outputs so
+    // pruning can't elide the walk. Shards scale with the corpus so
+    // per-shard groups stay bounded (the collect_list is the scaling
+    // hazard, not the walk).
+    if (runExt && want("assembly")) timed("assembly") {
+      val domained = big.withColumn("source",
+        concat(lit("src"), pmod(xxhash64(col("doc_id")), lit(8))))
+      val mixed = graft.operators.Curation.mixInterleave(
+        domained, "doc_id", "source",
+        weight = pmod(xxhash64(col("source")), lit(3)) + 1, salt = "sb")
+      cnt("assembly_pos") = mixed.agg(max(col("pos"))).head().getLong(0)
+      val packed = graft.operators.Curation.packBinsNextFit(
+        big, "doc_id", "text", capacity = 512L,
+        shards = math.max(16, factor * 64), salt = "sb")
+      cnt("assembly_bins") = packed
+        .select(col("shard"), col("bin")).distinct().count()
+      cnt("assembly_bins")
+    }
+
     // distributed global decile (the numeric_lorenz shape) at factor×
     // fact rows, vs the single-partition ntile() window counterfactual
     // — the pair that prices the r9 Ranks reshape the way scc vs
