@@ -1325,4 +1325,161 @@ object Curation {
         col("p.len").as("len"), col("p.bin").as("bin"),
         col("p.off").as("off"))
   }
+
+  /** Credential/secret detection patterns (detect-secrets/truffleHog
+    * class): the structured-prefix rules that catch well-formed
+    * credentials regardless of entropy. RE2-compatible (no lookaround)
+    * so SQL engines replay them identically; each pattern counts
+    * INDEPENDENTLY on the raw text (the [[piiPatterns]] density
+    * convention) — a GitHub token body is also a high-entropy blob and
+    * is deliberately counted by both its own rule and the entropy rule,
+    * exactly as a raw-entropy scanner would report it. */
+  val secretPatterns: Seq[(String, String)] = Seq(
+    // AWS access key id: fixed AKIA prefix + 16 uppercase base-36
+    "aws_key" -> "\\bAKIA[0-9A-Z]{16}\\b",
+    // GitHub classic PAT: ghp_ + 36 alnum
+    "gh_token" -> "\\bghp_[A-Za-z0-9]{36}\\b",
+    // bare 40-hex blob (SHA1-shaped API secrets)
+    "hex40" -> "\\b[0-9a-f]{40}\\b",
+    // PEM private-key header — the one substring that is a secret
+    // regardless of what follows
+    "private_key" -> "-----BEGIN [A-Z ]+PRIVATE KEY-----")
+
+  /** Base64-ish blob CANDIDATE rule for the entropy-gated class: 24+
+    * chars of the base64 alphabet. No \b anchors — '+' and '/' are
+    * non-word chars, so a word boundary after them inverts meaning;
+    * greedy leftmost matching already yields maximal runs in both Java
+    * regex and RE2. */
+  val secretB64CandidateRe: String = "[A-Za-z0-9+/]{24,}"
+
+  /** Secret scanning over a text corpus — the scrub-gate a code/crawl
+    * corpus runs before release (leaked credentials are the one PII
+    * class that is ALWAYS actionable). Two detector families:
+    * structured-prefix rules ([[secretPatterns]]) and an entropy-gated
+    * base64-blob rule. The entropy gate is the exact integer
+    * distinct-character criterion `2·|distinct chars| >= len` — a
+    * deterministic proxy for Shannon entropy that both engines compute
+    * identically (a true bits-per-char entropy is a log-sum double:
+    * order-dependent and half-tie-prone across engines, the round-9
+    * tokenizer lesson; the distinct-ratio gate separates keyboard-mash
+    * constants from md5/base64 material just as cleanly and is pure
+    * int64). Counting is a fused projection — scan-speed, no shuffle,
+    * no join: at 100 TB this runs at whatever rate the scan delivers
+    * bytes. Output one row per document: one count per structured
+    * class, the base64 candidate/high-entropy counts, and the
+    * `has_secrets` release verdict. */
+  def secretScan(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    val classCounts = secretPatterns.map { case (name, re) =>
+      regexp_count(t, lit(re)).as("n_" + name)
+    }
+    val cands = regexp_extract_all(t, lit(secretB64CandidateRe), lit(0))
+    // distinct chars via the '.'-regex (never split(c, "") — the
+    // empty-pattern split's trailing-element convention differs across
+    // engines; '.' per-char extraction is unambiguous on these
+    // newline-free candidates)
+    val highEntropy = filter(cands, c =>
+      size(array_distinct(regexp_extract_all(c, lit("."), lit(0)))) * 2
+        >= length(c))
+    df.select(
+        (col(idCol).as("doc_id") +: classCounts) ++ Seq(
+          size(cands).as("n_b64_candidates"),
+          size(highEntropy).as("n_b64_highentropy")): _*)
+      .withColumn("has_secrets",
+        (secretPatterns.map(p => col("n_" + p._1)).reduce(_ + _) +
+          col("n_b64_highentropy")) > 0)
+  }
+
+  /** Data-constrained mixture plan (Muennighoff et al. 2023,
+    * arXiv:2305.16264: repeating data beyond ~4 epochs returns almost
+    * nothing): given per-domain mixture weights (integer `parts`) and a
+    * total token `budget`, price each domain's plan — tokens requested
+    * by the mixture, epochs that demand implies over the tokens the
+    * domain actually HAS, the epoch cap's effective delivery, and the
+    * shortfall the mixture must reallocate. All ratio columns are exact
+    * integer micro-units (`x·10⁶ DIV y` — the portability idiom), never
+    * rounded doubles. One shuffle (the per-domain token sum — map-side
+    * combined); the weight table is a literal broadcast. Bound:
+    * `requested·10⁶` must fit int64 — good to ~9.2·10¹² requested
+    * tokens per domain; shard the plan beyond that. Domains present in
+    * the corpus but absent from `parts` get weight 0 (planned to
+    * nothing, reported — the audit must SHOW the domain was excluded);
+    * domains in `parts` with no corpus rows cannot be priced and are
+    * absent, matching the oracle's inner-from-available shape. */
+  def epochPlan(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, parts: Seq[(String, Long)], budget: Long,
+      maxEpochsMicro: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(maxEpochsMicro >= 1L,
+      s"maxEpochsMicro must be >= 1, got $maxEpochsMicro")
+    require(parts.nonEmpty && parts.forall(_._2 >= 0) &&
+      parts.map(_._2).sum >= 1, "parts must sum to a positive weight")
+    val totParts = parts.map(_._2).sum
+    val avail = df
+      .groupBy(col(domainCol).as("domain"))
+      .agg(sum(size(graft.functions.Cleaning.tokens(col(textCol)))
+        .cast("long")).as("available"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = broadcast(parts.toDF("domain", "part"))
+    avail.join(w, Seq("domain"), "left")
+      .select(col("domain"), col("available"),
+        coalesce(col("part"), lit(0L)).as("part"))
+      .withColumn("requested",
+        expr(s"(part * ${budget}L) DIV ${totParts}L"))
+      .withColumn("epochs_micro",
+        expr("(requested * 1000000L) DIV available"))
+      .withColumn("epochs_capped_micro",
+        least(col("epochs_micro"), lit(maxEpochsMicro)))
+      .withColumn("effective_tokens",
+        least(col("requested"),
+          expr(s"(available * ${maxEpochsMicro}L) DIV 1000000L")))
+      .withColumn("shortfall", col("requested") - col("effective_tokens"))
+  }
+
+  /** T5-style span-corruption accounting (Raffel et al. 2020 §3.1.4):
+    * per-document noise-mask statistics under a DETERMINISTIC
+    * hash-PRNG — token `pos` of `doc` is noise iff
+    * `md5(doc_id ‖ '_' ‖ pos ‖ salt) mod 1000 < noisePerMille` — so the
+    * mask is reproducible across runs, partitionings, and engines
+    * (lineage requirement: the exact pretraining example set must be
+    * recomputable from the corpus + the salt). Adjacent noise tokens
+    * merge into spans (one sentinel each); this is the iid-then-merge
+    * variant (expected span length 1/(1−p)) rather than T5's
+    * mean-span-3 span sampler — the variant is documented, and the
+    * accounting identities are the same. Output per doc: token/noise/
+    * span counts, encoder length (kept tokens + one sentinel per
+    * span), decoder length (noise tokens + span sentinels + EOS), and
+    * the realized noise fraction in exact integer micro-units.
+    *
+    * Scale shape: one explode + ONE shuffle on doc_id — the window
+    * (previous-token flag) and the per-doc aggregate share the same
+    * hash partitioning, so the plan carries a single exchange.
+    * Per-partition state is one boolean per row; nothing is collected. */
+  def spanCorruptStats(df: DataFrame, idCol: String, textCol: String,
+      noisePerMille: Int, salt: String): DataFrame = {
+    require(noisePerMille >= 1 && noisePerMille <= 999,
+      s"noisePerMille must be in [1, 999], got $noisePerMille")
+    val toks = df.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.Cleaning.tokens(col(textCol)))
+        .as(Seq("pos", "tok")))
+    val flagged = toks.select(col("doc_id"), col("pos"),
+      (hashBucket(concat(col("doc_id").cast("string"), lit("_"),
+        col("pos").cast("string"), lit(salt)), 1000)
+        < noisePerMille).as("noise"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    flagged
+      .withColumn("span_start", col("noise") &&
+        !coalesce(lag(col("noise"), 1).over(w), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("noise").cast("long")).as("n_noise"),
+        sum(col("span_start").cast("long")).as("n_spans"))
+      .select(col("doc_id"), col("n_tokens"), col("n_noise"),
+        col("n_spans"),
+        (col("n_tokens") - col("n_noise") + col("n_spans")).as("enc_len"),
+        (col("n_noise") + col("n_spans") + lit(1L)).as("dec_len"),
+        expr("(n_noise * 1000000L) DIV n_tokens").as("noise_frac_micro"))
+  }
 }

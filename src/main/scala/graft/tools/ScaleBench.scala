@@ -670,6 +670,22 @@ object ScaleBench {
       cnt("assembly_bins")
     }
 
+    // secret scanning + span-corruption accounting at factor× docs: the
+    // scan is a fused regex projection (scan-speed, zero shuffle); span
+    // stats are one explode + ONE shared doc_id exchange (window and
+    // aggregate co-partitioned). Aggregate VALUES are collected so
+    // column pruning can't elide the regex/mask work (the codec_decode
+    // lesson).
+    if (runExt && want("secrets_span")) timed("secrets_span") {
+      val sec = graft.operators.Curation.secretScan(big, "doc_id", "text")
+      cnt("secrets_candidates") = sec
+        .agg(sum(col("n_b64_candidates").cast("long"))).head().getLong(0)
+      val span = graft.operators.Curation.spanCorruptStats(
+        big, "doc_id", "text", noisePerMille = 150, salt = "_sb")
+      cnt("span_noise") = span.agg(sum(col("n_noise"))).head().getLong(0)
+      cnt("span_noise")
+    }
+
     // distributed global decile (the numeric_lorenz shape) at factor×
     // fact rows, vs the single-partition ntile() window counterfactual
     // — the pair that prices the r9 Ranks reshape the way scc vs

@@ -561,4 +561,35 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     val shuffles = "\\+- Exchange \\(".r.findAllIn(pl).length
     assert(shuffles <= 2, s"expected <= 2 hash exchanges, got $shuffles:\n$pl")
   }
+
+  test("privacy_secrets: fused regex projection — zero Exchange, " +
+      "2-col pruned scan") {
+    val pl = plan("privacy_secrets")
+    assert(!pl.contains("Exchange"), pl)
+    assert(pl.contains("ReadSchema: struct<doc_id:bigint,text:string>"), pl)
+  }
+
+  test("curation_span_corrupt: the noise window and the per-doc " +
+      "aggregate share ONE hash exchange (same doc_id partitioning)") {
+    val pl = plan("curation_span_corrupt")
+    val shuffles = "\\+- Exchange \\(".r.findAllIn(pl).length
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$pl")
+    assert(!pl.contains("SortMergeJoin"), pl)
+  }
+
+  test("curation_epochs: literal weight table broadcast; the token sum " +
+      "is map-side combined") {
+    val pl = plan("curation_epochs")
+    assert(pl.contains("BroadcastHashJoin"), pl)
+    assert(!pl.contains("SortMergeJoin"), pl)
+    assert(pl.contains("partial_sum"), pl)
+  }
+
+  test("decontam_report: no cartesian products; per-method aggregates " +
+      "are map-side combined before the rollup") {
+    val pl = plan("decontam_report")
+    assert(!pl.contains("CartesianProduct"), pl)
+    assert(pl.contains("partial_sum"), pl)
+    assert(pl.contains("Expand"), pl)
+  }
 }
