@@ -231,6 +231,109 @@ case class BmpAHashExpr(child: Expression) extends UnaryExpression {
       : Expression = copy(child = newChild)
 }
 
+/** ViT-style PATCH-GRID statistics over the REAL decoded pixels: the
+  * image is tiled into `patch`×`patch` cells in IMAGE order (top row
+  * first, regardless of the file's bottom-up/top-down storage — the
+  * [[BmpAHashExpr]] convention), and each cell reports its pixel count
+  * and EXACT per-channel byte sums — the numbers a patch-embedding
+  * pipeline needs for per-patch normalization, all integer so any
+  * engine replays them. Edge cells are partial (n_px < patch²) and
+  * reported, never padded or dropped — the caller decides the padding
+  * convention. Output `array<struct<pr, pc, n_px, sum_b, sum_g,
+  * sum_r>>` in row-major patch order; null for malformed payloads or a
+  * forged-header grid over 2²² cells (the PNG giant-dimension lesson:
+  * allocation must be bounded by a validated header, not attacker
+  * bytes). One compiled pass per row; only the per-patch integers
+  * leave the scan. */
+case class BmpPatchesExpr(child: Expression, patch: Int)
+    extends UnaryExpression {
+  require(patch >= 1, s"patch must be >= 1, got $patch")
+
+  override def dataType: DataType =
+    ArrayType(BmpPatchesExpr.cell, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "bmp_patches"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BINARY input, got ${child.dataType}")
+
+  import Bmp24.u8
+
+  def compute(bytes: Array[Byte]): Any = {
+    val hdr = Bmp24.parseHeader(bytes)
+    if (hdr == null) return null
+    val (width, height, topDown, pixelOffset, stride) = hdr
+    val pRows = (height + patch - 1) / patch
+    val pCols = (width + patch - 1) / patch
+    val n = pRows.toLong * pCols
+    if (n > (1L << 22)) return null
+    val nPx = new Array[Long](n.toInt)
+    val sb = new Array[Long](n.toInt)
+    val sg = new Array[Long](n.toInt)
+    val sr = new Array[Long](n.toInt)
+    var r = 0
+    while (r < height) {
+      val stored = if (topDown) r else height - 1 - r
+      val base = pixelOffset + stored * stride
+      val rowOff = (r / patch) * pCols
+      var c = 0
+      while (c < width) {
+        val idx = rowOff + c / patch
+        val p = base + 3 * c
+        nPx(idx) += 1
+        sb(idx) += u8(bytes, p)
+        sg(idx) += u8(bytes, p + 1)
+        sr(idx) += u8(bytes, p + 2)
+        c += 1
+      }
+      r += 1
+    }
+    val rows = new Array[Any](n.toInt)
+    var i = 0
+    while (i < n) {
+      rows(i) = InternalRow(i / pCols, i % pCols, nPx(i), sb(i), sg(i),
+        sr(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("bmpPatches", this,
+      classOf[BmpPatchesExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |Object bpr = $ref.compute($c);
+         |if (bpr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  (org.apache.spark.sql.catalyst.util.ArrayData) bpr; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object BmpPatchesExpr {
+  val cell: StructType = StructType(Seq(
+    StructField("pr", IntegerType, nullable = false),
+    StructField("pc", IntegerType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false)))
+}
+
 object BmpDecode {
   /** Column factory: decode a 24-bit uncompressed BMP blob to its exact
     * integer stats struct (null for malformed payloads). */
@@ -242,4 +345,11 @@ object BmpDecode {
   def bmpAHash(bin: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       BmpAHashExpr(org.apache.spark.sql.graft.Bridge.expression(bin)))
+
+  /** Column factory: row-major patch-grid channel sums of the decoded
+    * pixels (`patch`×`patch` cells, image order). */
+  def bmpPatches(bin: Column, patch: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      BmpPatchesExpr(org.apache.spark.sql.graft.Bridge.expression(bin),
+        patch))
 }

@@ -164,6 +164,25 @@ object Multimodal {
         col("__d.sum_g").as("sum_g"), col("__d.sum_r").as("sum_r"),
         col("__d.top_row_sum").as("top_row_sum"))
 
+  /** ViT patch-grid prep over REAL decoded pixels: one row per
+    * `patch`×`patch` image cell with its pixel count and exact
+    * per-channel byte sums ([[graft.expressions.BmpPatchesExpr]]) —
+    * the per-patch normalization statistics a patch-embedding pipeline
+    * computes before tokenizing images. Row-local decode + explode;
+    * malformed payloads vanish (null array → no rows, the E1
+    * convention). Partial edge cells are reported with their true
+    * n_px. Scale shape: blobs never leave the scan — only the
+    * per-patch integers (bounded by the validated header, never
+    * attacker bytes) explode to rows. */
+  def patchStats(df: DataFrame, idCol: String, binCol: String,
+      patch: Int): DataFrame =
+    df.select(col(idCol),
+        explode(graft.expressions.BmpDecode.bmpPatches(col(binCol),
+          patch)).as("p"))
+      .select(col(idCol), col("p.pr").as("pr"), col("p.pc").as("pc"),
+        col("p.n_px").as("n_px"), col("p.sum_b").as("sum_b"),
+        col("p.sum_g").as("sum_g"), col("p.sum_r").as("sum_r"))
+
   /** Per-channel mean features from the real decode, in exact integer
     * micro-units (`sum·10⁶ DIV n_pixels` — the hash-portable ratio
     * form): the fixed-dim numeric embedding a downstream similarity /

@@ -168,4 +168,69 @@ class MultimodalBmpSpec extends AnyFunSuite with SparkTester {
       assert(r.getLong(3) == sr * 1000000L / np)
     }
   }
+
+  test("patch grid: cells partition the image (sums and counts " +
+      "reconcile with the whole-image decode); partial edges reported; " +
+      "patch covering the image equals the decode row") {
+    val docs = spark.range(0, 40).toDF("doc_id")
+    val pay = Multimodal.bmpPayload(docs, "doc_id")
+    val patches = Multimodal.patchStats(pay, "doc_id", "payload", 2)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    val whole = Multimodal.decodeBmp(pay, "doc_id", "payload")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(patches.size == 40)
+    for ((id, cells) <- patches) {
+      val w = whole(id)
+      assert(cells.map(_.getAs[Long]("n_px")).sum ==
+        w.getAs[Long]("n_pixels"), s"doc $id n_px")
+      assert(cells.map(_.getAs[Long]("sum_b")).sum ==
+        w.getAs[Long]("sum_b"), s"doc $id sum_b")
+      assert(cells.map(_.getAs[Long]("sum_g")).sum ==
+        w.getAs[Long]("sum_g"), s"doc $id sum_g")
+      assert(cells.map(_.getAs[Long]("sum_r")).sum ==
+        w.getAs[Long]("sum_r"), s"doc $id sum_r")
+      // grid shape: ceil(h/2) x ceil(w/2) cells, keys unique
+      val wd = w.getAs[Int]("width"); val ht = w.getAs[Int]("height")
+      assert(cells.length == ((ht + 1) / 2) * ((wd + 1) / 2))
+      val keys = cells.map(r => (r.getAs[Int]("pr"), r.getAs[Int]("pc")))
+      assert(keys.distinct.length == keys.length)
+      // every full interior cell carries exactly 4 pixels
+      cells.foreach { cl =>
+        val full = (cl.getAs[Int]("pr") + 1) * 2 <= ht &&
+          (cl.getAs[Int]("pc") + 1) * 2 <= wd
+        if (full) assert(cl.getAs[Long]("n_px") == 4L)
+        else assert(cl.getAs[Long]("n_px") < 4L)
+      }
+    }
+    // one patch covering the whole image reproduces the decode sums
+    val one = Multimodal.patchStats(pay, "doc_id", "payload", 16)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for ((id, r) <- one) {
+      assert(r.getAs[Int]("pr") == 0 && r.getAs[Int]("pc") == 0)
+      assert(r.getAs[Long]("sum_b") == whole(id).getAs[Long]("sum_b"))
+      assert(r.getAs[Long]("n_px") == whole(id).getAs[Long]("n_pixels"))
+    }
+  }
+
+  test("patch grid: malformed payloads vanish (E1 explode-null " +
+      "absorption); patch order is row-major image order") {
+    val good = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("fixtures/sample_3x2.bmp"))
+    val rows = Multimodal.patchStats(
+      Seq((1L, good), (2L, good.take(20))).toDF("doc_id", "payload"),
+      "doc_id", "payload", 2).collect()
+    assert(rows.forall(_.getAs[Long]("doc_id") == 1L))
+    // 3x2 image, 2x2 patches: 1 patch row, 2 patch cols
+    assert(rows.length == 2)
+    val left = rows.find(_.getAs[Int]("pc") == 0).get
+    val right = rows.find(_.getAs[Int]("pc") == 1).get
+    // left cell: image cols 0-1 of both rows = red,green,white,black
+    // (fixture pixels) -> n_px 4; right: col 2 -> blue,(128,64,32), n 2
+    assert(left.getAs[Long]("n_px") == 4L)
+    assert(right.getAs[Long]("n_px") == 2L)
+    // right cell sums: blue(b=255,g=0,r=0) + (b=32,g=64,r=128)
+    assert(right.getAs[Long]("sum_b") == 287L)
+    assert(right.getAs[Long]("sum_g") == 64L)
+    assert(right.getAs[Long]("sum_r") == 128L)
+  }
 }

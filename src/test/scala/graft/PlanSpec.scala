@@ -585,6 +585,12 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     assert(pl.contains("partial_sum"), pl)
   }
 
+  test("multimodal_patches: row-local decode + explode — zero " +
+      "Exchange; only the patch integers leave the scan") {
+    val pl = plan("multimodal_patches")
+    assert(!pl.contains("Exchange"), pl)
+  }
+
   test("decontam_report: no cartesian products; per-method aggregates " +
       "are map-side combined before the rollup") {
     val pl = plan("decontam_report")
