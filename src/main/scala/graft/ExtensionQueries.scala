@@ -5720,6 +5720,49 @@ object CurationQueries {
             AS shortfall
         FROM e""")),
 
+    // competence-based curriculum (Platanios 2019): difficulty =
+    // per-token surprisal under the corpus's own unigram LM (the
+    // trainVocab floor-micro cost idiom), distributed global rank
+    // (range partition + offsets — never a single-partition window),
+    // linear competence unlock step computed from the already-floored
+    // percentile in BOTH engines. Every cost, rank, and step
+    // hash-checked
+    Q("curation_curriculum",
+      (s, dir) => Curation.curriculumSchedule(
+        Sources.table(s, dir, "documents"), "doc_id", "text",
+        steps = 1000L),
+      Some("""WITH tk AS (
+          SELECT doc_id,
+            unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS word
+          FROM documents),
+        fr AS (SELECT word, count(*)::BIGINT AS freq FROM tk GROUP BY 1),
+        tt AS (SELECT sum(freq)::BIGINT AS t FROM fr),
+        ct AS (
+          SELECT word,
+            (-floor(ln(freq::DOUBLE / t) * 1000000))::BIGINT AS cost
+          FROM fr CROSS JOIN tt),
+        sc AS (
+          SELECT doc_id, sum(cost)::BIGINT AS difficulty_micro,
+            count(*)::BIGINT AS n_tokens
+          FROM tk JOIN ct USING (word) GROUP BY 1),
+        s2 AS (
+          SELECT doc_id, difficulty_micro, n_tokens,
+            difficulty_micro // n_tokens AS surprisal_micro
+          FROM sc),
+        nn AS (SELECT count(*)::BIGINT AS n FROM s2),
+        rk AS (
+          SELECT doc_id, difficulty_micro, n_tokens, surprisal_micro,
+            row_number() OVER (
+              ORDER BY surprisal_micro ASC, doc_id ASC)::BIGINT AS rank
+          FROM s2),
+        p AS (
+          SELECT rk.*, (rank * 1000000) // n AS pct_micro
+          FROM rk CROSS JOIN nn)
+        SELECT doc_id, difficulty_micro, n_tokens, surprisal_micro,
+          rank, pct_micro, (pct_micro * 1000) // 1000000 AS unlock_step
+        FROM p""")),
+
     // T5 span-corruption accounting under the deterministic md5-PRNG
     // mask (15% noise rate, iid-then-merge spans): token/noise/span
     // counts, encoder/decoder lengths, realized noise fraction in
@@ -7292,6 +7335,45 @@ object MultimodalQueries {
         SELECT doc_id, width, height, bpp, n_pixels,
           sum_b, sum_g, sum_r, top_row_sum
         FROM bstats""")),
+
+    // ViT patch-grid prep over the REAL decode: 2×2 cells in image
+    // order, exact per-channel sums per cell, partial edge cells
+    // reported with their true n_px. The oracle recomputes every cell
+    // from the pixel MODEL with the bottom-up row mapping inverted
+    // ((h-1-r) — a decoder that tiles stored rows instead of image
+    // rows swaps patch rows and fails the hash)
+    Q("multimodal_patches",
+      (s, dir) => Multimodal.patchStats(
+        Multimodal.bmpPayload(
+          Sources.table(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload", patch = 2),
+      Some("""WITH gp AS (
+          SELECT doc_id, (2 + doc_id % 6)::INTEGER AS w,
+            (1 + doc_id % 4)::INTEGER AS h,
+            md5(doc_id::VARCHAR) AS m
+          FROM documents),
+        px AS (
+          SELECT doc_id, w, h, m, unnest(range(0, w*h)) AS q FROM gp),
+        co AS (
+          SELECT doc_id, w, h, m,
+            (q // w)::INTEGER AS r, (q % w)::INTEGER AS c
+          FROM px),
+        ch AS (
+          SELECT doc_id, (r // 2)::INTEGER AS pr, (c // 2)::INTEGER AS pc,
+            ('0x' || substr(m,
+              CAST((((h-1-r)*3*w + 3*c + 0) % 16)*2 + 1 AS INTEGER), 2))
+              ::BIGINT AS vb,
+            ('0x' || substr(m,
+              CAST((((h-1-r)*3*w + 3*c + 1) % 16)*2 + 1 AS INTEGER), 2))
+              ::BIGINT AS vg,
+            ('0x' || substr(m,
+              CAST((((h-1-r)*3*w + 3*c + 2) % 16)*2 + 1 AS INTEGER), 2))
+              ::BIGINT AS vr
+          FROM co)
+        SELECT doc_id, pr, pc, count(*)::BIGINT AS n_px,
+          sum(vb)::BIGINT AS sum_b, sum(vg)::BIGINT AS sum_g,
+          sum(vr)::BIGINT AS sum_r
+        FROM ch GROUP BY 1, 2, 3""")),
 
     // the E1 absorption twin: a deterministic slice of payloads is
     // truncated mid-header — the decoder must yield null fields for

@@ -1438,6 +1438,51 @@ object Curation {
       .withColumn("shortfall", col("requested") - col("effective_tokens"))
   }
 
+  /** Competence-based curriculum schedule (Platanios et al. 2019,
+    * arXiv:1903.09848): order training documents easy→hard and assign
+    * each the first step at which the model's competence admits it.
+    * Difficulty is per-token SURPRISAL under the corpus's own unigram
+    * LM — `cost(w) = -floor(ln(freq_w / total)·10⁶)` (the
+    * [[UnigramTokenizer.trainVocab]] micro-unit idiom, driver-green
+    * cross-engine), summed per doc and divided (integer DIV) by its
+    * token count, so rare-word documents rank hard. With the linear
+    * competence c(t) = t/steps, a document unlocks when competence
+    * reaches its difficulty PERCENTILE: `unlock_step =
+    * (pct_micro·steps) DIV 10⁶` — computed from the already-floored
+    * pct_micro in BOTH engines (never re-derived as one division; the
+    * double-floor must match). Ranking is the DISTRIBUTED global rank
+    * ([[Ranks.withGlobalRowNumber]] — range partition + per-partition
+    * row_number + broadcast offsets), never a single-partition window:
+    * the rank table is the corpus itself. Ties break on doc_id.
+    * Tokenless documents have no difficulty and are absent (the caller
+    * admits them at step 0 or drops them — either way, explicitly). */
+  def curriculumSchedule(df: DataFrame, idCol: String, textCol: String,
+      steps: Long): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.Cleaning.tokens(col(textCol))).as("word"))
+    val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val tot = freq.agg(sum(col("freq")).as("t"))
+    val cost = freq.crossJoin(broadcast(tot))
+      .select(col("word"),
+        (-floor(log(col("freq").cast("double") / col("t")) * 1e6))
+          .cast("long").as("cost"))
+    val scored = toks.join(cost, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cost")).as("difficulty_micro"),
+        count(lit(1)).as("n_tokens"))
+      .withColumn("surprisal_micro",
+        expr("difficulty_micro DIV n_tokens"))
+    val n = scored.agg(count(lit(1)).as("__n"))
+    Ranks.withGlobalRowNumber(scored,
+        Seq(col("surprisal_micro").asc, col("doc_id").asc), "rank")
+      .crossJoin(broadcast(n))
+      .withColumn("pct_micro", expr("(rank * 1000000L) DIV __n"))
+      .withColumn("unlock_step",
+        expr(s"(pct_micro * ${steps}L) DIV 1000000L"))
+      .drop("__n")
+  }
+
   /** T5-style span-corruption accounting (Raffel et al. 2020 §3.1.4):
     * per-document noise-mask statistics under a DETERMINISTIC
     * hash-PRNG — token `pos` of `doc` is noise iff

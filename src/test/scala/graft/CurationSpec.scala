@@ -1136,4 +1136,33 @@ class CurationSpec extends AnyFunSuite with SparkTester {
       assert(r.getAs[Long]("noise_frac_micro") == nNoise * 1000000L / n)
     }
   }
+
+  test("curriculumSchedule: common-word docs unlock before rare-word " +
+      "docs; ranks are a permutation; the surprisal algebra is exact") {
+    val docs = Seq(
+      (1L, "the the the the"),
+      (2L, "the the rare1"),
+      (3L, "rare2 rare3 rare4")
+    ).toDF("doc_id", "text")
+    val out = Curation.curriculumSchedule(docs, "doc_id", "text",
+      steps = 100L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out.values.map(_.getAs[Long]("rank")).toSeq.sorted ==
+      Seq(1L, 2L, 3L))
+    assert(out(1L).getAs[Long]("rank") == 1L)
+    assert(out(3L).getAs[Long]("rank") == 3L)
+    assert(out(1L).getAs[Long]("unlock_step") <
+      out(3L).getAs[Long]("unlock_step"))
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("unlock_step") <= 100L)
+      assert(r.getAs[Long]("pct_micro") <= 1000000L)
+      assert(r.getAs[Long]("surprisal_micro") ==
+        r.getAs[Long]("difficulty_micro") / r.getAs[Long]("n_tokens"))
+    }
+    // independent replay for doc 1: 'the' freq 6 of 10 total tokens,
+    // cost = -floor(ln(0.6)*1e6) = 510826; all-'the' doc surprisal ==
+    // that cost exactly
+    assert(out(1L).getAs[Long]("surprisal_micro") == 510826L)
+  }
 }

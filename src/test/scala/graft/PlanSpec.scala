@@ -585,6 +585,13 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     assert(pl.contains("partial_sum"), pl)
   }
 
+  test("curation_curriculum: the global difficulty rank is " +
+      "range-partitioned (the distributed Ranks rewrite), never a " +
+      "single-partition data-sized window") {
+    val pl = plan("curation_curriculum")
+    assert(pl.contains("rangepartitioning"), pl)
+  }
+
   test("multimodal_patches: row-local decode + explode — zero " +
       "Exchange; only the patch integers leave the scan") {
     val pl = plan("multimodal_patches")
