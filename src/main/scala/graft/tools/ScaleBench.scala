@@ -678,8 +678,13 @@ object ScaleBench {
     // lesson).
     if (runExt && want("secrets_span")) timed("secrets_span") {
       val sec = graft.operators.Curation.secretScan(big, "doc_id", "text")
-      cnt("secrets_candidates") = sec
-        .agg(sum(col("n_b64_candidates").cast("long"))).head().getLong(0)
+      // sum EVERY detector column — aggregating just one would let
+      // column pruning elide the other class regexes from the scan
+      val allDetectors = Seq("n_aws_key", "n_gh_token", "n_hex40",
+        "n_private_key", "n_b64_candidates", "n_b64_highentropy")
+        .map(c => col(c).cast("long")).reduce(_ + _)
+      cnt("secrets_detections") = sec
+        .agg(sum(allDetectors)).head().getLong(0)
       val span = graft.operators.Curation.spanCorruptStats(
         big, "doc_id", "text", noisePerMille = 150, salt = "_sb")
       cnt("span_noise") = span.agg(sum(col("n_noise"))).head().getLong(0)
