@@ -5290,7 +5290,7 @@ object CurationQueries {
     * (id%11), a 24-char mixed-case blob (id%2) — plus, on EVERY doc, a
     * low-diversity base64-charset decoy that the entropy gate must
     * exclude. Spark and SQL forms are a maintained PAIR. */
-  private def secretSeeded(docs: org.apache.spark.sql.DataFrame)
+  private[graft] def secretSeeded(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     def did = col("doc_id").cast("string")
     docs.select(col("doc_id"), concat(
@@ -5334,6 +5334,32 @@ object CurationQueries {
       "upper(substr(md5(doc_id::VARCHAR || '_b1'), 1, 12)) || " +
       "substr(md5(doc_id::VARCHAR || '_b2'), 1, 12) ELSE '' END || " +
       "' pad ABCDABCDABCDABCDABCDABCD end'"
+
+  /** The secret-scan oracle (cells generated from
+    * [[Curation.secretPatterns]]) — shared by `privacy_secrets` and the
+    * SQL-surface twin `sql_secret_scan`, whose TVF splices the exact
+    * Scala operator plan, so the SQL form cannot drift from it. */
+  private[graft] val secretScanOracle: String = {
+    val cells = Curation.secretPatterns.map { case (name, re) =>
+      s"len(regexp_extract_all(seeded, '$re'))::INTEGER AS n_$name"
+    }.mkString(",\n            ")
+    val b64 = Curation.secretB64CandidateRe
+    val total = Curation.secretPatterns
+      .map(p => s"n_${p._1}").mkString(" + ")
+    s"""WITH s AS (
+        SELECT doc_id, $secretSeededSql AS seeded FROM documents),
+      c AS (
+        SELECT doc_id,
+        $cells,
+        len(regexp_extract_all(seeded, '$b64'))::INTEGER
+          AS n_b64_candidates,
+        len(list_filter(regexp_extract_all(seeded, '$b64'),
+          x -> len(list_distinct(regexp_extract_all(x, '.'))) * 2
+            >= len(x)))::INTEGER AS n_b64_highentropy
+        FROM s)
+      SELECT c.*, ($total + n_b64_highentropy) > 0 AS has_secrets
+      FROM c"""
+  }
 
   /** Shared seeded corpus for the C4-family queries: the raw documents
     * carry no newlines and no sentence punctuation, so line structure and
@@ -5659,27 +5685,7 @@ object CurationQueries {
       (s, dir) => Curation.secretScan(
         secretSeeded(Sources.table(s, dir, "documents")),
         "doc_id", "seeded"),
-      Some {
-        val cells = Curation.secretPatterns.map { case (name, re) =>
-          s"len(regexp_extract_all(seeded, '$re'))::INTEGER AS n_$name"
-        }.mkString(",\n            ")
-        val b64 = Curation.secretB64CandidateRe
-        val total = Curation.secretPatterns
-          .map(p => s"n_${p._1}").mkString(" + ")
-        s"""WITH s AS (
-            SELECT doc_id, $secretSeededSql AS seeded FROM documents),
-          c AS (
-            SELECT doc_id,
-            $cells,
-            len(regexp_extract_all(seeded, '$b64'))::INTEGER
-              AS n_b64_candidates,
-            len(list_filter(regexp_extract_all(seeded, '$b64'),
-              x -> len(list_distinct(regexp_extract_all(x, '.'))) * 2
-                >= len(x)))::INTEGER AS n_b64_highentropy
-            FROM s)
-          SELECT c.*, ($total + n_b64_highentropy) > 0 AS has_secrets
-          FROM c"""
-      }),
+      Some(secretScanOracle)),
 
     // data-constrained mixture plan (Muennighoff 2023): per-domain
     // requested tokens under the weights, implied epochs over what the
@@ -8863,6 +8869,20 @@ object SqlSurfaceQueries {
       Some("""SELECT c_custkey,
           round(jaro_winkler_similarity(c_name, c_mktsegment), 6) AS jw
         FROM customer""")),
+
+    // the secret scanner reached through spark.sql — the TVF splices
+    // the exact Scala operator plan over the seeded temp view, so the
+    // SQL gateway form shares the Scala row's oracle verbatim
+    Q("sql_secret_scan",
+      (s, dir) => {
+        GraftExtensions.register(s)
+        CurationQueries.secretSeeded(
+            Sources.table(s, dir, "documents"))
+          .createOrReplaceTempView("secrets_sqltvf_v")
+        s.sql("""SELECT * FROM graft_secret_scan(
+          'secrets_sqltvf_v', 'doc_id', 'seeded')""")
+      },
+      Some(CurationQueries.secretScanOracle)),
 
     // COMPOSITION through the SQL surface: greedy-by-id near-dup
     // survivors in ONE spark.sql statement — the TVF's pair list anti-

@@ -175,6 +175,20 @@ object GraftExtensions {
           topV = litNum(es(4), "topV").toInt)
           .queryExecution.logical
       }),
+    ("graft_secret_scan",
+      info("graft_secret_scan",
+        "graft_secret_scan(table, idCol, textCol) - credential scan: " +
+          "per-document structured-rule counts (aws/github/hex40/pem), " +
+          "entropy-gated base64 blob counts, has_secrets verdict"),
+      (es: Seq[Expression]) => {
+        require(es.length == 3,
+          s"graft_secret_scan takes 3 arguments, got ${es.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.operators.Curation.secretScan(
+          spark.table(litStr(es(0), "table")),
+          litStr(es(1), "idCol"), litStr(es(2), "textCol"))
+          .queryExecution.logical
+      }),
     ("graft_quantiles",
       info("graft_quantiles",
         "graft_quantiles(table, keyCol, valCol, p, ...) - exact " +

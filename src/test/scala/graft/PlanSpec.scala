@@ -523,6 +523,10 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     val tvfMh = shape("sql_minhash_pairs").sorted
     val scalaMh = shape("dedup_minhash").sorted
     assert(tvfMh == scalaMh, s"tvf=$tvfMh vs scala=$scalaMh")
+    // and the secret scanner: identical single-projection shape
+    val tvfSec = shape("sql_secret_scan").sorted
+    val scalaSec = shape("privacy_secrets").sorted
+    assert(tvfSec == scalaSec, s"tvf=$tvfSec vs scala=$scalaSec")
   }
 
   test("chat_render / chat_turns: row-local transforms — zero Exchange " +
