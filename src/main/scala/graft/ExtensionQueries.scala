@@ -2658,6 +2658,28 @@ object SimilarityQueries {
 
 object TextQueries {
 
+  /** Seeded multilingual-LINE corpus for `text_lang_segments`: four
+    * lines per document built from [[TextAnalysis.langMarkers]] (the
+    * scorer's own constants — seeding and scoring cannot drift), lines
+    * cycling all four languages per doc, PURE single-language docs on
+    * id%5, an extra unidentifiable line on id%3, and a trailing empty
+    * line both engines drop. Spark and SQL forms are a maintained
+    * pair (the SQL twin is generated inside the Q entry from the same
+    * constants). */
+  private[graft] def multilineLangDocs(s: SparkSession, dir: String)
+      : DataFrame = {
+    val langs = Seq("en", "de", "fr", "es")
+    val lineArr = array(langs.map(l =>
+      lit(TextAnalysis.langMarkers(l).mkString(" "))): _*)
+    def lineAt(j: Int) = element_at(lineArr,
+      (when(pmod(col("doc_id"), lit(5)) === 0, pmod(col("doc_id"), lit(4)))
+        .otherwise(pmod(col("doc_id") + j, lit(4))) + 1).cast("int"))
+    Sources.table(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n", lineAt(0), lineAt(1), lineAt(2), lineAt(3),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("zzz qqq"))
+          .otherwise(lit(""))).as("txt"))
+  }
+
   /** Unrolled-GD CTE chain mirroring [[QualityModel.trainLogReg]] — the
     * logistic-regression twin of `kmeansAssignCtes`: each training round
     * becomes three CTEs (per-doc logit/residual, per-bucket gradient,
@@ -4199,6 +4221,83 @@ object TextQueries {
           FROM documents d LEFT JOIN dist ON d.doc_id = dist.doc_id"""
       }),
 
+    // per-LINE language segmentation (the CCNet per-paragraph pass):
+    // the corpus is seeded — identically in both engines, lines built
+    // from TextAnalysis.langMarkers so the seeding can't drift from the
+    // scorer — with 4 lines cycling all four languages (pure docs on
+    // id%5, an extra 'und' line on id%3). Dominant language, per-doc
+    // language counts, micro-unit dominant share, and the mixed verdict
+    // all hash-checked; the line verdict is the SAME langVerdict the
+    // document-level row uses
+    Q("text_lang_segments",
+      (s, dir) => TextAnalysis.langSegments(
+        multilineLangDocs(s, dir), "doc_id", "txt"),
+      Some {
+        val langs = Seq("en", "de", "fr", "es")
+        val lineSql = langs.map(l =>
+          s"'${TextAnalysis.langMarkers(l).mkString(" ")}'")
+        def pick(j: Int): String =
+          s"""CASE (CASE WHEN doc_id % 5 = 0 THEN doc_id % 4
+              ELSE (doc_id + $j) % 4 END)
+            WHEN 0 THEN ${lineSql(0)} WHEN 1 THEN ${lineSql(1)}
+            WHEN 2 THEN ${lineSql(2)} ELSE ${lineSql(3)} END"""
+        val scores = langs.map { l =>
+          val inList = TextAnalysis.langMarkers(l)
+            .map(w => s"'$w'").mkString(", ")
+          s"""CAST(len(list_filter(list_filter(
+              string_split(lower(line), ' '), x -> x <> ''),
+              w -> w IN ($inList))) AS INTEGER) AS s_$l"""
+        }.mkString(",\n            ")
+        s"""WITH L AS (
+            SELECT doc_id,
+              ${pick(0)} || chr(10) || ${pick(1)} || chr(10) ||
+              ${pick(2)} || chr(10) || ${pick(3)} || chr(10) ||
+              CASE WHEN doc_id % 3 = 0 THEN 'zzz qqq' ELSE '' END
+              AS txt
+            FROM documents),
+          raw AS (
+            SELECT doc_id, unnest(string_split(txt, chr(10))) AS line
+            FROM L),
+          ln AS (SELECT doc_id, line FROM raw WHERE trim(line) <> ''),
+          sc AS (SELECT doc_id, $scores FROM ln),
+          v AS (
+            SELECT doc_id,
+              CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es' END AS lang
+            FROM sc),
+          c AS (
+            SELECT doc_id, lang, count(*)::BIGINT AS c
+            FROM v GROUP BY 1, 2),
+          dom AS (
+            SELECT doc_id, lang AS dominant_lang, c AS dominant_lines
+            FROM (
+              SELECT doc_id, lang, c, row_number() OVER (
+                PARTITION BY doc_id ORDER BY (lang = 'und') ASC,
+                  c DESC,
+                  CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1
+                    WHEN 'fr' THEN 2 WHEN 'es' THEN 3 ELSE 4 END ASC)
+                AS rn
+              FROM c) t
+            WHERE rn = 1),
+          a AS (
+            SELECT doc_id, sum(c)::BIGINT AS n_lines,
+              coalesce(sum(CASE WHEN lang <> 'und' THEN c END), 0)
+                ::BIGINT AS n_scored_lines,
+              count(DISTINCT CASE WHEN lang <> 'und' THEN lang END)
+                ::BIGINT AS n_langs
+            FROM c GROUP BY 1)
+          SELECT a.doc_id, n_lines, n_scored_lines, n_langs,
+            dominant_lang, dominant_lines,
+            CASE WHEN dominant_lang = 'und' THEN 0
+              ELSE (dominant_lines * 1000000) // n_scored_lines END
+              AS dominant_frac_micro,
+            n_langs >= 2 AS mixed
+          FROM a JOIN dom USING (doc_id)"""
+      }),
+
     Q("text_quality",
       (s, dir) => TextAnalysis.quality(
         Sources.table(s, dir, "documents"), "doc_id", "text"),
@@ -5335,6 +5434,40 @@ object CurationQueries {
       "substr(md5(doc_id::VARCHAR || '_b2'), 1, 12) ELSE '' END || " +
       "' pad ABCDABCDABCDABCDABCDABCD end'"
 
+  /** Curriculum oracle CTE chain (word surprisal costs -> per-doc
+    * difficulty -> global rank -> percentile), ending in `p(doc_id,
+    * difficulty_micro, n_tokens, surprisal_micro, rank, pct_micro)` —
+    * shared by `curation_curriculum` and the `pipeline_assemble`
+    * composition so the two cannot drift. */
+  private[graft] val curriculumCtes: String = """tk AS (
+          SELECT doc_id,
+            unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS word
+          FROM documents),
+        fr AS (SELECT word, count(*)::BIGINT AS freq FROM tk GROUP BY 1),
+        tt AS (SELECT sum(freq)::BIGINT AS t FROM fr),
+        ct AS (
+          SELECT word,
+            (-floor(ln(freq::DOUBLE / t) * 1000000))::BIGINT AS cost
+          FROM fr CROSS JOIN tt),
+        sc0 AS (
+          SELECT doc_id, sum(cost)::BIGINT AS difficulty_micro,
+            count(*)::BIGINT AS n_tokens
+          FROM tk JOIN ct USING (word) GROUP BY 1),
+        s2 AS (
+          SELECT doc_id, difficulty_micro, n_tokens,
+            difficulty_micro // n_tokens AS surprisal_micro
+          FROM sc0),
+        nn AS (SELECT count(*)::BIGINT AS n FROM s2),
+        rk AS (
+          SELECT doc_id, difficulty_micro, n_tokens, surprisal_micro,
+            row_number() OVER (
+              ORDER BY surprisal_micro ASC, doc_id ASC)::BIGINT AS rank
+          FROM s2),
+        p AS (
+          SELECT rk.*, (rank * 1000000) // n AS pct_micro
+          FROM rk CROSS JOIN nn)"""
+
   /** The secret-scan oracle (cells generated from
     * [[Curation.secretPatterns]]) — shared by `privacy_secrets` and the
     * SQL-surface twin `sql_secret_scan`, whose TVF splices the exact
@@ -5687,6 +5820,40 @@ object CurationQueries {
         "doc_id", "seeded"),
       Some(secretScanOracle)),
 
+    // the scrub half of the secrets story (scan → scrub → attest):
+    // structured classes rewritten to <AWS_KEY>-style tags in declared
+    // order; the attestation residual counts run the SAME patterns over
+    // the scrubbed text IN-ROW and must read zero — hash-checked, not
+    // asserted. The entropy-gated base64 class is flagged (scan row)
+    // but never rewritten: a diversity heuristic has false positives,
+    // and a scrubber must not destroy data on a heuristic
+    Q("privacy_redact_secrets",
+      (s, dir) => {
+        val seeded = secretSeeded(Sources.table(s, dir, "documents"))
+        val clean = seeded.select(col("doc_id"),
+          Curation.scrubSecrets(col("seeded")).as("clean"))
+        val residuals = Curation.secretPatterns.map { case (n, re) =>
+          regexp_count(col("clean"), lit(re)).as("n_resid_" + n)
+        }
+        clean.select(col("doc_id") +: col("clean") +: residuals: _*)
+      },
+      Some {
+        val scrubbed = Curation.secretPatterns
+          .foldLeft("seeded") { case (acc, (name, re)) =>
+            s"regexp_replace($acc, '$re', '<${name.toUpperCase}>', 'g')"
+          }
+        val cells = Curation.secretPatterns.map { case (name, re) =>
+          s"len(regexp_extract_all(clean, '$re'))::INTEGER " +
+            s"AS n_resid_$name"
+        }.mkString(",\n            ")
+        s"""WITH s AS (
+            SELECT doc_id, $secretSeededSql AS seeded FROM documents),
+          c AS (SELECT doc_id, $scrubbed AS clean FROM s)
+          SELECT doc_id, clean,
+            $cells
+          FROM c"""
+      }),
+
     // data-constrained mixture plan (Muennighoff 2023): per-domain
     // requested tokens under the weights, implied epochs over what the
     // domain HAS, the 4-epoch cap's effective delivery, and the
@@ -5737,37 +5904,52 @@ object CurationQueries {
       (s, dir) => Curation.curriculumSchedule(
         Sources.table(s, dir, "documents"), "doc_id", "text",
         steps = 1000L),
-      Some("""WITH tk AS (
-          SELECT doc_id,
-            unnest(list_filter(string_split(text, ' '), x -> x <> ''))
-              AS word
-          FROM documents),
-        fr AS (SELECT word, count(*)::BIGINT AS freq FROM tk GROUP BY 1),
-        tt AS (SELECT sum(freq)::BIGINT AS t FROM fr),
-        ct AS (
-          SELECT word,
-            (-floor(ln(freq::DOUBLE / t) * 1000000))::BIGINT AS cost
-          FROM fr CROSS JOIN tt),
-        sc AS (
-          SELECT doc_id, sum(cost)::BIGINT AS difficulty_micro,
-            count(*)::BIGINT AS n_tokens
-          FROM tk JOIN ct USING (word) GROUP BY 1),
-        s2 AS (
-          SELECT doc_id, difficulty_micro, n_tokens,
-            difficulty_micro // n_tokens AS surprisal_micro
-          FROM sc),
-        nn AS (SELECT count(*)::BIGINT AS n FROM s2),
-        rk AS (
-          SELECT doc_id, difficulty_micro, n_tokens, surprisal_micro,
-            row_number() OVER (
-              ORDER BY surprisal_micro ASC, doc_id ASC)::BIGINT AS rank
-          FROM s2),
-        p AS (
-          SELECT rk.*, (rank * 1000000) // n AS pct_micro
-          FROM rk CROSS JOIN nn)
+      Some(s"""WITH $curriculumCtes
         SELECT doc_id, difficulty_micro, n_tokens, surprisal_micro,
           rank, pct_micro, (pct_micro * 1000) // 1000000 AS unlock_step
         FROM p""")),
+
+    // the ASSEMBLY pipeline end-to-end: curriculum-gated admission
+    // (easiest 60% by surprisal percentile) feeding the weighted-fair
+    // stride interleave — "order your training stream" as ONE row. One
+    // drifted stage — a word cost, a rank, an admission cut, a virtual
+    // time, a position — breaks the hash; the oracle splices the
+    // shared curriculum CTEs and restates the interleave as the global
+    // window it equals
+    Q("pipeline_assemble",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        val admitted = docs.join(
+          Curation.curriculumSchedule(docs, "doc_id", "text",
+              steps = 1000L)
+            .filter(col("pct_micro") <= 600000L)
+            .select(col("doc_id")),
+          Seq("doc_id"))
+        Curation.mixInterleave(admitted, "doc_id", "source",
+          weight = regexp_extract(col("source"), "([0-9]+)$", 1)
+            .cast("int") % 3 + 1,
+          salt = "pa")
+      },
+      Some(s"""WITH $curriculumCtes,
+        adm AS (SELECT doc_id FROM p WHERE pct_micro <= 600000),
+        base AS (
+          SELECT d.doc_id, d.source,
+            CAST(CAST(regexp_extract(d.source, '([0-9]+)$$', 1) AS INT)
+              % 3 + 1 AS BIGINT) AS w,
+            md5('pa' || d.doc_id::VARCHAR) AS key
+          FROM documents d JOIN adm USING (doc_id)),
+        kk AS (
+          SELECT doc_id, source, w,
+            row_number() OVER (PARTITION BY source ORDER BY key, doc_id)
+              - 1 AS k
+          FROM base),
+        v AS (
+          SELECT doc_id, source, w, k,
+            ((k + 1) * 1000000000) // w AS v_nano
+          FROM kk)
+        SELECT doc_id, source AS domain, w AS weight, k, v_nano,
+          row_number() OVER (ORDER BY v_nano, source, k) AS pos
+        FROM v""")),
 
     // T5 span-corruption accounting under the deterministic md5-PRNG
     // mask (15% noise rate, iid-then-merge spans): token/noise/span
@@ -7380,6 +7562,54 @@ object MultimodalQueries {
           sum(vb)::BIGINT AS sum_b, sum(vg)::BIGINT AS sum_g,
           sum(vr)::BIGINT AS sum_r
         FROM ch GROUP BY 1, 2, 3""")),
+
+    // vision-data quality gate over the real decode: per-pixel luma
+    // range flags the solid-color junk (planted on id%9 via the
+    // generator's flatEvery branch — every pixel byte = the id's first
+    // md5 pair); textured images clear the quarter-unit threshold by
+    // construction. The oracle replays luma per pixel from the model
+    // with the same flat branch
+    Q("multimodal_flat_filter",
+      (s, dir) => Multimodal.flatImageGate(
+        Multimodal.bmpPayload(
+          Sources.table(s, dir, "documents"), "doc_id", flatEvery = 9),
+        "doc_id", "payload", patch = 1, minRangeMicro = 250000L),
+      Some("""WITH gp AS (
+          SELECT doc_id, (2 + doc_id % 6)::INTEGER AS w,
+            (1 + doc_id % 4)::INTEGER AS h,
+            md5(doc_id::VARCHAR) AS m
+          FROM documents),
+        px AS (
+          SELECT doc_id, w, h, m, unnest(range(0, w*h)) AS q FROM gp),
+        co AS (
+          SELECT doc_id, w, h, m,
+            (q // w)::INTEGER AS r, (q % w)::INTEGER AS c
+          FROM px),
+        ch AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 9 = 0 THEN ('0x' || substr(m, 1, 2))::BIGINT
+              ELSE ('0x' || substr(m,
+                CAST((((h-1-r)*3*w + 3*c + 0) % 16)*2 + 1 AS INTEGER), 2))
+                ::BIGINT END AS vb,
+            CASE WHEN doc_id % 9 = 0 THEN ('0x' || substr(m, 1, 2))::BIGINT
+              ELSE ('0x' || substr(m,
+                CAST((((h-1-r)*3*w + 3*c + 1) % 16)*2 + 1 AS INTEGER), 2))
+                ::BIGINT END AS vg,
+            CASE WHEN doc_id % 9 = 0 THEN ('0x' || substr(m, 1, 2))::BIGINT
+              ELSE ('0x' || substr(m,
+                CAST((((h-1-r)*3*w + 3*c + 2) % 16)*2 + 1 AS INTEGER), 2))
+                ::BIGINT END AS vr
+          FROM co),
+        lm AS (
+          SELECT doc_id,
+            ((vr + 2*vg + vb) * 1000000) // 4 AS luma_micro
+          FROM ch)
+        SELECT doc_id, count(*)::BIGINT AS n_patches,
+          min(luma_micro) AS min_luma_micro,
+          max(luma_micro) AS max_luma_micro,
+          max(luma_micro) - min(luma_micro) AS range_micro,
+          (max(luma_micro) - min(luma_micro)) < 250000 AS flat
+        FROM lm GROUP BY 1""")),
 
     // the E1 absorption twin: a deterministic slice of payloads is
     // truncated mid-header — the decoder must yield null fields for

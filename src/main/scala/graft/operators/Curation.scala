@@ -1391,6 +1391,20 @@ object Curation {
           col("n_b64_highentropy")) > 0)
   }
 
+  /** Redact the STRUCTURED secret classes in place (one regexp_replace
+    * per [[secretPatterns]] rule, fused by codegen — the [[scrubPii]]
+    * discipline): each match becomes `<AWS_KEY>`-style tags. The
+    * entropy-gated base64 class is deliberately NOT rewritten — a
+    * diversity heuristic has false positives, and detect-secrets-class
+    * tools flag those for review rather than destroy them; the scan
+    * row ([[secretScan]]) is the flagging surface. Replacement order
+    * is the declared pattern order in both engines; no tag can
+    * re-trigger a later rule (tags carry no prefix/hex/PEM shape). */
+  def scrubSecrets(c: Column): Column =
+    secretPatterns.foldLeft(c) { case (acc, (name, re)) =>
+      regexp_replace(acc, re, "<" + name.toUpperCase + ">")
+    }
+
   /** Data-constrained mixture plan (Muennighoff et al. 2023,
     * arXiv:2305.16264: repeating data beyond ~4 epochs returns almost
     * nothing): given per-domain mixture weights (integer `parts`) and a

@@ -71,7 +71,7 @@ object Multimodal {
     * a decoder that mis-reads any offset fails the hash). Output:
     * `(idCol, payload binary)`. */
   def bmpPayload(df: DataFrame, idCol: String,
-      out: String = "payload"): DataFrame = {
+      out: String = "payload", flatEvery: Int = 0): DataFrame = {
     val id = col(idCol).cast("long")
     val w = (id % 6 + 2).cast("int")
     val h = (id % 4 + 1).cast("int")
@@ -79,10 +79,18 @@ object Multimodal {
     val stride = rowBytes + pmod(lit(4) - pmod(rowBytes, lit(4)), lit(4))
     val imgSize = (stride * h).cast("long")
     val m = md5(id.cast("string"))
+    // flatEvery > 0 plants SOLID-COLOR images (every pixel byte = the
+    // id's first md5 pair) on id % flatEvery == 0 — the near-constant
+    // junk a vision-quality gate must flag; 0 = the original corpus
+    val bytePair = (i: Column) =>
+      if (flatEvery <= 0) m.substr((pmod(i, lit(16)) * 2 + 1).cast("int"),
+        lit(2))
+      else when(pmod(id, lit(flatEvery)) === 0, m.substr(1, 2))
+        .otherwise(m.substr((pmod(i, lit(16)) * 2 + 1).cast("int"),
+          lit(2)))
     val rowHex = (r: Column) => concat(
       concat_ws("", transform(sequence(lit(0), rowBytes - 1), b =>
-        m.substr((pmod(r * rowBytes + b, lit(16)) * 2 + 1).cast("int"),
-          lit(2)))),
+        bytePair(r * rowBytes + b))),
       lit("000000").substr(lit(1), ((stride - rowBytes) * 2).cast("int")))
     val pixHex = concat_ws("",
       transform(sequence(lit(0), h - 1), rowHex))
@@ -182,6 +190,32 @@ object Multimodal {
       .select(col(idCol), col("p.pr").as("pr"), col("p.pc").as("pc"),
         col("p.n_px").as("n_px"), col("p.sum_b").as("sum_b"),
         col("p.sum_g").as("sum_g"), col("p.sum_r").as("sum_r"))
+
+  /** Vision-data QUALITY GATE over real decoded pixels: per-image
+    * range of per-cell mean luma (`(r + 2g + b)/4` in exact integer
+    * micro-units — the [[graft.expressions.BmpAHashExpr]] luma), cells
+    * from the same [[patchStats]] grid. Near-constant images — the
+    * solid-color placeholders, tracking pixels, and dead thumbnails a
+    * crawl drags in — carry ~zero luma range and are exactly the rows
+    * a vision-training corpus drops first (LAION-style flat filtering).
+    * `flat = range_micro < minRangeMicro`; with `patch = 1` the range
+    * is per-pixel, so any image whose pixels differ in luma at all
+    * clears 250 000 micro (one quarter-unit) by construction. Decode +
+    * luma are row-local; one map-side-combined aggregate on the id. */
+  def flatImageGate(df: DataFrame, idCol: String, binCol: String,
+      patch: Int, minRangeMicro: Long): DataFrame = {
+    require(minRangeMicro >= 1, s"minRangeMicro >= 1, got $minRangeMicro")
+    patchStats(df, idCol, binCol, patch)
+      .withColumn("luma_micro",
+        expr("((sum_r + 2L * sum_g + sum_b) * 1000000L) DIV (4L * n_px)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_patches"),
+        min(col("luma_micro")).as("min_luma_micro"),
+        max(col("luma_micro")).as("max_luma_micro"))
+      .withColumn("range_micro",
+        col("max_luma_micro") - col("min_luma_micro"))
+      .withColumn("flat", col("range_micro") < minRangeMicro)
+  }
 
   /** Per-channel mean features from the real decode, in exact integer
     * micro-units (`sum·10⁶ DIV n_pixels` — the hash-portable ratio

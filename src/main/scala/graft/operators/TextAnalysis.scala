@@ -22,22 +22,80 @@ object TextAnalysis {
   private def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
+  /** The marker-heuristic verdict for ONE text expression — the single
+    * source of the score/argmax/tie rules, shared by the per-document
+    * [[langId]] row and the per-line [[langSegments]] walk so the two
+    * can never drift. Fixed priority order en > de > fr > es on ties;
+    * 'und' when no marker hits. */
+  def langVerdict(text: Column): Column = {
+    val toks = Cleaning.tokens(lower(text))
+    def hc(l: String) = hitCount(toks, langMarkers(l))
+    val (sEn, sDe, sFr, sEs) = (hc("en"), hc("de"), hc("fr"), hc("es"))
+    val best = greatest(sEn, sDe, sFr, sEs)
+    when(best === 0, lit("und"))
+      .when(sEn === best, "en")
+      .when(sDe === best, "de")
+      .when(sFr === best, "fr")
+      .otherwise("es")
+  }
+
   /** Language ID: stopword-marker hit counts per language; prediction is
     * the max score with a fixed priority order on ties (deterministic). */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = Cleaning.tokens(lower(col(textCol)))
-    val scored = df.select(col(idCol),
+    df.select(col(idCol),
       hitCount(toks, langMarkers("en")).as("s_en"),
       hitCount(toks, langMarkers("de")).as("s_de"),
       hitCount(toks, langMarkers("fr")).as("s_fr"),
-      hitCount(toks, langMarkers("es")).as("s_es"))
-    val best = greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es"))
-    scored.withColumn("predicted",
-      when(best === 0, lit("und"))
-        .when(col("s_en") === best, "en")
-        .when(col("s_de") === best, "de")
-        .when(col("s_fr") === best, "fr")
-        .otherwise("es"))
+      hitCount(toks, langMarkers("es")).as("s_es"),
+      langVerdict(col(textCol)).as("predicted"))
+  }
+
+  /** Per-line language segmentation (the CCNet/fastText per-paragraph
+    * pass a multilingual crawl needs BEFORE document-level language
+    * filtering — a page that is 70% English with embedded French quotes
+    * is neither purely 'en' nor droppable): explode lines, give each
+    * line the shared [[langVerdict]], and report per document the line
+    * count, how many distinct languages scored, the DOMINANT language
+    * (most lines; ties break by the fixed en>de>fr>es priority;
+    * documents whose every line is 'und' report 'und'), its line count
+    * and share in exact integer micro-units over the lines that scored,
+    * and the `mixed` verdict (≥2 scoring languages). Scale shape: one
+    * explode + per-(doc,lang) map-side-combined count, then two
+    * doc-keyed stages (the rank-1 window and the final aggregate) that
+    * share one hash partitioning on the COUNT table (≤ 5 rows per doc),
+    * never the corpus. */
+  def langSegments(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .filter(length(trim(col("line"))) > 0)
+    val counts = lines
+      .select(col("doc_id"), langVerdict(col("line")).as("lang"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val prio = when(col("lang") === "en", 0).when(col("lang") === "de", 1)
+      .when(col("lang") === "fr", 2).when(col("lang") === "es", 3)
+      .otherwise(4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy((col("lang") === "und").asc, col("c").desc, prio.asc)
+    val dominant = counts
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("lang").as("dominant_lang"),
+        col("c").as("dominant_lines"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_lines"),
+        sum(when(col("lang") =!= "und", col("c")).otherwise(0L))
+          .as("n_scored_lines"),
+        countDistinct(when(col("lang") =!= "und", col("lang")))
+          .as("n_langs"))
+      .join(dominant, Seq("doc_id"))
+      .withColumn("dominant_frac_micro",
+        when(col("dominant_lang") === "und", lit(0L)).otherwise(
+          expr("(dominant_lines * 1000000L) DIV n_scored_lines")))
+      .withColumn("mixed", col("n_langs") >= 2)
   }
 
   /** Characteristic character trigrams per language (tiny literal

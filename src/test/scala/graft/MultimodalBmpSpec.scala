@@ -233,4 +233,31 @@ class MultimodalBmpSpec extends AnyFunSuite with SparkTester {
     assert(right.getAs[Long]("sum_g") == 64L)
     assert(right.getAs[Long]("sum_r") == 128L)
   }
+
+  test("flatImageGate: planted solid-color images flag flat with zero " +
+      "range; textured images clear the quarter-unit threshold; " +
+      "generator still emits valid BMPs in flat mode") {
+    val docs = spark.range(0, 45).toDF("doc_id")
+    val pay = Multimodal.bmpPayload(docs, "doc_id", flatEvery = 9)
+    val out = Multimodal.flatImageGate(pay, "doc_id", "payload",
+      patch = 1, minRangeMicro = 250000L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 45)
+    for ((id, r) <- out) {
+      if (id % 9 == 0) {
+        assert(r.getAs[Long]("range_micro") == 0L, s"doc $id")
+        assert(r.getAs[Boolean]("flat"), s"doc $id")
+      } else {
+        assert(r.getAs[Long]("range_micro") >= 250000L, s"doc $id")
+        assert(!r.getAs[Boolean]("flat"), s"doc $id")
+      }
+      // n_patches == pixel count of the (w, h) residue model
+      val w = (id % 6 + 2); val h = (id % 4 + 1)
+      assert(r.getAs[Long]("n_patches") == w * h, s"doc $id")
+    }
+    // flat payloads still decode as valid BMPs (headers untouched)
+    val dec = Multimodal.decodeBmp(pay, "doc_id", "payload")
+      .filter(col("doc_id") % 9 === 0).collect()
+    assert(dec.nonEmpty && dec.forall(!_.isNullAt(1)))
+  }
 }

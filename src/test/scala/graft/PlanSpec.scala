@@ -589,6 +589,20 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     assert(pl.contains("partial_sum"), pl)
   }
 
+  test("privacy_redact_secrets: scrub + in-row attestation is one " +
+      "fused projection — zero Exchange") {
+    val pl = plan("privacy_redact_secrets")
+    assert(!pl.contains("Exchange"), pl)
+  }
+
+  test("text_lang_segments: the dominant pick is map-side rank-limited " +
+      "(WindowGroupLimit) over the per-(doc,lang) COUNT table, and the " +
+      "line verdicts are map-side combined before any shuffle") {
+    val pl = plan("text_lang_segments")
+    assert(pl.contains("WindowGroupLimit"), pl)
+    assert(pl.contains("partial_count"), pl)
+  }
+
   test("curation_curriculum: the global difficulty rank is " +
       "range-partitioned (the distributed Ranks rewrite), never a " +
       "single-partition data-sized window") {
