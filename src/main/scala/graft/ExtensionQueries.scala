@@ -5434,6 +5434,29 @@ object CurationQueries {
       "substr(md5(doc_id::VARCHAR || '_b2'), 1, 12) ELSE '' END || " +
       "' pad ABCDABCDABCDABCDABCDABCD end'"
 
+  /** Epoch-plan oracle CTE chain (per-domain available tokens ->
+    * weights -> requested -> implied epochs), ending in `e(domain,
+    * available, part, requested, epochs_micro)` — shared by
+    * `curation_epochs` and the materializing `curation_upsample`. */
+  private[graft] val epochPlanCtes: String = """avail AS (
+          SELECT source AS domain,
+            sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              ::BIGINT AS available
+          FROM documents GROUP BY 1),
+        wts(domain, part) AS (
+          VALUES ('src0', 6), ('src1', 3), ('src2', 1)),
+        j AS (
+          SELECT a.domain, a.available,
+            coalesce(w.part, 0)::BIGINT AS part
+          FROM avail a LEFT JOIN wts w USING (domain)),
+        pq AS (
+          SELECT domain, available, part,
+            (part * 20000) // 10 AS requested
+          FROM j),
+        e AS (
+          SELECT *, (requested * 1000000) // available AS epochs_micro
+          FROM pq)"""
+
   /** Curriculum oracle CTE chain (word surprisal costs -> per-doc
     * difficulty -> global rank -> percentile), ending in `p(doc_id,
     * difficulty_micro, n_tokens, surprisal_micro, rank, pct_micro)` —
@@ -5866,24 +5889,7 @@ object CurationQueries {
         Sources.table(s, dir, "documents"), "doc_id", "text", "source",
         parts = Seq("src0" -> 6L, "src1" -> 3L, "src2" -> 1L),
         budget = 20000L, maxEpochsMicro = 4000000L),
-      Some("""WITH avail AS (
-          SELECT source AS domain,
-            sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
-              ::BIGINT AS available
-          FROM documents GROUP BY 1),
-        wts(domain, part) AS (
-          VALUES ('src0', 6), ('src1', 3), ('src2', 1)),
-        j AS (
-          SELECT a.domain, a.available,
-            coalesce(w.part, 0)::BIGINT AS part
-          FROM avail a LEFT JOIN wts w USING (domain)),
-        p AS (
-          SELECT domain, available, part,
-            (part * 20000) // 10 AS requested
-          FROM j),
-        e AS (
-          SELECT *, (requested * 1000000) // available AS epochs_micro
-          FROM p)
+      Some(s"""WITH $epochPlanCtes
         SELECT domain, available, part, requested, epochs_micro,
           least(epochs_micro, 4000000) AS epochs_capped_micro,
           least(requested, (available * 4000000) // 1000000)
@@ -5892,6 +5898,50 @@ object CurationQueries {
             - least(requested, (available * 4000000) // 1000000)
             AS shortfall
         FROM e""")),
+
+    // MATERIALIZE the epoch plan: one row per (doc, epoch) copy —
+    // whole-epoch repeats from the capped plan plus a deterministic
+    // hash-priority partial epoch that spends the leftover effective
+    // tokens (the tokenBudget admission rule). The oracle splices the
+    // shared plan CTEs and replays every repeat count and epoch index
+    Q("curation_upsample",
+      (s, dir) => Curation.upsampleEpochs(
+        Sources.table(s, dir, "documents"), "doc_id", "text", "source",
+        parts = Seq("src0" -> 6L, "src1" -> 3L, "src2" -> 1L),
+        budget = 20000L, maxEpochsMicro = 4000000L),
+      Some(s"""WITH $epochPlanCtes,
+        plan AS (
+          SELECT domain, available,
+            least(requested, (available * 4000000) // 1000000)
+              AS effective_tokens,
+            least(epochs_micro, 4000000) // 1000000 AS full_epochs
+          FROM e),
+        pl2 AS (
+          SELECT domain, available, effective_tokens, full_epochs,
+            effective_tokens - full_epochs * available AS partial_budget
+          FROM plan),
+        tok AS (
+          SELECT doc_id, source AS domain,
+            len(list_filter(string_split(text, ' '), x -> x <> ''))
+              ::BIGINT AS n_tokens,
+            ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+              % 1073741824 AS pri
+          FROM documents),
+        cu AS (
+          SELECT doc_id, domain, n_tokens,
+            coalesce(sum(n_tokens) OVER (
+              PARTITION BY domain ORDER BY pri, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              ::BIGINT AS cum_before
+          FROM tok),
+        r AS (
+          SELECT cu.doc_id, cu.domain, cu.n_tokens,
+            pl2.full_epochs + CASE WHEN cu.cum_before <
+              pl2.partial_budget THEN 1 ELSE 0 END AS n_rep
+          FROM cu JOIN pl2 USING (domain))
+        SELECT doc_id, domain, n_tokens,
+          unnest(range(0, n_rep)) AS epoch
+        FROM r WHERE n_rep > 0""")),
 
     // competence-based curriculum (Platanios 2019): difficulty =
     // per-token surprisal under the corpus's own unigram LM (the

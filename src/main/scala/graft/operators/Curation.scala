@@ -1434,6 +1434,10 @@ object Curation {
       .groupBy(col(domainCol).as("domain"))
       .agg(sum(size(graft.functions.Cleaning.tokens(col(textCol)))
         .cast("long")).as("available"))
+      // a domain whose documents are ALL empty-text has no tokens to
+      // price (and would divide by zero under ANSI): excluded, like a
+      // domain with no rows — the caller sees it in neither case
+      .filter(col("available") >= 1L)
     val spark = df.sparkSession
     import spark.implicits._
     val w = broadcast(parts.toDF("domain", "part"))
@@ -1450,6 +1454,46 @@ object Curation {
         least(col("requested"),
           expr(s"(available * ${maxEpochsMicro}L) DIV 1000000L")))
       .withColumn("shortfall", col("requested") - col("effective_tokens"))
+  }
+
+  /** MATERIALIZE the data-constrained plan [[epochPlan]] prices: one
+    * output row per (document, epoch) copy. Every domain document gets
+    * `full_epochs = epochs_capped DIV 1` whole-epoch copies; the
+    * leftover effective-token mass (`effective − full·available`)
+    * admits one FINAL partial-epoch copy per document in the
+    * deterministic hash-priority order until it is spent — the exact
+    * [[tokenBudgetPerDomain]] admission rule (`cum_before < budget`,
+    * one straddling doc allowed), so the partial epoch is a
+    * reproducible prefix, not a random sample. Zero-weight domains
+    * materialize nothing. One token-count shuffle + one per-domain
+    * window on the doc table; the plan itself is a ≤|domains|-row
+    * broadcast. The explode multiplies rows at most `maxEpochs`-fold —
+    * bounded by the cap, never by data. */
+  def upsampleEpochs(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, parts: Seq[(String, Long)], budget: Long,
+      maxEpochsMicro: Long): DataFrame = {
+    val plan = epochPlan(df, idCol, textCol, domainCol, parts, budget,
+        maxEpochsMicro)
+      .select(col("domain"), col("available"), col("effective_tokens"),
+        expr("epochs_capped_micro DIV 1000000L").as("full_epochs"))
+      .withColumn("partial_budget",
+        col("effective_tokens") - col("full_epochs") * col("available"))
+    val toks = df.select(col(idCol).as("doc_id"),
+      col(domainCol).as("domain"),
+      size(graft.functions.Cleaning.tokens(col(textCol))).cast("long")
+        .as("n_tokens"))
+    val withCum = toks.withColumn("cum_before",
+      coalesce(sum(col("n_tokens")).over(
+        Window.partitionBy(col("domain"))
+          .orderBy(hashBucket(col("doc_id"), 1 << 30), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    withCum.join(broadcast(plan), Seq("domain"))
+      .withColumn("n_rep", col("full_epochs") +
+        when(col("cum_before") < col("partial_budget"), 1L)
+          .otherwise(0L))
+      .filter(col("n_rep") > 0)
+      .select(col("doc_id"), col("domain"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_rep") - 1)).as("epoch"))
   }
 
   /** Competence-based curriculum schedule (Platanios et al. 2019,

@@ -1219,4 +1219,54 @@ class CurationSpec extends AnyFunSuite with SparkTester {
       d4.getAs[Long]("n_scored_lines") == 3 &&
       d4.getAs[Long]("dominant_frac_micro") == 666666L)
   }
+
+  test("upsampleEpochs: whole-epoch copies match the capped plan, the " +
+      "partial epoch is a one-doc hash-priority prefix, zero-weight " +
+      "domains materialize nothing") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "A"),  // 10 tokens
+      (2L, "a b c d e", "B"),            // 5 tokens
+      (3L, "x y z", "C")
+    ).toDF("doc_id", "text", "source")
+    // A: requested 30, cap 2 epochs -> exactly 2 copies, no partial
+    // B: requested 10 = 2.0 epochs -> exactly 2 copies
+    // C: weight 0 -> absent
+    val out = Curation.upsampleEpochs(docs, "doc_id", "text", "source",
+      parts = Seq("A" -> 3L, "B" -> 1L), budget = 40L,
+      maxEpochsMicro = 2000000L).collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == Set(1L, 2L))
+    assert(byDoc(1L).map(_.getAs[Long]("epoch")).sorted.toSeq ==
+      Seq(0L, 1L))
+    assert(byDoc(2L).map(_.getAs[Long]("epoch")).sorted.toSeq ==
+      Seq(0L, 1L))
+
+    // partial-epoch prefix: one domain, two docs (4 + 8 tokens),
+    // budget 15 -> full 1 epoch + 3 leftover tokens -> exactly ONE doc
+    // (the hash-priority first, whose cum_before = 0 < 3) gets the
+    // extra copy; the second (cum_before >= 4) does not
+    val d2 = Seq(
+      (10L, "a b c d", "A"),
+      (11L, "a b c d e f g h", "A")
+    ).toDF("doc_id", "text", "source")
+    val o2 = Curation.upsampleEpochs(d2, "doc_id", "text", "source",
+      parts = Seq("A" -> 1L), budget = 15L,
+      maxEpochsMicro = 2000000L).collect()
+    val extras = o2.filter(_.getAs[Long]("epoch") == 1L)
+    assert(o2.count(_.getAs[Long]("epoch") == 0L) == 2)
+    assert(extras.length == 1)
+  }
+
+  test("epochPlan: a domain whose documents are all empty-text is " +
+      "excluded rather than dividing by zero under ANSI") {
+    val docs = Seq(
+      (1L, "a b c", "A"),
+      (2L, "", "Z"),
+      (3L, "   ", "Z")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.epochPlan(docs, "doc_id", "text", "source",
+      parts = Seq("A" -> 1L, "Z" -> 1L), budget = 10L,
+      maxEpochsMicro = 4000000L).collect()
+    assert(out.map(_.getAs[String]("domain")).toSet == Set("A"))
+  }
 }
