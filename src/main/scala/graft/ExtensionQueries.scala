@@ -5434,6 +5434,14 @@ object CurationQueries {
       "substr(md5(doc_id::VARCHAR || '_b2'), 1, 12) ELSE '' END || " +
       "' pad ABCDABCDABCDABCDABCDABCD end'"
 
+  /** Robots rule list shared by the `crawl_robots_filter` Spark call
+    * and its generated oracle VALUES (literal prefixes, RFC 9309
+    * longest-match semantics). */
+  private[graft] val robotsRules: Seq[(String, Boolean)] = Seq(
+    "/articles/1" -> false,
+    "/articles/10" -> true,
+    "/private/" -> false)
+
   /** Epoch-plan oracle CTE chain (per-domain available tokens ->
     * weights -> requested -> implied epochs), ending in `e(domain,
     * available, part, requested, epochs_micro)` — shared by
@@ -5898,6 +5906,54 @@ object CurationQueries {
             - least(requested, (available * 4000000) // 1000000)
             AS shortfall
         FROM e""")),
+
+    // robots-exclusion gate (RFC 9309 longest-match): /private/ and
+    // /articles/1 disallowed, /articles/10 re-allowed by the longer
+    // rule, unmatched paths default-allowed — every verdict, matched
+    // rule, and tie hash-checked; the rule VALUES are generated from
+    // the same literal list the Spark call uses
+    Q("crawl_robots_filter",
+      (s, dir) => {
+        val url = concat(lit("https://site.example.com"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit("/private/p"), col("doc_id")))
+            .otherwise(concat(lit("/articles/"),
+              pmod(col("doc_id"), lit(100)))),
+          when(col("doc_id") % 2 === 0, lit("?q=1")).otherwise(lit("")))
+        Curation.robotsFilter(
+          Sources.table(s, dir, "documents")
+            .select(col("doc_id"), url.as("url")),
+          "doc_id", "url", rules = robotsRules)
+      },
+      Some {
+        val vals = robotsRules.map { case (p, allow) =>
+          s"('$p', ${p.length}, $allow)"
+        }.mkString(", ")
+        s"""WITH raw AS (
+            SELECT doc_id, 'https://site.example.com' ||
+              CASE WHEN doc_id % 7 = 0 THEN '/private/p' || doc_id
+                   ELSE '/articles/' || (doc_id % 100) END ||
+              CASE WHEN doc_id % 2 = 0 THEN '?q=1' ELSE '' END AS url
+            FROM documents),
+          u AS (
+            SELECT doc_id, regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS path
+            FROM raw),
+          rules(p, plen, allow) AS (VALUES $vals),
+          m AS (
+            SELECT doc_id, p, plen, allow
+            FROM u JOIN rules ON starts_with(path, p)),
+          pick AS (
+            SELECT doc_id, p, allow, row_number() OVER (
+              PARTITION BY doc_id
+              ORDER BY plen DESC, allow DESC, p DESC) AS rn
+            FROM m)
+          SELECT u.doc_id, u.path, k.p AS matched_rule,
+            coalesce(k.allow, true) AS allowed
+          FROM u LEFT JOIN (
+            SELECT doc_id, p, allow FROM pick WHERE rn = 1) k
+            USING (doc_id)"""
+      }),
 
     // MATERIALIZE the epoch plan: one row per (doc, epoch) copy —
     // whole-epoch repeats from the capped plan plus a deterministic

@@ -1456,6 +1456,42 @@ object Curation {
       .withColumn("shortfall", col("requested") - col("effective_tokens"))
   }
 
+  /** Robots-exclusion filtering (RFC 9309 / Google REP longest-match
+    * rule) — the crawl-politeness gate a web-scale ingest runs before
+    * fetching or keeping a URL: among the agent group's Allow/Disallow
+    * rules whose path is a PREFIX of the URL path, the longest matched
+    * rule wins; an exact length tie goes to Allow; no match ⇒ allowed.
+    * Honest scope: literal-prefix rules only (no `*`/`$` wildcards —
+    * documented, and the dominant rule form in real robots files).
+    * The rule list is a LITERAL (robots files are tiny): evaluation is
+    * a row-local `array_max` over per-rule (len, allow, rule) structs —
+    * zero shuffle, scan-speed at any corpus size. Output: `(doc_id,
+    * path, matched_rule, allowed)`; `matched_rule` is null for
+    * unmatched (default-allowed) URLs. */
+  def robotsFilter(df: DataFrame, idCol: String, urlCol: String,
+      rules: Seq[(String, Boolean)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    require(rules.forall(!_._1.contains("*")) &&
+      rules.forall(!_._1.contains("$")),
+      "wildcard rules are out of scope (literal prefixes only)")
+    val withPath = df.select(col(idCol).as("doc_id"),
+      regexp_extract(col(urlCol),
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)", 1).as("path"))
+    val cand = array(rules.map { case (p, allow) =>
+      struct(
+        when(startswith(col("path"), lit(p)), lit(p.length))
+          .otherwise(lit(-1)).as("plen"),
+        lit(if (allow) 1 else 0).as("allow"),
+        lit(p).as("rule"))
+    }: _*)
+    withPath
+      .withColumn("__w",
+        array_max(filter(cand, s => s.getField("plen") >= 0)))
+      .select(col("doc_id"), col("path"),
+        col("__w.rule").as("matched_rule"),
+        coalesce(col("__w.allow") === 1, lit(true)).as("allowed"))
+  }
+
   /** MATERIALIZE the data-constrained plan [[epochPlan]] prices: one
     * output row per (document, epoch) copy. Every domain document gets
     * `full_epochs = epochs_capped DIV 1` whole-epoch copies; the

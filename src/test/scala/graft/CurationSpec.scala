@@ -1269,4 +1269,37 @@ class CurationSpec extends AnyFunSuite with SparkTester {
       maxEpochsMicro = 4000000L).collect()
     assert(out.map(_.getAs[String]("domain")).toSet == Set("A"))
   }
+
+  test("robotsFilter: longest-match wins, exact-length tie goes to " +
+      "Allow, no match defaults to allowed, wildcards rejected") {
+    val urls = Seq(
+      (1L, "https://x.example.com/private/a"),
+      (2L, "https://x.example.com/articles/1"),
+      (3L, "https://x.example.com/articles/15"),
+      (4L, "https://x.example.com/elsewhere"),
+      (5L, "https://x.example.com/tie?q=1")
+    ).toDF("doc_id", "url")
+    val out = Curation.robotsFilter(urls, "doc_id", "url", rules = Seq(
+      "/private/" -> false,
+      "/articles/1" -> false,
+      "/articles/15" -> true,
+      "/tie" -> false,
+      "/tie" -> true
+    )).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out(1L).getAs[Boolean]("allowed"))
+    assert(out(1L).getAs[String]("matched_rule") == "/private/")
+    assert(!out(2L).getAs[Boolean]("allowed"))
+    // the longer re-allow overrides the shorter disallow
+    assert(out(3L).getAs[Boolean]("allowed"))
+    assert(out(3L).getAs[String]("matched_rule") == "/articles/15")
+    // unmatched -> default allowed, no rule
+    assert(out(4L).getAs[Boolean]("allowed"))
+    assert(out(4L).getAs[String]("matched_rule") == null)
+    // same length, same path, conflicting verdicts: Allow wins the tie
+    assert(out(5L).getAs[Boolean]("allowed"))
+    intercept[IllegalArgumentException] {
+      Curation.robotsFilter(urls, "doc_id", "url",
+        rules = Seq("/a*" -> false))
+    }
+  }
 }

@@ -589,6 +589,12 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     assert(pl.contains("partial_sum"), pl)
   }
 
+  test("crawl_robots_filter: row-local longest-match evaluation — " +
+      "zero Exchange") {
+    val pl = plan("crawl_robots_filter")
+    assert(!pl.contains("Exchange"), pl)
+  }
+
   test("privacy_redact_secrets: scrub + in-row attestation is one " +
       "fused projection — zero Exchange") {
     val pl = plan("privacy_redact_secrets")
