@@ -5435,11 +5435,15 @@ object CurationQueries {
       "' pad ABCDABCDABCDABCDABCDABCD end'"
 
   /** Robots rule list shared by the `crawl_robots_filter` Spark call
-    * and its generated oracle VALUES (literal prefixes, RFC 9309
-    * longest-match semantics). */
+    * and its generated oracle VALUES (full RFC 9309 syntax: literal
+    * prefixes, `*` wildcards, trailing `$` anchors — the regex each
+    * rule compiles to comes from the ONE shared
+    * [[Curation.robotsRuleRegex]]). */
   private[graft] val robotsRules: Seq[(String, Boolean)] = Seq(
-    "/articles/1" -> false,
-    "/articles/10" -> true,
+    "/articles/1" -> false,    // 11..19 (prefix) disallowed
+    "/articles/10" -> true,    // ...but exactly 10 re-allowed (len 12)
+    "/articles/*9$" -> true,   // ...and anything ENDING in 9 (len 13)
+    "/articles/1$" -> true,    // ...and exactly 1 ($ anchor, len 12)
     "/private/" -> false)
 
   /** Epoch-plan oracle CTE chain (per-domain available tokens ->
@@ -5907,11 +5911,13 @@ object CurationQueries {
             AS shortfall
         FROM e""")),
 
-    // robots-exclusion gate (RFC 9309 longest-match): /private/ and
-    // /articles/1 disallowed, /articles/10 re-allowed by the longer
-    // rule, unmatched paths default-allowed — every verdict, matched
-    // rule, and tie hash-checked; the rule VALUES are generated from
-    // the same literal list the Spark call uses
+    // robots-exclusion gate (RFC 9309 longest-match, FULL syntax):
+    // /private/ and the /articles/1 prefix disallowed; exactly 10, the
+    // $-anchored exactly-1, and the *9$-wildcard tails re-allowed by
+    // longer rules — every verdict, matched rule, and tie
+    // hash-checked; the VALUES (rule, compiled regex, length) are all
+    // generated from the same literal list + regex compiler the Spark
+    // call uses
     Q("crawl_robots_filter",
       (s, dir) => {
         val url = concat(lit("https://site.example.com"),
@@ -5927,7 +5933,8 @@ object CurationQueries {
       },
       Some {
         val vals = robotsRules.map { case (p, allow) =>
-          s"('$p', ${p.length}, $allow)"
+          val rx = Curation.robotsRuleRegex(p).replace("'", "''")
+          s"('${p.replace("'", "''")}', '$rx', ${p.length}, $allow)"
         }.mkString(", ")
         s"""WITH raw AS (
             SELECT doc_id, 'https://site.example.com' ||
@@ -5939,10 +5946,10 @@ object CurationQueries {
             SELECT doc_id, regexp_extract(url,
               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS path
             FROM raw),
-          rules(p, plen, allow) AS (VALUES $vals),
+          rules(p, rx, plen, allow) AS (VALUES $vals),
           m AS (
             SELECT doc_id, p, plen, allow
-            FROM u JOIN rules ON starts_with(path, p)),
+            FROM u JOIN rules ON regexp_matches(path, rx)),
           pick AS (
             SELECT doc_id, p, allow, row_number() OVER (
               PARTITION BY doc_id

@@ -1456,31 +1456,42 @@ object Curation {
       .withColumn("shortfall", col("requested") - col("effective_tokens"))
   }
 
+  /** RFC 9309 rule → anchored regex, the ONE compiler both engines
+    * replay: `*` spans any characters, a trailing `$` anchors the end,
+    * everything else matches literally (regex metachars escaped with a
+    * backslash — the same escape is valid in Java regex and RE2, so
+    * the generated pattern means the same thing in Spark and DuckDB). */
+  def robotsRuleRegex(rule: String): String = {
+    val endAnchor = rule.endsWith("$")
+    val body = if (endAnchor) rule.dropRight(1) else rule
+    def esc(s: String): String = s.flatMap(c =>
+      if ("\\.^$+?()[]{}|".contains(c)) "\\" + c else c.toString)
+    "^" + body.split("\\*", -1).map(esc).mkString(".*") +
+      (if (endAnchor) "$" else "")
+  }
+
   /** Robots-exclusion filtering (RFC 9309 / Google REP longest-match
     * rule) — the crawl-politeness gate a web-scale ingest runs before
     * fetching or keeping a URL: among the agent group's Allow/Disallow
-    * rules whose path is a PREFIX of the URL path, the longest matched
-    * rule wins; an exact length tie goes to Allow; no match ⇒ allowed.
-    * Honest scope: literal-prefix rules only (no `*`/`$` wildcards —
-    * documented, and the dominant rule form in real robots files).
-    * The rule list is a LITERAL (robots files are tiny): evaluation is
-    * a row-local `array_max` over per-rule (len, allow, rule) structs —
-    * zero shuffle, scan-speed at any corpus size. Output: `(doc_id,
-    * path, matched_rule, allowed)`; `matched_rule` is null for
-    * unmatched (default-allowed) URLs. */
+    * rules MATCHING the URL path (full REP syntax: literal prefixes,
+    * `*` wildcards, trailing `$` anchors, via [[robotsRuleRegex]]),
+    * the rule with the longest TEXT wins (the REP precedence measure,
+    * wildcards counted); an exact length tie goes to Allow; no match ⇒
+    * allowed. The rule list is a LITERAL (robots files are tiny):
+    * evaluation is a row-local `array_max` over per-rule (len, allow,
+    * rule) structs — zero shuffle, scan-speed at any corpus size.
+    * Output: `(doc_id, path, matched_rule, allowed)`; `matched_rule`
+    * is null for unmatched (default-allowed) URLs. */
   def robotsFilter(df: DataFrame, idCol: String, urlCol: String,
       rules: Seq[(String, Boolean)]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
-    require(rules.forall(!_._1.contains("*")) &&
-      rules.forall(!_._1.contains("$")),
-      "wildcard rules are out of scope (literal prefixes only)")
     val withPath = df.select(col(idCol).as("doc_id"),
       regexp_extract(col(urlCol),
         "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)", 1).as("path"))
     val cand = array(rules.map { case (p, allow) =>
       struct(
-        when(startswith(col("path"), lit(p)), lit(p.length))
-          .otherwise(lit(-1)).as("plen"),
+        when(regexp_like(col("path"), lit(robotsRuleRegex(p))),
+          lit(p.length)).otherwise(lit(-1)).as("plen"),
         lit(if (allow) 1 else 0).as("allow"),
         lit(p).as("rule"))
     }: _*)

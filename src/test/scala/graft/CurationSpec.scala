@@ -1271,20 +1271,25 @@ class CurationSpec extends AnyFunSuite with SparkTester {
   }
 
   test("robotsFilter: longest-match wins, exact-length tie goes to " +
-      "Allow, no match defaults to allowed, wildcards rejected") {
+      "Allow, no match defaults to allowed; * and $ rules honored") {
     val urls = Seq(
       (1L, "https://x.example.com/private/a"),
       (2L, "https://x.example.com/articles/1"),
       (3L, "https://x.example.com/articles/15"),
       (4L, "https://x.example.com/elsewhere"),
-      (5L, "https://x.example.com/tie?q=1")
+      (5L, "https://x.example.com/tie?q=1"),
+      (6L, "https://x.example.com/dl/report.pdf"),
+      (7L, "https://x.example.com/dl/report.pdfx"),
+      (8L, "https://x.example.com/a/mid/b")
     ).toDF("doc_id", "url")
     val out = Curation.robotsFilter(urls, "doc_id", "url", rules = Seq(
       "/private/" -> false,
       "/articles/1" -> false,
       "/articles/15" -> true,
       "/tie" -> false,
-      "/tie" -> true
+      "/tie" -> true,
+      "/dl/*.pdf$" -> false,   // $ anchor: .pdf exactly at the end
+      "/a/*/b" -> false        // * spans a middle segment
     )).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(!out(1L).getAs[Boolean]("allowed"))
     assert(out(1L).getAs[String]("matched_rule") == "/private/")
@@ -1297,9 +1302,19 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(out(4L).getAs[String]("matched_rule") == null)
     // same length, same path, conflicting verdicts: Allow wins the tie
     assert(out(5L).getAs[Boolean]("allowed"))
-    intercept[IllegalArgumentException] {
-      Curation.robotsFilter(urls, "doc_id", "url",
-        rules = Seq("/a*" -> false))
-    }
+    // $ anchors: the exact .pdf is blocked, the .pdfx suffix is not
+    // (and the '.' in the rule is escaped, not a regex wildcard)
+    assert(!out(6L).getAs[Boolean]("allowed"))
+    assert(out(7L).getAs[Boolean]("allowed"))
+    assert(!out(8L).getAs[Boolean]("allowed"))
+    assert(out(8L).getAs[String]("matched_rule") == "/a/*/b")
+  }
+
+  test("robotsRuleRegex: escaping and anchors compile as specified") {
+    assert(Curation.robotsRuleRegex("/a/*/b") == "^/a/.*/b")
+    assert(Curation.robotsRuleRegex("/dl/*.pdf$") == "^/dl/.*\\.pdf$")
+    assert(Curation.robotsRuleRegex("/plain") == "^/plain")
+    assert(Curation.robotsRuleRegex("/x$") == "^/x$")
+    assert(Curation.robotsRuleRegex("*") == "^.*")
   }
 }
