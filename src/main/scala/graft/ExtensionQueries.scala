@@ -5434,6 +5434,11 @@ object CurationQueries {
       "substr(md5(doc_id::VARCHAR || '_b2'), 1, 12) ELSE '' END || " +
       "' pad ABCDABCDABCDABCDABCDABCD end'"
 
+  /** Literal public-suffix slice shared by the `crawl_domain_quota`
+    * Spark call and its generated oracle candidates. */
+  private[graft] val crawlSuffixes: Seq[String] =
+    Seq("com", "org", "co.uk", "github.io")
+
   /** Robots rule list shared by the `crawl_robots_filter` Spark call
     * and its generated oracle VALUES (full RFC 9309 syntax: literal
     * prefixes, `*` wildcards, trailing `$` anchors — the regex each
@@ -5960,6 +5965,72 @@ object CurationQueries {
           FROM u LEFT JOIN (
             SELECT doc_id, p, allow FROM pick WHERE rn = 1) k
             USING (doc_id)"""
+      }),
+
+    // per-SITE contribution cap (the C4/CCNet per-domain quota, keyed
+    // on the REGISTRABLE domain so subdomains can't smuggle past it):
+    // PSL longest-suffix eTLD+1 under a literal suffix list — shopM
+    // collapses across aN.shopM.{com,co.uk,github.io} subdomains,
+    // unlisted hosts fall back whole — then hash-priority rank, domain
+    // size, and the kept verdict per doc, all hash-checked. The oracle
+    // replays every suffix candidate and the longest-match pick
+    Q("crawl_domain_quota",
+      (s, dir) => {
+        val host = when(col("doc_id") % 11 === 0, lit("intranet.local"))
+          .otherwise(concat(lit("a"), pmod(col("doc_id"), lit(5)),
+            lit(".shop"), pmod(col("doc_id"), lit(4)),
+            when(col("doc_id") % 3 === 0, lit(".co.uk"))
+              .when(col("doc_id") % 3 === 1, lit(".com"))
+              .otherwise(lit(".github.io"))))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("domain"))
+        Sources.table(s, dir, "documents")
+          .select(col("doc_id"), host.as("host"))
+          .withColumn("domain", Cleaning.registrableDomain(col("host"),
+            crawlSuffixes))
+          .withColumn("rank", row_number().over(w.orderBy(
+            Curation.hashBucket(col("doc_id"), 1 << 30), col("doc_id"))))
+          .withColumn("n_in_domain", count(lit(1)).over(w))
+          .withColumn("kept", col("rank") <= 20)
+      },
+      Some {
+        val cands = crawlSuffixes.map { s =>
+          val esc = s.replace(".", "\\.")
+          s"""SELECT doc_id, host, ${s.length} AS slen,
+              regexp_extract(host, '([^.]+\\.$esc)$$', 1) AS reg
+            FROM h WHERE regexp_matches(host, '(^|\\.)$esc$$')"""
+        }.mkString("\n            UNION ALL\n            ")
+        s"""WITH h AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 11 = 0 THEN 'intranet.local'
+                ELSE 'a' || (doc_id % 5) || '.shop' || (doc_id % 4) ||
+                  CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+                       WHEN doc_id % 3 = 1 THEN '.com'
+                       ELSE '.github.io' END
+              END AS host
+            FROM documents),
+          cand AS (
+            $cands),
+          pick AS (
+            SELECT doc_id, reg FROM (
+              SELECT doc_id, reg, row_number() OVER (
+                PARTITION BY doc_id ORDER BY slen DESC) AS rn
+              FROM cand) t
+            WHERE rn = 1),
+          d AS (
+            SELECT h.doc_id, h.host,
+              coalesce(nullif(p.reg, ''), h.host) AS domain
+            FROM h LEFT JOIN pick p USING (doc_id)),
+          r AS (
+            SELECT doc_id, host, domain,
+              row_number() OVER (PARTITION BY domain ORDER BY
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                  % 1073741824, doc_id)::INTEGER AS rank,
+              count(*) OVER (PARTITION BY domain)::BIGINT AS n_in_domain
+            FROM d)
+          SELECT doc_id, host, domain, rank, n_in_domain,
+            rank <= 20 AS kept
+          FROM r"""
       }),
 
     // MATERIALIZE the epoch plan: one row per (doc, epoch) copy —

@@ -39,6 +39,31 @@ object Cleaning {
   def joinSemicolon(c: Column): Column =
     concat_ws("; ", array_sort(c))
 
+  /** Registrable domain (eTLD+1) under a LITERAL public-suffix list —
+    * the per-SITE key a crawl pipeline caps contributions by (a per-host
+    * cap lets one site smuggle unlimited subdomains past the quota).
+    * PSL rule: the LONGEST listed suffix that the host equals or ends
+    * in (at a label boundary) wins, and the registrable domain is the
+    * label immediately left of it plus the suffix; hosts matching no
+    * listed suffix fall back to the whole host (and a host that IS a
+    * bare suffix has no registrable label — it also falls back). The
+    * list is literal because the real PSL is a versioned data file the
+    * caller ships; evaluation is the robots-filter longest-match
+    * pattern — a row-local `array_max` over per-suffix candidates,
+    * zero shuffle. */
+  def registrableDomain(host: Column, suffixes: Seq[String]): Column = {
+    require(suffixes.nonEmpty, "need at least one suffix")
+    val cand = array(suffixes.map { s =>
+      val esc = s.replace(".", "\\.")
+      struct(
+        when(regexp_like(host, lit("(^|\\.)" + esc + "$")),
+          lit(s.length)).otherwise(lit(-1)).as("slen"),
+        regexp_extract(host, "([^.]+\\." + esc + ")$", 1).as("reg"))
+    }: _*)
+    val w = array_max(filter(cand, c => c.getField("slen") >= 0))
+    coalesce(when(length(w.getField("reg")) > 0, w.getField("reg")), host)
+  }
+
   /** F7 — split a delimited string and trim each token
     * (reference: extractor/extractor.py:403-406). Returns an array column;
     * callers `explode` it (X3) when they need rows. */

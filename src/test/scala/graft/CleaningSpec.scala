@@ -117,4 +117,28 @@ class CleaningSpec extends AnyFunSuite with SparkTester {
     assert(r.getString(0) == r.getString(1))
     assert(r.getLong(2) == r.getLong(3))
   }
+
+  test("registrableDomain: PSL longest-suffix wins, label boundaries " +
+      "honored, unlisted and bare-suffix hosts fall back whole") {
+    import graft.functions.Cleaning
+    val sfx = Seq("com", "org", "co.uk", "github.io", "uk")
+    val out = Seq(
+      (1L, "a.b.shop.com"),
+      (2L, "x.news.co.uk"),        // co.uk (5) beats uk (2)
+      (3L, "user.pages.github.io"),
+      (4L, "intranet.local"),      // unlisted -> whole host
+      (5L, "co.uk"),               // bare suffix -> whole host
+      (6L, "notcom.example"),      // 'com' must NOT match inside a label
+      (7L, "shop.com")
+    ).toDF("id", "h")
+      .select($"id", Cleaning.registrableDomain($"h", sfx).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "shop.com")
+    assert(out(2L) == "news.co.uk")
+    assert(out(3L) == "pages.github.io")
+    assert(out(4L) == "intranet.local")
+    assert(out(5L) == "co.uk")
+    assert(out(6L) == "notcom.example")
+    assert(out(7L) == "shop.com")
+  }
 }

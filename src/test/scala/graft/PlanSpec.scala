@@ -589,6 +589,13 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     assert(pl.contains("partial_sum"), pl)
   }
 
+  test("crawl_domain_quota: row-local eTLD+1 extraction; both windows " +
+      "share ONE domain exchange") {
+    val pl = plan("crawl_domain_quota")
+    val shuffles = "\\+- Exchange \\(".r.findAllIn(pl).length
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$pl")
+  }
+
   test("crawl_robots_filter: row-local longest-match evaluation — " +
       "zero Exchange") {
     val pl = plan("crawl_robots_filter")
