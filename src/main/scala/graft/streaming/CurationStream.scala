@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming CURATION: the crawl-frontier form of the batch
+  * curation ops — admission decisions that depend on what the pipeline
+  * has ALREADY admitted across micro-batches, which a stateless
+  * projection cannot express.
+  */
+object CurationStream {
+
+  case class QuotaState(admitted: Long)
+
+  /** One admission verdict per streamed document: `seq` is the
+    * document's 1-based position within its domain's arrival order
+    * (state carried across micro-batches), `kept` admits the first
+    * `n`. */
+  case class QuotaVerdict(doc_id: Long, domain: String, seq: Long,
+      kept: Boolean)
+
+  /** Cross-batch per-domain admission cap — the STREAMING twin of the
+    * batch `crawl_domain_quota`: where the batch form ranks by a
+    * deterministic hash priority over the corpus at rest, a live crawl
+    * frontier must cap by ARRIVAL order, admitting the first `n`
+    * documents a domain ever delivers and rejecting the rest — across
+    * micro-batch boundaries, which takes keyed state
+    * (`flatMapGroupsWithState`), not a per-batch window. Within one
+    * micro-batch (where Spark's group iterator order is not
+    * deterministic) ties resolve by doc_id, so replays are
+    * byte-identical. State is ONE counter per domain — bounded by
+    * |domains| (a few million registrable domains at web scale, trivially
+    * partitioned), never by throughput or history. */
+  def domainQuota(ds: Dataset[(Long, String)], n: Long)
+      : Dataset[QuotaVerdict] = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_._2)
+      .flatMapGroupsWithState[QuotaState, QuotaVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (domain: String, rows: Iterator[(Long, String)],
+         state: GroupState[QuotaState]) =>
+          var c = if (state.exists) state.get.admitted else 0L
+          // materialize + doc_id order BEFORE updating state: the group
+          // iterator's order is shuffle-dependent
+          val verdicts = rows.map(_._1).toSeq.sorted.map { id =>
+            c += 1
+            QuotaVerdict(id, domain, c, c <= n)
+          }
+          state.update(QuotaState(c))
+          verdicts.iterator
+      }
+  }
+}

@@ -598,6 +598,49 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTester {
         $"score".as[Double]).collect().toSet
     assert(batch.nonEmpty && streamed == batch)
   }
+  test("streaming domain quota: admission state carries across " +
+      "micro-batches — first n per domain ever, not per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CurationStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdq")
+    val out = dir.resolve("out").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = CurationStream.domainQuota(mem.toDS(), n = 4L)
+      .writeStream
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .format("parquet").option("path", out)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // batch 1: A gets 3 docs, B gets 1
+    mem.addData((1L, "A"), (2L, "A"), (3L, "A"), (10L, "B"))
+    q.awaitTermination(60000)
+    // batch 2: A gets 2 more (only ONE fits the cross-batch cap of 4),
+    // B gets 2 more (all fit)
+    mem.addData((4L, "A"), (5L, "A"), (11L, "B"), (12L, "B"))
+    val q2 = CurationStream.domainQuota(mem.toDS(), n = 4L)
+      .writeStream
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .format("parquet").option("path", out)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    val rows = spark.read.parquet(out).as[CurationStream.QuotaVerdict]
+      .collect().map(v => v.doc_id -> v).toMap
+    assert(rows.size == 8)
+    // batch-1 admissions
+    assert(Seq(1L, 2L, 3L, 10L).forall(rows(_).kept))
+    // batch 2: A's counter resumed at 3 -> doc 4 admitted (seq 4),
+    // doc 5 rejected (seq 5 > 4); a per-batch window would admit both
+    assert(rows(4L).kept && rows(4L).seq == 4L)
+    assert(!rows(5L).kept && rows(5L).seq == 5L)
+    // B never hits the cap
+    assert(rows(11L).kept && rows(12L).kept)
+    assert(rows(12L).seq == 3L)
+  }
+
   test("streaming secret scan: the stateless projection applied to a " +
       "memory stream equals the batch scan row for row") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
