@@ -1255,6 +1255,58 @@ object AnalyticsQueries {
             AS reject
         FROM d GROUP BY n1, n2""")),
 
+    // ---- Mann–Whitney U (Wilcoxon rank-sum) on view vs purchase
+    // values — the rank-based two-sample test beside stats_ks, with
+    // the TIE CORRECTION exercised by the corpus's repeated 2-dp
+    // values. Everything is EXACT integer algebra: average ranks ride
+    // ×2 (2·avg = 2·cum_before + t + 1 — integer), U statistics ×2,
+    // tie term Σ(t³−t), variance as an exact DECIMAL(38,0)
+    // numerator/denominator pair, and the |z| > 1.96 verdict as the
+    // cross-multiplied integer comparison zₙ²·den·10⁴ > num·4·38416 —
+    // no sqrt, no division, no rounding convention to match. The rank
+    // walk runs over the DISTINCT-VALUE count table (the stats_ks
+    // shape; bounded by the value domain, not the event count) ----
+    Q("stats_mann_whitney",
+      (s, dir) => graft.operators.RobustStats.mannWhitney(
+        Sources.events(s, dir)
+          .filter(col("event_type").isin("view", "purchase")),
+        "value", col("event_type") === "view"),
+      Some("""WITH g AS (
+          SELECT value AS v,
+            sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              ::BIGINT AS c1,
+            sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              ::BIGINT AS c2
+          FROM events WHERE event_type IN ('view', 'purchase')
+          GROUP BY 1),
+        r AS (
+          SELECT c1, c2, c1 + c2 AS t,
+            coalesce(sum(c1 + c2) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              ::BIGINT AS cb
+          FROM g),
+        a AS (
+          SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+            sum(c1 * (cb * 2 + t + 1))::BIGINT AS r1_x2,
+            sum(t * t * t - t)::BIGINT AS tie_term
+          FROM r),
+        b AS (
+          SELECT n1, n2, r1_x2 - n1 * (n1 + 1) AS u1_x2, tie_term,
+            n1 + n2 AS n
+          FROM a),
+        f AS (
+          SELECT n1, n2, u1_x2, n1 * n2 * 2 - u1_x2 AS u2_x2, tie_term,
+            (n * (n - 1) * 12)::BIGINT AS var_den,
+            ((n1 * n2)::DECIMAL(38,0) *
+              (((n + 1) * n * (n - 1)) - tie_term)::DECIMAL(38,0))
+              ::DECIMAL(38,0) AS var_num,
+            (u1_x2 - n1 * n2)::DECIMAL(38,0) AS zn
+          FROM b)
+        SELECT n1, n2, u1_x2, u2_x2, tie_term, var_num, var_den,
+          zn * zn * var_den::DECIMAL(38,0) * 10000 > var_num * 153664
+            AS reject
+        FROM f""")),
+
     // ---- A/B experiment readout: users assigned to arms by md5
     // parity (the deterministic randomization unit — reproducible,
     // join-free, balanced), conversion = first purchase within 2 days

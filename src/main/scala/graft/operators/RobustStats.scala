@@ -88,4 +88,48 @@ object RobustStats {
       .withColumn("outlier_rate",
         round(col("n_outliers").cast("double") / col("n"), 6))
   }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) with tie correction, in EXACT
+    * integer algebra: average ranks ride ×2 (2·avgrank of a tie group
+    * = 2·cum_before + t + 1 — always an integer), both U statistics ×2,
+    * tie term Σ(t³−t), the normal-approximation variance as an exact
+    * DECIMAL(38,0) numerator over a BIGINT denominator, and the
+    * two-sided |z| > 1.96 verdict as the cross-multiplied integer
+    * comparison zₙ²·den·10⁴ > num·4·38416 — no sqrt, no division, no
+    * rounding convention for an oracle to mismatch. The rank walk runs
+    * over the DISTINCT-VALUE count table (the stats_ks shape: bounded
+    * by the value domain, not the row count; swap in [[Ranks]] if the
+    * domain is unbounded). `isG1` must partition the rows two ways. */
+  def mannWhitney(df: DataFrame, valueCol: String,
+      isG1: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(valueCol).as("v"))
+      .agg(sum(when(isG1, 1L).otherwise(0L)).as("c1"),
+        sum(when(isG1, 0L).otherwise(1L)).as("c2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.select(col("c1"), col("c2"), (col("c1") + col("c2")).as("t"),
+        coalesce(sum(col("c1") + col("c2")).over(w), lit(0L)).as("cb"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * (col("cb") * 2 + col("t") + 1)).as("r1_x2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie_term"))
+      .select(col("n1"), col("n2"),
+        (col("r1_x2") - col("n1") * (col("n1") + 1)).as("u1_x2"),
+        col("tie_term"))
+      .withColumn("u2_x2", col("n1") * col("n2") * 2 - col("u1_x2"))
+      .withColumn("__n", col("n1") + col("n2"))
+      .withColumn("var_den", col("__n") * (col("__n") - 1) * 12)
+      .withColumn("var_num",
+        (col("n1") * col("n2")).cast("decimal(38,0)") *
+          ((col("__n") + 1) * col("__n") * (col("__n") - 1)
+            - col("tie_term")).cast("decimal(38,0)"))
+      .withColumn("__zn",
+        (col("u1_x2") - col("n1") * col("n2")).cast("decimal(38,0)"))
+      .withColumn("reject",
+        col("__zn") * col("__zn") *
+          col("var_den").cast("decimal(38,0)") * 10000 >
+          col("var_num") * 153664L)
+      .select(col("n1"), col("n2"), col("u1_x2"), col("u2_x2"),
+        col("tie_term"), col("var_num"), col("var_den"), col("reject"))
+  }
 }

@@ -658,4 +658,27 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
     assert(got(4L).getAs[Long]("n_boiler") === 0L)
     assert(got(4L).getAs[Double]("removed_ratio") === 0.0)
   }
+
+  test("mannWhitney: exact U, tie term, variance pieces and verdict " +
+      "on a hand-computed tied sample") {
+    // g1 = [1, 2, 2, 3], g2 = [2, 3, 3]:
+    // value 2 ties (t=3, avg rank 3), value 3 ties (t=3, avg rank 6)
+    // R1 = 1 + 3 + 3 + 6 = 13 -> U1 = 13 - 10 = 3, U2 = 9
+    // tie_term = 2*(27-3) = 48; var = 12*(8*7*6 - 48) / (12*7*6)
+    val df = Seq(
+      (1.0, "a"), (2.0, "a"), (2.0, "a"), (3.0, "a"),
+      (2.0, "b"), (3.0, "b"), (3.0, "b")
+    ).toDF("value", "grp")
+    val r = graft.operators.RobustStats.mannWhitney(
+      df, "value", $"grp" === "a").head
+    assert(r.getAs[Long]("n1") == 4L && r.getAs[Long]("n2") == 3L)
+    assert(r.getAs[Long]("u1_x2") == 6L)   // 2*U1
+    assert(r.getAs[Long]("u2_x2") == 18L)  // 2*U2; U1+U2 == n1*n2
+    assert(r.getAs[Long]("tie_term") == 48L)
+    assert(r.getAs[java.math.BigDecimal]("var_num").longValueExact
+      == 3456L)
+    assert(r.getAs[Long]("var_den") == 504L)
+    // |z| = 3/sqrt(6.857) = 1.146 < 1.96
+    assert(!r.getAs[Boolean]("reject"))
+  }
 }
