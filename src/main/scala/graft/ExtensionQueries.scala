@@ -4347,6 +4347,63 @@ object TextQueries {
     // corpus-health gauge (natural text ≈ slope −1); ln() per term
     // rounded into DECIMAL(18,6), exact decimal moment sums, two closing
     // double divisions — every digit replayed by the oracle
+    // Heaps'-law vocabulary-growth CURVE over deterministic doc-id
+    // prefixes — the measurement an LLM-data team extrapolates to
+    // project lexicon size at 100 TB (fit it with stats_ols; the row
+    // deliberately emits the exact integer curve, not a fitted double).
+    // One token explode, one threshold fan-out against a 5-row literal,
+    // map-side-combined distinct
+    Q("corpus_heaps_curve",
+      (s, dir) => {
+        val cuts = Seq(50L, 100L, 200L, 350L, 500L)
+        val toks = Sources.table(s, dir, "documents")
+          .select(col("doc_id"), explode(Cleaning.tokens(
+            lower(col("text")))).as("w"))
+        val spark = s
+        import spark.implicits._
+        toks.crossJoin(broadcast(cuts.toDF("cut")))
+          .filter(col("doc_id") < col("cut"))
+          .groupBy(col("cut"))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("w")).as("vocab"))
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(list_filter(string_split(lower(text),
+            ' '), x -> x <> '')) AS w
+          FROM documents),
+        cuts(cut) AS (VALUES (50), (100), (200), (350), (500))
+        SELECT cut::BIGINT AS cut, count(*)::BIGINT AS n_tokens,
+          count(DISTINCT w)::BIGINT AS vocab
+        FROM tok JOIN cuts ON doc_id < cut
+        GROUP BY 1""")),
+
+    // word burstiness (Church–Gale): cf/df per word in exact micro
+    // units — mean occurrences per CONTAINING document, the adaptivity
+    // signal that separates topical words (bursty) from function words
+    // (evenly spread) when weighting vocab for tokenizer/retrieval
+    // decisions. Top-60 by (cf desc, word) so the row stays bounded
+    Q("text_burstiness",
+      (s, dir) => {
+        val toks = Sources.table(s, dir, "documents")
+          .select(col("doc_id"), explode(Cleaning.tokens(
+            lower(col("text")))).as("w"))
+        toks.groupBy(col("w"))
+          .agg(count(lit(1)).as("cf"),
+            countDistinct(col("doc_id")).as("df"))
+          .withColumn("burstiness_micro", expr("(cf * 1000000L) DIV df"))
+          .orderBy(col("cf").desc, col("w").asc).limit(60)
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(list_filter(string_split(lower(text),
+            ' '), x -> x <> '')) AS w
+          FROM documents),
+        lex AS (
+          SELECT w, count(*)::BIGINT AS cf,
+            count(DISTINCT doc_id)::BIGINT AS df
+          FROM tok GROUP BY w)
+        SELECT w, cf, df, (cf * 1000000) // df AS burstiness_micro
+        FROM lex ORDER BY cf DESC, w LIMIT 60""")),
+
     Q("corpus_zipf",
       (s, dir) => TextAnalysis.zipfFit(
         Sources.table(s, dir, "documents"), "text", topN = 100),
