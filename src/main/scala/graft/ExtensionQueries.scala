@@ -4404,6 +4404,67 @@ object TextQueries {
         SELECT w, cf, df, (cf * 1000000) // df AS burstiness_micro
         FROM lex ORDER BY cf DESC, w LIMIT 60""")),
 
+    // code-vs-prose routing (the mixed-crawl front door): structural
+    // integer signals + the exact integer verdict over a corpus where
+    // id%4 docs are seeded — identically in both engines — with a
+    // 6-line code block (import/def/return keywords, ;/{/} statement
+    // tails, 2- and 4-space indents); prose docs stay single-line.
+    // Every count, micro ratio, and verdict hash-checked
+    Q("text_code_detect",
+      (s, dir) => {
+        val id = col("doc_id")
+        val codeTxt = concat(
+          lit("import mod"), pmod(id, lit(7)).cast("string"),
+          lit("\ndef f"), pmod(id, lit(5)).cast("string"),
+          lit("(x):\n  y = x + "), pmod(id, lit(9)).cast("string"),
+          lit(";\n  if y > 0 {\n    return y;\n  }"))
+        TextAnalysis.codeSignals(
+          Sources.table(s, dir, "documents").select(id,
+            when(pmod(id, lit(4)) === 0, codeTxt).otherwise(col("text"))
+              .as("txt")),
+          "doc_id", "txt")
+      },
+      Some("""WITH L AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 4 = 0 THEN
+              'import mod' || (doc_id % 7) || chr(10) ||
+              'def f' || (doc_id % 5) || '(x):' || chr(10) ||
+              '  y = x + ' || (doc_id % 9) || ';' || chr(10) ||
+              '  if y > 0 {' || chr(10) ||
+              '    return y;' || chr(10) || '  }'
+            ELSE text END AS txt
+          FROM documents),
+        ln AS (
+          SELECT doc_id, txt, string_split(txt, chr(10)) AS ls FROM L),
+        c AS (
+          SELECT doc_id,
+            len(list_filter(ls, l -> trim(l) <> ''))::INTEGER
+              AS n_lines,
+            len(list_filter(ls, l -> regexp_matches(l, '[;{}]\s*$')))
+              ::INTEGER AS n_struct_lines,
+            len(list_filter(ls, l -> starts_with(l, '  ')))::INTEGER
+              AS n_indent_lines,
+            len(regexp_extract_all(txt,
+              '\b(import|def|class|return|elif|lambda)\b'))::INTEGER
+              AS n_keywords,
+            length(regexp_replace(txt, '[A-Za-z0-9\s]', '', 'g'))
+              ::INTEGER AS n_symbols,
+            length(txt)::INTEGER AS n_chars
+          FROM ln)
+        SELECT doc_id, n_lines, n_struct_lines, n_indent_lines,
+          n_keywords, n_symbols, n_chars,
+          CASE WHEN n_lines > 0
+            THEN (n_struct_lines::BIGINT * 1000000) // n_lines
+            ELSE 0 END AS struct_frac_micro,
+          CASE WHEN n_lines > 0
+            THEN (n_indent_lines::BIGINT * 1000000) // n_lines
+            ELSE 0 END AS indent_frac_micro,
+          CASE WHEN n_chars > 0
+            THEN (n_symbols::BIGINT * 1000000) // n_chars
+            ELSE 0 END AS symbol_frac_micro,
+          n_keywords >= 2 AND n_struct_lines * 3 >= n_lines AS is_code
+        FROM c""")),
+
     Q("corpus_zipf",
       (s, dir) => TextAnalysis.zipfFit(
         Sources.table(s, dir, "documents"), "text", topN = 100),

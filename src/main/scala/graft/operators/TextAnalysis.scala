@@ -51,6 +51,48 @@ object TextAnalysis {
       langVerdict(col(textCol)).as("predicted"))
   }
 
+  /** Code-vs-prose routing signals (the StarCoder-era front door of a
+    * mixed crawl: code and natural language go to different cleaning /
+    * dedup / tokenizer stacks, so the router runs before everything
+    * else). Pure structural integers per document — no model: non-empty
+    * line count, lines ending in `;`/`{`/`}` (statement structure),
+    * lines starting with 2+ spaces (indentation), keyword hits
+    * (`import|def|class|return|elif|lambda` — chosen to be absent from
+    * prose), symbol density; all ratios in exact integer micro-units,
+    * zero-line/zero-char documents guarded to 0. The `is_code` verdict
+    * is the exact integer rule `n_keywords >= 2 AND 3·struct_lines >=
+    * n_lines`. One fused projection — scan-speed, no shuffle. */
+  def codeSignals(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val nLines = size(filter(lines, l => length(trim(l)) > 0))
+    val nStruct = size(filter(lines, l =>
+      regexp_like(l, lit("[;{}]\\s*$"))))
+    val nIndent = size(filter(lines, l => startswith(l, lit("  "))))
+    val kw = regexp_count(col(textCol),
+      lit("\\b(import|def|class|return|elif|lambda)\\b"))
+    df.select(col(idCol).as("doc_id"),
+        nLines.as("n_lines"), nStruct.as("n_struct_lines"),
+        nIndent.as("n_indent_lines"), kw.as("n_keywords"),
+        length(regexp_replace(col(textCol), "[A-Za-z0-9\\s]", ""))
+          .as("n_symbols"),
+        length(col(textCol)).as("n_chars"))
+      .withColumn("struct_frac_micro",
+        when(col("n_lines") > 0,
+          expr("(CAST(n_struct_lines AS BIGINT) * 1000000L)" +
+            " DIV n_lines")).otherwise(0L))
+      .withColumn("indent_frac_micro",
+        when(col("n_lines") > 0,
+          expr("(CAST(n_indent_lines AS BIGINT) * 1000000L)" +
+            " DIV n_lines")).otherwise(0L))
+      .withColumn("symbol_frac_micro",
+        when(col("n_chars") > 0,
+          expr("(CAST(n_symbols AS BIGINT) * 1000000L) DIV n_chars"))
+          .otherwise(0L))
+      .withColumn("is_code", col("n_keywords") >= 2 &&
+        col("n_struct_lines") * 3 >= col("n_lines"))
+  }
+
   /** Per-line language segmentation (the CCNet/fastText per-paragraph
     * pass a multilingual crawl needs BEFORE document-level language
     * filtering — a page that is 70% English with embedded French quotes

@@ -1317,4 +1317,31 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(Curation.robotsRuleRegex("/x$") == "^/x$")
     assert(Curation.robotsRuleRegex("*") == "^.*")
   }
+
+  test("codeSignals: code blocks flag is_code, prose does not, empty " +
+      "docs guard the micro divisions to zero") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "import os\ndef f(x):\n  return x + 1;\n}"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, ""),
+      (4L, "no keywords here;\nbut structure everywhere;\nalways;")
+    ).toDF("doc_id", "txt")
+    val out = TextAnalysis.codeSignals(docs, "doc_id", "txt")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val code = out(1L)
+    assert(code.getAs[Int]("n_lines") == 4)
+    assert(code.getAs[Int]("n_struct_lines") == 2) // ';' and '}'
+    assert(code.getAs[Int]("n_indent_lines") == 1)
+    assert(code.getAs[Int]("n_keywords") == 3)     // import, def, return
+    assert(code.getAs[Boolean]("is_code"))
+    assert(!out(2L).getAs[Boolean]("is_code"))
+    assert(out(2L).getAs[Int]("n_keywords") == 0)
+    // empty doc: all-zero signals, no ANSI division error
+    assert(out(3L).getAs[Long]("struct_frac_micro") == 0L)
+    assert(!out(3L).getAs[Boolean]("is_code"))
+    // structure without keywords is NOT code (prose with semicolons)
+    assert(!out(4L).getAs[Boolean]("is_code"))
+    assert(out(4L).getAs[Long]("struct_frac_micro") == 1000000L)
+  }
 }
