@@ -1261,7 +1261,11 @@ object AnalyticsQueries {
     // values. Everything is EXACT integer algebra: average ranks ride
     // ×2 (2·avg = 2·cum_before + t + 1 — integer), U statistics ×2,
     // tie term Σ(t³−t), variance as an exact DECIMAL(38,0)
-    // numerator/denominator pair, and the |z| > 1.96 verdict as the
+    // numerator/denominator pair (the numerator EMITTED as a VARCHAR
+    // digit string — r10 portability incident: wide decimals in
+    // hash-compared output render differently across oracle engines;
+    // it also outgrows int64 at the sf0.1 corpus), and the |z| > 1.96
+    // verdict as the
     // cross-multiplied integer comparison zₙ²·den·10⁴ > num·4·38416 —
     // no sqrt, no division, no rounding convention to match. The rank
     // walk runs over the DISTINCT-VALUE count table (the stats_ks
@@ -1302,7 +1306,8 @@ object AnalyticsQueries {
               ::DECIMAL(38,0) AS var_num,
             (u1_x2 - n1 * n2)::DECIMAL(38,0) AS zn
           FROM b)
-        SELECT n1, n2, u1_x2, u2_x2, tie_term, var_num, var_den,
+        SELECT n1, n2, u1_x2, u2_x2, tie_term,
+          var_num::VARCHAR AS var_num, var_den,
           zn * zn * var_den::DECIMAL(38,0) * 10000 > var_num * 153664
             AS reject
         FROM f""")),

@@ -3801,7 +3801,7 @@ object TextQueries {
             sum(w.freq)::BIGINT)::BIGINT AS pieces_per_token_micro,
           ((sum(w.freq * length(w.word))::BIGINT * 1000000) //
             sum(w.freq * pc.np)::BIGINT)::BIGINT AS chars_per_piece_micro,
-          sum(CAST(w.freq * pc.wcost AS DECIMAL(38,0)))
+          sum(CAST(w.freq * pc.wcost AS DECIMAL(38,0)))::BIGINT
             AS total_cost_micro
         FROM words w JOIN pc ON w.word = pc.word""")),
 
@@ -3849,7 +3849,7 @@ object TextQueries {
           ((sum(CASE WHEN pc.word IS NOT NULL
               THEN w.freq * length(w.word) END)::BIGINT * 1000000) //
             sum(w.freq * pc.np)::BIGINT)::BIGINT AS chars_per_piece_micro,
-          sum(CAST(w.freq * pc.wcost AS DECIMAL(38,0)))
+          sum(CAST(w.freq * pc.wcost AS DECIMAL(38,0)))::BIGINT
             AS total_cost_micro
         FROM hwords w LEFT JOIN pc ON w.word = pc.word"""
       }),
@@ -3876,7 +3876,7 @@ object TextQueries {
             ((sum(w.freq * length(w.word))::BIGINT * 1000000) //
               sum(w.freq * pc.np)::BIGINT)::BIGINT
               AS chars_per_piece_micro,
-            sum(CAST(w.freq * pc.wcost AS DECIMAL(38,0)))
+            sum(CAST(w.freq * pc.wcost AS DECIMAL(38,0)))::BIGINT
               AS total_cost_micro
           FROM words w JOIN (
             SELECT u.word, count(*) AS np, sum(v.cost)::BIGINT AS wcost
@@ -3924,7 +3924,7 @@ object TextQueries {
             ((sum(w.freq * length(w.word))::BIGINT * 1000000) //
               sum(w.freq * pc.np)::BIGINT)::BIGINT
               AS chars_per_piece_micro,
-            sum(CAST(w.freq * pc.wcost AS DECIMAL(38,0)))
+            sum(CAST(w.freq * pc.wcost AS DECIMAL(38,0)))::BIGINT
               AS total_cost_micro
           FROM words w JOIN (
             SELECT u.word, count(*) AS np, sum(v.cost)::BIGINT AS wcost

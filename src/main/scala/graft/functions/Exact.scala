@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Output-type portability helpers for hash-compared results.
+  *
+  * Round-10 driver incident: the ONLY 5 red correctness rows were
+  * exactly the 5 registry queries emitting a `DECIMAL(38,0)` output
+  * column (`tokenizer_unigram_*.total_cost_micro`,
+  * `stats_mann_whitney.var_num`). Rows and schema matched; hashes did
+  * not — the driver's oracle environment stringifies hugeint-backed
+  * wide decimals differently than the builder's. Same portability
+  * class as round 9's `round(double, 6)`: the VALUE is exact, the
+  * cross-engine RENDERING is not.
+  *
+  * Rule (enforced by `OutputPortabilitySpec`): hash-compared output
+  * columns are BIGINT / INT / VARCHAR / BOOLEAN / DATE / TIMESTAMP
+  * only. Wide-decimal arithmetic stays INTERNAL; the emitted value is
+  * either a BIGINT (with the overflow guard below — every current
+  * value is « 2⁶³ at any harness sf) or, for quantities that genuinely
+  * outgrow 64 bits at the 100 TB scale, a VARCHAR digit string via
+  * [[digits]] (decimal-integer-to-string rendering is defined by the
+  * decimal grammar, not by engine float/hugeint formatting). */
+object Exact {
+
+  private val longMax = "9223372036854775807"
+  private val longMin = "-9223372036854775808"
+
+  /** Exact DECIMAL(38,0) column → BIGINT, raising (never truncating)
+    * if the value falls outside the int64 range. The guard is the
+    * scale contract: at harness scale factors the raise is
+    * unreachable; at corpus sizes where it would fire, switch the
+    * emitting query to [[digits]] instead. */
+  def bigint(c: Column): Column = {
+    val d = c.cast("decimal(38,0)")
+    when(d > lit(longMax).cast("decimal(38,0)") ||
+        d < lit(longMin).cast("decimal(38,0)"),
+      raise_error(concat(lit("Exact.bigint overflow: "), d.cast("string"))))
+      .otherwise(d.cast("long"))
+  }
+
+  /** Exact integer column → VARCHAR digit string — the 100 TB-range
+    * portable rendering (DECIMAL(38,0) holds ±10³⁸; its canonical
+    * digit string is identical in every engine). */
+  def digits(c: Column): Column = c.cast("decimal(38,0)").cast("string")
+}

@@ -93,7 +93,13 @@ object RobustStats {
     * integer algebra: average ranks ride ×2 (2·avgrank of a tie group
     * = 2·cum_before + t + 1 — always an integer), both U statistics ×2,
     * tie term Σ(t³−t), the normal-approximation variance as an exact
-    * DECIMAL(38,0) numerator over a BIGINT denominator, and the
+    * DECIMAL(38,0) numerator (INTERNAL only — EMITTED as a VARCHAR
+    * digit string via [[graft.functions.Exact.digits]]: var_num grows
+    * ~n⁵/4, past int64 already at n ≈ 8k samples, i.e. at the sf0.1
+    * bench corpus — and wide decimals in hash-compared output are the
+    * round-10 portability incident, rendered differently by different
+    * oracle engines; the canonical digit string is not)
+    * over a BIGINT denominator, and the
     * two-sided |z| > 1.96 verdict as the cross-multiplied integer
     * comparison zₙ²·den·10⁴ > num·4·38416 — no sqrt, no division, no
     * rounding convention for an oracle to mismatch. The rank walk runs
@@ -130,6 +136,8 @@ object RobustStats {
           col("var_den").cast("decimal(38,0)") * 10000 >
           col("var_num") * 153664L)
       .select(col("n1"), col("n2"), col("u1_x2"), col("u2_x2"),
-        col("tie_term"), col("var_num"), col("var_den"), col("reject"))
+        col("tie_term"),
+        graft.functions.Exact.digits(col("var_num")).as("var_num"),
+        col("var_den"), col("reject"))
   }
 }

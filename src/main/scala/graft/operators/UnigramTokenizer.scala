@@ -181,8 +181,15 @@ object UnigramTokenizer {
     * round's model is a normalized distribution over the SAME piece
     * set, the NLL is comparable across rounds: it is the number the EM
     * step provably drives down even when the segmentation (and hence
-    * fertility) is already at a fixed point. DECIMAL(38,0) sum — at
-    * 10¹² tokens × 10⁷-unit word costs the int64 range is gone.
+    * fertility) is already at a fixed point. The SUM runs in
+    * DECIMAL(38,0) internally (at 10¹² tokens × 10⁷-unit word costs
+    * the int64 range is gone) but is EMITTED via
+    * [[graft.functions.Exact.bigint]] — wide decimals in hash-compared
+    * output are non-portable across oracle engines (round-10 driver
+    * incident: rows/schema green, hashes red, in exactly the 5
+    * DECIMAL(38,0)-emitting queries). The overflow guard raises rather
+    * than truncates; past int64 (≈ 10⁵ × any harness sf) switch this
+    * column to `Exact.digits` on BOTH engines.
     *
     * The two fertility RATIOS are emitted as exact integer micro-units
     * (`x_micro = (num * 10⁶) DIV den`, both operands exact int64) —
@@ -205,13 +212,13 @@ object UnigramTokenizer {
         sum(col("freq") * col("np")).as("n_pieces"),
         sum(col("freq") * length(col("word"))).as("__chars"),
         sum((col("freq") * col("wcost")).cast("decimal(38,0)"))
-          .as("total_cost_micro"))
+          .as("__total_cost"))
       .select(col("n_words"), col("n_tokens"), col("n_pieces"),
         expr("(n_pieces * 1000000L) DIV n_tokens")
           .as("pieces_per_token_micro"),
         expr("(__chars * 1000000L) DIV n_pieces")
           .as("chars_per_piece_micro"),
-        col("total_cost_micro").cast("decimal(38,0)")
+        graft.functions.Exact.bigint(col("__total_cost"))
           .as("total_cost_micro"))
 
   private def fertilityUnder(words: DataFrame, vocab: DataFrame,

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Output-TYPE portability gate for every hash-compared registry query.
+  *
+  * Round-10 driver incident (second instance of the class): the only 5
+  * red correctness rows were exactly the 5 queries whose output schema
+  * contained a `DECIMAL(38,0)` column — rows and schema matched, hashes
+  * did not, because the driver's oracle environment stringifies
+  * hugeint-backed wide decimals differently than the builder's. Round 9
+  * was the same class via `round(double, 6)` half-ties. The hygiene
+  * spec's per-instance bans (`round(<division>)`) demonstrably leave
+  * holes; this spec bans the CLASS at the enforcement point the driver
+  * actually hashes: the Spark result schema. (The driver verifies
+  * schema equality between engines before hashing, so a Spark schema
+  * with only portable types forces the oracle's to be portable too —
+  * an oracle that still emits HUGEINT goes loudly schema-red, never
+  * silently hash-red.)
+  *
+  * Allowed output types: BIGINT / INT / SMALLINT / TINYINT / VARCHAR /
+  * BOOLEAN / DATE / TIMESTAMP. DOUBLE is allowed only for the audited
+  * grandfather set below — every name on it was hash-green on the
+  * DRIVER's DuckDB in CORRECTNESS_r10 (the empirical cross-engine
+  * audit; their doubles are either exact-in-binary or ride the
+  * decimal-sum parity convention of `Registry`'s scaladoc). DECIMAL and
+  * FLOAT are banned with no exceptions: wide-decimal arithmetic stays
+  * internal and is emitted via [[graft.functions.Exact]] (BIGINT with
+  * an overflow guard, or a VARCHAR digit string past int64).
+  *
+  * Cost note: this spec CONSTRUCTS every oracle-bearing query against
+  * the sf0.001 fixture (plan + any driver-side model fetch) but never
+  * executes the final plan — `.schema` stops at analysis.
+  */
+class OutputPortabilitySpec extends AnyFunSuite with SparkTester {
+
+  private def leaves(dt: DataType): Seq[DataType] = dt match {
+    case s: StructType => s.fields.toSeq.flatMap(f => leaves(f.dataType))
+    case a: ArrayType => leaves(a.elementType)
+    case m: MapType => leaves(m.keyType) ++ leaves(m.valueType)
+    case other => Seq(other)
+  }
+
+  /** Names audited hash-green on the driver's DuckDB in
+    * CORRECTNESS_r10 whose output legitimately carries DOUBLE columns.
+    * New queries do NOT go on this list — emit integer micro-units,
+    * a guarded BIGINT, or a digit string instead. */
+  private val doubleGrandfathered: Set[String] = Set(
+    "agg_argminmax", "agg_cube", "agg_grouping_sets", "agg_hll_groups",
+    "agg_hll_md5", "agg_hll_md5_raw", "agg_incremental", "agg_kmv",
+    "agg_kmv_groups", "agg_kmv_intersect", "agg_kmv_union",
+    "agg_quantiles", "agg_quantiles_bucketed", "agg_stats",
+    "agg_weighted_quantiles", "assoc_rules", "contrastive_triplets",
+    "corpus_drift", "corpus_length_kl", "corpus_mixture",
+    "corpus_overlap_minhash", "corpus_report", "corpus_source_jsd",
+    "corpus_zipf", "curation_ccnet_buckets", "curation_classifier_budget",
+    "curation_classifier_filter", "curation_classifier_stream",
+    "curation_doremi", "curation_dsir", "curation_dsir_stream",
+    "curation_gopher", "curation_kappa", "curation_length_sweep",
+    "curation_sample_weighted", "curation_soft_dedup", "dedup_cdc_chunks",
+    "dedup_containment", "dedup_embedding", "dedup_embedding_lsh",
+    "dedup_eval", "dedup_lsh_tune", "dedup_minhash",
+    "dedup_ngram_jaccard", "dedup_threshold_sweep", "dedup_winnow_pairs",
+    "embedding_davies_bouldin", "embedding_intrinsic_dim",
+    "embedding_knn_graph", "embedding_knn_graph_lsh",
+    "embedding_label_centroids", "embedding_matryoshka",
+    "embedding_norms", "embedding_outliers", "embedding_pca_deflate",
+    "embedding_pca_power", "embedding_pca_project",
+    "embedding_pq_residual", "embedding_quantize_sq", "embedding_rp",
+    "embedding_silhouette", "embedding_sq_error", "embedding_standardize",
+    "embedding_whiten", "events_anomaly", "events_attribution",
+    "events_autocorr", "events_cohort_ltv", "events_cooccurrence",
+    "events_cusum", "events_dau_mau", "events_dispersion", "events_ewma",
+    "events_forecast_naive", "events_markov", "events_rfm",
+    "events_seasonality", "events_sequence_rules", "events_survival_km",
+    "filter_nonempty", "geo_point", "graph_assortativity",
+    "graph_clustcoef", "graph_harmonic", "graph_link_prediction",
+    "graph_modularity", "graph_reciprocity", "join_asof",
+    "join_enrichment", "join_pit_features", "join_range",
+    "join_range_binned", "join_skew_salted", "knn_graph_recall",
+    "layout_zonemap_prune", "link_blocking_jw", "link_pairs_topk",
+    "multimodal_audio_vad", "numeric_benford", "numeric_corr_matrix",
+    "numeric_histogram", "numeric_histogram_equidepth", "numeric_lorenz",
+    "numeric_mad_outliers", "numeric_winsorize", "pack_efficiency",
+    "pipeline_curate_text", "privacy_k_anonymity_summary", "profile_skew",
+    "q1_agg", "q3_shipping", "q5_region_revenue", "q9_profit_like",
+    "quality_brier", "quality_calibration", "quality_confident_learning",
+    "quality_nb_confusion", "quality_nb_predict", "quality_nb_stream",
+    "quality_pr_curve", "quality_psi", "quality_quantile_norm",
+    "quality_roc_auc", "quality_train_lr", "quality_train_nb",
+    "rollup_agg", "scan_csv", "scan_csv_mentions", "scan_csv_v1",
+    "scan_manifest_latest", "scan_manifest_timetravel", "scan_orc",
+    "scan_parquet_evolved", "search_bm25", "search_eval_ndcg",
+    "search_hybrid", "search_rrf", "simsearch_hard_negatives",
+    "simsearch_ivf", "simsearch_ivf_kmeans", "simsearch_ivf_kmeanspp",
+    "simsearch_ivf_kselect", "simsearch_positives", "simsearch_pq",
+    "simsearch_recall_eval", "simsearch_text_sparse", "simsearch_topk",
+    "sql_asof_join", "sql_interface", "sql_jaro_winkler",
+    "sql_minhash_pairs", "sql_quantiles", "stats_ab_test", "stats_chi2",
+    "stats_ks", "stats_ols", "stats_permutation", "stats_welch_t",
+    "text_bigram_logprob", "text_bm25", "text_boilerplate",
+    "text_collocations", "text_entropy", "text_fertility",
+    "text_hapax_ratio", "text_kneser_ney", "text_ngram_coverage",
+    "text_ngram_novelty", "text_quality", "text_quality_model",
+    "text_rake_keywords", "text_repetition", "text_selfoverlap",
+    "text_tfidf", "text_unigram_logprob", "topk_aggregator",
+    "topk_orders", "unpivot_lineitem", "window_agg", "window_ntile",
+    "window_rank_family", "window_running")
+
+  test("no hash-compared query emits DECIMAL or FLOAT, and DOUBLE only " +
+      "on the audited r10-green grandfather set (the r9/r10 portability " +
+      "class, banned as a class)") {
+    val dir = sf("portability")
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val staleGrandfather = scala.collection.mutable.Set.empty[String]
+    staleGrandfather ++= doubleGrandfathered
+    Registry.all.filter(_.oracle.isDefined).foreach { q =>
+      val schema = q.fn(spark, dir).schema
+      val bad = schema.fields.flatMap { f =>
+        leaves(f.dataType).collect {
+          case d: DecimalType => s"${f.name}: $d"
+          case FloatType => s"${f.name}: float"
+          case DoubleType if !doubleGrandfathered(q.name) =>
+            s"${f.name}: double"
+        }
+      }
+      val hasDouble = schema.fields
+        .exists(f => leaves(f.dataType).contains(DoubleType))
+      if (hasDouble) staleGrandfather -= q.name
+      if (bad.nonEmpty) offenders += s"${q.name}(${bad.mkString(", ")})"
+    }
+    assert(offenders.isEmpty,
+      s"non-portable output types in hash-compared queries (emit " +
+        s"Exact.bigint / Exact.digits / integer micro-units instead): " +
+        s"${offenders.sorted.mkString("; ")}")
+    assert(staleGrandfather.isEmpty,
+      s"grandfather entries whose query no longer emits DOUBLE (prune " +
+        s"the list so the audit stays honest): " +
+        staleGrandfather.toSeq.sorted.mkString(", "))
+  }
+}

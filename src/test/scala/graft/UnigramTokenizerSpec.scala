@@ -96,7 +96,7 @@ class UnigramTokenizerSpec extends AnyFunSuite with SparkTester {
     val rows = UnigramTokenizer.fertilityByRound(docs, "text",
         maxWordLen = 12, maxPieceLen = 5, topV = 30)
       .collect().map(r => r.getInt(0) ->
-        (r.getLong(4), BigDecimal(r.getDecimal(6)))).toMap
+        (r.getLong(4), r.getLong(6))).toMap
     val (fert1, nll1) = rows(1)
     val (fert2, nll2) = rows(2)
     assert(nll2 < nll1, s"EM did not lower corpus NLL: $nll1 -> $nll2")
