@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-wide BYTE-bounded registry for operator-persisted frames.
+  *
+  * Why this exists (round-10 bench incident): operators persist
+  * per-call intermediates privately (the Dedup/Similarity lifecycle
+  * convention), and a long-lived session running the whole registry
+  * accumulates them. The r10 sweep carried a 64-FRAME tokenizer
+  * registry plus ~20 MEMORY_AND_DISK frames per family sweep; the
+  * resulting storage-memory pressure LRU-evicted other queries' blocks
+  * mid-plan (graph_pagerank 12.6 s in-sweep vs 3.2 s isolated;
+  * `text_embed_hash`'s cross-query cached subplan evicted → 8× row).
+  * A COUNT cap cannot see that pressure — 64 tiny frames are free, 8
+  * fat ones are not. This registry bounds what the count cap was
+  * approximating: bytes actually pinned in the block manager.
+  *
+  * Mechanics: FIFO of registered frames. Before admitting a new one,
+  * while the session's cached total (`sc.getRDDStorageInfo`, mem +
+  * disk) exceeds the budget, the OLDEST frames are unpersisted
+  * BLOCKING — blocking so the re-measured total reflects the eviction
+  * and the loop terminates on real numbers, not on in-flight
+  * bookkeeping. Evicting a frame a later query re-uses only costs a
+  * recompute, never correctness (CacheManager plan matching simply
+  * misses). Newest frames are never evicted by their own admission, so
+  * an operator that persists A then B and joins both keeps its working
+  * set as long as the budget allows.
+  *
+  * Budget default: 1.5 GiB — comfortably inside the pinned local[4]
+  * bench JVM's protected storage pool, while at 100 TB-cluster scale
+  * this registry is per-executor bookkeeping an operator's own
+  * persist/unpersist discipline replaces (`GRAFT_CACHE_BUDGET_MB`
+  * overrides for experiments). The 64-frame count cap stays as a
+  * backstop for many-tiny-frame sessions where per-frame overhead,
+  * not bytes, dominates. */
+object CacheBudget {
+
+  private val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  private def budgetBytes: Long =
+    sys.props.get("graft.cache.budget.mb")
+      .orElse(sys.env.get("GRAFT_CACHE_BUDGET_MB"))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .map(_ << 20)
+      .getOrElse(1536L << 20)
+
+  private val maxFrames = 64
+
+  /** Frames the byte pressure may NEVER evict (newest-first): the
+    * session total includes cached RDDs this registry does not track
+    * (operator-internal loop persists), and if those alone exceed the
+    * budget a pure byte rule would evict every registered frame and
+    * cache nothing — killing within-family reuse exactly when the
+    * session is busiest. Keeping the 8 newest guarantees the current
+    * operator's working set survives its own admission. */
+  private val minRetained = 8
+
+  private val cached = new java.util.ArrayDeque[DataFrame]()
+
+  private def storedBytes(df: DataFrame): Long =
+    try df.sparkSession.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum
+    catch { case _: Throwable => 0L }
+
+  /** Persist `df` (MEMORY_AND_DISK) under the session byte budget;
+    * oldest registered frames are evicted first to make room. */
+  def persisted(df: DataFrame): DataFrame = cached.synchronized {
+    while (cached.size >= maxFrames || (cached.size > minRetained &&
+        storedBytes(df) > budgetBytes)) {
+      try cached.pollFirst().unpersist(blocking = true)
+      catch { case _: Throwable => () }
+    }
+    val p = df.persist(sl)
+    cached.addLast(p)
+    p
+  }
+
+  /** Unpersist every registered frame — for callers that want a clean
+    * session after a query-family batch. */
+  def unpersistAll(): Unit = cached.synchronized {
+    while (!cached.isEmpty) {
+      try cached.pollFirst().unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
+  }
+}

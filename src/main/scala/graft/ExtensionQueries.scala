@@ -2506,9 +2506,8 @@ object SimilarityQueries {
     // hash-matches end-to-end
     Q("simsearch_text_sparse",
       (s, dir) => {
-        val emb = TextAnalysis.hashedEmbedding(
-          Sources.table(s, dir, "documents"), "doc_id", "text", dim = 64)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val emb = graft.CacheBudget.persisted(TextAnalysis.hashedEmbedding(
+          Sources.table(s, dir, "documents"), "doc_id", "text", dim = 64))
         Similarity.sparseCosineTopK(emb, emb.filter(col("doc_id") < 5),
           k = 10)
       },
@@ -4442,8 +4441,8 @@ object TextQueries {
               AS n_lines,
             len(list_filter(ls, l -> regexp_matches(l, '[;{}]\s*$')))
               ::INTEGER AS n_struct_lines,
-            len(list_filter(ls, l -> starts_with(l, '  ')))::INTEGER
-              AS n_indent_lines,
+            len(list_filter(ls, l -> starts_with(l, '  ')
+              AND trim(l) <> ''))::INTEGER AS n_indent_lines,
             len(regexp_extract_all(txt,
               '\b(import|def|class|return|elif|lambda)\b'))::INTEGER
               AS n_keywords,
@@ -5304,6 +5303,106 @@ object TextQueries {
             AS cp_composed
         FROM seeded""")),
 
+    // ---- Unicode robustness family (round-11): the harness corpus is
+    // pure ASCII, so the engine-vs-oracle agreement of the CORE text
+    // path (split on \s, lower, code-point length, the BPE-ish regex
+    // classes) was untested exactly where Java-regex/JDK semantics and
+    // RE2/utf8proc semantics could diverge. The fixtures are driver-
+    // owned and read-only, so the non-ASCII text is SEEDED
+    // deterministically from doc_id (the crawl_robots_filter generated-
+    // column pattern): precomposed accents, combining marks, glued
+    // non-BMP letters, and an NBSP (which neither engine's \s splits —
+    // the agreement itself is the hash-checked fact). Characters with
+    // CONTEXT-DEPENDENT or locale-sensitive case maps (final sigma,
+    // Turkish dotted I) are deliberately absent: JDK toLowerCase is
+    // contextual, utf8proc's is per-code-point, and a row that is red
+    // on a semantics gap between two CORRECT engines prices nothing.
+
+    Q("text_unicode_tokens",
+      (s, dir) => {
+        val seeded = Sources.table(s, dir, "documents").select(
+          col("doc_id"),
+          concat(
+            substring(col("text"), 1, 40),
+            lit(" caf\u00E9 CAF\u00C9 nai\u0308ve"),
+            when(col("doc_id") % 3 === 0,
+              lit(" \uD835\uDC9C\uD835\uDC9Eword")).otherwise(lit("")),
+            when(col("doc_id") % 4 === 0, lit(" A\u00A0B"))
+              .otherwise(lit(""))).as("txt"))
+        TextAnalysis.tokenCounts(seeded, "doc_id", "txt")
+      },
+      Some("""WITH seeded AS (
+          SELECT doc_id, substr(text, 1, 40) ||
+            ' caf' || chr(233) || ' CAF' || chr(201) ||
+            ' nai' || chr(776) || 've' ||
+            CASE WHEN doc_id % 3 = 0
+              THEN ' ' || chr(119964) || chr(119966) || 'word'
+              ELSE '' END ||
+            CASE WHEN doc_id % 4 = 0
+              THEN ' A' || chr(160) || 'B' ELSE '' END AS txt
+          FROM documents)
+        SELECT doc_id,
+          len(list_filter(string_split_regex(txt, '\s+'),
+            x -> x <> ''))::INTEGER AS n_ws_tokens,
+          len(regexp_extract_all(txt,
+            '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::INTEGER AS n_re_tokens,
+          len(list_distinct(list_filter(string_split_regex(txt, '\s+'),
+            x -> x <> '')))::INTEGER AS n_distinct_tokens
+        FROM seeded""")),
+
+    Q("text_unicode_casefold",
+      (s, dir) => {
+        val seeded = Sources.table(s, dir, "documents").select(
+          col("doc_id"),
+          concat(
+            substring(col("text"), 1, 40),
+            lit(" \u00C9T\u00C9 \u00D8RE \u00C6ON" +
+              " \u0414\u041E\u041C \u0394\u03A9"),
+            when(col("doc_id") % 3 === 0,
+              lit(" \uD835\uDC9C\uD835\uDC9E")).otherwise(lit("")))
+            .as("txt"))
+        seeded.select(col("doc_id"),
+          lower(col("txt")).as("lowered"),
+          (lower(col("txt")) =!= col("txt")).as("changed"),
+          length(lower(col("txt"))).as("n_cp"))
+      },
+      Some("""WITH seeded AS (
+          SELECT doc_id, substr(text, 1, 40) ||
+            ' ' || chr(201) || 'T' || chr(201) ||
+            ' ' || chr(216) || 'RE ' || chr(198) || 'ON ' ||
+            chr(1044) || chr(1054) || chr(1052) || ' ' ||
+            chr(916) || chr(937) ||
+            CASE WHEN doc_id % 3 = 0
+              THEN ' ' || chr(119964) || chr(119966) ELSE '' END AS txt
+          FROM documents)
+        SELECT doc_id, lower(txt) AS lowered,
+          lower(txt) <> txt AS changed,
+          length(lower(txt))::INTEGER AS n_cp
+        FROM seeded""")),
+
+    Q("text_unicode_clean",
+      (s, dir) => {
+        val seeded = Sources.table(s, dir, "documents").select(
+          col("doc_id"),
+          concat(substring(col("text"), 1, 40),
+            lit(" caf\u00E9-x nai\u0308ve 42\u00A07"))
+            .as("txt"))
+        seeded.select(col("doc_id"),
+          graft.functions.Cleaning.cleanText(col("txt")).as("clean"),
+          length(graft.functions.Cleaning.cleanText(col("txt")))
+            .as("n_cp_clean"))
+      },
+      Some("""WITH seeded AS (
+          SELECT doc_id, substr(text, 1, 40) ||
+            ' caf' || chr(233) || '-x nai' || chr(776) ||
+            've 42' || chr(160) || '7' AS txt
+          FROM documents)
+        SELECT doc_id,
+          regexp_replace(txt, '[^a-zA-Z0-9 \n]', '', 'g') AS clean,
+          length(regexp_replace(txt, '[^a-zA-Z0-9 \n]', '', 'g'))
+            ::INTEGER AS n_cp_clean
+        FROM seeded""")),
+
     Q("text_bm25",
       (s, dir) => TextAnalysis.bm25TopTerms(
         Sources.table(s, dir, "documents"), "doc_id", "text", topN = 5),
@@ -5577,7 +5676,9 @@ object CurationQueries {
           SELECT source AS domain,
             sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
               ::BIGINT AS available
-          FROM documents GROUP BY 1),
+          FROM documents GROUP BY 1
+          HAVING sum(len(list_filter(string_split(text, ' '),
+            x -> x <> ''))) >= 1),
         wts(domain, part) AS (
           VALUES ('src0', 6), ('src1', 3), ('src2', 1)),
         j AS (
@@ -6066,8 +6167,9 @@ object CurationQueries {
               CASE WHEN doc_id % 2 = 0 THEN '?q=1' ELSE '' END AS url
             FROM documents),
           u AS (
-            SELECT doc_id, regexp_extract(url,
-              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS path
+            SELECT doc_id, coalesce(nullif(regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1), ''),
+              '/') AS path
             FROM raw),
           rules(p, rx, plen, allow) AS (VALUES $vals),
           m AS (

@@ -268,10 +268,15 @@ case class BmpPatchesExpr(child: Expression, patch: Int)
     val hdr = Bmp24.parseHeader(bytes)
     if (hdr == null) return null
     val (width, height, topDown, pixelOffset, stride) = hdr
-    val pRows = (height + patch - 1) / patch
-    val pCols = (width + patch - 1) / patch
+    // ceil-divide in LONG: `height + patch - 1` overflows Int for
+    // patch near Int.MaxValue, flipping the grid non-positive and
+    // crashing the pixel loop instead of honoring the never-throw
+    // contract (header dims are validated <= 2^20; patch is
+    // caller-supplied and unbounded)
+    val pRows = ((height.toLong + patch - 1) / patch).toInt
+    val pCols = ((width.toLong + patch - 1) / patch).toInt
     val n = pRows.toLong * pCols
-    if (n > (1L << 22)) return null
+    if (n <= 0 || n > (1L << 22)) return null
     val nPx = new Array[Long](n.toInt)
     val sb = new Array[Long](n.toInt)
     val sg = new Array[Long](n.toInt)

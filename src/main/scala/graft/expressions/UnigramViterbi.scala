@@ -37,17 +37,41 @@ case class UnigramViterbiExpr(left: Expression, right: Expression,
   require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
 
   // The vocabulary rides ONE broadcast map row repeated onto every word;
-  // decoding MapData -> HashMap is O(|vocab|) and must not run per word.
-  // Cache keyed on the MapData instance (identity): same object -> reuse;
-  // a fresh wrapper just rebuilds (correct either way). Single volatile
-  // tuple write so a cross-thread race sees null or a consistent pair.
+  // decoding MapData -> HashMap is O(|vocab|) string allocations and
+  // must not run per word. Identity caching alone NEVER hits in the
+  // unsafe row path — UnsafeRow.getMap hands out a fresh UnsafeMapData
+  // wrapper per row over the same broadcast bytes (the r9 ADVICE
+  // finding: the "cache" rebuilt on every word) — so the hit test is
+  // BYTE equality: same base object + offset + size short-circuits
+  // free, otherwise one memcmp over the map bytes (a few KB) replaces
+  // |vocab| UTF8->String decodes + HashMap inserts. Byte comparison is
+  // also the SAFE key where identity is not: a wrapper repointed at
+  // different bytes can never return stale costs. The identity check
+  // remains only for non-unsafe MapData (literal/test paths), whose
+  // instances are immutable. Single volatile tuple write so a
+  // cross-thread race sees null or a consistent pair; the cached
+  // MapData is a defensive copy so iterator buffer reuse can't mutate
+  // the comparison key under us.
   @transient @volatile private var vocabCache
       : (MapData, java.util.HashMap[String, java.lang.Long]) = null
+
+  private def sameVocab(cached: MapData, m: MapData): Boolean =
+    (cached, m) match {
+      case (x: org.apache.spark.sql.catalyst.expressions.UnsafeMapData,
+          y: org.apache.spark.sql.catalyst.expressions.UnsafeMapData) =>
+        x.getSizeInBytes == y.getSizeInBytes &&
+          (((x.getBaseObject eq y.getBaseObject) &&
+            x.getBaseOffset == y.getBaseOffset) ||
+            org.apache.spark.unsafe.array.ByteArrayMethods.arrayEquals(
+              x.getBaseObject, x.getBaseOffset,
+              y.getBaseObject, y.getBaseOffset, x.getSizeInBytes.toLong))
+      case _ => cached eq m
+    }
 
   private def decodedCosts(m: MapData)
       : java.util.HashMap[String, java.lang.Long] = {
     val c = vocabCache
-    if (c != null && (c._1 eq m)) return c._2
+    if (c != null && sameVocab(c._1, m)) return c._2
     val costs = new java.util.HashMap[String, java.lang.Long](
       m.numElements() * 2)
     val keys = m.keyArray(); val vals = m.valueArray()
@@ -56,7 +80,12 @@ case class UnigramViterbiExpr(left: Expression, right: Expression,
       costs.put(keys.getUTF8String(t).toString, vals.getLong(t))
       t += 1
     }
-    vocabCache = (m, costs)
+    val key = m match {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeMapData =>
+        u.copy()
+      case other => other
+    }
+    vocabCache = (key, costs)
     costs
   }
 

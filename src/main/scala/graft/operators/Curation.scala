@@ -1485,9 +1485,13 @@ object Curation {
   def robotsFilter(df: DataFrame, idCol: String, urlCol: String,
       rules: Seq[(String, Boolean)]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
+    // RFC 9309 §2.2.2: an authority-only URL (https://example.com) has
+    // the empty path, which the protocol evaluates as "/" — without the
+    // coalesce a block-all `Disallow: /` would never match it
     val withPath = df.select(col(idCol).as("doc_id"),
-      regexp_extract(col(urlCol),
-        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)", 1).as("path"))
+      coalesce(nullif(regexp_extract(col(urlCol),
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)", 1), lit("")),
+        lit("/")).as("path"))
     val cand = array(rules.map { case (p, allow) =>
       struct(
         when(regexp_like(col("path"), lit(robotsRuleRegex(p))),

@@ -196,10 +196,8 @@ object Sketches {
     def distinctSh(df: DataFrame): DataFrame =
       df.select(explode(Text.wordShingles(col(textCol), k)).as("s"))
         .distinct()
-    val da = distinctSh(a).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val db = distinctSh(b).persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val da = graft.CacheBudget.persisted(distinctSh(a))
+    val db = graft.CacheBudget.persisted(distinctSh(b))
     val counts = da.agg(count(lit(1)).as("na"))
       .crossJoin(db.agg(count(lit(1)).as("nb")))
       .crossJoin(da.join(db, Seq("s"), "left_semi")

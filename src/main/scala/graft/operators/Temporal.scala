@@ -194,7 +194,7 @@ object Temporal {
       typeCol: String): DataFrame = {
     val present = events
       .select(col(keyCol).as("k"), col(typeCol).as("t")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheBudget.persisted)
     val nRow = present.select(col("k")).distinct()
       .agg(count(lit(1)).as("n"))
     val marg = present.groupBy(col("t")).agg(count(lit(1)).as("c"))

@@ -68,7 +68,12 @@ object TextAnalysis {
     val nLines = size(filter(lines, l => length(trim(l)) > 0))
     val nStruct = size(filter(lines, l =>
       regexp_like(l, lit("[;{}]\\s*$"))))
-    val nIndent = size(filter(lines, l => startswith(l, lit("  "))))
+    // non-blank remainder required: a whitespace-only line is excluded
+    // from n_lines (trim > 0), so counting it as indented would give
+    // the two counters inconsistent denominators and let
+    // indent_frac_micro exceed 1,000,000
+    val nIndent = size(filter(lines, l =>
+      startswith(l, lit("  ")) && length(trim(l)) > 0))
     val kw = regexp_count(col(textCol),
       lit("\\b(import|def|class|return|elif|lambda)\\b"))
     df.select(col(idCol).as("doc_id"),
@@ -330,7 +335,7 @@ object TextAnalysis {
     val tf = df.select(col(idCol),
       explode(Cleaning.tokens(lower(col(textCol)))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheBudget.persisted)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
     val nDocs = df.select(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term")
@@ -364,7 +369,7 @@ object TextAnalysis {
     val tf = df.select(col(idCol),
       explode(Cleaning.tokens(lower(col(textCol)))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheBudget.persisted)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
@@ -406,7 +411,7 @@ object TextAnalysis {
     require(queryTerms.nonEmpty, "need at least one query term")
     val toks = df.select(col(idCol),
       explode(Cleaning.tokens(lower(col(textCol)))).as("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheBudget.persisted)
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
@@ -453,7 +458,7 @@ object TextAnalysis {
     val terms = queryText.toLowerCase.split("\\s+").filter(_.nonEmpty)
     val short = bm25Search(df, idCol, textCol, terms.toSeq, shortlist)
       .withColumnRenamed("score", "score_bm25")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheBudget.persisted)
     val docEmb = hashedEmbedding(
       df.join(broadcast(short.select(col(idCol))), Seq(idCol),
         "left_semi"),
@@ -761,7 +766,7 @@ object TextAnalysis {
       : DataFrame = {
     val tok = df.select(col(idCol),
       explode(Cleaning.tokens(lower(col(textCol)))).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheBudget.persisted)
     val lex = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
     val total = lex.agg(sum(col("cnt")).as("t"))
     tok.join(lex, "w")
@@ -849,7 +854,7 @@ object TextAnalysis {
           .as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheBudget.persisted)
     val dfreq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
     grams.join(dfreq, Seq("h"))
       .groupBy(col("doc_id"))
@@ -894,7 +899,7 @@ object TextAnalysis {
         xxhash64(col("p").getField("0")).as("h1"),
         xxhash64(col("p").getField("0"), col("p").getField("1"))
           .as("h12"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheBudget.persisted)
     val c12 = bg.groupBy(col("h12")).agg(count(lit(1)).as("c12"))
     val c1 = bg.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
     bg.join(c12, Seq("h12")).join(c1, Seq("h1"))
@@ -940,12 +945,12 @@ object TextAnalysis {
         xxhash64(col("p").getField("1")).as("h2"),
         xxhash64(col("p").getField("0"), col("p").getField("1"))
           .as("h12"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheBudget.persisted)
     // bigram TYPE table — reused three ways (c12 lookup, both N1+
     // folds) plus the one-row B, so materialize it once
     val types = bg.groupBy(col("h12"), col("h1"), col("h2"))
       .agg(count(lit(1)).as("c12"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheBudget.persisted)
     val c1 = bg.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
     val fw = types.groupBy(col("h1")).agg(count(lit(1)).as("n1f"))
     val bw = types.groupBy(col("h2")).agg(count(lit(1)).as("n1b"))

@@ -32,43 +32,26 @@ import org.apache.spark.sql.functions._
   * distinct-word table plus one re-join to the stream. */
 object UnigramTokenizer {
 
-  private val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+  // Persist-lifecycle discipline: per-call intermediates are persisted
+  // privately, so a caller can never unpersist them; a long-lived
+  // session running many tokenizer queries would otherwise accumulate
+  // cached blocks without bound. Round 10 proved a COUNT cap is the
+  // wrong bound — this file's private 64-frame registry (widened from
+  // 16 to preserve within-sweep CacheManager reuse) was the prime
+  // suspect for the sweep-wide storage-memory pressure that evicted
+  // OTHER queries' blocks (graph_pagerank 12.6 s in-sweep vs 3.2 s
+  // isolated). Every persist now routes through the session-wide
+  // BYTE-bounded [[graft.CacheBudget]] instead: within-sweep reuse
+  // survives as long as the bytes allow, and pressure evicts oldest
+  // frames across ALL families rather than silently taxing whoever
+  // runs next.
+  private def persisted(df: DataFrame): DataFrame =
+    graft.CacheBudget.persisted(df)
 
-  // Persist-lifecycle discipline (the Dedup/Similarity convention): the
-  // per-call intermediates below are persisted privately, so a caller
-  // can never unpersist them; a long-lived session running many
-  // tokenizer queries would otherwise accumulate cached blocks without
-  // bound. Every persist goes through this bounded FIFO registry —
-  // past `maxCached` entries the oldest are unpersisted (non-blocking).
-  // Evicting a frame whose query later re-runs only costs a recompute,
-  // never correctness. The bound is 64, NOT lower: the full tokenizer
-  // query family persists ~20 frames per registry sweep, and a 16-entry
-  // cap evicted frames that later queries in the same sweep reuse via
-  // CacheManager plan matching (measured: tokenizer_unigram_vocab
-  // 0.20 → 0.70 s in the r10 bench under cap 16). 64 preserves
-  // within-sweep reuse while still bounding a long-lived session.
-  private val maxCached = 64
-  private val cached =
-    new java.util.ArrayDeque[org.apache.spark.sql.DataFrame]()
-
-  private def persisted(df: DataFrame): DataFrame = cached.synchronized {
-    while (cached.size >= maxCached) {
-      try cached.pollFirst().unpersist(blocking = false)
-      catch { case _: Throwable => () }
-    }
-    val p = df.persist(sl)
-    cached.addLast(p)
-    p
-  }
-
-  /** Unpersist every intermediate this operator still has cached —
-    * for callers that want a clean session after a tokenizer batch. */
-  def unpersistAll(): Unit = cached.synchronized {
-    while (!cached.isEmpty) {
-      try cached.pollFirst().unpersist(blocking = false)
-      catch { case _: Throwable => () }
-    }
-  }
+  /** Unpersist every graft-registered cached frame — for callers that
+    * want a clean session after a tokenizer batch. (Delegates to the
+    * shared registry; the tokenizer no longer tracks frames itself.) */
+  def unpersistAll(): Unit = graft.CacheBudget.unpersistAll()
 
   /** Distinct `(word, freq)` over the corpus token stream ([[
     * graft.functions.Cleaning.tokens]] convention: lowercase,

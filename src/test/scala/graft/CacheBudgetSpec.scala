@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the session-wide byte-bounded persist registry (the r10
+  * bench incident: a per-family COUNT cap let ~20 MEMORY_AND_DISK
+  * frames per sweep pile up and LRU-evict other queries' blocks). */
+class CacheBudgetSpec extends AnyFunSuite with SparkTester {
+
+  import spark.implicits._
+
+  private def cachedCount: Int =
+    spark.sparkContext.getRDDStorageInfo.count(_.isCached)
+
+  test("byte pressure evicts oldest registered frames but always " +
+      "keeps the minimum working set") {
+    CacheBudget.unpersistAll()
+    // make the budget tiny so a handful of materialized frames trip it
+    sys.props("graft.cache.budget.mb") = "1"
+    try {
+      // ~8 MB per frame once cached — every admission past the floor
+      // must evict; the 8 newest must survive (an operator that
+      // persists A then B and joins both keeps its working set)
+      val frames = (0 until 12).map { i =>
+        val f = CacheBudget.persisted(
+          spark.range(1000000).select((col("id") + i).as("v")))
+        f.count() // materialize so the byte pressure is real
+        f
+      }
+      val stillCached = frames.map(
+        _.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      assert(stillCached.takeRight(8).forall(identity),
+        s"a minimum-working-set frame was evicted: $stillCached")
+      assert(stillCached.take(4).exists(c => !c),
+        s"byte pressure evicted nothing under a 1 MB budget: " +
+          s"$stillCached (cached RDDs: $cachedCount)")
+    } finally {
+      sys.props.remove("graft.cache.budget.mb")
+      CacheBudget.unpersistAll()
+    }
+  }
+
+  test("unpersistAll empties the registry (clean session after a " +
+      "family batch)") {
+    CacheBudget.unpersistAll()
+    val f = CacheBudget.persisted(spark.range(1000).toDF("v"))
+    f.count()
+    assert(f.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+    CacheBudget.unpersistAll()
+    assert(f.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE)
+  }
+
+  test("results are unchanged when a reused frame has been evicted " +
+      "(recompute, never wrong)") {
+    CacheBudget.unpersistAll()
+    val base = CacheBudget.persisted(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val agg1 = base.agg(sum("id")).head.getLong(0)
+    CacheBudget.unpersistAll() // evict under the caller's feet
+    val agg2 = base.agg(sum("id")).head.getLong(0)
+    assert(agg1 == 3L && agg2 == 3L)
+  }
+}

@@ -1310,6 +1310,26 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(out(8L).getAs[String]("matched_rule") == "/a/*/b")
   }
 
+  test("robotsFilter: authority-only URLs evaluate as path '/' " +
+      "(RFC 9309 — a block-all Disallow must catch them)") {
+    val urls = Seq(
+      (1L, "https://x.example.com"),       // no path at all
+      (2L, "https://x.example.com?q=1"),   // query but no path
+      (3L, "https://x.example.com/"),      // explicit root
+      (4L, "https://x.example.com/open")   // re-allowed by longer rule
+    ).toDF("doc_id", "url")
+    val out = Curation.robotsFilter(urls, "doc_id", "url",
+        rules = Seq("/" -> false, "/open" -> true))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (1L to 3L).foreach { d =>
+      assert(out(d).getAs[String]("path") == "/", s"doc $d path")
+      assert(!out(d).getAs[Boolean]("allowed"), s"doc $d verdict")
+      assert(out(d).getAs[String]("matched_rule") == "/")
+    }
+    assert(out(4L).getAs[Boolean]("allowed"))
+    assert(out(4L).getAs[String]("matched_rule") == "/open")
+  }
+
   test("robotsRuleRegex: escaping and anchors compile as specified") {
     assert(Curation.robotsRuleRegex("/a/*/b") == "^/a/.*/b")
     assert(Curation.robotsRuleRegex("/dl/*.pdf$") == "^/dl/.*\\.pdf$")
@@ -1343,5 +1363,20 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     // structure without keywords is NOT code (prose with semicolons)
     assert(!out(4L).getAs[Boolean]("is_code"))
     assert(out(4L).getAs[Long]("struct_frac_micro") == 1000000L)
+  }
+
+  test("codeSignals: whitespace-only lines count in neither n_lines " +
+      "nor n_indent_lines (consistent denominators; indent_frac <= 1)") {
+    import graft.operators.TextAnalysis
+    // 2 real indented lines + 3 whitespace-only "  " lines: the old
+    // indent predicate counted 5 indented over 2 non-empty lines —
+    // indent_frac_micro 2,500,000 (> 1.0, a nonsense ratio)
+    val docs = Seq(
+      (1L, "  a = 1;\n  \n  b = 2;\n   \n  ")
+    ).toDF("doc_id", "txt")
+    val r = TextAnalysis.codeSignals(docs, "doc_id", "txt").head
+    assert(r.getAs[Int]("n_lines") == 2)
+    assert(r.getAs[Int]("n_indent_lines") == 2)
+    assert(r.getAs[Long]("indent_frac_micro") == 1000000L)
   }
 }

@@ -234,6 +234,21 @@ class MultimodalBmpSpec extends AnyFunSuite with SparkTester {
     assert(right.getAs[Long]("sum_r") == 128L)
   }
 
+  test("patch grid: a patch size near Int.MaxValue still yields one " +
+      "whole-image cell (ceil-divide overflow guard, never-throw)") {
+    val good = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("fixtures/sample_3x2.bmp"))
+    // old Int arithmetic: 2 + (2^31 - 1) - 1 wraps negative -> a
+    // non-positive grid and ArrayIndexOutOfBoundsException
+    val rows = Multimodal.patchStats(
+      Seq((1L, good)).toDF("doc_id", "payload"),
+      "doc_id", "payload", Int.MaxValue).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Int]("pr") == 0 &&
+      rows.head.getAs[Int]("pc") == 0)
+    assert(rows.head.getAs[Long]("n_px") == 6L) // all 3x2 pixels
+  }
+
   test("flatImageGate: planted solid-color images flag flat with zero " +
       "range; textured images clear the quarter-unit threshold; " +
       "generator still emits valid BMPs in flat mode") {

@@ -598,6 +598,43 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTester {
         $"score".as[Double]).collect().toSet
     assert(batch.nonEmpty && streamed == batch)
   }
+  test("streaming Naive Bayes: a model PRUNED of some buckets scores " +
+      "the missing buckets 0 like the batch left-join — try_element_at " +
+      "must absorb the missing map key, not throw under ANSI") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.QualityModel
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang").limit(40).cache()
+    // drop every third feature bucket (keep the j = -1 prior rows):
+    // the sparsified model a pruning/quantization pass ships
+    val model = QualityModel.trainNaiveBayes(docs, "doc_id", "text",
+        "lang", dim = 64)
+      .filter($"j" === -1 || $"j" % 3 =!= 0).cache()
+    assert(model.filter($"j" >= 0).count() > 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-snbp")
+    val out = dir.resolve("out").toString
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.select($"doc_id".as[Long], $"text".as[String])
+      .collect().toSeq: _*)
+    val q = QualityModel.predictNaiveBayesStateless(
+        mem.toDS().toDF("doc_id", "text"), "doc_id", "text", model,
+        dim = 64)
+      .writeStream
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .format("parquet").option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(out)
+      .select($"doc_id".as[Long], $"pred".as[String]).collect().toSet
+    val batch = QualityModel.predictNaiveBayes(docs, "doc_id", "text",
+        model, dim = 64)
+      .select($"doc_id".as[Long], $"pred".as[String]).collect().toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("streaming domain quota: admission state carries across " +
       "micro-batches — first n per domain ever, not per batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -71,6 +71,27 @@ class UnigramTokenizerSpec extends AnyFunSuite with SparkTester {
     assert(segment(a + "z", Seq(a -> 1000L)).isEmpty)
   }
 
+  test("the per-partition vocab decode cache can never serve stale " +
+      "costs: two different vocabularies in sequence segment under " +
+      "their OWN costs (byte-equality hit test, not instance identity)") {
+    // Same word, two maps whose bytes differ only in one cost value.
+    // A cache keyed on a reused/repointed wrapper instance could hand
+    // vocabulary 1's costs to vocabulary 2's rows; the byte-equality
+    // key must miss and re-decode.
+    val w = "abab"
+    val rows = Seq(
+      (w, Seq(("a", 1000L), ("b", 1000L), ("ab", 1500L))),  // ab|ab
+      (w, Seq(("a", 1000L), ("b", 1000L), ("ab", 9000L)))   // a|b|a|b
+    ).toDF("word", "v")
+      .select(col("word"), map_from_entries(transform(col("v"),
+        e => struct(e.getField("_1"), e.getField("_2")))).as("m"))
+      .select(UnigramViterbi.viterbiPieces(col("word"), col("m"), 5)
+        .as("p"))
+      .collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("ab", "ab"), s"vocab 1: ${rows(0)}")
+    assert(rows(1) == Seq("a", "b", "a", "b"), s"vocab 2: ${rows(1)}")
+  }
+
   test("maxPieceLen bounds the search: a long cheap piece outside the " +
       "window is not used") {
     assert(segment("abcd",
