@@ -294,6 +294,95 @@ object AnalyticsQueries {
         SELECT id_a, id_b, jw FROM sc WHERE jw >= 0.9
         ORDER BY jw DESC, id_a ASC, id_b ASC LIMIT 50""")),
 
+    // ---- Fellegi–Sunter multi-field linkage scoring over the SAME
+    // blocked candidates: name similarity, brand, container, and size
+    // proximity each contribute a fixed integer MICRO log-odds weight
+    // (agree/disagree = ±ln(m/u)·10⁶, literals in both engines — no
+    // runtime float math), total classified match/possible/nonmatch by
+    // exact integer thresholds; per-(block, decision) rollup so the
+    // output is bounded by blocks×3 however many pairs blocking admits.
+    // Attribute joins on the pair ids are shuffle joins by design —
+    // the attribute table is data-sized and must never broadcast ----
+    Q("link_fellegi_sunter",
+      (s, dir) => {
+        val part = Sources.table(s, dir, "part")
+        val pairs = Linkage.blockedPairs(part, "p_partkey", "p_name",
+          split(col("p_name"), " ").getItem(0),
+          minSim = 0.0, maxBlock = 64)
+        val attrs = part.select(col("p_partkey"), col("p_brand"),
+          col("p_type"), col("p_size"))
+        val both = pairs
+          .join(attrs.select(col("p_partkey").as("id_a"),
+            col("p_brand").as("brand_a"),
+            col("p_type").as("type_a"),
+            col("p_size").as("size_a")), Seq("id_a"))
+          .join(attrs.select(col("p_partkey").as("id_b"),
+            col("p_brand").as("brand_b"),
+            col("p_type").as("type_b"),
+            col("p_size").as("size_b")), Seq("id_b"))
+        Linkage.fellegiSunter(both, Seq(
+            (col("jw") >= 0.9, 2944439L, -2944439L),
+            (col("brand_a") === col("brand_b"), 3113515L, -2261763L),
+            (col("type_a") === col("type_b"), 3526361L, -1871802L),
+            (abs(col("size_a") - col("size_b")) <= 2,
+              1897120L, -1481605L)),
+          upperMicro = 3000000L, lowerMicro = 0L)
+          .groupBy(col("block"), col("decision"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("score_micro")).as("score_micro_sum"),
+            min(col("score_micro")).as("score_micro_min"),
+            max(col("score_micro")).as("score_micro_max"))
+      },
+      Some("""WITH p AS (
+          SELECT p_partkey AS id, p_name AS nm,
+            string_split(p_name, ' ')[1] AS block
+          FROM part),
+        reps AS (
+          SELECT block, id, nm FROM (
+            SELECT block, id, nm, row_number() OVER (
+              PARTITION BY block ORDER BY id) AS r
+            FROM p) q
+          WHERE r <= 64),
+        pairs AS (
+          SELECT DISTINCT a.block AS block,
+            least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+            CASE WHEN a.id < b.id THEN a.nm ELSE b.nm END AS name_a,
+            CASE WHEN a.id < b.id THEN b.nm ELSE a.nm END AS name_b
+          FROM reps a JOIN p b USING (block) WHERE a.id <> b.id),
+        sc AS (
+          SELECT block, id_a, id_b,
+            round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+          FROM pairs),
+        pr2 AS (
+          SELECT sc.*,
+            pa.p_brand AS brand_a, pa.p_type AS type_a,
+            pa.p_size AS size_a,
+            pb.p_brand AS brand_b, pb.p_type AS type_b,
+            pb.p_size AS size_b
+          FROM sc
+          JOIN part pa ON sc.id_a = pa.p_partkey
+          JOIN part pb ON sc.id_b = pb.p_partkey),
+        scored AS (
+          SELECT block,
+            (CASE WHEN jw >= 0.9 THEN 2944439 ELSE -2944439 END +
+             CASE WHEN brand_a = brand_b THEN 3113515
+               ELSE -2261763 END +
+             CASE WHEN type_a = type_b THEN 3526361 ELSE -1871802 END +
+             CASE WHEN abs(size_a - size_b) <= 2 THEN 1897120
+               ELSE -1481605 END)::BIGINT AS score_micro
+          FROM pr2),
+        dec AS (
+          SELECT block, score_micro,
+            CASE WHEN score_micro >= 3000000 THEN 'match'
+                 WHEN score_micro >= 0 THEN 'possible'
+                 ELSE 'nonmatch' END AS decision
+          FROM scored)
+        SELECT block, decision, count(*) AS n_pairs,
+          sum(score_micro)::BIGINT AS score_micro_sum,
+          min(score_micro)::BIGINT AS score_micro_min,
+          max(score_micro)::BIGINT AS score_micro_max
+        FROM dec GROUP BY 1, 2""")),
+
     // ---- winsorized mean per group on the BOUNDED-MEMORY quantile
     // path: clip to [p05, p95] (exact 4-dp order statistics), exact
     // decimal means of 6-dp contributions ----
@@ -1311,6 +1400,151 @@ object AnalyticsQueries {
           zn * zn * var_den::DECIMAL(38,0) * 10000 > var_num * 153664
             AS reject
         FROM f""")),
+
+    // ---- Cliff's delta on the same view-vs-purchase split — the
+    // EFFECT SIZE beside stats_mann_whitney's significance verdict
+    // (a 100 TB corpus makes everything "significant"; δ says whether
+    // it matters). δ = (#gt − #lt)/(n1·n2) = (2U1 − n1n2)/(n1n2) with
+    // the tie-averaged ×2 U; NO division is emitted — the exact
+    // integer numerator/denominator pair is (the var_num/var_den
+    // idiom), and the Romano magnitude label rides cross-multiplied
+    // integer thresholds (|num|·1000 vs 147/330/474·den) ----
+    Q("stats_cliffs_delta",
+      (s, dir) => graft.operators.RobustStats.cliffsDelta(
+        Sources.events(s, dir)
+          .filter(col("event_type").isin("view", "purchase")),
+        "value", col("event_type") === "view"),
+      Some("""WITH g AS (
+          SELECT value AS v,
+            sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              ::BIGINT AS c1,
+            sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              ::BIGINT AS c2
+          FROM events WHERE event_type IN ('view', 'purchase')
+          GROUP BY 1),
+        r AS (
+          SELECT c1, c2, c1 + c2 AS t,
+            coalesce(sum(c1 + c2) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              ::BIGINT AS cb
+          FROM g),
+        a AS (
+          SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+            sum(c1 * (cb * 2 + t + 1))::BIGINT AS r1_x2
+          FROM r),
+        b AS (
+          SELECT n1, n2, r1_x2 - n1 * (n1 + 1) AS u1_x2 FROM a),
+        f AS (
+          SELECT n1, n2,
+            u1_x2::DECIMAL(38,0) -
+              n1::DECIMAL(38,0) * n2::DECIMAL(38,0) AS num,
+            n1::DECIMAL(38,0) * n2::DECIMAL(38,0) AS den
+          FROM b)
+        SELECT n1, n2, num::BIGINT AS delta_num, den::BIGINT AS delta_den,
+          CASE WHEN abs(num) * 1000 < den * 147 THEN 'negligible'
+               WHEN abs(num) * 1000 < den * 330 THEN 'small'
+               WHEN abs(num) * 1000 < den * 474 THEN 'medium'
+               ELSE 'large' END AS magnitude
+        FROM f""")),
+
+    // ---- Benjamini–Hochberg FDR across per-event-type weekend-vs-
+    // weekday value gaps: m simultaneous permutation tests (64
+    // md5-deterministic relabelings each, the stats_permutation
+    // machinery), p̂ᵢ = (1+kᵢ)/65 exact rationals with a COMMON
+    // denominator, and the step-up p̂₍ᵢ₎ ≤ (i/m)·q at q = 1/10 as the
+    // cross-multiplied integer comparison (1+k₍ᵢ₎)·m·10 ≤ i·65 — no
+    // division, no float thresholds. The weekend flag derives from
+    // EPOCH-DAY arithmetic ((days_since_1970 + 3) mod 7 ≥ 5), not
+    // dayofweek(), whose week-start convention differs across engines.
+    // Types with < 20 rows on either side of the OBSERVED split are
+    // excluded in both engines (a one-row side makes the mean gap
+    // noise, not a hypothesis) ----
+    Q("stats_bh_fdr",
+      (s, dir) => {
+        val ev = Sources.events(s, dir).select(
+          col("event_id"), col("event_type"),
+          (pmod(datediff(to_date(col("ts")),
+            to_date(lit("1970-01-01"))) + 3, lit(7)) >= 5).as("wknd"),
+          col("value").cast("decimal(18,6)").as("vd"))
+        val eligible = ev.groupBy(col("event_type"))
+          .agg(sum(when(col("wknd"), 1L).otherwise(0L)).as("nw"),
+            sum(when(col("wknd"), 0L).otherwise(1L)).as("nd"))
+          .filter(col("nw") >= 20 && col("nd") >= 20)
+          .select(col("event_type"))
+        // bounded side: the distinct event-type list, never data-sized
+        val evf = ev.join(broadcast(eligible), Seq("event_type"))
+        def meanDiff(g1: org.apache.spark.sql.Column)
+            : org.apache.spark.sql.Column =
+          round(abs(
+            sum(when(g1, col("vd"))).cast("double") /
+              sum(when(g1, 1L).otherwise(0L)) -
+            sum(when(!g1, col("vd"))).cast("double") /
+              sum(when(!g1, 1L).otherwise(0L))), 6)
+        val obs = evf.groupBy(col("event_type"))
+          .agg(meanDiff(col("wknd")).as("stat_obs"))
+        val perms = evf.crossJoin(
+            evf.sparkSession.range(0, 64).select(col("id").as("b")))
+          .withColumn("lbl", graft.operators.Curation.hashBucket(
+            concat(col("event_id").cast("string"), lit("_"),
+              col("b").cast("string")), 2))
+          .groupBy(col("event_type"), col("b"))
+          .agg(meanDiff(col("lbl") === 0).as("stat"))
+        val scored = perms.join(obs, Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(sum(when(col("stat") >= col("stat_obs"), 1L)
+            .otherwise(0L)).as("k"))
+        graft.operators.RobustStats.bhReject(scored, "event_type", "k",
+          bPerm = 64, qNum = 1, qDen = 10)
+      },
+      Some("""WITH ev AS (
+          SELECT event_id, event_type,
+            (datediff('day', DATE '1970-01-01', ts::DATE) + 3) % 7 >= 5
+              AS wknd,
+            CAST(value AS DECIMAL(18,6)) AS vd
+          FROM events),
+        elig AS (
+          SELECT event_type FROM ev GROUP BY 1
+          HAVING sum(CASE WHEN wknd THEN 1 ELSE 0 END) >= 20
+             AND sum(CASE WHEN wknd THEN 0 ELSE 1 END) >= 20),
+        evf AS (SELECT ev.* FROM ev JOIN elig USING (event_type)),
+        obs AS (
+          SELECT event_type, round(abs(
+            CAST(sum(CASE WHEN wknd THEN vd END) AS DOUBLE) /
+              sum(CASE WHEN wknd THEN 1 ELSE 0 END) -
+            CAST(sum(CASE WHEN NOT wknd THEN vd END) AS DOUBLE) /
+              sum(CASE WHEN NOT wknd THEN 1 ELSE 0 END)), 6) AS stat_obs
+          FROM evf GROUP BY 1),
+        bs AS (SELECT unnest(range(0, 64)) AS b),
+        p AS (
+          SELECT event_type, b,
+            ('0x' || substr(md5(event_id::VARCHAR || '_' ||
+              b::VARCHAR), 1, 8))::BIGINT % 2 AS lbl,
+            vd
+          FROM evf CROSS JOIN bs),
+        st AS (
+          SELECT event_type, b, round(abs(
+            CAST(sum(CASE WHEN lbl = 0 THEN vd END) AS DOUBLE) /
+              sum(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) -
+            CAST(sum(CASE WHEN lbl = 1 THEN vd END) AS DOUBLE) /
+              sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END)), 6) AS stat
+          FROM p GROUP BY 1, 2),
+        ks AS (
+          SELECT st.event_type,
+            sum(CASE WHEN stat >= stat_obs THEN 1 ELSE 0 END)::BIGINT
+              AS k
+          FROM st JOIN obs USING (event_type) GROUP BY 1),
+        rk AS (
+          SELECT event_type, k,
+            row_number() OVER (ORDER BY k, event_type)::BIGINT AS rank,
+            count(*) OVER ()::BIGINT AS m
+          FROM ks),
+        im AS (
+          SELECT coalesce(max(CASE WHEN (k + 1) * m * 10 <= rank * 65
+            THEN rank END), 0) AS imax
+          FROM rk)
+        SELECT event_type, k, rank, m AS m_hypotheses,
+          rank <= imax AS reject
+        FROM rk CROSS JOIN im""")),
 
     // ---- A/B experiment readout: users assigned to arms by md5
     // parity (the deterministic randomization unit — reproducible,

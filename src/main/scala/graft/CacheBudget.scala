@@ -64,8 +64,18 @@ object CacheBudget {
     catch { case _: Throwable => 0L }
 
   /** Persist `df` (MEMORY_AND_DISK) under the session byte budget;
-    * oldest registered frames are evicted first to make room. */
+    * oldest registered frames are evicted first to make room.
+    *
+    * A plan the CacheManager already holds (another query persisted an
+    * IDENTICAL subplan — the cross-query reuse the bench's no-clearing
+    * policy exists to price) is returned as-is: re-persisting it is a
+    * no-op plus a WARN, and re-REGISTERING it would give one cache
+    * entry two deque slots — the second eviction then unpersists a
+    * frame the ledger thinks is still admitted. Keeping the original
+    * FIFO position is the point: shared frames age by first admission. */
   def persisted(df: DataFrame): DataFrame = cached.synchronized {
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      return df
     while (cached.size >= maxFrames || (cached.size > minRetained &&
         storedBytes(df) > budgetBytes)) {
       try cached.pollFirst().unpersist(blocking = true)
@@ -75,6 +85,11 @@ object CacheBudget {
     cached.addLast(p)
     p
   }
+
+  /** Current ledger size — spec hook for pinning that an
+    * already-cached plan does not take a second slot. */
+  private[graft] def registeredSize: Int =
+    cached.synchronized(cached.size)
 
   /** Unpersist every registered frame — for callers that want a clean
     * session after a query-family batch. */

@@ -1394,6 +1394,49 @@ object SimilarityQueries {
     // corpus, every code + midpoint dequantization hash-checked — pure
     // IEEE expressions after exact float min/max, so bucket-edge values
     // land identically in both engines
+    // ---- BINARY quantization + Hamming top-k: the 1-bit rung of the
+    // quantization ladder (SQ8 and PQ are the other two) — bit = dim
+    // above its MEAN, evaluated cross-multiplied on exact decimals
+    // (round(x,6)·n > Σ round(x,6): no division, no order-dependent
+    // double sum), packed into two 32-bit words, neighbors ranked by
+    // popcount(xor). Brute-force scan is the declared verifier shape
+    // (bounded query side broadcast); the scale path is SimHash
+    // banding over these same words ----
+    Q("embedding_binary_hamming",
+      (s, dir) => Similarity.binaryHammingTopK(
+        Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vid") < 5, k = 10),
+      Some("""WITH e AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS xd
+          FROM embeddings),
+        st AS (SELECT i, sum(xd) AS s, count(*) AS n FROM e GROUP BY i),
+        b AS (
+          SELECT vec_id, e.i, (xd * n > s) AS bit
+          FROM e JOIN st USING (i)),
+        packed AS (
+          SELECT vec_id,
+            sum(CASE WHEN bit AND i <= 32 THEN (1::BIGINT << (i - 1))
+              ELSE 0 END)::BIGINT AS w0,
+            sum(CASE WHEN bit AND i > 32 THEN (1::BIGINT << (i - 33))
+              ELSE 0 END)::BIGINT AS w1
+          FROM b GROUP BY 1),
+        q AS (
+          SELECT vec_id AS q_id, w0 AS qw0, w1 AS qw1
+          FROM packed WHERE vec_id < 5),
+        d AS (
+          SELECT q_id, p.vec_id,
+            (bit_count(xor(qw0, w0)) + bit_count(xor(qw1, w1)))::BIGINT
+              AS hamming
+          FROM packed p CROSS JOIN q WHERE p.vec_id <> q_id),
+        r AS (
+          SELECT q_id, vec_id, hamming,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY hamming, vec_id)::BIGINT AS rank
+          FROM d)
+        SELECT q_id, vec_id, hamming, rank FROM r WHERE rank <= 10""")),
+
     Q("embedding_quantize_sq",
       (s, dir) => Similarity.scalarQuantize(
         Sources.table(s, dir, "embeddings"), "vec_id", "embedding"),

@@ -83,4 +83,37 @@ object Linkage {
         round(sum(col("jw").cast("decimal(18,6)")).cast("double") /
           count(lit(1)), 6).as("mean_jw"))
   }
+
+  /** Fellegi–Sunter match scoring over candidate pairs: each field
+    * comparison contributes its AGREEMENT weight when the predicate
+    * holds and its DISAGREEMENT weight otherwise (a NULL comparison is
+    * a disagreement — the conservative convention), the total is
+    * classified against the upper/lower thresholds into
+    * match / possible / nonmatch.
+    *
+    * Weights are integer MICRO log-odds (ln(m/u)·10⁶ for the field's
+    * conditional agreement probabilities m, u) supplied as LITERALS —
+    * fixed configuration, not runtime float math — so the score is an
+    * exact integer sum and the decision an exact integer compare: no
+    * rounding convention for an oracle to mismatch, and at 100 TB the
+    * scoring stage stays a pure per-row projection over however many
+    * candidate pairs blocking admits.
+    *
+    * `fields`: (agreement predicate, agreeWeightMicro,
+    * disagreeWeightMicro) triples, disagreeWeightMicro typically
+    * negative. */
+  def fellegiSunter(pairs: DataFrame, fields: Seq[(Column, Long, Long)],
+      upperMicro: Long, lowerMicro: Long): DataFrame = {
+    require(fields.nonEmpty, "need at least one field comparison")
+    require(upperMicro >= lowerMicro,
+      s"need upper >= lower, got $upperMicro < $lowerMicro")
+    val score = fields.map { case (p, wa, wd) =>
+      when(p, lit(wa)).otherwise(lit(wd))
+    }.reduce(_ + _)
+    pairs.withColumn("score_micro", score.cast("long"))
+      .withColumn("decision",
+        when(col("score_micro") >= upperMicro, lit("match"))
+          .when(col("score_micro") >= lowerMicro, lit("possible"))
+          .otherwise(lit("nonmatch")))
+  }
 }

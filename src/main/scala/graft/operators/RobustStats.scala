@@ -140,4 +140,83 @@ object RobustStats {
         graft.functions.Exact.digits(col("var_num")).as("var_num"),
         col("var_den"), col("reject"))
   }
+
+  /** Cliff's delta (the effect size companion to [[mannWhitney]]'s
+    * significance verdict): δ = (#(x₁>x₂) − #(x₁<x₂)) / (n₁·n₂), which
+    * with the ×2 tie-averaged U statistic is exactly
+    * (u1_x2 − n₁n₂) / (n₁n₂). NO division is performed — the exact
+    * integer numerator/denominator pair is emitted (the
+    * `var_num`/`var_den` idiom: a quotient needs a rounding convention
+    * for the oracle to mismatch; a fraction does not), and the
+    * Romano-et-al magnitude label rides cross-multiplied integer
+    * comparisons (|num|·1000 vs 147/330/474·den). Same distinct-value
+    * rank walk as [[mannWhitney]]: bounded by the value domain, not
+    * the row count. */
+  def cliffsDelta(df: DataFrame, valueCol: String,
+      isG1: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(valueCol).as("v"))
+      .agg(sum(when(isG1, 1L).otherwise(0L)).as("c1"),
+        sum(when(isG1, 0L).otherwise(1L)).as("c2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d38 = "decimal(38,0)"
+    g.select(col("c1"), col("c2"), (col("c1") + col("c2")).as("t"),
+        coalesce(sum(col("c1") + col("c2")).over(w), lit(0L)).as("cb"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * (col("cb") * 2 + col("t") + 1)).as("r1_x2"))
+      .select(col("n1"), col("n2"),
+        (col("r1_x2") - col("n1") * (col("n1") + 1)).as("u1_x2"))
+      // delta_num may be negative (G2 dominates); abs() only feeds the
+      // magnitude thresholds, the emitted numerator keeps its sign
+      .withColumn("__num",
+        col("u1_x2").cast(d38) - col("n1").cast(d38) * col("n2").cast(d38))
+      .withColumn("__den", col("n1").cast(d38) * col("n2").cast(d38))
+      .withColumn("magnitude",
+        when(abs(col("__num")) * 1000 < col("__den") * 147,
+          lit("negligible"))
+          .when(abs(col("__num")) * 1000 < col("__den") * 330, lit("small"))
+          .when(abs(col("__num")) * 1000 < col("__den") * 474,
+            lit("medium"))
+          .otherwise(lit("large")))
+      .select(col("n1"), col("n2"),
+        graft.functions.Exact.bigint(col("__num")).as("delta_num"),
+        graft.functions.Exact.bigint(col("__den")).as("delta_den"),
+        col("magnitude"))
+  }
+
+  /** Benjamini–Hochberg step-up over EXACT rational permutation
+    * p-values. Input: one row per hypothesis with `kCol` = the integer
+    * count of seeded relabelings whose statistic met or beat the
+    * observed one, all sharing the permutation count `bPerm` — so
+    * p̂ᵢ = (1+kᵢ)/(B+1) with a COMMON denominator, and sorting p̂
+    * ascending is sorting kᵢ ascending (ties broken by the hypothesis
+    * key for determinism). The step-up condition
+    * p̂₍ᵢ₎ ≤ (i/m)·q is evaluated as the cross-multiplied integer
+    * comparison (1+k₍ᵢ₎)·m·qDen ≤ i·(B+1)·qNum — no division, no float,
+    * no rounding convention. Rejects every hypothesis ranked at or
+    * below the LARGEST i satisfying it (the step-up, not step-down,
+    * rule). The single-partition window is bounded by the HYPOTHESIS
+    * count m (event types, experiment arms — never data-sized), the
+    * same justification as the stats_ks rank walk. */
+  def bhReject(scored: DataFrame, keyCol: String, kCol: String,
+      bPerm: Int, qNum: Int, qDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bPerm >= 1 && qNum >= 1 && qDen > qNum,
+      s"need bPerm >= 1 and 0 < qNum/qDen < 1, got B=$bPerm q=$qNum/$qDen")
+    val byP = Window.orderBy(col(kCol), col(keyCol))
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored.select(col(keyCol), col(kCol).cast("long").as("k"))
+      .withColumn("rank", row_number().over(byP).cast("long"))
+      .withColumn("__m", count(lit(1)).over(all))
+      .withColumn("__cand",
+        (col("k") + 1) * col("__m") * qDen <=
+          col("rank") * (bPerm + 1).toLong * qNum)
+      .withColumn("__imax",
+        coalesce(max(when(col("__cand"), col("rank"))).over(all), lit(0L)))
+      .select(col(keyCol), col("k"), col("rank"),
+        col("__m").as("m_hypotheses"),
+        (col("rank") <= col("__imax")).as("reject"))
+  }
 }

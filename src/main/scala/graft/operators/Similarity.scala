@@ -1512,6 +1512,64 @@ object Similarity {
       .select(col("vec_id"), col("i").cast("int").as("i"), col("code"),
         round(col("recon"), 6).as("recon"))
 
+  /** BINARY quantization + Hamming top-k — the 1-bit member of the
+    * quantization family beside SQ8 ([[scalarQuantize]]) and PQ: each
+    * dimension becomes one bit (above / not-above the dimension's MEAN,
+    * so skewed dims still split), bits pack into 32-bit words, and
+    * nearest neighbors rank by Hamming distance = Σ popcount(xor).
+    * 64× smaller than float32 and the distance is two XORs + two
+    * popcounts — the standard first-pass filter before a float re-rank
+    * at retrieval time.
+    *
+    * Exactness: the mean threshold is evaluated CROSS-MULTIPLIED on
+    * exact decimals — round(x,6)·n > Σ round(x,6) — no division, no
+    * order-dependent double sum, so both engines pack identical words.
+    * Ties at the mean go to 0 (strict >), the same convention in both.
+    *
+    * Scale shape: packing is one explode + one bounded per-dim stats
+    * broadcast + one groupBy(vec) — linear, shuffle on vec_id only.
+    * The top-k here scans all N codes per query (the declared
+    * brute-force verifier shape, queries bounded and broadcast); the
+    * scale path buckets codes by a band of the word bits first — the
+    * [[graft.operators.Dedup]] SimHash banding, unchanged, since these
+    * words ARE a per-dim-thresholded SimHash. Output:
+    * (q_id, vec_id, hamming, rank), self-pairs excluded, ties broken
+    * by vec_id. */
+  def binaryHammingTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val el = df.select(col(idCol).as("vid"),
+        posexplode(col(vecCol)).as(Seq("p", "v")))
+      .select(col("vid"), (col("p") + 1).as("i"),
+        round(col("v").cast("double"), 6).cast("decimal(18,6)").as("xd"))
+    val stats = el.groupBy(col("i"))
+      .agg(sum(col("xd")).as("s"), count(lit(1)).as("n"))
+    val bit = col("xd") * col("n") > col("s")
+    val packed = el.join(broadcast(stats), Seq("i"))
+      .groupBy(col("vid"))
+      .agg(
+        sum(when(bit && col("i") <= 32,
+          call_function("shiftleft", lit(1L),
+            (col("i") - 1).cast("int"))).otherwise(0L)).as("w0"),
+        sum(when(bit && col("i") > 32,
+          call_function("shiftleft", lit(1L),
+            (col("i") - 33).cast("int"))).otherwise(0L)).as("w1"))
+    val q = packed.filter(queryPred)
+      .select(col("vid").as("q_id"), col("w0").as("qw0"),
+        col("w1").as("qw1"))
+    val dist = bit_count(col("qw0").bitwiseXOR(col("w0"))) +
+      bit_count(col("qw1").bitwiseXOR(col("w1")))
+    packed.crossJoin(broadcast(q))
+      .filter(col("vid") =!= col("q_id"))
+      .select(col("q_id"), col("vid").as("vec_id"),
+        dist.cast("long").as("hamming"))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("q_id"))
+        .orderBy(col("hamming"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Corpus-level audit of [[scalarQuantize]]: per-vector squared
     * reconstruction error Σ_i (x_i − recon_i)² — the number that tells
     * you whether SQ8 is safe for your recall target before you re-code

@@ -81,6 +81,32 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
     assert(mean > 0.9 && mean <= 1.0)
   }
 
+  test("fellegiSunter: exact integer scores, thresholds, and the " +
+      "null-comparison-is-disagreement convention") {
+    val pairs = Seq(
+      (1L, 2L, true, true),    // both agree: +10 + 5 = 15 -> match
+      (3L, 4L, true, false),   // 10 - 3 = 7 -> possible
+      (5L, 6L, false, false)   // -8 - 3 = -11 -> nonmatch
+    ).toDF("id_a", "id_b", "f1", "f2")
+    val got = Linkage.fellegiSunter(pairs,
+        Seq((col("f1"), 10L, -8L), (col("f2"), 5L, -3L)),
+        upperMicro = 12L, lowerMicro = 0L)
+      .collect().map(r => r.getAs[Long]("id_a") ->
+        (r.getAs[Long]("score_micro"), r.getAs[String]("decision")))
+      .toMap
+    assert(got(1L) === (15L, "match"))
+    assert(got(3L) === (7L, "possible"))
+    assert(got(5L) === (-11L, "nonmatch"))
+
+    // a NULL predicate result scores as disagreement, not as null
+    val withNull = Seq((1L, 2L, Option.empty[Boolean]))
+      .toDF("id_a", "id_b", "f1")
+    val n = Linkage.fellegiSunter(withNull, Seq((col("f1"), 10L, -8L)),
+      upperMicro = 5L, lowerMicro = 0L).collect().head
+    assert(n.getAs[Long]("score_micro") === -8L)
+    assert(n.getAs[String]("decision") === "nonmatch")
+  }
+
   // ---- EWMA ----
 
   test("ewmaDailyRate: dyadic weights over observed days only") {
@@ -681,5 +707,54 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
     assert(r.getAs[Long]("var_den") == 504L)
     // |z| = 3/sqrt(6.857) = 1.146 < 1.96
     assert(!r.getAs[Boolean]("reject"))
+  }
+
+  test("cliffsDelta: exact numerator/denominator and magnitude on the " +
+      "same tied sample; zero on identical groups") {
+    // same sample as the mannWhitney spec: pairwise #gt = 1, #lt = 7
+    // over n1*n2 = 12 -> delta = -6/12 = -0.5 -> 'large' (|.5| >= .474)
+    val df = Seq(
+      (1.0, "a"), (2.0, "a"), (2.0, "a"), (3.0, "a"),
+      (2.0, "b"), (3.0, "b"), (3.0, "b")
+    ).toDF("value", "grp")
+    val r = graft.operators.RobustStats.cliffsDelta(
+      df, "value", $"grp" === "a").head
+    assert(r.getAs[Long]("n1") == 4L && r.getAs[Long]("n2") == 3L)
+    assert(r.getAs[Long]("delta_num") == -6L)
+    assert(r.getAs[Long]("delta_den") == 12L)
+    assert(r.getAs[String]("magnitude") == "large")
+
+    // identical distributions -> #gt == #lt -> delta exactly 0
+    val same = Seq((1.0, "a"), (2.0, "a"), (1.0, "b"), (2.0, "b"))
+      .toDF("value", "grp")
+    val z = graft.operators.RobustStats.cliffsDelta(
+      same, "value", $"grp" === "a").head
+    assert(z.getAs[Long]("delta_num") == 0L)
+    assert(z.getAs[String]("magnitude") == "negligible")
+  }
+
+  test("bhReject: step-up rescues a rank whose own condition fails, " +
+      "and rejects nothing when every p-hat is large") {
+    // B = 64, q = 1/10, m = 5; condition (k+1)*5*10 <= rank*65.
+    // ks sorted: [0, 2, 2, 60, 60] -> cand = [T, F, T, F, F]
+    // (rank 2: 150 <= 130 fails; rank 3: 150 <= 195 holds), so
+    // imax = 3 and ranks 1..3 reject — INCLUDING rank 2, the step-up
+    // fact a per-row threshold would miss.
+    val scored = Seq(("h1", 0L), ("h2", 2L), ("h3", 2L),
+      ("h4", 60L), ("h5", 60L)).toDF("hyp", "k")
+    val got = graft.operators.RobustStats.bhReject(
+      scored, "hyp", "k", bPerm = 64, qNum = 1, qDen = 10)
+      .collect().map(r => r.getAs[String]("hyp") ->
+        (r.getAs[Long]("rank"), r.getAs[Boolean]("reject"))).toMap
+    assert(got("h1") == (1L, true))
+    assert(got("h2") == (2L, true))   // step-up: own condition failed
+    assert(got("h3") == (3L, true))
+    assert(got("h4") == (4L, false))
+    assert(got("h5") == (5L, false))
+
+    val none = graft.operators.RobustStats.bhReject(
+      Seq(("h1", 60L), ("h2", 64L)).toDF("hyp", "k"),
+      "hyp", "k", bPerm = 64, qNum = 1, qDen = 10)
+    assert(none.filter($"reject").count() == 0L)
   }
 }

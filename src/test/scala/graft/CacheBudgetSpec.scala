@@ -53,6 +53,27 @@ class CacheBudgetSpec extends AnyFunSuite with SparkTester {
       org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("an already-cached plan is returned as-is, not double-" +
+      "registered (one cache entry, one deque slot)") {
+    CacheBudget.unpersistAll()
+    val a = CacheBudget.persisted(spark.range(100).toDF("v"))
+    a.count()
+    val n1 = CacheBudget.registeredSize
+    // an IDENTICAL plan from elsewhere: CacheManager plan-matches it
+    // to the cached entry, so persisted() must not re-persist (WARN +
+    // no-op) nor take a SECOND ledger slot — a duplicate slot means a
+    // later pressure eviction unpersists a frame the ledger still
+    // thinks is admitted
+    val b = CacheBudget.persisted(spark.range(100).toDF("v"))
+    assert(b.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+    assert(CacheBudget.registeredSize == n1,
+      "an already-cached plan took a second ledger slot")
+    CacheBudget.unpersistAll()
+    assert(a.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("results are unchanged when a reused frame has been evicted " +
       "(recompute, never wrong)") {
     CacheBudget.unpersistAll()

@@ -2286,6 +2286,39 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
     assert(c.toSeq == Seq(0L, 0L))
   }
 
+  test("binaryHammingTopK: hand-packed words, exact Hamming ranks, " +
+      "mean-tie bits to zero, self excluded") {
+    import spark.implicits._
+    // dim means are all 0.5 except d4 (all zero). bits (x > mean):
+    // id1 -> d1        -> w0 = 1
+    // id2 -> d1, d3    -> w0 = 5
+    // id3 -> d2, d3    -> w0 = 6
+    // id4 -> d2        -> w0 = 2
+    // query id1: ham(2)=popcount(1^5)=1, ham(4)=popcount(1^2)=2,
+    // ham(3)=popcount(1^6)=3
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.binaryHammingTopK(
+        emb, "vec_id", "embedding", col("vid") === 1L, k = 2)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("hamming"), r.getAs[Long]("rank"))).toSet
+    assert(got === Set((2L, 1L, 1L), (4L, 2L, 2L)))
+    // d4 is constant-zero: the mean tie (0 > 0) packs as 0, so the
+    // all-zero dim contributes nothing to any distance — already
+    // implied by the exact distances above, pinned here by k=3
+    // including id3 at distance 3 (not 4)
+    val all = Similarity.binaryHammingTopK(
+        emb, "vec_id", "embedding", col("vid") === 1L, k = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("hamming")).toMap
+    assert(all(3L) === 3L)
+    assert(!all.contains(1L)) // self excluded
+  }
+
   test("scalarQuantizeError equals the independently folded sum of " +
       "squared element errors") {
     import spark.implicits._
