@@ -7590,6 +7590,53 @@ object CurationQueries {
             ::DOUBLE / sum(n_docs), 6) AS risk_frac
         FROM a""")),
 
+    // t-closeness: the THIRD rung after k and l — a class can pass
+    // both yet leak via sensitive-value SKEW (98% one disease among
+    // "3 distinct"). TVD kept as the exact integer fraction
+    // tvd_num = Σ|c·N − C·n_g| (+ the closed-form absent-mass term, so
+    // NO classes × sensitive-domain cross join), tvd_den = 2·n_g·N;
+    // verdict TVD ≤ 2/5 cross-multiplied — no division in either engine
+    Q("privacy_t_closeness",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+          .withColumn("size_bucket", expr("n_chars div 100"))
+        Curation.tCloseness(docs, Seq("lang", "source", "size_bucket"),
+          element_at(split(col("text"), " "), 1), tNum = 2, tDen = 5)
+      },
+      Some("""WITH d AS (
+          SELECT lang, source, n_chars // 100 AS size_bucket,
+            split_part(text, ' ', 1) AS s
+          FROM documents),
+        cls AS (
+          SELECT lang, source, size_bucket, s, count(*)::BIGINT AS c
+          FROM d GROUP BY 1, 2, 3, 4),
+        gs AS (SELECT s, sum(c)::BIGINT AS cs FROM cls GROUP BY 1),
+        tot AS (SELECT sum(cs)::BIGINT AS n FROM gs),
+        terms AS (
+          SELECT cls.lang, cls.source, cls.size_bucket,
+            sum(abs(c::DECIMAL(38,0) * n -
+              cs::DECIMAL(38,0) * ng.n_docs)) AS present_sum,
+            sum(cs)::BIGINT AS cs_present,
+            min(ng.n_docs) AS n_docs, min(n) AS n
+          FROM cls
+          JOIN gs USING (s)
+          JOIN (SELECT lang, source, size_bucket,
+              sum(c)::BIGINT AS n_docs
+            FROM cls GROUP BY 1, 2, 3) ng
+            USING (lang, source, size_bucket)
+          CROSS JOIN tot
+          GROUP BY 1, 2, 3),
+        f AS (
+          SELECT lang, source, size_bucket, n_docs,
+            present_sum + (n - cs_present)::DECIMAL(38,0) * n_docs
+              AS num,
+            n_docs::DECIMAL(38,0) * n * 2 AS den
+          FROM terms)
+        SELECT lang, source, size_bucket, n_docs,
+          num::BIGINT AS tvd_num, den::BIGINT AS tvd_den,
+          num * 5 <= den * 2 AS t_close
+        FROM f""")),
+
     // deterministic ~37% sample — a pure filter, reproducible at any scale
     Q("curation_sample",
       (s, dir) => Curation.sampleDeterministic(

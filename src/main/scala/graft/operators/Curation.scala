@@ -1180,6 +1180,63 @@ object Curation {
         col("n_docs"), (col("n_docs") >= k).as("k_anonymous"),
         col("n_sensitive"), (col("n_sensitive") >= l).as("l_diverse")): _*)
   }
+
+  /** T-CLOSENESS audit (Li et al. 2007) — the third rung of the
+    * release-gate ladder after [[kAnonymityAudit]]'s k and l: an
+    * equivalence class can be k-anonymous AND l-diverse yet still leak
+    * if its sensitive-value DISTRIBUTION diverges from the corpus-wide
+    * one (the skewness attack: "3 distinct diseases" where one is 98%
+    * of the class). Distance = total variation,
+    * TVD(g) = ½ Σ_s |c_gs/n_g − C_s/N|, kept EXACT as the integer
+    * fraction pair tvd_num = Σ_s |c_gs·N − C_s·n_g|, tvd_den = 2·n_g·N
+    * (the var_num/var_den idiom: no division for an oracle rounding
+    * convention to miss), verdict TVD ≤ tNum/tDen cross-multiplied.
+    *
+    * The Σ runs over values PRESENT in the class plus ONE closed-form
+    * absent-mass term — Σ_{s∉g} C_s·n_g = (N − Σ_{s∈g} C_s)·n_g — so
+    * the plan never builds the classes × sensitive-domain cross join
+    * (data-sized × data-sized at corpus scale). Shape: two groupBys on
+    * (QI, s) and (QI), one bounded join to the global value counts —
+    * every side keyed, map-side combinable. Int64 ceiling: c·N caps at
+    * N² ≈ 10²⁴ at a 10¹² -row corpus — emit [[graft.functions.Exact
+    * .digits]] there; at harness scale the guarded BIGINT is exact. */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], sensitive: Column,
+      tNum: Int, tDen: Int): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(tNum >= 1 && tDen > tNum, s"need 0 < t < 1, got $tNum/$tDen")
+    val qi = qiCols.map(col)
+    val base = df.select(qi :+ sensitive.as("__s"): _*)
+    val cls = base.groupBy(qi :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val global = cls.groupBy(col("__s"))
+      .agg(sum(col("__c")).as("__cs"))
+    val totals = global.agg(sum(col("__cs")).as("__n"))
+    val ng = cls.groupBy(qi: _*).agg(sum(col("__c")).as("n_docs"))
+    // per-class fold over PRESENT values only; the global value-count
+    // side is joined on its key, never broadcast-forced (AQE
+    // broadcasts when actually small)
+    val terms = cls.join(global, Seq("__s"))
+      .join(ng, qiCols)
+      .crossJoin(broadcast(totals))
+      .groupBy(qi: _*)
+      .agg(
+        sum(abs(col("__c").cast("decimal(38,0)") * col("__n") -
+          col("__cs").cast("decimal(38,0)") * col("n_docs")))
+          .as("__present_sum"),
+        sum(col("__cs")).as("__cs_present"),
+        min(col("n_docs")).as("n_docs"), min(col("__n")).as("__n"))
+    terms
+      .withColumn("__num",
+        col("__present_sum") +
+          (col("__n") - col("__cs_present")).cast("decimal(38,0)") *
+            col("n_docs"))
+      .withColumn("__den",
+        col("n_docs").cast("decimal(38,0)") * col("__n") * 2)
+      .select(qi ++ Seq(col("n_docs"),
+        graft.functions.Exact.bigint(col("__num")).as("tvd_num"),
+        graft.functions.Exact.bigint(col("__den")).as("tvd_den"),
+        (col("__num") * tDen <= col("__den") * tNum).as("t_close")): _*)
+  }
   /** SEMANTIC decontamination: flag corpus vectors whose embedding is
     * too close to any held-out benchmark vector — the paraphrase-level
     * leak the n-gram forms ([[decontaminate]]/[[decontaminateBloom]])

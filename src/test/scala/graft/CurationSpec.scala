@@ -891,6 +891,27 @@ class CurationSpec extends AnyFunSuite with SparkTester {
       g3.getLong(4) == 1 && !g3.getBoolean(5), s"$g3")
   }
 
+  test("tCloseness: exact TVD fraction incl. the closed-form " +
+      "absent-mass term, cross-multiplied verdict at t = 2/5") {
+    // global: a:3, b:1, c:2, N = 6
+    // class x (a:3, b:1, n=4): present |3·6−3·4| + |1·6−1·4| = 8,
+    //   absent (6−4)·4 = 8 -> TVD = 16/48 = 1/3 <= 2/5 -> close
+    // class y (c:2, n=2): present |2·6−2·2| = 8, absent (6−2)·2 = 8
+    //   -> TVD = 16/24 = 2/3 > 2/5 -> NOT close (skew leak: the class
+    //   is 100% one value the rest of the corpus rarely has)
+    val rows = Seq(
+      (1L, "x", "a"), (2L, "x", "a"), (3L, "x", "a"), (4L, "x", "b"),
+      (5L, "y", "c"), (6L, "y", "c")
+    ).toDF("doc_id", "g", "sens")
+    val t = Curation.tCloseness(rows, Seq("g"), col("sens"),
+        tNum = 2, tDen = 5)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("tvd_num"),
+          r.getAs[Long]("tvd_den"), r.getAs[Boolean]("t_close"))).toMap
+    assert(t("x") === (4L, 16L, 48L, true))
+    assert(t("y") === (2L, 16L, 24L, false))
+  }
+
   test("fimTransform: applied rows reassemble to the original text, " +
       "gate hits ~ratePct, passthrough rows unchanged") {
     val docs = (0L until 200L).map(i => (i, s"doc $i body " + ("x" * (i % 7).toInt))).toDF("doc_id", "text")
