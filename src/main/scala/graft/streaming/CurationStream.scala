@@ -52,4 +52,105 @@ object CurationStream {
           verdicts.iterator
       }
   }
+
+  case class SsEntry(value: String, est: Long, err: Long)
+  case class SsState(entries: Seq[SsEntry], processed: Long)
+  case class SsSnapshot(shard: Int, value: String, est: Long, err: Long,
+      shard_processed: Long)
+
+  /** Cross-batch STREAMING heavy hitters via SpaceSaving (Metwally
+    * 2005) — the live-frontier twin of the batch
+    * `agg_cms_heavyhitters`: per-shard summaries of at most `m`
+    * counters survive micro-batch boundaries in keyed state, so a
+    * domain that is rare in every batch but frequent across the day
+    * still surfaces. Guarantees (per shard): any value with true
+    * count > processed/m is present, and
+    * true ≤ est ≤ true + err always.
+    *
+    * DETERMINISM (the replay contract every stateful op here honors):
+    * the group iterator's order is shuffle-dependent, so each batch's
+    * items fold in (value) sorted order with per-value batch counts
+    * pre-merged, and eviction picks the minimum (est, value) — two
+    * replays of the same batches emit byte-identical snapshots.
+    *
+    * Scale shape: `shards` summaries of m counters each — state is
+    * O(shards·m), independent of throughput or history; values route
+    * to shards by hash, so merging shard summaries at read time gives
+    * the global candidate set (the standard mergeable-summary
+    * deployment). Emits the full shard snapshot each batch (Update
+    * mode downstream sinks keep the latest). */
+  def heavyHittersSpaceSaving(ds: Dataset[String], m: Int,
+      shards: Int = 4): Dataset[SsSnapshot] = {
+    require(m >= 1 && shards >= 1, s"need m, shards >= 1, got $m/$shards")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(v => math.floorMod(v.hashCode, shards))
+      .flatMapGroupsWithState[SsState, SsSnapshot](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[String], state: GroupState[SsState]) =>
+          var entries = if (state.exists) state.get.entries else Seq.empty
+          var processed = if (state.exists) state.get.processed else 0L
+          val byValue = scala.collection.mutable.LinkedHashMap
+            .empty[String, Long]
+          rows.foreach(v => byValue(v) = byValue.getOrElse(v, 0L) + 1L)
+          val em = scala.collection.mutable.Map[String, (Long, Long)](
+            entries.map(e => e.value -> (e.est, e.err)): _*)
+          // fold per-value batch counts in sorted order — iterator
+          // order is shuffle-dependent, sorted order is not
+          byValue.toSeq.sortBy(_._1).foreach { case (v, c) =>
+            processed += c
+            em.get(v) match {
+              case Some((est, err)) => em(v) = (est + c, err)
+              case None if em.size < m => em(v) = (c, 0L)
+              case None =>
+                val (mv, (mest, merr @ _)) =
+                  em.minBy { case (k, (e, _)) => (e, k) }
+                em.remove(mv)
+                em(v) = (mest + c, mest)
+            }
+          }
+          entries = em.toSeq.sortBy { case (k, (e, _)) => (-e, k) }
+            .map { case (k, (e, r)) => SsEntry(k, e, r) }
+          state.update(SsState(entries, processed))
+          entries.iterator.map(e =>
+            SsSnapshot(shard, e.value, e.est, e.err, processed))
+      }
+  }
+
+  /** The same deterministic fold over at-rest batches — the
+    * replayable reference the streaming spec pins equality against
+    * (and the bounded-memory candidate pass a batch pipeline can run
+    * when an exact groupBy of the full key domain is not affordable). */
+  def spaceSavingBatches(batches: Seq[Seq[String]], m: Int,
+      shards: Int = 4): Seq[SsSnapshot] = {
+    val states = scala.collection.mutable.Map.empty[Int, (scala.collection.mutable.Map[String, (Long, Long)], Long)]
+    var out = Map.empty[Int, Seq[SsSnapshot]]
+    batches.foreach { batch =>
+      batch.groupBy(v => math.floorMod(v.hashCode, shards))
+        .foreach { case (shard, vs) =>
+          val (em, p0) = states.getOrElseUpdate(shard,
+            (scala.collection.mutable.Map.empty, 0L))
+          var processed = p0
+          val byValue = vs.groupBy(identity).map { case (k, g) =>
+            k -> g.size.toLong }
+          byValue.toSeq.sortBy(_._1).foreach { case (v, c) =>
+            processed += c
+            em.get(v) match {
+              case Some((est, err)) => em(v) = (est + c, err)
+              case None if em.size < m => em(v) = (c, 0L)
+              case None =>
+                val (mv, (mest, _)) =
+                  em.minBy { case (k, (e, _)) => (e, k) }
+                em.remove(mv)
+                em(v) = (mest + c, mest)
+            }
+          }
+          states(shard) = (em, processed)
+          out += shard -> em.toSeq.sortBy { case (k, (e, _)) => (-e, k) }
+            .map { case (k, (e, r)) =>
+              SsSnapshot(shard, k, e, r, processed) }
+        }
+    }
+    out.values.flatten.toSeq
+  }
 }

@@ -732,6 +732,51 @@ class RegistrySpec extends AnyFunSuite with SparkTester {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("streaming SpaceSaving heavy hitters: state survives the " +
+      "micro-batch boundary, snapshots equal the deterministic " +
+      "at-rest fold, and the frequency guarantee holds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CurationStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // alpha is heavy in BOTH batches; gamma only in the second — the
+    // cross-batch state is what lets both surface from 3 counters
+    val b1 = Seq.fill(10)("alpha") ++ Seq.fill(6)("beta") ++
+      Seq("x1", "x2", "x3")
+    val b2 = Seq.fill(8)("alpha") ++ Seq.fill(7)("gamma") ++
+      Seq("x4", "x5")
+    val mem = MemoryStream[String](
+      org.apache.spark.sql.Encoders.STRING, sqlCtx)
+    val q = CurationStream.heavyHittersSpaceSaving(
+        mem.toDS(), m = 3, shards = 1)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sshh").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val rows = spark.table("sshh")
+        .as[CurationStream.SsSnapshot](
+          org.apache.spark.sql.Encoders.product[
+            CurationStream.SsSnapshot]).collect()
+      // batch-1 snapshot was emitted too (state visibly crossed the
+      // boundary), final snapshot = rows at the max processed count
+      assert(rows.map(_.shard_processed).toSet == Set(19L, 38L))
+      val fin = rows.filter(_.shard_processed == 38L)
+        .map(e => (e.value, e.est, e.err)).toSet
+      val ref = CurationStream.spaceSavingBatches(
+          Seq(b1, b2), m = 3, shards = 1)
+        .map(e => (e.value, e.est, e.err)).toSet
+      assert(fin == ref, s"stream $fin != at-rest $ref")
+      val byV = fin.map { case (v, e, r) => v -> (e, r) }.toMap
+      // alpha true count 18: present, true <= est <= true + err
+      assert(byV.contains("alpha"))
+      assert(byV("alpha")._1 >= 18L &&
+        byV("alpha")._1 - byV("alpha")._2 <= 18L)
+      // gamma (true 7 > processed/m) must have surfaced despite
+      // arriving after the summary was full
+      assert(byV.contains("gamma"))
+    } finally q.stop()
+  }
+
   test("registry names are unique, and every query has an oracle " +
       "(the HLL row is bounded via its exact-twin + within_band form)") {
     val names = Registry.all.map(_.name)
