@@ -8353,6 +8353,32 @@ object MultimodalQueries {
           max(CASE WHEN i2 = n2 - 1 THEN s END)::INTEGER AS last_sample
         FROM rs GROUP BY doc_id""")),
 
+    // zero-crossing rate over the REAL PCM stream — the O(1) spectral
+    // proxy beside the energy VAD (voiced speech crosses rarely,
+    // noise often). Crossing = STRICT sign flip s_{i-1}·s_i < 0 (zero
+    // samples never count — no boundary convention to mismatch);
+    // micro-unit rate over the n−1 transitions. The JUNK-chunk slice
+    // again proves the parse walks chunks
+    Q("multimodal_wav_zcr",
+      (s, dir) => Multimodal.wavZcr(
+        Multimodal.wavPayload(
+          Sources.table(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload"),
+      Some(s"""WITH ${wavModelCtes()},
+        z AS (
+          SELECT a.doc_id,
+            sum(CASE WHEN a.s::BIGINT * b.s < 0 THEN 1 ELSE 0 END)
+              ::BIGINT AS c
+          FROM ws a JOIN ws b
+            ON a.doc_id = b.doc_id AND b.i = a.i - 1
+          GROUP BY a.doc_id)
+        SELECT wp.doc_id, wp.n::BIGINT AS n_samples,
+          coalesce(z.c, 0)::BIGINT AS n_crossings,
+          CASE WHEN wp.n > 1
+            THEN (coalesce(z.c, 0) * 1000000) // (wp.n - 1)
+            ELSE 0 END::BIGINT AS zcr_micro
+        FROM wp LEFT JOIN z USING (doc_id)""")),
+
     // energy VAD over the REAL PCM stream (the non-stub twin of
     // multimodal_audio_vad): chunk-walk decode, strided sample frames,
     // exact integer energy gate, micro-unit speech ratio

@@ -286,10 +286,68 @@ case class WavResampleExpr(child: Expression, k: Int)
       : Expression = copy(child = newChild)
 }
 
+/** Zero-crossing count over the decoded PCM stream — the classic
+  * O(1)-state spectral-content proxy (voiced speech crosses rarely,
+  * fricatives/noise often) beside [[WavFrameEnergyExpr]]'s energy VAD.
+  * A crossing is the STRICT sign flip s_{i-1}·s_i < 0 — zero samples
+  * never count, the one convention with no boundary case for an
+  * oracle to mismatch. Null for malformed WAV. */
+case class WavZcrExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = false),
+    StructField("n_crossings", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_zcr"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BINARY input, got ${child.dataType}")
+
+  def compute(bytes: Array[Byte]): InternalRow = {
+    val parsed = WavPcm.parse(bytes)
+    if (parsed == null) return null
+    val s = parsed._4
+    var c = 0L
+    var i = 1
+    while (i < s.length) {
+      if (s(i - 1).toLong * s(i) < 0L) c += 1
+      i += 1
+    }
+    InternalRow(s.length.toLong, c)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("wavZcr", this,
+      classOf[WavZcrExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $ref.compute($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 object WavDecode {
   def wavDecode(bin: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       WavDecodeExpr(org.apache.spark.sql.graft.Bridge.expression(bin)))
+
+  def wavZcr(bin: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      WavZcrExpr(org.apache.spark.sql.graft.Bridge.expression(bin)))
 
   def wavResample(bin: Column, k: Int): Column =
     org.apache.spark.sql.graft.Bridge.column(

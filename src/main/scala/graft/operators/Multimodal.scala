@@ -397,6 +397,24 @@ object Multimodal {
           .as("speech_ratio_micro"))
   }
 
+  /** Zero-crossing rate over the REAL decoded PCM stream — the O(1)
+    * spectral proxy beside [[audioVadWav]]'s energy gate (voiced
+    * speech crosses rarely, fricatives/noise often). Crossing =
+    * STRICT sign flip s_{i-1}·s_i < 0 (zero samples never count); the
+    * micro-unit rate divides by the n−1 sample transitions. One
+    * codegen expression per row — no explode, no shuffle. */
+  def wavZcr(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.expressions.WavDecode.wavZcr(col(binCol)).as("__z"))
+      .filter(col("__z").isNotNull)
+      .select(col(idCol),
+        col("__z.n_samples").as("n_samples"),
+        col("__z.n_crossings").as("n_crossings"))
+      .withColumn("zcr_micro",
+        when(col("n_samples") > 1,
+          expr("(n_crossings * 1000000L) DIV (n_samples - 1)"))
+          .otherwise(0L))
+
   /** REAL [[MediaDecoder]] for the mapPartitions plumbing: parses the
     * actual BMP header ('BM' magic, LE width/height at offsets 18/22,
     * bpp at 28) instead of faking dimensions from the length. Malformed

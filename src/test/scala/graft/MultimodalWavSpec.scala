@@ -47,6 +47,45 @@ class MultimodalWavSpec extends AnyFunSuite with SparkTester {
       r.getLong(6) == 2684299027L, s"junk-chunk decode: $r")
   }
 
+  test("wavZcr: strict sign flips only (zeros never count), exact " +
+      "micro rate, malformed rows filtered") {
+    // samples 3, -2, 0, 5, -1: flips at (3,-2) and (5,-1); the pairs
+    // through the zero sample are NOT crossings under the strict
+    // s_{i-1}*s_i < 0 convention
+    def encodeWav(samples: Array[Int]): Array[Byte] = {
+      val n = samples.length
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + 2 * n)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(2 * n)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    val wav = encodeWav(Array(3, -2, 0, 5, -1))
+    val r = Multimodal.wavZcr(
+      Seq((1L, wav)).toDF("doc_id", "payload"),
+      "doc_id", "payload").head()
+    assert(r.getAs[Long]("n_samples") == 5L)
+    assert(r.getAs[Long]("n_crossings") == 2L)
+    assert(r.getAs[Long]("zcr_micro") == 500000L) // 2e6 / 4
+    // fixture sanity: samples 0,16384,-16384,32767,-32768,1,-1,100 —
+    // flips at 4 adjacent pairs (16384,-16384), (-16384,32767),
+    // (32767,-32768), (1,-1); (0,16384) and (-32768,1)... (-32768,1):
+    // -32768*1 < 0 IS a flip; (-1,100) too -> count = 6
+    val f = Multimodal.wavZcr(
+      Seq((1L, fixture)).toDF("doc_id", "payload"),
+      "doc_id", "payload").head()
+    assert(f.getAs[Long]("n_crossings") == 6L, s"fixture zcr: $f")
+    // malformed rows are filtered, not thrown
+    assert(Multimodal.wavZcr(
+      Seq((1L, fixture.take(10))).toDF("doc_id", "payload"),
+      "doc_id", "payload").count() == 0L)
+  }
+
   test("malformed payloads null out, never throw") {
     def nulled(b: Array[Byte]): Boolean = decodeBytes(b).isNullAt(1)
     assert(nulled(fixture.take(10)))            // truncated header
