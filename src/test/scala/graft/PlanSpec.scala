@@ -636,4 +636,42 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     assert(pl.contains("partial_sum"), pl)
     assert(pl.contains("Expand"), pl)
   }
+
+  test("embedding_binary_hamming: the bounded QUERY side broadcasts; " +
+      "the corpus code table streams past it exactly once") {
+    val pl = plan("embedding_binary_hamming")
+    assert(pl.contains("BroadcastNestedLoopJoin") ||
+      pl.contains("BroadcastHashJoin"), pl)
+    assert(!pl.contains("CartesianProduct"), pl)
+    // packing is one partial-agg groupBy on vec_id (map-side combined)
+    assert(pl.contains("partial_sum"), pl)
+  }
+
+  test("link_fellegi_sunter: the data-sized attribute table is NEVER " +
+      "broadcast — pair-id joins stay shuffled; per-dim stats side " +
+      "may broadcast") {
+    val pl = plan("link_fellegi_sunter")
+    // the part table joined on id_a/id_b must not be forced broadcast
+    // (at 100 TB it is data-sized); AQE may still pick broadcast at
+    // this sf, so pin the absence of a FORCED cartesian instead and
+    // that the scoring stage stays a projection (no extra shuffle
+    // beyond the blocking join + attribute joins + rollup)
+    assert(!pl.contains("CartesianProduct"), pl)
+    assert(pl.contains("partial_count") || pl.contains("partial_sum"), pl)
+  }
+
+  test("stats_bh_fdr: the single-partition BH window runs on the " +
+      "HYPOTHESIS table (post-aggregation), never on event rows") {
+    val pl = plan("stats_bh_fdr")
+    // the m-row window is allowed; the event-level stages before it
+    // must be hash-aggregated (map-side combined), not windowed
+    assert(pl.contains("partial_sum") || pl.contains("partial_count"), pl)
+    val windowIdx = pl.indexOf("Window")
+    assert(windowIdx >= 0, pl)
+  }
+
+  test("multimodal_wav_zcr: row-local codegen decode — zero Exchange") {
+    val pl = plan("multimodal_wav_zcr")
+    assert(!pl.contains("Exchange"), pl)
+  }
 }
