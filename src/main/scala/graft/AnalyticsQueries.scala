@@ -1450,22 +1450,32 @@ object AnalyticsQueries {
     // ---- Benjamini–Hochberg FDR across per-event-type weekend-vs-
     // weekday value gaps: m simultaneous permutation tests (64
     // md5-deterministic relabelings each, the stats_permutation
-    // machinery), p̂ᵢ = (1+kᵢ)/65 exact rationals with a COMMON
+    // SHAPE but exact end to end — the |mean diff| statistic stays the
+    // integer-micro fraction num/den = |s1·n0 − s0·n1| / (n1·n0) and
+    // every stat-vs-observed comparison CROSS-MULTIPLIES, so unlike
+    // stats_permutation's audited round-6 form there is no double and
+    // no round anywhere). p̂ᵢ = (1+kᵢ)/65 exact rationals with a COMMON
     // denominator, and the step-up p̂₍ᵢ₎ ≤ (i/m)·q at q = 1/10 as the
-    // cross-multiplied integer comparison (1+k₍ᵢ₎)·m·10 ≤ i·65 — no
-    // division, no float thresholds. The weekend flag derives from
-    // EPOCH-DAY arithmetic ((days_since_1970 + 3) mod 7 ≥ 5), not
-    // dayofweek(), whose week-start convention differs across engines.
-    // Types with < 20 rows on either side of the OBSERVED split are
-    // excluded in both engines (a one-row side makes the mean gap
-    // noise, not a hypothesis) ----
+    // cross-multiplied integer comparison (1+k₍ᵢ₎)·m·10 ≤ i·65.
+    // The weekend flag derives from EPOCH-DAY arithmetic
+    // ((days_since_1970 + 3) mod 7 ≥ 5), not dayofweek(), whose
+    // week-start convention differs across engines. Types with < 20
+    // rows on either side of the OBSERVED split are excluded in both
+    // engines (a one-row side makes the mean gap noise, not a
+    // hypothesis). Int ceiling: num·den products cap at decimal(38,0)
+    // ≈ 10³⁸ — safe past 10¹² rows per type at micro scale ----
     Q("stats_bh_fdr",
       (s, dir) => {
+        val d38 = "decimal(38,0)"
         val ev = Sources.events(s, dir).select(
           col("event_id"), col("event_type"),
           (pmod(datediff(to_date(col("ts")),
             to_date(lit("1970-01-01"))) + 3, lit(7)) >= 5).as("wknd"),
-          col("value").cast("decimal(18,6)").as("vd"))
+          // exact integer MICROS from the start: the statistic and
+          // every comparison below stay scale-0 decimals — no double
+          // sum, no division, no round for an oracle to half-tie
+          (col("value").cast("decimal(18,6)") * 1000000)
+            .cast(d38).as("vmic"))
         val eligible = ev.groupBy(col("event_type"))
           .agg(sum(when(col("wknd"), 1L).otherwise(0L)).as("nw"),
             sum(when(col("wknd"), 0L).otherwise(1L)).as("nd"))
@@ -1473,26 +1483,35 @@ object AnalyticsQueries {
           .select(col("event_type"))
         // bounded side: the distinct event-type list, never data-sized
         val evf = ev.join(broadcast(eligible), Seq("event_type"))
-        def meanDiff(g1: org.apache.spark.sql.Column)
+        // |mean1 − mean0| as the exact fraction num/den:
+        // num = |s1·n0 − s0·n1|, den = n1·n0 — comparisons between two
+        // such fractions cross-multiply (num_b·den_o vs num_o·den_b)
+        def gapNum(g1: org.apache.spark.sql.Column)
             : org.apache.spark.sql.Column =
-          round(abs(
-            sum(when(g1, col("vd"))).cast("double") /
-              sum(when(g1, 1L).otherwise(0L)) -
-            sum(when(!g1, col("vd"))).cast("double") /
-              sum(when(!g1, 1L).otherwise(0L))), 6)
+          abs(sum(when(g1, col("vmic"))).cast(d38) *
+              sum(when(!g1, lit(1L)).otherwise(0L)) -
+            sum(when(!g1, col("vmic"))).cast(d38) *
+              sum(when(g1, lit(1L)).otherwise(0L)))
+        def gapDen(g1: org.apache.spark.sql.Column)
+            : org.apache.spark.sql.Column =
+          (sum(when(g1, lit(1L)).otherwise(0L)) *
+            sum(when(!g1, lit(1L)).otherwise(0L))).cast(d38)
         val obs = evf.groupBy(col("event_type"))
-          .agg(meanDiff(col("wknd")).as("stat_obs"))
+          .agg(gapNum(col("wknd")).as("num_o"),
+            gapDen(col("wknd")).as("den_o"))
         val perms = evf.crossJoin(
             evf.sparkSession.range(0, 64).select(col("id").as("b")))
           .withColumn("lbl", graft.operators.Curation.hashBucket(
             concat(col("event_id").cast("string"), lit("_"),
               col("b").cast("string")), 2))
           .groupBy(col("event_type"), col("b"))
-          .agg(meanDiff(col("lbl") === 0).as("stat"))
+          .agg(gapNum(col("lbl") === 0).as("num_b"),
+            gapDen(col("lbl") === 0).as("den_b"))
         val scored = perms.join(obs, Seq("event_type"))
           .groupBy(col("event_type"))
-          .agg(sum(when(col("stat") >= col("stat_obs"), 1L)
-            .otherwise(0L)).as("k"))
+          .agg(sum(when(
+            col("num_b") * col("den_o") >= col("num_o") * col("den_b"),
+            1L).otherwise(0L)).as("k"))
         graft.operators.RobustStats.bhReject(scored, "event_type", "k",
           bPerm = 64, qNum = 1, qDen = 10)
       },
@@ -1500,7 +1519,8 @@ object AnalyticsQueries {
           SELECT event_id, event_type,
             (datediff('day', DATE '1970-01-01', ts::DATE) + 3) % 7 >= 5
               AS wknd,
-            CAST(value AS DECIMAL(18,6)) AS vd
+            (CAST(value AS DECIMAL(18,6)) * 1000000)::DECIMAL(38,0)
+              AS vmic
           FROM events),
         elig AS (
           SELECT event_type FROM ev GROUP BY 1
@@ -1508,30 +1528,36 @@ object AnalyticsQueries {
              AND sum(CASE WHEN wknd THEN 0 ELSE 1 END) >= 20),
         evf AS (SELECT ev.* FROM ev JOIN elig USING (event_type)),
         obs AS (
-          SELECT event_type, round(abs(
-            CAST(sum(CASE WHEN wknd THEN vd END) AS DOUBLE) /
-              sum(CASE WHEN wknd THEN 1 ELSE 0 END) -
-            CAST(sum(CASE WHEN NOT wknd THEN vd END) AS DOUBLE) /
-              sum(CASE WHEN NOT wknd THEN 1 ELSE 0 END)), 6) AS stat_obs
+          SELECT event_type,
+            abs(sum(CASE WHEN wknd THEN vmic END)::DECIMAL(38,0) *
+                sum(CASE WHEN NOT wknd THEN 1 ELSE 0 END) -
+              sum(CASE WHEN NOT wknd THEN vmic END)::DECIMAL(38,0) *
+                sum(CASE WHEN wknd THEN 1 ELSE 0 END)) AS num_o,
+            (sum(CASE WHEN wknd THEN 1 ELSE 0 END) *
+              sum(CASE WHEN NOT wknd THEN 1 ELSE 0 END))::DECIMAL(38,0)
+              AS den_o
           FROM evf GROUP BY 1),
         bs AS (SELECT unnest(range(0, 64)) AS b),
         p AS (
           SELECT event_type, b,
             ('0x' || substr(md5(event_id::VARCHAR || '_' ||
               b::VARCHAR), 1, 8))::BIGINT % 2 AS lbl,
-            vd
+            vmic
           FROM evf CROSS JOIN bs),
         st AS (
-          SELECT event_type, b, round(abs(
-            CAST(sum(CASE WHEN lbl = 0 THEN vd END) AS DOUBLE) /
-              sum(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) -
-            CAST(sum(CASE WHEN lbl = 1 THEN vd END) AS DOUBLE) /
-              sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END)), 6) AS stat
+          SELECT event_type, b,
+            abs(sum(CASE WHEN lbl = 0 THEN vmic END)::DECIMAL(38,0) *
+                sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END) -
+              sum(CASE WHEN lbl = 1 THEN vmic END)::DECIMAL(38,0) *
+                sum(CASE WHEN lbl = 0 THEN 1 ELSE 0 END)) AS num_b,
+            (sum(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) *
+              sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END))::DECIMAL(38,0)
+              AS den_b
           FROM p GROUP BY 1, 2),
         ks AS (
           SELECT st.event_type,
-            sum(CASE WHEN stat >= stat_obs THEN 1 ELSE 0 END)::BIGINT
-              AS k
+            sum(CASE WHEN num_b * den_o >= num_o * den_b
+              THEN 1 ELSE 0 END)::BIGINT AS k
           FROM st JOIN obs USING (event_type) GROUP BY 1),
         rk AS (
           SELECT event_type, k,
