@@ -962,6 +962,64 @@ object AnalyticsQueries {
          AND date_diff('day', b.day, a.day) = 7
         GROUP BY 1""")),
 
+    // ---- MASE for the seasonal-naive backtest: MAE(lag-7 forecast)
+    // scaled by MAE(lag-1 naive) — the scale-free "is seasonality
+    // worth anything here" verdict (MASE < 1 = beats the naive walk).
+    // Kept EXACT as the integer fraction pair
+    // mase = (sae7·n1) / (sae1·n7) — absolute-error sums and eval
+    // counts are integers, so no division, no round, and the verdict
+    // is the cross-multiplied compare. den = 0 (constant series) reads
+    // as not-beaten, identically in both engines ----
+    Q("events_forecast_mase",
+      (s, dir) => {
+        val d38 = "decimal(38,0)"
+        val daily = Sources.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("DAY", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("x"))
+        def lagged(k: Int) = daily.join(
+            daily.select(col("event_type").as("__et"),
+              col("day").as("pday"), col("x").as("xk")),
+            col("event_type") === col("__et") &&
+              datediff(col("day"), col("pday")) === k)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as(s"n$k"),
+            sum(abs(col("x") - col("xk"))).as(s"sae$k"))
+        lagged(7).join(lagged(1), Seq("event_type"))
+          .select(col("event_type"), col("n7"), col("n1"),
+            col("sae7"), col("sae1"),
+            graft.functions.Exact.bigint(
+              col("sae7").cast(d38) * col("n1")).as("mase_num"),
+            graft.functions.Exact.bigint(
+              col("sae1").cast(d38) * col("n7")).as("mase_den"),
+            (col("sae7").cast(d38) * col("n1") <
+              col("sae1").cast(d38) * col("n7")).as("beats_naive1"))
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, date_trunc('day', ts)::DATE AS day,
+            count(*) AS x
+          FROM events GROUP BY 1, 2),
+        a7 AS (
+          SELECT a.event_type, count(*)::BIGINT AS n7,
+            sum(abs(a.x - b.x))::BIGINT AS sae7
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type
+           AND date_diff('day', b.day, a.day) = 7
+          GROUP BY 1),
+        a1 AS (
+          SELECT a.event_type, count(*)::BIGINT AS n1,
+            sum(abs(a.x - b.x))::BIGINT AS sae1
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type
+           AND date_diff('day', b.day, a.day) = 1
+          GROUP BY 1)
+        SELECT event_type, n7, n1, sae7, sae1,
+          (sae7::DECIMAL(38,0) * n1)::BIGINT AS mase_num,
+          (sae1::DECIMAL(38,0) * n7)::BIGINT AS mase_den,
+          sae7::DECIMAL(38,0) * n1 < sae1::DECIMAL(38,0) * n7
+            AS beats_naive1
+        FROM a7 JOIN a1 USING (event_type)""")),
+
     // ---- the full rank family in one pass (rank / dense_rank /
     // percent_rank / cume_dist) — tie-PRESERVING semantics, identical
     // in both engines; ratios are single integer-derived divisions ----
