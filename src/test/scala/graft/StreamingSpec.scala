@@ -759,8 +759,8 @@ class RegistrySpec extends AnyFunSuite with SparkTester {
             CurationStream.SsSnapshot]).collect()
       // batch-1 snapshot was emitted too (state visibly crossed the
       // boundary), final snapshot = rows at the max processed count
-      assert(rows.map(_.shard_processed).toSet == Set(19L, 38L))
-      val fin = rows.filter(_.shard_processed == 38L)
+      assert(rows.map(_.shard_processed).toSet == Set(19L, 36L))
+      val fin = rows.filter(_.shard_processed == 36L)
         .map(e => (e.value, e.est, e.err)).toSet
       val ref = CurationStream.spaceSavingBatches(
           Seq(b1, b2), m = 3, shards = 1)
