@@ -7894,6 +7894,70 @@ object CurationQueries {
         FROM toks, (SELECT unnest(range(0, 8)) AS i) g
         WHERE i * 12 < len(t)""")),
 
+    // role-sequence FSM validation — the structural gate before
+    // rendering: starts user / ends assistant / strict alternation /
+    // no blank turns, with violation COUNTS beside the booleans. The
+    // derived turns alternate by construction, so two corpus slices
+    // are deterministically CORRUPTED in both engines (the
+    // crawl_robots pattern): id%5 forces a role repeat at turn 1,
+    // id%7 blanks turn 0 — the validator has real violations to price
+    Q("chat_validate",
+      (s, dir) => {
+        val turns = ChatData.deriveTurns(
+          Sources.table(s, dir, "documents"), "doc_id", "text",
+          wordsPerTurn = 12, maxTurns = 8)
+          .select(col("conv_id"), col("turn_idx"),
+            when(col("conv_id") % 5 === 0 && col("turn_idx") === 1,
+              lit("user")).otherwise(col("role")).as("role"),
+            when(col("conv_id") % 7 === 0 && col("turn_idx") === 0,
+              lit("")).otherwise(col("content")).as("content"))
+        ChatData.validateTurns(turns, "conv_id", "turn_idx", "role",
+          "content")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '),
+            x -> x <> '') AS t
+          FROM documents),
+        ct AS (
+          SELECT doc_id AS conv_id, CAST(i AS INTEGER) AS turn_idx,
+            CASE WHEN doc_id % 5 = 0 AND i = 1 THEN 'user'
+              WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+            CASE WHEN doc_id % 7 = 0 AND i = 0 THEN ''
+              ELSE array_to_string(t[i*12+1 : i*12+12], ' ') END
+              AS content
+          FROM toks, (SELECT unnest(range(0, 8)) AS i) g
+          WHERE i * 12 < len(t)),
+        v AS (
+          SELECT conv_id, max(turn_idx) AS mx,
+            count(*)::BIGINT AS n_turns,
+            sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END)::BIGINT
+              AS n_blank_turns
+          FROM ct GROUP BY 1),
+        rep AS (
+          SELECT a.conv_id,
+            sum(CASE WHEN a.role = b.role THEN 1 ELSE 0 END)::BIGINT
+              AS n_rep
+          FROM ct a JOIN ct b
+            ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+          GROUP BY 1),
+        fl AS (
+          SELECT v.conv_id, v.n_turns, v.n_blank_turns,
+            coalesce(rep.n_rep, 0)::BIGINT AS n_role_repeats,
+            (SELECT role FROM ct
+              WHERE ct.conv_id = v.conv_id AND ct.turn_idx = 0)
+              AS first_role,
+            (SELECT role FROM ct
+              WHERE ct.conv_id = v.conv_id AND ct.turn_idx = v.mx)
+              AS last_role
+          FROM v LEFT JOIN rep USING (conv_id))
+        SELECT conv_id, n_turns,
+          first_role = 'user' AS starts_user,
+          last_role = 'assistant' AS ends_assistant,
+          n_role_repeats, n_blank_turns,
+          first_role = 'user' AND last_role = 'assistant'
+            AND n_role_repeats = 0 AND n_blank_turns = 0 AS valid
+        FROM fl""")),
+
     // ChatML render + the loss-mask stats an SFT packer needs
     // (assistant-span code points vs total); zero-turn conversations
     // are dropped on both sides (nothing to train on)

@@ -74,6 +74,43 @@ object ChatData {
       .withColumn("rendered_cp", length(col("rendered")).cast("long"))
   }
 
+  /** Role-sequence FSM validation over turn rows — the structural
+    * gate an SFT assembler runs before rendering: a conversation must
+    * start with "user", end with "assistant", strictly alternate
+    * (no adjacent equal roles), and carry no blank turns. Emits the
+    * per-check booleans AND the violation counts (the release-blocker
+    * detail), so a pipeline can gate on `valid` and report on the
+    * rest.
+    *
+    * Scale shape: one groupBy on the conversation id; each group folds
+    * to a single sorted array bounded by the turn cap — no window, no
+    * self-join, and the fold is a codegen'd array aggregate. */
+  def validateTurns(df: DataFrame, convCol: String, idxCol: String,
+      roleCol: String, contentCol: String): DataFrame = {
+    val ts = col("__ts")
+    df.groupBy(col(convCol))
+      .agg(sort_array(collect_list(struct(
+        col(idxCol).cast("int").as("i"),
+        col(roleCol).as("r"),
+        col(contentCol).as("c")))).as("__ts"))
+      .select(col(convCol),
+        size(ts).cast("long").as("n_turns"),
+        (element_at(ts, 1).getField("r") === "user").as("starts_user"),
+        (element_at(ts, -1).getField("r") === "assistant")
+          .as("ends_assistant"),
+        when(size(ts) > 1,
+          aggregate(sequence(lit(1), size(ts) - 1), lit(0L), (acc, i) =>
+            acc + when(element_at(ts, i).getField("r") ===
+              element_at(ts, i + 1).getField("r"), 1L).otherwise(0L)))
+          .otherwise(0L).as("n_role_repeats"),
+        aggregate(ts, lit(0L), (acc, t) =>
+          acc + when(trim(t.getField("c")) === "", 1L).otherwise(0L))
+          .as("n_blank_turns"))
+      .withColumn("valid",
+        col("starts_user") && col("ends_assistant") &&
+          col("n_role_repeats") === 0 && col("n_blank_turns") === 0)
+  }
+
   /** Preference-pair construction (the DPO/RLHF dataset shape): within
     * each group, chosen = highest-scoring row, rejected = lowest (both
     * tie-broken on id for a total order), emitted with the score

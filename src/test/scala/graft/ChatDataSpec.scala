@@ -75,4 +75,36 @@ class ChatDataSpec extends AnyFunSuite with SparkTester {
     assert(p.getAs[Long]("rejected_id") == 8L)
     assert(p.getAs[Long]("margin") == 4L)
   }
+
+  test("validateTurns: each FSM rule fails independently; counts " +
+      "match the planted violations") {
+    val turns = spark.createDataFrame(Seq(
+      // c1: valid two-turn conversation
+      (1L, 0, "user", "hi"), (1L, 1, "assistant", "hello"),
+      // c2: role repeat at turns 1-2, still ends assistant
+      (2L, 0, "user", "a"), (2L, 1, "user", "b"),
+      (2L, 2, "assistant", "c"),
+      // c3: blank turn content (whitespace only)
+      (3L, 0, "user", "  "), (3L, 1, "assistant", "ok"),
+      // c4: ends with user
+      (4L, 0, "user", "q"), (4L, 1, "assistant", "a"),
+      (4L, 2, "user", "follow-up"),
+      // c5: single turn — fails ends_assistant only
+      (5L, 0, "user", "just me")
+    )).toDF("conv_id", "turn_idx", "role", "content")
+    val got = ChatData.validateTurns(
+        turns, "conv_id", "turn_idx", "role", "content")
+      .collect().map(r => r.getAs[Long]("conv_id") -> r).toMap
+    def f(id: Long) = {
+      val r = got(id)
+      (r.getAs[Boolean]("starts_user"), r.getAs[Boolean]("ends_assistant"),
+        r.getAs[Long]("n_role_repeats"), r.getAs[Long]("n_blank_turns"),
+        r.getAs[Boolean]("valid"))
+    }
+    assert(f(1L) === ((true, true, 0L, 0L, true)))
+    assert(f(2L) === ((true, true, 1L, 0L, false)))
+    assert(f(3L) === ((true, true, 0L, 1L, false)))
+    assert(f(4L) === ((true, false, 0L, 0L, false)))
+    assert(f(5L) === ((true, false, 0L, 0L, false)))
+  }
 }
