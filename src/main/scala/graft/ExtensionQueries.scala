@@ -2012,6 +2012,56 @@ object SimilarityQueries {
           round(coalesce(h.n_hits, 0)::DOUBLE / ex.n_exact, 6) AS recall
         FROM ex LEFT JOIN hits h USING (q_id)""")),
 
+    // INCREMENTAL index maintenance — the IVF twin of
+    // dedup_incremental: the vec_id%7 slice arrives as a NEW batch and
+    // is assigned to the EXISTING at-rest cells (no retraining, the
+    // production between-rebuilds path); each cell reports rest/new
+    // populations and the cross-multiplied >20%-growth rebalance flag.
+    // Centroids come from the REST slice only, so the new batch never
+    // influences the quantizer it is audited against
+    Q("simsearch_ivf_incremental",
+      (s, dir) => {
+        val emb = Sources.table(s, dir, "embeddings")
+        val rest = emb.filter(col("vec_id") % 7 =!= 0)
+        val newb = emb.filter(col("vec_id") % 7 === 0)
+        Similarity.ivfIncrementalAudit(rest, newb, "embedding",
+          rest.filter(col("vec_id") % 50 === 0)
+            .select(col("vec_id"), col("embedding")),
+          growNum = 1, growDen = 5)
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        rest AS (SELECT * FROM e WHERE vec_id % 7 <> 0),
+        newb AS (SELECT * FROM e WHERE vec_id % 7 = 0),
+        cent AS (
+          SELECT vec_id AS cent_id, i, v FROM rest
+          WHERE vec_id % 50 = 0),
+        dr AS (
+          SELECT a.vec_id, c.cent_id,
+            round(sum((a.v - c.v) * (a.v - c.v)), 9) AS d2
+          FROM rest a JOIN cent c ON a.i = c.i GROUP BY 1, 2),
+        ar AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+            FROM dr) x WHERE rn = 1),
+        dn AS (
+          SELECT a.vec_id, c.cent_id,
+            round(sum((a.v - c.v) * (a.v - c.v)), 9) AS d2
+          FROM newb a JOIN cent c ON a.i = c.i GROUP BY 1, 2),
+        an AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+            FROM dn) x WHERE rn = 1),
+        cr AS (SELECT cell, count(*)::BIGINT AS n_rest FROM ar GROUP BY 1),
+        cn AS (SELECT cell, count(*)::BIGINT AS n_new FROM an GROUP BY 1)
+        SELECT cr.cell, n_rest, coalesce(n_new, 0)::BIGINT AS n_new,
+          coalesce(n_new, 0) * 5 > n_rest * 1 AS needs_rebalance
+        FROM cr LEFT JOIN cn USING (cell)""")),
+
     // IVF (bucketed) search — the scale path. Fully deterministic (rounded
     // distances + id tie-breaks), so the whole pipeline — assignment,
     // probing, in-cell ranking — is mirrored in SQL and hash-checked

@@ -438,6 +438,36 @@ object Similarity {
       .select(col("vec_id"), col("e"), col("best.cent_id").as("cell"))
   }
 
+  /** INCREMENTAL index maintenance audit — the IVF twin of
+    * `dedup_incremental`'s corpus-at-rest admission: a NEW batch is
+    * assigned to the EXISTING cells (same deterministic 9-dp
+    * squared-L2 + centroid-id tie-break — NO retraining, exactly what
+    * a production index does between rebuilds), and each cell reports
+    * its at-rest population, its incoming count, and whether incoming
+    * growth crossed the rebalance threshold (`n_new·den > n_rest·num`
+    * cross-multiplied — the "this cell needs a split / the quantizer
+    * needs retraining" signal).
+    *
+    * Scale shape: two [[assignCells]] passes (centroids broadcast —
+    * bounded by the cell count), two map-side-combinable counts, one
+    * cell-keyed join of two cell-sized tables. Every cell has at
+    * least its own centroid at rest, so the new side left-joins. */
+  def ivfIncrementalAudit(rest: DataFrame, newBatch: DataFrame,
+      vecCol: String, centroids: DataFrame,
+      growNum: Int = 1, growDen: Int = 5): DataFrame = {
+    require(growNum >= 1 && growDen >= 1,
+      s"need positive growth fraction, got $growNum/$growDen")
+    val cr = assignCells(rest, centroids, vecCol)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_rest"))
+    val cn = assignCells(newBatch, centroids, vecCol)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_new"))
+    cr.join(cn, Seq("cell"), "left")
+      .select(col("cell"), col("n_rest"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("needs_rebalance",
+        col("n_new") * growDen > col("n_rest") * growNum)
+  }
+
   /** Two-level hierarchical assignment — "IVF-probe the centroids
     * themselves": the scale fix for flat n×k assignment when k grows
     * with the corpus (SemDeDup holds cluster size constant, so

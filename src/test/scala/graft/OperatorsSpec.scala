@@ -2286,6 +2286,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
     assert(c.toSeq == Seq(0L, 0L))
   }
 
+  test("ivfIncrementalAudit: new batch assigns to existing cells " +
+      "without retraining; rebalance flag is the exact cross-multiply") {
+    import spark.implicits._
+    def d(vs: (Long, Float)*) =
+      vs.map { case (id, x) => (id, Seq(x)) }.toDF("vec_id", "embedding")
+    // cells: centroid 1 at 0.0 (rest members 1,3,4,5), centroid 2 at
+    // 10.0 (rest members 2,6); both new vectors land in cell 2
+    val rest = d(1L -> 0.0f, 2L -> 10.0f, 3L -> 0.5f, 4L -> 0.8f,
+      5L -> 1.2f, 6L -> 9.5f)
+    val newb = d(7L -> 9.9f, 8L -> 8.7f)
+    val cents = d(1L -> 0.0f, 2L -> 10.0f)
+    val got = graft.operators.Similarity.ivfIncrementalAudit(
+        rest, newb, "embedding", cents, growNum = 1, growDen = 5)
+      .collect().map(r => r.getAs[Long]("cell") ->
+        (r.getAs[Long]("n_rest"), r.getAs[Long]("n_new"),
+          r.getAs[Boolean]("needs_rebalance"))).toMap
+    assert(got(1L) === (4L, 0L, false))     // 0*5 > 4 is false
+    assert(got(2L) === (2L, 2L, true))      // 2*5 > 2 is true
+  }
+
   test("binaryHammingTopK: hand-packed words, exact Hamming ranks, " +
       "mean-tie bits to zero, self excluded") {
     import spark.implicits._
