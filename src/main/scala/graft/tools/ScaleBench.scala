@@ -720,6 +720,32 @@ object ScaleBench {
       fact.unpersist()
     }
 
+    // binary quantization + Hamming top-k over a factor× vector corpus:
+    // packing must scale linearly (explode + bounded stats broadcast +
+    // one groupBy), and the brute top-k prices the declared-verifier
+    // scan so the SimHash-banding scale path has a measured baseline to
+    // beat. Replicas perturb one dimension per rep so packed words
+    // differ across replicas (identical vectors would make the top-k
+    // degenerate-tie and un-representative).
+    if (runExt && want("binary_hamming")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val reps = spark.range(0, factor).toDF("rep")
+      val fat = emb.crossJoin(reps)
+        .select((col("vec_id") * factor + col("rep")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x + when(i === pmod(col("rep"), lit(64)),
+              col("rep").cast("float") / 100).otherwise(lit(0.0f)))
+              .cast("float")).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cnt("binary_hamming_vecs") = fat.count()
+      timed("binary_hamming") {
+        graft.operators.Similarity.binaryHammingTopK(
+          fat, "vec_id", "embedding", col("vid") < 16, k = 10).count()
+      }
+      fat.unpersist()
+    }
+
     val times = t.map { case (k, v) =>
       "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.US, v)
     }.mkString("{", ",", "}")
