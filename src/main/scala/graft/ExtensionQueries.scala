@@ -2522,6 +2522,48 @@ object SimilarityQueries {
             / count(*), 6) AS m
         FROM e GROUP BY label, i""")),
 
+    // cluster-vs-label purity — "do my cells mean anything" in exact
+    // integers beside the floating silhouette/DB scores: per id-sampled
+    // cell, majority label (ties to the smaller label via one
+    // struct-max, no member window), its count, 2·top > n verdict;
+    // purity stays the top_count/n_members fraction — no division
+    Q("embedding_cluster_purity",
+      (s, dir) => {
+        val emb = Sources.table(s, dir, "embeddings")
+        Similarity.clusterLabelPurity(emb, "embedding", "label",
+          emb.filter(col("vec_id") % 50 === 0)
+            .select(col("vec_id"), col("embedding")))
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        cent AS (SELECT vec_id AS cent_id, i, v FROM e
+          WHERE vec_id % 50 = 0),
+        d2a AS (
+          SELECT a.vec_id, c.cent_id,
+            round(sum((a.v - c.v) * (a.v - c.v)), 9) AS d2
+          FROM e a JOIN cent c ON a.i = c.i GROUP BY 1, 2),
+        assign AS (
+          SELECT vec_id, cent_id AS cell FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+            FROM d2a) t WHERE rn = 1),
+        lab AS (SELECT DISTINCT vec_id, label FROM embeddings),
+        cnts AS (
+          SELECT cell, label, count(*)::BIGINT AS c
+          FROM assign JOIN lab USING (vec_id) GROUP BY 1, 2),
+        best AS (
+          SELECT cell, label AS top_label, c AS top_count FROM (
+            SELECT cell, label, c, row_number() OVER (
+              PARTITION BY cell ORDER BY c DESC, label ASC) AS rn
+            FROM cnts) x WHERE rn = 1),
+        tot AS (
+          SELECT cell, sum(c)::BIGINT AS n_members FROM cnts GROUP BY 1)
+        SELECT cell, n_members, CAST(top_label AS INTEGER) AS top_label,
+          top_count, top_count * 2 > n_members AS majority_pure
+        FROM tot JOIN best USING (cell)""")),
+
     // embedding outlier audit: cosine of each vector to its own label's
     // mean embedding (exact-decimal centroid, index-ordered fold dot /
     // norms mirrored by DuckDB ordered sums), low-cosine rows flagged —
@@ -5086,6 +5128,39 @@ object TextQueries {
         LEFT JOIN tagg USING (doc_id)
         LEFT JOIN (SELECT doc_id, cover FROM t1 WHERE rn = 1) tt
           USING (doc_id)""")),
+
+    // Flesch reading-ease in exact integers: score = the fraction
+    // (206835·s·w − 1015·w² − 84600·syl·s) / (1000·s·w) — the formula
+    // multiplied through so no division or float survives; grade
+    // buckets cross-multiply. Syllables = vowel-group runs (the
+    // deterministic proxy both engines compute identically); counts
+    // floor at 1 so degenerate docs stay defined. Per-row projection
+    Q("text_readability",
+      (s, dir) => TextAnalysis.readability(
+        Sources.table(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH c AS (
+          SELECT doc_id,
+            greatest(1, len(list_filter(string_split_regex(text, '\s+'),
+              x -> x <> '')))::BIGINT AS w,
+            greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+              ::BIGINT AS s,
+            greatest(1, len(regexp_extract_all(lower(text),
+              '[aeiouy]+')))::BIGINT AS syl
+          FROM documents),
+        f AS (
+          SELECT doc_id, w AS n_words, s AS n_sentences,
+            syl AS n_syllables,
+            (206835 * s * w - 1015 * w * w - 84600 * syl * s)::BIGINT
+              AS flesch_num,
+            (1000 * s * w)::BIGINT AS flesch_den
+          FROM c)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+          flesch_num, flesch_den,
+          CASE WHEN flesch_num >= flesch_den * 90 THEN 'very_easy'
+               WHEN flesch_num >= flesch_den * 60 THEN 'standard'
+               WHEN flesch_num >= flesch_den * 30 THEN 'difficult'
+               ELSE 'very_difficult' END AS grade_bucket
+        FROM f""")),
 
     Q("text_tokens",
       (s, dir) => TextAnalysis.tokenCounts(

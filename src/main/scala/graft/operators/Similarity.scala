@@ -438,6 +438,32 @@ object Similarity {
       .select(col("vec_id"), col("e"), col("best.cent_id").as("cell"))
   }
 
+  /** Cluster-vs-label PURITY audit — the "do my cells mean anything"
+    * check beside silhouette/Davies-Bouldin, exact where those are
+    * floating: per cell, the majority label, its count, and the
+    * 2·top > n majority verdict — all integers (purity itself is the
+    * top_count/n_members fraction the caller can aggregate without a
+    * division ever happening in-engine). Majority ties break to the
+    * SMALLER label via a single struct-max — map-side combinable, no
+    * window over members. */
+  def clusterLabelPurity(df: DataFrame, vecCol: String, labelCol: String,
+      centroids: DataFrame): DataFrame = {
+    val assigned = assignCells(df, centroids, vecCol)
+      .select(col("vec_id"), col("cell"))
+      .join(df.select(col("vec_id"), col(labelCol).as("__lab")),
+        Seq("vec_id"))
+    val counts = assigned.groupBy(col("cell"), col("__lab"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("cell"))
+      .agg(sum(col("c")).as("n_members"),
+        max(struct(col("c"), (-col("__lab")).as("nl"))).as("__best"))
+      .select(col("cell"), col("n_members"),
+        (-col("__best.nl")).cast("int").as("top_label"),
+        col("__best.c").as("top_count"))
+      .withColumn("majority_pure",
+        col("top_count") * 2 > col("n_members"))
+  }
+
   /** INCREMENTAL index maintenance audit — the IVF twin of
     * `dedup_incremental`'s corpus-at-rest admission: a NEW batch is
     * assigned to the EXISTING cells (same deterministic 9-dp

@@ -280,6 +280,43 @@ object TextAnalysis {
       size(array_distinct(toks)).as("n_distinct_tokens"))
   }
 
+  /** Flesch reading-ease in EXACT integer algebra: the classic
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    * multiplied through by 1000·s·w, so the score is the integer
+    * fraction flesch_num / flesch_den =
+    * (206835·s·w − 1015·w² − 84600·syl·s) / (1000·s·w) and the grade
+    * bucket is a cross-multiplied compare — no division, no float.
+    * Syllables are vowel-GROUP counts ([aeiouy]+ runs on the lowered
+    * text): a deterministic proxy both engines compute identically,
+    * which is the point — this row prices the SHAPE of a readability
+    * gate, not dictionary-perfect hyphenation. Counts floor at 1 so
+    * empty/degenerate docs stay defined (and identical) in both
+    * engines. Pure per-row projection: scales with the scan. */
+  def readability(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val w = greatest(lit(1L), size(Cleaning.tokens(col(textCol)))
+      .cast("long"))
+    val s = greatest(lit(1L), size(regexp_extract_all(col(textCol),
+      lit("[.!?]+"), lit(0))).cast("long"))
+    val syl = greatest(lit(1L), size(regexp_extract_all(
+      lower(col(textCol)), lit("[aeiouy]+"), lit(0))).cast("long"))
+    df.select(col(idCol), w.as("n_words"), s.as("n_sentences"),
+        syl.as("n_syllables"))
+      .withColumn("flesch_num",
+        lit(206835L) * col("n_sentences") * col("n_words") -
+          lit(1015L) * col("n_words") * col("n_words") -
+          lit(84600L) * col("n_syllables") * col("n_sentences"))
+      .withColumn("flesch_den",
+        lit(1000L) * col("n_sentences") * col("n_words"))
+      .withColumn("grade_bucket",
+        when(col("flesch_num") >= col("flesch_den") * 90, lit("very_easy"))
+          .when(col("flesch_num") >= col("flesch_den") * 60,
+            lit("standard"))
+          .when(col("flesch_num") >= col("flesch_den") * 30,
+            lit("difficult"))
+          .otherwise(lit("very_difficult")))
+  }
+
   /** Tokenizer FERTILITY per group (usually language): subword tokens
     * per whitespace word and characters per subword token — the
     * statistics that decide tokenizer/vocabulary fit per language

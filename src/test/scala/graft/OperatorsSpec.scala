@@ -2286,6 +2286,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
     assert(c.toSeq == Seq(0L, 0L))
   }
 
+  test("clusterLabelPurity: majority label with smaller-label ties, " +
+      "exact counts, 2*top > n verdict") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(0.0f), 0), (3L, Seq(0.3f), 0), (4L, Seq(0.6f), 1),
+      (2L, Seq(10.0f), 5), (6L, Seq(9.5f), 5),
+      (7L, Seq(9.7f), 3), (8L, Seq(9.9f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Seq((1L, Seq(0.0f)), (2L, Seq(10.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.clusterLabelPurity(
+        emb, "embedding", "label", cents)
+      .collect().map(r => r.getAs[Long]("cell") ->
+        (r.getAs[Long]("n_members"), r.getAs[Int]("top_label"),
+          r.getAs[Long]("top_count"), r.getAs[Boolean]("majority_pure")))
+      .toMap
+    assert(got(1L) === (3L, 0, 2L, true))
+    // cell 2: labels {5: 2, 3: 2} — tie breaks to the SMALLER label,
+    // and 2*2 > 4 is false (exactly half is not a majority)
+    assert(got(2L) === (4L, 3, 2L, false))
+  }
+
   test("ivfIncrementalAudit: new batch assigns to existing cells " +
       "without retraining; rebalance flag is the exact cross-multiply") {
     import spark.implicits._
@@ -2675,6 +2697,31 @@ class BpeSpec extends AnyFunSuite with SparkTester {
 
 class TextAnalysisSpec extends AnyFunSuite with SparkTester {
   import spark.implicits._
+
+  test("readability: exact Flesch fraction on a hand-counted doc; " +
+      "degenerate doc floors at 1 and stays defined") {
+    // "The cat sat. It ran!": w=5 tokens, s=2 punctuation runs,
+    // syl=5 vowel groups (e,a,a,i,a)
+    // num = 206835*2*5 - 1015*25 - 84600*5*2 = 1196975; den = 10000
+    // -> score 119.7 >= 90 -> very_easy
+    val df = Seq((1L, "The cat sat. It ran!"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_words") == 5L)
+    assert(r1.getAs[Long]("n_sentences") == 2L)
+    assert(r1.getAs[Long]("n_syllables") == 5L)
+    assert(r1.getAs[Long]("flesch_num") == 1196975L)
+    assert(r1.getAs[Long]("flesch_den") == 10000L)
+    assert(r1.getAs[String]("grade_bucket") == "very_easy")
+    // empty text: every count floors at 1, bucket well-defined
+    val r2 = got(2L)
+    assert(r2.getAs[Long]("n_words") == 1L &&
+      r2.getAs[Long]("n_sentences") == 1L &&
+      r2.getAs[Long]("n_syllables") == 1L)
+    assert(r2.getAs[Long]("flesch_den") == 1000L)
+  }
 
   test("bm25 search: docs hitting more/rarer query terms rank higher, " +
       "misses absent entirely") {
