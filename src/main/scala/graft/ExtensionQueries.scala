@@ -9412,6 +9412,66 @@ object GraphQueries {
     // practice). Degree orientation bounds wedge fan-out by O(√m);
     // exact integer counting, so the oracle replays the
     // orient→wedge→close algebra row-for-row
+    // k-truss: the EDGE-strength community core beside graph_kcore's
+    // node peeling — an edge survives iff ≥ k−2 triangles among
+    // SURVIVING edges reinforce it, re-peeled for a bounded round
+    // count the oracle unrolls (the kCorePeel contract). Same
+    // supplier-projection graph as graph_triangles; k = 4, 2 rounds,
+    // final support recounted on the survivors
+    Q("graph_ktruss",
+      (s, dir) => {
+        val os = Sources.table(s, dir, "orders")
+          .join(Sources.table(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("l_suppkey").as("sv"))
+          .distinct()
+        val pairs = os.as("a").join(os.as("b"),
+            col("a.ok") === col("b.ok") && col("a.sv") < col("b.sv"))
+          .groupBy(col("a.sv").as("src"), col("b.sv").as("dst"))
+          .agg(count(lit(1)).as("__w"))
+          .filter(col("__w") >= 5)
+          .select(col("src"), col("dst"))
+        Graph.kTrussPeel(pairs, "src", "dst", k = 4, rounds = 2)
+      },
+      Some {
+        val rounds = 2
+        val kk = 4
+        val roundCtes = (0 until rounds).map { t =>
+          s"""adj$t AS (
+            SELECT u AS x, v AS w FROM e$t
+            UNION ALL SELECT v, u FROM e$t),
+          s$t AS (
+            SELECT e.u, e.v, count(*) AS sup
+            FROM e$t e JOIN adj$t a1 ON a1.x = e.u
+            JOIN adj$t a2 ON a2.x = e.v AND a1.w = a2.w
+            GROUP BY 1, 2),
+          e${t + 1} AS (
+            SELECT e.u, e.v FROM e$t e
+            LEFT JOIN s$t s ON e.u = s.u AND e.v = s.v
+            WHERE coalesce(s.sup, 0) >= ${kk - 2})"""
+        }.mkString(",\n")
+        s"""WITH os AS (
+            SELECT DISTINCT o_orderkey AS ok, l_suppkey AS s
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          e0 AS (
+            SELECT u, v FROM (
+              SELECT a.s AS u, b.s AS v, count(*) AS w
+              FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+              GROUP BY 1, 2) wp
+            WHERE w >= 5),
+          $roundCtes,
+          adjF AS (
+            SELECT u AS x, v AS w FROM e$rounds
+            UNION ALL SELECT v, u FROM e$rounds),
+          sF AS (
+            SELECT e.u, e.v, count(*) AS sup
+            FROM e$rounds e JOIN adjF a1 ON a1.x = e.u
+            JOIN adjF a2 ON a2.x = e.v AND a1.w = a2.w
+            GROUP BY 1, 2)
+          SELECT e.u, e.v, coalesce(sF.sup, 0)::BIGINT AS sup
+          FROM e$rounds e LEFT JOIN sF ON e.u = sF.u AND e.v = sF.v"""
+      }),
+
     Q("graph_triangles",
       (s, dir) => {
         val os = Sources.table(s, dir, "orders")

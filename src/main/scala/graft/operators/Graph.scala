@@ -388,6 +388,50 @@ object Graph {
       .distinct()
   }
 
+  /** K-TRUSS peeling (Cohen 2008) — the EDGE-strength analogue of
+    * [[kCorePeel]]'s node peeling: an edge survives the k-truss iff it
+    * participates in at least k−2 triangles among surviving edges, so
+    * each round recomputes per-edge triangle SUPPORT and drops the
+    * weak edges; communities that k-core keeps glued through hub nodes
+    * fall apart unless their edges are triangle-reinforced (the
+    * community-core extractor a similarity-graph dedup pass runs
+    * above connected components). Bounded `rounds` like kCorePeel —
+    * the fixpoint-or-rounds contract an oracle can unroll. Output:
+    * surviving `(u, v)` edges with their FINAL support (recomputed
+    * after the last peel; 0 for triangle-free survivors, only
+    * possible at k = 2).
+    *
+    * Scale shape: per round, support = one self-join wedge count on
+    * the canonical edge list (both directions unioned, equi-joined on
+    * the shared endpoint) collapsed by map-side count — the same
+    * two-shuffle shape as the degree-oriented triangle count — plus
+    * one edge-keyed left join to peel. localCheckpoint per round cuts
+    * the growing lineage exactly as every iterative operator here
+    * does. */
+  def kTrussPeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def support(e: DataFrame): DataFrame = {
+      val adj1 = e.select(col("u").as("x1"), col("v").as("w1"))
+        .union(e.select(col("v").as("x1"), col("u").as("w1")))
+      val adj2 = adj1.select(col("x1").as("x2"), col("w1").as("w2"))
+      e.join(adj1, col("u") === col("x1"))
+        .join(adj2, col("v") === col("x2") && col("w1") === col("w2"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+    }
+    var e = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      e = e.join(support(e), Seq("u", "v"), "left")
+        .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+    e.join(support(e), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("sup"), lit(0L)).as("sup"))
+  }
+
   /** TRIANGLE COUNTING by degree orientation (the MapReduce-era
     * standard — Suri & Vassilvitskii 2011, "Counting Triangles and the
     * Curse of the Last Reducer"): orient every undirected edge from the

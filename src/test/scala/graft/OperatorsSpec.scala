@@ -1592,6 +1592,31 @@ class GraphSpec extends AnyFunSuite with SparkTester {
       .count() == 0)
   }
 
+  test("kTrussPeel: weak triangle and bridge peel off; the K4's " +
+      "edges survive at support k-2; peeling cascades") {
+    // K4 on 1..4 (every edge in 2 triangles), a pendant triangle
+    // {4,5,6} (each edge in 1), and a bridge 1-7 (0)
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L), (1L, 7L)))
+      .toDF("src", "dst")
+    val t4 = Graph.kTrussPeel(edges, "src", "dst", k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(t4.keySet === k4.toSet, s"survivors: ${t4.keySet}")
+    assert(t4.values.forall(_ == 2L))
+    // k=3 keeps the pendant triangle too (support 1 >= 1) but never
+    // the bridge; cascade check: removing 5-6 by hand would doom the
+    // whole pendant — the operator reaches that from the data alone
+    val t3 = Graph.kTrussPeel(edges, "src", "dst", k = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t3 === k4.toSet ++ Set((4L, 5L), (4L, 6L), (5L, 6L)))
+    val noPendant = Graph.kTrussPeel(
+        (k4 ++ Seq((4L, 5L), (4L, 6L), (1L, 7L))).toDF("src", "dst"),
+        "src", "dst", k = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(noPendant === k4.toSet)
+  }
+
   test("labelPropagation: two cliques joined by one bridge converge to " +
       "their min-id labels; reruns are bit-identical") {
     // cliques {1,2,3} and {10,11,12} bridged by 3-10
