@@ -674,4 +674,20 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     val pl = plan("multimodal_wav_zcr")
     assert(!pl.contains("Exchange"), pl)
   }
+
+  test("text_readability: pure per-row projection — no shuffle, no " +
+      "join, text-only scan") {
+    val pl = plan("text_readability")
+    assert(!pl.contains("Exchange"), pl)
+    assert(!pl.contains("Join"), pl)
+    assert(pl.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      pl)
+  }
+
+  test("graph_ktruss: wedge counts are map-side combined; no " +
+      "cartesian products in any peel round") {
+    val pl = plan("graph_ktruss")
+    assert(!pl.contains("CartesianProduct"), pl)
+    assert(pl.contains("partial_count"), pl)
+  }
 }
