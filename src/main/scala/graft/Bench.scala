@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Where the per-query median map lands. Full-registry sweeps own
+    * `bench_last.json` — the raw material baseline promotions read.
+    * SCOPED runs (GRAFT_BENCH_ONLY) write `bench_scoped.json` instead:
+    * a 2-row bisection run must never replace the only full-sweep map
+    * (it happened twice in r11 — builder commit 912134b, then the
+    * judge's adjudication run). Exposed for the spec. */
+  def medianMapPath(baselineDir: Option[java.nio.file.Path],
+      scoped: Boolean): java.nio.file.Path = {
+    val name = if (scoped) "bench_scoped.json" else "bench_last.json"
+    baselineDir.map(_.resolve(name))
+      .getOrElse(java.nio.file.Paths.get(name))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // BASELINE.md pins the operative bench config at local[4] with 4
@@ -137,15 +150,16 @@ object Bench {
     }.mkString("{", ",", "}")
     // full medians to bench_last.json (next to the baseline when one
     // was found, else cwd) — the raw material for promoting a new
-    // baseline and for offline drift analysis
+    // baseline and for offline drift analysis. Scoped runs divert to
+    // bench_scoped.json so they can't destroy the full-sweep map.
     try {
-      val lastPath = baselinePath
-        .map(p => java.nio.file.Paths.get(p)
-          .toAbsolutePath.getParent.resolve("bench_last.json"))
-        .getOrElse(java.nio.file.Paths.get("bench_last.json"))
+      val lastPath = medianMapPath(
+        baselinePath.map(p => java.nio.file.Paths.get(p)
+          .toAbsolutePath.getParent),
+        scoped = only.isDefined)
       java.nio.file.Files.writeString(lastPath, qs)
     } catch { case e: Throwable =>
-      System.err.println(s"BENCH could not write bench_last.json: $e") }
+      System.err.println(s"BENCH could not write median map: $e") }
     val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""queries":$qs,"failed":$failedJson,"regressions":$regJson,""" +
       s""""drift_global":${f3(driftGlobal)},""" +

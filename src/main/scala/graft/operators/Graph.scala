@@ -401,23 +401,53 @@ object Graph {
     * after the last peel; 0 for triangle-free survivors, only
     * possible at k = 2).
     *
-    * Scale shape: per round, support = one self-join wedge count on
-    * the canonical edge list (both directions unioned, equi-joined on
-    * the shared endpoint) collapsed by map-side count — the same
-    * two-shuffle shape as the degree-oriented triangle count — plus
-    * one edge-keyed left join to peel. localCheckpoint per round cuts
-    * the growing lineage exactly as every iterative operator here
+    * Scale shape: per round, support rides the SAME degree-oriented
+    * wedge enumeration as [[triangleCounts]] (Suri & Vassilvitskii
+    * 2011): orient each surviving edge from the lower-(deg, id)
+    * endpoint, wedge-join the oriented out-lists (bounded O(√m)
+    * fan-out per node), close each wedge against the canonical edge
+    * set, then credit all THREE edges of every closed triangle and
+    * count by edge. The earlier unoriented adjacency self-join scaled
+    * as Σ deg(u)² — hub-quadratic on a skewed graph, the exact "last
+    * reducer" failure the triangle counter two functions down avoids;
+    * the oriented form materializes O(m^{3/2}) wedge candidates total.
+    * Plus one edge-keyed left join to peel. localCheckpoint per round
+    * cuts the growing lineage exactly as every iterative operator here
     * does. */
   def kTrussPeel(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k must be >= 3, got $k")
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(rounds >= 1, s"rounds >= 1 required, got $rounds")
     def support(e: DataFrame): DataFrame = {
-      val adj1 = e.select(col("u").as("x1"), col("v").as("w1"))
-        .union(e.select(col("v").as("x1"), col("u").as("w1")))
-      val adj2 = adj1.select(col("x1").as("x2"), col("w1").as("w2"))
-      e.join(adj1, col("u") === col("x1"))
-        .join(adj2, col("v") === col("x2") && col("w1") === col("w2"))
+      // degrees among the SURVIVING edges; any consistent orientation
+      // is correct, but current degrees keep the √m out-degree bound
+      // tight as peeling sparsifies the graph
+      val deg = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val lowFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val ori = e
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .select(
+          when(lowFirst, col("u")).otherwise(col("v")).as("src"),
+          when(lowFirst, col("v")).otherwise(col("u")).as("dst"))
+      val wedges = ori.select(col("src").as("ctr"), col("dst").as("x"))
+        .join(ori.select(col("src").as("ctr"), col("dst").as("y")),
+          "ctr")
+        .filter(col("x") < col("y"))
+      // close the wedge, then each triangle {ctr, x, y} reinforces its
+      // three edges — re-canonicalized u < v so the group-count lands
+      // on the peel join's key
+      wedges.join(e, wedges("x") === e("u") && wedges("y") === e("v"))
+        .select(explode(array(
+          struct(least(col("ctr"), col("x")).as("u"),
+            greatest(col("ctr"), col("x")).as("v")),
+          struct(least(col("ctr"), col("y")).as("u"),
+            greatest(col("ctr"), col("y")).as("v")),
+          struct(col("x").as("u"), col("y").as("v")))).as("te"))
+        .select(col("te.u").as("u"), col("te.v").as("v"))
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
     }
     var e = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()

@@ -1,0 +1,25 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Paths
+
+/** Bench artifact-routing contract: a scoped (GRAFT_BENCH_ONLY) run
+  * must never overwrite the full-sweep median map — in r11 a 2-row
+  * bisection run silently replaced `bench_last.json` twice, destroying
+  * the only full per-query map on disk. */
+class BenchSpec extends AnyFunSuite {
+
+  test("full sweeps own bench_last.json; scoped runs divert to " +
+      "bench_scoped.json, beside the baseline when one is found") {
+    val dir = Paths.get("/root/repo")
+    assert(Bench.medianMapPath(Some(dir), scoped = false) ===
+      dir.resolve("bench_last.json"))
+    assert(Bench.medianMapPath(Some(dir), scoped = true) ===
+      dir.resolve("bench_scoped.json"))
+    // no baseline found → cwd-relative, same scoped/full split
+    assert(Bench.medianMapPath(None, scoped = false) ===
+      Paths.get("bench_last.json"))
+    assert(Bench.medianMapPath(None, scoped = true) ===
+      Paths.get("bench_scoped.json"))
+  }
+}

@@ -684,10 +684,18 @@ class PlanSpec extends AnyFunSuite with SparkTester {
       pl)
   }
 
-  test("graph_ktruss: wedge counts are map-side combined; no " +
-      "cartesian products in any peel round") {
+  test("graph_ktruss: support rides the degree-ORIENTED wedge join " +
+      "(O(√m)-bounded out-lists), never the unoriented adjacency " +
+      "self-join; map-side combined, no cartesian products") {
     val pl = plan("graph_ktruss")
     assert(!pl.contains("CartesianProduct"), pl)
     assert(pl.contains("partial_count"), pl)
+    // the low-(deg,id)→high orientation is IN the wedge build side
+    assert(pl.contains("CASE WHEN ((du#"), pl)
+    // and support is derived by crediting all 3 edges of each closed
+    // triangle (explode of the re-canonicalized edge structs), not by
+    // re-joining the full adjacency
+    assert(pl.contains("explode(array(struct"), pl)
+    assert(pl.contains("least(ctr#"), pl)
   }
 }
