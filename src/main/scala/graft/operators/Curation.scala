@@ -1305,12 +1305,16 @@ object Curation {
         md5(concat(lit(salt), col(idCol).cast("string"))))
     val wIn = Window.partitionBy(col(domainCol))
       .orderBy(col("_key"), col(idCol))
-    val base = keyed
+    // base feeds BOTH the bucket-count prefix sum and the final
+    // windowed pass — persisted (byte-budgeted), or the entire
+    // upstream plan (for a composition like pipeline_assemble, the
+    // whole curriculum gate) executes twice just to count buckets
+    val base = graft.CacheBudget.persisted(keyed
       .withColumn("_k", row_number().over(wIn).cast("long") - 1)
       .withColumn("v_nano",
         expr("((_k + 1) * CAST(1000000000 AS BIGINT)) DIV _w"))
       .withColumn("_bucket",
-        expr(s"CAST(v_nano DIV ${vBucketNanos}L AS INT)"))
+        expr(s"CAST(v_nano DIV ${vBucketNanos}L AS INT)")))
     val wB = Window.partitionBy(col("_bucket"))
       .orderBy(col("v_nano"), col(domainCol), col("_k"))
     base.withColumn("_wpos", row_number().over(wB).cast("long"))
@@ -1625,8 +1629,15 @@ object Curation {
   def curriculumSchedule(df: DataFrame, idCol: String, textCol: String,
       steps: Long): DataFrame = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
-    val toks = df.select(col(idCol).as("doc_id"),
-      explode(graft.functions.Cleaning.tokens(col(textCol))).as("word"))
+    // toks feeds BOTH the vocab frequency pass and the per-doc scoring
+    // join — persisted (byte-budgeted), or the tokenize+explode of the
+    // full corpus (the expensive side at 100 TB) executes twice per
+    // schedule, and a composition like pipeline_assemble that embeds
+    // the schedule as a subplan pays it twice more
+    val toks = graft.CacheBudget.persisted(
+      df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.Cleaning.tokens(col(textCol)))
+          .as("word")))
     val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("freq"))
     val tot = freq.agg(sum(col("freq")).as("t"))
     val cost = freq.crossJoin(broadcast(tot))
