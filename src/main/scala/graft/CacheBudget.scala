@@ -56,15 +56,36 @@ object CacheBudget {
     * operator's working set survives its own admission. */
   private val minRetained = 8
 
-  private val cached = new java.util.ArrayDeque[DataFrame]()
+  private final case class Entry(tag: String, df: DataFrame)
 
-  private def storedBytes(df: DataFrame): Long =
+  private val cached = new java.util.ArrayDeque[Entry]()
+
+  /** Times the storage-info probe failed (and the byte budget was
+    * therefore skipped for that admission). A permanently failing
+    * probe silently disables the budget — this counter plus the
+    * first-failure stderr line make that state observable instead of
+    * a latent regression hiding behind a swallowed Throwable. */
+  private val probeFailures = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def budgetProbeFailures: Long = probeFailures.get()
+
+  /** SESSION-WIDE cached bytes (mem + disk, every cached RDD — not a
+    * per-frame size): the pressure the budget bounds. On probe failure
+    * returns 0 (budget skipped for this admission), counted and logged
+    * on first occurrence. */
+  private def sessionCachedBytes(df: DataFrame): Long =
     try df.sparkSession.sparkContext.getRDDStorageInfo
       .map(i => i.memSize + i.diskSize).sum
-    catch { case _: Throwable => 0L }
+    catch { case e: Throwable =>
+      if (probeFailures.getAndIncrement() == 0L)
+        System.err.println(
+          s"CacheBudget: storage-info probe failed, byte budget " +
+            s"inactive for this admission: $e")
+      0L
+    }
 
   /** Persist `df` (MEMORY_AND_DISK) under the session byte budget;
-    * oldest registered frames are evicted first to make room.
+    * oldest registered frames are evicted first to make room. `tag`
+    * names the operator family for [[unpersistAll(tag*]] scoping.
     *
     * A plan the CacheManager already holds (another query persisted an
     * IDENTICAL subplan — the cross-query reuse the bench's no-clearing
@@ -73,18 +94,19 @@ object CacheBudget {
     * entry two deque slots — the second eviction then unpersists a
     * frame the ledger thinks is still admitted. Keeping the original
     * FIFO position is the point: shared frames age by first admission. */
-  def persisted(df: DataFrame): DataFrame = cached.synchronized {
-    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-      return df
-    while (cached.size >= maxFrames || (cached.size > minRetained &&
-        storedBytes(df) > budgetBytes)) {
-      try cached.pollFirst().unpersist(blocking = true)
-      catch { case _: Throwable => () }
+  def persisted(df: DataFrame, tag: String = ""): DataFrame =
+    cached.synchronized {
+      if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        return df
+      while (cached.size >= maxFrames || (cached.size > minRetained &&
+          sessionCachedBytes(df) > budgetBytes)) {
+        try cached.pollFirst().df.unpersist(blocking = true)
+        catch { case _: Throwable => () }
+      }
+      val p = df.persist(sl)
+      cached.addLast(Entry(tag, p))
+      p
     }
-    val p = df.persist(sl)
-    cached.addLast(p)
-    p
-  }
 
   /** Current ledger size — spec hook for pinning that an
     * already-cached plan does not take a second slot. */
@@ -95,8 +117,23 @@ object CacheBudget {
     * session after a query-family batch. */
   def unpersistAll(): Unit = cached.synchronized {
     while (!cached.isEmpty) {
-      try cached.pollFirst().unpersist(blocking = false)
+      try cached.pollFirst().df.unpersist(blocking = false)
       catch { case _: Throwable => () }
+    }
+  }
+
+  /** Unpersist only the frames registered under `tag` — so one
+    * family's batch cleanup (the tokenizer convention) cannot evict
+    * frames other operator families still lean on. */
+  def unpersistAll(tag: String): Unit = cached.synchronized {
+    val it = cached.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.tag == tag) {
+        it.remove()
+        try e.df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      }
     }
   }
 }

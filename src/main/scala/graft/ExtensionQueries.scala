@@ -1398,7 +1398,7 @@ object SimilarityQueries {
     // quantization ladder (SQ8 and PQ are the other two) — bit = dim
     // above its MEAN, evaluated cross-multiplied on exact decimals
     // (round(x,6)·n > Σ round(x,6): no division, no order-dependent
-    // double sum), packed into two 32-bit words, neighbors ranked by
+    // double sum), packed into two 64-bit words, neighbors ranked by
     // popcount(xor). Brute-force scan is the declared verifier shape
     // (bounded query side broadcast); the scale path is SimHash
     // banding over these same words ----

@@ -265,7 +265,7 @@ object Ranks {
       .get("spark.sql.shuffle.partitions").toInt
     val ranged = df.repartitionByRange(nParts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .transform(graft.CacheBudget.persisted)
+      .transform(graft.CacheBudget.persisted(_))
     val offs = ranged.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__np"))
       .withColumn("__off", coalesce(sum(col("__np")).over(
@@ -395,7 +395,7 @@ object Quantiles {
           (col("mx") - col("mn"))).cast("int"), lit(nBuckets - 1)))
     val bucketed = base.join(broadcast(stats), Seq("k"))
       .select(col("k"), col("v"), bucketOf(col("v")).as("b"))
-      .transform(graft.CacheBudget.persisted)
+      .transform(graft.CacheBudget.persisted(_))
     val hist = bucketed.groupBy(col("k"), col("b"))
       .agg(count(lit(1)).as("cnt"))
     val wCum = Window.partitionBy(col("k")).orderBy(col("b"))
@@ -465,7 +465,7 @@ object Quantiles {
           (col("mx") - col("mn"))).cast("int"), lit(nBuckets - 1)))
     val bucketed = base.join(broadcast(stats), Seq("k"))
       .select(col("k"), col("v"), col("w"), bucketOf(col("v")).as("b"))
-      .transform(graft.CacheBudget.persisted)
+      .transform(graft.CacheBudget.persisted(_))
     val hist = bucketed.groupBy(col("k"), col("b"))
       .agg(sum(col("w")).as("sw"))
     val wCum = Window.partitionBy(col("k")).orderBy(col("b"))

@@ -204,18 +204,24 @@ object RobustStats {
     import org.apache.spark.sql.expressions.Window
     require(bPerm >= 1 && qNum >= 1 && qDen > qNum,
       s"need bPerm >= 1 and 0 < qNum/qDen < 1, got B=$bPerm q=$qNum/$qDen")
-    val byP = Window.orderBy(col(kCol), col(keyCol))
+    // rename FIRST, window over the renamed columns: ordering by the
+    // caller's kCol after the select renamed it to "k" resolved only
+    // when the caller happened to pass kCol = "k" (and a keyCol named
+    // "k" would have collided with the rename) — reserved internal
+    // names make the window valid for every column-name combination
+    val byP = Window.orderBy(col("__k"), col("__key"))
     val all = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    scored.select(col(keyCol), col(kCol).cast("long").as("k"))
+    scored.select(col(keyCol).as("__key"),
+        col(kCol).cast("long").as("__k"))
       .withColumn("rank", row_number().over(byP).cast("long"))
       .withColumn("__m", count(lit(1)).over(all))
       .withColumn("__cand",
-        (col("k") + 1) * col("__m") * qDen <=
+        (col("__k") + 1) * col("__m") * qDen <=
           col("rank") * (bPerm + 1).toLong * qNum)
       .withColumn("__imax",
         coalesce(max(when(col("__cand"), col("rank"))).over(all), lit(0L)))
-      .select(col(keyCol), col("k"), col("rank"),
+      .select(col("__key").as(keyCol), col("__k").as("k"), col("rank"),
         col("__m").as("m_hypotheses"),
         (col("rank") <= col("__imax")).as("reject"))
   }

@@ -1602,15 +1602,28 @@ object Similarity {
     val stats = el.groupBy(col("i"))
       .agg(sum(col("xd")).as("s"), count(lit(1)).as("n"))
     val bit = col("xd") * col("n") > col("s")
+    // two 64-bit words hold dims 1..128: word index (i-1) DIV 64,
+    // shift (i-1) MOD 64 — shift amounts stay in [0, 63], where Spark
+    // and DuckDB agree (Spark's shiftleft wraps the amount mod 64
+    // while DuckDB's 1::BIGINT << 64 yields 0, so an out-of-range
+    // shift would pack DIFFERENT words per engine; the old 32-bit
+    // split silently collided dims 65..96 into w1's upper half).
+    // Dims beyond 128 fail LOUDLY: the guard rides inside the w1
+    // aggregate so the optimizer cannot prune it
+    val dimGuard = when(col("i") > 128, raise_error(concat(
+      lit("binaryHammingTopK: dimension "), col("i").cast("string"),
+      lit(" exceeds the 128-bit two-word layout")))
+      .cast("long")).otherwise(lit(0L))
     val packed = el.join(broadcast(stats), Seq("i"))
       .groupBy(col("vid"))
       .agg(
-        sum(when(bit && col("i") <= 32,
+        sum(when(bit && col("i") <= 64,
           call_function("shiftleft", lit(1L),
             (col("i") - 1).cast("int"))).otherwise(0L)).as("w0"),
-        sum(when(bit && col("i") > 32,
+        sum(when(bit && col("i") > 64,
           call_function("shiftleft", lit(1L),
-            (col("i") - 33).cast("int"))).otherwise(0L)).as("w1"))
+            (col("i") - 65).cast("int"))).otherwise(0L) + dimGuard)
+          .as("w1"))
     val q = packed.filter(queryPred)
       .select(col("vid").as("q_id"), col("w0").as("qw0"),
         col("w1").as("qw1"))

@@ -194,7 +194,7 @@ object Temporal {
       typeCol: String): DataFrame = {
     val present = events
       .select(col(keyCol).as("k"), col(typeCol).as("t")).distinct()
-      .transform(graft.CacheBudget.persisted)
+      .transform(graft.CacheBudget.persisted(_))
     val nRow = present.select(col("k")).distinct()
       .agg(count(lit(1)).as("n"))
     val marg = present.groupBy(col("t")).agg(count(lit(1)).as("c"))

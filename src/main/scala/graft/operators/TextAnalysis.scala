@@ -372,7 +372,7 @@ object TextAnalysis {
     val tf = df.select(col(idCol),
       explode(Cleaning.tokens(lower(col(textCol)))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .transform(graft.CacheBudget.persisted)
+      .transform(graft.CacheBudget.persisted(_))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
     val nDocs = df.select(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term")
@@ -406,7 +406,7 @@ object TextAnalysis {
     val tf = df.select(col(idCol),
       explode(Cleaning.tokens(lower(col(textCol)))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .transform(graft.CacheBudget.persisted)
+      .transform(graft.CacheBudget.persisted(_))
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
@@ -448,7 +448,7 @@ object TextAnalysis {
     require(queryTerms.nonEmpty, "need at least one query term")
     val toks = df.select(col(idCol),
       explode(Cleaning.tokens(lower(col(textCol)))).as("term"))
-      .transform(graft.CacheBudget.persisted)
+      .transform(graft.CacheBudget.persisted(_))
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
@@ -495,7 +495,7 @@ object TextAnalysis {
     val terms = queryText.toLowerCase.split("\\s+").filter(_.nonEmpty)
     val short = bm25Search(df, idCol, textCol, terms.toSeq, shortlist)
       .withColumnRenamed("score", "score_bm25")
-      .transform(graft.CacheBudget.persisted)
+      .transform(graft.CacheBudget.persisted(_))
     val docEmb = hashedEmbedding(
       df.join(broadcast(short.select(col(idCol))), Seq(idCol),
         "left_semi"),
@@ -803,7 +803,7 @@ object TextAnalysis {
       : DataFrame = {
     val tok = df.select(col(idCol),
       explode(Cleaning.tokens(lower(col(textCol)))).as("w"))
-      .transform(graft.CacheBudget.persisted)
+      .transform(graft.CacheBudget.persisted(_))
     val lex = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
     val total = lex.agg(sum(col("cnt")).as("t"))
     tok.join(lex, "w")
@@ -891,7 +891,7 @@ object TextAnalysis {
           .as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
       .distinct()
-      .transform(graft.CacheBudget.persisted)
+      .transform(graft.CacheBudget.persisted(_))
     val dfreq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
     grams.join(dfreq, Seq("h"))
       .groupBy(col("doc_id"))
@@ -936,7 +936,7 @@ object TextAnalysis {
         xxhash64(col("p").getField("0")).as("h1"),
         xxhash64(col("p").getField("0"), col("p").getField("1"))
           .as("h12"))
-      .transform(graft.CacheBudget.persisted)
+      .transform(graft.CacheBudget.persisted(_))
     val c12 = bg.groupBy(col("h12")).agg(count(lit(1)).as("c12"))
     val c1 = bg.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
     bg.join(c12, Seq("h12")).join(c1, Seq("h1"))
@@ -982,12 +982,12 @@ object TextAnalysis {
         xxhash64(col("p").getField("1")).as("h2"),
         xxhash64(col("p").getField("0"), col("p").getField("1"))
           .as("h12"))
-      .transform(graft.CacheBudget.persisted)
+      .transform(graft.CacheBudget.persisted(_))
     // bigram TYPE table — reused three ways (c12 lookup, both N1+
     // folds) plus the one-row B, so materialize it once
     val types = bg.groupBy(col("h12"), col("h1"), col("h2"))
       .agg(count(lit(1)).as("c12"))
-      .transform(graft.CacheBudget.persisted)
+      .transform(graft.CacheBudget.persisted(_))
     val c1 = bg.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
     val fw = types.groupBy(col("h1")).agg(count(lit(1)).as("n1f"))
     val bw = types.groupBy(col("h2")).agg(count(lit(1)).as("n1b"))

@@ -46,12 +46,13 @@ object UnigramTokenizer {
   // frames across ALL families rather than silently taxing whoever
   // runs next.
   private def persisted(df: DataFrame): DataFrame =
-    graft.CacheBudget.persisted(df)
+    graft.CacheBudget.persisted(df, tag = "tokenizer")
 
-  /** Unpersist every graft-registered cached frame — for callers that
-    * want a clean session after a tokenizer batch. (Delegates to the
-    * shared registry; the tokenizer no longer tracks frames itself.) */
-  def unpersistAll(): Unit = graft.CacheBudget.unpersistAll()
+  /** Unpersist the TOKENIZER's registered frames — scoped by ledger
+    * tag, so cleaning up after a tokenizer batch no longer evicts
+    * frames other operator families (Profiler, TextAnalysis, Dedup)
+    * registered in the same session. */
+  def unpersistAll(): Unit = graft.CacheBudget.unpersistAll("tokenizer")
 
   /** Distinct `(word, freq)` over the corpus token stream ([[
     * graft.functions.Cleaning.tokens]] convention: lowercase,

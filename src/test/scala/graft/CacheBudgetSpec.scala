@@ -74,6 +74,30 @@ class CacheBudgetSpec extends AnyFunSuite with SparkTester {
       org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("tag-scoped unpersistAll clears only its family's frames — a " +
+      "tokenizer batch cleanup cannot evict other operators' caches") {
+    CacheBudget.unpersistAll()
+    val tok = CacheBudget.persisted(
+      spark.range(100).toDF("t"), tag = "tokenizer")
+    val other = CacheBudget.persisted(spark.range(200).toDF("o"))
+    tok.count(); other.count()
+    CacheBudget.unpersistAll("tokenizer")
+    assert(tok.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "tagged frame survived its own scoped cleanup")
+    assert(other.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      "scoped cleanup evicted an untagged frame")
+    assert(CacheBudget.registeredSize == 1)
+    CacheBudget.unpersistAll()
+  }
+
+  test("the storage-info probe has never failed in this session — a " +
+      "failing probe silently disables the byte budget, so it must " +
+      "be observable") {
+    assert(CacheBudget.budgetProbeFailures == 0L)
+  }
+
   test("results are unchanged when a reused frame has been evicted " +
       "(recompute, never wrong)") {
     CacheBudget.unpersistAll()

@@ -2386,6 +2386,44 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
     assert(!all.contains(1L)) // self excluded
   }
 
+  test("binaryHammingTopK: dims above 64 pack into the second word " +
+      "without colliding (96-dim exact distances); dims above 128 " +
+      "raise instead of silently mispacking") {
+    import spark.implicits._
+    // 96 dims; dims are 0.5-mean except the ones we set per vector.
+    // v1 sets dims {1, 65}, v2 sets {1, 96}, v3 sets {33, 65}:
+    // ham(v1,v2) = |{65} xor {96}| = 2, ham(v1,v3) = |{1,33,96...}| —
+    // exact: v1 bits {1,65}, v3 bits {33,65} -> differ at {1,33} = 2;
+    // v2 bits {1,96} vs v1 {1,65} -> differ {65,96} = 2; v2 vs v3
+    // differ {1,33,65,96} = 4. Pre-fix, dims 65..96 landed in w1's
+    // UPPER half (shift i-33 in [32,63]) — internally consistent, so
+    // the collision only bit at dims > 96; this pin holds the layout
+    // to the documented (i-1) DIV/MOD 64 form both engines replay.
+    def vec(hot: Set[Int], d: Int) =
+      (1 to d).map(i => if (hot(i)) 1.0f else 0.0f)
+    val emb = Seq(
+      (1L, vec(Set(1, 65), 96)),
+      (2L, vec(Set(1, 96), 96)),
+      (3L, vec(Set(33, 65), 96)),
+      (4L, vec(Set.empty[Int], 96))).toDF("vec_id", "embedding")
+    val got = Similarity.binaryHammingTopK(
+        emb, "vec_id", "embedding", col("vid") === 2L, k = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("hamming")).toMap
+    assert(got === Map(1L -> 2L, 3L -> 4L, 4L -> 2L))
+
+    val wide = Seq((1L, vec(Set(1), 129)), (2L, vec(Set(129), 129)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.binaryHammingTopK(
+        wide, "vec_id", "embedding", col("vid") === 1L, k = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("128-bit two-word layout")), e)
+  }
+
   test("scalarQuantizeError equals the independently folded sum of " +
       "squared element errors") {
     import spark.implicits._
