@@ -3442,6 +3442,71 @@ object TextQueries {
           GROUP BY e.v)
         SELECT e.v, e.exact, s.est FROM exact e JOIN est s USING (v)""")),
 
+    // SpaceSaving heavy hitters (Metwally 2005) — the oracle-checked
+    // batch-replay twin of the streaming CurationStream op: per md5
+    // shard, the m-counter summary folds over the (batch, value)
+    // stream in the SAME deterministic order the streaming replay
+    // contract pins (batch asc, value asc, per-value batch counts
+    // pre-merged), so streaming state == this row == the oracle's
+    // recursive-CTE replay of the identical fold. m = 4 over ~10
+    // sources per shard forces real evictions at every SF
+    Q("agg_spacesaving",
+      (s, dir) => graft.streaming.CurationStream.spaceSavingSummary(
+        Sources.table(s, dir, "documents"), "source",
+        expr("doc_id DIV 100"), m = 4, shards = 2),
+      Some("""WITH RECURSIVE src AS (
+          SELECT (('0x' || substr(md5(source), 1, 8))::BIGINT % 2)
+            AS shard, doc_id // 100 AS batch, source AS v,
+            count(*)::BIGINT AS cnt
+          FROM documents GROUP BY 1, 2, 3),
+        items AS (
+          SELECT shard, batch, v, cnt,
+            row_number() OVER (PARTITION BY shard ORDER BY batch, v)
+              ::BIGINT AS i
+          FROM src),
+        rec AS (
+          SELECT shard, 0::BIGINT AS i,
+            CAST([] AS STRUCT(v VARCHAR, est BIGINT, err BIGINT)[])
+              AS st,
+            0::BIGINT AS processed
+          FROM (SELECT DISTINCT shard FROM items)
+          UNION ALL
+          SELECT r.shard, r.i + 1,
+            CASE
+              WHEN len(list_filter(r.st, s -> s.v = it.v)) > 0 THEN
+                list_transform(r.st, s -> CASE WHEN s.v = it.v
+                  THEN {'v': s.v, 'est': s.est + it.cnt, 'err': s.err}
+                  ELSE s END)
+              WHEN len(r.st) < 4 THEN
+                list_append(r.st,
+                  {'v': it.v, 'est': it.cnt, 'err': 0::BIGINT})
+              ELSE
+                list_append(
+                  list_filter(r.st, s -> s.v <>
+                    (list_sort(list_transform(r.st,
+                      s2 -> {'est': s2.est, 'v': s2.v}))[1]).v),
+                  {'v': it.v,
+                    'est': (list_sort(list_transform(r.st,
+                      s2 -> {'est': s2.est, 'v': s2.v}))[1]).est
+                      + it.cnt,
+                    'err': (list_sort(list_transform(r.st,
+                      s2 -> {'est': s2.est, 'v': s2.v}))[1]).est})
+            END,
+            r.processed + it.cnt
+          FROM rec r JOIN items it
+            ON it.shard = r.shard AND it.i = r.i + 1),
+        fin AS (
+          SELECT shard, st, processed,
+            row_number() OVER (PARTITION BY shard ORDER BY i DESC)
+              AS rn
+          FROM rec),
+        ex AS (
+          SELECT shard, unnest(st) AS u, processed
+          FROM fin WHERE rn = 1)
+        SELECT shard, u.v AS value, u.est AS est, u.err AS err,
+          processed
+        FROM ex""")),
+
     // IN-ENGINE TRAINED quality classifier: full-batch logistic
     // regression over hashed bag-of-words buckets, 3 deterministic GD
     // rounds (decimal-exact weighted sums, 6-dp weight rounding). The

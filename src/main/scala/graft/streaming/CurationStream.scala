@@ -117,6 +117,76 @@ object CurationStream {
       }
   }
 
+  /** DISTRIBUTED batch replay of the SpaceSaving fold — the
+    * oracle-checkable DataFrame twin of [[heavyHittersSpaceSaving]]:
+    * the same m-counter summary, computed per shard as ONE
+    * codegen'd `aggregate()` fold over the shard's (batch, value)
+    * stream in deterministic order (batch asc, value asc, per-value
+    * batch counts pre-merged — exactly the streaming op's replay
+    * contract). Output: the FINAL summary after the last batch,
+    * `(shard, value, est, err, processed)` — the merged-snapshot
+    * view a monitoring read would take.
+    *
+    * Sharding is the PORTABLE md5 bucket (not JVM hashCode) so any
+    * engine reproduces the routing. Scale shape: the shuffle carries
+    * only distinct (shard, batch, value) triples with counts
+    * (map-side combined) — for the domain-style key spaces heavy-
+    * hitter monitoring targets, that digest is orders smaller than
+    * the event stream; the fold itself is the algorithm's inherent
+    * per-shard sequential pass, parallel across shards, with state
+    * bounded by m. For UNBOUNDED key domains at live throughput, the
+    * streaming twin with keyed state is the deployment. */
+  def spaceSavingSummary(df: org.apache.spark.sql.DataFrame,
+      valueCol: String, batchCol: org.apache.spark.sql.Column,
+      m: Int, shards: Int): org.apache.spark.sql.DataFrame = {
+    require(m >= 1 && shards >= 1, s"need m, shards >= 1, got $m/$shards")
+    import org.apache.spark.sql.functions._
+    val src = df.select(
+        graft.operators.Curation.hashBucket(col(valueCol), shards)
+          .as("shard"),
+        batchCol.cast("long").as("batch"), col(valueCol).as("v"))
+      .groupBy(col("shard"), col("batch"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    // min-by-(est, value) eviction, expressed as array_min over the
+    // reordered struct — structs compare field-wise, so putting est
+    // first IS the (est, value) order
+    val minEntry =
+      "array_min(transform(acc.st, s2 -> named_struct(" +
+        "'est', s2.est, 'v', s2.v)))"
+    val fold = s"""aggregate(
+      items,
+      named_struct(
+        'st', CAST(array() AS ARRAY<STRUCT<v: STRING, est: BIGINT,
+          err: BIGINT>>),
+        'processed', CAST(0 AS BIGINT)),
+      (acc, x) -> named_struct(
+        'st', CASE
+          WHEN exists(acc.st, s -> s.v = x.v) THEN
+            transform(acc.st, s -> IF(s.v = x.v,
+              named_struct('v', s.v, 'est', s.est + x.cnt,
+                'err', s.err), s))
+          WHEN size(acc.st) < $m THEN
+            concat(acc.st, array(named_struct('v', x.v, 'est', x.cnt,
+              'err', CAST(0 AS BIGINT))))
+          ELSE
+            concat(
+              filter(acc.st, s -> s.v != $minEntry.v),
+              array(named_struct('v', x.v,
+                'est', $minEntry.est + x.cnt,
+                'err', $minEntry.est)))
+        END,
+        'processed', acc.processed + x.cnt))"""
+    src.groupBy(col("shard"))
+      .agg(sort_array(collect_list(
+        struct(col("batch"), col("v"), col("cnt")))).as("items"))
+      .withColumn("acc", expr(fold))
+      .select(col("shard"), explode(col("acc.st")).as("e"),
+        col("acc.processed").as("processed"))
+      .select(col("shard"), col("e.v").as("value"),
+        col("e.est").as("est"), col("e.err").as("err"),
+        col("processed"))
+  }
+
   /** The same deterministic fold over at-rest batches — the
     * replayable reference the streaming spec pins equality against
     * (and the bounded-memory candidate pass a batch pipeline can run

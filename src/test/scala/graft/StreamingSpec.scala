@@ -777,6 +777,28 @@ class RegistrySpec extends AnyFunSuite with SparkTester {
     } finally q.stop()
   }
 
+  test("spaceSavingSummary (the oracle-checked DataFrame twin) " +
+      "equals the at-rest fold's final snapshot — same batches, " +
+      "same m, one shard so routing cannot differ") {
+    import graft.streaming.CurationStream
+    import spark.implicits._
+    val b1 = Seq.fill(10)("alpha") ++ Seq.fill(6)("beta") ++
+      Seq("x1", "x2", "x3")
+    val b2 = Seq.fill(8)("alpha") ++ Seq.fill(7)("gamma") ++
+      Seq("x4", "x5")
+    val df = ((b1.map(("0", _)) ++ b2.map(("1", _)))
+      .toDF("batch", "value"))
+    val got = CurationStream.spaceSavingSummary(
+        df, "value", col("batch").cast("long"), m = 3, shards = 1)
+      .collect()
+      .map(r => (r.getAs[String]("value"), r.getAs[Long]("est"),
+        r.getAs[Long]("err"), r.getAs[Long]("processed"))).toSet
+    val ref = CurationStream.spaceSavingBatches(
+        Seq(b1, b2), m = 3, shards = 1)
+      .map(e => (e.value, e.est, e.err, e.shard_processed)).toSet
+    assert(got == ref, s"dataframe twin $got != at-rest fold $ref")
+  }
+
   test("registry names are unique, and every query has an oracle " +
       "(the HLL row is bounded via its exact-twin + within_band form)") {
     val names = Registry.all.map(_.name)
