@@ -43,7 +43,18 @@ object Multimodal {
     * harness's stand-in for real media bytes (testdata has no blobs). */
   def withBinaryPayload(df: DataFrame, srcCol: String,
       out: String = "payload"): DataFrame =
-    df.withColumn(out, col(srcCol).cast("binary"))
+    registered(df.withColumn(out, col(srcCol).cast("binary")))
+
+  /** Every synthesized payload corpus registers in the byte-budgeted
+    * cache ledger: a registry sweep builds the SAME payload frame in
+    * several queries (decode, patch, phash, gate...), and the md5/hex
+    * synthesis is the expensive part — cached once, CacheManager
+    * plan-matching hands every identical subplan the materialized
+    * bytes instead of re-synthesizing (the r11 in-sweep-vs-isolated
+    * 3.3x spread on the phash row). Tagged so a family-end cleanup
+    * can evict exactly these. */
+  private def registered(df: DataFrame): DataFrame =
+    graft.CacheBudget.persisted(df, tag = "multimodal")
 
   // ---------------------------------------------------------------------
   // REAL format: uncompressed 24-bit BMP (decode is genuine byte parsing,
@@ -106,7 +117,8 @@ object Multimodal {
       le32Hex(imgSize),               // image size
       le32Hex(lit(0)), le32Hex(lit(0)), // x/y pixels-per-meter
       le32Hex(lit(0)), le32Hex(lit(0))) // colors used / important
-    df.select(col(idCol), unhex(concat(headerHex, pixHex)).as(out))
+    registered(
+      df.select(col(idCol), unhex(concat(headerHex, pixHex)).as(out)))
   }
 
   /** TWIN-PAIR image corpus for the real perceptual hash: fixed 8×8
@@ -141,7 +153,8 @@ object Multimodal {
       le32Hex(lit(8)), le32Hex(lit(8)),
       lit("0100"), lit("1800"), le32Hex(lit(0)), le32Hex(lit(192)),
       le32Hex(lit(0)), le32Hex(lit(0)), le32Hex(lit(0)), le32Hex(lit(0)))
-    df.select(col(idCol), unhex(concat(headerHex, pixHex)).as(out))
+    registered(
+      df.select(col(idCol), unhex(concat(headerHex, pixHex)).as(out)))
   }
 
   /** Perceptual near-dup pairs over REAL decoded pixels: exact-integer
@@ -243,9 +256,9 @@ object Multimodal {
     * model, never the compressed stream. */
   def pngPayload(df: DataFrame, idCol: String,
       out: String = "payload"): DataFrame =
-    df.select(col(idCol),
+    registered(df.select(col(idCol),
       graft.expressions.PngDecode.pngSynth(col(idCol).cast("long"))
-        .as(out))
+        .as(out)))
 
   /** Decode a PNG column with the REAL decoder (CRC-verified chunk
     * walk, inflate, filter reconstruction): exact integer channel sums
@@ -266,9 +279,9 @@ object Multimodal {
     * filter chain. */
   def pngPayloadMix(df: DataFrame, idCol: String,
       out: String = "payload"): DataFrame =
-    df.select(col(idCol),
+    registered(df.select(col(idCol),
       graft.expressions.PngDecode.pngSynthMix(col(idCol).cast("long"))
-        .as(out))
+        .as(out)))
 
   /** REAL pixel-space resize (the non-stub counterpart of [[resize]]):
     * nearest-neighbor downsample by integer factor `k` over the
@@ -336,7 +349,7 @@ object Multimodal {
       when(junk, concat(lit("4A554E4B"),   // 'JUNK' + size 4 + payload
         lit("04000000"), lit("00000000"))).otherwise(lit("")),
       lit("64617461"), le32Hex(dataSize), dataHex)         // 'data'
-    df.select(col(idCol), unhex(hexStr).as(out))
+    registered(df.select(col(idCol), unhex(hexStr).as(out)))
   }
 
   /** REAL sample-space resample (the audio twin of [[resizePng]]):
