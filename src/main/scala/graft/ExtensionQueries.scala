@@ -62,15 +62,18 @@ object DedupQueries {
              ELSE [array_to_string(ws, ' ')] END AS s
          FROM $wName)"""
 
-  /** All-pairs thresholded Jaccard over the `sh` CTE. */
+  /** All-pairs thresholded Jaccard over the `sh` CTE — integer
+    * micro-units, mirroring the engine's `(inter·10⁶) DIV union`
+    * (DuckDB `//` = Spark DIV on non-negatives; no rounding
+    * convention to match). */
   private[graft] def pairsSelectSql(threshold: Double): String =
-    s"""SELECT doc_a, doc_b, jaccard FROM (
+    s"""SELECT doc_a, doc_b, jaccard_micro FROM (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.s, b.s))::DOUBLE /
-             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
-             AS jaccard
+           (len(list_intersect(a.s, b.s))::BIGINT * 1000000) //
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+             AS jaccard_micro
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
-       WHERE jaccard >= $threshold"""
+       WHERE jaccard_micro >= ${math.round(threshold * 1e6)}"""
 
   private[graft] val jaccardPairsSql =
     s"WITH ${shingleCtesFor("documents")}\n       ${pairsSelectSql(0.8)}"
@@ -224,30 +227,34 @@ object DedupQueries {
           Sources.table(s, dir, "documents"), "doc_id", "text",
           k = 5, threshold = 0.5)
         val th = s.range(5, 10)
-          .select((col("id").cast("double") / 10).as("t"))
-        val inner = broadcast(th).join(pairs, col("jaccard") >= col("t"))
-        val nP = inner.groupBy(col("t")).agg(count(lit(1)).as("np"))
-        val nD = inner.select(col("t"),
+          .select((col("id") * 100000L).as("t_micro"))
+        val inner = broadcast(th)
+          .join(pairs, col("jaccard_micro") >= col("t_micro"))
+        val nP = inner.groupBy(col("t_micro")).agg(count(lit(1)).as("np"))
+        val nD = inner.select(col("t_micro"),
             explode(array(col("doc_a"), col("doc_b"))).as("d"))
-          .groupBy(col("t")).agg(countDistinct(col("d")).as("nd"))
-        th.join(nP, Seq("t"), "left").join(nD, Seq("t"), "left")
-          .select(col("t"), coalesce(col("np"), lit(0L)).as("n_pairs"),
+          .groupBy(col("t_micro")).agg(countDistinct(col("d")).as("nd"))
+        th.join(nP, Seq("t_micro"), "left")
+          .join(nD, Seq("t_micro"), "left")
+          .select(col("t_micro"),
+            coalesce(col("np"), lit(0L)).as("n_pairs"),
             coalesce(col("nd"), lit(0L)).as("n_docs"))
       },
       Some(s"""WITH ${shingleCtesFor("documents")},
         pairs AS (${pairsSelectSql(0.5)}),
-        th AS (SELECT unnest(range(5, 10))::DOUBLE / 10 AS t),
+        th AS (SELECT unnest(range(5, 10))::BIGINT * 100000 AS t_micro),
         i AS (
-          SELECT t, doc_a, doc_b FROM th JOIN pairs ON jaccard >= t),
-        np AS (SELECT t, count(*) AS n_pairs FROM i GROUP BY t),
+          SELECT t_micro, doc_a, doc_b
+          FROM th JOIN pairs ON jaccard_micro >= t_micro),
+        np AS (SELECT t_micro, count(*) AS n_pairs FROM i GROUP BY 1),
         nd AS (
-          SELECT t, count(DISTINCT d) AS n_docs FROM (
-            SELECT t, unnest([doc_a, doc_b]) AS d FROM i) q
-          GROUP BY t)
-        SELECT th.t, coalesce(np.n_pairs, 0)::BIGINT AS n_pairs,
+          SELECT t_micro, count(DISTINCT d) AS n_docs FROM (
+            SELECT t_micro, unnest([doc_a, doc_b]) AS d FROM i) q
+          GROUP BY 1)
+        SELECT th.t_micro, coalesce(np.n_pairs, 0)::BIGINT AS n_pairs,
           coalesce(nd.n_docs, 0)::BIGINT AS n_docs
-        FROM th LEFT JOIN np ON th.t = np.t
-        LEFT JOIN nd ON th.t = nd.t""")),
+        FROM th LEFT JOIN np ON th.t_micro = np.t_micro
+        LEFT JOIN nd ON th.t_micro = nd.t_micro""")),
 
     // asymmetric shingle CONTAINMENT — the doc-in-doc detector Jaccard
     // misses (a short doc quoted whole in a long one); both directions
@@ -268,11 +275,11 @@ object DedupQueries {
           FROM p JOIN sz za ON p.da = za.doc_id
           JOIN sz zb ON p.db = zb.doc_id)
         SELECT da AS doc_a, db AS doc_b,
-          round(i::DOUBLE / sza, 6) AS containment
-        FROM e WHERE round(i::DOUBLE / sza, 6) >= 0.5
+          (i * 1000000) // sza AS containment_micro
+        FROM e WHERE (i * 1000000) // sza >= 500000
         UNION ALL
-        SELECT db, da, round(i::DOUBLE / szb, 6)
-        FROM e WHERE round(i::DOUBLE / szb, 6) >= 0.5""")),
+        SELECT db, da, (i * 1000000) // szb
+        FROM e WHERE (i * 1000000) // szb >= 500000""")),
 
     // MinHash+LSH with exact verification — same answer as brute force
     // (false-negative probability ~1e-13 at these parameters), same oracle
@@ -539,13 +546,14 @@ object DedupQueries {
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
           FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
-        SELECT doc_a, doc_b, jaccard FROM (
+        SELECT doc_a, doc_b, jaccard_micro FROM (
           SELECT doc_a, doc_b,
-            round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+            (inter * 1000000) // (sa.sz + sb.sz - inter)
+              AS jaccard_micro
           FROM ints
           JOIN sizes sa ON doc_a = sa.doc_id
           JOIN sizes sb ON doc_b = sb.doc_id) p
-        WHERE jaccard >= 0.5""")),
+        WHERE jaccard_micro >= 500000""")),
 
     Q("dedup_embedding",
       (s, dir) => Dedup.embeddingNearDup(
@@ -656,17 +664,18 @@ object DedupQueries {
             .agg(count(lit(1)).as("fp")))
           .crossJoin(exact.join(lsh, keys, "left_anti")
             .agg(count(lit(1)).as("fn")))
-          .withColumn("prec", when(col("n_lsh") === 0, lit(1.0))
-            .otherwise(round(col("tp").cast("double") / col("n_lsh"), 6)))
-          .withColumn("recall", when(col("n_exact") === 0, lit(1.0))
-            .otherwise(round(col("tp").cast("double") / col("n_exact"),
-              6)))
+          .withColumn("prec_micro", when(col("n_lsh") === 0,
+              lit(1000000L))
+            .otherwise(expr("(tp * 1000000L) DIV n_lsh")))
+          .withColumn("recall_micro", when(col("n_exact") === 0,
+              lit(1000000L))
+            .otherwise(expr("(tp * 1000000L) DIV n_exact")))
       },
       Some(s"""WITH pairs AS ($jaccardPairsSql),
         c AS (SELECT count(*) AS n FROM pairs)
         SELECT n AS n_exact, n AS n_lsh, n AS tp,
           0::BIGINT AS fp, 0::BIGINT AS fn,
-          1.0 AS prec, 1.0 AS recall
+          1000000::BIGINT AS prec_micro, 1000000::BIGINT AS recall_micro
         FROM c""")),
 
     // INCREMENTAL dedup — the continuous-crawl admission step: batch
@@ -9849,7 +9858,7 @@ object SqlSurfaceQueries {
         GraftExtensions.register(s)
         Sources.table(s, dir, "documents")
           .createOrReplaceTempView("documents_sqltvf_v")
-        s.sql("""SELECT doc_a, doc_b, jaccard
+        s.sql("""SELECT doc_a, doc_b, jaccard_micro
           FROM graft_minhash_pairs('documents_sqltvf_v', 'doc_id',
             'text', 5, 32, 4, 0.8)""")
       },

@@ -1395,8 +1395,7 @@ object ReferenceQueries {
             sum(in_a * in_b)::BIGINT AS n_both
           FROM u)
         SELECT n_k, kth_hash, n_both, ${kmvEstSql(64)} AS est_union,
-          round(n_both::DOUBLE * ${kmvEstSql(64)} / n_k, 6)
-            AS est_intersect
+          (n_both * (${kmvEstSql(64)})) // n_k AS est_intersect
         FROM sk""")),
 
     // ---- exact distinct aggregation (SURVEY §2.5 "free" row) ----
@@ -1772,9 +1771,9 @@ object ReferenceQueries {
     * else (k−1)/U(h_k) with the 2^52 fixed-point scale interpolated from
     * the ONE Scala constant ([[graft.operators.Sketches.KmvScale]]). */
   private def kmvEstSql(k: Int): String =
-    s"""CASE WHEN n_k < $k THEN n_k::DOUBLE
-      ELSE round(${(k - 1).toDouble} * ${graft.operators.Sketches.KmvScale}
-        / ('0x' || substr(kth_hash, 1, 13))::BIGINT::DOUBLE, 6) END"""
+    s"""CASE WHEN n_k < $k THEN n_k::BIGINT
+      ELSE ${(k - 1).toLong * 4503599627370496L}::BIGINT
+        // ('0x' || substr(kth_hash, 1, 13))::BIGINT END"""
 
   /** DuckDB mirror of [[graft.operators.Sketches.kmvDistinct]] (k = 64)
     * over an arbitrary distinct-hash subquery: k smallest hashes by

@@ -83,6 +83,12 @@ object Dedup {
       s"threshold must be > 0 (shared-element pair enumeration misses " +
         s"disjoint pairs at t <= 0), got $threshold")
 
+  /** Caller-facing fraction threshold → the integer micro-unit the
+    * engine actually compares (round-half-up once, at the API edge —
+    * 0.8 → 800000 even though 0.8·10⁶ is not exact in binary). */
+  private[graft] def micro(threshold: Double): Long =
+    math.round(threshold * 1e6)
+
   /** Stop-shingle guard shared by the inverted-index Jaccard operators:
     * drop index elements whose document frequency exceeds the cap.
     * Document frequency is one map-side-combined aggregate on the same
@@ -159,12 +165,11 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")),
         Seq("db"))
     val aInB = both.select(col("da").as("doc_a"), col("db").as("doc_b"),
-      round(col("inter").cast("double") / col("sza"), 6)
-        .as("containment"))
+      expr("(inter * 1000000L) DIV sza").as("containment_micro"))
     val bInA = both.select(col("db").as("doc_a"), col("da").as("doc_b"),
-      round(col("inter").cast("double") / col("szb"), 6)
-        .as("containment"))
-    aInB.unionByName(bInA).filter(col("containment") >= threshold)
+      expr("(inter * 1000000L) DIV szb").as("containment_micro"))
+    aInB.unionByName(bInA)
+      .filter(col("containment_micro") >= micro(threshold))
   }
 
   /** Near-dup pairs over winnowing FINGERPRINT sets
@@ -190,7 +195,11 @@ object Dedup {
     jaccardOverIndex(dropHot(fp, maxDocFreq), threshold)
   }
 
-  /** (doc_a, doc_b, inter) + per-doc set sizes → thresholded jaccard. */
+  /** (doc_a, doc_b, inter) + per-doc set sizes → thresholded jaccard,
+    * in EXACT integer micro-units: floor((inter·10⁶) / union) — int64
+    * DIV, no rounding convention to match across engines (DuckDB `//`
+    * is identical on non-negatives). Thresholds convert once via
+    * [[micro]]. */
   private def jaccardFromCounts(inter: DataFrame, sizes: DataFrame,
       threshold: Double): DataFrame =
     inter
@@ -198,11 +207,10 @@ object Dedup {
         .withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .withColumn("jaccard_micro",
+        expr("(inter * 1000000L) DIV (sz_a + sz_b - inter)"))
+      .filter(col("jaccard_micro") >= micro(threshold))
+      .select("doc_a", "doc_b", "jaccard_micro")
 
   /** Signature table `(doc_id, sig: array<long>)` → `(doc_id, band,
     * key)` band rows: `bands` groups of `rowsPerBand` signature slots,
@@ -347,11 +355,10 @@ object Dedup {
         .withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
       .join(sizesB.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .withColumn("jaccard_micro",
+        expr("(inter * 1000000L) DIV (sz_a + sz_b - inter)"))
+      .filter(col("jaccard_micro") >= micro(threshold))
+      .select("doc_a", "doc_b", "jaccard_micro")
   }
 
   /** Incremental dedup — the continuous-crawl admission step: which

@@ -266,10 +266,18 @@ object Sketches {
     * and (interpolated) the SQL oracles. */
   val KmvScale: Double = 4503599627370496.0
 
+  /** KMV estimate in EXACT integers: below k the count is exact;
+    * otherwise floor((k−1)·2^52 / kth) — the numerator (≤ 63·2^52 ≈
+    * 2.8·10^17) exceeds double's 53-bit mantissa, so the division runs
+    * as int64 DIV (floor; identical to DuckDB `//` on non-negatives),
+    * never through a double. A ±1-unit floor on a ~13%-error sketch is
+    * noise; what it buys is an output with NO rounding convention to
+    * match across engines (the r9/r10 portability class). */
   private def kmvEstimate(k: Int, nK: Column, kth: Column): Column =
-    when(nK < k, nK.cast("double"))
-      .otherwise(round(lit((k - 1).toDouble) * lit(KmvScale) /
-        conv(substring(kth, 1, 13), 16, 10).cast("double"), 6))
+    when(nK < k, nK.cast("long"))
+      .otherwise(expr(
+        s"${(k - 1).toLong * 4503599627370496L}L DIV " +
+          "CAST(conv(substring(kth_hash, 1, 13), 16, 10) AS BIGINT)"))
 
   /** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
     * 2002): hash every value with md5, keep the k lexicographically
@@ -385,7 +393,6 @@ object Sketches {
       .select(col("n_k"), col("kth_hash"), col("n_both"),
         kmvEstimate(k, col("n_k"), col("kth_hash")).as("est_union"))
       .withColumn("est_intersect",
-        round(col("n_both").cast("double") * col("est_union") /
-          col("n_k"), 6))
+        expr("(n_both * est_union) DIV n_k"))
   }
 }

@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** Lists every oracle-bearing registry query whose OUTPUT schema still
+  * carries DOUBLE columns — the working list for retiring the
+  * OutputPortabilitySpec grandfather set (schema-only: plans are
+  * analyzed, never executed).
+  *
+  * Usage: runMain graft.tools.DoubleAudit [sfDir]
+  */
+object DoubleAudit {
+  private def leaves(dt: DataType): Seq[DataType] = dt match {
+    case s: StructType => s.fields.toSeq.flatMap(f => leaves(f.dataType))
+    case a: ArrayType => leaves(a.elementType)
+    case m: MapType => leaves(m.keyType) ++ leaves(m.valueType)
+    case other => Seq(other)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Registry.all.filter(_.oracle.isDefined).foreach { q =>
+      val ds = q.fn(spark, sfDir).schema.fields.filter(f =>
+        leaves(f.dataType).contains(DoubleType)).map(_.name)
+      if (ds.nonEmpty) println(s"DOUBLE ${q.name}: ${ds.mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -94,9 +94,9 @@ class DedupSpec extends AnyFunSuite with SparkTester {
       (3L, "z y x w v u t s r q")).toDF("doc_id", "text")
     val c = Dedup.containmentPairs(docs, "doc_id", "text",
       k = 5, threshold = 0.9)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
       .toMap
-    assert(c((1L, 2L)) == 1.0, s"$c")
+    assert(c((1L, 2L)) == 1000000L, s"$c")
     assert(!c.contains((2L, 1L)), "reverse direction is 2/6, below 0.9")
     assert(!c.keys.exists(p => p._1 == 3L || p._2 == 3L))
     // symmetric jaccard at a high bar misses the quoted doc entirely
@@ -112,16 +112,16 @@ class DedupSpec extends AnyFunSuite with SparkTester {
     assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated
     val j12 = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
-      .filter($"doc_a" === 1 && $"doc_b" === 2).head.getDouble(2)
-    assert(j12 == 1.0)
+      .filter($"doc_a" === 1 && $"doc_b" === 2).head.getLong(2)
+    assert(j12 == 1000000L)
   }
 
   test("minhash+LSH output equals exact ngram output on testdata") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = Dedup.ngramJaccardPairs(real, "doc_id", "text", 5, 0.8)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val lsh = Dedup.minhashLshPairs(real, "doc_id", "text", 5, 32, 4, 0.8)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
     assert(lsh == exact)
   }
@@ -413,9 +413,9 @@ class DedupSpec extends AnyFunSuite with SparkTester {
     // a cap nothing exceeds is a no-op: identical to the exact answer
     val noop = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
       k = 3, threshold = 0.3, maxDocFreq = Some(100L))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val exact = uncapped
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(noop == exact)
   }
 
@@ -424,10 +424,10 @@ class DedupSpec extends AnyFunSuite with SparkTester {
     val docs = spark.read.parquet(s"${sf("d")}/documents.parquet")
       .select($"doc_id", $"text")
     def pairsOf(df: org.apache.spark.sql.DataFrame, thr: Double,
-        cap: Option[Long]): Map[(Long, Long), Double] =
+        cap: Option[Long]): Map[(Long, Long), Long] =
       Dedup.ngramJaccardPairs(df, "doc_id", "text", k = 5, threshold = thr,
         maxDocFreq = cap)
-        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
         .toMap
     val clean08 = pairsOf(docs, 0.8, None)
     assert(clean08.nonEmpty, "fixture must contain near-dup pairs")
@@ -444,7 +444,7 @@ class DedupSpec extends AnyFunSuite with SparkTester {
     // similarity (clean j ≥ 0.3) — boilerplate-only pairs (clean j ≈ 0)
     // are never manufactured
     val capped = pairsOf(boiler, 0.5, Some(10L))
-    val strong = clean08.filter { case (_, j) => j >= 0.9 }.keySet
+    val strong = clean08.filter { case (_, j) => j >= 900000L }.keySet
     assert(strong.subsetOf(capped.keySet),
       s"missing strong pairs: ${strong.diff(capped.keySet)}")
     val clean03 = pairsOf(docs, 0.3, None)
@@ -928,15 +928,16 @@ class SketchesSpec extends AnyFunSuite with SparkTester {
     // 40 distinct values < k=64: the sketch IS the value set — exact
     val small = (1 to 40).flatMap(i => Seq(i, i)).toDF("v")
     val sm = Sketches.kmvDistinct(small, "v", k = 64).head
-    assert(sm.getLong(0) == 40L && sm.getDouble(2) == 40.0)
+    assert(sm.getLong(0) == 40L && sm.getLong(2) == 40L)
     // thousands distinct: rel error ~ 1/sqrt(62) ≈ 12.7%; allow 4 sigma
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val exact = li.select("l_orderkey").distinct().count().toDouble
-    val e = Sketches.kmvDistinct(li, "l_orderkey", k = 64).head.getDouble(2)
+    val e = Sketches.kmvDistinct(li, "l_orderkey", k = 64)
+      .head.getLong(2).toDouble
     assert(math.abs(e - exact) / exact < 0.51, s"est $e vs exact $exact")
     // duplication changes nothing (set semantics)
     val e2 = Sketches.kmvDistinct(li.union(li), "l_orderkey", k = 64)
-      .head.getDouble(2)
+      .head.getLong(2).toDouble
     assert(e2 == e)
   }
 
@@ -951,14 +952,14 @@ class SketchesSpec extends AnyFunSuite with SparkTester {
     val whole = Sketches.kmvDistinct(li, "l_partkey", k = 64).head
     assert(merged.getLong(0) == whole.getLong(0) &&
       merged.getString(1) == whole.getString(1) &&
-      merged.getDouble(2) == whole.getDouble(2),
+      merged.getLong(2) == whole.getLong(2),
       s"merged $merged vs whole $whole")
     // grouped: a 3-distinct-value group reports exactly 3
     val g = Seq(("a", 1), ("a", 2), ("a", 2), ("a", 3), ("b", 9))
       .toDF("k", "v")
     val r = Sketches.kmvDistinctBy(g, "k", "v", k = 64)
-      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
-    assert(r == Map("a" -> 3.0, "b" -> 1.0))
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(r == Map("a" -> 3L, "b" -> 1L))
   }
   test("kmv intersect: exact below k, identical sets give " +
       "est_intersect == est_union, half-overlap lands in the error band") {
@@ -968,16 +969,16 @@ class SketchesSpec extends AnyFunSuite with SparkTester {
     val small = Sketches.kmvIntersect(a, "v", b, "v", k = 64).head
     assert(small.getLong(0) == 15L, "union below k reports exactly")
     assert(small.getLong(2) == 5L, s"n_both ${small.getLong(2)}")
-    assert(small.getDouble(3) == 15.0 && small.getDouble(4) == 5.0,
+    assert(small.getLong(3) == 15L && small.getLong(4) == 5L,
       "small-set estimates must be exact")
     val big = (1L to 1000L).toDF("v")
     val same = Sketches.kmvIntersect(big, "v", big, "v", k = 64).head
-    assert(same.getDouble(3) == same.getDouble(4),
+    assert(same.getLong(3) == same.getLong(4),
       "identical sets: rho = 1 so intersect == union estimate")
     val shifted = (501L to 1500L).toDF("v")
     val half = Sketches.kmvIntersect(big, "v", shifted, "v", k = 64).head
-    assert(half.getDouble(4) > 200 && half.getDouble(4) < 800,
-      s"true 500, est ${half.getDouble(4)}")
+    assert(half.getLong(4) > 200 && half.getLong(4) < 800,
+      s"true 500, est ${half.getLong(4)}")
     val again = Sketches.kmvIntersect(big, "v", shifted, "v", k = 64).head
     assert(again == half, "deterministic across runs")
   }

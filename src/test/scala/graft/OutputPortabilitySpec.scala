@@ -48,9 +48,7 @@ class OutputPortabilitySpec extends AnyFunSuite with SparkTester {
     * a guarded BIGINT, or a digit string instead. */
   private val doubleGrandfathered: Set[String] = Set(
     "agg_argminmax", "agg_cube", "agg_grouping_sets", "agg_hll_groups",
-    "agg_hll_md5", "agg_hll_md5_raw", "agg_incremental", "agg_kmv",
-    "agg_kmv_groups", "agg_kmv_intersect", "agg_kmv_union",
-    "agg_quantiles", "agg_quantiles_bucketed", "agg_stats",
+    "agg_hll_md5", "agg_hll_md5_raw", "agg_incremental", "agg_quantiles", "agg_quantiles_bucketed", "agg_stats",
     "agg_weighted_quantiles", "assoc_rules", "contrastive_triplets",
     "corpus_drift", "corpus_length_kl", "corpus_mixture",
     "corpus_overlap_minhash", "corpus_report", "corpus_source_jsd",
@@ -59,10 +57,8 @@ class OutputPortabilitySpec extends AnyFunSuite with SparkTester {
     "curation_doremi", "curation_dsir", "curation_dsir_stream",
     "curation_gopher", "curation_kappa", "curation_length_sweep",
     "curation_sample_weighted", "curation_soft_dedup", "dedup_cdc_chunks",
-    "dedup_containment", "dedup_embedding", "dedup_embedding_lsh",
-    "dedup_eval", "dedup_lsh_tune", "dedup_minhash",
-    "dedup_ngram_jaccard", "dedup_threshold_sweep", "dedup_winnow_pairs",
-    "embedding_davies_bouldin", "embedding_intrinsic_dim",
+    "dedup_embedding", "dedup_embedding_lsh",
+    "dedup_lsh_tune", "embedding_davies_bouldin", "embedding_intrinsic_dim",
     "embedding_knn_graph", "embedding_knn_graph_lsh",
     "embedding_label_centroids", "embedding_matryoshka",
     "embedding_norms", "embedding_outliers", "embedding_pca_deflate",
@@ -97,7 +93,7 @@ class OutputPortabilitySpec extends AnyFunSuite with SparkTester {
     "simsearch_ivf_kselect", "simsearch_positives", "simsearch_pq",
     "simsearch_recall_eval", "simsearch_text_sparse", "simsearch_topk",
     "sql_asof_join", "sql_interface", "sql_jaro_winkler",
-    "sql_minhash_pairs", "sql_quantiles", "stats_ab_test", "stats_chi2",
+    "sql_quantiles", "stats_ab_test", "stats_chi2",
     "stats_ks", "stats_ols", "stats_permutation", "stats_welch_t",
     "text_bigram_logprob", "text_bm25", "text_boilerplate",
     "text_collocations", "text_entropy", "text_fertility",
