@@ -20,6 +20,13 @@ object AnalyticsQueries {
   /** Query bag shared by the RRF / nDCG rows and their oracles. */
   private val fusionQueryTerms = Seq("spark", "query", "join")
 
+  /** Benford first-digit expectations round(log10(1+1/d)·10⁶) as
+    * integer micro-units, computed ONCE here and interpolated into both
+    * engines as literals — the hash-compared path never evaluates a
+    * runtime log10. */
+  private val benfordMicro: Seq[(Int, Long)] = (1 to 9).map(d =>
+    d -> math.rint(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+
   /** Shared BM25 oracle prefix (tokens → dl → corpus stats → pruned
     * tf → df → per-(doc,term) 6-dp decimal contributions) — the same
     * text as the `search_bm25` oracle, factored so the fusion/eval
@@ -106,12 +113,13 @@ object AnalyticsQueries {
           FROM d),
         s AS (
           SELECT event_type, day, x,
-            round(CAST(pp - least(CAST(0 AS DECIMAL(28,6)),
+            ((pp - least(CAST(0 AS DECIMAL(28,6)),
               min(pp) OVER (PARTITION BY event_type ORDER BY day
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-              AS DOUBLE), 6) AS cusum
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+              * 1000000)::BIGINT AS cusum_micro
           FROM p)
-        SELECT event_type, day, x, cusum, cusum > 5.0 AS changepoint
+        SELECT event_type, day, x, cusum_micro,
+          cusum_micro > 5000000 AS changepoint
         FROM s""")),
 
     // ---- reciprocal-rank fusion of the BM25 and dense hashed-
@@ -166,15 +174,15 @@ object AnalyticsQueries {
           fused AS (
             SELECT coalesce(lex.doc_id, denl.doc_id) AS doc_id,
               rank_bm25, rank_dense,
-              round(coalesce(1.0 / (60 + rank_bm25), 0.0) +
-                coalesce(1.0 / (60 + rank_dense), 0.0), 6) AS rrf
+              coalesce(1000000 // (60 + rank_bm25), 0) +
+                coalesce(1000000 // (60 + rank_dense), 0) AS rrf_micro
             FROM lex FULL OUTER JOIN denl ON lex.doc_id = denl.doc_id),
           rk AS (
-            SELECT doc_id, rank_bm25, rank_dense, rrf,
-              row_number() OVER (ORDER BY rrf DESC,
+            SELECT doc_id, rank_bm25, rank_dense, rrf_micro,
+              row_number() OVER (ORDER BY rrf_micro DESC,
                 rank_bm25 ASC NULLS LAST, doc_id ASC) AS rank
             FROM fused)
-          SELECT doc_id, rank_bm25, rank_dense, rrf, rank
+          SELECT doc_id, rank_bm25, rank_dense, rrf_micro, rank
           FROM rk WHERE rank <= 20"""
       }),
 
@@ -477,7 +485,7 @@ object AnalyticsQueries {
           r$d AS (
             SELECT $d AS dim, count(*) AS n_truth,
               count(t.src) AS n_hit,
-              round(count(t.src)::DOUBLE / count(*), 6) AS recall
+              (count(t.src) * 1000000) // count(*) AS recall_micro
             FROM truth
             LEFT JOIN tr$d t
               ON truth.src = t.src AND truth.dst = t.dst)"""
@@ -563,8 +571,9 @@ object AnalyticsQueries {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("event_type"))
         daily
-          .withColumn("share", round(col("n").cast("double") /
-            sum(col("n")).over(w), 6))
+          .withColumn("__tot", sum(col("n")).over(w))
+          .withColumn("share_micro", expr("(n * 1000000L) DIV __tot"))
+          .drop("__tot")
           .withColumn("is_peak", col("n") === max(col("n")).over(w))
       },
       Some("""WITH d AS (
@@ -578,7 +587,7 @@ object AnalyticsQueries {
           SELECT event_type, sum(n)::BIGINT AS tot, max(n) AS mx
           FROM c GROUP BY 1)
         SELECT c.event_type, dow, n,
-          round(n::DOUBLE / tot, 6) AS share,
+          (n * 1000000) // tot AS share_micro,
           n = mx AS is_peak
         FROM c JOIN t USING (event_type)""")),
 
@@ -686,8 +695,8 @@ object AnalyticsQueries {
         SELECT u.doc_id, count(*) AS n_shingles,
           sum(CASE WHEN first_doc = u.doc_id THEN 1 ELSE 0 END)::BIGINT
             AS n_novel,
-          round(sum(CASE WHEN first_doc = u.doc_id THEN 1
-            ELSE 0 END)::DOUBLE / count(*), 6) AS novelty
+          (sum(CASE WHEN first_doc = u.doc_id THEN 1
+            ELSE 0 END)::BIGINT * 1000000) // count(*) AS novelty_micro
         FROM u JOIN f USING (s)
         GROUP BY u.doc_id""")),
 
@@ -808,11 +817,11 @@ object AnalyticsQueries {
           .crossJoin(broadcast(nOrders))
           .select(col("pa").as("id_a"), col("pb").as("id_b"),
             col("n_ab"), col("n_a"), col("n_b"),
-            round(col("n_ab").cast("double") / col("n_a"), 6)
-              .as("confidence"),
-            round((col("n_ab") * col("n_orders")).cast("double") /
-              (col("n_a") * col("n_b")), 6).as("lift"))
-          .orderBy(col("lift").desc, col("id_a").asc, col("id_b").asc)
+            expr("(n_ab * 1000000L) DIV n_a").as("confidence_micro"),
+            expr("(n_ab * n_orders * 1000000L) DIV (n_a * n_b)")
+              .as("lift_micro"))
+          .orderBy(col("lift_micro").desc, col("id_a").asc,
+            col("id_b").asc)
           .limit(20)
       },
       Some("""WITH i AS (
@@ -826,14 +835,14 @@ object AnalyticsQueries {
           GROUP BY 1, 2 HAVING count(*) >= 2)
         SELECT pa AS id_a, pb AS id_b, n_ab,
           sa.n_p AS n_a, sb.n_p AS n_b,
-          round(n_ab::DOUBLE / sa.n_p, 6) AS confidence,
-          round((n_ab * n_orders)::DOUBLE / (sa.n_p * sb.n_p), 6)
-            AS lift
+          (n_ab * 1000000) // sa.n_p AS confidence_micro,
+          (n_ab * n_orders * 1000000) // (sa.n_p * sb.n_p)
+            AS lift_micro
         FROM pr
         JOIN supp sa ON pa = sa.p
         JOIN supp sb ON pb = sb.p
         CROSS JOIN no
-        ORDER BY lift DESC, id_a ASC, id_b ASC LIMIT 20""")),
+        ORDER BY lift_micro DESC, id_a ASC, id_b ASC LIMIT 20""")),
 
     // ---- TPC-H-Q9-shaped profit rollup (adapted to the testdata's
     // tables — cost proxied by p_retailprice since partsupp is not
@@ -945,18 +954,22 @@ object AnalyticsQueries {
               datediff(col("day"), col("pday")) === 7)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_eval"),
-            round(sum(abs(col("x") - col("x7"))).cast("double") /
-              count(lit(1)), 6).as("mae"),
-            round(sum(col("x") - col("x7")).cast("double") /
-              count(lit(1)), 6).as("bias"))
+            sum(abs(col("x") - col("x7"))).as("sae"),
+            // bias is SIGNED: publish the raw error sum (bias =
+            // bias_sum/n_eval is derivable and trunc-vs-floor on
+            // negatives is the one cross-engine divergence)
+            sum(col("x") - col("x7")).as("bias_sum"))
+          .withColumn("mae_micro", expr("(sae * 1000000L) DIV n_eval"))
       },
       Some("""WITH daily AS (
           SELECT event_type, date_trunc('day', ts)::DATE AS day,
             count(*) AS x
           FROM events GROUP BY 1, 2)
         SELECT a.event_type, count(*) AS n_eval,
-          round(sum(abs(a.x - b.x))::DOUBLE / count(*), 6) AS mae,
-          round(sum(a.x - b.x)::DOUBLE / count(*), 6) AS bias
+          sum(abs(a.x - b.x))::BIGINT AS sae,
+          sum(a.x - b.x)::BIGINT AS bias_sum,
+          (sum(abs(a.x - b.x))::BIGINT * 1000000) // count(*)
+            AS mae_micro
         FROM daily a JOIN daily b
           ON a.event_type = b.event_type
          AND date_diff('day', b.day, a.day) = 7
@@ -1745,9 +1758,9 @@ object AnalyticsQueries {
           .withColumn("cum_v", sum(col("v")).over(w))
           .select(col("cohort_week"), col("age_week"),
             col("cohort_size"), col("n_buyers"),
-            col("v").cast("double").as("value"),
-            round(col("cum_v").cast("double") / col("cohort_size"), 6)
-              .as("cum_ltv"))
+            (col("v") * lit(1000000)).cast("long").as("value_micro"),
+            expr("(cum_v * 1000000) DIV cohort_size")
+              .as("cum_ltv_micro"))
       },
       Some("""WITH co AS (
           SELECT user_id,
@@ -1771,11 +1784,12 @@ object AnalyticsQueries {
           SELECT cw AS cohort_week, count(*) AS cohort_size
           FROM co GROUP BY 1)
         SELECT cohort_week, age_week, cohort_size, n_buyers,
-          CAST(v AS DOUBLE) AS value,
-          round(CAST(sum(v) OVER (PARTITION BY cohort_week
-            ORDER BY age_week
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS DOUBLE) / cohort_size, 6) AS cum_ltv
+          (v * 1000000)::BIGINT AS value_micro,
+          ((sum(v) OVER (PARTITION BY cohort_week
+              ORDER BY age_week
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            * 1000000000000)::HUGEINT
+            // (cohort_size::HUGEINT * 1000000))::BIGINT AS cum_ltv_micro
         FROM cell JOIN sz USING (cohort_week)""")),
 
     // ---- vocabulary coverage curve: share of all tokens covered by
@@ -1808,8 +1822,7 @@ object AnalyticsQueries {
           .crossJoin(broadcast(tot))
           .select(col("k"), col("n_words"), col("covered"),
             col("n_types"),
-            round(col("covered").cast("double") / col("n_tok"), 6)
-              .as("coverage"))
+            expr("(covered * 1000000L) DIV n_tok").as("coverage_micro"))
       },
       Some("""WITH t AS (
           SELECT unnest(list_filter(string_split(lower(text), ' '),
@@ -1825,7 +1838,7 @@ object AnalyticsQueries {
         ks AS (SELECT unnest([10, 100, 1000])::BIGINT AS k)
         SELECT k, count(*) AS n_words, sum(c)::BIGINT AS covered,
           min(n_types) AS n_types,
-          round(sum(c)::DOUBLE / min(n_tok), 6) AS coverage
+          (sum(c)::BIGINT * 1000000) // min(n_tok) AS coverage_micro
         FROM rk CROSS JOIN ks CROSS JOIN tot
         WHERE rk <= k
         GROUP BY k""")),
@@ -1912,9 +1925,12 @@ object AnalyticsQueries {
               .rowsBetween(Window.unboundedPreceding,
                 Window.currentRow)))
           .select(col("decile"), col("n"),
-            col("sv").cast("double").as("sum_price"),
-            round(col("cum_sv").cast("double") /
-              col("tv").cast("double"), 6).as("cum_share"))
+            // decimal(18,6) sums are exact: ·10⁶ is integer-valued, so
+            // both published columns are exact micro-units and the
+            // share is one decimal IntegralDivide (trunc toward zero =
+            // floor here, all mass non-negative)
+            (col("sv") * lit(1000000)).cast("long").as("sum_price_micro"),
+            expr("(cum_sv * 1000000) DIV tv").as("cum_share_micro"))
       },
       Some("""WITH o AS (
           SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,6)) AS v
@@ -1927,10 +1943,11 @@ object AnalyticsQueries {
         d AS (
           SELECT decile, count(*) AS n, sum(v) AS sv
           FROM r GROUP BY decile)
-        SELECT decile, n, CAST(sv AS DOUBLE) AS sum_price,
-          round(CAST(sum(sv) OVER (ORDER BY decile
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS DOUBLE) / CAST(tv AS DOUBLE), 6) AS cum_share
+        SELECT decile, n, (sv * 1000000)::BIGINT AS sum_price_micro,
+          ((sum(sv) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            * 1000000000000)::HUGEINT
+            // (tv * 1000000)::HUGEINT)::BIGINT AS cum_share_micro
         FROM d CROSS JOIN t""")),
 
     // ---- activity episodes: consecutive events ≤ 30 min apart fuse
@@ -1992,8 +2009,7 @@ object AnalyticsQueries {
         pairs.join(broadcast(supp.select(col("event_type").as("a"),
             col("n_users").as("n_a"))), "a")
           .select(col("a"), col("b"), col("n_ab"), col("n_a"),
-            round(col("n_ab").cast("double") / col("n_a"), 6)
-              .as("confidence"))
+            expr("(n_ab * 1000000L) DIV n_a").as("confidence_micro"))
       },
       Some("""WITH f AS (
           SELECT user_id, event_type, min(ts) AS t0
@@ -2007,7 +2023,7 @@ object AnalyticsQueries {
             AND a.event_type <> b.event_type AND a.t0 < b.t0
           GROUP BY 1, 2)
         SELECT a, b, n_ab, n_users AS n_a,
-          round(n_ab::DOUBLE / n_users, 6) AS confidence
+          (n_ab * 1000000) // n_users AS confidence_micro
         FROM pr JOIN supp ON a = supp.event_type""")),
 
     // ---- pairwise Pearson correlation matrix over the lineitem
@@ -2126,8 +2142,7 @@ object AnalyticsQueries {
           .agg(countDistinct(col("user_id")).as("mau"))
         dau.join(mau, "day")
           .select(col("day"), col("dau"), col("mau"),
-            round(col("dau").cast("double") / col("mau"), 6)
-              .as("stickiness"))
+            expr("(dau * 1000000L) DIV mau").as("stickiness_micro"))
       },
       Some("""WITH du AS (
           SELECT DISTINCT date_trunc('day', ts)::DATE AS day, user_id
@@ -2142,7 +2157,7 @@ object AnalyticsQueries {
             ON date_diff('day', p.day, g.day) BETWEEN 0 AND 27
           GROUP BY 1)
         SELECT day, dau, mau,
-          round(dau::DOUBLE / mau, 6) AS stickiness
+          (dau * 1000000) // mau AS stickiness_micro
         FROM dau JOIN mau USING (day)""")),
 
     // ---- growth accounting: per week, users classified new /
@@ -2227,16 +2242,17 @@ object AnalyticsQueries {
           .agg(max(date_trunc("DAY", col("ts")).cast("date"))
             .as("last_day"),
             count(lit(1)).as("f"),
-            round(sum(col("value").cast("decimal(18,6)"))
-              .cast("double"), 6).as("m"))
+            (sum(col("value").cast("decimal(18,6)")) * lit(1000000))
+              .cast("long").as("m_micro"))
           .crossJoin(broadcast(hmax))
           .select(col("user_id"),
             datediff(col("h"), col("last_day")).as("r_days"),
-            col("f"), col("m"))
+            col("f"), col("m_micro"))
         val wr = Window.orderBy(col("r_days").asc, col("user_id").asc)
         val wf = Window.orderBy(col("f").desc, col("user_id").asc)
-        val wm = Window.orderBy(col("m").desc, col("user_id").asc)
-        base.select(col("user_id"), col("r_days"), col("f"), col("m"),
+        val wm = Window.orderBy(col("m_micro").desc, col("user_id").asc)
+        base.select(col("user_id"), col("r_days"), col("f"),
+            col("m_micro"),
             ntile(4).over(wr).as("r_q"), ntile(4).over(wf).as("f_q"),
             ntile(4).over(wm).as("m_q"))
           .withColumn("rfm",
@@ -2249,24 +2265,26 @@ object AnalyticsQueries {
             date_diff('day', max(date_trunc('day', ts)::DATE),
               (SELECT h FROM h))::INTEGER AS r_days,
             count(*) AS f,
-            round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
-              AS m
+            (sum(CAST(value AS DECIMAL(18,6))) * 1000000)::BIGINT
+              AS m_micro
           FROM events WHERE event_type = 'purchase'
           GROUP BY user_id)
-        SELECT user_id, r_days, f, m,
+        SELECT user_id, r_days, f, m_micro,
           ntile(4) OVER (ORDER BY r_days ASC, user_id ASC) AS r_q,
           ntile(4) OVER (ORDER BY f DESC, user_id ASC) AS f_q,
-          ntile(4) OVER (ORDER BY m DESC, user_id ASC) AS m_q,
+          ntile(4) OVER (ORDER BY m_micro DESC, user_id ASC) AS m_q,
           ntile(4) OVER (ORDER BY r_days ASC, user_id ASC) * 100 +
             ntile(4) OVER (ORDER BY f DESC, user_id ASC) * 10 +
-            ntile(4) OVER (ORDER BY m DESC, user_id ASC) AS rfm
+            ntile(4) OVER (ORDER BY m_micro DESC, user_id ASC) AS rfm
         FROM base""")),
 
     // ---- Benford first-digit audit of the price column — the classic
     // fabricated-data / unit-mixing screen: observed leading-digit
     // shares vs log10(1 + 1/d). The digit comes from the INTEGER cents
     // string (never from double formatting, which engines print
-    // differently); expectations are one identical double formula ----
+    // differently); expectations are the NINE Benford micro-constants
+    // computed once driver-side and interpolated into BOTH engines as
+    // literals — no runtime log10 anywhere in the hash-compared path ----
     Q("numeric_benford",
       (s, dir) => {
         val d = Sources.table(s, dir, "lineitem")
@@ -2275,33 +2293,40 @@ object AnalyticsQueries {
             .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
           .groupBy(col("digit")).agg(count(lit(1)).as("n"))
         val tot = d.agg(sum(col("n")).as("tot"))
+        val expLit = benfordMicro.foldLeft(lit(0L)) {
+          case (acc, (dg, m)) => when(col("digit") === dg, lit(m))
+            .otherwise(acc)
+        }
         d.crossJoin(broadcast(tot))
           .select(col("digit"), col("n"),
-            round(col("n").cast("double") / col("tot"), 6)
-              .as("obs_share"),
-            round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
-              .as("exp_share"))
-          .withColumn("dev",
-            round(col("obs_share") - col("exp_share"), 6))
+            expr("(n * 1000000L) DIV tot").as("obs_micro"),
+            expLit.as("exp_micro"))
+          .withColumn("dev_micro", col("obs_micro") - col("exp_micro"))
       },
-      Some("""WITH d AS (
+      Some(s"""WITH d AS (
           SELECT substr(CAST(CAST(round(l_extendedprice * 100, 0)
               AS BIGINT) AS VARCHAR), 1, 1)::INTEGER AS digit
           FROM lineitem WHERE l_extendedprice > 0),
         c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
-        t AS (SELECT sum(n)::BIGINT AS tot FROM c)
+        t AS (SELECT sum(n)::BIGINT AS tot FROM c),
+        bf(bdigit, exp_micro) AS (VALUES ${benfordMicro
+          .map { case (dg, m) => s"($dg, ${m}::BIGINT)" }
+          .mkString(", ")})
         SELECT digit, n,
-          round(n::DOUBLE / tot, 6) AS obs_share,
-          round(log10(1.0 + 1.0 / digit), 6) AS exp_share,
-          round(round(n::DOUBLE / tot, 6) -
-            round(log10(1.0 + 1.0 / digit), 6), 6) AS dev
-        FROM c CROSS JOIN t""")),
+          (n * 1000000) // tot AS obs_micro,
+          exp_micro,
+          (n * 1000000) // tot - exp_micro AS dev_micro
+        FROM c CROSS JOIN t JOIN bf ON bdigit = digit""")),
 
     // ---- index-of-dispersion (variance/mean of the daily count) per
     // event type: the Poisson-ness check behind every rate alarm —
     // under a homogeneous Poisson process it is ≈1, bursty arrivals
-    // push it up. Daily counts are integers, so Σx and Σx² are exact
-    // 64-bit sums and both engines derive identical doubles ----
+    // push it up. Daily counts are integers, so everything is exact
+    // integer algebra: var_num = n·Σx² − (Σx)², var_den = n(n−1),
+    // dispersion = variance/mean = var_num/((n−1)·Σx), all published
+    // as truncated micro-units via DECIMAL(38,0) intermediates (the
+    // n·Σx²·10⁶ product outruns int64 at 100 TB daily volumes) and the
+    // >1.5 verdict cross-multiplied — no division in either engine ----
     Q("events_dispersion",
       (s, dir) => {
         val daily = Sources.events(s, dir)
@@ -2312,14 +2337,19 @@ object AnalyticsQueries {
           .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
             sum(col("x") * col("x")).as("sxx"))
           .filter(col("n_days") > 1)
+          .withColumn("__vn",
+            expr("CAST(n_days AS DECIMAL(38,0)) * sxx" +
+              " - CAST(sx AS DECIMAL(38,0)) * sx"))
           .select(col("event_type"), col("n_days"),
-            round(col("sx").cast("double") / col("n_days"), 6)
-              .as("mean"),
-            round((col("sxx") - col("sx").cast("double") * col("sx") /
-              col("n_days")) / (col("n_days") - 1), 6).as("variance"))
-          .withColumn("dispersion",
-            round(col("variance") / col("mean"), 6))
-          .withColumn("overdispersed", col("dispersion") > 1.5)
+            expr("(sx * 1000000L) DIV n_days").as("mean_micro"),
+            graft.functions.Exact.bigint(expr(
+              "(__vn * 1000000) DIV (CAST(n_days AS DECIMAL(38,0))" +
+                " * (n_days - 1))")).as("variance_micro"),
+            graft.functions.Exact.bigint(expr(
+              "(__vn * 1000000) DIV (CAST(n_days - 1 AS DECIMAL(38,0))" +
+                " * sx)")).as("dispersion_micro"),
+            expr("2 * __vn > CAST(3 * (n_days - 1) AS DECIMAL(38,0))" +
+              " * sx").as("overdispersed"))
       },
       Some("""WITH daily AS (
           SELECT event_type, date_trunc('day', ts)::DATE AS day,
@@ -2328,18 +2358,20 @@ object AnalyticsQueries {
         m AS (
           SELECT event_type, count(*) AS n_days,
             sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx
-          FROM daily GROUP BY 1)
+          FROM daily GROUP BY 1),
+        v AS (
+          SELECT event_type, n_days, sx,
+            n_days::HUGEINT * sxx - sx::HUGEINT * sx AS vn
+          FROM m WHERE n_days > 1)
         SELECT event_type, n_days,
-          round(sx::DOUBLE / n_days, 6) AS mean,
-          round((sxx - sx::DOUBLE * sx / n_days) / (n_days - 1), 6)
-            AS variance,
-          round(round((sxx - sx::DOUBLE * sx / n_days) /
-              (n_days - 1), 6) /
-            round(sx::DOUBLE / n_days, 6), 6) AS dispersion,
-          round(round((sxx - sx::DOUBLE * sx / n_days) /
-              (n_days - 1), 6) /
-            round(sx::DOUBLE / n_days, 6), 6) > 1.5 AS overdispersed
-        FROM m WHERE n_days > 1""")),
+          (sx * 1000000) // n_days AS mean_micro,
+          ((vn * 1000000) // (n_days::HUGEINT * (n_days - 1)))
+            ::BIGINT AS variance_micro,
+          ((vn * 1000000) // ((n_days - 1)::HUGEINT * sx))
+            ::BIGINT AS dispersion_micro,
+          2 * vn > (3 * (n_days - 1))::HUGEINT * sx
+            AS overdispersed
+        FROM v""")),
 
     // ---- per-type OLS trend of the daily event rate: slope /
     // intercept / R² from exact integer moment sums (counts and
@@ -2428,11 +2460,13 @@ object AnalyticsQueries {
               .cast("decimal(18,6)")).as("num"),
             sum(round((col("x") - col("m")) * (col("x") - col("m")), 6)
               .cast("decimal(18,6)")).as("den"))
+          // autocorr = num/den published as the exact micro-scaled
+          // integer PAIR: num is signed (anti-correlated series), and
+          // Spark DIV (trunc) vs ANSI // (floor) disagree on negatives
+          // — so no division in either engine
           .select(col("event_type"), col("lag"), col("n_pairs"),
-            when(col("den") > 0,
-              round(col("num").cast("double") /
-                col("den").cast("double"), 6))
-              .otherwise(0.0).as("autocorr"))
+            (col("num") * lit(1000000)).cast("long").as("ac_num_u"),
+            (col("den") * lit(1000000)).cast("long").as("ac_den_u"))
       },
       Some("""WITH daily AS (
           SELECT event_type, date_trunc('day', ts)::DATE AS day,
@@ -2454,9 +2488,8 @@ object AnalyticsQueries {
           JOIN daily b ON a.event_type = b.event_type
             AND date_diff('day', a.day, b.day) = lag)
         SELECT event_type, lag, count(*) AS n_pairs,
-          CASE WHEN sum(den_t) > 0
-            THEN round(CAST(sum(num_t) AS DOUBLE) /
-              CAST(sum(den_t) AS DOUBLE), 6) ELSE 0.0 END AS autocorr
+          (sum(num_t) * 1000000)::BIGINT AS ac_num_u,
+          (sum(den_t) * 1000000)::BIGINT AS ac_den_u
         FROM p GROUP BY 1, 2""")),
 
     // ---- permutation test on the view-vs-purchase value gap: 64

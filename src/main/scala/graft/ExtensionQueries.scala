@@ -1927,7 +1927,7 @@ object SimilarityQueries {
               AS n_hit
           FROM eg LEFT JOIN ag ON eg.src = ag.src AND eg.dst = ag.dst)
         SELECT n_exact, n_hit,
-          round(n_hit::DOUBLE / n_exact, 6) AS recall
+          (n_hit * 1000000) // n_exact AS recall_micro
         FROM j""")),
 
     // ANN EVALUATION as a first-class query (the dense twin of
@@ -1950,8 +1950,8 @@ object SimilarityQueries {
             Seq("q_id"), "left")
           .select(col("q_id"), col("n_exact"),
             coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-            round(coalesce(col("n_hits"), lit(0L)).cast("double") /
-              col("n_exact"), 6).as("recall"))
+            expr("(coalesce(n_hits, 0L) * 1000000L) DIV n_exact")
+              .as("recall_micro"))
       },
       Some("""WITH e AS (
           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -2018,7 +2018,7 @@ object SimilarityQueries {
         ex AS (SELECT q_id, count(*) AS n_exact FROM brute GROUP BY q_id)
         SELECT ex.q_id, ex.n_exact,
           coalesce(h.n_hits, 0) AS n_hits,
-          round(coalesce(h.n_hits, 0)::DOUBLE / ex.n_exact, 6) AS recall
+          (coalesce(h.n_hits, 0) * 1000000) // ex.n_exact AS recall_micro
         FROM ex LEFT JOIN hits h USING (q_id)""")),
 
     // INCREMENTAL index maintenance — the IVF twin of
@@ -3155,10 +3155,8 @@ object TextQueries {
             sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
           .select(col("source"), col("n_tokens"), col("n_types"),
             col("n_hapax"),
-            round(col("n_types").cast("double") / col("n_tokens"), 6)
-              .as("type_token_ratio"),
-            round(col("n_hapax").cast("double") / col("n_types"), 6)
-              .as("hapax_ratio"))
+            expr("(n_types * 1000000L) DIV n_tokens").as("ttr_micro"),
+            expr("(n_hapax * 1000000L) DIV n_types").as("hapax_micro"))
       },
       Some("""WITH t AS (
           SELECT source,
@@ -3170,9 +3168,9 @@ object TextQueries {
         SELECT source, sum(c)::BIGINT AS n_tokens,
           count(*) AS n_types,
           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
-          round(count(*)::DOUBLE / sum(c), 6) AS type_token_ratio,
-          round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE /
-            count(*), 6) AS hapax_ratio
+          (count(*) * 1000000) // sum(c)::BIGINT AS ttr_micro,
+          (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT * 1000000) //
+            count(*) AS hapax_micro
         FROM wc GROUP BY source""")),
 
     // pairwise Jensen–Shannon divergence between source unigram
@@ -3265,11 +3263,10 @@ object TextQueries {
               .as("n_tokens_kept"))
           .crossJoin(broadcast(tot))
           .select(col("t"), col("n_docs_kept"),
-            round(col("n_docs_kept").cast("double") / col("nd"), 6)
-              .as("doc_share"),
+            expr("(n_docs_kept * 1000000L) DIV nd").as("doc_share_micro"),
             col("n_tokens_kept"),
-            round(col("n_tokens_kept").cast("double") / col("ntok"), 6)
-              .as("token_share"))
+            expr("(n_tokens_kept * 1000000L) DIV ntok")
+              .as("token_share_micro"))
       },
       Some("""WITH dl AS (
           SELECT len(list_filter(string_split(text, ' '),
@@ -3281,12 +3278,12 @@ object TextQueries {
         SELECT t,
           sum(CASE WHEN len >= t THEN 1 ELSE 0 END)::BIGINT
             AS n_docs_kept,
-          round(sum(CASE WHEN len >= t THEN 1 ELSE 0 END)::DOUBLE /
-            min(nd), 6) AS doc_share,
+          (sum(CASE WHEN len >= t THEN 1 ELSE 0 END)::BIGINT * 1000000)
+            // min(nd) AS doc_share_micro,
           sum(CASE WHEN len >= t THEN len ELSE 0 END)::BIGINT
             AS n_tokens_kept,
-          round(sum(CASE WHEN len >= t THEN len ELSE 0 END)::DOUBLE /
-            min(ntok), 6) AS token_share
+          (sum(CASE WHEN len >= t THEN len ELSE 0 END)::BIGINT * 1000000)
+            // min(ntok) AS token_share_micro
         FROM dl CROSS JOIN th CROSS JOIN tot
         GROUP BY t""")),
 
@@ -3610,12 +3607,11 @@ object TextQueries {
           CROSS JOIN b3 b)
         SELECT least(floor(score * 10), 9.0)::INTEGER AS bin,
           count(*) AS n,
-          round(CAST(sum(score::DECIMAL(18,6)) AS DOUBLE) / count(*), 6)
-            AS mean_score,
-          round(sum(y)::DOUBLE / count(*), 6) AS pos_rate,
-          round(abs(
-            round(CAST(sum(score::DECIMAL(18,6)) AS DOUBLE) / count(*), 6)
-            - round(sum(y)::DOUBLE / count(*), 6)), 6) AS gap
+          (sum(score::DECIMAL(18,6)) * 1000000)::BIGINT // count(*)
+            AS mean_score_micro,
+          (sum(y)::BIGINT * 1000000) // count(*) AS pos_rate_micro,
+          abs((sum(score::DECIMAL(18,6)) * 1000000)::BIGINT // count(*)
+            - (sum(y)::BIGINT * 1000000) // count(*)) AS gap_micro
         FROM sc GROUP BY 1""")),
 
     // Brier score + Murphy decomposition — the one-row rollup of the
@@ -3660,11 +3656,11 @@ object TextQueries {
               (pr - sy::DOUBLE / n), 6) AS DECIMAL(18,6)) * nk) AS res
           FROM bb CROSS JOIN o
           GROUP BY n, bsum, sy)
-        SELECT n, round(CAST(bsum AS DOUBLE) / n, 6) AS brier,
-          round(CAST(rel AS DOUBLE) / n, 6) AS reliability,
-          round(CAST(res AS DOUBLE) / n, 6) AS resolution,
-          round((sy::DOUBLE / n) * (1.0 - sy::DOUBLE / n), 6)
-            AS uncertainty
+        SELECT n,
+          (bsum * 1000000)::BIGINT // n AS brier_micro,
+          (rel * 1000000)::BIGINT // n AS reliability_micro,
+          (res * 1000000)::BIGINT // n AS resolution_micro,
+          (sy * (n - sy) * 1000000) // (n * n) AS uncertainty_micro
         FROM agg""")),
 
     // exact ROC-AUC via the rank-sum identity with midrank ties —
@@ -3700,8 +3696,8 @@ object TextQueries {
           FROM rk)
         SELECT np AS n_pos, nn AS n_neg,
           CASE WHEN np > 0 AND nn > 0
-            THEN round((s2 - np * (np + 1))::DOUBLE / (2 * np * nn), 6)
-            ELSE 0.0 END AS auc
+            THEN ((s2 - np * (np + 1)) * 1000000) // (2 * np * nn)
+            ELSE 0 END AS auc_micro
         FROM agg""")),
 
     // population stability index of the trained score between the two
@@ -3895,8 +3891,7 @@ object TextQueries {
             sum(col("n")).over(org.apache.spark.sql.expressions.Window
               .partitionBy(col("lang"))))
           .select(col("lang"), col("pred"), col("n"),
-            round(col("n").cast("double") / col("row_total"), 6)
-              .as("rate"))
+            expr("(n * 1000000L) DIV row_total").as("rate_micro"))
       },
       Some(s"""WITH ${nbModelCtes(64)},
         sc AS (
@@ -3920,7 +3915,8 @@ object TextQueries {
             ON d.doc_id = b.doc_id AND b.rk = 1
           GROUP BY d.lang, b.pred)
         SELECT lang, pred, n,
-          round(n::DOUBLE / sum(n) OVER (PARTITION BY lang), 6) AS rate
+          ((n * 1000000) // sum(n) OVER (PARTITION BY lang))::BIGINT
+            AS rate_micro
         FROM cm""")),
 
     // the STREAMING NB form: same trained model as k broadcast weight
@@ -4287,28 +4283,25 @@ object TextQueries {
               AS score
           FROM documents d LEFT JOIN sF ON d.doc_id = sF.doc_id
           CROSS JOIN b3 b),
-        th AS (SELECT unnest(range(1, 10))::DOUBLE / 10 AS t),
+        th AS (SELECT unnest(range(1, 10))::INTEGER AS t_step,
+          unnest(range(1, 10))::DOUBLE / 10 AS t),
         cnt AS (
-          SELECT t,
+          SELECT t_step,
             sum(CASE WHEN score >= t AND y = 1 THEN 1 ELSE 0 END)::BIGINT
               AS tp,
             sum(CASE WHEN score >= t AND y = 0 THEN 1 ELSE 0 END)::BIGINT
               AS fp,
             sum(CASE WHEN score < t AND y = 1 THEN 1 ELSE 0 END)::BIGINT
               AS fn
-          FROM sc CROSS JOIN th GROUP BY t),
-        pr AS (
-          SELECT t, tp, fp, fn,
-            CASE WHEN tp + fp = 0 THEN 0.0
-              ELSE round(tp::DOUBLE / (tp + fp), 6) END AS precision,
-            CASE WHEN tp + fn = 0 THEN 0.0
-              ELSE round(tp::DOUBLE / (tp + fn), 6) END AS recall
-          FROM cnt)
-        SELECT t, tp, fp, fn, precision, recall,
-          CASE WHEN precision + recall = 0 THEN 0.0
-            ELSE round(2.0 * precision * recall / (precision + recall), 6)
-          END AS f1
-        FROM pr""")),
+          FROM sc CROSS JOIN th GROUP BY t_step)
+        SELECT t_step, tp, fp, fn,
+          CASE WHEN tp + fp = 0 THEN 0
+            ELSE (tp * 1000000) // (tp + fp) END AS precision_micro,
+          CASE WHEN tp + fn = 0 THEN 0
+            ELSE (tp * 1000000) // (tp + fn) END AS recall_micro,
+          CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+            ELSE (2000000 * tp) // (2 * tp + fp + fn) END AS f1_micro
+        FROM cnt""")),
 
     // the BUDGETED selector variant: rank by score, admit until the
     // token budget is spent (cum_before < B, straddler allowed — the
@@ -4948,7 +4941,7 @@ object TextQueries {
             sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared
           FROM g JOIN dfreq USING (g) GROUP BY doc_id)
         SELECT doc_id, n_grams, n_shared,
-          round(n_shared::DOUBLE / n_grams::DOUBLE, 6) AS overlap_ratio
+          (n_shared * 1000000) // n_grams AS overlap_micro
         FROM agg""")),
 
     // one-row corpus dashboard: counts, cardinalities, exact token
@@ -4964,10 +4957,10 @@ object TextQueries {
             countDistinct(col("source")).as("n_sources"),
             sum(col("n_chars")).as("total_chars"),
             sum(col("n_tokens").cast("long")).as("total_tokens"),
-            round(sum(col("n_tokens").cast("long")).cast("double") /
-              count(lit(1)), 4).as("avg_doc_tokens"),
             sum(when(col("n_numeric_tokens") > 0, 1L).otherwise(0L))
               .as("n_docs_numeric"))
+          .withColumn("avg_doc_tokens_micro",
+            expr("(total_tokens * 1000000L) DIV n_docs"))
       },
       Some("""WITH t AS (
           SELECT doc_id, lang, source, n_chars,
@@ -4983,7 +4976,8 @@ object TextQueries {
           count(DISTINCT source) AS n_sources,
           sum(n_chars)::BIGINT AS total_chars,
           sum(n_tokens)::BIGINT AS total_tokens,
-          round(sum(n_tokens)::DOUBLE / count(*), 4) AS avg_doc_tokens,
+          (sum(n_tokens)::BIGINT * 1000000) // count(*)
+            AS avg_doc_tokens_micro,
           sum(CASE WHEN n_num > 0 THEN 1 ELSE 0 END)::BIGINT
             AS n_docs_numeric
         FROM q""")),
@@ -5317,8 +5311,8 @@ object TextQueries {
             sum(size(Cleaning.tokens(col("text"))).cast("long"))
               .as("n_tokens"))
         per.crossJoin(broadcast(per.agg(sum("n_tokens").as("t"))))
-          .withColumn("token_share",
-            round(col("n_tokens").cast("double") / col("t"), 6))
+          .withColumn("token_share_micro",
+            expr("(n_tokens * 1000000L) DIV t"))
           .drop("t")
       },
       Some("""WITH per AS (
@@ -5328,7 +5322,7 @@ object TextQueries {
           FROM documents GROUP BY lang, source),
         t AS (SELECT sum(n_tokens)::BIGINT AS t FROM per)
         SELECT lang, source, n_docs, n_tokens,
-          round(n_tokens::DOUBLE / t, 6) AS token_share
+          (n_tokens * 1000000) // t AS token_share_micro
         FROM per CROSS JOIN t""")),
 
     // BM25 RETRIEVAL: every document scored against a fixed query bag,
@@ -6788,11 +6782,13 @@ object CurationQueries {
           sS AS (
             SELECT coalesce(sum(ra * cb), 0)::BIGINT AS s
             FROM r JOIN c ON la = lb)
-          SELECT n, n_agree, round(n_agree::DOUBLE / n, 6) AS po,
-            round(s::DOUBLE / (n::DOUBLE * n), 6) AS pe,
-            CASE WHEN n::DOUBLE * n - s = 0 THEN 0.0
-              ELSE round((n_agree::DOUBLE * n - s::DOUBLE) /
-                (n::DOUBLE * n - s::DOUBLE), 6) END AS kappa
+          SELECT n, n_agree,
+            CASE WHEN n = 0 THEN 0
+              ELSE (n_agree * 1000000) // n END AS po_micro,
+            CASE WHEN n = 0 THEN 0
+              ELSE (s * 1000000) // (n * n) END AS pe_micro,
+            n_agree * n - s AS kappa_num,
+            n * n - s AS kappa_den
           FROM nn CROSS JOIN sS"""
       }),
 
@@ -7645,8 +7641,10 @@ object CurationQueries {
           countDistinct(col("doc_id")).as("n_docs"))
         .agg(count(lit(1)).as("n_bins"),
           sum(when(col("fill") === 64, 1L).otherwise(0L)).as("full_bins"),
-          round(avg(col("fill")), 6).as("avg_fill"),
-          max(col("n_docs")).as("max_docs_per_bin")),
+          sum(col("fill")).as("total_fill"),
+          max(col("n_docs")).as("max_docs_per_bin"))
+        .withColumn("avg_fill_micro",
+          expr("(total_fill * 1000000L) DIV n_bins")),
       Some("""WITH t AS (
           SELECT doc_id,
             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
@@ -7674,8 +7672,9 @@ object CurationQueries {
           FROM p GROUP BY bin_id)
         SELECT count(*)::BIGINT AS n_bins,
           sum(CASE WHEN fill = 64 THEN 1 ELSE 0 END)::BIGINT AS full_bins,
-          round(avg(fill), 6) AS avg_fill,
-          max(n_docs)::BIGINT AS max_docs_per_bin
+          sum(fill)::BIGINT AS total_fill,
+          max(n_docs)::BIGINT AS max_docs_per_bin,
+          (sum(fill)::BIGINT * 1000000) // count(*) AS avg_fill_micro
         FROM pb""")),
 
     // PII scrub. The synthetic corpus has no real PII, so each document is
@@ -7769,8 +7768,8 @@ object CurationQueries {
             sum(when(!col("l_diverse"), 1L).otherwise(0L))
               .as("classes_under_l"),
             sum(col("n_docs")).as("n_rows"))
-          .withColumn("risk_frac",
-            round(col("rows_at_risk").cast("double") / col("n_rows"), 6))
+          .withColumn("risk_micro",
+            expr("(rows_at_risk * 1000000L) DIV n_rows"))
       },
       Some("""WITH a AS (
           SELECT lang, source, n_chars // 100 AS size_bucket,
@@ -7785,8 +7784,8 @@ object CurationQueries {
           sum(CASE WHEN NOT l_diverse THEN 1 ELSE 0 END)::BIGINT
             AS classes_under_l,
           sum(n_docs)::BIGINT AS n_rows,
-          round(sum(CASE WHEN NOT k_anonymous THEN n_docs ELSE 0 END)
-            ::DOUBLE / sum(n_docs), 6) AS risk_frac
+          (sum(CASE WHEN NOT k_anonymous THEN n_docs ELSE 0 END)
+            ::BIGINT * 1000000) // sum(n_docs)::BIGINT AS risk_micro
         FROM a""")),
 
     // t-closeness: the THIRD rung after k and l — a class can pass
@@ -8942,8 +8941,8 @@ object GraphQueries {
           .agg(count(lit(1)).as("n_reciprocal"))
           .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
           .select(col("n_edges"), col("n_reciprocal"),
-            round(col("n_reciprocal").cast("double") / col("n_edges"), 6)
-              .as("reciprocity"))
+            expr("(n_reciprocal * 1000000L) DIV n_edges")
+              .as("reciprocity_micro"))
       },
       Some("""WITH e AS (
           SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
@@ -8954,8 +8953,8 @@ object GraphQueries {
         SELECT
           (SELECT count(*) FROM e) AS n_edges,
           count(*) AS n_reciprocal,
-          round(count(*)::DOUBLE / (SELECT count(*) FROM e), 6)
-            AS reciprocity
+          (count(*) * 1000000) // (SELECT count(*) FROM e)
+            AS reciprocity_micro
         FROM e WHERE EXISTS (
           SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)""")),
 
@@ -9656,9 +9655,9 @@ object GraphQueries {
           GROUP BY node)
         SELECT d.node, d.deg,
           COALESCE(tn.triangles, 0) AS triangles,
-          CASE WHEN d.deg < 2 THEN 0.0
-            ELSE round(2.0 * COALESCE(tn.triangles, 0) /
-              (d.deg * (d.deg - 1))::DOUBLE, 6) END AS lcc
+          CASE WHEN d.deg < 2 THEN 0
+            ELSE (2000000 * COALESCE(tn.triangles, 0)) //
+              (d.deg * (d.deg - 1)) END AS lcc_micro
         FROM deg d LEFT JOIN tn USING (node)""")),
 
     // k-core of the trade bipartite graph: 3 synchronous peel rounds at

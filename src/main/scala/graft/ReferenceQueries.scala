@@ -779,12 +779,14 @@ object ReferenceQueries {
           .unionByName(partial(ev.filter(col("ts") >= cut)))
           .groupBy(col("user_id")).agg(
             sum(col("n")).as("n"),
-            sum(col("sv")).cast("double").as("total_value"),
+            (sum(col("sv")) * lit(1000000)).cast("long")
+              .as("total_value_micro"),
             min(col("first_ts")).as("first_ts"),
             max(col("last_ts")).as("last_ts"))
       },
       Some("""SELECT user_id, count(*) AS n,
-        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        (sum(CAST(value AS DECIMAL(18,6))) * 1000000)::BIGINT
+          AS total_value_micro,
         min(ts) AS first_ts, max(ts) AS last_ts
         FROM events GROUP BY user_id""")),
 
@@ -1508,9 +1510,9 @@ object ReferenceQueries {
         p AS (
           SELECT from_type, to_type, count(*) AS n
           FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
-        t AS (SELECT from_type, sum(n) AS tot FROM p GROUP BY 1)
+        t AS (SELECT from_type, sum(n)::BIGINT AS tot FROM p GROUP BY 1)
         SELECT p.from_type, p.to_type, p.n,
-          round(p.n::DOUBLE / t.tot, 6) AS p
+          (p.n * 1000000) // t.tot AS p_micro
         FROM p JOIN t USING (from_type)""")),
 
     // stationary distribution of the same chain by 6 rounds of power

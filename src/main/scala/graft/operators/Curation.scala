@@ -1111,14 +1111,17 @@ object Curation {
     * selection run. Multi-class: po = agreement rate, pe = chance
     * agreement from the marginals, κ = (po − pe)/(1 − pe).
     *
-    * Parity: every count is exact; po/pe/κ are computed as the SAME
-    * double expression shapes both engines evaluate identically
-    * (products of counts stay ≤ 2^53 at any n the per-class marginals
-    * can reach before the double algebra is itself the bottleneck).
-    * κ is 0 when pe = 1 (degenerate single-class labelers). Scale
-    * shape: one key equi-join + three map-side-combined aggregates,
-    * all over |classes|-bounded tables. Output one row
-    * `(n, n_agree, po, pe, kappa)`. */
+    * Parity: every count is exact and every published number is exact
+    * integer algebra — po/pe as truncated micro-units, and κ as the
+    * integer fraction `kappa_num = n_agree·n − s`, `kappa_den = n² − s`
+    * (num may be NEGATIVE — worse-than-chance agreement — which is why
+    * κ itself is published as a num/den pair: Spark's DIV truncates
+    * toward zero while ANSI `//` floors, so a negative micro division
+    * is the one shape the two engines disagree on). κ_den is 0 for
+    * degenerate single-class labelers (pe = 1). Scale shape: one key
+    * equi-join + three map-side-combined aggregates, all over
+    * |classes|-bounded tables. Output one row
+    * `(n, n_agree, po_micro, pe_micro, kappa_num, kappa_den)`. */
   def cohenKappa(a: DataFrame, b: DataFrame, idCol: String,
       labelCol: String): DataFrame = {
     val j = a.select(col(idCol).as("__id"), col(labelCol).as("la"))
@@ -1135,18 +1138,12 @@ object Curation {
     // row the pe = 1 guard produces — not an ANSI DIVIDE_BY_ZERO abort
     nn.crossJoin(broadcast(s))
       .select(col("n"), col("n_agree"),
-        when(col("n") === 0, lit(0.0)).otherwise(
-          round(col("n_agree").cast("double") / col("n"), 6)).as("po"),
-        when(col("n") === 0, lit(0.0)).otherwise(
-          round(col("s").cast("double") /
-            (col("n").cast("double") * col("n")), 6)).as("pe"),
-        when(col("n").cast("double") * col("n") - col("s") === 0.0,
-          lit(0.0))
-          .otherwise(round(
-            (col("n_agree").cast("double") * col("n") -
-              col("s").cast("double")) /
-            (col("n").cast("double") * col("n") -
-              col("s").cast("double")), 6)).as("kappa"))
+        when(col("n") === 0, lit(0L)).otherwise(
+          expr("(n_agree * 1000000L) DIV n")).as("po_micro"),
+        when(col("n") === 0, lit(0L)).otherwise(
+          expr("(s * 1000000L) DIV (n * n)")).as("pe_micro"),
+        (col("n_agree") * col("n") - col("s")).as("kappa_num"),
+        (col("n") * col("n") - col("s")).as("kappa_den"))
   }
 
   /** K-ANONYMITY / L-DIVERSITY audit (Sweeney 2002; Machanavajjhala

@@ -540,10 +540,10 @@ object Graph {
     deg.join(triN, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),
-        when(col("deg") < 2, lit(0.0)).otherwise(
-          round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
-            (col("deg") * (col("deg") - lit(1))).cast("double"), 6))
-          .as("lcc"))
+        when(col("deg") < 2, lit(0L)).otherwise(
+          expr("(2000000L * coalesce(triangles, 0L))" +
+            " DIV (deg * (deg - 1L))"))
+          .as("lcc_micro"))
   }
 
   /** k-CORE PEELING, fixed-round synchronous form: each round computes

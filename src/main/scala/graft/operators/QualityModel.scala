@@ -309,10 +309,12 @@ object QualityModel {
     * what they claim before a 100 TB selection run commits to one.
     *
     * Parity: bin = floor(score·bins) on identical 6-dp-rounded score
-    * doubles (clamped to the top bin at score = 1); the bin mean is an
-    * exact decimal sum divided once; the positive rate is an integer
-    * ratio. Scale shape: scoring streams, then one ≤`bins`-row
-    * aggregate — audit cost is the scorer's cost. */
+    * doubles (clamped to the top bin at score = 1); the bin mean and
+    * positive rate are exact truncated micro-units (the 6-dp score
+    * contract makes score·10⁶ integer-valued, so the decimal sum is
+    * exact), and the gap is their integer |difference|. Scale shape:
+    * scoring streams, then one ≤`bins`-row aggregate — audit cost is
+    * the scorer's cost. */
   def calibration(df: DataFrame, idCol: String, textCol: String,
       label: Column, dim: Int = 32, iters: Int = 3, lr: Double = 2.0,
       bins: Int = 10): DataFrame = {
@@ -325,12 +327,16 @@ object QualityModel {
         lit((bins - 1).toDouble)).cast("int"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("score").cast("decimal(18,6)")).cast("double") /
-          count(lit(1)), 6).as("mean_score"),
-        round(sum(col("y")).cast("double") / count(lit(1)), 6)
-          .as("pos_rate"))
-      .withColumn("gap",
-        round(abs(col("mean_score") - col("pos_rate")), 6))
+        // scores are 6-dp rounded by the trainer's parity contract, so
+        // score·10⁶ is integer-valued and the decimal sum is exact
+        (sum(col("score").cast("decimal(18,6)")) * lit(1000000))
+          .cast("long").as("score_sum_u"),
+        sum(col("y").cast("long")).as("n_pos"))
+      .select(col("bin"), col("n"),
+        expr("score_sum_u DIV n").as("mean_score_micro"),
+        expr("(n_pos * 1000000L) DIV n").as("pos_rate_micro"))
+      .withColumn("gap_micro",
+        abs(col("mean_score_micro") - col("pos_rate_micro")))
   }
 
   /** BRIER SCORE + Murphy decomposition of the trained classifier:
@@ -375,22 +381,25 @@ object QualityModel {
           .cast("decimal(18,6)") * col("nk")).as("resk"))
       .groupBy(col("n"), col("bsum"), col("sy"))
       .agg(sum(col("relk")).as("rel"), sum(col("resk")).as("res"))
+      // the 6-dp decimal sums are exact, so every published component
+      // is one integer micro division; uncertainty is fully rational:
+      // (sy/n)(1−sy/n) = sy(n−sy)/n²
       .select(col("n"),
-        round(col("bsum").cast("double") / col("n"), 6).as("brier"),
-        round(col("rel").cast("double") / col("n"), 6)
-          .as("reliability"),
-        round(col("res").cast("double") / col("n"), 6).as("resolution"),
-        round((col("sy").cast("double") / col("n")) *
-          (lit(1.0) - col("sy").cast("double") / col("n")), 6)
-          .as("uncertainty"))
+        expr("CAST(bsum * 1000000 AS BIGINT) DIV n").as("brier_micro"),
+        expr("CAST(rel * 1000000 AS BIGINT) DIV n")
+          .as("reliability_micro"),
+        expr("CAST(res * 1000000 AS BIGINT) DIV n")
+          .as("resolution_micro"),
+        expr("(sy * (n - sy) * 1000000L) DIV (n * n)")
+          .as("uncertainty_micro"))
   }
 
   /** Exact ROC-AUC of the trained classifier via the rank-sum
     * (Mann–Whitney U) identity with midrank tie handling — the
     * threshold-free twin of [[prCurve]]. Everything stays INTEGER
-    * until one division: Σ over positives of (2·rank + ties − 1) is
-    * twice the midrank sum, so AUC = (S2 − n⁺(n⁺+1)) / (2·n⁺·n⁻)
-    * exactly, 6-dp rounded once.
+    * end-to-end: Σ over positives of (2·rank + ties − 1) is twice the
+    * midrank sum, so AUC = (S2 − n⁺(n⁺+1)) / (2·n⁺·n⁻) exactly,
+    * published as the truncated micro-unit `auc_micro`.
     *
     * Scale shape: NO per-row rank window. Scores are 6-dp rounded (a
     * parity invariant of [[trainScoreLogReg]]), so the corpus first
@@ -401,7 +410,7 @@ object QualityModel {
     * S2 = Σ_s n⁺(s)·(2·(below(s)+1) + n(s) − 1) — the same integers
     * the per-row window produced, at per-row cost O(1) window state
     * instead of a corpus-wide single-partition sort.
-    * Output: (n_pos, n_neg, auc). */
+    * Output: (n_pos, n_neg, auc_micro). */
   def rocAuc(df: DataFrame, idCol: String, textCol: String,
       label: Column, dim: Int = 32, iters: Int = 3, lr: Double = 2.0)
       : DataFrame = {
@@ -423,9 +432,8 @@ object QualityModel {
         sum(col("n") - col("npos")).as("nn"))
       .select(col("np").as("n_pos"), col("nn").as("n_neg"),
         when(col("np") > 0 && col("nn") > 0,
-          round((col("s2") - col("np") * (col("np") + 1))
-            .cast("double") / (lit(2L) * col("np") * col("nn")), 6))
-          .otherwise(0.0).as("auc"))
+          expr("((s2 - np * (np + 1)) * 1000000L) DIV (2L * np * nn)"))
+          .otherwise(0L).as("auc_micro"))
   }
 
   /** MULTINOMIAL NAIVE BAYES trained in-engine — the closed-form
@@ -630,11 +638,14 @@ object QualityModel {
     * i = 1..steps — the curve that picks the operating threshold (or
     * shows, on imbalanced labels, that no threshold beats the budgeted
     * rank selector of [[trainScoreLogRegBudget]]). Counts are exact
-    * integers; each derived metric is one rounded division (F1 over the
-    * already-rounded P and R), zero-guarded to 0. Scale shape: the
-    * scored corpus crosses a `steps`-row literal threshold table
-    * (constant-factor fan-out, map-side-combined counts) — no extra
-    * corpus pass per threshold. */
+    * integers; the threshold is labeled by its integer step `t_step`
+    * (= i), and every derived metric is an exact integer micro-unit:
+    * P = tp·10⁶ DIV (tp+fp), R = tp·10⁶ DIV (tp+fn), and F1 via the
+    * count-level identity 2PR/(P+R) = 2·tp/(2·tp+fp+fn), all
+    * zero-guarded to 0 — no rounding convention to match across
+    * engines. Scale shape: the scored corpus crosses a `steps`-row
+    * literal threshold table (constant-factor fan-out, map-side-combined
+    * counts) — no extra corpus pass per threshold. */
   def prCurve(df: DataFrame, idCol: String, textCol: String,
       label: Column, dim: Int = 32, iters: Int = 3, lr: Double = 2.0,
       steps: Int = 9): DataFrame = {
@@ -643,10 +654,11 @@ object QualityModel {
       lr)
     val y = df.select(col(idCol).as("doc_id"), label.cast("int").as("y"))
     val th = df.sparkSession.range(1, steps + 1)
-      .select((col("id").cast("double") / (steps + 1)).as("t"))
+      .select(col("id").cast("int").as("t_step"),
+        (col("id").cast("double") / (steps + 1)).as("t"))
     val cnt = scored.join(y, Seq("doc_id"))
       .crossJoin(broadcast(th))
-      .groupBy(col("t"))
+      .groupBy(col("t_step"), col("t"))
       .agg(
         sum(when(col("score") >= col("t") && col("y") === 1, 1L)
           .otherwise(0L)).as("tp"),
@@ -654,16 +666,16 @@ object QualityModel {
           .otherwise(0L)).as("fp"),
         sum(when(col("score") < col("t") && col("y") === 1, 1L)
           .otherwise(0L)).as("fn"))
-    val p = when(col("tp") + col("fp") === 0, lit(0.0))
-      .otherwise(round(col("tp").cast("double") /
-        (col("tp") + col("fp")), 6))
-    val r = when(col("tp") + col("fn") === 0, lit(0.0))
-      .otherwise(round(col("tp").cast("double") /
-        (col("tp") + col("fn")), 6))
-    cnt.withColumn("precision", p).withColumn("recall", r)
-      .withColumn("f1",
-        when(col("precision") + col("recall") === 0, lit(0.0))
-          .otherwise(round(lit(2.0) * col("precision") * col("recall") /
-            (col("precision") + col("recall")), 6)))
+      .drop("t")
+    cnt.select(col("t_step"), col("tp"), col("fp"), col("fn"),
+      when(col("tp") + col("fp") === 0, lit(0L))
+        .otherwise(expr("(tp * 1000000L) DIV (tp + fp)"))
+        .as("precision_micro"),
+      when(col("tp") + col("fn") === 0, lit(0L))
+        .otherwise(expr("(tp * 1000000L) DIV (tp + fn)"))
+        .as("recall_micro"),
+      when(lit(2L) * col("tp") + col("fp") + col("fn") === 0, lit(0L))
+        .otherwise(expr("(2000000L * tp) DIV (2L * tp + fp + fn)"))
+        .as("f1_micro"))
   }
 }

@@ -287,8 +287,7 @@ object Similarity {
       .agg(count(lit(1)).as("n_exact"),
         count(col("dst2")).as("n_hit"))
       .select(col("n_exact"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_exact"), 6)
-          .as("recall"))
+        expr("(n_hit * 1000000L) DIV n_exact").as("recall_micro"))
   }
 
   /** Matryoshka truncation audit (Kusupati et al. NeurIPS'22): how much
@@ -335,8 +334,7 @@ object Similarity {
         .agg(count(lit(1)).as("n_truth"),
           count(col("dst2")).as("n_hit"))
         .select(lit(d).as("dim"), col("n_truth"), col("n_hit"),
-          round(col("n_hit").cast("double") / col("n_truth"), 6)
-            .as("recall"))
+          expr("(n_hit * 1000000L) DIV n_truth").as("recall_micro"))
     }.reduce(_.unionByName(_))
   }
 

@@ -241,8 +241,9 @@ object Temporal {
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
     val rowW = Window.partitionBy(col("from_type"))
-    pairs.withColumn("p",
-      round(col("n").cast("double") / sum(col("n")).over(rowW), 6))
+    pairs.withColumn("__tot", sum(col("n")).over(rowW))
+      .withColumn("p_micro", expr("(n * 1000000L) DIV __tot"))
+      .drop("__tot")
   }
 
   /** STATIONARY DISTRIBUTION of the [[markovTransitions]] chain by
@@ -455,9 +456,13 @@ object Temporal {
       .withColumn("__base", least(lit(0).cast("decimal(28,6)"),
         min(col("__p")).over(w)))
       .select(col(keyCol), col("day"), col("x"),
-        round((col("__p") - col("__base")).cast("double"), 6)
-          .as("cusum"))
-      .withColumn("changepoint", col("cusum") > threshold)
+        // the decimal chain is exact end-to-end, so the statistic is
+        // published as an exact micro-unit and the flag is an integer
+        // compare against threshold·10⁶
+        ((col("__p") - col("__base")) * lit(1000000)).cast("long")
+          .as("cusum_micro"))
+      .withColumn("changepoint",
+        col("cusum_micro") > math.rint(threshold * 1e6).toLong)
   }
 
   /** Kaplan–Meier survival curve for time-to-event with right

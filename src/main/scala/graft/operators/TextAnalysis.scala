@@ -582,16 +582,19 @@ object TextAnalysis {
     val den = ranked(cos, col("cos"))
       .select(col(idCol), col("__r").as("rank_dense"))
     lex.join(den, Seq(idCol), "full_outer")
-      .withColumn("rrf", round(
-        coalesce(lit(1.0) / (lit(rrfK) + col("rank_bm25")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(rrfK) + col("rank_dense")),
-            lit(0.0)), 6))
+      // per-list contributions truncate to micro-units INDEPENDENTLY
+      // (1e6 DIV (k+rank)), so the fused score is exact integer
+      // addition — no float sum to re-order near-ties differently
+      // across engines
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000L DIV ($rrfK + rank_bm25)"), lit(0L)) +
+          coalesce(expr(s"1000000L DIV ($rrfK + rank_dense)"), lit(0L)))
       .withColumn("rank", row_number().over(Window.orderBy(
-        col("rrf").desc, col("rank_bm25").asc_nulls_last,
+        col("rrf_micro").desc, col("rank_bm25").asc_nulls_last,
         col(idCol).asc)))
       .filter(col("rank") <= topN)
       .select(col(idCol), col("rank_bm25"), col("rank_dense"),
-        col("rrf"), col("rank"))
+        col("rrf_micro"), col("rank"))
   }
 
   /** Ranking-quality evaluation of the engine's own BM25 retriever —
@@ -672,8 +675,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
           .as("n_novel"))
-      .withColumn("novelty",
-        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+      .withColumn("novelty_micro",
+        expr("(n_novel * 1000000L) DIV n_shingles"))
   }
 
   /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
@@ -897,9 +900,8 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
-      .withColumn("overlap_ratio",
-        round(col("n_shared").cast("double") /
-          col("n_grams").cast("double"), 6))
+      .withColumn("overlap_micro",
+        expr("(n_shared * 1000000L) DIV n_grams"))
   }
 
   /** Add-one-smoothed bigram LM average log-probability — the next

@@ -147,8 +147,8 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
       .withColumn("ts", col("ts").cast("timestamp"))
     val got = Temporal.cusumChangepoints(ev, "event_type", "ts",
       slack = 1.0, threshold = 5.0).orderBy("day").collect()
-    val cusums = got.map(_.getAs[Double]("cusum")).toSeq
-    assert(cusums === Seq(0.0, 0.0, 0.0, 3.2, 6.4))
+    val cusums = got.map(_.getAs[Long]("cusum_micro")).toSeq
+    assert(cusums === Seq(0L, 0L, 0L, 3200000L, 6400000L))
     assert(got.map(_.getAs[Boolean]("changepoint")).toSeq ===
       Seq(false, false, false, false, true))
   }
@@ -178,11 +178,10 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
         .map(_.asInstanceOf[Int])
       val rd = Option(r.getAs[Any]("rank_dense"))
         .map(_.asInstanceOf[Int])
-      val want = BigDecimal(
-        rb.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
-          rd.map(x => 1.0 / (60 + x)).getOrElse(0.0))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(r.getAs[Double]("rrf") === want)
+      val want =
+        rb.map(x => 1000000L / (60 + x)).getOrElse(0L) +
+          rd.map(x => 1000000L / (60 + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_micro") === want)
     }
     // doc 4 matches no query term: absent from both lists
     assert(!got.map(_.getAs[Long]("doc_id")).contains(4L))
@@ -256,9 +255,9 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
     val got = operators.Similarity.matryoshkaRecall(
       vecs, "vec_id", "embedding", k = 5, dims = Seq(64, 16), pct = 50)
       .collect().map(r =>
-        r.getAs[Int]("dim") -> r.getAs[Double]("recall")).toMap
-    assert(got(64) === 1.0) // d=64 IS the truth
-    assert(got(16) <= 1.0 && got(16) >= 0.0)
+        r.getAs[Int]("dim") -> r.getAs[Long]("recall_micro")).toMap
+    assert(got(64) === 1000000L) // d=64 IS the truth
+    assert(got(16) <= 1000000L && got(16) >= 0L)
   }
 
   test("cdcChunkStats: identical docs fully dup; content-defined " +
@@ -290,11 +289,11 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
       (3L, "completely different words in this one here now ok fine"))
       .toDF("doc_id", "text")
     val got = operators.TextAnalysis.ngramNovelty(docs, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getAs[Double]("novelty"))
-      .toMap
-    assert(got(1L) === 1.0)
-    assert(got(2L) === 0.0)
-    assert(got(3L) === 1.0)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("novelty_micro")).toMap
+    assert(got(1L) === 1000000L)
+    assert(got(2L) === 0L)
+    assert(got(3L) === 1000000L)
   }
 
   test("linkPrediction: Jaccard over capped neighbour sets, hubs " +

@@ -826,19 +826,23 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     def lab(xs: (Long, String)*) = xs.toSeq.toDF("id", "l")
     val a = lab(1L -> "en", 2L -> "de", 3L -> "en", 4L -> "fr")
     val perfect = Curation.cohenKappa(a, a, "id", "l").head
-    assert(perfect.getDouble(4) == 1.0 && perfect.getDouble(2) == 1.0)
-    // constant labeler: pe equals po, kappa must be 0 (not NaN)
+    // perfect: po = 1, kappa = num/den = (16-6)/(16-6) = 1
+    assert(perfect.getLong(2) == 1000000L &&
+      perfect.getLong(4) == perfect.getLong(5) && perfect.getLong(5) > 0)
+    // constant labeler: pe equals po, kappa numerator must be 0 (den 0
+    // too on the fully-degenerate case is fine — 0/0 is published, not
+    // divided)
     val const = lab(1L -> "en", 2L -> "en", 3L -> "en", 4L -> "en")
     val k0 = Curation.cohenKappa(a, const, "id", "l").head
-    assert(k0.getDouble(4) == 0.0, s"got $k0")
+    assert(k0.getLong(4) == 0L, s"got $k0")
     // hand case: only id 1 agrees -> n=4, agree=1, po=0.25; marginals
     // a: en 2, de 1, fr 1; b: en 2, de 2 -> S = 2*2 + 1*2 = 6,
-    // pe = 6/16 = 0.375, kappa = (1*4-6)/(16-6) = -0.2
+    // pe = 6/16 = 0.375, kappa = (1*4-6)/(16-6) = -2/10
     val b = lab(1L -> "en", 2L -> "en", 3L -> "de", 4L -> "de")
     val h = Curation.cohenKappa(a, b, "id", "l").head
     assert(h.getLong(0) == 4L && h.getLong(1) == 1L, s"$h")
-    assert(h.getDouble(2) == 0.25 && h.getDouble(3) == 0.375, s"$h")
-    assert(h.getDouble(4) == -0.2, s"$h")
+    assert(h.getLong(2) == 250000L && h.getLong(3) == 375000L, s"$h")
+    assert(h.getLong(4) == -2L && h.getLong(5) == 10L, s"$h")
   }
 
   test("PII density: every class counted on raw text, card-like " +

@@ -1557,16 +1557,16 @@ class GraphSpec extends AnyFunSuite with SparkTester {
     val r = Graph.clusteringCoefficient(es, "src", "dst")
       .collect()
       .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
-        x.getDouble(3))).toMap
+        x.getLong(3))).toMap
     assert(r.size == 4, "zero-triangle node 4 must appear")
-    assert(r(1L) == ((3L, 1L, 0.333333)))
-    assert(r(2L) == ((2L, 1L, 1.0)))
-    assert(r(3L) == ((2L, 1L, 1.0)))
-    assert(r(4L) == ((1L, 0L, 0.0)), "degree-1 node reads lcc 0")
+    assert(r(1L) == ((3L, 1L, 333333L)))
+    assert(r(2L) == ((2L, 1L, 1000000L)))
+    assert(r(3L) == ((2L, 1L, 1000000L)))
+    assert(r(4L) == ((1L, 0L, 0L)), "degree-1 node reads lcc 0")
     val r2 = Graph.clusteringCoefficient(es.repartition(7), "src", "dst")
       .collect()
       .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
-        x.getDouble(3))).toMap
+        x.getLong(3))).toMap
     assert(r2 == r)
   }
 
@@ -1751,17 +1751,19 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTester {
     val m = Temporal.markovTransitions(ev, "user_id", "ts", "event_type",
       "event_id")
       .select($"from_type".as[String], $"to_type".as[String],
-        $"n".as[Long], $"p".as[Double]).collect()
+        $"n".as[Long], $"p_micro".as[Long]).collect()
       .map(x => (x._1, x._2) -> (x._3, x._4)).toMap
-    assert(m(("view", "click")) == (1L, 0.5))
-    assert(m(("view", "view")) == (1L, 0.5))
-    assert(m(("click", "view")) == (1L, 0.5))
-    assert(m(("click", "buy")) == (1L, 0.5), s"tie must order by id: $m")
+    assert(m(("view", "click")) == (1L, 500000L))
+    assert(m(("view", "view")) == (1L, 500000L))
+    assert(m(("click", "view")) == (1L, 500000L))
+    assert(m(("click", "buy")) == (1L, 500000L),
+      s"tie must order by id: $m")
     assert(!m.contains(("buy", "click")), "no transition out of the tail")
-    // per-from row sums ≈ 1 (6-dp rounding)
+    // per-from micro rows sum to 1e6 up to the truncation leak (< #rows)
     val rows = m.toSeq.groupBy(_._1._1)
-      .map { case (_, xs) => xs.map(_._2._2).sum }
-    assert(rows.forall(s => math.abs(s - 1.0) < 1e-5), s"$rows")
+      .map { case (_, xs) => (xs.size, xs.map(_._2._2).sum) }
+    assert(rows.forall { case (k, s) =>
+      s <= 1000000L && s > 1000000L - k }, s"$rows")
   }
 
   test("retention: day-0 cell equals the cohort size") {
@@ -1884,8 +1886,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
     val r = Similarity.knnGraphRecall(emb, "vec_id", "embedding",
       k = 5, dim = 64).head
     val (nExact, nHit, recall) =
-      (r.getLong(0), r.getLong(1), r.getDouble(2))
-    assert(nHit <= nExact && recall >= 0.0 && recall <= 1.0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nHit <= nExact && recall >= 0L && recall <= 1000000L)
     assert(nHit > 0, "banding must recover some true neighbours")
     // mega-bucket guard: capped edges are a subset of the uncapped
     // graph's CANDIDATE pairs, every src with any candidate keeps
@@ -1933,12 +1935,13 @@ class SimilaritySpec extends AnyFunSuite with SparkTester {
     assert(sampled.nonEmpty && sampled.sameElements(full),
       s"panel mismatch: ${sampled.length} vs ${full.length}")
     val plain = Similarity.knnGraphRecall(emb, "vec_id", "embedding",
-      k = 5, dim = 64, srcPct = 20).head.getDouble(2)
+      k = 5, dim = 64, srcPct = 20).head.getLong(2)
     val multi = Similarity.knnGraphRecall(emb, "vec_id", "embedding",
-      k = 5, dim = 64, srcPct = 20, multiProbe = true).head.getDouble(2)
+      k = 5, dim = 64, srcPct = 20, multiProbe = true).head.getLong(2)
     assert(multi >= plain,
       s"multiprobe candidates are a superset: $multi < $plain")
-    assert(multi >= 0.7, s"production recall bar (verdict r8): $multi")
+    assert(multi >= 700000L,
+      s"production recall bar (verdict r8): $multi")
   }
 
   test("lsh knn graph mega-bucket guard: members ABOVE the cap's " +
@@ -2593,10 +2596,10 @@ class BpeSpec extends AnyFunSuite with SparkTester {
       (3L, "one unique sentence nothing else repeats here at all"))
       .toDF("doc_id", "text")
     val m = TextAnalysis.corpusOverlap(docs, "doc_id", "text", k = 4)
-      .select($"doc_id".as[Long], $"overlap_ratio".as[Double])
+      .select($"doc_id".as[Long], $"overlap_micro".as[Long])
       .collect().toMap
-    assert(m(1L) == 1.0 && m(2L) == 1.0)
-    assert(m(3L) == 0.0)
+    assert(m(1L) == 1000000L && m(2L) == 1000000L)
+    assert(m(3L) == 0L)
   }
 
   test("bigram LM separates phrase-structured text from the same words " +

@@ -94,57 +94,43 @@ class OracleHygieneSpec extends AnyFunSuite {
   // CORRECTNESS_r09.json — the cross-engine empirical audit. New rounded
   // divisions go through the micro-unit form, not onto this list.
   private val roundedDivisionGrandfathered: Set[String] = Set(
-    "agg_hll_groups", "agg_hll_md5", "agg_hll_md5_raw", "agg_kmv",
-    "agg_kmv_groups", "agg_kmv_intersect", "agg_kmv_union", "assoc_rules",
-    "contrastive_triplets", "corpus_length_kl", "corpus_mixture",
-    "corpus_overlap_minhash", "corpus_report", "corpus_source_jsd",
+    "agg_hll_groups", "agg_hll_md5", "agg_hll_md5_raw", "contrastive_triplets", "corpus_length_kl", "corpus_overlap_minhash", "quality_brier", "events_cusum", "search_rrf", "corpus_source_jsd",
     "corpus_zipf", "curation_ccnet_buckets", "curation_classifier_budget",
     "curation_classifier_filter", "curation_classifier_stream",
     "curation_doremi", "curation_dsir", "curation_dsir_stream",
-    "curation_gopher", "curation_kappa", "curation_length_sweep",
-    "curation_sample_temperature", "curation_sample_weighted",
-    "curation_soft_dedup", "curation_split_by_cluster",
-    "curation_survivors", "curation_survivors_embedding",
-    "dedup_cdc_chunks", "dedup_cluster_stats", "dedup_clusters",
-    "dedup_clusters_ls", "dedup_containment", "dedup_embedding",
-    "dedup_embedding_lsh", "dedup_eval", "dedup_incremental",
-    "dedup_lsh_tune", "dedup_minhash", "dedup_ngram_jaccard",
-    "dedup_semantic", "dedup_semantic_tree", "dedup_survivor_quality",
-    "dedup_threshold_sweep", "dedup_winnow_pairs",
-    "embedding_davies_bouldin", "embedding_intrinsic_dim",
+    "curation_gopher", "curation_sample_temperature", "curation_sample_weighted",
+    "curation_soft_dedup", "curation_survivors_embedding",
+    "dedup_cdc_chunks", "dedup_embedding",
+    "dedup_embedding_lsh", "dedup_incremental",
+    "dedup_lsh_tune", "dedup_semantic", "dedup_semantic_tree", "embedding_davies_bouldin", "embedding_intrinsic_dim",
     "embedding_knn_graph", "embedding_knn_graph_lsh",
     "embedding_label_centroids", "embedding_matryoshka",
     "embedding_outliers", "embedding_pca_deflate", "embedding_pca_power",
     "embedding_pca_project", "embedding_pq_residual",
     "embedding_quantize_sq", "embedding_silhouette",
     "embedding_standardize", "embedding_whiten", "events_anomaly",
-    "events_autocorr", "events_cohort_ltv", "events_cooccurrence",
-    "events_cusum", "events_dau_mau", "events_dispersion", "events_ewma",
-    "events_forecast_naive", "events_markov", "events_seasonality",
-    "events_sequence_rules", "events_survival_km", "graph_assortativity",
-    "graph_clustcoef", "graph_harmonic", "graph_link_prediction",
-    "graph_modularity", "graph_reciprocity", "knn_graph_recall",
+    "events_cooccurrence",
+    "events_ewma",
+    "events_survival_km", "graph_assortativity",
+    "graph_harmonic", "graph_link_prediction",
+    "graph_modularity", "knn_graph_recall",
     "layout_zonemap_prune", "link_blocking_jw", "multimodal_audio_vad",
-    "numeric_benford", "numeric_corr_matrix", "numeric_lorenz",
-    "numeric_mad_outliers", "numeric_winsorize", "pipeline_curate",
-    "pipeline_curate_model", "pipeline_curate_text",
-    "privacy_k_anonymity_summary", "profile_skew", "quality_brier",
-    "quality_calibration", "quality_confident_learning",
+    "numeric_corr_matrix", "numeric_mad_outliers", "numeric_winsorize", "pipeline_curate_model", "pipeline_curate_text",
+    "profile_skew", "quality_calibration", "quality_confident_learning",
     "quality_nb_confusion", "quality_nb_predict", "quality_nb_stream",
     "quality_pr_curve", "quality_psi", "quality_roc_auc",
     "quality_train_lr", "quality_train_nb", "search_bm25",
-    "search_eval_ndcg", "search_hybrid", "search_rrf",
-    "simsearch_hard_negatives", "simsearch_ivf", "simsearch_ivf_kmeans",
+    "search_eval_ndcg", "search_hybrid", "simsearch_hard_negatives", "simsearch_ivf", "simsearch_ivf_kmeans",
     "simsearch_ivf_kmeanspp", "simsearch_positives",
     "simsearch_recall_eval", "simsearch_text_sparse", "simsearch_topk",
-    "sql_dedup_survivors", "sql_minhash_pairs", "stats_ab_test",
+    "stats_ab_test",
     "stats_chi2", "stats_ks", "stats_ols", "stats_permutation",
     "stats_welch_t", "text_bigram_logprob", "text_bm25",
     "text_boilerplate", "text_collocations", "text_entropy",
-    "text_fertility", "text_hapax_ratio", "text_kneser_ney",
-    "text_ngram_coverage", "text_ngram_novelty", "text_quality",
+    "text_fertility", "text_kneser_ney",
+    "text_quality",
     "text_quality_model", "text_rake_keywords", "text_repetition",
-    "text_selfoverlap", "text_tfidf", "text_unigram_logprob")
+    "text_tfidf", "text_unigram_logprob")
 
   test("no NEW oracle rounds a double division (half-tie hazard; use " +
       "integer micro-units instead — round 9 tokenizer incident)") {

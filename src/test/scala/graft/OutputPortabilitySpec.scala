@@ -48,61 +48,50 @@ class OutputPortabilitySpec extends AnyFunSuite with SparkTester {
     * a guarded BIGINT, or a digit string instead. */
   private val doubleGrandfathered: Set[String] = Set(
     "agg_argminmax", "agg_cube", "agg_grouping_sets", "agg_hll_groups",
-    "agg_hll_md5", "agg_hll_md5_raw", "agg_incremental", "agg_quantiles", "agg_quantiles_bucketed", "agg_stats",
-    "agg_weighted_quantiles", "assoc_rules", "contrastive_triplets",
-    "corpus_drift", "corpus_length_kl", "corpus_mixture",
-    "corpus_overlap_minhash", "corpus_report", "corpus_source_jsd",
-    "corpus_zipf", "curation_ccnet_buckets", "curation_classifier_budget",
-    "curation_classifier_filter", "curation_classifier_stream",
-    "curation_doremi", "curation_dsir", "curation_dsir_stream",
-    "curation_gopher", "curation_kappa", "curation_length_sweep",
-    "curation_sample_weighted", "curation_soft_dedup", "dedup_cdc_chunks",
-    "dedup_embedding", "dedup_embedding_lsh",
-    "dedup_lsh_tune", "embedding_davies_bouldin", "embedding_intrinsic_dim",
-    "embedding_knn_graph", "embedding_knn_graph_lsh",
-    "embedding_label_centroids", "embedding_matryoshka",
-    "embedding_norms", "embedding_outliers", "embedding_pca_deflate",
-    "embedding_pca_power", "embedding_pca_project",
-    "embedding_pq_residual", "embedding_quantize_sq", "embedding_rp",
-    "embedding_silhouette", "embedding_sq_error", "embedding_standardize",
-    "embedding_whiten", "events_anomaly", "events_attribution",
-    "events_autocorr", "events_cohort_ltv", "events_cooccurrence",
-    "events_cusum", "events_dau_mau", "events_dispersion", "events_ewma",
-    "events_forecast_naive", "events_markov", "events_rfm",
-    "events_seasonality", "events_sequence_rules", "events_survival_km",
-    "filter_nonempty", "geo_point", "graph_assortativity",
-    "graph_clustcoef", "graph_harmonic", "graph_link_prediction",
-    "graph_modularity", "graph_reciprocity", "join_asof",
+    "agg_hll_md5", "agg_hll_md5_raw", "agg_quantiles",
+    "agg_quantiles_bucketed", "agg_stats", "agg_weighted_quantiles",
+    "contrastive_triplets", "corpus_drift",
+    "corpus_length_kl", "corpus_overlap_minhash",
+    "corpus_source_jsd", "corpus_zipf", "curation_ccnet_buckets",
+    "curation_classifier_budget", "curation_classifier_filter",
+    "curation_classifier_stream", "curation_doremi", "curation_dsir",
+    "curation_dsir_stream", "curation_gopher", "curation_sample_weighted",
+    "curation_soft_dedup", "dedup_cdc_chunks", "dedup_embedding",
+    "dedup_embedding_lsh", "dedup_lsh_tune", "embedding_davies_bouldin",
+    "embedding_intrinsic_dim", "embedding_knn_graph",
+    "embedding_knn_graph_lsh", "embedding_label_centroids",
+    "embedding_norms", "embedding_outliers",
+    "embedding_pca_deflate", "embedding_pca_power",
+    "embedding_pca_project", "embedding_pq_residual",
+    "embedding_quantize_sq", "embedding_rp", "embedding_silhouette",
+    "embedding_sq_error", "embedding_standardize", "embedding_whiten",
+    "events_anomaly", "events_attribution", "events_cooccurrence", "events_ewma", "events_survival_km", "filter_nonempty",
+    "geo_point", "graph_assortativity", "graph_harmonic",
+    "graph_link_prediction", "graph_modularity", "join_asof",
     "join_enrichment", "join_pit_features", "join_range",
-    "join_range_binned", "join_skew_salted", "knn_graph_recall",
-    "layout_zonemap_prune", "link_blocking_jw", "link_pairs_topk",
-    "multimodal_audio_vad", "numeric_benford", "numeric_corr_matrix",
-    "numeric_histogram", "numeric_histogram_equidepth", "numeric_lorenz",
-    "numeric_mad_outliers", "numeric_winsorize", "pack_efficiency",
-    "pipeline_curate_text", "privacy_k_anonymity_summary", "profile_skew",
-    "q1_agg", "q3_shipping", "q5_region_revenue", "q9_profit_like",
-    "quality_brier", "quality_calibration", "quality_confident_learning",
-    "quality_nb_confusion", "quality_nb_predict", "quality_nb_stream",
-    "quality_pr_curve", "quality_psi", "quality_quantile_norm",
-    "quality_roc_auc", "quality_train_lr", "quality_train_nb",
-    "rollup_agg", "scan_csv", "scan_csv_mentions", "scan_csv_v1",
-    "scan_manifest_latest", "scan_manifest_timetravel", "scan_orc",
-    "scan_parquet_evolved", "search_bm25", "search_eval_ndcg",
-    "search_hybrid", "search_rrf", "simsearch_hard_negatives",
+    "join_range_binned", "join_skew_salted", "layout_zonemap_prune",
+    "link_blocking_jw", "link_pairs_topk", "multimodal_audio_vad",
+    "numeric_corr_matrix", "numeric_histogram",
+    "numeric_histogram_equidepth", "numeric_mad_outliers", "numeric_winsorize", "pipeline_curate_text",
+    "profile_skew", "q1_agg", "q3_shipping", "q5_region_revenue",
+    "q9_profit_like", "quality_confident_learning", "quality_nb_predict", "quality_nb_stream", "quality_psi",
+    "quality_quantile_norm", "quality_train_lr",
+    "quality_train_nb", "rollup_agg", "scan_csv", "scan_csv_mentions",
+    "scan_csv_v1", "scan_manifest_latest", "scan_manifest_timetravel",
+    "scan_orc", "scan_parquet_evolved", "search_bm25", "search_eval_ndcg",
+    "search_hybrid", "simsearch_hard_negatives",
     "simsearch_ivf", "simsearch_ivf_kmeans", "simsearch_ivf_kmeanspp",
     "simsearch_ivf_kselect", "simsearch_positives", "simsearch_pq",
-    "simsearch_recall_eval", "simsearch_text_sparse", "simsearch_topk",
-    "sql_asof_join", "sql_interface", "sql_jaro_winkler",
-    "sql_quantiles", "stats_ab_test", "stats_chi2",
-    "stats_ks", "stats_ols", "stats_permutation", "stats_welch_t",
-    "text_bigram_logprob", "text_bm25", "text_boilerplate",
-    "text_collocations", "text_entropy", "text_fertility",
-    "text_hapax_ratio", "text_kneser_ney", "text_ngram_coverage",
-    "text_ngram_novelty", "text_quality", "text_quality_model",
-    "text_rake_keywords", "text_repetition", "text_selfoverlap",
-    "text_tfidf", "text_unigram_logprob", "topk_aggregator",
-    "topk_orders", "unpivot_lineitem", "window_agg", "window_ntile",
-    "window_rank_family", "window_running")
+    "simsearch_text_sparse", "simsearch_topk", "sql_asof_join",
+    "sql_interface", "sql_jaro_winkler", "sql_quantiles", "stats_ab_test",
+    "stats_chi2", "stats_ks", "stats_ols", "stats_permutation",
+    "stats_welch_t", "text_bigram_logprob", "text_bm25",
+    "text_boilerplate", "text_collocations", "text_entropy",
+    "text_fertility", "text_kneser_ney", "text_quality",
+    "text_quality_model", "text_rake_keywords", "text_repetition",
+    "text_tfidf", "text_unigram_logprob", "topk_aggregator", "topk_orders",
+    "unpivot_lineitem", "window_agg", "window_ntile", "window_rank_family",
+    "window_running")
 
   test("no hash-compared query emits DECIMAL or FLOAT, and DOUBLE only " +
       "on the audited r10-green grandfather set (the r9/r10 portability " +

@@ -128,15 +128,14 @@ class QualityModelSpec extends AnyFunSuite with SparkTester {
     val cal = QualityModel.calibration(
       corpus, "doc_id", "text", col("is_en"), dim = 32, iters = 3,
       lr = 2.0, bins = 10)
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
-        r.getDouble(3), r.getDouble(4)))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
     assert(cal.map(_._2).sum == 100L, "bins must partition the corpus")
     assert(cal.forall(c => c._1 >= 0 && c._1 <= 9))
-    assert(cal.forall(c => c._4 >= 0.0 && c._4 <= 1.0))
+    assert(cal.forall(c => c._4 >= 0L && c._4 <= 1000000L))
     cal.foreach { c =>
-      val expect = BigDecimal(math.abs(c._3 - c._4))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(c._5 == expect, s"gap mismatch in bin ${c._1}")
+      assert(c._5 == math.abs(c._3 - c._4),
+        s"gap mismatch in bin ${c._1}")
     }
     // the two-vocabulary corpus separates: some mass below 0.5, some
     // above, and the top occupied bin is purer than the bottom one
@@ -152,18 +151,18 @@ class QualityModelSpec extends AnyFunSuite with SparkTester {
     val pr = QualityModel.prCurve(
       corpus, "doc_id", "text", col("is_en"), dim = 32, iters = 3,
       lr = 2.0, steps = 9)
-      .orderBy("t")
-      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .orderBy("t_step")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
     assert(pr.length == 9)
     // tp + fn is the positive count at every threshold
     assert(pr.forall(x => x._2 + x._4 == 50L), s"$pr")
     // recall monotonically non-increasing in t
     assert(pr.map(_._6).sliding(2).forall(w => w(0) >= w(1)))
-    assert(pr.forall(x => x._5 >= 0 && x._5 <= 1 && x._6 >= 0 &&
-      x._6 <= 1 && x._7 >= 0 && x._7 <= 1))
+    assert(pr.forall(x => x._5 >= 0 && x._5 <= 1000000L && x._6 >= 0 &&
+      x._6 <= 1000000L && x._7 >= 0 && x._7 <= 1000000L))
     // the separable fixture has a threshold with both P and R >= 0.9
-    assert(pr.exists(x => x._5 >= 0.9 && x._6 >= 0.9),
+    assert(pr.exists(x => x._5 >= 900000L && x._6 >= 900000L),
       s"no good operating point: $pr")
   }
 
@@ -211,14 +210,12 @@ class QualityModelSpec extends AnyFunSuite with SparkTester {
       val ties = scored.count(_._1 == s).toLong
       2L * (below + 1) + ties - 1
     }.sum
-    val want = BigDecimal((s2 - np * (np + 1)).toDouble /
-      (2.0 * np * nn)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-      .toDouble
+    val want = (s2 - np * (np + 1)) * 1000000L / (2L * np * nn)
     assert(got.getLong(0) == np && got.getLong(1) == nn)
-    assert(got.getDouble(2) == want,
-      s"auc ${got.getDouble(2)} != per-row $want")
+    assert(got.getLong(2) == want,
+      s"auc_micro ${got.getLong(2)} != per-row $want")
     // a separating model should also read near-perfect AUC
-    assert(got.getDouble(2) > 0.95)
+    assert(got.getLong(2) > 950000L)
   }
 
   test("Naive Bayes separates the two-vocabulary corpus and is " +
