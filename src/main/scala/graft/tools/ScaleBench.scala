@@ -140,7 +140,8 @@ object ScaleBench {
         want("lsh_multiprobe") || want("lsh_multiprobe_uncapped") ||
         want("interval") || want("quantiles") || want("linkage") ||
         want("linkage_cap4x") || want("scc") || want("scc_coloring") ||
-        want("bfs_hops") || want("markov") || want("window_sliding"))) {
+        want("bfs_hops") || want("ktruss") || want("markov") ||
+        want("window_sliding"))) {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
       val reps = spark.range(0, factor).toDF("rep")
@@ -295,6 +296,15 @@ object ScaleBench {
       if (want("hits")) timed("hits") {
         graft.operators.Graph.hits(bigEdges, "src", "dst", iters = 2)
           .count()
+      }
+      // k-truss peel on the factor× undirected graph (r12 re-shape):
+      // per round the oriented wedge build fans out by out-degree
+      // O(√m) within each disjoint copy, so the curve should track
+      // factor ~linearly — the unoriented shape it replaced scaled
+      // with Σ deg², i.e. factor× the HUB fan-out squared per copy
+      if (want("ktruss")) timed("ktruss") {
+        graft.operators.Graph.kTrussPeel(sym, "src", "dst",
+          k = 4, rounds = 2).count()
       }
       // semi-naive BFS from the min node on the factor× undirected
       // graph: the frontier stays inside ONE copy (disjoint replicas),
