@@ -265,8 +265,8 @@ object AnalyticsQueries {
         SELECT block, count(*) AS n_pairs,
           sum(CASE WHEN jw >= 0.9 THEN 1 ELSE 0 END)::BIGINT
             AS n_match,
-          round(CAST(sum(CAST(jw AS DECIMAL(18,6))) AS DOUBLE) /
-            count(*), 6) AS mean_jw
+          (sum(CAST(jw AS DECIMAL(18,6))) * 1000000)::BIGINT // count(*)
+            AS mean_jw_micro
         FROM sc GROUP BY block""")),
 
     // ---- the same linkage candidates as raw top-matches: global
@@ -278,7 +278,9 @@ object AnalyticsQueries {
           minSim = 0.9, maxBlock = 64)
         .orderBy(col("jw").desc, col("id_a").asc, col("id_b").asc)
         .limit(50)
-        .select(col("id_a"), col("id_b"), col("jw")),
+        .select(col("id_a"), col("id_b"),
+          (col("jw").cast("decimal(18,6)") * lit(1000000)).cast("long")
+            .as("jw_micro")),
       Some("""WITH p AS (
           SELECT p_partkey AS id, p_name AS nm,
             string_split(p_name, ' ')[1] AS block
@@ -299,7 +301,9 @@ object AnalyticsQueries {
           SELECT id_a, id_b,
             round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
           FROM pairs)
-        SELECT id_a, id_b, jw FROM sc WHERE jw >= 0.9
+        SELECT id_a, id_b,
+          (jw::DECIMAL(18,6) * 1000000)::BIGINT AS jw_micro
+        FROM sc WHERE jw >= 0.9
         ORDER BY jw DESC, id_a ASC, id_b ASC LIMIT 50""")),
 
     // ---- Fellegi–Sunter multi-field linkage scoring over the SAME

@@ -1611,6 +1611,10 @@ object SimilarityQueries {
         val emb = Sources.table(s, dir, "embeddings")
         Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
           emb.filter(col("vec_id") < 5), k = 10)
+          .withColumn("cos_micro",
+            (col("cos").cast("decimal(18,6)") * lit(1000000))
+              .cast("long"))
+          .drop("cos")
       },
       Some("""WITH e AS (
           SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -1633,7 +1637,9 @@ object SimilarityQueries {
           JOIN norms nc ON cid = nc.vec_id
           JOIN lab lq ON q_id = lq.vec_id
           JOIN lab lc ON cid = lc.vec_id)
-        SELECT q_id, q_label, vec_id, label, cos, rank FROM (
+        SELECT q_id, q_label, vec_id, label,
+          (cos::DECIMAL(18,6) * 1000000)::BIGINT AS cos_micro,
+          rank FROM (
           SELECT q_id, q_label, vec_id, label, cos,
             CAST(row_number() OVER (
               PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER)
@@ -1648,6 +1654,10 @@ object SimilarityQueries {
         val emb = Sources.table(s, dir, "embeddings")
         Similarity.positivePairs(emb, "vec_id", "embedding", "label",
           emb.filter(col("vec_id") < 5), k = 5)
+          .withColumn("cos_micro",
+            (col("cos").cast("decimal(18,6)") * lit(1000000))
+              .cast("long"))
+          .drop("cos")
       },
       Some("""WITH e AS (
           SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -1668,7 +1678,9 @@ object SimilarityQueries {
           JOIN norms nq ON q_id = nq.vec_id
           JOIN norms nc ON cid = nc.vec_id
           JOIN lab lq ON q_id = lq.vec_id)
-        SELECT q_id, q_label, vec_id, cos, rank FROM (
+        SELECT q_id, q_label, vec_id,
+          (cos::DECIMAL(18,6) * 1000000)::BIGINT AS cos_micro,
+          rank FROM (
           SELECT q_id, q_label, vec_id, cos,
             CAST(row_number() OVER (
               PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER)
@@ -1736,7 +1748,9 @@ object SimilarityQueries {
         val emb = Sources.table(s, dir, "embeddings")
         Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
           "embedding", k = 10)
-          .select(col("q_id"), col("vec_id"), col("cos"), col("rank"))
+          .select(col("q_id"), col("vec_id"),
+            (col("cos").cast("decimal(18,6)") * lit(1000000))
+              .cast("long").as("cos_micro"), col("rank"))
       },
       Some("""WITH e AS (
           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -1753,7 +1767,9 @@ object SimilarityQueries {
           FROM dots
           JOIN norms nq ON q_id = nq.vec_id
           JOIN norms nc ON cid = nc.vec_id)
-        SELECT q_id, vec_id, cos, rank FROM (
+        SELECT q_id, vec_id,
+          (cos::DECIMAL(18,6) * 1000000)::BIGINT AS cos_micro,
+          rank FROM (
           SELECT q_id, vec_id, cos,
             CAST(row_number() OVER (
               PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER)
@@ -1769,8 +1785,11 @@ object SimilarityQueries {
     // knn_graph_recall row; LSH/IVF buckets are the production path
     Q("embedding_knn_graph",
       (s, dir) => Similarity.knnGraphSampled(
-        Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 5, pct = 20),
+          Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 5, pct = 20)
+        .withColumn("cos_micro",
+          (col("cos").cast("decimal(18,6)") * lit(1000000)).cast("long"))
+        .drop("cos"),
       Some(s"""WITH e AS (
           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
                  generate_subscripts(embedding, 1) AS i
@@ -1786,7 +1805,9 @@ object SimilarityQueries {
           FROM dots
           JOIN norms na ON src = na.vec_id
           JOIN norms nb ON dst = nb.vec_id)
-        SELECT src, dst, cos, rank FROM (
+        SELECT src, dst,
+          (cos::DECIMAL(18,6) * 1000000)::BIGINT AS cos_micro,
+          rank FROM (
           SELECT src, dst, cos,
             CAST(row_number() OVER (
               PARTITION BY src ORDER BY cos DESC, dst ASC) AS INTEGER)
@@ -1837,8 +1858,11 @@ object SimilarityQueries {
     // candidates, scores, and ranks all hash-checked
     Q("embedding_knn_graph_lsh",
       (s, dir) => Similarity.knnGraphLsh(
-        Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 5, dim = 64, multiProbe = true),
+          Sources.table(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 5, dim = 64, multiProbe = true)
+        .withColumn("cos_micro",
+          (col("cos").cast("decimal(18,6)") * lit(1000000)).cast("long"))
+        .drop("cos"),
       Some(s"""WITH ${SimilarityQueries.lshBandsCtes},
         ${SimilarityQueries.lshProbesCte},
         cand AS (${SimilarityQueries.lshCandMultiSql}),
@@ -1859,7 +1883,9 @@ object SimilarityQueries {
           FROM vdots d
           JOIN norms na ON d.src = na.vec_id
           JOIN norms nb ON d.dst = nb.vec_id)
-        SELECT src, dst, cos, rank FROM (
+        SELECT src, dst,
+          (cos::DECIMAL(18,6) * 1000000)::BIGINT AS cos_micro,
+          rank FROM (
           SELECT src, dst, cos,
             CAST(row_number() OVER (
               PARTITION BY src ORDER BY cos DESC, dst ASC) AS INTEGER)
@@ -3525,11 +3551,16 @@ object TextQueries {
     // two-vocabulary fixture at >= 95% accuracy
     Q("quality_train_lr",
       (s, dir) => QualityModel.trainLogReg(
-        Sources.table(s, dir, "documents"), "doc_id", "text",
-        col("lang") === "en", dim = 32, iters = 3, lr = 2.0),
+          Sources.table(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", dim = 32, iters = 3, lr = 2.0)
+        .withColumn("w_micro",
+          (col("w").cast("decimal(18,6)") * lit(1000000)).cast("long"))
+        .drop("w"),
       Some(s"""WITH ${lrCtes(32, 3, 2.0, "d.lang = 'en'")}
-        SELECT CAST(j AS INTEGER) AS j, w FROM w3
-        UNION ALL SELECT -1 AS j, b AS w FROM b3""")),
+        SELECT CAST(j AS INTEGER) AS j,
+          (w::DECIMAL(18,6) * 1000000)::BIGINT AS w_micro FROM w3
+        UNION ALL SELECT -1 AS j,
+          (b::DECIMAL(18,6) * 1000000)::BIGINT FROM b3""")),
 
     // the STREAMING scorer form: same trained model folded per-row over
     // the token array (no explode, no groupBy — runs inside a streaming
@@ -3834,10 +3865,14 @@ object TextQueries {
     // hash-checked with no iteration to unroll
     Q("quality_train_nb",
       (s, dir) => QualityModel.trainNaiveBayes(
-        Sources.table(s, dir, "documents"), "doc_id", "text", "lang",
-        dim = 64),
+          Sources.table(s, dir, "documents"), "doc_id", "text", "lang",
+          dim = 64)
+        .withColumn("w_micro",
+          (col("w").cast("decimal(18,6)") * lit(1000000)).cast("long"))
+        .drop("w"),
       Some(s"""WITH ${nbModelCtes(64)}
-        SELECT * FROM lik UNION ALL SELECT * FROM pri""")),
+        SELECT cls, j, (w::DECIMAL(18,6) * 1000000)::BIGINT AS w_micro
+        FROM (SELECT * FROM lik UNION ALL SELECT * FROM pri)""")),
 
     // NB prediction: per-document argmax class under the trained model
     // — score(c) = prior + Sigma w_cj * c_j as an exact 6-dp-decimal
@@ -3853,6 +3888,10 @@ object TextQueries {
           QualityModel.trainNaiveBayes(docs, "doc_id", "text", "lang",
             dim = 64),
           dim = 64)
+          .withColumn("score_micro",
+            (col("score").cast("decimal(18,6)") * lit(1000000))
+              .cast("long"))
+          .drop("score")
       },
       Some(s"""WITH ${nbModelCtes(64)},
         sc AS (
@@ -3870,7 +3909,8 @@ object TextQueries {
             row_number() OVER (PARTITION BY doc_id
               ORDER BY score DESC, cls ASC) AS rk
           FROM allsc)
-        SELECT doc_id, pred, score::DOUBLE AS score
+        SELECT doc_id, pred,
+          (score::DECIMAL(18,6) * 1000000)::BIGINT AS score_micro
         FROM best WHERE rk = 1""")),
 
     // NB confusion matrix: predicted vs given class counts with
@@ -3932,6 +3972,10 @@ object TextQueries {
           QualityModel.trainNaiveBayes(docs, "doc_id", "text", "lang",
             dim = 64),
           dim = 64)
+          .withColumn("score_micro",
+            (col("score").cast("decimal(18,6)") * lit(1000000))
+              .cast("long"))
+          .drop("score")
       },
       Some(s"""WITH ${nbModelCtes(64)},
         sc AS (
@@ -3949,7 +3993,8 @@ object TextQueries {
             row_number() OVER (PARTITION BY doc_id
               ORDER BY score DESC, cls ASC) AS rk
           FROM allsc)
-        SELECT doc_id, pred, score::DOUBLE AS score
+        SELECT doc_id, pred,
+          (score::DECIMAL(18,6) * 1000000)::BIGINT AS score_micro
         FROM best WHERE rk = 1""")),
 
     // unigram-LM tokenizer, stage 1: the count-seeded vocabulary
@@ -5276,7 +5321,11 @@ object TextQueries {
     // term tie-breaks make the ranking deterministic in both engines
     Q("text_tfidf",
       (s, dir) => TextAnalysis.tfidfTopTerms(
-        Sources.table(s, dir, "documents"), "doc_id", "text", topN = 5),
+          Sources.table(s, dir, "documents"), "doc_id", "text", topN = 5)
+        .withColumn("tfidf_micro",
+          (col("tfidf").cast("decimal(18,6)") * lit(1000000))
+            .cast("long"))
+        .drop("tfidf"),
       Some("""WITH t AS (
           SELECT doc_id,
             unnest(list_filter(string_split(lower(text), ' '),
@@ -5290,7 +5339,9 @@ object TextQueries {
             round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (dfreq.dfreq + 1)),
               6) AS tfidf
           FROM tf JOIN dfreq USING (term) CROSS JOIN n)
-        SELECT doc_id, term, tf, tfidf, rank FROM (
+        SELECT doc_id, term, tf,
+          (tfidf::DECIMAL(18,6) * 1000000)::BIGINT AS tfidf_micro,
+          rank FROM (
           SELECT doc_id, term, tf, tfidf, CAST(row_number() OVER (
             PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INTEGER)
             AS rank
@@ -5332,8 +5383,12 @@ object TextQueries {
     // exact decimal so the ranking cannot drift between engines
     Q("search_bm25",
       (s, dir) => TextAnalysis.bm25Search(
-        Sources.table(s, dir, "documents"), "doc_id", "text",
-        bm25QueryTerms, topN = 20),
+          Sources.table(s, dir, "documents"), "doc_id", "text",
+          bm25QueryTerms, topN = 20)
+        .withColumn("score_micro",
+          (col("score").cast("decimal(18,6)") * lit(1000000))
+            .cast("long"))
+        .drop("score"),
       Some {
         val inList = bm25QueryTerms.map(t => s"'$t'").mkString(", ")
         s"""WITH t AS (
@@ -5361,9 +5416,9 @@ object TextQueries {
             JOIN dl USING (doc_id)
             CROSS JOIN c)
           SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
-            CAST(sum(s) AS DOUBLE) AS score
+            (sum(s) * 1000000)::BIGINT AS score_micro
           FROM sc GROUP BY doc_id
-          ORDER BY score DESC, doc_id ASC LIMIT 20"""
+          ORDER BY score_micro DESC, doc_id ASC LIMIT 20"""
       }),
 
     // HYBRID retrieval — BM25 shortlist re-ranked by hashed-embedding
@@ -5372,8 +5427,14 @@ object TextQueries {
     // ranking all mirrored (query text shared with search_bm25)
     Q("search_hybrid",
       (s, dir) => TextAnalysis.hybridSearch(
-        Sources.table(s, dir, "documents"), "doc_id", "text",
-        bm25QueryTerms.mkString(" "), shortlist = 50, topN = 10),
+          Sources.table(s, dir, "documents"), "doc_id", "text",
+          bm25QueryTerms.mkString(" "), shortlist = 50, topN = 10)
+        .withColumn("score_bm25_micro",
+          (col("score_bm25").cast("decimal(18,6)") * lit(1000000))
+            .cast("long"))
+        .withColumn("cos_micro",
+          (col("cos").cast("decimal(18,6)") * lit(1000000)).cast("long"))
+        .drop("score_bm25", "cos"),
       Some {
         val inList = bm25QueryTerms.map(t => s"'$t'").mkString(", ")
         val qVals = bm25QueryTerms.map(t => s"('$t')").mkString(", ")
@@ -5438,7 +5499,11 @@ object TextQueries {
             LEFT JOIN dots d USING (doc_id)
             JOIN dn USING (doc_id)
             CROSS JOIN qn)
-          SELECT doc_id, score_bm25, cos, rank FROM (
+          SELECT doc_id,
+            (score_bm25::DECIMAL(18,6) * 1000000)::BIGINT
+              AS score_bm25_micro,
+            (cos::DECIMAL(18,6) * 1000000)::BIGINT AS cos_micro,
+            rank FROM (
             SELECT doc_id, score_bm25, cos, CAST(row_number() OVER (
               ORDER BY cos DESC, score_bm25 DESC, doc_id ASC) AS INTEGER)
               AS rank
@@ -5641,7 +5706,10 @@ object TextQueries {
 
     Q("text_bm25",
       (s, dir) => TextAnalysis.bm25TopTerms(
-        Sources.table(s, dir, "documents"), "doc_id", "text", topN = 5),
+          Sources.table(s, dir, "documents"), "doc_id", "text", topN = 5)
+        .withColumn("bm25_micro",
+          (col("bm25").cast("decimal(18,6)") * lit(1000000)).cast("long"))
+        .drop("bm25"),
       Some("""WITH t AS (
           SELECT doc_id,
             unnest(list_filter(string_split(lower(text), ' '),
@@ -5663,7 +5731,9 @@ object TextQueries {
           JOIN dfreq USING (term)
           JOIN dl USING (doc_id)
           CROSS JOIN c)
-        SELECT doc_id, term, tf, bm25, rank FROM (
+        SELECT doc_id, term, tf,
+          (bm25::DECIMAL(18,6) * 1000000)::BIGINT AS bm25_micro,
+          rank FROM (
           SELECT doc_id, term, tf, bm25, CAST(row_number() OVER (
             PARTITION BY doc_id ORDER BY bm25 DESC, term ASC) AS INTEGER)
             AS rank
@@ -9935,11 +10005,13 @@ object SqlSurfaceQueries {
         Sources.table(s, dir, "customer")
           .createOrReplaceTempView("cust_sqltvf_v")
         s.sql("""SELECT c_custkey,
-            round(jaro_winkler(c_name, c_mktsegment), 6) AS jw
+            CAST(CAST(round(jaro_winkler(c_name, c_mktsegment), 6)
+              AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS jw_micro
           FROM cust_sqltvf_v""")
       },
       Some("""SELECT c_custkey,
-          round(jaro_winkler_similarity(c_name, c_mktsegment), 6) AS jw
+          (round(jaro_winkler_similarity(c_name, c_mktsegment), 6)
+            ::DECIMAL(18,6) * 1000000)::BIGINT AS jw_micro
         FROM customer""")),
 
     // the secret scanner reached through spark.sql — the TVF splices

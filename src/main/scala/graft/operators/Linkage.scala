@@ -80,8 +80,13 @@ object Linkage {
     scored.groupBy(col("block"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("jw") >= minSim, 1L).otherwise(0L)).as("n_match"),
-        round(sum(col("jw").cast("decimal(18,6)")).cast("double") /
-          count(lit(1)), 6).as("mean_jw"))
+        // jw is 6-dp rounded by the expression's contract, so the
+        // decimal sum ·10⁶ is an exact integer and the mean is one
+        // integer micro division
+        (sum(col("jw").cast("decimal(18,6)")) * lit(1000000))
+          .cast("long").as("__sjw"))
+      .withColumn("mean_jw_micro", expr("__sjw DIV n_pairs"))
+      .drop("__sjw")
   }
 
   /** Fellegi–Sunter match scoring over candidate pairs: each field

@@ -77,8 +77,8 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
     assert(rep.getAs[Long]("n_pairs") === 3)
     // all three pairwise scores are > 0.9 for these near-identical names
     assert(rep.getAs[Long]("n_match") === 3)
-    val mean = rep.getAs[Double]("mean_jw")
-    assert(mean > 0.9 && mean <= 1.0)
+    val mean = rep.getAs[Long]("mean_jw_micro")
+    assert(mean > 900000L && mean <= 1000000L)
   }
 
   test("fellegiSunter: exact integer scores, thresholds, and the " +

@@ -114,7 +114,7 @@ class OracleHygieneSpec extends AnyFunSuite {
     "events_survival_km", "graph_assortativity",
     "graph_harmonic", "graph_link_prediction",
     "graph_modularity", "knn_graph_recall",
-    "layout_zonemap_prune", "link_blocking_jw", "multimodal_audio_vad",
+    "layout_zonemap_prune", "multimodal_audio_vad",
     "numeric_corr_matrix", "numeric_mad_outliers", "numeric_winsorize", "pipeline_curate_model", "pipeline_curate_text",
     "profile_skew", "quality_calibration", "quality_confident_learning",
     "quality_nb_confusion", "quality_nb_predict", "quality_nb_stream",

@@ -58,8 +58,7 @@ class OutputPortabilitySpec extends AnyFunSuite with SparkTester {
     "curation_dsir_stream", "curation_gopher", "curation_sample_weighted",
     "curation_soft_dedup", "dedup_cdc_chunks", "dedup_embedding",
     "dedup_embedding_lsh", "dedup_lsh_tune", "embedding_davies_bouldin",
-    "embedding_intrinsic_dim", "embedding_knn_graph",
-    "embedding_knn_graph_lsh", "embedding_label_centroids",
+    "embedding_intrinsic_dim", "embedding_label_centroids",
     "embedding_norms", "embedding_outliers",
     "embedding_pca_deflate", "embedding_pca_power",
     "embedding_pca_project", "embedding_pq_residual",
@@ -70,26 +69,23 @@ class OutputPortabilitySpec extends AnyFunSuite with SparkTester {
     "graph_link_prediction", "graph_modularity", "join_asof",
     "join_enrichment", "join_pit_features", "join_range",
     "join_range_binned", "join_skew_salted", "layout_zonemap_prune",
-    "link_blocking_jw", "link_pairs_topk", "multimodal_audio_vad",
+    "multimodal_audio_vad",
     "numeric_corr_matrix", "numeric_histogram",
     "numeric_histogram_equidepth", "numeric_mad_outliers", "numeric_winsorize", "pipeline_curate_text",
     "profile_skew", "q1_agg", "q3_shipping", "q5_region_revenue",
-    "q9_profit_like", "quality_confident_learning", "quality_nb_predict", "quality_nb_stream", "quality_psi",
-    "quality_quantile_norm", "quality_train_lr",
-    "quality_train_nb", "rollup_agg", "scan_csv", "scan_csv_mentions",
+    "q9_profit_like", "quality_confident_learning", "quality_psi",
+    "quality_quantile_norm", "rollup_agg", "scan_csv", "scan_csv_mentions",
     "scan_csv_v1", "scan_manifest_latest", "scan_manifest_timetravel",
-    "scan_orc", "scan_parquet_evolved", "search_bm25", "search_eval_ndcg",
-    "search_hybrid", "simsearch_hard_negatives",
+    "scan_orc", "scan_parquet_evolved", "search_eval_ndcg",
     "simsearch_ivf", "simsearch_ivf_kmeans", "simsearch_ivf_kmeanspp",
-    "simsearch_ivf_kselect", "simsearch_positives", "simsearch_pq",
-    "simsearch_text_sparse", "simsearch_topk", "sql_asof_join",
-    "sql_interface", "sql_jaro_winkler", "sql_quantiles", "stats_ab_test",
+    "simsearch_ivf_kselect", "simsearch_pq",
+    "simsearch_text_sparse", "sql_asof_join",
+    "sql_interface", "sql_quantiles", "stats_ab_test",
     "stats_chi2", "stats_ks", "stats_ols", "stats_permutation",
-    "stats_welch_t", "text_bigram_logprob", "text_bm25",
-    "text_boilerplate", "text_collocations", "text_entropy",
+    "stats_welch_t", "text_bigram_logprob", "text_boilerplate", "text_collocations", "text_entropy",
     "text_fertility", "text_kneser_ney", "text_quality",
     "text_quality_model", "text_rake_keywords", "text_repetition",
-    "text_tfidf", "text_unigram_logprob", "topk_aggregator", "topk_orders",
+    "text_unigram_logprob", "topk_aggregator", "topk_orders",
     "unpivot_lineitem", "window_agg", "window_ntile", "window_rank_family",
     "window_running")
 
