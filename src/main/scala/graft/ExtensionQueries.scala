@@ -4573,7 +4573,8 @@ object TextQueries {
     // DECIMAL(18,6) (order-independent), one double divide, one round
     Q("text_unigram_logprob",
       (s, dir) => TextAnalysis.unigramLogProb(
-        Sources.table(s, dir, "documents"), "doc_id", "text"),
+        Sources.table(s, dir, "documents"), "doc_id", "text")
+        .drop("logprob_avg"),
       Some("""WITH tok AS (
           SELECT doc_id,
             unnest(list_filter(string_split(lower(text), ' '),
@@ -4586,7 +4587,7 @@ object TextQueries {
             round(ln(cnt::DOUBLE / t::DOUBLE), 6)::DECIMAL(18,6) AS lp
           FROM tok JOIN lex USING (w) CROSS JOIN tot)
         SELECT doc_id, count(*) AS n_tokens,
-          round(sum(lp)::DOUBLE / count(*), 6) AS logprob_avg
+          (sum(lp) * 1000000)::BIGINT AS lp_sum_u
         FROM lp GROUP BY doc_id""")),
 
     // Zipf rank–frequency OLS fit over the top-100 lexicon — the one-row
@@ -5063,7 +5064,7 @@ object TextQueries {
           FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
           JOIN fw USING (w1) JOIN bw USING (w2) CROSS JOIN bb)
         SELECT doc_id, count(*) AS n_bigrams,
-          round(sum(lp)::DOUBLE / count(*), 6) AS kn_logprob_avg
+          (sum(lp) * 1000000)::BIGINT AS kn_lp_sum_u
         FROM lp GROUP BY doc_id""")),
 
     Q("text_bigram_logprob",
@@ -5093,7 +5094,7 @@ object TextQueries {
           FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
           CROSS JOIN vv)
         SELECT doc_id, count(*) AS n_bigrams,
-          round(sum(lp)::DOUBLE / count(*), 6) AS logprob_avg
+          (sum(lp) * 1000000)::BIGINT AS lp_sum_u
         FROM lp GROUP BY doc_id""")),
 
     // fastText-style hashed linear quality classifier: tokens hash onto
@@ -9483,13 +9484,13 @@ object GraphQueries {
           ${mergeCte("r2", 3)},
           ${estCte("r3", 3)}
           SELECT node, b0, b1, b2, b3,
-            CAST(6 * (CAST(CAST(b1 AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+            6 * (CAST(CAST(b1 AS DECIMAL(18,6)) * 1000000 AS BIGINT)
                   - CAST(CAST(b0 AS DECIMAL(18,6)) * 1000000 AS BIGINT))
               + 3 * (CAST(CAST(b2 AS DECIMAL(18,6)) * 1000000 AS BIGINT)
                   - CAST(CAST(b1 AS DECIMAL(18,6)) * 1000000 AS BIGINT))
               + 2 * (CAST(CAST(b3 AS DECIMAL(18,6)) * 1000000 AS BIGINT)
                   - CAST(CAST(b2 AS DECIMAL(18,6)) * 1000000 AS BIGINT))
-              AS DOUBLE) / 6000000.0 AS harmonic
+              AS harmonic_numu
           FROM b0 JOIN b1 USING (node) JOIN b2 USING (node)
           JOIN b3 USING (node)"""
       }),

@@ -44,10 +44,136 @@ object Registry {
     if (sql.contains("WITH RECURSIVE")) sql
     else sql.replaceAll("""\b(\w+) AS \(""", "$1 AS MATERIALIZED (")
 
+  /** Output-portability shim (r12): queries whose remaining DOUBLE
+    * columns are FORMULA VALUES (scores, statistics, ratios, log
+    * weights) publish them as exact micro integers; DOUBLE stays only
+    * on data passthroughs (prices, coordinates, GDELT fields) and the
+    * reference-pinned aggregate family whose double sums ARE the
+    * reference semantics.
+    *
+    * Why one decimal cast is cross-engine exact: both engines hold the
+    * bit-identical IEEE double (that is what hash-green meant), and
+    * both round double→DECIMAL(18,6) HALF_UP / half-away-from-zero
+    * (Spark Cast via BigDecimal.setScale(HALF_UP); DuckDB measured:
+    * 0.0078125::DECIMAL(18,6) = 0.007813, -0.0078125 → -0.007813).
+    * The ·10⁶ shift is then integer-exact and there is NO division, so
+    * signed values are safe. Applied at the registry boundary: the
+    * Spark plan gains one Project; the hand-written oracle is wrapped
+    * as `SELECT * EXCLUDE ("c"), ("c"::DECIMAL(18,6)*1000000)::BIGINT
+    * AS c_micro FROM (…)` — neither the operator functions nor the
+    * oracle bodies change, so internal rankings still order on the
+    * original doubles. */
+  private val microized: Map[String, Seq[String]] = Map(
+    "agg_hll_groups" -> Seq("n_est"),
+    "agg_hll_md5" -> Seq("n_est"),
+    "agg_hll_md5_raw" -> Seq("n_est"),
+    "agg_stats" -> Seq("mean_qty", "sd_qty", "corr_qty_price"),
+    "contrastive_triplets" -> Seq("margin"),
+    "corpus_drift" -> Seq("kl_ab", "kl_ba"),
+    "corpus_length_kl" -> Seq("kl"),
+    "corpus_overlap_minhash" -> Seq("est_jaccard", "exact_jaccard"),
+    "corpus_source_jsd" -> Seq("jsd"),
+    "corpus_zipf" -> Seq("slope", "intercept"),
+    "curation_ccnet_buckets" -> Seq("logprob_avg"),
+    "curation_classifier_budget" -> Seq("score"),
+    "curation_classifier_filter" -> Seq("score"),
+    "curation_classifier_stream" -> Seq("score"),
+    "curation_doremi" -> Seq("l_domain", "weight"),
+    "curation_dsir" -> Seq("logweight"),
+    "curation_dsir_stream" -> Seq("logweight"),
+    "curation_gopher" -> Seq("mean_word_len", "symbol_ratio",
+      "bullet_frac", "ellipsis_frac", "alpha_frac"),
+    "curation_sample_weighted" -> Seq("wkey"),
+    "curation_soft_dedup" -> Seq("weight", "eff_tokens"),
+    "dedup_cdc_chunks" -> Seq("dup_ratio"),
+    "dedup_embedding" -> Seq("cos"),
+    "dedup_embedding_lsh" -> Seq("cos"),
+    "dedup_lsh_tune" -> Seq("s", "p_candidate", "s50"),
+    "embedding_davies_bouldin" -> Seq("s", "worst_ratio"),
+    "embedding_intrinsic_dim" -> Seq("id_dim"),
+    "embedding_label_centroids" -> Seq("m"),
+    "embedding_norms" -> Seq("l2"),
+    "embedding_outliers" -> Seq("cos_centroid"),
+    "embedding_pca_deflate" -> Seq("loading", "lambda"),
+    "embedding_pca_power" -> Seq("loading", "lambda"),
+    "embedding_pca_project" -> Seq("score"),
+    "embedding_pq_residual" -> Seq("mse_pq", "mse_ivfpq", "gain"),
+    "embedding_quantize_sq" -> Seq("recon"),
+    "embedding_rp" -> Seq("y"),
+    "embedding_silhouette" -> Seq("mean_sil"),
+    "embedding_sq_error" -> Seq("err2"),
+    "embedding_standardize" -> Seq("z"),
+    "embedding_whiten" -> Seq("y1", "y2"),
+    "events_anomaly" -> Seq("z"),
+    "events_cooccurrence" -> Seq("pmi"),
+    "events_ewma" -> Seq("ewma"),
+    "events_survival_km" -> Seq("surv"),
+    "graph_assortativity" -> Seq("r"),
+    "graph_harmonic" -> Seq("b0", "b1", "b2", "b3"),
+    "graph_link_prediction" -> Seq("jacc"),
+    "graph_modularity" -> Seq("q"),
+    "layout_zonemap_prune" -> Seq("read_frac"),
+    "multimodal_audio_vad" -> Seq("speech_ratio"),
+    "numeric_corr_matrix" -> Seq("corr"),
+    "pipeline_curate_text" -> Seq("logweight"),
+    "profile_skew" -> Seq("mean_cnt", "skew_factor", "gini"),
+    "quality_confident_learning" -> Seq("t1", "t0", "err_rate"),
+    "quality_psi" -> Seq("psi"),
+    "quality_quantile_norm" -> Seq("qnorm"),
+    "search_eval_ndcg" -> Seq("dcg", "idcg", "ndcg", "mrr", "p_at_k"),
+    "simsearch_ivf" -> Seq("cos"),
+    "simsearch_ivf_kmeans" -> Seq("cos"),
+    "simsearch_ivf_kmeanspp" -> Seq("cos"),
+    "simsearch_ivf_kselect" -> Seq("wcss", "curvature"),
+    "simsearch_pq" -> Seq("d2"),
+    "simsearch_text_sparse" -> Seq("cos"),
+    "stats_ab_test" -> Seq("p0", "p1", "z"),
+    "stats_chi2" -> Seq("chi2"),
+    "stats_ks" -> Seq("d_stat", "c_alpha"),
+    "stats_ols" -> Seq("slope", "intercept", "r2"),
+    "stats_permutation" -> Seq("stat_obs", "p_value"),
+    "stats_welch_t" -> Seq("mean1", "mean2", "t_stat", "df"),
+    "text_boilerplate" -> Seq("removed_ratio"),
+    "text_collocations" -> Seq("pmi"),
+    "text_entropy" -> Seq("entropy"),
+    "text_fertility" -> Seq("fertility", "chars_per_token"),
+    "text_quality" -> Seq("avg_token_len", "stopword_ratio"),
+    "text_quality_model" -> Seq("score"),
+    "text_rake_keywords" -> Seq("score"),
+    "text_repetition" -> Seq("dup_line_frac", "dup_line_char_frac",
+      "dup_word_frac", "top_word_char_frac", "top_bigram_char_frac",
+      "top_trigram_char_frac"))
+
+  private def microizeFn(fn: (SparkSession, String) => DataFrame,
+      cols: Seq[String]): (SparkSession, String) => DataFrame =
+    (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      cols.foldLeft(fn(s, dir)) { (d, c) =>
+        d.withColumn(c + "_micro",
+            (col(c).cast("decimal(18,6)") * lit(1000000)).cast("long"))
+          .drop(c)
+      }
+    }
+
+  private def microizeOracle(sql: String, cols: Seq[String]): String = {
+    val ex = cols.map(c => s""""$c"""").mkString(", ")
+    val adds = cols.map(c =>
+      s"""("$c"::DECIMAL(18,6) * 1000000)::BIGINT AS ${c}_micro""")
+      .mkString(", ")
+    s"SELECT * EXCLUDE ($ex), $adds FROM (\n$sql\n) __microize"
+  }
+
   def all: Seq[Q] =
     (ReferenceQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       TextQueries.all ++ CurationQueries.all ++ MultimodalQueries.all ++
       GraphQueries.all ++ AnalyticsQueries.all ++ SqlSurfaceQueries.all)
+      .map { q =>
+        microized.get(q.name) match {
+          case Some(cols) => q.copy(fn = microizeFn(q.fn, cols),
+            oracle = q.oracle.map(microizeOracle(_, cols)))
+          case None => q
+        }
+      }
       .map(q => q.copy(oracle = q.oracle.map(materializeCtes)))
 }
 

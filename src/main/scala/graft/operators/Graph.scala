@@ -229,11 +229,13 @@ object Graph {
         .reduce(_.join(_, Seq("node")))
     }
     // the harmonic fold Σ (b_r − b_{r−1})/r in EXACT integer micro-units
-    // over a common lcm(1..rounds) denominator, emitted as ONE unrounded
-    // division — dividing 6-dp values by 2 or 3 lands on exact half-ties
-    // at the 7th decimal where Spark's HALF_UP and other engines' binary
-    // rounding disagree (measured: 28/1600 rows), so no re-round may
-    // happen after the division
+    // over a common lcm(1..rounds) denominator, PUBLISHED AS THE INTEGER
+    // NUMERATOR itself (harmonic = harmonic_numu / (lcm·10⁶)) — the
+    // r12 shim measured why no division may follow: dividing 6-dp
+    // values by 2 or 3 lands on exact half-ties at the 7th decimal
+    // where Spark's HALF_UP and other engines' binary scaled-rounding
+    // disagree (66/160 rows at sf0.001), so the only portable rendering
+    // of this statistic is its exact integer numerator
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val lcm = (1L to rounds.toLong).reduce((a, b) => a / gcd(a, b) * b)
     def micro(cn: String) =
@@ -242,7 +244,7 @@ object Graph {
       .map(r => (micro(s"b$r") - micro(s"b${r - 1}")) * lit(lcm / r))
       .reduce(_ + _)
     ests.select(col("node") +: (0 to rounds).map(r => col(s"b$r")) :+
-      (num6.cast("double") / lit(lcm * 1e6)).as("harmonic"): _*)
+      num6.as("harmonic_numu"): _*)
   }
 
   /** PERSONALIZED PageRank: identical integer power iteration, but the

@@ -816,6 +816,13 @@ object TextAnalysis {
           .cast("decimal(18,6)"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
+        // the 6-dp term sum is exact: the HASH-COMPARED rendering is its
+        // micro integer (the avg's final round(x/n, 6) is the half-tie
+        // class the r9 tokenizer incident documented, and the r12 sf0.1
+        // sweep measured live on the bigram sibling); the rounded avg
+        // stays as an INTERNAL column for same-engine consumers (ccnet
+        // terciles, DoReMi loss) whose oracles replay the same rounding
+        (sum(col("lp")) * lit(1000000)).cast("long").as("lp_sum_u"),
         round(sum(col("lp")).cast("double") / count(lit(1)), 6)
           .as("logprob_avg"))
   }
@@ -947,8 +954,8 @@ object TextAnalysis {
         (col("c1") + col("V")).cast("double")), 6).cast("decimal(18,6)"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("lp")).cast("double") / count(lit(1)), 6)
-          .as("logprob_avg"))
+        (sum(col("lp")) * lit(1000000)).cast("long").as("lp_sum_u"))
+      // hash-compared rows publish the exact sum; see unigram note
   }
 
   /** Per-document INTERPOLATED KNESER–NEY bigram log-probability (Kneser
@@ -1004,8 +1011,7 @@ object TextAnalysis {
         6).cast("decimal(18,6)"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("lp")).cast("double") / count(lit(1)), 6)
-          .as("kn_logprob_avg"))
+        (sum(col("lp")) * lit(1000000)).cast("long").as("kn_lp_sum_u"))
   }
 
   /** Ranked BPE merge table for [[bpeTokenCounts]] — a small pinned set

@@ -1476,7 +1476,7 @@ class GraphSpec extends AnyFunSuite with SparkTester {
         rounds = 3, p = 4)
       .collect().map(x => x.getLong(0) ->
         (x.getDouble(1), x.getDouble(2), x.getDouble(3), x.getDouble(4),
-          x.getDouble(5))).toMap
+          x.getLong(5))).toMap
     assert(r.size == 11)
     r.foreach { case (n, (b0, b1, b2, b3, _)) =>
       assert(b0 <= b1 + 1e-9 && b1 <= b2 + 1e-9,
@@ -1490,7 +1490,7 @@ class GraphSpec extends AnyFunSuite with SparkTester {
       s"hub must dominate: $r")
     val again = Graph.harmonicCentralityHyperBall(edges, "src", "dst",
         rounds = 3, p = 4)
-      .collect().map(x => x.getLong(0) -> x.getDouble(5)).toMap
+      .collect().map(x => x.getLong(0) -> x.getLong(5)).toMap
     assert(again == r.map { case (k, v) => k -> v._5 }, "deterministic")
   }
 
@@ -1506,7 +1506,7 @@ class GraphSpec extends AnyFunSuite with SparkTester {
           rounds = 3, p = 4, fusedEstimates = fused)
         .collect().map(x => x.getLong(0) ->
           (x.getDouble(1), x.getDouble(2), x.getDouble(3),
-            x.getDouble(4), x.getDouble(5))).toMap
+            x.getDouble(4), x.getLong(5))).toMap
     val fused = run(true)
     val perRound = run(false)
     assert(fused == perRound,

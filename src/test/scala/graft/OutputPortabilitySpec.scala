@@ -47,45 +47,17 @@ class OutputPortabilitySpec extends AnyFunSuite with SparkTester {
     * New queries do NOT go on this list — emit integer micro-units,
     * a guarded BIGINT, or a digit string instead. */
   private val doubleGrandfathered: Set[String] = Set(
-    "agg_argminmax", "agg_cube", "agg_grouping_sets", "agg_hll_groups",
-    "agg_hll_md5", "agg_hll_md5_raw", "agg_quantiles",
-    "agg_quantiles_bucketed", "agg_stats", "agg_weighted_quantiles",
-    "contrastive_triplets", "corpus_drift",
-    "corpus_length_kl", "corpus_overlap_minhash",
-    "corpus_source_jsd", "corpus_zipf", "curation_ccnet_buckets",
-    "curation_classifier_budget", "curation_classifier_filter",
-    "curation_classifier_stream", "curation_doremi", "curation_dsir",
-    "curation_dsir_stream", "curation_gopher", "curation_sample_weighted",
-    "curation_soft_dedup", "dedup_cdc_chunks", "dedup_embedding",
-    "dedup_embedding_lsh", "dedup_lsh_tune", "embedding_davies_bouldin",
-    "embedding_intrinsic_dim", "embedding_label_centroids",
-    "embedding_norms", "embedding_outliers",
-    "embedding_pca_deflate", "embedding_pca_power",
-    "embedding_pca_project", "embedding_pq_residual",
-    "embedding_quantize_sq", "embedding_rp", "embedding_silhouette",
-    "embedding_sq_error", "embedding_standardize", "embedding_whiten",
-    "events_anomaly", "events_attribution", "events_cooccurrence", "events_ewma", "events_survival_km", "filter_nonempty",
-    "geo_point", "graph_assortativity", "graph_harmonic",
-    "graph_link_prediction", "graph_modularity", "join_asof",
+    "agg_argminmax", "agg_cube", "agg_grouping_sets", "agg_quantiles",
+    "agg_quantiles_bucketed", "agg_weighted_quantiles",
+    "events_attribution", "filter_nonempty",
+    "geo_point", "join_asof",
     "join_enrichment", "join_pit_features", "join_range",
-    "join_range_binned", "join_skew_salted", "layout_zonemap_prune",
-    "multimodal_audio_vad",
-    "numeric_corr_matrix", "numeric_histogram",
-    "numeric_histogram_equidepth", "numeric_mad_outliers", "numeric_winsorize", "pipeline_curate_text",
-    "profile_skew", "q1_agg", "q3_shipping", "q5_region_revenue",
-    "q9_profit_like", "quality_confident_learning", "quality_psi",
-    "quality_quantile_norm", "rollup_agg", "scan_csv", "scan_csv_mentions",
+    "join_range_binned", "join_skew_salted", "numeric_histogram",
+    "numeric_histogram_equidepth", "numeric_mad_outliers", "numeric_winsorize", "q1_agg", "q3_shipping", "q5_region_revenue",
+    "q9_profit_like", "rollup_agg", "scan_csv", "scan_csv_mentions",
     "scan_csv_v1", "scan_manifest_latest", "scan_manifest_timetravel",
-    "scan_orc", "scan_parquet_evolved", "search_eval_ndcg",
-    "simsearch_ivf", "simsearch_ivf_kmeans", "simsearch_ivf_kmeanspp",
-    "simsearch_ivf_kselect", "simsearch_pq",
-    "simsearch_text_sparse", "sql_asof_join",
-    "sql_interface", "sql_quantiles", "stats_ab_test",
-    "stats_chi2", "stats_ks", "stats_ols", "stats_permutation",
-    "stats_welch_t", "text_bigram_logprob", "text_boilerplate", "text_collocations", "text_entropy",
-    "text_fertility", "text_kneser_ney", "text_quality",
-    "text_quality_model", "text_rake_keywords", "text_repetition",
-    "text_unigram_logprob", "topk_aggregator", "topk_orders",
+    "scan_orc", "scan_parquet_evolved", "sql_asof_join",
+    "sql_interface", "sql_quantiles", "topk_aggregator", "topk_orders",
     "unpivot_lineitem", "window_agg", "window_ntile", "window_rank_family",
     "window_running")
 
