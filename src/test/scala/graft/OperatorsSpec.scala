@@ -2613,13 +2613,16 @@ class BpeSpec extends AnyFunSuite with SparkTester {
       .toDF("doc_id", "text")
     val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
       .select($"doc_id".as[Long], $"n_bigrams".as[Long],
-        $"logprob_avg".as[Double]).collect()
+        $"lp_sum_u".as[Long]).collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
     assert(out.size == 21)
     assert(out(1L)._1 == phrase.split(" ").length - 1)
-    // every phrase doc outscores the salad doc built from the same words
-    assert(out.filter(_._1 != 99L).values.forall(_._2 > out(99L)._2),
-      s"phrase ${out(1L)._2} vs salad ${out(99L)._2}")
+    // every phrase doc outscores the salad doc built from the same words.
+    // lp_sum_u is an exact micro-int TERM SUM; doc lengths differ (13 vs
+    // 12 bigrams), so normalize per-bigram before comparing averages
+    def avg(v: (Long, Long)): Double = v._2.toDouble / v._1
+    assert(out.filter(_._1 != 99L).values.forall(avg(_) > avg(out(99L))),
+      s"phrase ${avg(out(1L))} vs salad ${avg(out(99L))}")
   }
 
   test("BPE merges are recursive and rank-prioritized; counts drop " +
@@ -3007,13 +3010,16 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTester {
     // lp(b) = round(ln(0.4), 6) = -0.916291
     val df = Seq((1L, "a a a b"), (2L, "b")).toDF("doc_id", "text")
     val r = TextAnalysis.unigramLogProb(df, "doc_id", "text")
-      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getAs[Long]("lp_sum_u"),
+          x.getAs[Double]("logprob_avg")))
       .toMap
-    // doc1: (3*-0.510826 + -0.916291)/4 = -0.612192 (round 6)
-    assert(r(1L) == ((4L, -0.612192)))
-    assert(r(2L) == ((1L, -0.916291)))
-    // common-word prose outranks rare-word soup
-    assert(r(1L)._2 > r(2L)._2)
+    // lp_sum_u is the exact micro-int sum of per-token 6-dp-rounded lns:
+    // doc1: 3*(-510826) + (-916291) = -2448769; doc2: -916291
+    assert(r(1L) == ((4L, -2448769L, -0.612192)))
+    assert(r(2L) == ((1L, -916291L, -0.916291)))
+    // common-word prose outranks rare-word soup (per-token average)
+    assert(r(1L)._2.toDouble / r(1L)._1 > r(2L)._2.toDouble / r(2L)._1)
   }
 
   test("quality model score: hand-computed, empty doc hits sigmoid(bias)") {
@@ -3113,15 +3119,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTester {
     val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
       .toDF("doc_id", "text")
     val r = TextAnalysis.kneserNeyLogProb(df, "doc_id", "text")
-      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getAs[Long]("kn_lp_sum_u")))
       .toMap
-    def rnd(x: Double) =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // kn_lp_sum_u is the exact micro-int sum of 6-dp-rounded ln terms;
+    // each doc here has exactly one bigram, so sum = round(ln p, 6)·1e6
+    def micro(x: Double): Long =
+      (BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+        1000000).toLongExact
     val pAB = (2.0 - 0.75) / 3.0 + 0.75 * 2.0 / 3.0 * (1.0 / 2.0)
     val pAC = (1.0 - 0.75) / 3.0 + 0.75 * 2.0 / 3.0 * (1.0 / 2.0)
-    assert(r(1L) == (1L, rnd(rnd(math.log(pAB)))), s"got ${r(1L)}")
+    assert(r(1L) == (1L, micro(math.log(pAB))), s"got ${r(1L)}")
     assert(r(2L) == r(1L))
-    assert(r(3L) == (1L, rnd(rnd(math.log(pAC)))), s"got ${r(3L)}")
+    assert(r(3L) == (1L, micro(math.log(pAC))), s"got ${r(3L)}")
     // the KN normalization identity: observed mass (c1 - D*N1+)/c1 plus
     // continuation mass D*N1+/c1 * (sum over vocab of N1+(.,w))/B = 1
     assert(math.abs(pAB + pAC - 1.0) < 1e-12)
