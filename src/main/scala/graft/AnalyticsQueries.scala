@@ -795,10 +795,12 @@ object AnalyticsQueries {
         GROUP BY CUBE (l_returnflag, l_linestatus)""")),
 
     // ---- market-basket association rules: co-ordered part pairs with
-    // support ≥ 2, confidence and lift from exact integer counts
-    // (integer products stay < 2^63), global top-20 by lift. The pair
-    // stage is per-order (order size ~O(7) → bounded fan-out), never
-    // part×part ----
+    // support ≥ 2, confidence and lift from exact integer counts,
+    // global top-20 by lift. The pair stage is per-order (order size
+    // ~O(7) → bounded fan-out), never part×part. The n_ab·n_orders·10⁶
+    // lift product outruns int64 past ~3e6 orders, so it rides
+    // DECIMAL(38,0)/HUGEINT intermediates with the Exact.bigint raise
+    // guard (events_dispersion hazard class) ----
     Q("assoc_rules",
       (s, dir) => {
         val items = Sources.table(s, dir, "lineitem")
@@ -821,8 +823,12 @@ object AnalyticsQueries {
           .crossJoin(broadcast(nOrders))
           .select(col("pa").as("id_a"), col("pb").as("id_b"),
             col("n_ab"), col("n_a"), col("n_b"),
-            expr("(n_ab * 1000000L) DIV n_a").as("confidence_micro"),
-            expr("(n_ab * n_orders * 1000000L) DIV (n_a * n_b)")
+            graft.functions.Exact.bigint(expr(
+              "(CAST(n_ab AS DECIMAL(38,0)) * 1000000) DIV n_a"))
+              .as("confidence_micro"),
+            graft.functions.Exact.bigint(expr(
+              "(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000)" +
+                " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b)"))
               .as("lift_micro"))
           .orderBy(col("lift_micro").desc, col("id_a").asc,
             col("id_b").asc)
@@ -839,9 +845,10 @@ object AnalyticsQueries {
           GROUP BY 1, 2 HAVING count(*) >= 2)
         SELECT pa AS id_a, pb AS id_b, n_ab,
           sa.n_p AS n_a, sb.n_p AS n_b,
-          (n_ab * 1000000) // sa.n_p AS confidence_micro,
-          (n_ab * n_orders * 1000000) // (sa.n_p * sb.n_p)
-            AS lift_micro
+          ((n_ab::HUGEINT * 1000000) // sa.n_p)::BIGINT
+            AS confidence_micro,
+          ((n_ab::HUGEINT * n_orders * 1000000) //
+            (sa.n_p::HUGEINT * sb.n_p))::BIGINT AS lift_micro
         FROM pr
         JOIN supp sa ON pa = sa.p
         JOIN supp sb ON pb = sb.p

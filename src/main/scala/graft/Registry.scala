@@ -115,6 +115,8 @@ object Registry {
     "layout_zonemap_prune" -> Seq("read_frac"),
     "multimodal_audio_vad" -> Seq("speech_ratio"),
     "numeric_corr_matrix" -> Seq("corr"),
+    "numeric_mad_outliers" -> Seq("outlier_rate"),
+    "numeric_winsorize" -> Seq("mean_raw", "mean_wins"),
     "pipeline_curate_text" -> Seq("logweight"),
     "profile_skew" -> Seq("mean_cnt", "skew_factor", "gini"),
     "quality_confident_learning" -> Seq("t1", "t0", "err_rate"),
@@ -142,23 +144,43 @@ object Registry {
     "text_rake_keywords" -> Seq("score"),
     "text_repetition" -> Seq("dup_line_frac", "dup_line_char_frac",
       "dup_word_frac", "top_word_char_frac", "top_bigram_char_frac",
-      "top_trigram_char_frac"))
+      "top_trigram_char_frac"),
+    "window_rank_family" -> Seq("prnk", "cdist"))
 
+  /** Widened r13: the shim casts via DECIMAL(38,6), not (18,6) — a
+    * formula value ≥ 1e12 (eff_tokens, wcss at large SFs) made the old
+    * cast silently NULL in non-ANSI Spark while the oracle's
+    * ::DECIMAL(18,6) errored in DuckDB (asymmetric NULL-vs-error).
+    * With (38,6) both engines hold the value exactly (32 integer
+    * digits); the ·10⁶ product is integer-valued at scale 6; and past
+    * int64 BOTH engines now raise loudly — Spark via
+    * [[graft.functions.Exact.bigint]]'s guard, DuckDB via its strict
+    * ::BIGINT cast (measured: 1e13·10⁶ → ConversionException, never
+    * NULL). Rounding parity is unchanged: double→DECIMAL(38,6) is the
+    * same HALF_UP / half-away-from-zero rule at 6 dp in both engines. */
   private def microizeFn(fn: (SparkSession, String) => DataFrame,
       cols: Seq[String]): (SparkSession, String) => DataFrame =
     (s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col, lit}
       cols.foldLeft(fn(s, dir)) { (d, c) =>
-        d.withColumn(c + "_micro",
-            (col(c).cast("decimal(18,6)") * lit(1000000)).cast("long"))
+        d.withColumn(c + "_micro", graft.functions.Exact.bigint(
+            col(c).cast("decimal(38,6)") * lit(1000000)))
           .drop(c)
       }
     }
 
+  /** NOTE on row order: wrapping as `SELECT * EXCLUDE … FROM (sql)`
+    * does not re-emit an inner top-level ORDER BY, so outer row order
+    * is technically unspecified. That is safe BY THE GATE'S OWN
+    * CONTRACT: the correctness driver compares order-insensitively
+    * (tools/check.py `norm()` sorts rows by all columns before
+    * diffing), and an inner `ORDER BY … LIMIT n` still selects the
+    * same n rows inside the subquery — only their emission order could
+    * differ, which the sort erases. */
   private def microizeOracle(sql: String, cols: Seq[String]): String = {
     val ex = cols.map(c => s""""$c"""").mkString(", ")
     val adds = cols.map(c =>
-      s"""("$c"::DECIMAL(18,6) * 1000000)::BIGINT AS ${c}_micro""")
+      s"""("$c"::DECIMAL(38,6) * 1000000)::BIGINT AS ${c}_micro""")
       .mkString(", ")
     s"SELECT * EXCLUDE ($ex), $adds FROM (\n$sql\n) __microize"
   }

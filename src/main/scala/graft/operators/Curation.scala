@@ -1130,20 +1130,31 @@ object Curation {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nn = j.agg(count(lit(1)).as("n"),
       sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_agree"))
+    // s = Σ ra·cb and the quadratic n² terms ride DECIMAL(38,0): the
+    // int64 forms wrap past n ≈ 3e6 rows in non-ANSI Spark while the
+    // DuckDB oracle raises — the events_dispersion hazard class. The
+    // published BIGINTs go through Exact.bigint (raise, never wrap).
     val s = j.groupBy(col("la")).agg(count(lit(1)).as("ra"))
       .join(j.groupBy(col("lb")).agg(count(lit(1)).as("cb")),
         col("la") === col("lb"))
-      .agg(coalesce(sum(col("ra") * col("cb")), lit(0L)).as("s"))
+      .agg(coalesce(sum(expr("CAST(ra AS DECIMAL(38,0)) * cb")),
+        lit(0).cast("decimal(38,0)")).as("s"))
     // n = 0 (disjoint or empty id sets) degenerates to the same 0-κ
     // row the pe = 1 guard produces — not an ANSI DIVIDE_BY_ZERO abort
     nn.crossJoin(broadcast(s))
       .select(col("n"), col("n_agree"),
-        when(col("n") === 0, lit(0L)).otherwise(
-          expr("(n_agree * 1000000L) DIV n")).as("po_micro"),
-        when(col("n") === 0, lit(0L)).otherwise(
-          expr("(s * 1000000L) DIV (n * n)")).as("pe_micro"),
-        (col("n_agree") * col("n") - col("s")).as("kappa_num"),
-        (col("n") * col("n") - col("s")).as("kappa_den"))
+        when(col("n") === 0, lit(0L)).otherwise(graft.functions.Exact
+          .bigint(expr("(CAST(n_agree AS DECIMAL(38,0)) * 1000000)" +
+            " DIV n"))).as("po_micro"),
+        when(col("n") === 0, lit(0L)).otherwise(graft.functions.Exact
+          .bigint(expr(
+            "(s * 1000000) DIV (CAST(n AS DECIMAL(38,0)) * n)")))
+          .as("pe_micro"),
+        graft.functions.Exact.bigint(
+          expr("CAST(n_agree AS DECIMAL(38,0)) * n - s"))
+          .as("kappa_num"),
+        graft.functions.Exact.bigint(
+          expr("CAST(n AS DECIMAL(38,0)) * n - s")).as("kappa_den"))
   }
 
   /** K-ANONYMITY / L-DIVERSITY audit (Sweeney 2002; Machanavajjhala

@@ -384,13 +384,28 @@ object QualityModel {
       // the 6-dp decimal sums are exact, so every published component
       // is one integer micro division; uncertainty is fully rational:
       // (sy/n)(1−sy/n) = sy(n−sy)/n²
+      // the decimal·10⁶ terms are integer-valued; they land in BIGINT
+      // through Exact.bigint (raise, never the silent NULL of a bare
+      // cast past int64 — symmetric with DuckDB's strict ::BIGINT)
+      // BEFORE the integer division, because DuckDB's `//` on DECIMAL
+      // operands rounds the decimal quotient before flooring (measured
+      // here: off-by-one on brier_micro) while its integer `//` is
+      // exact. The quadratic sy·(n−sy)·10⁶ term rides DECIMAL(38,0)/
+      // HUGEINT — the int64 form wraps past n ≈ 6e6 in non-ANSI Spark
+      // (events_dispersion hazard class)
+      .withColumn("__b6", graft.functions.Exact.bigint(
+        expr("bsum * 1000000")))
+      .withColumn("__r6", graft.functions.Exact.bigint(
+        expr("rel * 1000000")))
+      .withColumn("__s6", graft.functions.Exact.bigint(
+        expr("res * 1000000")))
       .select(col("n"),
-        expr("CAST(bsum * 1000000 AS BIGINT) DIV n").as("brier_micro"),
-        expr("CAST(rel * 1000000 AS BIGINT) DIV n")
-          .as("reliability_micro"),
-        expr("CAST(res * 1000000 AS BIGINT) DIV n")
-          .as("resolution_micro"),
-        expr("(sy * (n - sy) * 1000000L) DIV (n * n)")
+        expr("__b6 DIV n").as("brier_micro"),
+        expr("__r6 DIV n").as("reliability_micro"),
+        expr("__s6 DIV n").as("resolution_micro"),
+        graft.functions.Exact.bigint(expr(
+          "(CAST(sy AS DECIMAL(38,0)) * (n - sy) * 1000000)" +
+            " DIV (CAST(n AS DECIMAL(38,0)) * n)"))
           .as("uncertainty_micro"))
   }
 

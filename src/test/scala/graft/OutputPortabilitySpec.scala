@@ -42,10 +42,40 @@ class OutputPortabilitySpec extends AnyFunSuite with SparkTester {
     case other => Seq(other)
   }
 
-  /** Names audited hash-green on the driver's DuckDB in
-    * CORRECTNESS_r10 whose output legitimately carries DOUBLE columns.
-    * New queries do NOT go on this list — emit integer micro-units,
-    * a guarded BIGINT, or a digit string instead. */
+  /** TERMINAL-STATE contract (r13): the DOUBLE survivors, FROZEN —
+    * every remaining name falls in one of three classes where DOUBLE
+    * is the honest type and a micro-int would re-encode the data
+    * itself, not a formula:
+    *
+    *  1. DATA PASSTHROUGHS — the double IS a source column (prices,
+    *     GDELT tones/coordinates, event values): agg_argminmax,
+    *     events_attribution, filter_nonempty, geo_point, join_asof,
+    *     join_enrichment, join_pit_features, scan_csv, scan_csv_v1,
+    *     scan_csv_mentions, scan_manifest_latest,
+    *     scan_manifest_timetravel, scan_orc, scan_parquet_evolved,
+    *     sql_asof_join, topk_aggregator, topk_orders, unpivot_lineitem,
+    *     window_ntile.
+    *  2. REFERENCE-PINNED DOUBLE SUMS — the q1-family aggregates whose
+    *     decimal-exact-sum-cast-to-double semantics ARE the reference
+    *     contract (Registry scaladoc's parity rule #1): q1_agg,
+    *     q3_shipping, q5_region_revenue, q9_profit_like, sql_interface,
+    *     agg_cube, agg_grouping_sets, rollup_agg, join_range,
+    *     join_range_binned, join_skew_salted, window_agg,
+    *     window_running.
+    *  3. EXACT ORDER STATISTICS — quantile/median/bin-edge values are
+    *     (interpolated) data values rounded once at 4 dp; both engines
+    *     hold the identical IEEE double by construction:
+    *     agg_quantiles, agg_quantiles_bucketed, agg_weighted_quantiles,
+    *     sql_quantiles, numeric_histogram, numeric_histogram_equidepth,
+    *     numeric_mad_outliers (median/mad only), numeric_winsorize
+    *     (q_lo/q_hi only).
+    *
+    * The last FORMULA-VALUED doubles (ratios/means: mad_outliers'
+    * outlier_rate, winsorize's mean_raw/mean_wins, rank_family's
+    * prnk/cdist) migrated to registry-boundary micro-ints in r13.
+    * New queries do NOT go on this list — emit integer micro-units, a
+    * guarded BIGINT, or a digit string instead; this spec's stale-
+    * entry assertion keeps the list honest in both directions. */
   private val doubleGrandfathered: Set[String] = Set(
     "agg_argminmax", "agg_cube", "agg_grouping_sets", "agg_quantiles",
     "agg_quantiles_bucketed", "agg_weighted_quantiles",
@@ -53,13 +83,14 @@ class OutputPortabilitySpec extends AnyFunSuite with SparkTester {
     "geo_point", "join_asof",
     "join_enrichment", "join_pit_features", "join_range",
     "join_range_binned", "join_skew_salted", "numeric_histogram",
-    "numeric_histogram_equidepth", "numeric_mad_outliers", "numeric_winsorize", "q1_agg", "q3_shipping", "q5_region_revenue",
+    "numeric_histogram_equidepth", "numeric_mad_outliers",
+    "numeric_winsorize", "q1_agg", "q3_shipping", "q5_region_revenue",
     "q9_profit_like", "rollup_agg", "scan_csv", "scan_csv_mentions",
     "scan_csv_v1", "scan_manifest_latest", "scan_manifest_timetravel",
     "scan_orc", "scan_parquet_evolved", "sql_asof_join",
     "sql_interface", "sql_quantiles", "topk_aggregator", "topk_orders",
-    "unpivot_lineitem", "window_agg", "window_ntile", "window_rank_family",
-    "window_running")
+    "unpivot_lineitem", "window_agg", "window_ntile",
+    "window_rank_family", "window_running")
 
   test("no hash-compared query emits DECIMAL or FLOAT, and DOUBLE only " +
       "on the audited r10-green grandfather set (the r9/r10 portability " +
