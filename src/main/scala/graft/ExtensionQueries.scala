@@ -3539,6 +3539,42 @@ object TextQueries {
           processed
         FROM ex""")),
 
+    // WATERMARK / LATE-DATA append-mode event-time windows (SURVEY
+    // §2.10's one previously-unexercised optional): the deterministic
+    // batch replay of withWatermark + window + append — rows are
+    // dropped when their window end has fallen at-or-behind the
+    // watermark their micro-batch starts with, and a window is
+    // emitted exactly once, when the watermark passes its end.
+    // StreamingSpec pins stream == replay on batches straddling the
+    // exact equality boundary; this row oracle-checks the same fold
+    // relationally. b = event_id % 6 scrambles arrival order vs event
+    // time, so drops and unclosed-window suppression both really fire
+    Q("events_window_watermark",
+      (s, dir) => graft.streaming.EventStream.windowedCountsReplay(
+        Sources.events(s, dir), col("event_id") % 6,
+        "1 hour", "2 hours"),
+      Some("""WITH e AS (
+          SELECT event_id % 6 AS b, ts, event_type,
+            date_trunc('hour', ts) AS ws,
+            date_trunc('hour', ts) + INTERVAL 1 HOUR AS we
+          FROM events),
+        bm AS (SELECT b, max(ts) AS mt FROM e GROUP BY 1),
+        wmk AS (
+          SELECT b, max(mt) OVER (ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            - INTERVAL 2 HOUR AS wm
+          FROM bm),
+        fin AS (SELECT max(ts) - INTERVAL 2 HOUR AS fwm FROM e),
+        kept AS (
+          SELECT e.ws, e.we, e.event_type
+          FROM e JOIN wmk USING (b)
+          WHERE wmk.wm IS NULL OR e.we > wmk.wm)
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, event_type,
+          count(*)::BIGINT AS n
+        FROM kept CROSS JOIN fin
+        WHERE we <= fwm
+        GROUP BY 1, 2""")),
+
     // IN-ENGINE TRAINED quality classifier: full-batch logistic
     // regression over hashed bag-of-words buckets, 3 deterministic GD
     // rounds (decimal-exact weighted sums, 6-dp weight rounding). The
@@ -3691,7 +3727,8 @@ object TextQueries {
           (bsum * 1000000)::BIGINT // n AS brier_micro,
           (rel * 1000000)::BIGINT // n AS reliability_micro,
           (res * 1000000)::BIGINT // n AS resolution_micro,
-          (sy * (n - sy) * 1000000) // (n * n) AS uncertainty_micro
+          ((sy::HUGEINT * (n - sy) * 1000000) // (n::HUGEINT * n))
+            ::BIGINT AS uncertainty_micro
         FROM agg""")),
 
     // exact ROC-AUC via the rank-sum identity with midrank ties —
@@ -6851,15 +6888,17 @@ object CurationQueries {
           r AS (SELECT la, count(*) AS ra FROM j GROUP BY la),
           c AS (SELECT lb, count(*) AS cb FROM j GROUP BY lb),
           sS AS (
-            SELECT coalesce(sum(ra * cb), 0)::BIGINT AS s
+            SELECT coalesce(sum(ra::HUGEINT * cb), 0)::HUGEINT AS s
             FROM r JOIN c ON la = lb)
           SELECT n, n_agree,
             CASE WHEN n = 0 THEN 0
-              ELSE (n_agree * 1000000) // n END AS po_micro,
+              ELSE ((n_agree::HUGEINT * 1000000) // n)::BIGINT
+              END AS po_micro,
             CASE WHEN n = 0 THEN 0
-              ELSE (s * 1000000) // (n * n) END AS pe_micro,
-            n_agree * n - s AS kappa_num,
-            n * n - s AS kappa_den
+              ELSE ((s * 1000000) // (n::HUGEINT * n))::BIGINT
+              END AS pe_micro,
+            (n_agree::HUGEINT * n - s)::BIGINT AS kappa_num,
+            (n::HUGEINT * n - s)::BIGINT AS kappa_den
           FROM nn CROSS JOIN sS"""
       }),
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -32,6 +32,54 @@ object EventStream {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"),
         col("v"))
+
+  /** Deterministic batch REPLAY of [[windowedCounts]]' append-mode
+    * output under late data — the at-rest twin the correctness gate can
+    * oracle-check (the SpaceSaving convention: same fold, same order,
+    * SQL-replayable).
+    *
+    * Spark's watermark semantics, replayed exactly (StreamingSpec pins
+    * the stream == this function on batches straddling the boundary):
+    *  - after each micro-batch, watermark W := max(event time seen in
+    *    ANY batch so far) − delay, monotone non-decreasing, initial 0;
+    *  - a row arriving in batch b is DROPPED iff its window END ≤ W at
+    *    the START of b (i.e. computed from batches < b);
+    *  - append mode emits a window exactly once, when W ≥ its end —
+    *    windows the final watermark never passes are never emitted.
+    *
+    * `batchCol` assigns each row to a deterministic micro-batch (the
+    * replay contract: batches replayed in ascending order). The
+    * per-batch running max runs over the ≤|batches|-row maxima table
+    * (model-plane single-partition window); everything row-scale is
+    * one window projection + one batch-key join + one map-side-
+    * combinable count. Output: (ws VARCHAR 'yyyy-MM-dd HH:mm:ss',
+    * event_type, n). */
+  def windowedCountsReplay(events: DataFrame, batchCol: Column,
+      windowLen: String = "1 hour", delay: String = "2 hours")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events.select(batchCol.cast("long").as("b"), col("ts"),
+        col("event_type"))
+      .withColumn("w", window(col("ts"), windowLen))
+      .select(col("b"), col("ts"), col("event_type"),
+        col("w.start").as("ws"), col("w.end").as("we"))
+      .transform(graft.CacheBudget.persisted(_))
+    val wm = e.groupBy(col("b")).agg(max(col("ts")).as("mt"))
+      .select(col("b"),
+        (max(col("mt")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)) -
+          expr(s"INTERVAL $delay")).as("wm"))
+    val fin = e.agg(
+      (max(col("ts")) - expr(s"INTERVAL $delay")).as("fwm"))
+    e.join(wm, Seq("b"))
+      .filter(col("wm").isNull || col("we") > col("wm"))
+      .groupBy(col("ws"), col("we"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(fin))
+      .filter(col("we") <= col("fwm"))
+      .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("n"))
+  }
 
   /** Reference sink semantics (drop-and-replace per batch,
     * extractor.py:420) as a streaming query: each micro-batch overwrites

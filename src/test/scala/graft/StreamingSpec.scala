@@ -41,6 +41,67 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     } finally q.stop()
   }
 
+  test("watermark/late-data: append-mode windowed counts drop late " +
+      "rows and never emit unclosed windows — stream equals the " +
+      "deterministic batch replay, including the exact-equality " +
+      "boundary (watermark == window end)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    // 1-hour windows, 1-hour delay. Batch plan (times from 00:00 base):
+    //  b0: 00:10 click, 00:20 view, 02:30 click    → wm after b0 = 01:30
+    //  b1: 00:40 click (LATE: window end 01:00 ≤ 01:30 → dropped),
+    //      01:10 click, 03:00 view                 → wm after b1 = 02:00
+    //      (EXACTLY the end of window [01:00, 02:00))
+    //  b2: 01:20 view (boundary case: window end == wm), 03:10 click
+    //      → final wm = 02:10; window [02:00,03:00) end 03:00 > 02:10
+    //        is never emitted
+    val b0 = Seq((1L, t(10), 1L, "click", 1.0),
+      (2L, t(20), 1L, "view", 1.0), (3L, t(150), 2L, "click", 1.0))
+    val b1 = Seq((4L, t(40), 1L, "click", 1.0),
+      (5L, t(70), 2L, "click", 1.0), (6L, t(180), 3L, "view", 1.0))
+    val b2 = Seq((7L, t(80), 1L, "view", 1.0),
+      (8L, t(190), 2L, "click", 1.0))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String,
+      Double)]
+    val q = EventStream.windowedCounts(
+        mem.toDF.toDF("event_id", "ts", "user_id", "event_type",
+          "value"), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("wm_out")
+        .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2))).toSet
+      val batched = (b0.map((_, 0L)) ++ b1.map((_, 1L)) ++
+        b2.map((_, 2L)))
+        .map { case ((id, tsv, u, et, v), b) => (id, tsv, u, et, v, b) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "b")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      val replay = EventStream.windowedCountsReplay(batched, col("b"),
+          "1 hour", "1 hour")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2))).toSet
+      assert(got == replay, s"stream $got != replay $replay")
+      // the pinned boundary semantics, asserted explicitly:
+      // late 00:40 click dropped → [00:00] click stays 1
+      assert(got(("2024-01-01 00:00:00", "click", 1L)))
+      assert(got(("2024-01-01 00:00:00", "view", 1L)))
+      // watermark == window end (02:00): the window IS emitted, and
+      // the boundary-late 01:20 view is DROPPED (not in the count)
+      assert(got(("2024-01-01 01:00:00", "click", 1L)))
+      assert(!got.exists(r => r._1 == "2024-01-01 01:00:00" &&
+        r._2 == "view"))
+      // unclosed window [02:00, 03:00) (end > final wm) never emitted
+      assert(!got.exists(_._1 == "2024-01-01 02:00:00"), s"got $got")
+    } finally q.stop()
+  }
+
   test("foreachBatch replace: sink holds only the latest micro-batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream2")
     val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
