@@ -9,6 +9,15 @@ import org.apache.spark.sql.functions._
   * centrality over the domain graph) as a document-quality prior — the
   * reason Common Crawl publishes a domain-rank dataset. The engine's form
   * works over any (src, dst) edge DataFrame derived relationally.
+  *
+  * Persisted edge/adjacency frames ride the [[graft.CacheBudget]]
+  * ledger under the `graph` family tag (r13): a full-registry sweep
+  * previously accumulated these per-call persists OUTSIDE the ledger,
+  * and neighboring families' cache pressure LRU-evicted them mid-plan
+  * (graph_pagerank 1.69× in-sweep vs isolated in BENCH_r12 — the same
+  * class the multimodal payload corpora hit before they joined the
+  * ledger in r12). Loop-internal round frames stay `localCheckpoint`
+  * (lineage cut, not reuse) and never take ledger slots.
   */
 object Graph {
 
@@ -63,7 +72,7 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheBudget.persisted(_, "graph"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val nRow = nodes.agg(count(lit(1)).as("n"))
@@ -161,7 +170,7 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheBudget.persisted(_, "graph"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val h = md5(col("node").cast("string"))
@@ -280,7 +289,7 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheBudget.persisted(_, "graph"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -339,7 +348,7 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheBudget.persisted(_, "graph"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
@@ -487,7 +496,7 @@ object Graph {
   private def degreesAndTriangles(edges: DataFrame, srcCol: String,
       dstCol: String): (DataFrame, DataFrame) = {
     val und = canonicalUndirected(edges, srcCol, dstCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheBudget.persisted(_, "graph"))
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -613,7 +622,7 @@ object Graph {
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
       labels: DataFrame): DataFrame = {
     val und = canonicalUndirected(edges, srcCol, dstCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheBudget.persisted(_, "graph"))
     val lab = labels.select(col("node"), col("label"))
     val within = und
       .join(lab.select(col("node").as("u"), col("label").as("lu")), "u")
@@ -650,7 +659,7 @@ object Graph {
       : DataFrame = {
     val dec = "decimal(38,0)"
     val und = canonicalUndirected(edges, srcCol, dstCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheBudget.persisted(_, "graph"))
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -679,7 +688,7 @@ object Graph {
     val und = canonicalUndirected(edges, srcCol, dstCol)
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheBudget.persisted(_, "graph"))
     var lab = adj.select(col("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
@@ -715,7 +724,7 @@ object Graph {
       maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheBudget.persisted(_, "graph"))
     // min over an empty (or all-null-src) edge list is NULL — without
     // the filter that emitted a phantom (null, 0) row instead of the
     // empty result an empty graph should produce
@@ -772,7 +781,7 @@ object Graph {
     val keep = adj.groupBy(col("l")).agg(count(lit(1)).as("dl"))
       .filter(col("dl") <= maxDeg).select(col("l"))
     val capped = adj.join(keep, Seq("l"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheBudget.persisted(_, "graph"))
     val deg = capped.groupBy(col("r")).agg(count(lit(1)).as("deg"))
     val common = capped.select(col("l"), col("r").as("ra"))
       .join(capped.select(col("l"), col("r").as("rb")), "l")
