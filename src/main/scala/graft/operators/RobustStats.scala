@@ -56,35 +56,83 @@ object RobustStats {
           .cast("double") / count(lit(1)), 6).as("mean_wins"))
   }
 
+  /** percentile_cont(0.5) per key over a `(k, v, c)` frequency digest
+    * — exact interpolated median from cumulative counts over the
+    * ordered distinct values: r = 0.5·(n−1), q = v⌊r⌋ + (r−⌊r⌋)·
+    * (v⌈r⌉ − v⌊r⌉), rounded at 4 dp (the same definition
+    * [[Quantiles.exactQuantilesBucketed]] interpolates, so swapping
+    * between the two changes no values). NULL digest rows are ignored
+    * (quantile_cont semantics); the caller keeps their counts in `n`.
+    * The per-key ORDER BY runs over the DIGEST, so memory and sort
+    * cost are bounded by the value domain, not the row count. */
+  private def medianFromDigest(digest: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = digest.filter(col("v").isNotNull)
+    val w = Window.partitionBy(col("k")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = g
+      .withColumn("off", coalesce(sum(col("c")).over(w), lit(0L)))
+      .join(g.groupBy(col("k")).agg(sum(col("c")).as("n")), Seq("k"))
+      .withColumn("r", (col("n") - 1).cast("double") * 0.5)
+      .withColumn("r_lo", floor(col("r")).cast("long"))
+      .withColumn("r_hi", ceil(col("r")).cast("long"))
+    val lo = cum.filter(col("r_lo") >= col("off") &&
+        col("r_lo") < col("off") + col("c"))
+      .select(col("k"), col("v").as("lo"), col("r"), col("r_lo"))
+    val hi = cum.filter(col("r_hi") >= col("off") &&
+        col("r_hi") < col("off") + col("c"))
+      .select(col("k"), col("v").as("hi"))
+    lo.join(hi, Seq("k"))
+      .select(col("k"), round(col("lo") + (col("r") - col("r_lo")) *
+        (col("hi") - col("lo")), 4).as("q"))
+  }
+
   /** Per-key MAD outlier screen: median, median-absolute-deviation
-    * (both exact bounded-memory quantiles, rounded at 4 dp), and the
+    * (both exact interpolated quantiles, rounded at 4 dp), and the
     * count of rows whose |v − median| exceeds `nSigma`·1.4826·MAD (the
     * Gaussian-consistent robust z-test). Output per key:
-    * `(key, n, median, mad, n_outliers, outlier_rate)`. */
+    * `(key, n, median, mad, n_outliers, outlier_rate)`.
+    *
+    * SINGLE-STRUCTURE pass (r13): the fact table is touched ONCE — one
+    * map-side-combinable groupBy collapses it to a `(key, value,
+    * count)` frequency digest, and EVERYTHING downstream (median,
+    * deviation digest, MAD, outlier counts) runs over digests: the
+    * previous form ran [[Quantiles.exactQuantilesBucketed]] twice,
+    * re-shuffling the fact table for the median pass, the deviation
+    * join, and the MAD pass (~3 fact-table shuffles). Same exact
+    * values: both forms interpolate percentile_cont order statistics
+    * on raw doubles.
+    *
+    * Value-domain contract (the stats_ks/mann_whitney shape): digest
+    * size is bounded by the DISTINCT-value domain per key, not the
+    * row count — prices, scores, counts. For genuinely continuous
+    * unbounded domains use the bucketed two-pass form
+    * ([[winsorizedMean]]'s path), which never materializes distincts.
+    * NULL values keep their count in `n` (the SQL mirror's COUNT(*)
+    * over the median join) but take no part in quantiles or the
+    * outlier test. */
   def madOutliers(df: DataFrame, keyCol: String, valCol: String,
       nSigma: Double = 3.0): DataFrame = {
-    val med = Quantiles.exactQuantilesBucketed(df, keyCol, valCol,
-        Seq(0.5))
-      .select(col(keyCol), col("q").as("median"))
-    // NOT persisted: the deviation projection is scan+join+abs
-    // — measured 6.9 s recomputed vs 8.4 s cached at the pinned bench
-    // (caching 600k wide rows costs more than re-deriving them; the
-    // same counter-lesson as the CMS token stream in NOTES).
-    // UNHINTED joins here and below: the per-key median/MAD tables
-    // scale with the key domain — AQE broadcasts when small.
-    val dev = df.select(col(keyCol), col(valCol))
-      .join(med, Seq(keyCol))
-      .withColumn("__dev",
-        abs(col(valCol).cast("double") - col("median")))
-    val mad = Quantiles.exactQuantilesBucketed(dev, keyCol, "__dev",
-        Seq(0.5))
-      .select(col(keyCol), col("q").as("mad"))
-    dev.join(mad, Seq(keyCol))
-      .groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n"),
+    val g = df
+      .select(col(keyCol).as("k"), col(valCol).cast("double").as("v"))
+      .groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
+      .transform(graft.CacheBudget.persisted(_))
+    // UNHINTED joins throughout: the per-key median/MAD tables scale
+    // with the key domain — AQE broadcasts when actually small.
+    val med = medianFromDigest(g).select(col("k"), col("q").as("median"))
+    val devDigest = g.join(med, Seq("k"))
+      .groupBy(col("k"), col("median"),
+        abs(col("v") - col("median")).as("v"))
+      .agg(sum(col("c")).as("c"))
+      .transform(graft.CacheBudget.persisted(_))
+    val mad = medianFromDigest(devDigest.select("k", "v", "c"))
+      .select(col("k"), col("q").as("mad"))
+    devDigest.join(mad, Seq("k"))
+      .groupBy(col("k").as(keyCol))
+      .agg(sum(col("c")).as("n"),
         min(col("median")).as("median"), min(col("mad")).as("mad"),
-        sum(when(col("__dev") > lit(nSigma) * lit(1.4826) * col("mad"),
-          1L).otherwise(0L)).as("n_outliers"))
+        sum(when(col("v") > lit(nSigma) * lit(1.4826) * col("mad"),
+          col("c")).otherwise(0L)).as("n_outliers"))
       .withColumn("outlier_rate",
         round(col("n_outliers").cast("double") / col("n"), 6))
   }
