@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SNAPSHOT GATE: every registry query's published output schema is
+  * pinned, byte-for-byte as DDL, in `src/test/resources/
+  * schema_manifest.tsv`.
+  *
+  * Why this exists (round-12 incident): the last micro-int migration
+  * tranche changed `TextAnalysis` logprob outputs from a rounded DOUBLE
+  * average to exact BIGINT term sums, the CORRECTNESS rows stayed green
+  * (the oracle migrated in lockstep), but three hand-computed unit
+  * specs still read the old Double column — and the end-of-round
+  * snapshot landed with a red `sbt test`. The failure class is "an
+  * output-schema migration outruns its specs": nothing in the tree
+  * forced the spec update, because the specs only notice at RUN time.
+  * This spec makes the schema change itself fail the suite until the
+  * manifest is deliberately regenerated — and regenerating it is the
+  * moment the migrator is told, by name, which queries' readers to
+  * re-derive.
+  *
+  * To ACKNOWLEDGE an intentional schema change (after updating every
+  * spec that reads the changed columns):
+  *
+  * {{{
+  * GRAFT_REGEN_SCHEMA_MANIFEST=1 sbt -batch \
+  *   "testOnly graft.SchemaManifestSpec"
+  * }}}
+  *
+  * then commit the regenerated manifest together with the code and
+  * spec changes.
+  *
+  * Cost note: like `OutputPortabilitySpec`, this CONSTRUCTS each query
+  * against the sf0.001 fixture (plan analysis + any driver-side model
+  * fetch) but never executes the final plan — `.schema` stops at
+  * analysis. */
+class SchemaManifestSpec extends AnyFunSuite with SparkTester {
+
+  private val manifestPath =
+    Paths.get("src/test/resources/schema_manifest.tsv")
+
+  test("every registry query's output schema matches the pinned " +
+      "manifest (regen deliberately via GRAFT_REGEN_SCHEMA_MANIFEST=1 " +
+      "AFTER updating the specs that read the changed columns)") {
+    val dir = sf("manifest")
+    val current = Registry.all
+      .map(q => q.name -> q.fn(spark, dir).schema.toDDL).toMap
+    assert(current.size == Registry.all.size,
+      "duplicate query names in the registry")
+
+    if (sys.env.get("GRAFT_REGEN_SCHEMA_MANIFEST").contains("1")) {
+      Files.createDirectories(manifestPath.getParent)
+      Files.writeString(manifestPath, current.toSeq.sortBy(_._1)
+        .map { case (n, d) => s"$n\t$d" }.mkString("", "\n", "\n"))
+      info(s"regenerated $manifestPath (${current.size} entries)")
+    }
+
+    assert(Files.exists(manifestPath),
+      s"$manifestPath missing — generate it once with " +
+        "GRAFT_REGEN_SCHEMA_MANIFEST=1")
+    val pinned = Files.readAllLines(manifestPath).asScala
+      .filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        assert(i > 0, s"malformed manifest line: $line")
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap
+
+    val unpinned = (current.keySet -- pinned.keySet).toSeq.sorted
+    val orphaned = (pinned.keySet -- current.keySet).toSeq.sorted
+    val drifted = current.toSeq.sortBy(_._1).collect {
+      case (n, ddl) if pinned.get(n).exists(_ != ddl) =>
+        s"$n\n    pinned: ${pinned(n)}\n    actual: $ddl"
+    }
+    val msg = new StringBuilder
+    if (unpinned.nonEmpty) msg ++= s"\nNEW queries not in the " +
+      s"manifest (pin them): ${unpinned.mkString(", ")}"
+    if (orphaned.nonEmpty) msg ++= s"\nmanifest entries with no " +
+      s"matching query (prune them): ${orphaned.mkString(", ")}"
+    if (drifted.nonEmpty) msg ++= s"\nOUTPUT SCHEMAS CHANGED — " +
+      s"update every spec that reads these columns, then regenerate:" +
+      s"\n  ${drifted.mkString("\n  ")}"
+    assert(unpinned.isEmpty && orphaned.isEmpty && drifted.isEmpty,
+      s"schema manifest out of date$msg\nAcknowledge deliberately: " +
+        "GRAFT_REGEN_SCHEMA_MANIFEST=1 sbt " +
+        "\"testOnly graft.SchemaManifestSpec\"")
+  }
+}
