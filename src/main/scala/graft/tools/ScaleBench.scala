@@ -643,6 +643,30 @@ object ScaleBench {
         maxWordLen = 24, maxPieceLen = 5, topV = 40).count()
     }
 
+    // unigram-phases on a FLAT-LEXICON replication (the ktruss-style
+    // scale-curve stage, r13): replicas WITHOUT the salt prefix, so
+    // the corpus grows ×factor while the lexicon stays EXACTLY the
+    // base corpus's — the natural-corpus regime (Heaps-law lexicon
+    // saturation) the `costs |lexicon| not |corpus|` claim at
+    // UnigramTokenizer.scala:25-32 is about. Expected curve: time
+    // grows far sublinearly in factor (the only ∝corpus work is the
+    // one map-side-combined token count; candidate gen, EM fertility
+    // rounds, and Viterbi encodes all run on the unchanged
+    // distinct-word table). The salted `tokenizer` stage above is the
+    // deliberate WORST case (lexicon ∝ corpus); this one is the claim.
+    if (runExt && want("tokenizer_phases")) timed("tokenizer_phases") {
+      val flat = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .crossJoin(spark.range(0, factor).toDF("rep"))
+        .select((col("doc_id") * factor + col("rep")).as("doc_id"),
+          col("text"))
+      cnt("tokenizer_phases_rows") =
+        graft.operators.UnigramTokenizer.trainingPhases(flat, "text",
+          maxWordLen = 12, maxPieceLen = 5, topV = 40, minUses = 50)
+          .count()
+      cnt("tokenizer_phases_rows")
+    }
+
     // WordPiece train + corpus apply at factor× docs: the trainer is
     // distinct-word bound like the unigram stage (substring explode →
     // distinct → top-K TakeOrdered, worst-case ∝ corpus on this salted
