@@ -187,7 +187,7 @@ object Pipeline {
     // survivors feed the trainer (two passes/round), the scorer, and
     // the final budget join — persist the gated corpus once
     val survivors = raw.join(keep, Seq("doc_id"), "left_semi")
-      .transform(graft.CacheBudget.persisted(_, "pipeline"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = QualityModel.trainScoreLogReg(survivors, "doc_id",
       "txt", label = col("lang") === targetLang, dim = 32, iters = 3,
       lr = 2.0)
@@ -213,7 +213,7 @@ object Pipeline {
     // index (scanned multiple times by the near-dup self-join) and the
     // survivor join — persist so the expensive scrub runs once
     val exactDeduped = scrubbed.join(exactKeep, Seq("doc_id"), "left_semi")
-      .transform(graft.CacheBudget.persisted(_, "pipeline"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.ngramJaccardPairs(exactDeduped, "doc_id", "text",
       k = 5, threshold = jaccardThreshold, maxDocFreq = Some(maxDocFreq))
     val survivors =

@@ -421,12 +421,12 @@ object Curation {
         explode(TextExpressions.wordShingles(col(benchTextCol), k))
           .as("sh"))
       .distinct()
-      .transform(graft.CacheBudget.persisted(_, "curation"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bm = BloomJoin.buildBitmap(benchSh, "sh", mBits, kHashes)
     val cand = BloomJoin.withBloomHit(docSh, "sh", bm, mBits, kHashes)
       .filter(col("bloom_hit"))
       .select(col("doc_id"), col("sh"))
-      .transform(graft.CacheBudget.persisted(_, "curation"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCand = cand.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_candidates"))
     val hits = cand.join(benchSh, Seq("sh"))
@@ -658,7 +658,7 @@ object Curation {
       targetFilter: Column, dim: Int = 256): DataFrame = {
     val feats = df.select(col(idCol), targetFilter.as("is_tgt"),
         explode(dsirFeatureArray(textCol, dim)).as("j"))
-      .transform(graft.CacheBudget.persisted(_, "curation"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val raw = feats.groupBy(col("j")).agg(count(lit(1)).as("rc"))
     val tgt = feats.filter(col("is_tgt"))
       .groupBy(col("j")).agg(count(lit(1)).as("tc"))
@@ -687,7 +687,7 @@ object Curation {
     // the full corpus would execute four times
     val feats = df.select(col(idCol), targetFilter.as("is_tgt"),
         explode(dsirFeatureArray(textCol, dim)).as("j"))
-      .transform(graft.CacheBudget.persisted(_, "curation"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val raw = feats.groupBy(col("j")).agg(count(lit(1)).as("rc"))
     val tgt = feats.filter(col("is_tgt"))
       .groupBy(col("j")).agg(count(lit(1)).as("tc"))
@@ -818,10 +818,10 @@ object Curation {
       explode(dsirFeatureArray(textCol, dim)).as("j"))
     val refRaw = refFeats.groupBy(col("j"))
       .agg(count(lit(1)).as("c"))
-      .transform(graft.CacheBudget.persisted(_, "curation"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val refTgt = refFeats.filter(col("__tgt")).groupBy(col("j"))
       .agg(count(lit(1)).as("tc"))
-      .transform(graft.CacheBudget.persisted(_, "curation"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (batch: DataFrame, batchId: Long) => {
       val b = batch.select(col(idCol), col(textCol))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1029,7 +1029,7 @@ object Curation {
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "line")))
       .withColumn("_h", md5(col("line")))
-      .transform(graft.CacheBudget.persisted(_, "curation"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = lines.select(col("_h"), col("doc_id")).distinct()
       .groupBy(col("_h")).agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= minDocs)
@@ -1127,7 +1127,7 @@ object Curation {
     val j = a.select(col(idCol).as("__id"), col(labelCol).as("la"))
       .join(b.select(col(idCol).as("__id"), col(labelCol).as("lb")),
         Seq("__id"))
-      .transform(graft.CacheBudget.persisted(_, "curation"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nn = j.agg(count(lit(1)).as("n"),
       sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_agree"))
     // s = Σ ra·cb and the quadratic n² terms ride DECIMAL(38,0): the

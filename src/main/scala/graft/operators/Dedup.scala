@@ -153,7 +153,7 @@ object Dedup {
       maxDocFreq: Option[Long] = None): DataFrame = {
     requirePositiveThreshold(threshold)
     val sh = dropHot(shingleRows(df, idCol, textCol, k), maxDocFreq)
-      .transform(graft.CacheBudget.persisted(_, "dedup"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -263,13 +263,13 @@ object Dedup {
     // table"; locally, MEMORY_AND_DISK persist.
     val sig = base.select(col("doc_id"),
         graft.expressions.MinHash.signature(col("shs"), numHashes).as("sig"))
-      .transform(graft.CacheBudget.persisted(_, "dedup"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandRows = bandRowsOf(sig, bands, rowsPerBand)
     val cand = bandRows.as("x").join(bandRows.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      .transform(graft.CacheBudget.persisted(_, "dedup"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // exact verification of candidates only: semi-join DOWN TO candidate
     // documents BEFORE computing shingles — the join is placed explicitly
@@ -289,7 +289,7 @@ object Dedup {
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         explode(Text.wordShingles(col(textCol), k)).as("sh"))
-      .transform(graft.CacheBudget.persisted(_, "dedup"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -323,14 +323,14 @@ object Dedup {
       val sig = df.select(col(idCol).as("doc_id"),
           graft.expressions.MinHash.signature(
             Text.wordShingles(col(textCol), k), numHashes).as("sig"))
-        .transform(graft.CacheBudget.persisted(_, "dedup"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       bandRowsOf(sig, bands, rowsPerBand)
     }
     val cand = bandRows(left).as("x").join(bandRows(right).as("y"),
         Seq("band", "key"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      .transform(graft.CacheBudget.persisted(_, "dedup"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def candShingles(df: DataFrame, side: String): DataFrame = {
       // unhinted semi-join — same dup-rate-scaling argument as the
       // within-corpus verify stage above
@@ -339,7 +339,7 @@ object Dedup {
         .join(docs, Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
           explode(Text.wordShingles(col(textCol), k)).as("sh"))
-        .transform(graft.CacheBudget.persisted(_, "dedup"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val shA = candShingles(left, "doc_a")
     val shB = candShingles(right, "doc_b")
@@ -433,7 +433,7 @@ object Dedup {
     // one long per doc — materialize so the segment self-join doesn't run
     // the signature computation once per side
     val sigs = sigTable
-      .transform(graft.CacheBudget.persisted(_, "dedup"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val segs = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until nSeg).map { i =>
         struct(lit(i).as("seg"),
@@ -708,7 +708,7 @@ object Dedup {
       .withColumn("nrm", sqrt(VectorExpressions.dot(col("e"), col("e"))))
       .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(nBlocks))
         .cast("int"))
-      .transform(graft.CacheBudget.persisted(_, "dedup"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // a-side row in block i meets b-side block j for every j ≥ i: each
     // unordered cross-block pair materializes exactly once (orientation
     // fixed by block order), same-block pairs are cut by vec_id order
@@ -768,7 +768,7 @@ object Dedup {
     val win = df.select(col(idCol).as("doc_id"),
         posexplode(TextExpressions.wordWindows(col(textCol), k)))
       .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
-      .transform(graft.CacheBudget.persisted(_, "dedup"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // windows whose hash occurs >= 2 times anywhere in the corpus.
     // The count goes through the PROFILE-GATED shuffle: window hashes
     // are mostly unique on natural corpora, where the default map-side
@@ -945,7 +945,7 @@ object Dedup {
     val win = base.select(col("doc_id"),
         posexplode(RollingHash.charWindowHashes(col("txt"), C)))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
-      .transform(graft.CacheBudget.persisted(_, "dedup"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // profile-gated shuffle before the count — see exactSubstringSpans:
     // on mostly-unique window hashes the map-side partial agg spills
     // superlinearly and shuffle-first is linear (measured 5× at 20×);
@@ -1043,7 +1043,7 @@ object Dedup {
     val ranged = suf
       .repartitionByRange(nParts, col("s"), col("doc_id"), col("pos"))
       .withColumn("pid", spark_partition_id())
-      .transform(graft.CacheBudget.persisted(_, "dedup"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offs = ranged.groupBy(col("pid")).agg(count(lit(1)).as("n"))
       .withColumn("off", coalesce(sum(col("n")).over(
         Window.orderBy(col("pid"))
@@ -1055,7 +1055,7 @@ object Dedup {
           .orderBy(col("s"), col("doc_id"), col("pos"))))
       .select(col("doc_id"), col("pos"), col("s"),
         (col("off") + col("lr")).as("rk"))
-      .transform(graft.CacheBudget.persisted(_, "dedup"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // longest match = max LCP against the two sort neighbours
     val lcp = rk
       .join(rk.select((col("rk") + 1).as("rk"), col("s").as("sp")),
@@ -1120,7 +1120,7 @@ object Dedup {
         cent.select(col("cent_id").as("vec_id"), col("ce").as(vecCol)),
         vecCol, coarseMult, nprobe)
       .withColumn("nrm", sqrt(VectorExpressions.dot(col("e"), col("e"))))
-      .transform(graft.CacheBudget.persisted(_, "dedup"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // within-cell pairs, oriented id_a < id_b; a vector is a duplicate iff
     // some LOWER-id cell-mate is within tau — so the earliest member of
     // every dense neighbourhood survives
@@ -1160,7 +1160,7 @@ object Dedup {
         cent.select(col("cent_id").as("vec_id"), col("ce").as(vecCol)),
         vecCol, coarseMult, nprobe, levels)
       .withColumn("nrm", sqrt(VectorExpressions.dot(col("e"), col("e"))))
-      .transform(graft.CacheBudget.persisted(_, "dedup"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dups = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -1206,7 +1206,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val d = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("n", length(col("text"))).filter(col("n") > 0)
-      .transform(graft.CacheBudget.persisted(_, "dedup"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cuts0 = d.filter(col("n") >= width)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), col("n") - width + 1)).as("i"))

@@ -73,7 +73,7 @@ object Similarity {
           .as("cos"))
       // consumed twice by the mirror union — materialize so the n²/2
       // cosine pass runs once
-      .transform(graft.CacheBudget.persisted(_, "similarity"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = half.unionByName(half.select(col("dst").as("src"),
       col("src").as("dst"), col("cos")))
     val w = Window.partitionBy(col("src"))
@@ -240,7 +240,7 @@ object Similarity {
       .select(col("src"), col("dst"),
         round(VectorExpressions.squaredDist(col("ea"), col("eb")), 9)
           .as("d2"))
-      .transform(graft.CacheBudget.persisted(_, "similarity"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dirs = half.unionByName(half.select(col("dst").as("src"),
       col("src").as("dst"), col("d2")))
     val w = Window.partitionBy(col("src"))
@@ -873,7 +873,7 @@ object Similarity {
       : DataFrame =
     ivfWith(corpus, queries, vecCol, k, nprobe,
       kmeansCentroids(corpus, vecCol, centroidStep, iters)
-        .transform(graft.CacheBudget.persisted(_, "similarity")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** IVF with farthest-point-seeded ([[farthestPointInit]]) Lloyd's
     * training — the k-means++-style quantizer: better-spread seeds than
@@ -884,7 +884,7 @@ object Similarity {
     ivfWith(corpus, queries, vecCol, k, nprobe,
       kmeansFrom(corpus, vecCol,
         farthestPointInit(corpus, vecCol, nCentroids), iters)
-        .transform(graft.CacheBudget.persisted(_, "similarity")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def ivfWith(corpus: DataFrame, queries: DataFrame,
       vecCol: String, k: Int, nprobe: Int, cent: DataFrame): DataFrame = {
@@ -985,7 +985,7 @@ object Similarity {
       iters: Int = 1, shortlist: Int = 100): DataFrame = {
     val sw = dim / m
     val cb = pqCodebook(corpus, vecCol, dim, m, centroidStep, iters)
-      .transform(graft.CacheBudget.persisted(_, "similarity"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val codes = pqAssign(corpus, vecCol, cb, sw)
     val q = queries.select(col("vec_id").as("q_id"), col(vecCol).as("qe"))
     val qd = q.join(broadcast(cb))
@@ -1027,7 +1027,7 @@ object Similarity {
       m: Int, centroidStep: Int, iters: Int): DataFrame = {
     val sw = dim / m
     val cb = pqCodebook(corpus, vecCol, dim, m, centroidStep, iters)
-      .transform(graft.CacheBudget.persisted(_, "similarity"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pqAssign(corpus, vecCol, cb, sw)
       .select(col("vec_id"), col("d2").cast("decimal(18,9)").as("d2"))
       .groupBy(col("vec_id")).agg(sum(col("d2")).as("err"))
@@ -1060,7 +1060,7 @@ object Similarity {
       pqIters).select(col("n"), col("mse").as("mse_pq"))
     val cents = kmeansCentroids(corpus, vecCol, centroidStep,
         coarseIters)
-      .transform(graft.CacheBudget.persisted(_, "similarity"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val res = assignCells(corpus.select(col("vec_id"), col(vecCol)),
         cents.select(col("cent_id").as("vec_id"), col("ce").as(vecCol)),
         vecCol)
@@ -1201,7 +1201,7 @@ object Similarity {
       .map { case (b, i) => b * (1L << i) }
       .reduce(_ + _)
     df.select(col(idCol).as("vec_id"), sig.as("sig"))
-      .transform(graft.CacheBudget.persisted(_, "similarity"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private def bandKey(i: Int, bandBits: Int): Column =
@@ -1762,7 +1762,7 @@ object Similarity {
   def daviesBouldin(corpus: DataFrame, vecCol: String,
       centroidStep: Int, iters: Int): DataFrame = {
     val cents = kmeansCentroids(corpus, vecCol, centroidStep, iters)
-      .transform(graft.CacheBudget.persisted(_, "similarity"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val d = corpus.select(col("vec_id"), col(vecCol).as("e"))
       .join(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
