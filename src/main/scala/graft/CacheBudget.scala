@@ -45,7 +45,28 @@ object CacheBudget {
       .map(_ << 20)
       .getOrElse(1536L << 20)
 
-  private val maxFrames = 64
+  /** Count backstop for many-tiny-frame sessions; overridable for
+    * experiments (`GRAFT_CACHE_MAX_FRAMES` / `graft.cache.max.frames`).
+    *
+    * MEMBERSHIP lesson (r13, measured): registering EVERY operator
+    * family's per-call persists here is a net loss. The r13 experiment
+    * put all ~35 dedup/similarity/curation/pipeline persist sites on
+    * the ledger and the quiet full sweep regressed 311 → 374-411 s at
+    * BOTH 64- and 192-frame caps and 1.5-4 GiB budgets: FIFO admission
+    * churn unpersisted frames sibling queries were about to reuse,
+    * while the previous "leak" had been doubling as free cross-query
+    * reuse under Spark's own LRU-to-disk pressure handling (reverted).
+    * The ledger's VALUE is for families whose frames are (a) rebuilt
+    * identically by many sibling queries and (b) evicted by OTHER
+    * families' pressure — multimodal payload corpora (r12), tokenizer
+    * registries (r11), graph edge frames (r13). Families whose frames
+    * are one-query-local do better leaving pressure handling to the
+    * block manager's LRU + MEMORY_AND_DISK spill. */
+  private def maxFrames: Int =
+    sys.props.get("graft.cache.max.frames")
+      .orElse(sys.env.get("GRAFT_CACHE_MAX_FRAMES"))
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(64)
 
   /** Frames the byte pressure may NEVER evict (newest-first): the
     * session total includes cached RDDs this registry does not track

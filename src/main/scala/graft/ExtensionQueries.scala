@@ -3575,6 +3575,52 @@ object TextQueries {
         WHERE we <= fwm
         GROUP BY 1, 2""")),
 
+    // native SESSION WINDOWS (Spark's session_window — the dynamic-gap
+    // window the tumbling family can't express): per-user sessions
+    // close after 30 idle minutes; window end = last event + gap, and
+    // two events exactly gap apart DO merge (the merge rule is
+    // new.start <= current.end, INCLUSIVE — measured: StreamingSpec
+    // pins the equality boundary and that the envelope equals the
+    // flatMapGroupsWithState sessionizer's, whose diff <= gapMs rule
+    // is the same inclusive convention). Oracle replays the exact
+    // semantics as gaps-and-islands: break on lag-diff > gap (strict),
+    // cumulative-sum session ids, min/max + gap per island. Scale
+    // shape: ONE shuffle on user_id serving both the per-user ordering
+    // and the aggregation (Spark plans session_window as a sort within
+    // the user_id exchange — no per-event state, no driver loops)
+    Q("events_session_window",
+      (s, dir) => Sources.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"),
+            "yyyy-MM-dd HH:mm:ss").as("ss"),
+          date_format(col("session_window.end"),
+            "yyyy-MM-dd HH:mm:ss").as("se"),
+          col("n")),
+      Some("""WITH o AS (
+          SELECT user_id, ts,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+          FROM events),
+        f AS (
+          SELECT user_id, ts,
+            CASE WHEN pts IS NULL
+              OR ts - pts > INTERVAL 30 MINUTE THEN 1 ELSE 0
+              END AS brk
+          FROM o),
+        g AS (
+          SELECT user_id, ts,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f)
+        SELECT user_id,
+          strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ss,
+          strftime(max(ts) + INTERVAL 30 MINUTE,
+            '%Y-%m-%d %H:%M:%S') AS se,
+          count(*)::BIGINT AS n
+        FROM g GROUP BY user_id, sid""")),
+
     // IN-ENGINE TRAINED quality classifier: full-batch logistic
     // regression over hashed bag-of-words buckets, 3 deterministic GD
     // rounds (decimal-exact weighted sums, 6-dp weight rounding). The

@@ -276,6 +276,43 @@ class StreamingSpec extends AnyFunSuite with SparkTester {
     assert(sessions(2).user_id == 2)
   }
 
+  test("native session_window: two events exactly gap apart DO merge " +
+      "(merge rule new.start <= current.end, measured), end = last " +
+      "event + gap, and the envelope equals the " +
+      "flatMapGroupsWithState sessionizer's") {
+    // user 1: 00:00 + 00:29 merge; 00:59 lands EXACTLY on the prior
+    // session's end (00:29 + 30) -> MERGES (inclusive rule; the first
+    // cut of this spec expected a split and Spark merged); 01:35 is
+    // past the extended end 01:29 -> new session
+    val evs = Seq(
+      EventStream.EventRow(1, ts(0), 1L, "click", 1.0),
+      EventStream.EventRow(2, ts(29), 1L, "view", 1.0),
+      EventStream.EventRow(3, ts(59), 1L, "click", 1.0),
+      EventStream.EventRow(4, ts(95), 1L, "view", 1.0),
+      EventStream.EventRow(5, ts(0), 2L, "click", 1.0))
+    val df = evs.toDF()
+    val got = df.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start"),
+        col("session_window.end"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    def ms(min: Int) = 1704067200000L + min * 60000L
+    assert(got == Set(
+      (1L, ms(0), ms(89), 3L),    // equality-boundary MERGE; end 00:59+30
+      (1L, ms(95), ms(125), 1L),
+      (2L, ms(0), ms(30), 1L)), s"got $got")
+    // the custom-state sessionizer agrees on the envelope:
+    // session_window.start == start_ms, end - gap == lastSeen
+    val sess = EventStream.sessionize(evs.toDS(), gapMs = 30 * 60000L)
+      .collect().map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events))
+      .toSet
+    val fromWindow = got.map { case (u, s, e, n) =>
+      (u, s, e - 30 * 60000L, n) }
+    assert(fromWindow == sess, s"window $fromWindow != state $sess")
+  }
+
   test("streaming sessionization: sessions span micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
