@@ -3621,6 +3621,33 @@ object TextQueries {
           count(*)::BIGINT AS n
         FROM g GROUP BY user_id, sid""")),
 
+    // SLIDING (hopping) event-time windows — window(len=1h, slide=30m)
+    // completes the window family (tumbling window_agg, session,
+    // watermark-append): each event lands in len/slide = 2
+    // epoch-aligned windows; Spark plans this as one explode-like
+    // projection + the same map-side-combinable aggregate as tumbling
+    // (no per-window scans). Oracle replays the window assignment
+    // arithmetic literally: ws = floor(ts/slide)·slide − slide·i for
+    // i in 0..1. n_users exercises distinct-within-window
+    Q("events_window_sliding",
+      (s, dir) => Sources.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("window.start"),
+            "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("event_type"), col("n"), col("n_users")),
+      Some("""WITH w AS (
+          SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800
+              - 1800 * i)::TIMESTAMP AS ws,
+            event_type, user_id
+          FROM events CROSS JOIN range(2) r(i))
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, event_type,
+          count(*)::BIGINT AS n,
+          count(DISTINCT user_id)::BIGINT AS n_users
+        FROM w GROUP BY 1, 2""")),
+
     // IN-ENGINE TRAINED quality classifier: full-batch logistic
     // regression over hashed bag-of-words buckets, 3 deterministic GD
     // rounds (decimal-exact weighted sums, 6-dp weight rounding). The
