@@ -50,6 +50,29 @@ class PlanSpec extends AnyFunSuite with SparkTester {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("window family plans: session/sliding aggregate map-side " +
+      "partially; sliding has NO explode-shuffle blowup; the watermark " +
+      "replay's row-scale path has one batch-key join and one count " +
+      "exchange, with the per-batch maxima window confined to the " +
+      "model-plane table") {
+    // session_window: Spark plans it as a sort within the user_id
+    // exchange + aggregate — per-key state, no per-event window rows
+    val sess = plan("events_session_window")
+    assert(sess.contains("HashAggregate") ||
+      sess.contains("SortAggregate"), sess)
+    // sliding: the 2-window expansion is a projection feeding a
+    // PARTIAL aggregate — the shuffle carries (window, type) partial
+    // counts, never the exploded event rows
+    val slid = plan("events_window_sliding")
+    assert(slid.contains("partial_count"), slid)
+    // watermark replay: the fact-side work is one join on the batch
+    // key plus one partial-aggregated count; the only Window operator
+    // runs on the per-batch maxima (|batches| rows, model-plane)
+    val wm = plan("events_window_watermark")
+    assert(wm.contains("partial_count"), wm)
+    assert(wm.contains("Window"), wm)
+  }
+
   test("scan_csv: typed schema reaches the CSV scan (no inference pass)") {
     val p = plan("scan_csv")
     assert(p.contains("ReadSchema: struct<GLOBALEVENTID:bigint"), p)
