@@ -66,6 +66,11 @@ object CacheBudget {
     sys.props.get("graft.cache.max.frames")
       .orElse(sys.env.get("GRAFT_CACHE_MAX_FRAMES"))
       .flatMap(s => scala.util.Try(s.toInt).toOption)
+      // non-positive overrides are rejected, not honored: a 0/negative
+      // cap makes `cached.size >= maxFrames` true forever once the
+      // deque is empty, and the eviction loop would spin on
+      // pollFirst()=null instead of admitting anything (ADVICE r13)
+      .filter(_ > 0)
       .getOrElse(64)
 
   /** Frames the byte pressure may NEVER evict (newest-first): the
@@ -121,7 +126,17 @@ object CacheBudget {
         return df
       while (cached.size >= maxFrames || (cached.size > minRetained &&
           sessionCachedBytes(df) > budgetBytes)) {
-        try cached.pollFirst().df.unpersist(blocking = true)
+        // pollFirst()=null means the deque drained while the loop
+        // condition still held (can only happen under a broken cap
+        // override) — stop evicting rather than spin forever
+        val head = cached.pollFirst()
+        if (head == null) {
+          System.err.println("CacheBudget: eviction loop saw an empty " +
+            "ledger while the admission condition still held; admitting")
+          cached.clear()
+          return { val p0 = df.persist(sl); cached.addLast(Entry(tag, p0)); p0 }
+        }
+        try head.df.unpersist(blocking = true)
         catch { case _: Throwable => () }
       }
       val p = df.persist(sl)

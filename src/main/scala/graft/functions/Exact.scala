@@ -31,10 +31,22 @@ object Exact {
     * if the value falls outside the int64 range. The guard is the
     * scale contract: at harness scale factors the raise is
     * unreachable; at corpus sizes where it would fire, switch the
-    * emitting query to [[digits]] instead. */
+    * emitting query to [[digits]] instead.
+    *
+    * TWO overflow strata are guarded (ADVICE r13): values inside
+    * DECIMAL(38,0) but past int64 hit the explicit range check; values
+    * past DECIMAL(38,0) itself (≥ ~1e38 — e.g. a DECIMAL(38,6)·10⁶
+    * product whose unscaled value no longer fits precision 38) make
+    * the non-ANSI cast return NULL, which the second branch catches by
+    * the null asymmetry (input non-null, decimal null) and raises —
+    * so no input value can reach the output as a silent NULL while
+    * DuckDB's strict cast errors on the same row. */
   def bigint(c: Column): Column = {
     val d = c.cast("decimal(38,0)")
-    when(d > lit(longMax).cast("decimal(38,0)") ||
+    when(c.isNotNull && d.isNull,
+      raise_error(concat(lit("Exact.bigint decimal overflow: "),
+        c.cast("string"))))
+      .when(d > lit(longMax).cast("decimal(38,0)") ||
         d < lit(longMin).cast("decimal(38,0)"),
       raise_error(concat(lit("Exact.bigint overflow: "), d.cast("string"))))
       .otherwise(d.cast("long"))

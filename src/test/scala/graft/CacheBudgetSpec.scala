@@ -98,6 +98,24 @@ class CacheBudgetSpec extends AnyFunSuite with SparkTester {
     assert(CacheBudget.budgetProbeFailures == 0L)
   }
 
+  test("non-positive cap override is rejected (ADVICE r13: " +
+      "GRAFT_CACHE_MAX_FRAMES=0 must not spin the eviction loop)") {
+    CacheBudget.unpersistAll()
+    sys.props("graft.cache.max.frames") = "0"
+    try {
+      // with the broken cap honored, this call would loop forever on
+      // an empty deque; with it rejected, the frame is admitted
+      val f = CacheBudget.persisted(spark.range(100).toDF("v"))
+      f.count()
+      assert(f.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE)
+      assert(CacheBudget.registeredSize == 1)
+    } finally {
+      sys.props.remove("graft.cache.max.frames")
+      CacheBudget.unpersistAll()
+    }
+  }
+
   test("results are unchanged when a reused frame has been evicted " +
       "(recompute, never wrong)") {
     CacheBudget.unpersistAll()

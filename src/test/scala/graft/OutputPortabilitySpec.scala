@@ -123,4 +123,46 @@ class OutputPortabilitySpec extends AnyFunSuite with SparkTester {
         s"the list so the audit stays honest): " +
         staleGrandfather.toSeq.sorted.mkString(", "))
   }
+
+  test("Exact.bigint raises past decimal(38,0) precision instead of " +
+      "passing the non-ANSI NULL through (ADVICE r13: the >=1e38 " +
+      "stratum must error like DuckDB's strict cast, never silent-NULL)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 1e40 as decimal(38,6)*1e6-style overflow stand-in: a double too
+    // large for decimal(38,0) — in ANSI mode Spark's own cast raises
+    // (also fine: loud, like DuckDB); the guard exists for NON-ANSI
+    // mode where the cast silently yields NULL, so that mode is what
+    // the assertion pins
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val big = Seq(1e40d).toDF("v")
+    val ansiPrior = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val e = intercept[Exception] {
+        big.select(graft.functions.Exact.bigint(col("v"))).collect()
+      }
+      assert(msgs(e).exists(_.contains("Exact.bigint decimal overflow")),
+        s"expected the decimal-overflow raise in non-ANSI mode, got: $e")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiPrior)
+    // and in whatever mode the session runs, the value still cannot
+    // come back as a silent NULL
+    val eAny = intercept[Exception] {
+      big.select(graft.functions.Exact.bigint(col("v"))).collect()
+    }
+    assert(msgs(eAny).exists(m =>
+      m.contains("Exact.bigint decimal overflow") ||
+        m.contains("cannot be represented as Decimal")),
+      s"expected a loud overflow in the session's mode, got: $eAny")
+    // NULL input still passes through as NULL (the asymmetry guard
+    // keys on input non-null)
+    val r = Seq[Option[Double]](None).toDF("v")
+      .select(graft.functions.Exact.bigint(col("v"))).collect()
+    assert(r.length == 1 && r(0).isNullAt(0))
+    // in-range values are unchanged
+    val ok = Seq(42.0d).toDF("v")
+      .select(graft.functions.Exact.bigint(col("v"))).collect()
+    assert(ok(0).getLong(0) == 42L)
+  }
 }
