@@ -14,6 +14,53 @@ object Bench {
       .getOrElse(java.nio.file.Paths.get(name))
   }
 
+  /** Fixed machine-speed calibration probe (r13 verdict task 1): a
+    * code-independent unit of CPU + shuffle + parquet-scan work, timed
+    * once per sweep. Its ratio against the baseline's recorded probe
+    * time measures HOST AMBIENT DRIFT alone — the registry's own
+    * common-row ratio (drift_global) measures the same thing but is
+    * contaminated by genuine plan regressions when they exist, and r13
+    * produced 13 false regression flags on a machine the probe would
+    * have read as 1.25–1.4× slow. The probe never touches registry
+    * code, so a plan regression cannot hide inside it. */
+  def calibProbe(spark: SparkSession, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    // CPU: 16M codegen'd hashes reduced to one row (mod keeps the
+    // running sum far from int64 even under ANSI overflow checking)
+    spark.range(1L << 24)
+      .selectExpr("sum(xxhash64(id) % 1000003)").collect()
+    // shuffle: 512k rows through a 97-key hash aggregate
+    spark.range(1L << 19)
+      .selectExpr("id % 97 AS k", "id AS v")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+      .collect()
+    // IO: one small parquet scan (footer + page decode path)
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Per-row regression flags on machine-normalized ratios. Noise
+    * floor keys on EITHER side: prior >= 0.5 catches slowdowns of
+    * already-substantial rows at >1.3x; a row that was FAST in the
+    * baseline is judged by where it landed (cur >= 0.5) at a higher
+    * >2x bar — 0.4 s -> 5 s is a plan regression the prior-only
+    * exemption would never flag, while 0.2 s -> 0.55 s stays exempt
+    * (sub-second jitter at the pinned config swings that much).
+    * Exposed for BenchSpec: the r13 false-flag scenario (uniform
+    * ambient slowdown, normalized away) and a genuine single-row
+    * regression (flagged through any ambient factor) are both pinned. */
+  def flagRegressions(results: Map[String, Double],
+      baseline: Map[String, Double],
+      normFactor: Double): Seq[(String, Double, Double, Double)] =
+    results.toSeq.flatMap { case (name, cur) =>
+      baseline.get(name).flatMap { prior =>
+        val nr = cur / prior / normFactor
+        val hit = (prior >= 0.5 && nr > 1.3) ||
+          (prior < 0.5 && cur >= 0.5 && nr > 2.0)
+        if (hit) Some((name, prior, cur, nr)) else None
+      }
+    }.sortBy(-_._4)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // BASELINE.md pins the operative bench config at local[4] with 4
@@ -70,8 +117,14 @@ object Bench {
     }
     // whole-registry sweeps (not per-query repeats) so each run sees the
     // same cache-reuse topology the single-run bench history was
-    // recorded under
-    val sweeps = (1 to runs).map(_ => sweep())
+    // recorded under. Each sweep is preceded by the fixed calibration
+    // probe so calib_sec samples the same time windows the query
+    // timings do (ambient load varies WITHIN a multi-sweep run).
+    val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val sweeps = (1 to runs).map { _ =>
+      calibs += calibProbe(spark, sfDir)
+      sweep()
+    }
     def median(vs: Seq[Double]): Double = {
       val s = vs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
@@ -99,7 +152,7 @@ object Bench {
     def parseFlatJson(s: String): Map[String, Double] =
       """"([^"]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(s)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    val baseline: Map[String, Double] = baselinePath match {
+    val baselineRaw: Map[String, Double] = baselinePath match {
       case Some(p) =>
         try parseFlatJson(java.nio.file.Files.readString(
           java.nio.file.Paths.get(p)))
@@ -108,6 +161,14 @@ object Bench {
           Map.empty }
       case None => Map.empty
     }
+    // `__`-prefixed keys are bench metadata (the calibration probe),
+    // never query rows — keep them out of the drift/regression math
+    val baseline = baselineRaw.filterNot(_._1.startsWith("__"))
+    val calibSec = median(calibs.toSeq)
+    // host-ambient ratio from the code-independent probe; 1.0 when the
+    // baseline predates the probe (first calibrated round)
+    val calibRatio = baselineRaw.get("__calib__")
+      .filter(_ > 0).map(calibSec / _).getOrElse(1.0)
     // Rows present in both rounds anchor a GLOBAL drift ratio; per-row
     // regressions are then flagged on the machine-normalized ratio
     // (row ratio / global ratio). Rationale, measured r9: isolated-JVM
@@ -122,26 +183,30 @@ object Bench {
     val driftGlobal =
       if (common.isEmpty) 1.0
       else common.toSeq.map(results).sum / common.toSeq.map(baseline).sum
-    // noise floor keys on EITHER side: prior >= 0.5 catches slowdowns
-    // of already-substantial rows at >1.3x; a row that was FAST in the
-    // baseline is judged by where it landed (cur >= 0.5) at a higher
-    // >2x bar — 0.4 s -> 5 s is a plan regression the prior-only
-    // exemption would never flag, while 0.2 s -> 0.55 s stays exempt
-    // (sub-second jitter at this config swings that much)
-    val regressions = results.toSeq.flatMap { case (name, cur) =>
-      baseline.get(name).flatMap { prior =>
-        val nr = cur / prior / driftGlobal
-        val hit = (prior >= 0.5 && nr > 1.3) ||
-          (prior < 0.5 && cur >= 0.5 && nr > 2.0)
-        if (hit) Some((name, prior, cur, nr)) else None
-      }
-    }.sortBy(-_._4)
+    // normalization factor: the LARGER of the registry common-row
+    // ratio and the calibration-probe ratio. drift_global alone
+    // under-corrects when ambient load hits queries heterogeneously
+    // (r13: 13 false flags at drift_global 1.17 on a host the probe
+    // class read at 1.25–1.4×); the probe alone under-corrects when
+    // the slowdown lives in Spark-plan-shaped work the probe doesn't
+    // model. Taking the max can only MASK a real regression that is
+    // smaller than the ambient signal — and a same-code re-run on a
+    // quiet machine (the standing adjudication protocol) still
+    // surfaces those.
+    val normFactor = math.max(driftGlobal, calibRatio)
+    val regressions = flagRegressions(results, baseline, normFactor)
     // 3-decimal per-query seconds keep the detail line compact; the FINAL
     // stdout line is a short standalone result (the r2 driver artifact
     // showed its tail window starting mid-JSON on a ~2.5 KB line, so the
     // parseable summary must be small and last)
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    // the median map carries the probe under a reserved key so the
+    // NEXT round's run can compute calib_ratio against this one
+    val qsWithCalib = (results.map { case (k, v) =>
+        "\"" + k + "\":" + f3(v) } ++
+      Seq("\"__calib__\":" + f3(calibSec)))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -157,17 +222,21 @@ object Bench {
         baselinePath.map(p => java.nio.file.Paths.get(p)
           .toAbsolutePath.getParent),
         scoped = only.isDefined)
-      java.nio.file.Files.writeString(lastPath, qs)
+      java.nio.file.Files.writeString(lastPath, qsWithCalib)
     } catch { case e: Throwable =>
       System.err.println(s"BENCH could not write median map: $e") }
     val detail = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""queries":$qs,"failed":$failedJson,"regressions":$regJson,""" +
       s""""drift_global":${f3(driftGlobal)},""" +
+      s""""calib_sec":${f3(calibSec)},"calib_ratio":${f3(calibRatio)},""" +
+      s""""norm_factor":${f3(normFactor)},""" +
       s""""cpus":$cpus,"runs":$runs,"sf":"$sfDir"}"""
     val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"n_failed":${failed.size},""" +
       s""""n_regressions":${regressions.size},""" +
       s""""drift_global":${f3(driftGlobal)},""" +
+      s""""calib_sec":${f3(calibSec)},"calib_ratio":${f3(calibRatio)},""" +
+      s""""norm_factor":${f3(normFactor)},""" +
       s""""cpus":$cpus,"runs":$runs,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing so no shutdown logging can land after the
     // result lines — the driver parses the last stdout line

@@ -7,7 +7,7 @@ import java.nio.file.Paths
   * must never overwrite the full-sweep median map — in r11 a 2-row
   * bisection run silently replaced `bench_last.json` twice, destroying
   * the only full per-query map on disk. */
-class BenchSpec extends AnyFunSuite {
+class BenchSpec extends AnyFunSuite with SparkTester {
 
   test("full sweeps own bench_last.json; scoped runs divert to " +
       "bench_scoped.json, beside the baseline when one is found") {
@@ -21,5 +21,35 @@ class BenchSpec extends AnyFunSuite {
       Paths.get("bench_last.json"))
     assert(Bench.medianMapPath(None, scoped = true) ===
       Paths.get("bench_scoped.json"))
+  }
+
+  test("regression flags are normalized by the ambient factor: a " +
+      "uniform host slowdown produces zero flags, a genuine single-row " +
+      "regression is flagged through any ambient factor (r13: 13 false " +
+      "flags cost a judge adjudication session)") {
+    val baseline = Map("a" -> 2.0, "b" -> 1.0, "c" -> 0.8, "d" -> 0.1)
+    // the r13 scenario: every row uniformly 1.4x slower (ambient), the
+    // calibration probe read the same 1.4x → normFactor 1.4 → quiet
+    val ambient = baseline.map { case (k, v) => k -> v * 1.4 }
+    assert(Bench.flagRegressions(ambient, baseline, 1.4).isEmpty)
+    // without the calibration signal (normFactor 1.0) the same sweep
+    // would flag every substantial row — the false-flag mode
+    assert(Bench.flagRegressions(ambient, baseline, 1.0).size == 3)
+    // a genuine 3x single-plan regression stays flagged even under a
+    // 1.4x ambient normalization
+    val real = ambient.updated("b", 3.0)
+    val flags = Bench.flagRegressions(real, baseline, 1.4)
+    assert(flags.map(_._1) == Seq("b"))
+    // fast-in-baseline rows use the landing-side floor and higher bar:
+    // 0.1 -> 0.3 s stays exempt, 0.1 -> 0.9 s (6.4x normalized) flags
+    assert(Bench.flagRegressions(
+      baseline.updated("d", 0.3), baseline, 1.0).isEmpty)
+    assert(Bench.flagRegressions(
+      baseline.updated("d", 0.9), baseline, 1.0).map(_._1) == Seq("d"))
+  }
+
+  test("calibration probe runs and returns a positive wall time") {
+    val t = Bench.calibProbe(spark, sf("calib"))
+    assert(t > 0.0 && t < 120.0)
   }
 }
