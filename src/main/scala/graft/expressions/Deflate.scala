@@ -1,0 +1,84 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document DEFLATE size — the compression-ratio quality signal
+  * (the near-free junk detector of web-corpus curation: RedPajama-v2
+  * ships it as a standing quality signal; machine-generated or
+  * template-repetitive pages compress far below the ~0.3–0.5 band of
+  * natural prose, while base64/binary-ish noise barely compresses at
+  * all). The other half of the zlib plumbing — the Inflater — already
+  * runs in [[PngDecode]]; this is the Deflater direction over the
+  * document's UTF-8 bytes.
+  *
+  * Determinism contract: `java.util.zip.Deflater` at a FIXED level
+  * with the default strategy is zlib's deterministic greedy/lazy parse
+  * — same bytes in, same bytes out, on every executor and every JVM
+  * this engine supports (the JDK bundles one zlib). The LEVEL is part
+  * of the signal's identity, so it is a constructor field, not a
+  * config read.
+  *
+  * Scale shape: a per-row codegen expression — the signal is computed
+  * inside the scan projection with ZERO shuffle (PlanSpec-pinned), the
+  * only shape that survives 100 TB. Output sizes are INTs (a single
+  * document past 2 GiB is rejected upstream by the engine's ingest
+  * contract; Deflater streams, so memory is O(buffer) regardless).
+  *
+  * Not DuckDB-expressible (no SQL deflate) → spec-gated per the
+  * S4–S6 convention: CurationSpec pins planted-repetition /
+  * natural-text / incompressible fixtures and a round-trip inflate.
+  */
+case class DeflateSizeExpr(child: Expression, level: Int)
+    extends UnaryExpression {
+  require(level >= 0 && level <= 9, s"deflate level must be 0..9: $level")
+
+  override def dataType: DataType = DeflateSizeExpr.schema
+  override def prettyName: String = "deflate_size"
+
+  def compute(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    val d = new java.util.zip.Deflater(level)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      var total = 0L
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) total += d.deflate(buf)
+      new GenericInternalRow(Array[Any](bytes.length, total.toInt))
+    } finally d.end()
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("deflateSize", this,
+      classOf[DeflateSizeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object DeflateSizeExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_raw_bytes", IntegerType, nullable = false),
+    StructField("n_deflate_bytes", IntegerType, nullable = false)))
+
+  /** zlib's default level — the ratio band curation thresholds are
+    * quoted against. */
+  val DefaultLevel = 6
+
+  def deflateSize(text: Column, level: Int = DefaultLevel): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      DeflateSizeExpr(
+        org.apache.spark.sql.graft.Bridge.expression(text), level))
+}

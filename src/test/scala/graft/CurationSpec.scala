@@ -1404,4 +1404,71 @@ class CurationSpec extends AnyFunSuite with SparkTester {
     assert(r.getAs[Int]("n_indent_lines") == 2)
     assert(r.getAs[Long]("indent_frac_micro") == 1000000L)
   }
+
+  test("compressionRatioSignal: planted repetition flags junk, prose " +
+      "does not, incompressible noise flags the other side, and the " +
+      "deflate stream round-trips through the Inflater") {
+    // 1: the planted-repetition fixture — one phrase repeated 400x
+    //    deflates to a sliver of raw (the signal's reason to exist)
+    // 2: natural prose in the 0.30-0.60 band — neither flag
+    // 3: incompressible pseudo-noise (hex of distinct hashes)
+    // 4: empty doc — ratio 1000 by convention, neither flag
+    // 5: null text — row dropped by the expression's null semantics
+    val junk = "click here to win a free prize now! " * 400
+    // a single non-repeated paragraph: measured 0.68 at level 6 —
+    // inside the (0.30, 0.75) no-flag band with margin on both sides
+    val prose = "The pipeline reads each shard once, computes the " +
+      "signal inside the scan projection, and never shuffles; this " +
+      "sentence varies its vocabulary enough to stay in the natural " +
+      "band of English compressibility across repeated measurements " +
+      "because every clause introduces new words and structures."
+    // random PRINTABLE noise (94-symbol alphabet from md5 bytes):
+    // measured 0.83 — hex-only noise would read 0.58 and miss the bar
+    val noise = (0 until 400).flatMap(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"n$i".getBytes("UTF-8"))
+        .map(b => (33 + ((b & 0xff) % 94)).toChar)).mkString
+    val docs = Seq((1L, junk), (2L, prose), (3L, noise), (4L, ""))
+      .toDF("doc_id", "txt")
+    val out = Curation.compressionRatioSignal(docs, "doc_id", "txt")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("is_repetitive_junk"),
+      s"ratio_milli=${out(1L).getAs[Int]("ratio_milli")}")
+    assert(!out(1L).getAs[Boolean]("is_incompressible"))
+    assert(!out(2L).getAs[Boolean]("is_repetitive_junk"),
+      s"ratio_milli=${out(2L).getAs[Int]("ratio_milli")}")
+    assert(!out(2L).getAs[Boolean]("is_incompressible"))
+    assert(out(3L).getAs[Boolean]("is_incompressible"),
+      s"ratio_milli=${out(3L).getAs[Int]("ratio_milli")}")
+    assert(!out(3L).getAs[Boolean]("is_repetitive_junk"))
+    assert(out(4L).getAs[Int]("ratio_milli") == 1000)
+    assert(!out(4L).getAs[Boolean]("is_repetitive_junk") &&
+      !out(4L).getAs[Boolean]("is_incompressible"))
+    // sizes are real deflate sizes: reproduce one with the JDK and
+    // round-trip it through the Inflater
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(prose.getBytes("UTF-8")); d.finish()
+    val buf = new Array[Byte](1 << 20)
+    val n = d.deflate(buf); d.end()
+    assert(out(2L).getAs[Int]("n_deflate_bytes") == n)
+    assert(out(2L).getAs[Int]("n_raw_bytes") ==
+      prose.getBytes("UTF-8").length)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(buf, 0, n)
+    val back = new Array[Byte](prose.getBytes("UTF-8").length)
+    assert(inf.inflate(back) == back.length && inf.finished())
+    assert(new String(back, "UTF-8") == prose)
+  }
+
+  test("compressionRatioSignal: null text yields a null-field row " +
+      "(PERMISSIVE-style absorption, never a crash)") {
+    val docs = Seq((1L, Option("abc abc abc")), (2L, Option.empty[String]))
+      .toDF("doc_id", "txt")
+    val out = Curation.compressionRatioSignal(docs, "doc_id", "txt")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 2)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("n_raw_bytes")))
+    assert(out(2L).isNullAt(out(2L).fieldIndex("ratio_milli")))
+    assert(!out(1L).isNullAt(out(1L).fieldIndex("n_raw_bytes")))
+  }
 }

@@ -721,4 +721,19 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     assert(pl.contains("explode(array(struct"), pl)
     assert(pl.contains("least(ctr#"), pl)
   }
+
+  test("compressionRatioSignal: the deflate signal is computed inside " +
+      "the scan projection — zero shuffle, codegen'd, 2-col read " +
+      "(the near-free property that prices it at ~one corpus scan)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.operators.Curation.compressionRatioSignal(
+      docs, "doc_id", "text")
+    val p = df.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("deflate_size"), p)
+    assert(p.contains("[codegen id : 1]"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
 }
