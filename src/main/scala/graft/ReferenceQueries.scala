@@ -923,6 +923,76 @@ object ReferenceQueries {
             'lang': 'VARCHAR',
             'meta': 'STRUCT(source VARCHAR, tokens BIGINT)'})""")),
 
+    // WARC source (ISO 28500 — the format real crawls arrive in): scan
+    // the committed multi-member gzip'd WARC fixture record-at-a-time,
+    // response records only, HTTP payload parsed into status /
+    // content-type / body. The oracle reads the PARQUET TWIN built from
+    // the same record definitions the WARC bytes were encoded from (the
+    // scan_orc convention) — a header-walk, gzip-member, HTTP-split, or
+    // UTF-8 decode bug diverges the two and fails the hash
+    Q("scan_warc",
+      (s, _) => graft.sources.Warc.warc(
+        s, "/root/repo/fixtures/warc/sample.warc.gz"),
+      Some("""SELECT record_id, warc_type, target_uri, warc_date,
+          http_status, content_type, body, n_body_bytes
+        FROM read_parquet(
+          '/root/repo/fixtures/warc_twin/part-0.parquet')""")),
+
+    // the WARC scan feeding the url-canonicalization dedup chain (the
+    // r13 verdict's acquisition story): responses 1 and 2 are crawl
+    // re-fetches of one page under different URL spellings (case-folded
+    // host, explicit :443, tracking params, fragment) — canonicalize +
+    // exact-dedup collapses them to one key with the min record id
+    Q("warc_dedup_url",
+      (s, _) => {
+        val w = graft.sources.Warc.warc(
+          s, "/root/repo/fixtures/warc/sample.warc.gz")
+        graft.operators.Dedup.exactBy(
+          w.select(col("record_id"),
+            Cleaning.canonicalizeUrl(col("target_uri")).as("url_canon")),
+          "record_id", "url_canon")
+      },
+      Some("""WITH raw AS (
+          SELECT record_id, target_uri AS url
+          FROM read_parquet(
+            '/root/repo/fixtures/warc_twin/part-0.parquet')),
+        s1 AS (
+          SELECT record_id, regexp_replace(url, '#.*$', '') AS u
+          FROM raw),
+        parts AS (
+          SELECT record_id,
+            lower(regexp_extract(u,
+              '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(u,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport,
+            regexp_extract(u,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS path,
+            regexp_extract(u, '\?(.*)$', 1) AS q
+          FROM s1),
+        canon AS (
+          SELECT record_id, scheme,
+            CASE WHEN scheme = 'http'
+                   THEN regexp_replace(hostport, ':80$', '')
+                 WHEN scheme = 'https'
+                   THEN regexp_replace(hostport, ':443$', '')
+                 ELSE hostport END AS host,
+            path,
+            coalesce(array_to_string(list_filter(string_split(q, '&'),
+              p -> NOT regexp_matches(p,
+                '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=')
+                AND p <> ''), '&'), '') AS q2
+          FROM parts),
+        cu AS (
+          SELECT c.record_id,
+            CASE WHEN c.scheme = '' THEN r.url
+              ELSE c.scheme || '://' || c.host || c.path ||
+                CASE WHEN c.q2 = '' THEN '' ELSE '?' || c.q2 END
+            END AS url_canon
+          FROM canon c JOIN raw r ON c.record_id = r.record_id)
+        SELECT url_canon, MIN(record_id) AS keep_id,
+          COUNT(*) AS n_copies
+        FROM cu GROUP BY url_canon""")),
+
     // SCHEMA-EVOLUTION parquet scan: two files whose schemas drifted
     // (the 2024 crawl added lang + quality) read as one union-schema
     // relation, old files null-filling the new columns — the footer

@@ -59,7 +59,7 @@ object GenHiveFixture {
     * filesystems), and exactly one part file per directory is
     * asserted so a multi-part write can never silently collide on
     * the stable name. */
-  private def stabilize(root: java.nio.file.Path,
+  private[tools] def stabilize(root: java.nio.file.Path,
       stableName: String): Unit = {
     import scala.jdk.CollectionConverters._
     val all = {
@@ -120,6 +120,138 @@ object GenHiveFixture {
       stabilize(Paths.get(dir), s"part-0.$fmt")
     }
     println("wrote twin_orc / twin_parquet fixtures")
+    spark.stop()
+  }
+}
+
+/** Writes the committed WARC fixtures (r14):
+  *
+  *  - `fixtures/warc/sample.warc.gz` — 6 records (warcinfo, 4 responses,
+  *    request) as MULTI-MEMBER gzip, one member per record (the Common
+  *    Crawl layout, so the reader's concatenated-member path is what the
+  *    oracle row exercises). Responses 1 and 2 are canonical-URL twins
+  *    feeding the url-canonicalization dedup chain.
+  *  - `fixtures/warc/truncated.warc.gz` — the first two records complete,
+  *    the third cut mid-payload (single member): the reader must yield
+  *    exactly the two complete records.
+  *  - `fixtures/warc_twin/part-0.parquet` — the DuckDB-readable twin of
+  *    the 4 response rows, built from the SAME in-memory definitions the
+  *    WARC bytes are encoded from (scan_orc convention: same logical
+  *    content committed once per format — a decode bug diverges the two,
+  *    so the twin is an oracle, not an echo).
+  *
+  * Run once and commit all three. */
+object GenWarcFixture {
+
+  final case class Resp(id: String, uri: String, date: String,
+      status: Int, reason: String, ctype: String, body: String)
+
+  /** The response records — shared source of truth for the WARC bytes
+    * and the parquet twin. */
+  val responses: Seq[Resp] = Seq(
+    Resp("<urn:uuid:00000000-0000-0000-0000-000000000001>",
+      "https://News.Example.com:443/articles/1?utm_source=feed&x=1#top",
+      "2024-01-15T12:30:00Z", 200, "OK", "text/html; charset=utf-8",
+      "<html><head><title>One</title></head>" +
+        "<body>First article body, canonical twin A.</body></html>"),
+    Resp("<urn:uuid:00000000-0000-0000-0000-000000000002>",
+      "https://news.example.com/articles/1?x=1",
+      "2024-01-15T12:45:00Z", 200, "OK", "text/html; charset=utf-8",
+      "<html><head><title>One again</title></head>" +
+        "<body>Second fetch of the same page, canonical twin B.</body>" +
+        "</html>"),
+    Resp("<urn:uuid:00000000-0000-0000-0000-000000000003>",
+      "https://other.example.org/unicode",
+      "2024-02-29T23:59:59Z", 200, "OK", "text/plain; charset=utf-8",
+      "Grüße aus dem Crawl — 你好，世界 — ¯\\_(ツ)_/¯"),
+    Resp("<urn:uuid:00000000-0000-0000-0000-000000000004>",
+      "http://example.com/missing",
+      "2024-03-01T00:00:01Z", 404, "Not Found", "text/plain",
+      "not found"))
+
+  private def crlf(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+
+  def httpPayload(r: Resp): Array[Byte] = {
+    val body = r.body.getBytes("UTF-8")
+    crlf(s"HTTP/1.1 ${r.status} ${r.reason}\r\n" +
+      s"Content-Type: ${r.ctype}\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n") ++ body
+  }
+
+  def record(typ: String, id: String, uri: String, date: String,
+      warcCt: String, payload: Array[Byte]): Array[Byte] = {
+    val uriLine = if (uri.isEmpty) "" else s"WARC-Target-URI: $uri\r\n"
+    crlf(s"WARC/1.0\r\n" +
+      s"WARC-Type: $typ\r\n" +
+      s"WARC-Record-ID: $id\r\n" +
+      s"WARC-Date: $date\r\n" +
+      uriLine +
+      s"Content-Type: $warcCt\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n") ++
+      payload ++ crlf("\r\n\r\n")
+  }
+
+  /** All six records of the sample file, in file order. */
+  def sampleRecords: Seq[Array[Byte]] = {
+    val info = record("warcinfo",
+      "<urn:uuid:00000000-0000-0000-0000-00000000000f>", "",
+      "2024-01-15T12:00:00Z", "application/warc-fields",
+      crlf("software: graft-fixture 1.0\r\nformat: WARC/1.0\r\n"))
+    val req = record("request",
+      "<urn:uuid:00000000-0000-0000-0000-00000000000e>",
+      "https://news.example.com/articles/1",
+      "2024-01-15T12:29:59Z", "application/http; msgtype=request",
+      crlf("GET /articles/1 HTTP/1.1\r\nHost: news.example.com\r\n\r\n"))
+    val resps = responses.map(r => record("response", r.id, r.uri, r.date,
+      "application/http; msgtype=response", httpPayload(r)))
+    Seq(info, resps(0), req, resps(1), resps(2), resps(3))
+  }
+
+  def main(args: Array[String]): Unit = {
+    import java.io.FileOutputStream
+    import java.util.zip.GZIPOutputStream
+    Files.createDirectories(Paths.get("fixtures/warc"))
+
+    // multi-member gzip: one member per record
+    val fos = new FileOutputStream("fixtures/warc/sample.warc.gz")
+    sampleRecords.foreach { bytes =>
+      val g = new GZIPOutputStream(fos)
+      g.write(bytes)
+      g.finish()
+    }
+    fos.close()
+    println("wrote fixtures/warc/sample.warc.gz")
+
+    // truncated: records 1-2 complete, record 3 cut mid-payload
+    val recs = sampleRecords
+    val third = recs(2)
+    val cut = java.util.Arrays.copyOfRange(third, 0, third.length / 2)
+    val tos = new FileOutputStream("fixtures/warc/truncated.warc.gz")
+    val tg = new GZIPOutputStream(tos)
+    tg.write(recs(0)); tg.write(recs(1)); tg.write(cut)
+    tg.finish(); tos.close()
+    println("wrote fixtures/warc/truncated.warc.gz")
+
+    // parquet twin of the response rows, from the same definitions
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val twin = responses.map { r =>
+      (r.id, "response", r.uri,
+        java.sql.Timestamp.from(java.time.Instant.parse(r.date)),
+        r.status, r.ctype, r.body, r.body.getBytes("UTF-8").length.toLong)
+    }.toDF("record_id", "warc_type", "target_uri", "warc_date",
+      "http_status", "content_type", "body", "n_body_bytes")
+      .repartition(1)
+    twin.write.mode("overwrite").parquet("fixtures/warc_twin")
+    GenHiveFixture.stabilize(Paths.get("fixtures/warc_twin"),
+      "part-0.parquet")
+    println("wrote fixtures/warc_twin/part-0.parquet")
     spark.stop()
   }
 }

@@ -121,3 +121,89 @@ class SourcesSpec extends AnyFunSuite with SparkTester {
     assert(df.filter(col("lang") === "en").count() == 3)
   }
 }
+
+/** WARC source (r14): record framing, gzip member handling, HTTP
+  * payload split, and the PERMISSIVE truncation/framing posture. */
+class WarcSpec extends AnyFunSuite with SparkTester {
+  import graft.sources.Warc
+  import graft.tools.GenWarcFixture
+
+  private val sample = "/root/repo/fixtures/warc/sample.warc.gz"
+
+  test("sample fixture: 4 response records decode with status, " +
+      "content-type, unicode body, and exact byte counts; warcinfo " +
+      "and request records are filtered") {
+    val rows = Warc.warc(spark, sample).collect()
+      .map(r => r.getAs[String]("record_id") -> r).toMap
+    assert(rows.size == 4)
+    val r1 = rows("<urn:uuid:00000000-0000-0000-0000-000000000001>")
+    assert(r1.getAs[String]("warc_type") == "response")
+    assert(r1.getAs[Int]("http_status") == 200)
+    assert(r1.getAs[String]("content_type") == "text/html; charset=utf-8")
+    assert(r1.getAs[String]("body").contains("<title>One</title>"))
+    val r3 = rows("<urn:uuid:00000000-0000-0000-0000-000000000003>")
+    assert(r3.getAs[String]("body").contains("你好，世界"))
+    assert(r3.getAs[Long]("n_body_bytes") ==
+      r3.getAs[String]("body").getBytes("UTF-8").length)
+    val r4 = rows("<urn:uuid:00000000-0000-0000-0000-000000000004>")
+    assert(r4.getAs[Int]("http_status") == 404)
+    assert(r4.getAs[String]("body") == "not found")
+    // timestamps parse as instants (session tz UTC)
+    assert(r4.getAs[java.sql.Timestamp]("warc_date").toInstant ==
+      java.time.Instant.parse("2024-03-01T00:00:01Z"))
+  }
+
+  test("keepTypes widens the scan: all 6 records, non-HTTP payloads " +
+      "kept whole with null status") {
+    val all = Warc.warc(spark, sample,
+      keepTypes = Set.empty).collect()
+    assert(all.length == 6)
+    val info = all.find(_.getAs[String]("warc_type") == "warcinfo").get
+    assert(info.isNullAt(info.fieldIndex("http_status")))
+    assert(info.getAs[String]("content_type") == "application/warc-fields")
+    assert(info.getAs[String]("body").contains("graft-fixture"))
+    val req = all.find(_.getAs[String]("warc_type") == "request").get
+    assert(req.getAs[String]("body").startsWith("GET /articles/1"))
+  }
+
+  test("truncated fixture: the two complete records survive, the cut " +
+      "tail is absorbed (one bad file tail must not zero a scan)") {
+    val rows = Warc.warc(spark,
+      "/root/repo/fixtures/warc/truncated.warc.gz",
+      keepTypes = Set.empty).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("warc_type")).sorted.toSeq ==
+      Seq("response", "warcinfo"))
+  }
+
+  test("junk bytes where a version line is expected stop the file " +
+      "after the complete prefix (framing is length-derived; no " +
+      "resynchronization guessing)") {
+    val good = GenWarcFixture.sampleRecords.head
+    val junk = "NOT-A-WARC-LINE\r\nstuff\r\n".getBytes("ISO-8859-1")
+    val bytes = good ++ junk ++ GenWarcFixture.sampleRecords(1)
+    val got = Warc.records(
+      new java.io.ByteArrayInputStream(bytes)).toList
+    assert(got.map(_.warc_type) == List("warcinfo"))
+  }
+
+  test("uncompressed WARC bytes read identically (gzip detected by " +
+      "magic, not suffix)") {
+    val bytes = GenWarcFixture.sampleRecords.reduce(_ ++ _)
+    val got = Warc.records(Warc.open(
+      new java.io.ByteArrayInputStream(bytes))).toList
+    assert(got.length == 6)
+    assert(got.count(_.warc_type == "response") == 4)
+  }
+
+  test("parquet twin matches the live decode row-for-row (the oracle " +
+      "is not an echo: it is built from the record definitions, the " +
+      "scan from the encoded bytes)") {
+    val live = Warc.warc(spark, sample)
+      .orderBy("record_id").collect().map(_.toSeq)
+    val twin = spark.read
+      .parquet("/root/repo/fixtures/warc_twin/part-0.parquet")
+      .orderBy("record_id").collect().map(_.toSeq)
+    assert(live.toSeq == twin.toSeq)
+  }
+}
