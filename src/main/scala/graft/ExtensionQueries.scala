@@ -5070,6 +5070,117 @@ object TextQueries {
           FROM documents d LEFT JOIN agg USING (doc_id)"""
       }),
 
+    // BYTE-LEVEL BPE with byte fallback (GPT-2 form, Radford et al.
+    // 2019 §2.2 — the r13 verdict's gap 3): same train→encode loop as
+    // text_bpe_apply but over the 256-symbol UTF-8 BYTE alphabet, so NO
+    // word is ever out-of-vocabulary — the worst case is one token per
+    // byte, the form modern token-budget statistics assume (the planted
+    // OOV in tokenizer_unigram_heldout is exactly the failure this
+    // eliminates). Byte symbols ride as uppercase hex pairs because
+    // hex() is uppercase in BOTH engines, so the oracle replays the
+    // identical merge algebra: training unrolled per round, then the
+    // recursive-CTE encoder applies the learned table rank-prioritized
+    // per word — one drifted merge anywhere breaks every count
+    Q("text_bpe_bytes",
+      (s, dir) => {
+        val docs = Sources.table(s, dir, "documents")
+        val merges = TextAnalysis.bpeTrainMerges(docs, "doc_id", "text",
+            vocabSize = 150, rounds = 8, byteLevel = true)
+          .orderBy("rank").collect()
+          .map(r => r.getString(1) -> r.getString(2)).toSeq
+        import graft.expressions.BpeCountExpr
+        val toks = Cleaning.tokens(lower(col("text")))
+        docs.select(col("doc_id"),
+          size(toks).as("n_words"),
+          aggregate(transform(toks,
+              w => BpeCountExpr.bpeTokenCount(w, merges,
+                byteLevel = true)),
+            lit(0), (acc, c) => acc + c).as("n_bpe"))
+      },
+      Some {
+        val rounds = 8
+        val trainCtes = (0 until rounds).map { t =>
+          s"""s$t AS (
+            SELECT list_filter(string_split(vw, chr(31)), x -> x <> '')
+              AS ss, cnt
+            FROM v$t),
+          px$t AS (
+            SELECT ss, cnt, unnest(range(1, len(ss))) AS i FROM s$t),
+          p$t AS (
+            SELECT ss[CAST(i AS INT)] AS a, ss[CAST(i AS INT) + 1] AS b,
+              sum(cnt)::BIGINT AS total
+            FROM px$t GROUP BY 1, 2),
+          b$t AS (
+            SELECT a, b, total FROM p$t
+            ORDER BY total DESC, a ASC, b ASC LIMIT 1),
+          v${t + 1} AS (
+            SELECT replace(replace(v.vw,
+                chr(31) || b.a || chr(31) || b.b || chr(31),
+                chr(31) || b.a || b.b || chr(31)),
+                chr(31) || b.a || chr(31) || b.b || chr(31),
+                chr(31) || b.a || b.b || chr(31)) AS vw, v.cnt
+            FROM v$t v CROSS JOIN b$t b)"""
+        }.mkString(",\n")
+        val mergeUnion = (0 until rounds).map(t =>
+          s"SELECT $t AS rank, a, b FROM b$t").mkString(" UNION ALL ")
+        s"""WITH RECURSIVE
+          vtok AS (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+              x -> x <> '')) AS word
+            FROM documents),
+          vc AS (SELECT word, count(*) AS cnt FROM vtok GROUP BY word),
+          v0 AS (
+            SELECT chr(31) ||
+              regexp_replace(hex(word), '(..)', '\\1' || chr(31), 'g')
+                AS vw,
+              cnt
+            FROM (SELECT word, cnt FROM vc
+              ORDER BY cnt DESC, word ASC LIMIT 150)),
+          $trainCtes,
+          m AS (
+            -- NO MATERIALIZED hint anywhere in this WITH RECURSIVE:
+            -- DuckDB silently stops iterating the recursive member when
+            -- a sibling CTE carries one (the text_bpe_apply lesson)
+            SELECT rank, chr(1) || a || chr(1) || b || chr(1) AS pat,
+              chr(1) || a || b || chr(1) AS rep
+            FROM ($mergeUnion)),
+          w AS (
+            SELECT doc_id, generate_subscripts(ws, 1) AS wi,
+                   unnest(ws) AS word
+            FROM (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '')
+                  AS ws
+              FROM documents) t),
+          base AS (
+            SELECT doc_id, wi,
+              chr(1) || regexp_replace(hex(word), '(..)',
+                '\\1' || chr(1), 'g') AS s
+            FROM w),
+          rec AS (
+            SELECT doc_id, wi, s FROM base
+            UNION ALL
+            SELECT doc_id, wi,
+              regexp_replace(s,
+                (SELECT min_by(pat, rank) FROM m
+                 WHERE position(pat IN s) > 0),
+                (SELECT min_by(rep, rank) FROM m
+                 WHERE position(pat IN s) > 0)) AS s
+            FROM rec
+            WHERE EXISTS (SELECT 1 FROM m WHERE position(pat IN s) > 0)),
+          fix AS (
+            SELECT doc_id, wi, s FROM rec
+            WHERE NOT EXISTS
+              (SELECT 1 FROM m WHERE position(pat IN s) > 0)),
+          agg AS (
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS n_words,
+              CAST(sum(length(s) - length(replace(s, chr(1), '')) - 1)
+                AS INTEGER) AS n_bpe
+            FROM fix GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+            coalesce(n_bpe, 0) AS n_bpe
+          FROM documents d LEFT JOIN agg USING (doc_id)"""
+      }),
+
     // self-BLEU-flavoured corpus-overlap diversity audit: fraction of
     // each doc's distinct 4-grams appearing in OTHER docs. Spark
     // shuffles xxhash64 gram keys; the oracle recomputes over gram

@@ -24,16 +24,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * trained vocabulary's merges; the registry query pins a small table of
   * common English fusions, shared verbatim with the oracle generator so
   * the two sides cannot drift. */
-case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
+case class BpeCountExpr(child: Expression, merges: Seq[(String, String)],
+    byteLevel: Boolean = false)
     extends UnaryExpression {
 
   require(merges.nonEmpty, "need at least one merge rule")
 
   override def dataType: DataType = IntegerType
-  override def prettyName: String = "bpe_token_count"
+  override def prettyName: String =
+    if (byteLevel) "bpe_byte_token_count" else "bpe_token_count"
 
   def compute(s: UTF8String): Int =
-    BpeCountExpr.tokenCount(s.toString, merges)
+    BpeCountExpr.tokenCount(s.toString, merges, byteLevel)
 
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])
@@ -50,11 +52,36 @@ case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
 
 object BpeCountExpr {
 
-  def tokenCount(word: String, merges: Seq[(String, String)]): Int = {
+  /** Uppercase 2-hex-char byte symbols of the word's UTF-8 bytes — the
+    * BYTE-LEVEL base alphabet (GPT-2 form, Radford et al. 2019 §2.2:
+    * a 256-symbol base means NO word is ever out-of-vocabulary; the
+    * worst case is one token per byte). Hex-pair strings instead of
+    * GPT-2's printable-unicode byte remapping because BOTH engines can
+    * produce them natively (`hex()` is uppercase in Spark and DuckDB),
+    * so the oracle replays the identical symbol algebra. Unpaired
+    * surrogates in the (already UTF-16) input degrade to '?' (0x3F) —
+    * the same replacement `String.getBytes(UTF_8)` and Spark's
+    * UTF8String both apply, so the two paths cannot diverge. */
+  def byteSymbols(word: String): Array[String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = "%02X".format(bytes(i) & 0xff)
+      i += 1
+    }
+    out
+  }
+
+  def tokenCount(word: String, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): Int = {
     if (word.isEmpty) return 0
     val syms = scala.collection.mutable.ArrayBuffer.empty[String]
-    var i = 0
-    while (i < word.length) { syms += word.charAt(i).toString; i += 1 }
+    if (byteLevel) syms ++= byteSymbols(word)
+    else {
+      var i = 0
+      while (i < word.length) { syms += word.charAt(i).toString; i += 1 }
+    }
     var done = false
     while (!done) {
       var rank = -1
@@ -78,8 +105,10 @@ object BpeCountExpr {
     syms.length
   }
 
-  def bpeTokenCount(word: Column, merges: Seq[(String, String)]): Column =
+  def bpeTokenCount(word: Column, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): Column =
     org.apache.spark.sql.graft.Bridge.column(
       BpeCountExpr(
-        org.apache.spark.sql.graft.Bridge.expression(word), merges))
+        org.apache.spark.sql.graft.Bridge.expression(word), merges,
+        byteLevel))
 }

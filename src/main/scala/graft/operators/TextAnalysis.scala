@@ -1090,7 +1090,8 @@ object TextAnalysis {
     * one corpus pass. Output: the learned merge table, `rounds` rows
     * `(rank, left_sym, right_sym, pair_count)`. */
   def bpeTrainMerges(df: DataFrame, idCol: String, textCol: String,
-      vocabSize: Int = 150, rounds: Int = 8): DataFrame = {
+      vocabSize: Int = 150, rounds: Int = 8,
+      byteLevel: Boolean = false): DataFrame = {
     require(vocabSize >= 2 && rounds >= 1,
       s"need vocabSize >= 2, rounds >= 1; got $vocabSize/$rounds")
     val spark = df.sparkSession
@@ -1102,17 +1103,26 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("word").asc).limit(vocabSize)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     // ␟-delimited code points: ␟a␟b␟c␟ (code points, matching the
-    // oracle's RE2 `(.)` and Spark substr semantics)
-    def symbolize(w: String): String = {
-      val sb = new StringBuilder(BpeSep)
-      var i = 0
-      while (i < w.length) {
-        val cp = w.codePointAt(i)
-        sb.appendAll(Character.toChars(cp)).append(BpeSep)
-        i += Character.charCount(cp)
+    // oracle's RE2 `(.)` and Spark substr semantics). BYTE-LEVEL mode
+    // (GPT-2 form) delimits uppercase hex pairs of the UTF-8 bytes
+    // instead — ␟68␟65␟ — the 256-symbol base alphabet under which no
+    // word is ever OOV; the oracle mirrors it as
+    // regexp_replace(hex(word), '(..)', …), hex() being uppercase in
+    // both engines.
+    def symbolize(w: String): String =
+      if (byteLevel)
+        graft.expressions.BpeCountExpr.byteSymbols(w)
+          .mkString(BpeSep, BpeSep, BpeSep)
+      else {
+        val sb = new StringBuilder(BpeSep)
+        var i = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          sb.appendAll(Character.toChars(cp)).append(BpeSep)
+          i += Character.charCount(cp)
+        }
+        sb.toString
       }
-      sb.toString
-    }
     var vocab = words.map { case (w, c) => (symbolize(w), c) }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (t <- 0 until rounds) {

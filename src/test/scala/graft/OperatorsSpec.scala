@@ -2625,6 +2625,58 @@ class BpeSpec extends AnyFunSuite with SparkTester {
       s"phrase ${avg(out(1L))} vs salad ${avg(out(99L))}")
   }
 
+  test("byte-level BPE: the 256-symbol base alphabet covers ANY input " +
+      "— non-BMP, mixed scripts, unpaired surrogates — so nothing is " +
+      "ever OOV (the GPT-2 byte-fallback property)") {
+    // with a never-matching merge table, the count IS the UTF-8 byte
+    // count: ascii 1 byte/char, é 2, 你 3, 𝄞 (non-BMP, U+1D11E) 4
+    val noop = Seq("ZZ" -> "ZZ")
+    def nb(w: String) = BpeCountExpr.tokenCount(w, noop, byteLevel = true)
+    assert(nb("hello") == 5)
+    assert(nb("héllo") == 6)
+    assert(nb("你好") == 6)
+    assert(nb("𝄞") == 4) // 𝄞 as a proper surrogate pair
+    // an UNPAIRED surrogate degrades to '?' (0x3F) — the same
+    // replacement UTF8String applies, so engine and trainer agree
+    assert(nb("\ud800") == 1)
+    assert(BpeCountExpr.byteSymbols("\ud800").toSeq == Seq("3F"))
+    // byte symbols are uppercase hex pairs, matching hex() in both
+    // engines (the oracle's regexp '(..)'-chunked hex(word))
+    assert(BpeCountExpr.byteSymbols("héllo").toSeq ==
+      Seq("68", "C3", "A9", "6C", "6C", "6F"))
+    // merges fuse hex symbols across multi-byte character boundaries:
+    // C3+A9 is the é-internal pair
+    val m = Seq("C3" -> "A9")
+    assert(BpeCountExpr.tokenCount("héllo", m, byteLevel = true) == 5)
+    // trained byte merges always APPLY to unseen words sharing byte
+    // pairs — the fallback never yields fewer than 1 nor more than
+    // the byte count
+    val trained = Seq("68" -> "65", "6865" -> "6C")
+    assert(BpeCountExpr.tokenCount("hel", trained, byteLevel = true) == 1)
+    assert(BpeCountExpr.tokenCount("help", trained, byteLevel = true)
+      == 2) // [hel][p] — 'help' never seen, still encodes
+  }
+
+  test("byte-level BPE trainer learns cross-engine-replayable hex " +
+      "merges and the planted-OOV word encodes under them") {
+    // corpus where 'aa' dominates: the first byte merge must be 61+61
+    val docs = (1L to 10L).map(i => (i, "aaaa aab zqx"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrainMerges(docs, "doc_id", "text",
+      vocabSize = 10, rounds = 2, byteLevel = true)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(merges(0) == ("61", "61"),
+      s"expected 61+61 first, got ${merges.toSeq}")
+    // every learned symbol is an uppercase-hex string (oracle algebra)
+    assert(merges.forall { case (a, b) =>
+      (a + b).matches("[0-9A-F]+") })
+    // a word the trainer NEVER saw still encodes: byte fallback
+    val oov = BpeCountExpr.tokenCount("𝄞ṩ", merges.toSeq,
+      byteLevel = true)
+    assert(oov == 7) // 4 + 3 bytes, no merge applies — never null/fail
+  }
+
   test("BPE merges are recursive and rank-prioritized; counts drop " +
       "below character counts") {
     def n(w: String) = BpeCountExpr.tokenCount(w, TextAnalysis.bpeMerges)
