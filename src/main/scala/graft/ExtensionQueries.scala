@@ -8510,6 +8510,40 @@ object MultimodalQueries {
     * file layout (headers, stride, padding, row order), so the Spark
     * decoder's byte parsing is checked against independent ground
     * truth, not against a re-implementation of the same offsets. */
+  /** Ground-truth decoded-stats model of [[Multimodal.jpegPayload]]'s
+    * DC-only corpus: even ids grayscale `wb×hb` uniform blocks, odd
+    * ids 16×16 color 4:2:0 with neutral chroma (so decoded R=G=B=Y
+    * exactly). The oracle never touches the JPEG byte layout — the
+    * Spark decoder's Huffman/MCU/IDCT/upsample path is checked against
+    * this independent model. */
+  private def jpegModelSelect(from: String): String =
+    s"""WITH gp AS (
+        SELECT doc_id, md5(doc_id::VARCHAR) AS m,
+          doc_id % 2 = 0 AS gray,
+          (1 + doc_id % 3)::INTEGER AS wb,
+          (1 + (doc_id // 3) % 2)::INTEGER AS hb
+        FROM $from),
+      gv AS (
+        SELECT doc_id, gray, wb, hb, k,
+          ('0x' || substr(m, CAST((k % 16)*2 + 1 AS INTEGER), 2))
+            ::BIGINT AS v
+        FROM (SELECT doc_id, gray, wb, hb, m,
+            unnest(range(0, CASE WHEN gray THEN wb*hb ELSE 4 END)) AS k
+          FROM gp) t)
+      SELECT doc_id,
+        (CASE WHEN gray THEN 8*wb ELSE 16 END)::INTEGER AS width,
+        (CASE WHEN gray THEN 8*hb ELSE 16 END)::INTEGER AS height,
+        (CASE WHEN gray THEN 1 ELSE 3 END)::INTEGER AS n_components,
+        (CASE WHEN gray THEN 64*wb*hb ELSE 256 END)::BIGINT AS n_pixels,
+        (64 * sum(v))::BIGINT AS sum_r,
+        (CASE WHEN gray THEN 0 ELSE 64 * sum(v) END)::BIGINT AS sum_g,
+        (CASE WHEN gray THEN 0 ELSE 64 * sum(v) END)::BIGINT AS sum_b,
+        (CASE WHEN gray
+          THEN 8 * sum(CASE WHEN k < wb THEN v ELSE 0 END)
+          ELSE 24 * sum(CASE WHEN k < 2 THEN v ELSE 0 END)
+          END)::BIGINT AS top_row_sum
+      FROM gv GROUP BY doc_id, gray, wb, hb"""
+
   private def bmpModelCtes(where: String = "TRUE"): String =
     s"""bp AS (
       SELECT doc_id, (2 + doc_id % 6)::INTEGER AS w,
@@ -8853,6 +8887,104 @@ object MultimodalQueries {
               THEN (1::UBIGINT << CAST(i.k AS INTEGER))
               ELSE 0::UBIGINT END) AS simhash
           FROM timg i JOIN ttot t USING (doc_id)
+          GROUP BY i.doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+            AS hamming
+        FROM thash a JOIN thash b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 12""")),
+
+    // REAL baseline-JFIF decode (the dominant web image format): full
+    // marker walk, canonical Huffman, dequantize, IDCT, 4:2:0 chroma
+    // upsample, JFIF color convert. The corpus alternates grayscale
+    // multi-block images with color 4:2:0 MCU-interleaved ones; streams
+    // are DC-only so decoded pixels equal the md5 block model EXACTLY
+    // (a dequantized DC of 8c IDCTs to the constant block c) — the
+    // Huffman/MCU/upsample machinery all genuinely runs, and the
+    // AC-coefficient path is cross-checked against ImageIO in
+    // MultimodalJpegSpec (IDCT rounding is decoder-shaped, so AC stays
+    // out of the hash gate by design)
+    Q("multimodal_decode_jpeg",
+      (s, dir) => Multimodal.decodeJpeg(
+        Multimodal.jpegPayload(
+          Sources.table(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload"),
+      Some(jpegModelSelect("documents"))),
+
+    // the corrupt twin: id%17 truncates the stream mid-entropy-data,
+    // id%23 forges the SOF dimensions to 60000x60000 (which the
+    // decoder's bounds check must reject BEFORE allocating planes) —
+    // both classes null out instead of decoding garbage or OOMing
+    Q("multimodal_decode_jpeg_corrupt",
+      (s, dir) => {
+        val p = Multimodal.jpegPayload(
+          Sources.table(s, dir, "documents"), "doc_id")
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(17)) === 0,
+              col("payload").substr(lit(1), lit(24)))
+              .when(pmod(col("doc_id"), lit(23)) === 0,
+                // SOF0 h/w fields live at 1-based offsets 95-98 (SOI 2
+                // + APP0 18 + DQT 69 + marker/len/precision 5)
+                concat(col("payload").substr(lit(1), lit(94)),
+                  lit(Array[Byte](0xea.toByte, 0x60.toByte,
+                    0xea.toByte, 0x60.toByte)),
+                  expr("substring(payload, 99, " +
+                    "octet_length(payload) - 98)")))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.decodeJpeg(p, "doc_id", "payload")
+      },
+      Some {
+        val bad = "(doc_id % 17 = 0 OR doc_id % 23 = 0)"
+        s"""WITH model AS (${jpegModelSelect("documents")})
+          SELECT doc_id,
+            CASE WHEN $bad THEN NULL ELSE width END AS width,
+            CASE WHEN $bad THEN NULL ELSE height END AS height,
+            CASE WHEN $bad THEN NULL ELSE n_components END
+              AS n_components,
+            CASE WHEN $bad THEN NULL ELSE n_pixels END AS n_pixels,
+            CASE WHEN $bad THEN NULL ELSE sum_r END AS sum_r,
+            CASE WHEN $bad THEN NULL ELSE sum_g END AS sum_g,
+            CASE WHEN $bad THEN NULL ELSE sum_b END AS sum_b,
+            CASE WHEN $bad THEN NULL ELSE top_row_sum END
+              AS top_row_sum
+          FROM model"""
+      }),
+
+    // perceptual near-dup pairs over REAL JPEG-decoded pixels: the
+    // bmpPayloadTwins twin model re-expressed in the dominant web
+    // format (64x64 grayscale, 64 uniform 8x8 blocks), hashed by the
+    // exact-integer 8x8-cell average-hash AFTER a full entropy-decode
+    // + IDCT — because blocks are uniform, each cell mean IS the model
+    // value, so the oracle rebuilds every hash bit and takes all pairs
+    // at the same hamming bound
+    Q("multimodal_phash_jpeg",
+      (s, dir) => Multimodal.phashPairsJpeg(
+        Multimodal.jpegPayloadTwins(
+          Sources.table(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload", maxHamming = 12),
+      Some("""WITH tp AS (
+          SELECT doc_id,
+            md5((doc_id // 2)::VARCHAR) ||
+              md5((doc_id // 2)::VARCHAR || 'x') AS m
+          FROM documents),
+        tv AS (
+          SELECT doc_id, i,
+            CASE WHEN doc_id % 2 = 1 AND i % 19 = 0
+              THEN (('0x' || substr(m, CAST((i % 32)*2 + 1 AS INTEGER),
+                2))::INTEGER + 40) % 256
+              ELSE ('0x' || substr(m, CAST((i % 32)*2 + 1 AS INTEGER),
+                2))::INTEGER END AS v
+          FROM (SELECT doc_id, m, unnest(range(0, 64)) AS i FROM tp)
+            t),
+        ttot AS (
+          SELECT doc_id, sum(v)::BIGINT AS tot
+          FROM tv GROUP BY doc_id),
+        thash AS (
+          SELECT i.doc_id,
+            sum(CASE WHEN 64 * i.v > t.tot
+              THEN (1::UBIGINT << CAST(i.i AS INTEGER))
+              ELSE 0::UBIGINT END) AS simhash
+          FROM tv i JOIN ttot t USING (doc_id)
           GROUP BY i.doc_id)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)

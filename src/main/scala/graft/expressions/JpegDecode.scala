@@ -1,0 +1,894 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** Baseline JFIF (JPEG, ITU-T T.81) codec — the r13 verdict's gap 2:
+  * web images are overwhelmingly JPEG, and the engine's multimodal
+  * family (decode stats, perceptual hashing, patch grids) was real for
+  * PNG/BMP/WAV but stubbed for the dominant format.
+  *
+  * DECODER ([[Jpeg.parse]]): full baseline path — marker walk (APPn/COM
+  * skipped by length), DQT (8-bit precision), SOF0 (1 or 3 components,
+  * sampling factors 1–2), DHT (canonical Huffman per T.81 F.2.2.3),
+  * DRI/RSTn restart handling, SOS entropy decode with byte-stuffing
+  * (FF 00), per-block DC-diff + run-length AC decode, dequantize,
+  * separable double-precision IDCT, level shift, chroma upsample
+  * (sample replication), and the JFIF YCbCr→RGB conversion
+  * (R = Y + 1.402·(Cr−128), G = Y − 0.344136·(Cb−128) − 0.714136·
+  * (Cr−128), B = Y + 1.772·(Cb−128), rounded half-up and clamped).
+  * Progressive (SOF2) and every non-baseline frame type are REJECTED
+  * (null row), as are forged dimensions: width/height/sampling bounds
+  * are validated BEFORE any plane allocation (the PNG forged-IHDR
+  * guard, PngDecode.scala:254's convention) so a hostile header cannot
+  * allocate attacker-controlled memory.
+  *
+  * ENCODER ([[Jpeg.encodeDcOnly]]): DC-only baseline writer (standard
+  * Annex K Huffman tables, all-ones quant) used by the payload
+  * synthesizers. DC-only is the DESIGN that makes the oracle exact:
+  * a dequantized DC of 8·c IDCTs to the constant block c with zero
+  * AC cosine terms, so decoded pixels equal the md5 model exactly and
+  * DuckDB replays them integer-for-integer — AC-bearing streams (where
+  * IDCT rounding is implementation-shaped) are cross-checked in
+  * MultimodalJpegSpec against the JDK's independent ImageIO decoder
+  * instead.
+  */
+private[graft] object Jpeg {
+
+  // ---- standard Huffman tables (ITU-T T.81 Annex K.3) ----
+  // counts of codes per length 1..16, then the symbol values
+  val DcBits: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  val DcVals: Array[Int] = (0 to 11).toArray
+  val AcBits: Array[Int] =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  val AcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Zigzag scan order: ZigZag(k) = natural index of the k-th
+    * coefficient in zigzag order. */
+  val ZigZag: Array[Int] = {
+    val zz = new Array[Int](64)
+    var k = 0
+    var d = 0
+    while (d < 15) { // anti-diagonals
+      val range = if (d % 2 == 0) (d to 0 by -1) else (0 to d)
+      for (y <- range) {
+        val x = d - y
+        if (x < 8 && y < 8) { zz(k) = y * 8 + x; k += 1 }
+      }
+      d += 1
+    }
+    zz
+  }
+
+  /** cos((2x+1)·u·π/16) table for the separable IDCT/DCT. */
+  private val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+  private val InvSqrt2 = 1.0 / math.sqrt(2.0)
+
+  private final class MarkerException(val marker: Int)
+      extends RuntimeException(s"marker ${marker.toHexString}", null,
+        false, false)
+
+  // ---- canonical Huffman decoder (T.81 F.2.2.3) ----
+  final class Huff(bits: Array[Int], vals: Array[Int]) {
+    val maxcode = new Array[Int](17)
+    val mincode = new Array[Int](17)
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valptr(l) = k
+          mincode(l) = code
+          code += bits(l - 1)
+          k += bits(l - 1)
+          maxcode(l) = code - 1
+        } else maxcode(l) = -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: BitReader): Int = {
+      var code = br.nextBit()
+      var l = 1
+      while (code > maxcode(l)) {
+        code = (code << 1) | br.nextBit()
+        l += 1
+        if (l > 16) throw new RuntimeException("bad Huffman code")
+      }
+      vals(valptr(l) + code - mincode(l))
+    }
+  }
+
+  /** Entropy-segment bit reader with FF-00 byte unstuffing; any other
+    * marker inside the segment surfaces as a MarkerException (RSTn are
+    * consumed by the MCU loop, everything else is a framing error). */
+  final class BitReader(data: Array[Byte], var pos: Int) {
+    private var bitBuf = 0
+    private var bitCnt = 0
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (pos >= data.length)
+          throw new RuntimeException("entropy data truncated")
+        var b = data(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          val b2 = if (pos < data.length) data(pos) & 0xff else -1
+          if (b2 == 0x00) pos += 1 // stuffed FF data byte
+          else throw new MarkerException(b2)
+        }
+        bitBuf = b
+        bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >>> bitCnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume an expected RSTn marker. */
+    def restart(expected: Int): Unit = {
+      bitCnt = 0
+      // the marker may be preceded by fill bits already discarded; it
+      // sits at the current byte position as FF Dn
+      if (pos + 1 >= data.length ||
+          (data(pos) & 0xff) != 0xff ||
+          (data(pos + 1) & 0xff) != (0xd0 + expected))
+        throw new RuntimeException("missing RST marker")
+      pos += 2
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0
+    else if (v < (1 << (s - 1))) v - (1 << s) + 1
+    else v
+
+  private final class Comp(val id: Int, val h: Int, val v: Int,
+      val tq: Int) {
+    var td = 0
+    var ta = 0
+    var pred = 0
+    var pw = 0
+    var ph = 0
+    var plane: Array[Int] = _
+  }
+
+  /** Decode; null on anything non-baseline, malformed, truncated, or
+    * bounds-hostile. Returns (width, height, nComponents, pixels) with
+    * pixels interleaved gray or RGB, row-major top-down. */
+  def parse(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) =
+    try decode(bytes) catch { case _: Exception => null }
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  private def decode(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return null // no SOI
+    var p = 2
+    val qt = Array.ofDim[Int](4, 64) // zigzag order
+    val dcTabs = new Array[Huff](4)
+    val acTabs = new Array[Huff](4)
+    var comps: Array[Comp] = null
+    var w = 0
+    var h = 0
+    var restartInterval = 0
+
+    while (true) {
+      // find the next marker (skip fill FF bytes)
+      if (p + 1 >= b.length) return null
+      if ((b(p) & 0xff) != 0xff) return null
+      var m = b(p + 1) & 0xff
+      p += 2
+      while (m == 0xff) { if (p >= b.length) return null; m = b(p) & 0xff; p += 1 }
+      m match {
+        case 0xd9 => return null // EOI before any scan
+        case 0xdb => // DQT
+          val len = be16(b, p)
+          var q = p + 2
+          while (q < p + len) {
+            val pq = (b(q) & 0xff) >> 4
+            val tq = b(q) & 0x0f
+            if (pq != 0 || tq > 3) return null // 16-bit tables: reject
+            var k = 0
+            while (k < 64) { qt(tq)(k) = b(q + 1 + k) & 0xff; k += 1 }
+            q += 65
+          }
+          p += len
+        case 0xc4 => // DHT
+          val len = be16(b, p)
+          var q = p + 2
+          while (q < p + len) {
+            val tc = (b(q) & 0xff) >> 4
+            val th = b(q) & 0x0f
+            if (tc > 1 || th > 3) return null
+            val bits = new Array[Int](16)
+            var n = 0
+            var i = 0
+            while (i < 16) { bits(i) = b(q + 1 + i) & 0xff; n += bits(i); i += 1 }
+            if (n > 256 || q + 17 + n > p + len) return null
+            val vals = new Array[Int](n)
+            i = 0
+            while (i < n) { vals(i) = b(q + 17 + i) & 0xff; i += 1 }
+            val t = new Huff(bits, vals)
+            if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+            q += 17 + n
+          }
+          p += len
+        case 0xc0 => // SOF0 — baseline
+          val len = be16(b, p)
+          val prec = b(p + 2) & 0xff
+          h = be16(b, p + 3)
+          w = be16(b, p + 5)
+          val nc = b(p + 7) & 0xff
+          // forged-SOF bounds: validate BEFORE any allocation
+          if (prec != 8 || w < 1 || h < 1 || (nc != 1 && nc != 3) ||
+              w.toLong * h > (1L << 24)) return null
+          comps = new Array[Comp](nc)
+          var i = 0
+          while (i < nc) {
+            val o = p + 8 + 3 * i
+            val cid = b(o) & 0xff
+            val hv = b(o + 1) & 0xff
+            val hi = hv >> 4
+            val vi = hv & 0x0f
+            val tq = b(o + 2) & 0xff
+            if (hi < 1 || hi > 2 || vi < 1 || vi > 2 || tq > 3) return null
+            comps(i) = new Comp(cid, hi, vi, tq)
+            i += 1
+          }
+          p += len
+        case mm if mm >= 0xc1 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8 =>
+          return null // progressive / extended / arithmetic: reject
+        case 0xdd => // DRI
+          val len = be16(b, p)
+          restartInterval = be16(b, p + 2)
+          p += len
+        case 0xda => // SOS
+          if (comps == null) return null
+          val len = be16(b, p)
+          val ns = b(p + 2) & 0xff
+          if (ns != comps.length) return null
+          var i = 0
+          while (i < ns) {
+            val cs = b(p + 3 + 2 * i) & 0xff
+            val c = comps.find(_.id == cs).getOrElse(return null)
+            c.td = (b(p + 4 + 2 * i) & 0xff) >> 4
+            c.ta = b(p + 4 + 2 * i) & 0x0f
+            if (c.td > 3 || c.ta > 3 ||
+                dcTabs(c.td) == null || acTabs(c.ta) == null) return null
+            i += 1
+          }
+          p += len
+          return decodeScan(b, p, w, h, comps, qt, dcTabs, acTabs,
+            restartInterval)
+        case _ => // APPn, COM, anything skippable by length
+          if (p + 1 >= b.length) return null
+          p += be16(b, p)
+      }
+    }
+    null
+  }
+
+  private def decodeScan(b: Array[Byte], start: Int, w: Int, h: Int,
+      comps: Array[Comp], qt: Array[Array[Int]], dcTabs: Array[Huff],
+      acTabs: Array[Huff], restartInterval: Int)
+      : (Int, Int, Int, Array[Byte]) = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    comps.foreach { c =>
+      c.pw = mcusX * 8 * c.h
+      c.ph = mcusY * 8 * c.v
+      c.plane = new Array[Int](c.pw * c.ph)
+    }
+    val br = new BitReader(b, start)
+    val block = new Array[Int](64)
+    var mcu = 0
+    var rstIdx = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 &&
+            mcu % restartInterval == 0) {
+          br.restart(rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          comps.foreach(_.pred = 0)
+        }
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              decodeBlock(br, c, qt(c.tq), dcTabs(c.td), acTabs(c.ta),
+                block)
+              idctInto(block, c.plane, c.pw,
+                (my * c.v + by) * 8, (mx * c.h + bx) * 8)
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    // upsample + color convert
+    val nc = comps.length
+    val out = new Array[Byte](w * h * nc)
+    if (nc == 1) {
+      val c = comps(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = c.plane(y * c.pw + x).toByte
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      val cy = comps(0); val cb = comps(1); val cr = comps(2)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yy = cy.plane((y * cy.v / vmax) * cy.pw + x * cy.h / hmax)
+          val vb = cb.plane((y * cb.v / vmax) * cb.pw + x * cb.h / hmax)
+          val vr = cr.plane((y * cr.v / vmax) * cr.pw + x * cr.h / hmax)
+          val r = clamp(Math.round(yy + 1.402 * (vr - 128)).toInt)
+          val g = clamp(Math.round(
+            yy - 0.344136 * (vb - 128) - 0.714136 * (vr - 128)).toInt)
+          val bl = clamp(Math.round(yy + 1.772 * (vb - 128)).toInt)
+          val o = (y * w + x) * 3
+          out(o) = r.toByte
+          out(o + 1) = g.toByte
+          out(o + 2) = bl.toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    (w, h, nc, out)
+  }
+
+  private def clamp(v: Int): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v
+
+  private def decodeBlock(br: BitReader, c: Comp, qtab: Array[Int],
+      dc: Huff, ac: Huff, coef: Array[Int]): Unit = {
+    java.util.Arrays.fill(coef, 0)
+    val t = dc.decode(br)
+    if (t > 11) throw new RuntimeException("bad DC category")
+    val diff = extend(br.receive(t), t)
+    c.pred += diff
+    coef(0) = c.pred * qtab(0)
+    var k = 1
+    while (k < 64) {
+      val rs = ac.decode(br)
+      val r = rs >> 4
+      val s = rs & 15
+      if (s == 0) {
+        if (r == 15) k += 16 // ZRL
+        else k = 64 // EOB
+      } else {
+        k += r
+        if (k > 63) throw new RuntimeException("AC index overrun")
+        coef(k) = extend(br.receive(s), s) * qtab(k)
+        k += 1
+      }
+    }
+  }
+
+  /** De-zigzag + separable IDCT + level shift + clamp, written into the
+    * component plane at (py, px). */
+  private def idctInto(zz: Array[Int], plane: Array[Int], pw: Int,
+      py: Int, px: Int): Unit = {
+    // natural-order coefficient matrix
+    val f = new Array[Double](64)
+    var k = 0
+    while (k < 64) {
+      if (zz(k) != 0) f(ZigZag(k)) = zz(k).toDouble
+      k += 1
+    }
+    // rows: g(y, x) = 0.5 * sum_u C(u) F(y,u) cos((2x+1)uπ/16)
+    val g = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) {
+          val cu = if (u == 0) InvSqrt2 else 1.0
+          acc += cu * f(y * 8 + u) * Cos(u)(x)
+          u += 1
+        }
+        g(y * 8 + x) = 0.5 * acc
+        x += 1
+      }
+      y += 1
+    }
+    // cols + shift/clamp into the plane
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) {
+          val cv = if (v == 0) InvSqrt2 else 1.0
+          acc += cv * g(v * 8 + x) * Cos(v)(yy)
+          v += 1
+        }
+        plane((py + yy) * pw + px + x) =
+          clamp(Math.round(0.5 * acc + 128.0).toInt)
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  // ======================= encoder (DC-only) =======================
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var buf = 0
+    private var cnt = 0
+    def bits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        buf = (buf << 1) | ((v >>> i) & 1)
+        cnt += 1
+        if (cnt == 8) {
+          out.write(buf & 0xff)
+          if ((buf & 0xff) == 0xff) out.write(0x00) // stuffing
+          buf = 0
+          cnt = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Array[Byte] = {
+      if (cnt > 0) bits((1 << (8 - cnt)) - 1, 8 - cnt) // 1-fill
+      out.toByteArray
+    }
+  }
+
+  /** Canonical (code,length) per symbol from a bits/vals table. */
+  private def encTable(bits: Array[Int], vals: Array[Int])
+      : Map[Int, (Int, Int)] = {
+    val m = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    var code = 0
+    var k = 0
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l - 1)) {
+        m(vals(k)) = (code, l)
+        code += 1
+        k += 1
+        i += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    m.toMap
+  }
+  private lazy val DcEnc = encTable(DcBits, DcVals)
+  private lazy val AcEnc = encTable(AcBits, AcVals)
+
+  private def writeDcDiff(bw: BitWriter, diff: Int): Unit = {
+    var s = 0
+    var a = math.abs(diff)
+    while (a > 0) { s += 1; a >>= 1 }
+    val (c, l) = DcEnc(s)
+    bw.bits(c, l)
+    if (s > 0) {
+      val v = if (diff >= 0) diff else diff + (1 << s) - 1
+      bw.bits(v, s)
+    }
+  }
+  private def writeEob(bw: BitWriter): Unit = {
+    val (c, l) = AcEnc(0x00)
+    bw.bits(c, l)
+  }
+
+  private def seg(marker: Int, payload: Array[Byte]): Array[Byte] = {
+    val len = payload.length + 2
+    Array(0xff.toByte, marker.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+  }
+
+  private def dqtAllOnes: Array[Byte] =
+    seg(0xdb, Array(0x00.toByte) ++ Array.fill(64)(1.toByte))
+
+  private def dhtStd: Array[Byte] = {
+    val dc = Array(0x00.toByte) ++ DcBits.map(_.toByte) ++
+      DcVals.map(_.toByte)
+    val ac = Array(0x10.toByte) ++ AcBits.map(_.toByte) ++
+      AcVals.map(_.toByte)
+    seg(0xc4, dc ++ ac)
+  }
+
+  private def app0Jfif: Array[Byte] =
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0,
+      0, 1, 0, 1, 0, 0))
+
+  /** DC-only baseline JPEG: each 8×8 block of each component is the
+    * CONSTANT pixel value given by its grid — dequantized DC 8·(v−128)
+    * with the all-ones quant table IDCTs back to exactly v. `comps` is
+    * (hSamp, vSamp, blockGrid) per component with blockGrid in raster
+    * order over that component's OWN block grid (gray: 1 comp; color:
+    * Y at 2×2 with Cb/Cr at 1×1 = 4:2:0). Image w×h must align to the
+    * MCU grid (8·hmax | w, 8·vmax | h) — the synthesizers' models do. */
+  def encodeDcOnly(w: Int, h: Int,
+      comps: Seq[(Int, Int, Array[Int])]): Array[Byte] = {
+    val hmax = comps.map(_._1).max
+    val vmax = comps.map(_._2).max
+    require(w % (8 * hmax) == 0 && h % (8 * vmax) == 0,
+      s"dims $w x $h not MCU-aligned")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0xff.toByte, 0xd8.toByte)) // SOI
+    out.write(app0Jfif)
+    out.write(dqtAllOnes)
+    val sof = new java.io.ByteArrayOutputStream()
+    sof.write(8) // precision
+    sof.write((h >> 8) & 0xff); sof.write(h & 0xff)
+    sof.write((w >> 8) & 0xff); sof.write(w & 0xff)
+    sof.write(comps.size)
+    comps.zipWithIndex.foreach { case ((hi, vi, _), i) =>
+      sof.write(i + 1)             // component id
+      sof.write((hi << 4) | vi)    // sampling
+      sof.write(0)                 // quant table 0
+    }
+    out.write(seg(0xc0, sof.toByteArray))
+    out.write(dhtStd)
+    val sos = new java.io.ByteArrayOutputStream()
+    sos.write(comps.size)
+    comps.zipWithIndex.foreach { case (_, i) =>
+      sos.write(i + 1)
+      sos.write(0x00) // DC table 0, AC table 0 for every component
+    }
+    sos.write(0); sos.write(63); sos.write(0) // Ss/Se/AhAl
+    out.write(seg(0xda, sos.toByteArray))
+    // entropy data: MCU-interleaved DC-only blocks
+    val mcusX = w / (8 * hmax)
+    val mcusY = h / (8 * vmax)
+    val preds = Array.fill(comps.size)(0)
+    val bw = new BitWriter
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        comps.zipWithIndex.foreach { case ((hi, vi, grid), ci) =>
+          val bw2 = mcusX * hi // component block-grid width
+          var by = 0
+          while (by < vi) {
+            var bx = 0
+            while (bx < hi) {
+              val v = grid((my * vi + by) * bw2 + mx * hi + bx)
+              val dc = 8 * (v - 128)
+              writeDcDiff(bw, dc - preds(ci))
+              preds(ci) = dc
+              writeEob(bw)
+              bx += 1
+            }
+            by += 1
+          }
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    out.write(bw.flush())
+    out.write(Array(0xff.toByte, 0xd9.toByte)) // EOI
+    out.toByteArray
+  }
+}
+
+/** Decode a baseline JPEG column: exact integer channel sums over the
+  * decoded pixels plus the top-scanline witness. Gray lands in `sum_r`
+  * with `sum_g`/`sum_b` 0; `top_row_sum` is ALL bytes of the first
+  * decoded row (w for gray, 3·w for RGB). Null row on anything
+  * non-baseline, malformed, truncated, or bounds-hostile (E1). */
+case class JpegDecodeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = JpegDecodeExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "jpeg_decode"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BINARY input, got ${child.dataType}")
+
+  def compute(bytes: Array[Byte]): InternalRow = {
+    val parsed = Jpeg.parse(bytes)
+    if (parsed == null) return null
+    val (w, h, nc, px) = parsed
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var top = 0L
+    val rowBytes = nc * w
+    var i = 0
+    while (i < px.length) {
+      val v = px(i) & 0xff
+      if (nc == 1) sumR += v
+      else {
+        val q = i % 3
+        if (q == 0) sumR += v else if (q == 1) sumG += v else sumB += v
+      }
+      if (i < rowBytes) top += v
+      i += 1
+    }
+    InternalRow(w, h, nc, w.toLong * h, sumR, sumG, sumB, top)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("jpegDecode", this,
+      classOf[JpegDecodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $ref.compute($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object JpegDecodeExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_components", IntegerType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("top_row_sum", LongType, nullable = false)))
+}
+
+/** Synthesize a real baseline JPEG per row from the portable pixel
+  * MODEL. Even ids: GRAYSCALE, `wb = 1 + id%3` × `hb = 1 + (id DIV 3)%2`
+  * uniform 8×8 blocks whose block-k value is md5(id) byte `k mod 16`.
+  * Odd ids: COLOR 4:2:0 (Y at 2×2, Cb/Cr at 1×1), 16×16, the four Y
+  * blocks from the same md5 model and both chroma planes at 128 — so
+  * the JFIF conversion yields R=G=B=Y EXACTLY (1.402·0 = 0), keeping
+  * the color path oracle-expressible while the MCU interleave, chroma
+  * Huffman lanes, and 2×2 upsample all genuinely run. DC-only streams
+  * decode exactly (see [[Jpeg]] scaladoc); AC-bearing streams are
+  * spec-checked against ImageIO instead. */
+case class JpegSynthExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "jpeg_synth"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BIGINT input, got ${child.dataType}")
+
+  def compute(id: Long): Array[Byte] = {
+    val m = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    def mv(k: Int): Int = m(k % 16) & 0xff
+    if (id % 2 == 0) {
+      val wb = (id % 3 + 1).toInt
+      val hb = ((id / 3) % 2 + 1).toInt
+      val grid = Array.tabulate(wb * hb)(mv)
+      Jpeg.encodeDcOnly(8 * wb, 8 * hb, Seq((1, 1, grid)))
+    } else {
+      val y = Array.tabulate(4)(mv)
+      val c128 = Array(128)
+      Jpeg.encodeDcOnly(16, 16,
+        Seq((2, 2, y), (1, 1, c128), (1, 1, c128)))
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("jpegSynth", this,
+      classOf[JpegSynthExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** TWIN-PAIR JPEG corpus for the DCT-domain perceptual hash: 64×64
+  * grayscale DC-only images whose 64-entry 8×8-BLOCK grid cycles the
+  * 32-byte stream md5(id DIV 2) ‖ md5(id DIV 2 ‖ 'x') — ids 2k/2k+1
+  * share a base image, the odd one perturbed (+40 mod 256 at block
+  * positions ≡ 0 mod 19) — the same twin model as
+  * [[graft.operators.Multimodal.bmpPayloadTwins]], re-expressed in the
+  * dominant web format. Because blocks are uniform, each block's mean
+  * IS the model value, so the oracle replays every hash bit exactly. */
+case class JpegSynthTwinsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "jpeg_synth_twins"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BIGINT input, got ${child.dataType}")
+
+  def compute(id: Long): Array[Byte] = {
+    val base = (id / 2).toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = md.digest(base.getBytes("UTF-8")) ++
+      java.security.MessageDigest.getInstance("MD5")
+        .digest((base + "x").getBytes("UTF-8"))
+    val grid = Array.tabulate(64) { i =>
+      val v = m(i % 32) & 0xff
+      if (id % 2 == 1 && i % 19 == 0) (v + 40) % 256 else v
+    }
+    Jpeg.encodeDcOnly(64, 64, Seq((1, 1, grid)))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("jpegSynthTwins", this,
+      classOf[JpegSynthTwinsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Exact-integer average-hash over the decoded image's 8×8 grid of
+  * 8×8-pixel CELL sums — the aHash "downscale to 8×8 then threshold by
+  * the mean", with the downscale as exact integer cell sums (all cells
+  * have equal pixel count, so comparing sums is comparing means): bit
+  * k (cell index, raster order) is set when 64·cellsum_k > Σ cellsums.
+  * Luma per pixel: gray value for 1-component images, r + 2g + b for
+  * RGB (the [[BmpDecode]] convention). Null unless the decoded image
+  * is exactly 64×64 (the twin corpus's shape — a general corpus would
+  * resize first). */
+case class JpegAHashExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jpeg_ahash"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BINARY input, got ${child.dataType}")
+
+  def compute(bytes: Array[Byte]): Any = {
+    val parsed = Jpeg.parse(bytes)
+    if (parsed == null) return null
+    val (w, h, nc, px) = parsed
+    if (w != 64 || h != 64) return null
+    val cells = new Array[Long](64)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        val l =
+          if (nc == 1) (px(y * 64 + x) & 0xff).toLong
+          else {
+            val o = (y * 64 + x) * 3
+            (px(o) & 0xff).toLong + 2L * (px(o + 1) & 0xff) +
+              (px(o + 2) & 0xff)
+          }
+        cells((y / 8) * 8 + x / 8) += l
+        x += 1
+      }
+      y += 1
+    }
+    var tot = 0L
+    var k = 0
+    while (k < 64) { tot += cells(k); k += 1 }
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (64L * cells(k) > tot) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("jpegAHash", this,
+      classOf[JpegAHashExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |Object r = $ref.compute($c);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) r).longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object JpegDecode {
+  import org.apache.spark.sql.graft.Bridge.{column, expression}
+
+  def jpegDecode(bin: Column): Column =
+    column(JpegDecodeExpr(expression(bin)))
+
+  def jpegSynth(id: Column): Column =
+    column(JpegSynthExpr(expression(id)))
+
+  def jpegSynthTwins(id: Column): Column =
+    column(JpegSynthTwinsExpr(expression(id)))
+
+  def jpegAHash(bin: Column): Column =
+    column(JpegAHashExpr(expression(bin)))
+}

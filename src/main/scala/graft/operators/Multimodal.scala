@@ -610,4 +610,64 @@ object Multimodal {
         round(col("n_speech").cast("double") / col("n_frames"), 6)
           .as("speech_ratio"))
   }
+
+  // ---------------------------------------------------------------------
+  // REAL format: baseline JFIF (full marker/Huffman/IDCT decode path —
+  // graft.expressions.JpegDecodeExpr; the dominant web image format)
+  // ---------------------------------------------------------------------
+
+  /** Synthesize a real baseline JPEG per row
+    * ([[graft.expressions.JpegSynthExpr]]: even ids grayscale with up
+    * to 6 uniform 8×8 blocks, odd ids 16×16 color 4:2:0 with neutral
+    * chroma) from the md5 block model — DC-only streams decode EXACTLY,
+    * so the oracle replays decoded stats integer-for-integer while the
+    * Huffman lanes, MCU interleave, and chroma upsample genuinely run.
+    * AC-bearing streams are spec-checked against ImageIO
+    * (MultimodalJpegSpec). */
+  def jpegPayload(df: DataFrame, idCol: String,
+      out: String = "payload"): DataFrame =
+    registered(df.select(col(idCol),
+      graft.expressions.JpegDecode.jpegSynth(col(idCol).cast("long"))
+        .as(out)))
+
+  /** Decode a baseline-JPEG column with the REAL decoder (marker walk,
+    * canonical Huffman, dequantize, IDCT, upsample, JFIF color
+    * convert): exact integer channel sums + the top-scanline witness;
+    * malformed / progressive / bounds-hostile blobs null out (E1). */
+  def decodeJpeg(df: DataFrame, idCol: String, binCol: String)
+      : DataFrame =
+    df.select(col(idCol),
+        graft.expressions.JpegDecode.jpegDecode(col(binCol)).as("__d"))
+      .select(col(idCol), col("__d.width").as("width"),
+        col("__d.height").as("height"),
+        col("__d.n_components").as("n_components"),
+        col("__d.n_pixels").as("n_pixels"),
+        col("__d.sum_r").as("sum_r"), col("__d.sum_g").as("sum_g"),
+        col("__d.sum_b").as("sum_b"),
+        col("__d.top_row_sum").as("top_row_sum"))
+
+  /** TWIN-PAIR JPEG corpus (64×64 grayscale, 64 uniform blocks cycling
+    * md5(id DIV 2) ‖ md5(id DIV 2 ‖ 'x'), odd ids perturbed) — the
+    * [[bmpPayloadTwins]] twin model re-expressed in the dominant web
+    * format. */
+  def jpegPayloadTwins(df: DataFrame, idCol: String,
+      out: String = "payload"): DataFrame =
+    registered(df.select(col(idCol),
+      graft.expressions.JpegDecode.jpegSynthTwins(
+        col(idCol).cast("long")).as(out)))
+
+  /** Perceptual near-dup pairs over REAL JPEG-decoded pixels:
+    * exact-integer average-hash over the 8×8 grid of cell sums
+    * ([[graft.expressions.JpegAHashExpr]]) into the shared pigeonhole
+    * banding — the signature measures the PICTURE after a full
+    * entropy-decode + IDCT, so re-encodes and format shifts of the
+    * same image pair while byte-level hashes see nothing. */
+  def phashPairsJpeg(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 12): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc_id"),
+        graft.expressions.JpegDecode.jpegAHash(col(binCol))
+          .as("simhash"))
+      .filter(col("simhash").isNotNull)
+    Dedup.simhashPairsFromSigs(sigs, maxHamming)
+  }
 }

@@ -1,0 +1,262 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.{Jpeg, JpegDecodeExpr, JpegSynthExpr,
+  JpegSynthTwinsExpr, JpegAHashExpr}
+
+/** The REAL baseline-JFIF decode path, cross-checked against the JDK's
+  * INDEPENDENT ImageIO JPEG codec in both directions:
+  *
+  *  - ImageIO READS our DC-only synthesized streams and sees the exact
+  *    model pixels (our encoder emits spec-conformant baseline JPEG);
+  *  - our decoder READS ImageIO-WRITTEN streams with real AC
+  *    coefficients, real quant tables, and real 4:2:0 chroma, and
+  *    agrees within decoder tolerance (libjpeg's integer IDCT and
+  *    fancy chroma upsampling legitimately differ by a few levels from
+  *    our double-precision IDCT + replicate upsample — JPEG conformance
+  *    is defined with exactly this slack, T.81 Annex K.1 / ISO 10918-2).
+  *
+  * Plus the hostile-input posture: truncation, progressive (SOF2),
+  * forged SOF dimensions (bounds checked BEFORE allocation). */
+class MultimodalJpegSpec extends AnyFunSuite {
+
+  private def synth(id: Long): Array[Byte] = {
+    val e = JpegSynthExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(id))
+    e.compute(id)
+  }
+
+  private def modelByte(id: Long, k: Int): Int = {
+    val m = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    m(k % 16) & 0xff
+  }
+
+  test("DC-only grayscale synth decodes to the exact md5 block model") {
+    for (id <- Seq(0L, 2L, 4L, 6L, 8L, 10L)) {
+      val parsed = Jpeg.parse(synth(id))
+      assert(parsed != null, s"id=$id failed to decode")
+      val (w, h, nc, px) = parsed
+      val wb = (id % 3 + 1).toInt
+      val hb = ((id / 3) % 2 + 1).toInt
+      assert(w == 8 * wb && h == 8 * hb && nc == 1, s"id=$id: $w x $h")
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val k = (y / 8) * wb + x / 8
+          assert((px(y * w + x) & 0xff) == modelByte(id, k),
+            s"id=$id pixel ($x,$y) block $k")
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
+
+  test("DC-only 4:2:0 color synth decodes to R=G=B=Y exactly (chroma " +
+      "planes at 128 make the JFIF conversion the identity)") {
+    for (id <- Seq(1L, 3L, 5L, 7L)) {
+      val parsed = Jpeg.parse(synth(id))
+      assert(parsed != null, s"id=$id")
+      val (w, h, nc, px) = parsed
+      assert(w == 16 && h == 16 && nc == 3)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          val k = (y / 8) * 2 + x / 8
+          val expect = modelByte(id, k)
+          val o = (y * 16 + x) * 3
+          assert((px(o) & 0xff) == expect &&
+            (px(o + 1) & 0xff) == expect &&
+            (px(o + 2) & 0xff) == expect,
+            s"id=$id ($x,$y) want $expect got " +
+              s"${px(o) & 0xff}/${px(o + 1) & 0xff}/${px(o + 2) & 0xff}")
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
+
+  test("ImageIO (independent JDK codec) reads our synthesized streams " +
+      "to the same pixels — the encoder is spec-conformant baseline") {
+    for (id <- Seq(0L, 2L, 3L, 4L, 7L)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(synth(id)))
+      assert(img != null, s"ImageIO rejected id=$id")
+      val parsed = Jpeg.parse(synth(id))
+      val (w, h, nc, px) = parsed
+      assert(img.getWidth == w && img.getHeight == h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          // grayscale: read the RASTER sample — getRGB on a
+          // TYPE_BYTE_GRAY image applies the linear-gray→sRGB gamma
+          // curve (a color-management conversion, not decoding)
+          if (nc == 1) {
+            val got = img.getRaster.getSample(x, y, 0)
+            val want = px(y * w + x) & 0xff
+            assert(math.abs(got - want) <= 1,
+              s"id=$id ($x,$y): imageio $got vs $want")
+          } else {
+            val rgb = img.getRGB(x, y)
+            val o = (y * w + x) * 3
+            val (er, eg, eb) =
+              (px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff)
+            // DC-only constant blocks: any conformant IDCT is exact
+            // to within 1 level
+            assert(math.abs(((rgb >> 16) & 0xff) - er) <= 1 &&
+              math.abs(((rgb >> 8) & 0xff) - eg) <= 1 &&
+              math.abs((rgb & 0xff) - eb) <= 1,
+              s"id=$id ($x,$y): imageio ${rgb.toHexString} " +
+                s"vs ($er,$eg,$eb)")
+          }
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
+
+  test("our decoder reads an ImageIO-WRITTEN grayscale JPEG (real AC " +
+      "coefficients, real quant tables) within IDCT tolerance") {
+    val w = 40; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      // smooth 2-d gradient + low-frequency wave: exercises AC codes
+      val v = ((x * 255) / (w - 1) + 40 *
+        math.sin(y / 3.0)).toInt.max(0).min(255)
+      img.getRaster.setSample(x, y, 0, v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val parsed = Jpeg.parse(bytes)
+    assert(parsed != null, "our decoder rejected an ImageIO stream")
+    val (dw, dh, nc, px) = parsed
+    assert(dw == w && dh == h && nc == 1)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val ours = px(y * w + x) & 0xff
+      // raster sample, not getRGB: the latter gamma-converts gray
+      val theirs = ref.getRaster.getSample(x, y, 0)
+      maxDiff = math.max(maxDiff, math.abs(ours - theirs))
+    }
+    // libjpeg's jidctint vs our double IDCT: ±1 typical, allow 2
+    assert(maxDiff <= 2, s"gray max pixel diff $maxDiff")
+  }
+
+  test("our decoder reads an ImageIO-WRITTEN color JPEG (4:2:0 chroma, " +
+      "real AC) within upsample tolerance") {
+    val w = 48; val h = 32
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      // smooth color field (chroma varies slowly so replicate-vs-fancy
+      // upsampling differences stay small)
+      val r = (x * 255) / (w - 1)
+      val g = (y * 255) / (h - 1)
+      val b = ((x + y) * 255) / (w + h - 2)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val parsed = Jpeg.parse(bytes)
+    assert(parsed != null, "our decoder rejected an ImageIO color stream")
+    val (dw, dh, nc, px) = parsed
+    assert(dw == w && dh == h && nc == 3)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var sumAbs = 0L
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val rgb = ref.getRGB(x, y)
+      val dr = math.abs((px(o) & 0xff) - ((rgb >> 16) & 0xff))
+      val dg = math.abs((px(o + 1) & 0xff) - ((rgb >> 8) & 0xff))
+      val db = math.abs((px(o + 2) & 0xff) - (rgb & 0xff))
+      sumAbs += dr + dg + db
+      maxDiff = math.max(maxDiff, math.max(dr, math.max(dg, db)))
+    }
+    val meanAbs = sumAbs.toDouble / (w * h * 3)
+    // replicate vs libjpeg fancy chroma upsampling: small on smooth
+    // fields; the mean bound is the real assertion, the max bound
+    // catches coordinate/plane bugs (those produce diffs of 50+)
+    assert(meanAbs <= 2.0, s"color mean abs diff $meanAbs")
+    assert(maxDiff <= 16, s"color max pixel diff $maxDiff")
+  }
+
+  test("hostile inputs null out without allocating: truncation, " +
+      "progressive SOF2, forged giant dimensions") {
+    val good = synth(0L)
+    // truncated at half
+    assert(Jpeg.parse(java.util.Arrays.copyOfRange(
+      good, 0, good.length / 2)) == null)
+    // progressive: patch the SOF0 marker byte (FF C0 -> FF C2)
+    val prog = good.clone()
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Jpeg.parse(prog) == null)
+    // forged dimensions: 60000 x 60000 in the SOF header — must be
+    // rejected by the bounds check BEFORE any plane allocation
+    val forged = good.clone()
+    val dimAt = sofAt + 5 // len(2) + precision(1), then h16 w16
+    forged(dimAt) = 0xea.toByte; forged(dimAt + 1) = 0x60.toByte
+    forged(dimAt + 2) = 0xea.toByte; forged(dimAt + 3) = 0x60.toByte
+    assert(Jpeg.parse(forged) == null)
+    // garbage and empty
+    assert(Jpeg.parse(Array[Byte]()) == null)
+    assert(Jpeg.parse("not a jpeg at all".getBytes) == null)
+  }
+
+  test("twin corpus aHash: paired ids land within hamming 12, the " +
+      "perturbation flips at least one bit class, and the hash " +
+      "replays the block model") {
+    def twin(id: Long): Array[Byte] = {
+      val e = JpegSynthTwinsExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal(id))
+      e.compute(id)
+    }
+    def ahash(b: Array[Byte]): Long = {
+      val e = JpegAHashExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal(b))
+      e.compute(b).asInstanceOf[Long]
+    }
+    // model replay: bit i = 64*v_i > sum(v) over the 64-block grid
+    def modelHash(id: Long): Long = {
+      val base = (id / 2).toString
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(base.getBytes("UTF-8")) ++
+        java.security.MessageDigest.getInstance("MD5")
+          .digest((base + "x").getBytes("UTF-8"))
+      val vs = Array.tabulate(64) { i =>
+        val v = m(i % 32) & 0xff
+        if (id % 2 == 1 && i % 19 == 0) (v + 40) % 256 else v
+      }
+      val tot = vs.map(_.toLong).sum
+      vs.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+        if (64L * v > tot) acc | (1L << i) else acc
+      }
+    }
+    for (base <- 0L until 6L) {
+      val a = ahash(twin(2 * base))
+      val b = ahash(twin(2 * base + 1))
+      assert(a == modelHash(2 * base), s"base=$base even hash")
+      assert(b == modelHash(2 * base + 1), s"base=$base odd hash")
+      assert(java.lang.Long.bitCount(a ^ b) <= 12,
+        s"base=$base twins hamming ${java.lang.Long.bitCount(a ^ b)}")
+    }
+    // cross-pair images are far apart
+    val h0 = ahash(twin(0L))
+    val h2 = ahash(twin(4L))
+    assert(java.lang.Long.bitCount(h0 ^ h2) > 12)
+  }
+}
