@@ -141,6 +141,7 @@ object ScaleBench {
         want("interval") || want("quantiles") || want("linkage") ||
         want("linkage_cap4x") || want("scc") || want("scc_coloring") ||
         want("bfs_hops") || want("ktruss") || want("markov") ||
+        want("pca_deflate") || want("whiten") ||
         want("window_sliding"))) {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
@@ -192,6 +193,23 @@ object ScaleBench {
           cent.select(col("cent_id").as("vec_id"),
             col("ce").as("embedding")),
           "embedding", cmT, 2, levels).count()
+      }
+      // PCA top-2 by deflated power iteration on the factor× embedding
+      // corpus (the r13 verdict's un-curved heavy family): matrix-free
+      // — each iteration is ONE scan computing X^T(Xv) with v broadcast,
+      // covariance never formed, so the curve should track n·d linearly
+      // with a fixed iteration count
+      if (want("pca_deflate")) timed("pca_deflate") {
+        graft.operators.Similarity.pcaDeflateComponents(
+          bigEmb, "vec_id", "embedding", iters = 3).count()
+      }
+      // whitening adds the per-vector score/residual projections on
+      // top of the same fit — still one scan per round plus two
+      // broadcast projections; linear like pca_deflate or the residual
+      // path has a hidden join blowup
+      if (want("whiten")) timed("whiten") {
+        graft.operators.Similarity.pcaWhiten(
+          bigEmb, "vec_id", "embedding", iters = 3).count()
       }
       // PageRank on factor× disjoint copies of the trade graph (same
       // structure per copy, factor× the rows through every per-round
