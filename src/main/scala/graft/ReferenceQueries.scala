@@ -993,6 +993,37 @@ object ReferenceQueries {
           COUNT(*) AS n_copies
         FROM cu GROUP BY url_canon""")),
 
+    // the acquisition chain END-TO-END: WARC scan → keep HTTP 200 →
+    // host extraction → strip HTML → whitespace token count — the
+    // document rows a crawl-scale curation pipeline starts from,
+    // produced entirely inside one scan-shaped plan (every step is a
+    // per-row codegen projection; the only non-scan work is the WARC
+    // record walk itself)
+    Q("warc_pipeline",
+      (s, _) => {
+        val w = graft.sources.Warc.warc(
+          s, "/root/repo/fixtures/warc/sample.warc.gz")
+        val text = Cleaning.stripHtml(col("body"))
+        w.filter(col("http_status") === 200)
+          .select(col("record_id"),
+            Cleaning.urlHost(col("target_uri")).as("host"),
+            col("http_status"),
+            text.as("text"),
+            size(Cleaning.tokens(text)).as("n_tokens"),
+            col("n_body_bytes"))
+      },
+      Some("""SELECT record_id,
+          regexp_extract(target_uri, '://([^/:?]+)', 1) AS host,
+          http_status,
+          regexp_replace(body, '<.*?>', '', 'g') AS text,
+          CAST(len(list_filter(string_split_regex(
+            regexp_replace(body, '<.*?>', '', 'g'), '\s+'),
+            x -> x <> '')) AS INTEGER) AS n_tokens,
+          n_body_bytes
+        FROM read_parquet(
+          '/root/repo/fixtures/warc_twin/part-0.parquet')
+        WHERE http_status = 200""")),
+
     // SCHEMA-EVOLUTION parquet scan: two files whose schemas drifted
     // (the 2024 crawl added lang + quality) read as one union-schema
     // relation, old files null-filling the new columns — the footer

@@ -491,6 +491,13 @@ private[graft] object Jpeg {
       if (cnt > 0) bits((1 << (8 - cnt)) - 1, 8 - cnt) // 1-fill
       out.toByteArray
     }
+    /** Byte-align (1-fill) and emit RSTn RAW — restart markers are
+      * markers, never byte-stuffed. */
+    def restartMarker(n: Int): Unit = {
+      if (cnt > 0) bits((1 << (8 - cnt)) - 1, 8 - cnt)
+      out.write(0xff)
+      out.write(0xd0 + n)
+    }
   }
 
   /** Canonical (code,length) per symbol from a bits/vals table. */
@@ -561,7 +568,8 @@ private[graft] object Jpeg {
     * Y at 2×2 with Cb/Cr at 1×1 = 4:2:0). Image w×h must align to the
     * MCU grid (8·hmax | w, 8·vmax | h) — the synthesizers' models do. */
   def encodeDcOnly(w: Int, h: Int,
-      comps: Seq[(Int, Int, Array[Int])]): Array[Byte] = {
+      comps: Seq[(Int, Int, Array[Int])],
+      restartInterval: Int = 0): Array[Byte] = {
     val hmax = comps.map(_._1).max
     val vmax = comps.map(_._2).max
     require(w % (8 * hmax) == 0 && h % (8 * vmax) == 0,
@@ -570,6 +578,9 @@ private[graft] object Jpeg {
     out.write(Array(0xff.toByte, 0xd8.toByte)) // SOI
     out.write(app0Jfif)
     out.write(dqtAllOnes)
+    if (restartInterval > 0) // DRI
+      out.write(seg(0xdd, Array(((restartInterval >> 8) & 0xff).toByte,
+        (restartInterval & 0xff).toByte)))
     val sof = new java.io.ByteArrayOutputStream()
     sof.write(8) // precision
     sof.write((h >> 8) & 0xff); sof.write(h & 0xff)
@@ -595,10 +606,18 @@ private[graft] object Jpeg {
     val mcusY = h / (8 * vmax)
     val preds = Array.fill(comps.size)(0)
     val bw = new BitWriter
+    var mcu = 0
+    var rstIdx = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 &&
+            mcu % restartInterval == 0) {
+          bw.restartMarker(rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          java.util.Arrays.fill(preds, 0)
+        }
         comps.zipWithIndex.foreach { case ((hi, vi, grid), ci) =>
           val bw2 = mcusX * hi // component block-grid width
           var by = 0
@@ -615,6 +634,7 @@ private[graft] object Jpeg {
             by += 1
           }
         }
+        mcu += 1
         mx += 1
       }
       my += 1

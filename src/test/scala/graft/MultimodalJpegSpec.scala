@@ -193,6 +193,31 @@ class MultimodalJpegSpec extends AnyFunSuite {
     assert(maxDiff <= 16, s"color max pixel diff $maxDiff")
   }
 
+  test("DRI/RSTn restart path: interval-2 stream carries real RST " +
+      "markers, DC predictors reset at each one, and both our decoder " +
+      "and ImageIO read the model pixels") {
+    val grid = Array(30, 90, 150, 210, 240, 60) // 6 blocks, 48x8
+    val bytes = Jpeg.encodeDcOnly(48, 8, Seq((1, 1, grid)),
+      restartInterval = 2)
+    // the stream genuinely contains RST0 and RST1 markers
+    def countMarker(m: Int): Int = (0 until bytes.length - 1).count(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == m)
+    assert(countMarker(0xd0) == 1 && countMarker(0xd1) == 1,
+      bytes.map("%02x".format(_)).mkString(" "))
+    val parsed = Jpeg.parse(bytes)
+    assert(parsed != null, "restart stream rejected")
+    val (w, h, nc, px) = parsed
+    assert(w == 48 && h == 8 && nc == 1)
+    for (y <- 0 until 8; x <- 0 until 48)
+      assert((px(y * 48 + x) & 0xff) == grid(x / 8), s"($x,$y)")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO rejected the restart stream")
+    for (y <- 0 until 8; x <- 0 until 48)
+      assert(math.abs(img.getRaster.getSample(x, y, 0) -
+        grid(x / 8)) <= 1, s"imageio ($x,$y)")
+  }
+
   test("hostile inputs null out without allocating: truncation, " +
       "progressive SOF2, forged giant dimensions") {
     val good = synth(0L)

