@@ -125,6 +125,22 @@ object ScaleBench {
         targetLang = "en", topN = 1000).count()
     }
 
+    // compression-ratio quality signal at factor× docs: a per-row
+    // codegen deflate inside the scan projection — the "near-free"
+    // claim is that this times like ONE extra pass over the corpus
+    // (linear, small constant), never like a shuffle stage
+    if (want("compress_ratio")) timed("compress_ratio") {
+      // sum a computed column, not count(): count() lets Catalyst
+      // prune the deflate projection entirely (measured: 0.2 s flat
+      // at every factor — it was timing nothing)
+      graft.operators.Curation.compressionRatioSignal(
+          big, "doc_id", "text")
+        .agg(sum(col("n_deflate_bytes")), sum(
+          when(col("is_repetitive_junk"), 1L).otherwise(0L)))
+        .collect()
+      nDocs
+    }
+
     // semantic dedup at factor× embeddings: replicas are the base vector
     // plus a tiny deterministic per-(vec, rep, dim) perturbation —
     // near-exact semantic copies, so SemDeDup should drop ~(factor-1)/

@@ -811,6 +811,40 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTester {
       .filter($"n_gh_token" === 1).count()
     assert(flagged == 20L)
   }
+
+  test("compressionRatioSignal runs in a streaming plan (stateless " +
+      "per-row projection) and agrees with the batch form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val rows = Seq(
+      (1L, "win a prize now! " * 300),
+      (2L, "a perfectly ordinary sentence about data pipelines that " +
+        "keeps introducing fresh vocabulary as it goes along"),
+      (3L, (0 until 200).flatMap(i =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"z$i".getBytes("UTF-8"))
+          .map(b => (33 + ((b & 0xff) % 94)).toChar)).mkString))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.Curation.compressionRatioSignal(
+        mem.toDF.toDF("doc_id", "txt"), "doc_id", "txt")
+      .writeStream.format("memory").queryName("zratio_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("zratio_out").collect()
+      .map(_.toSeq).toSet
+    val batch = graft.operators.Curation.compressionRatioSignal(
+      rows.toDF("doc_id", "txt"), "doc_id", "txt")
+      .collect().map(_.toSeq).toSet
+    assert(batch.size == 3 && streamed == batch)
+    val byId = spark.table("zratio_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Boolean]("is_repetitive_junk"))
+    assert(byId(3L).getAs[Boolean]("is_incompressible"))
+  }
 }
 
 class RegistrySpec extends AnyFunSuite with SparkTester {
