@@ -8950,6 +8950,39 @@ object MultimodalQueries {
           FROM model"""
       }),
 
+    // ViT patch grid over JPEG-decoded pixels at patch=8: with the
+    // DC-only corpus each patch IS one uniform block, so every cell's
+    // count and channel sums replay exactly from the md5 block model —
+    // the patch-embedding prep on the dominant web format, fed by a
+    // full entropy-decode + IDCT instead of raw byte parsing
+    Q("multimodal_patches_jpeg",
+      (s, dir) => Multimodal.patchStatsJpeg(
+        Multimodal.jpegPayload(
+          Sources.table(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload", patch = 8),
+      Some("""WITH gp AS (
+          SELECT doc_id, md5(doc_id::VARCHAR) AS m,
+            doc_id % 2 = 0 AS gray,
+            (1 + doc_id % 3)::INTEGER AS wb,
+            (1 + (doc_id // 3) % 2)::INTEGER AS hb
+          FROM documents),
+        gv AS (
+          SELECT doc_id, gray,
+            (CASE WHEN gray THEN wb ELSE 2 END)::INTEGER AS cols, k,
+            ('0x' || substr(m, CAST((k % 16)*2 + 1 AS INTEGER), 2))
+              ::BIGINT AS v
+          FROM (SELECT doc_id, gray, wb, hb, m,
+              unnest(range(0, CASE WHEN gray THEN wb*hb ELSE 4 END))
+                AS k
+            FROM gp) t)
+        SELECT doc_id,
+          (k // cols)::INTEGER AS pr, (k % cols)::INTEGER AS pc,
+          64::BIGINT AS n_px,
+          (64 * v)::BIGINT AS sum_r,
+          (CASE WHEN gray THEN 0 ELSE 64 * v END)::BIGINT AS sum_g,
+          (CASE WHEN gray THEN 0 ELSE 64 * v END)::BIGINT AS sum_b
+        FROM gv""")),
+
     // perceptual near-dup pairs over REAL JPEG-decoded pixels: the
     // bmpPayloadTwins twin model re-expressed in the dominant web
     // format (64x64 grayscale, 64 uniform 8x8 blocks), hashed by the

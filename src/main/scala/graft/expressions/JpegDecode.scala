@@ -911,4 +911,104 @@ object JpegDecode {
 
   def jpegAHash(bin: Column): Column =
     column(JpegAHashExpr(expression(bin)))
+
+  def jpegPatches(bin: Column, patch: Int): Column =
+    column(JpegPatchesExpr(expression(bin), patch))
+}
+
+/** ViT patch-grid statistics over the JPEG-decoded pixel grid: one
+  * struct per `patch`×`patch` cell with its true pixel count and exact
+  * per-channel sums — the per-patch normalization a patch-embedding
+  * pipeline computes before tokenizing images, here fed by a full
+  * entropy-decode + IDCT instead of raw byte parsing. Grid size is
+  * bounded by the decoder's validated dimensions (never attacker
+  * bytes); partial edge cells report their true n_px; gray images sum
+  * into `sum_r` with zero green/blue. Null on undecodable payloads
+  * (E1 — the exploded row set is then empty). */
+case class JpegPatchesExpr(child: Expression, patch: Int)
+    extends UnaryExpression {
+  require(patch >= 1, s"patch must be >= 1, got $patch")
+
+  override def dataType: DataType =
+    ArrayType(JpegPatchesExpr.cell, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "jpeg_patches"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BINARY input, got ${child.dataType}")
+
+  def compute(bytes: Array[Byte]): Any = {
+    val parsed = Jpeg.parse(bytes)
+    if (parsed == null) return null
+    val (w, h, nc, px) = parsed
+    val pRows = ((h.toLong + patch - 1) / patch).toInt
+    val pCols = ((w.toLong + patch - 1) / patch).toInt
+    val n = pRows.toLong * pCols
+    if (n <= 0 || n > (1L << 22)) return null
+    val nPx = new Array[Long](n.toInt)
+    val sr = new Array[Long](n.toInt)
+    val sg = new Array[Long](n.toInt)
+    val sb = new Array[Long](n.toInt)
+    var y = 0
+    while (y < h) {
+      val rowOff = (y / patch) * pCols
+      var x = 0
+      while (x < w) {
+        val idx = rowOff + x / patch
+        nPx(idx) += 1
+        if (nc == 1) sr(idx) += px(y * w + x) & 0xff
+        else {
+          val o = (y * w + x) * 3
+          sr(idx) += px(o) & 0xff
+          sg(idx) += px(o + 1) & 0xff
+          sb(idx) += px(o + 2) & 0xff
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val rows = new Array[Any](n.toInt)
+    var i = 0
+    while (i < n) {
+      rows(i) = InternalRow(i / pCols, i % pCols, nPx(i), sr(i), sg(i),
+        sb(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("jpegPatches", this,
+      classOf[JpegPatchesExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |Object r = $ref.compute($c);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object JpegPatchesExpr {
+  val cell: StructType = StructType(Seq(
+    StructField("pr", IntegerType, nullable = false),
+    StructField("pc", IntegerType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
 }

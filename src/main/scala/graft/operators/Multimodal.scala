@@ -662,6 +662,21 @@ object Multimodal {
     * banding — the signature measures the PICTURE after a full
     * entropy-decode + IDCT, so re-encodes and format shifts of the
     * same image pair while byte-level hashes see nothing. */
+  /** ViT patch-grid prep over JPEG-decoded pixels — the
+    * [[patchStats]] twin on the dominant web format: one row per
+    * `patch`×`patch` cell with its pixel count and exact per-channel
+    * sums, the grid bounded by the decoder-validated header. Row-local
+    * decode + explode; undecodable payloads vanish (null array → no
+    * rows, the E1 convention). */
+  def patchStatsJpeg(df: DataFrame, idCol: String, binCol: String,
+      patch: Int): DataFrame =
+    df.select(col(idCol),
+        explode(graft.expressions.JpegDecode.jpegPatches(col(binCol),
+          patch)).as("p"))
+      .select(col(idCol), col("p.pr").as("pr"), col("p.pc").as("pc"),
+        col("p.n_px").as("n_px"), col("p.sum_r").as("sum_r"),
+        col("p.sum_g").as("sum_g"), col("p.sum_b").as("sum_b"))
+
   def phashPairsJpeg(df: DataFrame, idCol: String, binCol: String,
       maxHamming: Int = 12): DataFrame = {
     val sigs = df.select(col(idCol).as("doc_id"),
