@@ -66,6 +66,51 @@ object Warc {
     else df.filter(col("warc_type").isin(keepTypes.toSeq: _*))
   }
 
+  /** STREAMING acquisition: watch a drop directory with the
+    * binaryFile file-stream source — each newly landed WARC file
+    * arrives as one row, decoded by [[WarcRecordsExpr]] and exploded
+    * into record rows. Exactly-once delivery per file comes from the
+    * file-stream source's checkpointed file log; the decode is a
+    * stateless projection, so any downstream watermark/stateful op
+    * composes normally. Memory is O(file) per row (the expression
+    * materializes one file's records) — size drop shards accordingly;
+    * bulk backfills belong to the batch [[warc]] reader. */
+  def warcStream(spark: SparkSession, dir: String,
+      keepTypes: Set[String] = Set("response")): DataFrame = {
+    // the binaryFile source's schema is FIXED by the format, but the
+    // streaming path requires it stated explicitly (no inference pass
+    // on a stream)
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val files = spark.readStream
+      .format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", "*.warc*")
+      .load(dir)
+    val recs = files.select(
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.graft.Bridge.column(
+            WarcRecordsExpr(org.apache.spark.sql.graft.Bridge.expression(
+              col("content"))))).as("r"))
+      .select(col("r.record_id").as("record_id"),
+        col("r.warc_type").as("warc_type"),
+        col("r.target_uri").as("target_uri"),
+        col("r.warc_date").as("warc_date"),
+        col("r.http_status").as("http_status"),
+        col("r.content_type").as("content_type"),
+        col("r.body").as("body"),
+        col("r.n_body_bytes").as("n_body_bytes"))
+    if (keepTypes.isEmpty) recs
+    else recs.filter(col("warc_type").isin(keepTypes.toSeq: _*))
+  }
+
   /** Wrap in GZIPInputStream when the stream starts with the gzip
     * magic (0x1f 0x8b) — suffix-agnostic, so renamed files and
     * uncompressed fixtures both read. */
@@ -210,4 +255,91 @@ object Warc {
     }
     out
   }
+}
+
+/** Per-file WARC decode as a Catalyst expression: one binary column
+  * (a whole WARC file, gzip'd or plain) → array of record structs.
+  * This is the STREAMING-side decode ([[Warc.warcStream]]): the
+  * file-stream source delivers each newly landed file as one row, and
+  * the expression materializes that file's records for the explode.
+  * Memory is O(file) rather than the batch iterator's O(record) — the
+  * right trade for a drop directory of micro-batch-sized shards; a
+  * 1 GiB backfill belongs to [[Warc.warc]]. Same PERMISSIVE posture:
+  * a truncated tail yields the complete prefix, a non-WARC blob an
+  * empty array. */
+case class WarcRecordsExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType =
+    ArrayType(WarcRecordsExpr.record, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "warc_records"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BINARY input, got ${child.dataType}")
+
+  def compute(bytes: Array[Byte]): Any = {
+    val rows = Warc.records(Warc.open(
+      new java.io.ByteArrayInputStream(bytes))).map { r =>
+      InternalRow(
+        UTF8String.fromString(r.record_id),
+        UTF8String.fromString(r.warc_type),
+        UTF8String.fromString(r.target_uri),
+        if (r.warc_date == null) null
+        else Long.box(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .fromJavaTimestamp(r.warc_date)),
+        r.http_status.map(Int.box).orNull,
+        UTF8String.fromString(r.content_type),
+        UTF8String.fromString(r.body),
+        r.n_body_bytes)
+    }.toArray[Any]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen
+        .CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("warcRecords", this,
+      classOf[WarcRecordsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} =
+         |  (org.apache.spark.sql.catalyst.util.ArrayData)
+         |    $ref.compute($c);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = newChild)
+}
+
+object WarcRecordsExpr {
+  import org.apache.spark.sql.types._
+  val record: StructType = StructType(Seq(
+    StructField("record_id", StringType, nullable = false),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = false),
+    StructField("warc_date", TimestampType, nullable = true),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("content_type", StringType, nullable = false),
+    StructField("body", StringType, nullable = false),
+    StructField("n_body_bytes", LongType, nullable = false)))
 }

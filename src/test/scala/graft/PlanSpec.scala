@@ -722,6 +722,15 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     assert(pl.contains("least(ctr#"), pl)
   }
 
+  test("multimodal_decode_jpeg: synth, full entropy-decode, and stats " +
+      "are all per-row projections — zero shuffle, blobs never leave " +
+      "the scan stage") {
+    val p = plan("multimodal_decode_jpeg")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("jpeg_decode"), p)
+    assert(p.contains("jpeg_synth"), p)
+  }
+
   test("compressionRatioSignal: the deflate signal is computed inside " +
       "the scan projection — zero shuffle, codegen'd, 2-col read " +
       "(the near-free property that prices it at ~one corpus scan)") {

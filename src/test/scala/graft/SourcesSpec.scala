@@ -222,6 +222,41 @@ class WarcSpec extends AnyFunSuite with SparkTester {
       GenWarcFixture.responses.map(_.id).toSet)
   }
 
+  test("warcStream: files landing in a drop directory stream out as " +
+      "record rows exactly once, agreeing with the batch reader") {
+    import java.util.zip.GZIPOutputStream
+    val dir = java.nio.file.Files.createTempDirectory("warcdrop")
+    val recs = GenWarcFixture.sampleRecords
+    def land(name: String, rs: Seq[Array[Byte]]): Unit = {
+      val tmp = dir.resolve(name + ".tmp")
+      val f = new java.io.FileOutputStream(tmp.toFile)
+      rs.foreach { r =>
+        val g = new GZIPOutputStream(f); g.write(r); g.finish()
+      }
+      f.close()
+      // atomic rename — the file-stream contract for drop directories
+      java.nio.file.Files.move(tmp, dir.resolve(name))
+    }
+    land("a.warc.gz", recs.take(3))
+    val q = graft.sources.Warc.warcStream(spark, dir.toString,
+        keepTypes = Set.empty)
+      .writeStream.format("memory").queryName("warc_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.table("warc_stream_out").count()
+      assert(n1 == 3, s"first batch: $n1")
+      land("b.warc.gz", recs.drop(3))
+      q.processAllAvailable()
+      val got = spark.table("warc_stream_out").collect()
+      assert(got.length == 6) // exactly once: 3 + 3, no re-reads
+      val batch = graft.sources.Warc.warc(spark,
+        dir.toString + "/*.warc.gz", keepTypes = Set.empty)
+        .collect().map(_.toSeq).toSet
+      assert(got.map(_.toSeq).toSet == batch)
+    } finally q.stop()
+  }
+
   test("parquet twin matches the live decode row-for-row (the oracle " +
       "is not an echo: it is built from the record definitions, the " +
       "scan from the encoded bytes)") {
