@@ -5181,6 +5181,86 @@ object TextQueries {
           FROM documents d LEFT JOIN agg USING (doc_id)"""
       }),
 
+    // readability-style MAIN-CONTENT extraction (the real boilerplate
+    // remover behind the reference's newspaper3k enrichment): each doc
+    // becomes a synthesized article page — two real paragraphs wrapped
+    // in a link-dense nav (fails both JusText rules) and a LONG
+    // link-dense footer (fails ONLY the density rule, so the density
+    // verdict is load-bearing); the extractor keeps blocks with >= 25
+    // chars and link-density < 0.5 via the exact integer rule
+    // 1000·link < 500·n. The oracle replays synthesis, block split,
+    // tag strip, anchor sums, both verdicts, and the ordered join
+    Q("text_extract_content",
+      (s, dir) => {
+        import graft.operators.Enrich
+        val d = Sources.table(s, dir, "documents")
+        Enrich.extractMainContent(
+          d.select(col("doc_id"),
+            Enrich.articleHtml(col("text")).as("page")),
+          "doc_id", "page")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+              AS t
+          FROM documents),
+        parts AS (
+          SELECT doc_id,
+            greatest(len(t) // 2, 1) AS half,
+            array_to_string(t[1 : greatest(len(t) // 2, 1)], ' ')
+              AS p1,
+            array_to_string(t[greatest(len(t) // 2, 1) + 1 : len(t)],
+              ' ') AS p2,
+            t[1] AS w1
+          FROM toks),
+        page AS (
+          SELECT doc_id,
+            '<html><head><title>' || w1 ||
+            ' article</title></head><body>' ||
+            '<p class="nav"><a href="/">Home</a> ' ||
+            '<a href="/about">About</a></p>' ||
+            '<p>' || p1 || '</p><p>' || p2 || '</p>' ||
+            '<p class="footer"><a href="/contact">Contact our ' ||
+            'editorial team</a> <a href="/terms">Terms of use</a> ' ||
+            'and archive index</p>' ||
+            '</body></html>' AS html
+          FROM parts),
+        blocks AS (
+          SELECT doc_id, html,
+            regexp_extract_all(html, '(?s)<p[^>]*>(.*?)</p>', 1) AS bs
+          FROM page),
+        bx AS (
+          SELECT doc_id, generate_subscripts(bs, 1) AS bi,
+            unnest(bs) AS b
+          FROM blocks),
+        bstat AS (
+          SELECT doc_id, bi,
+            trim(regexp_replace(b, '<[^>]*>', '', 'gs')) AS txt,
+            coalesce(len(array_to_string(list_transform(
+              regexp_extract_all(b, '(?s)<a[^>]*>(.*?)</a>', 1),
+              x -> regexp_replace(x, '<[^>]*>', '', 'gs')), '')), 0)
+              AS link_chars
+          FROM bx),
+        verdict AS (
+          SELECT doc_id, bi, txt,
+            len(txt) >= 25 AND 1000 * link_chars < 500 * len(txt)
+              AS keep
+          FROM bstat),
+        agg AS (
+          SELECT doc_id,
+            CAST(count(*) AS INTEGER) AS n_blocks,
+            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INTEGER)
+              AS n_kept,
+            coalesce(string_agg(CASE WHEN keep THEN txt END, ' '
+              ORDER BY bi), '') AS content
+          FROM verdict GROUP BY doc_id)
+        SELECT b.doc_id,
+          regexp_extract(b.html, '(?s)<title>(.*?)</title>', 1)
+            AS title,
+          a.n_blocks, a.n_kept, a.content,
+          CAST(len(a.content) AS INTEGER) AS n_content_chars
+        FROM blocks b JOIN agg a USING (doc_id)""")),
+
     // self-BLEU-flavoured corpus-overlap diversity audit: fraction of
     // each doc's distinct 4-grams appearing in OTHER docs. Spark
     // shuffles xxhash64 gram keys; the oracle recomputes over gram

@@ -107,4 +107,73 @@ object Enrich {
       }
     }
   }
+
+  import org.apache.spark.sql.Column
+
+  /** Readability/JusText-style MAIN-CONTENT extraction — the real
+    * boilerplate remover behind the reference's newspaper3k enrichment
+    * (reference: extractor/extractor.py:79-121 delegates this to the
+    * library; here it is first-class and differential-testable). Block
+    * model: every `<p …>…</p>` element is a candidate block; a block
+    * survives iff its tag-stripped text has at least `minChars`
+    * characters AND its LINK DENSITY (anchor-text chars / text chars)
+    * stays under `maxLinkDensityMilli`/1000 — the two JusText core
+    * rules that drop navigation bars, footers, and link farms while
+    * keeping prose (Pomikálek 2011, "Removing boilerplate and
+    * duplicate content from web corpora", §4.1; Readability's original
+    * link-density heuristic). Exact integer rule: `1000·link_chars <
+    * maxLinkDensityMilli·n_chars` — no float density is materialized,
+    * so any ANSI engine replays the verdict.
+    *
+    * Scale shape: pure codegen'd string/array built-ins in ONE
+    * projection — regexp_extract_all for blocks and anchors, transform
+    * /filter/aggregate for the per-block algebra; zero shuffle, the
+    * page never leaves the scan (PlanSpec-pinned). */
+  def extractMainContent(df: DataFrame, idCol: String, htmlCol: String,
+      minChars: Int = 25, maxLinkDensityMilli: Int = 500): DataFrame = {
+    val html = col(htmlCol)
+    val blocks = regexp_extract_all(html,
+      lit("(?s)<p[^>]*>(.*?)</p>"), lit(1))
+    val parsed = transform(blocks, b => struct(
+      trim(regexp_replace(b, "<[^>]*>", "")).as("txt"),
+      aggregate(
+        transform(
+          regexp_extract_all(b, lit("(?s)<a[^>]*>(.*?)</a>"), lit(1)),
+          t => length(regexp_replace(t, "<[^>]*>", ""))),
+        lit(0), (a, x) => a + x).as("link_chars")))
+    val kept = filter(parsed, p =>
+      length(p.getField("txt")) >= minChars &&
+        p.getField("link_chars") * lit(1000) <
+          length(p.getField("txt")) * lit(maxLinkDensityMilli))
+    df.select(col(idCol),
+      regexp_extract(html, "(?s)<title>(.*?)</title>", 1).as("title"),
+      size(blocks).as("n_blocks"),
+      size(kept).as("n_kept"),
+      array_join(transform(kept, p => p.getField("txt")), " ")
+        .as("content"))
+      .withColumn("n_content_chars", length(col("content")))
+  }
+
+  /** Deterministic article-page synthesis for the extraction oracle:
+    * the document's words become two real `<p>` paragraphs wrapped in
+    * a nav block (short AND link-dense — dropped by both rules) and a
+    * footer block (LONG but link-dense — dropped by the density rule
+    * alone, so the density verdict is genuinely load-bearing). */
+  def articleHtml(text: Column): Column = {
+    val toks = graft.functions.Cleaning.tokens(text)
+    val half = greatest((size(toks) / 2).cast("int"), lit(1))
+    val p1 = array_join(slice(toks, lit(1), half), " ")
+    val p2 = array_join(
+      slice(toks, half + lit(1), size(toks) - half), " ")
+    concat(
+      lit("<html><head><title>"), element_at(toks, 1),
+      lit(" article</title></head><body>"),
+      lit("<p class=\"nav\"><a href=\"/\">Home</a> " +
+        "<a href=\"/about\">About</a></p>"),
+      lit("<p>"), p1, lit("</p><p>"), p2, lit("</p>"),
+      lit("<p class=\"footer\"><a href=\"/contact\">Contact our " +
+        "editorial team</a> <a href=\"/terms\">Terms of use</a> " +
+        "and archive index</p>"),
+      lit("</body></html>"))
+  }
 }

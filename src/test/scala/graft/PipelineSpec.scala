@@ -50,6 +50,51 @@ class EnrichSpec extends AnyFunSuite with SparkTester {
     assert(EnrichSpec.opens.get() >= 1)
     assert(EnrichSpec.closes.get() == EnrichSpec.opens.get())
   }
+
+
+  test("extractMainContent: length and link-density rules drop " +
+      "boilerplate independently; prose survives in order") {
+    val page = "<html><head><title>T1 article</title></head><body>" +
+      // nav: short AND dense -> dropped by both rules
+      "<p class=\"nav\"><a href=\"/\">Home</a> <a>About</a></p>" +
+      // prose block 1: long, no links -> kept
+      "<p>alpha beta gamma delta epsilon zeta eta theta iota</p>" +
+      // long but link-DENSE (density rule alone drops it)
+      "<p><a href=\"/x\">a very long anchor text that dominates " +
+      "this block entirely</a> tail</p>" +
+      // prose block 2 with a light link (density under 0.5) -> kept
+      "<p>kappa lambda mu nu xi omicron pi rho sigma tau " +
+      "<a href=\"/y\">ref</a></p>" +
+      // short prose -> dropped by length
+      "<p>tiny</p>" +
+      "</body></html>"
+    val out = Enrich.extractMainContent(
+      Seq((1L, page)).toDF("doc_id", "page"), "doc_id", "page").head()
+    assert(out.getAs[String]("title") == "T1 article")
+    assert(out.getAs[Int]("n_blocks") == 5)
+    assert(out.getAs[Int]("n_kept") == 2)
+    val content = out.getAs[String]("content")
+    assert(content.startsWith("alpha beta"))
+    assert(content.contains("kappa lambda"))
+    assert(content.contains("ref")) // anchor TEXT is kept, tags go
+    assert(!content.contains("Home") && !content.contains("anchor text"))
+    assert(out.getAs[Int]("n_content_chars") == content.length)
+  }
+
+  test("extractMainContent: pages without title or paragraphs yield " +
+      "empty-but-typed rows, nested tags inside anchors strip") {
+    val out = Enrich.extractMainContent(
+      Seq((1L, "<html><body>no blocks here</body></html>"),
+        (2L, "<p><a href=\"/z\"><b>bold link text that is long " +
+          "enough to matter here</b></a> x</p>"))
+        .toDF("doc_id", "page"), "doc_id", "page")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("title") == "")
+    assert(out(1L).getAs[Int]("n_blocks") == 0)
+    assert(out(1L).getAs[String]("content") == "")
+    // the bold-wrapped anchor text counts as LINK chars -> density drop
+    assert(out(2L).getAs[Int]("n_kept") == 0)
+  }
 }
 
 object EnrichSpec {
