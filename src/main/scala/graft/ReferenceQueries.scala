@@ -1024,6 +1024,63 @@ object ReferenceQueries {
           '/root/repo/fixtures/warc_twin/part-0.parquet')
         WHERE http_status = 200""")),
 
+    // WARC → readability extraction composed: HTML responses from the
+    // crawl scan through the JusText-rule main-content extractor — the
+    // nav/footer boilerplate planted in the fixture pages drops, the
+    // prose paragraphs (including one with an inline citation link)
+    // survive in order. The oracle replays block split, tag strip,
+    // anchor sums, both verdicts, and the ordered join over the twin
+    Q("warc_extract",
+      (s, _) => {
+        import graft.operators.Enrich
+        val w = graft.sources.Warc.warc(
+          s, "/root/repo/fixtures/warc/sample.warc.gz")
+          .filter(col("http_status") === 200 &&
+            col("content_type").startsWith("text/html"))
+        Enrich.extractMainContent(
+          w.select(col("record_id"), col("body")), "record_id", "body")
+      },
+      Some("""WITH pages AS (
+          SELECT record_id, body AS html
+          FROM read_parquet(
+            '/root/repo/fixtures/warc_twin/part-0.parquet')
+          WHERE http_status = 200 AND content_type LIKE 'text/html%'),
+        blocks AS (
+          SELECT record_id, html,
+            regexp_extract_all(html, '(?s)<p[^>]*>(.*?)</p>', 1) AS bs
+          FROM pages),
+        bx AS (
+          SELECT record_id, generate_subscripts(bs, 1) AS bi,
+            unnest(bs) AS b
+          FROM blocks),
+        bstat AS (
+          SELECT record_id, bi,
+            trim(regexp_replace(b, '<[^>]*>', '', 'gs')) AS txt,
+            coalesce(len(array_to_string(list_transform(
+              regexp_extract_all(b, '(?s)<a[^>]*>(.*?)</a>', 1),
+              x -> regexp_replace(x, '<[^>]*>', '', 'gs')), '')), 0)
+              AS link_chars
+          FROM bx),
+        verdict AS (
+          SELECT record_id, bi, txt,
+            len(txt) >= 25 AND 1000 * link_chars < 500 * len(txt)
+              AS keep
+          FROM bstat),
+        agg AS (
+          SELECT record_id,
+            CAST(count(*) AS INTEGER) AS n_blocks,
+            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INTEGER)
+              AS n_kept,
+            coalesce(string_agg(CASE WHEN keep THEN txt END, ' '
+              ORDER BY bi), '') AS content
+          FROM verdict GROUP BY record_id)
+        SELECT b.record_id,
+          regexp_extract(b.html, '(?s)<title>(.*?)</title>', 1)
+            AS title,
+          a.n_blocks, a.n_kept, a.content,
+          CAST(len(a.content) AS INTEGER) AS n_content_chars
+        FROM blocks b JOIN agg a USING (record_id)""")),
+
     // SCHEMA-EVOLUTION parquet scan: two files whose schemas drifted
     // (the 2024 crawl added lang + quality) read as one union-schema
     // relation, old files null-filling the new columns — the footer

@@ -152,14 +152,25 @@ object GenWarcFixture {
     Resp("<urn:uuid:00000000-0000-0000-0000-000000000001>",
       "https://News.Example.com:443/articles/1?utm_source=feed&x=1#top",
       "2024-01-15T12:30:00Z", 200, "OK", "text/html; charset=utf-8",
-      "<html><head><title>One</title></head>" +
-        "<body>First article body, canonical twin A.</body></html>"),
+      "<html><head><title>One</title></head><body>" +
+        "<p class=\"nav\"><a href=\"/\">Home</a> " +
+        "<a href=\"/news\">News</a></p>" +
+        "<p>First article body paragraph, canonical twin A, with " +
+        "enough prose to clear the length rule.</p>" +
+        "<p>A second paragraph citing a <a href=\"/ref\">source</a> " +
+        "inside otherwise ordinary text.</p>" +
+        "<p class=\"footer\"><a href=\"/contact\">Contact our " +
+        "editorial team today</a> <a href=\"/terms\">Terms of " +
+        "use</a> index</p></body></html>"),
     Resp("<urn:uuid:00000000-0000-0000-0000-000000000002>",
       "https://news.example.com/articles/1?x=1",
       "2024-01-15T12:45:00Z", 200, "OK", "text/html; charset=utf-8",
-      "<html><head><title>One again</title></head>" +
-        "<body>Second fetch of the same page, canonical twin B.</body>" +
-        "</html>"),
+      "<html><head><title>One again</title></head><body>" +
+        "<p class=\"nav\"><a href=\"/\">Home</a> " +
+        "<a href=\"/news\">News</a></p>" +
+        "<p>Second fetch of the same page, canonical twin B, again " +
+        "with enough prose to clear the length rule.</p>" +
+        "</body></html>"),
     Resp("<urn:uuid:00000000-0000-0000-0000-000000000003>",
       "https://other.example.org/unicode",
       "2024-02-29T23:59:59Z", 200, "OK", "text/plain; charset=utf-8",
