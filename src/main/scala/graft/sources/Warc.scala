@@ -60,10 +60,25 @@ object Warc {
     val minParts = spark.sparkContext.defaultParallelism
     val rows = spark.sparkContext
       .binaryFiles(path, minParts)
-      .flatMap { case (_, pds) => records(open(pds.open())) }
+      .flatMap { case (_, pds) => taskScopedRecords(pds.open()) }
     val df = spark.createDataset(rows).toDF()
     if (keepTypes.isEmpty) df
     else df.filter(col("warc_type").isin(keepTypes.toSeq: _*))
+  }
+
+  /** [[records]] over `raw`, with the (possibly GZIP) stream ALSO
+    * closed by a task-completion listener: a partially-consumed
+    * iterator (a `limit`/`take` pushed into the flatMap) would
+    * otherwise leak the open stream for the rest of the task, since
+    * the iterator itself only closes on drain or error. Same pattern
+    * as [[graft.operators.Enrich.enrich]]'s fetcher lifecycle. */
+  private[graft] def taskScopedRecords(raw: InputStream)
+      : Iterator[WarcRow] = {
+    val in = open(raw)
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ =>
+        try in.close() catch { case _: Throwable => () }))
+    records(in)
   }
 
   /** STREAMING acquisition: watch a drop directory with the
@@ -89,10 +104,14 @@ object Warc {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("content",
         org.apache.spark.sql.types.BinaryType)))
+    // the brace alternation admits exactly the two final suffixes —
+    // NOT "*.warc*", which would also match staging names like
+    // `x.warc.gz.tmp` mid-write and double-deliver those records when
+    // the rename lands the final path as a new file
     val files = spark.readStream
       .format("binaryFile")
       .schema(binarySchema)
-      .option("pathGlobFilter", "*.warc*")
+      .option("pathGlobFilter", "*.{warc,warc.gz}")
       .load(dir)
     val recs = files.select(
         org.apache.spark.sql.functions.explode(
@@ -185,7 +204,32 @@ object Warc {
 
   /** HTTP/1.x message: status line, headers, `\r\n\r\n`, body. A
     * payload that is not an HTTP message (no `HTTP/` prefix) is kept
-    * whole as the body with a null status — never dropped silently. */
+    * whole as the body with a null status — never dropped silently.
+    *
+    * The WIRE body is then decoded to the ENTITY body the way any
+    * HTTP client would — real crawl records (Common Crawl response
+    * records among them) routinely arrive `Transfer-Encoding:
+    * chunked` and/or `Content-Encoding: gzip|deflate`, and taking the
+    * raw bytes would hand chunk-framing lines or binary DEFLATE
+    * garbage to every downstream text operator (the reference gets
+    * this decoding implicitly from its HTTP library,
+    * extractor/extractor.py:212):
+    *
+    *  1. chunked transfer decoding (RFC 9112 §7.1) when the final
+    *     `transfer-encoding` token says so — extensions after the
+    *     chunk size are ignored, trailers discarded;
+    *  2. content decoding for `gzip`/`x-gzip` (RFC 1952) and
+    *     `deflate` (RFC 1950 zlib, with the raw-RFC 1951 fallback the
+    *     real web requires — a well-known server family sends
+    *     unwrapped streams under that name).
+    *
+    * An encoding we cannot decode (`br`, `zstd` — no JDK codec) keeps
+    * the wire bytes: never dropped silently, and the content-type
+    * still routes such rows away from the text operators. MALFORMED
+    * framing (bad chunk-size line, truncated chunk or DEFLATE stream)
+    * throws, which under the caller's PERMISSIVE posture ends that
+    * FILE after its complete preceding records — a body that lies
+    * about its own framing is indistinguishable from corruption. */
   private def parseHttp(payload: Array[Byte])
       : (Option[Int], Map[String, String], Array[Byte]) = {
     val sep = indexOfDoubleCrlf(payload)
@@ -203,7 +247,96 @@ object Warc {
       else Some(l.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
         -> l.substring(i + 1).trim)
     }.toMap
-    (status, hs, body)
+    val chunked = hs.get("transfer-encoding").exists(
+      _.split(",").map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        .lastOption.contains("chunked"))
+    val wire = if (chunked) dechunk(body) else body
+    val entity =
+      hs.getOrElse("content-encoding", "")
+          .trim.toLowerCase(java.util.Locale.ROOT) match {
+        case "gzip" | "x-gzip" => gunzip(wire)
+        case "deflate"         => inflate(wire)
+        case _                 => wire // identity / absent / undecodable
+      }
+    (status, hs, entity)
+  }
+
+  /** Chunked transfer decoding (RFC 9112 §7.1): `hex-size[;ext]\r\n
+    * data\r\n` repeated, `0`-size last chunk, optional trailer fields.
+    * Throws on a non-hex size line, a chunk outrunning the buffer, or
+    * a missing data CRLF — the caller stops the file (see
+    * [[parseHttp]]). Trailers after the last chunk are discarded. */
+  private[graft] def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var i = 0
+    def line(): String = {
+      val start = i
+      while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n'))
+        i += 1
+      if (i + 1 >= b.length)
+        throw new EOFException("truncated chunked body: missing CRLF")
+      val s = new String(b, start, i - start, "ISO-8859-1")
+      i += 2
+      s
+    }
+    var done = false
+    while (!done) {
+      val sizeLine = line()
+      val hex = sizeLine.takeWhile(_ != ';').trim
+      if (hex.isEmpty || !hex.forall(c => Character.digit(c, 16) >= 0))
+        throw new java.io.IOException(s"bad chunk size line: '$sizeLine'")
+      val n = java.lang.Long.parseLong(hex, 16)
+      if (n == 0L) done = true // trailers (if any) are discarded
+      else {
+        if (n > Int.MaxValue || i + n > b.length)
+          throw new EOFException(s"truncated chunk: need $n bytes")
+        out.write(b, i, n.toInt)
+        i += n.toInt
+        if (i + 1 >= b.length || b(i) != '\r' || b(i + 1) != '\n')
+          throw new java.io.IOException("missing CRLF after chunk data")
+        i += 2
+      }
+    }
+    out.toByteArray
+  }
+
+  /** RFC 1952 gzip body → bytes; a truncated or corrupt stream throws
+    * (EOFException/ZipException), stopping the file permissively. */
+  private[graft] def gunzip(b: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(
+      new java.io.ByteArrayInputStream(b), 1 << 16)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, b.length * 4))
+    val buf = new Array[Byte](1 << 16)
+    var r = in.read(buf)
+    while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+
+  /** `Content-Encoding: deflate` body → bytes. Per RFC 9110 the name
+    * means a ZLIB (RFC 1950) wrapper, but a well-known class of
+    * servers sends raw RFC 1951 streams — try zlib first, and on a
+    * format error retry raw (the order every browser implements).
+    * Truncation (inflater starves before finishing) throws. */
+  private[graft] def inflate(b: Array[Byte]): Array[Byte] = {
+    def run(nowrap: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      try {
+        inf.setInput(b)
+        val out =
+          new java.io.ByteArrayOutputStream(math.max(64, b.length * 4))
+        val buf = new Array[Byte](1 << 16)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n > 0) out.write(buf, 0, n)
+          else if (inf.needsInput() || inf.needsDictionary())
+            throw new EOFException("truncated deflate body")
+        }
+        out.toByteArray
+      } finally inf.end()
+    }
+    try run(false)
+    catch { case _: java.util.zip.DataFormatException => run(true) }
   }
 
   private def indexOfDoubleCrlf(b: Array[Byte]): Int = {

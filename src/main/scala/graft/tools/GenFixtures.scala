@@ -124,18 +124,23 @@ object GenHiveFixture {
   }
 }
 
-/** Writes the committed WARC fixtures (r14):
+/** Writes the committed WARC fixtures (r14, payload encodings r15):
   *
-  *  - `fixtures/warc/sample.warc.gz` — 6 records (warcinfo, 4 responses,
-  *    request) as MULTI-MEMBER gzip, one member per record (the Common
-  *    Crawl layout, so the reader's concatenated-member path is what the
+  *  - `fixtures/warc/sample.warc.gz` — warcinfo + request + 8 responses
+  *    as MULTI-MEMBER gzip, one member per record (the Common Crawl
+  *    layout, so the reader's concatenated-member path is what the
   *    oracle row exercises). Responses 1 and 2 are canonical-URL twins
-  *    feeding the url-canonicalization dedup chain.
+  *    feeding the url-canonicalization dedup chain. Responses 5–8 carry
+  *    the wire encodings real crawls record — chunked transfer coding
+  *    (with a chunk extension and a trailer field), Content-Encoding
+  *    gzip, chunked+gzip stacked (the common combination), and zlib
+  *    deflate — while the twin stores the DECODED entity body, so a
+  *    dechunk/decompress bug diverges the two.
   *  - `fixtures/warc/truncated.warc.gz` — the first two records complete,
   *    the third cut mid-payload (single member): the reader must yield
   *    exactly the two complete records.
   *  - `fixtures/warc_twin/part-0.parquet` — the DuckDB-readable twin of
-  *    the 4 response rows, built from the SAME in-memory definitions the
+  *    the 8 response rows, built from the SAME in-memory definitions the
   *    WARC bytes are encoded from (scan_orc convention: same logical
   *    content committed once per format — a decode bug diverges the two,
   *    so the twin is an oracle, not an echo).
@@ -143,8 +148,12 @@ object GenHiveFixture {
   * Run once and commit all three. */
 object GenWarcFixture {
 
+  /** `body` is always the DECODED entity text (what the twin stores and
+    * the reader must recover); `chunked`/`encoding` say how the HTTP
+    * payload encodes it on the wire. */
   final case class Resp(id: String, uri: String, date: String,
-      status: Int, reason: String, ctype: String, body: String)
+      status: Int, reason: String, ctype: String, body: String,
+      chunked: Boolean = false, encoding: String = "identity")
 
   /** The response records — shared source of truth for the WARC bytes
     * and the parquet twin. */
@@ -178,15 +187,102 @@ object GenWarcFixture {
     Resp("<urn:uuid:00000000-0000-0000-0000-000000000004>",
       "http://example.com/missing",
       "2024-03-01T00:00:01Z", 404, "Not Found", "text/plain",
-      "not found"))
+      "not found"),
+    // wire-encoded payloads (r15): decoded entity text is the truth the
+    // twin stores; httpPayload re-encodes it per the flags below
+    Resp("<urn:uuid:00000000-0000-0000-0000-000000000005>",
+      "https://chunked.example.net/modern",
+      "2024-03-02T08:00:00Z", 200, "OK", "text/html; charset=utf-8",
+      "<html><head><title>Chunked</title></head><body>" +
+        "<div class=\"nav\"><a href=\"/\">Home</a> " +
+        "<a href=\"/about\">About our whole site</a></div>" +
+        "<div>A modern page paragraphs with divs, not p tags; this " +
+        "block carries enough plain prose to clear the length rule " +
+        "on its own.</div>" +
+        "<p>One legacy paragraph tag kept for the p-block chain, " +
+        "also long enough to pass the extractor's length gate.</p>" +
+        "</body></html>",
+      chunked = true),
+    Resp("<urn:uuid:00000000-0000-0000-0000-000000000006>",
+      "https://gz.example.net/compressed",
+      "2024-03-02T09:30:00Z", 200, "OK", "text/plain; charset=utf-8",
+      "This body travelled Content-Encoding: gzip over the wire — " +
+        "the reader must hand downstream operators the inflated " +
+        "prose, not RFC 1952 bytes. Grüße nochmal — 再见。",
+      encoding = "gzip"),
+    Resp("<urn:uuid:00000000-0000-0000-0000-000000000007>",
+      "https://both.example.net/stacked",
+      "2024-03-02T10:45:00Z", 200, "OK", "text/html; charset=utf-8",
+      "<html><head><title>Stacked</title></head><body>" +
+        "<p>Chunked transfer coding OVER a gzip content coding — " +
+        "the order every real server stacks them in, dechunk first " +
+        "then inflate, with prose enough for the length rule.</p>" +
+        "<p class=\"footer\"><a href=\"/terms\">All terms</a> " +
+        "<a href=\"/privacy\">and privacy</a></p></body></html>",
+      chunked = true, encoding = "gzip"),
+    Resp("<urn:uuid:00000000-0000-0000-0000-000000000008>",
+      "https://zlib.example.net/deflated",
+      "2024-03-02T12:00:00Z", 200, "OK", "text/plain",
+      "Content-Encoding: deflate in its RFC 1950 zlib dress — the " +
+        "wrapper most conformant servers send under that name.",
+      encoding = "deflate"))
 
   private def crlf(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
 
+  private def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.finish()
+    bos.toByteArray
+  }
+
+  private def zlibBytes(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater() // default = zlib-wrapped
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** RFC 9112 chunked framing in ~32-byte chunks; the first chunk
+    * carries an extension and the last-chunk line a trailer field, so
+    * the reader's ignore-paths are exercised by the committed bytes. */
+  private[tools] def chunk(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length + 64)
+    var off = 0
+    var first = true
+    while (off < b.length) {
+      val n = math.min(32, b.length - off)
+      val ext = if (first) ";graft=fixture" else ""
+      out.write(crlf(f"$n%x$ext%s\r\n"))
+      out.write(b, off, n)
+      out.write(crlf("\r\n"))
+      off += n
+      first = false
+    }
+    out.write(crlf("0\r\nX-Fixture-Trailer: ok\r\n\r\n"))
+    out.toByteArray
+  }
+
   def httpPayload(r: Resp): Array[Byte] = {
-    val body = r.body.getBytes("UTF-8")
+    val entity = r.body.getBytes("UTF-8")
+    val encoded = r.encoding match {
+      case "gzip"    => gzipBytes(entity)
+      case "deflate" => zlibBytes(entity)
+      case _         => entity
+    }
+    val wire = if (r.chunked) chunk(encoded) else encoded
+    val ceHeader =
+      if (r.encoding == "identity") ""
+      else s"Content-Encoding: ${r.encoding}\r\n"
+    val framing =
+      if (r.chunked) "Transfer-Encoding: chunked\r\n"
+      else s"Content-Length: ${wire.length}\r\n"
     crlf(s"HTTP/1.1 ${r.status} ${r.reason}\r\n" +
-      s"Content-Type: ${r.ctype}\r\n" +
-      s"Content-Length: ${body.length}\r\n\r\n") ++ body
+      s"Content-Type: ${r.ctype}\r\n" + ceHeader + framing + "\r\n") ++
+      wire
   }
 
   def record(typ: String, id: String, uri: String, date: String,
@@ -202,7 +298,8 @@ object GenWarcFixture {
       payload ++ crlf("\r\n\r\n")
   }
 
-  /** All six records of the sample file, in file order. */
+  /** All records of the sample file, in file order (warcinfo, response
+    * 1, request, responses 2–8). */
   def sampleRecords: Seq[Array[Byte]] = {
     val info = record("warcinfo",
       "<urn:uuid:00000000-0000-0000-0000-00000000000f>", "",
@@ -215,7 +312,8 @@ object GenWarcFixture {
       crlf("GET /articles/1 HTTP/1.1\r\nHost: news.example.com\r\n\r\n"))
     val resps = responses.map(r => record("response", r.id, r.uri, r.date,
       "application/http; msgtype=response", httpPayload(r)))
-    Seq(info, resps(0), req, resps(1), resps(2), resps(3))
+    Seq(info, resps(0), req, resps(1), resps(2), resps(3)) ++
+      resps.drop(4)
   }
 
   def main(args: Array[String]): Unit = {

@@ -130,12 +130,12 @@ class WarcSpec extends AnyFunSuite with SparkTester {
 
   private val sample = "/root/repo/fixtures/warc/sample.warc.gz"
 
-  test("sample fixture: 4 response records decode with status, " +
+  test("sample fixture: 8 response records decode with status, " +
       "content-type, unicode body, and exact byte counts; warcinfo " +
       "and request records are filtered") {
     val rows = Warc.warc(spark, sample).collect()
       .map(r => r.getAs[String]("record_id") -> r).toMap
-    assert(rows.size == 4)
+    assert(rows.size == 8)
     val r1 = rows("<urn:uuid:00000000-0000-0000-0000-000000000001>")
     assert(r1.getAs[String]("warc_type") == "response")
     assert(r1.getAs[Int]("http_status") == 200)
@@ -153,11 +153,98 @@ class WarcSpec extends AnyFunSuite with SparkTester {
       java.time.Instant.parse("2024-03-01T00:00:01Z"))
   }
 
-  test("keepTypes widens the scan: all 6 records, non-HTTP payloads " +
+  test("wire encodings decode to the entity body: chunked (with " +
+      "extension + trailer), Content-Encoding gzip, chunked-over-gzip " +
+      "stacked, and zlib deflate all hand downstream the decoded " +
+      "prose, with n_body_bytes counting DECODED bytes") {
+    val byId = Warc.warc(spark, sample).collect()
+      .map(r => r.getAs[String]("record_id") -> r).toMap
+    GenWarcFixture.responses.drop(4).foreach { want =>
+      val got = byId(want.id)
+      assert(got.getAs[String]("body") == want.body,
+        s"decoded body mismatch for ${want.uri}")
+      assert(got.getAs[Long]("n_body_bytes") ==
+        want.body.getBytes("UTF-8").length.toLong)
+      // no chunk framing or compression bytes leak into the text
+      assert(!got.getAs[String]("body").matches("(?s)^[0-9a-f]+;.*"))
+    }
+  }
+
+  test("malformed chunk framing (non-hex size line) ends THAT FILE " +
+      "after its complete preceding records — the permissive posture") {
+    val bad = GenWarcFixture.responses(4) // the chunked record
+    val goodBytes = GenWarcFixture.record("response", bad.id, bad.uri,
+      bad.date, "application/http; msgtype=response",
+      GenWarcFixture.httpPayload(bad))
+    // corrupt the first chunk-size line: the hex digits become 'zz'
+    val s = new String(goodBytes, "ISO-8859-1")
+    val corrupt = s.replaceFirst("\r\n20;graft=fixture\r\n",
+      "\r\nzz;graft=fixture\r\n").getBytes("ISO-8859-1")
+    assert(!java.util.Arrays.equals(corrupt, goodBytes),
+      "fixture drift: expected a 0x20-sized first chunk to corrupt")
+    val prefix = GenWarcFixture.sampleRecords.head // complete warcinfo
+    val got = Warc.records(
+      new java.io.ByteArrayInputStream(prefix ++ corrupt)).toList
+    assert(got.map(_.warc_type) == List("warcinfo"))
+  }
+
+  test("truncated gzip entity body ends the file permissively after " +
+      "prior records; an undecodable coding (br) keeps wire bytes " +
+      "rather than dropping the row") {
+    val entity = "gzip body that will be cut".getBytes("UTF-8")
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(entity); g.finish()
+    val cut = java.util.Arrays.copyOfRange(
+      bos.toByteArray, 0, bos.size() / 2)
+    def resp(ce: String, wire: Array[Byte]): Array[Byte] = {
+      val head = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+        s"Content-Encoding: $ce\r\nContent-Length: ${wire.length}" +
+        "\r\n\r\n").getBytes("ISO-8859-1")
+      GenWarcFixture.record("response",
+        "<urn:uuid:spec-gzip-cut>", "https://x.example/cut",
+        "2024-03-03T00:00:00Z", "application/http; msgtype=response",
+        head ++ wire)
+    }
+    val prefix = GenWarcFixture.sampleRecords.head
+    val got = Warc.records(new java.io.ByteArrayInputStream(
+      prefix ++ resp("gzip", cut))).toList
+    assert(got.map(_.warc_type) == List("warcinfo"))
+    // unknown coding: row survives with the wire bytes kept
+    val brWire = Array[Byte](1, 2, 3, 4)
+    val got2 = Warc.records(new java.io.ByteArrayInputStream(
+      resp("br", brWire))).toList
+    assert(got2.length == 1)
+    assert(got2.head.n_body_bytes == brWire.length.toLong)
+  }
+
+  test("raw (unwrapped RFC 1951) deflate bodies also inflate — the " +
+      "browser fallback for the server family that sends them") {
+    val entity = "raw deflate stream without the zlib wrapper"
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true) // nowrap
+    d.setInput(entity.getBytes("UTF-8")); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val wire = out.toByteArray
+    val head = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+      s"Content-Encoding: deflate\r\nContent-Length: ${wire.length}" +
+      "\r\n\r\n").getBytes("ISO-8859-1")
+    val rec = GenWarcFixture.record("response",
+      "<urn:uuid:spec-raw-deflate>", "https://x.example/raw",
+      "2024-03-03T00:00:01Z", "application/http; msgtype=response",
+      head ++ wire)
+    val got = Warc.records(new java.io.ByteArrayInputStream(rec)).toList
+    assert(got.map(_.body) == List(entity))
+  }
+
+  test("keepTypes widens the scan: all 10 records, non-HTTP payloads " +
       "kept whole with null status") {
     val all = Warc.warc(spark, sample,
       keepTypes = Set.empty).collect()
-    assert(all.length == 6)
+    assert(all.length == 10)
     val info = all.find(_.getAs[String]("warc_type") == "warcinfo").get
     assert(info.isNullAt(info.fieldIndex("http_status")))
     assert(info.getAs[String]("content_type") == "application/warc-fields")
@@ -192,8 +279,8 @@ class WarcSpec extends AnyFunSuite with SparkTester {
     val bytes = GenWarcFixture.sampleRecords.reduce(_ ++ _)
     val got = Warc.records(Warc.open(
       new java.io.ByteArrayInputStream(bytes))).toList
-    assert(got.length == 6)
-    assert(got.count(_.warc_type == "response") == 4)
+    assert(got.length == 10)
+    assert(got.count(_.warc_type == "response") == 8)
   }
 
   test("a DIRECTORY of WARC files reads as one relation with per-FILE " +
@@ -217,9 +304,22 @@ class WarcSpec extends AnyFunSuite with SparkTester {
     // scale ~1 GiB shards each get their own — the property to pin
     // here is that a multi-file glob reads as one complete relation
     val rows = df.collect()
-    assert(rows.length == 4)
+    assert(rows.length == GenWarcFixture.responses.size)
     assert(rows.map(_.getAs[String]("record_id")).toSet ==
       GenWarcFixture.responses.map(_.id).toSet)
+  }
+
+  test("a limit that leaves the record iterator partially consumed " +
+      "still closes the underlying stream at task end (no leaked " +
+      "file handles across a long-lived executor)") {
+    val bytes = GenWarcFixture.sampleRecords.reduce(_ ++ _)
+    TrackedStream.closed.set(false)
+    spark.sparkContext.range(0L, 1L, 1L, numSlices = 1)
+      .mapPartitions { _ =>
+        Warc.taskScopedRecords(new TrackedStream(bytes)).take(1)
+      }.count()
+    assert(TrackedStream.closed.get(),
+      "stream not closed after task completion with a partial take")
   }
 
   test("warcStream: files landing in a drop directory stream out as " +
@@ -246,10 +346,21 @@ class WarcSpec extends AnyFunSuite with SparkTester {
       q.processAllAvailable()
       val n1 = spark.table("warc_stream_out").count()
       assert(n1 == 3, s"first batch: $n1")
+      // a staging file mid-write must NOT match the glob — "*.warc*"
+      // would list it, decode its complete-record prefix, and then
+      // double-deliver after the rename lands the final name
+      val staging = dir.resolve("c.warc.gz.tmp")
+      val sf = new java.io.FileOutputStream(staging.toFile)
+      val sg = new GZIPOutputStream(sf); sg.write(recs.head); sg.finish()
+      sf.close()
+      q.processAllAvailable()
+      assert(spark.table("warc_stream_out").count() == 3,
+        "staging .tmp file leaked into the stream")
+      java.nio.file.Files.delete(staging)
       land("b.warc.gz", recs.drop(3))
       q.processAllAvailable()
       val got = spark.table("warc_stream_out").collect()
-      assert(got.length == 6) // exactly once: 3 + 3, no re-reads
+      assert(got.length == recs.size) // exactly once, no re-reads
       val batch = graft.sources.Warc.warc(spark,
         dir.toString + "/*.warc.gz", keepTypes = Set.empty)
         .collect().map(_.toSeq).toSet
@@ -267,4 +378,19 @@ class WarcSpec extends AnyFunSuite with SparkTester {
       .orderBy("record_id").collect().map(_.toSeq)
     assert(live.toSeq == twin.toSeq)
   }
+}
+
+/** Spec instrumentation for WarcSpec's stream-lifecycle test: a
+  * ByteArrayInputStream whose close() flips a JVM-static flag (valid
+  * in local mode, where executor and driver share the JVM). */
+class TrackedStream(bytes: Array[Byte])
+    extends java.io.ByteArrayInputStream(bytes) {
+  override def close(): Unit = {
+    TrackedStream.closed.set(true)
+    super.close()
+  }
+}
+
+object TrackedStream {
+  val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
