@@ -5188,8 +5188,11 @@ object TextQueries {
     // link-dense footer (fails ONLY the density rule, so the density
     // verdict is load-bearing); the extractor keeps blocks with >= 25
     // chars and link-density < 0.5 via the exact integer rule
-    // 1000·link < 500·n. The oracle replays synthesis, block split,
-    // tag strip, anchor sums, both verdicts, and the ordered join
+    // 1000·link < 500·n. The oracle replays synthesis, head removal,
+    // block-boundary segmentation (the JusText §4.1 model — the page
+    // splits at every block-level tag, so div-paragraphed pages and
+    // nested blocks segment identically to p ones), tag strip, anchor
+    // sums, both verdicts, and the ordered join
     Q("text_extract_content",
       (s, dir) => {
         import graft.operators.Enrich
@@ -5227,7 +5230,11 @@ object TextQueries {
           FROM parts),
         blocks AS (
           SELECT doc_id, html,
-            regexp_extract_all(html, '(?s)<p[^>]*>(.*?)</p>', 1) AS bs
+            string_split_regex(
+              regexp_replace(html,
+                '(?is)<head[^>]*>.*?</head>', '', 'g'),
+              '(?i)</?(?:p|div|li|td|th|h[1-6]|blockquote|ul|ol|table|tr|section|article)\b[^>]*>')
+              AS bs
           FROM page),
         bx AS (
           SELECT doc_id, generate_subscripts(bs, 1) AS bi,
@@ -5245,7 +5252,7 @@ object TextQueries {
           SELECT doc_id, bi, txt,
             len(txt) >= 25 AND 1000 * link_chars < 500 * len(txt)
               AS keep
-          FROM bstat),
+          FROM bstat WHERE txt <> ''),
         agg AS (
           SELECT doc_id,
             CAST(count(*) AS INTEGER) AS n_blocks,
@@ -5257,9 +5264,12 @@ object TextQueries {
         SELECT b.doc_id,
           regexp_extract(b.html, '(?s)<title>(.*?)</title>', 1)
             AS title,
-          a.n_blocks, a.n_kept, a.content,
-          CAST(len(a.content) AS INTEGER) AS n_content_chars
-        FROM blocks b JOIN agg a USING (doc_id)""")),
+          coalesce(a.n_blocks, 0) AS n_blocks,
+          coalesce(a.n_kept, 0) AS n_kept,
+          coalesce(a.content, '') AS content,
+          CAST(len(coalesce(a.content, '')) AS INTEGER)
+            AS n_content_chars
+        FROM blocks b LEFT JOIN agg a USING (doc_id)""")),
 
     // self-BLEU-flavoured corpus-overlap diversity audit: fraction of
     // each doc's distinct 4-grams appearing in OTHER docs. Spark

@@ -1027,9 +1027,11 @@ object ReferenceQueries {
     // WARC → readability extraction composed: HTML responses from the
     // crawl scan through the JusText-rule main-content extractor — the
     // nav/footer boilerplate planted in the fixture pages drops, the
-    // prose paragraphs (including one with an inline citation link)
-    // survive in order. The oracle replays block split, tag strip,
-    // anchor sums, both verdicts, and the ordered join over the twin
+    // prose blocks (P-paragraphed legacy pages AND the DIV-paragraphed
+    // modern page, record 5) survive in order. The oracle replays
+    // head/script/style removal, block-boundary segmentation, tag
+    // strip, anchor sums, both verdicts, and the ordered join over the
+    // twin
     Q("warc_extract",
       (s, _) => {
         import graft.operators.Enrich
@@ -1047,7 +1049,13 @@ object ReferenceQueries {
           WHERE http_status = 200 AND content_type LIKE 'text/html%'),
         blocks AS (
           SELECT record_id, html,
-            regexp_extract_all(html, '(?s)<p[^>]*>(.*?)</p>', 1) AS bs
+            string_split_regex(
+              regexp_replace(regexp_replace(regexp_replace(html,
+                '(?is)<head[^>]*>.*?</head>', '', 'g'),
+                '(?is)<script[^>]*>.*?</script>', '', 'g'),
+                '(?is)<style[^>]*>.*?</style>', '', 'g'),
+              '(?i)</?(?:p|div|li|td|th|h[1-6]|blockquote|ul|ol|table|tr|section|article)\b[^>]*>')
+              AS bs
           FROM pages),
         bx AS (
           SELECT record_id, generate_subscripts(bs, 1) AS bi,
@@ -1065,7 +1073,7 @@ object ReferenceQueries {
           SELECT record_id, bi, txt,
             len(txt) >= 25 AND 1000 * link_chars < 500 * len(txt)
               AS keep
-          FROM bstat),
+          FROM bstat WHERE txt <> ''),
         agg AS (
           SELECT record_id,
             CAST(count(*) AS INTEGER) AS n_blocks,
@@ -1077,9 +1085,12 @@ object ReferenceQueries {
         SELECT b.record_id,
           regexp_extract(b.html, '(?s)<title>(.*?)</title>', 1)
             AS title,
-          a.n_blocks, a.n_kept, a.content,
-          CAST(len(a.content) AS INTEGER) AS n_content_chars
-        FROM blocks b JOIN agg a USING (record_id)""")),
+          coalesce(a.n_blocks, 0) AS n_blocks,
+          coalesce(a.n_kept, 0) AS n_kept,
+          coalesce(a.content, '') AS content,
+          CAST(len(coalesce(a.content, '')) AS INTEGER)
+            AS n_content_chars
+        FROM blocks b LEFT JOIN agg a USING (record_id)""")),
 
     // SCHEMA-EVOLUTION parquet scan: two files whose schemas drifted
     // (the 2024 crawl added lang + quality) read as one union-schema

@@ -81,19 +81,65 @@ class EnrichSpec extends AnyFunSuite with SparkTester {
     assert(out.getAs[Int]("n_content_chars") == content.length)
   }
 
-  test("extractMainContent: pages without title or paragraphs yield " +
-      "empty-but-typed rows, nested tags inside anchors strip") {
+  test("extractMainContent: pages without title or block tags yield " +
+      "body text as ONE block; nested tags inside anchors strip") {
     val out = Enrich.extractMainContent(
-      Seq((1L, "<html><body>no blocks here</body></html>"),
+      Seq((1L, "<html><body>no block tags</body></html>"),
         (2L, "<p><a href=\"/z\"><b>bold link text that is long " +
-          "enough to matter here</b></a> x</p>"))
+          "enough to matter here</b></a> x</p>"),
+        (3L, "<html><body></body></html>"))
         .toDF("doc_id", "page"), "doc_id", "page")
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(out(1L).getAs[String]("title") == "")
-    assert(out(1L).getAs[Int]("n_blocks") == 0)
+    // bare body text is a candidate block (JusText segments the whole
+    // page, not just tagged elements) — dropped here by length
+    assert(out(1L).getAs[Int]("n_blocks") == 1)
+    assert(out(1L).getAs[Int]("n_kept") == 0)
     assert(out(1L).getAs[String]("content") == "")
     // the bold-wrapped anchor text counts as LINK chars -> density drop
     assert(out(2L).getAs[Int]("n_kept") == 0)
+    // genuinely empty page: zero blocks, empty-but-typed row survives
+    assert(out(3L).getAs[Int]("n_blocks") == 0)
+    assert(out(3L).getAs[String]("content") == "")
+  }
+
+  test("extractMainContent: div-paragraphed modern pages and NESTED " +
+      "blocks segment at every block-tag boundary (JusText §4.1) — " +
+      "head/script/style subtrees never become blocks") {
+    val divPage = "<html><head><title>D</title>" +
+      "<style>.x { color: red; stylesheet prose long enough to pass " +
+      "the length rule if leaked }</style></head><body>" +
+      "<script>var boilerplate = 'script prose long enough to pass " +
+      "the length rule if it leaked into blocks';</script>" +
+      "<div class=\"nav\"><a href=\"/\">Home</a> <a>About</a></div>" +
+      "<div>modern pages paragraph with divs and this block has " +
+      "plenty of prose to clear the length rule</div>" +
+      "<ul><li>a list item long enough to count as a real prose " +
+      "block on its own merits</li></ul>" +
+      "</body></html>"
+    val nested = "<div>outer prose before the inner paragraph runs " +
+      "long enough to keep <p>inner paragraph text that is also " +
+      "long enough to keep</p> and a short tail</div>"
+    val out = Enrich.extractMainContent(
+      Seq((1L, divPage), (2L, nested)).toDF("doc_id", "page"),
+      "doc_id", "page")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d = out(1L)
+    assert(d.getAs[String]("title") == "D")
+    // nav-div, prose-div, li — script/style/head text never appears
+    assert(d.getAs[Int]("n_blocks") == 3)
+    assert(d.getAs[Int]("n_kept") == 2)
+    assert(d.getAs[String]("content").startsWith("modern pages"))
+    assert(d.getAs[String]("content").contains("a list item"))
+    assert(!d.getAs[String]("content").contains("stylesheet"))
+    assert(!d.getAs[String]("content").contains("boilerplate"))
+    // nested: <div>a <p>b</p> c</div> yields flat segments a / b / c
+    val n = out(2L)
+    assert(n.getAs[Int]("n_blocks") == 3)
+    assert(n.getAs[Int]("n_kept") == 2) // the short tail drops
+    assert(n.getAs[String]("content") ==
+      "outer prose before the inner paragraph runs long enough to " +
+      "keep inner paragraph text that is also long enough to keep")
   }
 }
 
