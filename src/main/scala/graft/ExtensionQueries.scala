@@ -8984,16 +8984,21 @@ object MultimodalQueries {
         FROM thash a JOIN thash b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 12""")),
 
-    // REAL baseline-JFIF decode (the dominant web image format): full
-    // marker walk, canonical Huffman, dequantize, IDCT, 4:2:0 chroma
+    // REAL JFIF decode (the dominant web image format): full marker
+    // walk, canonical Huffman, dequantize, IDCT, 4:2:0 chroma
     // upsample, JFIF color convert. The corpus alternates grayscale
-    // multi-block images with color 4:2:0 MCU-interleaved ones; streams
-    // are DC-only so decoded pixels equal the md5 block model EXACTLY
-    // (a dequantized DC of 8c IDCTs to the constant block c) — the
-    // Huffman/MCU/upsample machinery all genuinely runs, and the
-    // AC-coefficient path is cross-checked against ImageIO in
-    // MultimodalJpegSpec (IDCT rounding is decoder-shaped, so AC stays
-    // out of the hash gate by design)
+    // multi-block images with color 4:2:0 MCU-interleaved ones, and
+    // ids ≡ 0 mod 5 carry the SAME pixel model as PROGRESSIVE (SOF2)
+    // streams — DC-first, DC-refinement, and per-component EOB-run AC
+    // scans all decode inside the hash gate (r15: the majority class
+    // of real web JPEGs is progressive; nulling it would misread good
+    // images as corrupt). Streams are DC-only so decoded pixels equal
+    // the md5 block model EXACTLY (a dequantized DC of 8c IDCTs to the
+    // constant block c) — the Huffman/MCU/upsample machinery all
+    // genuinely runs, and the AC-coefficient path (baseline AND the
+    // JDK writer's own progressive scan script) is cross-checked
+    // against ImageIO in MultimodalJpegSpec (IDCT rounding is
+    // decoder-shaped, so AC stays out of the hash gate by design)
     Q("multimodal_decode_jpeg",
       (s, dir) => Multimodal.decodeJpeg(
         Multimodal.jpegPayload(

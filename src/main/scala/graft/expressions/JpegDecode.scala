@@ -157,11 +157,14 @@ private[graft] object Jpeg {
       while (i < n) { v = (v << 1) | nextBit(); i += 1 }
       v
     }
-    /** Byte-align and consume an expected RSTn marker. */
+    /** Byte-align and consume an expected RSTn marker. T.81 B.1.1.2
+      * allows any number of 0xFF FILL bytes before a marker — skip a
+      * run of FFs whose following byte is another FF, so conformant
+      * foreign streams using fill padding decode instead of nulling. */
     def restart(expected: Int): Unit = {
       bitCnt = 0
-      // the marker may be preceded by fill bits already discarded; it
-      // sits at the current byte position as FF Dn
+      while (pos + 1 < data.length && (data(pos) & 0xff) == 0xff &&
+          (data(pos + 1) & 0xff) == 0xff) pos += 1
       if (pos + 1 >= data.length ||
           (data(pos) & 0xff) != 0xff ||
           (data(pos + 1) & 0xff) != (0xd0 + expected))
@@ -183,6 +186,12 @@ private[graft] object Jpeg {
     var pw = 0
     var ph = 0
     var plane: Array[Int] = _
+    // progressive state: RAW (still-quantized) coefficients in zigzag
+    // order, 64 per block over the padded MCU block grid — successive
+    // scans refine them; dequantize + IDCT happen once at EOI
+    var bwBlocks = 0
+    var bhBlocks = 0
+    var coefs: Array[Int] = _
   }
 
   /** Decode; null on anything non-baseline, malformed, truncated, or
@@ -205,6 +214,8 @@ private[graft] object Jpeg {
     var w = 0
     var h = 0
     var restartInterval = 0
+    var progressive = false
+    var scanSeen = false
 
     while (true) {
       // find the next marker (skip fill FF bytes)
@@ -214,7 +225,12 @@ private[graft] object Jpeg {
       p += 2
       while (m == 0xff) { if (p >= b.length) return null; m = b(p) & 0xff; p += 1 }
       m match {
-        case 0xd9 => return null // EOI before any scan
+        case 0xd9 => // EOI: progressive images finish here (every scan
+          // has refined the coefficient planes; IDCT once, now) —
+          // baseline returns from its single SOS, so EOI here is junk
+          return if (progressive && scanSeen)
+            finishProgressive(w, h, comps, qt)
+          else null
         case 0xdb => // DQT
           val len = be16(b, p)
           var q = p + 2
@@ -247,7 +263,8 @@ private[graft] object Jpeg {
             q += 17 + n
           }
           p += len
-        case 0xc0 => // SOF0 — baseline
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+          progressive = m == 0xc2
           val len = be16(b, p)
           val prec = b(p + 2) & 0xff
           h = be16(b, p + 3)
@@ -271,7 +288,8 @@ private[graft] object Jpeg {
           }
           p += len
         case mm if mm >= 0xc1 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8 =>
-          return null // progressive / extended / arithmetic: reject
+          return null // extended-sequential / arithmetic / hierarchical
+          // (c2 — progressive — is handled above)
         case 0xdd => // DRI
           val len = be16(b, p)
           restartInterval = be16(b, p + 2)
@@ -280,20 +298,59 @@ private[graft] object Jpeg {
           if (comps == null) return null
           val len = be16(b, p)
           val ns = b(p + 2) & 0xff
-          if (ns != comps.length) return null
+          if (ns < 1 || ns > comps.length) return null
+          val scanComps = new Array[Comp](ns)
           var i = 0
           while (i < ns) {
             val cs = b(p + 3 + 2 * i) & 0xff
             val c = comps.find(_.id == cs).getOrElse(return null)
             c.td = (b(p + 4 + 2 * i) & 0xff) >> 4
             c.ta = b(p + 4 + 2 * i) & 0x0f
-            if (c.td > 3 || c.ta > 3 ||
-                dcTabs(c.td) == null || acTabs(c.ta) == null) return null
+            if (c.td > 3 || c.ta > 3) return null
+            scanComps(i) = c
             i += 1
           }
+          val ss = b(p + 3 + 2 * ns) & 0xff
+          val se = b(p + 4 + 2 * ns) & 0xff
+          val ahal = b(p + 5 + 2 * ns) & 0xff
+          val ah = ahal >> 4
+          val al = ahal & 0x0f
           p += len
-          return decodeScan(b, p, w, h, comps, qt, dcTabs, acTabs,
-            restartInterval)
+          if (!progressive) {
+            if (ns != comps.length) return null
+            i = 0
+            while (i < ns) {
+              if (dcTabs(comps(i).td) == null ||
+                  acTabs(comps(i).ta) == null) return null
+              i += 1
+            }
+            return decodeScan(b, p, w, h, comps, qt, dcTabs, acTabs,
+              restartInterval)
+          }
+          // progressive scan: validate the spectral-selection /
+          // successive-approximation window (T.81 G.1.1.1), then
+          // refine the coefficient planes and continue the marker walk
+          if (ss == 0 && se != 0) return null // DC scans are Ss=Se=0
+          if (ss > 0 && (ns != 1 || se < ss || se > 63)) return null
+          if (ah > 13 || al > 13 || (ah != 0 && ah != al + 1))
+            return null
+          if (ss == 0 && ah == 0 &&
+              scanComps.exists(c => dcTabs(c.td) == null)) return null
+          if (ss > 0 && acTabs(scanComps(0).ta) == null) return null
+          if (comps(0).coefs == null) {
+            val hmax = comps.map(_.h).max
+            val vmax = comps.map(_.v).max
+            val mX = (w + 8 * hmax - 1) / (8 * hmax)
+            val mY = (h + 8 * vmax - 1) / (8 * vmax)
+            comps.foreach { c =>
+              c.bwBlocks = mX * c.h
+              c.bhBlocks = mY * c.v
+              c.coefs = new Array[Int](c.bwBlocks * c.bhBlocks * 64)
+            }
+          }
+          p = progressiveScan(b, p, scanComps, comps, w, h,
+            ss, se, ah, al, dcTabs, acTabs, restartInterval)
+          scanSeen = true
         case _ => // APPn, COM, anything skippable by length
           if (p + 1 >= b.length) return null
           p += be16(b, p)
@@ -351,7 +408,14 @@ private[graft] object Jpeg {
       }
       my += 1
     }
-    // upsample + color convert
+    emit(w, h, comps, hmax, vmax)
+  }
+
+  /** Upsample (sample replication) + JFIF YCbCr→RGB from the decoded
+    * component planes into the interleaved output — shared by the
+    * baseline scan and the progressive EOI finish. */
+  private def emit(w: Int, h: Int, comps: Array[Comp], hmax: Int,
+      vmax: Int): (Int, Int, Int, Array[Byte]) = {
     val nc = comps.length
     val out = new Array[Byte](w * h * nc)
     if (nc == 1) {
@@ -388,6 +452,214 @@ private[graft] object Jpeg {
       }
     }
     (w, h, nc, out)
+  }
+
+  /** EOI of a progressive stream: every scan has refined the raw
+    * quantized coefficient planes (T.81 G.2's successive approximation
+    * converges on the full-precision coefficients); dequantize + IDCT
+    * each block ONCE here, then reuse the baseline upsample /
+    * color-convert emit. */
+  private def finishProgressive(w: Int, h: Int, comps: Array[Comp],
+      qt: Array[Array[Int]]): (Int, Int, Int, Array[Byte]) = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val zz = new Array[Int](64)
+    comps.foreach { c =>
+      c.pw = c.bwBlocks * 8
+      c.ph = c.bhBlocks * 8
+      c.plane = new Array[Int](c.pw * c.ph)
+      val qtab = qt(c.tq)
+      var by = 0
+      while (by < c.bhBlocks) {
+        var bx = 0
+        while (bx < c.bwBlocks) {
+          val off = (by * c.bwBlocks + bx) * 64
+          var k = 0
+          while (k < 64) { zz(k) = c.coefs(off + k) * qtab(k); k += 1 }
+          idctInto(zz, c.plane, c.pw, by * 8, bx * 8)
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    emit(w, h, comps, hmax, vmax)
+  }
+
+  /** One progressive scan (T.81 G.2): refine the still-quantized
+    * coefficient planes in place and return the byte position just
+    * after the scan's entropy-coded segment (the next marker's FF).
+    * Four scan kinds — DC first (Ss=0, Ah=0; DPCM of the
+    * point-transformed DC, interleaved over MCUs when the scan has
+    * several components), DC refinement (one raw bit per block), AC
+    * first and AC refinement (always one component, over that
+    * component's OWN ceil-block grid per A.2.2, which can be smaller
+    * than the padded MCU grid) — with the G.1.2.2 end-of-band run
+    * bookkeeping and restart-marker handling shared across them.
+    * Control flow follows the spec's flowcharts (the same structure
+    * every independent decoder implements); coefficients live in
+    * ZIGZAG order, so band index k addresses storage directly. */
+  private def progressiveScan(b: Array[Byte], start: Int,
+      scanComps: Array[Comp], comps: Array[Comp], w: Int, h: Int,
+      ss: Int, se: Int, ah: Int, al: Int, dcTabs: Array[Huff],
+      acTabs: Array[Huff], restartInterval: Int): Int = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val br = new BitReader(b, start)
+    scanComps.foreach(_.pred = 0)
+    var eobrun = 0
+    var rstIdx = 0
+    var mcu = 0
+
+    def maybeRestart(): Unit =
+      if (restartInterval > 0 && mcu > 0 &&
+          mcu % restartInterval == 0) {
+        br.restart(rstIdx)
+        rstIdx = (rstIdx + 1) % 8
+        scanComps.foreach(_.pred = 0)
+        eobrun = 0
+      }
+
+    def dcFirst(c: Comp, off: Int): Unit = {
+      val t = dcTabs(c.td).decode(br)
+      if (t > 11) throw new RuntimeException("bad DC category")
+      c.pred += extend(br.receive(t), t)
+      c.coefs(off) = c.pred << al
+    }
+
+    def dcRefine(c: Comp, off: Int): Unit =
+      if (br.nextBit() == 1) c.coefs(off) |= (1 << al)
+
+    def acFirst(c: Comp, off: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      val ac = acTabs(c.ta)
+      var k = ss
+      while (k <= se) {
+        val rs = ac.decode(br)
+        val r = rs >> 4
+        val s = rs & 15
+        if (s == 0) {
+          if (r < 15) { // EOBn: run = 2^r + ext bits, current included
+            eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+            return
+          }
+          k += 16 // ZRL
+        } else {
+          k += r
+          if (k > se) throw new RuntimeException("AC index overrun")
+          c.coefs(off + k) = extend(br.receive(s), s) << al
+          k += 1
+        }
+      }
+    }
+
+    def acRefine(c: Comp, off: Int): Unit = {
+      val ac = acTabs(c.ta)
+      val p1 = 1 << al
+      val m1 = -1 << al
+      // append a correction bit to an already-nonzero coefficient:
+      // 1 means its magnitude grows by one in the bit position coded
+      def correct(k: Int): Unit = {
+        val cur = c.coefs(off + k)
+        if (br.nextBit() == 1 && (cur & p1) == 0)
+          c.coefs(off + k) = if (cur >= 0) cur + p1 else cur + m1
+      }
+      var k = ss
+      if (eobrun == 0) {
+        var ended = false
+        while (k <= se && !ended) {
+          val rs = ac.decode(br)
+          var r = rs >> 4
+          var nv = 0
+          if ((rs & 15) != 0) {
+            if ((rs & 15) != 1)
+              throw new RuntimeException("bad refinement size")
+            nv = if (br.nextBit() == 1) p1 else m1
+          } else if (r < 15) { // EOBn (rest of band via the tail below)
+            eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+            ended = true
+          } // else ZRL: r = 15 zero-history coefficients to skip
+          if (!ended) {
+            // advance over r zero-HISTORY coefficients, correcting
+            // nonzero ones in passing; stop at the target zero
+            var placed = false
+            while (k <= se && !placed) {
+              if (c.coefs(off + k) != 0) { correct(k); k += 1 }
+              else {
+                r -= 1
+                if (r < 0) placed = true else k += 1
+              }
+            }
+            if (nv != 0) {
+              if (k > se)
+                throw new RuntimeException("AC refine overrun")
+              c.coefs(off + k) = nv
+            }
+            k += 1
+          }
+        }
+      }
+      if (eobrun > 0) { // end-of-band: correct the rest of the band
+        while (k <= se) {
+          if (c.coefs(off + k) != 0) correct(k)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    def one(c: Comp, off: Int): Unit =
+      if (ss == 0) { if (ah == 0) dcFirst(c, off) else dcRefine(c, off) }
+      else { if (ah == 0) acFirst(c, off) else acRefine(c, off) }
+
+    if (scanComps.length > 1) {
+      // interleaved (DC scans only, per the SOS validation): MCU order
+      // over the padded grid, exactly the baseline traversal
+      val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          maybeRestart()
+          var ci = 0
+          while (ci < scanComps.length) {
+            val c = scanComps(ci)
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                one(c,
+                  ((my * c.v + by) * c.bwBlocks + mx * c.h + bx) * 64)
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // non-interleaved: ceil(ceil(dim·samp/max)/8) per A.2.2 — the
+      // last block row/col of the PADDED grid may be absent here
+      val c = scanComps(0)
+      val bw = ((w * c.h + hmax - 1) / hmax + 7) / 8
+      val bh = ((h * c.v + vmax - 1) / vmax + 7) / 8
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          maybeRestart()
+          one(c, (by * c.bwBlocks + bx) * 64)
+          mcu += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    br.pos
   }
 
   private def clamp(v: Int): Int =
@@ -560,6 +832,24 @@ private[graft] object Jpeg {
     seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0,
       0, 1, 0, 1, 0, 0))
 
+  /** AC table for the PROGRESSIVE scans, installed as table 1: the
+    * standard Annex K baseline AC table has no EOBn symbol for r>0
+    * (progressive streams always carry purpose-built tables), so the
+    * DC-only writer defines EOB0–EOB3 — runs of up to 15 blocks per
+    * emission, enough for the synth corpus and enough to exercise the
+    * decoder's EOB-run extension-bits path from committed bytes rather
+    * than only from foreign streams. One code per length 1–4, NOT four
+    * 2-bit codes: T.81 C.2 reserves the all-ones codeword (a complete
+    * tree is a "bogus Huffman table" to libjpeg-family decoders). */
+  private val ProgAcBits: Array[Int] =
+    Array(1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val ProgAcVals: Array[Int] = Array(0x00, 0x10, 0x20, 0x30)
+  private lazy val ProgAcEnc = encTable(ProgAcBits, ProgAcVals)
+
+  private def dhtProgAc: Array[Byte] =
+    seg(0xc4, Array(0x11.toByte) ++ ProgAcBits.map(_.toByte) ++
+      ProgAcVals.map(_.toByte))
+
   /** DC-only baseline JPEG: each 8×8 block of each component is the
     * CONSTANT pixel value given by its grid — dequantized DC 8·(v−128)
     * with the all-ones quant table IDCTs back to exactly v. `comps` is
@@ -569,11 +859,14 @@ private[graft] object Jpeg {
     * MCU grid (8·hmax | w, 8·vmax | h) — the synthesizers' models do. */
   def encodeDcOnly(w: Int, h: Int,
       comps: Seq[(Int, Int, Array[Int])],
-      restartInterval: Int = 0): Array[Byte] = {
+      restartInterval: Int = 0,
+      progressive: Boolean = false): Array[Byte] = {
     val hmax = comps.map(_._1).max
     val vmax = comps.map(_._2).max
     require(w % (8 * hmax) == 0 && h % (8 * vmax) == 0,
       s"dims $w x $h not MCU-aligned")
+    require(!(progressive && restartInterval > 0),
+      "restart intervals are a baseline-corpus knob here")
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0xff.toByte, 0xd8.toByte)) // SOI
     out.write(app0Jfif)
@@ -591,55 +884,127 @@ private[graft] object Jpeg {
       sof.write((hi << 4) | vi)    // sampling
       sof.write(0)                 // quant table 0
     }
-    out.write(seg(0xc0, sof.toByteArray))
+    out.write(seg(if (progressive) 0xc2 else 0xc0, sof.toByteArray))
     out.write(dhtStd)
-    val sos = new java.io.ByteArrayOutputStream()
-    sos.write(comps.size)
-    comps.zipWithIndex.foreach { case (_, i) =>
-      sos.write(i + 1)
-      sos.write(0x00) // DC table 0, AC table 0 for every component
-    }
-    sos.write(0); sos.write(63); sos.write(0) // Ss/Se/AhAl
-    out.write(seg(0xda, sos.toByteArray))
-    // entropy data: MCU-interleaved DC-only blocks
     val mcusX = w / (8 * hmax)
     val mcusY = h / (8 * vmax)
-    val preds = Array.fill(comps.size)(0)
-    val bw = new BitWriter
-    var mcu = 0
-    var rstIdx = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (restartInterval > 0 && mcu > 0 &&
-            mcu % restartInterval == 0) {
-          bw.restartMarker(rstIdx)
-          rstIdx = (rstIdx + 1) % 8
-          java.util.Arrays.fill(preds, 0)
-        }
-        comps.zipWithIndex.foreach { case ((hi, vi, grid), ci) =>
-          val bw2 = mcusX * hi // component block-grid width
-          var by = 0
-          while (by < vi) {
-            var bx = 0
-            while (bx < hi) {
-              val v = grid((my * vi + by) * bw2 + mx * hi + bx)
-              val dc = 8 * (v - 128)
-              writeDcDiff(bw, dc - preds(ci))
-              preds(ci) = dc
-              writeEob(bw)
-              bx += 1
-            }
-            by += 1
-          }
-        }
-        mcu += 1
-        mx += 1
+
+    def sosSeg(ids: Seq[Int], tas: Seq[Int], ss: Int, se: Int,
+        ahal: Int): Unit = {
+      val sos = new java.io.ByteArrayOutputStream()
+      sos.write(ids.size)
+      ids.zip(tas).foreach { case (i, ta) =>
+        sos.write(i)
+        sos.write(ta) // DC table 0 high nibble | AC table low nibble
       }
-      my += 1
+      sos.write(ss); sos.write(se); sos.write(ahal)
+      out.write(seg(0xda, sos.toByteArray))
     }
-    out.write(bw.flush())
+
+    /** MCU-interleaved traversal yielding (compIdx, quantized DC). */
+    def forEachDc(f: (Int, Int) => Unit): Unit = {
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          comps.zipWithIndex.foreach { case ((hi, vi, grid), ci) =>
+            val gw = mcusX * hi // component block-grid width
+            var by = 0
+            while (by < vi) {
+              var bx = 0
+              while (bx < hi) {
+                f(ci, 8 * (grid((my * vi + by) * gw + mx * hi + bx)
+                  - 128))
+                bx += 1
+              }
+              by += 1
+            }
+          }
+          mx += 1
+        }
+        my += 1
+      }
+    }
+
+    if (!progressive) {
+      sosSeg(1 to comps.size, Seq.fill(comps.size)(0), 0, 63, 0)
+      // entropy data: MCU-interleaved DC-only blocks
+      val preds = Array.fill(comps.size)(0)
+      val bw = new BitWriter
+      var mcu = 0
+      var rstIdx = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && mcu > 0 &&
+              mcu % restartInterval == 0) {
+            bw.restartMarker(rstIdx)
+            rstIdx = (rstIdx + 1) % 8
+            java.util.Arrays.fill(preds, 0)
+          }
+          comps.zipWithIndex.foreach { case ((hi, vi, grid), ci) =>
+            val gw = mcusX * hi // component block-grid width
+            var by = 0
+            while (by < vi) {
+              var bx = 0
+              while (bx < hi) {
+                val dc =
+                  8 * (grid((my * vi + by) * gw + mx * hi + bx) - 128)
+                writeDcDiff(bw, dc - preds(ci))
+                preds(ci) = dc
+                writeEob(bw)
+                bx += 1
+              }
+              by += 1
+            }
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+      out.write(bw.flush())
+    } else {
+      // SOF2 scan script (T.81 G.1): DC first with point transform
+      // Al=1 (interleaved), DC refinement restoring bit 0, then one
+      // AC first scan per component — all-zero AC bands emitted as
+      // maximal EOBn runs through the dedicated table 1, so the
+      // decoder's EOB-run path runs on committed bytes. The
+      // reconstruction is still EXACT: (dc>>1)<<1 | bit0 == dc, all
+      // ACs zero, so the oracle's DC-only pixel model is unchanged.
+      out.write(dhtProgAc)
+      val preds = Array.fill(comps.size)(0)
+      val bw1 = new BitWriter
+      sosSeg(1 to comps.size, Seq.fill(comps.size)(0), 0, 0, 0x01)
+      forEachDc { (ci, dc) =>
+        val approx = dc >> 1 // arithmetic: the G.1.2.1 point transform
+        writeDcDiff(bw1, approx - preds(ci))
+        preds(ci) = approx
+      }
+      out.write(bw1.flush())
+      sosSeg(1 to comps.size, Seq.fill(comps.size)(0), 0, 0, 0x10)
+      val bw2 = new BitWriter
+      forEachDc((_, dc) => bw2.bits(dc & 1, 1))
+      out.write(bw2.flush())
+      comps.zipWithIndex.foreach { case ((hi, vi, _), ci) =>
+        sosSeg(Seq(ci + 1), Seq(1), 1, 63, 0x00)
+        val bwAc = new BitWriter
+        var rem = mcusX * hi * mcusY * vi // blocks in this component
+        while (rem > 0) {
+          // largest EOBn (n = 2^r + ext, ext < 2^r) under both the
+          // remaining count and the table's r <= 3
+          var r = 0
+          while (r < 3 && (1 << (r + 1)) <= rem) r += 1
+          val run = math.min(rem, (1 << (r + 1)) - 1)
+          val (cd, ln) = ProgAcEnc(r << 4)
+          bwAc.bits(cd, ln)
+          if (r > 0) bwAc.bits(run - (1 << r), r)
+          rem -= run
+        }
+        out.write(bwAc.flush())
+      }
+    }
     out.write(Array(0xff.toByte, 0xd9.toByte)) // EOI
     out.toByteArray
   }
@@ -744,16 +1109,25 @@ case class JpegSynthExpr(child: Expression) extends UnaryExpression {
     val m = java.security.MessageDigest.getInstance("MD5")
       .digest(id.toString.getBytes("UTF-8"))
     def mv(k: Int): Int = m(k % 16) & 0xff
-    if (id % 2 == 0) {
-      val wb = (id % 3 + 1).toInt
-      val hb = ((id / 3) % 2 + 1).toInt
+    // ids ≡ 0 (mod 5) encode the SAME pixel model PROGRESSIVELY
+    // (SOF2; DC-first + DC-refine + per-component AC scans) — the
+    // decode oracle is unchanged (reconstruction is bit-exact) while
+    // the progressive entropy path genuinely runs inside the hash gate;
+    // floorMod/floorDiv match the oracle's `//`/`%` floor model, so a
+    // hostile negative id degrades consistently instead of throwing
+    val progressive = Math.floorMod(id, 5L) == 0L
+    if (Math.floorMod(id, 2L) == 0L) {
+      val wb = (Math.floorMod(id, 3L) + 1).toInt
+      val hb = (Math.floorMod(Math.floorDiv(id, 3L), 2L) + 1).toInt
       val grid = Array.tabulate(wb * hb)(mv)
-      Jpeg.encodeDcOnly(8 * wb, 8 * hb, Seq((1, 1, grid)))
+      Jpeg.encodeDcOnly(8 * wb, 8 * hb, Seq((1, 1, grid)),
+        progressive = progressive)
     } else {
       val y = Array.tabulate(4)(mv)
       val c128 = Array(128)
       Jpeg.encodeDcOnly(16, 16,
-        Seq((2, 2, y), (1, 1, c128), (1, 1, c128)))
+        Seq((2, 2, y), (1, 1, c128), (1, 1, c128)),
+        progressive = progressive)
     }
   }
 
@@ -794,14 +1168,17 @@ case class JpegSynthTwinsExpr(child: Expression) extends UnaryExpression {
         s"$prettyName needs BIGINT input, got ${child.dataType}")
 
   def compute(id: Long): Array[Byte] = {
-    val base = (id / 2).toString
+    // floorDiv/floorMod: the oracle's `//`/`%` floor model, so hostile
+    // negative ids degrade consistently instead of throwing
+    val base = Math.floorDiv(id, 2L).toString
     val md = java.security.MessageDigest.getInstance("MD5")
     val m = md.digest(base.getBytes("UTF-8")) ++
       java.security.MessageDigest.getInstance("MD5")
         .digest((base + "x").getBytes("UTF-8"))
     val grid = Array.tabulate(64) { i =>
       val v = m(i % 32) & 0xff
-      if (id % 2 == 1 && i % 19 == 0) (v + 40) % 256 else v
+      if (Math.floorMod(id, 2L) == 1L && i % 19 == 0) (v + 40) % 256
+      else v
     }
     Jpeg.encodeDcOnly(64, 64, Seq((1, 1, grid)))
   }

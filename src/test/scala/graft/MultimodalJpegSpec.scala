@@ -81,8 +81,9 @@ class MultimodalJpegSpec extends AnyFunSuite {
   }
 
   test("ImageIO (independent JDK codec) reads our synthesized streams " +
-      "to the same pixels — the encoder is spec-conformant baseline") {
-    for (id <- Seq(0L, 2L, 3L, 4L, 7L)) {
+      "to the same pixels — the encoder is spec-conformant, baseline " +
+      "AND progressive (ids ≡ 0 mod 5 carry the SOF2 scan script)") {
+    for (id <- Seq(0L, 2L, 3L, 4L, 5L, 7L, 10L)) {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(synth(id)))
       assert(img != null, s"ImageIO rejected id=$id")
@@ -218,18 +219,140 @@ class MultimodalJpegSpec extends AnyFunSuite {
         grid(x / 8)) <= 1, s"imageio ($x,$y)")
   }
 
+  test("progressive synth streams carry a REAL multi-scan script: " +
+      "SOF2, DC-first + DC-refine + per-component AC scans, and an " +
+      "EOBn (r>0) run — then decode to the exact model") {
+    def countMarker(b: Array[Byte], m: Int): Int =
+      (0 until b.length - 1).count(i =>
+        (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == m)
+    val gray = synth(10L) // 10 % 5 == 0, grayscale, 2x2 blocks
+    assert(countMarker(gray, 0xc2) == 1 && countMarker(gray, 0xc0) == 0)
+    assert(countMarker(gray, 0xda) == 3) // DC first, DC refine, AC
+    val color = synth(5L) // progressive color: 2 DC + 3 AC scans
+    assert(countMarker(color, 0xc2) == 1)
+    assert(countMarker(color, 0xda) == 5)
+    // the 4-block Y component's AC band is one EOB2 run (2^2 + ext 0):
+    // decoding to the exact model (asserted in the tests above for ids
+    // 0/5/10) therefore exercises the EOB-run extension path on
+    // committed bytes, not only on foreign streams
+    val (w, h, nc, px) = Jpeg.parse(color)
+    assert(w == 16 && h == 16 && nc == 3)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val expect = modelByte(5L, (y / 8) * 2 + x / 8)
+      assert((px((y * 16 + x) * 3) & 0xff) == expect, s"($x,$y)")
+    }
+  }
+
+  test("our decoder reads an ImageIO-WRITTEN PROGRESSIVE JPEG — the " +
+      "JDK writer's own spectral-selection + successive-approximation " +
+      "scan script drives acFirst/acRefine/dcRefine on a foreign " +
+      "stream — within IDCT tolerance") {
+    val w = 40; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ((x * 255) / (w - 1) + 40 *
+        math.sin(y / 3.0)).toInt.max(0).min(255)
+      img.getRaster.setSample(x, y, 0, v)
+    }
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(
+      javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null),
+      param)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    // it genuinely is progressive (SOF2, several scans)
+    assert((0 until bytes.length - 1).exists(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc2),
+      "JDK writer did not emit SOF2")
+    val parsed = Jpeg.parse(bytes)
+    assert(parsed != null, "our decoder rejected a JDK progressive stream")
+    val (dw, dh, nc, px) = parsed
+    assert(dw == w && dh == h && nc == 1)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val ours = px(y * w + x) & 0xff
+      val theirs = ref.getRaster.getSample(x, y, 0)
+      maxDiff = math.max(maxDiff, math.abs(ours - theirs))
+    }
+    assert(maxDiff <= 2, s"progressive gray max pixel diff $maxDiff")
+  }
+
+  test("our decoder reads an ImageIO-WRITTEN PROGRESSIVE COLOR JPEG " +
+      "(4:2:0 chroma through the multi-scan script) within upsample " +
+      "tolerance") {
+    val w = 48; val h = 32
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 255) / (w - 1)
+      val g = (y * 255) / (h - 1)
+      val b = ((x + y) * 255) / (w + h - 2)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(
+      javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null),
+      param)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    val parsed = Jpeg.parse(bytes)
+    assert(parsed != null,
+      "our decoder rejected a JDK progressive color stream")
+    val (dw, dh, nc, px) = parsed
+    assert(dw == w && dh == h && nc == 3)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var sumAbs = 0L
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val rgb = ref.getRGB(x, y)
+      val dr = math.abs((px(o) & 0xff) - ((rgb >> 16) & 0xff))
+      val dg = math.abs((px(o + 1) & 0xff) - ((rgb >> 8) & 0xff))
+      val db = math.abs((px(o + 2) & 0xff) - (rgb & 0xff))
+      sumAbs += dr + dg + db
+      maxDiff = math.max(maxDiff, math.max(dr, math.max(dg, db)))
+    }
+    val meanAbs = sumAbs.toDouble / (w * h * 3)
+    assert(meanAbs <= 2.0, s"prog color mean abs diff $meanAbs")
+    assert(maxDiff <= 16, s"prog color max pixel diff $maxDiff")
+  }
+
   test("hostile inputs null out without allocating: truncation, " +
-      "progressive SOF2, forged giant dimensions") {
-    val good = synth(0L)
+      "frame/scan-script mismatch, forged giant dimensions") {
+    val good = synth(2L) // baseline (2 % 5 != 0)
     // truncated at half
     assert(Jpeg.parse(java.util.Arrays.copyOfRange(
       good, 0, good.length / 2)) == null)
-    // progressive: patch the SOF0 marker byte (FF C0 -> FF C2)
+    // lying frame header: patch SOF0 -> SOF2 (FF C0 -> FF C2) while
+    // the scan script stays baseline's single full-band Ss=0..Se=63
+    // pass — an impossible progressive script (DC scans are Ss=Se=0,
+    // T.81 G.1.1.1), so the stream must null rather than misdecode
     val prog = good.clone()
     val sofAt = (0 until prog.length - 1).find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
     assert(Jpeg.parse(prog) == null)
+    // truncated PROGRESSIVE stream: cut after the first scan's header
+    // so EOI never arrives — must null, never emit a partial image
+    val p = synth(0L)
+    assert(Jpeg.parse(java.util.Arrays.copyOfRange(
+      p, 0, p.length / 2)) == null)
     // forged dimensions: 60000 x 60000 in the SOF header — must be
     // rejected by the bounds check BEFORE any plane allocation
     val forged = good.clone()
