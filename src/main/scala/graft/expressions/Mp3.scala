@@ -1,0 +1,349 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** MPEG audio (MP3) FRAME-HEADER metadata probe — the compressed-audio
+  * gap the multimodal family stubbed with WAV (r14 verdict "next round"
+  * item 7): web audio arrives as MP3/OGG/FLAC, and a training-data
+  * pipeline's audio quality gates key on CONTAINER METADATA (duration,
+  * bitrate shape, sample rate, channel count) long before any PCM
+  * decode. This is a header walk in the JPEG-marker-walk mold, NOT a
+  * Layer III decoder: synthesis filterbank output is
+  * implementation-shaped (no exactness model to oracle against), while
+  * frame headers are pure integer algebra any engine replays — the
+  * same reasoning that keeps AC coefficients out of the JPEG hash gate.
+  *
+  * Format facts (ISO/IEC 11172-3 §2.4.1.3, extended by 13818-3 and the
+  * de-facto "MPEG 2.5"):
+  *  - frame header: 11 sync bits (FF E0), 2 version bits (3=MPEG1,
+  *    2=MPEG2, 0=MPEG2.5, 1=reserved), 2 layer bits (3=I, 2=II, 1=III,
+  *    0=reserved), protection bit, 4 bitrate-index bits (0=free,
+  *    15=forbidden), 2 sample-rate bits (3=reserved), padding bit,
+  *    private bit, 2 channel-mode bits (3=mono), mode ext, copyright,
+  *    original, emphasis;
+  *  - frame length in bytes: Layer I `(12·bitrate/rate + pad)·4`;
+  *    Layers II/III `144·bitrate/rate + pad` — except Layer III at
+  *    MPEG2/2.5, whose 576-sample granule halves it to
+  *    `72·bitrate/rate + pad` (all integer floor divisions);
+  *  - samples per frame: Layer I 384, Layer II 1152, Layer III 1152
+  *    (MPEG1) / 576 (MPEG2/2.5);
+  *  - an ID3v2 tag may prefix the stream: 'ID3', 2 version bytes, 1
+  *    flag byte, 4 SYNCSAFE size bytes (high bit clear), then `size`
+  *    tag bytes; an ID3v1 tag ('TAG', 128 bytes) may trail it.
+  *
+  * Walk semantics (the PERMISSIVE posture of the WARC reader): frame 1
+  * must parse — free-format bitrate, reserved version/layer/rate, or
+  * bad sync null the row (E1). Later frames must agree with frame 1 on
+  * version/layer/rate/channel mode (a real stream never changes them);
+  * the walk STOPS at the first disagreement, truncated frame, or
+  * trailing ID3v1 tag, reporting the complete prefix — bitrate MAY
+  * change per frame (VBR), reported as min/max plus the is_cbr flag.
+  * Duration is exact integer math: `total_samples · 1000 / rate`.
+  *
+  * Reference scope: the reference pipeline has no audio path at all
+  * (extractor/extractor.py is text-only) — this is extension surface,
+  * same family as the WAV/JPEG/PNG/BMP codecs. */
+private[graft] object Mp3 {
+
+  // bitrate tables in kbps, indexed [tableRow][bitrateIndex 1..14]
+  // (index 0 = free format, 15 = forbidden — both rejected).
+  // Rows: MPEG1-L1, MPEG1-L2, MPEG1-L3, MPEG2/2.5-L1, MPEG2/2.5-L2+L3
+  private val Bitrates: Array[Array[Int]] = Array(
+    Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+      416, 448),
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+      320, 384),
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+      320),
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+      224, 256),
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+      160))
+
+  // sample rates in Hz, indexed [version][rateIndex 0..2]
+  // version here: 1 = MPEG1, 2 = MPEG2, 25 = MPEG2.5
+  private def sampleRate(version: Int, idx: Int): Int = {
+    val v1 = Array(44100, 48000, 32000)
+    version match {
+      case 1  => v1(idx)
+      case 2  => v1(idx) / 2
+      case _  => v1(idx) / 4 // 25
+    }
+  }
+
+  def bitrateKbps(version: Int, layer: Int, idx: Int): Int = {
+    val row =
+      if (version == 1) layer - 1 // L1/L2/L3 -> rows 0/1/2
+      else if (layer == 1) 3
+      else 4 // MPEG2/2.5 share one L2/L3 row
+    Bitrates(row)(idx)
+  }
+
+  def samplesPerFrame(version: Int, layer: Int): Int = layer match {
+    case 1 => 384
+    case 2 => 1152
+    case _ => if (version == 1) 1152 else 576
+  }
+
+  def frameBytes(version: Int, layer: Int, kbps: Int, rate: Int,
+      pad: Int): Int = {
+    val br = kbps * 1000
+    layer match {
+      case 1 => (12 * br / rate + pad) * 4
+      case 2 => 144 * br / rate + pad
+      case _ =>
+        if (version == 1) 144 * br / rate + pad
+        else 72 * br / rate + pad
+    }
+  }
+
+  /** One parsed header: (version, layer, kbps, rate, channels,
+    * frameBytes, samples) or null if the 4 bytes at `pos` are not a
+    * valid, non-free, non-reserved header. */
+  private def header(b: Array[Byte], pos: Int)
+      : (Int, Int, Int, Int, Int, Int, Int) = {
+    if (pos + 4 > b.length) return null
+    if ((b(pos) & 0xff) != 0xff || (b(pos + 1) & 0xe0) != 0xe0)
+      return null
+    val version = ((b(pos + 1) >> 3) & 3) match {
+      case 3 => 1
+      case 2 => 2
+      case 0 => 25
+      case _ => return null // reserved
+    }
+    val layer = ((b(pos + 1) >> 1) & 3) match {
+      case 3 => 1
+      case 2 => 2
+      case 1 => 3
+      case _ => return null // reserved
+    }
+    val bIdx = (b(pos + 2) >> 4) & 15
+    if (bIdx == 0 || bIdx == 15) return null // free / forbidden
+    val rIdx = (b(pos + 2) >> 2) & 3
+    if (rIdx == 3) return null // reserved
+    val pad = (b(pos + 2) >> 1) & 1
+    val mode = (b(pos + 3) >> 6) & 3
+    val kbps = bitrateKbps(version, layer, bIdx)
+    val rate = sampleRate(version, rIdx)
+    val channels = if (mode == 3) 1 else 2
+    (version, layer, kbps, rate, channels,
+      frameBytes(version, layer, kbps, rate, pad),
+      samplesPerFrame(version, layer))
+  }
+
+  /** Metadata row or null; see the object scaladoc for the walk
+    * semantics. Fields: (version, layer, sample_rate, n_channels,
+    * n_frames, total_samples, duration_ms, kbps_min, kbps_max,
+    * is_cbr, n_audio_bytes). */
+  def probe(b: Array[Byte]): (Int, Int, Int, Int, Int, Long, Long, Int,
+      Int, Boolean, Long) = {
+    if (b == null || b.length < 4) return null
+    var pos = 0
+    // ID3v2 prefix: syncsafe size; a size byte with the high bit set,
+    // or a tag running past the buffer, is malformed -> null
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      var sz = 0
+      var i = 6
+      while (i < 10) {
+        if ((b(i) & 0x80) != 0) return null
+        sz = (sz << 7) | (b(i) & 0x7f)
+        i += 1
+      }
+      if (10L + sz >= b.length) return null
+      pos = 10 + sz
+    }
+    val first = header(b, pos)
+    if (first == null) return null
+    val (version, layer, _, rate, channels, _, spf) = first
+    var nFrames = 0
+    var kMin = Int.MaxValue
+    var kMax = 0
+    var audioBytes = 0L
+    var done = false
+    while (!done) {
+      val h = header(b, pos)
+      if (h == null) done = true // garbage / ID3v1 tail / EOF
+      else {
+        val (v2, l2, kbps, r2, c2, fb, _) = h
+        if (v2 != version || l2 != layer || r2 != rate ||
+            c2 != channels) done = true // foreign bytes that parse
+        else if (pos + fb > b.length) done = true // truncated frame
+        else {
+          nFrames += 1
+          if (kbps < kMin) kMin = kbps
+          if (kbps > kMax) kMax = kbps
+          audioBytes += fb
+          pos += fb
+        }
+      }
+    }
+    if (nFrames == 0) return null
+    val totalSamples = nFrames.toLong * spf
+    (version, layer, rate, channels, nFrames, totalSamples,
+      totalSamples * 1000L / rate, kMin, kMax, kMin == kMax, audioBytes)
+  }
+
+  /** Emit one frame's 4-byte header + deterministic payload fill. */
+  private def writeFrame(out: java.io.ByteArrayOutputStream,
+      version: Int, layer: Int, bIdx: Int, rIdx: Int, pad: Int,
+      mono: Boolean, fill: Int): Unit = {
+    val vBits = version match { case 1 => 3; case 2 => 2; case _ => 0 }
+    val lBits = layer match { case 1 => 3; case 2 => 2; case _ => 1 }
+    out.write(0xff)
+    out.write(0xe0 | (vBits << 3) | (lBits << 1) | 1) // no CRC
+    out.write((bIdx << 4) | (rIdx << 2) | (pad << 1))
+    out.write(if (mono) 0xc0 else 0x00)
+    val kbps = bitrateKbps(version, layer, bIdx)
+    val rate = sampleRate(version, rIdx)
+    val n = frameBytes(version, layer, kbps, rate, pad) - 4
+    var i = 0
+    // fill stays < 0x80: no byte inside a frame can fake a sync word
+    while (i < n) { out.write(fill & 0x7f); i += 1 }
+  }
+
+  /** Deterministic MP3 stream from the portable id MODEL (the
+    * [[JpegSynthExpr]] convention — the oracle replays the MODEL, the
+    * bytes carry it):
+    *  - version/layer: ids ≡ 2 mod 4 are MPEG2 Layer III (576-sample
+    *    granules, the 72·br/rate length rule), all others MPEG1 L III
+    *    (mod 4 — independent of the rate index's mod 3, so every
+    *    version×rate cell occurs);
+    *  - sample-rate index `id mod 3`; channel mode mono iff id odd;
+    *  - `3 + (id mod 5)` frames; bitrate index `1 + (id mod 8)` with
+    *    VBR on odd ids (alternate frames step the index up by one);
+    *  - frame f carries padding iff `(id + f) mod 4 == 0`;
+    *  - ids ≡ 0 mod 5 get an ID3v2 prefix (130-byte tag body) the
+    *    probe must skip — and its syncsafe size genuinely uses two
+    *    7-bit groups (130 > 127 exercises the shift, not just the
+    *    low byte).
+    * floorMod throughout: hostile negative ids degrade like the
+    * oracle's `//`/`%` floor model instead of throwing. */
+  def synth(id: Long): Array[Byte] = {
+    def fm(m: Long): Int = Math.floorMod(id, m).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    if (fm(5) == 0) { // ID3v2 prefix, syncsafe size 130 = (1<<7) | 2
+      out.write(Array[Byte]('I', 'D', '3', 4, 0, 0))
+      out.write(Array[Byte](0, 0, 0x01, 0x02)) // 4 syncsafe size bytes
+      var i = 0
+      while (i < 130) { out.write(0x20); i += 1 }
+    }
+    val version = if (fm(4) == 2) 2 else 1
+    val rIdx = fm(3)
+    val mono = fm(2) == 1
+    val nFrames = 3 + fm(5)
+    val bIdx0 = 1 + fm(8)
+    var f = 0
+    while (f < nFrames) {
+      val bIdx = if (fm(2) == 1 && f % 2 == 1) bIdx0 + 1 else bIdx0
+      val pad = if (Math.floorMod(id + f, 4L) == 0L) 1 else 0
+      writeFrame(out, version, 3, bIdx, rIdx, pad, mono,
+        fill = (id + f).toInt)
+      f += 1
+    }
+    out.toByteArray
+  }
+}
+
+/** Probe an MP3 column's frame headers: exact integer container
+  * metadata (see [[Mp3.probe]]); null row on anything that is not a
+  * parseable MPEG audio stream (E1). */
+case class Mp3ProbeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = Mp3ProbeExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp3_probe"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BINARY input, got ${child.dataType}")
+
+  def compute(bytes: Array[Byte]): InternalRow = {
+    val p = Mp3.probe(bytes)
+    if (p == null) return null
+    val (v, l, rate, ch, nf, ts, ms, kMin, kMax, cbr, ab) = p
+    InternalRow(v, l, rate, ch, nf, ts, ms, kMin, kMax, cbr, ab)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("mp3Probe", this,
+      classOf[Mp3ProbeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $ref.compute($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object Mp3ProbeExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("mpeg_version", IntegerType, nullable = false),
+    StructField("layer", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_channels", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("total_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("kbps_min", IntegerType, nullable = false),
+    StructField("kbps_max", IntegerType, nullable = false),
+    StructField("is_cbr", BooleanType, nullable = false),
+    StructField("n_audio_bytes", LongType, nullable = false)))
+}
+
+/** Synthesize a real MPEG audio stream per row from the portable id
+  * model (see [[Mp3.synth]]). */
+case class Mp3SynthExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "mp3_synth"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BIGINT input, got ${child.dataType}")
+
+  def compute(id: Long): Array[Byte] = Mp3.synth(id)
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("mp3Synth", this,
+      classOf[Mp3SynthExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object Mp3Probe {
+  import org.apache.spark.sql.graft.Bridge.{column, expression}
+
+  def mp3Probe(bin: Column): Column =
+    column(Mp3ProbeExpr(expression(bin)))
+
+  def mp3Synth(id: Column): Column =
+    column(Mp3SynthExpr(expression(id)))
+}

@@ -685,4 +685,41 @@ object Multimodal {
       .filter(col("simhash").isNotNull)
     Dedup.simhashPairsFromSigs(sigs, maxHamming)
   }
+
+  // ---------------------------------------------------------------------
+  // REAL format: MPEG audio (MP3) frame headers — container metadata,
+  // not PCM decode (graft.expressions.Mp3ProbeExpr scaladoc has the
+  // scope rationale)
+  // ---------------------------------------------------------------------
+
+  /** Synthesize a real MPEG audio stream per row from the portable id
+    * model ([[graft.expressions.Mp3.synth]]): MPEG1/MPEG2 Layer III,
+    * CBR and VBR, per-frame padding, ID3v2-prefixed slice. */
+  def mp3Payload(df: DataFrame, idCol: String,
+      out: String = "payload"): DataFrame =
+    registered(df.select(col(idCol),
+      graft.expressions.Mp3Probe.mp3Synth(col(idCol).cast("long"))
+        .as(out)))
+
+  /** Frame-header walk over an MP3 column: exact integer container
+    * metadata (frames, samples, duration, bitrate envelope, CBR flag)
+    * — the audio quality-gate inputs a 100 TB crawl pipeline computes
+    * WITHOUT a synthesis filterbank. Row-local codegen in the scan
+    * projection (the decode-column convention); malformed streams null
+    * out (E1). */
+  def probeMp3(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.expressions.Mp3Probe.mp3Probe(col(binCol)).as("__m"))
+      .select(col(idCol),
+        col("__m.mpeg_version").as("mpeg_version"),
+        col("__m.layer").as("layer"),
+        col("__m.sample_rate").as("sample_rate"),
+        col("__m.n_channels").as("n_channels"),
+        col("__m.n_frames").as("n_frames"),
+        col("__m.total_samples").as("total_samples"),
+        col("__m.duration_ms").as("duration_ms"),
+        col("__m.kbps_min").as("kbps_min"),
+        col("__m.kbps_max").as("kbps_max"),
+        col("__m.is_cbr").as("is_cbr"),
+        col("__m.n_audio_bytes").as("n_audio_bytes"))
 }

@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.Mp3
+
+/** MPEG audio frame-header probe: model round-trip over the synthetic
+  * corpus, the frame-length integer algebra against hand-computed
+  * values from the ISO 11172-3 tables, walk semantics (VBR envelope,
+  * padding, ID3v2 syncsafe skip, truncation, trailing garbage), and
+  * the hostile-input posture. No foreign-codec cross-check exists for
+  * MP3 in this container (the JDK has no MPEG audio reader), so the
+  * independent evidence is the hand-computed table arithmetic below —
+  * the probe is metadata-only by design (see Mp3ProbeExpr scaladoc). */
+class MultimodalMp3Spec extends AnyFunSuite {
+
+  private def fm(id: Long, m: Long): Int = Math.floorMod(id, m).toInt
+
+  test("synth streams probe back to the id model: version, rate, " +
+      "channels, frames, samples, floor-division duration") {
+    for (id <- 0L to 40L) {
+      val p = Mp3.probe(Mp3.synth(id))
+      assert(p != null, s"id=$id did not probe")
+      val (v, l, rate, ch, nf, ts, ms, kMin, kMax, cbr, _) = p
+      val wantV = if (fm(id, 4) == 2) 2 else 1
+      val wantRate = (wantV, fm(id, 3)) match {
+        case (1, 0) => 44100
+        case (1, 1) => 48000
+        case (1, _) => 32000
+        case (2, 0) => 22050
+        case (2, 1) => 24000
+        case _      => 16000
+      }
+      assert(v == wantV && l == 3 && rate == wantRate, s"id=$id")
+      assert(ch == (if (fm(id, 2) == 1) 1 else 2), s"id=$id channels")
+      val wantNf = 3 + fm(id, 5)
+      assert(nf == wantNf, s"id=$id frames $nf != $wantNf")
+      val spf = if (wantV == 1) 1152 else 576
+      assert(ts == wantNf.toLong * spf)
+      assert(ms == wantNf.toLong * spf * 1000 / wantRate)
+      // VBR envelope: odd ids alternate bitrate indices
+      if (fm(id, 2) == 1) assert(!cbr && kMax > kMin, s"id=$id vbr")
+      else assert(cbr && kMax == kMin, s"id=$id cbr")
+    }
+  }
+
+  test("frame-length algebra matches hand-computed ISO table values: " +
+      "MPEG1 L3 128kbps@44100 = 417+pad, MPEG2 L3 64kbps@22050 = " +
+      "208+pad (the half-granule 72 rule)") {
+    assert(Mp3.frameBytes(1, 3, 128, 44100, 0) == 417)
+    assert(Mp3.frameBytes(1, 3, 128, 44100, 1) == 418)
+    assert(Mp3.frameBytes(2, 3, 64, 22050, 0) == 208)
+    // Layer I counts in 4-byte slots: 32kbps@44100 -> (12*32000/44100
+    // = 8) + pad, times 4
+    assert(Mp3.frameBytes(1, 1, 32, 44100, 0) == 32)
+    assert(Mp3.frameBytes(1, 1, 32, 44100, 1) == 36)
+    // samples per frame: L1 384, L2 1152, L3 1152/576
+    assert(Mp3.samplesPerFrame(1, 1) == 384)
+    assert(Mp3.samplesPerFrame(1, 2) == 1152)
+    assert(Mp3.samplesPerFrame(1, 3) == 1152)
+    assert(Mp3.samplesPerFrame(2, 3) == 576)
+    // bitrate tables: spot values from 11172-3 table B.2 / 13818-3
+    assert(Mp3.bitrateKbps(1, 3, 9) == 128)
+    assert(Mp3.bitrateKbps(1, 3, 14) == 320)
+    assert(Mp3.bitrateKbps(1, 1, 14) == 448)
+    assert(Mp3.bitrateKbps(2, 3, 14) == 160)
+  }
+
+  test("ID3v2 prefix is skipped via the syncsafe size (two 7-bit " +
+      "groups); a size byte with the high bit set nulls out") {
+    val id = 5L // ids = 0 mod 5 carry the tag
+    val bytes = Mp3.synth(id)
+    assert(bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3')
+    assert(Mp3.probe(bytes) != null)
+    // un-tagged twin of the same audio model probes identically
+    // except the tag: strip 10 + 130 bytes and re-probe
+    val stripped = java.util.Arrays.copyOfRange(bytes, 140, bytes.length)
+    assert(Mp3.probe(stripped) == Mp3.probe(bytes))
+    // corrupt the syncsafe size: high bit set -> malformed -> null
+    val bad = bytes.clone()
+    bad(6) = 0x80.toByte
+    assert(Mp3.probe(bad) == null)
+    // tag claiming to run past the buffer -> null
+    val big = bytes.clone()
+    big(8) = 0x7f.toByte; big(9) = 0x7f.toByte
+    assert(Mp3.probe(big) == null)
+  }
+
+  test("permissive walk: a truncated final frame reports the complete " +
+      "prefix; trailing garbage and an ID3v1 tail stop the walk; a " +
+      "mid-stream version flip is treated as garbage") {
+    val id = 4L // CBR stereo MPEG1, no ID3 prefix
+    val bytes = Mp3.synth(id)
+    val full = Mp3.probe(bytes)
+    val nf = full._5
+    // cut 3 bytes into the final frame: one fewer frame, same shape
+    val cut = java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 3)
+    val p = Mp3.probe(cut)
+    assert(p != null && p._5 == nf - 1, s"got ${p._5}, want ${nf - 1}")
+    // trailing ID3v1 tag (or any garbage): full frame count, walk ends
+    val withTag = bytes ++ ("TAG" + "x" * 125).getBytes("ISO-8859-1")
+    assert(Mp3.probe(withTag)._5 == nf)
+    // a valid-but-foreign header after the stream (MPEG2 vs MPEG1)
+    // stops the walk rather than mixing versions
+    val foreign = Mp3.synth(2L) // 2 % 4 == 2 -> MPEG2
+    assert(Mp3.probe(bytes ++ foreign)._5 == nf)
+  }
+
+  test("hostile inputs null: empty, no sync, free-format bitrate, " +
+      "forbidden bitrate index, reserved version/layer/rate bits") {
+    assert(Mp3.probe(Array[Byte]()) == null)
+    assert(Mp3.probe("not audio".getBytes) == null)
+    val good = Mp3.synth(1L)
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); f(b); b
+    }
+    assert(Mp3.probe(patched(_(0) = 0x00)) == null) // sync gone
+    // bitrate index 0 (free format) and 15 (forbidden)
+    assert(Mp3.probe(patched(b => b(2) = (b(2) & 0x0f).toByte)) == null)
+    assert(Mp3.probe(patched(b => b(2) = (b(2) | 0xf0).toByte)) == null)
+    // reserved sample-rate index 3
+    assert(Mp3.probe(patched(b => b(2) = (b(2) | 0x0c).toByte)) == null)
+    // reserved version bits (01)
+    assert(Mp3.probe(patched(b =>
+      b(1) = ((b(1) & ~0x18) | 0x08).toByte)) == null)
+    // reserved layer bits (00)
+    assert(Mp3.probe(patched(b => b(1) = (b(1) & ~0x06).toByte)) == null)
+  }
+
+  test("no byte inside a synthesized frame can fake a sync word (fill " +
+      "is 7-bit), so the walk's jump-by-frame-size is honest") {
+    for (id <- 0L to 10L) {
+      val b = Mp3.synth(id)
+      // count FF bytes: exactly one per frame header
+      val nf = 3 + fm(id, 5)
+      val ffs = b.count(x => (x & 0xff) == 0xff)
+      assert(ffs == nf, s"id=$id: $ffs sync bytes for $nf frames")
+    }
+  }
+}
