@@ -141,6 +141,20 @@ object ScaleBench {
       nDocs
     }
 
+    // length-maximal duplicated substrings at factor× chars: the one
+    // remaining >=3 s family without a curve (r14 verdict task 5 —
+    // substring algorithms are where quadratic blowups hide). The
+    // claim to verify: cost is sort-bound — n slices through ONE
+    // range-partition shuffle + per-partition rank + two rank-equi
+    // joins, so factor× chars must time ~factor·log(factor)-ish, never
+    // factor² (the all-pairs failure mode). Count() is fine here: the
+    // filter depends on the LCP columns, so nothing prunable.
+    if (want("substring_maximal")) timed("substring_maximal") {
+      cnt("substring_maximal_rows") = Dedup.exactSubstringMaximalSpans(
+        big, "doc_id", "text", minLen = 16, maxLen = 32).count()
+      nDocs
+    }
+
     // semantic dedup at factor× embeddings: replicas are the base vector
     // plus a tiny deterministic per-(vec, rep, dim) perturbation —
     // near-exact semantic copies, so SemDeDup should drop ~(factor-1)/
