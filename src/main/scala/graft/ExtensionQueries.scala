@@ -8634,6 +8634,48 @@ object MultimodalQueries {
           END)::BIGINT AS top_row_sum
       FROM gv GROUP BY doc_id, gray, wb, hb"""
 
+  /** Ground-truth text model of [[Multimodal.pdfPayload]]'s corpus
+    * ([[graft.expressions.Pdf.synth]] scaladoc): page-line algebra +
+    * md5 — the oracle never sees the PDF byte layout, so the stream
+    * walk, Flate inflation, string unescaping, hex decoding, and TJ
+    * assembly are all checked against independent ground truth. */
+  private def pdfModelSql(from: String, corrupt: Boolean): String = {
+    val meta =
+      s"""WITH pg AS (
+        SELECT doc_id, (1 + doc_id % 3)::INTEGER AS np FROM $from),
+      ln AS (
+        SELECT doc_id, np, unnest(range(0, np)) AS p FROM pg),
+      lt AS (
+        SELECT doc_id, np, p,
+          'doc ' || doc_id || ' page ' || p ||
+            CASE WHEN doc_id % 7 = 0 THEN ' a(b)c\\d' ELSE '' END ||
+            chr(10) || md5(doc_id || '_' || p) AS ptext
+        FROM ln),
+      meta AS (
+        SELECT doc_id, any_value(np) AS np,
+          string_agg(ptext, chr(10) ORDER BY p) AS text
+        FROM lt GROUP BY doc_id)"""
+    if (!corrupt)
+      s"""$meta
+        SELECT doc_id, np AS n_pages, np AS n_streams,
+          (2 * np)::INTEGER AS n_text_ops, text,
+          length(text)::INTEGER AS n_chars
+        FROM meta"""
+    else {
+      val bad = "(doc_id % 17 = 0 OR doc_id % 13 = 0)"
+      s"""$meta
+        SELECT doc_id,
+          CASE WHEN $bad THEN NULL ELSE np END AS n_pages,
+          CASE WHEN $bad THEN NULL ELSE np END AS n_streams,
+          CASE WHEN $bad THEN NULL ELSE 2 * np END::INTEGER
+            AS n_text_ops,
+          CASE WHEN $bad THEN NULL ELSE text END AS text,
+          CASE WHEN $bad THEN NULL ELSE length(text) END::INTEGER
+            AS n_chars
+        FROM meta"""
+    }
+  }
+
   /** Ground-truth frame-header model of [[Multimodal.mp3Payload]]'s
     * synthetic streams ([[graft.expressions.Mp3.synth]] scaladoc): the
     * oracle re-derives version/rate/channels, per-frame bitrate index
@@ -9310,6 +9352,45 @@ object MultimodalQueries {
           ((sum(CASE WHEN energy > 358000000 * flen THEN 1 ELSE 0 END)
             * 1000000) // count(*))::BIGINT AS speech_ratio_micro
         FROM we GROUP BY doc_id""")),
+
+    // PDF text-layer extraction — the application/pdf route of a crawl
+    // pipeline (PDF is the second document format a web crawl yields;
+    // the WARC chain handles only text/html). The extractor is a real
+    // object walk: /Type /Page counting, <<dict>> stream...endstream
+    // location by keyword (never trusting /Length — the malformed-PDF
+    // hazard), FlateDecode inflation with the zlib-then-raw fallback,
+    // and a content-stream tokenizer covering literal strings with the
+    // ISO 32000-1 §7.3.4.2 escapes, hex strings, TJ arrays, and the
+    // Tj/'/" show operators with Td/TD/T* line structure. The corpus
+    // is REAL PDFs (true xref offsets; a viewer opens them) mixing
+    // plain and Flate streams, Tj and hex-array TJ forms, and an
+    // escape-exercise token; the oracle replays the text MODEL (line
+    // algebra + md5), never the file layout
+    Q("multimodal_pdf_text",
+      (s, dir) => Multimodal.extractPdfText(
+        Multimodal.pdfPayload(
+          Sources.table(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload"),
+      Some(pdfModelSql("documents", corrupt = false))),
+
+    // the corrupt twin: id%17 truncates below the header, id%13
+    // destroys the magic — both null the row rather than misparsing
+    // (E1); ids hitting neither decode exactly as the clean row
+    Q("multimodal_pdf_text_corrupt",
+      (s, dir) => {
+        val p = Multimodal.pdfPayload(
+          Sources.table(s, dir, "documents"), "doc_id")
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(17)) === 0,
+              col("payload").substr(lit(1), lit(4)))
+              .when(pmod(col("doc_id"), lit(13)) === 0,
+                concat(lit(Array[Byte](0x58)),
+                  expr("substring(payload, 2, " +
+                    "octet_length(payload) - 1)")))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.extractPdfText(p, "doc_id", "payload")
+      },
+      Some(pdfModelSql("documents", corrupt = true))),
 
     // MPEG audio (MP3) frame-header metadata — the compressed-audio
     // container gap (r14 verdict item 7): duration, bitrate envelope,

@@ -1,0 +1,521 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** PDF text extraction — the second-most-common document format a web
+  * crawl yields (the reference pipeline and this engine's WARC→HTML
+  * chain only handle text/html; a Common Crawl-scale corpus routes
+  * application/pdf to exactly this operator). Scope is the TEXT layer
+  * of ISO 32000-1: content-stream text-showing operators over
+  * FlateDecode/plain streams — not rendering, not fonts, not
+  * encryption (encrypted or image-only PDFs yield pages but no text,
+  * which is itself the signal an OCR router keys on).
+  *
+  * Parse strategy (robust-by-construction, no xref trust): real crawl
+  * PDFs routinely carry broken xref tables, so the walk scans objects
+  * directly — every `<<dict>> stream ... endstream` segment is a
+  * candidate content stream, located by the `endstream` keyword rather
+  * than the declared /Length (the classic malformed-PDF hazard);
+  * /FlateDecode streams inflate through the zlib-then-raw fallback the
+  * WARC reader uses; a stream that fails to inflate is SKIPPED, not
+  * fatal (per-member permissiveness). Pages are counted by `/Type
+  * /Page` dictionary occurrences (whitespace-insensitive, `/Pages`
+  * excluded) — the count survives xref corruption.
+  *
+  * Text assembly from each decoded stream, in document order:
+  *  - `(literal)` strings with nesting and the §7.3.4.2 escapes
+  *    (\n \r \t \b \f \( \) \\ \ooo octal, line continuations);
+  *  - `<hex>` strings (§7.3.4.3, odd-length padded with 0);
+  *  - `Tj` and the quote operators show the string (quotes imply a
+  *    leading line break, as they carry T* semantics);
+  *  - `TJ` shows each string element of its array (kerning numbers
+  *    ignored — layout, not content);
+  *  - `Td` / `TD` / `T*` emit ONE newline when text has accumulated
+  *    (line structure without double blanks);
+  *  - every operator clears the operand stack (PDF operators consume
+  *    their operands; unknown operators therefore skip cleanly).
+  * Bytes map via Latin-1 — the WinAnsi/StandardEncoding printable
+  * range a text-mining pipeline keeps (full /ToUnicode CMap handling
+  * is rendering-grade work out of scope here and documented so).
+  *
+  * Null row only when the input is not a PDF at all (no `%PDF-`
+  * header): E1 absorption, the MP3/JPEG convention. */
+private[graft] object Pdf {
+
+  /** Direct /Length only — an indirect `N 0 R` reference fails the
+    * lookahead and falls back to the endstream-keyword bound. */
+  private val LengthRe = "/Length\\s+(\\d+)(?!\\s+\\d+\\s+R)".r
+
+  private def find(b: Array[Byte], pat: Array[Byte], from: Int): Int = {
+    var i = from
+    val n = b.length - pat.length
+    while (i <= n) {
+      var j = 0
+      while (j < pat.length && b(i + j) == pat(j)) j += 1
+      if (j == pat.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' ||
+      c == 0
+
+  private def isDelim(c: Int): Boolean =
+    isWs(c) || c == '(' || c == ')' || c == '<' || c == '>' ||
+      c == '[' || c == ']' || c == '{' || c == '}' || c == '/' ||
+      c == '%'
+
+  /** Count `/Type /Page` (not `/Pages`) across the raw bytes. */
+  private def countPages(b: Array[Byte]): Int = {
+    val t = "/Type".getBytes("ISO-8859-1")
+    var n = 0
+    var at = find(b, t, 0)
+    while (at >= 0) {
+      var i = at + 5
+      while (i < b.length && isWs(b(i) & 0xff)) i += 1
+      if (i + 5 <= b.length && b(i) == '/' && b(i + 1) == 'P' &&
+          b(i + 2) == 'a' && b(i + 3) == 'g' && b(i + 4) == 'e' &&
+          (i + 5 == b.length || isDelim(b(i + 5) & 0xff))) n += 1
+      at = find(b, t, at + 5)
+    }
+    n
+  }
+
+  /** Extracted text ops from ONE decoded content stream, appended to
+    * `out`; returns the number of text-showing operators. */
+  private def extractOps(s: Array[Byte], out: StringBuilder): Int = {
+    var i = 0
+    var nOps = 0
+    // operand stack: only strings matter; None marks non-strings
+    var stack = List.empty[Option[String]]
+    var arr: List[Option[String]] = null // inside [...] when non-null
+
+    def push(v: Option[String]): Unit =
+      if (arr != null) arr = v :: arr else stack = v :: stack
+
+    def newline(): Unit =
+      if (out.nonEmpty && out.charAt(out.length - 1) != '\n')
+        out.append('\n')
+
+    def show(v: Option[String]): Unit = v.foreach(out.append)
+
+    def literal(): Option[String] = { // i at '('
+      i += 1
+      val sb = new StringBuilder
+      var depth = 1
+      while (i < s.length && depth > 0) {
+        val c = s(i) & 0xff
+        if (c == '\\' && i + 1 < s.length) {
+          val e = s(i + 1) & 0xff
+          i += 2
+          e match {
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case 't' => sb.append('\t')
+            case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case '(' => sb.append('(')
+            case ')' => sb.append(')')
+            case '\\' => sb.append('\\')
+            case '\r' => if (i < s.length && s(i) == '\n') i += 1 // cont.
+            case '\n' => // line continuation: nothing
+            case d if d >= '0' && d <= '7' => // up to 3 octal digits
+              var v = d - '0'
+              var k = 0
+              while (k < 2 && i < s.length &&
+                  (s(i) & 0xff) >= '0' && (s(i) & 0xff) <= '7') {
+                v = v * 8 + ((s(i) & 0xff) - '0')
+                i += 1
+                k += 1
+              }
+              sb.append((v & 0xff).toChar)
+            case other => sb.append(other.toChar) // \x -> x (§7.3.4.2)
+          }
+        } else {
+          if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          if (depth > 0) sb.append(c.toChar)
+          i += 1
+        }
+      }
+      Some(sb.toString)
+    }
+
+    def hexString(): Option[String] = { // i at '<', next not '<'
+      i += 1
+      val sb = new StringBuilder
+      var hi = -1
+      while (i < s.length && s(i) != '>') {
+        val d = Character.digit(s(i).toChar, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { sb.append(((hi << 4) | d).toChar); hi = -1 }
+        }
+        i += 1
+      }
+      if (hi >= 0) sb.append((hi << 4).toChar) // odd length: pad 0
+      if (i < s.length) i += 1 // '>'
+      Some(sb.toString)
+    }
+
+    while (i < s.length) {
+      val c = s(i) & 0xff
+      if (isWs(c)) i += 1
+      else if (c == '%') { // comment to EOL
+        while (i < s.length && s(i) != '\n' && s(i) != '\r') i += 1
+      } else if (c == '(') push(literal())
+      else if (c == '<' && i + 1 < s.length && s(i + 1) == '<') {
+        // inline dict (e.g. BDC property lists): skip to matching >>
+        i += 2
+        var depth = 1
+        while (i < s.length && depth > 0) {
+          if (s(i) == '<' && i + 1 < s.length && s(i + 1) == '<') {
+            depth += 1; i += 2
+          } else if (s(i) == '>' && i + 1 < s.length &&
+              s(i + 1) == '>') {
+            depth -= 1; i += 2
+          } else i += 1
+        }
+      } else if (c == '<') push(hexString())
+      else if (c == '[') { arr = Nil; i += 1 }
+      else if (c == ']') {
+        val a = if (arr == null) Nil else arr.reverse
+        arr = null
+        stack = Some(a.flatten.mkString) :: stack
+        i += 1
+      } else if (c == '/') { // name
+        i += 1
+        while (i < s.length && !isDelim(s(i) & 0xff)) i += 1
+        push(None)
+      } else if ((c >= '0' && c <= '9') || c == '+' || c == '-' ||
+          c == '.') { // number
+        i += 1
+        while (i < s.length && !isDelim(s(i) & 0xff)) i += 1
+        push(None)
+      } else { // operator token
+        val start = i
+        while (i < s.length && !isDelim(s(i) & 0xff)) i += 1
+        val op =
+          if (i > start) new String(s, start, i - start, "ISO-8859-1")
+          else { i += 1; "" } // lone delimiter: consume, no-op
+        op match {
+          case "Tj" =>
+            stack.headOption.foreach { v => show(v); nOps += 1 }
+          case "'" =>
+            newline()
+            stack.headOption.foreach { v => show(v); nOps += 1 }
+          case "\"" => // (aw ac string) " — string is TOS
+            newline()
+            stack.headOption.foreach { v => show(v); nOps += 1 }
+          case "TJ" =>
+            stack.headOption.foreach { v => show(v); nOps += 1 }
+          case "Td" | "TD" | "T*" => newline()
+          case _ => // Tf/Tm/BT/ET/graphics/...: operands consumed
+        }
+        stack = Nil
+      }
+    }
+    nOps
+  }
+
+  /** (nPages, nStreams, nTextOps, text) or null when not a PDF. */
+  def extract(b: Array[Byte]): (Int, Int, Int, String) = {
+    if (b == null || b.length < 5) return null
+    if (!(b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F' &&
+        b(4) == '-')) return null
+    val nPages = countPages(b)
+    val out = new StringBuilder
+    var nStreams = 0
+    var nOps = 0
+    val kwStream = "stream".getBytes("ISO-8859-1")
+    val kwEnd = "endstream".getBytes("ISO-8859-1")
+    var at = find(b, kwStream, 0)
+    while (at >= 0) {
+      // require the dict-close ">>" shortly before: an object stream
+      // keyword, not the word inside some literal
+      var back = at - 1
+      while (back >= 0 && isWs(b(back) & 0xff)) back -= 1
+      val isStream = back >= 1 && b(back) == '>' && b(back - 1) == '>'
+      if (isStream) {
+        // data begins after stream + CRLF|LF (§7.3.8.1)
+        var ds = at + 6
+        if (ds < b.length && b(ds) == '\r') ds += 1
+        if (ds < b.length && b(ds) == '\n') ds += 1
+        val de = find(b, kwEnd, ds)
+        if (de >= 0) {
+          // the OWNING dict: back to this object's start — the flat
+          // 512-byte window must not reach into the PREVIOUS object
+          // (whose /FlateDecode would then poison a plain stream)
+          val floor = math.max(0, at - 512)
+          val dictFrom = {
+            val s = new String(b, floor, at - floor, "ISO-8859-1")
+            val prev = math.max(s.lastIndexOf("endobj"),
+              s.lastIndexOf("endstream"))
+            if (prev >= 0) floor + prev else floor
+          }
+          val dict = new String(b, dictFrom, at - dictFrom, "ISO-8859-1")
+          val flate = dict.contains("/FlateDecode")
+          // trust a DIRECT /Length when it verifies (only EOL bytes
+          // between declared end and the endstream keyword): exact
+          // for binary data that legitimately ends in CR/LF bytes.
+          // A lying or indirect /Length falls back to the keyword
+          // bound with a single-EOL trim (the malformed-PDF posture).
+          val declared = LengthRe.findFirstMatchIn(dict)
+            .map(_.group(1).toInt)
+          val end = declared match {
+            case Some(len) if ds + len <= de &&
+                (ds + len until de).forall(i => isWs(b(i) & 0xff)) =>
+              ds + len
+            case _ =>
+              var e = de
+              if (e > ds && b(e - 1) == '\n') e -= 1
+              if (e > ds && b(e - 1) == '\r') e -= 1
+              e
+          }
+          val raw = java.util.Arrays.copyOfRange(b, ds, end)
+          val data: Array[Byte] =
+            if (!flate) raw
+            else try inflate(raw) catch { case _: Exception => null }
+          if (data != null) {
+            nStreams += 1
+            // only TEXT-bearing streams contribute (a content stream
+            // with no BT does nothing; XObject image data that
+            // happens to inflate parses to zero ops harmlessly)
+            if (find(data, Array[Byte]('B', 'T'), 0) >= 0)
+              nOps += extractOps(data, out)
+          }
+          at = find(b, kwStream, de + 9)
+        } else at = -1 // truncated stream: permissive stop
+      } else at = find(b, kwStream, at + 6)
+    }
+    (nPages, nStreams, nOps, out.toString)
+  }
+
+  private def inflate(b: Array[Byte]): Array[Byte] = {
+    def run(nowrap: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      try {
+        inf.setInput(b)
+        val out =
+          new java.io.ByteArrayOutputStream(math.max(64, b.length * 4))
+        val buf = new Array[Byte](1 << 16)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n > 0) out.write(buf, 0, n)
+          else if (inf.needsInput() || inf.needsDictionary())
+            throw new java.io.EOFException("truncated flate stream")
+        }
+        out.toByteArray
+      } finally inf.end()
+    }
+    try run(false)
+    catch { case _: java.util.zip.DataFormatException => run(true) }
+  }
+
+  // ======================= writer (synth corpus) =======================
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '(' => "\\("
+      case ')' => "\\)"
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Page-p line pair of the portable text MODEL (shared with the
+    * DuckDB oracle): line 1 is positional prose, line 2 the md5 hex of
+    * `id_p`; ids ≡ 0 mod 7 append the escape-exercise token
+    * `a(b)c\d` to line 1 (written escaped in the literal, emitted
+    * raw). */
+  def modelLines(id: Long, p: Int): (String, String) = {
+    val l1 = s"doc $id page $p" +
+      (if (Math.floorMod(id, 7L) == 0L) " a(b)c\\d" else "")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${id}_$p".getBytes("UTF-8"))
+    (l1, md.map(x => f"${x & 0xff}%02x").mkString)
+  }
+
+  /** A REAL minimal PDF from the id model — header, catalog, page
+    * tree, font, one content stream per page, xref table with true
+    * byte offsets, trailer (it opens in a viewer; the extractor never
+    * reads the xref, but honest synthesis keeps the corpus foreign-
+    * tool-checkable):
+    *  - `1 + id mod 3` pages, two text lines each (model above);
+    *  - ids ≡ 0 mod 2: content streams are /FlateDecode (zlib);
+    *    others plain — both decode paths run in the hash gate;
+    *  - ids ≡ 0 mod 5: line 2 is shown from a HEX string, and the
+    *    line pair runs through one TJ array instead of two Tj ops —
+    *    the array/hex paths run in the gate too. */
+  def synth(id: Long): Array[Byte] = {
+    def fm(m: Long): Int = Math.floorMod(id, m).toInt
+    val nPages = 1 + fm(3)
+    val flate = fm(2) == 0
+    val hexTj = fm(5) == 0
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    def obj(body: => Unit): Unit = {
+      offsets += out.size()
+      val n = offsets.size
+      w(s"$n 0 obj\n")
+      body
+      w("endobj\n")
+    }
+    // 1: catalog, 2: pages, 3: font, 4..: per page (page, content)
+    obj { w("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj {
+      val kids = (0 until nPages).map(p => s"${4 + 2 * p} 0 R")
+        .mkString(" ")
+      w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>\n")
+    }
+    obj {
+      w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n")
+    }
+    (0 until nPages).foreach { p =>
+      obj {
+        w(s"<< /Type /Page /Parent 2 0 R " +
+          s"/MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> " +
+          s"/Contents ${5 + 2 * p} 0 R >>\n")
+      }
+      val (l1, l2) = modelLines(id, p)
+      val hex2 = l2.getBytes("ISO-8859-1")
+        .map(x => f"${x & 0xff}%02x").mkString
+      val content =
+        if (hexTj)
+          s"BT /F1 12 Tf 72 720 Td [(${esc(l1)})] TJ 0 -14 Td " +
+            s"[<$hex2>] TJ ET\n"
+        else
+          s"BT /F1 12 Tf 72 720 Td (${esc(l1)}) Tj 0 -14 Td " +
+            s"(${esc(l2)}) Tj ET\n"
+      val raw = content.getBytes("ISO-8859-1")
+      val data = if (flate) deflate(raw) else raw
+      obj {
+        val filter = if (flate) " /Filter /FlateDecode" else ""
+        w(s"<< /Length ${data.length}$filter >>\nstream\n")
+        out.write(data)
+        w("\nendstream\n")
+      }
+    }
+    val xrefAt = out.size()
+    w(s"xref\n0 ${offsets.size + 1}\n")
+    w("0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+}
+
+/** Extract the text layer of a PDF column: struct(n_pages, n_streams,
+  * n_text_ops, text, n_chars) — see [[Pdf]]; null when the payload has
+  * no PDF header (E1). */
+case class PdfTextExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = PdfTextExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "pdf_text"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BINARY input, got ${child.dataType}")
+
+  def compute(bytes: Array[Byte]): InternalRow = {
+    val r = Pdf.extract(bytes)
+    if (r == null) return null
+    val (pages, streams, ops, text) = r
+    InternalRow(pages, streams, ops, UTF8String.fromString(text),
+      text.codePointCount(0, text.length))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("pdfText", this,
+      classOf[PdfTextExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $ref.compute($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object PdfTextExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_pages", IntegerType, nullable = false),
+    StructField("n_streams", IntegerType, nullable = false),
+    StructField("n_text_ops", IntegerType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false)))
+}
+
+/** Synthesize a real minimal PDF per row from the portable id model
+  * ([[Pdf.synth]]). */
+case class PdfSynthExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "pdf_synth"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BIGINT input, got ${child.dataType}")
+
+  def compute(id: Long): Array[Byte] = Pdf.synth(id)
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("pdfSynth", this,
+      classOf[PdfSynthExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object PdfText {
+  import org.apache.spark.sql.graft.Bridge.{column, expression}
+
+  def pdfText(bin: Column): Column =
+    column(PdfTextExpr(expression(bin)))
+
+  def pdfSynth(id: Column): Column =
+    column(PdfSynthExpr(expression(id)))
+}

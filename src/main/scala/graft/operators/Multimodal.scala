@@ -701,6 +701,38 @@ object Multimodal {
       graft.expressions.Mp3Probe.mp3Synth(col(idCol).cast("long"))
         .as(out)))
 
+  // ---------------------------------------------------------------------
+  // REAL format: PDF text layer (graft.expressions.PdfTextExpr — the
+  // application/pdf route of a crawl pipeline)
+  // ---------------------------------------------------------------------
+
+  /** Synthesize a real minimal PDF per row from the portable id model
+    * ([[graft.expressions.Pdf.synth]]): true xref offsets, 1–3 pages,
+    * Flate and plain content streams, literal/hex/array text ops. */
+  def pdfPayload(df: DataFrame, idCol: String,
+      out: String = "payload"): DataFrame =
+    registered(df.select(col(idCol),
+      graft.expressions.PdfText.pdfSynth(col(idCol).cast("long"))
+        .as(out)))
+
+  /** Extract the TEXT LAYER of a PDF column — page count, stream
+    * count, text-op count, assembled text ([[graft.expressions.Pdf]]
+    * scaladoc for the exact subset and permissive posture). Row-local
+    * codegen in the scan projection; non-PDF payloads null out (E1).
+    * Feed the output text straight to the text-analysis family — this
+    * is the operator that routes a crawl's application/pdf records
+    * into the same curation pipeline as HTML. */
+  def extractPdfText(df: DataFrame, idCol: String, binCol: String)
+      : DataFrame =
+    df.select(col(idCol),
+        graft.expressions.PdfText.pdfText(col(binCol)).as("__p"))
+      .select(col(idCol),
+        col("__p.n_pages").as("n_pages"),
+        col("__p.n_streams").as("n_streams"),
+        col("__p.n_text_ops").as("n_text_ops"),
+        col("__p.text").as("text"),
+        col("__p.n_chars").as("n_chars"))
+
   /** Frame-header walk over an MP3 column: exact integer container
     * metadata (frames, samples, duration, bitrate envelope, CBR flag)
     * — the audio quality-gate inputs a 100 TB crawl pipeline computes

@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.Pdf
+
+/** PDF text extraction: model round-trip over the synthetic corpus,
+  * structural honesty of the writer (true xref offsets — the files
+  * are REAL PDFs), the content-stream tokenizer's escape/hex/array
+  * paths on hand-written streams, the permissive walk (lying /Length,
+  * truncation, corrupt Flate), and the hostile-input posture. */
+class MultimodalPdfSpec extends AnyFunSuite {
+
+  private def fm(id: Long, m: Long): Int = Math.floorMod(id, m).toInt
+
+  private def modelText(id: Long): String =
+    (0 until 1 + fm(id, 3)).map { p =>
+      val (l1, l2) = Pdf.modelLines(id, p)
+      s"$l1\n$l2"
+    }.mkString("\n")
+
+  test("synth corpus round-trips to the text model: pages, streams, " +
+      "op counts, and the assembled text across plain/Flate and " +
+      "Tj/hex-TJ forms") {
+    for (id <- 0L to 35L) {
+      val r = Pdf.extract(Pdf.synth(id))
+      assert(r != null, s"id=$id did not extract")
+      val (pages, streams, ops, text) = r
+      val np = 1 + fm(id, 3)
+      assert(pages == np, s"id=$id pages $pages != $np")
+      assert(streams == np, s"id=$id streams")
+      assert(ops == 2 * np, s"id=$id ops")
+      assert(text == modelText(id), s"id=$id text:\n$text")
+    }
+  }
+
+  test("the escape-exercise ids carry a(b)c\\d through literal-string " +
+      "escaping and back out raw") {
+    val (_, _, _, text) = Pdf.extract(Pdf.synth(7L))
+    assert(text.contains(" a(b)c\\d\n"), text)
+    // and the file bytes really carry the ESCAPED form
+    val s = new String(Pdf.synth(7L), "ISO-8859-1")
+    assert(s.contains("a\\(b\\)c\\\\d"), "literal not escaped on disk")
+  }
+
+  test("the writer emits REAL PDFs: header, every xref offset points " +
+      "at its numbered obj, startxref points at the xref table") {
+    val b = Pdf.synth(3L)
+    val s = new String(b, "ISO-8859-1")
+    assert(s.startsWith("%PDF-1.4"))
+    val xrefAt = s.lastIndexOf("startxref")
+    val declared = s.substring(xrefAt + 9).trim.takeWhile(_.isDigit).toInt
+    assert(s.startsWith("xref", declared), "startxref offset wrong")
+    // parse the xref entries and check each in-use offset lands on
+    // "N 0 obj"
+    val lines = s.substring(declared).linesIterator.toList
+    val n = lines(1).split(" ")(1).toInt
+    (1 until n).foreach { i =>
+      val off = lines(2 + i).substring(0, 10).toInt
+      assert(s.startsWith(s"$i 0 obj", off), s"xref entry $i")
+    }
+  }
+
+  test("tokenizer edge cases on a hand-written stream: nested parens, " +
+      "octal escapes, line continuation, quote operators, comments, " +
+      "inline dicts, unknown operators") {
+    def shell(content: String): Array[Byte] =
+      ("%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n" +
+        s"2 0 obj\n<< /Length ${content.length} >>\nstream\n" +
+        content + "\nendstream\nendobj\n%%EOF\n")
+        .getBytes("ISO-8859-1")
+    val content =
+      "BT % a comment with (parens) in it\n" +
+        "/F1 12 Tf (a (nested) lit) Tj " +
+        "(oct\\101l) Tj " + // \101 = 'A'
+        "(con\\\ntinued) Tj " + // backslash-newline continuation
+        "(next) ' " + // quote: newline then show
+        "1 2 (quoted) \" " + // double quote: aw ac string
+        "/Name <3c3e> Tj " + // hex of "<>"
+        "<< /MCID 0 >> BDC (after dict) Tj EMC " +
+        "0 0 1 RG (unknown ops consume operands) Tj ET"
+    val r = Pdf.extract(shell(content))
+    assert(r != null)
+    val (pages, streams, ops, text) = r
+    assert(pages == 1 && streams == 1)
+    assert(text ==
+      "a (nested) litoctAlcontinued\nnext\nquoted<>after dict" +
+        "unknown ops consume operands", s"got: $text")
+    assert(ops == 8)
+  }
+
+  test("permissive walk: a lying /Length is ignored (endstream " +
+      "keyword wins), a corrupt Flate stream is skipped without " +
+      "killing later streams, truncation keeps the complete prefix") {
+    val good = "BT (kept) Tj ET"
+    val lying =
+      ("%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n" +
+        s"2 0 obj\n<< /Length 3 >>\nstream\n$good\nendstream\n" +
+        "endobj\n%%EOF\n").getBytes("ISO-8859-1")
+    val r1 = Pdf.extract(lying)
+    assert(r1._4 == "kept", r1)
+    // corrupt Flate followed by a good plain stream
+    val mixed =
+      ("%PDF-1.4\n" +
+        "1 0 obj\n<< /Filter /FlateDecode /Length 8 >>\nstream\n" +
+        "NOTZLIB!\nendstream\nendobj\n" +
+        s"2 0 obj\n<< /Length ${good.length} >>\nstream\n$good\n" +
+        "endstream\nendobj\n%%EOF\n").getBytes("ISO-8859-1")
+    val r2 = Pdf.extract(mixed)
+    assert(r2._2 == 1 && r2._4 == "kept", r2)
+    // truncation: whatever survives is a clean PREFIX of the model —
+    // cut inside the SECOND of three content streams (locate the
+    // second "stream" keyword and cut a few bytes past it) so exactly
+    // the first page's text comes back
+    val b5 = Pdf.synth(5L) // 3 pages, plain hex-TJ streams
+    val s5 = new String(b5, "ISO-8859-1")
+    // ">>\nstream" is the content-object stream opener (plain
+    // "stream" would also hit the one inside "endstream")
+    val secondStream =
+      s5.indexOf(">>\nstream", s5.indexOf(">>\nstream") + 9)
+    val cut = java.util.Arrays.copyOfRange(b5, 0, secondStream + 15)
+    val r3 = Pdf.extract(cut)
+    assert(r3._2 == 1, s"expected one surviving stream, got $r3")
+    assert(r3._4 == {
+      val (l1, l2) = Pdf.modelLines(5L, 0)
+      s"$l1\n$l2"
+    })
+  }
+
+  test("hostile inputs null only when there is no PDF header at all") {
+    assert(Pdf.extract(Array[Byte]()) == null)
+    assert(Pdf.extract("plain text".getBytes) == null)
+    assert(Pdf.extract("%PDF".getBytes) == null) // no version dash
+    // header but empty body: zero pages/streams, empty text, NOT null
+    val r = Pdf.extract("%PDF-1.4\n%%EOF\n".getBytes("ISO-8859-1"))
+    assert(r == (0, 0, 0, ""))
+  }
+}
