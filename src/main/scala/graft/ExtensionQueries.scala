@@ -9353,6 +9353,61 @@ object MultimodalQueries {
             * 1000000) // count(*))::BIGINT AS speech_ratio_micro
         FROM we GROUP BY doc_id""")),
 
+    // EXIF/GPS audit — the image-side PII scan a training-data
+    // pipeline runs before images enter a corpus: camera make/model
+    // fingerprint a device, GPS coordinates are location PII. The
+    // probe parses the real TIFF structure inside APP1 (both byte
+    // orders, IFD entry walk, inline-vs-offset values, the GPS IFD's
+    // d/m/s rationals reduced to exact micro-degrees); the corpus
+    // wraps the DC-only JPEG model with honest segments plus a
+    // no-EXIF slice; the oracle replays the id model, never the bytes
+    Q("multimodal_exif_audit",
+      (s, dir) => Multimodal.exifAudit(
+        Multimodal.exifPayload(
+          Sources.table(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload"),
+      Some("""WITH m AS (
+          SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents),
+        base AS (
+          SELECT doc_id, h,
+            doc_id % 11 <> 0 AS has_exif,
+            doc_id % 3 = 0 AND doc_id % 11 <> 0 AS has_gps,
+            CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS bo,
+            (1 + doc_id % 8)::INTEGER AS ori,
+            'maker_' || (doc_id % 5) AS mk,
+            'cam_' || substr(h, 1, 6) AS mdl,
+            (('0x' || substr(h, 1, 8))::UBIGINT % 180000001)::BIGINT
+              - 90000000 AS lat,
+            (('0x' || substr(h, 9, 8))::UBIGINT % 360000001)::BIGINT
+              - 180000000 AS lon
+          FROM m)
+        SELECT doc_id, has_exif,
+          CASE WHEN has_exif THEN bo END AS byte_order,
+          (CASE WHEN NOT has_exif THEN 0
+            WHEN has_gps THEN 4 ELSE 3 END)::INTEGER
+            AS n_ifd0_entries,
+          CASE WHEN has_exif THEN ori END AS orientation,
+          CASE WHEN has_exif THEN mk END AS make,
+          CASE WHEN has_exif THEN mdl END AS model,
+          has_gps,
+          (CASE WHEN has_gps THEN lat END)::BIGINT AS gps_lat_micro,
+          (CASE WHEN has_gps THEN lon END)::BIGINT AS gps_lon_micro
+        FROM base""")),
+
+    // the SCRUB verified end-to-end in one plan: after exif_strip, no
+    // EXIF or GPS survives AND the image still decodes to the exact
+    // pixel model (a scrub that corrupts images is worse than none) —
+    // the oracle is the decode model plus two constant-false flags
+    Q("multimodal_exif_strip",
+      (s, dir) => Multimodal.exifStripAudit(
+        Multimodal.exifPayload(
+          Sources.table(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload"),
+      Some(s"""WITH model AS (${jpegModelSelect("documents")})
+        SELECT doc_id, FALSE AS has_exif, FALSE AS has_gps,
+          width, height, n_pixels, sum_r, sum_g, sum_b
+        FROM model""")),
+
     // PDF text-layer extraction — the application/pdf route of a crawl
     // pipeline (PDF is the second document format a web crawl yields;
     // the WARC chain handles only text/html). The extractor is a real

@@ -1,0 +1,464 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** EXIF metadata over JPEG payloads — the image-PII surface of a
+  * crawl pipeline: camera Make/Model fingerprint a device, and GPS
+  * IFD coordinates are location PII that training-data pipelines MUST
+  * strip before images enter a corpus (the image-side sibling of the
+  * text PII family in [[graft.operators.Curation]]). Two halves:
+  *
+  *  - [[ExifProbeExpr]] — parse the APP1/Exif segment's real TIFF
+  *    structure: both byte orders (II little / MM big endian), the
+  *    0x2A magic, IFD0 entry walk (tag/type/count/value-or-offset,
+  *    §4.6.2 of the Exif 2.3 spec = TIFF 6.0 §2), inline-vs-offset
+  *    values, ASCII NUL-stripping, and the GPS IFD behind the 0x8825
+  *    pointer with its degree/minute/second RATIONAL triplets reduced
+  *    to EXACT micro-degrees (term-wise integer floor division; the
+  *    refs N/S/E/W carry the sign). Reports has_exif/has_gps flags,
+  *    orientation, make/model, and signed lat/lon micro-degrees.
+  *  - [[ExifStripExpr]] — the SCRUB: a marker walk that drops every
+  *    APP1 segment whose payload opens `Exif\0\0` and copies the rest
+  *    verbatim (entropy data untouched from SOS on), so the cleaned
+  *    stream decodes pixel-identically and re-probes GPS-free.
+  *
+  * Null row only when the payload is not a JPEG at all (no SOI) —
+  * a JPEG WITHOUT EXIF is the common case and reports has_exif=false
+  * with null metadata fields, never a null row. Malformed TIFF inside
+  * an APP1 (truncated IFD, entries running past the segment) degrades
+  * to has_exif=true with whatever fields parsed before the fault —
+  * the permissive posture; hostile counts/offsets are bounds-checked
+  * before any read. */
+private[graft] object Exif {
+
+  // ---- probe ----
+
+  final case class Meta(hasExif: Boolean, byteOrder: String,
+      nIfd0: Int, orientation: Int, make: String, model: String,
+      hasGps: Boolean, latMicro: java.lang.Long,
+      lonMicro: java.lang.Long)
+
+  private val NoExif =
+    Meta(hasExif = false, null, 0, -1, null, null, hasGps = false,
+      null, null)
+
+  def probe(b: Array[Byte]): Meta = {
+    if (b == null || b.length < 2 || (b(0) & 0xff) != 0xff ||
+        (b(1) & 0xff) != 0xd8) return null
+    var p = 2
+    while (p + 4 <= b.length) {
+      if ((b(p) & 0xff) != 0xff) return NoExif // junk: stop scanning
+      val m = b(p + 1) & 0xff
+      if (m == 0xda || m == 0xd9) return NoExif // SOS/EOI: no APP1
+      val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+      if (len < 2 || p + 2 + len > b.length) return NoExif
+      if (m == 0xe1 && len >= 8 + 6 &&
+          b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
+          b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0)
+        return parseTiff(b, p + 10, len - 8)
+      p += 2 + len
+    }
+    NoExif
+  }
+
+  private def parseTiff(b: Array[Byte], off: Int, n: Int): Meta = {
+    if (n < 8) return NoExif
+    val le =
+      if (b(off) == 'I' && b(off + 1) == 'I') true
+      else if (b(off) == 'M' && b(off + 1) == 'M') false
+      else return NoExif
+    val order = if (le) "II" else "MM"
+    def u16(i: Int): Int =
+      if (i < 0 || i + 2 > n) -1
+      else if (le) (b(off + i) & 0xff) | ((b(off + i + 1) & 0xff) << 8)
+      else ((b(off + i) & 0xff) << 8) | (b(off + i + 1) & 0xff)
+    def u32(i: Int): Long =
+      if (i < 0 || i + 4 > n) -1L
+      else if (le)
+        (b(off + i) & 0xffL) | ((b(off + i + 1) & 0xffL) << 8) |
+          ((b(off + i + 2) & 0xffL) << 16) |
+          ((b(off + i + 3) & 0xffL) << 24)
+      else
+        ((b(off + i) & 0xffL) << 24) | ((b(off + i + 1) & 0xffL) << 16) |
+          ((b(off + i + 2) & 0xffL) << 8) | (b(off + i + 3) & 0xffL)
+    if (u16(2) != 42) return NoExif
+    val ifd0 = u32(4)
+    if (ifd0 < 0 || ifd0 > n - 2) return NoExif
+
+    var orientation = -1
+    var make: String = null
+    var model: String = null
+    var gpsOff = -1L
+
+    def ascii(i: Int, count: Int): String = {
+      if (i < 0 || count <= 0 || i + count > n) return null
+      var e = i + count
+      while (e > i && b(off + e - 1) == 0) e -= 1
+      new String(b, off + i, e - i, "ISO-8859-1")
+    }
+
+    /** Walk one IFD calling `f(tag, typ, count, valueField)` where
+      * valueField is the BYTE POSITION of the 4-byte value/offset. */
+    def walkIfd(at: Int)(f: (Int, Int, Long, Int) => Unit): Int = {
+      val cnt = u16(at)
+      if (cnt < 0 || cnt > 512) return 0
+      var i = 0
+      while (i < cnt) {
+        val e = at + 2 + 12 * i
+        if (e + 12 > n) return i
+        f(u16(e), u16(e + 2), u32(e + 4), e + 8)
+        i += 1
+      }
+      cnt
+    }
+
+    val nIfd0 = walkIfd(ifd0.toInt) { (tag, typ, cnt, vf) =>
+      tag match {
+        case 0x0112 if typ == 3 => orientation = u16(vf)
+        case 0x010f if typ == 2 =>
+          make =
+            if (cnt <= 4) ascii(vf, cnt.toInt)
+            else ascii(u32(vf).toInt, cnt.toInt)
+        case 0x0110 if typ == 2 =>
+          model =
+            if (cnt <= 4) ascii(vf, cnt.toInt)
+            else ascii(u32(vf).toInt, cnt.toInt)
+        case 0x8825 if typ == 4 => gpsOff = u32(vf)
+        case _ =>
+      }
+    }
+
+    var latMicro: java.lang.Long = null
+    var lonMicro: java.lang.Long = null
+    if (gpsOff >= 0 && gpsOff <= n - 2) {
+      var latRef = 0
+      var lonRef = 0
+      var latAt = -1L
+      var lonAt = -1L
+      walkIfd(gpsOff.toInt) { (tag, typ, cnt, vf) =>
+        tag match {
+          case 1 if typ == 2 => // GPSLatitudeRef, inline "N\0"/"S\0"
+            latRef = if (b(off + vf) == 'S') -1 else 1
+          case 2 if typ == 5 && cnt == 3 => latAt = u32(vf)
+          case 3 if typ == 2 =>
+            lonRef = if (b(off + vf) == 'W') -1 else 1
+          case 4 if typ == 5 && cnt == 3 => lonAt = u32(vf)
+          case _ =>
+        }
+      }
+      /** d/m/s RATIONAL triplet → EXACT signed micro-degrees:
+        * Σ term_i·10⁶/(scale_i·den_i) in term-wise integer floor
+        * division (den 0 ⇒ term 0). */
+      def micro(at: Long, sign: Int): java.lang.Long = {
+        if (at < 0 || at + 24 > n) return null
+        def term(k: Int, scale: Long): Long = {
+          val num = u32((at + 8 * k).toInt)
+          val den = u32((at + 8 * k + 4).toInt)
+          if (den <= 0) 0L else num * 1000000L / (scale * den)
+        }
+        val v = term(0, 1) + term(1, 60) + term(2, 3600)
+        java.lang.Long.valueOf(sign * v)
+      }
+      if (latRef != 0) latMicro = micro(latAt, latRef)
+      if (lonRef != 0) lonMicro = micro(lonAt, lonRef)
+    }
+    Meta(hasExif = true, order, nIfd0, orientation, make, model,
+      hasGps = gpsOff >= 0, latMicro, lonMicro)
+  }
+
+  // ---- strip ----
+
+  /** Remove every APP1/Exif segment (marker walk; verbatim from SOS
+    * on); null when not a JPEG. Non-Exif APP1 (XMP) is KEPT — the
+    * scrub targets the PII container, not all metadata. */
+  def strip(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 2 || (b(0) & 0xff) != 0xff ||
+        (b(1) & 0xff) != 0xd8) return null
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    out.write(0xff); out.write(0xd8)
+    var p = 2
+    var done = false
+    while (!done && p + 4 <= b.length) {
+      if ((b(p) & 0xff) != 0xff) done = true
+      else {
+        val m = b(p + 1) & 0xff
+        if (m == 0xda || m == 0xd9) done = true // SOS/EOI: tail copies
+        else {
+          val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+          if (len < 2 || p + 2 + len > b.length) done = true
+          else {
+            val isExif = m == 0xe1 && len >= 8 + 6 &&
+              b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
+              b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0
+            if (!isExif) out.write(b, p, 2 + len)
+            p += 2 + len
+          }
+        }
+      }
+    }
+    out.write(b, p, b.length - p) // SOS onward (or malformed tail)
+    out.toByteArray
+  }
+
+  // ---- writer (synth corpus) ----
+
+  /** Signed micro-degree MODEL from md5(id) (shared with the oracle):
+    * lat from hex chars 1-8, lon from 9-16. */
+  def modelLatLon(id: Long): (Long, Long) = {
+    val m = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map(x => f"${x & 0xff}%02x").mkString
+    val lat = java.lang.Long.parseLong(m.substring(0, 8), 16) %
+      180000001L - 90000000L
+    val lon = java.lang.Long.parseLong(m.substring(8, 16), 16) %
+      360000001L - 180000000L
+    (lat, lon)
+  }
+
+  /** Wrap `jpeg` (any stream opening with SOI) with a REAL APP1/Exif
+    * segment inserted right after SOI — unless `id ≡ 0 mod 11` (the
+    * no-EXIF slice; the common web case must be in the corpus). TIFF
+    * layout is honest: ids even write II (little endian), odd MM;
+    * IFD0 carries Make (`maker_<id mod 5>`, heap ASCII), Model
+    * (`cam_<md5(id)[0,6)>`, heap ASCII), Orientation `1 + id mod 8`
+    * (inline SHORT), and — iff `id ≡ 0 mod 3` — the 0x8825 GPS
+    * pointer to a GPS IFD whose d/m/s rationals encode the model
+    * coordinates exactly (deg/1, 0/1, rem·3600⁄10⁶). */
+  def wrap(id: Long, jpeg: Array[Byte]): Array[Byte] = {
+    def fm(m: Long): Int = Math.floorMod(id, m).toInt
+    if (fm(11) == 0) return jpeg
+    val le = fm(2) == 0
+    val gps = fm(3) == 0
+    val make = s"maker_${fm(5)}"
+    val model = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString
+      s"cam_${m.substring(0, 6)}"
+    }
+    val (lat, lon) = modelLatLon(id)
+
+    val buf = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = buf.write(v & 0xff)
+    def w16(v: Int): Unit =
+      if (le) { w8(v); w8(v >> 8) } else { w8(v >> 8); w8(v) }
+    def w32(v: Long): Unit =
+      if (le) { w8(v.toInt); w8((v >> 8).toInt); w8((v >> 16).toInt)
+        w8((v >> 24).toInt) }
+      else { w8((v >> 24).toInt); w8((v >> 16).toInt)
+        w8((v >> 8).toInt); w8(v.toInt) }
+
+    // layout (offsets from TIFF start):
+    //   8: IFD0 (count + nE*12 + next)
+    //   heap: make, model (NUL-terminated), then GPS IFD + rationals
+    val nE = if (gps) 4 else 3
+    val ifd0End = 8 + 2 + nE * 12 + 4
+    val makeAt = ifd0End
+    val modelAt = makeAt + make.length + 1
+    val gpsIfdAt = modelAt + model.length + 1
+    val latRatAt = gpsIfdAt + 2 + 4 * 12 + 4
+    val lonRatAt = latRatAt + 24
+
+    if (le) { buf.write('I'); buf.write('I') }
+    else { buf.write('M'); buf.write('M') }
+    w16(42)
+    w32(8)
+    // IFD0
+    w16(nE)
+    def entry(tag: Int, typ: Int, cnt: Long, value: Long => Unit)
+        : Unit = {
+      w16(tag); w16(typ); w32(cnt); value(cnt)
+    }
+    entry(0x010f, 2, make.length + 1L,
+      _ => w32(makeAt))
+    entry(0x0110, 2, model.length + 1L,
+      _ => w32(modelAt))
+    entry(0x0112, 3, 1L, _ => { w16(1 + fm(8)); w16(0) })
+    if (gps) entry(0x8825, 4, 1L, _ => w32(gpsIfdAt))
+    w32(0) // next IFD
+    // heap: strings
+    buf.write(make.getBytes("ISO-8859-1")); w8(0)
+    buf.write(model.getBytes("ISO-8859-1")); w8(0)
+    if (gps) {
+      // GPS IFD: refs inline (count 2 ASCII), coords at offsets
+      w16(4)
+      entry(1, 2, 2L, _ => {
+        w8(if (lat < 0) 'S' else 'N'); w8(0); w8(0); w8(0) })
+      entry(2, 5, 3L, _ => w32(latRatAt))
+      entry(3, 2, 2L, _ => {
+        w8(if (lon < 0) 'W' else 'E'); w8(0); w8(0); w8(0) })
+      entry(4, 5, 3L, _ => w32(lonRatAt))
+      w32(0)
+      def rats(absMicro: Long): Unit = {
+        w32(absMicro / 1000000L); w32(1) // degrees
+        w32(0); w32(1)                   // minutes
+        w32(absMicro % 1000000L * 3600L); w32(1000000L) // seconds
+      }
+      rats(math.abs(lat))
+      rats(math.abs(lon))
+    }
+    val tiff = buf.toByteArray
+    if (gps) require(tiff.length == lonRatAt + 24, "EXIF layout drift")
+    val app1 = "Exif".getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++
+      tiff
+    val len = app1.length + 2
+    val out = new java.io.ByteArrayOutputStream(jpeg.length + len + 2)
+    out.write(0xff); out.write(0xd8)
+    out.write(0xff); out.write(0xe1)
+    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    out.write(app1)
+    out.write(jpeg, 2, jpeg.length - 2)
+    out.toByteArray
+  }
+}
+
+/** Probe a JPEG column's EXIF/GPS metadata ([[Exif.probe]]): null row
+  * only for non-JPEG payloads; EXIF-less JPEGs report
+  * has_exif=false. */
+case class ExifProbeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ExifProbeExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "exif_probe"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BINARY input, got ${child.dataType}")
+
+  def compute(bytes: Array[Byte]): InternalRow = {
+    val m = Exif.probe(bytes)
+    if (m == null) return null
+    InternalRow(m.hasExif,
+      if (m.byteOrder == null) null else UTF8String.fromString(m.byteOrder),
+      m.nIfd0,
+      if (m.orientation < 0) null else m.orientation,
+      if (m.make == null) null else UTF8String.fromString(m.make),
+      if (m.model == null) null else UTF8String.fromString(m.model),
+      m.hasGps, m.latMicro, m.lonMicro)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("exifProbe", this,
+      classOf[ExifProbeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $ref.compute($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object ExifProbeExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("has_exif", BooleanType, nullable = false),
+    StructField("byte_order", StringType, nullable = true),
+    StructField("n_ifd0_entries", IntegerType, nullable = false),
+    StructField("orientation", IntegerType, nullable = true),
+    StructField("make", StringType, nullable = true),
+    StructField("model", StringType, nullable = true),
+    StructField("has_gps", BooleanType, nullable = false),
+    StructField("gps_lat_micro", LongType, nullable = true),
+    StructField("gps_lon_micro", LongType, nullable = true)))
+}
+
+/** Remove every APP1/Exif segment from a JPEG column ([[Exif.strip]])
+  * — the GPS/device-PII scrub; pixels untouched. Null for non-JPEG
+  * payloads. */
+case class ExifStripExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "exif_strip"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BINARY input, got ${child.dataType}")
+
+  def compute(bytes: Array[Byte]): Array[Byte] = Exif.strip(bytes)
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("exifStrip", this,
+      classOf[ExifStripExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $ref.compute($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Wrap the DC-only JPEG synth corpus with the EXIF model segment
+  * ([[Exif.wrap]]). */
+case class JpegExifSynthExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "jpeg_exif_synth"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BIGINT input, got ${child.dataType}")
+
+  @transient private lazy val base = JpegSynthExpr(child)
+
+  def compute(id: Long): Array[Byte] = Exif.wrap(id, base.compute(id))
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("jpegExifSynth", this,
+      classOf[JpegExifSynthExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object ExifOps {
+  import org.apache.spark.sql.graft.Bridge.{column, expression}
+
+  def exifProbe(bin: Column): Column =
+    column(ExifProbeExpr(expression(bin)))
+
+  def exifStrip(bin: Column): Column =
+    column(ExifStripExpr(expression(bin)))
+
+  def jpegExifSynth(id: Column): Column =
+    column(JpegExifSynthExpr(expression(id)))
+}

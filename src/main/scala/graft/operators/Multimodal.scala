@@ -702,6 +702,61 @@ object Multimodal {
         .as(out)))
 
   // ---------------------------------------------------------------------
+  // REAL format: EXIF metadata over JPEG (graft.expressions.Exif — the
+  // image-PII audit + scrub surface)
+  // ---------------------------------------------------------------------
+
+  /** The DC-only JPEG corpus wrapped with REAL APP1/Exif segments
+    * ([[graft.expressions.Exif.wrap]]): both TIFF byte orders,
+    * make/model/orientation, a GPS IFD on the `id ≡ 0 mod 3` slice,
+    * and a no-EXIF slice (`id ≡ 0 mod 11`) for the common web case. */
+  def exifPayload(df: DataFrame, idCol: String,
+      out: String = "payload"): DataFrame =
+    registered(df.select(col(idCol),
+      graft.expressions.ExifOps.jpegExifSynth(col(idCol).cast("long"))
+        .as(out)))
+
+  /** EXIF/GPS audit over a JPEG column — the image-side PII scan
+    * (camera fingerprint + location): has_exif/has_gps flags,
+    * byte order, orientation, make/model, exact signed micro-degree
+    * coordinates. Row-local codegen; non-JPEG payloads null (E1). */
+  def exifAudit(df: DataFrame, idCol: String, binCol: String)
+      : DataFrame =
+    df.select(col(idCol),
+        graft.expressions.ExifOps.exifProbe(col(binCol)).as("__e"))
+      .select(col(idCol),
+        col("__e.has_exif").as("has_exif"),
+        col("__e.byte_order").as("byte_order"),
+        col("__e.n_ifd0_entries").as("n_ifd0_entries"),
+        col("__e.orientation").as("orientation"),
+        col("__e.make").as("make"),
+        col("__e.model").as("model"),
+        col("__e.has_gps").as("has_gps"),
+        col("__e.gps_lat_micro").as("gps_lat_micro"),
+        col("__e.gps_lon_micro").as("gps_lon_micro"))
+
+  /** The PII SCRUB verified in one plan: strip every APP1/Exif
+    * segment, then BOTH re-probe (no EXIF/GPS may survive) and fully
+    * re-decode (pixels must be untouched — a scrub that corrupts the
+    * image is worse than none). Still a single scan projection. */
+  def exifStripAudit(df: DataFrame, idCol: String, binCol: String)
+      : DataFrame =
+    df.select(col(idCol),
+        graft.expressions.ExifOps.exifStrip(col(binCol)).as("__c"))
+      .select(col(idCol),
+        graft.expressions.ExifOps.exifProbe(col("__c")).as("__e"),
+        graft.expressions.JpegDecode.jpegDecode(col("__c")).as("__d"))
+      .select(col(idCol),
+        col("__e.has_exif").as("has_exif"),
+        col("__e.has_gps").as("has_gps"),
+        col("__d.width").as("width"),
+        col("__d.height").as("height"),
+        col("__d.n_pixels").as("n_pixels"),
+        col("__d.sum_r").as("sum_r"),
+        col("__d.sum_g").as("sum_g"),
+        col("__d.sum_b").as("sum_b"))
+
+  // ---------------------------------------------------------------------
   // REAL format: PDF text layer (graft.expressions.PdfTextExpr — the
   // application/pdf route of a crawl pipeline)
   // ---------------------------------------------------------------------
