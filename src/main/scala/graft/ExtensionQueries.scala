@@ -9428,6 +9428,34 @@ object MultimodalQueries {
         "doc_id", "payload"),
       Some(pdfModelSql("documents", corrupt = false))),
 
+    // the application/pdf ROUTE composed end-to-end in one plan (the
+    // warc_pipeline convention): synth → text-layer extraction → the
+    // same downstream text metrics the HTML route feeds (whitespace
+    // tokens, line count, a min-token keep gate that genuinely splits
+    // the corpus on page count) — proving extracted PDF text drops
+    // into the curation pipeline unchanged
+    Q("multimodal_pdf_pipeline",
+      (s, dir) => {
+        import graft.functions.Cleaning
+        Multimodal.extractPdfText(
+          Multimodal.pdfPayload(
+            Sources.table(s, dir, "documents"), "doc_id"),
+          "doc_id", "payload")
+          .select(col("doc_id"), col("n_pages"), col("n_chars"),
+            size(Cleaning.tokens(col("text"))).as("n_tokens"),
+            size(split(col("text"), "\n")).as("n_lines"))
+          .withColumn("keep", col("n_tokens") >= 10)
+      },
+      Some(s"""WITH model AS (
+          ${pdfModelSql("documents", corrupt = false)})
+        SELECT doc_id, n_pages, n_chars,
+          CAST(len(list_filter(string_split_regex(text, '\\s+'),
+            x -> x <> '')) AS INTEGER) AS n_tokens,
+          CAST(len(string_split(text, chr(10))) AS INTEGER) AS n_lines,
+          len(list_filter(string_split_regex(text, '\\s+'),
+            x -> x <> '')) >= 10 AS keep
+        FROM model""")),
+
     // the corrupt twin: id%17 truncates below the header, id%13
     // destroys the magic — both null the row rather than misparsing
     // (E1); ids hitting neither decode exactly as the clean row

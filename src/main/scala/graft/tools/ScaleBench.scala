@@ -155,6 +155,19 @@ object ScaleBench {
       nDocs
     }
 
+    // PDF route at factor× docs: synth + object walk + Flate inflate +
+    // content-stream tokenize, all in one scan projection — the claim
+    // is the compress_ratio one: ~one corpus pass, linear, no shuffle
+    // (aggregate computed columns, never count() — Catalyst would
+    // prune the whole projection)
+    if (want("pdf_text")) timed("pdf_text") {
+      graft.operators.Multimodal.extractPdfText(
+          graft.operators.Multimodal.pdfPayload(big, "doc_id"),
+          "doc_id", "payload")
+        .agg(sum(col("n_chars")), sum(col("n_pages"))).collect()
+      nDocs
+    }
+
     // semantic dedup at factor× embeddings: replicas are the base vector
     // plus a tiny deterministic per-(vec, rep, dim) perturbation —
     // near-exact semantic copies, so SemDeDup should drop ~(factor-1)/

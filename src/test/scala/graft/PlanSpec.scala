@@ -731,6 +731,24 @@ class PlanSpec extends AnyFunSuite with SparkTester {
     assert(p.contains("jpeg_synth"), p)
   }
 
+  test("multimodal_pdf_text / mp3_meta / exif_audit / exif_strip: the " +
+      "r15 payload operators are all per-row scan projections — zero " +
+      "shuffle, blobs never leave the scan stage (the decode-column " +
+      "convention that makes them ~one corpus scan at 100 TB)") {
+    for (name <- Seq("multimodal_pdf_text", "multimodal_mp3_meta",
+        "multimodal_exif_audit", "multimodal_exif_strip")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name:\n$p")
+      assert(!p.contains("Join"), s"$name:\n$p")
+    }
+    assert(plan("multimodal_pdf_text").contains("pdf_text"))
+    assert(plan("multimodal_mp3_meta").contains("mp3_probe"))
+    // the strip row composes scrub + re-probe + full re-decode and
+    // STILL stays one projection
+    val s = plan("multimodal_exif_strip")
+    assert(s.contains("exif_strip") && s.contains("jpeg_decode"), s)
+  }
+
   test("compressionRatioSignal: the deflate signal is computed inside " +
       "the scan projection — zero shuffle, codegen'd, 2-col read " +
       "(the near-free property that prices it at ~one corpus scan)") {
