@@ -8634,6 +8634,58 @@ object MultimodalQueries {
           END)::BIGINT AS top_row_sum
       FROM gv GROUP BY doc_id, gray, wb, hb"""
 
+  /** Ground-truth model of [[Multimodal.flacPayload]]'s headers
+    * ([[graft.expressions.Flac.synth]] scaladoc): the oracle replays
+    * the bit-field values and the floor-division duration from the id
+    * algebra, never the bytes. */
+  private def flacModelSql(from: String, corrupt: Boolean): String = {
+    val meta =
+      s"""WITH base AS (
+        SELECT doc_id,
+          (CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+            WHEN 2 THEN 96000 ELSE 22050 END)::INTEGER AS rate,
+          (1 + doc_id % 2)::INTEGER AS ch,
+          (CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END)::INTEGER
+            AS bits,
+          doc_id % 3 = 0 AS vorbis,
+          doc_id % 4 = 0 AS pad
+        FROM $from),
+      meta AS (
+        SELECT doc_id, rate AS sample_rate, ch AS n_channels,
+          bits AS bits_per_sample,
+          (rate::BIGINT * (1 + doc_id % 7) + doc_id % 997)
+            AS total_samples,
+          ((rate::BIGINT * (1 + doc_id % 7) + doc_id % 997) * 1000
+            // rate) AS duration_ms,
+          4096::INTEGER AS min_block, 4096::INTEGER AS max_block,
+          (1 + CASE WHEN vorbis THEN 1 ELSE 0 END
+            + CASE WHEN pad THEN 1 ELSE 0 END)::INTEGER
+            AS n_meta_blocks,
+          vorbis AS has_vorbis_comment, pad AS has_padding
+        FROM base)"""
+    if (!corrupt) s"$meta SELECT * FROM meta"
+    else {
+      val bad = "(doc_id % 17 = 0 OR doc_id % 13 = 0)"
+      s"""$meta
+        SELECT doc_id,
+          CASE WHEN $bad THEN NULL ELSE sample_rate END AS sample_rate,
+          CASE WHEN $bad THEN NULL ELSE n_channels END AS n_channels,
+          CASE WHEN $bad THEN NULL ELSE bits_per_sample END
+            AS bits_per_sample,
+          CASE WHEN $bad THEN NULL ELSE total_samples END
+            AS total_samples,
+          CASE WHEN $bad THEN NULL ELSE duration_ms END AS duration_ms,
+          CASE WHEN $bad THEN NULL ELSE min_block END AS min_block,
+          CASE WHEN $bad THEN NULL ELSE max_block END AS max_block,
+          CASE WHEN $bad THEN NULL ELSE n_meta_blocks END
+            AS n_meta_blocks,
+          CASE WHEN $bad THEN NULL ELSE has_vorbis_comment END
+            AS has_vorbis_comment,
+          CASE WHEN $bad THEN NULL ELSE has_padding END AS has_padding
+        FROM meta"""
+    }
+  }
+
   /** Ground-truth text model of [[Multimodal.pdfPayload]]'s corpus
     * ([[graft.expressions.Pdf.synth]] scaladoc): page-line algebra +
     * md5 — the oracle never sees the PDF byte layout, so the stream
@@ -9352,6 +9404,37 @@ object MultimodalQueries {
           ((sum(CASE WHEN energy > 358000000 * flen THEN 1 ELSE 0 END)
             * 1000000) // count(*))::BIGINT AS speech_ratio_micro
         FROM we GROUP BY doc_id""")),
+
+    // FLAC STREAMINFO metadata — the lossless-audio sibling of the
+    // MP3 probe: sample rate/channels/bits from the 20+3+5-bit pack,
+    // the 36-bit total-sample count (EXACT duration, no frame walk),
+    // and the metadata-block chain walk (VORBIS_COMMENT/PADDING
+    // presence, the tagging-audit signals). The oracle replays the id
+    // model's bit-field values and floor-division duration
+    Q("multimodal_flac_meta",
+      (s, dir) => Multimodal.probeFlac(
+        Multimodal.flacPayload(
+          Sources.table(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload"),
+      Some(flacModelSql("documents", corrupt = false))),
+
+    // the corrupt twin: id%17 truncates below the magic, id%13 flips
+    // it — both null the row (E1)
+    Q("multimodal_flac_meta_corrupt",
+      (s, dir) => {
+        val p = Multimodal.flacPayload(
+          Sources.table(s, dir, "documents"), "doc_id")
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(17)) === 0,
+              col("payload").substr(lit(1), lit(3)))
+              .when(pmod(col("doc_id"), lit(13)) === 0,
+                concat(lit(Array[Byte](0x58)),
+                  expr("substring(payload, 2, " +
+                    "octet_length(payload) - 1)")))
+              .otherwise(col("payload")).as("payload"))
+        Multimodal.probeFlac(p, "doc_id", "payload")
+      },
+      Some(flacModelSql("documents", corrupt = true))),
 
     // EXIF/GPS audit — the image-side PII scan a training-data
     // pipeline runs before images enter a corpus: camera make/model

@@ -1,0 +1,240 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** FLAC STREAMINFO metadata probe — the lossless-audio container
+  * sibling of [[Mp3ProbeExpr]] (web audio is MP3/OGG/FLAC; with MP3
+  * covered, FLAC closes the metadata family's second-most-common
+  * codec). Like the MP3 probe this is a HEADER parse, not a decoder:
+  * STREAMINFO is mandatory, first, and exact — sample rate (20 bits),
+  * channels (3 bits, stored −1), bits per sample (5 bits, stored −1),
+  * and the 36-bit total-sample count that yields an EXACT duration
+  * with no frame walk at all (RFC 9639 §8.2 / the classic
+  * xiph.org format spec §STREAMINFO).
+  *
+  * Parse: `fLaC` magic, then the metadata-block chain — 1-bit
+  * last-flag, 7-bit type, 24-bit big-endian length — counting blocks
+  * and flagging the PADDING and VORBIS_COMMENT types a tagging audit
+  * cares about; the walk stops at the last-flag or a block running
+  *  past the buffer (permissive: STREAMINFO already parsed keeps its
+  * row). Null row only when the magic is absent or STREAMINFO itself
+  * is truncated/not-first (E1 — a FLAC without leading STREAMINFO is
+  * not a FLAC). Audio frames after the chain are not touched.
+  *
+  * Reference scope: extension surface (the reference pipeline is
+  * text-only), same family as Mp3/Exif/PdfText. */
+private[graft] object Flac {
+
+  final case class Info(sampleRate: Int, channels: Int, bits: Int,
+      totalSamples: Long, durationMs: Long, minBlock: Int,
+      maxBlock: Int, nBlocks: Int, hasVorbisComment: Boolean,
+      hasPadding: Boolean)
+
+  def probe(b: Array[Byte]): Info = {
+    if (b == null || b.length < 4 + 4 + 34) return null
+    if (!(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C'))
+      return null
+    // first block MUST be STREAMINFO (type 0, length 34)
+    val h0 = b(4) & 0xff
+    if ((h0 & 0x7f) != 0) return null
+    val len0 = ((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) |
+      (b(7) & 0xff)
+    if (len0 < 34 || 8 + len0 > b.length) return null
+    val s = 8
+    val minBlock = ((b(s) & 0xff) << 8) | (b(s + 1) & 0xff)
+    val maxBlock = ((b(s + 2) & 0xff) << 8) | (b(s + 3) & 0xff)
+    // bytes s+10..s+17: rate(20) ch(3) bits(5) total(36), big-endian
+    val rate = ((b(s + 10) & 0xff) << 12) | ((b(s + 11) & 0xff) << 4) |
+      ((b(s + 12) & 0xff) >> 4)
+    val channels = (((b(s + 12) & 0xff) >> 1) & 0x7) + 1
+    val bits = (((b(s + 12) & 0x1) << 4) |
+      ((b(s + 13) & 0xff) >> 4)) + 1
+    val total = ((b(s + 13) & 0xfL) << 32) | ((b(s + 14) & 0xffL) << 24) |
+      ((b(s + 15) & 0xffL) << 16) | ((b(s + 16) & 0xffL) << 8) |
+      (b(s + 17) & 0xffL)
+    if (rate == 0) return null // 0 is invalid per spec
+    var nBlocks = 1
+    var vorbis = false
+    var padding = false
+    var last = (h0 & 0x80) != 0
+    var p = 8 + len0
+    while (!last && p + 4 <= b.length) {
+      val h = b(p) & 0xff
+      last = (h & 0x80) != 0
+      val typ = h & 0x7f
+      val len = ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) |
+        (b(p + 3) & 0xff)
+      if (p + 4 + len > b.length) last = true // truncated: keep prefix
+      else {
+        nBlocks += 1
+        if (typ == 4) vorbis = true
+        if (typ == 1) padding = true
+        p += 4 + len
+      }
+    }
+    Info(rate, channels, bits, total, total * 1000L / rate, minBlock,
+      maxBlock, nBlocks, vorbis, padding)
+  }
+
+  /** Deterministic FLAC header from the id MODEL (audio frames are
+    * out of scope — the probe never reads past the metadata chain, so
+    * the corpus stops there; a real file would append frames):
+    *  - rate from `id mod 4` ∈ {44100, 48000, 96000, 22050};
+    *  - channels `1 + id mod 2`, bits 16 or 24 by `id mod 3 == 0`;
+    *  - total samples `rate · (1 + id mod 7) + id mod 997` (exercises
+    *    the fractional-second duration floor);
+    *  - ids ≡ 0 mod 3 append a VORBIS_COMMENT block, ids ≡ 0 mod 4 a
+    *    PADDING block — the last-flag lands on whichever block is
+    *    truly last. */
+  def synth(id: Long): Array[Byte] = {
+    def fm(m: Long): Int = Math.floorMod(id, m).toInt
+    val rate = Array(44100, 48000, 96000, 22050)(fm(4))
+    val channels = 1 + fm(2)
+    val bits = if (fm(3) == 0) 24 else 16
+    val total = rate.toLong * (1 + fm(7)) + fm(997)
+    val vorbis = fm(3) == 0
+    val padding = fm(4) == 0
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('f', 'L', 'a', 'C'))
+    val streamInfoLast = !vorbis && !padding
+    out.write(if (streamInfoLast) 0x80 else 0x00) // type 0
+    out.write(0); out.write(0); out.write(34)
+    out.write(0x10); out.write(0x00) // min block 4096
+    out.write(0x10); out.write(0x00) // max block 4096
+    (0 until 6).foreach(_ => out.write(0)) // frame sizes unknown
+    out.write((rate >> 12) & 0xff)
+    out.write((rate >> 4) & 0xff)
+    out.write(((rate & 0xf) << 4) | ((channels - 1) << 1) |
+      ((bits - 1) >> 4))
+    out.write((((bits - 1) & 0xf) << 4) | ((total >> 32) & 0xf).toInt)
+    out.write(((total >> 24) & 0xff).toInt)
+    out.write(((total >> 16) & 0xff).toInt)
+    out.write(((total >> 8) & 0xff).toInt)
+    out.write((total & 0xff).toInt)
+    (0 until 16).foreach(_ => out.write(0)) // md5 of raw audio: unset
+    if (vorbis) {
+      val vendor = "graft".getBytes("UTF-8")
+      val body = new java.io.ByteArrayOutputStream()
+      // vendor length LE32 + vendor + 0 user comments (LE32)
+      body.write(vendor.length); body.write(0); body.write(0)
+      body.write(0)
+      body.write(vendor)
+      body.write(0); body.write(0); body.write(0); body.write(0)
+      val pb = body.toByteArray
+      out.write(if (padding) 0x04 else 0x84) // type 4, last iff no pad
+      out.write((pb.length >> 16) & 0xff)
+      out.write((pb.length >> 8) & 0xff)
+      out.write(pb.length & 0xff)
+      out.write(pb)
+    }
+    if (padding) {
+      out.write(0x81) // type 1, always last in this corpus
+      out.write(0); out.write(0); out.write(8)
+      (0 until 8).foreach(_ => out.write(0))
+    }
+    out.toByteArray
+  }
+}
+
+/** Probe a FLAC column's STREAMINFO + metadata chain: exact integer
+  * container metadata; null row for non-FLAC payloads (E1). */
+case class FlacProbeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = FlacProbeExpr.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "flac_probe"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BINARY input, got ${child.dataType}")
+
+  def compute(bytes: Array[Byte]): InternalRow = {
+    val i = Flac.probe(bytes)
+    if (i == null) return null
+    InternalRow(i.sampleRate, i.channels, i.bits, i.totalSamples,
+      i.durationMs, i.minBlock, i.maxBlock, i.nBlocks,
+      i.hasVorbisComment, i.hasPadding)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("flacProbe", this,
+      classOf[FlacProbeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $ref.compute($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object FlacProbeExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_channels", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("total_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("min_block", IntegerType, nullable = false),
+    StructField("max_block", IntegerType, nullable = false),
+    StructField("n_meta_blocks", IntegerType, nullable = false),
+    StructField("has_vorbis_comment", BooleanType, nullable = false),
+    StructField("has_padding", BooleanType, nullable = false)))
+}
+
+/** Synthesize a FLAC metadata header per row from the portable id
+  * model ([[Flac.synth]]). */
+case class FlacSynthExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "flac_synth"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs BIGINT input, got ${child.dataType}")
+
+  def compute(id: Long): Array[Byte] = Flac.synth(id)
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("flacSynth", this,
+      classOf[FlacSynthExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object FlacOps {
+  import org.apache.spark.sql.graft.Bridge.{column, expression}
+
+  def flacProbe(bin: Column): Column =
+    column(FlacProbeExpr(expression(bin)))
+
+  def flacSynth(id: Column): Column =
+    column(FlacSynthExpr(expression(id)))
+}

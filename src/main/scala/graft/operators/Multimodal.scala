@@ -757,6 +757,39 @@ object Multimodal {
         col("__d.sum_b").as("sum_b"))
 
   // ---------------------------------------------------------------------
+  // REAL format: FLAC STREAMINFO (graft.expressions.Flac — lossless
+  // audio container metadata, the MP3 probe's sibling)
+  // ---------------------------------------------------------------------
+
+  /** Synthesize a FLAC metadata header per row from the portable id
+    * model ([[graft.expressions.Flac.synth]]). */
+  def flacPayload(df: DataFrame, idCol: String,
+      out: String = "payload"): DataFrame =
+    registered(df.select(col(idCol),
+      graft.expressions.FlacOps.flacSynth(col(idCol).cast("long"))
+        .as(out)))
+
+  /** STREAMINFO + metadata-chain probe over a FLAC column: exact
+    * sample counts give an exact duration with NO frame walk — the
+    * cheapest audio-duration source a crawl pipeline has. Row-local
+    * codegen; non-FLAC payloads null (E1). */
+  def probeFlac(df: DataFrame, idCol: String, binCol: String)
+      : DataFrame =
+    df.select(col(idCol),
+        graft.expressions.FlacOps.flacProbe(col(binCol)).as("__f"))
+      .select(col(idCol),
+        col("__f.sample_rate").as("sample_rate"),
+        col("__f.n_channels").as("n_channels"),
+        col("__f.bits_per_sample").as("bits_per_sample"),
+        col("__f.total_samples").as("total_samples"),
+        col("__f.duration_ms").as("duration_ms"),
+        col("__f.min_block").as("min_block"),
+        col("__f.max_block").as("max_block"),
+        col("__f.n_meta_blocks").as("n_meta_blocks"),
+        col("__f.has_vorbis_comment").as("has_vorbis_comment"),
+        col("__f.has_padding").as("has_padding"))
+
+  // ---------------------------------------------------------------------
   // REAL format: PDF text layer (graft.expressions.PdfTextExpr — the
   // application/pdf route of a crawl pipeline)
   // ---------------------------------------------------------------------

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.Flac
+
+/** FLAC STREAMINFO probe: model round-trip (bit packing across the
+  * 20/3/5/36-bit fields), the metadata-chain walk with last-flags,
+  * permissive truncation, and the hostile posture. */
+class MultimodalFlacSpec extends AnyFunSuite {
+
+  private def fm(id: Long, m: Long): Int = Math.floorMod(id, m).toInt
+
+  test("synth headers probe back to the id model: rate, channels, " +
+      "bits, 36-bit total samples, exact floor duration, block chain") {
+    for (id <- 0L to 40L) {
+      val i = Flac.probe(Flac.synth(id))
+      assert(i != null, s"id=$id")
+      val rate = Array(44100, 48000, 96000, 22050)(fm(id, 4))
+      assert(i.sampleRate == rate, s"id=$id rate")
+      assert(i.channels == 1 + fm(id, 2))
+      assert(i.bits == (if (fm(id, 3) == 0) 24 else 16))
+      val total = rate.toLong * (1 + fm(id, 7)) + fm(id, 997)
+      assert(i.totalSamples == total, s"id=$id samples")
+      assert(i.durationMs == total * 1000L / rate)
+      assert(i.minBlock == 4096 && i.maxBlock == 4096)
+      val nb = 1 + (if (fm(id, 3) == 0) 1 else 0) +
+        (if (fm(id, 4) == 0) 1 else 0)
+      assert(i.nBlocks == nb, s"id=$id blocks ${i.nBlocks} != $nb")
+      assert(i.hasVorbisComment == (fm(id, 3) == 0))
+      assert(i.hasPadding == (fm(id, 4) == 0))
+    }
+  }
+
+  test("a 36-bit total-sample count that overflows 32 bits reads " +
+      "exactly (the field the duration depends on at archive scale)") {
+    // hand-build STREAMINFO with total = 2^35 + 12345 at 48000 Hz
+    val total = (1L << 35) + 12345L
+    val b = Flac.synth(1L).clone() // 48000 Hz, streaminfo layout
+    val s = 8
+    b(s + 13) = (((b(s + 13) & 0xf0)) | ((total >> 32) & 0xf)).toByte
+    b(s + 14) = ((total >> 24) & 0xff).toByte
+    b(s + 15) = ((total >> 16) & 0xff).toByte
+    b(s + 16) = ((total >> 8) & 0xff).toByte
+    b(s + 17) = (total & 0xff).toByte
+    val i = Flac.probe(b)
+    assert(i.totalSamples == total)
+    assert(i.durationMs == total * 1000L / 48000L)
+  }
+
+  test("truncated metadata chain keeps the STREAMINFO row (permissive " +
+      "prefix); missing magic, short buffer, zero rate all null") {
+    val withVorbis = Flac.synth(3L) // vorbis block follows streaminfo
+    // cut mid-vorbis: STREAMINFO survives, chain count stops at 1
+    val cut = java.util.Arrays.copyOfRange(withVorbis, 0, 8 + 34 + 2)
+    val i = Flac.probe(cut)
+    assert(i != null && i.nBlocks == 1 && !i.hasVorbisComment)
+    assert(Flac.probe(Array[Byte]()) == null)
+    assert(Flac.probe("not flac at all".getBytes) == null)
+    val shortBuf = java.util.Arrays.copyOfRange(withVorbis, 0, 20)
+    assert(Flac.probe(shortBuf) == null)
+    // zero sample rate is invalid per spec
+    val zeroRate = Flac.synth(1L).clone()
+    zeroRate(8 + 10) = 0; zeroRate(8 + 11) = 0
+    zeroRate(8 + 12) = (zeroRate(8 + 12) & 0x0f).toByte
+    assert(Flac.probe(zeroRate) == null)
+  }
+}
