@@ -736,7 +736,8 @@ class PlanSpec extends AnyFunSuite with SparkTester {
       "shuffle, blobs never leave the scan stage (the decode-column " +
       "convention that makes them ~one corpus scan at 100 TB)") {
     for (name <- Seq("multimodal_pdf_text", "multimodal_mp3_meta",
-        "multimodal_exif_audit", "multimodal_exif_strip")) {
+        "multimodal_exif_audit", "multimodal_exif_strip",
+        "multimodal_flac_meta")) {
       val p = plan(name)
       assert(!p.contains("Exchange"), s"$name:\n$p")
       assert(!p.contains("Join"), s"$name:\n$p")
