@@ -1,0 +1,83 @@
+package graft.tools
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+
+/** Per-query runtime profile: wall seconds, job/stage/task counts, summed
+  * executor task time, shuffle bytes — the numbers that say whether a slow
+  * query is executor-bound (task time ≈ wall·cores), scheduling-bound
+  * (many jobs/stages of tiny tasks) or driver-bound (wall ≫ task time with
+  * few tasks: planning/codegen/collect).
+  *
+  * Usage: tools/run_main.sh graft.tools.Profile <sfDir> [query ...]
+  * Env: GRAFT_PROFILE_CPUS (default 4), GRAFT_PROFILE_RUNS (default 1;
+  * with N>1 the LAST run's numbers are reported — warm codegen/cache,
+  * the steady state the bench medians measure).
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("GRAFT_PROFILE_CPUS", "4")
+    val runs = sys.env.getOrElse("GRAFT_PROFILE_RUNS", "1").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.maxFields", "256")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val jobs = new AtomicInteger
+    val stages = new AtomicInteger
+    val tasks = new AtomicInteger
+    val taskNanos = new AtomicLong
+    val shufRead = new AtomicLong
+    val shufWrite = new AtomicLong
+    val inputBytes = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        val m = t.taskMetrics
+        if (m != null) {
+          taskNanos.addAndGet(m.executorRunTime * 1000000L)
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          inputBytes.addAndGet(m.inputMetrics.bytesRead)
+        }
+      }
+    })
+    // session warmup, as the bench does
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    println(f"${"query"}%-36s ${"wall_s"}%8s ${"task_s"}%8s ${"jobs"}%5s " +
+      f"${"stgs"}%5s ${"tasks"}%6s ${"shufMB"}%8s ${"inMB"}%7s")
+    names.foreach { n =>
+      val fn = graft.SparkEntry.queries(n)
+      var wall = 0.0
+      for (r <- 1 to runs) {
+        jobs.set(0); stages.set(0); tasks.set(0); taskNanos.set(0)
+        shufRead.set(0); shufWrite.set(0); inputBytes.set(0)
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"PROFILE FAIL $n: ${e.getMessage}") }
+        wall = (System.nanoTime() - t0) / 1e9
+        // listener events drain asynchronously; give the bus a moment
+        if (r == runs) Thread.sleep(300)
+      }
+      println(f"$n%-36s $wall%8.2f ${taskNanos.get / 1e9}%8.2f " +
+        f"${jobs.get}%5d ${stages.get}%5d ${tasks.get}%6d " +
+        f"${(shufRead.get + shufWrite.get) / 1e6}%8.1f " +
+        f"${inputBytes.get / 1e6}%7.1f")
+    }
+    spark.stop()
+  }
+}
