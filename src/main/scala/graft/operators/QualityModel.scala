@@ -64,57 +64,93 @@ object QualityModel {
       .agg(count(lit(1)).as("c"))
 
   /** GD rounds over a persisted feature table; returns the `(j, w)`
-    * model with the bias as j = -1. One model table per round (weights
-    * AND bias together) so each round runs ONE eager checkpoint; the
-    * residual table is persisted within the round so the per-bucket and
-    * bias gradients share it instead of recomputing the logits. */
+    * model with the bias as j = -1.
+    *
+    * r15 (optimization): the loop iterates on a ONE-ROW model — dense
+    * weight array `wv`, bias `b`, doc count `nn` — instead of a (j, w)
+    * table. The profiled cost of the old shape was pure scheduling: 56+
+    * jobs of 4-row tasks per query (weight/bias broadcasts, a docs⋈s
+    * join, a w⋈g join and three more one-row broadcasts PER ROUND,
+    * each a separate AQE query stage). Now each round is one broadcast
+    * of the model row, one exchange (the gradient groupBy — the bias
+    * gradient rides the SAME exchange under sentinel bucket j = −1),
+    * one one-row collect and one eager checkpoint. The per-document
+    * feature lists (`fl`, ≤ dim entries by construction — features are
+    * pre-grouped by (doc, bucket)) are grouped ONCE outside the loop,
+    * which also removes the per-round docs join.
+    *
+    * Every arithmetic step keeps its exact prior form (decimal sums are
+    * order-free and the fold reproduces the old aggregate's terms
+    * bit-for-bit; QualityModelSpec's shuffled-input determinism pin and
+    * the unrolled-GD oracles prove it), so the returned model — and
+    * every score derived from it — is unchanged. */
   private def trainFromFeatures(feats: DataFrame, docs: DataFrame,
       dim: Int, iters: Int, lr: Double): DataFrame = {
-    val spark = feats.sparkSession
-    val nDocs = docs.agg(count(lit(1)).as("nn"))
-    var model = spark.range(dim)
-      .select(col("id").cast("int").as("j"), lit(0.0).as("w"))
-      .unionByName(spark.range(1)
-        .select(lit(-1).as("j"), lit(0.0).as("w")))
+    val decAcc = "decimal(38,6)"
+    // (doc_id, y, n, fl: array<struct<j, c>>) — one row per document
+    val fd = feats.groupBy(col("doc_id"))
+      // j < dim, so the int cast is exact (hashBucket emits long)
+      .agg(collect_list(struct(col("j").cast("int").as("j"), col("c")))
+        .as("fl"))
+      .join(docs, Seq("doc_id"))
+      .persist(sl)
+    // model row: (wv: array<double>[dim], b, nn); nn rides the row so
+    // no round re-broadcasts the doc count
+    var model = docs.agg(count(lit(1)).as("nn"))
+      .select(array_repeat(lit(0.0), dim).as("wv"), lit(0.0).as("b"),
+        col("nn"))
+      .localCheckpoint()
     for (_ <- 0 until iters) {
-      val w = model.filter(col("j") >= 0)
-      val bias = model.filter(col("j") === -1).select(col("w").as("b"))
-      // z = round(b + dim·(Σ_j wdec·c)/n, 6): decimal inner sum is exact
-      // and order-free; the one double multiply-divide-add rounds once
-      val s = feats.join(broadcast(w), Seq("j"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("w").cast("decimal(18,6)") * col("c")).as("__s"))
-      val r = docs.join(s, Seq("doc_id"))
-        .crossJoin(broadcast(bias))
+      // per-doc Σ_j w_j·c_j as an exact decimal fold (same terms the
+      // old broadcast-join aggregate summed; decimal + is order-free)
+      val sDec = aggregate(col("fl"),
+        lit(BigDecimal(0)).cast(decAcc),
+        (acc, f) => (acc + element_at(col("wv"), f.getField("j") + 1)
+          .cast("decimal(18,6)") * f.getField("c")).cast(decAcc))
+      val scored = fd.crossJoin(broadcast(model))
         .withColumn("z", round(col("b") +
-          lit(dim) * col("__s").cast("double") / col("n"), 6))
+          lit(dim) * sDec.cast("double") / col("n"), 6))
         .withColumn("p",
           round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
-        .select(col("doc_id"), col("n"),
+        .select(col("fl"), col("n"),
           (col("p").cast("decimal(18,6)") - col("y")).as("r"))
-        .persist(sl)
-      // per-bucket gradient: Σ_docs round(r·dim·c/n, 9), summed exactly
-      val g = feats.join(r, Seq("doc_id"))
+      // gradient terms for every bucket of every doc, PLUS the bias
+      // gradient as a sentinel bucket −1 appended before the explode
+      // (r cast exactly — 6-dp values are representable at scale 9),
+      // so ONE groupBy computes both. The term arithmetic sits ABOVE
+      // the Generate, where `r` is an attribute computed once per doc
+      // — building the terms inside a transform() lambda would let
+      // CollapseProject inline the O(dim) decimal fold behind `r` into
+      // the per-element body (O(dim²) per doc; measured 14 s of task
+      // time at sf0.1 — the pcaDeflateComponents lesson).
+      val terms = scored.select(col("n"), col("r"),
+          explode(concat(col("fl"),
+            array(struct(lit(-1).as("j"), lit(-1L).as("c"))))).as("f"))
+        .select(col("f.j").as("j"),
+          when(col("f.j") >= 0,
+            round(col("r").cast("double") * lit(dim) * col("f.c") /
+              col("n"), 9).cast("decimal(28,9)"))
+            .otherwise(col("r").cast("decimal(28,9)")).as("t"))
+      val gm = terms
         .groupBy(col("j"))
-        .agg(sum(round(col("r").cast("double") * lit(dim) * col("c") /
-          col("n"), 9).cast("decimal(28,9)")).as("g"))
-      val gb = r.agg(sum(col("r")).as("gb"))
-      val next = w.join(g, Seq("j"), "left")
-        .crossJoin(broadcast(nDocs))
-        .select(col("j"),
-          round(col("w") - lit(lr) *
-            coalesce(col("g").cast("double"), lit(0.0)) / col("nn"), 6)
-            .as("w"))
-        .unionByName(bias.crossJoin(broadcast(gb))
-          .crossJoin(broadcast(nDocs))
-          .select(lit(-1).as("j"),
-            round(col("b") - lit(lr) *
-              col("gb").cast("double") / col("nn"), 6).as("w")))
+        .agg(sum(col("t")).as("g"))
+        .agg(map_from_entries(collect_list(
+          struct(col("j"), col("g").cast("double")))).as("gm"))
+      model = model.crossJoin(broadcast(gm))
+        .select(
+          transform(sequence(lit(0), lit(dim - 1)), j =>
+            round(element_at(col("wv"), j + 1) - lit(lr) *
+              coalesce(element_at(col("gm"), j), lit(0.0)) / col("nn"),
+              6)).as("wv"),
+          round(col("b") - lit(lr) *
+            element_at(col("gm"), lit(-1)) / col("nn"), 6).as("b"),
+          col("nn"))
         .localCheckpoint() // one eager job per round; cuts the plan chain
-      r.unpersist()
-      model = next
     }
-    model
+    fd.unpersist()
+    model.select(posexplode(col("wv")).as(Seq("pos", "w")))
+      .select(col("pos").cast("int").as("j"), col("w"))
+      .unionByName(model.select(lit(-1).as("j"), col("b").as("w")))
   }
 
   /** Per-doc label + feature-derived token count; docs with no tokens

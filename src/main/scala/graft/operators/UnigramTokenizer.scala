@@ -298,12 +298,26 @@ object UnigramTokenizer {
     // re-estimation. The naive per-call composition re-encodes five
     // times: measured 17.7 -> 8.7 s cold-standalone at the pinned
     // bench, identical hashes.
+    //
+    // r15 (optimization): each phase-internal frame is ADDITIONALLY cut
+    // with localCheckpoint. Persist alone dedupes EXECUTION but leaves
+    // the ANALYZED plan intact, and the three chained phases compound
+    // it to a ~730-Exchange tree whose Catalyst planning dominated the
+    // query (profiled: 10.0 s wall vs 0.24 s summed task time — ~98%
+    // driver). The checkpoint truncates each phase's lineage to a
+    // LogicalRDD (guide §3.3 "materialising an intermediate truncates
+    // the plan"); the persist STAYS so sibling tokenizer queries keep
+    // plan-matching these frames in the CacheManager, and the
+    // checkpoint job reads back through that fresh cache. Values are
+    // untouched (a lineage cut, not a computation change).
+    def cut(d: DataFrame): DataFrame =
+      persisted(d).localCheckpoint()
     val words = wordFreq(df, textCol, maxWordLen).transform(persisted)
     val v1 = trainVocab(words, maxPieceLen, topV).transform(persisted)
-    val used1 = usedPieces(words, v1, maxPieceLen).transform(persisted)
-    val v2 = vocabFromUses(v1, used1, None).transform(persisted)
-    val used2 = usedPieces(words, v2, maxPieceLen).transform(persisted)
-    val v3 = vocabFromUses(v2, used2, Some(minUses)).transform(persisted)
+    val used1 = cut(usedPieces(words, v1, maxPieceLen))
+    val v2 = cut(vocabFromUses(v1, used1, None))
+    val used2 = cut(usedPieces(words, v2, maxPieceLen))
+    val v3 = cut(vocabFromUses(v2, used2, Some(minUses)))
     val used3 = usedPieces(words, v3, maxPieceLen)
     def phaseRow(round: Int, v: DataFrame, used: DataFrame): DataFrame =
       fertilityFromUsed(used, v)
