@@ -1366,11 +1366,14 @@ object Similarity {
     val mu = el.groupBy(col("i")).agg(
       (sum(col("v").cast(pcaDec)).cast("double") / count(lit(1)))
         .as("mu"))
-    val muRow = oneRowArray(mu, "i", "mu", "mu_arr").localCheckpoint()
-    val nRow = df.agg(count(lit(1)).cast("double").as("n"))
+    // μ and n ride ONE checkpointed row (r15: two single-row
+    // materialization jobs were pure scheduling overhead)
+    val stRow = oneRowArray(mu, "i", "mu", "mu_arr")
+      .crossJoin(df.agg(count(lit(1)).cast("double").as("n")))
       .localCheckpoint()
+    val nRow = stRow.select(col("n"))
     val base = df.select(col(idCol).as("vec_id"), col(vecCol).as("__e"))
-      .crossJoin(broadcast(muRow))
+      .crossJoin(broadcast(stRow.select(col("mu_arr"))))
       .select(col("vec_id"), zip_with(col("__e"), col("mu_arr"),
         (x, m) => x.cast("double") - m).as("xs"))
       .localCheckpoint()
@@ -1385,31 +1388,44 @@ object Similarity {
     // caller's crossJoin — fail here with the actual cause (the
     // markovStationary/ivfKSelect require() convention)
     require(iters >= 1, s"pca iters must be >= 1, got $iters")
-    var vRow = base.limit(1)
-      .select(transform(col("xs"), _ => lit(0.125)).as("v_arr"))
-      .localCheckpoint()
-    var n2Row: DataFrame = null
+    // r15: the loop state is ONE row (v_arr, n2). The previous shape
+    // checkpointed three tables per round (w, ‖w‖², normalized v) plus
+    // their broadcasts — profiled as pure scheduling (74 single-task
+    // jobs for embedding_whiten, task time ≪ wall). A round is now one
+    // eager checkpoint whose job runs: corpus fold → d-group partial
+    // aggregate → one-row collect, with n2 and the normalized
+    // direction computed on that single row. The decimal sums are
+    // exact and order-free, so every emitted value is unchanged
+    // (OperatorsSpec's partitioning-invariance pins + the unrolled
+    // oracle CTEs re-prove it).
+    var st = base.limit(1)
+      .select(transform(col("xs"), _ => lit(0.125)).as("v_arr"),
+        lit(0.0).as("n2"))
     for (_ <- 1 to iters) {
-      val withS = base.crossJoin(broadcast(vRow))
+      val withS = base.crossJoin(broadcast(st.select(col("v_arr"))))
         .select(col("xs"), pcaFold(col("xs"), col("v_arr")).as("s"))
-      // checkpoint w (d rows — model-plane tiny): n2 and the normalized
-      // direction both derive from it, so without the barrier each of
-      // their actions would re-run the full corpus scan — one corpus
-      // job per round instead of two. Values are unchanged.
       val w = withS
         .select(posexplode(transform(col("xs"),
           x => (col("s") * x).cast(pcaDec))).as(Seq("p", "c")))
         .groupBy((col("p") + 1).as("i"))
         .agg(sum(col("c")).cast("double").as("w"))
+      // d rows → one sorted array row; n2 is the same exact decimal
+      // sum of double squares the w-table aggregate produced
+      st = w
+        .agg(array_sort(collect_list(struct(col("i"), col("w"))))
+          .as("__p"))
+        .select(transform(col("__p"), e => e.getField("w")).as("w_arr"))
+        .select(col("w_arr"),
+          aggregate(transform(col("w_arr"), x => (x * x).cast(pcaDec)),
+            lit(BigDecimal(0)).cast(pcaDec),
+            (acc, e) => (acc + e).cast(pcaDec)).cast("double").as("n2"))
+        .select(transform(col("w_arr"), x =>
+          when(col("n2") <= 0, lit(0.0))
+            .otherwise(round(x / sqrt(col("n2")), 6))).as("v_arr"),
+          col("n2"))
         .localCheckpoint()
-      n2Row = w.agg(sum((col("w") * col("w")).cast(pcaDec))
-        .cast("double").as("n2")).localCheckpoint()
-      val vT = w.crossJoin(broadcast(n2Row))
-        .select(col("i"), when(col("n2") <= 0, lit(0.0))
-          .otherwise(round(col("w") / sqrt(col("n2")), 6)).as("vv"))
-      vRow = oneRowArray(vT, "i", "vv", "v_arr").localCheckpoint()
     }
-    (vRow, n2Row)
+    (st.select(col("v_arr")), st.select(col("n2")))
   }
 
   private def pcaFit(df: DataFrame, idCol: String, vecCol: String,
