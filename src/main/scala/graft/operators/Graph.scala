@@ -166,7 +166,6 @@ object Graph {
     val m = 1 << p
     val hexChars = p / 4
     val c = Sketches.hllAlphaM2Pow53(p)
-    val pow53 = 9007199254740992L
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
@@ -175,66 +174,73 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
     val h = md5(col("node").cast("string"))
     val w = conv(substring(h, hexChars + 1, 13), 16, 10).cast("long")
-    var regs = nodes.select(col("node"),
-        conv(substring(h, 1, hexChars), 16, 10).cast("long").as("j"),
+    // r15 (optimization): registers ride as ONE array<long>[m] per node
+    // (position j holds mj; 0 = untouched register) instead of one
+    // (node, j, mj) ROW per occupied register. The row form made every
+    // merge round shuffle up to m× the node count — profiled 140 MB of
+    // shuffle and 13.5 task-seconds at sf0.1, the whole operator's
+    // cost — where the array form moves exactly one row per node per
+    // round and aggregates with m codegen max() buffers instead of a
+    // m×-wider hash-aggregate keyspace. mj values and maxes are
+    // unchanged, so every ball estimate (and the harmonic fold) is
+    // bit-identical; absent registers hold 0, whose 2^53 estimate term
+    // equals the old sparse completion exactly.
+    //
+    // (node, j, mj) is checkpointed BEFORE the sketch projection so the
+    // md5/conv chain stays an attribute — inlined into the transform
+    // lambda it would re-hash m times per node (the CollapseProject
+    // hazard documented at Similarity.pcaDeflateComponents).
+    val nj = nodes.select(col("node"),
+        conv(substring(h, 1, hexChars), 16, 10).cast("int").as("j"),
         when(w === 0, lit(53L))
           .otherwise(lit(53L) - length(bin(w)).cast("long")).as("mj"))
       .localCheckpoint()
-    // per-round register snapshots — (rnd, node, mj) only: the estimate
-    // needs the rank multiset, not which register holds which rank, so
-    // j drops out of the fused pass. Each snapshot reads a checkpointed
-    // table; nothing re-executes the merge lineage.
+    var regs = nj.select(col("node"),
+        transform(sequence(lit(0), lit(m - 1)),
+          i => when(i === col("j"), col("mj")).otherwise(lit(0L)))
+          .as("sk"))
+      .localCheckpoint()
+    // per-round sketch snapshots; each reads a checkpointed table, so
+    // nothing re-executes the merge lineage
     val snaps = scala.collection.mutable.ArrayBuffer(
-      regs.select(lit(0).as("rnd"), col("node"), col("mj")))
+      regs.select(lit(0).as("rnd"), col("node"), col("sk")))
     for (r <- 1 to rounds) {
       val nbr = e.join(regs.withColumnRenamed("node", "dst"), Seq("dst"))
-        .select(col("src").as("node"), col("j"), col("mj"))
+        .select(col("src").as("node"), col("sk"))
       regs = regs.unionByName(nbr)
-        .groupBy(col("node"), col("j")).agg(max(col("mj")).as("mj"))
+        .groupBy(col("node"))
+        .agg(array((0 until m).map(i =>
+          max(element_at(col("sk"), i + 1))): _*).as("sk"))
         .localCheckpoint()
-      snaps += regs.select(lit(r).as("rnd"), col("node"), col("mj"))
+      snaps += regs.select(lit(r).as("rnd"), col("node"), col("sk"))
     }
-    // absent registers carry mj = 0 (term 2^53): num = present sum +
-    // (m − present)·2^53, v0 = m − present — the sparse form of
-    // hllDistinct's register-domain completion; `estimate` turns a
-    // (…, sp, np) aggregate into (…, <name>) carrying any grouping
-    // columns through
-    def estimate(grouped: DataFrame, name: String): DataFrame =
-      grouped
-        .select(grouped.columns.filter(_ != "sp").filter(_ != "np")
-            .map(col) ++ Seq(
-          (col("sp") + (lit(m.toLong) - col("np")) * lit(pow53))
-            .as("num"),
-          (lit(m.toLong) - col("np")).as("v0")): _*)
-        .select(grouped.columns.filter(_ != "sp").filter(_ != "np")
-            .map(col) :+
-          when(col("v0") > 0 &&
-              lit(c) / col("num").cast("double") <= lit(2.5 * m),
-            round(lit(m.toDouble) *
-              log(lit(m.toDouble) / col("v0").cast("double")), 6))
-            .otherwise(round(lit(c) / col("num").cast("double"), 6))
-            .as(name): _*)
+    // the ball estimate is now a per-row projection: num folds every
+    // register's 2^(53−mj) term (mj = 0 registers contribute 2^53 —
+    // the identical integer the old sparse form added as its
+    // (m − present)·2^53 completion), v0 counts the zero registers
+    def bExpr: Column = {
+      val num = aggregate(col("sk"), lit(0L),
+        (acc, mj) => acc + call_function("shiftleft", lit(1L),
+          (lit(53L) - mj).cast("int")))
+      val v0 = size(filter(col("sk"), x => x === lit(0L)))
+      when(v0 > 0 && lit(c) / num.cast("double") <= lit(2.5 * m),
+        round(lit(m.toDouble) * log(lit(m.toDouble) / v0.cast("double")),
+          6))
+        .otherwise(round(lit(c) / num.cast("double"), 6))
+    }
     val ests = if (fusedEstimates) {
-      // ONE aggregation evaluates all rounds' estimates; one pivot lays
-      // them out as columns (every node appears in every round —
-      // registers only grow — so each (node, rnd) cell is exactly one
-      // estimate)
-      val est = estimate(snaps.reduce(_ unionByName _)
-        .groupBy(col("node"), col("rnd")).agg(
-          sum(expr("shiftleft(1L, CAST(53 - mj AS INT))")).as("sp"),
-          count(lit(1)).as("np")), "b")
+      // estimates per (node, round) are plain projected rows; ONE
+      // aggregation pivots them into b0..b{rounds} columns
+      val est = snaps.reduce(_ unionByName _)
+        .select(col("node"), col("rnd"), bExpr.as("b"))
       val bCols = (0 to rounds)
         .map(r => max(when(col("rnd") === r, col("b"))).as(s"b$r"))
       est.groupBy(col("node")).agg(bCols.head, bCols.tail: _*)
     } else {
-      // the pre-fusion counterfactual: one estimate fold per round,
-      // chained joins — measured only, never the production path
-      def estOf(r: DataFrame, name: String): DataFrame =
-        estimate(r.groupBy(col("node")).agg(
-          sum(expr("shiftleft(1L, CAST(53 - mj AS INT))")).as("sp"),
-          count(lit(1)).as("np")), name)
+      // the pre-fusion counterfactual: one estimate projection per
+      // round, chained joins — measured only, never the production path
       snaps.zipWithIndex
-        .map { case (s, r) => estOf(s, s"b$r") }
+        .map { case (s, r) => s.select(col("node"), bExpr.as(s"b$r")) }
         .reduce(_.join(_, Seq("node")))
     }
     // the harmonic fold Σ (b_r − b_{r−1})/r in EXACT integer micro-units
