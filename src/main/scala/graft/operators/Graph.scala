@@ -69,9 +69,17 @@ object Graph {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be 0..100, got $dampingPct")
     val teleportMass = MassScale / 100 * (100 - dampingPct)
+    // r15: the cached edge list is hash-partitioned by the per-round
+    // join key BEFORE the persist, so every iteration's e ⋈ rank (and
+    // the degree count) reuses the cached partitioning instead of
+    // re-exchanging the whole edge list per round (guide §2.4 — the
+    // at-rest bucketing the scaladoc promises, realized in-session).
+    // One extra exchange at build time, |iters| edge shuffles removed;
+    // row values untouched.
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
+      .repartition(col("src"))
       .transform(graft.CacheBudget.persisted(_, "graph"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -166,9 +174,13 @@ object Graph {
     val m = 1 << p
     val hexChars = p / 4
     val c = Sketches.hllAlphaM2Pow53(p)
+    // cached edges pre-partitioned by dst — the per-round merge join's
+    // key — so no round re-exchanges the edge list (the pageRank r15
+    // note)
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
+      .repartition(col("dst"))
       .transform(graft.CacheBudget.persisted(_, "graph"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -292,9 +304,12 @@ object Graph {
       s"dampingPct must be 0..100, got $dampingPct")
     val seedInit = MassScale / sd.length
     val seedTele = MassScale / 100 * (100 - dampingPct) / sd.length
+    // cached edges pre-partitioned by src, the per-round join key (the
+    // pageRank r15 note)
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
+      .repartition(col("src"))
       .transform(graft.CacheBudget.persisted(_, "graph"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -351,12 +366,20 @@ object Graph {
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val dec = "decimal(38,0)"
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
+    // HITS alternates join keys (authority round joins on src, hub
+    // round on dst), so the cached edge list rides in BOTH
+    // orientations, each pre-partitioned by its key — no round
+    // re-exchanges the edges (the pageRank r15 note; at 100 TB this is
+    // the two bucketed copies a link-graph store keeps anyway)
+    val eS = e0.repartition(col("src"))
       .transform(graft.CacheBudget.persisted(_, "graph"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val eD = e0.repartition(col("dst"))
+      .transform(graft.CacheBudget.persisted(_, "graph"))
+    val nodes = eS.select(col("src").as("node"))
+      .union(eS.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val nRow = nodes.agg(count(lit(1)).as("n"))
     // exact floor((raw*MassScale)/total) — see Scaladoc
@@ -369,7 +392,7 @@ object Graph {
       .localCheckpoint()
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val aRaw = e.join(hub.select(col("node").as("src"), col("h")),
+      val aRaw = eS.join(hub.select(col("node").as("src"), col("h")),
           Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("h").cast(dec)).as("araw"))
@@ -377,7 +400,7 @@ object Graph {
       auth = aRaw.crossJoin(broadcast(tA))
         .select(col("node"), normF15(col("araw"), col("t")).as("a"))
         .localCheckpoint()
-      val hRaw = e.join(auth.select(col("node").as("dst"), col("a")),
+      val hRaw = eD.join(auth.select(col("node").as("dst"), col("a")),
           Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(sum(col("a").cast(dec)).as("hraw"))
@@ -692,8 +715,11 @@ object Graph {
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val und = canonicalUndirected(edges, srcCol, dstCol)
+    // cached adjacency pre-partitioned by nbr, the per-round join key
+    // (the pageRank r15 note)
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
+      .repartition(col("nbr"))
       .transform(graft.CacheBudget.persisted(_, "graph"))
     var lab = adj.select(col("node")).distinct()
       .select(col("node"), col("node").as("label"))
@@ -729,7 +755,10 @@ object Graph {
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
       maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    // cached edges pre-partitioned by src, the per-hop join key (the
+    // pageRank r15 note)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src"))
       .transform(graft.CacheBudget.persisted(_, "graph"))
     // min over an empty (or all-null-src) edge list is NULL — without
     // the filter that emitted a phantom (null, 0) row instead of the
@@ -750,8 +779,11 @@ object Graph {
       // small-diameter graph should not pay for the remaining rounds)
       if (next.isEmpty) done = true
       else {
-        dist = dist.unionByName(
-          next.withColumn("dist", lit(h))).localCheckpoint()
+        // the running dist set stays a LAZY union of the checkpointed
+        // frontiers (r15): every piece is already materialized, so the
+        // union needs no job of its own — the old per-hop checkpoint
+        // re-stored the whole visited set every round
+        dist = dist.unionByName(next.withColumn("dist", lit(h)))
         frontier = next
       }
       h += 1
@@ -786,7 +818,11 @@ object Graph {
     // AQE still broadcasts it at runtime whenever it is actually small
     val keep = adj.groupBy(col("l")).agg(count(lit(1)).as("dl"))
       .filter(col("dl") <= maxDeg).select(col("l"))
+    // pre-partitioned by l so BOTH sides of the wedge self-join below
+    // arrive co-partitioned from the cache — the join's two exchanges
+    // disappear (the pageRank r15 note)
     val capped = adj.join(keep, Seq("l"), "left_semi")
+      .repartition(col("l"))
       .transform(graft.CacheBudget.persisted(_, "graph"))
     val deg = capped.groupBy(col("r")).agg(count(lit(1)).as("deg"))
     val common = capped.select(col("l"), col("r").as("ra"))
