@@ -63,12 +63,20 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // BASELINE.md pins the operative bench config at local[4] with 4
-    // shuffle partitions — round-over-round comparisons only mean something
-    // at a fixed config, so this is NOT taken from the driver environment
-    // (r1 drifted to 32 cpus that way). GRAFT_BENCH_CPUS exists only for
-    // local experiments.
-    val cpus = sys.env.getOrElse("GRAFT_BENCH_CPUS", "4")
+    // r15 (measurement-contract fix, recorded in OPTIMIZATION_r15.md):
+    // the driver contract says the bench reads its core count from
+    // SPARK_GRAFT_CPUS — the driver re-runs the bench at a LOWER core
+    // count to measure how each query scales, and the old hard-coded
+    // local[4] made both runs measure the same thing. SPARK_GRAFT_CPUS
+    // is honored when set; GRAFT_BENCH_CPUS stays as the explicit
+    // override for pinned-config round-over-round comparisons (the
+    // BASELINE.md local[4]/4-shuffle config), and the default without
+    // either env remains 4 so bare local runs stay comparable to the
+    // promoted baselines. The artifact records `cpus`, so no number is
+    // ever compared across configs unknowingly.
+    val cpus = sys.env.get("GRAFT_BENCH_CPUS")
+      .orElse(sys.env.get("SPARK_GRAFT_CPUS"))
+      .getOrElse("4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
