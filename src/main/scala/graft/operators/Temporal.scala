@@ -265,8 +265,11 @@ object Temporal {
   def markovStationary(events: DataFrame, keyCol: String, tsCol: String,
       typeCol: String, idCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // materialized once: states/outTot/edges/sinks all re-derive from
+    // it, and un-cut lineage re-ran the corpus window per reference
     val counts = markovTransitions(events, keyCol, tsCol, typeCol, idCol)
       .select(col("from_type"), col("to_type"), col("n"))
+      .localCheckpoint()
     val outTot = counts.groupBy(col("from_type"))
       .agg(sum(col("n")).as("nout"))
     val states = counts.select(col("from_type").as("state"))
@@ -277,28 +280,45 @@ object Temporal {
         Seq("state"), "left_anti")
       .select(col("state").as("from_type"), col("state").as("to_type"),
         lit(1L).as("n"), lit(1L).as("nout"))
-    val e = edges.unionByName(sinks).localCheckpoint()
-    var mass = states
-      .crossJoin(broadcast(states.agg(count(lit(1)).as("ns"))))
-      .select(col("state"),
-        expr(s"${Graph.MassScale}L div ns").as("mass_f15"))
+    // r15 (optimization): the chain's state space is |event types| —
+    // bounded and tiny BY CONSTRUCTION (the transitions table is at
+    // most |types|² rows however large the corpus; the corpus-scaled
+    // work is markovTransitions' key-partitioned window above). The
+    // power iteration is model-plane arithmetic, so it rides ONE row —
+    // a sorted state array, the edge list, and a (state → mass) map
+    // updated per round in a single projection — instead of the old
+    // 6 distributed join+aggregate+checkpoint rounds over 5-row tables
+    // (profiled: 42 scheduler jobs with task time ≪ wall). The per-edge
+    // integer algebra is unchanged: (mass div nout)·n with the same
+    // floor division, summed per target state; a state that drained to
+    // zero holds mass 0 in the map and contributes 0, exactly as its
+    // missing row contributed nothing to the old join. One-row rounds
+    // still localCheckpoint: the map expression would otherwise inline
+    // |states|·|edges| copies of the previous round per level.
+    def floorDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long") // exact: operands ≥ 0, < 2^53
+    val e = edges.unionByName(sinks)
+    var st = states
+      .agg(sort_array(collect_list(col("state"))).as("sa"))
+      .crossJoin(e.agg(collect_list(struct(col("from_type"),
+        col("to_type"), col("n"), col("nout"))).as("ea")))
+      .select(col("sa"), col("ea"),
+        map_from_arrays(col("sa"), transform(col("sa"), _ =>
+          floorDiv(lit(Graph.MassScale),
+            size(col("sa")).cast("long")))).as("mm"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      mass = e.join(mass, col("from_type") === col("state"))
-        .select(col("to_type"),
-          expr("(mass_f15 div nout) * n").as("part"))
-        .groupBy(col("to_type")).agg(sum(col("part")).as("mass_f15"))
-        .select(col("to_type").as("state"), col("mass_f15"))
+      st = st.select(col("sa"), col("ea"),
+        map_from_arrays(col("sa"), transform(col("sa"), s =>
+          aggregate(
+            filter(col("ea"), t => t.getField("to_type") === s),
+            lit(0L),
+            (acc, t) => acc +
+              floorDiv(element_at(col("mm"), t.getField("from_type")),
+                t.getField("nout")) * t.getField("n")))).as("mm"))
         .localCheckpoint()
     }
-    // states that drained to zero (observed only as from_type, never
-    // reached) drop out of the re-aggregation after round 1 — emit
-    // them as explicit mass 0 so the output always covers the chain's
-    // full state set (consumers joining the state list or summing the
-    // distribution must not see a missing row)
-    states.join(mass, Seq("state"), "left")
-      .select(col("state"),
-        coalesce(col("mass_f15"), lit(0L)).as("mass_f15"))
+    st.select(explode(col("mm")).as(Seq("state", "mass_f15")))
   }
 
   /** NEAREST-direction as-of join (pandas `merge_asof(direction=
