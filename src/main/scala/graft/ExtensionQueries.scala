@@ -650,11 +650,18 @@ object DedupQueries {
     Q("dedup_eval",
       (s, dir) => {
         val docs = Sources.table(s, dir, "documents")
+        // r15: both pair lists are materialized once — each is consumed
+        // THREE times below (count + semi + anti), and the un-cut
+        // lineage re-ran the full shingle/LSH pipelines per reference
+        // (profiled 7.3 task-seconds for a query whose output is one
+        // row). The pair lists are tiny (the dedup candidates).
         val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
           k = 5, threshold = 0.8).select("doc_a", "doc_b")
+          .localCheckpoint()
         val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
           k = 5, bands = 32, rowsPerBand = 4, threshold = 0.8)
           .select("doc_a", "doc_b")
+          .localCheckpoint()
         val keys = Seq("doc_a", "doc_b")
         exact.agg(count(lit(1)).as("n_exact"))
           .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))

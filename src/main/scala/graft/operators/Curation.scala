@@ -1079,29 +1079,49 @@ object Curation {
       lossCol: String, eta: Double, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val dec = "decimal(28,12)"
+    // ONE corpus aggregation produces the K-row domain table — the only
+    // corpus-scaled step; K = |domains| is bounded by construction.
     val dl = docLosses.groupBy(col(domainCol).as("domain"))
       .agg(round(sum(col(lossCol).cast("decimal(18,6)")).cast("double") /
         count(lit(1)), 6).as("l"), count(lit(1)).as("n_docs"))
       .localCheckpoint()
-    val k = dl.agg(count(lit(1)).as("k"))
-    var w = dl.crossJoin(broadcast(k))
-      .select(col("domain"), col("n_docs"), col("l"),
-        round(lit(1.0) / col("k").cast("double"), 6).as("w"))
+    // r15 (optimization): the multiplicative-weights solver rides ONE
+    // row (sorted domain array + weight array) with one tiny checkpoint
+    // per round, instead of per-round K-row checkpoints plus broadcast
+    // mean/normalizer aggregates (profiled 33 scheduler jobs with task
+    // time ≪ wall — the events_markov_stationary class). The weighted
+    // mean and normalizer are the same exact decimal folds the old
+    // aggregates summed; weights re-round at 6 dp per round unchanged,
+    // so the oracle's CTE chain still replays every round.
+    var st = dl
+      .agg(array_sort(collect_list(struct(col("domain"), col("n_docs"),
+        col("l")))).as("ds"))
+      .select(col("ds"),
+        transform(col("ds"), _ =>
+          round(lit(1.0) / size(col("ds")).cast("double"), 6)).as("ws"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      val mean = w.agg(sum((col("w") * col("l")).cast(dec))
-        .cast("double").as("m")).localCheckpoint()
-      val u = w.crossJoin(broadcast(mean))
-        .select(col("domain"), col("n_docs"), col("l"),
-          (col("w") * exp(lit(eta) * (col("l") - col("m")))).as("u"))
-      val z = u.agg(sum(col("u").cast(dec)).cast("double").as("z"))
-      w = u.crossJoin(broadcast(z))
-        .select(col("domain"), col("n_docs"), col("l"),
-          round(col("u") / col("z"), 6).as("w"))
+      val m = aggregate(
+        zip_with(col("ws"), col("ds"),
+          (w, d) => (w * d.getField("l")).cast(dec)),
+        lit(BigDecimal(0)).cast(dec),
+        (acc, e) => (acc + e).cast(dec)).cast("double")
+      def u(w: Column, l: Column): Column =
+        w * exp(lit(eta) * (l - m))
+      val z = aggregate(
+        zip_with(col("ws"), col("ds"),
+          (w, d) => u(w, d.getField("l")).cast(dec)),
+        lit(BigDecimal(0)).cast(dec),
+        (acc, e) => (acc + e).cast(dec)).cast("double")
+      st = st.select(col("ds"),
+          zip_with(col("ws"), col("ds"),
+            (w, d) => round(u(w, d.getField("l")) / z, 6)).as("ws"))
         .localCheckpoint()
     }
-    w.select(col("domain"), col("n_docs"), col("l").as("l_domain"),
-      col("w").as("weight"))
+    st.select(col("ws"), posexplode(col("ds")).as(Seq("p", "d")))
+      .select(col("d.domain").as("domain"), col("d.n_docs").as("n_docs"),
+        col("d.l").as("l_domain"),
+        element_at(col("ws"), col("p").cast("int") + 1).as("weight"))
   }
 
   /** COHEN'S KAPPA between two labelers over the same keyed rows — the

@@ -490,8 +490,17 @@ object Graph {
         .select(col("te.u").as("u"), col("te.v").as("v"))
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
     }
-    var e = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    // r15: the surviving edge set is pre-partitioned by (u, v) at every
+    // checkpoint — the wedge-close join, the peel join and the support
+    // groupBy are all keyed on exactly that pair, so each round's three
+    // edge-list exchanges collapse into the partitioning the checkpoint
+    // already holds (the pageRank r15 note).
+    var e = canonicalUndirected(edges, srcCol, dstCol)
+      .repartition(col("u"), col("v")).localCheckpoint()
     for (_ <- 1 to rounds) {
+      // the peel join's output is already (u, v)-partitioned (both
+      // inputs are), and the checkpoint preserves that partitioning —
+      // no re-repartition needed inside the loop
       e = e.join(support(e), Seq("u", "v"), "left")
         .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
         .select(col("u"), col("v"))
