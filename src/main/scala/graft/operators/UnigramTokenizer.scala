@@ -310,14 +310,20 @@ object UnigramTokenizer {
     // plan-matching these frames in the CacheManager, and the
     // checkpoint job reads back through that fresh cache. Values are
     // untouched (a lineage cut, not a computation change).
-    def cut(d: DataFrame): DataFrame =
-      persisted(d).localCheckpoint()
+    // `used1` keeps its ledger persist UNDER the checkpoint — its plan
+    // (usedPieces over the shared words/v1) is still what sibling
+    // queries build, so the twin stays CacheManager-matchable. The
+    // LATER frames' plans contain this LogicalRDD and can never match a
+    // sibling again, so persisting them too would be pure double
+    // storage — byte pressure that evicts OTHER families' ledger
+    // frames (the diffuse in-sweep slowdown measured when they were).
     val words = wordFreq(df, textCol, maxWordLen).transform(persisted)
     val v1 = trainVocab(words, maxPieceLen, topV).transform(persisted)
-    val used1 = cut(usedPieces(words, v1, maxPieceLen))
-    val v2 = cut(vocabFromUses(v1, used1, None))
-    val used2 = cut(usedPieces(words, v2, maxPieceLen))
-    val v3 = cut(vocabFromUses(v2, used2, Some(minUses)))
+    val used1 = persisted(usedPieces(words, v1, maxPieceLen))
+      .localCheckpoint()
+    val v2 = vocabFromUses(v1, used1, None).localCheckpoint()
+    val used2 = usedPieces(words, v2, maxPieceLen).localCheckpoint()
+    val v3 = vocabFromUses(v2, used2, Some(minUses)).localCheckpoint()
     val used3 = usedPieces(words, v3, maxPieceLen)
     def phaseRow(round: Int, v: DataFrame, used: DataFrame): DataFrame =
       fertilityFromUsed(used, v)
