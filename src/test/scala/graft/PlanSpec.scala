@@ -304,10 +304,14 @@ class PlanSpec extends AnyFunSuite with SparkTester {
   test("graph_harmonic: the register fold is a partial aggregate over " +
       "checkpointed sketch tables — no pair blowup anywhere") {
     // the per-round max-merges sit behind localCheckpoint scans (lineage
-    // deliberately cut — the NOTES iterative rule), so the visible plan
-    // is the estimate folds + node joins
+    // deliberately cut — the NOTES iterative rule). r15: registers ride
+    // as one array per node, so the ball estimate is a per-row
+    // PROJECTION (the aggregate() fold over the sketch array) and the
+    // only aggregation left in the visible plan is the fused b0..bN
+    // pivot — partial max-merged, map-side combinable.
     val p = plan("graph_harmonic")
-    assert(p.contains("partial_sum"), p)
+    assert(p.contains("partial_max"), p)
+    assert(p.contains("aggregate("), p) // the in-row register fold
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
