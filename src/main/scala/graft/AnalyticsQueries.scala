@@ -803,9 +803,18 @@ object AnalyticsQueries {
     // guard (events_dispersion hazard class) ----
     Q("assoc_rules",
       (s, dir) => {
+        // r16: `items` feeds FOUR consumers (n_orders, supp, both sides
+        // of the pair self-join) — each re-ran the scan + distinct
+        // (profiled 7.1 task-s / 58 MB shuffle at sf0.1). Materialize it
+        // once, pre-partitioned by the self-join key `o`, so the pair
+        // join and the per-order distinct reuse the partitioning with
+        // zero exchanges (guide §2.4/§5 reuse materialization, inside
+        // the timed region).
         val items = Sources.table(s, dir, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
           .distinct()
+          .repartition(col("o"))
+          .localCheckpoint()
         val nOrders = items.select(col("o")).distinct()
           .agg(count(lit(1)).as("n_orders"))
         val supp = items.groupBy(col("p")).agg(count(lit(1)).as("n_p"))

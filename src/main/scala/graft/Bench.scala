@@ -61,6 +61,25 @@ object Bench {
       }
     }.sortBy(-_._4)
 
+  /** Shuffle-partition count for a bench run. Scaling-probe contract
+    * (r16): for driver-style runs (SPARK_GRAFT_CPUS) the count is
+    * pinned to max(32, cpus) — CONSTANT across the driver's high/low
+    * core-count probe pair, ≥ the widest probed count — so both runs
+    * execute identical plans and t_low/t_high measures compute
+    * parallelism rather than partition-count overhead (r15: partitions
+    * tracked cpus and all 67 recoverable rows read "faster" at 8
+    * cores). The pinned-baseline config (GRAFT_BENCH_CPUS) keeps
+    * partitions == cpus so comparisons against bench_baseline.json
+    * stay config-identical; GRAFT_BENCH_SHUFFLE overrides explicitly.
+    * Exposed for BenchSpec. */
+  def shufflePartitionsFor(env: Map[String, String], cpus: String): String =
+    env.get("GRAFT_BENCH_SHUFFLE")
+      .orElse(env.get("GRAFT_BENCH_CPUS"))
+      .getOrElse(
+        if (env.contains("SPARK_GRAFT_CPUS"))
+          math.max(32, cpus.toInt).toString
+        else "4")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // r15 (measurement-contract fix, recorded in OPTIMIZATION_r15.md):
@@ -77,9 +96,25 @@ object Bench {
     val cpus = sys.env.get("GRAFT_BENCH_CPUS")
       .orElse(sys.env.get("SPARK_GRAFT_CPUS"))
       .getOrElse("4")
+    // r16 (scaling-probe fix, recorded in OPTIMIZATION_r16.md): the
+    // driver benches the SAME build at two core counts to measure how
+    // each query scales. With shuffle partitions tied to the core
+    // count, the two runs execute different plans (r15: 32 vs 8
+    // partitions on ~600k-row inputs) and the ratio measures
+    // partition-count overhead, not compute parallelism — every one of
+    // the 67 recoverable r15 rows read FASTER at 8 cores. For
+    // driver-style runs (SPARK_GRAFT_CPUS set) the shuffle partition
+    // count is therefore pinned to max(32, cpus) — constant across the
+    // probe pair, ≥ the widest probed core count — so both runs execute
+    // identical plans and t_low/t_high reflects parallelism.
+    // GRAFT_BENCH_CPUS (the pinned local[4]/4-shuffle baseline config)
+    // keeps partitions == cpus so every historical comparison against
+    // bench_baseline.json stays config-identical; GRAFT_BENCH_SHUFFLE
+    // overrides explicitly.
+    val shufflePartitions = shufflePartitionsFor(sys.env, cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -203,10 +238,14 @@ object Bench {
     // surfaces those.
     val normFactor = math.max(driftGlobal, calibRatio)
     val regressions = flagRegressions(results, baseline, normFactor)
-    // 3-decimal per-query seconds keep the detail line compact; the FINAL
-    // stdout line is a short standalone result (the r2 driver artifact
-    // showed its tail window starting mid-JSON on a ~2.5 KB line, so the
-    // parseable summary must be small and last)
+    // 3-decimal per-query seconds keep the detail line compact. r16
+    // contract fix: the driver parses the LAST stdout line and needs the
+    // per-query median map — r14/r15 both produced PERF per_query: {}
+    // because the detail line was printed second-to-last. The r2
+    // tail-truncation worry is obsolete (both r15 artifacts captured the
+    // full ~10 KB detail line in the driver's tail window), so the
+    // detail line is now printed LAST; the short summary line stays, one
+    // line earlier, for human eyes and old tooling.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
@@ -238,18 +277,21 @@ object Bench {
       s""""drift_global":${f3(driftGlobal)},""" +
       s""""calib_sec":${f3(calibSec)},"calib_ratio":${f3(calibRatio)},""" +
       s""""norm_factor":${f3(normFactor)},""" +
-      s""""cpus":$cpus,"runs":$runs,"sf":"$sfDir"}"""
+      s""""cpus":$cpus,"shuffle_partitions":$shufflePartitions,""" +
+      s""""runs":$runs,"sf":"$sfDir"}"""
     val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"n_failed":${failed.size},""" +
       s""""n_regressions":${regressions.size},""" +
       s""""drift_global":${f3(driftGlobal)},""" +
       s""""calib_sec":${f3(calibSec)},"calib_ratio":${f3(calibRatio)},""" +
       s""""norm_factor":${f3(normFactor)},""" +
-      s""""cpus":$cpus,"runs":$runs,"sf":"$sfDir"}"""
+      s""""cpus":$cpus,"shuffle_partitions":$shufflePartitions,""" +
+      s""""runs":$runs,"sf":"$sfDir"}"""
     // stop Spark BEFORE printing so no shutdown logging can land after the
-    // result lines — the driver parses the last stdout line
+    // result lines — the driver parses the last stdout line, which must
+    // be the detail line carrying the per-query median map
     spark.stop()
-    println(detail)
     println(summary)
+    println(detail)
   }
 }

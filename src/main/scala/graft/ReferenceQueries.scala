@@ -1338,8 +1338,11 @@ object ReferenceQueries {
       (s, dir) => {
         import graft.operators.Quantiles
         val li = t(s, dir, "lineitem")
+        // r16: `price` feeds two projections (p50, p95) — each re-ran
+        // the two-pass quantile pipeline; checkpoint the 6-row result
         val price = Quantiles.exactQuantilesBucketed(
           li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.95))
+          .localCheckpoint()
         val qty = Quantiles.exactQuantilesBucketed(
           li, "l_returnflag", "l_quantity", Seq(0.5))
         price.filter(col("p") === 0.5)

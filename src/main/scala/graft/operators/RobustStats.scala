@@ -31,8 +31,11 @@ object RobustStats {
   def winsorizedMean(df: DataFrame, keyCol: String, valCol: String,
       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(pLo < pHi, s"need pLo < pHi, got $pLo >= $pHi")
+    // r16: `q` (2 rows per key) feeds both the pLo and pHi splits —
+    // each re-ran the two-pass quantile pipeline above the bucketed
+    // persist. One tiny eager checkpoint collapses that.
     val q = Quantiles.exactQuantilesBucketed(df, keyCol, valCol,
-      Seq(pLo, pHi))
+      Seq(pLo, pHi)).localCheckpoint()
     val bounds = q.filter(col("p") === pLo)
       .select(col(keyCol), col("q").as("q_lo"))
       .join(q.filter(col("p") === pHi)
@@ -76,13 +79,20 @@ object RobustStats {
       .withColumn("r", (col("n") - 1).cast("double") * 0.5)
       .withColumn("r_lo", floor(col("r")).cast("long"))
       .withColumn("r_hi", ceil(col("r")).cast("long"))
-    val lo = cum.filter(col("r_lo") >= col("off") &&
-        col("r_lo") < col("off") + col("c"))
-      .select(col("k"), col("v").as("lo"), col("r"), col("r_lo"))
-    val hi = cum.filter(col("r_hi") >= col("off") &&
-        col("r_hi") < col("off") + col("c"))
-      .select(col("k"), col("v").as("hi"))
-    lo.join(hi, Seq("k"))
+    // r16: the floor- and ceil-rank rows were two filtered COPIES of
+    // `cum` joined back on k — the cumulative window ran twice and the
+    // join re-exchanged. Exactly one digest row per key covers each
+    // rank (the off-intervals partition [0, n)), so one conditional
+    // aggregate over a single window pass selects both values: same
+    // lo/hi/r/r_lo per key, identical q. r and r_lo are per-key
+    // constants (functions of n), so min() reads them off unchanged.
+    def hits(rank: org.apache.spark.sql.Column) =
+      rank >= col("off") && rank < col("off") + col("c")
+    cum.filter(hits(col("r_lo")) || hits(col("r_hi")))
+      .groupBy(col("k"))
+      .agg(min(when(hits(col("r_lo")), col("v"))).as("lo"),
+        min(when(hits(col("r_hi")), col("v"))).as("hi"),
+        min(col("r")).as("r"), min(col("r_lo")).as("r_lo"))
       .select(col("k"), round(col("lo") + (col("r") - col("r_lo")) *
         (col("hi") - col("lo")), 4).as("q"))
   }

@@ -48,6 +48,28 @@ class BenchSpec extends AnyFunSuite with SparkTester {
       baseline.updated("d", 0.9), baseline, 1.0).map(_._1) == Seq("d"))
   }
 
+  test("shuffle partitions: pinned-baseline runs track GRAFT_BENCH_CPUS; " +
+      "driver scaling runs get a plan-pinning constant independent of " +
+      "the probe core count (r15: partitions==cpus made the c8/c32 pair " +
+      "measure partition overhead, every row 'faster' at 8 cores)") {
+    // pinned baseline config: partitions == cpus (local[4]/4-shuffle)
+    assert(Bench.shufflePartitionsFor(
+      Map("GRAFT_BENCH_CPUS" -> "4"), "4") === "4")
+    // driver probe pair: SAME partition count at both core counts
+    assert(Bench.shufflePartitionsFor(
+      Map("SPARK_GRAFT_CPUS" -> "32"), "32") === "32")
+    assert(Bench.shufflePartitionsFor(
+      Map("SPARK_GRAFT_CPUS" -> "8"), "8") === "32")
+    // wider-than-32 driver still gets >= cpus partitions
+    assert(Bench.shufflePartitionsFor(
+      Map("SPARK_GRAFT_CPUS" -> "64"), "64") === "64")
+    // explicit override wins; bare default stays the historical 4
+    assert(Bench.shufflePartitionsFor(
+      Map("GRAFT_BENCH_SHUFFLE" -> "16", "SPARK_GRAFT_CPUS" -> "8"),
+      "8") === "16")
+    assert(Bench.shufflePartitionsFor(Map.empty, "4") === "4")
+  }
+
   test("calibration probe runs and returns a positive wall time") {
     val t = Bench.calibProbe(spark, sf("calib"))
     assert(t > 0.0 && t < 120.0)
