@@ -535,13 +535,25 @@ object RangeJoin {
     * with `aLo <= bHi AND bLo <= aHi`, plus any equi-`keys`. The same
     * tiling rewrite as [[binnedRangeJoin]] applied to both sides: each
     * interval explodes to the bins it covers, the (keys, bin) hash join
-    * meets every truly-overlapping pair in at least one shared bin, the
-    * residual predicate drops false bin-neighbours, and a distinct
-    * collapses pairs that met in several bins. This is the temporal
-    * self-join shape (concurrent sessions, co-active shipments,
-    * overlapping price epochs) that a naive non-equi plan executes as a
-    * nested loop. Column names of the two sides must be disjoint on the
-    * non-key columns so the residual predicate can see both. */
+    * meets every truly-overlapping pair in at least one shared bin, and
+    * the residual predicate drops false bin-neighbours. This is the
+    * temporal self-join shape (concurrent sessions, co-active
+    * shipments, overlapping price epochs) that a naive non-equi plan
+    * executes as a nested loop. Column names of the two sides must be
+    * disjoint on the non-key columns so the residual predicate can see
+    * both.
+    *
+    * Multi-bin dedup (r16, guide §2.3): a pair whose intervals share
+    * several bins used to be emitted once per shared bin and collapsed
+    * by a full-width `distinct()` — a second shuffle of the ENTIRE pair
+    * output, the plan's largest exchange. The overlap of a qualifying
+    * pair starts exactly at `greatest(aLo, bLo)`, and the bin holding
+    * that point is shared (both sides tile it), so keeping only the
+    * joined row whose bin IS that bin emits each input pair exactly
+    * once — same rows, no dedup exchange. Note the contract this
+    * sharpens: input ROWS must be distinct (every caller's are, by
+    * unique ids); the old distinct() would additionally have collapsed
+    * duplicate input rows. */
   def intervalOverlapJoin(a: DataFrame, aLo: String, aHi: String,
       b: DataFrame, bLo: String, bHi: String, keys: Seq[String],
       binWidth: Long): DataFrame = {
@@ -553,8 +565,9 @@ object RangeJoin {
     val bt = b.withColumn("__bin", explode(expr(
       s"sequence($bLo DIV $binWidth, $bHi DIV $binWidth)")))
     at.join(bt, keys :+ "__bin")
-      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi) &&
+        col("__bin") === expr(
+          s"greatest($aLo, $bLo) DIV $binWidth"))
       .drop("__bin")
-      .distinct()
   }
 }
