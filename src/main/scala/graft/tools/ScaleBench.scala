@@ -841,6 +841,105 @@ object ScaleBench {
       fat.unpersist()
     }
 
+    // r16 (VERDICT item 6): content-defined-chunking at factor× docs —
+    // the rolling md5 window prices one digest per text position, so
+    // the curve must track total CHARS linearly; dup_chars is summed so
+    // column pruning can't elide the chunk hashing (codec_decode
+    // lesson).
+    if (runExt && want("cdc_chunks")) timed("cdc_chunks") {
+      cnt("cdc_dup_chars") = Dedup.cdcChunkStats(big, "doc_id", "text",
+          width = 8, divisor = 32)
+        .agg(sum(col("dup_chars"))).head().getLong(0)
+      cnt("cdc_dup_chars")
+    }
+
+    // r16 (VERDICT item 6): association rules at factor× orders —
+    // replicas shift part ids per rep so the basket SIZE stays the base
+    // corpus's (~bounded per order) while orders grow ×factor: the
+    // per-order pair fan-out bound means pairs grow linearly, and the
+    // stage must too.
+    if (runExt && want("assoc_rules")) timed("assoc_rules") {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val reps = spark.range(0, factor).toDF("rep")
+      val items = li.crossJoin(reps)
+        .select((col("l_orderkey") * factor + col("rep")).as("o"),
+          (col("l_partkey") * factor + col("rep")).as("p"))
+        .distinct()
+        .repartition(col("o"))
+        .localCheckpoint()
+      val nOrders = items.select(col("o")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val supp = items.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+      items.select(col("o"), col("p").as("pa"))
+        .join(items.select(col("o"), col("p").as("pb")), "o")
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+        .join(supp.select(col("p").as("pa"), col("n_p").as("n_a")), "pa")
+        .join(supp.select(col("p").as("pb"), col("n_p").as("n_b")), "pb")
+        .crossJoin(broadcast(nOrders))
+        .count()
+    }
+
+    // r16 (VERDICT item 8): SKEWED-KEY stages — the two genuinely
+    // skewable keys in the registry's families, with a planted hot key
+    // owning ~30% of the fact side, run both PLAIN (what AQE does by
+    // itself) and SALTED (SkewJoin / two-level aggregation). Broadcast
+    // is disabled for the join pair so the skew actually reaches a
+    // shuffle join — at production scale the dimension side wouldn't
+    // broadcast anyway. Flat-ish plain-vs-salted ratios across factors
+    // = AQE handles it; a growing ratio = salt.
+    if (runExt && (want("skew_hub_join") || want("skew_hub_salted") ||
+        want("skew_host_agg") || want("skew_host_salted"))) {
+      val m = 400000L * factor
+      // hub node 0 owns ~30% of edges; the rest spread over 100k nodes
+      val edges = spark.range(m).select(
+          when(pmod(xxhash64(col("id")), lit(10)) < 3, lit(0L))
+            .otherwise(pmod(xxhash64(col("id"), lit(3)), lit(100000L)))
+            .as("src"),
+          pmod(xxhash64(col("id"), lit(5)), lit(100000L)).as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cnt("skew_edges") = edges.count()
+      val ranks = spark.range(100000L)
+        .select(col("id").as("src"), (col("id") % 97).as("rank"))
+      val bcThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      if (want("skew_hub_join")) timed("skew_hub_join") {
+        edges.join(ranks, Seq("src"))
+          .agg(sum(col("rank"))).head(); m
+      }
+      if (want("skew_hub_salted")) timed("skew_hub_salted") {
+        graft.operators.SkewJoin.saltedEquiJoin(
+            edges, ranks, "src", "dst", nSalts = 16)
+          .agg(sum(col("rank"))).head(); m
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcThresh)
+      // URL-host aggregation skew: one hot host owns 80% of rows. A
+      // count aggregate is skew-IMMUNE by construction (map-side
+      // partial aggregation collapses the hot key per task before the
+      // exchange); the salted two-level counterfactual prices what the
+      // explicit guard would cost anyway.
+      val hosts = edges.select(
+        when(pmod(xxhash64(col("dst"), lit(11)), lit(10)) < 8,
+          lit("hot.example.com"))
+          .otherwise(concat(lit("host-"),
+            pmod(xxhash64(col("dst"), lit(13)), lit(100000L))))
+          .as("host"),
+        col("dst").as("id"))
+      if (want("skew_host_agg")) timed("skew_host_agg") {
+        hosts.groupBy(col("host")).agg(count(lit(1))).count()
+      }
+      if (want("skew_host_salted")) timed("skew_host_salted") {
+        hosts.withColumn("__salt",
+            pmod(xxhash64(col("id"), lit(17)), lit(64)))
+          .groupBy(col("host"), col("__salt"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("host")).agg(sum(col("c"))).count()
+      }
+      edges.unpersist()
+    }
+
     val times = t.map { case (k, v) =>
       "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.US, v)
     }.mkString("{", ",", "}")

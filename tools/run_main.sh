@@ -21,4 +21,5 @@ exec java \
   --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-16g}" \
+  ${GRAFT_JAVA_EXTRA:-} \
   -cp "$CP" "$@"
