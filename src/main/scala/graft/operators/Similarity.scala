@@ -1388,44 +1388,48 @@ object Similarity {
     // caller's crossJoin — fail here with the actual cause (the
     // markovStationary/ivfKSelect require() convention)
     require(iters >= 1, s"pca iters must be >= 1, got $iters")
-    // r15: the loop state is ONE row (v_arr, n2). The previous shape
-    // checkpointed three tables per round (w, ‖w‖², normalized v) plus
-    // their broadcasts — profiled as pure scheduling (74 single-task
-    // jobs for embedding_whiten, task time ≪ wall). A round is now one
-    // eager checkpoint whose job runs: corpus fold → d-group partial
-    // aggregate → one-row collect, with n2 and the normalized
-    // direction computed on that single row. The decimal sums are
-    // exact and order-free, so every emitted value is unchanged
-    // (OperatorsSpec's partitioning-invariance pins + the unrolled
-    // oracle CTEs re-prove it).
-    var st = base.limit(1)
-      .select(transform(col("xs"), _ => lit(0.125)).as("v_arr"),
-        lit(0.0).as("n2"))
+    // r15: the loop state became ONE row (v_arr, n2). r16: that row now
+    // lives on the DRIVER (the model-plane tiny-collect class, like the
+    // BPE merge table and the NB class list): each round is exactly ONE
+    // job — corpus fold → d-group aggregate → d-row collect — and the
+    // per-round eager checkpoint + one-row broadcast materializations
+    // are gone (profiled: whiten 50 jobs / 3.5 s wall vs 1.7 task-s —
+    // scheduling floor, not compute). The normalization arithmetic is
+    // replicated EXACTLY in Scala: Spark's round()/cast-to-decimal on
+    // doubles are HALF_UP on BigDecimal.valueOf (Double.toString), so
+    // dec12/round6 below produce bit-identical values — every emitted
+    // number is unchanged (oracle ×3 SFs + the partitioning-invariance
+    // pins re-prove it).
+    val spark = base.sparkSession
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def dec12(d: Double): JBD =
+      JBD.valueOf(d).setScale(12, RoundingMode.HALF_UP)
+    def round6(d: Double): Double =
+      JBD.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue
+    val dim = base.select(size(col("xs")).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    var v: Array[Double] = Array.fill(dim)(0.125)
+    var n2 = 0.0
     for (_ <- 1 to iters) {
-      val withS = base.crossJoin(broadcast(st.select(col("v_arr"))))
-        .select(col("xs"), pcaFold(col("xs"), col("v_arr")).as("s"))
-      val w = withS
+      val w = new Array[Double](dim)
+      base
+        .select(col("xs"),
+          pcaFold(col("xs"), typedlit(v.toSeq)).as("s"))
         .select(posexplode(transform(col("xs"),
           x => (col("s") * x).cast(pcaDec))).as(Seq("p", "c")))
-        .groupBy((col("p") + 1).as("i"))
+        .groupBy(col("p"))
         .agg(sum(col("c")).cast("double").as("w"))
-      // d rows → one sorted array row; n2 is the same exact decimal
-      // sum of double squares the w-table aggregate produced
-      st = w
-        .agg(array_sort(collect_list(struct(col("i"), col("w"))))
-          .as("__p"))
-        .select(transform(col("__p"), e => e.getField("w")).as("w_arr"))
-        .select(col("w_arr"),
-          aggregate(transform(col("w_arr"), x => (x * x).cast(pcaDec)),
-            lit(BigDecimal(0)).cast(pcaDec),
-            (acc, e) => (acc + e).cast(pcaDec)).cast("double").as("n2"))
-        .select(transform(col("w_arr"), x =>
-          when(col("n2") <= 0, lit(0.0))
-            .otherwise(round(x / sqrt(col("n2")), 6))).as("v_arr"),
-          col("n2"))
-        .localCheckpoint()
+        .collect()
+        .foreach(r => w(r.getInt(0)) = r.getDouble(1))
+      // exact decimal Σ w², as the old in-plan aggregate() computed it
+      var acc = JBD.ZERO.setScale(12)
+      w.foreach(x => acc = acc.add(dec12(x * x)))
+      n2 = acc.doubleValue
+      v = if (n2 <= 0) Array.fill(dim)(0.0)
+        else w.map(x => round6(x / math.sqrt(n2)))
     }
-    (st.select(col("v_arr")), st.select(col("n2")))
+    (spark.range(1).select(typedlit(v.toSeq).as("v_arr")),
+      spark.range(1).select(lit(n2).as("n2")))
   }
 
   private def pcaFit(df: DataFrame, idCol: String, vecCol: String,
