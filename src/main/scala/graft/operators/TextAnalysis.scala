@@ -710,18 +710,28 @@ object TextAnalysis {
       .select(explode(split(delim, "[|]")).as("p0"))
       .select(trim(regexp_replace(col("p0"), " +", " ")).as("phrase"))
       .filter(col("phrase") =!= "")
-    val pt = ph.select(col("phrase"),
-        size(Cleaning.tokens(col("phrase"))).as("plen"),
-        explode(Cleaning.tokens(col("phrase"))).as("w"))
-    val ws = pt.groupBy(col("w"))
-      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    // One corpus pass: collapse occurrences to the distinct-phrase
+    // summary FIRST, then derive every word stat from it weighted by
+    // n_occ — exact integer algebra (freq(w) = Σ_p mult(w,p)·n_occ(p),
+    // deg(w) = Σ_p mult(w,p)·plen(p)·n_occ(p), identical to counting
+    // over all occurrences), so the stopword-regex projection runs
+    // once instead of once per consumer, and the token explode runs
+    // over distinct phrases, not occurrences. The tiny summary is
+    // persisted (stats kept — joins stay broadcast): it feeds the
+    // word-stats path, the phrase-score explode and the final n_occ
+    // join.
+    val occ = ph.groupBy(col("phrase")).agg(count(lit(1)).as("n_occ"))
+      .transform(graft.CacheBudget.persisted(_, "text"))
+    val tok = occ.select(col("phrase"), col("n_occ"),
+      size(Cleaning.tokens(col("phrase"))).as("plen"),
+      explode(Cleaning.tokens(col("phrase"))).as("w"))
+    val ws = tok.groupBy(col("w"))
+      .agg(sum(col("n_occ")).as("freq"),
+        sum(col("plen").cast("long") * col("n_occ")).as("deg"))
       .withColumn("s", round(col("deg").cast("double") / col("freq"), 6)
         .cast("decimal(18,6)"))
-    val occ = ph.groupBy(col("phrase")).agg(count(lit(1)).as("n_occ"))
-    val dtok = ph.select(col("phrase")).distinct()
-      .select(col("phrase"),
-        explode(Cleaning.tokens(col("phrase"))).as("w"))
-    dtok.join(ws.select(col("w"), col("s")), "w")
+    tok.select(col("phrase"), col("w"))
+      .join(ws.select(col("w"), col("s")), "w")
       .groupBy(col("phrase"))
       .agg(sum(col("s")).cast("double").as("score"))
       .join(occ, "phrase")

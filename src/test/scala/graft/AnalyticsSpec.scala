@@ -359,6 +359,27 @@ class AnalyticsSpec extends AnyFunSuite with SparkTester {
       "deep net" -> (4.0, 1L)))
   }
 
+  test("rakeKeywords: repeated phrase occurrences and in-phrase word " +
+      "multiplicity — the n_occ-weighted stats equal counting over " +
+      "all occurrences") {
+    // "big data" occurs 3x (one doc holds two occurrences), "big big
+    // ideas" once with big twice IN the phrase:
+    //   freq: big 1·3 + 2·1 = 5, data 3, ideas 1
+    //   deg:  big 2·3 + 3·2 = 12, data 2·3 = 6, ideas 3
+    //   s:    big 2.4, data 2.0, ideas 3.0
+    //   score "big data" = 4.4, "big big ideas" = 2.4+2.4+3.0 = 7.8
+    val docs = Seq(
+      (1L, "big data and big data"),
+      (2L, "big data"),
+      (3L, "big big ideas")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.rakeKeywords(docs, "doc_id",
+      "text", Seq("the", "a", "of", "and", "to"), topN = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("score"), r.getAs[Long]("n_occ"))).toMap
+    assert(got === Map("big data" -> (4.4, 3L),
+      "big big ideas" -> (7.8, 1L)))
+  }
+
   test("manifestTable: latest snapshot, time travel, and a clear error " +
       "for a version that was never committed") {
     val dir = "/root/repo/fixtures/manifest"
