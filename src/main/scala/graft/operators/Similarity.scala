@@ -234,7 +234,15 @@ object Similarity {
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.expressions.VectorExpressions
+    // the O(n²) pair scoring runs as a BroadcastNestedLoopJoin whose
+    // parallelism is the STREAMED side's partitioning — a single input
+    // file means the whole n²·d distance work lands on one task.
+    // Round-robin the streamed side across the session's shuffle
+    // partitions (config-scaled: the n-row shuffle is free next to the
+    // n² compute it spreads); row order feeds nothing — d2 is rounded
+    // per pair and ranked under a deterministic (d2, dst) window
     val a = df.select(col(idCol).as("src"), col(vecCol).as("ea"))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
     val b = df.select(col(idCol).as("dst"), col(vecCol).as("eb"))
     val half = a.join(b, col("src") < col("dst"))
       .select(col("src"), col("dst"),
