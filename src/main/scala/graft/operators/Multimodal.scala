@@ -153,8 +153,14 @@ object Multimodal {
       le32Hex(lit(8)), le32Hex(lit(8)),
       lit("0100"), lit("1800"), le32Hex(lit(0)), le32Hex(lit(192)),
       le32Hex(lit(0)), le32Hex(lit(0)), le32Hex(lit(0)), le32Hex(lit(0)))
-    registered(
-      df.select(col(idCol), unhex(concat(headerHex, pixHex)).as(out)))
+    // narrow to the id, then spread rows across the session's shuffle
+    // partitions BEFORE the synth projection: a single-file source
+    // otherwise leaves the md5/hex synthesis AND every downstream
+    // decode of the cached frame on one task (the cache keeps its
+    // child's partitioning). Row-local consumers only — order free.
+    registered(df.select(col(idCol))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol), unhex(concat(headerHex, pixHex)).as(out)))
   }
 
   /** Perceptual near-dup pairs over REAL decoded pixels: exact-integer
@@ -652,9 +658,14 @@ object Multimodal {
     * format. */
   def jpegPayloadTwins(df: DataFrame, idCol: String,
       out: String = "payload"): DataFrame =
-    registered(df.select(col(idCol),
-      graft.expressions.JpegDecode.jpegSynthTwins(
-        col(idCol).cast("long")).as(out)))
+    // same single-task guard as [[bmpPayloadTwins]]: spread ids before
+    // the synth so the cached payload frame (and every decode over it)
+    // carries the session's shuffle parallelism
+    registered(df.select(col(idCol))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol),
+        graft.expressions.JpegDecode.jpegSynthTwins(
+          col(idCol).cast("long")).as(out)))
 
   /** Perceptual near-dup pairs over REAL JPEG-decoded pixels:
     * exact-integer average-hash over the 8×8 grid of cell sums
