@@ -1204,8 +1204,13 @@ object Dedup {
   def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
       width: Int = 8, divisor: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // spread docs across the session's shuffle partitions before the
+    // persist: the cached frame keeps its child's partitioning, and a
+    // single-file source would otherwise run the per-position md5
+    // explode (the dominant cost — one md5 per char) on ONE task
     val d = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("n", length(col("text"))).filter(col("n") > 0)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cuts0 = d.filter(col("n") >= width)
       .select(col("doc_id"), col("text"),
